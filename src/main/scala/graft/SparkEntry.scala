@@ -1,13 +1,685 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.evaluation.{MAE, PearsonCorr, RMSE}
+import graft.functional.MayFail
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.physical._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with a
+  * DuckDB oracle in [[SparkEntry.oracleSql]] where ANSI-SQL-expressible.
+  *
+  * Conventions shared by every query so the driver's hash compare works:
+  * every computed column is aliased identically in Spark and SQL; every
+  * result has a deterministic total order (unique sort key); unstable
+  * float aggregates are `round(_, 4)` on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 refuses by default — read nanos as long and convert to
+    * microsecond timestamps (`div 1000` matches DuckDB's ns→µs cast). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the Phase-1
+    * acceptance pipeline from SURVEY §7 — scan → filter → agg → sort
+    * through the MayFail monad. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // --- §2.4 aggregations -------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary via Read → Filter → Group.Agg →
+    * Order (the reference's primary for-comprehension shape, SURVEY §3.1). */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    (for {
+      li <- Read.parquet(s"$dir/lineitem.parquet")
+      f  <- Filter.where(li, col("l_shipdate") <= lit("1998-09-02"))
+      g  <- Group.agg(f, Seq("l_returnflag", "l_linestatus"), Group.Agg(Seq(
+              round(sum(col("l_quantity")), 4).as("sum_qty"),
+              round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+              round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+              round(avg(col("l_quantity")), 4).as("avg_qty"),
+              round(avg(col("l_discount")), 6).as("avg_disc"),
+              count(lit(1)).as("count_order"))))
+      o  <- Order.by(g, Seq("l_returnflag", "l_linestatus"))
+    } yield o).get
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> ((s, dir) => q1Agg(s, dir)),
+
+    "q02_group_map" -> ((s, dir) => {
+      // Group.Map strategy: auto-named output columns `fn(col)`
+      // (reference Op.scala:101-121 quirk preserved).
+      (for {
+        g <- Group.agg(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
+               Group.Map(Map("l_quantity" -> "min", "l_extendedprice" -> "max")))
+        o <- Order.by(g, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
+    "q03_agg_on" -> ((s, dir) => {
+      import s.implicits._
+      val v = Agg.on[Double](tbl(s, dir, "lineitem"), "l_extendedprice", math.max).get
+      Seq(v).toDF("max_price")
+    }),
+
+    "q04_agg_bykey" -> ((s, dir) => {
+      import s.implicits._
+      (for {
+        r <- Agg.byKey[String, Double](tbl(s, dir, "lineitem"),
+               "l_returnflag", "l_extendedprice", math.max)
+        o <- Order.by(r, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
+    "q05_rollup" -> ((s, dir) => {
+      (for {
+        g <- Group.rollup(tbl(s, dir, "lineitem"),
+               Seq("l_returnflag", "l_linestatus"),
+               Seq(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty")))
+        o <- Order.by(g, Seq("l_returnflag", "l_linestatus"))
+      } yield o).get
+    }),
+
+    "q06_cube" -> ((s, dir) => {
+      (for {
+        g <- Group.cube(tbl(s, dir, "orders"),
+               Seq("o_orderstatus", "o_orderpriority"),
+               Seq(count(lit(1)).as("n"),
+                 round(sum(col("o_totalprice")), 2).as("sum_price")))
+        o <- Order.by(g, Seq("o_orderstatus", "o_orderpriority"))
+      } yield o).get
+    }),
+
+    // --- §2.2 projections / filters / column ops -------------------------
+
+    "q07_select_rename" -> ((s, dir) => {
+      (for {
+        p <- Transform.select(tbl(s, dir, "part"), Seq("p_partkey", "p_name", "p_retailprice"))
+        r <- Transform.rename(p, Map("p_name" -> "part_name"))
+        o <- Order.by(r, Seq("p_partkey"))
+      } yield o).get
+    }),
+
+    "q08_filter_range" -> ((s, dir) => {
+      (for {
+        f  <- Filter.byRange(tbl(s, dir, "orders"), "o_totalprice", (50000.0, 100000.0))
+        f2 <- Filter.where(f, col("o_orderstatus") === "O")
+        sel <- Transform.select(f2, Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+        o  <- Order.by(sel, Seq("o_orderkey"))
+      } yield o).get
+    }),
+
+    "q09_addcol_na" -> ((s, dir) => {
+      (for {
+        li <- Filter.na(tbl(s, dir, "lineitem"), Seq("l_quantity", "l_discount"))
+        a  <- F.addCol(li, "revenue",
+                round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        sel <- Transform.select(a, Seq("l_orderkey", "l_linenumber", "revenue"))
+        o  <- Order.by(sel, Seq("l_orderkey", "l_linenumber"))
+      } yield o).get
+    }),
+
+    "q10_scalar_funcs" -> ((s, dir) => {
+      // when/otherwise, trim, pow, abs, log — the §2.8 scalar surface.
+      (for {
+        p <- F.lift(tbl(s, dir, "part"))
+        a <- Transform(p)(_.select(
+               col("p_partkey"),
+               when(col("p_size") >= 30, lit("large"))
+                 .when(col("p_size") >= 15, lit("medium"))
+                 .otherwise(lit("small")).as("size_class"),
+               round(pow(col("p_retailprice"), 2), 2).as("price_sq"),
+               round(log(col("p_retailprice") + 1), 6).as("log_price"),
+               abs(col("p_size") - 25).as("size_dist"),
+               trim(col("p_brand")).as("brand")))
+        o <- Order.by(a, Seq("p_partkey"))
+      } yield o).get
+    }),
+
+    "q11_distinct" -> ((s, dir) => {
+      (for {
+        sel <- Transform.select(tbl(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        d <- Transform.distinct(sel)
+        o <- Order.by(d, Seq("l_returnflag", "l_linestatus"))
+      } yield o).get
+    }),
+
+    // --- §2.3 joins ------------------------------------------------------
+
+    "q12_join_inner" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      (for {
+        j <- Join.inner(orders, customer, Join.On(Seq("o_custkey")))
+        g <- Group.agg(j, Seq("c_mktsegment"), Group.Agg(Seq(
+               count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("revenue"))))
+        o <- Order.by(g, Seq("c_mktsegment"))
+      } yield o).get
+    }),
+
+    "q13_join_left" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      (for {
+        j <- Join.left(customer, orders, Join.On(Seq("c_custkey")))
+        g <- Group.agg(j, Seq("c_custkey"), Group.Agg(Seq(
+               count(col("o_orderkey")).as("n_orders"))))
+        o <- Order.by(g, Seq("c_custkey"))
+      } yield o).get
+    }),
+
+    "q14_join_outer" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val supplier = tbl(s, dir, "supplier")
+        .withColumnRenamed("s_nationkey", "n_nationkey")
+      (for {
+        j <- Join.outer(nation, supplier, Join.On(Seq("n_nationkey")))
+        g <- Group.agg(j, Seq("n_name"), Group.Agg(Seq(
+               count(col("s_suppkey")).as("n_suppliers"))))
+        o <- Order.by(g, Seq("n_name"))
+      } yield o).get
+    }),
+
+    "q15_join_broadcast" -> ((s, dir) => {
+      // Reference's hand-rolled broadcast join → Catalyst BHJ with the
+      // documented inner-join semantics quirk (SURVEY §2.3).
+      val li = tbl(s, dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+      (for {
+        j <- Join.broadcast(li, tbl(s, dir, "supplier"), Seq("s_suppkey"), Seq("s_name"))
+        g <- Group.agg(j, Seq("s_name"), Group.Agg(Seq(
+               count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice")), 2).as("volume"))))
+        o <- Order.by(g, Seq("s_name"))
+      } yield o).get
+    }),
+
+    "q16_join_semi" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val bigOrders = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      (for {
+        j <- Join.semi(customer, bigOrders, Join.On(Seq("c_custkey")))
+        sel <- Transform.select(j, Seq("c_custkey", "c_name"))
+        o <- Order.by(sel, Seq("c_custkey"))
+      } yield o).get
+    }),
+
+    "q17_join_anti" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .withColumnRenamed("o_custkey", "c_custkey")
+      (for {
+        j <- Join.anti(customer, orders, Join.On(Seq("c_custkey")))
+        sel <- Transform.select(j, Seq("c_custkey", "c_name"))
+        o <- Order.by(sel, Seq("c_custkey"))
+      } yield o).get
+    }),
+
+    "q18_join_theta" -> ((s, dir) => {
+      // Join.With (arbitrary Column condition): suppliers in the same
+      // nation as a customer, capped to a small slice for output size.
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") <= 20)
+      val sup = tbl(s, dir, "supplier")
+      (for {
+        j <- Join.inner(c, sup, Join.With(
+               c("c_nationkey") === sup("s_nationkey") && sup("s_acctbal") > c("c_acctbal")))
+        sel <- Transform.select(j, Seq("c_custkey", "s_suppkey"))
+        o <- Order.by(sel, Seq("c_custkey", "s_suppkey"))
+      } yield o).get
+    }),
+
+    // --- §2.5 window functions -------------------------------------------
+
+    "q19_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      (for {
+        a <- Transform(tbl(s, dir, "orders"))(_.select(
+               col("o_custkey"), col("o_orderkey"),
+               round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+               row_number().over(w).as("rn")))
+        o <- Order.by(a, Seq("o_custkey", "o_orderkey"))
+      } yield o).get
+    }),
+
+    "q20_window_running" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // the window order includes the measure columns to make prefix sums
+      // engine-independent (identical rows are interchangeable).
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      (for {
+        a <- Transform(tbl(s, dir, "lineitem"))(_.select(
+               col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+               round(sum(col("l_quantity"))
+                 .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+                 .as("running_qty")))
+        o <- Order.by(a, Seq("l_suppkey", "l_orderkey", "l_linenumber", "running_qty"))
+      } yield o).get
+    }),
+
+    // --- §2.6 sort / top-k ------------------------------------------------
+
+    "q21_topk" -> ((s, dir) => {
+      Order.topK(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        50).get
+    }),
+
+    // --- §2.7 set operations ----------------------------------------------
+
+    "q22_union" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      (for {
+        u <- SetOp.union(
+               c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
+               c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+        o <- Order.by(u, Seq("c_custkey"))
+      } yield o.withColumn("rn",
+        row_number().over(Window.orderBy(col("c_custkey"))))).get
+    }),
+
+    "q23_intersect" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      (for {
+        i <- SetOp.intersect(
+               c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
+               c.filter(col("c_acctbal") > 0).select(col("c_custkey")))
+        o <- Order.by(i, Seq("c_custkey"))
+      } yield o).get
+    }),
+
+    "q24_except" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      (for {
+        e <- SetOp.except(
+               c.select(col("c_custkey")),
+               c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+        o <- Order.by(e, Seq("c_custkey"))
+      } yield o).get
+    }),
+
+    // --- sources / sinks (§2.1) ------------------------------------------
+
+    "q25_csv_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      (for {
+        r   <- Read.parquet(s"$dir/region.parquet")
+        _   <- Write.csv(r, out, NoPartition, overwrite = true)
+        csv <- Read.csv(out)
+        o   <- Order.by(csv, Seq("r_regionkey"))
+      } yield o).get
+    }),
+
+    "q26_parquet_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_roundtrip"
+      (for {
+        n  <- Read.parquet(s"$dir/nation.parquet")
+        _  <- Write.parquet(n, out, PartitionCol(Seq("n_regionkey")), overwrite = true)
+        rd <- Read.parquet(out)
+        sel <- Transform.select(rd, Seq("n_nationkey", "n_name", "n_regionkey"))
+        o  <- Order.by(sel, Seq("n_nationkey"))
+      } yield o).get
+    }),
+
+    // --- §4 optimise ------------------------------------------------------
+
+    "q27_optimise" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      (for {
+        li <- Read.parquet(s"$dir/lineitem.parquet")
+        r  <- Optimise.reparBy(li, Seq("l_returnflag"))
+        m  <- Optimise.materialise(r)
+        g  <- Group.agg(m, Seq("l_returnflag"), Group.Agg(Seq(
+                count(lit(1)).as("n"))))
+        u  <- Optimise.unpersist(g)
+        o  <- Order.by(u, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
+    // --- evaluation measures (§2.11) --------------------------------------
+
+    "q28_measures" -> ((s, dir) => {
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("pred", col("l_quantity") * (lit(1.0) + col("l_discount")))
+      val rmse = RMSE.%(li, "pred", "l_quantity").get
+      val mae = MAE.%(li, "pred", "l_quantity").get
+      val pearson = PearsonCorr.%(li, "pred", "l_quantity").get
+      Seq((math.rint(rmse * 1e4) / 1e4, math.rint(mae * 1e4) / 1e4,
+        math.rint(pearson * 1e4) / 1e4)).toDF("rmse", "mae", "pearson")
+    }),
+
+    // --- text analysis (training-data pipeline) ---------------------------
+
+    "q29_text_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    "q30_text_quality" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q31_text_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q32_text_fingerprint" -> ((s, dir) => {
+      // Fingerprint stability: two independent fingerprints agree on
+      // duplicate structure — count distinct of each must match the
+      // count distinct of normalized text.
+      tbl(s, dir, "documents").agg(
+        countDistinct(TextFunctions.normalizeText(col("text"))).as("n_distinct_text"),
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_distinct_fp"),
+        countDistinct(TextFunctions.rollingFingerprint(col("text"))).as("n_distinct_rfp"))
+    }),
+
+    // --- deduplication -----------------------------------------------------
+
+    "q33_dedup_exact" -> ((s, dir) => {
+      (for {
+        d <- Dedup.exact(tbl(s, dir, "documents"), Seq("text"), "doc_id")
+        sel <- Transform.select(d, Seq("doc_id", "lang", "n_chars"))
+        o <- Order.by(sel, Seq("doc_id"))
+      } yield o).get
+    }),
+
+    "q34_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .get.orderBy("idA", "idB")
+    }),
+
+    "q35_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 12, bandBits = 16)
+        .get.orderBy("idA", "idB")
+    }),
+
+    "q36_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        n = 5, threshold = 0.5)
+        .get.orderBy("idA", "idB")
+    }),
+
+    "q37_dedup_embedding" -> ((s, dir) => {
+      // Synthetic embeddings are near-orthogonal (max pairwise cosine
+      // ≈0.48), so the "near-dup" threshold is set low to exercise the path.
+      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.25, nBits = 4, tables = 8)
+        .get.orderBy("idA", "idB")
+    }),
+
+    // --- similarity search -------------------------------------------------
+
+    "q38_knn_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+        .get.orderBy("queryId", "rank")
+    }),
+
+    "q39_knn_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nBits = 8, tables = 8)
+        .get.orderBy("queryId", "rank")
+    }),
+
+    "q40_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nCentroids = 8, nProbe = 8)
+        .get.orderBy("queryId", "rank")
+    }),
+
+    "q41_vec_stats" -> ((s, dir) => {
+      // vector column functions over the whole corpus
+      tbl(s, dir, "embeddings").groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        round(avg(vecNorm(col("embedding"))), 4).as("avg_norm"))
+        .orderBy("label")
+    }),
+
+    // --- event-time / streaming-shaped -------------------------------------
+
+    "q42_event_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "q43_stream_file" -> ((s, dir) => {
+      // Structured Streaming end-to-end, offline: file source → windowed
+      // agg → memory sink, drained synchronously.
+      implicit val sp: SparkSession = s
+      // File stream sources need a directory; stage the single-file events
+      // table (with its NANOS timestamps rewritten as micros) into one.
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        agg <- Transform(src)(_.groupBy(col("event_type"))
+                 .agg(count(lit(1)).as("n"),
+                   round(sum(col("value")), 4).as("sum_value")))
+      } yield agg).get
+      val q = out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("event_type")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same table names = parquet files in
+    * the sf dir). Omitted for operators whose semantics aren't
+    * ANSI-SQL-expressible (LSH candidate generation, heuristic scores) —
+    * the driver records a rows-only check for those. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_group_map" ->
+      """SELECT l_returnflag, min(l_quantity) AS "min(l_quantity)",
+         max(l_extendedprice) AS "max(l_extendedprice)"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q03_agg_on" ->
+      "SELECT max(l_extendedprice) AS max_price FROM lineitem",
+    "q04_agg_bykey" ->
+      """SELECT l_returnflag, max(l_extendedprice) AS l_extendedprice
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q05_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "q06_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q07_select_rename" ->
+      """SELECT p_partkey, p_name AS part_name, p_retailprice
+         FROM part ORDER BY p_partkey""",
+    "q08_filter_range" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_totalprice BETWEEN 50000.0 AND 100000.0 AND o_orderstatus = 'O'
+         ORDER BY o_orderkey""",
+    "q09_addcol_na" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * (1 - l_discount), 4) AS revenue
+         FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber""",
+    "q10_scalar_funcs" ->
+      """SELECT p_partkey,
+         CASE WHEN p_size >= 30 THEN 'large' WHEN p_size >= 15 THEN 'medium'
+              ELSE 'small' END AS size_class,
+         round(pow(p_retailprice, 2), 2) AS price_sq,
+         round(ln(p_retailprice + 1), 6) AS log_price,
+         abs(p_size - 25) AS size_dist,
+         trim(p_brand) AS brand
+         FROM part ORDER BY p_partkey""",
+    "q11_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q12_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q13_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q14_join_outer" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+         FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q15_join_broadcast" ->
+      """SELECT s_name, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS volume
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+    "q16_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         ORDER BY c_custkey""",
+    "q17_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         ORDER BY c_custkey""",
+    "q18_join_theta" ->
+      """SELECT c_custkey, s_suppkey
+         FROM customer JOIN supplier
+           ON c_nationkey = s_nationkey AND s_acctbal > c_acctbal
+         WHERE c_custkey <= 20
+         ORDER BY c_custkey, s_suppkey""",
+    "q19_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         row_number() OVER w AS rn
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q20_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+         FROM lineitem
+         ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""",
+    "q21_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+    "q22_union" ->
+      """WITH u AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+         FROM u ORDER BY c_custkey""",
+    "q23_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal > 0
+         ORDER BY c_custkey""",
+    "q24_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal < 0
+         ORDER BY c_custkey""",
+    "q25_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q26_parquet_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
+    "q27_optimise" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q28_measures" ->
+      """SELECT
+         round(sqrt(avg(pow(l_quantity * (1.0 + l_discount) - l_quantity, 2))), 4) AS rmse,
+         round(avg(abs(l_quantity * (1.0 + l_discount) - l_quantity)), 4) AS mae,
+         round(corr(l_quantity * (1.0 + l_discount), l_quantity), 4) AS pearson
+         FROM lineitem""",
+    "q29_text_tokens" ->
+      """SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+         list_sum(list_transform(
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))::BIGINT AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q32_text_fingerprint" ->
+      """SELECT count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_text,
+         count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp,
+         count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_rfp
+         FROM documents""",
+    "q33_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    "q41_vec_stats" ->
+      """SELECT label, count(*) AS n,
+         round(avg(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "q42_event_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q43_stream_file" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
 }

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is a composition of built-in (codegen'd) Spark SQL
+  * functions or one of this package's native Catalyst expressions — no
+  * Scala UDFs on the hot path, so whole-stage codegen stays intact over
+  * 100 TB scans.
+  */
+object TextFunctions {
+
+  /** Lowercased, whitespace-collapsed, trimmed text — the canonical form
+    * fingerprints and exact dedup key on. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokenization, empty tokens removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: word-piece chunks of <=4 chars plus
+    * punctuation splits — a deterministic proxy for tokenizer budgeting
+    * (`ceil(len(word)/4)` summed over words). */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long")
+    )
+
+  /** Exact content fingerprint: 64-bit hash of the normalized text. */
+  def fingerprint(c: Column): Column = xxhash64(normalizeText(c))
+
+  /** Order-sensitive rolling (polynomial) fingerprint over tokens:
+    * `h = h * FNV_PRIME + hash(token)` — unlike [[fingerprint]] it can be
+    * computed incrementally and distinguishes token order without
+    * re-reading the document. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      // mask token hashes to 32 bits so the polynomial step stays far from
+      // Long overflow (Spark 4 ANSI mode makes wraparound an error)
+      transform(tokens(c), t => xxhash64(t).bitwiseAND(lit(0xffffffffL))),
+      lit(2166136261L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L))
+    )
+
+  /** Word n-gram shingles of the token stream (empty array when the
+    * document has fewer than `n` tokens). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))
+        ))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = normalizeText(c)
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), length(s) - (n - 1)), i => substring(s, i, lit(n))))
+  }
+
+  /** MinHash signature: for k affine "permutations" over a single base
+    * 64-bit shingle hash, the minimum hashed value. Returns
+    * `array<long>` of length k; empty-shingle docs get Long.MaxValue
+    * entries (never collide). */
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
+    // 31-bit base hash × 20-bit odd multiplier + 31-bit offset < 2^52:
+    // overflow-free under ANSI mode while keeping full minhash behavior.
+    val base = transform(array_distinct(shingles),
+      s => xxhash64(s, lit(seed)).bitwiseAND(lit(0x7fffffffL)))
+    val perms = (0 until k).map { i =>
+      val a = (VecOps.splitmix64(seed + 2L * i) & 0xfffffL) | 1L // odd
+      val b = VecOps.splitmix64(seed + 2L * i + 1) & 0x7fffffffL
+      coalesce(
+        array_min(transform(base, h => h * lit(a) + lit(b))),
+        lit(Long.MaxValue))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each size-`rows`
+    * slice. Two docs sharing any band key are candidate duplicates. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_", b, slice(signature, b * lit(rows) + 1, lit(rows)))))
+
+  /** 64-bit SimHash of the token stream (native expression, codegen'd). */
+  def simhash(c: Column): Column =
+    FunctionBridge.column(SimHash64(FunctionBridge.expression(tokens(c))))
+
+  /** Jaccard similarity of two string arrays (distinct-element). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // --- language identification (n-gram / stopword heuristic) ---
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "un", "une", "du", "que"),
+    "it" -> Seq("il", "di", "che", "la", "per", "un", "con", "del", "una", "non")
+  )
+
+  /** Heuristic language ID: CJK scripts by codepoint class, otherwise the
+    * stopword profile with the highest hit count; `und` when nothing
+    * matches. Deterministic, single pass, no UDF. */
+  def langId(c: Column): Column = {
+    val ts = tokens(c)
+    val scores = langProfiles.map { case (lang, stops) =>
+      lang -> size(filter(ts, t => t.isin(stops.map(x => x: Any): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(c.rlike("[\\p{IsHan}]"), lit("zh"))
+      .when(c.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), lit("ja"))
+      .when(c.rlike("[\\p{IsHangul}]"), lit("ko"))
+      .when(c.rlike("[\\p{IsCyrillic}]"), lit("ru"))
+      .otherwise(pick)
+  }
+
+  // --- quality scoring ---
+
+  /** Ratio of alphabetic characters to total length (0 for empty). */
+  def alphaRatio(c: Column): Column = {
+    val len = length(c).cast("double")
+    when(len === 0.0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / len)
+  }
+
+  /** Ratio of punctuation characters to total length. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c).cast("double")
+    when(len === 0.0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / len)
+  }
+
+  /** Fraction of tokens that are common-English stopwords — a fluency
+    * proxy (garbage text has near-zero stopword density). */
+  def stopwordRatio(c: Column): Column = {
+    val stops = langProfiles.flatMap(_._2).distinct
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        size(filter(ts, t => t.isin(stops.map(x => x: Any): _*))).cast("double") /
+          size(ts).cast("double"))
+  }
+
+  def meanWordLength(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(ts).cast("double"))
+  }
+
+  /** Composite document-quality score in [0,1]: length sufficiency,
+    * alphabetic density, sane mean word length, low punctuation noise.
+    * Deterministic; thresholds follow common web-corpus filters
+    * (Gopher/C4-style rules, re-expressed as smooth ratios). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lengthOk = least(nTok / 50.0, lit(1.0)) // saturates at 50 tokens
+    val alpha = alphaRatio(c)
+    val mwl = meanWordLength(c)
+    val mwlOk = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
+    round((lengthOk * 0.3 + alpha * 0.3 + mwlOk * 0.2 + punctOk * 0.2), 6)
+  }
+}

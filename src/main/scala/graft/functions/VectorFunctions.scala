@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the public `Column` API and catalyst `Expression`s
+  * (Spark 4 moved the converters to `sql.classic.ExpressionUtils`). */
+object FunctionBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+}
+
+/** Embedding-vector column functions (`array<float>` columns). All are
+  * native codegen'd Catalyst expressions — see `expressions.scala`. */
+object VectorFunctions {
+  import FunctionBridge._
+
+  def vecDot(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+
+  def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    column(FloatVecCosine(expression(a), expression(b)))
+
+  /** Random-hyperplane LSH signature (cosine space): `nBits` sign bits
+    * against deterministic seed-derived hyperplanes. Vectors with small
+    * angular distance share long bit-prefixes with high probability. */
+  def hyperplaneBits(v: Column, nBits: Int = 16, seed: Long = 42L): Column =
+    column(HyperplaneBits(expression(v), nBits, seed))
+}

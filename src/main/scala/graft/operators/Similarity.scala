@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale posture: the query set is broadcast (queries ≪ corpus always
+  * holds in retrieval workloads), so the corpus is scanned exactly once
+  * with no shuffle of corpus vectors; only scored `(query, candidate)`
+  * rows — already reduced per-partition for brute force — move. The LSH
+  * variant bounds scoring to shared buckets, the scale path when the
+  * corpus no longer supports a full scan per query batch.
+  */
+object Similarity {
+
+  /** Brute-force exact top-k cosine neighbors — the recall baseline.
+    *
+    * Per-partition `row_number` pre-filter keeps at most k candidates per
+    * query per partition before the single shuffle, so the global top-k
+    * merge sees `k × partitions` rows per query instead of the whole
+    * corpus. Returns `(queryId, neighborId, cosine, rank)`.
+    */
+  def bruteForceKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    val c = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("queryId"), col(vecCol).as("__qv"))
+    val scored = c
+      .join(broadcast(q), col("queryId") =!= col("neighborId"))
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+    val wPart = Window
+      .partitionBy(col("queryId"), spark_partition_id())
+      .orderBy(col("cosine").desc, col("neighborId"))
+    val wGlobal = Window.partitionBy(col("queryId"))
+      .orderBy(col("cosine").desc, col("neighborId"))
+    scored
+      .withColumn("__pr", row_number().over(wPart))
+      .filter(col("__pr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("neighborId"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing a
+    * random-hyperplane bucket with the query in any of `tables` tables.
+    * Recall grows with `tables`, cost with bucket occupancy (`nBits`
+    * controls bucket granularity). Returns `(queryId, neighborId, cosine,
+    * rank)` — rank within retrieved candidates. */
+  def lshKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      nBits: Int = 12,
+      tables: Int = 8
+  ): MayFail[DataFrame] = MayFail {
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array((0 until tables).map { t =>
+          hyperplaneBits(col(vecCol), nBits, seed = 42L + 1000L * t)
+        }: _*)).as(Seq("table", "bucket")))
+    val c = banded(corpus, "neighborId", "__cv")
+    val q = banded(queries, "queryId", "__qv")
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("cosine").desc, col("neighborId"))
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .dropDuplicates("queryId", "neighborId")
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("neighborId"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest of
+    * `nCentroids` deterministic seed-derived anchor directions (a cheap
+    * stand-in for trained k-means centroids that keeps the plan fully
+    * deterministic); at query time probe the `nProbe` nearest centroids.
+    * The inverted-file structure is just a DataFrame keyed by centroid id,
+    * so it partitions/bucketizes naturally at scale. */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): MayFail[DataFrame] = MayFail {
+    // Coarse quantizer: centroid id = hyperplane signature mod nCentroids
+    // (deterministic, training-free). Queries probe nProbe adjacent cells.
+    val cAssigned = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"),
+      pmod(hyperplaneBits(col(vecCol), 30, 7777L), lit(nCentroids)).as("centroid"))
+    val qAssigned = queries.select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
+      posexplode(array((0 until nProbe).map { p =>
+        pmod(hyperplaneBits(col(vecCol), 30, 7777L) + p, lit(nCentroids))
+      }: _*)).as(Seq("__probe", "centroid")))
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("cosine").desc, col("neighborId"))
+    cAssigned.join(broadcast(qAssigned), Seq("centroid"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .dropDuplicates("queryId", "neighborId")
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("neighborId"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

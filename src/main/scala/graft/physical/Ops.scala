@@ -1,0 +1,250 @@
+package graft.physical
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.{broadcast => broadcastHint, col, not}
+
+import graft.functional.{MayFail, Ok}
+
+/** Relational operators. Each lowers directly to the DataFrame API so
+  * Catalyst owns planning (pushdown, join selection, AQE); the library adds
+  * only composition (`MayFail`) and semantics documented per-op. */
+object Join {
+
+  /** Join condition: USING-style equi-join on shared column names (key
+    * columns deduplicated in the output) or an arbitrary theta condition
+    * (reference `physical/Op.scala:22-26`). */
+  sealed trait Strategy
+  final case class On(cols: Seq[String]) extends Strategy
+  final case class With(cond: Column) extends Strategy
+
+  private def join(df1: DataFrame, df2: DataFrame, on: Strategy, how: String): MayFail[DataFrame] =
+    MayFail {
+      on match {
+        case On(cols)   => df1.join(df2, cols, how)
+        case With(cond) => df1.join(df2, cond, how)
+      }
+    }
+
+  def inner(df1: DataFrame, df2: DataFrame, on: Strategy): MayFail[DataFrame] =
+    join(df1, df2, on, "inner")
+
+  def left(df1: DataFrame, df2: DataFrame, on: Strategy): MayFail[DataFrame] =
+    join(df1, df2, on, "left")
+
+  def outer(df1: DataFrame, df2: DataFrame, on: Strategy): MayFail[DataFrame] =
+    join(df1, df2, on, "outer")
+
+  /** EXISTS — rows of `df1` with a match in `df2` (keeps only df1 cols). */
+  def semi(df1: DataFrame, df2: DataFrame, on: Strategy): MayFail[DataFrame] =
+    join(df1, df2, on, "left_semi")
+
+  /** NOT EXISTS — rows of `df1` without a match in `df2`. */
+  def anti(df1: DataFrame, df2: DataFrame, on: Strategy): MayFail[DataFrame] =
+    join(df1, df2, on, "left_anti")
+
+  /** Broadcast hash join of a big frame against a small one.
+    *
+    * The reference hand-rolls this with a driver `collectAsMap` +
+    * `sc.broadcast` + `mapPartitions` probe (reference Op.scala:42-97);
+    * Catalyst's broadcast-hash-join is the same physical algorithm with
+    * codegen, so we emit `df.join(broadcast(small), on, "inner")`.
+    *
+    * ⚠ Semantics preserved from the reference: despite its doc-comment
+    * saying "left join", unmatched left rows are dropped (Op.scala:86-92
+    * `getOrElse(Nil)` under `flatMap`) — i.e. INNER join, one-to-many
+    * matches preserved. `rightColumns`, when given, projects the small
+    * side to `on ∪ rightColumns` before broadcasting (Op.scala:76-82).
+    *
+    * Scale note: the small side must fit in each executor; Catalyst
+    * enforces `spark.sql.maxBroadcastTableBytes` instead of OOMing the
+    * driver like a manual collectAsMap would.
+    */
+  def broadcast(
+      big: DataFrame,
+      small: DataFrame,
+      on: Seq[String],
+      rightColumns: Seq[String] = Nil
+  ): MayFail[DataFrame] = MayFail {
+    val projected =
+      if (rightColumns.isEmpty) small
+      else small.select((on ++ rightColumns).distinct.map(col): _*)
+    big.join(broadcastHint(projected), on, "inner")
+  }
+}
+
+object Group {
+
+  /** Aggregation strategy (reference Op.scala:101-121):
+    *  - [[Map]]: column→function-name map; Spark auto-names outputs
+    *    `"fn(col)"` (e.g. `min(v1)`), a naming quirk tests rely on.
+    *  - [[Agg]]: arbitrary aggregate Column expressions.
+    */
+  sealed trait Strategy
+  final case class Map(aggs: scala.collection.immutable.Map[String, String]) extends Strategy
+  final case class Agg(exprs: Seq[Column]) extends Strategy
+
+  /** `groupBy(by).agg(...)`. Catalyst already plans partial (map-side) +
+    * final aggregation, so this is shuffle-minimal by construction. */
+  def agg(df: DataFrame, by: Seq[String], strategy: Strategy): MayFail[DataFrame] =
+    MayFail {
+      val grouped = df.groupBy(by.map(col): _*)
+      strategy match {
+        case Map(aggs)   => grouped.agg(aggs)
+        case Agg(exprs)  => grouped.agg(exprs.head, exprs.tail: _*)
+      }
+    }
+
+  /** Grouping-sets extensions — free surface beyond the reference
+    * (SURVEY §2.4 notes these as parity+). */
+  def rollup(df: DataFrame, by: Seq[String], exprs: Seq[Column]): MayFail[DataFrame] =
+    MayFail(df.rollup(by.map(col): _*).agg(exprs.head, exprs.tail: _*))
+
+  def cube(df: DataFrame, by: Seq[String], exprs: Seq[Column]): MayFail[DataFrame] =
+    MayFail(df.cube(by.map(col): _*).agg(exprs.head, exprs.tail: _*))
+}
+
+/** Whole-column / per-key folds (reference Op.scala:159-172).
+  *
+  * The reference drops to RDD `reduce`/`reduceByKey` calling them
+  * "shuffle-less"; typed `Dataset.reduce` / `groupByKey.reduceGroups`
+  * give identical partial-aggregation behavior while staying in the
+  * Dataset API (Encoders, no Row boxing in codegen paths).
+  */
+object Agg {
+
+  /** Commutative whole-column fold to a driver-side scalar. */
+  def on[T: Encoder](df: DataFrame, column: String, f: (T, T) => T): MayFail[T] =
+    MayFail(df.select(col(column)).as[T].reduce(f))
+
+  /** Per-key fold; returns a two-column frame `(key, value)`.
+    * Map-side partial reduce happens before the shuffle (same physical
+    * shape as the reference's `reduceByKey`, Op.scala:168-172). */
+  def byKey[K, T](df: DataFrame, keyCol: String, valueCol: String, f: (T, T) => T)(implicit
+      ke: Encoder[K],
+      te: Encoder[T],
+      kte: Encoder[(K, T)]
+  ): MayFail[DataFrame] = MayFail {
+    df.select(col(keyCol), col(valueCol))
+      .as[(K, T)]
+      .groupByKey(_._1)
+      .reduceGroups((a: (K, T), b: (K, T)) => (a._1, f(a._2, b._2)))
+      .map { case (k, kv) => (k, kv._2) }
+      .toDF(keyCol, valueCol)
+  }
+}
+
+object Filter {
+
+  def where(df: DataFrame, cond: Column): MayFail[DataFrame] =
+    MayFail(df.filter(cond))
+
+  /** Drop rows where ANY of the listed columns is null
+    * (reference Op.scala:131-134). */
+  def na(df: DataFrame, cols: Seq[String]): MayFail[DataFrame] =
+    MayFail(df.na.drop("any", cols))
+
+  /** Inclusive range filter `lb <= col <= ub` (reference Op.scala:139-142). */
+  def byRange[T](df: DataFrame, column: String, bound: (T, T)): MayFail[DataFrame] =
+    MayFail(df.where(col(column) >= bound._1 && col(column) <= bound._2))
+}
+
+object Order {
+
+  /** Ascending sort by named columns (reference Op.scala:145-149), with a
+    * descending option the reference lacks. */
+  def by(df: DataFrame, cols: Seq[String], descending: Boolean = false): MayFail[DataFrame] =
+    MayFail {
+      val sortCols = if (descending) cols.map(c => col(c).desc) else cols.map(col)
+      df.orderBy(sortCols: _*)
+    }
+
+  /** Distributed top-k: `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * — per-partition heaps then a k-row merge, no global sort. */
+  def topK(df: DataFrame, cols: Seq[Column], k: Int): MayFail[DataFrame] =
+    MayFail(df.orderBy(cols: _*).limit(k))
+}
+
+object F {
+
+  /** `withColumn` in the monad (reference Op.scala:152-154). */
+  def addCol(df: DataFrame, name: String, c: Column): MayFail[DataFrame] =
+    MayFail(df.withColumn(name, c))
+
+  /** Lift a DataFrame into the monad (reference Op.scala:156). */
+  def lift(df: DataFrame): MayFail[DataFrame] = Ok(df)
+}
+
+object Transform {
+
+  /** Escape hatch: run any `DataFrame => DataFrame` inside the monad
+    * (reference IO.scala:343-345). */
+  def apply(df: DataFrame)(f: DataFrame => DataFrame): MayFail[DataFrame] =
+    MayFail(f(df))
+
+  def select(df: DataFrame, cols: Seq[String]): MayFail[DataFrame] =
+    MayFail(df.select(cols.head, cols.tail: _*))
+
+  /** Bulk rename via map (reference IO.scala:351-355). Single plan node in
+    * Spark 3.4+ (`withColumnsRenamed`) instead of a fold of renames. */
+  def rename(df: DataFrame, mapping: Map[String, String]): MayFail[DataFrame] =
+    MayFail(df.withColumnsRenamed(mapping))
+
+  def limit(df: DataFrame, n: Int): MayFail[DataFrame] = MayFail(df.limit(n))
+
+  def drop(df: DataFrame, cols: Seq[String]): MayFail[DataFrame] =
+    MayFail(df.drop(cols: _*))
+
+  def distinct(df: DataFrame): MayFail[DataFrame] = MayFail(df.distinct())
+}
+
+/** Set operations (SURVEY §2.7 — thin wrappers for surface completeness). */
+object SetOp {
+  /** Bag union (UNION ALL semantics, like `Dataset.union`). */
+  def union(df1: DataFrame, df2: DataFrame): MayFail[DataFrame] =
+    MayFail(df1.union(df2))
+
+  def unionByName(df1: DataFrame, df2: DataFrame): MayFail[DataFrame] =
+    MayFail(df1.unionByName(df2))
+
+  /** Set intersection (deduplicating, like SQL INTERSECT). */
+  def intersect(df1: DataFrame, df2: DataFrame): MayFail[DataFrame] =
+    MayFail(df1.intersect(df2))
+
+  /** Set difference (deduplicating, like SQL EXCEPT). */
+  def except(df1: DataFrame, df2: DataFrame): MayFail[DataFrame] =
+    MayFail(df1.except(df2))
+}
+
+/** Manual physical control (reference Op.scala:175-203). */
+object Optimise {
+
+  /** Truncate lineage by round-tripping through parquet
+    * (reference Op.scala:180-187). Equivalent to a reliable checkpoint but
+    * survives driver restarts; use before iterative re-use of an expensive
+    * subplan. */
+  def snapshot(df: DataFrame, tempDir: String)(implicit spark: SparkSession): MayFail[DataFrame] =
+    MayFail {
+      val path = s"$tempDir/${java.util.UUID.randomUUID}"
+      df.write.parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** Cache + force materialisation (reference Op.scala:189-193). */
+  def materialise(df: DataFrame): MayFail[DataFrame] = MayFail {
+    df.persist()
+    df.count()
+    df
+  }
+
+  /** Repartition: n ≤ 1 coalesces (narrow, no shuffle); otherwise a full
+    * shuffle to `n` partitions (reference Op.scala:195-202). */
+  def repar(df: DataFrame, n: Int): MayFail[DataFrame] =
+    MayFail(if (n <= 1) df.coalesce(1) else df.repartition(n))
+
+  /** Repartition by columns — co-locates rows sharing key values so a
+    * downstream join/agg on those keys avoids its own shuffle. */
+  def reparBy(df: DataFrame, cols: Seq[String]): MayFail[DataFrame] =
+    MayFail(df.repartition(cols.map(col): _*))
+
+  def unpersist(df: DataFrame): MayFail[DataFrame] = MayFail { df.unpersist(); df }
+}
