@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.evaluation.{MAE, PearsonCorr, RMSE}
+import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
@@ -371,9 +371,11 @@ object SparkEntry {
         .withColumn("pred", col("l_quantity") * (lit(1.0) + col("l_discount")))
       val rmse = RMSE.%(li, "pred", "l_quantity").get
       val mae = MAE.%(li, "pred", "l_quantity").get
+      val mpe = MPE.%(li, "pred", "l_quantity").get
       val pearson = PearsonCorr.%(li, "pred", "l_quantity").get
       Seq((math.rint(rmse * 1e4) / 1e4, math.rint(mae * 1e4) / 1e4,
-        math.rint(pearson * 1e4) / 1e4)).toDF("rmse", "mae", "pearson")
+        math.rint(mpe * 1e4) / 1e4, math.rint(pearson * 1e4) / 1e4))
+        .toDF("rmse", "mae", "mpe", "pearson")
     }),
 
     // --- text analysis (training-data pipeline) ---------------------------
@@ -650,6 +652,7 @@ object SparkEntry {
       """SELECT
          round(sqrt(avg(pow(l_quantity * (1.0 + l_discount) - l_quantity, 2))), 4) AS rmse,
          round(avg(abs(l_quantity * (1.0 + l_discount) - l_quantity)), 4) AS mae,
+         round(avg(abs(1.0 - (l_quantity * (1.0 + l_discount)) / l_quantity)) * 100, 4) AS mpe,
          round(corr(l_quantity * (1.0 + l_discount), l_quantity), 4) AS pearson
          FROM lineitem""",
     "q29_text_tokens" ->

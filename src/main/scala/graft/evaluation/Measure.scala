@@ -44,7 +44,9 @@ case object MAE extends Measure {
   * matching double-division semantics in the reference. */
 case object MPE extends Measure {
   def expr(pred: Column, label: Column): Column =
-    avg(abs(lit(1.0) - pred.cast("double") / label.cast("double"))) * 100.0
+    // try_divide: label-0 rows become null and drop out of avg (ANSI mode
+    // would otherwise raise DIVIDE_BY_ZERO)
+    avg(abs(lit(1.0) - try_divide(pred.cast("double"), label.cast("double")))) * 100.0
   def isBetter(a: Double, b: Double): Boolean = a < b
   val name = "mpe"
 }
@@ -64,7 +66,8 @@ case object R2 extends Measure {
     val l = label.cast("double"); val p = pred.cast("double")
     // SS_tot via the computational formula so the whole measure stays one
     // aggregate pass: Σ(l-l̄)² = Σl² - (Σl)²/n
-    lit(1.0) - sum(pow(l - p, 2)) / (sum(pow(l, 2)) - pow(sum(l), 2) / count(l))
+    lit(1.0) - try_divide(sum(pow(l - p, 2)),
+      sum(pow(l, 2)) - pow(sum(l), 2) / count(l))
   }
   def isBetter(a: Double, b: Double): Boolean = a > b
   val name = "r2"

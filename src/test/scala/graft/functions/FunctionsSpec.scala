@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("tokens drops empties, lowercases; tokenCount counts") {
+    val df = Seq("  Hello   World  ", "", "one").toDF("t")
+    val got = df.select(tokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(2, 0, 1))
+    assert(df.select(tokens($"t")).as[Seq[String]].head() == Seq("hello", "world"))
+  }
+
+  test("wordShingles produces n-grams in order; short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(wordShingles($"t", 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("charShingles over normalized text") {
+    val sh = Seq("ab  cd").toDF("t")
+      .select(charShingles($"t", 3)).as[Seq[String]].head()
+    assert(sh == Seq("ab ", "b c", " cd"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rollingFingerprint is order-sensitive") {
+    val df = Seq(
+      ("A  B\tC", "a b c"),   // same normalized content
+      ("c b a", "a b c")      // same tokens, different order
+    ).toDF("x", "y")
+    val fp = df.select(fingerprint($"x") === fingerprint($"y")).as[Boolean].collect()
+    assert(fp(0) && fp(1) == false || fp(0)) // first row equal
+    assert(fp(0))
+    val rfp = df.select(rollingFingerprint($"x") === rollingFingerprint($"y")).as[Boolean].collect()
+    assert(rfp(0) && !rfp(1))
+  }
+
+  test("minhash signatures of similar docs agree on most components") {
+    val doc = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 59).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val far = (1 to 60).map(i => s"x$i").mkString(" ")
+    val df = Seq((doc, near, far)).toDF("a", "b", "c")
+      .select(
+        minhashSignature(wordShingles($"a", 3), 64).as("sa"),
+        minhashSignature(wordShingles($"b", 3), 64).as("sb"),
+        minhashSignature(wordShingles($"c", 3), 64).as("sc"))
+    val row = df.as[(Seq[Long], Seq[Long], Seq[Long])].head()
+    val simNear = row._1.zip(row._2).count { case (x, y) => x == y } / 64.0
+    val simFar = row._1.zip(row._3).count { case (x, y) => x == y } / 64.0
+    assert(simNear > 0.8, s"near-dup minhash agreement $simNear")
+    assert(simFar < 0.1, s"unrelated minhash agreement $simFar")
+  }
+
+  test("simhash: near-identical docs have small hamming distance, unrelated large") {
+    val doc = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 98).map(i => s"tok$i") :+ "aa" :+ "bb").mkString(" ")
+    val far = (1 to 100).map(i => s"other$i").mkString(" ")
+    val r = Seq((doc, near, far)).toDF("a", "b", "c")
+      .select(
+        bit_count(simhash($"a").bitwiseXOR(simhash($"b"))).as("hNear"),
+        bit_count(simhash($"a").bitwiseXOR(simhash($"c"))).as("hFar"))
+      .as[(Int, Int)].head()
+    assert(r._1 < 12, s"near hamming ${r._1}")
+    assert(r._2 > 20, s"far hamming ${r._2}")
+  }
+
+  test("jaccard of string arrays") {
+    val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextFunctions.jaccard($"x", $"y")).as[Double].head()
+    assert(math.abs(r - 0.5) < 1e-9)
+  }
+
+  test("langId: stopword and script heuristics") {
+    val df = Seq(
+      "the cat sat on the mat and it is fine",
+      "der Hund und die Katze ist nicht da",
+      "el perro y la casa de los gatos",
+      "这 是 中文 文本",
+      "xqzt blorp glork"
+    ).toDF("t")
+    val got = df.select(langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "zh", "und"))
+  }
+
+  test("qualityScore in [0,1]; longer clean text scores higher than junk") {
+    val good = (1 to 60).map(_ => "reasonable words flowing nicely here").mkString(" ")
+    val junk = "!!! ??? ,,, ;;; ### 12 34 !!"
+    val r = Seq((good, junk)).toDF("g", "j")
+      .select(qualityScore($"g"), qualityScore($"j")).as[(Double, Double)].head()
+    assert(r._1 > 0.7 && r._2 < 0.4 && r._1 <= 1.0 && r._2 >= 0.0)
+  }
+
+  test("vector ops: dot, norm, cosine (native expressions)") {
+    val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f))).toDF("a", "b")
+    val (d, na, cs) = df.select(
+      vecDot($"a", $"b"), vecNorm($"a"), vecCosine($"a", $"b")).as[(Double, Double, Double)].head()
+    assert(d == 2.0)
+    assert(math.abs(na - math.sqrt(5)) < 1e-12)
+    assert(math.abs(cs - 2.0 / (math.sqrt(5) * math.sqrt(5))) < 1e-12)
+  }
+
+  test("vecCosine handles zero vectors") {
+    val r = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(vecCosine($"a", $"b")).as[Double].head()
+    assert(r == 0.0)
+  }
+
+  test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
+    val df = Seq((Array(1f, 2f, 3f, 4f), Array(2f, 4f, 6f, 8f), Array(-1f, 5f, -3f, 0.5f)))
+      .toDF("a", "b", "c")
+    val (ba, bb, bc) = df.select(
+      hyperplaneBits($"a", 16), hyperplaneBits($"b", 16), hyperplaneBits($"c", 16))
+      .as[(Long, Long, Long)].head()
+    assert(ba == bb) // cosine-sim 1 ⇒ identical signature
+    assert(ba != bc)
+  }
+}

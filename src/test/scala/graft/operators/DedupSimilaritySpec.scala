@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // 0 and 1 are exact dups; 2 is a near-dup of 0 (one token changed);
+  // 3 and 4 are unrelated.
+  private lazy val docs = Seq(
+    (0L, (1 to 50).map(i => s"w$i").mkString(" ")),
+    (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
+    (2L, ((1 to 49).map(i => s"w$i") :+ "CHANGED").mkString(" ")),
+    (3L, (1 to 50).map(i => s"unrelated$i").mkString(" ")),
+    (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("Dedup.exact keeps lowest-id representative per duplicate group") {
+    val kept = Dedup.exact(docs, Seq("text"), "doc_id").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("Dedup.exactNormalized collapses case/whitespace variants") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "bye")).toDF("doc_id", "text")
+    val kept = Dedup.exactNormalized(df, "text", "doc_id").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashDedup drops near-duplicates of lower-id docs") {
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("simhashPairs finds near-dups by hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id",
+      threshold = 0.99, nBits = 4, tables = 4).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  private lazy val vectors = (0 until 50).map { i =>
+    (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("bruteForceKnn returns k ranked neighbors; rank 1 is the true nearest") {
+    val queries = vectors.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceKnn(vectors, queries, "embedding", "vec_id", k = 5).get
+    val rows = got.orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 5)
+    assert(rows.map(_._4).toSeq == (1 to 5))
+    // exact check vs driver-side brute force
+    val all = vectors.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expectTop = all.filter(_._1 != 0L).map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.head._1
+    assert(rows.head._2 == expectTop)
+  }
+
+  test("lshKnn retrieves mostly true neighbors (recall sanity)") {
+    val queries = vectors.filter($"vec_id" < 5L)
+    val brute = Similarity.bruteForceKnn(vectors, queries, "embedding", "vec_id", k = 3).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(vectors, queries, "embedding", "vec_id",
+      k = 3, nBits = 4, tables = 12).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"lsh recall $recall")
+  }
+
+  test("knn output schema and cosine bounds") {
+    val queries = vectors.filter($"vec_id" === 1L)
+    val got = Similarity.bruteForceKnn(vectors, queries, "embedding", "vec_id", k = 3).get
+    assert(got.columns.toSeq == Seq("queryId", "neighborId", "cosine", "rank"))
+    val cs = got.select("cosine").as[Double].collect()
+    assert(cs.forall(c => c >= -1.0 && c <= 1.0))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.physical
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Behavior goldens for the relational layer, mirroring the reference's
+  * semantics quirks (SURVEY §2.2-2.4, §2.7, §4). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val kv = Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("c", 4, 40.0)
+  ).toDF("key", "id", "v")
+
+  test("Join.inner On dedupes key columns; Join.left keeps unmatched") {
+    val right = Seq(("a", "x"), ("b", "y")).toDF("key", "tag")
+    val inner = Join.inner(kv, right, Join.On(Seq("key"))).get
+    assert(inner.columns.count(_ == "key") == 1)
+    assert(inner.count() == 3)
+    val left = Join.left(kv, right, Join.On(Seq("key"))).get
+    assert(left.count() == 4)
+    assert(left.filter($"tag".isNull).select("key").as[String].collect().toSet == Set("c"))
+  }
+
+  test("Join.broadcast has INNER semantics (reference quirk) and preserves 1:N") {
+    val small = Seq(("a", "m1"), ("a", "m2"), ("b", "m3")).toDF("key", "meta")
+    val j = Join.broadcast(kv, small, Seq("key")).get
+    // "c" (unmatched) dropped; key "a" rows fan out ×2
+    assert(j.filter($"key" === "c").count() == 0)
+    assert(j.filter($"key" === "a").count() == 4)
+    assert(j.count() == 5)
+  }
+
+  test("Join.broadcast projects right side to on ++ rightColumns") {
+    val small = Seq(("a", "m", 9), ("b", "n", 8)).toDF("key", "meta", "junk")
+    val j = Join.broadcast(kv, small, Seq("key"), Seq("meta")).get
+    assert(!j.columns.contains("junk") && j.columns.contains("meta"))
+  }
+
+  test("Join semi/anti") {
+    val right = Seq(("a", 0), ("b", 0)).toDF("key", "z")
+    assert(Join.semi(kv, right, Join.On(Seq("key"))).get.count() == 3)
+    assert(Join.anti(kv, right, Join.On(Seq("key"))).get
+      .select("key").as[String].collect().toSet == Set("c"))
+  }
+
+  test("Group.Map strategy auto-names output columns fn(col)") {
+    val g = Group.agg(kv, Seq("key"), Group.Map(Map("v" -> "min"))).get
+    assert(g.columns.toSet == Set("key", "min(v)"))
+    assert(g.filter($"key" === "a").select("min(v)").as[Double].head() == 10.0)
+  }
+
+  test("Group.Agg strategy takes arbitrary aggregate expressions") {
+    val g = Group.agg(kv, Seq("key"),
+      Group.Agg(Seq(sum($"v").as("sv"), count(lit(1)).as("n"),
+        approx_count_distinct($"id").as("ad")))).get
+    assert(g.filter($"key" === "a").select("sv").as[Double].head() == 30.0)
+  }
+
+  test("Agg.on whole-column fold and Agg.byKey per-key fold") {
+    assert(Agg.on[Double](kv, "v", math.max).get == 40.0)
+    val bk = Agg.byKey[String, Double](kv, "key", "v", _ + _).get
+    assert(bk.columns.toSeq == Seq("key", "v"))
+    assert(bk.filter($"key" === "a").select("v").as[Double].head() == 30.0)
+  }
+
+  test("Filter.na drops rows with ANY null among listed cols") {
+    val withNulls = Seq(
+      (Some(1), Some("x")), (None, Some("y")), (Some(3), None)
+    ).toDF("i", "s")
+    assert(Filter.na(withNulls, Seq("i", "s")).get.count() == 1)
+    assert(Filter.na(withNulls, Seq("i")).get.count() == 2)
+  }
+
+  test("Filter.byRange is inclusive on both bounds") {
+    val r = Filter.byRange(kv, "v", (20.0, 30.0)).get
+    assert(r.select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("Order.by asc/desc and topK") {
+    assert(Order.by(kv, Seq("v")).get.select("id").as[Int].head() == 1)
+    assert(Order.by(kv, Seq("v"), descending = true).get.select("id").as[Int].head() == 4)
+    assert(Order.topK(kv, Seq($"v".desc), 2).get.select("id").as[Int].collect().toSeq == Seq(4, 3))
+  }
+
+  test("SetOp union is bag semantics; intersect/except deduplicate") {
+    val a = Seq(1, 1, 2).toDF("x")
+    val b = Seq(1, 3).toDF("x")
+    assert(SetOp.union(a, b).get.count() == 5)
+    assert(SetOp.intersect(a, b).get.as[Int].collect().toSeq == Seq(1))
+    assert(SetOp.except(a, b).get.as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("Transform.rename + select + distinct + drop") {
+    val r = (for {
+      t <- Transform.rename(kv, Map("v" -> "value"))
+      s <- Transform.select(t, Seq("key", "value"))
+      d <- Transform.distinct(s)
+    } yield d).get
+    assert(r.columns.toSeq == Seq("key", "value") && r.count() == 4)
+  }
+
+  test("Optimise.repar coalesces at n<=1, repartitions otherwise; snapshot round-trips") {
+    assert(Optimise.repar(kv, 1).get.rdd.getNumPartitions == 1)
+    assert(Optimise.repar(kv, 3).get.rdd.getNumPartitions == 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val snap = Optimise.snapshot(kv, tmp)(spark).get
+    assert(snap.orderBy("id").collect().toSeq == kv.orderBy("id").collect().toSeq)
+  }
+
+  test("bind sugar >> composes and captures failures") {
+    import Implicits._
+    val ok = kv >> (_.filter($"v" > 15)) >> (_.select("key"))
+    assert(ok.get.count() == 3)
+    val bad = kv >> (_.select("no_such_col"))
+    assert(bad.isFailing)
+  }
+
+  test("sumOfSqrDiff / sumOfSqr aggregate helpers") {
+    import Implicits._
+    val df = Seq((1.0, 2.0), (3.0, 5.0)).toDF("a", "b")
+    assert(df.sumOfSqrDiff("a", "b") == 5.0)
+    assert(df.sumOfSqr("a") == 10.0)
+  }
+
+  test("Screen.showDF HideComplex masks array columns") {
+    val df = Seq((1, Seq(1, 2))).toDF("i", "arr")
+    val masked = Screen.hideComplex(df)
+    assert(masked.select("arr").as[String].head().startsWith("<array"))
+  }
+
+  test("Read.dynamo and Write.dynamo fail gracefully") {
+    assert(Read.dynamo("r", "s", "t")(spark).isFailing)
+    assert(Write.dynamo(kv, "r", "t").isFailing)
+  }
+}
