@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -511,6 +511,101 @@ object SparkEntry {
       q.processAllAvailable()
       q.stop()
       s.table(name).orderBy("event_type")
+    }),
+
+    // --- ML / estimator layer ----------------------------------------------
+
+    "q44_string_encoder" -> ((s, dir) => {
+      import s.implicits._
+      // Vocabulary (murmur hash-space) size learned by the encoder must
+      // equal the corpus' distinct whitespace-token count.
+      val docs = tbl(s, dir, "documents")
+      val model = new graft.estimator.StringEncoder()
+        .setInputCol("text").setOutputCol("enc").fit(docs)
+      val vocab = model.fitted
+        .asInstanceOf[graft.estimator.MurmurFitted].hashSpace.length
+      Seq(vocab.toLong).toDF("vocab_size")
+    }),
+
+    "q45_scaler" -> ((s, dir) => {
+      // Sum-normalising Scaler stage over l_quantity.
+      val li = tbl(s, dir, "lineitem")
+      val scaled = new graft.estimator.Scaler()
+        .setInputCol("l_quantity").setOutputCol("qty_scaled")
+        .fit(li).transform(li)
+      scaled.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("qty_scaled") * 1e6, 6).as("qty_scaled_ppm"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    "q46_standard_scaler" -> ((s, dir) => {
+      // Population-σ z-scores of o_totalprice.
+      val o = tbl(s, dir, "orders")
+      val z = new graft.estimator.GraftStandardScaler()
+        .setInputCol("o_totalprice").setOutputCol("z")
+        .fit(o).transform(o)
+      z.select(col("o_orderkey"), round(col("z"), 6).as("z"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q47_linreg" -> ((s, dir) => {
+      import s.implicits._
+      // OLS fit (exact normal-equation solver) of extendedprice ~ quantity;
+      // RMSE of the fit matches DuckDB's regr_slope/intercept closed form.
+      val li = tbl(s, dir, "lineitem")
+      val est = new org.apache.spark.ml.regression.LinearRegression()
+        .setFeaturesCol("features").setLabelCol("l_extendedprice")
+        .setPredictionCol("prediction").setSolver("normal").setRegParam(0.0)
+      val design = graft.evaluation.SupervisedModelDesign(
+        "prediction", "l_extendedprice",
+        new org.apache.spark.ml.Pipeline().setStages(Array(est)))
+      val spec = design.toSpecimen(graft.evaluation.Feature("l_quantity"), li)
+      val rmse = spec.score(li, RMSE).get
+      Seq(math.rint(rmse * 100) / 100).toDF("rmse")
+    }),
+
+    "q48_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      // KMeans over embeddings (vectorised via ml VectorAssembler on the
+      // array column converted to vector); deterministic seed, rows-only.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+      val model = graft.model.Preset.kmeans(k = 4).fit(emb)
+      val sse = graft.evaluation.SSE.%(model.transform(emb), "features", "cluster").get
+      Seq(math.rint(sse * 1e4) / 1e4).toDF("sse")
+    }),
+
+    "q49_crossval" -> ((s, dir) => {
+      import s.implicits._
+      // CrossValidation machinery end-to-end with a deterministic dummy
+      // design: pred = l_quantity + 2 ⇒ MAE exactly 2 in every fold.
+      val li = tbl(s, dir, "lineitem").withColumn("pred", col("l_quantity") + 2)
+      val cv = graft.evaluation.CrossValidation(MAE, nFolds = 3)
+        .run(li, graft.evaluation.DummyModelDesign(labelCol = "pred"),
+          graft.evaluation.Feature("l_quantity")).get
+      Seq(math.rint(cv * 1e6) / 1e6).toDF("mae_cv")
+    }),
+
+    // --- multimodal columns -------------------------------------------------
+
+    "q50_multimodal" -> ((s, dir) => {
+      // Text bytes as a stand-in media payload: binary column → decoder
+      // metadata struct (mapPartitions plumbing) → project + verify
+      // against byte-length arithmetic in the oracle.
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      (for {
+        img <- Multimodal.decodeImage(docs, "payload")
+        rs  <- Multimodal.resizeMeta(img, "image_meta", 64, 64)
+      } yield rs.select(
+        col("doc_id"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.channels").as("channels"),
+        col("resized_meta.width").as("rwidth"),
+        col("resized_meta.height").as("rheight"))
+        .orderBy("doc_id")).get
     })
   )
 
@@ -683,6 +778,39 @@ object SparkEntry {
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q43_stream_file" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q44_string_encoder" ->
+      """SELECT count(DISTINCT t) AS vocab_size FROM
+         (SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents)""",
+    "q45_scaler" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(l_quantity / (SELECT sum(l_quantity) FROM lineitem) * 1e6, 6) AS qty_scaled_ppm
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "q46_standard_scaler" ->
+      """SELECT o_orderkey,
+         round((o_totalprice - (SELECT avg(o_totalprice) FROM orders))
+           / (SELECT stddev_pop(o_totalprice) FROM orders), 6) AS z
+         FROM orders ORDER BY o_orderkey""",
+    "q47_linreg" ->
+      """WITH c AS (SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+                           regr_intercept(l_extendedprice, l_quantity) AS a
+                    FROM lineitem)
+         SELECT round(sqrt(avg(pow(l_extendedprice - (a + b * l_quantity), 2))), 2) AS rmse
+         FROM lineitem, c""",
+    "q49_crossval" -> "SELECT 2.0 AS mae_cv",
+    "q50_multimodal" ->
+      """SELECT doc_id,
+         CAST(greatest(1, floor(sqrt(strlen(text)))) AS INTEGER) AS width,
+         CAST(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels,
+         CAST(ceil(greatest(1, floor(sqrt(strlen(text)))) *
+           least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
+                 64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
+                 1.0)) AS INTEGER) AS rwidth,
+         CAST(ceil(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) *
+           least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
+                 64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
+                 1.0)) AS INTEGER) AS rheight
+         FROM documents ORDER BY doc_id"""
   )
 }

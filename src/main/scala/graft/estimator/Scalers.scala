@@ -1,0 +1,146 @@
+package graft.estimator
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.{DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Sum-normalising scaler (reference `estimator/Scaler.scala:33-127`):
+  * `x / Σx`, optionally followed by natural log. Semantics preserved:
+  * with `norm=false` the input passes through unscaled; `log(x≤0)` yields
+  * null (reference tests read those back as 0.0 on parquet round-trip).
+  * Fit is one `agg(sum, min)` — the reference collects the whole column
+  * to the driver (Scaler.scala:56), which would OOM at scale.
+  */
+class Scaler(override val uid: String = Identifiable.randomUID("Scaler"))
+  extends Estimator[ScalerModel]
+  with InputOutputColParams
+  with DefaultParamsWritable {
+
+  final val logScale: Param[Boolean] =
+    new Param[Boolean](this, "logScale", "apply natural log after scaling")
+  final val norm: Param[Boolean] =
+    new Param[Boolean](this, "norm", "divide by the column sum")
+  setDefault(logScale -> false, norm -> true)
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setLogScale(value: Boolean): this.type = set(logScale, value)
+  def setNorm(value: Boolean): this.type = set(norm, value)
+
+  override def copy(extra: ParamMap): this.type = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), DoubleType, nullable = true)
+
+  override def fit(dataset: Dataset[_]): ScalerModel = {
+    transformSchema(dataset.schema, logging = true)
+    val (s, m) =
+      if ($(norm)) {
+        val row = dataset.toDF
+          .agg(sum(col($(inputCol)).cast("double")),
+            min(col($(inputCol)).cast("double"))).head
+        (row.getDouble(0), row.getDouble(1))
+      } else (0.0, 0.0)
+    new ScalerModel(s, m)
+      .setInputCol($(inputCol)).setOutputCol($(outputCol))
+      .setLogScale($(logScale)).setNorm($(norm))
+  }
+}
+
+class ScalerModel(
+    val sum: Double,
+    val min: Double,
+    override val uid: String = Identifiable.randomUID("ScalerModel"))
+  extends Model[ScalerModel]
+  with InputOutputColParams {
+
+  final val logScale: Param[Boolean] =
+    new Param[Boolean](this, "logScale", "apply natural log after scaling")
+  final val norm: Param[Boolean] =
+    new Param[Boolean](this, "norm", "divide by the column sum")
+  setDefault(logScale -> false, norm -> true)
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setLogScale(value: Boolean): this.type = set(logScale, value)
+  def setNorm(value: Boolean): this.type = set(norm, value)
+
+  override def copy(extra: ParamMap): ScalerModel =
+    copyValues(new ScalerModel(sum, min)
+      .setInputCol($(inputCol)).setOutputCol($(outputCol))
+      .setLogScale($(logScale)).setNorm($(norm)), extra).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(inputCol)),
+      s"Dataset has to contain the input column : ${$(inputCol)}")
+    schema.add(StructField($(outputCol), DoubleType, nullable = false))
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val scaled =
+      if (sum > 0) dataset.withColumn($(outputCol), col($(inputCol)) / sum)
+      else dataset.withColumn($(outputCol), col($(inputCol)))
+    if ($(logScale))
+      scaled.withColumn($(outputCol),
+        org.apache.spark.sql.functions.log(col($(outputCol))))
+    else scaled.toDF
+  }
+}
+
+/** Zero-mean / unit-variance scaler over a scalar column (reference
+  * `estimator/StandardScaler.scala:30-102` — population σ, matching the
+  * reference's `/ N` divisor, NOT Spark's sample-σ `stddev`). Fit is one
+  * `agg(avg, stddev_pop)` instead of two RDD reduces; transform is a pure
+  * null-propagating column expression instead of the reference's
+  * null-boxing UDF. */
+class GraftStandardScaler(override val uid: String = Identifiable.randomUID("GraftStandardScaler"))
+  extends Estimator[GraftStandardScalerModel]
+  with InputOutputColParams
+  with DefaultParamsWritable {
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
+  override def copy(extra: ParamMap): this.type = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), DoubleType, nullable = true)
+
+  override def fit(dataset: Dataset[_]): GraftStandardScalerModel = {
+    transformSchema(dataset.schema, logging = true)
+    val row = dataset.toDF.agg(
+      avg(col($(inputCol)).cast("double")),
+      stddev_pop(col($(inputCol)).cast("double"))).head
+    new GraftStandardScalerModel(row.getDouble(0), row.getDouble(1))
+      .setInputCol($(inputCol)).setOutputCol($(outputCol))
+  }
+}
+
+class GraftStandardScalerModel(
+    val mean: Double,
+    val std: Double,
+    override val uid: String = Identifiable.randomUID("GraftStandardScalerModel"))
+  extends Model[GraftStandardScalerModel]
+  with InputOutputColParams {
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
+  override def copy(extra: ParamMap): GraftStandardScalerModel =
+    copyValues(new GraftStandardScalerModel(mean, std)
+      .setInputCol($(inputCol)).setOutputCol($(outputCol)), extra)
+      .setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(inputCol)),
+      s"Dataset has to contain the input column : ${$(inputCol)}")
+    schema.add(StructField($(outputCol), DoubleType, nullable = false))
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    dataset.withColumn($(outputCol), (col($(inputCol)) - mean) / std)
+  }
+}

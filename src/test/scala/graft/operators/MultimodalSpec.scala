@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (0L, Array.tabulate(100)(_.toByte)),
+    (1L, Array.tabulate(7)(i => (i * 3).toByte)),
+    (2L, Array.empty[Byte])
+  ).toDF("id", "payload")
+
+  test("decodeImage adds a typed metadata struct via mapPartitions") {
+    val out = Multimodal.decodeImage(media, "payload").get
+    assert(out.schema("image_meta").dataType == Multimodal.imageMetaType)
+    val rows = out.orderBy("id")
+      .select("image_meta.width", "image_meta.height", "image_meta.channels")
+      .as[(Int, Int, Int)].collect()
+    assert(rows(0) == ((10, 10, 3))) // 100 bytes → 10×10
+    assert(rows(1) == ((2, 4, 3)))   // 7 bytes → floor(sqrt 7)=2, ceil(7/2)=4
+    assert(rows(2) == ((1, 1, 3)))   // empty payload degenerates to 1×1
+  }
+
+  test("decodeImage handles null payloads") {
+    val withNull = Seq((0L, Option(Array[Byte](1, 2, 3, 4))), (1L, Option.empty[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImage(withNull, "payload").get.orderBy("id")
+    assert(out.filter($"image_meta".isNull).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("decodeAudio derives duration from payload size") {
+    val out = Multimodal.decodeAudio(media, "payload").get.orderBy("id")
+    val r = out.select("audio_meta.n_samples", "audio_meta.duration_sec")
+      .as[(Long, Double)].collect()
+    assert(r(0)._1 == 50L && math.abs(r(0)._2 - 50.0 / 16000) < 1e-12)
+  }
+
+  test("resizeMeta preserves aspect ratio inside the bounding box") {
+    val big = Seq((0L, Array.tabulate(10000)(_.toByte))).toDF("id", "payload") // 100×100
+    val out = (for {
+      d <- Multimodal.decodeImage(big, "payload")
+      r <- Multimodal.resizeMeta(d, "image_meta", 50, 25)
+    } yield r).get
+    val (w, h) = out.select("resized_meta.width", "resized_meta.height")
+      .as[(Int, Int)].head()
+    assert(w == 25 && h == 25) // scale = min(50/100, 25/100) = 0.25
+  }
+
+  test("sampleFrames explodes rows to evenly spaced offsets") {
+    val vid = Seq((0L, Array.tabulate(4096)(_.toByte))).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(vid, "payload", n = 4, frameSize = 1024).get
+    val rows = out.select("frame_idx", "frame_offset").as[(Int, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).toSeq == Seq(0L, 1024L, 2048L, 3072L))
+  }
+}
