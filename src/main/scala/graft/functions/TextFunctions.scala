@@ -69,35 +69,50 @@ object TextFunctions {
         transform(sequence(lit(1), length(s) - (n - 1)), i => substring(s, i, lit(n))))
   }
 
-  /** MinHash signature: for k affine "permutations" over a single base
-    * 64-bit shingle hash, the minimum hashed value. Returns
-    * `array<long>` of length k; empty-shingle docs get Long.MaxValue
-    * entries (never collide). */
-  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column = {
-    // 31-bit base hash × 20-bit odd multiplier + 31-bit offset < 2^52:
-    // overflow-free under ANSI mode while keeping full minhash behavior.
-    val base = transform(array_distinct(shingles),
-      s => xxhash64(s, lit(seed)).bitwiseAND(lit(0x7fffffffL)))
-    val perms = (0 until k).map { i =>
-      val a = (VecOps.splitmix64(seed + 2L * i) & 0xfffffL) | 1L // odd
-      val b = VecOps.splitmix64(seed + 2L * i + 1) & 0x7fffffffL
-      coalesce(
-        array_min(transform(base, h => h * lit(a) + lit(b))),
-        lit(Long.MaxValue))
-    }
-    array(perms: _*)
-  }
+  /** MinHash signature: k affine "permutations" over a single base hash
+    * per shingle, minimum per permutation. One native codegen'd pass over
+    * the shingle array (`MinHashImpl`); empty-shingle docs get
+    * Long.MaxValue entries (never collide). */
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    FunctionBridge.column(
+      MinHashSignature(FunctionBridge.expression(shingles), k, seed))
 
-  /** LSH band keys from a minhash signature: hash of each size-`rows`
-    * slice. Two docs sharing any band key are candidate duplicates. */
-  def lshBands(signature: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_", b, slice(signature, b * lit(rows) + 1, lit(rows)))))
+  /** LSH band keys straight from the shingle set: one minhash pass plus a
+    * splitmix fold per band. Two docs sharing any band key are candidate
+    * duplicates. */
+  def minhashBandKeys(shingles: Column, bands: Int, rows: Int, seed: Long = 42L): Column =
+    FunctionBridge.column(
+      MinHashBandKeys(FunctionBridge.expression(shingles), bands, rows, seed))
 
-  /** 64-bit SimHash of the token stream (native expression, codegen'd). */
-  def simhash(c: Column): Column =
-    FunctionBridge.column(SimHash64(FunctionBridge.expression(tokens(c))))
+  /** Hash per lowercased word n-gram, straight from the text — the dedup
+    * hot path (no shingle strings materialized). */
+  def wordShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    FunctionBridge.column(
+      WordShingleHashes(FunctionBridge.expression(text), n, seed))
+
+  /** Hash per character n-gram of the normalized text. */
+  def charShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    FunctionBridge.column(
+      CharShingleHashes(FunctionBridge.expression(text), n, seed))
+
+  /** LSH band keys from pre-hashed shingles. */
+  def minhashBandKeysFromHashes(hashes: Column, bands: Int, rows: Int, seed: Long = 42L): Column =
+    FunctionBridge.column(
+      MinHashBandKeysFromHashes(FunctionBridge.expression(hashes), bands, rows, seed))
+
+  /** Distinct-element Jaccard of two `array<long>` columns (native). */
+  def jaccardHashes(a: Column, b: Column): Column =
+    FunctionBridge.column(
+      JaccardLongs(FunctionBridge.expression(a), FunctionBridge.expression(b)))
+
+  /** 64-bit SimHash of the document (native expression: tokenize + hash +
+    * bit-vote in one codegen'd pass over the raw text). */
+  def simhash(c: Column, seed: Long = 42L): Column =
+    FunctionBridge.column(SimHashText(FunctionBridge.expression(c), seed))
+
+  /** SimHash over a pre-tokenized string array. */
+  def simhashTokens(toks: Column): Column =
+    FunctionBridge.column(SimHash64(FunctionBridge.expression(toks)))
 
   /** Jaccard similarity of two string arrays (distinct-element). */
   def jaccard(a: Column, b: Column): Column = {

@@ -49,21 +49,39 @@ object VecOps {
   /** Sign-bit signature of a vector against `nBits` deterministic,
     * seed-derived hyperplanes (random-hyperplane LSH for cosine space).
     * Bit i is set iff `dot(v, H_i) >= 0` where `H_i` entries are derived
-    * from splitmix64(seed, i, j) — no hyperplane materialisation needed. */
+    * from splitmix64(seed, i, j). The coefficient table is memoised per
+    * (seed, nBits, dim) — recomputing splitmix per element would dominate
+    * the scan at scale. */
+  private val hyperplaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  def hyperplaneTable(seed: Long, nBits: Int, dim: Int): Array[Double] =
+    hyperplaneCache.computeIfAbsent((seed, nBits, dim), { key =>
+      val (s, nb, d) = key
+      val t = new Array[Double](nb * d)
+      var i = 0
+      while (i < nb) {
+        var j = 0
+        while (j < d) {
+          val h = splitmix64(s + i.toLong * 0x9E3779B97F4A7C15L + j.toLong)
+          t(i * d + j) = (h >> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          j += 1
+        }
+        i += 1
+      }
+      t
+    })
+
   def hyperplaneBits(v: ArrayData, nBits: Int, seed: Long): Long = {
     var bits = 0L
     val dim = v.numElements()
+    val table = hyperplaneTable(seed, nBits, dim)
     var i = 0
     while (i < nBits) {
       var acc = 0.0
+      val off = i * dim
       var j = 0
-      while (j < dim) {
-        // splitmix64-derived pseudo-gaussian-ish coefficient in [-1, 1)
-        val h = splitmix64(seed + i.toLong * 0x9E3779B97F4A7C15L + j.toLong)
-        val coef = (h >> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-        acc += v.getFloat(j).toDouble * coef
-        j += 1
-      }
+      while (j < dim) { acc += v.getFloat(j).toDouble * table(off + j); j += 1 }
       if (acc >= 0.0) bits |= (1L << i)
       i += 1
     }
@@ -119,6 +137,107 @@ object SimHashImpl {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** One-pass MinHash: k affine "permutations" over a single 31-bit base
+  * hash per shingle, minimum taken per permutation. Replaces k separate
+  * higher-order-function passes (interpreted per element) with one tight
+  * JVM loop — the difference between O(k) interpreted array traversals
+  * and one codegen'd call per row.
+  *
+  * Parameters match `TextFunctions.minhashSignature`'s affine family:
+  * aᵢ = (splitmix64(seed+2i) & 0xfffff) | 1, bᵢ = splitmix64(seed+2i+1)
+  * & 0x7fffffff, base = xxhash64(shingle, seed) & 0x7fffffff — products
+  * stay < 2^52, overflow-free under ANSI mode.
+  */
+object MinHashImpl {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Long], Array[Long])]()
+
+  def coefs(seed: Long, k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent((seed, k), { key =>
+      val (s, kk) = key
+      val a = new Array[Long](kk); val b = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        a(i) = (VecOps.splitmix64(s + 2L * i) & 0xfffffL) | 1L
+        b(i) = VecOps.splitmix64(s + 2L * i + 1) & 0x7fffffffL
+        i += 1
+      }
+      (a, b)
+    })
+
+  def mins(shingles: ArrayData, k: Int, seed: Long): Array[Long] = {
+    val (a, b) = coefs(seed, k)
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var s = 0
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val u = shingles.getUTF8String(s)
+        val base = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed) & 0x7fffffffL
+        var i = 0
+        while (i < k) {
+          val v = base * a(i) + b(i)
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      s += 1
+    }
+    out
+  }
+
+  def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData =
+    new GenericArrayData(mins(shingles, k, seed))
+
+  /** LSH band keys straight from the shingle set: one minhash pass, then
+    * each band's `rows` consecutive mins folded through splitmix. */
+  def bandKeys(shingles: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
+    val m = mins(shingles, bands * rows, seed)
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = VecOps.splitmix64(seed ^ bnd.toLong)
+      var r = 0
+      while (r < rows) {
+        h = VecOps.splitmix64(h ^ m(bnd * rows + r))
+        r += 1
+      }
+      keys(bnd) = h
+      bnd += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.signature(input.asInstanceOf[ArrayData], k, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.signature($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+case class MinHashBandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.bandKeys(input.asInstanceOf[ArrayData], bands, rows, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.bandKeys($c, $bands, $rows, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys"
 }
 
 case class SimHash64(child: Expression)
@@ -180,4 +299,230 @@ case class HyperplaneBits(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_bits"
+}
+
+/** Native text→hash kernels for the dedup hot path. MinHash/Jaccard never
+  * need materialized shingle STRINGS — only a stable hash per shingle —
+  * so these produce `array<long>` straight from the document text: one
+  * pass, zero string allocation, no interpreted lambda re-evaluation
+  * (the higher-order-function formulation re-evaluates the token split
+  * per lambda element — O(tokens²) interpreted work per row).
+  */
+object TextHashImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** xxhash64-style hash per lowercased whitespace token. */
+  def tokenHashes(s: UTF8String, seed: Long): Array[Long] = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      var h = 0xcbf29ce484222325L
+      while (i < n && !isWs(bytes(i))) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+        i += 1
+      }
+      if (i > start) out += VecOps.splitmix64(h ^ seed)
+    }
+    out.toArray
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** Hash per word n-gram: splitmix fold over n consecutive token hashes.
+    * Empty when the document has fewer than n tokens. */
+  def wordShingleHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val toks = tokenHashes(s, seed)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = VecOps.splitmix64(h ^ toks(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hash per character n-gram of the normalized text (lowercased,
+    * whitespace runs collapsed to single spaces, trimmed). */
+  def charShingleHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val raw = s.toLowerCase.getBytes
+    // collapse whitespace
+    val norm = new Array[Byte](raw.length)
+    var m = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      if (isWs(raw(i))) { if (m > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { norm(m) = ' '; m += 1; pendingSpace = false }
+        norm(m) = raw(i); m += 1
+      }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = 0xcbf29ce484222325L ^ seed
+      var j = 0
+      while (j < n) { h ^= (norm(i + j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      out(i) = VecOps.splitmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct-element Jaccard of two long arrays (sort-merge, no boxing). */
+  def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray.clone(); val y = b.toLongArray.clone()
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var i = 0; var j = 0
+    var inter = 0; var union = 0
+    while (i < x.length || j < y.length) {
+      // skip duplicates
+      while (i + 1 < x.length && x(i + 1) == x(i) && (j >= y.length || x(i) <= y(j))) i += 1
+      while (j + 1 < y.length && y(j + 1) == y(j) && (i >= x.length || y(j) <= x(i))) j += 1
+      if (i < x.length && j < y.length && x(i) == y(j)) {
+        inter += 1; union += 1
+        val v = x(i)
+        while (i < x.length && x(i) == v) i += 1
+        while (j < y.length && y(j) == v) j += 1
+      } else if (j >= y.length || (i < x.length && x(i) < y(j))) {
+        union += 1
+        val v = x(i)
+        while (i < x.length && x(i) == v) i += 1
+      } else {
+        union += 1
+        val v = y(j)
+        while (j < y.length && y(j) == v) j += 1
+      }
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** MinHash mins over pre-hashed shingles (masked to 31 bits). */
+  def minsFromHashes(hashes: ArrayData, k: Int, seed: Long): Array[Long] = {
+    val (a, b) = MinHashImpl.coefs(seed, k)
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var s = 0
+    while (s < n) {
+      val base = hashes.getLong(s) & 0x7fffffffL
+      var i = 0
+      while (i < k) {
+        val v = base * a(i) + b(i)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  def bandKeysFromHashes(hashes: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
+    val m = minsFromHashes(hashes, bands * rows, seed)
+    val keys = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = VecOps.splitmix64(seed ^ bnd.toLong)
+      var r = 0
+      while (r < rows) { h = VecOps.splitmix64(h ^ m(bnd * rows + r)); r += 1 }
+      keys(bnd) = h
+      bnd += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+case class WordShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.wordShingleHashes(input.asInstanceOf[UTF8String], n, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.wordShingleHashes($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+case class CharShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.charShingleHashes(input.asInstanceOf[UTF8String], n, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.charShingleHashes($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "char_shingle_hashes"
+}
+
+case class MinHashBandKeysFromHashes(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.bandKeysFromHashes(input.asInstanceOf[ArrayData], bands, rows, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.bandKeysFromHashes($c, $bands, $rows, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeysFromHashes =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys_from_hashes"
+}
+
+case class JaccardLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.jaccardLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashImpl.jaccardLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardLongs =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_longs"
+}
+
+/** SimHash straight from document text: tokenize + hash + bit-vote in one
+  * native pass (see [[SimHashImpl]] for the classic array-input form). */
+case class SimHashText(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashText.compute(input.asInstanceOf[UTF8String], seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashText.compute($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_text"
+}
+
+object SimHashText {
+  def compute(s: UTF8String, seed: Long): Long = {
+    val hashes = TextHashImpl.tokenHashes(s, seed)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < hashes.length) {
+      val h = hashes(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }

@@ -78,34 +78,48 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
-    val k = bands * rowsPerBand
+    // Shingle HASHES, not shingle strings — minhash and Jaccard only need
+    // a stable hash per shingle, so the whole path is array<long>.
     val sh = df.select(
       col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), k))
-    val banded = sig
-      .select(col("id"), col("shingles"),
-        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    // Cap bucket size pre-join: count per (band,bucket) with a window is a
-    // second shuffle on the same key — Spark reuses the partitioning.
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bs", count(lit(1)).over(wBucket))
-      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
-      .drop("__bs")
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("shingles").as("shA"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("shingles").as("shB"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("shA"), col("shB"))
-      .dropDuplicates("idA", "idB")
+      wordShingleHashes(col(textCol), shingleSize).as("shingles"))
+    // Slim banding: only (id, band, bucket) — 24-byte rows — flows through
+    // the explode/shuffle/self-join; the shingle-hash arrays are joined
+    // back ONLY for surviving candidate pairs. Banding the payload itself
+    // would shuffle every document `bands` times.
+    val banded = candidateBands(
+      sh.select(col("id"),
+        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),
+      maxBucket)
+    val pairs = bandedPairs(banded)
     pairs
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), "idA")
+      .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), "idB")
+      .withColumn("jaccard", jaccardHashes(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Explode per-doc band keys, drop oversized/singleton buckets.
+    * Input: (id, __keys: array<long>); output: (id, band, bucket). */
+  private def candidateBands(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val banded = keyed
+      .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+    banded
+      .withColumn("__bs", count(lit(1)).over(wBucket))
+      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
+      .drop("__bs")
+  }
+
+  /** Distinct (idA < idB) pairs sharing any (band, bucket). */
+  private def bandedPairs(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bucket"), col("id").as("idA"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
+        Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
 
   /** MinHash-LSH dedup: drop every document that is a near-duplicate of a
     * lower-id document (greedy representative-by-min-id, the standard
@@ -140,25 +154,19 @@ object Dedup {
   ): MayFail[DataFrame] = MayFail {
     val nBands = 64 / bandBits
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val banded = hashed.select(
-      col("id"), col("sh"),
-      posexplode(array((0 until nBands).map { b =>
-        // band value = bits [b*bandBits, (b+1)*bandBits)
-        shiftrightunsigned(col("sh"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1))
-      }: _*)).as(Seq("band", "bucket")))
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bs", count(lit(1)).over(wBucket))
-      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
-      .drop("__bs")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sh").as("shA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sh").as("shB"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
+    val banded = candidateBands(
+      hashed.select(col("id"),
+        array((0 until nBands).map { b =>
+          // band value = bits [b*bandBits, (b+1)*bandBits)
+          shiftrightunsigned(col("sh"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*).as("__keys")),
+      maxBucket)
+    bandedPairs(banded)
+      .join(hashed.select(col("id").as("idA"), col("sh").as("shA")), "idA")
+      .join(hashed.select(col("id").as("idB"), col("sh").as("shB")), "idB")
       .select(col("idA"), col("idB"),
         bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
-      .dropDuplicates("idA", "idB")
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -175,23 +183,15 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
-    val k = bands * rowsPerBand
-    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), n).as("shingles"))
-    val sig = sh.withColumn("sig", minhashSignature(col("shingles"), k))
-    val banded = sig.select(col("id"), col("shingles"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    val capped = banded
-      .withColumn("__bs", count(lit(1)).over(wBucket))
-      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
-      .drop("__bs")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("shingles").as("shA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("shingles").as("shB"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("shA"), col("shB"))
-      .dropDuplicates("idA", "idB")
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+    val sh = df.select(col(idCol).as("id"), charShingleHashes(col(textCol), n).as("shingles"))
+    val banded = candidateBands(
+      sh.select(col("id"),
+        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),
+      maxBucket)
+    bandedPairs(banded)
+      .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), "idA")
+      .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), "idB")
+      .withColumn("jaccard", jaccardHashes(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -209,22 +209,17 @@ object Dedup {
       maxBucket: Int = 2000
   ): MayFail[DataFrame] = MayFail {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = base.select(
-      col("id"), col("v"),
-      posexplode(array((0 until tables).map { t =>
-        hyperplaneBits(col("v"), nBits, seed = 42L + 1000L * t)
-      }: _*)).as(Seq("table", "bucket")))
-    val wBucket = Window.partitionBy(col("table"), col("bucket"))
-    val capped = banded
-      .withColumn("__bs", count(lit(1)).over(wBucket))
-      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
-      .drop("__bs")
-    val a = capped.select(col("table"), col("bucket"), col("id").as("idA"), col("v").as("vA"))
-    val b = capped.select(col("table"), col("bucket"), col("id").as("idB"), col("v").as("vB"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("vA"), col("vB"))
-      .dropDuplicates("idA", "idB")
+    // distinct bucket keys per table: (table, signature) — same slim-banding
+    // shape as the text dedups (vectors join back only at verification).
+    val banded = candidateBands(
+      base.select(col("id"),
+        array((0 until tables).map { t =>
+          hyperplaneBits(col("v"), nBits, seed = 42L + 1000L * t)
+        }: _*).as("__keys")),
+      maxBucket)
+    bandedPairs(banded)
+      .join(base.select(col("id").as("idA"), col("v").as("vA")), "idA")
+      .join(base.select(col("id").as("idB"), col("v").as("vB")), "idB")
       .withColumn("cosine", vecCosine(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
