@@ -513,6 +513,25 @@ object SparkEntry {
       s.table(name).orderBy("event_type")
     }),
 
+    "q51_stream_window" -> ((s, dir) => {
+      // Watermarked event-time window over a file stream, drained to a
+      // memory sink; equals the batch window aggregation.
+      implicit val sp: SparkSession = s
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src51"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_sw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        agg <- graft.streaming.Stream.windowedAgg(src, "ts", "1 hour", "30 minutes",
+                 aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")),
+                 keys = Seq("event_type"))
+        res <- graft.streaming.Stream.drainToMemory(agg, name, "complete")
+      } yield res).get
+      out.select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
     // --- ML / estimator layer ----------------------------------------------
 
     "q44_string_encoder" -> ((s, dir) => {
@@ -779,6 +798,10 @@ object SparkEntry {
     "q43_stream_file" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q51_stream_window" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q44_string_encoder" ->
       """SELECT count(DISTINCT t) AS vocab_size FROM
          (SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents)""",

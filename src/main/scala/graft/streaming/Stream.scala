@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.functional.MayFail
+
+/** Structured-Streaming operators.
+  *
+  * The reference's streams are pass-through pipes (Kafka → transform →
+  * sink, append-only, no event-time semantics — SURVEY §2.9). That
+  * surface lives in `physical.Read/Write/Screen`. This package adds what
+  * a production stream at scale actually needs: event-time windows with
+  * watermarks (bounded state), session windows, streaming dedup, and
+  * custom keyed state — all standard Structured Streaming, so state is
+  * checkpointed and recovers with the query.
+  */
+object Stream {
+
+  /** Event-time tumbling/sliding window aggregation with a watermark
+    * bounding state retention. */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      aggs: Seq[Column],
+      keys: Seq[String] = Nil,
+      slideDuration: Option[String] = None): MayFail[DataFrame] = MayFail {
+    val w = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None        => window(col(tsCol), windowDuration)
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(w.as("window") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session windows: events grouped while gaps stay under `gapDuration`. */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      gapDuration: String,
+      keys: Seq[String],
+      aggs: Seq[Column]): MayFail[DataFrame] = MayFail {
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration).as("session") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming dedup. With a watermark the state for old keys is dropped
+    * (`dropDuplicatesWithinWatermark`) — the only form that survives an
+    * unbounded stream; without one, state grows forever (allowed for
+    * bounded backfills only). */
+  def deduplicate(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: Option[String] = None,
+      watermarkDelay: Option[String] = None): MayFail[DataFrame] = MayFail {
+    (tsCol, watermarkDelay) match {
+      case (Some(ts), Some(delay)) =>
+        df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+      case _ => df.dropDuplicates(keys)
+    }
+  }
+
+  /** Custom keyed running state via `mapGroupsWithState`: per-key event
+    * count, value sum, and last-seen event time — the canonical stateful
+    * enrichment shape. Output mode must be `update`. */
+  def runningStats(
+      ds: Dataset[(String, Double, java.sql.Timestamp)]): MayFail[Dataset[KeyStats]] =
+    MayFail {
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_._1)
+        .mapGroupsWithState[KeyStats, KeyStats](GroupStateTimeout.NoTimeout) {
+          (key: String, events: Iterator[(String, Double, java.sql.Timestamp)],
+           state: GroupState[KeyStats]) =>
+            val prev = state.getOption.getOrElse(KeyStats(key, 0L, 0.0, 0L))
+            var n = prev.count
+            var sum = prev.sum
+            var lastTs = prev.lastSeenMs
+            events.foreach { case (_, v, ts) =>
+              n += 1; sum += v
+              if (ts.getTime > lastTs) lastTs = ts.getTime
+            }
+            val next = KeyStats(key, n, sum, lastTs)
+            state.update(next)
+            next
+        }
+    }
+
+  /** Drain a stream into an in-memory table synchronously — the offline
+    * test/debug sink (pairs with `Read.fileStream`). Returns the result
+    * as a batch frame after `processAllAvailable`. */
+  def drainToMemory(
+      df: DataFrame,
+      queryName: String,
+      outputMode: String = "append")(implicit spark: SparkSession): MayFail[DataFrame] =
+    MayFail {
+      val q = df.writeStream.outputMode(outputMode)
+        .format("memory").queryName(queryName).start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    }
+
+  /** Start a file sink with an explicit trigger + checkpoint (the
+    * production shape of the reference's `Write.streamToFile`). */
+  def startFileSink(
+      df: DataFrame,
+      fileType: String,
+      path: String,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      outputMode: OutputMode = OutputMode.Append): MayFail[StreamingQuery] =
+    MayFail {
+      df.writeStream
+        .format(fileType)
+        .outputMode(outputMode)
+        .option("path", path)
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .start()
+    }
+}
+
+/** Keyed running-state record for [[Stream.runningStats]]. */
+final case class KeyStats(key: String, count: Long, sum: Double, lastSeenMs: Long)

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class StreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedAgg: tumbling event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF.toDF("ts", "key", "v")
+    val agg = Stream.windowedAgg(df, "ts", "10 minutes", "5 minutes",
+      aggs = Seq(count(lit(1)).as("n"), sum($"v").as("s")), keys = Seq("key")).get
+    input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 4.0), (ts(2), "b", 8.0))
+    val out = Stream.drainToMemory(agg, "wnd_test", "complete")(spark).get
+    val rows = out.select($"window.start", $"key", $"n", $"s")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts(0), "a", 2L, 3.0), (ts(5), "a", 1L, 4.0), (ts(0), "b", 1L, 8.0)))
+  }
+
+  test("sessionAgg groups events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF.toDF("ts", "key", "v")
+    val agg = Stream.sessionAgg(df, "ts", "10 minutes", "5 minutes",
+      keys = Seq("key"), aggs = Seq(count(lit(1)).as("n"))).get
+    // two events 2 min apart (one session), then a 20-min gap (new session)
+    input.addData((ts(0), "a", 1.0), (ts(2), "a", 1.0), (ts(22), "a", 1.0))
+    val out = Stream.drainToMemory(agg, "sess_test", "complete")(spark).get
+    assert(out.select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("deduplicate drops repeated keys in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF.toDF("ts", "id")
+    val dedup = Stream.deduplicate(df, Seq("id"), Some("ts"), Some("1 hour")).get
+    input.addData((ts(0), "x"), (ts(1), "x"), (ts(2), "y"))
+    val out = Stream.drainToMemory(dedup, "dedup_test")(spark).get
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("runningStats keeps per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Timestamp)]
+    val stats = Stream.runningStats(input.toDS()).get
+    val q = stats.writeStream.outputMode("update")
+      .format("memory").queryName("stats_test").start()
+    input.addData(("a", 1.0, ts(0)), ("a", 2.0, ts(1)))
+    q.processAllAvailable()
+    input.addData(("a", 4.0, ts(2)), ("b", 8.0, ts(0)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("stats_test")
+      .groupBy("key").agg(max("count").as("count"), max("sum").as("sum"))
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(last("a") == ((3L, 7.0)))   // state carried across batches
+    assert(last("b") == ((1L, 8.0)))
+  }
+}
