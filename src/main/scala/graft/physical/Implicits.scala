@@ -37,6 +37,12 @@ object Implicits {
     /** Column mean as a driver scalar. */
     def meanOf(c: String): Double =
       df.agg(avg(col(c).cast("double"))).head.getDouble(0)
+
+    /** Column as `RDD[Double]` with numeric widening (reference
+      * Util.scala:33-40). Kept for API parity — prefer staying in the
+      * DataFrame/Dataset API, where Catalyst plans the aggregation. */
+    def getDoubleRDD(c: String): org.apache.spark.rdd.RDD[Double] =
+      df.select(col(c).cast("double")).rdd.map(_.getDouble(0))
   }
 
   implicit class MayFailDataFrameOps(val mf: MayFail[DataFrame]) extends AnyVal {

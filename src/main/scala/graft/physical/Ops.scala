@@ -116,6 +116,17 @@ object Agg {
   def on[T: Encoder](df: DataFrame, column: String, f: (T, T) => T): MayFail[T] =
     MayFail(df.select(col(column)).as[T].reduce(f))
 
+  /** Per-key fold returning `RDD[(K, T)]` (reference Op.scala:168-172,
+    * "shuffle-less" — really map-side partial agg + shuffle). Kept for
+    * surface parity; [[byKey]] is the Dataset-API form. */
+  def byKeyAsRDD[K, T](df: DataFrame, keyCol: String, valueCol: String, f: (T, T) => T)(
+      implicit kt: scala.reflect.ClassTag[K], tt: scala.reflect.ClassTag[T]
+  ): MayFail[org.apache.spark.rdd.RDD[(K, T)]] = MayFail {
+    df.select(col(keyCol), col(valueCol)).rdd
+      .map(r => (r.getAs[K](0), r.getAs[T](1)))
+      .reduceByKey(f)
+  }
+
   /** Per-key fold; returns a two-column frame `(key, value)`.
     * Map-side partial reduce happens before the shuffle (same physical
     * shape as the reference's `reduceByKey`, Op.scala:168-172). */
