@@ -532,6 +532,35 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    "q52_asof_join" -> ((s, dir) => {
+      // Point-in-time lookup: for every click, the user's most recent
+      // purchase at or before the click. Union+window as-of join.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"))
+      graft.operators.AsOfJoin.backward(
+        clicks, purchases, "ts", "purchase_ts", Seq("user_id"),
+        rightCols = Seq("purchase_value")).get
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_ts"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    "q53_date_funcs" -> ((s, dir) => {
+      // §2.8 date/time scalar surface (add_months, year/month, datediff).
+      tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus3m"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).as("days_to_eoy"))
+        .orderBy("o_orderkey")
+    }),
+
     // --- ML / estimator layer ----------------------------------------------
 
     "q44_string_encoder" -> ((s, dir) => {
@@ -798,6 +827,22 @@ object SparkEntry {
     "q43_stream_file" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q52_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.purchase_ts, r.purchase_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts AS purchase_ts,
+                round(value, 4) AS purchase_value
+              FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+         ORDER BY l.event_id""",
+    "q53_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy
+         FROM orders ORDER BY o_orderkey""",
     "q51_stream_window" ->
       """SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value

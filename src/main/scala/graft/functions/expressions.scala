@@ -146,9 +146,9 @@ object SimHashImpl {
   * and one codegen'd call per row.
   *
   * Parameters match `TextFunctions.minhashSignature`'s affine family:
-  * aᵢ = (splitmix64(seed+2i) & 0xfffff) | 1, bᵢ = splitmix64(seed+2i+1)
-  * & 0x7fffffff, base = xxhash64(shingle, seed) & 0x7fffffff — products
-  * stay < 2^52, overflow-free under ANSI mode.
+  * hᵢ(x) = (aᵢ·x + bᵢ) mod (2³¹−1) with aᵢ odd 20-bit, bᵢ 31-bit, over a
+  * 31-bit base hash — a genuine universal-hash permutation family whose
+  * products stay < 2^52 (overflow-free under ANSI mode).
   */
 object MinHashImpl {
   import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -181,7 +181,10 @@ object MinHashImpl {
         val base = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed) & 0x7fffffffL
         var i = 0
         while (i < k) {
-          val v = base * a(i) + b(i)
+          // mod a Mersenne prime so each affine map is a PERMUTATION —
+          // without the mod the map is monotone and every component
+          // degenerates to the same global-min element
+          val v = (base * a(i) + b(i)) % 2147483647L
           if (v < out(i)) out(i) = v
           i += 1
         }
@@ -418,7 +421,7 @@ object TextHashImpl {
       val base = hashes.getLong(s) & 0x7fffffffL
       var i = 0
       while (i < k) {
-        val v = base * a(i) + b(i)
+        val v = (base * a(i) + b(i)) % 2147483647L  // permutation via mod-prime
         if (v < out(i)) out(i) = v
         i += 1
       }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the native kernels — these run without a Spark
+  * session (the kernels are plain JVM statics, which is also what makes
+  * them codegen-friendly). */
+class KernelPropertySpec extends AnyFunSuite {
+
+  // deterministic sample-based property loop (scalatest/scalacheck bridge
+  // is not in the offline cache; a seeded loop gives the same coverage)
+  private val rnd = new scala.util.Random(42)
+  private def samples(n: Int)(body: => Unit): Unit = (0 until n).foreach(_ => body)
+  private def randLongs(max: Int, bound: Long = 50L): List[Long] =
+    List.fill(rnd.nextInt(max))(rnd.nextLong() % bound)
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+
+  test("jaccardLongs matches a set-based reference implementation") {
+    samples(200) {
+        val a = randLongs(30); val b = randLongs(30)
+        val expect =
+          if (a.isEmpty && b.isEmpty) 0.0
+          else (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+        val got = TextHashImpl.jaccardLongs(arr(a), arr(b))
+        assert(math.abs(got - expect) < 1e-12, s"a=$a b=$b got=$got expect=$expect")
+    }
+  }
+
+  test("jaccardLongs is symmetric and bounded") {
+    samples(200) {
+      val a = randLongs(30, Long.MaxValue); val b = randLongs(30, Long.MaxValue)
+      val ab = TextHashImpl.jaccardLongs(arr(a), arr(b))
+      val ba = TextHashImpl.jaccardLongs(arr(b), arr(a))
+      assert(ab == ba && ab >= 0.0 && ab <= 1.0)
+    }
+  }
+
+  test("minhash agreement estimates true jaccard (statistical bound)") {
+    // fixed corpus pairs with known overlap fractions
+    for (overlap <- Seq(0.2, 0.5, 0.8)) {
+      val n = 200
+      val shared = (0 until (n * overlap).toInt).map(i => s"s$i ")
+      val a = shared ++ ((0 until (n - shared.size)).map(i => s"a$i "))
+      val b = shared ++ ((0 until (n - shared.size)).map(i => s"b$i "))
+      val trueJ = shared.size.toDouble / (a.size + b.size - shared.size)
+      val k = 256
+      def sig(tokens: Seq[String]): Array[Long] = {
+        val hashes = tokens.map(t => SimHashImpl.tokenHash(UTF8String.fromString(t)))
+        TextHashImpl.minsFromHashes(arr(hashes), k, 42L)
+      }
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / k
+      assert(math.abs(agree - trueJ) < 0.12,
+        s"overlap=$overlap trueJ=$trueJ minhash=$agree")
+    }
+  }
+
+  test("wordShingleHashes: count = tokens-n+1; invariant to case and extra whitespace") {
+    val s1 = UTF8String.fromString("The quick  Brown fox JUMPS over the dog")
+    val s2 = UTF8String.fromString("the quick brown fox jumps over the dog")
+    val h1 = TextHashImpl.wordShingleHashes(s1, 3, 42L)
+    val h2 = TextHashImpl.wordShingleHashes(s2, 3, 42L)
+    assert(h1.toLongArray.toSeq == h2.toLongArray.toSeq)
+    assert(h1.numElements() == 8 - 3 + 1)
+    // fewer tokens than n → empty
+    assert(TextHashImpl.wordShingleHashes(UTF8String.fromString("a b"), 3, 42L).numElements() == 0)
+  }
+
+  test("charShingleHashes normalizes whitespace runs") {
+    val a = TextHashImpl.charShingleHashes(UTF8String.fromString("ab   cd"), 3, 42L)
+    val b = TextHashImpl.charShingleHashes(UTF8String.fromString("ab cd"), 3, 42L)
+    assert(a.toLongArray.toSeq == b.toLongArray.toSeq)
+  }
+
+  test("simhash of permuted tokens is identical; disjoint vocab far apart") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val permuted = scala.util.Random.shuffle((1 to 80).map(i => s"w$i").toList).mkString(" ")
+    val ha = SimHashText.compute(UTF8String.fromString(base), 42L)
+    val hb = SimHashText.compute(UTF8String.fromString(permuted), 42L)
+    assert(ha == hb) // bag-of-words: order-invariant
+    val far = SimHashText.compute(
+      UTF8String.fromString((1 to 80).map(i => s"x$i").mkString(" ")), 42L)
+    assert(SimHashImpl.hamming(ha, far) > 15)
+  }
+
+  test("hyperplane bits: scale-invariant, deterministic across calls") {
+    val v = new GenericArrayData(Array.tabulate(32)(i => math.sin(i).toFloat))
+    val v2 = new GenericArrayData(Array.tabulate(32)(i => (math.sin(i) * 7.5).toFloat))
+    assert(VecOps.hyperplaneBits(v, 16, 42L) == VecOps.hyperplaneBits(v2, 16, 42L))
+    assert(VecOps.hyperplaneBits(v, 16, 42L) == VecOps.hyperplaneBits(v, 16, 42L))
+  }
+
+  test("vector kernels agree with naive implementations") {
+    samples(200) {
+        val a = List.fill(16)(rnd.nextFloat() * 10f - 5f)
+        val b = List.fill(16)(rnd.nextFloat() * 10f - 5f)
+        val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray)
+        val bd = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+        val dotRef = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        assert(math.abs(VecOps.dot(ad, bd) - dotRef) < 1e-9)
+        assert(math.abs(VecOps.norm(ad) - math.sqrt(a.map(x => x.toDouble * x).sum)) < 1e-9)
+    }
+  }
+}
