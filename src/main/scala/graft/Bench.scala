@@ -20,7 +20,10 @@ object Bench {
     "q34_dedup_minhash",
     "q37_dedup_embedding",
     "q38_knn_brute",
-    "q42_event_window"
+    "q42_event_window",
+    "q52_asof_join",
+    "q54_tpch3",
+    "q55_tpch5"
   )
 
   def main(args: Array[String]): Unit = {

@@ -561,6 +561,76 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q54_tpch3" -> ((s, dir) => {
+      // TPC-H Q3 shape: 3-way join, filter on both sides of the date,
+      // revenue top-10. Catalyst broadcast-joins the filtered customers.
+      val cust = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val orders = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-01"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01"))
+      (for {
+        co <- Join.inner(orders, cust, Join.On(Seq("o_custkey")))
+        j  <- Join.inner(li, co, Join.On(Seq("l_orderkey")))
+        g  <- Group.agg(j, Seq("l_orderkey"), Group.Agg(Seq(
+                round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                  .as("revenue"))))
+        k  <- Order.topK(g, Seq(col("revenue").desc, col("l_orderkey")), 10)
+      } yield k).get
+    }),
+
+    "q55_tpch5" -> ((s, dir) => {
+      // TPC-H Q5 shape: 5-way star join → revenue by nation. Dimensions
+      // broadcast; only lineitem⋈orders shuffles.
+      val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = tbl(s, dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("n_nationkey"))
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val li = tbl(s, dir, "lineitem")
+      (for {
+        rn <- Join.inner(nation, region, Join.On(Seq("r_regionkey")))
+        cn <- Join.inner(cust, rn, Join.On(Seq("n_nationkey")))
+        oc <- Join.inner(orders, cn, Join.On(Seq("o_custkey")))
+        j  <- Join.inner(li, oc, Join.On(Seq("l_orderkey")))
+        g  <- Group.agg(j, Seq("n_name"), Group.Agg(Seq(
+                round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                  .as("revenue"),
+                count(lit(1)).as("n_items"))))
+        o  <- Order.by(g, Seq("n_name"))
+      } yield o).get
+    }),
+
+    "q56_salted_join" -> ((s, dir) => {
+      // Skew-resistant salted join: l_returnflag has only 3 values — the
+      // degenerate-skew shape. Result must equal the plain join.
+      val flags = tbl(s, dir, "lineitem").select("l_returnflag").distinct()
+        .withColumn("flag_tag", concat(lit("tag_"), col("l_returnflag")))
+      (for {
+        j <- Optimise.saltedJoin(tbl(s, dir, "lineitem"), flags,
+               Seq("l_returnflag"), saltFactor = 8)
+        g <- Group.agg(j, Seq("flag_tag"), Group.Agg(Seq(
+               count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 4).as("sum_qty"))))
+        o <- Order.by(g, Seq("flag_tag"))
+      } yield o).get
+    }),
+
+    "q57_percentiles" -> ((s, dir) => {
+      // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+      // quantile_cont) + approx_count_distinct sanity on exact side.
+      tbl(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, array(0.25, 0.75))")(0), 4).as("q1"),
+        round(expr("percentile(l_quantity, array(0.25, 0.75))")(1), 4).as("q3"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- ML / estimator layer ----------------------------------------------
 
     "q44_string_encoder" -> ((s, dir) => {
@@ -827,6 +897,38 @@ object SparkEntry {
     "q43_stream_file" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q54_tpch3" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < '1997-06-01' AND l_shipdate > '1997-06-01'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q55_tpch5" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+    "q56_salted_join" ->
+      """SELECT 'tag_' || l_returnflag AS flag_tag, count(*) AS n,
+         round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY flag_tag ORDER BY flag_tag""",
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+         round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+         round(quantile_cont(l_quantity, 0.75), 4) AS q3
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q52_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts, r.purchase_ts, r.purchase_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

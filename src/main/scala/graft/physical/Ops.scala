@@ -258,4 +258,30 @@ object Optimise {
     MayFail(df.repartition(cols.map(col): _*))
 
   def unpersist(df: DataFrame): MayFail[DataFrame] = MayFail { df.unpersist(); df }
+
+  /** Skew-resistant equi-join: salt the skewed (big) side's key with a
+    * random shard in [0, saltFactor) and replicate every small-side row
+    * across all shards, so a hot key's rows spread over `saltFactor`
+    * tasks instead of one straggler.
+    *
+    * AQE's skew-join handles most cases at runtime; explicit salting is
+    * for the pathological keys AQE can't split (a single key bigger than
+    * any split threshold). Inner/left joins only — salting does not
+    * preserve full-outer semantics.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      on: Seq[String],
+      saltFactor: Int = 8,
+      how: String = "inner"
+  ): MayFail[DataFrame] = MayFail {
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports inner/left, not $how")
+    import org.apache.spark.sql.functions.{col => c, explode, floor, lit, rand, sequence}
+    val saltedBig = big.withColumn("__salt", floor(rand(42) * saltFactor).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, on :+ "__salt", how).drop("__salt")
+  }
 }

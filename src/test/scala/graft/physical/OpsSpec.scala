@@ -132,6 +132,21 @@ class OpsSpec extends AnyFunSuite {
     assert(masked.select("arr").as[String].head().startsWith("<array"))
   }
 
+  test("saltedJoin equals the plain join result") {
+    val small = Seq(("a", "x"), ("b", "y")).toDF("key", "tag")
+    val plain = kv.join(small, Seq("key"), "inner")
+      .orderBy("id").collect().toSeq
+    val salted = Optimise.saltedJoin(kv, small, Seq("key"), saltFactor = 4).get
+      .select(kv.columns.map(col).toSeq :+ col("tag"): _*)
+      .orderBy("id").collect().toSeq
+    assert(salted == plain)
+    assert(Optimise.saltedJoin(kv, small, Seq("key"), 4, how = "outer").isFailing)
+  }
+
+  test("Read.kafka fails gracefully without the connector jar") {
+    assert(Read.kafka("topic", "localhost")(spark).isFailing)
+  }
+
   test("Read.dynamo and Write.dynamo fail gracefully") {
     assert(Read.dynamo("r", "s", "t")(spark).isFailing)
     assert(Write.dynamo(kv, "r", "t").isFailing)
