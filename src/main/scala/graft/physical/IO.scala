@@ -191,9 +191,31 @@ object Write {
       df: DataFrame,
       path: String,
       partition: Partition = NoPartition,
+      overwrite: Boolean = false,
+      options: Map[String, String] = Map.empty
+  ): MayFail[DataFrame] = MayFail {
+    writer(df, partition, overwrite).options(options).parquet(path)
+    df
+  }
+
+  /** Bucketed + sorted managed table: co-locates rows by key so
+    * equi-joins/aggs between tables bucketed the same way skip their
+    * shuffle entirely — the pre-partitioning story for repeatedly joined
+    * 100 TB fact tables. (File-path writes cannot carry bucket metadata;
+    * this goes through the catalog.) */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketBy: Seq[String],
+      numBuckets: Int,
+      sortBy: Seq[String] = Nil,
       overwrite: Boolean = false
   ): MayFail[DataFrame] = MayFail {
-    writer(df, partition, overwrite).parquet(path)
+    val base = df.write.format("parquet")
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+    val sorted =
+      if (sortBy.isEmpty) base else base.sortBy(sortBy.head, sortBy.tail: _*)
+    (if (overwrite) sorted.mode(SaveMode.Overwrite) else sorted).saveAsTable(table)
     df
   }
 

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the operators are
+  * designed around (pushdown, pruning, broadcast, top-k) must survive
+  * refactors. Checked against the driver's smallest dataset. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: filter pushed to parquet scan, columns pruned") {
+    val plan = planOf("q01_agg")
+    assert(plan.contains("PushedFilters"), "no pushed filters")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    // pruned scan: partkey/suppkey/linenumber are not read
+    assert(!plan.contains("l_partkey"), "scan reads unused column l_partkey")
+  }
+
+  test("q15: broadcast hash join for the small supplier side") {
+    val plan = planOf("q15_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in plan")
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("q21: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q21_topk")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k is a full sort")
+  }
+
+  test("q55: star joins broadcast the dimensions at small scale") {
+    val plan = planOf("q55_tpch5")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected the dimension joins to broadcast")
+  }
+
+  test("q38: corpus scans once — queries side is broadcast") {
+    val plan = planOf("q38_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "knn queries side is not broadcast")
+  }
+}

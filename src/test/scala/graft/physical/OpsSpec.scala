@@ -143,6 +143,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Optimise.saltedJoin(kv, small, Seq("key"), 4, how = "outer").isFailing)
   }
 
+  test("bucketedTable: same-bucket join plans without a shuffle on the join key") {
+    import graft.SparkTestBase.spark.sql
+    // clear any leftover table + warehouse dir from a prior (crashed) run
+    for (t <- Seq("bk_a", "bk_b")) {
+      sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    val a = Seq.tabulate(100)(i => (i.toLong % 10, i.toDouble)).toDF("k", "v")
+    Write.bucketedTable(a, "bk_a", Seq("k"), 4, sortBy = Seq("k"), overwrite = true).get
+    Write.bucketedTable(a, "bk_b", Seq("k"), 4, sortBy = Seq("k"), overwrite = true).get
+    // disable auto-broadcast so the join must rely on bucketing, then
+    // assert there is no shuffle Exchange (BroadcastExchange would be one)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = sql("SELECT a.k, a.v, b.v AS v2 FROM bk_a a JOIN bk_b b ON a.k = b.k")
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val hasShuffle = plan.linesIterator
+        .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(!hasShuffle, s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000) // 10 keys × 10 × 10
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      sql("DROP TABLE bk_a"); sql("DROP TABLE bk_b")
+    }
+  }
+
   test("Read.kafka fails gracefully without the connector jar") {
     assert(Read.kafka("topic", "localhost")(spark).isFailing)
   }
