@@ -875,6 +875,57 @@ object SparkEntry {
            list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
            x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))::BIGINT AS n_subwords
          FROM documents ORDER BY doc_id""",
+    "q30_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+             length(text) AS len
+           FROM documents
+         ), m AS (
+           SELECT doc_id, text, len, len(toks) AS ntok,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len END AS alpha,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END AS mwl,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0 / len END AS punct
+           FROM t
+         )
+         SELECT doc_id,
+           round(alpha, 6) AS alpha_ratio,
+           round(mwl, 6) AS mean_word_len,
+           round(least(ntok / 50.0, 1.0) * 0.3 + alpha * 0.3 +
+                 (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+                 (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
+         FROM m ORDER BY doc_id""",
+    "q31_text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, text,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','una'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','des','est','et','un','une','du','que'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('il','di','che','la','per','un','con','del','una','non'))) AS s_it
+           FROM t
+         )
+         SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
+             WHEN regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') THEN 'ja'
+             WHEN regexp_matches(text, '\p{Hangul}') THEN 'ko'
+             WHEN regexp_matches(text, '\p{Cyrillic}') THEN 'ru'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_it = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'it'
+             ELSE 'und'
+           END AS lang_pred
+         FROM s ORDER BY doc_id""",
     "q32_text_fingerprint" ->
       """SELECT count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_text,
          count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp,
