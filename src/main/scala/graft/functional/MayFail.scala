@@ -22,6 +22,9 @@ sealed abstract class MayFail[+A] extends Serializable {
   def isOk: Boolean
   final def isFailing: Boolean = !isOk
   def getError: Option[Throwable]
+  /** Map to an Option, None when terminally failing (reference
+    * `monad.scala` `mapOpt`). */
+  final def mapOpt[B](f: A => B): Option[B] = toOption.map(f)
   def get: A
   def getOrElse[B >: A](default: => B): B
   def toOption: Option[A]
@@ -76,12 +79,10 @@ final case class IgnorableFail[A](error: Throwable, value: A)
     try IgnorableFail(error, f(value))
     catch { case scala.util.control.NonFatal(e) => Fail(e) }
   override def flatMap[B](f: A => MayFail[B]): MayFail[B] =
-    try
-      f(value) match {
-        case Ok(b)                 => IgnorableFail(error, b)
-        case Fail(e)               => Fail(e)
-        case IgnorableFail(e2, b)  => IgnorableFail(e2, b)
-      }
+    // reference semantics (monad.scala:54-58): the carried error is
+    // DROPPED once the continuation succeeds — an ignorable failure is
+    // forgiven by the next successful step
+    try f(value)
     catch { case scala.util.control.NonFatal(e) => Fail(e) }
   override def foreach[U](f: A => U): Unit = f(value)
   override def filter(p: A => Boolean): MayFail[A] =
@@ -90,7 +91,9 @@ final case class IgnorableFail[A](error: Throwable, value: A)
   override def isOk: Boolean = false
   override def getError: Option[Throwable] = Some(error)
   override def get: A = value
-  override def getOrElse[B >: A](default: => B): B = value
+  // reference quirk (monad.scala:62): getOrElse on an ignorable failure
+  // yields the DEFAULT even though a value is carried (get returns it)
+  override def getOrElse[B >: A](default: => B): B = default
   override def toOption: Option[A] = Some(value)
   override def toEither: Either[Throwable, A] = Right(value)
   override def orElse[B >: A](alt: => MayFail[B]): MayFail[B] = this

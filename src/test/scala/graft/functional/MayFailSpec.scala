@@ -25,15 +25,20 @@ class MayFailSpec extends AnyFunSuite {
     assert(r.getError.exists(_.getMessage == "first"))
   }
 
-  test("IgnorableFail keeps composing and carries the error") {
-    val r = IgnorableFail(new RuntimeException("soft"), 10).map(_ * 2)
-    assert(r == IgnorableFail(r.getError.get, 20))
-    assert(r.isFailing && r.toOption.contains(20))
+  test("IgnorableFail keeps composing; map carries the error, flatMap-to-Ok forgives it") {
+    val e = new RuntimeException("soft")
+    val mapped = IgnorableFail(e, 10).map(_ * 2)
+    assert(mapped == IgnorableFail(e, 20))
+    // reference semantics: a successful continuation drops the error
+    assert(IgnorableFail(e, 10).flatMap(x => Ok(x * 2)) == Ok(20))
+    // getOrElse quirk: default wins even though a value is carried
+    assert(IgnorableFail(e, 10).getOrElse(99) == 99)
+    assert(IgnorableFail(e, 10).get == 10)
   }
 
   test("ignoreWith downgrades Fail") {
     val r = MayFail[Int](throw new RuntimeException("x")).ignoreWith(99)
-    assert(r.isFailing && r.getOrElse(0) == 99)
+    assert(r.isFailing && r.get == 99)
   }
 
   test("for-comprehension happy path") {
