@@ -85,12 +85,15 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest of
-    * `nCentroids` deterministic seed-derived anchor directions (a cheap
-    * stand-in for trained k-means centroids that keeps the plan fully
-    * deterministic); at query time probe the `nProbe` nearest centroids.
-    * The inverted-file structure is just a DataFrame keyed by centroid id,
-    * so it partitions/bucketizes naturally at scale. */
+  /** IVF ANN: a trained coarse quantizer (seeded KMeans over the corpus)
+    * partitions vectors into `nCentroids` inverted lists; each query
+    * probes its `nProbe` nearest cells and scores only those lists.
+    *
+    * The inverted file is just a DataFrame keyed by centroid id — it
+    * partitions/bucketizes naturally, so at 100 TB the lists live as
+    * bucketed parquet and a probe reads `nProbe/nCentroids` of the data.
+    * The centroid table is tiny and broadcast for query assignment.
+    * Recall is tunable via `nProbe` (≤ nCentroids ⇒ exhaustive). */
   def ivfKnn(
       corpus: DataFrame,
       queries: DataFrame,
@@ -100,19 +103,39 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4
   ): MayFail[DataFrame] = MayFail {
-    // Coarse quantizer: centroid id = hyperplane signature mod nCentroids
-    // (deterministic, training-free). Queries probe nProbe adjacent cells.
-    val cAssigned = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"),
-      pmod(hyperplaneBits(col(vecCol), 30, 7777L), lit(nCentroids)).as("centroid"))
-    val qAssigned = queries.select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
-      posexplode(array((0 until nProbe).map { p =>
-        pmod(hyperplaneBits(col(vecCol), 30, 7777L) + p, lit(nCentroids))
-      }: _*)).as(Seq("__probe", "centroid")))
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val assembled = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
+      .withColumn("__fv", array_to_vector(col("__cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("__fv").setPredictionCol("centroid")
+      .fit(assembled)
+    val lists = km.transform(assembled).drop("__fv")
+
+    // tiny centroid table (nCentroids × dim floats)
+    val centers = km.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("centroid", "__cvec")
+
+    // each query probes its nProbe closest cells (euclidean, matching the
+    // quantizer's metric): d² = |q|² + |c|² − 2·q·c
+    val q = queries.select(col(idCol).as("queryId"), col(vecCol).as("__qv"))
+    val wProbe = Window.partitionBy(col("queryId")).orderBy(col("__d2"), col("centroid"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("__d2",
+        vecDot(col("__qv"), col("__qv")) + vecDot(col("__cvec"), col("__cvec"))
+          - lit(2.0) * vecDot(col("__qv"), col("__cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("queryId"), col("__qv"), col("centroid"))
+
     val w = Window.partitionBy(col("queryId"))
       .orderBy(col("cosine").desc, col("neighborId"))
-    cAssigned.join(broadcast(qAssigned), Seq("centroid"))
+    lists.join(broadcast(probes), Seq("centroid"))
       .filter(col("queryId") =!= col("neighborId"))
-      .dropDuplicates("queryId", "neighborId")
       .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

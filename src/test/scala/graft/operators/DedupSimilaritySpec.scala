@@ -99,6 +99,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"lsh recall $recall")
   }
 
+  test("ivfKnn with exhaustive probing equals brute force") {
+    val queries = vectors.filter($"vec_id" < 5L)
+    val brute = Similarity.bruteForceKnn(vectors, queries, "embedding", "vec_id", k = 3).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.ivfKnn(vectors, queries, "embedding", "vec_id",
+      k = 3, nCentroids = 4, nProbe = 4).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    assert(ivfAll == brute) // probing every cell ⇒ exact
+    val ivfPartial = Similarity.ivfKnn(vectors, queries, "embedding", "vec_id",
+      k = 3, nCentroids = 4, nProbe = 2).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfPartial).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
   test("knn output schema and cosine bounds") {
     val queries = vectors.filter($"vec_id" === 1L)
     val got = Similarity.bruteForceKnn(vectors, queries, "embedding", "vec_id", k = 3).get
