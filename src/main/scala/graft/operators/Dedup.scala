@@ -139,6 +139,30 @@ object Dedup {
         df.join(toDrop, Seq(idCol), "left_anti")
       }
 
+  /** Full corpus-dedup pipeline: exact dedup FIRST (hash groupBy — cheap,
+    * removes identical copies), then MinHash-LSH near-dup on the
+    * representatives.
+    *
+    * Ordering matters at scale: near-dup pair generation is quadratic in
+    * duplicate-cluster size (a document cloned c times yields c·(c−1)/2
+    * candidate pairs in every matching bucket), so exact dedup must run
+    * before LSH — measured 10× corpus replication sends pair volume from
+    * thousands to millions if skipped. */
+  def dedupPipeline(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7
+  ): MayFail[DataFrame] =
+    for {
+      exactDeduped <- exactNormalized(df, textCol, idCol)
+      nearDeduped <- minhashDedup(exactDeduped, textCol, idCol,
+        shingleSize, bands, rowsPerBand, threshold)
+    } yield nearDeduped
+
   /** SimHash near-dup candidate pairs: 64-bit simhash, banded into
     * `64/bandBits` chunks (pigeonhole: hamming distance ≤ bands−1 implies
     * at least one identical band), verified by exact hamming distance.

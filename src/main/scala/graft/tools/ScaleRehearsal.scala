@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal: replicate the sf0.1 tables in-memory and time the
+  * scale-critical operators, looking for super-linear behavior. */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+
+    def replicate(df: DataFrame, idCols: Seq[String]): DataFrame =
+      (0 until mult).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + i.toLong * 100000000L))
+      }.reduce(_ union _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[rehearsal] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs = replicate(spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
+    val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_orderkey"))
+    val emb = replicate(spark.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
+    println(s"[rehearsal] mult=$mult docs=${docs.count()} lineitem=${li.count()} emb=${emb.count()}")
+
+    time("q1-agg")(li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count())
+    time("window-running")(li.select(col("l_suppkey"), col("l_orderkey"),
+      sum(col("l_quantity")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Long.MinValue, 0))).count())
+    time("dedup-exact")(graft.operators.Dedup.exact(docs, Seq("text"), "doc_id").get.count())
+    time("dedup-minhash")(graft.operators.Dedup.minhashPairs(
+      docs, "text", "doc_id", threshold = 0.5).get.count())
+    time("dedup-embedding")(graft.operators.Dedup.embeddingNearDupPairs(
+      emb, "embedding", "vec_id", threshold = 0.25, nBits = 4, tables = 8).get.count())
+    time("knn-brute")(graft.operators.Similarity.bruteForceKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5).get.count())
+    spark.stop()
+  }
+}

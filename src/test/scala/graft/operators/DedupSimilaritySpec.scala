@@ -47,6 +47,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("dedupPipeline: exact-first then near-dup keeps one representative") {
+    val kept = Dedup.dedupPipeline(docs, "text", "doc_id", threshold = 0.5).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L)) // 1 exact-dup of 0; 2 near-dup of 0
+  }
+
   test("simhashPairs finds near-dups by hamming distance") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6).get
       .select("idA", "idB").as[(Long, Long)].collect().toSet
