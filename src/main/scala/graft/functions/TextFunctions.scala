@@ -40,14 +40,21 @@ object TextFunctions {
     * `h = h * FNV_PRIME + hash(token)` — unlike [[fingerprint]] it can be
     * computed incrementally and distinguishes token order without
     * re-reading the document. */
-  def rollingFingerprint(c: Column): Column =
-    aggregate(
-      // mask token hashes to 32 bits so the polynomial step stays far from
-      // Long overflow (Spark 4 ANSI mode makes wraparound an error)
-      transform(tokens(c), t => xxhash64(t).bitwiseAND(lit(0xffffffffL))),
-      lit(2166136261L),
-      (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L))
+  def rollingFingerprint(c: Column): Column = {
+    // two independent 31-bit polynomial hashes (different primes/moduli)
+    // combined into one 62-bit value: collision-safe at corpus scale,
+    // while every intermediate stays < 2^52 (Spark 4 ANSI mode makes Long
+    // wraparound an error, so the classic 64-bit polynomial is out)
+    val hs = transform(tokens(c), t => xxhash64(t).bitwiseAND(lit(0xffffffffL)))
+    val roll = aggregate(
+      hs,
+      struct(lit(2166136261L).as("h1"), lit(5381L).as("h2")),
+      (acc, h) => struct(
+        pmod(acc.getField("h1") * lit(1000003L) + h, lit(2147483647L)).as("h1"),
+        pmod(acc.getField("h2") * lit(1100101L) + h, lit(2147483629L)).as("h2"))
     )
+    roll.getField("h1") * lit(2147483629L) + roll.getField("h2")
+  }
 
   /** Word n-gram shingles of the token stream (empty array when the
     * document has fewer than `n` tokens). */
