@@ -724,6 +724,20 @@ object SparkEntry {
         col("resized_meta.width").as("rwidth"),
         col("resized_meta.height").as("rheight"))
         .orderBy("doc_id")).get
+    }),
+
+    "q58_multimodal_features" -> ((s, dir) => {
+      // Byte-histogram feature extraction (mapPartitions): verify derived
+      // invariants (nonzero-bucket count, argmax bucket) against the
+      // oracle's character-level computation.
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      val feat = Multimodal.extractFeatures(docs, "payload", dim = 16).get
+      feat.select(
+        col("doc_id"),
+        size(filter(col("features"), x => x > 0f)).cast("long").as("nbuckets"),
+        (array_position(col("features"), array_max(col("features"))) - 1).as("top_bucket"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1032,6 +1046,20 @@ object SparkEntry {
            least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER) AS rheight
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q58_multimodal_features" ->
+      """WITH c AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, strlen(text) + 1),
+               i -> ord(substr(text, i, 1)) // 16)) AS b
+           FROM documents
+         ), g AS (
+           SELECT doc_id, b, count(*) AS n FROM c GROUP BY doc_id, b
+         ), g2 AS (
+           SELECT doc_id, b, n, max(n) OVER (PARTITION BY doc_id) AS mx FROM g
+         )
+         SELECT doc_id, count(*) AS nbuckets,
+           CAST(min(CASE WHEN n = mx THEN b END) AS BIGINT) AS top_bucket
+         FROM g2 GROUP BY doc_id ORDER BY doc_id"""
   )
 }

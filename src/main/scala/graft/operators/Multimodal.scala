@@ -108,6 +108,37 @@ object Multimodal {
     MayFail(withDecodedMeta(df, binCol, metaCol, audioMetaType,
       (d, b) => d.decodeAudio(b), decoder))
 
+  /** Feature extraction: fixed-dimension embedding per media payload —
+    * here a normalized byte-value histogram (the deterministic stand-in
+    * for a real encoder's pooled features; STUB decode, real plumbing).
+    * Output is `array<float>` so it feeds directly into the `Similarity`
+    * / `Dedup.embeddingNearDupPairs` operators. */
+  def extractFeatures(
+      df: DataFrame,
+      binCol: String,
+      dim: Int = 64,
+      outCol: String = "features"): MayFail[DataFrame] = MayFail {
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false), nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val feat = if (bytes == null) null
+        else {
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) * dim / 256) += 1f; i += 1 }
+          if (bytes.length > 0) {
+            var j = 0
+            while (j < dim) { hist(j) /= bytes.length; j += 1 }
+          }
+          hist
+        }
+        Row.fromSeq(row.toSeq :+ feat)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Rescale image metadata to a bounding box, preserving aspect ratio
     * (pure column arithmetic — no decode needed for metadata-only ops). */
   def resizeMeta(

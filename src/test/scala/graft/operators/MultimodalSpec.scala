@@ -40,6 +40,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(0)._1 == 50L && math.abs(r(0)._2 - 50.0 / 16000) < 1e-12)
   }
 
+  test("extractFeatures: normalized byte histogram feeds the ANN operators") {
+    val out = Multimodal.extractFeatures(media, "payload", dim = 16).get
+    val feats = out.orderBy("id").select("features").as[Option[Seq[Float]]].collect()
+    assert(feats(0).get.length == 16)
+    assert(math.abs(feats(0).get.sum - 1.0f) < 1e-5) // normalized
+    assert(feats(2).get.forall(_ == 0f)) // empty payload → zero vector
+    // pipe into embedding near-dup: identical payloads are found
+    val dup = media.union(media.withColumn("id", $"id" + 10))
+    val withFeat = Multimodal.extractFeatures(dup, "payload", dim = 16).get
+      .filter($"id".isin(0L, 10L)) // the two copies of payload 0
+    val pairs = Dedup.embeddingNearDupPairs(withFeat, "features", "id",
+      threshold = 0.99, nBits = 2, tables = 4).get
+    assert(pairs.count() >= 1)
+  }
+
   test("resizeMeta preserves aspect ratio inside the bounding box") {
     val big = Seq((0L, Array.tabulate(10000)(_.toByte))).toDF("id", "payload") // 100×100
     val out = (for {
