@@ -358,8 +358,12 @@ object SparkEntry {
         m  <- Optimise.materialise(r)
         g  <- Group.agg(m, Seq("l_returnflag"), Group.Agg(Seq(
                 count(lit(1)).as("n"))))
-        u  <- Optimise.unpersist(g)
-        o  <- Order.by(u, Seq("l_returnflag"))
+        o  <- Order.by(g, Seq("l_returnflag"))
+        // materialise the result through the cache, then release the
+        // persisted frame (unpersisting the cached input, not the
+        // derived aggregate)
+        _  = o.count()
+        _  <- Optimise.unpersist(m)
       } yield o).get
     }),
 
@@ -432,7 +436,7 @@ object SparkEntry {
 
     "q35_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 12, bandBits = 16)
+        maxHamming = 12)
         .get.orderBy("idA", "idB")
     }),
 
@@ -1038,14 +1042,14 @@ object SparkEntry {
          CAST(greatest(1, floor(sqrt(strlen(text)))) AS INTEGER) AS width,
          CAST(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels,
-         CAST(ceil(greatest(1, floor(sqrt(strlen(text)))) *
+         least(CAST(ceil(greatest(1, floor(sqrt(strlen(text)))) *
            least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
-                 1.0)) AS INTEGER) AS rwidth,
-         CAST(ceil(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) *
+                 1.0)) AS INTEGER), 64) AS rwidth,
+         least(CAST(ceil(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) *
            least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
-                 1.0)) AS INTEGER) AS rheight
+                 1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
     "q58_multimodal_features" ->
       """WITH c AS (

@@ -38,10 +38,12 @@ class Scaler(override val uid: String = Identifiable.randomUID("Scaler"))
     transformSchema(dataset.schema, logging = true)
     val (s, m) =
       if ($(norm)) {
+        // empty / all-null input sums to SQL NULL — treat as 0 (pass-through)
         val row = dataset.toDF
           .agg(sum(col($(inputCol)).cast("double")),
             min(col($(inputCol)).cast("double"))).head
-        (row.getDouble(0), row.getDouble(1))
+        (if (row.isNullAt(0)) 0.0 else row.getDouble(0),
+          if (row.isNullAt(1)) 0.0 else row.getDouble(1))
       } else (0.0, 0.0)
     new ScalerModel(s, m)
       .setInputCol($(inputCol)).setOutputCol($(outputCol))
@@ -141,6 +143,11 @@ class GraftStandardScalerModel(
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    dataset.withColumn($(outputCol), (col($(inputCol)) - mean) / std)
+    // constant column ⇒ σ=0: emit 0.0 (the centered value) instead of a
+    // divide-by-zero error under ANSI mode
+    val z =
+      if (std == 0.0) org.apache.spark.sql.functions.lit(0.0)
+      else (col($(inputCol)) - mean) / std
+    dataset.withColumn($(outputCol), z)
   }
 }

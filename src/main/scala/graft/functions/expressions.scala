@@ -115,18 +115,16 @@ object SimHashImpl {
     VecOps.splitmix64(h)
   }
 
-  def compute(tokens: ArrayData): Long = {
+  /** Per-bit majority vote over 64-bit hashes — the simhash core. */
+  def voteBits(hashes: Array[Long]): Long = {
     val counts = new Array[Int](64)
-    val n = tokens.numElements()
     var t = 0
-    while (t < n) {
-      if (!tokens.isNullAt(t)) {
-        val h = tokenHash(tokens.getUTF8String(t))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+    while (t < hashes.length) {
+      val h = hashes(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
       }
       t += 1
     }
@@ -134,6 +132,17 @@ object SimHashImpl {
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val hashes = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) hashes += tokenHash(tokens.getUTF8String(t))
+      t += 1
+    }
+    voteBits(hashes.toArray)
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
@@ -197,10 +206,10 @@ object MinHashImpl {
   def signature(shingles: ArrayData, k: Int, seed: Long): ArrayData =
     new GenericArrayData(mins(shingles, k, seed))
 
-  /** LSH band keys straight from the shingle set: one minhash pass, then
-    * each band's `rows` consecutive mins folded through splitmix. */
-  def bandKeys(shingles: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
-    val m = mins(shingles, bands * rows, seed)
+  /** Fold each band's `rows` consecutive minima through splitmix into a
+    * single band key — shared by the string- and hash-input entry points
+    * (the two MUST stay bit-identical for signatures to be comparable). */
+  def foldBands(m: Array[Long], bands: Int, rows: Int, seed: Long): ArrayData = {
     val keys = new Array[Long](bands)
     var bnd = 0
     while (bnd < bands) {
@@ -215,6 +224,11 @@ object MinHashImpl {
     }
     new GenericArrayData(keys)
   }
+
+  /** LSH band keys straight from the shingle set: one minhash pass, then
+    * each band's `rows` consecutive mins folded through splitmix. */
+  def bandKeys(shingles: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData =
+    foldBands(mins(shingles, bands * rows, seed), bands, rows, seed)
 }
 
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
@@ -430,19 +444,8 @@ object TextHashImpl {
     out
   }
 
-  def bandKeysFromHashes(hashes: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
-    val m = minsFromHashes(hashes, bands * rows, seed)
-    val keys = new Array[Long](bands)
-    var bnd = 0
-    while (bnd < bands) {
-      var h = VecOps.splitmix64(seed ^ bnd.toLong)
-      var r = 0
-      while (r < rows) { h = VecOps.splitmix64(h ^ m(bnd * rows + r)); r += 1 }
-      keys(bnd) = h
-      bnd += 1
-    }
-    new GenericArrayData(keys)
-  }
+  def bandKeysFromHashes(hashes: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData =
+    MinHashImpl.foldBands(minsFromHashes(hashes, bands * rows, seed), bands, rows, seed)
 }
 
 case class WordShingleHashes(child: Expression, n: Int, seed: Long)
@@ -510,22 +513,6 @@ case class SimHashText(child: Expression, seed: Long) extends UnaryExpression {
 }
 
 object SimHashText {
-  def compute(s: UTF8String, seed: Long): Long = {
-    val hashes = TextHashImpl.tokenHashes(s, seed)
-    val counts = new Array[Int](64)
-    var t = 0
-    while (t < hashes.length) {
-      val h = hashes(t)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      t += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  def compute(s: UTF8String, seed: Long): Long =
+    SimHashImpl.voteBits(TextHashImpl.tokenHashes(s, seed))
 }

@@ -29,7 +29,11 @@ object Dedup {
     */
   def exact(df: DataFrame, cols: Seq[String], idCol: String): MayFail[DataFrame] =
     MayFail {
-      val key = xxhash64(cols.map(col): _*)
+      // xxhash64 skips null children (the running hash is unchanged), so
+      // ("a", null) and (null, "a") would hash identically; appending a
+      // null-position bitmap disambiguates.
+      val nullBitmap = concat_ws("", cols.map(c => col(c).isNull.cast("int")): _*)
+      val key = xxhash64(cols.map(col) :+ nullBitmap: _*)
       val w = Window.partitionBy(key).orderBy(col(idCol))
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -91,13 +95,8 @@ object Dedup {
       sh.select(col("id"),
         minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),
       maxBucket)
-    val pairs = bandedPairs(banded)
-    pairs
-      .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), "idA")
-      .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), "idB")
-      .withColumn("jaccard", jaccardHashes(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedPairs(banded, sh.withColumnRenamed("shingles", "__p"),
+      "jaccard", jaccardHashes, _ >= threshold, roundDigits = Some(6))
   }
 
   /** Explode per-doc band keys, drop oversized/singleton buckets.
@@ -120,6 +119,25 @@ object Dedup {
       .filter(col("idA") < col("idB"))
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
+
+  /** Join each candidate pair back to its payload (`keyed`: (id, __p)),
+    * score, filter, optionally round — the shared verification tail of
+    * every LSH dedup variant. */
+  private def verifiedPairs(
+      banded: DataFrame,
+      keyed: DataFrame,
+      scoreName: String,
+      score: (Column, Column) => Column,
+      keep: Column => Column,
+      roundDigits: Option[Int]): DataFrame = {
+    val scored = bandedPairs(banded)
+      .join(keyed.select(col("id").as("idA"), col("__p").as("__pA")), "idA")
+      .join(keyed.select(col("id").as("idB"), col("__p").as("__pB")), "idB")
+      .withColumn(scoreName, score(col("__pA"), col("__pB")))
+      .filter(keep(col(scoreName)))
+    val out = roundDigits.fold(col(scoreName))(d => round(col(scoreName), d))
+    scored.select(col("idA"), col("idB"), out.as(scoreName))
+  }
 
   /** MinHash-LSH dedup: drop every document that is a near-duplicate of a
     * lower-id document (greedy representative-by-min-id, the standard
@@ -163,19 +181,22 @@ object Dedup {
         shingleSize, bands, rowsPerBand, threshold)
     } yield nearDeduped
 
-  /** SimHash near-dup candidate pairs: 64-bit simhash, banded into
-    * `64/bandBits` chunks (pigeonhole: hamming distance ≤ bands−1 implies
-    * at least one identical band), verified by exact hamming distance.
-    * Returns `(idA, idB, hamming)`.
+  /** SimHash near-dup candidate pairs: 64-bit simhash, banded so the
+    * pigeonhole bound guarantees recall (hamming ≤ bands−1 implies at
+    * least one identical band) — band width is DERIVED from `maxHamming`
+    * so no qualifying pair can be silently missed. Verified by exact
+    * hamming distance. Returns `(idA, idB, hamming)`.
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bandBits: Int = 16,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    // need nBands >= maxHamming+1 for guaranteed recall
+    val bandBits = math.max(1, 64 / (maxHamming + 1))
     val nBands = 64 / bandBits
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val banded = candidateBands(
@@ -186,12 +207,9 @@ object Dedup {
             .bitwiseAND(lit((1L << bandBits) - 1))
         }: _*).as("__keys")),
       maxBucket)
-    bandedPairs(banded)
-      .join(hashed.select(col("id").as("idA"), col("sh").as("shA")), "idA")
-      .join(hashed.select(col("id").as("idB"), col("sh").as("shB")), "idB")
-      .select(col("idA"), col("idB"),
-        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    verifiedPairs(banded, hashed.withColumnRenamed("sh", "__p"),
+      "hamming", (a, b) => bit_count(a.bitwiseXOR(b)), _ <= maxHamming,
+      roundDigits = None)
   }
 
   /** Character-n-gram Jaccard near-dup pairs (MinHash-LSH candidates,
@@ -212,12 +230,8 @@ object Dedup {
       sh.select(col("id"),
         minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),
       maxBucket)
-    bandedPairs(banded)
-      .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), "idA")
-      .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), "idB")
-      .withColumn("jaccard", jaccardHashes(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedPairs(banded, sh.withColumnRenamed("shingles", "__p"),
+      "jaccard", jaccardHashes, _ >= threshold, roundDigits = Some(6))
   }
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
@@ -241,11 +255,7 @@ object Dedup {
           hyperplaneBits(col("v"), nBits, seed = 42L + 1000L * t)
         }: _*).as("__keys")),
       maxBucket)
-    bandedPairs(banded)
-      .join(base.select(col("id").as("idA"), col("v").as("vA")), "idA")
-      .join(base.select(col("id").as("idB"), col("v").as("vB")), "idB")
-      .withColumn("cosine", vecCosine(col("vA"), col("vB")))
-      .filter(col("cosine") >= threshold)
-      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    verifiedPairs(banded, base.withColumnRenamed("v", "__p"),
+      "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
 }

@@ -150,9 +150,11 @@ object Multimodal {
     val w = col(s"$metaCol.width").cast("double")
     val h = col(s"$metaCol.height").cast("double")
     val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    // clamp: ceil(w * (maxW/w)) can land one pixel over the box when the
+    // division rounds up in floating point (e.g. 25 * (7/25) = 7.0000…01)
     df.withColumn(outCol, struct(
-      ceil(w * scale).cast("int").as("width"),
-      ceil(h * scale).cast("int").as("height"),
+      least(ceil(w * scale).cast("int"), lit(maxW)).as("width"),
+      least(ceil(h * scale).cast("int"), lit(maxH)).as("height"),
       col(s"$metaCol.channels").as("channels"),
       col(s"$metaCol.format").as("format"),
       col(s"$metaCol.mean_intensity").as("mean_intensity")))

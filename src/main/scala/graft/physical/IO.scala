@@ -342,7 +342,8 @@ object Screen {
     MayFail {
       title.foreach(t => println(s"=== $t ==="))
       val q = df.writeStream.outputMode("append").format("console").start()
-      q.awaitTermination(50)
+      try q.awaitTermination(50)
+      finally q.stop() // a peek, not a sink — don't leak a live query
       df
     }
 
