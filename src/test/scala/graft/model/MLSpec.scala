@@ -200,6 +200,28 @@ class MLSpec extends AnyFunSuite {
     assert(joined.getStages.length == 2)
   }
 
+  test("Pipe.save/load round-trips a fitted pipeline of built-in stages") {
+    val design = SupervisedModelDesign("prediction", "v", Preset.linearReg(label = "v"))
+    val spec = design.toSpecimen(Feature("d"), train)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/m"
+    assert(Pipe.save(dir, spec.model).isOk)
+    val loaded = Pipe.load(dir).get
+    val pred = loaded.transform(train).select("prediction").as[Double].collect()
+    val orig = spec.model.transform(train).select("prediction").as[Double].collect()
+    assert(pred.toSeq == orig.toSeq)
+  }
+
+  test("Preset.gmm fits and assigns clusters") {
+    val pts = Seq.tabulate(40) { i =>
+      val base = if (i % 2 == 0) 0.0 else 20.0
+      (base + (i % 5) * 0.1, base - (i % 3) * 0.1)
+    }.toDF("x", "y")
+    val design = UnsupervisedModelDesign("cluster", Preset.gmm(k = 2))
+    val spec = design.toSpecimen(AssemblyFeature(Seq("x", "y")), pts)
+    val clusters = spec.model.transform(pts).select("cluster").distinct().count()
+    assert(clusters == 2)
+  }
+
   test("FeatureAssemblyGenerator generates size-bounded combinations") {
     val gen = new FeatureAssemblyGenerator(1, 2, ignoreCols = List("i"))
     val combos = gen.genCombinations(train).toSeq
