@@ -477,11 +477,13 @@ object SparkEntry {
     }),
 
     "q41_vec_stats" -> ((s, dir) => {
-      // vector column functions over the whole corpus
-      tbl(s, dir, "embeddings").groupBy(col("label")).agg(
-        count(lit(1)).as("n"),
-        round(avg(vecNorm(col("embedding"))), 4).as("avg_norm"))
-        .orderBy("label")
+      // vector column functions over the whole corpus, via the SQL
+      // registration path (same native expressions as the Column API)
+      graft.functions.GraftFunctions.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql("""SELECT label, count(1) AS n,
+                 round(avg(vec_norm(embedding)), 4) AS avg_norm
+               FROM graft_embeddings GROUP BY label ORDER BY label""")
     }),
 
     // --- event-time / streaming-shaped -------------------------------------

@@ -113,6 +113,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r == 0.0)
   }
 
+  test("GraftFunctions.register exposes the kernels to SQL") {
+    GraftFunctions.register(spark)
+    Seq((Array(1f, 2f), Array(3f, 4f), "a b c a")).toDF("x", "y", "t")
+      .createOrReplaceTempView("gf_test")
+    val r = spark.sql("""
+      SELECT vec_dot(x, y) AS d, round(vec_cosine(x, y), 6) AS c,
+             simhash64(t) AS sh,
+             jaccard_hashes(word_shingle_hashes(t, 2), word_shingle_hashes(t, 2)) AS j
+      FROM gf_test""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(2) != 0L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
     val df = Seq((Array(1f, 2f, 3f, 4f), Array(2f, 4f, 6f, 8f), Array(-1f, 5f, -3f, 0.5f)))
       .toDF("a", "b", "c")
