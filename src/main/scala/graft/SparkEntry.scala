@@ -732,6 +732,20 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q59_range_join" -> ((s, dir) => {
+      // Bucketed range join: lineitem prices into 5k-wide price bands
+      // (equi-join on bins instead of a nested-loop theta join).
+      import s.implicits._
+      val bands = (0 until 20).map(k => (k, k * 5000.0, (k + 1) * 5000.0))
+        .toDF("band_id", "lo", "hi")
+      graft.operators.RangeJoin.pointInInterval(
+        tbl(s, dir, "lineitem"), bands, "l_extendedprice", "lo", "hi",
+        binSize = 5000.0).get
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("band_id")
+    }),
+
     "q58_multimodal_features" -> ((s, dir) => {
       // Byte-histogram feature extraction (mapPartitions): verify derived
       // invariants (nonzero-bucket count, argmax bucket) against the
@@ -1053,6 +1067,14 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q59_range_join" ->
+      """WITH bands AS (
+           SELECT CAST(k AS INTEGER) AS band_id, k * 5000.0 AS lo, (k + 1) * 5000.0 AS hi
+           FROM range(20) t(k))
+         SELECT band_id, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem JOIN bands
+           ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY band_id ORDER BY band_id""",
     "q58_multimodal_features" ->
       """WITH c AS (
            SELECT doc_id,
