@@ -450,7 +450,7 @@ object SparkEntry {
       // Synthetic embeddings are near-orthogonal (max pairwise cosine
       // ≈0.48), so the "near-dup" threshold is set low to exercise the path.
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.25, nBits = 4, tables = 8)
+        threshold = 0.25, nBits = 8, tables = 8)
         .get.orderBy("idA", "idB")
     }),
 
