@@ -91,6 +91,47 @@ object Stream {
         }
     }
 
+  /** Custom sessionization via `flatMapGroupsWithState` with event-time
+    * timeouts: events accumulate per key; when the watermark passes the
+    * last event + `gap`, the closed session is EMITTED and its state
+    * dropped — the full stateful-stream lifecycle (accumulate → timeout →
+    * emit → clean up), with state bounded by the watermark. Output mode
+    * must be `append`. */
+  def sessionize(
+      ds: Dataset[(String, Double, java.sql.Timestamp)],
+      gapMs: Long): MayFail[Dataset[SessionSummary]] = MayFail {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, events: Iterator[(String, Double, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator(SessionSummary(key, acc.n, acc.sum, acc.firstMs, acc.lastMs))
+          } else {
+            // events may arrive before the previous session's timeout has
+            // fired — split on the gap DURING the update, emitting every
+            // session that closed mid-batch
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var acc = state.getOption.getOrElse(SessionAcc(0L, 0.0, Long.MaxValue, 0L))
+            events.toSeq.sortBy(_._3.getTime).foreach { case (_, v, ts) =>
+              val t = ts.getTime
+              if (acc.n > 0 && t > acc.lastMs + gapMs) {
+                closed += SessionSummary(key, acc.n, acc.sum, acc.firstMs, acc.lastMs)
+                acc = SessionAcc(0L, 0.0, Long.MaxValue, 0L)
+              }
+              acc = SessionAcc(acc.n + 1, acc.sum + v,
+                math.min(acc.firstMs, t), math.max(acc.lastMs, t))
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastMs + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** Drain a stream into an in-memory table synchronously — the offline
     * test/debug sink (pairs with `Read.fileStream`). Returns the result
     * as a batch frame after `processAllAvailable`. */
@@ -128,3 +169,10 @@ object Stream {
 
 /** Keyed running-state record for [[Stream.runningStats]]. */
 final case class KeyStats(key: String, count: Long, sum: Double, lastSeenMs: Long)
+
+/** Accumulating session state for [[Stream.sessionize]]. */
+final case class SessionAcc(n: Long, sum: Double, firstMs: Long, lastMs: Long)
+
+/** Closed-session record emitted by [[Stream.sessionize]] on timeout. */
+final case class SessionSummary(
+    key: String, n: Long, sum: Double, firstMs: Long, lastMs: Long)

@@ -51,6 +51,33 @@ class StreamSpec extends AnyFunSuite {
     assert(out.select("id").as[String].collect().sorted.toSeq == Seq("x", "y"))
   }
 
+  test("sessionize emits closed sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Timestamp)]
+    val withWm = input.toDS()
+      .withColumnRenamed("_3", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Double, Timestamp)]
+    val sessions = Stream.sessionize(withWm, gapMs = 5 * 60 * 1000).get
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // session: 2 events within the gap
+    input.addData(("a", 1.0, ts(0)), ("a", 2.0, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open
+    // event far past the gap advances the watermark → session closes
+    input.addData(("a", 9.0, ts(30)))
+    q.processAllAvailable()
+    input.addData(("b", 0.0, ts(59))) // push watermark again to flush
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").as[SessionSummary].collect()
+    val first = rows.find(r => r.key == "a" && r.n == 2)
+    assert(first.isDefined, s"expected closed first session, got ${rows.toSeq}")
+    assert(first.get.sum == 3.0)
+    assert(first.get.firstMs == ts(0).getTime && first.get.lastMs == ts(2).getTime)
+  }
+
   test("runningStats keeps per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double, Timestamp)]
