@@ -112,6 +112,24 @@ class ClassificationModelCompare[A <: ClassificationMeasure](
     override val measure: A, override val feature: FeatureColumn)
   extends ModelCompare[A]
 
+/** Cluster-measure variant (reference ModelCompare.scala:75-77): scores
+  * go through `scoreCluster` since cluster measures read the features
+  * vector + assignment column rather than prediction/label. */
+class ClusterModelCompare[A <: ClusterMeasure](
+    val measure: A, val feature: FeatureColumn) {
+
+  def allOf(df: DataFrame, models: Iterable[ModelDesign]): Iterable[(Double, Specimen)] =
+    models.flatMap { design =>
+      val specimen = design.toSpecimen(feature, df)
+      specimen.scoreCluster(df, measure).toOption.map(score => (score, specimen))
+    }
+
+  def bestOf(df: DataFrame, models: Iterable[ModelDesign]): Option[(Double, Specimen)] =
+    allOf(df, models).reduceLeftOption { (a, b) =>
+      if (measure.isBetter(a._1, b._1)) a else b
+    }
+}
+
 /** Validation strategies (reference `Validation.scala:34-75`). */
 trait Validation[M <: Measure] {
   val measure: M

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.estimator.StringEncoder
+import graft.evaluation._
+import graft.model.{Features, Preset}
+import graft.physical._
+
+/** The reference's own test queries, ported with their EXACT golden values
+  * (reference `thundercats/src/test/scala/.../AllTest.scala`; line numbers
+  * cited per test). Where a golden depends on model-fit numerics across
+  * Spark versions, the assertion uses the tolerance noted inline —
+  * everything else is exact.
+  */
+class ReferenceGoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // fixtures (AllTest.scala:231-254)
+  private lazy val dfK1 = Seq(("a", "111"), ("b", "222"), ("c", "333"), ("d", "444"))
+    .toDF("key", "v1")
+  private lazy val dfK2 = Seq(("a", "a1"), ("a", "a2"), ("c", "c1"),
+    ("d", "d1"), ("d", "d2"), ("e", "e1")).toDF("key", "v2")
+  private lazy val dfK3 = Seq(("a", "111", 1), ("a", "111", 2), ("c", "333", 1),
+    ("d", "444", 1), ("d", "444", 2), ("d", "444", 3)).toDF("key", "value", "b")
+
+  private def rows3(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("left join golden (AllTest.scala:255-274)") {
+    val got = Join.left(dfK1, dfK2, Join.On(Seq("key"))).get
+    assert(got.columns.toSeq == Seq("key", "v1", "v2"))
+    assert(rows3(got) == Set(
+      ("a", "111", "a1"), ("a", "111", "a2"), ("b", "222", null),
+      ("c", "333", "c1"), ("d", "444", "d1"), ("d", "444", "d2")))
+  }
+
+  test("broadcast join golden — inner semantics, b dropped (AllTest.scala:325-346)") {
+    val got = Join.broadcast(dfK1, dfK2, Seq("key"), Seq("v2")).get
+    assert(got.columns.toSeq == Seq("key", "v1", "v2"))
+    assert(rows3(got) == Set(
+      ("a", "111", "a1"), ("a", "111", "a2"),
+      ("c", "333", "c1"), ("d", "444", "d1"), ("d", "444", "d2")))
+  }
+
+  test("broadcast join multi-key golden (AllTest.scala:348-370)") {
+    val b = dfK1.withColumnRenamed("v1", "value")
+    val got = Join.broadcast(b, dfK3, Seq("key", "value"), Seq("b")).get
+    assert(got.columns.toSeq == Seq("key", "value", "b"))
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(
+      ("a", "111", 1), ("a", "111", 2), ("c", "333", 1),
+      ("d", "444", 1), ("d", "444", 2), ("d", "444", 3)))
+  }
+
+  test("group-agg Map-strategy column naming golden (AllTest.scala:371-384)") {
+    val got = (for {
+      a <- Join.outer(dfK1, dfK2, Join.On(Seq("key")))
+      g <- Group.agg(a, Seq("key"), Group.Map(Map("v1" -> "min", "v2" -> "max")))
+    } yield g).get
+    assert(got.columns.toSeq == Seq("key", "min(v1)", "max(v2)"))
+    assert(rows3(got) == Set(
+      ("a", "111", "a2"), ("b", "222", null), ("c", "333", "c1"),
+      ("d", "444", "d2"), ("e", null, "e1")))
+  }
+
+  test("filter after group golden (AllTest.scala:395-417)") {
+    val got = (for {
+      a <- Join.outer(dfK1, dfK2, Join.On(Seq("key")))
+      g <- Group.agg(a, Seq("key"), Group.Map(Map("v1" -> "min", "v2" -> "max")))
+      f <- Filter.where(g, col("key") <= "c")
+    } yield f).get
+    assert(rows3(got) == Set(
+      ("a", "111", "a2"), ("b", "222", null), ("c", "333", "c1")))
+  }
+
+  test("addCol with when/sequence golden (AllTest.scala:419-439)") {
+    val got = F.addCol(dfK1, "b",
+      when(col("v1") === "222", lit(null))
+        .otherwise(sequence(lit(0), lit(5), lit(1)))).get
+    assert(got.columns.toSeq == Seq("key", "v1", "b"))
+    val rows = got.collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) null else r.getSeq[Int](2))).toMap
+    assert(rows("a") == Seq(0, 1, 2, 3, 4, 5))
+    assert(rows("b") == null)
+  }
+
+  // Train fixture (AllTest.scala:618-624)
+  private lazy val dfTrain = Seq(
+    (1, 0.0, 1.0, -1.0, "foo bar", ""),
+    (2, 0.1, 2.0, -2.0, "foo baz", "more"),
+    (3, 1.3, 4.0, 2.0, "zoo bar", "longer"),
+    (4, 0.1, 2.5, 5.0, "bar baz bar", ""),
+    (5, 0.5, 0.5, 1.0, "foo bar bar", "more")
+  ).toDF("i", "d", "v", "w", "s", "s2")
+
+  private def doubles(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] =
+    df.orderBy("i").collect().map(r => if (r.isNullAt(r.fieldIndex(c))) 0.0
+      else r.getDouble(r.fieldIndex(c))).toSeq
+
+  test("Scaler normalise golden — exact 16-digit values (AllTest.scala:628-646)") {
+    val out = Features.scaleNumbers(dfTrain, normalised = true, logScale = false)
+      .fit(dfTrain).transform(dfTrain)
+    assert(doubles(out, "d") == Seq(0.0, 0.05, 0.65, 0.05, 0.25))
+    assert(doubles(out, "v") == Seq(0.1, 0.2, 0.4, 0.25, 0.05))
+    assert(doubles(out, "w") == Seq(-0.2, -0.4, 0.4, 1.0, 0.2))
+  }
+
+  test("Scaler log-scale golden — ln(x<=0) reads back as 0 (AllTest.scala:648-670)") {
+    val out = Features.scaleNumbers(dfTrain, normalised = false, logScale = true)
+      .fit(dfTrain).transform(dfTrain)
+    assert(doubles(out, "d") == Seq(0.0, -2.3025850929940455, 0.26236426446749106,
+      -2.3025850929940455, -0.6931471805599453))
+    assert(doubles(out, "v") == Seq(0.0, 0.6931471805599453, 1.3862943611198906,
+      0.9162907318741551, -0.6931471805599453))
+    assert(doubles(out, "w") == Seq(0.0, 0.0, 0.6931471805599453,
+      1.6094379124341003, 0.0))
+  }
+
+  test("Scaler normalise+log golden (AllTest.scala:672-693)") {
+    val out = Features.scaleNumbers(dfTrain, normalised = true, logScale = true)
+      .fit(dfTrain).transform(dfTrain)
+    assert(doubles(out, "d") == Seq(0.0, -2.995732273553991, -0.4307829160924542,
+      -2.995732273553991, -1.3862943611198906))
+    assert(doubles(out, "v") == Seq(-2.3025850929940455, -1.6094379124341003,
+      -0.916290731874155, -1.3862943611198906, -2.995732273553991))
+    assert(doubles(out, "w") == Seq(0.0, 0.0, -0.916290731874155, 0.0,
+      -1.6094379124341003))
+  }
+
+  test("standardise: zero mean, unit (population) variance (AllTest.scala:695-721)") {
+    val out = Features.standardiseNumbers(dfTrain).fit(dfTrain).transform(dfTrain)
+    for (c <- Seq("d", "v", "w")) {
+      val vec = doubles(out, c)
+      val mean = vec.sum / vec.length
+      assert(math.abs(mean) <= 1e-6)
+      val variance = vec.map(x => (x - mean) * (x - mean)).sum / vec.length
+      assert(variance >= 0.99999 && variance <= 1.00001)
+    }
+  }
+
+  test("StringEncoder Murmur: fixed hash-space size (AllTest.scala:723-745)") {
+    val out = Features.encodeStrings(dfTrain, suffix = "_1").fit(dfTrain).transform(dfTrain)
+    // distinct tokens of s: foo bar baz zoo → every vector has size 4
+    val sizes = out.select("s_1").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0).size).toSet
+    assert(sizes == Set(4))
+    assert(out.columns.contains("s2_1"))
+  }
+
+  // W fixture, regression block (AllTest.scala:768-775)
+  private lazy val dfW = Seq(
+    (0, 0.0, 0.0), (1, 1.0, 1.0), (2, 1.0, 2.0), (3, 1.0, 3.0), (4, 1.0, 4.0)
+  ).toDF("i", "d", "label")
+
+  test("RMSE golden sqrt(2.8) exact (AllTest.scala:777-781)") {
+    val spec = DummySpecimen(Feature("i"), outputCol = "d", labelCol = "i")
+    assert(spec.score(dfW, RMSE) == graft.functional.Ok(math.sqrt(2.8)))
+  }
+
+  test("MAE golden 1.2 exact (AllTest.scala:783-787)") {
+    val spec = DummySpecimen(Feature("i"), outputCol = "d", labelCol = "i")
+    assert(spec.score(dfW, MAE) == graft.functional.Ok(1.2))
+  }
+
+  test("best feature by MAE and Pearson is i (AllTest.scala:789-819)") {
+    val design = DummyModelDesign(labelCol = "label")
+    val candidates = Seq(Feature("i"), Feature("d"))
+    val bestMae = new RegressionFeatureCompare(MAE).bestOf(design, candidates, dfW).get
+    assert(bestMae._2.colName == "i" && bestMae._3.isInstanceOf[DummySpecimen])
+    val bestP = new RegressionFeatureCompare(PearsonCorr).bestOf(design, candidates, dfW).get
+    assert(bestP._2.colName == "i")
+  }
+
+  // classification fixture (AllTest.scala:845-852)
+  private lazy val dfC = Seq(
+    (0, 0.0, 0.0), (1, 0.1, 0.0), (0, 1.5, 1.0), (1, 1.6, 1.0), (1, 1.3, 1.0)
+  ).toDF("i", "d", "label")
+
+  test("Precision threshold map golden (AllTest.scala:854-875)") {
+    val spec = DummySpecimen(Feature("i"), outputCol = "d", labelCol = "i")
+    val m = spec.scoreMap(dfC, Precision).get
+    assert(m.get(0.0).contains(0.6))
+    assert(m.get(0.1).contains(0.75))
+    assert(m.get(1.3).contains(0.6666666666666666))
+    assert(m.get(1.5).contains(0.5))
+    assert(m.get(1.6).contains(1.0))
+  }
+
+  test("Recall threshold map golden (AllTest.scala:877-887)") {
+    val spec = DummySpecimen(Feature("i"), outputCol = "d", labelCol = "i")
+    val m = spec.scoreMap(dfC, Recall).get
+    assert(m.get(0.0).contains(1.0))
+    assert(m.get(0.1).contains(1.0))
+    assert(m.get(1.3).contains(0.6666666666666666))
+    assert(m.get(1.5).contains(0.3333333333333333))
+    assert(m.get(1.6).contains(0.3333333333333333))
+  }
+
+  test("AUC golden 2/3 exact (AllTest.scala:889-894)") {
+    val spec = DummySpecimen(Feature("i"), outputCol = "d", labelCol = "i")
+    assert(spec.score(dfC, AUC).get == 0.6666666666666666)
+  }
+
+  test("SVM (LinearSVC) AUCPR > 0.5 (AllTest.scala:896-909)") {
+    val features = AssemblyFeature(Seq("i", "d"))
+    val design = SupervisedModelDesign("pred", "label",
+      Preset.svm(label = "label", output = "pred"))
+    val spec = design.toSpecimen(features, dfC)
+    assert(spec.score(dfC, AUCPrecisionRecall).get > 0.5)
+  }
+
+  test("SSE of kmeans matches the data-determined golden (AllTest.scala:1037-1064)") {
+    // exact reference fixture: group1 (11 rows around v=1000), group2 (20
+    // rows around v=160103..160113) — k=2 assignment is data-determined,
+    // so the SSE golden 17.142832535885173 carries across Spark versions
+    val g1 = Seq(
+      (1, 1.0, 1001.0, 0.0), (1, 1.0, 1000.0, 0.0), (1, 1.0, 1000.0, 0.0),
+      (1, 1.1, 1001.0, 0.0), (1, 1.1, 1000.0, 0.0), (1, 1.0, 1000.0, 0.0),
+      (1, 1.0, 1000.0, 0.0), (1, 1.0, 1001.0, 0.0), (1, 1.0, 1000.0, 0.0),
+      (1, 1.0, 1000.0, 0.0), (1, 1.1, 1001.0, 0.0))
+    val g2 = Seq(
+      (5, 5.0, 160113.0, 100.0), (5, 5.0, 160103.0, 100.0), (5, 5.0, 160103.0, 100.0),
+      (5, 5.1, 160103.0, 125.0), (5, 5.0, 160103.0, 100.0), (5, 5.0, 160103.0, 100.0),
+      (5, 5.0, 160113.0, 100.0), (5, 5.0, 160103.0, 109.0), (5, 5.0, 160103.0, 110.0),
+      (5, 5.1, 160113.0, 100.0), (5, 5.1, 160113.0, 100.0), (5, 5.1, 160113.0, 100.0),
+      (5, 5.1, 160113.0, 106.0), (5, 5.1, 160113.0, 100.0), (5, 5.1, 160113.0, 121.0),
+      (5, 5.1, 160113.0, 100.0), (5, 5.1, 160113.0, 110.0), (5, 5.1, 160113.0, 130.0),
+      (5, 5.1, 160113.0, 110.0))
+    val df = (g1 ++ g2).toDF("i", "d", "v", "w")
+    val feat = AssemblyFeature(Seq("i", "d", "v", "w"), "features")
+    val design = UnsupervisedModelDesign("group",
+      Preset.kmeans(features = "features", output = "group", k = 2))
+    val scores = new ClusterModelCompare(SSE, feat).allOf(df, Seq(design)).toSeq
+    assert(scores.size == 1)
+    assert(math.abs(scores.head._1 - 17.142832535885173) < 1e-9,
+      s"SSE ${scores.head._1}")
+  }
+
+  test("z-scores of all features match reference within 1e-4 (AllTest.scala:1121-1148)") {
+    val df = Seq(
+      (1, 1.0, 1.2, 0.1, "1.1"), (2, 2.0, 0.1, 0.3, "1.1"), (3, 3.2, 2.2, 0.5, "1.3"),
+      (4, 4.0, 3.2, 0.8, "0.6"), (5, 5.0, 4.2, 0.9, "0.4"), (6, 6.1, 0.0, 1.1, "1.9")
+    ).toDF("i", "d", "v", "w", "s").withColumn("s", col("s").cast("double"))
+    val features = Seq("d", "v", "w", "s")
+    val design = SupervisedModelDesign("z", "i",
+      Preset.linearReg(label = "i", output = "z"))
+    val sub = ZScoreFeatureSelector(AllSignificance)
+      .selectSubset(df, design, features.map(Feature(_))).toSeq
+    assert(sub.size == 4)
+    val expect = Map("d" -> 110.87751139732678, "v" -> -4.7566538028689775,
+      "w" -> 6.493176093426949, "s" -> -9.049261689285245)
+    sub.foreach { case (z, f) =>
+      val e = expect(f.colName)
+      assert(math.abs(z - e) / math.abs(e) < 1e-4, s"${f.colName}: $z vs $e")
+    }
+    // 95% significance keeps d and w (AllTest.scala:1150-1172)
+    val sig = ZScoreFeatureSelector(Significance95p)
+      .selectSubset(df, design, features.map(Feature(_)))
+    assert(sig.map(_._2.colName).toSeq == Seq("d", "w"))
+  }
+
+  test("cross-validation and split on linear regression score > 0 (AllTest.scala:1066-1109)") {
+    val df = Seq(
+      (1, 1.0, 1.2), (2, 2.0, 1.5), (3, 3.0, 2.2),
+      (4, 4.0, 3.2), (5, 5.0, 4.2), (6, 6.0, 5.0)
+    ).toDF("i", "d", "v")
+    val feature = AssemblyFeature(Seq("v"), "features")
+    val design = SupervisedModelDesign("z", "i",
+      Preset.linearReg(label = "i", output = "z"))
+    val cv = CrossValidation(MPE, nFolds = 3).run(df, design, feature)
+    assert(cv.isOk && cv.get > 0.0)
+    val sv = SplitValidation(MPE, trainRatio = 0.65f).run(df, design, feature)
+    assert(sv.isOk && sv.get > 0.0)
+  }
+}
