@@ -275,4 +275,74 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val sv = SplitValidation(MPE, trainRatio = 0.65f).run(df, design, feature)
     assert(sv.isOk && sv.get > 0.0)
   }
+  // A fixture (AllTest.scala:446-456)
+  private lazy val dfA = Seq(
+    (1, Option("aa")), (2, Option("bb")), (3, Option.empty[String]),
+    (4, Option.empty[String]), (5, Option("cc")), (6, Option("")),
+    (7, Option("")), (8, Option.empty[String]), (9, Option("dd"))
+  ).toDF("i", "s")
+
+  test("schemaMap and bind golden (AllTest.scala:458-481)") {
+    import graft.physical.Implicits._
+    assert(dfA.schemaMap.view.mapValues(_.typeName).toMap ==
+      Map("i" -> "integer", "s" -> "string"))
+    val got = (for {
+      a <- Filter.where(dfA, col("s").isNotNull && col("s") =!= "")
+      b <- a >> (_.withColumn("c", lit("0")))
+    } yield b).get
+    val rows = got.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1, "aa", "0"), (2, "bb", "0"), (5, "cc", "0"), (9, "dd", "0")))
+  }
+
+  test("Filter.na / byRange goldens (AllTest.scala:483-500)") {
+    assert(Filter.na(dfA, Seq("i", "s")).get.orderBy("i")
+      .select("s").as[String].collect().toSeq == Seq("aa", "bb", "cc", "", "", "dd"))
+    assert(Filter.byRange(dfA, "i", (3, 5)).get.orderBy("i")
+      .select("i").as[Int].collect().toSeq == Seq(3, 4, 5))
+  }
+
+  test("Agg.on and Agg.byKeyAsRDD goldens (AllTest.scala:502-539)") {
+    val raw = Seq(
+      ("key1", "a", 3), ("key1", "a", 0), ("key1", "b", 5), ("key1", "b", 2),
+      ("key1", "b", 1), ("key2", "a", 3), ("key2", "a", 0), ("key2", "a", 10),
+      ("key2", "a", 20), ("key2", "a", 9), ("key2", "b", 30))
+    val df = raw.toDF("key", "value", "b")
+    assert(Agg.on[Int](df, "b", _ + _).get == raw.map(_._3).sum)
+    assert(Agg.on[Int](df, "b", math.max).get == raw.map(_._3).max)
+    val byKey = Agg.byKeyAsRDD[String, Int](df, "key", "b", _ + _)
+      .get.collect().sortBy(_._1).toSeq
+    assert(byKey == Seq(
+      ("key1", raw.filter(_._1 == "key1").map(_._3).sum),
+      ("key2", raw.filter(_._1 == "key2").map(_._3).sum)))
+  }
+
+  test("Optimise snapshot/materialise goldens (AllTest.scala:541-570)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ref_snap").toString
+    val snap = Optimise.snapshot(dfA, tmp)(spark).get
+      .where(col("s").isNotNull && col("s") =!= "")
+      .orderBy("i").select("s").as[String].collect().toSeq
+    assert(snap == Seq("aa", "bb", "cc", "dd"))
+    val mat = Optimise.materialise(dfA).get
+    assert(mat.schema.toList == dfA.schema.toList)
+    mat.unpersist()
+  }
+
+  test("Pipe surgery goldens (AllTest.scala:579-611)") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.{HashingTF, PCA, VectorAssembler}
+    import graft.model.Pipe
+    val pipeComplete = new Pipeline().setStages(Array(
+      new HashingTF().setInputCol("aa"),
+      new VectorAssembler().setInputCols(Array("aa", "bb", "cc")).setOutputCol("vv"),
+      new KMeans().setFeaturesCol("vv")))
+    val est = (for {
+      p <- Pipe.add(pipeComplete, new PCA())
+      e <- Pipe.estimator(p)
+    } yield e).get
+    assert(est.getStages.map(_.getClass.getSimpleName).toSeq == Seq("PCA"))
+    val transformers = Pipe.withoutEstimator(pipeComplete).get
+    assert(transformers.getStages.map(_.getClass.getSimpleName).toSeq ==
+      Seq("HashingTF", "VectorAssembler"))
+  }
 }
