@@ -345,4 +345,75 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(transformers.getStages.map(_.getClass.getSimpleName).toSeq ==
       Seq("HashingTF", "VectorAssembler"))
   }
+
+  // regression model selector fixture (AllTest.scala:911-920)
+  private lazy val dfSel = Seq(
+    (1, 1.0, 1.2, 0.0), (2, 2.0, 1.5, 0.0), (3, 3.0, 2.2, 0.0),
+    (4, 4.0, 3.2, 0.0), (5, 5.0, 4.2, 0.0), (6, 6.0, 5.0, 0.0)
+  ).toDF("i", "d", "v", "w")
+
+  test("feature combinations exclude ignored columns (AllTest.scala:922-944)") {
+    val df = dfSel.withColumn("u", lit(-1) * col("i"))
+    val combos = new graft.model.FeatureAssemblyGenerator(1, 3, ignoreCols = List("w"))
+      .genCombinations(df).map(_.asArray.toSeq).toSeq
+    val expected = Seq(
+      Seq("i"), Seq("d"), Seq("v"), Seq("u"),
+      Seq("i", "d"), Seq("i", "v"), Seq("i", "u"),
+      Seq("d", "v"), Seq("d", "u"), Seq("v", "u"),
+      Seq("i", "d", "v"), Seq("i", "d", "u"),
+      Seq("i", "v", "u"), Seq("d", "v", "u"))
+    expected.foreach(c => assert(combos.contains(c), s"missing $c"))
+    assert(!combos.exists(_.contains("w")))
+  }
+
+  test("bestOf picks the min-MAE feature combination (AllTest.scala:946-973)") {
+    val df = dfSel.withColumn("u", lit(-1) * col("i"))
+    val combos = new graft.model.FeatureAssemblyGenerator(1, 3, ignoreCols = List("i"))
+      .genCombinations(df)
+    val design = SupervisedModelDesign("z", "i",
+      Preset.linearReg(label = "i", output = "z"))
+    val results = new RegressionFeatureCompare(MAE).allOf(design, combos, df)
+    assert(results.size == combos.size)
+    val (bestScore, _, _) = new RegressionFeatureCompare(MAE).bestOf(design, combos, df).get
+    assert(bestScore == results.map(_._1).min)
+  }
+
+  test("ModelCompare scores golden (AllTest.scala:975-999; fit-numeric tolerance)") {
+    val feat = AssemblyFeature(Seq("v"), "features")
+    val df = dfSel.withColumn("i2", col("i") + col("d"))
+    val allModels = Seq(
+      SupervisedModelDesign("z", "i",
+        Preset.linearReg(label = "i", output = "z")),
+      SupervisedModelDesign("z", "i2",
+        Preset.linearReg(label = "i", output = "z", elasticNetParam = 0.01)))
+    val scores = new RegressionModelCompare(MAE, feat).allOf(df, allModels).toSeq
+    assert(scores.size == 2)
+    assert(scores.forall(_._2.isInstanceOf[SupervisedSpecimen]))
+    // reference goldens 0.21092959375451714 and 3.4999999999999996 —
+    // regularized solver numerics drift across Spark versions, hence 1e-3
+    assert(math.abs(scores(0)._1 - 0.21092959375451714) < 1e-3, s"${scores(0)._1}")
+    assert(math.abs(scores(1)._1 - 3.4999999999999996) < 1e-3, s"${scores(1)._1}")
+  }
+
+  test("PCA reduces the feature vector to 3 dims in place (AllTest.scala:1190-1230)") {
+    val df = Seq(
+      (1, 1.0, 1.2, 0.1, "1.1"), (2, 2.0, 0.1, 0.3, "1.1"), (3, 3.2, 2.2, 0.5, "1.3"),
+      (4, 4.0, 3.2, 0.8, "0.6"), (5, 5.0, 4.2, 0.9, "0.4"), (6, 6.1, 0.0, 1.1, "1.9"),
+      (7, 7.2, 5.0, 1.3, "0.0"), (8, 7.5, 7.0, 1.5, "9.1"), (9, 9.4, 7.7, 1.8, "0.0"),
+      (10, 9.9, 8.9, 2.1, "0.0")
+    ).toDF("i", "d", "v", "w", "s")
+      .withColumn("s", col("s").cast("double"))
+      .withColumn("s2", col("s") * (-1.0))
+    val features = AssemblyFeature(Seq("d", "v", "w", "s", "s2"))
+    val pipe = features % (
+      Preset.linearReg(label = "i", output = "z"),
+      preVectorAsmStep = None,
+      postVectorAsmStep = Some(graft.model.DimReduc.pca(3)))
+    val out = pipe.fit(df).transform(df)
+    assert(out.columns.contains("features") && !out.columns.contains("features_reduced"))
+    val vecs = out.select("features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(vecs.length == df.count())
+    assert(vecs.forall(_.size == 3))
+  }
 }
