@@ -28,32 +28,44 @@ object GraftFunctions {
         s"expected a long literal, got $other")
     }
 
+  private def arity(name: String, es: Seq[_], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min" + (if (max != min) s"..$max" else "") +
+          s" arguments, got ${es.length}")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
-      es => FloatVecDot(es(0), es(1)), "scala_udf")
+      es => { arity("vec_dot", es, 2, 2); FloatVecDot(es(0), es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine",
-      es => FloatVecCosine(es(0), es(1)), "scala_udf")
+      es => { arity("vec_cosine", es, 2, 2); FloatVecCosine(es(0), es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm",
-      es => FloatVecNorm(es.head), "scala_udf")
+      es => { arity("vec_norm", es, 1, 1); FloatVecNorm(es.head) }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHashText(es.head, if (es.length > 1) longLit(es(1)) else 42L), "scala_udf")
+      es => { arity("simhash64", es, 1, 2)
+        SimHashText(es.head, if (es.length > 1) longLit(es(1)) else 42L) }, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
-      es => WordShingleHashes(es.head, intLit(es(1)),
-        if (es.length > 2) longLit(es(2)) else 42L), "scala_udf")
+      es => { arity("word_shingle_hashes", es, 2, 3)
+        WordShingleHashes(es.head, intLit(es(1)),
+          if (es.length > 2) longLit(es(2)) else 42L) }, "scala_udf")
     reg.createOrReplaceTempFunction("char_shingle_hashes",
-      es => CharShingleHashes(es.head, intLit(es(1)),
-        if (es.length > 2) longLit(es(2)) else 42L), "scala_udf")
+      es => { arity("char_shingle_hashes", es, 2, 3)
+        CharShingleHashes(es.head, intLit(es(1)),
+          if (es.length > 2) longLit(es(2)) else 42L) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es.head, intLit(es(1)),
-        if (es.length > 2) longLit(es(2)) else 42L), "scala_udf")
+      es => { arity("minhash_signature", es, 2, 3)
+        MinHashSignature(es.head, intLit(es(1)),
+          if (es.length > 2) longLit(es(2)) else 42L) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_band_keys",
-      es => MinHashBandKeysFromHashes(es.head, intLit(es(1)), intLit(es(2)),
-        if (es.length > 3) longLit(es(3)) else 42L), "scala_udf")
+      es => { arity("minhash_band_keys", es, 3, 4)
+        MinHashBandKeysFromHashes(es.head, intLit(es(1)), intLit(es(2)),
+          if (es.length > 3) longLit(es(3)) else 42L) }, "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_hashes",
-      es => JaccardLongs(es(0), es(1)), "scala_udf")
+      es => { arity("jaccard_hashes", es, 2, 2); JaccardLongs(es(0), es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_bits",
-      es => HyperplaneBits(es.head, intLit(es(1)),
-        if (es.length > 2) longLit(es(2)) else 42L), "scala_udf")
+      es => { arity("hyperplane_bits", es, 2, 3)
+        HyperplaneBits(es.head, intLit(es(1)),
+          if (es.length > 2) longLit(es(2)) else 42L) }, "scala_udf")
   }
 }

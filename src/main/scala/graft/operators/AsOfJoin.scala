@@ -40,15 +40,24 @@ object AsOfJoin {
       rightCols: Seq[String]
   ): MayFail[DataFrame] = MayFail {
     require(rightCols.nonEmpty, "rightCols must name at least one payload column")
-    val payload = (rightCols :+ rightTs).distinct
-    val clash = payload.toSet intersect left.columns.toSet
-    require(clash.isEmpty, s"right payload columns clash with left: $clash")
+    val clash = rightCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"right payload columns clash with left: $clash — " +
+      "rename them on the right side before joining")
+    // Both sides naming their ts column identically is the common case:
+    // the right ts is then used for ordering only and not emitted (give
+    // it a distinct name on the right to also receive the matched ts).
+    val emitRightTs = rightTs != leftTs && !left.columns.contains(rightTs)
+    val payload = if (emitRightTs) (rightCols :+ rightTs).distinct else rightCols.distinct
 
     val lTagged = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
+    // rightTs always rides along for ordering (__t); when its name clashes
+    // with a left column the two merge in the union, which is harmless —
+    // right rows are filtered out of the output and left rows keep their
+    // own values (only `payload` columns get window-filled).
     val rTagged = right
-      .select((by ++ payload).map(col): _*)
+      .select((by ++ (payload :+ rightTs).distinct).map(col): _*)
       .withColumn("__t", col(rightTs))
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)

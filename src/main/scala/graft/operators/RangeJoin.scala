@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
@@ -16,8 +16,35 @@ import graft.functional.MayFail
   * hash shuffle — linear, where the nested-loop is quadratic. Pick
   * `binSize` near the typical interval width: too small replicates
   * intervals; too large packs unrelated rows into a bin.
+  *
+  * Guardrails: an interval spanning more than `maxBinsPerInterval` bins
+  * (an open-ended sentinel like 9999-12-31 would otherwise explode to
+  * billions of rows) raises a descriptive error at execution; the two
+  * sides must not share non-`by` column names (Spark would otherwise
+  * fail late with an ambiguous-reference error on the filter).
   */
 object RangeJoin {
+
+  private def requireDisjointColumns(
+      left: DataFrame, right: DataFrame, by: Seq[String]): Unit = {
+    val clash = (left.columns.toSet intersect right.columns.toSet) -- by.toSet
+    require(clash.isEmpty,
+      s"left and right share non-key column names $clash — rename one side " +
+        "(the post-join range filter would be ambiguous)")
+  }
+
+  /** Replicated bin keys for `[startCol, endCol]`, erroring on intervals
+    * wider than `maxBins` bins. */
+  private def binsOf(s: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+      binSize: Double, maxBins: Int) = {
+    val lo = floor(s.cast("double") / binSize).cast("long")
+    val hi = floor(e.cast("double") / binSize).cast("long")
+    explode(when(hi - lo >= maxBins,
+        raise_error(concat(lit(s"interval spans more than $maxBins bins of $binSize — " +
+          "raise binSize/maxBinsPerInterval or cap open-ended intervals; width="),
+          (hi - lo) * binSize)))
+      .otherwise(sequence(lo, hi)))
+  }
 
   /** Inner join of `left` rows whose `pointCol` falls in `right`'s
     * `[startCol, endCol)` interval, optionally also matching `by` keys. */
@@ -28,15 +55,15 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       binSize: Double,
-      by: Seq[String] = Nil
+      by: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 10000
   ): MayFail[DataFrame] = MayFail {
     require(binSize > 0, s"binSize must be positive: $binSize")
+    requireDisjointColumns(left, right, by)
     val lBinned = left.withColumn("__bin",
       floor(col(pointCol).cast("double") / binSize).cast("long"))
     val rBinned = right.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol).cast("double") / binSize).cast("long"),
-        floor(col(endCol).cast("double") / binSize).cast("long"))))
+      binsOf(col(startCol), col(endCol), binSize, maxBinsPerInterval))
     lBinned.join(rBinned, by :+ "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
@@ -56,14 +83,13 @@ object RangeJoin {
       binSize: Double,
       leftKey: String,
       rightKey: String,
-      by: Seq[String] = Nil
+      by: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 10000
   ): MayFail[DataFrame] = MayFail {
     require(binSize > 0, s"binSize must be positive: $binSize")
+    requireDisjointColumns(left, right, by)
     def binned(df: DataFrame, s: String, e: String) =
-      df.withColumn("__bin",
-        explode(sequence(
-          floor(col(s).cast("double") / binSize).cast("long"),
-          floor(col(e).cast("double") / binSize).cast("long"))))
+      df.withColumn("__bin", binsOf(col(s), col(e), binSize, maxBinsPerInterval))
     binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), by :+ "__bin")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .drop("__bin")

@@ -28,6 +28,7 @@ object Stream {
       aggs: Seq[Column],
       keys: Seq[String] = Nil,
       slideDuration: Option[String] = None): MayFail[DataFrame] = MayFail {
+    require(aggs.nonEmpty, "windowedAgg needs at least one aggregate expression")
     val w = slideDuration match {
       case Some(slide) => window(col(tsCol), windowDuration, slide)
       case None        => window(col(tsCol), windowDuration)
@@ -45,6 +46,7 @@ object Stream {
       gapDuration: String,
       keys: Seq[String],
       aggs: Seq[Column]): MayFail[DataFrame] = MayFail {
+    require(aggs.nonEmpty, "sessionAgg needs at least one aggregate expression")
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gapDuration).as("session") +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -62,7 +64,10 @@ object Stream {
     (tsCol, watermarkDelay) match {
       case (Some(ts), Some(delay)) =>
         df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
-      case _ => df.dropDuplicates(keys)
+      case (None, None) => df.dropDuplicates(keys)
+      case _ => throw new IllegalArgumentException(
+        "deduplicate needs BOTH tsCol and watermarkDelay for bounded state " +
+          "(or neither, for bounded backfills only) — got exactly one")
     }
   }
 
@@ -70,24 +75,37 @@ object Stream {
     * count, value sum, and last-seen event time — the canonical stateful
     * enrichment shape. Output mode must be `update`. */
   def runningStats(
-      ds: Dataset[(String, Double, java.sql.Timestamp)]): MayFail[Dataset[KeyStats]] =
+      ds: Dataset[(String, Double, java.sql.Timestamp)],
+      idleTtlMs: Option[Long] = None): MayFail[Dataset[KeyStats]] =
     MayFail {
       import ds.sparkSession.implicits._
+      // idleTtlMs bounds state for unbounded key cardinality: a key idle
+      // past the TTL has its state dropped (its stats restart at zero if
+      // it reappears). None keeps state forever — bounded key sets only.
+      val timeout = idleTtlMs.fold[GroupStateTimeout](GroupStateTimeout.NoTimeout)(
+        _ => GroupStateTimeout.ProcessingTimeTimeout)
       ds.groupByKey(_._1)
-        .mapGroupsWithState[KeyStats, KeyStats](GroupStateTimeout.NoTimeout) {
+        .mapGroupsWithState[KeyStats, KeyStats](timeout) {
           (key: String, events: Iterator[(String, Double, java.sql.Timestamp)],
            state: GroupState[KeyStats]) =>
-            val prev = state.getOption.getOrElse(KeyStats(key, 0L, 0.0, 0L))
-            var n = prev.count
-            var sum = prev.sum
-            var lastTs = prev.lastSeenMs
-            events.foreach { case (_, v, ts) =>
-              n += 1; sum += v
-              if (ts.getTime > lastTs) lastTs = ts.getTime
+            if (state.hasTimedOut) {
+              val last = state.get
+              state.remove()
+              last
+            } else {
+              val prev = state.getOption.getOrElse(KeyStats(key, 0L, 0.0, 0L))
+              var n = prev.count
+              var sum = prev.sum
+              var lastTs = prev.lastSeenMs
+              events.foreach { case (_, v, ts) =>
+                n += 1; sum += v
+                if (ts.getTime > lastTs) lastTs = ts.getTime
+              }
+              val next = KeyStats(key, n, sum, lastTs)
+              state.update(next)
+              idleTtlMs.foreach(state.setTimeoutDuration)
+              next
             }
-            val next = KeyStats(key, n, sum, lastTs)
-            state.update(next)
-            next
         }
     }
 
@@ -99,9 +117,16 @@ object Stream {
     * must be `append`. */
   def sessionize(
       ds: Dataset[(String, Double, java.sql.Timestamp)],
-      gapMs: Long): MayFail[Dataset[SessionSummary]] = MayFail {
+      gapMs: Long,
+      watermarkDelay: String = "0 seconds",
+      tsColName: String = "_3"): MayFail[Dataset[SessionSummary]] = MayFail {
+    require(gapMs > 0, s"gapMs must be positive: $gapMs")
     import ds.sparkSession.implicits._
-    ds.groupByKey(_._1)
+    // event-time timeouts REQUIRE a watermark on the input — apply it here
+    // so the contract cannot be violated at query start
+    ds.withWatermark(tsColName, watermarkDelay)
+      .as[(String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SessionAcc, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, events: Iterator[(String, Double, java.sql.Timestamp)],
@@ -138,13 +163,13 @@ object Stream {
   def drainToMemory(
       df: DataFrame,
       queryName: String,
-      outputMode: String = "append")(implicit spark: SparkSession): MayFail[DataFrame] =
+      outputMode: String = "append"): MayFail[DataFrame] =
     MayFail {
       val q = df.writeStream.outputMode(outputMode)
         .format("memory").queryName(queryName).start()
       q.processAllAvailable()
       q.stop()
-      spark.table(queryName)
+      df.sparkSession.table(queryName)
     }
 
   /** Start a file sink with an explicit trigger + checkpoint (the

@@ -22,7 +22,7 @@ class StreamSpec extends AnyFunSuite {
     val agg = Stream.windowedAgg(df, "ts", "10 minutes", "5 minutes",
       aggs = Seq(count(lit(1)).as("n"), sum($"v").as("s")), keys = Seq("key")).get
     input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 4.0), (ts(2), "b", 8.0))
-    val out = Stream.drainToMemory(agg, "wnd_test", "complete")(spark).get
+    val out = Stream.drainToMemory(agg, "wnd_test", "complete").get
     val rows = out.select($"window.start", $"key", $"n", $"s")
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(rows == Set(
@@ -37,7 +37,7 @@ class StreamSpec extends AnyFunSuite {
       keys = Seq("key"), aggs = Seq(count(lit(1)).as("n"))).get
     // two events 2 min apart (one session), then a 20-min gap (new session)
     input.addData((ts(0), "a", 1.0), (ts(2), "a", 1.0), (ts(22), "a", 1.0))
-    val out = Stream.drainToMemory(agg, "sess_test", "complete")(spark).get
+    val out = Stream.drainToMemory(agg, "sess_test", "complete").get
     assert(out.select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
@@ -47,18 +47,14 @@ class StreamSpec extends AnyFunSuite {
     val df = input.toDF.toDF("ts", "id")
     val dedup = Stream.deduplicate(df, Seq("id"), Some("ts"), Some("1 hour")).get
     input.addData((ts(0), "x"), (ts(1), "x"), (ts(2), "y"))
-    val out = Stream.drainToMemory(dedup, "dedup_test")(spark).get
+    val out = Stream.drainToMemory(dedup, "dedup_test").get
     assert(out.select("id").as[String].collect().sorted.toSeq == Seq("x", "y"))
   }
 
   test("sessionize emits closed sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double, Timestamp)]
-    val withWm = input.toDS()
-      .withColumnRenamed("_3", "ts")
-      .withWatermark("ts", "0 seconds")
-      .as[(String, Double, Timestamp)]
-    val sessions = Stream.sessionize(withWm, gapMs = 5 * 60 * 1000).get
+    val sessions = Stream.sessionize(input.toDS(), gapMs = 5 * 60 * 1000).get
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     // session: 2 events within the gap
