@@ -732,6 +732,26 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q60_pivot" -> ((s, dir) => {
+      (for {
+        p <- Group.pivot(tbl(s, dir, "lineitem"),
+               by = Seq("l_returnflag"), pivotCol = "l_linestatus",
+               pivotValues = Seq("F", "O"),
+               agg = round(sum(col("l_quantity")), 4))
+        o <- Order.by(p, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
+    "q61_unpivot" -> ((s, dir) => {
+      (for {
+        u <- Transform.unpivot(tbl(s, dir, "supplier"),
+               ids = Seq("s_suppkey"), values = Seq("s_acctbal", "s_nationkey"),
+               variableColumnName = "metric", valueColumnName = "val")
+        a <- Transform(u)(_.withColumn("val", round(col("val"), 4)))
+        o <- Order.by(a, Seq("s_suppkey", "metric"))
+      } yield o).get
+    }),
+
     "q59_range_join" -> ((s, dir) => {
       // Bucketed range join: lineitem prices into 5k-wide price bands
       // (equi-join on bins instead of a nested-loop theta join).
@@ -1067,6 +1087,17 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q60_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS "F",
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q61_unpivot" ->
+      """SELECT s_suppkey, metric, round(val, 4) AS val FROM (
+           SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS val FROM supplier
+           UNION ALL
+           SELECT s_suppkey, 's_nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier)
+         ORDER BY s_suppkey, metric""",
     "q59_range_join" ->
       """WITH bands AS (
            SELECT CAST(k AS INTEGER) AS band_id, k * 5000.0 AS lo, (k + 1) * 5000.0 AS hi

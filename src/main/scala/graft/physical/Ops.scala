@@ -94,6 +94,20 @@ object Group {
       }
     }
 
+  /** Pivot: rows of `pivotCol` become columns, one per (explicitly
+    * listed) value — listing values keeps the plan single-pass; omitting
+    * them costs an extra distinct-collect job at scale. */
+  def pivot(
+      df: DataFrame,
+      by: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[Any],
+      agg: Column): MayFail[DataFrame] = MayFail {
+    require(pivotValues.nonEmpty,
+      "list pivot values explicitly — discovering them is a separate job")
+    df.groupBy(by.map(col): _*).pivot(pivotCol, pivotValues).agg(agg)
+  }
+
   /** Grouping-sets extensions — free surface beyond the reference
     * (SURVEY §2.4 notes these as parity+). */
   def rollup(df: DataFrame, by: Seq[String], exprs: Seq[Column]): MayFail[DataFrame] =
@@ -206,6 +220,18 @@ object Transform {
     MayFail(df.drop(cols: _*))
 
   def distinct(df: DataFrame): MayFail[DataFrame] = MayFail(df.distinct())
+
+  /** Unpivot (melt): selected value columns become (variable, value) rows. */
+  def unpivot(
+      df: DataFrame,
+      ids: Seq[String],
+      values: Seq[String],
+      variableColumnName: String = "variable",
+      valueColumnName: String = "value"): MayFail[DataFrame] = MayFail {
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      variableColumnName, valueColumnName)
+  }
+
 }
 
 /** Set operations (SURVEY §2.7 — thin wrappers for surface completeness). */

@@ -40,4 +40,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     val bad = right.withColumnRenamed("rv", "eid")
     assert(AsOfJoin.backward(left, bad, "t", "rt", Seq("user"), Seq("eid")).isFailing)
   }
+
+  test("identical timestamp names on both sides work (ts not emitted)") {
+    val sameName = right.withColumnRenamed("rt", "t")
+    val got = AsOfJoin.backward(left, sameName, "t", "t", Seq("user"), Seq("rv")).get
+    val byEid = got.select("eid", "rv").as[(String, Option[Double])]
+      .collect().toMap
+    assert(byEid("e1").contains(40.0) && byEid("e2").contains(90.0))
+    assert(byEid("e3").isEmpty)
+    assert(got.columns.count(_ == "t") == 1) // left's t only
+  }
 }

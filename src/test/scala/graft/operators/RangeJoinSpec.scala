@@ -27,6 +27,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.select("pid").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("open-ended intervals raise a descriptive error instead of exploding") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val open = Seq((10L, 0.0, 1e12)).toDF("iid", "lo", "hi") // sentinel end
+    val r = RangeJoin.pointInInterval(pts, open, "p", "lo", "hi", binSize = 1.0)
+    // plan builds fine; the guard fires at execution
+    val err = intercept[Exception](r.get.count())
+    assert(err.getMessage.contains("interval spans more than") ||
+      Option(err.getCause).exists(_.getMessage.contains("interval spans more than")))
+  }
+
+  test("shared non-key column names are rejected up front") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivs = Seq((1L, 0.0, 9.0)).toDF("pid", "lo", "hi") // pid clashes
+    assert(RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 1.0).isFailing)
+  }
+
   test("intervalOverlap finds intersecting intervals once each") {
     val l = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("lid", "ls", "le")
     val r = Seq((10L, 5.0, 25.0), (11L, 40.0, 50.0)).toDF("rid", "rs", "re")
