@@ -732,6 +732,37 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q62_tpch6" -> ((s, dir) => {
+      // TPC-H Q6 shape: tight multi-predicate scan → single aggregate;
+      // every predicate must reach the parquet scan.
+      (for {
+        f <- Filter.where(tbl(s, dir, "lineitem"),
+               col("l_shipdate") >= lit("1997-01-01") &&
+               col("l_shipdate") < lit("1998-01-01") &&
+               col("l_discount").between(0.02, 0.06) &&
+               col("l_quantity") < 24)
+        g <- Transform(f)(_.agg(
+               round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+               count(lit(1)).as("n")))
+      } yield g).get
+    }),
+
+    "q63_tpch4" -> ((s, dir) => {
+      // TPC-H Q4 shape: EXISTS semi-join → count by priority.
+      val orders = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01"))
+        .select(col("l_orderkey").as("o_orderkey"))
+      (for {
+        j <- Join.semi(orders, li, Join.On(Seq("o_orderkey")))
+        g <- Group.agg(j, Seq("o_orderpriority"),
+               Group.Agg(Seq(count(lit(1)).as("order_count"))))
+        o <- Order.by(g, Seq("o_orderpriority"))
+      } yield o).get
+    }),
+
     "q60_pivot" -> ((s, dir) => {
       (for {
         p <- Group.pivot(tbl(s, dir, "lineitem"),
@@ -1087,6 +1118,19 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q62_tpch6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "q63_tpch4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_shipdate > '1997-06-01')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q60_pivot" ->
       """SELECT l_returnflag,
          round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS "F",

@@ -516,3 +516,32 @@ object SimHashText {
   def compute(s: UTF8String, seed: Long): Long =
     SimHashImpl.voteBits(TextHashImpl.tokenHashes(s, seed))
 }
+
+/** Morton (Z-order) code: interleave the bits of two 16-bit cell ids into
+  * one 32-bit value, so lexicographic order on the code preserves spatial
+  * locality in BOTH dimensions — rows sorted by z-code give parquet
+  * row-group min/max statistics that prune on either column. */
+object ZOrderImpl {
+  /** Spread the low 16 bits of `v` into the even bit positions. */
+  @inline def spread16(v0: Long): Long = {
+    var v = v0 & 0xffffL
+    v = (v | (v << 8)) & 0x00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0fL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+  def interleave(a: Long, b: Long): Long = spread16(a) | (spread16(b) << 1)
+}
+
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderImpl.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ZOrderImpl.interleave($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits =
+    copy(left = l, right = r)
+  override def prettyName: String = "interleave_bits"
+}

@@ -132,6 +132,24 @@ class OpsSpec extends AnyFunSuite {
     assert(masked.select("arr").as[String].head().startsWith("<array"))
   }
 
+  test("zorderBy interleaves correctly and clusters both dimensions") {
+    // bit-interleave golden: a=0b101 (cells even bits), b=0b011 (odd bits)
+    assert(graft.functions.ZOrderImpl.interleave(0x5L, 0x3L) == 0x1BL) // 0b011011
+    assert(graft.functions.ZOrderImpl.interleave(0xffffL, 0L) == 0x55555555L)
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val z = Optimise.zorderBy(grid, "x", "y", partitions = 4).get
+    assert(z.count() == 1024 && z.columns.toSeq == Seq("x", "y"))
+    // locality: within each partition, both x and y spans are bounded
+    // (a single-column sort would leave the other column's span at max)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val spans = z.withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .select("sx", "sy").as[(Int, Int)].collect()
+    assert(spans.forall { case (sx, sy) => sx < 32 && sy < 32 && (sx < 31 || sy < 31) },
+      s"no locality: ${spans.toSeq}")
+  }
+
   test("saltedJoin equals the plain join result") {
     val small = Seq(("a", "x"), ("b", "y")).toDF("key", "tag")
     val plain = kv.join(small, Seq("key"), "inner")
