@@ -310,6 +310,37 @@ object Optimise {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall, on :+ "__salt", how).drop("__salt")
   }
+  /** Compact a parquet directory toward `targetFileBytes` per output file
+    * — the small-files remedy for streaming sinks and over-partitioned
+    * writes (thousands of tiny files destroy scan scheduling at scale).
+    * Rewrites into a temp dir then swaps, so a crash never leaves the
+    * source half-deleted. */
+  def compact(
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  )(implicit spark: SparkSession): MayFail[DataFrame] = MayFail {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new java.io.File(path)
+    require(fs.exists, s"no such directory: $path")
+    val totalBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(fs)
+    }
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // canonical sibling path — a "$path/.." form would stop resolving
+    // once the source directory is deleted mid-swap
+    val tmpFile = new java.io.File(fs.getAbsoluteFile.getParentFile,
+      s"${fs.getName}__compact_${java.util.UUID.randomUUID}")
+    spark.read.parquet(path).repartition(nFiles).write.parquet(tmpFile.getPath)
+    // swap
+    import scala.reflect.io.Directory
+    new Directory(fs).deleteRecursively()
+    require(tmpFile.renameTo(fs), s"rename $tmpFile -> $fs failed")
+    spark.read.parquet(path)
+  }
+
   /** Z-order (Morton) layout: quantize two columns to 16-bit cells via
     * `ntile`, interleave the bits (native expression), then range-
     * partition + sort by the code. Files written from this layout carry

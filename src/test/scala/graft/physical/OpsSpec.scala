@@ -132,6 +132,20 @@ class OpsSpec extends AnyFunSuite {
     assert(masked.select("arr").as[String].head().startsWith("<array"))
   }
 
+  test("compact merges small files preserving data") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Seq.tabulate(1000)(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(50).write.parquet(dir) // 50 tiny files
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 50)
+    val compacted = Optimise.compact(dir, targetFileBytes = 1L << 30).get
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 file, got $after")
+    assert(compacted.count() == 1000)
+    assert(compacted.agg(sum($"id")).head.getLong(0) == (0L until 1000).sum)
+  }
+
   test("zorderBy interleaves correctly and clusters both dimensions") {
     // bit-interleave golden: a=0b101 (cells even bits), b=0b011 (odd bits)
     assert(graft.functions.ZOrderImpl.interleave(0x5L, 0x3L) == 0x1BL) // 0b011011
