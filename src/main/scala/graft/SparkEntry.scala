@@ -732,6 +732,18 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q64_sampling" -> ((s, dir) => {
+      // Fixed per-group quota: counts are deterministic (min(n, |group|))
+      // even though the chosen rows are seed-dependent.
+      (for {
+        sample <- graft.operators.Sampling.fixedPerGroup(
+                    tbl(s, dir, "documents"), Seq("lang"), n = 40)
+        g <- Group.agg(sample, Seq("lang"), Group.Agg(Seq(
+               count(lit(1)).as("n_sampled"))))
+        o <- Order.by(g, Seq("lang"))
+      } yield o).get
+    }),
+
     "q62_tpch6" -> ((s, dir) => {
       // TPC-H Q6 shape: tight multi-predicate scan → single aggregate;
       // every predicate must reach the parquet scan.
@@ -1118,6 +1130,9 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q64_sampling" ->
+      """SELECT lang, least(count(*), 40) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q62_tpch6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+
+/** Sampling operators for training-data curation — the quota tools a
+  * corpus pipeline needs (Spark's built-ins cover only whole-frame
+  * `sample` and fraction-stratified `sampleBy`).
+  *
+  * All variants are seed-deterministic and fully distributed: the only
+  * shuffle is on the group key, and per-group state is a window, never a
+  * collection.
+  */
+object Sampling {
+
+  /** Exactly `min(n, |group|)` uniformly-chosen rows per group (fixed
+    * quota per source/language/domain — `sampleBy` can only do
+    * fractions). One shuffle on the keys. */
+  def fixedPerGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      seed: Long = 42L): MayFail[DataFrame] = MayFail {
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-group sampling fractions (thin wrapper over `sampleBy`, which is
+    * map-side only — no shuffle). */
+  def byFractions(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): MayFail[DataFrame] =
+    MayFail(df.stat.sampleBy(keyCol, fractions, seed))
+
+  /** Greedy token-budget sample: rows are taken in seeded-random order
+    * per group until the group's running token count passes `budget` (the
+    * row that crosses the line is included, so every non-empty group
+    * yields at least one row). The LLM-corpus shape: "at most N tokens
+    * per source". */
+  def byTokenBudget(
+      df: DataFrame,
+      keys: Seq[String],
+      tokenCountCol: String,
+      budget: Long,
+      seed: Long = 42L): MayFail[DataFrame] = MayFail {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__running", sum(col(tokenCountCol)).over(w))
+      .filter(col("__running") - col(tokenCountCol) < budget)
+      .drop("__running")
+  }
+}

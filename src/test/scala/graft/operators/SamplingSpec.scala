@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = (
+    Seq.tabulate(100)(i => ("en", i.toLong, 10L + i % 7)) ++
+      Seq.tabulate(30)(i => ("de", 1000L + i, 20L)) ++
+      Seq.tabulate(3)(i => ("fr", 2000L + i, 5L))
+    ).toDF("lang", "id", "n_tokens")
+
+  test("fixedPerGroup takes exactly min(n, group size) per group, deterministically") {
+    val s1 = Sampling.fixedPerGroup(docs, Seq("lang"), n = 10).get
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L, "fr" -> 3L))
+    // same seed ⇒ same rows
+    val s2 = Sampling.fixedPerGroup(docs, Seq("lang"), n = 10).get
+    assert(s1.select("id").as[Long].collect().sorted.toSeq ==
+      s2.select("id").as[Long].collect().sorted.toSeq)
+    // different seed ⇒ (almost surely) different rows
+    val s3 = Sampling.fixedPerGroup(docs, Seq("lang"), n = 10, seed = 7L).get
+    assert(s1.select("id").as[Long].collect().sorted.toSeq !=
+      s3.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("byFractions approximates the requested fractions") {
+    val got = Sampling.byFractions(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)).get
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got.getOrElse("de", 0L) == 30L)
+    assert(!got.contains("fr"))
+    assert(got("en") > 20L && got("en") < 80L)
+  }
+
+  test("byTokenBudget stops once the running count crosses the budget") {
+    val got = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", budget = 100L).get
+    val sums = got.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("t"),
+        org.apache.spark.sql.functions.count($"id").as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every group: total - last row < budget ⇒ total < budget + max token count
+    assert(sums("en")._1 < 100L + 16L && sums("en")._1 >= 100L)
+    assert(sums("de")._1 < 100L + 20L && sums("de")._1 >= 100L)
+    assert(sums("fr")._1 == 15L) // whole group under budget
+    // at least one row per non-empty group even if a single row exceeds budget
+    val fat = Seq(("x", 1L, 1000L)).toDF("lang", "id", "n_tokens")
+    assert(Sampling.byTokenBudget(fat, Seq("lang"), "n_tokens", 10L).get.count() == 1)
+  }
+}
