@@ -157,6 +157,65 @@ object Dedup {
         df.join(toDrop, Seq(idCol), "left_anti")
       }
 
+  /** Transitive duplicate clusters from a pair list: connected components
+    * via min-label propagation (each round, every id adopts the smallest
+    * label among itself and its neighbors; a chain A~B~C converges to A
+    * even when the A~C pair was never generated).
+    *
+    * Each iteration is one join + one aggregate; lineage is cut with
+    * `localCheckpoint` per round so the plan does not grow exponentially.
+    * Label-propagation rounds needed = graph diameter — near-dup graphs
+    * are shallow (dup clusters are cliques or short chains), so `maxIter`
+    * of 10 covers them; the loop exits early on convergence.
+    *
+    * Input: (idA, idB) pairs. Output: (id, cluster) — every id appearing
+    * in any pair, labeled by its component's minimum id. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): MayFail[DataFrame] =
+    MayFail {
+      val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+        .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+        .distinct()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val incoming = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cluster")).as("__in"))
+        val next = labels.join(incoming, Seq("id"), "left")
+          .withColumn("__next", least(col("cluster"), coalesce(col("__in"), col("cluster"))))
+        val changed = next.filter(col("__next") =!= col("cluster")).limit(1).count()
+        labels = next.select(col("id"), col("__next").as("cluster")).localCheckpoint()
+        converged = changed == 0
+        i += 1
+      }
+      labels
+    }
+
+  /** Transitive MinHash dedup: keep exactly one representative (the
+    * minimum id) per connected near-duplicate component — the
+    * pairs-greedy [[minhashDedup]] can only see direct pairs. */
+  def minhashDedupTransitive(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7
+  ): MayFail[DataFrame] =
+    for {
+      pairs <- minhashPairs(df, textCol, idCol, shingleSize, bands, rowsPerBand, threshold)
+      clusters <- duplicateClusters(pairs)
+    } yield {
+      val drop = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      df.join(drop, Seq(idCol), "left_anti")
+    }
+
   /** Full corpus-dedup pipeline: exact dedup FIRST (hash groupBy — cheap,
     * removes identical copies), then MinHash-LSH near-dup on the
     * representatives.

@@ -47,6 +47,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("duplicateClusters resolves chains and stars to min-id components") {
+    // chain 1-2-3, star 10-{11,12}, disjoint pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("idA", "idB")
+    val got = Dedup.duplicateClusters(pairs).get
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("minhashDedupTransitive keeps one representative per component") {
+    // 0~1 exact, 0~2 near: transitive keeps only 0 (plus unrelated 3, 4)
+    val kept = Dedup.minhashDedupTransitive(docs, "text", "doc_id", threshold = 0.5).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("dedupPipeline: exact-first then near-dup keeps one representative") {
     val kept = Dedup.dedupPipeline(docs, "text", "doc_id", threshold = 0.5).get
       .select("doc_id").as[Long].collect().toSet
