@@ -732,6 +732,20 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q65_dedup_transitive" -> ((s, dir) => {
+      // Plant exact duplicates (self-union with shifted ids); transitive
+      // dedup must recover exactly the original corpus per language.
+      val docs = tbl(s, dir, "documents")
+      val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      (for {
+        kept <- Dedup.minhashDedupTransitive(doubled, "text", "doc_id",
+                  threshold = 1.0)
+        g <- Group.agg(kept, Seq("lang"), Group.Agg(Seq(
+               count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))))
+        o <- Order.by(g, Seq("lang"))
+      } yield o).get
+    }),
+
     "q64_sampling" -> ((s, dir) => {
       // Fixed per-group quota: counts are deterministic (min(n, |group|))
       // even though the chosen rows are seed-dependent.
@@ -1130,6 +1144,9 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q65_dedup_transitive" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q64_sampling" ->
       """SELECT lang, least(count(*), 40) AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
