@@ -416,4 +416,28 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(vecs.length == df.count())
     assert(vecs.forall(_.size == 3))
   }
+
+  test("IO: write/read csv and parquet round-trips; missing csv Fails (AllTest.scala:122-160)") {
+    implicit val sp = spark
+    val df = Seq((1, Option("a")), (2, Option("b")), (3, Option.empty[String]))
+      .toDF("i", "s")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_ref_csv").toString + "/c"
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ref_pq").toString + "/p"
+    val csvBack = (for {
+      _ <- Write.csv(df, csvDir)
+      c <- Read.csv(csvDir)
+    } yield c).get
+    assert(csvBack.count() == df.count())
+    assert(csvBack.orderBy("i").select("i").as[Int].collect().toSeq == Seq(1, 2, 3))
+    val missing = Read.csv("./not-found.csv")
+    assert(missing.isFailing && missing.getError.isDefined)
+    val pqBack = (for {
+      _ <- Write.parquet(df, pqDir)
+      c <- Read.parquet(pqDir)
+    } yield c).get
+    assert(pqBack.orderBy("i").collect().toSeq == df.orderBy("i").collect().toSeq)
+    // rename golden (AllTest.scala:144-155)
+    val renamed = Transform.rename(df, Map("i" -> "iii")).get
+    assert(renamed.columns.toSeq == Seq("iii", "s"))
+  }
 }
