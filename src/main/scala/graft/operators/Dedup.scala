@@ -34,28 +34,31 @@ object Dedup {
       // null-position bitmap disambiguates.
       val nullBitmap = concat_ws("", cols.map(c => col(c).isNull.cast("int")): _*)
       val key = xxhash64(cols.map(col) :+ nullBitmap: _*)
+      val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
       val w = Window.partitionBy(key).orderBy(col(idCol))
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(rn)
     }
 
   /** Exact dedup grouping on the full column values (no hash collisions). */
   def exactStrict(df: DataFrame, cols: Seq[String], idCol: String): MayFail[DataFrame] =
     MayFail {
+      val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
       val w = Window.partitionBy(cols.map(col): _*).orderBy(col(idCol))
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(rn)
     }
 
   /** Normalized-text exact dedup (case/whitespace-insensitive). */
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): MayFail[DataFrame] =
     MayFail {
+      val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
       val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(rn)
     }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
@@ -85,8 +88,12 @@ object Dedup {
     // Shingle HASHES, not shingle strings — minhash and Jaccard only need
     // a stable hash per shingle, so the whole path is array<long>.
     val sh = df.select(
-      col(idCol).as("id"),
-      wordShingleHashes(col(textCol), shingleSize).as("shingles"))
+        col(idCol).as("id"),
+        wordShingleHashes(col(textCol), shingleSize).as("shingles"))
+      // docs below the shingle size have EMPTY hash arrays — identical
+      // (all-MaxValue) minhash signatures would funnel them into one
+      // degenerate bucket per band, verified and discarded at pure cost
+      .filter(size(col("shingles")) > 0)
     // Slim banding: only (id, band, bucket) — 24-byte rows — flows through
     // the explode/shuffle/self-join; the shingle-hash arrays are joined
     // back ONLY for surviving candidate pairs. Banding the payload itself
@@ -175,9 +182,13 @@ object Dedup {
     * in any pair, labeled by its component's minimum id. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): MayFail[DataFrame] =
     MayFail {
+      // checkpoint the (possibly expensive) pair pipeline ONCE — each
+      // iteration reads edges twice, and without this the whole upstream
+      // LSH pipeline would re-execute every round
       val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
         .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
         .distinct()
+        .localCheckpoint()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id"))
         .localCheckpoint()
@@ -188,13 +199,21 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(min(col("cluster")).as("__in"))
+        // checkpoint FIRST, then test convergence on the materialized
+        // frame — counting the lazy plan would execute it a second time
         val next = labels.join(incoming, Seq("id"), "left")
-          .withColumn("__next", least(col("cluster"), coalesce(col("__in"), col("cluster"))))
-        val changed = next.filter(col("__next") =!= col("cluster")).limit(1).count()
-        labels = next.select(col("id"), col("__next").as("cluster")).localCheckpoint()
-        converged = changed == 0
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__in"), col("cluster"))).as("__next"),
+            col("cluster").as("__prev"))
+          .localCheckpoint()
+        converged = next.filter(col("__next") =!= col("__prev")).limit(1).count() == 0
+        labels = next.select(col("id"), col("__next").as("cluster"))
         i += 1
       }
+      if (!converged)
+        System.err.println(s"[graft] duplicateClusters: labels did not converge " +
+          s"within $maxIter rounds — components wider than $maxIter hops keep " +
+          "multiple representatives; raise maxIter")
       labels
     }
 
@@ -260,13 +279,17 @@ object Dedup {
     // need nBands >= maxHamming+1 for guaranteed recall
     val bandBits = math.max(1, 64 / (maxHamming + 1))
     val nBands = 64 / bandBits
+    // NB: 1L << 64 == 1L in Scala (shift mod 64) — the full-width band
+    // needs an explicit all-ones mask
+    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
     val banded = candidateBands(
       hashed.select(col("id"),
         array((0 until nBands).map { b =>
           // band value = bits [b*bandBits, (b+1)*bandBits)
           shiftrightunsigned(col("sh"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))
+            .bitwiseAND(lit(bandMask))
         }: _*).as("__keys")),
       maxBucket)
     verifiedPairs(banded, hashed.withColumnRenamed("sh", "__p"),
@@ -288,6 +311,7 @@ object Dedup {
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
     val sh = df.select(col(idCol).as("id"), charShingleHashes(col(textCol), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
     val banded = candidateBands(
       sh.select(col("id"),
         minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),

@@ -45,27 +45,34 @@ object FuzzyJoin {
     val clash = left.columns.toSet intersect right.columns.toSet
     require(clash.isEmpty,
       s"left and right share column names $clash — rename one side")
+    require(!left.columns.contains("similarity") && !right.columns.contains("similarity"),
+      "an input column is named 'similarity' — it would collide with the output score")
 
     def shingles(c: String) =
       if (charNGrams > 0) charShingleHashes(col(c), charNGrams)
       else wordShingleHashes(col(c), shingleSize)
 
+    // short/empty keys have empty shingle arrays → identical degenerate
+    // band keys; exclude them (they cannot reach any Jaccard threshold)
     val lSh = left.select(col(leftKey), shingles(leftCol).as("__shL"))
+      .filter(size(col("__shL")) > 0)
     val rSh = right.select(col(rightKey), shingles(rightCol).as("__shR"))
+      .filter(size(col("__shR")) > 0)
     val lBands = lSh.select(col(leftKey),
       posexplode(minhashBandKeysFromHashes(col("__shL"), bands, rowsPerBand))
         .as(Seq("__band", "__bucket")))
     val rBands = rSh.select(col(rightKey),
       posexplode(minhashBandKeysFromHashes(col("__shR"), bands, rowsPerBand))
         .as(Seq("__band", "__bucket")))
-    // cap pathological buckets on the right side (boilerplate keys)
+    // cap pathological buckets on BOTH sides — a boilerplate bucket on
+    // either side is enough for quadratic candidate blowup
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__band"), col("__bucket"))
-    val rCapped = rBands
+    def capped(df: DataFrame) = df
       .withColumn("__bs", count(lit(1)).over(wBucket))
       .filter(col("__bs") <= maxBucket)
       .drop("__bs")
-    val pairs = lBands.join(rCapped, Seq("__band", "__bucket"))
+    val pairs = capped(lBands).join(capped(rBands), Seq("__band", "__bucket"))
       .select(leftKey, rightKey).dropDuplicates(leftKey, rightKey)
 
     pairs

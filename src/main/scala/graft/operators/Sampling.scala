@@ -25,10 +25,11 @@ object Sampling {
       n: Int,
       seed: Long = 42L): MayFail[DataFrame] = MayFail {
     require(n > 0, s"n must be positive: $n")
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
     val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 
   /** Per-group sampling fractions (thin wrapper over `sampleBy`, which is
@@ -52,10 +53,15 @@ object Sampling {
       budget: Long,
       seed: Long = 42L): MayFail[DataFrame] = MayFail {
     require(budget > 0, s"budget must be positive: $budget")
+    val run = s"__run_${java.util.UUID.randomUUID.toString.take(8)}"
+    // null token counts consume no budget (coalesce→0) instead of
+    // null-poisoning the filter; negative counts are clamped to 0 so a
+    // bad row cannot re-open a spent budget
+    val tokens = greatest(coalesce(col(tokenCountCol), lit(0L)), lit(0L))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__running", sum(col(tokenCountCol)).over(w))
-      .filter(col("__running") - col(tokenCountCol) < budget)
-      .drop("__running")
+    df.withColumn(run, sum(tokens).over(w))
+      .filter(col(run) - tokens < budget)
+      .drop(run)
   }
 }

@@ -78,6 +78,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhashPairs with maxHamming=0 finds exact simhash matches (full-width band)") {
+    // identical token bags → identical simhash → must pair at hamming 0
+    val df = Seq(
+      (0L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 50).map(i => s"w$i").reverse.mkString(" ")), // permuted: same bag
+      (2L, (1 to 50).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 0).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors") {
     val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
