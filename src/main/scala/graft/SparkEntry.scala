@@ -732,6 +732,31 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q66_sessionize" -> ((s, dir) => {
+      // Stateful flatMapGroupsWithState sessionization over a file stream,
+      // checked against SQL sessionization: a single batch closes every
+      // session except each user's last (mid-batch gap splitting), so the
+      // oracle excludes each user's final session.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src66"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        typed = src.select(col("user_id").cast("string"), col("value"), col("ts"))
+                  .as[(String, Double, java.sql.Timestamp)]
+        sess <- graft.streaming.Stream.sessionize(typed,
+                  gapMs = 30L * 60 * 1000, tsColName = "ts")
+        res <- graft.streaming.Stream.drainToMemory(sess.toDF, name)
+      } yield res).get
+      out.select(col("key").cast("long").as("user_id"), col("n"),
+          round(col("sum"), 4).as("sum_value"),
+          col("firstMs"), col("lastMs"))
+        .orderBy("user_id", "firstMs")
+    }),
+
     "q65_dedup_transitive" -> ((s, dir) => {
       // Plant exact duplicates (self-union with shifted ids); transitive
       // dedup must recover exactly the original corpus per language.
@@ -1144,6 +1169,29 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q66_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, value, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), sess AS (
+           SELECT user_id, value, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged
+         ), agg AS (
+           SELECT user_id, sid, count(*) AS n,
+             round(sum(value), 4) AS sum_value,
+             epoch_ms(min(ts)) AS firstMs, epoch_ms(max(ts)) AS lastMs
+           FROM sess GROUP BY user_id, sid
+         )
+         SELECT user_id, n, sum_value, firstMs, lastMs FROM (
+           SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+         WHERE sid < max_sid
+            OR lastMs + 1800000 < (SELECT epoch_ms(max(ts)) FROM events)
+         ORDER BY user_id, firstMs""",
     "q65_dedup_transitive" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
          FROM documents GROUP BY lang ORDER BY lang""",
