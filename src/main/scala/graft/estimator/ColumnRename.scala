@@ -2,7 +2,7 @@ package graft.estimator
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.util.{DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -30,7 +30,8 @@ class ColumnRename(override val uid: String = Identifiable.randomUID("ColumnRena
 
 class ColumnRenameModel(override val uid: String = Identifiable.randomUID("ColumnRenameModel"))
   extends Model[ColumnRenameModel]
-  with InputOutputColParams {
+  with InputOutputColParams
+  with DefaultParamsWritable {
 
   setDefault(outputCol -> "input2")
 
@@ -67,7 +68,8 @@ class DebugStep(override val uid: String = Identifiable.randomUID("DebugStep"))
 }
 
 class DebugStepModel(override val uid: String = Identifiable.randomUID("DebugStepModel"))
-  extends Model[DebugStepModel] {
+  extends Model[DebugStepModel]
+  with DefaultParamsWritable {
   override def copy(extra: ParamMap): DebugStepModel =
     new DebugStepModel().setParent(parent)
   override def transformSchema(schema: StructType): StructType = schema
@@ -77,3 +79,8 @@ class DebugStepModel(override val uid: String = Identifiable.randomUID("DebugSte
     dataset.toDF
   }
 }
+
+object ColumnRename extends DefaultParamsReadable[ColumnRename]
+object ColumnRenameModel extends DefaultParamsReadable[ColumnRenameModel]
+object DebugStep extends DefaultParamsReadable[DebugStep]
+object DebugStepModel extends DefaultParamsReadable[DebugStepModel]

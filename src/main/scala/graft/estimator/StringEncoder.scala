@@ -4,10 +4,10 @@ import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel}
-import org.apache.spark.ml.linalg.{Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.linalg.SQLDataTypes.VectorType
-import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.util.{DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.param.{IntArrayParam, Param, ParamMap}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -19,16 +19,15 @@ import org.apache.spark.sql.types.StructType
   * space (seed 0x8623 — `PREDEF.HASH_SEED` at reference
   * StringEncoder.scala:34-36; Spark's built-in `hash()` is Murmur3 with a
   * different seed, so output parity requires `MurmurHash3.stringHash`),
-  * and transform emits a dense count vector over that space.
+  * and transform emits a dense count vector over that space. The hash
+  * space persists as a param, so fitted pipelines save/load with the
+  * stock writers.
   *
   * `TFIDF` method: HashingTF + IDF composition, temp columns dropped.
-  *
-  * Fit runs as a DataFrame distinct-collect (vocabulary-sized driver
-  * state, like every dictionary encoder); transform is one UDF producing
-  * an ml `Vector` — vector construction has no Column-expression
-  * equivalent, so a UDF is the reference-fidelity choice here.
+  * The IDF statistics live in a nested Spark model, which params cannot
+  * carry — persisting a TFIDF-fitted encoder raises a clear error.
   */
-object StringEncoder {
+object StringEncoder extends DefaultParamsReadable[StringEncoder] {
   val HashSeed = 0x8623
   val TokenSuffix = "__token"
 
@@ -48,14 +47,19 @@ object StringEncoder {
 }
 
 class StringEncoder(
-    method: StringEncoder.Method = StringEncoder.Murmur,
-    tokeniser: StringEncoder.Tokenizer = StringEncoder.WhiteSpaceToken,
-    override val uid: String = Identifiable.randomUID("StringEncoder"))
+    method: StringEncoder.Method,
+    tokeniser: StringEncoder.Tokenizer,
+    override val uid: String)
   extends Estimator[StringEncoderModel]
   with InputOutputColParams
   with DefaultParamsWritable {
 
   import StringEncoder._
+
+  def this(method: StringEncoder.Method = StringEncoder.Murmur,
+      tokeniser: StringEncoder.Tokenizer = StringEncoder.WhiteSpaceToken) =
+    this(method, tokeniser, Identifiable.randomUID("StringEncoder"))
+  def this(uid: String) = this(StringEncoder.Murmur, StringEncoder.WhiteSpaceToken, uid)
 
   override def copy(extra: ParamMap): this.type = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType =
@@ -81,15 +85,20 @@ class StringEncoder(
           .orderBy("h")
           .collect()
           .map(_.getInt(0))
-        new StringEncoderModel(MurmurFitted(space, $(outputCol)), tokeniser)
+        new StringEncoderModel(uid + "_model").setHashSpace(space)
           .setInputCol($(inputCol)).setOutputCol($(outputCol))
+          .setParent(this)
       case TFIDF(_) =>
         val tfCol = $(inputCol) + "___tf"
         val tf = new HashingTF().setInputCol(tokCol).setOutputCol(tfCol)
         val idf = new IDF().setInputCol(tfCol).setOutputCol($(outputCol))
           .fit(tf.transform(tokenised))
-        new StringEncoderModel(TfIdfFitted(tf, idf), tokeniser, tempCols = List(tfCol))
+        val m = new StringEncoderModel(uid + "_model")
+          .setMethodName("tfidf")
           .setInputCol($(inputCol)).setOutputCol($(outputCol))
+        m.tfidfFitted = Some(TfIdfFitted(tf, idf))
+        m.tempCols = List(tfCol)
+        m.setParent(this)
     }
   }
 }
@@ -119,23 +128,49 @@ final case class TfIdfFitted(tf: HashingTF, idf: IDFModel) extends FittedEncoder
     idf.transform(tf.transform(df))
 }
 
-class StringEncoderModel(
-    val fitted: FittedEncoder,
-    tokeniser: StringEncoder.Tokenizer,
-    tempCols: List[String] = Nil,
-    override val uid: String = Identifiable.randomUID("StringEncoderModel"))
+class StringEncoderModel(override val uid: String)
   extends Model[StringEncoderModel]
-  with InputOutputColParams {
+  with InputOutputColParams
+  with DefaultParamsWritable {
 
   import StringEncoder._
 
+  def this() = this(Identifiable.randomUID("StringEncoderModel"))
+
+  final val hashSpaceParam: IntArrayParam =
+    new IntArrayParam(this, "hashSpace", "sorted distinct murmur token hashes")
+  final val methodName: Param[String] =
+    new Param[String](this, "methodName", "murmur | tfidf")
+  setDefault(hashSpaceParam -> Array.emptyIntArray, methodName -> "murmur")
+
+  /** TFIDF runtime state — nested Spark models, not persistable via params. */
+  @transient private[estimator] var tfidfFitted: Option[TfIdfFitted] = None
+  @transient private[estimator] var tempCols: List[String] = Nil
+
+  def setHashSpace(value: Array[Int]): this.type = set(hashSpaceParam, value)
+  def setMethodName(value: String): this.type = set(methodName, value)
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
 
-  override def copy(extra: ParamMap): StringEncoderModel =
-    copyValues(new StringEncoderModel(fitted, tokeniser, tempCols)
-      .setInputCol($(inputCol)).setOutputCol($(outputCol)), extra)
-      .setParent(parent)
+  def fitted: FittedEncoder = $(methodName) match {
+    case "murmur" => MurmurFitted($(hashSpaceParam), $(outputCol))
+    case "tfidf" => tfidfFitted.getOrElse(throw new IllegalStateException(
+      "TFIDF encoder state is runtime-only (nested IDF model); refit after load"))
+  }
+
+  override def write: MLWriter = {
+    require($(methodName) == "murmur",
+      "TFIDF-fitted StringEncoderModel cannot be persisted via params " +
+        "(nested IDF model); persist the murmur variant or refit")
+    super.write
+  }
+
+  override def copy(extra: ParamMap): StringEncoderModel = {
+    val copied = copyValues(new StringEncoderModel(uid), extra)
+    copied.tfidfFitted = tfidfFitted
+    copied.tempCols = tempCols
+    copied.setParent(parent)
+  }
 
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(inputCol)),
@@ -147,7 +182,9 @@ class StringEncoderModel(
     transformSchema(dataset.schema)
     val tokCol = $(inputCol) + TokenSuffix
     val df = fitted.transform(
-      tokeniser.splitDF(dataset.toDF, $(inputCol), tokCol), tokCol)
+      WhiteSpaceToken.splitDF(dataset.toDF, $(inputCol), tokCol), tokCol)
     (tempCols :+ tokCol).foldLeft(df)(_ drop _)
   }
 }
+
+object StringEncoderModel extends DefaultParamsReadable[StringEncoderModel]

@@ -211,6 +211,38 @@ class MLSpec extends AnyFunSuite {
     assert(pred.toSeq == orig.toSeq)
   }
 
+  test("custom estimator models persist through Pipeline save/load") {
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    val pipe = new Pipeline().setStages(Array(
+      new StringEncoder().setInputCol("s").setOutputCol("enc"),
+      new Scaler().setInputCol("d").setOutputCol("d_scaled"),
+      new GraftStandardScaler().setInputCol("v").setOutputCol("v_z"),
+      new ColumnRename().setInputCol("w").setOutputCol("w2")))
+    val fitted = pipe.fit(train)
+    val dir = java.nio.file.Files.createTempDirectory("graft_persist").toString + "/m"
+    fitted.save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = fitted.transform(train).orderBy("i")
+      .select("d_scaled", "v_z", "w2").collect().toSeq
+    val b = loaded.transform(train).orderBy("i")
+      .select("d_scaled", "v_z", "w2").collect().toSeq
+    assert(a == b)
+    // encoder hash space survived the round-trip
+    val encA = fitted.transform(train).select("enc").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)).toSeq
+    val encB = loaded.transform(train).select("enc").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)).toSeq
+    assert(encA == encB)
+  }
+
+  test("TFIDF-fitted encoder refuses persistence with a clear error") {
+    val m = new StringEncoder(StringEncoder.TFIDF())
+      .setInputCol("s").setOutputCol("enc").fit(train)
+    val err = intercept[IllegalArgumentException](
+      m.write.save("/tmp/graft_tfidf_should_fail"))
+    assert(err.getMessage.contains("TFIDF"))
+  }
+
   test("Preset.gmm fits and assigns clusters") {
     val pts = Seq.tabulate(40) { i =>
       val base = if (i % 2 == 0) 0.0 else 20.0
