@@ -2,7 +2,7 @@ package graft.estimator
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.{BooleanParam, DoubleParam, ParamMap}
-import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
