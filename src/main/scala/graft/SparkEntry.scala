@@ -732,6 +732,32 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q67_zorder" -> ((s, dir) => {
+      // Z-order layout is correctness-neutral: aggregates over the
+      // re-clustered frame equal the plain aggregates.
+      (for {
+        z <- Optimise.zorderBy(tbl(s, dir, "lineitem"), "l_partkey", "l_suppkey")
+        g <- Group.agg(z, Seq("l_returnflag"), Group.Agg(Seq(
+               count(lit(1)).as("n"),
+               round(sum(col("l_extendedprice")), 2).as("sum_price"))))
+        o <- Order.by(g, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
+    "q68_fuzzy_join" -> ((s, dir) => {
+      // Fuzzy join of the corpus against an exact copy at threshold 1.0:
+      // identical shingle sets share every band key (recall is exactly 1,
+      // not probabilistic), and q65 established the corpus has no
+      // cross-document word-shingle-identical pairs — so each doc matches
+      // precisely its twin and per-language counts equal the table's.
+      val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+      val twins = docs.select(col("doc_id").as("twin_id"), col("text").as("twin_text"))
+      graft.operators.FuzzyJoin.byText(docs, twins, "text", "twin_text",
+        "doc_id", "twin_id", threshold = 1.0).get
+        .groupBy("lang").agg(count(lit(1)).as("n_matches"))
+        .orderBy("lang")
+    }),
+
     "q66_sessionize" -> ((s, dir) => {
       // Stateful flatMapGroupsWithState sessionization over a file stream,
       // checked against SQL sessionization: a single batch closes every
@@ -1169,6 +1195,13 @@ object SparkEntry {
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
                  1.0)) AS INTEGER), 64) AS rheight
          FROM documents ORDER BY doc_id""",
+    "q67_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q68_fuzzy_join" ->
+      """SELECT lang, count(*) AS n_matches
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q66_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, value, ts,
