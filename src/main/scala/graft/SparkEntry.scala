@@ -746,10 +746,10 @@ object SparkEntry {
 
     "q68_fuzzy_join" -> ((s, dir) => {
       // Fuzzy join of the corpus against an exact copy at threshold 1.0:
-      // identical shingle sets share every band key (recall is exactly 1,
-      // not probabilistic), and q65 established the corpus has no
-      // cross-document word-shingle-identical pairs — so each doc matches
-      // precisely its twin and per-language counts equal the table's.
+      // identical shingle sets share every band key, so recall is exactly
+      // 1 (not probabilistic) and the oracle can enumerate the expected
+      // matches directly — docs grouped by identical 2-shingle SET each
+      // match every twin in their group.
       val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
       val twins = docs.select(col("doc_id").as("twin_id"), col("text").as("twin_text"))
       graft.operators.FuzzyJoin.byText(docs, twins, "text", "twin_text",
@@ -1200,8 +1200,20 @@ object SparkEntry {
          round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q68_fuzzy_join" ->
-      """SELECT lang, count(*) AS n_matches
-         FROM documents GROUP BY lang ORDER BY lang""",
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, lang,
+             list_sort(list_distinct(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1]))) AS sset
+           FROM t WHERE len(toks) >= 2
+         ), g AS (
+           SELECT sset, count(*) AS gs FROM sh GROUP BY sset
+         )
+         SELECT lang, CAST(sum(gs) AS BIGINT) AS n_matches
+         FROM sh JOIN g USING (sset) GROUP BY lang ORDER BY lang""",
     "q66_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, value, ts,
