@@ -1027,7 +1027,7 @@ object SparkEntry {
       """SELECT
          round(sqrt(avg(pow(l_quantity * (1.0 + l_discount) - l_quantity, 2))), 4) AS rmse,
          round(avg(abs(l_quantity * (1.0 + l_discount) - l_quantity)), 4) AS mae,
-         round(avg(abs(1.0 - (l_quantity * (1.0 + l_discount)) / l_quantity)) * 100, 4) AS mpe,
+         round(avg(abs(l_quantity * (1.0 + l_discount) - l_quantity) / l_quantity), 4) AS mpe,
          round(corr(l_quantity * (1.0 + l_discount), l_quantity), 4) AS pearson
          FROM lineitem""",
     "q29_text_tokens" ->

@@ -45,12 +45,16 @@ case object MAE extends RegressionMeasure {
   val name = "mae"
 }
 
-/** Mean percentage error |1 - pred/label| (reference Measure.scala:134-147;
-  * lower wins). try_divide: label-0 rows become null and drop out of avg
-  * (ANSI mode would otherwise raise DIVIDE_BY_ZERO). */
+/** Mean percentage error avg(|pred−label| / label) — absolute numerator,
+  * SIGNED denominator, unscaled fraction, matching the reference exactly
+  * (reference Measure.scala:134-147). Deviation: where the reference
+  * raises on label=0 ("Undefined labels result in exception"), try_divide
+  * nulls those rows out of the avg — ANSI mode would otherwise raise
+  * DIVIDE_BY_ZERO mid-job. Lower wins. */
 case object MPE extends RegressionMeasure {
   def expr(pred: Column, label: Column): Column =
-    avg(abs(lit(1.0) - try_divide(pred.cast("double"), label.cast("double")))) * 100.0
+    avg(try_divide(abs(pred.cast("double") - label.cast("double")),
+      label.cast("double")))
   def isBetter(a: Double, b: Double): Boolean = a < b
   val name = "mpe"
 }
@@ -67,10 +71,10 @@ case object PearsonCorr extends RegressionMeasure {
 case object R2 extends RegressionMeasure {
   def expr(pred: Column, label: Column): Column = {
     val l = label.cast("double"); val p = pred.cast("double")
-    // SS_tot via the computational formula so the whole measure stays one
-    // aggregate pass: Σ(l-l̄)² = Σl² - (Σl)²/n
-    lit(1.0) - try_divide(sum(pow(l - p, 2)),
-      sum(pow(l, 2)) - pow(sum(l), 2) / count(l))
+    // SS_tot = var_pop(l)·n — Spark's variance aggregate is a numerically
+    // stable one-pass algorithm, unlike Σl²−(Σl)²/n which cancels
+    // catastrophically when mean(l) ≫ stddev(l); still a single aggregate
+    lit(1.0) - try_divide(sum(pow(l - p, 2)), var_pop(l) * count(l))
   }
   def isBetter(a: Double, b: Double): Boolean = a > b
   val name = "r2"

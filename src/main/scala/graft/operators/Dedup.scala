@@ -179,9 +179,14 @@ object Dedup {
     * of 10 covers them; the loop exits early on convergence.
     *
     * Input: (idA, idB) pairs. Output: (id, cluster) — every id appearing
-    * in any pair, labeled by its component's minimum id. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): MayFail[DataFrame] =
-    MayFail {
+    * in any pair, labeled by its component's minimum id.
+    *
+    * Non-convergence (a component wider than `maxIter` hops, i.e. missed
+    * duplicates downstream) returns `IgnorableFail` carrying the partial
+    * labels — programmatically observable via `isFailing`/`getError` while
+    * still composing through `flatMap` (reference forgiveness semantics). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): MayFail[DataFrame] = {
+    val run = MayFail {
       // checkpoint the (possibly expensive) pair pipeline ONCE — each
       // iteration reads edges twice, and without this the whole upstream
       // LSH pipeline would re-execute every round
@@ -210,12 +215,20 @@ object Dedup {
         labels = next.select(col("id"), col("__next").as("cluster"))
         i += 1
       }
-      if (!converged)
-        System.err.println(s"[graft] duplicateClusters: labels did not converge " +
-          s"within $maxIter rounds — components wider than $maxIter hops keep " +
-          "multiple representatives; raise maxIter")
-      labels
+      (labels, converged)
     }
+    run.flatMap { case (labels, converged) =>
+      if (converged) graft.functional.Ok(labels)
+      else {
+        val err = new IllegalStateException(
+          s"duplicateClusters: labels did not converge within $maxIter rounds — " +
+            s"components wider than $maxIter hops keep multiple representatives " +
+            "(missed duplicates); raise maxIter")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+        graft.functional.IgnorableFail(err, labels)
+      }
+    }
+  }
 
   /** Transitive MinHash dedup: keep exactly one representative (the
     * minimum id) per connected near-duplicate component — the

@@ -313,58 +313,84 @@ object Optimise {
   /** Compact a parquet directory toward `targetFileBytes` per output file
     * — the small-files remedy for streaming sinks and over-partitioned
     * writes (thousands of tiny files destroy scan scheduling at scale).
-    * Rewrites into a temp dir then swaps, so a crash never leaves the
-    * source half-deleted. */
+    * Rewrites into a temp sibling, renames the source aside, swaps the
+    * rewrite in, then deletes the old copy — at every crash point a
+    * complete copy of the data exists at the original path or a
+    * deterministically-named `__bak`/`__compact` sibling. File ops go
+    * through Hadoop `FileSystem`, so HDFS/S3A paths work, not just
+    * local disk. */
   def compact(
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024
   )(implicit spark: SparkSession): MayFail[DataFrame] = MayFail {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val fs = new java.io.File(path)
-    require(fs.exists, s"no such directory: $path")
-    val totalBytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length
-        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-      walk(fs)
-    }
+    import org.apache.hadoop.fs.Path
+    val raw = new Path(path)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(raw), s"no such directory: $path")
+    val src = fs.makeQualified(raw)
+    val totalBytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // canonical sibling path — a "$path/.." form would stop resolving
-    // once the source directory is deleted mid-swap
-    val tmpFile = new java.io.File(fs.getAbsoluteFile.getParentFile,
-      s"${fs.getName}__compact_${java.util.UUID.randomUUID}")
-    spark.read.parquet(path).repartition(nFiles).write.parquet(tmpFile.getPath)
-    // swap
-    import scala.reflect.io.Directory
-    new Directory(fs).deleteRecursively()
-    require(tmpFile.renameTo(fs), s"rename $tmpFile -> $fs failed")
+    val uuid = java.util.UUID.randomUUID
+    val tmp = new Path(src.getParent, s"${src.getName}__compact_$uuid")
+    val bak = new Path(src.getParent, s"${src.getName}__bak_$uuid")
+    spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
+    // swap: move the source ASIDE first (never delete-then-rename) so a
+    // crash between the two renames still leaves the data at `bak`
+    require(fs.rename(src, bak), s"rename $src -> $bak failed")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(bak, src) // roll back so the original path stays live
+      throw new java.io.IOException(s"rename $tmp -> $src failed (rolled back)")
+    }
+    fs.delete(bak, true)
     spark.read.parquet(path)
   }
 
-  /** Z-order (Morton) layout: quantize two columns to 16-bit cells via
-    * `ntile`, interleave the bits (native expression), then range-
-    * partition + sort by the code. Files written from this layout carry
-    * row-group min/max stats that prune scans filtered on EITHER column —
-    * the standard multi-dimensional clustering for 100 TB fact tables
+  /** Z-order (Morton) layout: quantize two numeric columns to equi-depth
+    * cells, interleave the bits (native expression), then range-partition
+    * + sort by the code. Files written from this layout carry row-group
+    * min/max stats that prune scans filtered on EITHER column — the
+    * standard multi-dimensional clustering for 100 TB fact tables
     * (single-column sort only prunes its own column).
     *
-    * The ntile quantization costs one window pass; for repeated layout
-    * jobs, precompute quantile boundaries and use a lookup instead. */
+    * Cell boundaries come from one distributed `approxQuantile` pass
+    * (Greenwald-Khanna sketch, both columns in a single job) and rows map
+    * through a broadcast binary-search `Bucketizer` — no global window,
+    * so no single-task bottleneck at any input size. Nulls/NaNs land in a
+    * dedicated top cell (they carry no locality to preserve). */
   def zorderBy(df: DataFrame, colA: String, colB: String,
-      partitions: Int = 0): MayFail[DataFrame] = MayFail {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.ntile
+      partitions: Int = 0, cells: Int = 1024): MayFail[DataFrame] = MayFail {
+    require(cells > 1 && cells <= 65536,
+      s"cells must be in (1, 65536] (16-bit interleave), got $cells")
+    import org.apache.spark.sql.functions.{coalesce, lit}
     import graft.functions.FunctionBridge
-    val cellA = ntile(65536).over(Window.orderBy(col(colA))) - 1
-    val cellB = ntile(65536).over(Window.orderBy(col(colB))) - 1
+    // probe 0.0 returns the exact column minimum; boundaries at/below it
+    // are dropped so cell ids stay 0-based (an empty bucket 0 would shift
+    // every cell up by one and break z-curve quadrant alignment)
+    val probes = (0 until cells).map(_.toDouble / cells).toArray
+    val Array(qa, qb) =
+      df.stat.approxQuantile(Array(colA, colB), probes, 0.25 / cells)
+    def splits(q: Array[Double]): Array[Double] = {
+      val interior = q.tail.distinct.sorted.filter(_ > q.head)
+      Double.NegativeInfinity +: interior :+ Double.PositiveInfinity
+    }
+    val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCols(Array("__za_in", "__zb_in"))
+      .setOutputCols(Array("__za", "__zb"))
+      .setSplitsArray(Array(splits(qa), splits(qb)))
+      .setHandleInvalid("keep") // NaN (incl. mapped nulls) → extra top cell
+    val withIn = df
+      .withColumn("__za_in", coalesce(col(colA).cast("double"), lit(Double.NaN)))
+      .withColumn("__zb_in", coalesce(col(colB).cast("double"), lit(Double.NaN)))
     val z = FunctionBridge.column(graft.functions.InterleaveBits(
-      FunctionBridge.expression(cellA.cast("long")),
-      FunctionBridge.expression(cellB.cast("long"))))
-    val withZ = df.withColumn("__z", z)
+      FunctionBridge.expression(col("__za").cast("long")),
+      FunctionBridge.expression(col("__zb").cast("long"))))
     val n = if (partitions > 0) partitions else df.sparkSession
       .conf.get("spark.sql.shuffle.partitions").toInt
-    withZ.repartitionByRange(n, col("__z"))
+    bucketizer.transform(withIn)
+      .withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z", "__za", "__zb", "__za_in", "__zb_in")
   }
 }

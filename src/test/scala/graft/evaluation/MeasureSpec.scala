@@ -27,10 +27,13 @@ class MeasureSpec extends AnyFunSuite {
     assert(math.abs(r - 0.8) < 1e-12)
   }
 
-  test("MPE excludes zero labels via null propagation") {
-    // |1 - p/l| over rows with l≠0: |1-0.5|=.5, |1-2|=1, |1-0.6|=.4, |1-1|=0 → avg .475 ×100
+  test("MPE matches reference |p-l|/l (signed denom, unscaled); zero labels drop") {
+    // rows with l≠0: 1/2=.5, 1/1=1, 2/5=.4, 0/4=0 → avg .475
     val r = MPE.%(df, "pred", "label").get
-    assert(math.abs(r - 47.5) < 1e-9)
+    assert(math.abs(r - 0.475) < 1e-12)
+    // signed denominator: pred=0, label=-2 → |0-(-2)|/(-2) = -1
+    val neg = Seq((0.0, -2.0)).toDF("pred", "label")
+    assert(math.abs(MPE.%(neg, "pred", "label").get - (-1.0)) < 1e-12)
   }
 
   test("PearsonCorr matches df.stat.corr and prefers higher") {
@@ -42,5 +45,20 @@ class MeasureSpec extends AnyFunSuite {
   test("R2 equals 1 for perfect predictions") {
     val perfect = Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0)).toDF("pred", "label")
     assert(math.abs(R2.%(perfect, "pred", "label").get - 1.0) < 1e-12)
+  }
+
+  test("R2 is numerically stable when mean(label) >> stddev(label)") {
+    // labels ~1e8 with unit spread: Σl²−(Σl)²/n cancels catastrophically
+    // in doubles; var_pop-based SS_tot must not
+    val base = 1e8
+    val rows = Seq((base + 1.0, base + 1.1), (base + 2.0, base + 1.9),
+      (base + 3.0, base + 3.05), (base + 4.0, base + 3.95))
+    val r = R2.%(rows.toDF("pred", "label"), "pred", "label").get
+    // definitional R² computed driver-side
+    val labels = rows.map(_._2); val mean = labels.sum / labels.size
+    val ssTot = labels.map(l => (l - mean) * (l - mean)).sum
+    val ssRes = rows.map { case (p, l) => (l - p) * (l - p) }.sum
+    val expected = 1.0 - ssRes / ssTot
+    assert(math.abs(r - expected) < 1e-6, s"got $r, expected $expected")
   }
 }

@@ -57,6 +57,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters signals non-convergence as IgnorableFail with partial labels") {
+    // path 1-2-3-4-5-6 has diameter 5; maxIter=1 cannot converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("idA", "idB")
+    val r = Dedup.duplicateClusters(chain, maxIter = 1)
+    assert(r.isFailing, "expected IgnorableFail on non-convergence")
+    assert(r.getError.exists(_.getMessage.contains("did not converge")))
+    // partial labels still usable (every id present, labels valid ids)
+    val partial = r.get.as[(Long, Long)].collect().toMap
+    assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // and a sufficient maxIter on the same input is a clean Ok
+    assert(Dedup.duplicateClusters(chain, maxIter = 6).isOk)
+  }
+
   test("minhashDedupTransitive keeps one representative per component") {
     // 0~1 exact, 0~2 near: transitive keeps only 0 (plus unrelated 3, 4)
     val kept = Dedup.minhashDedupTransitive(docs, "text", "doc_id", threshold = 0.5).get
