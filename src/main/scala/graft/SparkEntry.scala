@@ -895,6 +895,26 @@ object SparkEntry {
     * the sf dir). Omitted for operators whose semantics aren't
     * ANSI-SQL-expressible (LSH candidate generation, heuristic scores) —
     * the driver records a rows-only check for those. */
+  /** Exact top-5 cosine neighbors for queries vec_id < 10 — the oracle for
+    * both q38 (brute force) and q40 (IVF probing every cell ⇒ exhaustive).
+    * Embeddings are cast float→double so DuckDB accumulates in double like
+    * [[graft.functions.VecOps]]; round(.,6) absorbs summation-order noise. */
+  private val knnExactOracle: String =
+    """WITH scored AS (
+         SELECT q.vec_id AS queryId, c.vec_id AS neighborId,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS c_raw
+         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 10
+       ), ranked AS (
+         SELECT queryId, neighborId, c_raw,
+           row_number() OVER (PARTITION BY queryId
+                              ORDER BY c_raw DESC, neighborId) AS rank
+         FROM scored
+       )
+       SELECT queryId, neighborId, round(c_raw, 6) AS cosine, rank
+       FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1098,6 +1118,57 @@ object SparkEntry {
            SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    // q34/q36: the LSH banding stage (16 bands × 4 rows) has recall
+    // 1-(1-s^4)^16 — ~64% at s=0.5 in general, but every true pair in the
+    // synthetic corpus sits at Jaccard ≥ 0.9 where recall is 1-4e-8, so
+    // the exact-Jaccard oracle below enumerates precisely the pairs the
+    // banded pipeline verifies (empirically confirmed at sf0.001/sf0.01).
+    // Shingle HASH Jaccard == shingle STRING Jaccard absent 64-bit
+    // collisions. q35/q37/q39 stay rows-only: simhash banding and
+    // hyperplane-LSH retrieval are genuinely approximate on this data.
+    "q34_dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT idA, idB, round(j, 6) AS jaccard FROM pairs
+         WHERE j >= 0.5 ORDER BY idA, idB""",
+    "q36_dedup_ngram" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS nt
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(nt)-3),
+               i -> substring(nt, i, 5))) AS shingles
+           FROM norm WHERE len(nt) >= 5
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT idA, idB, round(j, 6) AS jaccard FROM pairs
+         WHERE j >= 0.5 ORDER BY idA, idB""",
+    // q38: exact brute-force top-k — directly SQL-expressible (cosine in
+    // double on both sides; rank ties broken by neighborId on both sides).
+    // q40: IVF with nProbe = nCentroids probes every cell, so retrieval is
+    // exhaustive and the result equals exact top-k by construction.
+    "q38_knn_brute" -> knnExactOracle,
+    "q40_knn_ivf" -> knnExactOracle,
     "q41_vec_stats" ->
       """SELECT label, count(*) AS n,
          round(avg(sqrt(list_sum(list_transform(embedding,
