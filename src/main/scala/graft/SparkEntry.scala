@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketch}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -888,6 +888,26 @@ object SparkEntry {
         size(filter(col("features"), x => x > 0f)).cast("long").as("nbuckets"),
         (array_position(col("features"), array_max(col("features"))) - 1).as("top_bucket"))
         .orderBy("doc_id")
+    }),
+
+    // --- sketch operators ---------------------------------------------------
+
+    "q69_bloom_join" -> ((s, dir) => {
+      // Bloom-pruned semi join: customers with a >200k order. The Bloom
+      // filter prunes map-side; the exact semi join scrubs false
+      // positives, so the result is exactly the EXISTS semantics.
+      Sketch.bloomSemiJoin(
+        tbl(s, dir, "customer"),
+        tbl(s, dir, "orders").filter(col("o_totalprice") > 200000),
+        "c_custkey", "o_custkey").get
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q70_cms_topk" -> ((s, dir) => {
+      // Heavy hitters without a full-cardinality group-by: Count-Min
+      // candidates + exact recount of the shortlist only.
+      Sketch.countMinTopK(tbl(s, dir, "lineitem"), "l_partkey", k = 10).get
     })
   )
 
@@ -1359,6 +1379,16 @@ object SparkEntry {
          )
          SELECT doc_id, count(*) AS nbuckets,
            CAST(min(CASE WHEN n = mx THEN b END) AS BIGINT) AS top_bucket
-         FROM g2 GROUP BY doc_id ORDER BY doc_id"""
+         FROM g2 GROUP BY doc_id ORDER BY doc_id""",
+    // q69: Bloom pruning + exact semi-join scrub == plain EXISTS.
+    "q69_bloom_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    // q70: CMS-shortlisted heavy hitters == exact top-10 (ties by key).
+    "q70_cms_topk" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+         GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10"""
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // skewed key distribution: key i appears (101 - i) times, i = 1..100
+  private lazy val skewed = (1 to 100).flatMap(i => Seq.fill(101 - i)(i.toLong))
+    .zipWithIndex.map { case (k, r) => (k, r.toLong) }
+    .toDF("key", "rowid")
+    .repartition(8)
+
+  test("bloomSemiJoin equals the exact semi join (long keys)") {
+    val small = Seq(3L, 7L, 42L, 99L, 12345L).toDF("sk")
+    val got = Sketch.bloomSemiJoin(skewed, small, "key", "sk").get
+      .select("key", "rowid").as[(Long, Long)].collect().sorted.toSeq
+    val want = skewed.join(small, $"key" === $"sk", "left_semi")
+      .select("key", "rowid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloomSemiJoin equals the exact semi join (string keys)") {
+    val big = Seq.tabulate(500)(i => (s"k${i % 37}", i)).toDF("name", "i")
+    val small = Seq("k1", "k5", "k36", "nope").toDF("n2")
+    val got = Sketch.bloomSemiJoin(big, small, "name", "n2").get
+      .as[(String, Int)].collect().sorted.toSeq
+    val want = big.join(small, $"name" === $"n2", "left_semi")
+      .as[(String, Int)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloomSemiJoin never drops a true match even at high fpp") {
+    val small = (1L to 50L).toDF("sk")
+    val got = Sketch.bloomSemiJoin(skewed, small, "key", "sk", fpp = 0.5).get
+    val want = skewed.join(small, $"key" === $"sk", "left_semi")
+    assert(got.count() == want.count())
+  }
+
+  test("bloomSemiJoin rejects unsupported key types") {
+    val bad = Seq((1.5, 1)).toDF("d", "i")
+    assert(Sketch.bloomSemiJoin(bad, bad, "d", "d").isFailing)
+  }
+
+  test("countMinTopK equals the exact top-k on a skewed distribution") {
+    val got = Sketch.countMinTopK(skewed, "key", k = 10).get
+      .as[(Long, Long)].collect().toSeq
+    val want = skewed.groupBy("key").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"key").limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.head == ((1L, 100L)))
+  }
+
+  test("countMinTopK breaks count ties deterministically by key") {
+    val tied = (1 to 20).flatMap(i => Seq.fill(5)(i)).toDF("key").repartition(4)
+    val got = Sketch.countMinTopK(tied, "key", k = 7).get
+      .as[(Int, Long)].collect().toSeq
+    assert(got == (1 to 7).map(i => (i, 5L)))
+  }
+
+  test("countMinTopK works on string keys") {
+    val df = Seq.tabulate(300)(i => s"w${i % 13}").toDF("w").repartition(4)
+    val got = Sketch.countMinTopK(df, "w", k = 3).get
+      .as[(String, Long)].collect().toSeq
+    val want = df.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
+}
