@@ -908,6 +908,53 @@ object SparkEntry {
       // Heavy hitters without a full-cardinality group-by: Count-Min
       // candidates + exact recount of the shortlist only.
       Sketch.countMinTopK(tbl(s, dir, "lineitem"), "l_partkey", k = 10).get
+    }),
+
+    // --- stream-stream operators -------------------------------------------
+
+    "q71_stream_join" -> ((s, dir) => {
+      // Watermarked stream-stream interval join: views matched to the
+      // same user's purchases within the next 10 minutes. A single-batch
+      // drain emits every in-bound match, so the result equals the batch
+      // interval join (watermarks only bound state for later batches).
+      implicit val sp: SparkSession = s
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src71"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_ij_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src1 <- Read.fileStream(staged, "parquet", schema)
+        src2 <- Read.fileStream(staged, "parquet", schema)
+        views = src1.filter(col("event_type") === "view")
+                  .select(col("user_id"), col("ts").as("v_ts"))
+        purchases = src2.filter(col("event_type") === "purchase")
+                  .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+                    col("value").as("p_value"))
+        j <- graft.streaming.Stream.intervalJoin(views, purchases,
+               "v_ts", "p_ts", Seq("user_id" -> "p_user_id"),
+               watermarkDelay = "1 hour", upperBound = "10 minutes")
+        res <- graft.streaming.Stream.drainToMemory(j, name)
+      } yield res).get
+      out.groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"), round(sum(col("p_value")), 4).as("sum_purchase"))
+        .orderBy("user_id")
+    }),
+
+    "q72_stream_dedup" -> ((s, dir) => {
+      // Streaming dedup with bounded state: the single-batch drain keeps
+      // exactly one row per (user_id, event_type), i.e. DISTINCT keys.
+      implicit val sp: SparkSession = s
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src72"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_sd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        d <- graft.streaming.Stream.deduplicate(src, Seq("user_id", "event_type"),
+               Some("ts"), Some("1 hour"))
+        res <- graft.streaming.Stream.drainToMemory(d, name)
+      } yield res).get
+      out.select("user_id", "event_type").orderBy("user_id", "event_type")
     })
   )
 
@@ -1389,6 +1436,19 @@ object SparkEntry {
     // q70: CMS-shortlisted heavy hitters == exact top-10 (ties by key).
     "q70_cms_topk" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
-         GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10"""
+         GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10""",
+    // q71: single-batch stream-stream interval join == batch interval join.
+    "q71_stream_join" ->
+      """SELECT v.user_id, count(*) AS n_matches,
+         round(sum(p.value), 4) AS sum_purchase
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '10 minutes'
+         GROUP BY v.user_id ORDER BY v.user_id""",
+    // q72: single-batch streaming dedup == DISTINCT on the key columns.
+    "q72_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type"""
   )
 }

@@ -71,6 +71,41 @@ object Stream {
     }
   }
 
+  /** Stream-stream equi-join bounded by an event-time interval — the only
+    * join shape whose state Structured Streaming can GARBAGE-COLLECT: the
+    * watermarks plus the `right.ts ∈ [left.ts - lower, left.ts + upper]`
+    * range condition let the engine drop buffered rows once the watermark
+    * passes their match window, so state stays bounded on an unbounded
+    * stream (an unconstrained stream-stream join buffers forever).
+    *
+    * `joinKeys` are (leftCol, rightCol) equality pairs; all column names
+    * must be disjoint across the two sides (rename before joining — the
+    * join condition references them unqualified).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTsCol: String,
+      rightTsCol: String,
+      joinKeys: Seq[(String, String)],
+      watermarkDelay: String,
+      lowerBound: String = "0 seconds",
+      upperBound: String = "10 minutes",
+      joinType: String = "inner"): MayFail[DataFrame] = MayFail {
+    require(joinKeys.nonEmpty, "intervalJoin needs at least one key-equality pair")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin: column names must be disjoint, overlapping: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val keyCond = joinKeys.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _)
+    val timeCond =
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL '$lowerBound'") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL '$upperBound'")
+    l.join(r, keyCond && timeCond, joinType)
+  }
+
   /** Custom keyed running state via `mapGroupsWithState`: per-key event
     * count, value sum, and last-seen event time — the canonical stateful
     * enrichment shape. Output mode must be `update`. */

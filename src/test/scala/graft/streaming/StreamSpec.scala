@@ -51,6 +51,30 @@ class StreamSpec extends AnyFunSuite {
     assert(out.select("id").as[String].collect().sorted.toSeq == Seq("x", "y"))
   }
 
+  test("intervalJoin matches rows inside the event-time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Timestamp, String, Int)]
+    val ri = MemoryStream[(Timestamp, String, Int)]
+    val l = li.toDF.toDF("lts", "lk", "lv")
+    val r = ri.toDF.toDF("rts", "rk", "rv")
+    val joined = Stream.intervalJoin(l, r, "lts", "rts", Seq("lk" -> "rk"),
+      watermarkDelay = "1 hour", lowerBound = "0 seconds", upperBound = "5 minutes").get
+    li.addData((ts(0), "a", 1), (ts(10), "a", 2), (ts(0), "b", 3))
+    // a@2 matches l a@0 (within 5m); a@20 matches nothing (10+5 < 20);
+    // b@30 outside b@0's window; c has no left side
+    ri.addData((ts(2), "a", 100), (ts(20), "a", 200), (ts(30), "b", 300), (ts(1), "c", 400))
+    val out = Stream.drainToMemory(joined, "ij_test").get
+    val rows = out.select("lv", "rv").as[(Int, Int)].collect().toSet
+    assert(rows == Set((1, 100)))
+  }
+
+  test("intervalJoin rejects overlapping column names") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Timestamp, String)]
+    val df = li.toDF.toDF("ts", "k")
+    assert(Stream.intervalJoin(df, df, "ts", "ts", Seq("k" -> "k"), "1 hour").isFailing)
+  }
+
   test("sessionize emits closed sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double, Timestamp)]
