@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity, Sketch}
+import graft.operators.{Dedup, Merge, Multimodal, Similarity, Sketch}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -955,6 +955,45 @@ object SparkEntry {
         res <- graft.streaming.Stream.drainToMemory(d, name)
       } yield res).get
       out.select("user_id", "event_type").orderBy("user_id", "event_type")
+    }),
+
+    // --- merge / upsert / history ------------------------------------------
+
+    "q73_upsert" -> ((s, dir) => {
+      // SCD-1 merge exercising both paths: BUILDING customers get their
+      // balance doubled (update), custkey<=50 re-keyed +100000 (insert).
+      val cust = tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val mods = cust.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
+      val ins = cust.filter(col("c_custkey") <= 50)
+        .withColumn("c_custkey", col("c_custkey") + 100000)
+      Merge.upsert(cust, mods.unionByName(ins), Seq("c_custkey"),
+        broadcastUpdates = true).get
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+        .orderBy("c_custkey")
+    }),
+
+    "q74_scd2" -> ((s, dir) => {
+      // Attribute history from the order change-log: o_orderkey is the
+      // per-customer change sequence (unique ⇒ deterministic chaining).
+      Merge.scd2(
+        tbl(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price")),
+        keys = Seq("o_custkey"), tsCol = "o_orderkey").get
+        .select("o_custkey", "o_orderkey", "price", "valid_from", "valid_to", "is_current")
+        .orderBy("o_custkey", "valid_from")
+    }),
+
+    "q75_latest" -> ((s, dir) => {
+      // CDC compaction: each customer's latest order by change sequence.
+      Merge.latestByKey(
+        tbl(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price")),
+        keys = Seq("o_custkey"), orderCol = "o_orderkey").get
+        .orderBy("o_custkey")
     })
   )
 
@@ -1449,6 +1488,37 @@ object SparkEntry {
     // q72: single-batch streaming dedup == DISTINCT on the key columns.
     "q72_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+    "q73_upsert" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+         ), upd AS (
+           SELECT c_custkey, c_name, c_mktsegment,
+                  round(c_acctbal * 2, 2) AS c_acctbal
+           FROM cust WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT c_custkey + 100000, c_name, c_mktsegment, c_acctbal
+           FROM cust WHERE c_custkey <= 50
+         )
+         SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+         FROM (SELECT * FROM upd
+               UNION ALL
+               SELECT * FROM cust
+               WHERE c_custkey NOT IN (SELECT c_custkey FROM upd))
+         ORDER BY c_custkey""",
+    "q74_scd2" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+         o_orderkey AS valid_from,
+         lead(o_orderkey) OVER w AS valid_to,
+         (lead(o_orderkey) OVER w IS NULL) AS is_current
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, valid_from""",
+    "q75_latest" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1
+         ORDER BY o_custkey"""
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("upsert replaces matched keys, inserts new ones, passes the rest") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val updates = Seq((2L, "B2", 21.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    val got = Merge.upsert(base, updates, Seq("id")).get
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert with broadcastUpdates produces the same result") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("id", "name")
+    val got = Merge.upsert(base, updates, Seq("id"), broadcastUpdates = true).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("upsert takes the update side for null-valued keys too") {
+    val base = Seq((Option(1L), "a"), (Option.empty[Long], "nullkey-old"))
+      .toDF("id", "name")
+    val updates = Seq((Option.empty[Long], "nullkey-new")).toDF("id", "name")
+    val got = Merge.upsert(base, updates, Seq("id")).get
+      .select("name").as[String].collect().sorted.toSeq
+    assert(got == Seq("a", "nullkey-new"))
+  }
+
+  test("upsert rejects mismatched column sets") {
+    val base = Seq((1, "a")).toDF("id", "name")
+    val upd = Seq((1, "a", 2.0)).toDF("id", "name", "extra")
+    assert(Merge.upsert(base, upd, Seq("id")).isFailing)
+  }
+
+  test("latestByKey keeps exactly the newest row per key") {
+    val log = Seq(
+      (1L, ts(1), "v1"), (1L, ts(3), "v3"), (1L, ts(2), "v2"),
+      (2L, ts(5), "x")).toDF("id", "changed", "val")
+    val got = Merge.latestByKey(log, Seq("id"), "changed").get
+      .select("id", "val").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "v3"), (2L, "x")))
+  }
+
+  test("scd2 chains valid_from/valid_to per key and flags the current row") {
+    val log = Seq(
+      (1L, ts(1), "a"), (1L, ts(5), "b"), (1L, ts(9), "c"),
+      (2L, ts(2), "z")).toDF("id", "changed", "val")
+    val got = Merge.scd2(log, Seq("id"), "changed").get
+      .select("id", "val", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(got == Seq(
+      (1L, "a", ts(1), Some(ts(5)), false),
+      (1L, "b", ts(5), Some(ts(9)), false),
+      (1L, "c", ts(9), None, true),
+      (2L, "z", ts(2), None, true)))
+  }
+}
