@@ -994,6 +994,16 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price")),
         keys = Seq("o_custkey"), orderCol = "o_orderkey").get
         .orderBy("o_custkey")
+    }),
+
+    "q76_tfidf" -> ((s, dir) => {
+      // Sparse TF-IDF cosine pairs (postings equi-join, no cross join).
+      // 0.95 sits in a wide empirical gap of the pair-cosine distribution
+      // at the gate scales, so float summation-order noise cannot flip
+      // membership.
+      graft.operators.TfIdf.similarPairs(
+        tbl(s, dir, "documents"), "text", "doc_id", threshold = 0.95).get
+        .orderBy("idA", "idB")
     })
   )
 
@@ -1519,6 +1529,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderkey DESC) AS rn
            FROM orders) WHERE rn = 1
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+    "q76_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                    t -> t <> '')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term
+         ), dfreq AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS dfn FROM tf GROUP BY term
+         ), n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+         w AS (
+           SELECT doc_id, term, tf * (ln((nd + 1) / (dfn + 1)) + 1) AS w
+           FROM tf JOIN dfreq USING (term), n
+         ), nrm AS (
+           SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id
+         ), dots AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, sum(a.w * b.w) AS dot
+           FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT idA, idB, round(dot / (na.nm * nb.nm), 6) AS cosine
+         FROM dots JOIN nrm na ON na.doc_id = idA
+                   JOIN nrm nb ON nb.doc_id = idB
+         WHERE dot / (na.nm * nb.nm) >= 0.95
+         ORDER BY idA, idB"""
   )
 }

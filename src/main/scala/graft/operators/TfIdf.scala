@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+
+/** TF-IDF document vectors and sparse cosine similarity — the
+  * content-level near-match tool between exact dedup (hash) and semantic
+  * dedup (embeddings): shared *distinctive* vocabulary scores high, shared
+  * stopwords score low, without any model.
+  *
+  * Scale posture: everything is SPARSE postings `(doc, term, weight)` —
+  * no dense vectors, no cross join. The similarity join shuffles postings
+  * on `term`, so its cost is Σ_t df(t)² — dominated by ubiquitous terms,
+  * which carry near-zero IDF weight anyway. `maxDfFraction` prunes those
+  * terms BEFORE the join (the standard all-pairs-similarity optimization:
+  * at 100 TB the stopword postings would otherwise be a quadratic
+  * hot-key blowup, i.e. the classic skew failure).
+  */
+object TfIdf {
+
+  /** Sparse TF-IDF postings `(idCol, term, w)`: terms are lowercased
+    * whitespace tokens, `w = tf · (ln((N+1)/(df+1)) + 1)` (smoothed IDF —
+    * never zero, so exact duplicates still match on every term).
+    * `maxDfFraction` drops terms appearing in more than that fraction of
+    * documents. */
+  def postings(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDfFraction: Double = 1.0
+  ): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1]: $maxDfFraction")
+    val toks = df.select(
+        col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= "")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.select(countDistinct(col("id"))).head().getLong(0).toDouble
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dfn"))
+      .filter(col("dfn") <= nDocs * maxDfFraction)
+    tf.join(dfreq, Seq("term"))
+      .select(col("id"), col("term"),
+        (col("tf") * (log((lit(nDocs) + 1) / (col("dfn") + 1)) + 1)).as("w"))
+  }
+
+  /** Document pairs with TF-IDF cosine ≥ `threshold`, via the sparse
+    * postings self-join (equi-join on term + group-by pair — never a
+    * cross join). Returns `(idA, idB, cosine)` with cosine rounded to 6
+    * digits.
+    *
+    * `maxDfFraction < 1` removes ubiquitous terms from the similarity
+    * space itself (dots AND norms) — an explicit stopword filter with
+    * well-defined semantics, not a lossy approximation of the unpruned
+    * measure. At `1.0` (default) the cosine is the exact full-vocabulary
+    * one. */
+  def similarPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      maxDfFraction: Double = 1.0
+  ): MayFail[DataFrame] = MayFail {
+    val w = postings(df, textCol, idCol, maxDfFraction).cache()
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    val dots = w.select(col("term"), col("id").as("idA"), col("w").as("wa"))
+      .join(w.select(col("term"), col("id").as("idB"), col("w").as("wb")), Seq("term"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("idA"), col("nm").as("na")), Seq("idA"))
+      .join(norms.select(col("id").as("idB"), col("nm").as("nb")), Seq("idB"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+}

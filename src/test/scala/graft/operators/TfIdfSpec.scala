@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TfIdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "entirely different vocabulary about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("identical documents have cosine 1") {
+    val pairs = TfIdf.similarPairs(docs, "text", "doc_id", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 4L)).contains(1.0))
+  }
+
+  test("near-duplicates score high, unrelated docs do not appear") {
+    val pairs = TfIdf.similarPairs(docs, "text", "doc_id", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("postings weight distinctive terms above ubiquitous ones") {
+    val w = TfIdf.postings(docs, "text", "doc_id")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._2).map { case (t, rows) => t -> rows.head._3 }
+    // "the" appears in 3 of 4 docs (tf=2 each); "spark" in 1 of 4 (tf=1):
+    // per-occurrence weight of "spark" must exceed "the"'s
+    assert(w("spark") > w("the") / 2)
+  }
+
+  test("maxDfFraction removes ubiquitous terms from the similarity space") {
+    // at 0.6, every term with df 3/4 ("the quick brown fox jumps over
+    // lazy") is filtered: docs 1 and 4 then both reduce to {dog} (cosine
+    // exactly 1), doc 2 reduces to {cat} and shares nothing with anyone
+    val pruned = TfIdf.similarPairs(docs, "text", "doc_id", threshold = 0.5,
+      maxDfFraction = 0.6).get.as[(Long, Long, Double)].collect().toSet
+    assert(pruned == Set((1L, 4L, 1.0)))
+  }
+
+  test("a threshold above every non-dup cosine keeps only exact dups") {
+    val got = TfIdf.similarPairs(docs, "text", "doc_id", threshold = 0.999).get
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1.0)))
+  }
+}
