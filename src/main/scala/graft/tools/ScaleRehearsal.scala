@@ -42,6 +42,21 @@ object ScaleRehearsal {
       emb, "embedding", "vec_id", threshold = 0.25, nBits = 4, tables = 8).get.count())
     time("knn-brute")(graft.operators.Similarity.bruteForceKnn(
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5).get.count())
+    time("bloom-semijoin")(graft.operators.Sketch.bloomSemiJoin(
+      li, li.select(col("l_orderkey").as("k")).sample(0.001, 42).distinct(),
+      "l_orderkey", "k").get.count())
+    time("cms-topk")(graft.operators.Sketch.countMinTopK(
+      li, "l_partkey", k = 10).get.count())
+    time("upsert-broadcast")(graft.operators.Merge.upsert(
+      li.select("l_orderkey", "l_linenumber", "l_quantity"),
+      li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .sample(0.001, 42).dropDuplicates("l_orderkey", "l_linenumber")
+        .withColumn("l_quantity", col("l_quantity") + 1),
+      keys = Seq("l_orderkey", "l_linenumber"), broadcastUpdates = true).get.count())
+    // df-pruned TF-IDF: the scale path — ubiquitous sentence-pool terms
+    // are exactly the quadratic hot keys the maxDf filter exists for
+    time("tfidf-pairs")(graft.operators.TfIdf.similarPairs(
+      docs, "text", "doc_id", threshold = 0.95, maxDfFraction = 0.2).get.count())
     spark.stop()
   }
 }
