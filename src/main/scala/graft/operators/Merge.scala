@@ -22,9 +22,13 @@ object Merge {
     * unmatched update rows are inserted, everything else passes through.
     * Column sets must match; the result keeps `base`'s column order.
     *
-    * `broadcastUpdates` marks the delta as broadcastable — with a small
-    * update batch the merge then runs map-side with NO shuffle of the
-    * base (the 100 TB-base × 1 GB-delta shape).
+    * Formulated as `updates ∪ (base ANTI-JOIN update-keys)` rather than a
+    * full outer join: a full outer equi-join can never broadcast in Spark
+    * (only shuffled implementations support it), but a LEFT ANTI join
+    * builds on the delta side — with `broadcastUpdates` the merge of a
+    * 100 TB base against a small delta runs map-side with NO shuffle of
+    * the base. `updates` must have at most one row per key (enforce
+    * upstream with [[latestByKey]]).
     */
   def upsert(
       base: DataFrame,
@@ -37,15 +41,12 @@ object Merge {
     require(updates.columns.toSet == cols.toSet,
       s"upsert: column sets differ (base ${cols.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")})")
-    // presence marker instead of key-null checks, so null-valued keys
-    // (matched null-safely below) still take the update side
-    val u0 = updates.select(cols.map(col): _*).withColumn("__upd", lit(1))
-    val u = if (broadcastUpdates) broadcast(u0) else u0
-    val joined = base.as("b").join(u.as("u"),
-      keys.map(k => col(s"b.$k") <=> col(s"u.$k")).reduce(_ && _), "full_outer")
-    joined.select(cols.map { c =>
-      when(col("__upd").isNotNull, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
-    }: _*)
+    val u0 = updates.select(cols.map(col): _*)
+    val ukeys = u0.select(keys.map(k => col(k).as(s"__u_$k")): _*).distinct()
+    val uk = if (broadcastUpdates) broadcast(ukeys) else ukeys
+    // null-safe match so null-valued keys also take the update side
+    val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    base.join(uk, cond, "left_anti").unionByName(u0)
   }
 
   /** Keep each key's latest row by `orderCol` (CDC compaction / "current

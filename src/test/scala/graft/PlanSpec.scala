@@ -45,4 +45,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "knn queries side is not broadcast")
   }
+
+  test("q73: broadcast upsert never shuffles the base (anti join builds on delta)") {
+    val plan = planOf("q73_upsert")
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      (plan.contains("LeftAnti") && plan.contains("BroadcastExchange")),
+      s"upsert's anti join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "upsert fell back to a shuffle join")
+  }
+
+  test("q69: bloom pruning filters the big side before the semi join") {
+    val plan = planOf("q69_bloom_join")
+    assert(plan.contains("LeftSemi"), "no semi join in bloom join plan")
+    // the scrub join should broadcast the (distinct) small key side here
+    assert(plan.contains("BroadcastExchange"), "semi-join small side not broadcast")
+  }
 }
