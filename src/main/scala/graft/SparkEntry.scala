@@ -996,6 +996,40 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // --- data quality -------------------------------------------------------
+
+    "q77_profile" -> ((s, dir) => {
+      // One-pass column profile (all statistics in a single df.agg).
+      graft.operators.Quality.profile(tbl(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")).get
+        .orderBy("column")
+    }),
+
+    "q78_expect" -> ((s, dir) => {
+      // Declarative expectations, one aggregation pass for all rules.
+      import graft.operators.Quality
+      Quality.expect(tbl(s, dir, "lineitem"), Seq(
+        Quality.Expectation("qty_in_range", col("l_quantity").between(1, 50)),
+        Quality.Expectation("discount_max", col("l_discount") <= 0.08),
+        Quality.Expectation("price_positive", col("l_extendedprice") > 0),
+        Quality.Expectation("flag_known", col("l_returnflag").isin("A", "N", "R")))).get
+        .orderBy("rule")
+    }),
+
+    "q79_redact" -> ((s, dir) => {
+      // PII scrub: per-row synthetic email+phone appended (the raw corpus
+      // contains none), then redacted and counted — byte-identical
+      // regexes run on the DuckDB side.
+      val aug = tbl(s, dir, "documents").withColumn("aug",
+        concat(col("text"), lit(" reach me at user"), col("doc_id"),
+          lit("@example.com or +1 555-000-"),
+          lpad(col("doc_id").cast("string"), 4, "0")))
+      aug.select(col("doc_id"),
+          TextFunctions.piiCount(col("aug")).cast("long").as("n_pii"),
+          TextFunctions.redactPII(col("aug")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     "q76_tfidf" -> ((s, dir) => {
       // Sparse TF-IDF cosine pairs (postings equi-join, no cross join).
       // 0.95 sits in a wide empirical gap of the pair-cosine distribution
@@ -1556,6 +1590,62 @@ object SparkEntry {
          FROM dots JOIN nrm na ON na.doc_id = idA
                    JOIN nrm nb ON nb.doc_id = idB
          WHERE dot / (na.nm * nb.nm) >= 0.95
-         ORDER BY idA, idB"""
+         ORDER BY idA, idB""",
+    "q77_profile" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n,
+             count(*) - count(o_custkey) AS n_null,
+             count(DISTINCT o_custkey) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_str,
+             CAST(max(o_custkey) AS VARCHAR) AS max_str FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+             count(DISTINCT o_orderkey),
+             CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+         FROM orders
+         ORDER BY "column"""",
+    "q78_expect" ->
+      """SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+           SELECT 'discount_max' AS rule,
+             count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.08, false)) AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'flag_known',
+             count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), false))
+           FROM lineitem
+           UNION ALL
+           SELECT 'price_positive',
+             count(*) FILTER (WHERE NOT coalesce(l_extendedprice > 0, false))
+           FROM lineitem
+           UNION ALL
+           SELECT 'qty_in_range',
+             count(*) FILTER (WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, false))
+           FROM lineitem)
+         ORDER BY rule""",
+    "q79_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' reach me at user' || doc_id || '@example.com or +1 555-000-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS a
+           FROM documents
+         )
+         SELECT doc_id,
+           len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(
+                 regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                 '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_pii,
+           regexp_replace(
+             regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g') AS redacted
+         FROM aug ORDER BY doc_id"""
   )
 }

@@ -208,4 +208,32 @@ object TextFunctions {
     val punctOk = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
     round((lengthOk * 0.3 + alpha * 0.3 + mwlOk * 0.2 + punctOk * 0.2), 6)
   }
+
+  // --- PII redaction ---
+
+  /** Email address pattern — deliberately lookahead-free so the same
+    * pattern runs identically under Java regex (Spark) and RE2 (DuckDB,
+    * Hyperscan-style scanners at scale). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-number-ish pattern: international prefix optional, 7+ digits
+    * with common separators. Conservative on purpose — a corpus scrubber
+    * prefers false positives over leaked numbers. */
+  val phonePattern: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact emails then phone numbers with `token` — the minimal PII
+    * scrub of a text corpus before training. Pure column expression
+    * (codegen'd `regexp_replace`), no UDF. */
+  def redactPII(c: Column, token: String = "[PII]"): Column =
+    regexp_replace(
+      regexp_replace(c, lit(emailPattern), lit(token)),
+      lit(phonePattern), lit(token))
+
+  /** Count of PII matches per document (emails + phones) — the audit
+    * metric that decides whether a source needs review. Emails are
+    * blanked (with a separator, so digit runs cannot merge) before
+    * phones are counted, mirroring [[redactPII]]'s pass order. */
+  def piiCount(c: Column): Column =
+    regexp_count(c, lit(emailPattern)) +
+      regexp_count(regexp_replace(c, lit(emailPattern), lit(" ")), lit(phonePattern))
 }

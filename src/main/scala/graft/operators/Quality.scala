@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+
+/** Data-quality operators — the audit verbs that run before a corpus is
+  * trusted: column profiling, declarative expectations, and violation
+  * extraction.
+  *
+  * Scale posture: `profile` is ONE aggregation pass over the table (every
+  * per-column statistic is an aggregate expression in the same
+  * `df.agg(...)`, so the input is scanned once, map-side combined, and
+  * the result is `#columns` slim rows); `expect`/`violations` are a
+  * single filter/aggregate each. Nothing collects per-row data to the
+  * driver.
+  */
+object Quality {
+
+  /** One-pass column profile: `(column, n, n_null, n_distinct, min_str,
+    * max_str)` per requested column, min/max rendered as strings so mixed
+    * column types fit one result schema. `n_distinct` is exact (null
+    * excluded, matching SQL `count(DISTINCT c)`). */
+  def profile(df: DataFrame, cols: Seq[String]): MayFail[DataFrame] = MayFail {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single wide row into #columns long-format rows via an
+    // inline stack - still a single job, no per-column scans
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"), col(s"__mx_$c").as("max_str"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** A declarative expectation on a table: `name` labels the rule,
+    * `predicate` must hold for every row. */
+  final case class Expectation(name: String, predicate: Column)
+
+  /** Check expectations in ONE pass: returns `(rule, n_violations,
+    * pass)` per rule — a null predicate result counts as a violation
+    * (unknown is not acceptance). */
+  def expect(df: DataFrame, rules: Seq[Expectation]): MayFail[DataFrame] = MayFail {
+    require(rules.nonEmpty, "expect needs at least one rule")
+    val aggs = rules.map { r =>
+      count(when(not(coalesce(r.predicate, lit(false))), 1)).as(r.name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { r =>
+      struct(lit(r.name).as("rule"), col(r.name).as("n_violations"),
+        (col(r.name) === 0).as("pass"))
+    }
+    one.select(explode(array(stacked: _*)).as("e")).select("e.*")
+  }
+
+  /** The rows violating ANY of the rules, tagged with the failed rule
+    * names — the quarantine stream of a validation pipeline. */
+  def violations(df: DataFrame, rules: Seq[Expectation]): MayFail[DataFrame] = MayFail {
+    require(rules.nonEmpty, "violations needs at least one rule")
+    val failed = array(rules.map { r =>
+      when(not(coalesce(r.predicate, lit(false))), lit(r.name))
+    }: _*)
+    df.withColumn("failed_rules", filter(failed, c => c.isNotNull))
+      .filter(size(col("failed_rules")) > 0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), Some(10.0)),
+    (2L, Some("b"), Some(-5.0)),
+    (3L, None, Some(10.0)),
+    (4L, Some("a"), None)
+  ).toDF("id", "tag", "v")
+
+  test("profile reports n / nulls / distinct / min / max per column") {
+    val p = Quality.profile(df, Seq("id", "tag", "v")).get
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == (("id", 4L, 0L, 4L, "1", "4")))
+    assert(p("tag") == (("tag", 4L, 1L, 2L, "a", "b")))
+    assert(p("v") == (("v", 4L, 1L, 2L, "-5.0", "10.0")))
+  }
+
+  test("profile rejects unknown columns") {
+    assert(Quality.profile(df, Seq("nope")).isFailing)
+  }
+
+  test("expect counts violations per rule, null predicate = violation") {
+    val out = Quality.expect(df, Seq(
+      Quality.Expectation("v_nonneg", col("v") >= 0),
+      Quality.Expectation("tag_present", col("tag").isNotNull),
+      Quality.Expectation("id_positive", col("id") > 0))).get
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // v >= 0: row 2 fails (-5), row 4 null -> violation too
+    assert(out("v_nonneg") == ((2L, false)))
+    assert(out("tag_present") == ((1L, false)))
+    assert(out("id_positive") == ((0L, true)))
+  }
+
+  test("violations extracts failing rows tagged with their failed rules") {
+    val out = Quality.violations(df, Seq(
+      Quality.Expectation("v_nonneg", col("v") >= 0),
+      Quality.Expectation("tag_present", col("tag").isNotNull))).get
+      .select(col("id"), col("failed_rules"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert(out == Map(
+      2L -> Set("v_nonneg"),
+      3L -> Set("tag_present"),
+      4L -> Set("v_nonneg")))
+  }
+
+  test("redactPII scrubs emails and phone numbers, leaves clean text alone") {
+    val docs = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "call +1 (555) 123-4567 now",
+      "clean text with the number 42 in it").toDF("t")
+    val got = docs.select(TextFunctions.redactPII(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "contact me at [PII] today",
+      "call [PII] now",
+      "clean text with the number 42 in it"))
+  }
+
+  test("piiCount counts both kinds without double-counting email digits") {
+    val docs = Seq(
+      ("two emails a@b.com and c123456789@d.org", 2),
+      ("email a@b.io and phone 555-123-4567", 2),
+      ("nothing here", 0)).toDF("t", "want")
+    val ok = docs.select((TextFunctions.piiCount(col("t")) === col("want")).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.forall(identity))
+  }
+}
