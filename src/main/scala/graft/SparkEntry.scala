@@ -996,6 +996,17 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q80_shard" -> ((s, dir) => {
+      // Deterministic token-budget sharding (per-language, so no global
+      // window), summarized per shard.
+      graft.operators.Sampling.shardByTokenBudget(
+        tbl(s, dir, "documents"), orderCol = "doc_id", tokenCountCol = "n_chars",
+        budget = 50000L, keys = Seq("lang")).get
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("lang", "shard_id")
+    }),
+
     // --- data quality -------------------------------------------------------
 
     "q77_profile" -> ((s, dir) => {
@@ -1646,6 +1657,16 @@ object SparkEntry {
            regexp_replace(
              regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g') AS redacted
-         FROM aug ORDER BY doc_id"""
+         FROM aug ORDER BY doc_id""",
+    "q80_shard" ->
+      """WITH sharded AS (
+           SELECT lang, n_chars,
+             CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars) / 50000) AS BIGINT) AS shard_id
+           FROM documents
+         )
+         SELECT lang, shard_id, count(*) AS n_docs,
+           sum(n_chars) AS n_chars_total
+         FROM sharded GROUP BY lang, shard_id ORDER BY lang, shard_id"""
   )
 }

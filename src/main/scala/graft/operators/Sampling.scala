@@ -64,4 +64,31 @@ object Sampling {
       .filter(col(run) - tokens < budget)
       .drop(run)
   }
+
+  /** Shard a corpus into ~`budget`-token shards: rows ordered by
+    * `orderCol` (within optional `keys` groups) get `shard_id =
+    * floor(exclusive-running-token-sum / budget)` — deterministic,
+    * reproducible corpus sharding for training (every shard holds a
+    * contiguous run of the ordered corpus; each shard's size is within
+    * one document of the budget).
+    *
+    * One window over the group partition — at scale, shard WITHIN
+    * sensible groups (source, language): a single global ordering would
+    * serialize into one task, the same trap the z-order reviewer flagged.
+    */
+  def shardByTokenBudget(
+      df: DataFrame,
+      orderCol: String,
+      tokenCountCol: String,
+      budget: Long,
+      keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+    require(budget > 0, s"budget must be positive: $budget")
+    val run = s"__run_${java.util.UUID.randomUUID.toString.take(8)}"
+    val tokens = greatest(coalesce(col(tokenCountCol), lit(0L)), lit(0L))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(run, sum(tokens).over(w))
+      .withColumn("shard_id", floor((col(run) - tokens) / budget))
+      .drop(run)
+  }
 }

@@ -51,4 +51,19 @@ class SamplingSpec extends AnyFunSuite {
     val fat = Seq(("x", 1L, 1000L)).toDF("lang", "id", "n_tokens")
     assert(Sampling.byTokenBudget(fat, Seq("lang"), "n_tokens", 10L).get.count() == 1)
   }
+
+  test("shardByTokenBudget assigns contiguous shards by exclusive running sum") {
+    val rows = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 40L), (5L, 200L), (6L, 1L))
+      .toDF("id", "n_tokens")
+    val got = Sampling.shardByTokenBudget(rows, "id", "n_tokens", budget = 100L).get
+      .select("id", "shard_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // exclusive cumsum: 0,40,80,120,160,360 -> /100 -> 0,0,0,1,1,3
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 3L)))
+    // within groups, sharding restarts per key
+    val grouped = Seq(("a", 1L, 60L), ("a", 2L, 60L), ("b", 1L, 60L))
+      .toDF("k", "id", "n_tokens")
+    val g = Sampling.shardByTokenBudget(grouped, "id", "n_tokens", 100L, keys = Seq("k")).get
+      .select("k", "id", "shard_id").as[(String, Long, Long)].collect().toSet
+    assert(g == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 1L, 0L)))
+  }
 }
