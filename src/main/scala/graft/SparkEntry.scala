@@ -961,13 +961,14 @@ object SparkEntry {
 
     "q73_upsert" -> ((s, dir) => {
       // SCD-1 merge exercising both paths: BUILDING customers get their
-      // balance doubled (update), custkey<=50 re-keyed +100000 (insert).
+      // balance doubled (update), custkey<=50 re-keyed NEGATIVE (insert —
+      // negated keys can never collide with real customers at any SF).
       val cust = tbl(s, dir, "customer")
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
       val mods = cust.filter(col("c_mktsegment") === "BUILDING")
         .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
       val ins = cust.filter(col("c_custkey") <= 50)
-        .withColumn("c_custkey", col("c_custkey") + 100000)
+        .withColumn("c_custkey", -col("c_custkey"))
       Merge.upsert(cust, mods.unionByName(ins), Seq("c_custkey"),
         broadcastUpdates = true).get
         .withColumn("c_acctbal", round(col("c_acctbal"), 2))
@@ -1552,7 +1553,7 @@ object SparkEntry {
                   round(c_acctbal * 2, 2) AS c_acctbal
            FROM cust WHERE c_mktsegment = 'BUILDING'
            UNION ALL
-           SELECT c_custkey + 100000, c_name, c_mktsegment, c_acctbal
+           SELECT -c_custkey, c_name, c_mktsegment, c_acctbal
            FROM cust WHERE c_custkey <= 50
          )
          SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
@@ -1586,7 +1587,7 @@ object SparkEntry {
            FROM toks GROUP BY doc_id, term
          ), dfreq AS (
            SELECT term, CAST(count(*) AS DOUBLE) AS dfn FROM tf GROUP BY term
-         ), n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+         ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
          w AS (
            SELECT doc_id, term, tf * (ln((nd + 1) / (dfn + 1)) + 1) AS w
            FROM tf JOIN dfreq USING (term), n

@@ -44,6 +44,19 @@ object Sketch {
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01
   ): MayFail[DataFrame] = MayFail {
+    // the sketch hashes integral keys as longs and strings as bytes —
+    // mixing domains (long probe against string-built filter) would prune
+    // EVERY row silently, so mismatched key types are a hard error
+    def domain(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType => "integral"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"bloomSemiJoin: unsupported key type $other (integral or string)")
+    }
+    require(domain(big.schema(bigKey).dataType) == domain(small.schema(smallKey).dataType),
+      s"bloomSemiJoin: key hash domains differ — " +
+        s"$bigKey is ${big.schema(bigKey).dataType}, " +
+        s"$smallKey is ${small.schema(smallKey).dataType}")
     val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val dt = big.schema(bigKey).dataType
@@ -66,20 +79,25 @@ object Sketch {
       .join(small.select(col(smallKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
-  /** Exact top-`k` keys by frequency, found WITHOUT a full-cardinality
-    * group-by: a Count-Min sketch (one distributed pass) plus per-partition
-    * local top-`candidatesPerPartition` nominations bound the candidate
-    * set, and only those candidates are exactly recounted.
+  /** Exact top-`k` keys by frequency, found WITHOUT a full-row group-by:
+    * a Count-Min sketch (one distributed pass over the ROWS) bounds every
+    * key's count from above, the DISTINCT keys (a slim shuffle — keys,
+    * not rows) are scored against the broadcast sketch, and only the keys
+    * that could possibly be top-k are exactly recounted.
     *
     * Returns `(keyCol, n)` ordered by `n` desc, key asc (deterministic).
     *
-    * Guarantees: CMS never under-counts, so a key whose CMS estimate falls
-    * below the k-th candidate's EXACT count can never belong to the true
-    * top-k; the candidate margin (`candidatesPerPartition` per partition)
-    * covers skewed layouts where a heavy key concentrates in few
-    * partitions. At 100 TB the only shuffle is the recount of
-    * `≤ partitions × candidatesPerPartition` surviving keys — the
-    * billion-key group-by the naive formulation would shuffle never runs.
+    * Completeness proof for the shortlist `{key : est(key) ≥ E_k − εN}`
+    * (with `E_k` = k-th largest estimate, `N` = row count): among the k
+    * keys whose estimates reach `E_k`, at least one — call it `u` — has
+    * true count ≤ `t_k` (the true k-th count), so `E_k ≤ est(u) ≤
+    * true(u) + εN ≤ t_k + εN` (the εN over-count bound holds with
+    * probability ≥ `confidence`). Every true top-k key `t` then has
+    * `est(t) ≥ true(t) ≥ t_k ≥ E_k − εN` — it is shortlisted. On skewed
+    * data (the case heavy-hitters exist for) the shortlist is tiny; on
+    * near-uniform data it honestly degenerates toward all keys, because
+    * there a top-k is unanswerable without counting — the recount is
+    * still a KEY-cardinality aggregation, never more.
     */
   def countMinTopK(
       df: DataFrame,
@@ -87,43 +105,38 @@ object Sketch {
       k: Int,
       eps: Double = 1e-4,
       confidence: Double = 0.99,
-      candidatesPerPartition: Int = 100,
       seed: Int = 42
   ): MayFail[DataFrame] = MayFail {
     require(k > 0, s"k must be positive: $k")
     val spark = df.sparkSession
     import spark.implicits._
 
-    // sketch and nominate in STRING space so CMS hashing, candidate keys
-    // and the recount filter all agree regardless of the key's type
+    // sketch and score in STRING space so CMS hashing, candidate keys and
+    // the recount filter agree regardless of the key's native type
     val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
+    val n = keyed.count()
     val cms: CountMinSketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val bc = spark.sparkContext.broadcast(cms)
 
-    // local exact counts → per-partition top-M nominations (no shuffle;
-    // output is ≤ numPartitions × M slim keys)
-    val keyStr = keyed.as[String]
-    val candidates = keyStr.mapPartitions { it =>
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { v => if (v != null) counts(v) = counts.getOrElse(v, 0L) + 1L }
-      counts.toSeq.sortBy { case (key, n) => (-n, key) }
-        .take(candidatesPerPartition).iterator.map(_._1)
-    }.distinct().collect()
-
-    // CMS estimates rank the candidates; keep a 3k margin before the
-    // exact recount so estimate noise (ε·N over-count) cannot evict a
-    // true top-k member
-    val shortlist = candidates
-      .map(key => key -> cms.estimateCount(key))
-      .sortBy { case (key, est) => (-est, key) }
-      .take(math.max(3 * k, k + 8))
-      .map(_._1)
-
-    val exact = df
-      .filter(col(keyCol).cast(StringType).isInCollection(shortlist))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col(keyCol))
-      .limit(k)
-    exact
+    val est = keyed.distinct().as[String]
+      .map(key => (key, bc.value.estimateCount(key)))
+      .toDF("__key", "__est")
+    // k-th largest estimate (ties by key keep it deterministic)
+    val eKRow = est.orderBy(col("__est").desc, col("__key")).limit(k)
+      .agg(min(col("__est"))).head()
+    val emptyResult = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).limit(0)
+    if (eKRow.isNullAt(0)) emptyResult
+    else {
+      val eK = eKRow.getLong(0)
+      val margin = math.ceil(eps * n).toLong
+      val shortlist = est.filter(col("__est") >= eK - margin).select("__key")
+      // semi join in string space, recount + order in the key's NATIVE
+      // type (string ordering would rank "10" before "9")
+      df.join(shortlist, col(keyCol).cast(StringType) === col("__key"), "left_semi")
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(keyCol))
+        .limit(k)
+    }
   }
 }

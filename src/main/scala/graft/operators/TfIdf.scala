@@ -22,9 +22,11 @@ object TfIdf {
 
   /** Sparse TF-IDF postings `(idCol, term, w)`: terms are lowercased
     * whitespace tokens, `w = tf · (ln((N+1)/(df+1)) + 1)` (smoothed IDF —
-    * never zero, so exact duplicates still match on every term).
-    * `maxDfFraction` drops terms appearing in more than that fraction of
-    * documents. */
+    * never zero, so exact duplicates still match on every term). `N` is
+    * the TOTAL document count of `df` (sklearn's n_samples convention —
+    * a cheap metadata-level count, so the expensive tokenize+aggregate
+    * pipeline runs exactly once). `maxDfFraction` drops terms appearing
+    * in more than that fraction of documents. */
   def postings(
       df: DataFrame,
       textCol: String,
@@ -33,11 +35,11 @@ object TfIdf {
   ): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1]: $maxDfFraction")
+    val nDocs = df.count().toDouble
     val toks = df.select(
         col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= "")).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val nDocs = tf.select(countDistinct(col("id"))).head().getLong(0).toDouble
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dfn"))
       .filter(col("dfn") <= nDocs * maxDfFraction)
@@ -63,7 +65,13 @@ object TfIdf {
       threshold: Double = 0.8,
       maxDfFraction: Double = 1.0
   ): MayFail[DataFrame] = MayFail {
-    val w = postings(df, textCol, idCol, maxDfFraction).cache()
+    // deliberately NOT cached: a cache() here would pin the postings in
+    // executor storage past this call with no owner to unpersist them
+    // (a storage leak across a long session). The norms+dots double-use
+    // recomputes the postings subtree, exactly like the SQL formulation;
+    // callers running MANY similarity passes should snapshot postings()
+    // once (Optimise.snapshot) and pay the materialization knowingly.
+    val w = postings(df, textCol, idCol, maxDfFraction)
     val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
     val dots = w.select(col("term"), col("id").as("idA"), col("w").as("wa"))
       .join(w.select(col("term"), col("id").as("idB"), col("w").as("wb")), Seq("term"))

@@ -360,8 +360,10 @@ object Optimise {
     * dedicated top cell (they carry no locality to preserve). */
   def zorderBy(df: DataFrame, colA: String, colB: String,
       partitions: Int = 0, cells: Int = 1024): MayFail[DataFrame] = MayFail {
-    require(cells > 1 && cells <= 65536,
-      s"cells must be in (1, 65536] (16-bit interleave), got $cells")
+    // strictly below 65536: the invalid-value bucket sits at index
+    // `cells`, and it too must survive the 16-bit interleave mask
+    require(cells > 1 && cells < 65536,
+      s"cells must be in (1, 65536) (16-bit interleave incl. null cell), got $cells")
     import org.apache.spark.sql.functions.{coalesce, lit}
     import graft.functions.FunctionBridge
     // probe 0.0 returns the exact column minimum; boundaries at/below it
@@ -372,7 +374,13 @@ object Optimise {
       df.stat.approxQuantile(Array(colA, colB), probes, 0.25 / cells)
     def splits(q: Array[Double]): Array[Double] = {
       val interior = q.tail.distinct.sorted.filter(_ > q.head)
-      Double.NegativeInfinity +: interior :+ Double.PositiveInfinity
+      // a constant (or min-dominated) column yields no interior split;
+      // Bucketizer needs >= 3 boundaries, so keep one unreachable split
+      // and let every real value land in cell 0 (no locality to encode)
+      if (interior.isEmpty)
+        Array(Double.NegativeInfinity, Double.MaxValue, Double.PositiveInfinity)
+      else
+        Double.NegativeInfinity +: interior :+ Double.PositiveInfinity
     }
     val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
       .setInputCols(Array("__za_in", "__zb_in"))

@@ -63,6 +63,32 @@ class SketchSpec extends AnyFunSuite {
     assert(got == (1 to 7).map(i => (i, 5L)))
   }
 
+  test("countMinTopK is exact on near-uniform data across many partitions") {
+    // counts differ by at most 1 and every partition sees ~2 rows per
+    // key — the shape that defeats per-partition nomination heuristics
+    val uniform = (1 to 200).flatMap(i => Seq.fill(30 + i % 2)(i.toLong))
+      .toDF("key").repartition(16)
+    val got = Sketch.countMinTopK(uniform, "key", k = 10).get
+      .as[(Long, Long)].collect().toSeq
+    val want = uniform.groupBy("key").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"key").limit(10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // numeric ordering, not string ordering, breaks count ties
+    assert(got.map(_._1) == (1 to 19 by 2).map(_.toLong))
+  }
+
+  test("countMinTopK returns empty on empty input") {
+    val empty = spark.emptyDataFrame.withColumn("key", lit(1L)).filter(lit(false))
+    assert(Sketch.countMinTopK(empty, "key", k = 3).get.count() == 0)
+  }
+
+  test("bloomSemiJoin rejects mismatched key hash domains") {
+    val big = Seq((1L, "r")).toDF("k", "v")
+    val small = Seq("1").toDF("s")
+    assert(Sketch.bloomSemiJoin(big, small, "k", "s").isFailing)
+  }
+
   test("countMinTopK works on string keys") {
     val df = Seq.tabulate(300)(i => s"w${i % 13}").toDF("w").repartition(4)
     val got = Sketch.countMinTopK(df, "w", k = 3).get

@@ -164,6 +164,19 @@ class OpsSpec extends AnyFunSuite {
       s"no locality: ${spans.toSeq}")
   }
 
+  test("zorderBy handles constant columns and null values") {
+    // constant y column: no interior quantile splits exist — must still
+    // lay out (regression: Bucketizer rejects a 2-boundary split array)
+    val constCol = (0 until 64).map(x => (x, 7)).toDF("x", "y")
+    assert(Optimise.zorderBy(constCol, "x", "y", partitions = 2).get.count() == 64)
+    // null keys survive the layout (dedicated invalid cell)
+    val withNulls = (0 until 32).map(x => (x, if (x % 8 == 0) None else Some(x)))
+      .toDF("x", "y")
+    assert(Optimise.zorderBy(withNulls, "x", "y", partitions = 2).get.count() == 32)
+    // cells = 65536 would wrap the invalid cell past the 16-bit mask
+    assert(Optimise.zorderBy(constCol, "x", "y", cells = 65536).isFailing)
+  }
+
   test("saltedJoin equals the plain join result") {
     val small = Seq(("a", "x"), ("b", "y")).toDF("key", "tag")
     val plain = kv.join(small, Seq("key"), "inner")
