@@ -997,6 +997,23 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q81_hll" -> ((s, dir) => {
+      // Mergeable HLL distinct sketches: per-day sketches unioned per
+      // event type. The gate asserts the estimate lands within 5% of
+      // exact (HLL is deterministic, and at this cardinality the sketch
+      // is still in its exact sparse mode) — the oracle emits `true`.
+      val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = Sketch.hllSketches(ev, Seq("event_type", "day"), "user_id").get
+      val est = Sketch.hllMergeEstimate(daily, Seq("event_type")).get
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     "q80_shard" -> ((s, dir) => {
       // Deterministic token-budget sharding (per-language, so no global
       // window), summarized per shard.
@@ -1668,6 +1685,10 @@ object SparkEntry {
          )
          SELECT lang, shard_id, count(*) AS n_docs,
            sum(n_chars) AS n_chars_total
-         FROM sharded GROUP BY lang, shard_id ORDER BY lang, shard_id"""
+         FROM sharded GROUP BY lang, shard_id ORDER BY lang, shard_id""",
+    "q81_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         true AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -79,6 +79,39 @@ object Sketch {
       .join(small.select(col(smallKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
+  /** Mergeable per-group distinct-count sketches (Datasketches HLL):
+    * `(keys..., sketch)` rows whose sketches UNION losslessly — build
+    * them once per partition/day/source, then answer "distinct X over
+    * any key combination" by merging sketches instead of rescanning
+    * 100 TB. `lgConfigK = 12` ≈ 1.6% relative error in ~2 KB. */
+  def hllSketches(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lgConfigK: Int = 12
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "hllSketches needs at least one group key")
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("sketch"))
+  }
+
+  /** Merge previously built sketches down to coarser keys and estimate:
+    * `(mergeKeys..., n_distinct_approx)`. Estimates are IDENTICAL to
+    * sketching the raw union directly (HLL union is lossless at equal
+    * lgConfigK) — locked by SketchSpec. */
+  def hllMergeEstimate(
+      sketches: DataFrame,
+      mergeKeys: Seq[String],
+      sketchCol: String = "sketch"
+  ): MayFail[DataFrame] = MayFail {
+    val grouped =
+      if (mergeKeys.isEmpty) sketches.groupBy()
+      else sketches.groupBy(mergeKeys.map(col): _*)
+    grouped
+      .agg(expr(s"hll_sketch_estimate(hll_union_agg($sketchCol))")
+        .as("n_distinct_approx"))
+  }
+
   /** Exact top-`k` keys by frequency, found WITHOUT a full-row group-by:
     * a Count-Min sketch (one distributed pass over the ROWS) bounds every
     * key's count from above, the DISTINCT keys (a slim shuffle — keys,

@@ -207,6 +207,70 @@ object Stream {
       df.sparkSession.table(queryName)
     }
 
+  /** Streaming CDC apply: each micro-batch is upserted into the parquet
+    * table at `path` (SCD-1 via [[graft.operators.Merge.upsert]], delta
+    * broadcast so the base never shuffles). Within a batch, `seqCol`
+    * picks the winning row per key (latest-by); without it the batch
+    * must already be unique per key.
+    *
+    * The rewrite uses the compact/rename-aside swap (write tmp → move
+    * old aside → move tmp in → drop old) so a crash never leaves `path`
+    * missing, and the checkpoint makes delivery effectively-once: a
+    * replayed batch re-upserts the same keys idempotently. */
+  def upsertSink(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      checkpointLocation: String,
+      seqCol: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): MayFail[StreamingQuery] =
+    MayFail {
+      require(keys.nonEmpty, "upsertSink needs at least one key column")
+      stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          applyUpsertBatch(batch, path, keys, seqCol)
+        }
+        .start()
+    }
+
+  private[streaming] def applyUpsertBatch(
+      batch: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seqCol: Option[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = seqCol match {
+      case Some(sc) => graft.operators.Merge.latestByKey(batch, keys, sc).get
+      case None     => batch.dropDuplicates(keys)
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(hconf)
+    if (!fs.exists(raw)) {
+      delta.write.parquet(path)
+    } else {
+      val src = fs.makeQualified(raw)
+      val base = spark.read.parquet(path)
+      val merged = graft.operators.Merge
+        .upsert(base, delta.select(base.columns.map(col): _*), keys,
+          broadcastUpdates = true).get
+      val uuid = java.util.UUID.randomUUID
+      val tmp = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__upsert_$uuid")
+      val bak = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__bak_$uuid")
+      merged.write.parquet(tmp.toString)
+      require(fs.rename(src, bak), s"rename $src -> $bak failed")
+      if (!fs.rename(tmp, src)) {
+        fs.rename(bak, src)
+        throw new java.io.IOException(s"rename $tmp -> $src failed (rolled back)")
+      }
+      fs.delete(bak, true)
+    }
+  }
+
   /** Start a file sink with an explicit trigger + checkpoint (the
     * production shape of the reference's `Write.streamToFile`). */
   def startFileSink(

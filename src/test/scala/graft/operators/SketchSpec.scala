@@ -89,6 +89,21 @@ class SketchSpec extends AnyFunSuite {
     assert(Sketch.bloomSemiJoin(big, small, "k", "s").isFailing)
   }
 
+  test("hll sketch-merge estimate equals sketching the raw union directly") {
+    // per-day sketches of user ids, merged across days, must give the
+    // SAME estimate as one sketch over all rows (lossless union)
+    val events = (1 to 1000).map(i => (i % 7, (i * 37) % 211)).toDF("day", "user")
+    val daily = Sketch.hllSketches(events, Seq("day"), "user").get
+    assert(daily.count() == 7)
+    val merged = Sketch.hllMergeEstimate(daily, Nil).get
+      .as[Long].head()
+    val direct = events
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user, 12))")).as[Long].head()
+    assert(merged == direct)
+    // the estimate is in the right neighborhood of the true 211
+    assert(merged > 190 && merged < 232)
+  }
+
   test("countMinTopK works on string keys") {
     val df = Seq.tabulate(300)(i => s"w${i % 13}").toDF("w").repartition(4)
     val got = Sketch.countMinTopK(df, "w", k = 3).get

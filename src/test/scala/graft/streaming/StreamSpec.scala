@@ -75,6 +75,29 @@ class StreamSpec extends AnyFunSuite {
     assert(Stream.intervalJoin(df, df, "ts", "ts", Seq("k" -> "k"), "1 hour").isFailing)
   }
 
+  test("upsertSink applies each micro-batch as an SCD-1 merge on parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF.toDF("id", "v", "seq")
+    val q = Stream.upsertSink(df, path, Seq("id"), ckpt, seqCol = Some("seq")).get
+    try {
+      // batch 1: initial load, including an in-batch duplicate (seq wins)
+      input.addData((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+      q.processAllAvailable()
+      // batch 2: update id=1, insert id=3
+      input.addData((1L, "a2", 3L), (3L, "c", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(path)
+      .select(col("id"), col("v")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
+
   test("sessionize emits closed sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double, Timestamp)]
