@@ -92,7 +92,7 @@ object Sketch {
   ): MayFail[DataFrame] = MayFail {
     require(keys.nonEmpty, "hllSketches needs at least one group key")
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"hll_sketch_agg($valueCol, $lgConfigK)").as("sketch"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
   }
 
   /** Merge previously built sketches down to coarser keys and estimate:
@@ -108,7 +108,7 @@ object Sketch {
       if (mergeKeys.isEmpty) sketches.groupBy()
       else sketches.groupBy(mergeKeys.map(col): _*)
     grouped
-      .agg(expr(s"hll_sketch_estimate(hll_union_agg($sketchCol))")
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))
         .as("n_distinct_approx"))
   }
 
@@ -145,31 +145,48 @@ object Sketch {
     import spark.implicits._
 
     // sketch and score in STRING space so CMS hashing, candidate keys and
-    // the recount filter agree regardless of the key's native type
+    // the recount filter agree regardless of the key's native type; null
+    // keys carry no frequency rank and are excluded up front (the sketch
+    // build skips them anyway, and estimateCount(null) throws)
     val keyed = df.select(col(keyCol).cast(StringType).as(keyCol))
-    val n = keyed.count()
+      .filter(col(keyCol).isNotNull)
     val cms: CountMinSketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
     val bc = spark.sparkContext.broadcast(cms)
+    // N for the εN bound = items the sketch actually absorbed — free from
+    // the sketch itself, no extra counting pass
+    val n = cms.totalCount()
 
     val est = keyed.distinct().as[String]
       .map(key => (key, bc.value.estimateCount(key)))
       .toDF("__key", "__est")
-    // k-th largest estimate (ties by key keep it deterministic)
-    val eKRow = est.orderBy(col("__est").desc, col("__key")).limit(k)
-      .agg(min(col("__est"))).head()
-    val emptyResult = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).limit(0)
-    if (eKRow.isNullAt(0)) emptyResult
-    else {
-      val eK = eKRow.getLong(0)
-      val margin = math.ceil(eps * n).toLong
-      val shortlist = est.filter(col("__est") >= eK - margin).select("__key")
-      // semi join in string space, recount + order in the key's NATIVE
-      // type (string ordering would rank "10" before "9")
-      df.join(shortlist, col(keyCol).cast(StringType) === col("__key"), "left_semi")
-        .groupBy(col(keyCol))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col(keyCol))
-        .limit(k)
-    }
+      // the distinct+score subtree feeds BOTH the E_k probe and the
+      // shortlist — persist it for the operator's lifetime (it is slim:
+      // distinct keys only) and drop it before returning
+      .persist()
+    try {
+      // k-th largest estimate (ties by key keep it deterministic)
+      val eKRow = est.orderBy(col("__est").desc, col("__key")).limit(k)
+        .agg(min(col("__est"))).head()
+      val emptyResult = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).limit(0)
+      if (eKRow.isNullAt(0)) emptyResult
+      else {
+        val eK = eKRow.getLong(0)
+        val margin = math.ceil(eps * n).toLong
+        val shortlist = est.filter(col("__est") >= eK - margin).select("__key")
+        // semi join in string space, recount + order in the key's NATIVE
+        // type (string ordering would rank "10" before "9"). The result
+        // is ≤ k rows by construction — materialize it eagerly so the
+        // persisted est can be released before returning.
+        val top = df
+          .join(shortlist, col(keyCol).cast(StringType) === col("__key"), "left_semi")
+          .groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col(keyCol))
+          .limit(k)
+        val rows = top.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), top.schema)
+      }
+    } finally est.unpersist()
   }
 }

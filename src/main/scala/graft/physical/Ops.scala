@@ -373,10 +373,14 @@ object Optimise {
     val Array(qa, qb) =
       df.stat.approxQuantile(Array(colA, colB), probes, 0.25 / cells)
     def splits(q: Array[Double]): Array[Double] = {
-      val interior = q.tail.distinct.sorted.filter(_ > q.head)
-      // a constant (or min-dominated) column yields no interior split;
-      // Bucketizer needs >= 3 boundaries, so keep one unreachable split
-      // and let every real value land in cell 0 (no locality to encode)
+      // an all-null/NaN column gives approxQuantile NOTHING to sketch
+      // (empty quantile array); constant or min-dominated columns give no
+      // interior split. Bucketizer needs >= 3 boundaries either way, so
+      // keep one unreachable split and let every real value land in cell
+      // 0 (such a column has no locality to encode).
+      val interior =
+        if (q.isEmpty) Array.empty[Double]
+        else q.tail.distinct.sorted.filter(_ > q.head)
       if (interior.isEmpty)
         Array(Double.NegativeInfinity, Double.MaxValue, Double.PositiveInfinity)
       else

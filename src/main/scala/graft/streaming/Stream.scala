@@ -208,15 +208,19 @@ object Stream {
     }
 
   /** Streaming CDC apply: each micro-batch is upserted into the parquet
-    * table at `path` (SCD-1 via [[graft.operators.Merge.upsert]], delta
-    * broadcast so the base never shuffles). Within a batch, `seqCol`
-    * picks the winning row per key (latest-by); without it the batch
-    * must already be unique per key.
+    * table at `path`. With `seqCol`, LATEST WINS across batches too: a
+    * late event whose sequence trails what the table already holds is
+    * discarded (ties keep the base row, so checkpoint-replayed batches
+    * apply idempotently); `seqCol` values must be non-null. Without
+    * `seqCol` the merge is blind SCD-1 and each batch must be unique per
+    * key. Single writer per table path (the streaming query itself).
     *
-    * The rewrite uses the compact/rename-aside swap (write tmp → move
-    * old aside → move tmp in → drop old) so a crash never leaves `path`
-    * missing, and the checkpoint makes delivery effectively-once: a
-    * replayed batch re-upserts the same keys idempotently. */
+    * Crash safety: every table version appears only via rename (write to
+    * a tmp dir → move old aside → move tmp in → drop old), and each batch
+    * first RECOVERS from an interrupted swap — a dangling `__bak_*` with
+    * no live table is restored, leftover tmp/bak dirs are dropped. A
+    * crash at any point leaves either the old or the new table
+    * addressable, never a partial one. */
   def upsertSink(
       stream: DataFrame,
       path: String,
@@ -243,23 +247,29 @@ object Stream {
       seqCol: Option[String]): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val delta = seqCol match {
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(raw)
+    recoverInterruptedSwap(fs, src)
+    val delta0 = seqCol match {
       case Some(sc) => graft.operators.Merge.latestByKey(batch, keys, sc).get
       case None     => batch.dropDuplicates(keys)
     }
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val raw = new org.apache.hadoop.fs.Path(path)
-    val fs = raw.getFileSystem(hconf)
-    if (!fs.exists(raw)) {
-      delta.write.parquet(path)
+    val uuid = java.util.UUID.randomUUID
+    val tmp = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__upsert_$uuid")
+    if (!fs.exists(src)) {
+      // bootstrap through tmp+rename too: a crash mid-write must never
+      // leave a partial directory where the table is expected
+      delta0.write.parquet(tmp.toString)
+      require(fs.rename(tmp, src), s"rename $tmp -> $src failed")
     } else {
-      val src = fs.makeQualified(raw)
       val base = spark.read.parquet(path)
-      val merged = graft.operators.Merge
-        .upsert(base, delta.select(base.columns.map(col): _*), keys,
-          broadcastUpdates = true).get
-      val uuid = java.util.UUID.randomUUID
-      val tmp = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__upsert_$uuid")
+      val delta = delta0.select(base.columns.map(col): _*)
+      val merged = seqCol match {
+        case Some(sc) => seqAwareMerge(base, delta, keys, sc)
+        case None =>
+          graft.operators.Merge.upsert(base, delta, keys, broadcastUpdates = true).get
+      }
       val bak = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__bak_$uuid")
       merged.write.parquet(tmp.toString)
       require(fs.rename(src, bak), s"rename $src -> $bak failed")
@@ -269,6 +279,60 @@ object Stream {
       }
       fs.delete(bak, true)
     }
+  }
+
+  /** Restore a table whose swap was interrupted (old table moved aside,
+    * new one not yet moved in), then clear leftover swap debris. Safe
+    * under the sink's single-writer contract. */
+  private def recoverInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path): Unit = {
+    val parent = src.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = src.getName
+    def swapDirs() = fs.listStatus(parent).filter { st =>
+      val nm = st.getPath.getName
+      nm.startsWith(s"${name}__bak_") || nm.startsWith(s"${name}__upsert_")
+    }
+    if (!fs.exists(src)) {
+      swapDirs().filter(_.getPath.getName.startsWith(s"${name}__bak_"))
+        .sortBy(_.getModificationTime).lastOption.foreach { st =>
+          require(fs.rename(st.getPath, src),
+            s"recovery rename ${st.getPath} -> $src failed")
+        }
+    }
+    // whatever remains is debris: baks fully swapped out, or tmp dirs
+    // whose batch the checkpoint will replay anyway
+    swapDirs().foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Latest-wins merge: base rows survive unless the delta carries a
+    * strictly newer sequence for their key; delta rows land when their
+    * key is absent or strictly newer. The base is never shuffled (delta
+    * broadcast to base; the insert check joins only the base's slim
+    * key+seq projection). Assumes the table is unique per key (the sink
+    * maintains that inductively from its first batch). */
+  private def seqAwareMerge(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      seqCol: String): DataFrame = {
+    require(base.columns.contains(seqCol), s"base table lacks seq column $seqCol")
+    val d = broadcast(
+      delta.select((keys :+ seqCol).map(c => col(c).as(s"__u_$c")): _*)
+        .withColumn("__upres", lit(1)))
+    val keptCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    val baseKept = base.join(d, keptCond, "left_outer")
+      .filter(col("__upres").isNull || col(seqCol) >= col(s"__u_$seqCol"))
+      .select(base.columns.map(col).toSeq: _*)
+    val baseSlim = base
+      .select((keys :+ seqCol).map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__bpres", lit(1))
+    val insCond = keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
+    val deltaApplied = delta.join(baseSlim, insCond, "left_outer")
+      .filter(col("__bpres").isNull || col(seqCol) > col(s"__b_$seqCol"))
+      .select(delta.columns.map(col).toSeq: _*)
+    baseKept.unionByName(deltaApplied)
   }
 
   /** Start a file sink with an explicit trigger + checkpoint (the

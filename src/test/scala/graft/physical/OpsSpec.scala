@@ -175,6 +175,10 @@ class OpsSpec extends AnyFunSuite {
     assert(Optimise.zorderBy(withNulls, "x", "y", partitions = 2).get.count() == 32)
     // cells = 65536 would wrap the invalid cell past the 16-bit mask
     assert(Optimise.zorderBy(constCol, "x", "y", cells = 65536).isFailing)
+    // an all-null column gives approxQuantile nothing at all — must
+    // still lay out rather than crash on the empty quantile array
+    val allNull = (0 until 16).map(x => (x, Option.empty[Int])).toDF("x", "y")
+    assert(Optimise.zorderBy(allNull, "x", "y", partitions = 2).get.count() == 16)
   }
 
   test("saltedJoin equals the plain join result") {

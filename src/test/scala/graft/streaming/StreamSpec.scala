@@ -91,11 +91,34 @@ class StreamSpec extends AnyFunSuite {
       // batch 2: update id=1, insert id=3
       input.addData((1L, "a2", 3L), (3L, "c", 3L))
       q.processAllAvailable()
+      // batch 3: LATE events — seq older than the table's must not win
+      input.addData((2L, "late", 0L), (3L, "c-old", 1L), (4L, "d", 1L))
+      q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(path)
       .select(col("id"), col("v")).as[(Long, String)]
       .collect().sortBy(_._1).toSeq
-    assert(got == Seq((1L, "a2"), (2L, "b2"), (3L, "c")))
+    assert(got == Seq((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("upsertSink recovers a table whose swap was interrupted") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_rec").toString
+    val path = s"$dir/table"
+    // simulate the crash window: the old table was moved aside and the
+    // process died before the new one moved in
+    Seq((1L, "a", 1L)).toDF("id", "v", "seq").write.parquet(s"$dir/table__bak_dead")
+    Seq((9L, "junk", 9L)).toDF("id", "v", "seq").write.parquet(s"$dir/table__upsert_dead")
+    val batch = Seq((2L, "b", 2L)).toDF("id", "v", "seq")
+    Stream.applyUpsertBatch(batch, path, Seq("id"), Some("seq"))
+    val got = spark.read.parquet(path)
+      .select(col("id"), col("v")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // the bak was restored as the base (id=1 survives), the dangling tmp
+    // was discarded (no id=9), and the batch then applied normally
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains("__"))
+    assert(leftovers.isEmpty, s"swap debris not cleaned: ${leftovers.toSeq}")
   }
 
   test("sessionize emits closed sessions when the watermark passes the gap") {
