@@ -1012,6 +1012,23 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q82_json" -> ((s, dir) => {
+      // Semi-structured extraction: parse the JSON props column with an
+      // explicit schema (from_json — codegen'd, no UDF; schema-on-read
+      // exactly as a 100 TB event lake demands) and aggregate on the
+      // extracted field.
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      events(s, dir)
+        .withColumn("props_k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("props_k")).as("n_parsed"),
+          sum(col("props_k")).as("sum_k"),
+          min(col("props_k")).as("min_k"),
+          max(col("props_k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     "q81_hll" -> ((s, dir) => {
       // Mergeable HLL distinct sketches: per-day sketches unioned per
       // event type. The gate asserts the estimate lands within 5% of
@@ -1707,6 +1724,13 @@ object SparkEntry {
     "q81_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
          true AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q82_json" ->
+      """SELECT event_type,
+         count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_parsed,
+         sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+         min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
