@@ -72,6 +72,10 @@ object Sampling {
     * contiguous run of the ordered corpus; each shard's size is within
     * one document of the budget).
     *
+    * Reproducibility requires a TOTAL order: `orderCol` (plus
+    * `tieBreakers`) must be unique within each group — tied rows under a
+    * ROWS-frame running sum take arbitrary shard ids otherwise.
+    *
     * One window over the group partition — at scale, shard WITHIN
     * sensible groups (source, language): a single global ordering would
     * serialize into one task, the same trap the z-order reviewer flagged.
@@ -81,11 +85,13 @@ object Sampling {
       orderCol: String,
       tokenCountCol: String,
       budget: Long,
-      keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+      keys: Seq[String] = Nil,
+      tieBreakers: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
     require(budget > 0, s"budget must be positive: $budget")
     val run = s"__run_${java.util.UUID.randomUUID.toString.take(8)}"
     val tokens = greatest(coalesce(col(tokenCountCol), lit(0L)), lit(0L))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCol +: tieBreakers).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(run, sum(tokens).over(w))
       .withColumn("shard_id", floor((col(run) - tokens) / budget))

@@ -46,34 +46,32 @@ object Sketch {
   ): MayFail[DataFrame] = MayFail {
     // the sketch hashes integral keys as longs and strings as bytes —
     // mixing domains (long probe against string-built filter) would prune
-    // EVERY row silently, so mismatched key types are a hard error
+    // EVERY row silently, so mismatched key types are a hard error. ONE
+    // classification serves both the guard and the probe construction so
+    // a future type addition cannot diverge between them.
+    // (A Column-level expression would need the private
+    // BloomFilterMightContain; a typed UDF keeps the check map-side and
+    // off the codegen hot path only for this operator.)
     def domain(dt: org.apache.spark.sql.types.DataType): String = dt match {
       case LongType | IntegerType | ShortType | ByteType => "integral"
       case StringType => "string"
       case other => throw new IllegalArgumentException(
         s"bloomSemiJoin: unsupported key type $other (integral or string)")
     }
-    require(domain(big.schema(bigKey).dataType) == domain(small.schema(smallKey).dataType),
+    val bigDomain = domain(big.schema(bigKey).dataType)
+    require(bigDomain == domain(small.schema(smallKey).dataType),
       s"bloomSemiJoin: key hash domains differ — " +
         s"$bigKey is ${big.schema(bigKey).dataType}, " +
         s"$smallKey is ${small.schema(smallKey).dataType}")
     val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val dt = big.schema(bigKey).dataType
-    // sketch.BloomFilter hashes integral types via putLong and strings via
-    // putBinary — mirror that dispatch (a Column-level expression would
-    // need the private BloomFilterMightContain; a typed UDF keeps the
-    // check map-side and off the codegen hot path only for this operator)
-    val might: Column = dt match {
-      case LongType | IntegerType | ShortType | ByteType =>
+    val might: Column = bigDomain match {
+      case "integral" =>
         udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
           .apply(col(bigKey).cast(LongType))
-      case StringType =>
+      case "string" =>
         udf((v: String) => v != null && bc.value.mightContainString(v))
           .apply(col(bigKey))
-      case other =>
-        throw new IllegalArgumentException(
-          s"bloomSemiJoin: unsupported key type $other (integral or string)")
     }
     big.filter(might)
       .join(small.select(col(smallKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
@@ -96,9 +94,12 @@ object Sketch {
   }
 
   /** Merge previously built sketches down to coarser keys and estimate:
-    * `(mergeKeys..., n_distinct_approx)`. Estimates are IDENTICAL to
-    * sketching the raw union directly (HLL union is lossless at equal
-    * lgConfigK) — locked by SketchSpec. */
+    * `(mergeKeys..., n_distinct_approx)`. The union itself is lossless at
+    * equal lgConfigK; the resulting ESTIMATE equals the direct one
+    * exactly while sketches remain in sparse mode (small cardinalities —
+    * locked by SketchSpec) and stays within the configured error bound in
+    * dense mode (the union path uses the composite estimator where a
+    * directly built sketch can use HIP). */
   def hllMergeEstimate(
       sketches: DataFrame,
       mergeKeys: Seq[String],

@@ -23,10 +23,12 @@ object TfIdf {
   /** Sparse TF-IDF postings `(idCol, term, w)`: terms are lowercased
     * whitespace tokens, `w = tf · (ln((N+1)/(df+1)) + 1)` (smoothed IDF —
     * never zero, so exact duplicates still match on every term). `N` is
-    * the TOTAL document count of `df` (sklearn's n_samples convention —
-    * a cheap metadata-level count, so the expensive tokenize+aggregate
-    * pipeline runs exactly once). `maxDfFraction` drops terms appearing
-    * in more than that fraction of documents. */
+    * the TOTAL document count of `df` (sklearn's n_samples convention).
+    * The count executes `df`'s own plan once — cheap for a plain scan,
+    * a real extra pass for a derived frame — but never re-runs the far
+    * costlier tokenize+aggregate pipeline the way a distinct-id count
+    * over the postings would. `maxDfFraction` drops terms appearing in
+    * more than that fraction of documents. */
   def postings(
       df: DataFrame,
       textCol: String,

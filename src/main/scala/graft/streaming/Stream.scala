@@ -245,15 +245,25 @@ object Stream {
       path: String,
       keys: Seq[String],
       seqCol: Option[String]): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val raw = new org.apache.hadoop.fs.Path(path)
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = fs.makeQualified(raw)
+    // recover BEFORE the empty-batch shortcut: after a crashed swap the
+    // replayed batch may well be empty (idle stream, expired retention),
+    // and the table must come back regardless
     recoverInterruptedSwap(fs, src)
+    if (batch.isEmpty) return
     val delta0 = seqCol match {
-      case Some(sc) => graft.operators.Merge.latestByKey(batch, keys, sc).get
-      case None     => batch.dropDuplicates(keys)
+      case Some(sc) =>
+        // a null sequence would silently LOSE data downstream (every
+        // comparison in seqAwareMerge turns null->false, dropping both
+        // sides) — fail the batch loudly instead
+        val nNullSeq = batch.filter(col(sc).isNull).count()
+        require(nNullSeq == 0,
+          s"upsertSink: $nNullSeq row(s) with null $sc — seq values must be non-null")
+        graft.operators.Merge.latestByKey(batch, keys, sc).get
+      case None => batch.dropDuplicates(keys)
     }
     val uuid = java.util.UUID.randomUUID
     val tmp = new org.apache.hadoop.fs.Path(src.getParent, s"${src.getName}__upsert_$uuid")
