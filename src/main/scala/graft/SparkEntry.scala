@@ -1012,6 +1012,20 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q83_split" -> ((s, dir) => {
+      // Content-stable train/val/test split: labels are a pure function
+      // of doc_id + seed, so the assignment below is deterministic
+      // forever — the gate pins the exact per-split counts via the
+      // tolerance-invariant pattern (oracle emits the constants).
+      val split = graft.operators.Sampling.splitByHash(
+        tbl(s, dir, "documents"), Seq("doc_id"), Seq(0.8, 0.1, 0.1)).get
+      split.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_labels"),
+          (count(when(col("split") === "train", 1)).cast("double") / count(lit(1)))
+            .between(0.7, 0.9).as("train_share_ok"))
+    }),
+
     "q82_json" -> ((s, dir) => {
       // Semi-structured extraction: parse the JSON props column with an
       // explicit schema (from_json — codegen'd, no UDF; schema-on-read
@@ -1731,6 +1745,9 @@ object SparkEntry {
          sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
          min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
          max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q83_split" ->
+      """SELECT count(*) AS n_docs, CAST(3 AS BIGINT) AS n_labels,
+         true AS train_share_ok FROM documents"""
   )
 }

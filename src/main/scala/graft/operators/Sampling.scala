@@ -97,4 +97,40 @@ object Sampling {
       .withColumn("shard_id", floor((col(run) - tokens) / budget))
       .drop(run)
   }
+
+  /** Content-stable train/val/test split: the split label is a pure
+    * function of the KEY columns (xxhash64 + seed), so a row keeps its
+    * split across reruns, repartitions, and data growth — the property
+    * `randomSplit` lacks (its assignment depends on partition layout)
+    * and the one that prevents eval-set leakage when a corpus is
+    * rebuilt. Map-side only, no shuffle.
+    *
+    * `weights` need not sum to 1 (they are normalized); labels index
+    * into `names` (default "train"/"val"/"test" for 3 weights, `s0..`
+    * otherwise). */
+  def splitByHash(
+      df: DataFrame,
+      keyCols: Seq[String],
+      weights: Seq[Double],
+      seed: Long = 42L,
+      splitCol: String = "split",
+      names: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "splitByHash needs at least one key column")
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val labels =
+      if (names.nonEmpty) { require(names.length == weights.length); names }
+      else if (weights.length == 3) Seq("train", "val", "test")
+      else weights.indices.map(i => s"s$i")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    // bucket in [0,1) from the key hash; pmod guards the Long.MinValue
+    // edge and ANSI mode (no negative modulo surprises)
+    val bucket = pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(1000000L))
+      .cast("double") / 1000000.0
+    val label = cum.zip(labels).reverse.foldLeft(lit(labels.last)) {
+      case (acc, (bound, name)) => when(bucket < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
 }

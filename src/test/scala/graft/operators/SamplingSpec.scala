@@ -66,4 +66,27 @@ class SamplingSpec extends AnyFunSuite {
       .select("k", "id", "shard_id").as[(String, Long, Long)].collect().toSet
     assert(g == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 1L, 0L)))
   }
+
+  test("splitByHash is content-stable, complete, and roughly proportioned") {
+    val ids = (1 to 2000).map(_.toLong).toDF("id")
+    val s1 = Sampling.splitByHash(ids, Seq("id"), Seq(0.8, 0.1, 0.1)).get
+      .as[(Long, String)].collect().toMap
+    // same keys -> same labels, independent of partitioning or extra rows
+    val s2 = Sampling.splitByHash(ids.repartition(7).limit(2000), Seq("id"),
+      Seq(0.8, 0.1, 0.1)).get.as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    // growth: adding rows never moves an existing key's split
+    val grown = (1 to 3000).map(_.toLong).toDF("id")
+    val s3 = Sampling.splitByHash(grown, Seq("id"), Seq(0.8, 0.1, 0.1)).get
+      .as[(Long, String)].collect().toMap
+    assert(s1.forall { case (k, v) => s3(k) == v })
+    // complete labeling with roughly the requested proportions
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("val") > 120 && counts("test") > 120)
+    // different seed reshuffles
+    val s4 = Sampling.splitByHash(ids, Seq("id"), Seq(0.8, 0.1, 0.1), seed = 7L).get
+      .as[(Long, String)].collect().toMap
+    assert(s1 != s4)
+  }
 }
