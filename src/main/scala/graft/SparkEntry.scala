@@ -1012,6 +1012,28 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q84_repetition" -> ((s, dir) => {
+      // Gopher/C4-style in-document repetition signals: repeated words
+      // and repeated 3-gram phrases, as pure column expressions.
+      tbl(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.dupWordFraction(col("text")).as("dup_word_frac"),
+          TextFunctions.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "q85_contamination" -> ((s, dir) => {
+      // Eval decontamination sweep: docs 0-19 act as the benchmark; the
+      // rest of the corpus is flagged on any shared 8-gram (benchmark
+      // shingles broadcast — the corpus is never shuffled).
+      val docs = tbl(s, dir, "documents")
+      Dedup.contaminationFlags(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 8).get
+        .select(col("id").as("doc_id"), col("n_overlaps"))
+        .orderBy("doc_id")
+    }),
+
     "q83_split" -> ((s, dir) => {
       // Content-stable train/val/test split: labels are a pure function
       // of doc_id + seed, so the assignment below is deterministic
@@ -1748,6 +1770,43 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q83_split" ->
       """SELECT count(*) AS n_docs, CAST(3 AS BIGINT) AS n_labels,
-         true AS train_share_ok FROM documents"""
+         true AS train_share_ok FROM documents""",
+    "q84_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         )
+         SELECT doc_id,
+           CASE WHEN len(ts) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6)
+           END AS dup_word_frac,
+           CASE WHEN len(ts) < 3 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(ts) - 1),
+                       i -> array_to_string(ts[i:i+2], chr(1))))) AS DOUBLE)
+                     / (len(ts) - 2), 6)
+           END AS dup_3gram_frac
+         FROM toks ORDER BY doc_id""",
+    "q85_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts) - 6),
+               i -> array_to_string(ts[i:i+7], chr(1)))) AS shingles
+           FROM toks WHERE len(ts) >= 8
+         ), bench AS (
+           SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < 20
+         ), corp AS (
+           SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id >= 20
+         )
+         SELECT doc_id, count(*) AS n_overlaps
+         FROM corp JOIN bench USING (g)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 }

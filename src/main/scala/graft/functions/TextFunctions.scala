@@ -209,6 +209,30 @@ object TextFunctions {
     round((lengthOk * 0.3 + alpha * 0.3 + mwlOk * 0.2 + punctOk * 0.2), 6)
   }
 
+  // --- repetition signals (Gopher/C4-style quality filters) ---
+
+  /** Fraction of word occurrences that are repeats of an earlier word in
+    * the same document: `1 − distinct/total` — near 0 for natural prose,
+    * near 1 for keyword-stuffed or looping generations. Pure column
+    * expression over the tokenizer (declarative, codegen'd). */
+  def dupWordFraction(c: Column): Column = {
+    val ts = tokens(c)
+    val n = size(ts).cast("double")
+    when(n === 0.0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(ts)) / n, 6))
+  }
+
+  /** Same signal over word n-grams (default 3): repeated PHRASES, the
+    * stronger degeneracy marker (boilerplate, template spam, decoding
+    * loops), computed on the hashed-shingle kernel — no n-gram strings
+    * materialize. */
+  def dupNgramFraction(c: Column, n: Int = 3): Column = {
+    val sh = wordShingleHashes(c, n)
+    val cnt = size(sh).cast("double")
+    when(cnt === 0.0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(sh)) / cnt, 6))
+  }
+
   // --- PII redaction ---
 
   /** Email address pattern — deliberately lookahead-free so the same

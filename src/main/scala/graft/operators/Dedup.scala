@@ -357,4 +357,30 @@ object Dedup {
     verifiedPairs(banded, base.withColumnRenamed("v", "__p"),
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
+
+  /** Benchmark decontamination: corpus documents sharing any word
+    * `n`-gram with the `benchmark` set, with the overlap count —
+    * `(idCol, n_overlaps)`, overlap counted over DISTINCT corpus-side
+    * n-grams. Standard eval-leakage sweep before training.
+    *
+    * The benchmark's distinct shingle hashes BROADCAST (eval sets are
+    * small), so the corpus is flagged map-side in one pass — no shuffle
+    * of the 100 TB side; only the per-doc overlap counts aggregate. */
+  def contaminationFlags(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val c = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
+    val b = benchmark
+      .select(explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
+      .distinct()
+    c.join(broadcast(b), Seq("__sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
 }

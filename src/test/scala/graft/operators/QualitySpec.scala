@@ -67,6 +67,40 @@ class QualitySpec extends AnyFunSuite {
       "clean text with the number 42 in it"))
   }
 
+  test("dupWordFraction and dupNgramFraction measure in-document repetition") {
+    val docs = Seq(
+      ("all words unique here", 0.0),
+      ("spam spam spam spam", 0.75),       // 4 words, 1 distinct
+      ("", 0.0)).toDF("t", "want")
+    val ok = docs.select(
+      (TextFunctions.dupWordFraction(col("t")) === col("want")).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.forall(identity))
+    // "a b c a b c a b c": 7 tri-grams, 3 distinct -> 1 - 3/7
+    val f = Seq("a b c a b c a b c").toDF("t")
+      .select(TextFunctions.dupNgramFraction(col("t"), 3).as("f"))
+      .as[Double].head()
+    assert(math.abs(f - (1.0 - 3.0 / 7.0)) < 1e-6)
+    // natural prose scores near zero
+    val low = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      .select(TextFunctions.dupNgramFraction(col("t"), 3).as("f"))
+      .as[Double].head()
+    assert(low == 0.0)
+  }
+
+  test("contaminationFlags finds corpus docs sharing n-grams with a benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated content about spark planning"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta suffix")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val got = Dedup.contaminationFlags(corpus, benchmark, "text", "doc_id", n = 4).get
+      .as[(Long, Long)].collect().toMap
+    // benchmark has 3 distinct 4-grams; doc 1 contains all 3, doc 3 too
+    assert(got == Map(1L -> 3L, 3L -> 3L))
+  }
+
   test("piiCount counts both kinds without double-counting email digits") {
     val docs = Seq(
       ("two emails a@b.com and c123456789@d.org", 2),
