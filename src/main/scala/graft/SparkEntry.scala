@@ -1030,15 +1030,16 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 20),
         docs.filter(col("doc_id") < 20),
         "text", "doc_id", n = 8).get
-        .select(col("id").as("doc_id"), col("n_overlaps"))
         .orderBy("doc_id")
     }),
 
     "q83_split" -> ((s, dir) => {
       // Content-stable train/val/test split: labels are a pure function
-      // of doc_id + seed, so the assignment below is deterministic
-      // forever — the gate pins the exact per-split counts via the
-      // tolerance-invariant pattern (oracle emits the constants).
+      // of doc_id + seed. The gate checks the deterministic invariants
+      // the oracle can emit as constants — total count, full label set,
+      // train share inside its tolerance band (exact per-split counts
+      // are hash-dependent and differ per scale factor, so they cannot
+      // be oracle constants; SamplingSpec locks the stability contract).
       val split = graft.operators.Sampling.splitByHash(
         tbl(s, dir, "documents"), Seq("doc_id"), Seq(0.8, 0.1, 0.1)).get
       split.agg(

@@ -213,14 +213,11 @@ object TextFunctions {
 
   /** Fraction of word occurrences that are repeats of an earlier word in
     * the same document: `1 − distinct/total` — near 0 for natural prose,
-    * near 1 for keyword-stuffed or looping generations. Pure column
-    * expression over the tokenizer (declarative, codegen'd). */
-  def dupWordFraction(c: Column): Column = {
-    val ts = tokens(c)
-    val n = size(ts).cast("double")
-    when(n === 0.0, lit(0.0))
-      .otherwise(round(lit(1.0) - size(array_distinct(ts)) / n, 6))
-  }
+    * near 1 for keyword-stuffed or looping generations. The 1-gram case
+    * of [[dupNgramFraction]], so both signals share ONE tokenizer (the
+    * native hashed-shingle kernel — single codegen'd pass, no
+    * interpreted higher-order functions on the scan path). */
+  def dupWordFraction(c: Column): Column = dupNgramFraction(c, 1)
 
   /** Same signal over word n-grams (default 3): repeated PHRASES, the
     * stronger degeneracy marker (boilerplate, template spam, decoding

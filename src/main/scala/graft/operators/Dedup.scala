@@ -382,5 +382,6 @@ object Dedup {
     c.join(broadcast(b), Seq("__sh"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlaps"))
+      .select(col("id").as(idCol), col("n_overlaps"))
   }
 }

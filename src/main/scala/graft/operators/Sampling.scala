@@ -119,7 +119,11 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_ > 0),
       s"weights must be positive: $weights")
     val labels =
-      if (names.nonEmpty) { require(names.length == weights.length); names }
+      if (names.nonEmpty) {
+        require(names.length == weights.length,
+          s"names (${names.length}) and weights (${weights.length}) lengths differ")
+        names
+      }
       else if (weights.length == 3) Seq("train", "val", "test")
       else weights.indices.map(i => s"s$i")
     val total = weights.sum

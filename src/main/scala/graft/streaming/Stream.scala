@@ -258,11 +258,14 @@ object Stream {
       case Some(sc) =>
         // a null sequence would silently LOSE data downstream (every
         // comparison in seqAwareMerge turns null->false, dropping both
-        // sides) — fail the batch loudly instead
-        val nNullSeq = batch.filter(col(sc).isNull).count()
-        require(nNullSeq == 0,
-          s"upsertSink: $nNullSeq row(s) with null $sc — seq values must be non-null")
-        graft.operators.Merge.latestByKey(batch, keys, sc).get
+        // sides) — fail the batch loudly instead. The guard rides the
+        // merge pass itself (raise_error column), costing no extra
+        // Spark action per micro-batch.
+        val guarded = batch.withColumn(sc,
+          when(col(sc).isNull,
+            raise_error(lit(s"upsertSink: null $sc — seq values must be non-null")))
+            .otherwise(col(sc)))
+        graft.operators.Merge.latestByKey(guarded, keys, sc).get
       case None => batch.dropDuplicates(keys)
     }
     val uuid = java.util.UUID.randomUUID
