@@ -1012,6 +1012,30 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "q86_tpch10" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue by customer — a 4-table
+      // star join (two broadcast dims) feeding an agg + top-20.
+      val returned = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val orders = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey").as("n_nationkey"))
+      val nation = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      (for {
+        j1 <- Join.inner(returned, orders, Join.On(Seq("o_orderkey")))
+        j2 <- Join.inner(j1, cust, Join.On(Seq("c_custkey")))
+        j3 <- Join.broadcast(j2, nation, Seq("n_nationkey"))
+        g <- Group.agg(j3, Seq("c_custkey", "c_name", "c_acctbal", "n_name"),
+               Group.Agg(Seq(round(sum(col("rev")), 2).as("revenue"))))
+      } yield g).get
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
     "q84_repetition" -> ((s, dir) => {
       // Gopher/C4-style in-document repetition signals: repeated words
       // and repeated 3-gram phrases, as pure column expressions.
@@ -1808,6 +1832,17 @@ object SparkEntry {
          )
          SELECT doc_id, count(*) AS n_overlaps
          FROM corp JOIN bench USING (g)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q86_tpch10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""
   )
 }
