@@ -63,18 +63,23 @@ object Sketch {
       s"bloomSemiJoin: key hash domains differ — " +
         s"$bigKey is ${big.schema(bigKey).dataType}, " +
         s"$smallKey is ${small.schema(smallKey).dataType}")
-    val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val might: Column = bigDomain match {
-      case "integral" =>
-        udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
-          .apply(col(bigKey).cast(LongType))
-      case "string" =>
-        udf((v: String) => v != null && bc.value.mightContainString(v))
-          .apply(col(bigKey))
+    // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
+    // buffer) — an empty small side just means an empty semi join
+    if (small.isEmpty) big.limit(0)
+    else {
+      val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      val bc = big.sparkSession.sparkContext.broadcast(bf)
+      val might: Column = bigDomain match {
+        case "integral" =>
+          udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
+            .apply(col(bigKey).cast(LongType))
+        case "string" =>
+          udf((v: String) => v != null && bc.value.mightContainString(v))
+            .apply(col(bigKey))
+      }
+      big.filter(might)
+        .join(small.select(col(smallKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
     }
-    big.filter(might)
-      .join(small.select(col(smallKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
   }
 
   /** Mergeable per-group distinct-count sketches (Datasketches HLL):

@@ -67,6 +67,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(g == Set(("a", 1L, 0L), ("a", 2L, 0L), ("b", 1L, 0L)))
   }
 
+  test("shardByTokenBudget treats null token counts as zero") {
+    val rows = Seq((1L, Some(60L)), (2L, None), (3L, Some(60L)))
+      .toDF("id", "n_tokens")
+    val got = Sampling.shardByTokenBudget(rows, "id", "n_tokens", budget = 100L).get
+      .select("id", "shard_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // exclusive cumsum 0, 60, 60 -> shards 0, 0, 0 (null consumed nothing)
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
   test("splitByHash is content-stable, complete, and roughly proportioned") {
     val ids = (1 to 2000).map(_.toLong).toDF("id")
     val s1 = Sampling.splitByHash(ids, Seq("id"), Seq(0.8, 0.1, 0.1)).get

@@ -89,6 +89,11 @@ class SketchSpec extends AnyFunSuite {
     assert(Sketch.bloomSemiJoin(big, small, "k", "s").isFailing)
   }
 
+  test("bloomSemiJoin with an empty small side returns the (empty) exact result") {
+    val empty = Seq.empty[Long].toDF("sk")
+    assert(Sketch.bloomSemiJoin(skewed, empty, "key", "sk").get.count() == 0)
+  }
+
   test("hll sketch-merge estimate equals sketching the raw union directly") {
     // per-day sketches of user ids, merged across days, must give the
     // SAME estimate as one sketch over all rows (lossless union)

@@ -46,6 +46,14 @@ class TfIdfSpec extends AnyFunSuite {
     assert(pruned == Set((1L, 4L, 1.0)))
   }
 
+  test("empty and whitespace-only documents are ignored, not crashed on") {
+    val withEmpty = docs.union(Seq((5L, ""), (6L, "   \t ")).toDF("doc_id", "text"))
+    val pairs = TfIdf.similarPairs(withEmpty, "text", "doc_id", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(!pairs.exists { case (a, b) => a >= 5L || b >= 5L })
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("a threshold above every non-dup cosine keeps only exact dups") {
     val got = TfIdf.similarPairs(docs, "text", "doc_id", threshold = 0.999).get
       .as[(Long, Long, Double)].collect().toSeq
