@@ -63,9 +63,10 @@ object Sketch {
       s"bloomSemiJoin: key hash domains differ — " +
         s"$bigKey is ${big.schema(bigKey).dataType}, " +
         s"$smallKey is ${small.schema(smallKey).dataType}")
-    // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
-    // buffer) — an empty small side just means an empty semi join
-    if (small.isEmpty) big.limit(0)
+    // Spark's stat.bloomFilter NPEs whenever ZERO non-null values reach
+    // the aggregate (null buffer) — empty input OR all-null keys; either
+    // way the exact semi join is empty
+    if (small.filter(col(smallKey).isNotNull).isEmpty) big.limit(0)
     else {
       val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
       val bc = big.sparkSession.sparkContext.broadcast(bf)

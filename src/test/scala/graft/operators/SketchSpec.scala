@@ -92,6 +92,9 @@ class SketchSpec extends AnyFunSuite {
   test("bloomSemiJoin with an empty small side returns the (empty) exact result") {
     val empty = Seq.empty[Long].toDF("sk")
     assert(Sketch.bloomSemiJoin(skewed, empty, "key", "sk").get.count() == 0)
+    // all-null keys hit the same null-aggregate-buffer path in Spark
+    val allNull = Seq[Option[Long]](None, None).toDF("sk")
+    assert(Sketch.bloomSemiJoin(skewed, allNull, "key", "sk").get.count() == 0)
   }
 
   test("hll sketch-merge estimate equals sketching the raw union directly") {

@@ -101,6 +101,23 @@ class StreamSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
   }
 
+  test("upsertSink fails a batch containing null seq values instead of losing data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_null").toString
+    val path = s"$dir/table"
+    Stream.applyUpsertBatch(
+      Seq((1L, "a", 1L)).toDF("id", "v", "seq"), path, Seq("id"), Some("seq"))
+    // a null-seq row must abort the batch loudly (silent null comparisons
+    // would drop BOTH the base and delta row for that key)
+    val bad = Seq((1L, "b", Option(2L)), (2L, "c", Option.empty[Long]))
+      .toDF("id", "v", "seq")
+    val err = intercept[Exception](
+      Stream.applyUpsertBatch(bad, path, Seq("id"), Some("seq")))
+    assert(err.getMessage != null)
+    // and the table is unchanged
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(path).select(col("v")).as[String].collect().toSeq == Seq("a"))
+  }
+
   test("upsertSink recovers a table whose swap was interrupted") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_upsink_rec").toString
