@@ -23,7 +23,13 @@ object Bench {
     "q42_event_window",
     "q52_asof_join",
     "q54_tpch3",
-    "q55_tpch5"
+    "q55_tpch5",
+    // round-2 heavyweights: iterative connected components, sparse
+    // TF-IDF pair join, 3-way TPC-H Q10 shape — regressions in these
+    // must show up in BENCH, not only in the gate
+    "q65_dedup_transitive",
+    "q76_tfidf",
+    "q86_tpch10"
   )
 
   def main(args: Array[String]): Unit = {

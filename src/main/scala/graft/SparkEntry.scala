@@ -437,7 +437,12 @@ object SparkEntry {
     }),
 
     "q35_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id",
+      // Portable md5 simhash kernel so DuckDB can recompute the identical
+      // fingerprints → exact oracle (pigeonhole banding guarantees recall,
+      // so emitted pairs == ALL pairs with hamming <= 12). The native
+      // splitmix kernel stays covered by DedupSpec property tests.
+      Dedup.simhashPairsFrom(
+        Dedup.portableSimhash(tbl(s, dir, "documents"), "text", "doc_id"),
         maxHamming = 12)
         .get.orderBy("idA", "idB")
     }),
@@ -451,8 +456,12 @@ object SparkEntry {
     "q37_dedup_embedding" -> ((s, dir) => {
       // Synthetic embeddings are near-orthogonal (max pairwise cosine
       // ≈0.48), so the "near-dup" threshold is set low to exercise the path.
-      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.25, nBits = 8, tables = 8)
+      // Portable md5-sign hyperplanes: the emitted set (6×10-bit band
+      // agreement AND cosine ≥ 0.25) is a pure function of the data, so
+      // DuckDB recomputes it exactly. The seeded-hyperplane variant
+      // (embeddingNearDupPairs) stays covered by DedupSpec.
+      Dedup.embeddingNearDupPairsPortable(tbl(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.25, bandBits = 10, nBands = 6)
         .get.orderBy("idA", "idB")
     }),
 
@@ -466,8 +475,11 @@ object SparkEntry {
 
     "q39_knn_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, nBits = 8, tables = 8)
+      // Portable-signature banding (15 bands × 4 bits): the candidate set
+      // is engine-reproducible, so the retrieved top-k gets an exact
+      // DuckDB oracle. Seeded-table lshKnn stays covered by SimilaritySpec.
+      Similarity.lshKnnPortable(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, bandBits = 4, nBands = 15)
         .get.orderBy("queryId", "rank")
     }),
 
@@ -712,9 +724,13 @@ object SparkEntry {
       val totalScatter = srow.getAs[org.apache.spark.ml.linalg.Vector](0)
         .toArray.sum * (srow.getLong(1) - 1).toDouble
       val nClusters = assigned.select(countDistinct(col("cluster"))).head().getLong(0)
+      // total scatter is engine-independent (Σ_d var_pop·n) — emit it as a
+      // VALUE so the oracle recomputes it in SQL and the gate actually
+      // cross-checks the quantity the SSE invariants hang off.
       Seq((emb.count(), sse4 >= 0.0, sse4 <= totalScatter + 1e-6,
-          nClusters >= 1 && nClusters <= 4))
-        .toDF("n_points", "sse_nonneg", "sse_below_total", "n_clusters_ok")
+          nClusters >= 1 && nClusters <= 4, math.rint(totalScatter * 1e4) / 1e4))
+        .toDF("n_points", "sse_nonneg", "sse_below_total", "n_clusters_ok",
+          "total_scatter")
     }),
 
     "q49_crossval" -> ((s, dir) => {
@@ -1171,6 +1187,30 @@ object SparkEntry {
     * both q38 (brute force) and q40 (IVF probing every cell ⇒ exhaustive).
     * Embeddings are cast float→double so DuckDB accumulates in double like
     * [[graft.functions.VecOps]]; round(.,6) absorbs summation-order noise. */
+  /** Shared oracle CTEs recomputing the [[graft.operators.PortableLsh]]
+    * 60-bit signature of every embedding: md5-derived ±1 sign matrix,
+    * projection accumulated in double, bit j set when the projection is
+    * positive — bit-for-bit the q37/q39 Spark-side fingerprints. */
+  private val portableSigCtes: String =
+    """WITH signs AS (
+         SELECT jj.j AS j, ii.i AS i,
+           CASE WHEN (CAST(('0x' || substring(
+                  md5(CAST(jj.j AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR)),
+                  1, 15)) AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END AS s
+         FROM (SELECT unnest(range(0, 60)) AS j) jj,
+              (SELECT unnest(range(0, 64)) AS i) ii
+       ), proj AS (
+         SELECT e.vec_id, sg.j,
+           sum(CAST(e.embedding[sg.i + 1] AS DOUBLE) * sg.s) AS p
+         FROM embeddings e, signs sg
+         GROUP BY e.vec_id, sg.j
+       ), sh AS (
+         SELECT vec_id,
+           CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS sh
+         FROM proj GROUP BY vec_id
+       )"""
+
   private val knnExactOracle: String =
     """WITH scored AS (
          SELECT q.vec_id AS queryId, c.vec_id AS neighborId,
@@ -1417,6 +1457,36 @@ object SparkEntry {
          )
          SELECT idA, idB, round(j, 6) AS jaccard FROM pairs
          WHERE j >= 0.5 ORDER BY idA, idB""",
+    // q35: the gate query uses the PORTABLE simhash kernel (md5 token
+    // hash), so DuckDB recomputes the identical 60-bit fingerprints and
+    // the pigeonhole banding guarantees recall — expected == ALL pairs at
+    // hamming <= 12, value-exact.
+    "q35_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                                t -> t <> '')) AS t
+           FROM documents
+         ), hashed AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+           FROM toks
+         ), bits AS (
+           SELECT doc_id, bb.b AS b,
+             sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+           FROM hashed, (SELECT unnest(range(0, 60)) AS b) bb
+           GROUP BY doc_id, bb.b
+         ), sh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 12
+         ORDER BY idA, idB""",
     "q36_dedup_ngram" ->
       """WITH norm AS (
            SELECT doc_id,
@@ -1440,6 +1510,46 @@ object SparkEntry {
     // q40: IVF with nProbe = nCentroids probes every cell, so retrieval is
     // exhaustive and the result equals exact top-k by construction.
     "q38_knn_brute" -> knnExactOracle,
+    // q37/q39: the gate queries use the PORTABLE md5-sign hyperplane
+    // signature, so the candidate contract (sig hamming / band agreement)
+    // is recomputed exactly here — value-exact oracles for LSH retrieval.
+    "q37_dedup_embedding" -> (portableSigCtes +
+      """, cand AS (
+           SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+           FROM sh a, sh b, (SELECT unnest(range(0, 6)) AS b) bb
+           WHERE a.vec_id < b.vec_id
+             AND ((a.sh >> (bb.b * 10)) & 1023) = ((b.sh >> (bb.b * 10)) & 1023)
+         ), cos AS (
+           SELECT p.idA, p.idB,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS c
+           FROM cand p
+           JOIN embeddings ea ON ea.vec_id = p.idA
+           JOIN embeddings eb ON eb.vec_id = p.idB
+         )
+         SELECT idA, idB, round(c, 6) AS cosine FROM cos
+         WHERE c >= 0.25 ORDER BY idA, idB"""),
+    "q39_knn_lsh" -> (portableSigCtes +
+      """, cand AS (
+           SELECT DISTINCT q.vec_id AS queryId, c.vec_id AS neighborId
+           FROM sh q, sh c, (SELECT unnest(range(0, 15)) AS b) bb
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+             AND ((q.sh >> (bb.b * 4)) & 15) = ((c.sh >> (bb.b * 4)) & 15)
+         ), scored AS (
+           SELECT cand.queryId, cand.neighborId,
+             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                    CAST(ec.embedding AS DOUBLE[])) AS c_raw
+           FROM cand
+           JOIN embeddings eq ON eq.vec_id = cand.queryId
+           JOIN embeddings ec ON ec.vec_id = cand.neighborId
+         ), ranked AS (
+           SELECT queryId, neighborId, c_raw,
+             row_number() OVER (PARTITION BY queryId
+                                ORDER BY c_raw DESC, neighborId) AS rank
+           FROM scored
+         )
+         SELECT queryId, neighborId, round(c_raw, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""),
     "q40_knn_ivf" -> knnExactOracle,
     "q41_vec_stats" ->
       """SELECT label, count(*) AS n,
@@ -1524,8 +1634,16 @@ object SparkEntry {
          SELECT round(sqrt(avg(pow(l_extendedprice - (a + b * l_quantity), 2))), 2) AS rmse
          FROM lineitem, c""",
     "q48_kmeans" ->
-      """SELECT count(*) AS n_points, true AS sse_nonneg,
-         true AS sse_below_total, true AS n_clusters_ok FROM embeddings""",
+      """WITH dims AS (
+           SELECT dd.i AS i,
+             var_pop(CAST(embedding[dd.i + 1] AS DOUBLE)) * count(*) AS sc
+           FROM embeddings, (SELECT unnest(range(0, 64)) AS i) dd
+           GROUP BY dd.i
+         )
+         SELECT (SELECT count(*) FROM embeddings) AS n_points,
+           true AS sse_nonneg, true AS sse_below_total, true AS n_clusters_ok,
+           round(sum(sc), 4) AS total_scatter
+         FROM dims""",
     "q49_crossval" -> "SELECT 2.0 AS mae_cv",
     "q50_multimodal" ->
       """SELECT doc_id,
@@ -1766,7 +1884,7 @@ object SparkEntry {
          SELECT doc_id,
            len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
              + len(regexp_extract_all(
-                 regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                 regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ';', 'g'),
                  '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_pii,
            regexp_replace(
              regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
@@ -1780,7 +1898,7 @@ object SparkEntry {
            FROM documents
          )
          SELECT lang, shard_id, count(*) AS n_docs,
-           sum(n_chars) AS n_chars_total
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          FROM sharded GROUP BY lang, shard_id ORDER BY lang, shard_id""",
     "q81_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
@@ -1789,7 +1907,7 @@ object SparkEntry {
     "q82_json" ->
       """SELECT event_type,
          count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_parsed,
-         sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+         CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
          min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
          max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -68,6 +68,13 @@ class StringEncoder(
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
 
+  /** Cap on the Murmur vocabulary (distinct token hashes). The fitted
+    * hash space is collected to the driver (reference semantics), so an
+    * unbounded web-scale vocabulary would OOM the driver — fail fast with
+    * an explanation instead. Raise explicitly for known-bounded spaces. */
+  private var maxVocab: Long = 10000000L
+  def setMaxVocab(n: Long): this.type = { require(n > 0); maxVocab = n; this }
+
   override def fit(dataset: Dataset[_]): StringEncoderModel = {
     transformSchema(dataset.schema, logging = true)
     val tokCol = $(inputCol) + TokenSuffix
@@ -78,10 +85,20 @@ class StringEncoder(
         // distinct over exploded tokens (the reference's RDD collect at
         // StringEncoder.scala:157-166, kept in the DataFrame API).
         val murmurUdf = udf((s: String) => murmur(s))
-        val space = tokenised
+        val distinctHashes = tokenised
           .select(explode(col(tokCol)).as("t"))
           .select(murmurUdf(col("t")).as("h"))
           .distinct()
+        // The collect below is the one driver-side cardinality bomb in
+        // the surface: count first (cheap, map-side partial agg) and
+        // refuse oversized vocabularies instead of OOMing the driver.
+        val n = distinctHashes.count()
+        if (n > maxVocab) throw new IllegalStateException(
+          s"StringEncoder.Murmur vocabulary has $n distinct token hashes " +
+            s"(> maxVocab=$maxVocab); the fitted hash space is collected to " +
+            "the driver. Normalize/filter tokens, use the TFIDF method, or " +
+            "raise the cap via setMaxVocab if the space is known to fit.")
+        val space = distinctHashes
           .orderBy("h")
           .collect()
           .map(_.getInt(0))

@@ -252,9 +252,12 @@ object TextFunctions {
 
   /** Count of PII matches per document (emails + phones) — the audit
     * metric that decides whether a source needs review. Emails are
-    * blanked (with a separator, so digit runs cannot merge) before
-    * phones are counted, mirroring [[redactPII]]'s pass order. */
+    * blanked with `;` — a character OUTSIDE the phone charclass
+    * `[0-9()\- ]`, so digit runs on either side of a removed email can
+    * never merge into one phone match (a space WOULD merge them, and
+    * would disagree with [[redactPII]], whose `[PII]` token also blocks
+    * merging). Pass order mirrors [[redactPII]]. */
   def piiCount(c: Column): Column =
     regexp_count(c, lit(emailPattern)) +
-      regexp_count(regexp_replace(c, lit(emailPattern), lit(" ")), lit(phonePattern))
+      regexp_count(regexp_replace(c, lit(emailPattern), lit(";")), lit(phonePattern))
 }

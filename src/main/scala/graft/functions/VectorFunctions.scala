@@ -25,6 +25,10 @@ object VectorFunctions {
   def vecCosine(a: Column, b: Column): Column =
     column(FloatVecCosine(expression(a), expression(b)))
 
+  /** Cosine over `array<double>` columns (derived weight vectors). */
+  def vecCosineDouble(a: Column, b: Column): Column =
+    column(DoubleVecCosine(expression(a), expression(b)))
+
   /** Random-hyperplane LSH signature (cosine space): `nBits` sign bits
     * against deterministic seed-derived hyperplanes. Vectors with small
     * angular distance share long bit-prefixes with high probability. */

@@ -46,6 +46,22 @@ object VecOps {
     if (denom == 0.0) 0.0 else d / denom
   }
 
+  /** Cosine over `array<double>` inputs (the float variant above serves
+    * embedding columns; this one serves derived weight vectors, e.g.
+    * TF-IDF). */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
   /** Sign-bit signature of a vector against `nBits` deterministic,
     * seed-derived hyperplanes (random-hyperplane LSH for cosine space).
     * Bit i is set iff `dot(v, H_i) >= 0` where `H_i` entries are derived
@@ -267,6 +283,79 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Hyperplane signature with md5-derived ±1 signs (the cross-engine-
+  * reproducible variant of [[VecOps.hyperplaneBits]] — see
+  * [[graft.operators.PortableLsh]] for the SQL-equivalent formula). The
+  * sign matrix is computed once per (bits, dim) and cached; per row it is
+  * one multiply-add loop, codegen'd. Bit j is set iff the projection is
+  * STRICTLY positive (ties → 0), matching the SQL `p > 0` form. */
+object PortableVecSimhashImpl {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  def signs(bits: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((bits, dim), { key =>
+      val (b, d) = key
+      val out = new Array[Double](b * d)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var j = 0
+      while (j < b) {
+        var i = 0
+        while (i < d) {
+          md.reset()
+          val hex = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+            .map(x => f"$x%02x").mkString
+          out(j * d + i) =
+            if ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) == 1L) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      out
+    })
+
+  def compute(v: ArrayData, bits: Int): Long = {
+    val dim = v.numElements()
+    val s = signs(bits, dim)
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * s(off + i); i += 1 }
+      if (acc > 0.0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+case class DoubleVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosineDouble($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleVecCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "double_vec_cosine"
+}
+
+case class PortableVecSimhash(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PortableVecSimhashImpl.compute(input.asInstanceOf[ArrayData], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableVecSimhashImpl.compute($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): PortableVecSimhash =
+    copy(child = newChild)
+  override def prettyName: String = "portable_vec_simhash"
 }
 
 case class FloatVecDot(left: Expression, right: Expression)

@@ -287,6 +287,20 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000
+  ): MayFail[DataFrame] =
+    simhashPairsFrom(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+        .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull),
+      maxHamming, maxBucket)
+
+  /** Banding + verification over a precomputed `(id, sh)` simhash frame —
+    * the pigeonhole core of [[simhashPairs]], exposed so callers can plug
+    * in an alternative fingerprint kernel (e.g. [[portableSimhash]], whose
+    * md5 token hash an external SQL engine can recompute bit-exactly). */
+  def simhashPairsFrom(
+      hashed: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     // need nBands >= maxHamming+1 for guaranteed recall
@@ -295,8 +309,6 @@ object Dedup {
     // NB: 1L << 64 == 1L in Scala (shift mod 64) — the full-width band
     // needs an explicit all-ones mask
     val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
     val banded = candidateBands(
       hashed.select(col("id"),
         array((0 until nBands).map { b =>
@@ -308,6 +320,31 @@ object Dedup {
     verifiedPairs(banded, hashed.withColumnRenamed("sh", "__p"),
       "hamming", (a, b) => bit_count(a.bitwiseXOR(b)), _ <= maxHamming,
       roundDigits = None)
+  }
+
+  /** 60-bit simhash every step of which is reproducible in portable SQL:
+    * tokenise on `[ \t\n\r\f]+`, token hash = first 15 hex chars of
+    * `md5(token)` (60 bits, so it stays positive in a signed int64), then
+    * a per-bit majority vote over the token multiset (ties → 0).
+    *
+    * Slower than the native splitmix kernel behind [[simhashPairs]] — use
+    * this where an external engine must recompute the identical
+    * fingerprint (cross-engine validation; the driver's DuckDB oracle).
+    * Returns `(id, sh)`; empty/all-whitespace docs drop out. The explode +
+    * 60-way vote is one shuffle on `id` and fully codegen'd. */
+  def portableSimhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= lit(""))).as("t"))
+    val hashed = toks.select(col("id"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitVotes = (0 until 60).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
+    }
+    hashed.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("id"),
+        (0 until 60).map { b =>
+          when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sh"))
   }
 
   /** Character-n-gram Jaccard near-dup pairs (MinHash-LSH candidates,
@@ -355,6 +392,46 @@ object Dedup {
         }: _*).as("__keys")),
       maxBucket)
     verifiedPairs(banded, base.withColumnRenamed("v", "__p"),
+      "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
+  }
+
+  /** Embedding near-dup pairs with an EXPLICIT, engine-reproducible
+    * candidate contract: candidates are pairs agreeing on ALL `bandBits`
+    * bits of at least one of `nBands` bands of the [[PortableLsh]]
+    * signature; emitted pairs are candidates whose exact cosine clears
+    * `threshold`. Unlike [[embeddingNearDupPairs]] (seeded hyperplanes,
+    * engine-private), the emitted set is a pure function of the data that
+    * external SQL can recompute bit-for-bit.
+    *
+    * Band agreement — not a hamming ball: a radius-h ball needs h+1
+    * narrow bands (pigeonhole), and narrow bands mean huge buckets
+    * (2-bit bands = 4 buckets/band ⇒ ~all-pairs per band; measured 8×
+    * slower at 10× corpus). Wide bands keep buckets sparse, which IS the
+    * LSH cost model, and the recall knob is `nBands`. `maxBucket` caps
+    * degenerate buckets at scale (the one deviation an external
+    * recomputation must mirror if a bucket ever exceeds it). */
+  def embeddingNearDupPairsPortable(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      bandBits: Int = 10,
+      nBands: Int = 6,
+      maxBucket: Int = 2000
+  ): MayFail[DataFrame] = MayFail {
+    require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
+      s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
+    val bits = bandBits * nBands
+    val mask = (1L << bandBits) - 1
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__p"),
+      PortableLsh.vecSimhashCol(col(vecCol), bits).as("__sh"))
+    val banded = candidateBands(
+      base.select(col("id"),
+        array((0 until nBands).map { b =>
+          shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))
+        }: _*).as("__keys")),
+      maxBucket)
+    verifiedPairs(banded, base.select(col("id"), col("__p")),
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
 

@@ -85,6 +85,49 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** LSH top-k with an engine-reproducible candidate contract: candidates
+    * are corpus vectors agreeing with the query on ALL `bandBits` bits of
+    * at least one of `nBands` bands of the [[graft.operators.PortableLsh]]
+    * signature (`bandBits·nBands ≤ 60` bits). The candidate set — hence
+    * the retrieved top-k — is a pure function of the data that external
+    * SQL can recompute, unlike [[lshKnn]]'s seeded tables. Same shuffle
+    * shape as [[lshKnn]]: queries broadcast, join on (band, bucket).
+    * Returns `(queryId, neighborId, cosine, rank)` — rank within
+    * retrieved candidates. */
+  def lshKnnPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      bandBits: Int = 4,
+      nBands: Int = 15
+  ): MayFail[DataFrame] = MayFail {
+    require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
+      s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
+    val bits = bandBits * nBands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, idName: String, vecName: String) =
+      df.select(col(idCol).as(idName), col(vecCol).as(vecName),
+          graft.operators.PortableLsh.vecSimhashCol(col(vecCol), bits).as("__sh"))
+        .select(col(idName), col(vecName),
+          posexplode(array((0 until nBands).map { b =>
+            shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))
+          }: _*)).as(Seq("band", "bucket")))
+    val c = banded(corpus, "neighborId", "__cv")
+    val q = banded(queries, "queryId", "__qv")
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("cosine").desc, col("neighborId"))
+    c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .dropDuplicates("queryId", "neighborId")
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("neighborId"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** IVF ANN: a trained coarse quantizer (seeded KMeans over the corpus)
     * partitions vectors into `nCentroids` inverted lists; each query
     * probes its `nProbe` nearest cells and scores only those lists.

@@ -65,10 +65,16 @@ object Sketch {
         s"$smallKey is ${small.schema(smallKey).dataType}")
     // Spark's stat.bloomFilter NPEs whenever ZERO non-null values reach
     // the aggregate (null buffer) — empty input OR all-null keys; either
-    // way the exact semi join is empty
-    if (small.filter(col(smallKey).isNotNull).isEmpty) big.limit(0)
+    // way the exact semi join is empty. Deriving emptiness from that very
+    // NPE (instead of a separate isEmpty pre-pass) means the small side's
+    // plan executes twice per call (build + final semi join), not three
+    // times — real savings when `small` is itself a derived pipeline.
+    val built: Option[BloomFilter] =
+      try Some(small.stat.bloomFilter(smallKey, expectedItems, fpp))
+      catch { case _: NullPointerException => None }
+    if (built.isEmpty) big.limit(0)
     else {
-      val bf: BloomFilter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      val bf: BloomFilter = built.get
       val bc = big.sparkSession.sparkContext.broadcast(bf)
       val might: Column = bigDomain match {
         case "integral" =>

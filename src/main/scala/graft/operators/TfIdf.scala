@@ -65,7 +65,9 @@ object TfIdf {
       textCol: String,
       idCol: String,
       threshold: Double = 0.8,
-      maxDfFraction: Double = 1.0
+      maxDfFraction: Double = 1.0,
+      denseMaxVocab: Int = 2048,
+      denseMaxDocs: Long = 200000L
   ): MayFail[DataFrame] = MayFail {
     // deliberately NOT cached: a cache() here would pin the postings in
     // executor storage past this call with no owner to unpersist them
@@ -74,6 +76,24 @@ object TfIdf {
     // callers running MANY similarity passes should snapshot postings()
     // once (Optimise.snapshot) and pay the materialization knowingly.
     val w = postings(df, textCol, idCol, maxDfFraction)
+    // Stats-based strategy choice (the same move Catalyst makes between
+    // broadcast and shuffle joins): the postings join's cost is Σ_t df(t)²
+    // — on a SMALL vocabulary every term is a quadratic hot key and the
+    // term shuffle is irreducibly skewed (measured: a 31-term corpus sent
+    // 4.5×10⁸ rows through 31 shuffle keys). When the whole vocabulary
+    // fits a broadcast dense vector (vocab ≤ denseMaxVocab AND corpus
+    // bounded), pair scoring as a broadcast loop join with a native
+    // cosine kernel does the same n²-bounded work with NO shuffle and no
+    // skew. The sparse join remains the default/scale path, where maxDf
+    // pruning keeps Σ df(t)² sane.
+    val nTerms = w.select("term").distinct().count()
+    if (nTerms > 0 && nTerms <= denseMaxVocab && df.count() <= denseMaxDocs)
+      densePairs(w, nTerms.toInt, threshold)
+    else
+      sparsePairs(w, threshold)
+  }
+
+  private def sparsePairs(w: DataFrame, threshold: Double): DataFrame = {
     val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
     val dots = w.select(col("term"), col("id").as("idA"), col("w").as("wa"))
       .join(w.select(col("term"), col("id").as("idB"), col("w").as("wb")), Seq("term"))
@@ -84,6 +104,28 @@ object TfIdf {
       .join(norms.select(col("id").as("idA"), col("nm").as("na")), Seq("idA"))
       .join(norms.select(col("id").as("idB"), col("nm").as("nb")), Seq("idB"))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  private def densePairs(w: DataFrame, nTerms: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vocab index: ≤ denseMaxVocab rows, so the single-partition window
+    // and the broadcast are both trivially bounded
+    val vocab = w.select("term").distinct()
+      .withColumn("__ti",
+        row_number().over(Window.orderBy("term")).cast("int") - 1)
+    val vecs = w.join(broadcast(vocab), Seq("term"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("__ti"), col("w")))).as("__m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(nTerms - 1)),
+          i => coalesce(try_element_at(col("__m"), i), lit(0.0))).as("__v"))
+    val a = vecs.select(col("id").as("idA"), col("__v").as("__va"))
+    val b = vecs.select(col("id").as("idB"), col("__v").as("__vb"))
+    a.join(broadcast(b), col("idA") < col("idB"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vecCosineDouble(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }

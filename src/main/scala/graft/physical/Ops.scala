@@ -364,14 +364,34 @@ object Optimise {
     // `cells`, and it too must survive the 16-bit interleave mask
     require(cells > 1 && cells < 65536,
       s"cells must be in (1, 65536) (16-bit interleave incl. null cell), got $cells")
-    import org.apache.spark.sql.functions.{coalesce, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit, unix_date, unix_micros}
     import graft.functions.FunctionBridge
+    // approxQuantile sketches doubles only — map date/timestamp cluster
+    // columns to epoch numerics (order-preserving, which is all z-order
+    // needs); anything else non-numeric is a clear error, not a crash
+    // inside the sketch.
+    def toNumeric(name: String): Column = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => c.cast("double")
+        case org.apache.spark.sql.types.BooleanType => c.cast("int").cast("double")
+        case org.apache.spark.sql.types.DateType => unix_date(c).cast("double")
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c).cast("double")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp")).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorderBy: cluster column $name has type $other — z-ordering " +
+            "needs an order-preserving numeric mapping (numeric, boolean, " +
+            "date or timestamp columns)")
+      }
+    }
     // probe 0.0 returns the exact column minimum; boundaries at/below it
     // are dropped so cell ids stay 0-based (an empty bucket 0 would shift
     // every cell up by one and break z-curve quadrant alignment)
     val probes = (0 until cells).map(_.toDouble / cells).toArray
-    val Array(qa, qb) =
-      df.stat.approxQuantile(Array(colA, colB), probes, 0.25 / cells)
+    val Array(qa, qb) = df
+      .select(toNumeric(colA).as("__zqa"), toNumeric(colB).as("__zqb"))
+      .stat.approxQuantile(Array("__zqa", "__zqb"), probes, 0.25 / cells)
     def splits(q: Array[Double]): Array[Double] = {
       // an all-null/NaN column gives approxQuantile NOTHING to sketch
       // (empty quantile array); constant or min-dominated columns give no
@@ -392,8 +412,8 @@ object Optimise {
       .setSplitsArray(Array(splits(qa), splits(qb)))
       .setHandleInvalid("keep") // NaN (incl. mapped nulls) → extra top cell
     val withIn = df
-      .withColumn("__za_in", coalesce(col(colA).cast("double"), lit(Double.NaN)))
-      .withColumn("__zb_in", coalesce(col(colB).cast("double"), lit(Double.NaN)))
+      .withColumn("__za_in", coalesce(toNumeric(colA), lit(Double.NaN)))
+      .withColumn("__zb_in", coalesce(toNumeric(colB), lit(Double.NaN)))
     val z = FunctionBridge.column(graft.functions.InterleaveBits(
       FunctionBridge.expression(col("__za").cast("long")),
       FunctionBridge.expression(col("__zb").cast("long"))))

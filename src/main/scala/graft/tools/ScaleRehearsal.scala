@@ -57,6 +57,42 @@ object ScaleRehearsal {
     // are exactly the quadratic hot keys the maxDf filter exists for
     time("tfidf-pairs")(graft.operators.TfIdf.similarPairs(
       docs, "text", "doc_id", threshold = 0.95, maxDfFraction = 0.2).get.count())
+    time("dedup-transitive")(graft.operators.Dedup.minhashDedupTransitive(
+      docs, "text", "doc_id", threshold = 0.5).get.count())
+
+    // ---- standing invariants (assertions, not just timings) ----------
+
+    // Exact-dedup-FIRST ordering (Dedup.dedupPipeline scaladoc): a corpus
+    // with c-fold exact duplication inflates LSH candidate-pair volume
+    // ~c² (every clone lands in every matching bucket), while running
+    // exactNormalized first restores the base corpus's pair count
+    // EXACTLY (representatives are the i=0 copies). Locks the measured
+    // claim behind the pipeline ordering.
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val pairsBase = graft.operators.Dedup.minhashPairs(
+      base, "text", "doc_id", threshold = 0.5).get.count()
+    val pairsDeduped = graft.operators.Dedup.minhashPairs(
+      graft.operators.Dedup.exactNormalized(docs, "text", "doc_id").get,
+      "text", "doc_id", threshold = 0.5).get.count()
+    val pairsRaw = graft.operators.Dedup.minhashPairs(
+      docs, "text", "doc_id", threshold = 0.5).get.count()
+    println(s"[rehearsal] pair volume: base=$pairsBase dedupedFirst=$pairsDeduped raw=$pairsRaw")
+    assert(pairsDeduped == pairsBase,
+      s"exact-dedup-first must restore base pair volume: $pairsDeduped != $pairsBase")
+    val expectedBlowup = mult.toLong * mult * pairsBase / 4
+    assert(mult < 2 || pairsRaw > math.max(pairsDeduped * mult, expectedBlowup),
+      s"expected ~mult² pair blowup without exact dedup, got raw=$pairsRaw " +
+        s"vs deduped=$pairsDeduped (mult=$mult)")
+
+    // CMS top-k completeness at scale: the ε-bounded shortlist + exact
+    // recount must reproduce the exact heavy hitters.
+    val cms = graft.operators.Sketch.countMinTopK(li, "l_partkey", k = 10)
+      .get.select("l_partkey").collect().map(_.getLong(0)).toSet
+    val exactTop = li.groupBy("l_partkey").count()
+      .orderBy(col("count").desc, col("l_partkey")).limit(10)
+      .select("l_partkey").collect().map(_.getLong(0)).toSet
+    assert(cms == exactTop, s"CMS top-10 diverged from exact: $cms vs $exactTop")
+    println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k)")
     spark.stop()
   }
 }

@@ -34,6 +34,23 @@ class MLSpec extends AnyFunSuite {
     assert(!out.columns.exists(_.endsWith(StringEncoder.TokenSuffix)))
   }
 
+  test("StringEncoder Murmur refuses oversized vocabularies (maxVocab guard)") {
+    // 5 distinct tokens vs a cap of 3: the driver-side hash-space collect
+    // must fail fast with an explanation, not OOM at scale
+    val wide = Seq("t1 t2 t3", "t4 t5").toDF("s")
+    val err = intercept[IllegalStateException] {
+      new StringEncoder().setInputCol("s").setOutputCol("enc")
+        .setMaxVocab(3).fit(wide)
+    }
+    assert(err.getMessage.contains("maxVocab"))
+    assert(err.getMessage.contains("setMaxVocab"))
+    // under the cap, fitting is unchanged
+    val m = new StringEncoder().setInputCol("s").setOutputCol("enc")
+      .setMaxVocab(5).fit(wide)
+    assert(m.transform(wide).select("enc").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)).forall(_.size == 5))
+  }
+
   test("StringEncoder murmur seed parity: hash matches MurmurHash3 0x8623") {
     assert(StringEncoder.murmur("foo") ==
       scala.util.hashing.MurmurHash3.stringHash("foo", 0x8623))
