@@ -111,10 +111,11 @@ object TfIdf {
   private def densePairs(w: DataFrame, nTerms: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // vocab index: ≤ denseMaxVocab rows, so the single-partition window
-    // and the broadcast are both trivially bounded
+    // and the broadcast are both trivially bounded (the literal partition
+    // key only suppresses WindowExec's blanket no-partition warning)
     val vocab = w.select("term").distinct()
       .withColumn("__ti",
-        row_number().over(Window.orderBy("term")).cast("int") - 1)
+        row_number().over(Window.partitionBy(lit(0)).orderBy("term")).cast("int") - 1)
     val vecs = w.join(broadcast(vocab), Seq("term"))
       .groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("__ti"), col("w")))).as("__m"))

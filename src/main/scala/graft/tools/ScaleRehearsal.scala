@@ -38,8 +38,13 @@ object ScaleRehearsal {
     time("dedup-exact")(graft.operators.Dedup.exact(docs, Seq("text"), "doc_id").get.count())
     time("dedup-minhash")(graft.operators.Dedup.minhashPairs(
       docs, "text", "doc_id", threshold = 0.5).get.count())
+    // nBits sizes buckets to the corpus: 20k vectors / 2^8 buckets ≈ 78
+    // per bucket (4 bits would mean 1250-vector buckets — quadratic
+    // verification, measured 65 s; bucket granularity is THE cost knob)
     time("dedup-embedding")(graft.operators.Dedup.embeddingNearDupPairs(
-      emb, "embedding", "vec_id", threshold = 0.25, nBits = 4, tables = 8).get.count())
+      emb, "embedding", "vec_id", threshold = 0.25, nBits = 8, tables = 8).get.count())
+    time("dedup-embedding-portable")(graft.operators.Dedup.embeddingNearDupPairsPortable(
+      emb, "embedding", "vec_id", threshold = 0.25, bandBits = 10, nBands = 6).get.count())
     time("knn-brute")(graft.operators.Similarity.bruteForceKnn(
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5).get.count())
     time("bloom-semijoin")(graft.operators.Sketch.bloomSemiJoin(
@@ -65,21 +70,25 @@ object ScaleRehearsal {
     // Exact-dedup-FIRST ordering (Dedup.dedupPipeline scaladoc): a corpus
     // with c-fold exact duplication inflates LSH candidate-pair volume
     // ~c² (every clone lands in every matching bucket), while running
-    // exactNormalized first restores the base corpus's pair count
-    // EXACTLY (representatives are the i=0 copies). Locks the measured
-    // claim behind the pipeline ordering.
+    // exactNormalized first restores the pair count of the BASE corpus's
+    // own representatives EXACTLY (replication picks the same min-id reps
+    // as the base — note the base corpus already contains a few exact
+    // duplicates, so the reference point is its rep set, not itself).
+    // Locks the measured claim behind the pipeline ordering.
     val base = spark.read.parquet(s"$dir/documents.parquet")
-    val pairsBase = graft.operators.Dedup.minhashPairs(
-      base, "text", "doc_id", threshold = 0.5).get.count()
+    val pairsBaseReps = graft.operators.Dedup.minhashPairs(
+      graft.operators.Dedup.exactNormalized(base, "text", "doc_id").get,
+      "text", "doc_id", threshold = 0.5).get.count()
     val pairsDeduped = graft.operators.Dedup.minhashPairs(
       graft.operators.Dedup.exactNormalized(docs, "text", "doc_id").get,
       "text", "doc_id", threshold = 0.5).get.count()
     val pairsRaw = graft.operators.Dedup.minhashPairs(
       docs, "text", "doc_id", threshold = 0.5).get.count()
-    println(s"[rehearsal] pair volume: base=$pairsBase dedupedFirst=$pairsDeduped raw=$pairsRaw")
-    assert(pairsDeduped == pairsBase,
-      s"exact-dedup-first must restore base pair volume: $pairsDeduped != $pairsBase")
-    val expectedBlowup = mult.toLong * mult * pairsBase / 4
+    println(s"[rehearsal] pair volume: baseReps=$pairsBaseReps dedupedFirst=$pairsDeduped raw=$pairsRaw")
+    assert(pairsDeduped == pairsBaseReps,
+      s"exact-dedup-first must restore the base reps' pair volume: " +
+        s"$pairsDeduped != $pairsBaseReps")
+    val expectedBlowup = mult.toLong * mult * pairsBaseReps / 4
     assert(mult < 2 || pairsRaw > math.max(pairsDeduped * mult, expectedBlowup),
       s"expected ~mult² pair blowup without exact dedup, got raw=$pairsRaw " +
         s"vs deduped=$pairsDeduped (mult=$mult)")

@@ -60,4 +60,30 @@ class PlanSpec extends AnyFunSuite {
     // the scrub join should broadcast the (distinct) small key side here
     assert(plan.contains("BroadcastExchange"), "semi-join small side not broadcast")
   }
+
+  test("q37: portable LSH candidates are an equi-join on (band, bucket), never all-pairs") {
+    val plan = planOf("q37_dedup_embedding")
+    assert(plan.contains("portable_vec_simhash"), "portable signature kernel missing")
+    assert(!plan.contains("CartesianProduct"), "LSH degenerated to a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH degenerated to a loop join")
+  }
+
+  test("q76: small-vocab corpus takes the dense broadcast path (no term shuffle join)") {
+    val plan = planOf("q76_tfidf")
+    assert(plan.contains("double_vec_cosine"), "dense path's native cosine kernel missing")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "dense pair scoring should be a broadcast loop join")
+    assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in dense path")
+  }
+
+  test("q76: large-vocab/sparse path remains a term equi-join with no cross join") {
+    // force the sparse strategy the way a realistic vocabulary would
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sparse = graft.operators.TfIdf.similarPairs(
+      docs, "text", "doc_id", threshold = 0.95, denseMaxVocab = 0).get
+    val plan = sparse.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "sparse path must stay an equi-join on term")
+  }
 }
