@@ -121,6 +121,13 @@ object TextFunctions {
   def simhashTokens(toks: Column): Column =
     FunctionBridge.column(SimHash64(FunctionBridge.expression(toks)))
 
+  /** Band keys from a packed signature — single expression so the
+    * signature child evaluates once per row (CollapseProject would
+    * otherwise inline it into every per-band shift). */
+  def bandKeysFromSimhash(sh: Column, bandBits: Int, nBands: Int): Column =
+    FunctionBridge.column(
+      BandKeysFromSimhash(FunctionBridge.expression(sh), bandBits, nBands))
+
   /** Jaccard similarity of two string arrays (distinct-element). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

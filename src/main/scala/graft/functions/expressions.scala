@@ -333,6 +333,36 @@ object PortableVecSimhashImpl {
   }
 }
 
+/** Band keys from a packed simhash/LSH signature: band b = bits
+  * [b·bandBits, (b+1)·bandBits). A single expression so the (possibly
+  * expensive) signature child is evaluated ONCE per row — building the
+  * array with per-band shift expressions lets CollapseProject inline the
+  * child into every element (measured: the portable vector signature
+  * recomputed 6× per row). */
+object BandKeysImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  def compute(sh: Long, bandBits: Int, nBands: Int): ArrayData = {
+    val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) { out(b) = (sh >>> (b * bandBits)) & mask; b += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class BandKeysFromSimhash(child: Expression, bandBits: Int, nBands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    BandKeysImpl.compute(input.asInstanceOf[Long], bandBits, nBands)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandKeysImpl.compute($c, $bandBits, $nBands)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeysFromSimhash =
+    copy(child = newChild)
+  override def prettyName: String = "band_keys_from_simhash"
+}
+
 case class DoubleVecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

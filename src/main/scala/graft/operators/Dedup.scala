@@ -110,7 +110,15 @@ object Dedup {
     * Input: (id, __keys: array<long>); output: (id, band, bucket).
     * A window count on the bucket key beats the aggregate+join
     * formulation here (measured: one shuffle+sort vs two shuffles; the
-    * banded rows are slim, so the sort is cheap). */
+    * banded rows are slim, so the sort is cheap).
+    *
+    * NB: `InferFiltersFromGenerate` clones the `__keys` expression into a
+    * size/null pre-filter under the explode, so an expensive key kernel
+    * evaluates ~2× per row (codegen CSE merges the filter's two copies).
+    * [[graft.functions.BandKeysFromSimhash]] keeps the per-band fan-out
+    * from multiplying that further; pipelines that rescan a corpus many
+    * times should snapshot `(id, sh)` once (Optimise.snapshot) — the same
+    * recommendation as TfIdf postings. */
   private def candidateBands(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val banded = keyed
       .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
@@ -306,16 +314,9 @@ object Dedup {
     // need nBands >= maxHamming+1 for guaranteed recall
     val bandBits = math.max(1, 64 / (maxHamming + 1))
     val nBands = 64 / bandBits
-    // NB: 1L << 64 == 1L in Scala (shift mod 64) — the full-width band
-    // needs an explicit all-ones mask
-    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val banded = candidateBands(
       hashed.select(col("id"),
-        array((0 until nBands).map { b =>
-          // band value = bits [b*bandBits, (b+1)*bandBits)
-          shiftrightunsigned(col("sh"), b * bandBits)
-            .bitwiseAND(lit(bandMask))
-        }: _*).as("__keys")),
+        bandKeysFromSimhash(col("sh"), bandBits, nBands).as("__keys")),
       maxBucket)
     verifiedPairs(banded, hashed.withColumnRenamed("sh", "__p"),
       "hamming", (a, b) => bit_count(a.bitwiseXOR(b)), _ <= maxHamming,
@@ -422,14 +423,11 @@ object Dedup {
     require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
       s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
     val bits = bandBits * nBands
-    val mask = (1L << bandBits) - 1
     val base = df.select(col(idCol).as("id"), col(vecCol).as("__p"),
       PortableLsh.vecSimhashCol(col(vecCol), bits).as("__sh"))
     val banded = candidateBands(
       base.select(col("id"),
-        array((0 until nBands).map { b =>
-          shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))
-        }: _*).as("__keys")),
+        bandKeysFromSimhash(col("__sh"), bandBits, nBands).as("__keys")),
       maxBucket)
     verifiedPairs(banded, base.select(col("id"), col("__p")),
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))

@@ -106,14 +106,11 @@ object Similarity {
     require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
       s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
     val bits = bandBits * nBands
-    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, idName: String, vecName: String) =
       df.select(col(idCol).as(idName), col(vecCol).as(vecName),
-          graft.operators.PortableLsh.vecSimhashCol(col(vecCol), bits).as("__sh"))
-        .select(col(idName), col(vecName),
-          posexplode(array((0 until nBands).map { b =>
-            shiftrightunsigned(col("__sh"), b * bandBits).bitwiseAND(lit(mask))
-          }: _*)).as(Seq("band", "bucket")))
+          posexplode(graft.functions.TextFunctions.bandKeysFromSimhash(
+            graft.operators.PortableLsh.vecSimhashCol(col(vecCol), bits),
+            bandBits, nBands)).as(Seq("band", "bucket")))
     val c = banded(corpus, "neighborId", "__cv")
     val q = banded(queries, "queryId", "__qv")
     val w = Window.partitionBy(col("queryId"))
