@@ -1052,6 +1052,71 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     }),
 
+    "q87_window_funcs" -> ((s, dir) => {
+      // the rest of the Wnd surface (lead/rank/sliding frame) — q19/q20
+      // cover lag/row_number/running. o_orderkey is unique per custkey,
+      // so every frame is engine-deterministic; rank's ties (equal
+      // totalprice) are deterministic by definition.
+      (for {
+        a <- Wnd.lead_(tbl(s, dir, "orders"), "o_totalprice", 1,
+               Seq("o_custkey"), Seq("o_orderkey"), as = "next_price")
+        b <- Wnd.rank_(a, Seq("o_custkey"), Seq("o_totalprice"), as = "price_rank")
+        c <- Wnd.sliding(b, avg(col("o_totalprice")),
+               Seq("o_custkey"), Seq("o_orderkey"), -1L, 1L, as = "avg3")
+        t <- Transform(c)(_.select(col("o_custkey"), col("o_orderkey"),
+               round(col("next_price"), 2).as("next_price"),
+               col("price_rank"), round(col("avg3"), 4).as("avg3")))
+        o <- Order.by(t, Seq("o_custkey", "o_orderkey"))
+      } yield o).get
+    }),
+
+    "q88_interval_overlap" -> ((s, dir) => {
+      // RangeJoin.intervalOverlap (q59 covers pointInInterval): synthetic
+      // numeric intervals over keys, bucketed equi-join instead of a BNLJ.
+      val o = tbl(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("lkey"),
+          col("o_custkey").cast("double").as("lo"),
+          (col("o_custkey") + 10).cast("double").as("hi"))
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") < 300)
+        .select(col("c_custkey").as("rkey"),
+          (col("c_custkey") - 5).cast("double").as("rlo"),
+          (col("c_custkey") + 5).cast("double").as("rhi"))
+      graft.operators.RangeJoin.intervalOverlap(o, c, "lo", "hi", "rlo", "rhi",
+        binSize = 16.0, leftKey = "lkey", rightKey = "rkey").get
+        .select("lkey", "rkey").orderBy("lkey", "rkey")
+    }),
+
+    "q89_quality_violations" -> ((s, dir) => {
+      // Quality.violations quarantine stream (q78 covers expect counts):
+      // rows failing ANY rule, tagged with the failed rule names.
+      val rules = Seq(
+        graft.operators.Quality.Expectation("discount_max", col("l_discount") <= 0.08),
+        graft.operators.Quality.Expectation("qty_in_range", col("l_quantity").between(1, 45)))
+      graft.operators.Quality.violations(
+        tbl(s, dir, "lineitem").filter(col("l_orderkey") < 2000), rules).get
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("l_quantity"),
+          round(col("l_discount"), 4).as("l_discount"),
+          array_join(col("failed_rules"), ",").as("failed"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "failed")
+    }),
+
+    "q90_url_domains" -> ((s, dir) => {
+      // web-corpus provenance: extract URLs (documents are augmented with
+      // synthetic links, like q79 does for PII), count docs per domain —
+      // the source-mix report behind corpus curation decisions.
+      val aug = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" via https://src"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org/doc/"), col("doc_id"),
+          lit(" and http://mirror"), pmod(col("doc_id"), lit(3)),
+          lit(".example.net/raw?")).as("a"))
+      aug.select(col("doc_id"), explode(TextFunctions.urls(col("a"))).as("url"))
+        .select(col("doc_id"), TextFunctions.urlDomain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     "q84_repetition" -> ((s, dir) => {
       // Gopher/C4-style in-document repetition signals: repeated words
       // and repeated 3-gram phrases, as pure column expressions.
@@ -1961,6 +2026,54 @@ object SparkEntry {
          WHERE l_returnflag = 'R'
            AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
-         ORDER BY revenue DESC, c_custkey LIMIT 20"""
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q87_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         round(lead(o_totalprice, 1) OVER wk, 2) AS next_price,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS price_rank,
+         round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS avg3
+         FROM orders WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q88_interval_overlap" ->
+      """SELECT o.o_orderkey AS lkey, c.c_custkey AS rkey
+         FROM orders o JOIN customer c
+           ON CAST(o.o_custkey AS DOUBLE) < c.c_custkey + 5
+          AND CAST(c.c_custkey - 5 AS DOUBLE) < o.o_custkey + 10
+         WHERE o.o_orderkey < 200 AND c.c_custkey < 300
+         ORDER BY lkey, rkey""",
+    "q89_quality_violations" ->
+      """WITH f AS (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+             list_filter([
+               CASE WHEN NOT coalesce(l_discount <= 0.08, false)
+                    THEN 'discount_max' END,
+               CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 45, false)
+                    THEN 'qty_in_range' END
+             ], x -> x IS NOT NULL) AS fr
+           FROM lineitem WHERE l_orderkey < 2000
+         )
+         SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS l_quantity,
+           round(l_discount, 4) AS l_discount,
+           array_to_string(fr, ',') AS failed
+         FROM f WHERE len(fr) > 0
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, failed""",
+    "q90_url_domains" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' via https://src' || (doc_id % 7) || '.example.org/doc/'
+                  || doc_id || ' and http://mirror' || (doc_id % 3)
+                  || '.example.net/raw?' AS a
+           FROM documents
+         ), u AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(a,
+                     'https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%-]*')) AS url
+                 FROM aug)
+         )
+         SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY domain ORDER BY domain"""
   )
 }

@@ -267,4 +267,20 @@ object TextFunctions {
   def piiCount(c: Column): Column =
     regexp_count(c, lit(emailPattern)) +
       regexp_count(regexp_replace(c, lit(emailPattern), lit(";")), lit(phonePattern))
+
+  // --- URL / domain signals (web-corpus provenance) ---
+
+  /** URL pattern — lookahead-free like [[emailPattern]] so Java regex and
+    * RE2 agree character-for-character. */
+  val urlPattern: String = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./_%-]*"
+
+  /** All URLs in the document as `array<string>` (codegen'd
+    * `regexp_extract_all`). */
+  def urls(c: Column): Column = regexp_extract_all(c, lit(urlPattern), lit(0))
+
+  /** Host/domain of a single URL column (empty string when malformed) —
+    * pair with `explode(urls(c))` so the regex runs codegen'd per URL,
+    * not interpreted inside a lambda. */
+  def urlDomain(u: Column): Column =
+    lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 }

@@ -136,4 +136,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ba == bb) // cosine-sim 1 ⇒ identical signature
     assert(ba != bc)
   }
+
+  test("urls/urlDomain: extraction boundaries and case folding") {
+    val df = Seq(
+      "see https://Sub.Example.ORG/a/b_c%20d and http://m1.example.net/raw? done",
+      "no links here",
+      "bare http://x.io trailing,punct https://y.co/p."
+    ).toDF("t")
+    val got = df.select(TextFunctions.urls($"t").as("u"))
+      .select(explode($"u").as("url"))
+      .select(TextFunctions.urlDomain($"url").as("d"))
+      .as[String].collect().toSeq.sorted
+    // '?' and ',' sit outside the URL charclass; trailing '.' IS in it
+    // (path dots are ubiquitous) — boundary behavior locked here
+    assert(got == Seq("m1.example.net", "sub.example.org", "x.io", "y.co"))
+  }
 }
