@@ -54,7 +54,8 @@ object Bench {
     // best-of-2 per query: single-run timings on a shared local JVM carry
     // ±25% GC/JIT noise at these sizes — the minimum of two post-warmup
     // runs is the standard way to report the plan's cost, not the noise
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
     val results = headline.map { name =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

@@ -441,9 +441,13 @@ object SparkEntry {
       // fingerprints → exact oracle (pigeonhole banding guarantees recall,
       // so emitted pairs == ALL pairs with hamming <= 12). The native
       // splitmix kernel stays covered by DedupSpec property tests.
+      // bits=60 (the portable signature's real width — no phantom band)
+      // and an uncapped bucket size: the oracle has no bucket cap, so the
+      // oracle-parity entry must not prune (recall stays guaranteed; cap
+      // back for throughput-oriented runs).
       Dedup.simhashPairsFrom(
         Dedup.portableSimhash(tbl(s, dir, "documents"), "text", "doc_id"),
-        maxHamming = 12)
+        maxHamming = 12, maxBucket = Int.MaxValue, bits = 60)
         .get.orderBy("idA", "idB")
     }),
 
@@ -460,8 +464,11 @@ object SparkEntry {
       // agreement AND cosine ≥ 0.25) is a pure function of the data, so
       // DuckDB recomputes it exactly. The seeded-hyperplane variant
       // (embeddingNearDupPairs) stays covered by DedupSpec.
+      // uncapped buckets for oracle parity (the oracle joins on bare band
+      // agreement; 10-bit bands keep buckets sparse anyway)
       Dedup.embeddingNearDupPairsPortable(tbl(s, dir, "embeddings"),
-        "embedding", "vec_id", threshold = 0.25, bandBits = 10, nBands = 6)
+        "embedding", "vec_id", threshold = 0.25, bandBits = 10, nBands = 6,
+        maxBucket = Int.MaxValue)
         .get.orderBy("idA", "idB")
     }),
 
@@ -727,8 +734,12 @@ object SparkEntry {
       // total scatter is engine-independent (Σ_d var_pop·n) — emit it as a
       // VALUE so the oracle recomputes it in SQL and the gate actually
       // cross-checks the quantity the SSE invariants hang off.
+      // HALF_UP like DuckDB's round() (math.rint is half-even — a value on
+      // a .00005 boundary would hash-differ)
       Seq((emb.count(), sse4 >= 0.0, sse4 <= totalScatter + 1e-6,
-          nClusters >= 1 && nClusters <= 4, math.rint(totalScatter * 1e4) / 1e4))
+          nClusters >= 1 && nClusters <= 4,
+          BigDecimal(totalScatter)
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble))
         .toDF("n_points", "sse_nonneg", "sse_below_total", "n_clusters_ok",
           "total_scatter")
     }),

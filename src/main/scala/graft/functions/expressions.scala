@@ -295,6 +295,15 @@ object PortableVecSimhashImpl {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
 
+  /** THE md5 sign formula (single source of the cross-engine contract —
+    * `graft.operators.PortableLsh` delegates here): ±1 from bit 0 of the
+    * first 15 hex chars of `md5("j_i")`. */
+  def sign(md: java.security.MessageDigest, j: Int, i: Int): Double = {
+    md.reset()
+    val hex = md.digest(s"${j}_${i}".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    if ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
   def signs(bits: Int, dim: Int): Array[Double] =
     cache.computeIfAbsent((bits, dim), { key =>
       val (b, d) = key
@@ -303,20 +312,15 @@ object PortableVecSimhashImpl {
       var j = 0
       while (j < b) {
         var i = 0
-        while (i < d) {
-          md.reset()
-          val hex = md.digest(s"${j}_${i}".getBytes("UTF-8"))
-            .map(x => f"$x%02x").mkString
-          out(j * d + i) =
-            if ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) == 1L) 1.0 else -1.0
-          i += 1
-        }
+        while (i < d) { out(j * d + i) = sign(md, j, i); i += 1 }
         j += 1
       }
       out
     })
 
-  def compute(v: ArrayData, bits: Int): Long = {
+  /** `isDouble` selects the element reader — getFloat on an
+    * `array<double>` would silently reinterpret half of each slot. */
+  def compute(v: ArrayData, bits: Int, isDouble: Boolean): Long = {
     val dim = v.numElements()
     val s = signs(bits, dim)
     var out = 0L
@@ -325,7 +329,8 @@ object PortableVecSimhashImpl {
       var acc = 0.0
       val off = j * dim
       var i = 0
-      while (i < dim) { acc += v.getFloat(i).toDouble * s(off + i); i += 1 }
+      if (isDouble) while (i < dim) { acc += v.getDouble(i) * s(off + i); i += 1 }
+      else while (i < dim) { acc += v.getFloat(i).toDouble * s(off + i); i += 1 }
       if (acc > 0.0) out |= (1L << j)
       j += 1
     }
@@ -377,12 +382,18 @@ case class DoubleVecCosine(left: Expression, right: Expression)
 
 case class PortableVecSimhash(child: Expression, bits: Int)
     extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"portable_vec_simhash needs array<float> or array<double>, got $other")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    PortableVecSimhashImpl.compute(input.asInstanceOf[ArrayData], bits)
+    PortableVecSimhashImpl.compute(input.asInstanceOf[ArrayData], bits, isDouble)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.PortableVecSimhashImpl.compute($c, $bits)")
+      c => s"graft.functions.PortableVecSimhashImpl.compute($c, $bits, $isDouble)")
   override protected def withNewChildInternal(newChild: Expression): PortableVecSimhash =
     copy(child = newChild)
   override def prettyName: String = "portable_vec_simhash"

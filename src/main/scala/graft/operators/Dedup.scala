@@ -304,16 +304,27 @@ object Dedup {
   /** Banding + verification over a precomputed `(id, sh)` simhash frame —
     * the pigeonhole core of [[simhashPairs]], exposed so callers can plug
     * in an alternative fingerprint kernel (e.g. [[portableSimhash]], whose
-    * md5 token hash an external SQL engine can recompute bit-exactly). */
+    * md5 token hash an external SQL engine can recompute bit-exactly).
+    *
+    * `bits` is the signature's REAL width: banding a 60-bit signature
+    * with 64-bit math would create a constant-zero phantom band whose
+    * single bucket holds the whole corpus (silent all-pairs below the
+    * bucket cap, a recall hole above it). With bandBits =
+    * ⌊bits/(maxHamming+1)⌋ we get nBands ≥ maxHamming+1 covered bands, so
+    * ≤ maxHamming differing bits always leave one band intact —
+    * pigeonhole recall holds for any width. */
   def simhashPairsFrom(
       hashed: DataFrame,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      bits: Int = 64
   ): MayFail[DataFrame] = MayFail {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    require(bits > 0 && bits <= 64, s"bits out of range: $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming out of range for $bits-bit signatures: $maxHamming")
     // need nBands >= maxHamming+1 for guaranteed recall
-    val bandBits = math.max(1, 64 / (maxHamming + 1))
-    val nBands = 64 / bandBits
+    val bandBits = math.max(1, bits / (maxHamming + 1))
+    val nBands = bits / bandBits
     val banded = candidateBands(
       hashed.select(col("id"),
         bandKeysFromSimhash(col("sh"), bandBits, nBands).as("__keys")),

@@ -19,17 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object PortableLsh {
 
-  /** ±1 sign for hyperplane `j`, component `i` — see object doc for the
-    * SQL-equivalent formula. */
+  /** ±1 sign for hyperplane `j`, component `i` — delegates to the single
+    * source of the md5 formula,
+    * [[graft.functions.PortableVecSimhashImpl.sign]]. */
   def sign(j: Int, i: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${j}_${i}".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    if ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) == 1L) 1 else -1
+    graft.functions.PortableVecSimhashImpl.sign(md, j, i).toInt
   }
 
-  def signMatrix(bits: Int, dim: Int): Array[Array[Int]] =
-    Array.tabulate(bits, dim)(sign)
+  def signMatrix(bits: Int, dim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim)((j, i) =>
+      graft.functions.PortableVecSimhashImpl.sign(md, j, i).toInt)
+  }
 
   /** Packed hyperplane signature of `vecCol` (an `array<float>`) as a
     * single BIGINT column — one native codegen'd multiply-add loop per row

@@ -69,9 +69,18 @@ object Sketch {
     // NPE (instead of a separate isEmpty pre-pass) means the small side's
     // plan executes twice per call (build + final semi join), not three
     // times — real savings when `small` is itself a derived pipeline.
+    // The catch is narrowed to NPEs raised INSIDE the bloom machinery —
+    // an unrelated NPE from the derived pipeline must propagate, not
+    // silently become an empty join.
+    def isBloomBuildNpe(e: NullPointerException): Boolean =
+      e.getStackTrace.exists { f =>
+        f.getClassName.contains("BloomFilter") ||
+          f.getClassName.contains("stat.StatFunctions") ||
+          f.getClassName.contains("DataFrameStatFunctions")
+      }
     val built: Option[BloomFilter] =
       try Some(small.stat.bloomFilter(smallKey, expectedItems, fpp))
-      catch { case _: NullPointerException => None }
+      catch { case e: NullPointerException if isBloomBuildNpe(e) => None }
     if (built.isEmpty) big.limit(0)
     else {
       val bf: BloomFilter = built.get

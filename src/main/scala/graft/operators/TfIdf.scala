@@ -34,10 +34,19 @@ object TfIdf {
       textCol: String,
       idCol: String,
       maxDfFraction: Double = 1.0
+  ): DataFrame =
+    postingsWithN(df, textCol, idCol, maxDfFraction, df.count())
+
+  private def postingsWithN(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDfFraction: Double,
+      nDocsL: Long
   ): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1]: $maxDfFraction")
-    val nDocs = df.count().toDouble
+    val nDocs = nDocsL.toDouble
     val toks = df.select(
         col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= "")).as("term"))
@@ -67,7 +76,7 @@ object TfIdf {
       threshold: Double = 0.8,
       maxDfFraction: Double = 1.0,
       denseMaxVocab: Int = 2048,
-      denseMaxDocs: Long = 200000L
+      denseMaxBroadcastBytes: Long = 256L << 20
   ): MayFail[DataFrame] = MayFail {
     // deliberately NOT cached: a cache() here would pin the postings in
     // executor storage past this call with no owner to unpersist them
@@ -75,22 +84,32 @@ object TfIdf {
     // recomputes the postings subtree, exactly like the SQL formulation;
     // callers running MANY similarity passes should snapshot postings()
     // once (Optimise.snapshot) and pay the materialization knowingly.
-    val w = postings(df, textCol, idCol, maxDfFraction)
+    val nDocs = df.count()
+    val w = postingsWithN(df, textCol, idCol, maxDfFraction, nDocs)
     // Stats-based strategy choice (the same move Catalyst makes between
-    // broadcast and shuffle joins): the postings join's cost is Σ_t df(t)²
-    // — on a SMALL vocabulary every term is a quadratic hot key and the
-    // term shuffle is irreducibly skewed (measured: a 31-term corpus sent
-    // 4.5×10⁸ rows through 31 shuffle keys). When the whole vocabulary
-    // fits a broadcast dense vector (vocab ≤ denseMaxVocab AND corpus
-    // bounded), pair scoring as a broadcast loop join with a native
-    // cosine kernel does the same n²-bounded work with NO shuffle and no
-    // skew. The sparse join remains the default/scale path, where maxDf
-    // pruning keeps Σ df(t)² sane.
-    val nTerms = w.select("term").distinct().count()
-    if (nTerms > 0 && nTerms <= denseMaxVocab && df.count() <= denseMaxDocs)
-      densePairs(w, nTerms.toInt, threshold)
-    else
-      sparsePairs(w, threshold)
+    // broadcast and shuffle joins). The sparse postings join's cost is
+    // Σ_t df(t)² join rows through per-term shuffle keys — on a SMALL
+    // vocabulary every term is a quadratic hot key and the shuffle is
+    // irreducibly skewed (measured: a 31-term corpus sent 4.5×10⁸ rows
+    // through 31 keys, 98 s at sf0.1). The dense alternative broadcasts
+    // one vector per doc and scores n²/2 pairs with a native cosine — no
+    // shuffle, no skew, but n²·vocab arithmetic. One ANALYZE-style pass
+    // over the postings yields both stats; dense is chosen only when the
+    // broadcast fits, the vocabulary is small, the arithmetic beats the
+    // sparse shuffle's measured per-row cost (~30× a fused multiply-add),
+    // and threshold > 0 (at threshold ≤ 0 dense would emit
+    // zero-cosine pairs sharing no terms, which the sparse join cannot).
+    val stats = w.groupBy("term").count()
+      .agg(count(lit(1)).as("nt"),
+        coalesce(sum(col("count") * col("count")), lit(0L)).as("sumdf2")).head()
+    val nTerms = stats.getLong(0)
+    val sumDf2 = stats.getLong(1)
+    val denseBytes = nDocs * nTerms * 8L
+    val denseFlops = nDocs.toDouble * nDocs * nTerms / 2
+    val dense = threshold > 0 && nTerms > 0 && nTerms <= denseMaxVocab &&
+      denseBytes <= denseMaxBroadcastBytes && denseFlops <= 32.0 * sumDf2
+    if (dense) densePairs(w, nTerms.toInt, threshold)
+    else sparsePairs(w, threshold)
   }
 
   private def sparsePairs(w: DataFrame, threshold: Double): DataFrame = {

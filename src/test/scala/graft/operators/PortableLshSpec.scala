@@ -58,6 +58,23 @@ class PortableLshSpec extends AnyFunSuite {
     assert(out(3L) == 0L)
   }
 
+  test("PortableVecSimhash reads array<double> correctly and rejects other types") {
+    // exactly-representable values: float and double vectors must produce
+    // the SAME signature (getFloat on a double array would read garbage)
+    val vals = Array(0.5, -1.25, 2.0, -0.75, 1.5, -2.5, 0.25, 3.0)
+    val both = Seq((1L, vals.map(_.toFloat), vals)).toDF("id", "vf", "vd")
+    val row = both.select(
+      PortableLsh.vecSimhashCol(col("vf"), bits = 16).as("sf"),
+      PortableLsh.vecSimhashCol(col("vd"), bits = 16).as("sd")).head()
+    assert(row.getLong(0) == row.getLong(1))
+    val bad = Seq((1L, Array(1, 2, 3))).toDF("id", "vi")
+    val err = intercept[Exception] {
+      bad.select(PortableLsh.vecSimhashCol(col("vi"), bits = 16)).head()
+    }
+    assert(err.getMessage.contains("portable_vec_simhash") ||
+      Option(err.getCause).exists(_.getMessage.contains("portable_vec_simhash")))
+  }
+
   test("embeddingNearDupPairsPortable == exact {band agreement AND cos >= t}") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(12)(rnd.nextFloat() * 2 - 1)
