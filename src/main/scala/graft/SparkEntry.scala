@@ -559,6 +559,25 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    "q91_stream_sliding" -> ((s, dir) => {
+      // Sliding (overlapping) event-time windows — q51 covers tumbling;
+      // here every event lands in two 1-hour windows sliding by 30 min.
+      implicit val sp: SparkSession = s
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src91"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_ss_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        agg <- graft.streaming.Stream.windowedAgg(src, "ts", "1 hour", "1 hour",
+                 aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")),
+                 keys = Seq("event_type"), slideDuration = Some("30 minutes"))
+        res <- graft.streaming.Stream.drainToMemory(agg, name, "complete")
+      } yield res).get
+      out.select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
     "q52_asof_join" -> ((s, dir) => {
       // Point-in-time lookup: for every click, the user's most recent
       // purchase at or before the click. Union+window as-of join.
@@ -1691,6 +1710,17 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q91_stream_sliding" ->
+      """WITH s AS (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS w1, event_type, value
+           FROM events
+         ), ex AS (
+           SELECT w1 AS ws, event_type, value FROM s
+           UNION ALL
+           SELECT w1 - INTERVAL '30 minutes' AS ws, event_type, value FROM s
+         )
+         SELECT ws, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM ex GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q44_string_encoder" ->
       """SELECT count(DISTINCT t) AS vocab_size FROM
          (SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents)""",

@@ -67,5 +67,15 @@ object GraftFunctions {
       es => { arity("hyperplane_bits", es, 2, 3)
         HyperplaneBits(es.head, intLit(es(1)),
           if (es.length > 2) longLit(es(2)) else 42L) }, "scala_udf")
+    reg.createOrReplaceTempFunction("double_vec_cosine",
+      es => { arity("double_vec_cosine", es, 2, 2)
+        DoubleVecCosine(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("portable_vec_simhash",
+      es => { arity("portable_vec_simhash", es, 1, 2)
+        PortableVecSimhash(es.head,
+          if (es.length > 1) intLit(es(1)) else 60) }, "scala_udf")
+    reg.createOrReplaceTempFunction("band_keys_from_simhash",
+      es => { arity("band_keys_from_simhash", es, 3, 3)
+        BandKeysFromSimhash(es(0), intLit(es(1)), intLit(es(2))) }, "scala_udf")
   }
 }

@@ -125,6 +125,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(2) != 0L)
     assert(r.getDouble(3) == 1.0)
+    val r2 = spark.sql("""
+      SELECT double_vec_cosine(CAST(x AS ARRAY<DOUBLE>), CAST(x AS ARRAY<DOUBLE>)) AS c,
+             portable_vec_simhash(x, 16) AS ps,
+             band_keys_from_simhash(portable_vec_simhash(x, 16), 4, 4) AS bk
+      FROM gf_test""").head()
+    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
+    assert(r2.getSeq[Long](2).length == 4)
+    // band keys reassemble to the signature (4 bands x 4 bits)
+    val reassembled = r2.getSeq[Long](2).zipWithIndex.map { case (b, i) => b << (4 * i) }.sum
+    assert(reassembled == r2.getLong(1))
   }
 
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
