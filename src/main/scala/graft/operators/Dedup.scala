@@ -193,7 +193,11 @@ object Dedup {
     * duplicates downstream) returns `IgnorableFail` carrying the partial
     * labels — programmatically observable via `isFailing`/`getError` while
     * still composing through `flatMap` (reference forgiveness semantics). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): MayFail[DataFrame] = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      maxDriverEdges: Long = 1000000L
+  ): MayFail[DataFrame] = {
     val run = MayFail {
       // checkpoint the (possibly expensive) pair pipeline ONCE — each
       // iteration reads edges twice, and without this the whole upstream
@@ -202,6 +206,17 @@ object Dedup {
         .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
         .distinct()
         .localCheckpoint()
+      // Stats-based strategy (the countMinTopK bounded-collect pattern):
+      // LSH pair lists are tiny relative to the corpus, so when the edge
+      // set fits the cap, a driver-side union-find replaces maxIter
+      // join+aggregate+checkpoint rounds with one pass — same min-label
+      // result, exact convergence, ~rounds× faster. The label-propagation
+      // loop remains the unbounded/any-type scale path.
+      val nEdges = edges.count()
+      val driverLabels =
+        if (nEdges <= maxDriverEdges) driverUnionFind(edges) else None
+      if (driverLabels.isDefined) (driverLabels.get, true)
+      else {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id"))
         .localCheckpoint()
@@ -224,6 +239,7 @@ object Dedup {
         i += 1
       }
       (labels, converged)
+      }
     }
     run.flatMap { case (labels, converged) =>
       if (converged) graft.functional.Ok(labels)
@@ -235,6 +251,47 @@ object Dedup {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
         graft.functional.IgnorableFail(err, labels)
       }
+    }
+  }
+
+  /** Driver-side min-root union-find over a (src, dst) edge frame —
+    * `Some((id, cluster))` labels identical to converged min-label
+    * propagation, or `None` when the key type has no driver-side ordering
+    * (then the distributed loop runs). Only called under the
+    * `maxDriverEdges` cap, so the collect is bounded by construction. */
+  private def driverUnionFind(edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructField, StructType}
+    val dt = edges.schema("src").dataType
+    val lt: Option[(Any, Any) => Boolean] = dt match {
+      case LongType    => Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case IntegerType => Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case ShortType   => Some((a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short])
+      case StringType  => Some((a, b) => a.asInstanceOf[String] < b.asInstanceOf[String])
+      case _           => None
+    }
+    lt.map { less =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // min root wins, matching the aggregate's min(cluster) label
+          if (less(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach(k => rows.add(org.apache.spark.sql.Row(k, find(k))))
+      edges.sparkSession.createDataFrame(rows,
+        StructType(Seq(StructField("id", dt), StructField("cluster", dt))))
     }
   }
 

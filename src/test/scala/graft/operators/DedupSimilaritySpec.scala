@@ -51,24 +51,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // chain 1-2-3, star 10-{11,12}, disjoint pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
       .toDF("idA", "idB")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (edges under the cap)...
     val got = Dedup.duplicateClusters(pairs).get
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got == expected)
+    // ...and the distributed label-propagation path agree exactly
+    val distributed = Dedup.duplicateClusters(pairs, maxDriverEdges = 0L).get
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == expected)
   }
 
-  test("duplicateClusters signals non-convergence as IgnorableFail with partial labels") {
-    // path 1-2-3-4-5-6 has diameter 5; maxIter=1 cannot converge
+  test("duplicateClusters driver path converges on chains deeper than maxIter") {
+    // path diameter 5 > maxIter=1, but union-find has no round limit
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("idA", "idB")
     val r = Dedup.duplicateClusters(chain, maxIter = 1)
+    assert(r.isOk)
+    assert(r.get.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+  }
+
+  test("duplicateClusters signals non-convergence as IgnorableFail with partial labels") {
+    // distributed path forced (maxDriverEdges=0): path 1-2-3-4-5-6 has
+    // diameter 5; maxIter=1 cannot converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("idA", "idB")
+    val r = Dedup.duplicateClusters(chain, maxIter = 1, maxDriverEdges = 0L)
     assert(r.isFailing, "expected IgnorableFail on non-convergence")
     assert(r.getError.exists(_.getMessage.contains("did not converge")))
     // partial labels still usable (every id present, labels valid ids)
     val partial = r.get.as[(Long, Long)].collect().toMap
     assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
     // and a sufficient maxIter on the same input is a clean Ok
-    assert(Dedup.duplicateClusters(chain, maxIter = 6).isOk)
+    assert(Dedup.duplicateClusters(chain, maxIter = 6, maxDriverEdges = 0L).isOk)
   }
 
   test("minhashDedupTransitive keeps one representative per component") {
