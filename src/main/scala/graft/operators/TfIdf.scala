@@ -108,7 +108,14 @@ object TfIdf {
     val denseFlops = nDocs.toDouble * nDocs * nTerms / 2
     val dense = threshold > 0 && nTerms > 0 && nTerms <= denseMaxVocab &&
       denseBytes <= denseMaxBroadcastBytes && denseFlops <= 32.0 * sumDf2
-    if (dense) densePairs(w, nTerms.toInt, threshold)
+    if (dense)
+      // the chooser's caps guarantee the postings are small here, so a
+      // lineage cut is bounded by construction — without it the
+      // tokenize+tf subtree re-executes for the vocab, the vectors, and
+      // BOTH sides of the pair join (the no-cache rule above is about
+      // UNBOUNDED postings pinned past the call; localCheckpoint blocks
+      // are freed with the RDD)
+      densePairs(w.localCheckpoint(), nTerms.toInt, threshold)
     else sparsePairs(w, threshold)
   }
 
@@ -141,6 +148,9 @@ object TfIdf {
       .select(col("id"),
         transform(sequence(lit(0), lit(nTerms - 1)),
           i => coalesce(try_element_at(col("__m"), i), lit(0.0))).as("__v"))
+      // both pair-join sides read the (nDocs × vocab, broadcastable by
+      // the chooser's byte cap) vector frame — build it once
+      .localCheckpoint()
     val a = vecs.select(col("id").as("idA"), col("__v").as("__va"))
     val b = vecs.select(col("id").as("idB"), col("__v").as("__vb"))
     a.join(broadcast(b), col("idA") < col("idB"))
