@@ -192,7 +192,14 @@ object Dedup {
     * Non-convergence (a component wider than `maxIter` hops, i.e. missed
     * duplicates downstream) returns `IgnorableFail` carrying the partial
     * labels — programmatically observable via `isFailing`/`getError` while
-    * still composing through `flatMap` (reference forgiveness semantics). */
+    * still composing through `flatMap` (reference forgiveness semantics).
+    * NB: when the edge set fits `maxDriverEdges` (and a byte bound, for
+    * string keys) the labels come from a driver-side union-find instead —
+    * one bounded pass, exact convergence regardless of `maxIter`, same
+    * min-label result. Set `maxDriverEdges = 0` to force the distributed
+    * loop (and with it the `maxIter`/IgnorableFail probe semantics).
+    * Edges touching a null id are dropped up front on both paths (a null
+    * key never joins, so it can never participate in a component). */
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 10,
@@ -203,7 +210,9 @@ object Dedup {
       // iteration reads edges twice, and without this the whole upstream
       // LSH pipeline would re-execute every round
       val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
-        .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .union(pairs.select(col("idB").as("src"), col("idA").as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull))
         .distinct()
         .localCheckpoint()
       // Stats-based strategy (the countMinTopK bounded-collect pattern):
@@ -214,7 +223,7 @@ object Dedup {
       // loop remains the unbounded/any-type scale path.
       val nEdges = edges.count()
       val driverLabels =
-        if (nEdges <= maxDriverEdges) driverUnionFind(edges) else None
+        if (nEdges <= maxDriverEdges) driverUnionFind(edges, nEdges) else None
       if (driverLabels.isDefined) (driverLabels.get, true)
       else {
       var labels = edges.select(col("src").as("id")).distinct()
@@ -257,16 +266,30 @@ object Dedup {
   /** Driver-side min-root union-find over a (src, dst) edge frame —
     * `Some((id, cluster))` labels identical to converged min-label
     * propagation, or `None` when the key type has no driver-side ordering
-    * (then the distributed loop runs). Only called under the
-    * `maxDriverEdges` cap, so the collect is bounded by construction. */
-  private def driverUnionFind(edges: DataFrame): Option[DataFrame] = {
+    * (then the distributed loop runs). The row-count cap is enforced by
+    * the caller; string keys additionally get a BYTE bound here (1M
+    * 200-char ids would not be "bounded" in any useful sense), and their
+    * ordering goes through UTF8String so the min label matches Spark's
+    * binary string ordering exactly (Java compareTo differs on
+    * supplementary characters). */
+  private def driverUnionFind(edges: DataFrame, nEdges: Long): Option[DataFrame] = {
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
     val dt = edges.schema("src").dataType
     val lt: Option[(Any, Any) => Boolean] = dt match {
       case LongType    => Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
       case IntegerType => Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
       case ShortType   => Some((a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short])
-      case StringType  => Some((a, b) => a.asInstanceOf[String] < b.asInstanceOf[String])
+      case StringType  =>
+        val keyBytes = edges
+          .agg(coalesce(sum(length(col("src")) + length(col("dst"))), lit(0L)))
+          .head().getLong(0)
+        // ~4 bytes/char worst case + per-entry JVM overhead, against a
+        // 400 MB driver budget for the collected graph
+        if (keyBytes * 4 + nEdges * 120 > (400L << 20)) None
+        else Some((a, b) =>
+          UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(UTF8String.fromString(b.asInstanceOf[String])) < 0)
       case _           => None
     }
     lt.map { less =>

@@ -72,6 +72,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.get.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
   }
 
+  test("duplicateClusters drops null-keyed edges identically on both paths") {
+    val pairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(5L)),
+      (Option(3L), Option.empty[Long])).toDF("idA", "idB")
+    val expected = Map(1L -> 1L, 2L -> 1L) // null edges carry no membership
+    assert(Dedup.duplicateClusters(pairs).get
+      .as[(Long, Long)].collect().toMap == expected)
+    assert(Dedup.duplicateClusters(pairs, maxDriverEdges = 0L).get
+      .as[(Long, Long)].collect().toMap == expected)
+  }
+
+  test("duplicateClusters: string min labels follow Spark's binary order on both paths") {
+    // U+FFFF sorts BELOW U+10000 in UTF-8 byte order but above it in Java
+    // String.compareTo (surrogate pairs) — the driver path must match Spark
+    val a = "￿"; val b = new String(Character.toChars(0x10000))
+    val pairs = Seq((a, b)).toDF("idA", "idB")
+    val viaDriver = Dedup.duplicateClusters(pairs).get
+      .as[(String, String)].collect().toMap
+    val viaLoop = Dedup.duplicateClusters(pairs, maxDriverEdges = 0L).get
+      .as[(String, String)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.values.toSet == Set(a), "min label must be the UTF-8-smaller id")
+  }
+
+  test("duplicateClusters: driver and distributed paths agree on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 3) {
+      val n = 40 + round * 20
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter { case (a, b) => a != b }
+      val pairs = edges.toDF("idA", "idB")
+      val viaDriver = Dedup.duplicateClusters(pairs).get
+        .as[(Long, Long)].collect().toMap
+      val viaLoop = Dedup.duplicateClusters(pairs, maxIter = 30, maxDriverEdges = 0L)
+        .get.as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaLoop, s"round $round: paths disagree")
+    }
+  }
+
   test("duplicateClusters signals non-convergence as IgnorableFail with partial labels") {
     // distributed path forced (maxDriverEdges=0): path 1-2-3-4-5-6 has
     // diameter 5; maxIter=1 cannot converge
