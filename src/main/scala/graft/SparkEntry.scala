@@ -338,6 +338,34 @@ object SparkEntry {
       } yield o).get
     }),
 
+    "q92_json_roundtrip" -> ((s, dir) => {
+      // JSON sink+source: schema degrades to JSON's type lattice on read
+      // (int→bigint), so cast deterministically; oracle reads the original
+      // parquet — equality proves the round-trip is lossless.
+      implicit val sp: SparkSession = s
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+      (for {
+        n  <- Read.parquet(s"$dir/nation.parquet")
+        _  <- Write.json(n, out, DefaultPartition, overwrite = true)
+        rd <- Read.json(out)
+        t  <- Transform(rd)(_.select(col("n_nationkey").cast("long"),
+                col("n_name"), col("n_regionkey").cast("long")))
+        o  <- Order.by(t, Seq("n_nationkey"))
+      } yield o).get
+    }),
+
+    "q93_orc_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+      (for {
+        r  <- Read.parquet(s"$dir/supplier.parquet")
+        _  <- Write.orc(r, out, PartitionCol(Seq("s_nationkey")), overwrite = true)
+        rd <- Read.orc(out)
+        t  <- Transform.select(rd, Seq("s_suppkey", "s_name", "s_nationkey"))
+        o  <- Order.by(t, Seq("s_suppkey"))
+      } yield o).get
+    }),
+
     "q26_parquet_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_roundtrip"
@@ -1444,6 +1472,12 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q25_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q92_json_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "q93_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
     "q26_parquet_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",

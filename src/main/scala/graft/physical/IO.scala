@@ -198,6 +198,28 @@ object Write {
     df
   }
 
+  def json(
+      df: DataFrame,
+      path: String,
+      partition: Partition = NoPartition,
+      overwrite: Boolean = false,
+      options: Map[String, String] = Map.empty
+  ): MayFail[DataFrame] = MayFail {
+    writer(df, partition, overwrite).options(options).json(path)
+    df
+  }
+
+  def orc(
+      df: DataFrame,
+      path: String,
+      partition: Partition = NoPartition,
+      overwrite: Boolean = false,
+      options: Map[String, String] = Map.empty
+  ): MayFail[DataFrame] = MayFail {
+    writer(df, partition, overwrite).options(options).orc(path)
+    df
+  }
+
   /** Bucketed + sorted managed table: co-locates rows by key so
     * equi-joins/aggs between tables bucketed the same way skip their
     * shuffle entirely — the pre-partitioning story for repeatedly joined
