@@ -423,7 +423,13 @@ object Dedup {
     * this where an external engine must recompute the identical
     * fingerprint (cross-engine validation; the driver's DuckDB oracle).
     * Returns `(id, sh)`; empty/all-whitespace docs drop out. The explode +
-    * 60-way vote is one shuffle on `id` and fully codegen'd. */
+    * 60-way vote is one shuffle on `id` and fully codegen'd.
+    *
+    * Cross-engine caveat: `lower()` must agree between engines. ASCII and
+    * common Unicode agree; locale-sensitive oddities (e.g. Turkish
+    * dotted-İ, which Java lowercases to i + combining dot) can diverge
+    * from another engine's ICU casing — pre-normalize such corpora before
+    * fingerprinting if bit-parity matters. */
   def portableSimhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= lit(""))).as("t"))
