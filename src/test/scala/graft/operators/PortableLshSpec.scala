@@ -58,6 +58,42 @@ class PortableLshSpec extends AnyFunSuite {
     assert(out(3L) == 0L)
   }
 
+  test("portableSimhash matches an independent reimplementation on random corpora") {
+    // the contract in one place, written differently: md5 via MessageDigest,
+    // bit votes via a fold — locks the kernel without DuckDB in the loop
+    def reference(text: String): Option[Long] = {
+      val toks = text.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hashes = toks.map { t =>
+          val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          java.lang.Long.parseLong(hex.take(15), 16)
+        }
+        Some((0 until 60).map { b =>
+          val vote = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+          if (vote > 0) 1L << b else 0L
+        }.sum)
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    val words = Vector("lorem", "ipsum", "dolor", "sit", "amet", "sed", "do")
+    val docs = (0 until 25).map { i =>
+      val body =
+        if (i % 7 == 0) "   " // whitespace-only: must drop out
+        else Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString("  ")
+      (i.toLong, body)
+    }
+    val got = Dedup.portableSimhash(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      reference(text) match {
+        case Some(sh) => assert(got(id) == sh, s"doc $id diverged")
+        case None     => assert(!got.contains(id), s"doc $id should have dropped")
+      }
+    }
+  }
+
   test("PortableVecSimhash reads array<double> correctly and rejects other types") {
     // exactly-representable values: float and double vectors must produce
     // the SAME signature (getFloat on a double array would read garbage)

@@ -59,4 +59,22 @@ class TfIdfSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 4L, 1.0)))
   }
+
+  test("dense and sparse strategies emit identical pairs (threshold > 0)") {
+    // random small corpus from a bounded vocabulary so BOTH strategies are
+    // reachable; the chooser is forced each way and the results must agree
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.7, 0.95)) {
+      val dense = TfIdf.similarPairs(corpus, "text", "doc_id", threshold = t).get
+        .as[(Long, Long, Double)].collect().toSet
+      val sparse = TfIdf.similarPairs(corpus, "text", "doc_id", threshold = t,
+        denseMaxVocab = 0).get
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dense == sparse, s"strategies disagree at threshold $t")
+    }
+  }
 }
