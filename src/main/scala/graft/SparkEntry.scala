@@ -1299,6 +1299,86 @@ object SparkEntry {
       graft.operators.TfIdf.similarPairs(
         tbl(s, dir, "documents"), "text", "doc_id", threshold = 0.95).get
         .orderBy("idA", "idB")
+    }),
+
+    "q94_paragraph_dedup" -> ((s, dir) => {
+      // Paragraph-level exact dedup (Lee et al.): docs are synthesized
+      // into three paragraphs — a shared header (doc_id%3), the doc's own
+      // text prefix, a shared footer (doc_id%7) — so cross-document
+      // paragraph duplication is dense and deterministic. Keep-first by
+      // (doc_id, pos); every doc is rebuilt from its surviving paragraphs.
+      val aug = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("head "), pmod(col("doc_id"), lit(3)), lit("\n\n"),
+          substring(col("text"), 1, 90), lit("\n\n"),
+          lit("footer "), pmod(col("doc_id"), lit(7))).as("text"))
+      graft.operators.Segments.segmentDedup(aug, "text", "doc_id").get
+        .select(col("doc_id"), col("text").as("text_dedup"),
+          col("n_segments"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    "q95_boilerplate" -> ((s, dir) => {
+      // CCNet-style boilerplate line removal: every doc carries a cookie
+      // banner (500 docs) and one of five nav lines (~100 docs each);
+      // lines in >= 50 distinct docs are detected and stripped, unique
+      // content lines survive in order.
+      val aug = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 60), lit("\n"),
+          lit("accept cookies to continue"), lit("\n"),
+          substring(col("text"), 61, 60), lit("\n"),
+          lit("nav menu "), pmod(col("doc_id"), lit(5))).as("text"))
+      graft.operators.Segments.stripBoilerplate(
+          aug, "text", "doc_id", minDocs = 50L).get
+        .select(col("doc_id"), col("text").as("text_clean"),
+          col("n_segments"), col("n_kept"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    "q96_lm_score" -> ((s, dir) => {
+      // Self-trained add-1 n-gram LM quality scores (CCNet's perplexity
+      // signal without an external model): unigram + bigram mean token
+      // log-probability per document, perplexity from the unigram score.
+      val docs = tbl(s, dir, "documents")
+      val uni = graft.operators.LmScore.unigramScores(docs, "text", "doc_id").get
+      val bi = graft.operators.LmScore.bigramScores(docs, "text", "doc_id").get
+      uni.join(bi.select(col("doc_id"), col("avg_logprob").as("__blp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_lp_uni"),
+          round(col("perplexity"), 4).as("ppl_uni"),
+          round(col("__blp"), 6).as("avg_lp_bi"))
+        .orderBy("doc_id")
+    }),
+
+    "q97_sq_encode" -> ((s, dir) => {
+      // Int8 scalar quantization round-trip: the oracle recomputes every
+      // code and the reconstruction error with the same IEEE double ops,
+      // so code_sum pins all 64 codes per vector exactly.
+      val emb = tbl(s, dir, "embeddings")
+      val enc = graft.operators.Quantize.sqEncode(emb, "embedding", "vec_id").get
+      enc.join(emb, "vec_id")
+        .withColumn("__dec",
+          graft.operators.Quantize.sqDecode(col("codes"), col("vmin"), col("vmax")))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => a + c.cast("long") + lit(128L)).as("code_sum"),
+          round(col("vmin"), 6).as("vmin_r"),
+          round(col("vmax"), 6).as("vmax_r"),
+          round(array_max(zip_with(col("embedding").cast("array<double>"),
+            col("__dec"), (x, d) => abs(x - d))), 7).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
+    "q98_sq_knn" -> ((s, dir) => {
+      // Quantized-shortlist kNN with exact rerank. The gate runs with an
+      // exhaustive shortlist (mirrors q40's exhaustive-probe pattern), so
+      // the full encode -> decode -> approx-score -> rerank path must
+      // reproduce exact brute-force top-k; recall at production shortlist
+      // sizes is locked by QuantizeSpec.
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.Quantize.sqKnn(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5, shortlistK = 1 << 20).get
+        .orderBy("queryId", "rank")
     })
   )
 
@@ -2149,6 +2229,134 @@ object SparkEntry {
                  FROM aug)
          )
          SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
-         FROM u GROUP BY domain ORDER BY domain"""
+         FROM u GROUP BY domain ORDER BY domain""",
+
+    "q94_paragraph_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             'head ' || (doc_id % 3) || chr(10) || chr(10)
+               || substr(text, 1, 90) || chr(10) || chr(10)
+               || 'footer ' || (doc_id % 7) AS text
+           FROM documents
+         ), t AS (
+           SELECT doc_id, string_split_regex(text, '\n{2,}') AS l FROM aug
+         ), segs AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               trim(unnest(l)) AS seg
+             FROM t)
+           WHERE seg <> ''
+         ), marked AS (
+           SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM segs
+         )
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+             chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+           count(*) AS n_segments,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
+
+    "q95_boilerplate" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             substr(text, 1, 60) || chr(10) || 'accept cookies to continue'
+               || chr(10) || substr(text, 61, 60) || chr(10)
+               || 'nav menu ' || (doc_id % 5) AS text
+           FROM documents
+         ), t AS (
+           SELECT doc_id, string_split_regex(text, '\n') AS l FROM aug
+         ), segs AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               trim(unnest(l)) AS seg
+             FROM t)
+           WHERE seg <> ''
+         ), bp AS (
+           SELECT lower(trim(regexp_replace(seg, '\s+', ' ', 'g'))) AS nseg
+           FROM segs
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50
+         ), flagged AS (
+           SELECT s.doc_id, s.pos, s.seg,
+             (b.nseg IS NULL) AS keep
+           FROM segs s LEFT JOIN bp b
+             ON lower(trim(regexp_replace(s.seg, '\s+', ' ', 'g'))) = b.nseg
+         )
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN seg END,
+             chr(10) ORDER BY pos), '') AS text_clean,
+           count(*) AS n_segments,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_removed
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "q96_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents
+         ), uni AS (
+           SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+         ), stats AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM uni
+         ), uscore AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+             avg(ln((u.c1 + 1.0) / (s.N + 1.0 * s.V))) AS alp
+           FROM toks t JOIN uni u USING (tok), stats s
+           GROUP BY t.doc_id
+         ), tl AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS l
+           FROM documents
+         ), bg AS (
+           SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS w1,
+             unnest(l[2:len(l)]) AS w2
+           FROM tl WHERE len(l) >= 2
+         ), bic AS (
+           SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+         ), bscore AS (
+           SELECT g.doc_id,
+             avg(ln((b.c2 + 1.0) / (u.c1 + 1.0 * s.V))) AS blp
+           FROM bg g JOIN bic b USING (w1, w2)
+             JOIN uni u ON u.tok = g.w1, stats s
+           GROUP BY g.doc_id
+         )
+         SELECT u.doc_id, u.n_tokens,
+           round(u.alp, 6) AS avg_lp_uni,
+           round(exp(-u.alp), 4) AS ppl_uni,
+           round(b.blp, 6) AS avg_lp_bi
+         FROM uscore u LEFT JOIN bscore b ON b.doc_id = u.doc_id
+         ORDER BY u.doc_id""",
+
+    "q97_sq_encode" ->
+      """WITH enc AS (
+           SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             CAST(list_max(embedding) AS DOUBLE) AS vmax,
+             (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+           FROM embeddings
+         ), codes AS (
+           SELECT vec_id, embedding, vmin, vmax, sc,
+             list_transform(range(1, 65), i ->
+               least(255.0, greatest(0.0,
+                 floor((CAST(embedding[i] AS DOUBLE) - vmin) / sc + 0.5)))) AS cl
+           FROM enc
+         )
+         SELECT vec_id,
+           CAST(list_sum(cl) AS BIGINT) AS code_sum,
+           round(vmin, 6) AS vmin_r,
+           round(vmax, 6) AS vmax_r,
+           round(list_max(list_transform(range(1, 65), i ->
+             abs(CAST(embedding[i] AS DOUBLE) - (vmin + cl[i] * sc)))), 7) AS max_err
+         FROM codes ORDER BY vec_id""",
+
+    "q98_sq_knn" -> knnExactOracle
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+import graft.functions.TextFunctions.normalizeText
+
+/** Segment-granularity corpus operators: paragraph-level exact dedup and
+  * cross-document boilerplate removal — the two in-document cleanup passes
+  * a web-scale training corpus needs between document-level dedup and
+  * quality filtering (paragraph dedup per Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better"; boilerplate removal per
+  * the CCNet pipeline's repeated-paragraph filter).
+  *
+  * Scale posture: a segment row is `(id, pos, segment)`; every shuffle
+  * below keys on an 8-byte segment hash, not the segment text, so the
+  * corpus text itself crosses the wire at most once (inside the per-doc
+  * reassembly agg, which shuffles each kept segment exactly once). No
+  * driver-side collection anywhere.
+  */
+object Segments {
+
+  /** Explode a text column into trimmed, non-empty segments with their
+    * 0-based position: `(idCol, pos, seg)`. Documents whose text is null
+    * or contains no non-empty segment produce no rows (the reassembly
+    * operators below restore them with empty output via a left join).
+    */
+  def segments(df: DataFrame, textCol: String, idCol: String, delim: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), delim)).as(Seq("pos", "seg")))
+      .withColumn("seg", trim(col("seg")))
+      .filter(col("seg") =!= "")
+
+  /** Rebuild one text value per id from kept segments: positions order the
+    * join, dropped segments are `null` structs that `collect_list` skips. */
+  private def reassemble(keepFlag: Column, joinSep: String): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(when(keepFlag, struct(col("pos"), col("seg"))))),
+        s => s.getField("seg")),
+      joinSep)
+
+  /** Paragraph-level exact dedup: keep only the globally-first occurrence
+    * of each distinct segment (first = lowest `(idCol, pos)`), rebuild
+    * every document from its kept segments in original order. Repeats
+    * within one document count as duplicates too.
+    *
+    * The keep-first window partitions on `xxhash64(segment)` so the
+    * shuffle key is 8 bytes regardless of paragraph length; as with
+    * [[Dedup.exact]], a hash collision (~1e-3 expected pairs at 10^10
+    * segments) can merge two distinct paragraphs — acceptable for corpus
+    * cleanup, and the price of never shuffling the corpus on text keys.
+    *
+    * Returns `(idCol, textCol, n_segments, n_kept)`; input rows with no
+    * segments survive with empty text and zero counts.
+    */
+  def segmentDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\\n{2,}",
+      joinSep: String = "\n\n"
+  ): MayFail[DataFrame] = MayFail {
+    val segs = segments(df, textCol, idCol, delim)
+    val w = Window.partitionBy(xxhash64(col("seg"))).orderBy(col(idCol), col("pos"))
+    val marked = segs.withColumn("__first", row_number().over(w) === 1)
+    val agg = marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_segments"),
+      count(when(col("__first"), 1)).as("n_kept"),
+      reassemble(col("__first"), joinSep).as("__txt"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__txt"), lit("")).as(textCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Cross-document boilerplate segments: normalized segments (lowercased,
+    * whitespace-collapsed) that occur in at least `minDocs` distinct
+    * documents. Returns `(segment, n_docs)`.
+    *
+    * Two hash-keyed aggregations, both with map-side partial combine: the
+    * first dedups `(segment-hash, id)` pairs (16-byte shuffle rows, one
+    * representative segment string carried via partial `min`), the second
+    * counts distinct documents per hash. The standard single-pass
+    * `groupBy(segment).agg(countDistinct(id))` would shuffle the full
+    * segment text under an Expand; this shape never does.
+    */
+  def boilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\\n",
+      minDocs: Long = 10L
+  ): MayFail[DataFrame] = MayFail {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): a segment in one document is content, not boilerplate")
+    val norm = segments(df, textCol, idCol, delim)
+      .select(normalizeText(col("seg")).as("segment"), col(idCol).as("__id"))
+    val perDoc = norm
+      .groupBy(xxhash64(col("segment")).as("__h"), col("__id"))
+      .agg(min(col("segment")).as("segment"))
+    perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("segment")).as("segment"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("segment"), col("n_docs"))
+  }
+
+  /** Remove boilerplate segments (per [[boilerplate]], matched on the
+    * normalized form) from every document, preserving the raw form and
+    * order of the surviving segments.
+    *
+    * The boilerplate set is broadcast as 8-byte hashes: by construction it
+    * holds at most `totalSegments / minDocs` entries, and each entry is
+    * one long — a corpus with 10^12 segments and `minDocs = 100` caps the
+    * broadcast at ~80 GB worst-case but in practice boilerplate sets are
+    * thousands of entries; raise `minDocs` if the detected set is huge.
+    *
+    * Returns `(idCol, textCol, n_segments, n_kept, n_removed)`.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delim: String = "\\n",
+      joinSep: String = "\n",
+      minDocs: Long = 10L
+  ): MayFail[DataFrame] =
+    boilerplate(df, textCol, idCol, delim, minDocs).map { bp =>
+      val bpKeys = broadcast(bp.select(xxhash64(col("segment")).as("__bh")).distinct())
+      val flagged = segments(df, textCol, idCol, delim)
+        .join(bpKeys, xxhash64(normalizeText(col("seg"))) === col("__bh"), "left")
+        .withColumn("__keep", col("__bh").isNull)
+      val agg = flagged.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+        reassemble(col("__keep"), joinSep).as("__txt"))
+      df.select(col(idCol)).join(agg, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__txt"), lit("")).as(textCol),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (coalesce(col("n_segments"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functional.Fail
+
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val eps = 1e-12
+
+  test("unigramScores matches hand-computed add-1 log-probabilities") {
+    // corpus: c(a)=2, c(b)=3, N=5, V=2 -> p(a)=3/7, p(b)=4/7
+    val df = Seq((1L, "a b a"), (2L, "b b")).toDF("id", "text")
+    val rows = LmScore.unigramScores(df, "text", "id").get
+      .orderBy("id")
+      .select("id", "n_tokens", "avg_logprob", "perplexity")
+      .as[(Long, Long, Double, Double)].collect()
+    val lpA = math.log(3.0 / 7.0)
+    val lpB = math.log(4.0 / 7.0)
+    val d1 = (lpA + lpB + lpA) / 3.0
+    val d2 = lpB
+    assert(rows(0)._1 == 1L && rows(0)._2 == 3L)
+    assert(math.abs(rows(0)._3 - d1) < eps)
+    assert(math.abs(rows(0)._4 - math.exp(-d1)) < eps)
+    assert(rows(1)._2 == 2L && math.abs(rows(1)._3 - d2) < eps)
+  }
+
+  test("bigramScores matches hand-computed add-1 transition probabilities") {
+    // bigrams: doc1 (a,b),(b,a); doc2 (b,b); c1(a)=2, c1(b)=3, V=2
+    val df = Seq((1L, "a b a"), (2L, "b b")).toDF("id", "text")
+    val rows = LmScore.bigramScores(df, "text", "id").get
+      .orderBy("id")
+      .select("id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    val d1 = (math.log(2.0 / 4.0) + math.log(2.0 / 5.0)) / 2.0
+    val d2 = math.log(2.0 / 5.0)
+    assert(rows(0)._2 == 2L && math.abs(rows(0)._3 - d1) < eps)
+    assert(rows(1)._2 == 1L && math.abs(rows(1)._3 - d2) < eps)
+  }
+
+  test("tokenless and single-token documents are absent, not scored as zero") {
+    val df = Seq((1L, "a b"), (2L, "   "), (3L, "solo")).toDF("id", "text")
+    assert(LmScore.unigramScores(df, "text", "id").get
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(LmScore.bigramScores(df, "text", "id").get
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("gibberish scores below corpus-typical text") {
+    val typical = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val df = (typical :+ (99L, "zxq vvkw qqj zxq")).toDF("id", "text")
+    val scores = LmScore.unigramScores(df, "text", "id").get
+      .select("id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(99L) < scores(0L))
+  }
+
+  test("non-positive smoothing is rejected") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    assert(LmScore.unigramScores(df, "text", "id", k = 0.0) match {
+      case Fail(e) => e.getMessage.contains("smoothing")
+      case _       => false
+    })
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dims: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 4f - 2f)))
+  }
+
+  test("sqEncode codes are bytes and reconstruction error is within scale/2") {
+    val df = randomVecs(50, 16, seed = 11L).toDF("id", "vec")
+    val enc = Quantize.sqEncode(df, "vec", "id").get
+    val checked = enc.join(df, "id")
+      .withColumn("dec", Quantize.sqDecode(col("codes"), col("vmin"), col("vmax")))
+      .select(
+        array_min(col("codes")).as("cmin"),
+        array_max(col("codes")).as("cmax"),
+        array_max(zip_with(col("vec").cast("array<double>"), col("dec"),
+          (x, d) => abs(x - d))).as("max_err"),
+        ((col("vmax") - col("vmin")) / 255.0 / 2.0).as("bound"))
+      .as[(Byte, Byte, Double, Double)].collect()
+    checked.foreach { case (cmin, cmax, err, bound) =>
+      assert(cmin >= -128 && cmax <= 127)
+      assert(err <= bound * (1 + 1e-9))
+    }
+  }
+
+  test("constant vectors encode to zero codes and decode exactly") {
+    val df = Seq((1L, Array.fill(8)(3.5f))).toDF("id", "vec")
+    val enc = Quantize.sqEncode(df, "vec", "id").get
+    val (codes, dec) = enc
+      .withColumn("dec", Quantize.sqDecode(col("codes"), col("vmin"), col("vmax")))
+      .select("codes", "dec").as[(Seq[Byte], Seq[Double])].head()
+    assert(codes.forall(_ == -128.toByte)) // unsigned code 0
+    assert(dec.forall(_ == 3.5))
+  }
+
+  test("sqKnn with exhaustive shortlist reproduces exact brute-force top-k") {
+    val data = randomVecs(120, 12, seed = 23L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaSq = Quantize.sqKnn(df, queries, "vec", "id", k = 5, shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaSq == exact)
+  }
+
+  test("sqKnn with a tight shortlist keeps high recall on int8 reconstructions") {
+    val data = randomVecs(200, 16, seed = 37L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val approx = Quantize.sqKnn(df, queries, "vec", "id", k = 5, shortlistK = 15).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 - int8 error should barely perturb ranking")
+  }
+
+  test("shortlist smaller than k is rejected") {
+    val df = randomVecs(10, 4, seed = 5L).toDF("id", "vec")
+    assert(Quantize.sqKnn(df, df, "vec", "id", k = 10, shortlistK = 5) match {
+      case graft.functional.Fail(e) => e.getMessage.contains("shortlistK")
+      case _                        => false
+    })
+  }
+}
