@@ -29,7 +29,12 @@ object Bench {
     // must show up in BENCH, not only in the gate
     "q65_dedup_transitive",
     "q76_tfidf",
-    "q86_tpch10"
+    "q86_tpch10",
+    // round-3 additions: segment-granularity dedup (explode + window +
+    // ordered reassembly) and the self-trained n-gram LM (two count
+    // tables joined back to the token stream)
+    "q94_paragraph_dedup",
+    "q96_lm_score"
   )
 
   def main(args: Array[String]): Unit = {

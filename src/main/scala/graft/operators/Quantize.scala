@@ -75,13 +75,13 @@ object Quantize {
       col(vecCol).as("__qv"), col(vecCol).cast("array<double>").as("__qd"))
     val scored = enc.join(broadcast(q), col("queryId") =!= col("neighborId"))
       .withColumn("__approx", vecCosineDouble(col("__qd"), col("__dv")))
-    val wPart = Window.partitionBy(col("queryId"), spark_partition_id())
-      .orderBy(col("__approx").desc, col("neighborId"))
+    // Single window per stage: Spark's partial WindowGroupLimit caps each
+    // map partition to shortlistK rows per query before the exchange when
+    // shortlistK <= spark.sql.optimizer.windowGroupLimitThreshold (1000)
+    // — production shortlists are tens-to-hundreds, inside that bound.
     val wGlob = Window.partitionBy(col("queryId"))
       .orderBy(col("__approx").desc, col("neighborId"))
     val shortlist = scored
-      .withColumn("__pr", row_number().over(wPart))
-      .filter(col("__pr") <= shortlistK)
       .withColumn("__sr", row_number().over(wGlob))
       .filter(col("__sr") <= shortlistK)
       .select(col("queryId"), col("neighborId"))

@@ -38,14 +38,15 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("queryId") =!= col("neighborId"))
       .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
-    val wPart = Window
-      .partitionBy(col("queryId"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("neighborId"))
+    // One global window suffices: for rank filters up to
+    // spark.sql.optimizer.windowGroupLimitThreshold (1000), Spark inserts
+    // a partial WindowGroupLimit BEFORE the exchange, capping each map
+    // partition to k rows per query — the map-side pre-filter a manual
+    // (queryId, spark_partition_id) window used to provide, minus that
+    // window's extra exchange over the capped rows.
     val wGlobal = Window.partitionBy(col("queryId"))
       .orderBy(col("cosine").desc, col("neighborId"))
     scored
-      .withColumn("__pr", row_number().over(wPart))
-      .filter(col("__pr") <= k)
       .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
       .select(col("queryId"), col("neighborId"),

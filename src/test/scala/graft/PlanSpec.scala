@@ -44,6 +44,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("q38_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "knn queries side is not broadcast")
+    // the top-k rank filter must push a partial WindowGroupLimit below
+    // the exchange (map-side cap: k rows per query per partition cross
+    // the wire, not the full scored cross product)
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-limit pushdown missing — scored pairs would shuffle uncapped")
   }
 
   test("q73: broadcast upsert never shuffles the base (anti join builds on delta)") {
