@@ -1379,6 +1379,28 @@ object SparkEntry {
       graft.operators.Quantize.sqKnn(emb, emb.filter(col("vec_id") < 10),
           "embedding", "vec_id", k = 5, shortlistK = 1 << 20).get
         .orderBy("queryId", "rank")
+    }),
+
+    "q99_mix_sources" -> ((s, dir) => {
+      // Epoch-weighted dataset mixing: src0 oversampled 2.5x, src1 kept
+      // at 0.25, src2 dropped, everything else 1.0. The fractional-epoch
+      // keep decision is a portable md5 hash of (doc_id, epoch), so the
+      // oracle reproduces the mixture row-for-row.
+      graft.operators.Sampling.mixBySource(
+          tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)).get
+        .select(col("doc_id"), col("epoch"), col("source"))
+        .orderBy("doc_id", "epoch")
+    }),
+
+    "q100_shuffle_key" -> ((s, dir) => {
+      // Deterministic corpus shuffle: portable md5 order key (range-
+      // partition + local sort at scale — never a global row_number).
+      graft.operators.Sampling.shuffleKey(
+          tbl(s, dir, "documents").select(col("doc_id")),
+          Seq("doc_id"), seed = "run1").get
+        .orderBy("shuffle_key", "doc_id")
     })
   )
 
@@ -2357,6 +2379,30 @@ object SparkEntry {
              abs(CAST(embedding[i] AS DOUBLE) - (vmin + cl[i] * sc)))), 7) AS max_err
          FROM codes ORDER BY vec_id""",
 
-    "q98_sq_knn" -> knnExactOracle
+    "q98_sq_knn" -> knnExactOracle,
+
+    "q99_mix_sources" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS DOUBLE) AS wt
+           FROM documents
+         ), e AS (
+           SELECT doc_id, source, wt,
+             unnest(range(0, CAST(ceil(wt) AS BIGINT))) AS epoch
+           FROM w WHERE wt > 0
+         )
+         SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, source
+         FROM e
+         WHERE epoch < floor(wt)
+            OR (CAST(('0x' || substring(md5(doc_id || '_' || epoch), 1, 15))
+                  AS BIGINT) % 1000000) < (wt - floor(wt)) * 1000000.0
+         ORDER BY doc_id, epoch""",
+
+    "q100_shuffle_key" ->
+      """SELECT doc_id,
+           CAST(('0x' || substring(md5('run1' || '_' || doc_id), 1, 15))
+             AS BIGINT) AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id"""
   )
 }

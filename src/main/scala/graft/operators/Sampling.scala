@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,5 +136,65 @@ object Sampling {
       case (acc, (bound, name)) => when(bucket < bound, lit(name)).otherwise(acc)
     }
     df.withColumn(splitCol, label)
+  }
+
+  /** Portable deterministic hash in [0, 2^60): first 15 hex chars of
+    * `md5(x)` as a BIGINT — any engine reproduces it bit-for-bit
+    * (`CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` in DuckDB),
+    * unlike `xxhash64`. */
+  private def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Epoch-weighted source mixing — the dataset-mixture step of LLM
+    * training pipelines ("web at 0.5 epochs, wiki at 2.5"): each row is
+    * replicated `floor(w)` times and kept a fractional extra epoch with
+    * probability `w - floor(w)`, decided by a pure portable hash of
+    * `(id, epoch)` — deterministic across reruns, partitionings, and
+    * engines (no RNG). Adds an `epoch` column (0-based replica index).
+    *
+    * Map-side only: the explode factor is `ceil(w)` (capped at 100 —
+    * heavier oversampling belongs in multiple passes), so no shuffle and
+    * no skew regardless of the mixture.
+    */
+  def mixBySource(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      epochCol: String = "epoch"
+  ): MayFail[DataFrame] = MayFail {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      s"weights must be in [0, 100]: $weights default=$defaultWeight")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, wt)) =>
+      when(col(sourceCol) === lit(src), lit(wt)).otherwise(acc)
+    }
+    // sequence(0, -1) would count DOWN, so guard the w == 0 case
+    val epochs = when(w > 0.0,
+      sequence(lit(0), ceil(w).cast("int") - 1)).otherwise(array().cast("array<int>"))
+    val frac = w - floor(w)
+    val keepFrac = pmod(
+      portableHash(concat(col(idCol).cast("string"), lit("_"), col(epochCol).cast("string"))),
+      lit(1000000L)).cast("double") < frac * 1000000.0
+    df.withColumn(epochCol, explode(epochs))
+      .filter(col(epochCol) < floor(w) || keepFrac)
+  }
+
+  /** Deterministic pseudo-random corpus order: a portable md5 shuffle key
+    * per row. At scale, write with `repartitionByRange(shuffleCol)` +
+    * local sort — a distributed shuffle of the corpus into a stable
+    * pseudo-random order with NO global window (a global `row_number`
+    * would funnel everything through one partition). Changing `seed`
+    * yields an independent order per training run.
+    */
+  def shuffleKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seed: String = "graft",
+      shuffleCol: String = "shuffle_key"
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "shuffleKey needs at least one key column")
+    val parts = lit(seed) +: keyCols.flatMap(k => Seq(lit("_"), col(k).cast("string")))
+    df.withColumn(shuffleCol, portableHash(concat(parts: _*)))
   }
 }

@@ -65,6 +65,28 @@ object ScaleRehearsal {
     time("dedup-transitive")(graft.operators.Dedup.minhashDedupTransitive(
       docs, "text", "doc_id", threshold = 0.5).get.count())
 
+    // round-3 segment/LM/quantize operators (paragraph structure is
+    // synthesized from doc_id + text the same way the q94/q95 gates do)
+    def withParagraphs(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat(lit("head "), pmod(col("doc_id"), lit(3)), lit("\n\n"),
+        substring(col("text"), 1, 90), lit("\n\n"),
+        lit("footer "), pmod(col("doc_id"), lit(7))).as("text"))
+    def withLines(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat(substring(col("text"), 1, 60), lit("\n"),
+        lit("accept cookies to continue"), lit("\n"),
+        substring(col("text"), 61, 60)).as("text"))
+    time("segment-dedup")(graft.operators.Segments.segmentDedup(
+      withParagraphs(docs), "text", "doc_id").get.count())
+    time("boilerplate-strip")(graft.operators.Segments.stripBoilerplate(
+      withLines(docs), "text", "doc_id", minDocs = 50L * mult).get.count())
+    time("lm-score-unigram")(graft.operators.LmScore.unigramScores(
+      docs, "text", "doc_id").get.count())
+    time("lm-score-bigram")(graft.operators.LmScore.bigramScores(
+      docs, "text", "doc_id").get.count())
+    time("sq-knn-shortlist")(graft.operators.Quantize.sqKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, shortlistK = 50).get.count())
+
     // ---- standing invariants (assertions, not just timings) ----------
 
     // Exact-dedup-FIRST ordering (Dedup.dedupPipeline scaladoc): a corpus
@@ -101,7 +123,33 @@ object ScaleRehearsal {
       .orderBy(col("count").desc, col("l_partkey")).limit(10)
       .select("l_partkey").collect().map(_.getLong(0)).toSet
     assert(cms == exactTop, s"CMS top-10 diverged from exact: $cms vs $exactTop")
-    println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k)")
+
+    // Segment keep-first under replication: replicas introduce no new
+    // distinct paragraphs (same texts; head/footer indices stay inside
+    // their mod-3/mod-7 sets), so the kept-segment total — one per
+    // distinct segment corpus-wide — must equal the base corpus's.
+    def keptTotal(d: DataFrame): Long =
+      graft.operators.Segments.segmentDedup(withParagraphs(d), "text", "doc_id")
+        .get.agg(sum("n_kept")).head().getLong(0)
+    val keptBase = keptTotal(base)
+    val keptRepl = keptTotal(docs)
+    assert(keptRepl == keptBase,
+      s"paragraph dedup must keep exactly the base's distinct segments under " +
+        s"replication: $keptRepl != $keptBase")
+
+    // Boilerplate stability: every line's doc-frequency scales by mult
+    // exactly, so detection at (minDocs x mult) on the replicated corpus
+    // must flag the same normalized lines as minDocs on the base.
+    def bpSet(d: DataFrame, m: Long): Set[String] =
+      graft.operators.Segments.boilerplate(withLines(d), "text", "doc_id", minDocs = m)
+        .get.select("segment").collect().map(_.getString(0)).toSet
+    val bpBase = bpSet(base, 50L)
+    val bpRepl = bpSet(docs, 50L * mult)
+    assert(bpBase == bpRepl,
+      s"boilerplate set must be replication-stable: base=${bpBase.size} repl=${bpRepl.size}")
+
+    println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
+      "segment keep-first, boilerplate stability)")
     spark.stop()
   }
 }

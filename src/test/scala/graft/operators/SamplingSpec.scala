@@ -98,4 +98,53 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(s1 != s4)
   }
+
+  test("mixBySource replicates whole epochs exactly and drops zero-weight sources") {
+    val df = (
+      (1 to 100).map(i => (i.toLong, "wiki")) ++
+        (101 to 200).map(i => (i.toLong, "web")) ++
+        (201 to 300).map(i => (i.toLong, "spam"))
+      ).toDF("id", "source")
+    val out = Sampling.mixBySource(df, "source", "id",
+      weights = Map("wiki" -> 2.0, "spam" -> 0.0)).get
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource == Map("wiki" -> 200L, "web" -> 100L)) // 2 epochs, 1 epoch, dropped
+    // epoch indices are exactly 0..w-1 per kept source
+    assert(out.filter($"source" === "wiki").select("epoch").distinct()
+      .as[Int].collect().sorted.toSeq == Seq(0, 1))
+  }
+
+  test("mixBySource fractional epochs are deterministic and near the expected rate") {
+    val df = (1 to 2000).map(i => (i.toLong, "web")).toDF("id", "source")
+    val out1 = Sampling.mixBySource(df, "source", "id", weights = Map("web" -> 1.5)).get
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    val out2 = Sampling.mixBySource(df, "source", "id", weights = Map("web" -> 1.5)).get
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(out1 == out2, "fractional keep must be a pure function, not RNG")
+    val extra = out1.count(_._2 == 1)
+    assert(extra > 850 && extra < 1150, s"~50% of 2000 expected in the fractional epoch, got $extra")
+    assert(out1.count(_._2 == 0) == 2000, "epoch 0 must keep every row")
+  }
+
+  test("mixBySource rejects weights outside [0, 100]") {
+    val df = Seq((1L, "a")).toDF("id", "source")
+    assert(Sampling.mixBySource(df, "source", "id", Map("a" -> -0.1)) match {
+      case graft.functional.Fail(e) => e.getMessage.contains("weights")
+      case _                        => false
+    })
+  }
+
+  test("shuffleKey is deterministic per seed, collision-free here, and partition-stable") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val k1 = Sampling.shuffleKey(df, Seq("id"), seed = "a").get
+      .select("id", "shuffle_key").as[(Long, Long)].collect().toMap
+    val k2 = Sampling.shuffleKey(df.repartition(13), Seq("id"), seed = "a").get
+      .select("id", "shuffle_key").as[(Long, Long)].collect().toMap
+    assert(k1 == k2)
+    assert(k1.values.toSet.size == 1000, "60-bit keys should not collide at n=1000")
+    assert(k1.values.forall(_ >= 0L), "keys must stay positive (15 hex chars = 60 bits)")
+    val k3 = Sampling.shuffleKey(df, Seq("id"), seed = "b").get
+      .select("id", "shuffle_key").as[(Long, Long)].collect().toMap
+    assert(k1 != k3, "different seed must give an independent order")
+  }
 }
