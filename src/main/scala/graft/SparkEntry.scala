@@ -1394,6 +1394,19 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    "q101_dedup_incremental" -> ((s, dir) => {
+      // Incremental-ingest dedup: docs >= 250 are "today's batch", docs
+      // < 250 the historical reference. Banding recall at the emitted
+      // Jaccard range is effectively 1 (same argument as q34), so the
+      // exact cross shingle-Jaccard oracle reproduces the pair set.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dedup.minhashPairsAgainst(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "text", "doc_id", shingleSize = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5).get
+        .orderBy("idNew", "idRef")
+    }),
+
     "q100_shuffle_key" -> ((s, dir) => {
       // Deterministic corpus shuffle: portable md5 order key (range-
       // partition + local sort at scale — never a global row_number).
@@ -2367,8 +2380,10 @@ object SparkEntry {
          ), codes AS (
            SELECT vec_id, embedding, vmin, vmax, sc,
              list_transform(range(1, 65), i ->
-               least(255.0, greatest(0.0,
-                 floor((CAST(embedding[i] AS DOUBLE) - vmin) / sc + 0.5)))) AS cl
+               CASE WHEN sc = 0 THEN 0.0 ELSE
+                 least(255.0, greatest(0.0,
+                   floor((CAST(embedding[i] AS DOUBLE) - vmin) / sc + 0.5)))
+               END) AS cl
            FROM enc
          )
          SELECT vec_id,
@@ -2403,6 +2418,26 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(('0x' || substring(md5('run1' || '_' || doc_id), 1, 15))
              AS BIGINT) AS shuffle_key
-         FROM documents ORDER BY shuffle_key, doc_id"""
+         FROM documents ORDER BY shuffle_key, doc_id""",
+
+    "q101_dedup_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS idNew, b.doc_id AS idRef,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id >= 250 AND b.doc_id < 250
+         )
+         SELECT idNew, idRef, round(j, 6) AS jaccard FROM pairs
+         WHERE j >= 0.5 ORDER BY idNew, idRef"""
   )
 }

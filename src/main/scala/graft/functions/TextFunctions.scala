@@ -36,6 +36,16 @@ object TextFunctions {
   /** Exact content fingerprint: 64-bit hash of the normalized text. */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))
 
+  /** Portable 60-bit hash: the first 15 hex chars of `md5(x)` as a
+    * BIGINT — always positive, and reproducible bit-for-bit by any
+    * engine with `md5()` (`CAST('0x' || substring(md5(x), 1, 15) AS
+    * BIGINT)` in DuckDB). The single source of the cross-engine hash
+    * contract used by the portable simhash kernel, source mixing, and
+    * shuffle keys; prefer [[fingerprint]] (xxhash64) when nothing
+    * outside Spark needs to recompute the value. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Order-sensitive rolling (polynomial) fingerprint over tokens:
     * `h = h * FNV_PRIME + hash(token)` — unlike [[fingerprint]] it can be
     * computed incrementally and distinguishes token order without

@@ -363,6 +363,85 @@ object Dedup {
         shingleSize, bands, rowsPerBand, threshold)
     } yield nearDeduped
 
+  /** Cross-corpus near-duplicate pairs: MinHash-LSH candidates between a
+    * NEW batch and a REFERENCE corpus — the incremental-ingest variant of
+    * [[minhashPairs]] ("dedup today's crawl against the historical
+    * corpus") for when both sides are too large to broadcast (contrast
+    * [[contaminationFlags]], which broadcasts a small benchmark side).
+    *
+    * Both corpora are banded with the same seeded permutations, so
+    * near-duplicates share `(band, bucket)` keys; the candidate join is
+    * banded-batch ⋈ banded-reference on those keys — each side capped at
+    * `maxBucket` occupants per bucket (a boilerplate bucket on either
+    * side would otherwise make the cross join quadratic). Unlike the
+    * within-corpus banding, singleton buckets are kept: one batch doc
+    * plus one reference doc in a bucket IS a candidate.
+    *
+    * Returns `(idNew, idRef, jaccard)` for exact shingle Jaccard >=
+    * `threshold`. Ids may overlap across frames (re-ingest); a doc
+    * re-ingested unchanged pairs with itself at jaccard 1.0.
+    */
+  def minhashPairsAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    def shingled(df: DataFrame): DataFrame = df.select(
+        col(idCol).as("id"),
+        wordShingleHashes(col(textCol), shingleSize).as("__p"))
+      .filter(size(col("__p")) > 0)
+    def cappedBands(sh: DataFrame): DataFrame = {
+      val banded = sh.select(col("id"),
+          minhashBandKeysFromHashes(col("__p"), bands, rowsPerBand).as("__keys"))
+        .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      banded.withColumn("__bs", count(lit(1)).over(w))
+        .filter(col("__bs") <= maxBucket)
+        .drop("__bs")
+    }
+    val shB = shingled(batch)
+    val shR = shingled(reference)
+    val cand = cappedBands(shB)
+      .select(col("band"), col("bucket"), col("id").as("idNew"))
+      .join(cappedBands(shR)
+        .select(col("band"), col("bucket"), col("id").as("idRef")),
+        Seq("band", "bucket"))
+      .select("idNew", "idRef")
+      .dropDuplicates("idNew", "idRef")
+    cand
+      .join(shB.select(col("id").as("idNew"), col("__p").as("__pN")), "idNew")
+      .join(shR.select(col("id").as("idRef"), col("__p").as("__pR")), "idRef")
+      .withColumn("jaccard", jaccardHashes(col("__pN"), col("__pR")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idRef"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Keep only the batch documents that do NOT near-duplicate the
+    * reference corpus (anti join on [[minhashPairsAgainst]] hits) — the
+    * standard incremental-ingest filter. */
+  def dedupAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] =
+    minhashPairsAgainst(batch, reference, textCol, idCol,
+      shingleSize, bands, rowsPerBand, threshold, maxBucket).map { pairs =>
+      batch.join(pairs.select(col("idNew")).distinct(),
+        batch(idCol) === col("idNew"), "left_anti")
+    }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash, banded so the
     * pigeonhole bound guarantees recall (hamming ≤ bands−1 implies at
     * least one identical band) — band width is DERIVED from `maxHamming`
@@ -433,8 +512,7 @@ object Dedup {
   def portableSimhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= lit(""))).as("t"))
-    val hashed = toks.select(col("id"),
-      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val hashed = toks.select(col("id"), portableHash60(col("t")).as("h"))
     val bitVotes = (0 until 60).map { b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
     }

@@ -138,12 +138,12 @@ object Sampling {
     df.withColumn(splitCol, label)
   }
 
-  /** Portable deterministic hash in [0, 2^60): first 15 hex chars of
-    * `md5(x)` as a BIGINT — any engine reproduces it bit-for-bit
-    * (`CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` in DuckDB),
-    * unlike `xxhash64`. */
-  private def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Null-safe string form of a key column for portable hashing: null
+    * hashes as the literal token `<null>` (distinct from every value
+    * except that exact string) instead of null-poisoning the concat —
+    * `xxhash64`-based siblings like [[splitByHash]] tolerate nulls
+    * natively, and the md5 path must too. */
+  private def keyStr(c: Column): Column = coalesce(c.cast("string"), lit("<null>"))
 
   /** Epoch-weighted source mixing — the dataset-mixture step of LLM
     * training pipelines ("web at 0.5 epochs, wiki at 2.5"): each row is
@@ -174,7 +174,8 @@ object Sampling {
       sequence(lit(0), ceil(w).cast("int") - 1)).otherwise(array().cast("array<int>"))
     val frac = w - floor(w)
     val keepFrac = pmod(
-      portableHash(concat(col(idCol).cast("string"), lit("_"), col(epochCol).cast("string"))),
+      graft.functions.TextFunctions.portableHash60(
+        concat(keyStr(col(idCol)), lit("_"), col(epochCol).cast("string"))),
       lit(1000000L)).cast("double") < frac * 1000000.0
     df.withColumn(epochCol, explode(epochs))
       .filter(col(epochCol) < floor(w) || keepFrac)
@@ -194,7 +195,7 @@ object Sampling {
       shuffleCol: String = "shuffle_key"
   ): MayFail[DataFrame] = MayFail {
     require(keyCols.nonEmpty, "shuffleKey needs at least one key column")
-    val parts = lit(seed) +: keyCols.flatMap(k => Seq(lit("_"), col(k).cast("string")))
-    df.withColumn(shuffleCol, portableHash(concat(parts: _*)))
+    val parts = lit(seed) +: keyCols.flatMap(k => Seq(lit("_"), keyStr(col(k))))
+    df.withColumn(shuffleCol, graft.functions.TextFunctions.portableHash60(concat(parts: _*)))
   }
 }

@@ -21,10 +21,13 @@ object Similarity {
 
   /** Brute-force exact top-k cosine neighbors — the recall baseline.
     *
-    * Per-partition `row_number` pre-filter keeps at most k candidates per
-    * query per partition before the single shuffle, so the global top-k
-    * merge sees `k × partitions` rows per query instead of the whole
-    * corpus. Returns `(queryId, neighborId, cosine, rank)`.
+    * For `k` up to `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (default 1000), Spark's rank-limit pushdown caps each map partition
+    * to k candidates per query BEFORE the single shuffle, so the global
+    * top-k merge sees `k × partitions` rows per query instead of the
+    * whole corpus; above that threshold the scored set shuffles uncapped
+    * (raise the threshold alongside k if that ever matters).
+    * Returns `(queryId, neighborId, cosine, rank)`.
     */
   def bruteForceKnn(
       corpus: DataFrame,

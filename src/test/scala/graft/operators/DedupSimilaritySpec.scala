@@ -225,4 +225,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cs = got.select("cosine").as[Double].collect()
     assert(cs.forall(c => c >= -1.0 && c <= 1.0))
   }
+
+  test("minhashPairsAgainst finds cross-corpus near-dups, including singleton buckets") {
+    // reference corpus: docs 0, 3 (one clone-source, one unrelated);
+    // batch: 100 = clone of ref 0, 101 = near-dup of ref 0, 102 = fresh.
+    // Each (batch, ref) match is the ONLY pair in its buckets — the
+    // within-corpus banding would drop such singletons, the cross
+    // variant must keep them.
+    val ref = docs.filter($"doc_id".isin(0L, 3L))
+    val batch = Seq(
+      (100L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (101L, ((1 to 49).map(i => s"w$i") :+ "CHANGED").mkString(" ")),
+      (102L, (1 to 50).map(i => s"fresh$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainst(batch, ref, "text", "doc_id",
+      threshold = 0.5).get
+      .select("idNew", "idRef").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 0L), (101L, 0L)))
+    // directionality: batch ids in idNew, reference ids in idRef only
+  }
+
+  test("dedupAgainst keeps only batch docs absent from the reference") {
+    val ref = docs.filter($"doc_id".isin(0L, 3L))
+    val batch = Seq(
+      (100L, (1 to 50).map(i => s"w$i").mkString(" ")),   // dup of ref 0
+      (102L, (1 to 50).map(i => s"fresh$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, ref, "text", "doc_id",
+      threshold = 0.5).get.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L))
+  }
+
+  test("re-ingesting an unchanged doc pairs with itself at jaccard 1.0") {
+    val ref = docs.filter($"doc_id" === 0L)
+    val pairs = Dedup.minhashPairsAgainst(ref, ref, "text", "doc_id",
+      threshold = 0.9).get
+      .select("idNew", "idRef", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 0L, 1.0)))
+  }
 }

@@ -147,4 +147,19 @@ class SamplingSpec extends AnyFunSuite {
       .select("id", "shuffle_key").as[(Long, Long)].collect().toMap
     assert(k1 != k3, "different seed must give an independent order")
   }
+
+  test("null key values hash as a sentinel instead of null-poisoning") {
+    val df = Seq((Some(1L), "web"), (None, "web"), (Some(3L), "web"))
+      .toDF("id", "source")
+    val keys = Sampling.shuffleKey(df, Seq("id")).get
+      .select("shuffle_key").as[Long].collect()
+    assert(keys.length == 3 && keys.distinct.length == 3,
+      "null key must produce a real (distinct) shuffle key, not null")
+    // the fractional-epoch decision must also be non-null for null ids:
+    // with w=0.5 every row either keeps or drops deterministically,
+    // and reruns agree
+    val m1 = Sampling.mixBySource(df, "source", "id", Map("web" -> 0.5)).get.count()
+    val m2 = Sampling.mixBySource(df, "source", "id", Map("web" -> 0.5)).get.count()
+    assert(m1 == m2)
+  }
 }
