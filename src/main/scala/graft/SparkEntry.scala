@@ -1414,6 +1414,20 @@ object SparkEntry {
           tbl(s, dir, "documents").select(col("doc_id")),
           Seq("doc_id"), seed = "run1").get
         .orderBy("shuffle_key", "doc_id")
+    }),
+
+    "q102_span_dedup" -> ((s, dir) => {
+      // ExactSubstr-style span dedup: every non-first occurrence of a
+      // duplicated 8-token span is cut out of the text. The oracle
+      // regroups by the gram STRING where the operator groups by its
+      // 64-bit hash — identical keeper choice absent collisions
+      // (~6e-10 expected at this corpus's ~1.5e5 grams).
+      graft.operators.Segments.spanDedup(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", n = 8).get
+        .select(col("doc_id"), col("text").as("text_clean"),
+          col("n_tokens"), col("n_dropped"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2438,6 +2452,43 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id >= 250 AND b.doc_id < 250
          )
          SELECT idNew, idRef, round(j, 6) AS jaccard FROM pairs
-         WHERE j >= 0.5 ORDER BY idNew, idRef"""
+         WHERE j >= 0.5 ORDER BY idNew, idRef""",
+
+    "q102_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+           FROM t
+         ), grams AS (
+           SELECT doc_id, pos,
+             array_to_string(list_transform(list_slice(toks, pos + 1, pos + 8),
+                                            x -> lower(x)), chr(1)) AS gram
+           FROM g
+         ), dups AS (
+           SELECT gram, min(ROW(doc_id, pos)) AS keeper
+           FROM grams GROUP BY gram HAVING count(*) > 1
+         ), removals AS (
+           SELECT gr.doc_id, gr.pos
+           FROM grams gr JOIN dups d USING (gram)
+           WHERE ROW(gr.doc_id, gr.pos) <> d.keeper
+         ), drops AS (
+           SELECT doc_id,
+             list_sort(list_distinct(flatten(list(range(pos, pos + 8))))) AS dp
+           FROM removals GROUP BY doc_id
+         )
+         SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_filter(t.toks,
+               (x, i) -> NOT coalesce(list_contains(d.dp, i - 1), false)),
+             ' '), '') AS text_clean,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(d.dp), 0) AS BIGINT) AS n_dropped
+         FROM t LEFT JOIN drops d USING (doc_id)
+         ORDER BY doc_id"""
   )
 }

@@ -112,6 +112,12 @@ object TextFunctions {
     FunctionBridge.column(
       CharShingleHashes(FunctionBridge.expression(text), n, seed))
 
+  /** `toks` minus the 0-based indices in the sorted `drops` array — one
+    * native merge walk (see [[graft.functions.SpanImpl]]). */
+  def keepTokensExcept(toks: Column, drops: Column): Column =
+    FunctionBridge.column(
+      KeepTokensExcept(FunctionBridge.expression(toks), FunctionBridge.expression(drops)))
+
   /** LSH band keys from pre-hashed shingles. */
   def minhashBandKeysFromHashes(hashes: Column, bands: Int, rows: Int, seed: Long = 42L): Column =
     FunctionBridge.column(

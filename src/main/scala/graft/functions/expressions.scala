@@ -675,3 +675,43 @@ case class InterleaveBits(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "interleave_bits"
 }
+
+/** Merge-walk token filter for span dedup: drop the 0-based indices in a
+  * sorted drop list in one pass — O(tokens + drops), where the
+  * `filter(toks, (x, i) => !array_contains(drops, i))` formulation is
+  * O(tokens × drops) and quadratic on heavily-duplicated documents. */
+object SpanImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** `toks` minus the 0-based indices in `drops` (ascending; duplicates
+    * and out-of-range values tolerated). */
+  def keepExcept(toks: ArrayData, drops: ArrayData): ArrayData = {
+    val nT = toks.numElements()
+    val nD = drops.numElements()
+    val out = new Array[UTF8String](nT)
+    var i = 0
+    var j = 0
+    var m = 0
+    while (i < nT) {
+      while (j < nD && drops.getInt(j) < i) j += 1
+      if (!(j < nD && drops.getInt(j) == i)) {
+        out(m) = toks.getUTF8String(i)
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}
+
+case class KeepTokensExcept(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SpanImpl.keepExcept(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SpanImpl.keepExcept($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KeepTokensExcept =
+    copy(left = l, right = r)
+  override def prettyName: String = "keep_tokens_except"
+}

@@ -76,6 +76,77 @@ object Segments {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** ExactSubstr-style duplicated-span removal, adapted to token windows
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" §4.1: remove every repeated occurrence of a long enough
+    * substring; the canonical single-node implementation is a suffix
+    * array, which does not distribute — this is the Spark-native
+    * reformulation over rolling n-token gram hashes).
+    *
+    * Any `n`-token span whose lowercased form occurs more than once in
+    * the corpus is removed from every occurrence except the globally
+    * first (lowest `(idCol, pos)`). A duplicated region longer than `n`
+    * yields overlapping duplicated grams whose drop positions union
+    * naturally, so the whole region disappears from non-first documents.
+    *
+    * Scale posture: gram hashing is one native pass per document
+    * ([[graft.functions.TextFunctions.wordShingleHashes]]); the duplicate
+    * search shuffles slim `(id, pos, 8-byte hash)` rows — never text;
+    * drop-position expansion is bounded by `n x duplicated spans`; the
+    * rebuild joins per-affected-doc drop arrays back to the corpus (AQE
+    * broadcasts the drops side when the affected set is small) and
+    * filters tokens with a native merge walk
+    * ([[graft.functions.SpanImpl.keepExcept]]), O(tokens + drops) per
+    * document. A 64-bit gram-hash collision can fuse two distinct spans
+    * (~1e-3 expected pairs at 10^10 spans) — same trade as
+    * [[segmentDedup]].
+    *
+    * Returns `(idCol, textCol, n_tokens, n_dropped)`. The text is rebuilt
+    * with single spaces between surviving tokens (original inter-token
+    * whitespace is not preserved); null text behaves as empty.
+    */
+  def spanDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 20,
+      seed: Long = 42L
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 2, s"spanDedup: n must be >= 2 (got $n) — 1-token spans would drop every repeated word")
+    // Explicit [ \t\n\r\f] class, NOT \s: token POSITIONS must line up
+    // exactly with the native gram hasher's tokenizer
+    // (TextHashImpl.tokenHashes), and Java's \s additionally matches
+    // \x0B, which would shift every later position by one.
+    val ws = "[ \\t\\n\\r\\f]+"
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = df.select(
+      col(idCol),
+      filter(split(txt, ws), t => t =!= "").as("__toks"),
+      graft.functions.TextFunctions.wordShingleHashes(txt, n, seed).as("__grams"))
+    val spans = toks.select(col(idCol), posexplode(col("__grams")).as(Seq("__pos", "__h")))
+    val dups = spans
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keeper"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__keeper"))
+    val removals = spans
+      .join(dups, "__h")
+      .filter(struct(col(idCol), col("__pos")) =!= col("__keeper"))
+    val drops = removals
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__tp"))).as("__drops"))
+    toks.join(drops, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          graft.functions.TextFunctions.keepTokensExcept(
+            col("__toks"),
+            coalesce(col("__drops"), lit(Array.empty[Int])))).as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** Cross-document boilerplate segments: normalized segments (lowercased,
     * whitespace-collapsed) that occur in at least `minDocs` distinct
     * documents. Returns `(segment, n_docs)`.

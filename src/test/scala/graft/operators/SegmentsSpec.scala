@@ -97,4 +97,81 @@ class SegmentsSpec extends AnyFunSuite {
       case _       => false
     })
   }
+
+  test("spanDedup removes non-first occurrences of a duplicated n-token span") {
+    // docs 1 and 2 share the 4-token span "the quick brown fox"; doc 1
+    // is the keeper, doc 2 loses exactly those 4 tokens
+    val df = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "again the quick brown fox runs far"),
+      (3L, "nothing shared here at all today")
+    ).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.spanDedup(df, "text", "id", n = 4).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq(
+      (1L, "the quick brown fox jumps high", 6L, 0L),
+      (2L, "again runs far", 7L, 4L),
+      (3L, "nothing shared here at all today", 6L, 0L)))
+  }
+
+  test("spanDedup merges overlapping duplicated spans into one removed region") {
+    // a 6-token duplicated region with n=4 produces 3 overlapping grams;
+    // their drop positions union to the whole region, not 3x4 tokens
+    val shared = "one two three four five six"
+    val df = Seq(
+      (1L, s"$shared tail1"),
+      (2L, s"head2 $shared tail2")
+    ).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.spanDedup(df, "text", "id", n = 4).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq(
+      (1L, s"$shared tail1", 7L, 0L),
+      (2L, "head2 tail2", 8L, 6L)))
+  }
+
+  test("spanDedup matches case-insensitively but rebuilds original case") {
+    val df = Seq(
+      (1L, "The Quick Brown Fox ends"),
+      (2L, "the quick brown fox ENDS")
+    ).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.spanDedup(df, "text", "id", n = 5).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq(
+      (1L, "The Quick Brown Fox ends", 5L, 0L),
+      (2L, "", 5L, 5L)))
+  }
+
+  test("spanDedup leaves short and null documents untouched") {
+    val df = Seq(
+      (1L, Some("too short")),
+      (2L, Some("too short")), // 2 tokens < n: no grams, both survive
+      (3L, None)
+    ).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.spanDedup(df, "text", "id", n = 4).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq(
+      (1L, "too short", 2L, 0L),
+      (2L, "too short", 2L, 0L),
+      (3L, "", 0L, 0L)))
+  }
+
+  test("spanDedup intra-document repeats keep only the first occurrence") {
+    val df = Seq((1L, "a b c d x a b c d y a b c d")).toDF("id", "text")
+    val (txt, n, dropped) = byId[(String, Long, Long)](
+      Segments.spanDedup(df, "text", "id", n = 4).get
+        .select("text", "n_tokens", "n_dropped")).head
+    assert(txt == "a b c d x y" && n == 14L && dropped == 8L)
+  }
+
+  test("spanDedup rejects n < 2") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    assert(Segments.spanDedup(df, "text", "id", n = 1) match {
+      case Fail(e) => e.getMessage.contains("n must be")
+      case _       => false
+    })
+  }
 }
