@@ -29,6 +29,11 @@ object VectorFunctions {
   def vecCosineDouble(a: Column, b: Column): Column =
     column(DoubleVecCosine(expression(a), expression(b)))
 
+  /** Dot product over `array<double>` columns — the cosine of two UNIT
+    * vectors at a third of the arithmetic. */
+  def vecDotDouble(a: Column, b: Column): Column =
+    column(DoubleVecDot(expression(a), expression(b)))
+
   /** Random-hyperplane LSH signature (cosine space): `nBits` sign bits
     * against deterministic seed-derived hyperplanes. Vectors with small
     * angular distance share long bit-prefixes with high probability. */

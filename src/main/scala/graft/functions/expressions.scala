@@ -46,6 +46,15 @@ object VecOps {
     if (denom == 0.0) 0.0 else d / denom
   }
 
+  /** Dot product over `array<double>` inputs (unit-vector cosine). */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Cosine over `array<double>` inputs (the float variant above serves
     * embedding columns; this one serves derived weight vectors, e.g.
     * TF-IDF). */
@@ -378,6 +387,18 @@ case class DoubleVecCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleVecCosine =
     copy(left = l, right = r)
   override def prettyName: String = "double_vec_cosine"
+}
+
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotDouble($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleVecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "double_vec_dot"
 }
 
 case class PortableVecSimhash(child: Expression, bits: Int)

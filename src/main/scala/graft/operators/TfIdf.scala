@@ -78,28 +78,37 @@ object TfIdf {
       denseMaxVocab: Int = 2048,
       denseMaxBroadcastBytes: Long = 256L << 20
   ): MayFail[DataFrame] = MayFail {
-    // deliberately NOT cached: a cache() here would pin the postings in
-    // executor storage past this call with no owner to unpersist them
-    // (a storage leak across a long session). The norms+dots double-use
-    // recomputes the postings subtree, exactly like the SQL formulation;
-    // callers running MANY similarity passes should snapshot postings()
-    // once (Optimise.snapshot) and pay the materialization knowingly.
+    // deliberately NOT cached on the sparse path: a cache() here would
+    // pin the postings in executor storage past this call with no owner
+    // to unpersist them (a storage leak across a long session). The
+    // stats+dots double-use recomputes the postings subtree, exactly
+    // like the SQL formulation; callers running MANY similarity passes
+    // should snapshot postings() once (Optimise.snapshot) and pay the
+    // materialization knowingly.
     val nDocs = df.count()
     val w = postingsWithN(df, textCol, idCol, maxDfFraction, nDocs)
+    // Unit postings: every weight divided by its document norm ONCE, so
+    // a pair's cosine is a plain dot product and NEITHER strategy needs
+    // norm joins after its pair aggregation (the previous formulation
+    // joined norms back onto the dot results twice).
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("__nm"))
+    val un = w.join(norms, Seq("id"))
+      .select(col("id"), col("term"), (col("w") / col("__nm")).as("u"))
     // Stats-based strategy choice (the same move Catalyst makes between
     // broadcast and shuffle joins). The sparse postings join's cost is
     // Σ_t df(t)² join rows through per-term shuffle keys — on a SMALL
     // vocabulary every term is a quadratic hot key and the shuffle is
     // irreducibly skewed (measured: a 31-term corpus sent 4.5×10⁸ rows
     // through 31 keys, 98 s at sf0.1). The dense alternative broadcasts
-    // one vector per doc and scores n²/2 pairs with a native cosine — no
-    // shuffle, no skew, but n²·vocab arithmetic. One ANALYZE-style pass
-    // over the postings yields both stats; dense is chosen only when the
-    // broadcast fits, the vocabulary is small, the arithmetic beats the
-    // sparse shuffle's measured per-row cost (~30× a fused multiply-add),
-    // and threshold > 0 (at threshold ≤ 0 dense would emit
-    // zero-cosine pairs sharing no terms, which the sparse join cannot).
-    val stats = w.groupBy("term").count()
+    // one vector per doc and scores candidate pairs with a native cosine
+    // — no term shuffle, no skew, but up to n²·vocab arithmetic. One
+    // ANALYZE-style pass over the postings yields both stats; dense is
+    // chosen only when the broadcast fits, the vocabulary is small, the
+    // arithmetic beats the sparse shuffle's measured per-row cost (~30×
+    // a fused multiply-add), and threshold > 0 (at threshold ≤ 0 dense
+    // would emit zero-cosine pairs sharing no terms, which the sparse
+    // join cannot).
+    val stats = un.groupBy("term").count()
       .agg(count(lit(1)).as("nt"),
         coalesce(sum(col("count") * col("count")), lit(0L)).as("sumdf2")).head()
     val nTerms = stats.getLong(0)
@@ -109,53 +118,86 @@ object TfIdf {
     val dense = threshold > 0 && nTerms > 0 && nTerms <= denseMaxVocab &&
       denseBytes <= denseMaxBroadcastBytes && denseFlops <= 32.0 * sumDf2
     if (dense)
-      // the chooser's caps guarantee the postings are small here, so a
-      // lineage cut is bounded by construction — without it the
-      // tokenize+tf subtree re-executes for the vocab, the vectors, and
+      // the chooser's caps guarantee the unit postings are small here,
+      // so a lineage cut is bounded by construction — without it the
+      // tokenize+tf+norms subtree re-executes for the vocab collect and
       // BOTH sides of the pair join (the no-cache rule above is about
       // UNBOUNDED postings pinned past the call; localCheckpoint blocks
       // are freed with the RDD)
-      densePairs(w.localCheckpoint(), nTerms.toInt, threshold)
-    else sparsePairs(w, threshold)
+      densePairs(un.localCheckpoint(), nDocs, threshold)
+    else sparsePairs(un, threshold)
   }
 
-  private def sparsePairs(w: DataFrame, threshold: Double): DataFrame = {
-    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
-    val dots = w.select(col("term"), col("id").as("idA"), col("w").as("wa"))
-      .join(w.select(col("term"), col("id").as("idB"), col("w").as("wb")), Seq("term"))
+  /** Sparse strategy: unit-postings self-join on term, one pair
+    * aggregation emitting the cosine directly. */
+  private def sparsePairs(un: DataFrame, threshold: Double): DataFrame =
+    un.select(col("term"), col("id").as("idA"), col("u").as("ua"))
+      .join(un.select(col("term"), col("id").as("idB"), col("u").as("ub")), Seq("term"))
       .filter(col("idA") < col("idB"))
       .groupBy("idA", "idB")
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
-      .join(norms.select(col("id").as("idA"), col("nm").as("na")), Seq("idA"))
-      .join(norms.select(col("id").as("idB"), col("nm").as("nb")), Seq("idB"))
-      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .agg(sum(col("ua") * col("ub")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
-  }
 
-  private def densePairs(w: DataFrame, nTerms: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // vocab index: ≤ denseMaxVocab rows, so the single-partition window
-    // and the broadcast are both trivially bounded (the literal partition
-    // key only suppresses WindowExec's blanket no-partition warning)
-    val vocab = w.select("term").distinct()
-      .withColumn("__ti",
-        row_number().over(Window.partitionBy(lit(0)).orderBy("term")).cast("int") - 1)
-    val vecs = w.join(broadcast(vocab), Seq("term"))
+  /** Dense strategy over localCheckpoint'd unit postings (≤ denseMaxVocab
+    * terms, broadcast-bounded — both guaranteed by the chooser). */
+  private def densePairs(un: DataFrame, nDocs: Long, threshold: Double): DataFrame = {
+    val spark = un.sparkSession
+    import spark.implicits._
+    // One bounded collect gives the vocab index AND the per-dimension
+    // variance for the band prune below: var_d = Σu²/n − (Σu/n)², zeros
+    // implied (docs without the term contribute nothing to either sum).
+    // Empty-postings docs are absent from `un`, so they are counted as
+    // zero vectors here — that skews only pruning power, never results.
+    val termStats = un.groupBy("term")
+      .agg(sum(col("u")).as("s1"), sum(col("u") * col("u")).as("s2"))
+      .orderBy("term")
+      .collect()
+    require(termStats.nonEmpty, "densePairs on an empty vocabulary — chooser must prevent this")
+    val nTerms = termStats.length
+    val n = math.max(nDocs, 1L).toDouble
+    val pruneDim = termStats.indices.maxBy { i =>
+      val s1 = termStats(i).getDouble(1)
+      val s2 = termStats(i).getDouble(2)
+      s2 / n - (s1 / n) * (s1 / n)
+    }
+    val vocab = termStats.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i) }.toSeq.toDF("term", "__ti")
+    val vecs = un.join(broadcast(vocab), Seq("term"))
       .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("__ti"), col("w")))).as("__m"))
+      .agg(map_from_entries(collect_list(struct(col("__ti"), col("u")))).as("__m"))
       .select(col("id"),
         transform(sequence(lit(0), lit(nTerms - 1)),
-          i => coalesce(try_element_at(col("__m"), i), lit(0.0))).as("__v"))
-      // both pair-join sides read the (nDocs × vocab, broadcastable by
-      // the chooser's byte cap) vector frame — build it once
+          i => coalesce(try_element_at(col("__m"), i), lit(0.0))).as("__u"))
+    // Exact 1-D band prune (the all-pairs "necessary condition" trick):
+    // for UNIT vectors, cos(a,b) ≥ t ⟹ (a_d − b_d)² ≤ ‖a−b‖² = 2(1−cos)
+    // ≤ 2(1−t) for EVERY dimension d. Bucket one dimension at width
+    // δ = √(2(1−t)) and join adjacent buckets: every qualifying pair is
+    // generated exactly once, through a broadcast HASH join instead of
+    // an n²/2 loop join — candidate volume scales with how the corpus
+    // spreads along the chosen dimension, not with n². The highest-
+    // variance dimension maximizes pruning power (any choice is correct;
+    // a constant dimension degrades to one bucket = the old n²/2).
+    // Checkpointed because both join sides read it and it is broadcast-
+    // bounded by the chooser's caps.
+    val delta = math.max(math.sqrt(2.0 * (1.0 - threshold)), 1e-6)
+    val keyed = vecs.withColumn("__bk",
+      floor(element_at(col("__u"), pruneDim + 1) / delta).cast("long"))
       .localCheckpoint()
-    val a = vecs.select(col("id").as("idA"), col("__v").as("__va"))
-    val b = vecs.select(col("id").as("idB"), col("__v").as("__vb"))
-    a.join(broadcast(b), col("idA") < col("idB"))
+    val aSide = keyed.select(
+      col("id").as("idA"), col("__u").as("__ua"), col("__bk").as("__bka"))
+    // B probes its own bucket and both neighbours; the three keys are
+    // distinct, so each qualifying (A,B) combination joins exactly once,
+    // and idA < idB keeps one of the two role assignments
+    val bSide = keyed.select(
+      col("id").as("idB"), col("__u").as("__ub"),
+      explode(array(col("__bk") - 1, col("__bk"), col("__bk") + 1)).as("__bkb"))
+    bSide.join(broadcast(aSide),
+        col("__bkb") === col("__bka") && col("idA") < col("idB"))
+      // unit vectors: cosine IS the dot product — a third of the
+      // arithmetic of the full cosine kernel on the n²-ish hot path
       .withColumn("cosine",
-        graft.functions.VectorFunctions.vecCosineDouble(col("__va"), col("__vb")))
+        graft.functions.VectorFunctions.vecDotDouble(col("__ua"), col("__ub")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }

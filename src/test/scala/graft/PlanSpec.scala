@@ -73,11 +73,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH degenerated to a loop join")
   }
 
-  test("q76: small-vocab corpus takes the dense broadcast path (no term shuffle join)") {
+  test("q76: small-vocab corpus takes the dense banded path (hash join, no n² loop join)") {
     val plan = planOf("q76_tfidf")
-    assert(plan.contains("double_vec_cosine"), "dense path's native cosine kernel missing")
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "dense pair scoring should be a broadcast loop join")
+    assert(plan.contains("double_vec_dot"), "dense path's native dot kernel missing")
+    assert(plan.contains("BroadcastHashJoin"),
+      "dense pair scoring should be a broadcast HASH join on the band-prune bucket")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "dense pair scoring degenerated back to the n² loop join")
     assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in dense path")
   }
 
