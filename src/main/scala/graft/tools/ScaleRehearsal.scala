@@ -86,6 +86,8 @@ object ScaleRehearsal {
     time("sq-knn-shortlist")(graft.operators.Quantize.sqKnn(
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, shortlistK = 50).get.count())
+    time("span-dedup")(graft.operators.Segments.spanDedup(
+      docs, "text", "doc_id", n = 8).get.count())
 
     // ---- standing invariants (assertions, not just timings) ----------
 
@@ -148,8 +150,23 @@ object ScaleRehearsal {
     assert(bpBase == bpRepl,
       s"boilerplate set must be replication-stable: base=${bpBase.size} repl=${bpRepl.size}")
 
+    // Span-dedup replication law: replicas share every text, so replica
+    // 0 (the minimal ids) keeps exactly what the base corpus keeps, and
+    // every later replica of a doc with ≥ n tokens is fully covered by
+    // duplicated grams and wiped. Exact expectation:
+    // dropped(repl) = dropped(base) + (mult−1) · Σ_{base docs, n_tokens ≥ n} n_tokens.
+    val spanBase = graft.operators.Segments.spanDedup(base, "text", "doc_id", n = 8).get
+      .agg(sum("n_dropped"),
+        sum(when(col("n_tokens") >= 8, col("n_tokens")).otherwise(0L))).head()
+    val spanReplDropped = graft.operators.Segments.spanDedup(docs, "text", "doc_id", n = 8).get
+      .agg(sum("n_dropped")).head().getLong(0)
+    val spanExpected = spanBase.getLong(0) + (mult - 1).toLong * spanBase.getLong(1)
+    assert(spanReplDropped == spanExpected,
+      s"span dedup must wipe exactly the replicas' covered tokens: " +
+        s"$spanReplDropped != $spanExpected")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
-      "segment keep-first, boilerplate stability)")
+      "segment keep-first, boilerplate stability, span-dedup replication law)")
     spark.stop()
   }
 }

@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join in dense path")
   }
 
+  test("q102: span dedup shuffles gram hashes, rebuilds with the native merge walk") {
+    val plan = planOf("q102_span_dedup")
+    assert(plan.contains("word_shingle_hashes"), "native positional gram hasher missing")
+    assert(plan.contains("keep_tokens_except"), "native merge-walk token filter missing")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span dedup must stay equi-joins (gram hash, then id)")
+  }
+
   test("q76: large-vocab/sparse path remains a term equi-join with no cross join") {
     // force the sparse strategy the way a realistic vocabulary would
     val docs = spark.read.parquet(s"$dir/documents.parquet")

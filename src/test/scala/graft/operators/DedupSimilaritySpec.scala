@@ -170,6 +170,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embeddingNearDupPairs auto-sizes the signature when nBits <= 0") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, other)).toDF("vec_id", "embedding")
+    // 3 vectors → auto lands on the 4-bit floor; same planted pair found
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id",
+      threshold = 0.99, nBits = 0, tables = 4).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   private lazy val vectors = (0 until 50).map { i =>
     (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
   }.toDF("vec_id", "embedding")
