@@ -1416,6 +1416,16 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q103_pack" -> ((s, dir) => {
+      // Sequence packing: next-fit char-budget bins per language, doc_id
+      // order. The oracle replays the same sequential rule as a
+      // recursive CTE (depth = largest group, ~120 rows at sf0.01).
+      graft.operators.Sampling.packByTokenBudget(
+          tbl(s, dir, "documents"), "doc_id", "n_chars",
+          capacity = 5000L, groupCols = Seq("lang")).get
+        .orderBy("lang", "doc_id")
+    }),
+
     "q102_span_dedup" -> ((s, dir) => {
       // ExactSubstr-style span dedup: every non-first occurrence of a
       // duplicated 8-token span is cut out of the text. The oracle
@@ -2489,6 +2499,24 @@ object SparkEntry {
            CAST(len(t.toks) AS BIGINT) AS n_tokens,
            CAST(coalesce(len(d.dp), 0) AS BIGINT) AS n_dropped
          FROM t LEFT JOIN drops d USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "q103_pack" ->
+      """WITH RECURSIVE t AS (
+           SELECT lang, doc_id, greatest(coalesce(n_chars, 0), 0) AS tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents
+         ), pack AS (
+           SELECT lang, doc_id, tok, rn,
+             CAST(0 AS BIGINT) AS bin, tok AS running
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.lang, t.doc_id, t.tok, t.rn,
+             CASE WHEN p.running + t.tok > 5000 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.running + t.tok > 5000 THEN t.tok ELSE p.running + t.tok END
+           FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+         )
+         SELECT lang, doc_id, CAST(tok AS BIGINT) AS n_tokens, bin AS bin_id
+         FROM pack ORDER BY lang, doc_id"""
   )
 }

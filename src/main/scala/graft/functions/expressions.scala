@@ -736,3 +736,45 @@ case class KeepTokensExcept(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "keep_tokens_except"
 }
+
+/** Next-fit sequence packing over an ordered token-count array: bin
+  * breaks are inherently sequential (each depends on the previous
+  * running total), so the scan runs as one native O(n) pass where the
+  * ordered sequence lives — per group row, inside codegen — instead of
+  * a driver loop or an iterative join. */
+object PackImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Bin index per element: first element opens bin 0; element i moves
+    * to a fresh bin iff the running total would exceed `capacity`.
+    * Negative counts clamp to 0; an element larger than `capacity` gets
+    * a bin of its own (never split). */
+  def nextFit(tokens: ArrayData, capacity: Long): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Int](n)
+    var running = 0L
+    var bin = 0
+    var i = 0
+    while (i < n) {
+      val t = math.max(tokens.getLong(i), 0L)
+      if (i == 0) running = t
+      else if (running + t > capacity) { bin += 1; running = t }
+      else running += t
+      out(i) = bin
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PackBinsNextFit(child: Expression, capacity: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PackImpl.nextFit(a.asInstanceOf[ArrayData], capacity)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PackImpl.nextFit($c, ${capacity}L)")
+  override protected def withNewChildInternal(newChild: Expression): PackBinsNextFit =
+    copy(child = newChild)
+  override def prettyName: String = "pack_bins_next_fit"
+}

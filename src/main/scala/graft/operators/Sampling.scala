@@ -198,4 +198,58 @@ object Sampling {
     val parts = lit(seed) +: keyCols.flatMap(k => Seq(lit("_"), keyStr(col(k))))
     df.withColumn(shuffleCol, graft.functions.TextFunctions.portableHash60(concat(parts: _*)))
   }
+
+  /** Sequence packing: assign documents to fixed token-capacity training
+    * bins, next-fit in `orderCol` order within each `groupCols` cell —
+    * the step that turns a cleaned corpus into training contexts with
+    * bounded padding waste. Unlike [[shardByTokenBudget]] (cumulative
+    * boundaries that conceptually split a document across shards), a
+    * document is never split: one whose count exceeds `capacity` gets a
+    * bin of its own, and a bin break happens exactly when the running
+    * total would overflow.
+    *
+    * Next-fit is sequential by definition, so the groups ARE the
+    * parallelism: one shuffle on `groupCols`, one ordered array per
+    * group, one native O(n) packing pass ([[graft.functions.PackImpl]])
+    * — never a driver loop, never an iterative join. Size groups like
+    * shards (a language × source × date cell, not a whole corpus): each
+    * group's `(orderKey, count)` pairs are collected into one in-memory
+    * array, the same bound as the reassembly aggregations elsewhere.
+    * Bins never span groups. `orderCol` must be unique within a group
+    * (it is the packing order AND the join-back identity); null counts
+    * pack as 0.
+    *
+    * Returns `(groupCols…, orderCol, n_tokens, bin_id)` with `bin_id`
+    * numbered from 0 per group.
+    */
+  def packByTokenBudget(
+      df: DataFrame,
+      orderCol: String,
+      tokenCountCol: String,
+      capacity: Long,
+      groupCols: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(groupCols.nonEmpty,
+      "packByTokenBudget needs at least one group column — a single global " +
+        "group would serialize the whole corpus through one packing pass")
+    val toks = greatest(coalesce(col(tokenCountCol).cast("long"), lit(0L)), lit(0L))
+    val grouped = df
+      .select(groupCols.map(col) :+ col(orderCol).as("__o") :+ toks.as("__t"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__o"), col("__t")))).as("__docs"))
+      .withColumn("__bins",
+        graft.functions.FunctionBridge.column(
+          graft.functions.PackBinsNextFit(
+            graft.functions.FunctionBridge.expression(
+              transform(col("__docs"), d => d.getField("__t"))),
+            capacity)))
+    grouped
+      .select(groupCols.map(col) :+
+        posexplode(arrays_zip(col("__docs"), col("__bins"))).as(Seq("__i", "__z")): _*)
+      .select(groupCols.map(col) :+
+        col("__z.__docs.__o").as(orderCol) :+
+        col("__z.__docs.__t").as("n_tokens") :+
+        col("__z.__bins").cast("long").as("bin_id"): _*)
+  }
 }

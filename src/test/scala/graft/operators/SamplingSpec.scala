@@ -162,4 +162,59 @@ class SamplingSpec extends AnyFunSuite {
     val m2 = Sampling.mixBySource(df, "source", "id", Map("web" -> 0.5)).get.count()
     assert(m1 == m2)
   }
+
+  test("packByTokenBudget next-fits in order, never splitting a document") {
+    val df = Seq(
+      ("en", 1L, 40L), ("en", 2L, 50L), ("en", 3L, 20L), // 40+50 fits; +20 overflows
+      ("en", 4L, 90L),                                   // 20+90 overflows -> bin 2
+      ("de", 5L, 10L), ("de", 6L, 10L)                   // separate group restarts at 0
+    ).toDF("lang", "doc_id", "n")
+    val got = Sampling.packByTokenBudget(df, "doc_id", "n", capacity = 100L,
+        groupCols = Seq("lang")).get
+      .orderBy("lang", "doc_id")
+      .select("lang", "doc_id", "n_tokens", "bin_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", 5L, 10L, 0L), ("de", 6L, 10L, 0L),
+      ("en", 1L, 40L, 0L), ("en", 2L, 50L, 0L), ("en", 3L, 20L, 1L), ("en", 4L, 90L, 2L)))
+  }
+
+  test("packByTokenBudget: oversize and null counts get their own well-defined bins") {
+    val df = Seq(
+      ("s", 1L, Some(250L)), // > capacity: bin of its own
+      ("s", 2L, Some(30L)),  // 250+30 overflows -> bin 1
+      ("s", 3L, None),       // null packs as 0, stays in bin 1
+      ("s", 4L, Some(80L))   // 30+0+80 overflows -> bin 2
+    ).toDF("g", "id", "n")
+    val got = Sampling.packByTokenBudget(df, "id", "n", capacity = 100L,
+        groupCols = Seq("g")).get
+      .orderBy("id").select("id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 250L, 0L), (2L, 30L, 1L), (3L, 0L, 1L), (4L, 80L, 2L)))
+  }
+
+  test("packByTokenBudget never exceeds capacity except for single oversize documents") {
+    val df = (1 to 500).map(i => ("g" + (i % 5), i.toLong, (i % 97).toLong))
+      .toDF("g", "id", "n")
+    val bins = Sampling.packByTokenBudget(df, "id", "n", capacity = 150L,
+        groupCols = Seq("g")).get
+      .groupBy("g", "bin_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tot"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(bins.forall { case (_, _, tot, cnt) => tot <= 150L || cnt == 1L })
+  }
+
+  test("packByTokenBudget rejects an empty group list and bad capacity") {
+    val df = Seq(("a", 1L, 1L)).toDF("g", "id", "n")
+    assert(Sampling.packByTokenBudget(df, "id", "n", 0L, Seq("g")) match {
+      case graft.functional.Fail(e) => e.getMessage.contains("capacity")
+      case _                        => false
+    })
+    assert(Sampling.packByTokenBudget(df, "id", "n", 10L, Nil) match {
+      case graft.functional.Fail(e) => e.getMessage.contains("group")
+      case _                        => false
+    })
+  }
 }
