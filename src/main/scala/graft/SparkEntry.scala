@@ -1416,6 +1416,16 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q104_chunk" -> ((s, dir) => {
+      // Overlapping fixed-token chunks (40-token windows, stride 20):
+      // per-row explode, no shuffle; the oracle replays the same
+      // chunk-count formula with list_slice.
+      graft.operators.Segments.chunk(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", chunkTokens = 40, stride = 20).get
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "q103_pack" -> ((s, dir) => {
       // Sequence packing: next-fit char-budget bins per language, doc_id
       // order. The oracle replays the same sequential rule as a
@@ -2517,6 +2527,25 @@ object SparkEntry {
            FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
          )
          SELECT lang, doc_id, CAST(tok AS BIGINT) AS n_tokens, bin AS bin_id
-         FROM pack ORDER BY lang, doc_id"""
+         FROM pack ORDER BY lang, doc_id""",
+
+    "q104_chunk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS toks
+           FROM documents
+         ), sized AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 40 THEN 1
+                  ELSE ((len(toks) - 40 + 19) // 20) + 1 END AS nc
+           FROM t WHERE len(toks) > 0
+         ), chunks AS (
+           SELECT doc_id, toks, unnest(range(0, nc)) AS cid FROM sized
+         )
+         SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
+         FROM chunks ORDER BY doc_id, chunk_id"""
   )
 }

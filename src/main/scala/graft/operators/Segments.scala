@@ -147,6 +147,49 @@ object Segments {
         coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** Overlapping fixed-token chunks per document (the RAG / pretraining
+    * chunker): windows of `chunkTokens` whitespace tokens starting every
+    * `stride` tokens. The chunk count per doc is
+    * `1 + ceil((n − chunkTokens) / stride)` (one chunk when
+    * `n ≤ chunkTokens`), which covers every token with no redundant
+    * all-overlap tail window. `stride ≤ chunkTokens` is required — a
+    * larger stride would leave token gaps and, at the tail, empty
+    * chunks. Docs with no tokens produce no rows (join back on the id
+    * spine to keep them).
+    *
+    * Pure per-row compute: tokenize once, one `transform(sequence)` +
+    * explode — no shuffle at all, the ideal 100 TB shape. Returns
+    * `(idCol, chunk_id, n_tokens, text_chunk)` with `chunk_id` 0-based
+    * in document order and `text_chunk` space-joined.
+    */
+  def chunk(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int = 512,
+      stride: Int = 256
+  ): MayFail[DataFrame] = MayFail {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens]: $stride (chunkTokens = $chunkTokens) — " +
+        "a larger stride would skip tokens")
+    val toks = filter(
+      split(coalesce(col(textCol), lit("")), "[ \\t\\n\\r\\f]+"), t => t =!= "")
+    val n = size(col("__toks"))
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(floor((n - chunkTokens + stride - 1).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(i.as("chunk_id"),
+            slice(col("__toks"), i * stride + 1, lit(chunkTokens)).as("__ct")))).as("__c"))
+      .select(col(idCol),
+        col("__c.chunk_id").cast("long").as("chunk_id"),
+        size(col("__c.__ct")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__c.__ct")).as("text_chunk"))
+  }
+
   /** Cross-document boilerplate segments: normalized segments (lowercased,
     * whitespace-collapsed) that occur in at least `minDocs` distinct
     * documents. Returns `(segment, n_docs)`.

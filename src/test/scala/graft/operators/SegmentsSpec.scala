@@ -167,6 +167,44 @@ class SegmentsSpec extends AnyFunSuite {
     assert(txt == "a b c d x y" && n == 14L && dropped == 8L)
   }
 
+  test("chunk emits overlapping windows covering every token, no redundant tail") {
+    // 10 tokens, chunk 4, stride 2: nc = ((10-4+1)//2)+1 = 4 -> starts 0,2,4,6
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
+    val rows = Segments.chunk(df, "text", "id", chunkTokens = 4, stride = 2).get
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "text_chunk")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows == Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t2 t3 t4 t5"),
+      (2L, 4L, "t4 t5 t6 t7"),
+      (3L, 4L, "t6 t7 t8 t9")))
+  }
+
+  test("chunk: short docs give one chunk, empty docs give none, tail may be partial") {
+    val df = Seq(
+      (1L, Some("a b")),                 // n <= chunkTokens: one chunk
+      (2L, None),                        // no tokens: no rows
+      (3L, Some("a b c d e"))            // n=5, c=4, s=2: starts 0,2 -> tail has 3
+    ).toDF("id", "text")
+    val rows = Segments.chunk(df, "text", "id", chunkTokens = 4, stride = 2).get
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "n_tokens", "text_chunk")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0L, 2L, "a b"),
+      (3L, 0L, 4L, "a b c d"),
+      (3L, 1L, 3L, "c d e")))
+  }
+
+  test("chunk rejects stride outside [1, chunkTokens]") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    assert(Segments.chunk(df, "text", "id", chunkTokens = 4, stride = 5) match {
+      case Fail(e) => e.getMessage.contains("stride")
+      case _       => false
+    })
+  }
+
   test("spanDedup rejects n < 2") {
     val df = Seq((1L, "a")).toDF("id", "text")
     assert(Segments.spanDedup(df, "text", "id", n = 1) match {
