@@ -77,5 +77,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("band_keys_from_simhash",
       es => { arity("band_keys_from_simhash", es, 3, 3)
         BandKeysFromSimhash(es(0), intLit(es(1)), intLit(es(2))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("double_vec_dot",
+      es => { arity("double_vec_dot", es, 2, 2)
+        DoubleVecDot(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("keep_tokens_except",
+      es => { arity("keep_tokens_except", es, 2, 2)
+        KeepTokensExcept(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pack_bins_next_fit",
+      es => { arity("pack_bins_next_fit", es, 2, 2)
+        PackBinsNextFit(es.head, longLit(es(1))) }, "scala_udf")
   }
 }

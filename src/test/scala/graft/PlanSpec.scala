@@ -91,6 +91,23 @@ class PlanSpec extends AnyFunSuite {
       "span dedup must stay equi-joins (gram hash, then id)")
   }
 
+  test("q103: packing is one group shuffle plus the native sequential pass") {
+    val plan = planOf("q103_pack")
+    assert(plan.contains("pack_bins_next_fit"), "native next-fit kernel missing")
+    assert(!plan.contains("Window"),
+      "packing must not use a window — the sequential scan lives in the kernel")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q104: chunking is a pure per-row explode — no shuffle below the gate sort") {
+    val plan = planOf("q104_chunk")
+    // the only exchange allowed is the gate's own ORDER BY range exchange
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"chunking should not shuffle (found $exchanges exchanges):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "chunking must not join")
+  }
+
   test("q76: large-vocab/sparse path remains a term equi-join with no cross join") {
     // force the sparse strategy the way a realistic vocabulary would
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -135,6 +135,14 @@ class FunctionsSpec extends AnyFunSuite {
     // band keys reassemble to the signature (4 bands x 4 bits)
     val reassembled = r2.getSeq[Long](2).zipWithIndex.map { case (b, i) => b << (4 * i) }.sum
     assert(reassembled == r2.getLong(1))
+    val r3 = spark.sql("""
+      SELECT double_vec_dot(CAST(x AS ARRAY<DOUBLE>), CAST(y AS ARRAY<DOUBLE>)) AS d,
+             keep_tokens_except(array('a','b','c','d'), array(1, 3)) AS kt,
+             pack_bins_next_fit(array(40L, 50L, 20L, 90L), 100) AS pb
+      FROM gf_test""").head()
+    assert(r3.getDouble(0) == 11.0)
+    assert(r3.getSeq[String](1) == Seq("a", "c"))
+    assert(r3.getSeq[Int](2) == Seq(0, 0, 1, 2))
   }
 
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
