@@ -1416,6 +1416,15 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q105_source_overlap" -> ((s, dir) => {
+      // Dataset-level content overlap: exact distinct 3-gram Jaccard per
+      // source pair. The oracle regroups by shingle STRING where the
+      // operator uses its 64-bit hash (same collision argument as q102).
+      graft.operators.Dedup.sourceOverlap(
+          tbl(s, dir, "documents"), "text", "source", shingleSize = 3).get
+        .orderBy("source_a", "source_b")
+    }),
+
     "q104_chunk" -> ((s, dir) => {
       // Overlapping fixed-token chunks (40-token windows, stride 20):
       // per-row explode, no shuffle; the oracle replays the same
@@ -2546,6 +2555,30 @@ object SparkEntry {
          SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
            CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
-         FROM chunks ORDER BY doc_id, chunk_id"""
+         FROM chunks ORDER BY doc_id, chunk_id""",
+
+    "q105_source_overlap" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS g
+           FROM toks WHERE len(ts) >= 3
+         ), per AS (
+           SELECT source, count(*) AS n FROM sh GROUP BY source
+         ), co AS (
+           SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT source_a, source_b, pa.n AS n_a, pb.n AS n_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (pa.n + pb.n - n_common), 6) AS jaccard
+         FROM co JOIN per pa ON pa.source = source_a
+                 JOIN per pb ON pb.source = source_b
+         ORDER BY source_a, source_b"""
   )
 }

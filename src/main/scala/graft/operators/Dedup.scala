@@ -651,4 +651,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlaps"))
       .select(col("id").as(idCol), col("n_overlaps"))
   }
+
+  /** Pairwise content overlap between SOURCES: exact distinct-shingle
+    * Jaccard per source pair — the dataset-level report that guides
+    * mixing weights and flags which source pairs need cross dedup.
+    * Returns `(source_a, source_b, n_a, n_b, n_common, jaccard)` for
+    * pairs with at least one shared shingle (`source_a < source_b`).
+    *
+    * Scale shape: one `(8-byte shingle hash, source)` distinct
+    * aggregation, then a self-join on the hash — a shingle present in k
+    * sources contributes k² join rows, so the blowup is bounded by
+    * `nSources²` per shingle, NOT corpus size; per-source distinct
+    * counts broadcast onto the tiny pair frame. Text never shuffles.
+    * Exact (no sketch): at 10^12 distinct shingles the (hash, source)
+    * frame is a plain 16-byte-row aggregate — the same cost class as
+    * [[exact]] dedup. */
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      shingleSize: Int = 3
+  ): MayFail[DataFrame] = MayFail {
+    require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
+    val sh = df.select(col(sourceCol).as("__src"),
+        explode(array_distinct(
+          wordShingleHashes(coalesce(col(textCol), lit("")), shingleSize))).as("__h"))
+      .distinct()
+    val perSrc = sh.groupBy("__src").agg(count(lit(1)).as("__n"))
+    sh.select(col("__h"), col("__src").as("source_a"))
+      .join(sh.select(col("__h"), col("__src").as("source_b")), Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(perSrc.select(col("__src").as("source_a"), col("__n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(perSrc.select(col("__src").as("source_b"), col("__n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
 }

@@ -182,6 +182,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("sourceOverlap computes exact distinct-shingle Jaccard per source pair") {
+    // "a b c d" -> 3-grams {abc, bcd}; "b c d e" -> {bcd, cde};
+    // wiki ∩ web = {bcd}: J = 1/3. blog shares nothing -> absent.
+    val df = Seq(
+      (1L, "wiki", "a b c d"),
+      (2L, "web", "b c d e"),
+      (3L, "blog", "x y z w")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, "text", "source").get
+      .select("source_a", "source_b", "n_a", "n_b", "n_common", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("web", "wiki", 2L, 2L, 1L, 0.333333)))
+  }
+
+  test("sourceOverlap dedups shingles within and across documents of one source") {
+    // two wiki docs with the same text contribute ONE distinct shingle set
+    val df = Seq(
+      (1L, "wiki", "a b c"), (2L, "wiki", "a b c"), (3L, "web", "a b c")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, "text", "source").get
+      .select("n_a", "n_b", "n_common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 1.0)))
+  }
+
   private lazy val vectors = (0 until 50).map { i =>
     (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
   }.toDF("vec_id", "embedding")
