@@ -1416,6 +1416,20 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q106_decontaminate" -> ((s, dir) => {
+      // Span-level decontamination: docs 0-19 are the benchmark; shared
+      // 8-gram spans are excised from the rest (same split as q85, which
+      // only FLAGS). Oracle regroups by gram string.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Segments.decontaminateSpans(
+          docs.filter(col("doc_id") >= 20).select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") < 20),
+          "text", "doc_id", n = 8).get
+        .select(col("doc_id"), col("text").as("text_clean"),
+          col("n_tokens"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     "q105_source_overlap" -> ((s, dir) => {
       // Dataset-level content overlap: exact distinct 3-gram Jaccard per
       // source pair. The oracle regroups by shingle STRING where the
@@ -2556,6 +2570,50 @@ object SparkEntry {
            CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
          FROM chunks ORDER BY doc_id, chunk_id""",
+
+    "q106_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS toks
+           FROM documents WHERE doc_id >= 20
+         ), bt AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 20
+         ), bg AS (
+           SELECT DISTINCT array_to_string(
+             list_transform(list_slice(toks, pos + 1, pos + 8), x -> lower(x)),
+             chr(1)) AS gram
+           FROM (SELECT toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+                 FROM bt)
+         ), g AS (
+           SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+           FROM t
+         ), hits AS (
+           SELECT gr.doc_id, gr.pos
+           FROM (SELECT doc_id, pos,
+                   array_to_string(
+                     list_transform(list_slice(toks, pos + 1, pos + 8), x -> lower(x)),
+                     chr(1)) AS gram
+                 FROM g) gr
+           JOIN bg USING (gram)
+         ), drops AS (
+           SELECT doc_id,
+             list_sort(list_distinct(flatten(list(range(pos, pos + 8))))) AS dp
+           FROM hits GROUP BY doc_id
+         )
+         SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_filter(t.toks,
+               (x, i) -> NOT coalesce(list_contains(d.dp, i - 1), false)),
+             ' '), '') AS text_clean,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(d.dp), 0) AS BIGINT) AS n_dropped
+         FROM t LEFT JOIN drops d USING (doc_id)
+         ORDER BY doc_id""",
 
     "q105_source_overlap" ->
       """WITH toks AS (

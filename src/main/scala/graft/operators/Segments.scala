@@ -147,6 +147,59 @@ object Segments {
         coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** Span-level benchmark decontamination: excise every `n`-token span a
+    * corpus document shares with the benchmark set, instead of dropping
+    * (or merely flagging, per [[graft.operators.Dedup.contaminationFlags]])
+    * the whole document — the surgical variant for docs that embed an
+    * eval item inside otherwise-good text.
+    *
+    * Scale posture: the benchmark's distinct gram hashes BROADCAST (eval
+    * sets are small), so contaminated positions are found map-side with
+    * NO shuffle of the corpus; only the slim per-affected-doc drop
+    * positions aggregate (keyed by id), and the rebuild is the same
+    * native merge walk as [[spanDedup]]. Returns
+    * `(idCol, textCol, n_tokens, n_dropped)`, text rebuilt with single
+    * spaces; null text behaves as empty.
+    */
+  def decontaminateSpans(
+      df: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      seed: Long = 42L,
+      benchTextCol: String = ""
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 2, s"decontaminateSpans: n must be >= 2 (got $n)")
+    val ws = "[ \\t\\n\\r\\f]+" // must match the native gram hasher — see spanDedup
+    val txt = coalesce(col(textCol), lit(""))
+    val bCol = if (benchTextCol.nonEmpty) benchTextCol else textCol
+    val toks = df.select(
+      col(idCol),
+      filter(split(txt, ws), t => t =!= "").as("__toks"),
+      graft.functions.TextFunctions.wordShingleHashes(txt, n, seed).as("__grams"))
+    val bench = benchmark
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.wordShingleHashes(
+          coalesce(col(bCol), lit("")), n, seed))).as("__h"))
+      .distinct()
+    val drops = toks
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("__pos", "__h")))
+      .join(broadcast(bench), Seq("__h"))
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__tp"))).as("__drops"))
+    toks.join(drops, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          graft.functions.TextFunctions.keepTokensExcept(
+            col("__toks"),
+            coalesce(col("__drops"), lit(Array.empty[Int])))).as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** Overlapping fixed-token chunks per document (the RAG / pretraining
     * chunker): windows of `chunkTokens` whitespace tokens starting every
     * `stride` tokens. The chunk count per doc is

@@ -167,6 +167,29 @@ class SegmentsSpec extends AnyFunSuite {
     assert(txt == "a b c d x y" && n == 14L && dropped == 8L)
   }
 
+  test("decontaminateSpans excises only benchmark-overlapping spans") {
+    val bench = Seq((100L, "the secret eval answer is forty two")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "intro text the secret eval answer is forty two outro text"),
+      (2L, "totally clean document with nothing shared here")
+    ).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.decontaminateSpans(corpus, bench, "text", "id", n = 7).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq(
+      (1L, "intro text outro text", 11L, 7L),
+      (2L, "totally clean document with nothing shared here", 7L, 0L)))
+  }
+
+  test("decontaminateSpans leaves benchmark-free and null docs intact") {
+    val bench = Seq((100L, "a b c d")).toDF("id", "text")
+    val corpus = Seq((1L, Some("x y z")), (2L, None)).toDF("id", "text")
+    val rows = byId[(Long, String, Long, Long)](
+      Segments.decontaminateSpans(corpus, bench, "text", "id", n = 4).get
+        .select("id", "text", "n_tokens", "n_dropped"))
+    assert(rows == Seq((1L, "x y z", 3L, 0L), (2L, "", 0L, 0L)))
+  }
+
   test("chunk emits overlapping windows covering every token, no redundant tail") {
     // 10 tokens, chunk 4, stride 2: nc = ((10-4+1)//2)+1 = 4 -> starts 0,2,4,6
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
