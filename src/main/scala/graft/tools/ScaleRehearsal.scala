@@ -45,6 +45,10 @@ object ScaleRehearsal {
       emb, "embedding", "vec_id", threshold = 0.25, nBits = 8, tables = 8).get.count())
     time("dedup-embedding-portable")(graft.operators.Dedup.embeddingNearDupPairsPortable(
       emb, "embedding", "vec_id", threshold = 0.25, bandBits = 10, nBands = 6).get.count())
+    // occupancy-sized signature (nBits auto): same operator without the
+    // hand-tuned width — the knob that breaks at 100x corpus growth
+    time("dedup-embedding-auto")(graft.operators.Dedup.embeddingNearDupPairs(
+      emb, "embedding", "vec_id", threshold = 0.25, nBits = 0, tables = 8).get.count())
     time("knn-brute")(graft.operators.Similarity.bruteForceKnn(
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5).get.count())
     time("bloom-semijoin")(graft.operators.Sketch.bloomSemiJoin(
