@@ -246,7 +246,7 @@ object Sampling {
             capacity)))
     grouped
       .select(groupCols.map(col) :+
-        posexplode(arrays_zip(col("__docs"), col("__bins"))).as(Seq("__i", "__z")): _*)
+        explode(arrays_zip(col("__docs"), col("__bins"))).as("__z"): _*)
       .select(groupCols.map(col) :+
         col("__z.__docs.__o").as(orderCol) :+
         col("__z.__docs.__t").as("n_tokens") :+

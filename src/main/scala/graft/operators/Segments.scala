@@ -48,8 +48,9 @@ object Segments {
     *
     * The keep-first window partitions on `xxhash64(segment)` so the
     * shuffle key is 8 bytes regardless of paragraph length; as with
-    * [[Dedup.exact]], a hash collision (~1e-3 expected pairs at 10^10
-    * segments) can merge two distinct paragraphs — acceptable for corpus
+    * [[Dedup.exact]], a hash collision (~1e-3 expected pairs at 2x10^8
+    * segments, ~3 at 10^10 — birthday bound C(n,2)/2^64) can merge two
+    * distinct paragraphs — acceptable for corpus
     * cleanup, and the price of never shuffling the corpus on text keys.
     *
     * Returns `(idCol, textCol, n_segments, n_kept)`; input rows with no
@@ -98,8 +99,8 @@ object Segments {
     * filters tokens with a native merge walk
     * ([[graft.functions.SpanImpl.keepExcept]]), O(tokens + drops) per
     * document. A 64-bit gram-hash collision can fuse two distinct spans
-    * (~1e-3 expected pairs at 10^10 spans) — same trade as
-    * [[segmentDedup]].
+    * (~1e-3 expected pairs at 2x10^8 spans, ~3 at 10^10) — same trade
+    * as [[segmentDedup]].
     *
     * Returns `(idCol, textCol, n_tokens, n_dropped)`. The text is rebuilt
     * with single spaces between surviving tokens (original inter-token
@@ -113,16 +114,7 @@ object Segments {
       seed: Long = 42L
   ): MayFail[DataFrame] = MayFail {
     require(n >= 2, s"spanDedup: n must be >= 2 (got $n) — 1-token spans would drop every repeated word")
-    // Explicit [ \t\n\r\f] class, NOT \s: token POSITIONS must line up
-    // exactly with the native gram hasher's tokenizer
-    // (TextHashImpl.tokenHashes), and Java's \s additionally matches
-    // \x0B, which would shift every later position by one.
-    val ws = "[ \\t\\n\\r\\f]+"
-    val txt = coalesce(col(textCol), lit(""))
-    val toks = df.select(
-      col(idCol),
-      filter(split(txt, ws), t => t =!= "").as("__toks"),
-      graft.functions.TextFunctions.wordShingleHashes(txt, n, seed).as("__grams"))
+    val toks = tokensAndGrams(df, textCol, idCol, n, seed)
     val spans = toks.select(col(idCol), posexplode(col("__grams")).as(Seq("__pos", "__h")))
     val dups = spans
       .groupBy(col("__h"))
@@ -132,10 +124,37 @@ object Segments {
     val removals = spans
       .join(dups, "__h")
       .filter(struct(col(idCol), col("__pos")) =!= col("__keeper"))
-    val drops = removals
+    val drops = dropArrays(removals, idCol, n)
+    rebuildMinusDrops(toks, drops, textCol, idCol)
+  }
+
+  /** `(idCol, __toks, __grams)`: case-preserving whitespace tokens plus
+    * positional lowercased gram hashes. The explicit `[ \t\n\r\f]` class
+    * (NOT `\s`) keeps token POSITIONS aligned with the native gram
+    * hasher's tokenizer (`TextHashImpl.tokenHashes`) — Java's `\s`
+    * additionally matches `\x0B`, which would shift every later position
+    * by one. Single source of truth for both span operators. */
+  private def tokensAndGrams(
+      df: DataFrame, textCol: String, idCol: String, n: Int, seed: Long): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    df.select(
+      col(idCol),
+      filter(split(txt, "[ \\t\\n\\r\\f]+"), t => t =!= "").as("__toks"),
+      graft.functions.TextFunctions.wordShingleHashes(txt, n, seed).as("__grams"))
+  }
+
+  /** Expand removed span starts `(idCol, __pos)` to sorted per-doc drop
+    * position arrays (bounded by n x removed spans). */
+  private def dropArrays(removals: DataFrame, idCol: String, n: Int): DataFrame =
+    removals
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__tp"))).as("__drops"))
+
+  /** Rebuild text per doc minus the drop positions (native merge walk);
+    * unaffected docs pass through via the left join. */
+  private def rebuildMinusDrops(
+      toks: DataFrame, drops: DataFrame, textCol: String, idCol: String): DataFrame =
     toks.join(drops, Seq(idCol), "left")
       .select(
         col(idCol),
@@ -145,7 +164,6 @@ object Segments {
             coalesce(col("__drops"), lit(Array.empty[Int])))).as(textCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
-  }
 
   /** Span-level benchmark decontamination: excise every `n`-token span a
     * corpus document shares with the benchmark set, instead of dropping
@@ -171,33 +189,17 @@ object Segments {
       benchTextCol: String = ""
   ): MayFail[DataFrame] = MayFail {
     require(n >= 2, s"decontaminateSpans: n must be >= 2 (got $n)")
-    val ws = "[ \\t\\n\\r\\f]+" // must match the native gram hasher — see spanDedup
-    val txt = coalesce(col(textCol), lit(""))
     val bCol = if (benchTextCol.nonEmpty) benchTextCol else textCol
-    val toks = df.select(
-      col(idCol),
-      filter(split(txt, ws), t => t =!= "").as("__toks"),
-      graft.functions.TextFunctions.wordShingleHashes(txt, n, seed).as("__grams"))
+    val toks = tokensAndGrams(df, textCol, idCol, n, seed)
     val bench = benchmark
       .select(explode(array_distinct(
         graft.functions.TextFunctions.wordShingleHashes(
           coalesce(col(bCol), lit("")), n, seed))).as("__h"))
       .distinct()
-    val drops = toks
+    val removals = toks
       .select(col(idCol), posexplode(col("__grams")).as(Seq("__pos", "__h")))
       .join(broadcast(bench), Seq("__h"))
-      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("__tp"))).as("__drops"))
-    toks.join(drops, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        concat_ws(" ",
-          graft.functions.TextFunctions.keepTokensExcept(
-            col("__toks"),
-            coalesce(col("__drops"), lit(Array.empty[Int])))).as(textCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"))
+    rebuildMinusDrops(toks, dropArrays(removals, idCol, n), textCol, idCol)
   }
 
   /** Overlapping fixed-token chunks per document (the RAG / pretraining

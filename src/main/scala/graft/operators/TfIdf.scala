@@ -108,13 +108,22 @@ object TfIdf {
     // a fused multiply-add), and threshold > 0 (at threshold ≤ 0 dense
     // would emit zero-cosine pairs sharing no terms, which the sparse
     // join cannot).
-    val stats = un.groupBy("term").count()
+    // stats run on the RAW postings: the norms join is row-preserving,
+    // so per-term counts are identical on `un`, and this keeps the
+    // by-id norms shuffle out of the ANALYZE action (it executes lazily
+    // only inside the chosen strategy's own job)
+    val stats = w.groupBy("term").count()
       .agg(count(lit(1)).as("nt"),
         coalesce(sum(col("count") * col("count")), lit(0L)).as("sumdf2")).head()
     val nTerms = stats.getLong(0)
     val sumDf2 = stats.getLong(1)
     val denseBytes = nDocs * nTerms * 8L
     val denseFlops = nDocs.toDouble * nDocs * nTerms / 2
+    // NB the flops guard still assumes the WORST-case dense candidate
+    // volume (n²/2, i.e. a corpus with zero spread along every
+    // dimension); the band prune usually collapses that, so this is a
+    // deliberately conservative routing — it can send a spread-out
+    // small-vocab corpus to the sparse path, never the reverse
     val dense = threshold > 0 && nTerms > 0 && nTerms <= denseMaxVocab &&
       denseBytes <= denseMaxBroadcastBytes && denseFlops <= 32.0 * sumDf2
     if (dense)
