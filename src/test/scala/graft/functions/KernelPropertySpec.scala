@@ -104,4 +104,48 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(math.abs(VecOps.norm(ad) - math.sqrt(a.map(x => x.toDouble * x).sum)) < 1e-9)
     }
   }
+
+  test("keepExcept matches a naive index filter for random sorted drop lists") {
+    samples(300) {
+      val nT = rnd.nextInt(40)
+      val toks = List.fill(nT)(UTF8String.fromString("t" + rnd.nextInt(10)))
+      // random subset of indices, sorted — may be empty, full, or contain
+      // out-of-range values (tolerated by contract)
+      val drops = (List.fill(rnd.nextInt(10))(rnd.nextInt(nT + 5))).distinct.sorted
+      val got = SpanImpl.keepExcept(
+        new GenericArrayData(toks.toArray),
+        new GenericArrayData(drops.map(Int.box).toArray))
+      val expect = toks.zipWithIndex.collect { case (t, i) if !drops.contains(i) => t }
+      assert((0 until got.numElements()).map(got.getUTF8String) == expect,
+        s"toks=${toks.map(_.toString)} drops=$drops")
+    }
+  }
+
+  test("nextFit matches a sequential reference and respects capacity") {
+    samples(300) {
+      val counts = List.fill(rnd.nextInt(30))(rnd.nextLong() % 120L) // may be negative
+      val cap = 1L + rnd.nextInt(100)
+      val got = PackImpl.nextFit(
+        new GenericArrayData(counts.toArray), cap)
+      val gotBins = (0 until got.numElements()).map(got.getInt)
+      // sequential reference with the documented rule
+      var running = 0L; var bin = 0
+      val expect = counts.zipWithIndex.map { case (c0, i) =>
+        val c = math.max(c0, 0L)
+        if (i == 0) running = c
+        else if (running + c > cap) { bin += 1; running = c }
+        else running += c
+        bin
+      }
+      assert(gotBins == expect, s"counts=$counts cap=$cap")
+      // invariants: bins are nondecreasing and dense; every bin's sum fits
+      // unless it holds a single oversize element
+      assert(gotBins.sliding(2).forall(w => w.length < 2 || w(1) - w(0) >= 0))
+      assert(gotBins.sliding(2).forall(w => w.length < 2 || w(1) - w(0) <= 1))
+      gotBins.zip(counts).groupBy(_._1).values.foreach { members =>
+        val tot = members.map(m => math.max(m._2, 0L)).sum
+        assert(tot <= cap || members.length == 1)
+      }
+    }
+  }
 }
