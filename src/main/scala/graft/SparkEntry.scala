@@ -866,7 +866,7 @@ object SparkEntry {
                   .as[(String, Double, java.sql.Timestamp)]
         sess <- graft.streaming.Stream.sessionize(typed,
                   gapMs = 30L * 60 * 1000, tsColName = "ts")
-        res <- graft.streaming.Stream.drainToMemory(sess.toDF, name)
+        res <- graft.streaming.Stream.drainToMemory(sess.toDF(), name)
       } yield res).get
       out.select(col("key").cast("long").as("user_id"), col("n"),
           round(col("sum"), 4).as("sum_value"),

@@ -76,7 +76,7 @@ class DebugStepModel(override val uid: String = Identifiable.randomUID("DebugSte
   override def transform(dataset: Dataset[_]): DataFrame = {
     dataset.printSchema()
     dataset.show(5, truncate = true)
-    dataset.toDF
+    dataset.toDF()
   }
 }
 

@@ -44,9 +44,9 @@ class Scaler(override val uid: String)
     val (s, m) =
       if ($(norm)) {
         // empty / all-null input sums to SQL NULL — treat as 0 (pass-through)
-        val row = dataset.toDF
+        val row = dataset.toDF()
           .agg(sum(col($(inputCol)).cast("double")),
-            min(col($(inputCol)).cast("double"))).head
+            min(col($(inputCol)).cast("double"))).head()
         (if (row.isNullAt(0)) 0.0 else row.getDouble(0),
           if (row.isNullAt(1)) 0.0 else row.getDouble(1))
       } else (0.0, 0.0)
@@ -106,7 +106,7 @@ class ScalerModel(override val uid: String)
     if ($(logScale))
       scaled.withColumn($(outputCol),
         org.apache.spark.sql.functions.log(col($(outputCol))))
-    else scaled.toDF
+    else scaled.toDF()
   }
 }
 
@@ -134,9 +134,9 @@ class GraftStandardScaler(override val uid: String)
 
   override def fit(dataset: Dataset[_]): GraftStandardScalerModel = {
     transformSchema(dataset.schema, logging = true)
-    val row = dataset.toDF.agg(
+    val row = dataset.toDF().agg(
       avg(col($(inputCol)).cast("double")),
-      stddev_pop(col($(inputCol)).cast("double"))).head
+      stddev_pop(col($(inputCol)).cast("double"))).head()
     copyValues(new GraftStandardScalerModel(uid + "_model")
       .setMean(row.getDouble(0)).setStd(row.getDouble(1)))
       .setParent(this)

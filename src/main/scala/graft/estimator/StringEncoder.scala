@@ -78,7 +78,7 @@ class StringEncoder(
   override def fit(dataset: Dataset[_]): StringEncoderModel = {
     transformSchema(dataset.schema, logging = true)
     val tokCol = $(inputCol) + TokenSuffix
-    val tokenised = tokeniser.splitDF(dataset.toDF, $(inputCol), tokCol)
+    val tokenised = tokeniser.splitDF(dataset.toDF(), $(inputCol), tokCol)
     method match {
       case Murmur =>
         // Distinct token-hash space, computed as a single distributed
@@ -199,7 +199,7 @@ class StringEncoderModel(override val uid: String)
     transformSchema(dataset.schema)
     val tokCol = $(inputCol) + TokenSuffix
     val df = fitted.transform(
-      WhiteSpaceToken.splitDF(dataset.toDF, $(inputCol), tokCol), tokCol)
+      WhiteSpaceToken.splitDF(dataset.toDF(), $(inputCol), tokCol), tokCol)
     (tempCols :+ tokCol).foldLeft(df)(_ drop _)
   }
 }

@@ -209,5 +209,8 @@ final case class BestNFeaturesSelector(top: Int, measure: BaseMeasure[_])
         new DummyFeatureCompare(m).allOf(model, features, df).toList
           .sortWith((a, b) => m.isBetter(a._1, b._1))
           .take(top).map { case (s, sp) => (s, sp.featureCol) }
+      case other =>
+        throw new IllegalArgumentException(
+          s"BestNFeaturesSelector needs a Measure or MeasureVector, got $other")
     }
 }

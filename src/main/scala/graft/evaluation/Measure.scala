@@ -23,7 +23,7 @@ trait Measure extends BaseMeasure[Double] {
   /** Aggregate expression over prediction/label columns. */
   def expr(pred: Column, label: Column): Column
   def %(df: DataFrame, pred: String, label: String): MayFail[Double] =
-    MayFail(df.agg(expr(col(pred), col(label))).head.getDouble(0))
+    MayFail(df.agg(expr(col(pred), col(label))).head().getDouble(0))
   def name: String
 }
 
@@ -170,7 +170,7 @@ case object SSE extends ClusterMeasure {
           ).as("__sq"),
           size(col("__mean")).as("__dim"))
         .agg(avg(col("__sq") / col("__dim")))
-        .head.getDouble(0)
+        .head().getDouble(0)
     }
   val name = "sse"
 }
@@ -196,7 +196,7 @@ case object ZScore extends RegressionMeasureVector {
     Pipe.fittedEstimator(specimen.model).map { estimator =>
       val lg = estimator.asInstanceOf[LinearRegressionModel]
       val betas = lg.coefficients.toArray
-      val n = df.count.toDouble
+      val n = df.count().toDouble
       val m = specimen.featureCol.size.toDouble
       val sigma2 = (1.0 / (n - m - 1)) *
         df.sumOfSqrDiff(specimen.labelCol, specimen.outputCol)

@@ -550,7 +550,7 @@ object TextHashImpl {
 
   /** Distinct-element Jaccard of two long arrays (sort-merge, no boxing). */
   def jaccardLongs(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toLongArray.clone(); val y = b.toLongArray.clone()
+    val x = a.toLongArray().clone(); val y = b.toLongArray().clone()
     java.util.Arrays.sort(x); java.util.Arrays.sort(y)
     var i = 0; var j = 0
     var inter = 0; var union = 0

@@ -28,15 +28,15 @@ object Implicits {
       * (reference Util.scala:42-49 does this via RDD zip). */
     def sumOfSqrDiff(colA: String, colB: String): Double =
       df.agg(sum(pow(col(colA).cast("double") - col(colB).cast("double"), 2)))
-        .head.getDouble(0)
+        .head().getDouble(0)
 
     /** Σx² of a column (reference Util.scala:51-55). */
     def sumOfSqr(c: String): Double =
-      df.agg(sum(pow(col(c).cast("double"), 2))).head.getDouble(0)
+      df.agg(sum(pow(col(c).cast("double"), 2))).head().getDouble(0)
 
     /** Column mean as a driver scalar. */
     def meanOf(c: String): Double =
-      df.agg(avg(col(c).cast("double"))).head.getDouble(0)
+      df.agg(avg(col(c).cast("double"))).head().getDouble(0)
 
     /** Column as `RDD[Double]` with numeric widening (reference
       * Util.scala:33-40). Kept for API parity — prefer staying in the

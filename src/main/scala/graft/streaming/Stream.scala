@@ -277,7 +277,7 @@ object Stream {
       require(fs.rename(tmp, src), s"rename $tmp -> $src failed")
     } else {
       val base = spark.read.parquet(path)
-      val delta = delta0.select(base.columns.map(col): _*)
+      val delta = delta0.select(base.columns.toIndexedSeq.map(col): _*)
       val merged = seqCol match {
         case Some(sc) => seqAwareMerge(base, delta, keys, sc)
         case None =>
