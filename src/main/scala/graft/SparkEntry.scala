@@ -1416,6 +1416,87 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q107_tpch14" -> ((s, dir) => {
+      // TPC-H Q14 shape: promo revenue share for one ship month — the
+      // slim part dimension broadcasts, the date filter pushes into the
+      // lineitem scan, one global aggregate.
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+      val part = tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))
+      (for {
+        j <- Join.inner(li, part, Join.On(Seq("l_partkey")))
+        g <- Group.agg(j, Nil, Group.Agg(Seq(
+               round(lit(100.0) * sum(when(col("p_type") === "PROMO",
+                   col("l_extendedprice") * (lit(1) - col("l_discount")))
+                   .otherwise(lit(0.0)))
+                 / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+                 .as("promo_pct"),
+               count(lit(1)).as("n_rows"))))
+      } yield g).get
+    }),
+
+    "q108_tpch18" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume customers): the HAVING-filtered
+      // per-order aggregate is tiny, so the join back onto orders and
+      // customer broadcasts it; top-100 plans as TakeOrderedAndProject.
+      val li = tbl(s, dir, "lineitem")
+      (for {
+        g   <- Group.agg(li, Seq("l_orderkey"),
+                 Group.Agg(Seq(round(sum(col("l_quantity")), 4).as("sum_qty"))))
+        big <- Filter.where(g, col("sum_qty") > 300)
+        o    = tbl(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+        j1  <- Join.inner(o, big, Join.On(Seq("l_orderkey")))
+        c    = tbl(s, dir, "customer")
+                 .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        j2  <- Join.inner(j1, c, Join.On(Seq("o_custkey")))
+        k   <- Order.topK(j2.select(col("c_name"), col("o_custkey").as("c_custkey"),
+                 col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
+                 col("o_totalprice"), col("sum_qty")),
+                 Seq(col("o_totalprice").desc, col("o_orderkey")), 100)
+      } yield k).get
+    }),
+
+    "q109_tpch7" -> ((s, dir) => {
+      // TPC-H Q7 shape (volume shipping): lineitem⋈orders shuffle with
+      // customer/supplier and BOTH nation aliases broadcast; revenue by
+      // (supplier nation, customer nation, ship year).
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val sup = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val n = tbl(s, dir, "nation")
+      val custN = n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))
+      val suppN = n.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))
+      (for {
+        j1 <- Join.inner(li, o, Join.On(Seq("l_orderkey")))
+        j2 <- Join.inner(j1, c, Join.On(Seq("o_custkey")))
+        j3 <- Join.inner(j2, sup, Join.On(Seq("l_suppkey")))
+        j4 <- Join.broadcast(j3, custN, Seq("c_nationkey"))
+        j5 <- Join.broadcast(j4, suppN, Seq("s_nationkey"))
+        // decimal accumulation: 1246 output groups make double-sum
+        // order noise at the cent-rounding boundary a certainty; the
+        // 4-decimal cast is exact for 2-decimal TPC-H money and the
+        // decimal sum is order-independent on both engines
+        g  <- Group.agg(j5.withColumn("l_year", year(col("l_shipdate"))),
+                Seq("supp_nation", "cust_nation", "l_year"),
+                Group.Agg(Seq(
+                  round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+                      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+                    .cast("double").as("revenue"),
+                  count(lit(1)).as("n_rows"))))
+        srt <- Order.by(g, Seq("supp_nation", "cust_nation", "l_year"))
+      } yield srt).get
+    }),
+
     "q106_decontaminate" -> ((s, dir) => {
       // Span-level decontamination: docs 0-19 are the benchmark; shared
       // 8-gram spans are excised from the rest (same split as q85, which
@@ -2570,6 +2651,41 @@ object SparkEntry {
            CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
          FROM chunks ORDER BY doc_id, chunk_id""",
+
+    "q107_tpch14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+         count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'""",
+
+    "q108_tpch18" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING round(sum(l_quantity), 4) > 300
+         )
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q109_tpch7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+           AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation cn ON cn.n_nationkey = c_nationkey
+         JOIN nation sn ON sn.n_nationkey = s_nationkey
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q106_decontaminate" ->
       """WITH t AS (

@@ -91,6 +91,18 @@ class PlanSpec extends AnyFunSuite {
       "span dedup must stay equi-joins (gram hash, then id)")
   }
 
+  test("q107/q108/q109: the new TPC-H shapes broadcast dimensions and plan top-k") {
+    val p14 = planOf("q107_tpch14")
+    assert(p14.contains("BroadcastHashJoin"), "part dimension not broadcast in Q14")
+    assert(p14.contains("PushedFilters"), "ship-month filter not pushed in Q14")
+    val p18 = planOf("q108_tpch18")
+    assert(p18.contains("TakeOrderedAndProject"), "Q18 top-100 is a full sort")
+    val p7 = planOf("q109_tpch7")
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 2,
+      "Q7's nation/customer/supplier dimensions should broadcast")
+    assert(!p7.contains("CartesianProduct"))
+  }
+
   test("q103: packing is one group shuffle plus the native sequential pass") {
     val plan = planOf("q103_pack")
     assert(plan.contains("pack_bins_next_fit"), "native next-fit kernel missing")
