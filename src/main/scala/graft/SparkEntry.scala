@@ -1416,6 +1416,40 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q110_contamination_report" -> ((s, dir) => {
+      // Per-benchmark provenance: two named eval sets (docs 0-9 and
+      // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
+      // 7th corpus doc gets a 120-char leak from benchmark doc
+      // (doc_id % 10) planted, so both benchmarks light up densely.
+      val docs = tbl(s, dir, "documents")
+      val leak = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("__leak_key"),
+          substring(col("text"), 1, 120).as("__leak"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .withColumn("__leak_key", pmod(col("doc_id"), lit(20)))
+        .join(leak, Seq("__leak_key"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" "), coalesce(col("__leak"), lit(""))))
+            .otherwise(col("text")).as("text"))
+      Dedup.contaminationReport(
+          corpus,
+          Map("benchA" -> docs.filter(col("doc_id") < 10),
+              "benchB" -> docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)),
+          "text", "doc_id", n = 8).get
+        .orderBy("doc_id", "benchmark")
+    }),
+
+    "q111_topk_per_group" -> ((s, dir) => {
+      // Deterministic per-group top-k: 5 longest docs per language,
+      // doc_id tiebreak; rank exposed. WindowGroupLimit caps the shuffle.
+      Order.topKPerGroup(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), Seq(col("n_chars").desc, col("doc_id")), 5,
+          rankCol = "rank").get
+        .orderBy("lang", "rank")
+    }),
+
     "q107_tpch14" -> ((s, dir) => {
       // TPC-H Q14 shape: promo revenue share for one ship month — the
       // slim part dimension broadcasts, the date filter pushes into the
@@ -2651,6 +2685,57 @@ object SparkEntry {
            CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
          FROM chunks ORDER BY doc_id, chunk_id""",
+
+    "q110_contamination_report" ->
+      """WITH corpaug AS (
+           SELECT c.doc_id,
+             CASE WHEN c.doc_id % 7 = 0
+                  THEN c.text || ' ' || substr(b.text, 1, 120)
+                  ELSE c.text END AS text
+           FROM documents c JOIN documents b ON b.doc_id = c.doc_id % 20
+           WHERE c.doc_id >= 20
+         ), tokc AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM corpaug
+         ), shc AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts) - 6),
+               i -> array_to_string(ts[i:i+7], chr(1)))) AS shingles
+           FROM tokc WHERE len(ts) >= 8
+         ), tokb AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents WHERE doc_id < 20
+         ), shb AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts) - 6),
+               i -> array_to_string(ts[i:i+7], chr(1)))) AS shingles
+           FROM tokb WHERE len(ts) >= 8
+         ), corp AS (
+           SELECT doc_id, unnest(shingles) AS g FROM shc
+         ), ba AS (
+           SELECT DISTINCT unnest(shingles) AS g FROM shb WHERE doc_id < 10
+         ), bb AS (
+           SELECT DISTINCT unnest(shingles) AS g FROM shb WHERE doc_id >= 10
+         )
+         SELECT doc_id, benchmark, n_overlaps FROM (
+           SELECT doc_id, 'benchA' AS benchmark, count(*) AS n_overlaps
+           FROM corp JOIN ba USING (g) GROUP BY doc_id
+           UNION ALL
+           SELECT doc_id, 'benchB' AS benchmark, count(*) AS n_overlaps
+           FROM corp JOIN bb USING (g) GROUP BY doc_id
+         ) ORDER BY doc_id, benchmark""",
+
+    "q111_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 5 ORDER BY lang, rank""",
 
     "q107_tpch14" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'

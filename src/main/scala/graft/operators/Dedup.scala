@@ -652,6 +652,38 @@ object Dedup {
       .select(col("id").as(idCol), col("n_overlaps"))
   }
 
+  /** Per-benchmark contamination report: [[contaminationFlags]] across a
+    * NAMED set of benchmarks in one call — `(idCol, benchmark,
+    * n_overlaps)`, one row per (document, benchmark) with any shared
+    * n-gram. The provenance a decontamination sweep actually needs:
+    * which eval set leaked, not just that something did.
+    *
+    * Each benchmark's distinct shingles broadcast independently (eval
+    * sets are small), and the corpus-side gram stream is computed once
+    * and reused across benchmarks via a union of map-side joins — still
+    * zero shuffles of the corpus text. */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmarks: Map[String, DataFrame],
+      textCol: String,
+      idCol: String,
+      n: Int = 8
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    require(benchmarks.nonEmpty, "contaminationReport needs at least one benchmark")
+    val c = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
+    benchmarks.toSeq.sortBy(_._1).map { case (name, bench) =>
+      val b = bench
+        .select(explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
+        .distinct()
+      c.join(broadcast(b), Seq("__sh"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .select(col("id").as(idCol), lit(name).as("benchmark"), col("n_overlaps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pairwise content overlap between SOURCES: exact distinct-shingle
     * Jaccard per source pair — the dataset-level report that guides
     * mixing weights and flags which source pairs need cross dedup.

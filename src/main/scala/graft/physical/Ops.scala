@@ -187,6 +187,35 @@ object Order {
     * — per-partition heaps then a k-row merge, no global sort. */
   def topK(df: DataFrame, cols: Seq[Column], k: Int): MayFail[DataFrame] =
     MayFail(df.orderBy(cols: _*).limit(k))
+
+  /** Deterministic top-k PER GROUP (k best documents per language, k
+    * latest events per user, ...): rank window over the group partition,
+    * keep ranks ≤ k. Spark 4's rank-limit pushdown
+    * (`InferWindowGroupLimit`) plants a partial WindowGroupLimit below
+    * the exchange, so at most k rows per group per input partition cross
+    * the wire — never the full group. `sortCols` must yield a total
+    * order within each group for a deterministic result (add a tiebreak
+    * id column if the primary sort has duplicates); `rankCol` optionally
+    * exposes the 1-based rank. */
+  def topKPerGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      sortCols: Seq[Column],
+      k: Int,
+      rankCol: String = ""
+  ): MayFail[DataFrame] = MayFail {
+    require(k > 0, s"k must be positive: $k")
+    require(keys.nonEmpty,
+      "topKPerGroup needs group keys — for a global top-k use Order.topK " +
+        "(TakeOrderedAndProject), not a single-partition window")
+    val rn = if (rankCol.nonEmpty) rankCol
+      else s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+    val ranked = df.withColumn(rn,
+      org.apache.spark.sql.functions.row_number().over(w)).filter(col(rn) <= k)
+    if (rankCol.nonEmpty) ranked else ranked.drop(rn)
+  }
 }
 
 object F {

@@ -182,6 +182,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("contaminationReport names the benchmark each hit came from") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta end"),  // hits A
+      (101L, "one two three four five six seven eight end"),        // hits B
+      (102L, "nothing in common with either benchmark set at all")
+    ).toDF("doc_id", "text")
+    val bA = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val bB = Seq((2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, Map("A" -> bA, "B" -> bB),
+        "text", "doc_id", n = 8).get
+      .select("doc_id", "benchmark", "n_overlaps")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((100L, "A", 1L), (101L, "B", 1L)))
+  }
+
   test("sourceOverlap computes exact distinct-shingle Jaccard per source pair") {
     // "a b c d" -> 3-grams {abc, bcd}; "b c d e" -> {bcd, cde};
     // wiki ∩ web = {bcd}: J = 1/3. blog shares nothing -> absent.

@@ -231,4 +231,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Read.dynamo("r", "s", "t")(spark).isFailing)
     assert(Write.dynamo(kv, "r", "t").isFailing)
   }
+
+  test("Order.topKPerGroup keeps k deterministic rows per group with optional rank") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 20),
+      ("b", 5L, 5)
+    ).toDF("g", "id", "score")
+    val got = Order.topKPerGroup(df, Seq("g"),
+        Seq($"score".desc, $"id"), 2, rankCol = "rank").get
+      .orderBy("g", "rank")
+      .select("g", "id", "rank").as[(String, Long, Int)].collect().toSeq
+    // ties broken by id: (2,30) rank 1, (3,30) rank 2; group b keeps its 1 row
+    assert(got == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+    // without rankCol the helper column is dropped
+    val cols = Order.topKPerGroup(df, Seq("g"), Seq($"score".desc, $"id"), 2).get.columns
+    assert(cols.toSeq == Seq("g", "id", "score"))
+  }
+
+  test("Order.topKPerGroup rejects empty keys and bad k") {
+    val df = Seq(("a", 1)).toDF("g", "v")
+    assert(Order.topKPerGroup(df, Nil, Seq($"v"), 1).isFailing)
+    assert(Order.topKPerGroup(df, Seq("g"), Seq($"v"), 0).isFailing)
+  }
 }
