@@ -1420,7 +1420,7 @@ object SparkEntry {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
       // 7th corpus doc gets a 120-char leak from benchmark doc
-      // (doc_id % 10) planted, so both benchmarks light up densely.
+      // (doc_id % 20) planted, so both benchmarks light up densely.
       val docs = tbl(s, dir, "documents")
       val leak = docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("__leak_key"),

@@ -658,10 +658,10 @@ object Dedup {
     * n-gram. The provenance a decontamination sweep actually needs:
     * which eval set leaked, not just that something did.
     *
-    * Each benchmark's distinct shingles broadcast independently (eval
-    * sets are small), and the corpus-side gram stream is computed once
-    * and reused across benchmarks via a union of map-side joins — still
-    * zero shuffles of the corpus text. */
+    * The benchmarks' distinct shingles are tagged with their name,
+    * unioned, and broadcast as ONE (shingle, benchmark) table, so the
+    * corpus-side gram stream is scanned and shingled exactly once no
+    * matter how many benchmarks — and still never shuffled. */
   def contaminationReport(
       corpus: DataFrame,
       benchmarks: Map[String, DataFrame],
@@ -673,15 +673,16 @@ object Dedup {
     require(benchmarks.nonEmpty, "contaminationReport needs at least one benchmark")
     val c = corpus.select(col(idCol).as("id"),
       explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
-    benchmarks.toSeq.sortBy(_._1).map { case (name, bench) =>
-      val b = bench
+    val tagged = benchmarks.toSeq.sortBy(_._1).map { case (name, bench) =>
+      bench
         .select(explode(array_distinct(wordShingleHashes(col(textCol), n))).as("__sh"))
         .distinct()
-      c.join(broadcast(b), Seq("__sh"))
-        .groupBy("id")
-        .agg(count(lit(1)).as("n_overlaps"))
-        .select(col("id").as(idCol), lit(name).as("benchmark"), col("n_overlaps"))
+        .select(col("__sh"), lit(name).as("benchmark"))
     }.reduce(_ unionByName _)
+    c.join(broadcast(tagged), Seq("__sh"))
+      .groupBy("id", "benchmark")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .select(col("id").as(idCol), col("benchmark"), col("n_overlaps"))
   }
 
   /** Pairwise content overlap between SOURCES: exact distinct-shingle

@@ -94,7 +94,9 @@ class PlanSpec extends AnyFunSuite {
   test("q107/q108/q109: the new TPC-H shapes broadcast dimensions and plan top-k") {
     val p14 = planOf("q107_tpch14")
     assert(p14.contains("BroadcastHashJoin"), "part dimension not broadcast in Q14")
-    assert(p14.contains("PushedFilters"), "ship-month filter not pushed in Q14")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate") ||
+      p14.contains("IsNotNull(l_shipdate"),
+      "ship-month filter not pushed into the Q14 lineitem scan")
     val p18 = planOf("q108_tpch18")
     assert(p18.contains("TakeOrderedAndProject"), "Q18 top-100 is a full sort")
     val p7 = planOf("q109_tpch7")
