@@ -1416,6 +1416,18 @@ object SparkEntry {
         .orderBy("shuffle_key", "doc_id")
     }),
 
+    "q112_term_drift" -> ((s, dir) => {
+      // Corpus-version drift monitor: even vs odd doc_id halves, top-30
+      // terms by JS-divergence contribution (rounded pre-rank so the
+      // top-K set is engine-stable).
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Quality.termDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", topK = 30).get
+        .orderBy(col("js_contrib").desc, col("term"))
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2685,6 +2697,38 @@ object SparkEntry {
            CAST(len(list_slice(toks, cid * 20 + 1, cid * 20 + 40)) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, cid * 20 + 1, cid * 20 + 40), ' ') AS text_chunk
          FROM chunks ORDER BY doc_id, chunk_id""",
+
+    "q112_term_drift" ->
+      """WITH ta AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+             '[ \t\n\r\f]+'), t -> t <> '')) AS term
+           FROM documents WHERE doc_id % 2 = 0
+         ), tb AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+             '[ \t\n\r\f]+'), t -> t <> '')) AS term
+           FROM documents WHERE doc_id % 2 = 1
+         ), ga AS (SELECT term, count(*) AS n_a FROM ta GROUP BY term),
+         gb AS (SELECT term, count(*) AS n_b FROM tb GROUP BY term),
+         j AS (
+           SELECT coalesce(ga.term, gb.term) AS term,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+           FROM ga FULL JOIN gb ON ga.term = gb.term
+         ), s AS (
+           SELECT sum(n_a) AS t_a, sum(n_b) AS t_b, count(*) AS v FROM j
+         )
+         SELECT term, n_a, n_b,
+           round((
+             ((n_a + 0.5) / (t_a + v / 2.0))
+               * ln(((n_a + 0.5) / (t_a + v / 2.0))
+                    / ((((n_a + 0.5) / (t_a + v / 2.0))
+                        + ((n_b + 0.5) / (t_b + v / 2.0))) / 2.0))
+             + ((n_b + 0.5) / (t_b + v / 2.0))
+               * ln(((n_b + 0.5) / (t_b + v / 2.0))
+                    / ((((n_a + 0.5) / (t_a + v / 2.0))
+                        + ((n_b + 0.5) / (t_b + v / 2.0))) / 2.0))
+           ) / 2.0, 9) AS js_contrib
+         FROM j, s
+         ORDER BY js_contrib DESC, term LIMIT 30""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

@@ -75,4 +75,55 @@ object Quality {
     df.withColumn("failed_rules", filter(failed, c => c.isNotNull))
       .filter(size(col("failed_rules")) > 0)
   }
+
+  /** Term-distribution drift between two corpus versions: the `topK`
+    * terms by Jensen–Shannon divergence contribution — the monitor that
+    * answers "did the new crawl shift the token distribution, and on
+    * which words?" before a refreshed corpus reaches training.
+    *
+    * Per term: smoothed occurrence rates `p = (tf + 0.5) / (N + V/2)`
+    * over the JOINT vocabulary (add-half smoothing keeps one-sided terms
+    * finite), contribution `(p_a·ln(p_a/m) + p_b·ln(p_b/m)) / 2` with
+    * `m = (p_a + p_b)/2`. Contributions are rounded to 9 digits BEFORE
+    * ranking (term as tiebreak) so the top-K set is reproducible across
+    * engines despite last-ulp `ln` differences.
+    *
+    * Scale shape: one tokenize+aggregate per corpus (shuffled on term),
+    * a full outer join on term, a global top-K (TakeOrderedAndProject).
+    * The totals row is one extra execution of the counts subtree —
+    * snapshot the inputs first (Optimise.snapshot) when they are derived
+    * frames rather than plain scans. Returns `(term, n_a, n_b,
+    * js_contrib)`, largest drift first.
+    */
+  def termDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      topK: Int = 50
+  ): MayFail[DataFrame] = MayFail {
+    require(topK > 0, s"topK must be positive: $topK")
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val joined = ca.select(col("term"), col("n").as("n_a"))
+      .join(cb.select(col("term"), col("n").as("n_b")), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // one tiny stats row: total tokens per side + joint vocabulary size
+    val g = joined.agg(
+      coalesce(sum(col("n_a")), lit(0L)).as("ta"),
+      coalesce(sum(col("n_b")), lit(0L)).as("tb"),
+      count(lit(1)).as("v")).head()
+    val (ta, tb, v) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    val pa = (col("n_a") + 0.5) / (ta + v / 2.0)
+    val pb = (col("n_b") + 0.5) / (tb + v / 2.0)
+    val m = (pa + pb) / 2.0
+    val contrib = round((pa * log(pa / m) + pb * log(pb / m)) / 2.0, 9)
+    joined.withColumn("js_contrib", contrib)
+      .orderBy(col("js_contrib").desc, col("term"))
+      .limit(topK)
+  }
 }

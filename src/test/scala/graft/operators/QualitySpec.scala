@@ -110,4 +110,25 @@ class QualitySpec extends AnyFunSuite {
       .as[Boolean].collect()
     assert(ok.forall(identity))
   }
+
+  test("termDrift surfaces the shifted terms first and handles one-sided vocab") {
+    // corpora share filler; 'newword' exists only in B, 'oldword' only in A
+    val a = Seq.fill(20)((1L, "filler common tokens here oldword")).toDF("id", "text")
+    val b = Seq.fill(20)((2L, "filler common tokens here newword")).toDF("id", "text")
+    val rows = Quality.termDrift(a, b, "text", topK = 3).get
+      .select("term", "n_a", "n_b", "js_contrib")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // the two one-sided words dominate the drift; shared words contribute ~0
+    assert(rows.map(_._1).take(2).toSet == Set("oldword", "newword"))
+    assert(rows.head._4 > 0)
+    val old = rows.find(_._1 == "oldword").get
+    assert(old._2 == 20L && old._3 == 0L)
+  }
+
+  test("termDrift: identical corpora have (near) zero contributions") {
+    val a = Seq((1L, "same words in both")).toDF("id", "text")
+    val rows = Quality.termDrift(a, a, "text", topK = 10).get
+      .select("js_contrib").as[Double].collect()
+    assert(rows.forall(math.abs(_) < 1e-12))
+  }
 }
