@@ -1428,6 +1428,17 @@ object SparkEntry {
         .orderBy(col("js_contrib").desc, col("term"))
     }),
 
+    "q113_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the synthetic embeddings: portable md5-hyperplane
+      // codebook (8 cells), greedy keep-lowest-id within a cell at
+      // cosine ≥ 0.25 (corpus max pairwise cosine ≈0.48 — same rationale
+      // as q37). Uncapped cells for oracle parity; the k-means-codebook
+      // variant (semanticDedupAssigned) stays covered by DedupSpec.
+      Dedup.semanticDedup(tbl(s, dir, "embeddings"), "embedding", "vec_id",
+        nClusters = 8, threshold = 0.25, maxCluster = Int.MaxValue)
+        .get.orderBy("vec_id")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2729,6 +2740,40 @@ object SparkEntry {
            ) / 2.0, 9) AS js_contrib
          FROM j, s
          ORDER BY js_contrib DESC, term LIMIT 30""",
+
+    // q113: the codebook is the portable md5-sign hyperplane set, so the
+    // assignment (argmax projection, ties → smallest j) and the greedy
+    // keep-lowest-id policy are both recomputed exactly here.
+    "q113_semantic_dedup" ->
+      """WITH signs AS (
+           SELECT jj.j AS j, ii.i AS i,
+             CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(jj.j AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR)),
+                    1, 15)) AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END AS s
+           FROM (SELECT unnest(range(0, 8)) AS j) jj,
+                (SELECT unnest(range(0, 64)) AS i) ii
+         ), proj AS (
+           SELECT e.vec_id, sg.j,
+             sum(CAST(e.embedding[sg.i + 1] AS DOUBLE) * sg.s) AS p
+           FROM embeddings e, signs sg
+           GROUP BY e.vec_id, sg.j
+         ), assign AS (
+           SELECT vec_id, CAST(j AS INTEGER) AS cluster FROM (
+             SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, j) AS rn
+             FROM proj) WHERE rn = 1
+         ), dropped AS (
+           SELECT DISTINCT b.vec_id
+           FROM assign a
+           JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])) >= 0.25
+         )
+         SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

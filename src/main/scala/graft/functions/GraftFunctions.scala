@@ -74,6 +74,9 @@ object GraftFunctions {
       es => { arity("portable_vec_simhash", es, 1, 2)
         PortableVecSimhash(es.head,
           if (es.length > 1) intLit(es(1)) else 60) }, "scala_udf")
+    reg.createOrReplaceTempFunction("portable_cluster",
+      es => { arity("portable_cluster", es, 2, 2)
+        PortableClusterAssign(es.head, intLit(es(1))) }, "scala_udf")
     reg.createOrReplaceTempFunction("band_keys_from_simhash",
       es => { arity("band_keys_from_simhash", es, 3, 3)
         BandKeysFromSimhash(es(0), intLit(es(1)), intLit(es(2))) }, "scala_udf")

@@ -420,6 +420,54 @@ case class PortableVecSimhash(child: Expression, bits: Int)
   override def prettyName: String = "portable_vec_simhash"
 }
 
+/** Nearest-portable-centroid cluster id: argmax over `j < nClusters` of
+  * the md5-sign projection `Σ_i v_i·s(j)(i)` (ties → smallest j). The
+  * "centroids" are the same ±1 rows as [[PortableVecSimhashImpl]] —
+  * single sign source — so any engine with `md5()` recomputes the
+  * assignment exactly: the cross-engine-checkable stand-in for a k-means
+  * codebook in SemDeDup-style semantic dedup. Two assignments can only
+  * disagree if the top two projections land within float-summation-order
+  * noise of each other — vanishingly unlikely for real-valued embeddings
+  * (same knife-edge argument as the signature's `p > 0` bit). */
+object PortableClusterImpl {
+  def compute(v: ArrayData, nClusters: Int, isDouble: Boolean): Int = {
+    val dim = v.numElements()
+    val s = PortableVecSimhashImpl.signs(nClusters, dim)
+    var best = 0
+    var bestP = Double.NegativeInfinity
+    var j = 0
+    while (j < nClusters) {
+      var acc = 0.0
+      val off = j * dim
+      var i = 0
+      if (isDouble) while (i < dim) { acc += v.getDouble(i) * s(off + i); i += 1 }
+      else while (i < dim) { acc += v.getFloat(i).toDouble * s(off + i); i += 1 }
+      if (acc > bestP) { bestP = acc; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+case class PortableClusterAssign(child: Expression, nClusters: Int)
+    extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"portable_cluster needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    PortableClusterImpl.compute(input.asInstanceOf[ArrayData], nClusters, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableClusterImpl.compute($c, $nClusters, $isDouble)")
+  override protected def withNewChildInternal(newChild: Expression): PortableClusterAssign =
+    copy(child = newChild)
+  override def prettyName: String = "portable_cluster"
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

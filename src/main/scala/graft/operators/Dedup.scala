@@ -625,6 +625,81 @@ object Dedup {
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings, then drop every vector that has a lower-id
+    * vector in the SAME cluster with cosine ≥ `threshold` — the greedy
+    * representative-by-min-id policy of [[minhashDedup]], applied in
+    * embedding space. The codebook is the portable md5-sign hyperplane
+    * set (assignment = argmax projection, [[PortableLsh.clusterCol]]), so
+    * the full output is a pure function of the data that external SQL can
+    * recompute — a k-means codebook (the paper's choice) is seeded and
+    * engine-private; pre-compute one into a `cluster` column and use
+    * [[semanticDedupAssigned]] when fidelity to the paper matters more
+    * than cross-engine checkability.
+    *
+    * Scale: one shuffle on the cluster id; within-cluster pairing is the
+    * quadratic step, so clusters larger than `maxCluster` are left
+    * un-deduped (recall deviation, same policy as the LSH bucket caps)
+    * rather than allowed to explode the join. Size `nClusters` so
+    * corpus/nClusters stays ≲ `maxCluster`; the pairing carries only
+    * (id, cluster, vector) rows, never document payloads.
+    *
+    * Output: (idCol, cluster, kept) — one row per input vector. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int = 16,
+      threshold: Double = 0.95,
+      maxCluster: Int = 10000
+  ): MayFail[DataFrame] = MayFail {
+    require(nClusters > 0 && nClusters <= 60, s"nClusters in (0, 60]: $nClusters")
+    semanticDedupAssignedImpl(
+      df.select(col(idCol),
+        PortableLsh.clusterCol(col(vecCol), nClusters).as("cluster"),
+        col(vecCol).as("__p")),
+      idCol, threshold, maxCluster)
+  }
+
+  /** [[semanticDedup]] over a caller-provided assignment (e.g. a real
+    * k-means codebook): `df` must carry `clusterCol`; same keep policy,
+    * same `maxCluster` quadratic guard. */
+  def semanticDedupAssigned(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      clusterCol: String,
+      threshold: Double = 0.95,
+      maxCluster: Int = 10000
+  ): MayFail[DataFrame] = MayFail {
+    semanticDedupAssignedImpl(
+      df.select(col(idCol), col(clusterCol).as("cluster"), col(vecCol).as("__p")),
+      idCol, threshold, maxCluster)
+  }
+
+  private def semanticDedupAssignedImpl(
+      assigned: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxCluster: Int): DataFrame = {
+    // Oversized clusters skip pair generation entirely (cap policy);
+    // singletons have no pairs by construction, so both bounds prune.
+    val wc = Window.partitionBy(col("cluster"))
+    val within = assigned
+      .withColumn("__cs", count(lit(1)).over(wc))
+      .filter(col("__cs") <= maxCluster && col("__cs") > 1)
+    val dropped = within.select(col("cluster"), col(idCol).as("idA"), col("__p").as("__pA"))
+      .join(within.select(col("cluster"), col(idCol).as("idB"), col("__p").as("__pB")),
+        Seq("cluster"))
+      .filter(col("idA") < col("idB") &&
+        vecCosine(col("__pA"), col("__pB")) >= threshold)
+      .select(col("idB").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__drop").isNull.as("kept"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing any word
     * `n`-gram with the `benchmark` set, with the overlap count —
     * `(idCol, n_overlaps)`, overlap counted over DISTINCT corpus-side

@@ -45,6 +45,19 @@ object PortableLsh {
         graft.functions.FunctionBridge.expression(vecCol), bits))
   }
 
+  /** Nearest-portable-centroid cluster id of `vecCol` — argmax of the
+    * md5-sign projections over `nClusters` hyperplanes (ties → smallest
+    * index). See [[graft.functions.PortableClusterImpl]] for the
+    * cross-engine contract; in SQL the assignment is
+    * `row_number() OVER (PARTITION BY id ORDER BY p DESC, j) = 1` over
+    * the same `signs`/`proj` CTEs as the signature. */
+  def clusterCol(vecCol: Column, nClusters: Int): Column = {
+    require(nClusters > 0 && nClusters <= 60, s"nClusters out of range: $nClusters")
+    graft.functions.FunctionBridge.column(
+      graft.functions.PortableClusterAssign(
+        graft.functions.FunctionBridge.expression(vecCol), nClusters))
+  }
+
   /** `(id, sh)` signature frame for [[Dedup.simhashPairsFrom]]. */
   def vecSimhash(df: DataFrame, vecCol: String, idCol: String,
                  bits: Int = 60): DataFrame =

@@ -73,6 +73,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH degenerated to a loop join")
   }
 
+  test("q113: semantic dedup pairs only within codebook cells, never all-pairs") {
+    val plan = planOf("q113_semantic_dedup")
+    assert(plan.contains("portable_cluster"), "portable codebook kernel missing")
+    assert(!plan.contains("CartesianProduct"), "pairing degenerated to a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "pairing degenerated to a loop join")
+  }
+
   test("q76: small-vocab corpus takes the dense banded path (hash join, no n² loop join)") {
     val plan = planOf("q76_tfidf")
     assert(plan.contains("double_vec_dot"), "dense path's native dot kernel missing")

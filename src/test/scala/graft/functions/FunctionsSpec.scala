@@ -143,6 +143,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r3.getDouble(0) == 11.0)
     assert(r3.getSeq[String](1) == Seq("a", "c"))
     assert(r3.getSeq[Int](2) == Seq(0, 0, 1, 2))
+    // cluster assignment agrees with the column API and lands in range
+    val r4 = spark.sql("SELECT portable_cluster(x, 8) AS c FROM gf_test").head()
+    val viaCol = Seq((Array(1f, 2f))).toDF("x")
+      .select(graft.operators.PortableLsh.clusterCol($"x", 8)).as[Int].head()
+    assert(r4.getInt(0) == viaCol && r4.getInt(0) >= 0 && r4.getInt(0) < 8)
   }
 
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {

@@ -182,6 +182,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semanticDedup drops the later twin and keeps the far vector") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, base), (1L, near), (2L, other)).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "embedding", "vec_id",
+      nClusters = 4, threshold = 0.99).get
+      .select("vec_id", "cluster", "kept")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(got(0)._2 == got(1)._2)               // twins share a cell
+    assert(got(0)._3 && !got(1)._3 && got(2)._3) // min-id representative survives
+  }
+
+  test("semanticDedup matches a brute-force same-cluster recomputation") {
+    import graft.functions.VectorFunctions.vecCosine
+    import graft.operators.PortableLsh
+    val df = (0L until 40L).map { id =>
+      (id, Array.tabulate(8)(i => math.sin(0.7 * id + 1.3 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val t = 0.5
+    val got = Dedup.semanticDedup(df, "embedding", "vec_id",
+      nClusters = 4, threshold = t).get
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val assigned = df.select(col("vec_id"),
+      PortableLsh.clusterCol(col("embedding"), 4).as("c"), col("embedding"))
+    val droppedExpected = assigned.as("a")
+      .join(assigned.as("b"), col("a.c") === col("b.c") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        vecCosine(col("a.embedding"), col("b.embedding")) >= t)
+      .select(col("b.vec_id")).as[Long].collect().toSet
+    assert(got.size == 40)
+    (0L until 40L).foreach { id =>
+      assert(got(id) == !droppedExpected.contains(id), s"vec $id")
+    }
+  }
+
+  test("semanticDedupAssigned honors caller clusters and the maxCluster cap") {
+    val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val df = Seq((0L, v, 7), (1L, v.clone(), 7), (2L, v.clone(), 7))
+      .toDF("vec_id", "embedding", "cell")
+    // identical vectors in one caller-assigned cell: min id survives
+    val kept = Dedup.semanticDedupAssigned(df, "embedding", "vec_id", "cell",
+      threshold = 0.99).get
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(kept == Map(0L -> true, 1L -> false, 2L -> false))
+    // cap below the cell size: the oversized cell is left un-deduped
+    val capped = Dedup.semanticDedupAssigned(df, "embedding", "vec_id", "cell",
+      threshold = 0.99, maxCluster = 2).get
+      .select("kept").as[Boolean].collect()
+    assert(capped.forall(identity))
+  }
+
   test("contaminationReport names the benchmark each hit came from") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta end"),  // hits A
