@@ -1439,6 +1439,21 @@ object SparkEntry {
         .get.orderBy("vec_id")
     }),
 
+    "q114_dsir" -> ((s, dir) => {
+      // DSIR importance weights: every 10th doc is the "target" domain,
+      // the rest are the raw pool. Unigram+bigram buckets under the
+      // portable md5 hash, add-0.5 smoothing over 4096 dense buckets —
+      // the oracle replays every weight exactly.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dsir.logWeights(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "text", "doc_id", nBuckets = 4096, alpha = 0.5).get
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2774,6 +2789,51 @@ object SparkEntry {
          SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
          FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
          ORDER BY a.vec_id""",
+
+    // q114: full DSIR replay — same tokenization, same md5 bucket hash,
+    // same dense add-α smoothing; weights match to 6 decimals.
+    "q114_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest(list_concat(ts,
+             list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])))
+             AS gram
+           FROM toks
+         ), buck AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % 4096 AS bucket
+           FROM grams
+         ), dense AS (SELECT unnest(range(0, 4096)) AS bucket),
+         tc AS (
+           SELECT d.bucket, coalesce(c.n, 0) AS n
+           FROM dense d LEFT JOIN (
+             SELECT bucket, count(*) AS n FROM buck WHERE doc_id % 10 = 0
+             GROUP BY bucket) c ON c.bucket = d.bucket
+         ), rc AS (
+           SELECT d.bucket, coalesce(c.n, 0) AS n
+           FROM dense d LEFT JOIN (
+             SELECT bucket, count(*) AS n FROM buck WHERE doc_id % 10 <> 0
+             GROUP BY bucket) c ON c.bucket = d.bucket
+         ),
+         lp AS (SELECT bucket, ln((n + 0.5) / ((SELECT sum(n) FROM tc) + 0.5 * 4096)) AS logp FROM tc),
+         lq AS (SELECT bucket, ln((n + 0.5) / ((SELECT sum(n) FROM rc) + 0.5 * 4096)) AS logq FROM rc),
+         scored AS (
+           SELECT b.doc_id, count(*) AS n_grams, sum(lp.logp - lq.logq) AS w
+           FROM buck b
+           JOIN lp ON lp.bucket = b.bucket
+           JOIN lq ON lq.bucket = b.bucket
+           WHERE b.doc_id % 10 <> 0
+           GROUP BY b.doc_id
+         )
+         SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+           round(coalesce(s.w, 0.0), 6) AS log_weight
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         LEFT JOIN scored s ON s.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

@@ -92,6 +92,17 @@ object ScaleRehearsal {
       k = 5, shortlistK = 50).get.count())
     time("span-dedup")(graft.operators.Segments.spanDedup(
       docs, "text", "doc_id", n = 8).get.count())
+    // codebook cells are THE quadratic knob: 20k·mult vectors / 32 cells
+    // must stay under maxCluster or cells silently skip pairing
+    time("semantic-dedup")(graft.operators.Dedup.semanticDedup(
+      emb, "embedding", "vec_id", nClusters = 32, threshold = 0.25).get
+      .filter(col("kept")).count())
+    // the prob tables stay 4096 rows no matter the corpus size — only
+    // the per-doc re-aggregate should grow with mult
+    time("dsir-weights")(graft.operators.Dsir.logWeights(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "text", "doc_id", nBuckets = 4096).get.count())
 
     // ---- standing invariants (assertions, not just timings) ----------
 
@@ -169,8 +180,24 @@ object ScaleRehearsal {
       s"span dedup must wipe exactly the replicas' covered tokens: " +
         s"$spanReplDropped != $spanExpected")
 
+    // Semantic-dedup replication law: a replica is the SAME vector under a
+    // larger id, so it lands in its original's codebook cell and the min-id
+    // policy drops it (cosine 1 ≥ threshold); replica-0 members keep their
+    // exact neighbor structure (new neighbors all have larger ids). The
+    // kept set of the replicated corpus is therefore exactly the base's.
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+    def semKept(d: DataFrame): Long = graft.operators.Dedup.semanticDedup(
+      d, "embedding", "vec_id", nClusters = 32, threshold = 0.25).get
+      .filter(col("kept")).count()
+    val semBase = semKept(embBase)
+    val semRepl = semKept(emb)
+    assert(semRepl == semBase,
+      s"semantic dedup must keep exactly the base corpus under replication: " +
+        s"$semRepl != $semBase")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
-      "segment keep-first, boilerplate stability, span-dedup replication law)")
+      "segment keep-first, boilerplate stability, span-dedup replication law, " +
+      "semantic-dedup replication law)")
     spark.stop()
   }
 }

@@ -80,6 +80,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "pairing degenerated to a loop join")
   }
 
+  test("q114: DSIR scoring joins the broadcast prob tables, never a cartesian") {
+    val plan = planOf("q114_dsir")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket log-prob tables should broadcast into the gram scorer")
+    assert(!plan.contains("CartesianProduct"), "scoring degenerated to a cartesian product")
+  }
+
   test("q76: small-vocab corpus takes the dense banded path (hash join, no n² loop join)") {
     val plan = planOf("q76_tfidf")
     assert(plan.contains("double_vec_dot"), "dense path's native dot kernel missing")
