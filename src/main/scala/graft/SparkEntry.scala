@@ -1454,6 +1454,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q115_gopher" -> ((s, dir) => {
+      // Gopher rule flags over the corpus, lowered word-count floor so
+      // both outcomes occur at gate scale (synthetic docs run ~40-90
+      // words). The synthetic vocabulary contains no English stop words,
+      // so a third of the docs get a stopword-bearing sentence planted
+      // (q79's synthetic-PII pattern) — stopword_ok and pass then vary;
+      // every flag is replayed exactly by the oracle.
+      val aug = tbl(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"),
+            lit(" the data and that report have merit with it to be seen")))
+          .otherwise(col("text")))
+      graft.operators.Quality.gopherFlags(aug, "text", "doc_id",
+        minWords = 60L).get
+        .orderBy("doc_id")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2834,6 +2851,59 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
          LEFT JOIN scored s ON s.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    // q115: Gopher rules replayed rule-for-rule (same tokenization, same
+    // line splitting, same thresholds).
+    "q115_gopher" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || ' the data and that report have merit with it to be seen'
+               ELSE text END AS text
+           FROM documents
+         ), t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS ts,
+             string_split(text, chr(10)) AS lines
+           FROM aug
+         ), m AS (
+           SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             list_sum(list_transform(ts, x -> CAST(len(x) AS BIGINT))) AS sum_len,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+             CAST(len(lines) AS DOUBLE) AS n_lines,
+             CAST(len(list_filter(lines, l ->
+               starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- ')
+                 OR starts_with(ltrim(l), '* '))) AS DOUBLE) AS n_bullet,
+             CAST(len(list_filter(lines, l ->
+               ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               AS DOUBLE) AS n_ellend,
+             CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             len(list_intersect(list_distinct(ts),
+               ['the','be','to','of','and','that','have','with'])) AS n_stop
+           FROM t
+         ), f AS (
+           SELECT doc_id, n_words,
+             n_words BETWEEN 60 AND 100000 AS word_count_ok,
+             n_words > 0 AND (CAST(sum_len AS DOUBLE) / n_words)
+               BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+             n_words > 0 AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+               AS symbol_ratio_ok,
+             n_bullet / n_lines <= 0.9 AS bullet_ok,
+             n_ellend / n_lines <= 0.3 AS ellipsis_ok,
+             n_words > 0 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+               AS alpha_ok,
+             n_stop >= 2 AS stopword_ok
+           FROM m
+         )
+         SELECT doc_id, n_words, word_count_ok, mean_word_len_ok,
+           symbol_ratio_ok, bullet_ok, ellipsis_ok, alpha_ok, stopword_ok,
+           (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND
+            bullet_ok AND ellipsis_ok AND alpha_ok AND stopword_ok) AS pass
+         FROM f ORDER BY doc_id""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

@@ -126,4 +126,66 @@ object Quality {
       .orderBy(col("js_contrib").desc, col("term"))
       .limit(topK)
   }
+
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 table A1):
+    * the standard pre-training document filter set, one boolean per rule
+    * plus the conjunction — `(idCol, n_words, word_count_ok,
+    * mean_word_len_ok, symbol_ratio_ok, bullet_ok, ellipsis_ok, alpha_ok,
+    * stopword_ok, pass)`. Emit flags rather than dropping rows so a
+    * pipeline can report WHICH rule rejected each document before
+    * filtering on `pass`.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; (`#` + `...`) to word ratio ≤ 0.1; ≤ 90% of lines start
+    * with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words
+    * contain an alphabetic character; ≥ 2 distinct of the eight required
+    * stop words. A word-less document fails every word-denominated rule.
+    *
+    * Scale: pure per-row column expressions — no shuffle, no UDF, fully
+    * codegen'd; filters push down around it. */
+  def gopherFlags(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L
+  ): MayFail[DataFrame] = MayFail {
+    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    val nWords = size(ts).cast("long")
+    val sumLen = aggregate(ts, lit(0L), (a, t) => a + length(t).cast("long"))
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val nHash = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    // non-overlapping "..." occurrences: the removed length is always a
+    // multiple of 3
+    val nEll = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("double")
+    val nBullet = size(filter(lines, l =>
+      ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
+        ltrim(l).startsWith("* "))).cast("double")
+    val nEllEnd = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double")
+    val nAlpha = size(filter(ts, t => t.rlike("[a-z]"))).cast("long")
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_intersect(array_distinct(ts),
+      array(stop.map(lit): _*))).cast("long")
+    val flags = Seq(
+      (nWords >= minWords && nWords <= maxWords).as("word_count_ok"),
+      (nWords > 0 && meanLen.between(3.0, 10.0)).as("mean_word_len_ok"),
+      (nWords > 0 &&
+        (nHash + nEll).cast("double") / nWords.cast("double") <= 0.1)
+        .as("symbol_ratio_ok"),
+      (nBullet / nLines <= 0.9).as("bullet_ok"),
+      (nEllEnd / nLines <= 0.3).as("ellipsis_ok"),
+      (nWords > 0 && nAlpha.cast("double") / nWords.cast("double") >= 0.8)
+        .as("alpha_ok"),
+      (nStop >= 2L).as("stopword_ok"))
+    df.select(col(idCol) +: nWords.as("n_words") +: flags: _*)
+      .withColumn("pass",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("bullet_ok") && col("ellipsis_ok") &&
+          col("alpha_ok") && col("stopword_ok"))
+  }
 }

@@ -111,6 +111,42 @@ class QualitySpec extends AnyFunSuite {
     assert(ok.forall(identity))
   }
 
+  test("gopherFlags: each rule fires on its designed offender") {
+    val good = "the report and data have merit with good words to be seen here"
+    val docs = Seq(
+      (0L, good),                                    // passes everything
+      (1L, "the and to"),                            // too few words
+      (2L, "the be to of and xx yy zz aa bb cc dd"), // mean word len < 3
+      (3L, good + " ### ## #"),                      // symbol ratio > 0.1
+      (4L, "• the one\n• be two\n• of three"),       // all lines bulleted
+      (5L, "the one...\nbe two...\nof three..."),    // all lines ellipsis-ended
+      (6L, "the be 123 456 789 012 345 678 901 234"),// <80% alphabetic words
+      (7L, "zebra quartz vortex nebula plasma denim") // <2 stop words
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherFlags(docs, "text", "doc_id", minWords = 5L).get
+      .orderBy("doc_id").collect()
+    def flag(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getBoolean(r.fieldIndex(name))
+    assert(flag(got(0), "pass"))
+    assert(!flag(got(1), "word_count_ok") && !flag(got(1), "pass"))
+    assert(!flag(got(2), "mean_word_len_ok"))
+    assert(!flag(got(3), "symbol_ratio_ok"))
+    assert(!flag(got(4), "bullet_ok"))
+    assert(!flag(got(5), "ellipsis_ok"))
+    assert(!flag(got(6), "alpha_ok"))
+    assert(!flag(got(7), "stopword_ok"))
+  }
+
+  test("gopherFlags: a word-less document fails word-denominated rules without dividing by zero") {
+    val got = Quality.gopherFlags(Seq((0L, "")).toDF("doc_id", "text"),
+      "text", "doc_id").get.collect().head
+    def flag(name: String): Boolean = got.getBoolean(got.fieldIndex(name))
+    assert(got.getLong(got.fieldIndex("n_words")) == 0L)
+    assert(!flag("word_count_ok") && !flag("mean_word_len_ok") &&
+      !flag("symbol_ratio_ok") && !flag("alpha_ok") && !flag("pass"))
+    assert(flag("bullet_ok") && flag("ellipsis_ok")) // no lines misbehave
+  }
+
   test("termDrift surfaces the shifted terms first and handles one-sided vocab") {
     // corpora share filler; 'newword' exists only in B, 'oldword' only in A
     val a = Seq.fill(20)((1L, "filler common tokens here oldword")).toDF("id", "text")
