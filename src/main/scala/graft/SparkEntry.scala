@@ -1471,6 +1471,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q116_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail assignment by pinned perplexity cutoffs
+      // (30.0 / 30.5 split the sf0.01 corpus's dense zone so all three
+      // labels occur). Bucketing compares the UN-rounded perplexity —
+      // map-side, no sort — exactly as the oracle replays it.
+      val ppl = graft.operators.LmScore.unigramScores(
+        tbl(s, dir, "documents"), "text", "doc_id").get
+      graft.operators.LmScore.buckets(ppl, "perplexity",
+        cutoffs = Seq(30.0, 30.5)).get
+        .select(col("doc_id"), round(col("perplexity"), 4).as("ppl_uni"),
+          col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2904,6 +2918,30 @@ object SparkEntry {
            (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND
             bullet_ok AND ellipsis_ok AND alpha_ok AND stopword_ok) AS pass
          FROM f ORDER BY doc_id""",
+
+    // q116: full LM replay (q96's unigram CTEs) + the same pinned-cutoff
+    // CASE — bucket membership is compared on the un-rounded perplexity.
+    "q116_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents
+         ), uni AS (
+           SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+         ), stats AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM uni
+         ), uscore AS (
+           SELECT t.doc_id,
+             exp(-avg(ln((u.c1 + 1.0) / (s.N + 1.0 * s.V)))) AS ppl
+           FROM toks t JOIN uni u USING (tok), stats s
+           GROUP BY t.doc_id
+         )
+         SELECT doc_id, round(ppl, 4) AS ppl_uni,
+           CASE WHEN ppl <= 30.0 THEN 'head'
+                WHEN ppl <= 30.5 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM uscore ORDER BY doc_id""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

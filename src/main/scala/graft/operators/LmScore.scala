@@ -79,4 +79,47 @@ object LmScore {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_logprob"))
   }
+
+  /** CCNet-style bucket assignment (Wenzek et al. 2020, arXiv:1911.00359
+    * §4.3): label each row by comparing `scoreCol` against the ascending
+    * `cutoffs` — `labels(i)` when the score is ≤ `cutoffs(i)`, the last
+    * label above them all. Adds a `bucket` column.
+    *
+    * Pure map-side comparison — this is the point: CCNet derives cutoffs
+    * from a quantile sketch (per language), then assigns in one pass; the
+    * assignment never sorts the corpus, which an exact per-document
+    * ntile would (one window task per language at 100 TB). Get cutoffs
+    * from [[sampleCutoffs]], or pin literals for reproducible pipelines.
+    */
+  def buckets(
+      scores: DataFrame,
+      scoreCol: String,
+      cutoffs: Seq[Double],
+      labels: Seq[String] = Seq("head", "middle", "tail")
+  ): MayFail[DataFrame] = MayFail {
+    require(cutoffs.nonEmpty, "buckets needs at least one cutoff")
+    require(cutoffs == cutoffs.sorted, s"cutoffs must ascend: $cutoffs")
+    require(labels.size == cutoffs.size + 1,
+      s"need ${cutoffs.size + 1} labels for ${cutoffs.size} cutoffs, got ${labels.size}")
+    val label = cutoffs.zip(labels).foldRight(lit(labels.last)) {
+      case ((c, l), rest) => when(col(scoreCol) <= c, lit(l)).otherwise(rest)
+    }
+    scores.withColumn("bucket", label)
+  }
+
+  /** Approximate quantile cutoffs for [[buckets]]: `nBuckets − 1` interior
+    * quantiles of `scoreCol` via Spark's Greenwald-Khanna sketch. The
+    * driver receives a handful of doubles — a sketch, never data — which
+    * is CCNet's own recipe (cutoffs fitted on a sample, applied to the
+    * full corpus). */
+  def sampleCutoffs(
+      scores: DataFrame,
+      scoreCol: String,
+      nBuckets: Int = 3,
+      relativeError: Double = 0.01
+  ): MayFail[Seq[Double]] = MayFail {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    scores.stat.approxQuantile(scoreCol, probs, relativeError).toSeq
+  }
 }

@@ -64,4 +64,32 @@ class LmScoreSpec extends AnyFunSuite {
       case _       => false
     })
   }
+
+  test("buckets labels by cutoff with inclusive upper bounds") {
+    val df = Seq((0L, 10.0), (1L, 30.0), (2L, 30.0001), (3L, 30.5), (4L, 99.0))
+      .toDF("id", "perplexity")
+    val got = LmScore.buckets(df, "perplexity", Seq(30.0, 30.5)).get
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "head", 1L -> "head", 2L -> "middle",
+      3L -> "middle", 4L -> "tail"))
+  }
+
+  test("buckets validates cutoff order and label arity") {
+    val df = Seq((0L, 1.0)).toDF("id", "s")
+    assert(LmScore.buckets(df, "s", Seq(2.0, 1.0)).isFailing)
+    assert(LmScore.buckets(df, "s", Seq(1.0), labels = Seq("only")).isFailing)
+    assert(LmScore.buckets(df, "s", Seq.empty).isFailing)
+  }
+
+  test("sampleCutoffs feed buckets into roughly even tertiles") {
+    val df = (0 until 900).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val cuts = LmScore.sampleCutoffs(df, "s", nBuckets = 3).get
+    assert(cuts.size == 2 && cuts == cuts.sorted)
+    val counts = LmScore.buckets(df, "s", cuts).get
+      .groupBy("bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    // GK sketch at 1% error on 900 uniform points: tertiles within ±5%
+    counts.values.foreach(n => assert(math.abs(n - 300L) <= 45L, counts))
+  }
 }
