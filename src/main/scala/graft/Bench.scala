@@ -37,7 +37,11 @@ object Bench {
     "q96_lm_score",
     // span dedup: corpus-wide positional gram shuffle + rebuild join —
     // the heaviest text-granularity pass
-    "q102_span_dedup"
+    "q102_span_dedup",
+    // data-selection additions: codebook-cell quadratic pairing and the
+    // two-corpus broadcast-scored gram stream
+    "q113_semantic_dedup",
+    "q114_dsir"
   )
 
   def main(args: Array[String]): Unit = {
