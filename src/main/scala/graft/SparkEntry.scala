@@ -1485,6 +1485,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q117_c4_clean" -> ((s, dir) => {
+      // C4 rules over synthesized line structure (the corpus has no
+      // newlines/punctuation): line A ends "."; line B keeps its terminal
+      // punctuation only for even ids; "short line" fails the word floor;
+      // the javascript line always drops; every 7th doc plants
+      // "lorem ipsum", every 11th a curly brace — so line- and doc-level
+      // verdicts all vary, and the oracle replays the same construction.
+      val lined = tbl(s, dir, "documents").withColumn("text",
+        concat(
+          substring(col("text"), 1, 60), lit(" end.\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(substring(col("text"), 61, 60), lit(" more tail.")))
+            .otherwise(substring(col("text"), 61, 60)),
+          lit("\nshort line\nplease enable javascript to view this page."),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur."))
+            .otherwise(when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("\nconfig { skip this } done.")).otherwise(lit("")))))
+      graft.operators.Segments.c4Clean(lined, "text", "doc_id",
+        minLineWords = 5, minLines = 2).get
+        .orderBy("doc_id")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -2942,6 +2965,41 @@ object SparkEntry {
                 WHEN ppl <= 30.5 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM uscore ORDER BY doc_id""",
+
+    // q117: same synthesized lines, same rule-for-rule replay; empty
+    // surviving-line lists rebuild via coalesce (DuckDB array_to_string
+    // yields NULL on an empty list).
+    "q117_c4_clean" ->
+      """WITH lined AS (
+           SELECT doc_id,
+             substring(text, 1, 60) || ' end.' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+               THEN substring(text, 61, 60) || ' more tail.'
+               ELSE substring(text, 61, 60) END || chr(10) ||
+             'short line' || chr(10) ||
+             'please enable javascript to view this page.' ||
+             CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+               WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'config { skip this } done.'
+               ELSE '' END AS text
+           FROM documents
+         ), k AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l ->
+               (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+                ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+               AND len(list_filter(string_split_regex(trim(l), '[ \t\r\f]+'),
+                       w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kl
+           FROM lined
+         )
+         SELECT doc_id,
+           coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+           CAST(len(kl) AS BIGINT) AS n_lines_kept,
+           (len(kl) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS kept
+         FROM k ORDER BY doc_id""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

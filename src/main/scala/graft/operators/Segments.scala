@@ -311,4 +311,46 @@ object Segments {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (coalesce(col("n_segments"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
     }
+
+  /** C4 cleanup rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) — the
+    * line- and document-level web-text filters: a line survives when it
+    * ends in a terminal punctuation mark (`.` `!` `?` `"`), has at least
+    * `minLineWords` words, and does not mention "javascript"; a document
+    * survives when it retains at least `minLines` lines and contains
+    * neither "lorem ipsum" nor a curly brace. (The paper's remaining
+    * passes — bad-word list, three-sentence-span dedup — are the
+    * [[graft.operators.Quality.expect]] and [[spanDedup]] operators.)
+    *
+    * Returns `(idCol, clean_text, n_lines_kept, kept)` — one row per
+    * input document, `clean_text` rebuilt from the surviving lines (""
+    * when none survive). `kept` is the document verdict; emitting the
+    * flag instead of filtering keeps rejection reasons inspectable.
+    *
+    * Scale: pure per-row column expressions — no shuffle, no UDF; filters
+    * push down around it. */
+  def c4Clean(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLineWords: Int = 5,
+      minLines: Int = 3
+  ): MayFail[DataFrame] = MayFail {
+    require(minLineWords >= 1, s"minLineWords must be >= 1: $minLineWords")
+    require(minLines >= 1, s"minLines must be >= 1: $minLines")
+    val keptLines = filter(split(coalesce(col(textCol), lit("")), "\n"), l => {
+      val r = rtrim(l)
+      val words = filter(split(trim(l), "[ \\t\\r\\f]+"), w => w =!= "")
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+        r.endsWith("\"")) &&
+        size(words) >= minLineWords &&
+        !lower(l).contains("javascript")
+    })
+    df.select(col(idCol), keptLines.as("__kl"),
+        (!lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("__doc_ok"))
+      .select(col(idCol),
+        array_join(col("__kl"), "\n").as("clean_text"),
+        size(col("__kl")).cast("long").as("n_lines_kept"),
+        (size(col("__kl")) >= minLines && col("__doc_ok")).as("kept"))
+  }
 }

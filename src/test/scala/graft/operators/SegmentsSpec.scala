@@ -235,4 +235,28 @@ class SegmentsSpec extends AnyFunSuite {
       case _       => false
     })
   }
+
+  test("c4Clean applies the line rules and the document verdicts") {
+    val good = "this line has enough words to survive."
+    val docs = Seq(
+      (0L, s"$good\nanother decent line ends with a mark!"), // keeps 2 → kept
+      (1L, s"$good\nno terminal punctuation on this one"),   // keeps 1 → dropped
+      (2L, s"$good\ntiny line."),                            // word floor drops line 2
+      (3L, s"$good\nenable javascript to see this content."),// javascript drops line 2
+      (4L, s"$good\n$good\nbut lorem ipsum poisons the doc."),
+      (5L, s"$good\n$good\nbrace { poisons } the document."),
+      (6L, "")                                               // empty: nothing survives
+    ).toDF("doc_id", "text")
+    val got = Segments.c4Clean(docs, "text", "doc_id", minLineWords = 5, minLines = 2).get
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines_kept", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(got(0) == ((0L, s"$good\nanother decent line ends with a mark!", 2L, true)))
+    assert(got(1) == ((1L, good, 1L, false)))
+    assert(got(2) == ((2L, good, 1L, false)))
+    assert(got(3) == ((3L, good, 1L, false)))
+    assert(got(4)._3 == 3L && !got(4)._4) // lines fine, lorem ipsum kills the doc
+    assert(got(5)._3 == 3L && !got(5)._4) // brace kills the doc
+    assert(got(6) == ((6L, "", 0L, false)))
+  }
 }
