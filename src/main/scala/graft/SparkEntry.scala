@@ -1508,6 +1508,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q118_bm25" -> ((s, dir) => {
+      // BM25 retrieval: the first five docs' 80-char prefixes as queries
+      // (each should pull its own source doc to rank 1); full corpus as
+      // the index; rank ties broken by doc id on both engines.
+      val docs = tbl(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 80).as("qtext"))
+      graft.operators.TfIdf.bm25Search(docs, queries, "text", "doc_id",
+          "qtext", "query_id", k = 5).get
+        .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q110_contamination_report" -> ((s, dir) => {
       // Per-benchmark provenance: two named eval sets (docs 0-9 and
       // 10-19), each broadcast; one row per (doc, benchmark) hit. Every
@@ -3000,6 +3015,48 @@ object SparkEntry {
            (len(kl) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
             AND NOT contains(text, '{')) AS kept
          FROM k ORDER BY doc_id""",
+
+    // q118: full BM25 replay — same tokenization, same Lucene idf, same
+    // Okapi saturation; scores match to 6 decimals, rank ties by doc id.
+    "q118_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[ \t\n\r\f]+'), t -> t <> '')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term
+         ), dl AS (
+           SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id
+         ), dfreq AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS dfn FROM tf GROUP BY term
+         ), q AS (
+           SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(substring(text, 1, 80)), '[ \t\n\r\f]+'),
+             t -> t <> ''))) AS term
+           FROM documents WHERE doc_id < 5
+         ), scored AS (
+           SELECT q.query_id, t.doc_id,
+             sum(ln(1.0 + ((SELECT count(*) FROM documents) - d.dfn + 0.5)
+                          / (d.dfn + 0.5))
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                  / (SELECT avg(dl) FROM dl)))) AS score
+           FROM q
+           JOIN tf t USING (term)
+           JOIN dfreq d ON d.term = t.term
+           JOIN dl l ON l.doc_id = t.doc_id
+           GROUP BY q.query_id, t.doc_id
+         ), ranked AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+           FROM scored
+         )
+         SELECT query_id, doc_id, round(score, 6) AS score,
+           CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q110_contamination_report" ->
       """WITH corpaug AS (

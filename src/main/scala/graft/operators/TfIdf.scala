@@ -210,4 +210,58 @@ object TfIdf {
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Okapi BM25 ranked retrieval (Robertson & Walker 1994): top-`k`
+    * corpus documents per query, scored
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * non-negative idf `ln(1 + (N−df+0.5)/(df+0.5))` (Lucene's form) and
+    * query terms as a distinct bag. Returns
+    * `(queryId, docId, score, rank)`, rank ties broken by doc id.
+    *
+    * Scale: the query term list BROADCASTS (query sets are small), so the
+    * corpus postings are matched map-side on term and only matching
+    * (query, doc) partials shuffle into the per-pair sum — the corpus
+    * never re-shuffles per query. Top-k per query is a rank-limited
+    * window ([[graft.physical.Order.topKPerGroup]] — WindowGroupLimit
+    * caps the shuffle). `corpus.count()` runs once for N, the same
+    * convention (and caveat for derived frames) as [[postings]]. */
+  def bm25Search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTextCol: String,
+      queryIdCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): MayFail[DataFrame] = MayFail {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    def terms(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[ \t\n\r\f]+"), t => t =!= "")
+    val toks = corpus.select(col(idCol).as("docId"),
+      explode(terms(col(textCol))).as("term"))
+    val tf = toks.groupBy("docId", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = toks.groupBy("docId").agg(count(lit(1)).cast("double").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfn"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = corpus.count().toDouble
+    val qterms = queries.select(col(queryIdCol).as("queryId"),
+      explode(array_distinct(terms(col(queryTextCol)))).as("term"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("docId"))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("__s",
+        log(lit(1.0) + (lit(nDocs) - col("dfn") + 0.5) / (col("dfn") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("queryId", "docId")
+      .agg(sum(col("__s")).as("score"))
+    graft.physical.Order.topKPerGroup(scored, Seq("queryId"),
+      Seq(col("score").desc, col("docId")), k, rankCol = "rank").get
+  }
 }

@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "scoring degenerated to a cartesian product")
   }
 
+  test("q118: BM25 broadcasts the query terms into the postings, never a cartesian") {
+    val plan = planOf("q118_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-term match should be a broadcast hash join on term")
+    assert(!plan.contains("CartesianProduct"), "scoring degenerated to a cartesian product")
+  }
+
   test("q76: small-vocab corpus takes the dense banded path (hash join, no n² loop join)") {
     val plan = planOf("q76_tfidf")
     assert(plan.contains("double_vec_dot"), "dense path's native dot kernel missing")

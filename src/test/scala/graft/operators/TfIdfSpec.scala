@@ -77,4 +77,42 @@ class TfIdfSpec extends AnyFunSuite {
       assert(dense == sparse, s"strategies disagree at threshold $t")
     }
   }
+
+  test("bm25Search ranks the distinctive-term doc first and respects k") {
+    val corpus = Seq(
+      (0L, "zygote wavelet kraken in a short doc"),
+      (1L, "common words about tables and rows and columns here"),
+      (2L, "more common words about tables and columns and data"),
+      (3L, "zygote appears here too but this document is much longer " +
+        "with many extra words diluting the term frequency signal badly")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "zygote wavelet")).toDF("query_id", "qtext")
+    val got = TfIdf.bm25Search(corpus, queries, "text", "doc_id",
+      "qtext", "query_id", k = 2).get
+      .orderBy("rank")
+      .select("queryId", "docId", "rank").as[(Long, Long, Int)].collect()
+    assert(got.length == 2)                    // only docs 0 and 3 match at all
+    assert(got(0) == ((100L, 0L, 1)))          // both query terms, short doc
+    assert(got(1) == ((100L, 3L, 2)))          // one term, length-penalized
+  }
+
+  test("bm25Search: scores decrease with rank and ties break by doc id") {
+    val corpus = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val queries = Seq((9L, "alpha beta")).toDF("query_id", "qtext")
+    val got = TfIdf.bm25Search(corpus, queries, "text", "doc_id",
+      "qtext", "query_id", k = 3).get
+      .orderBy("rank")
+      .select("docId", "score").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L)) // twins tie → id order; longer doc last
+    assert(got(0)._2 == got(1)._2 && got(1)._2 > got(2)._2)
+  }
+
+  test("bm25Search validates its parameters") {
+    val df = Seq((0L, "a")).toDF("doc_id", "text")
+    val q = Seq((0L, "a")).toDF("query_id", "qtext")
+    assert(TfIdf.bm25Search(df, q, "text", "doc_id", "qtext", "query_id", k = 0).isFailing)
+    assert(TfIdf.bm25Search(df, q, "text", "doc_id", "qtext", "query_id", b = 1.5).isFailing)
+  }
 }
