@@ -103,6 +103,12 @@ object ScaleRehearsal {
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(10)) === 0),
       "text", "doc_id", nBuckets = 4096).get.count())
+    // index build dominates; the 5-query broadcast match must not rescan
+    // the corpus per query
+    time("bm25-search")(graft.operators.TfIdf.bm25Search(
+      docs, docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), substring(col("text"), 1, 80).as("qt")),
+      "text", "doc_id", "qt", "qid", k = 5).get.count())
 
     // ---- standing invariants (assertions, not just timings) ----------
 
