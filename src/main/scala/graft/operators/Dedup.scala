@@ -700,6 +700,47 @@ object Dedup {
       .select(col(idCol), col("cluster"), col("__drop").isNull.as("kept"))
   }
 
+  /** Probability that a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under `bands` bands of `rowsPerBand` rows — the S-curve
+    * `1 − (1 − s^r)^b` (Leskovec, Rajaraman & Ullman, "Mining of Massive
+    * Datasets" §3.4). */
+  def candidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0 && s <= 1, s"similarity in [0,1]: $s")
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding: $bands x $rowsPerBand")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+  }
+
+  /** Chosen LSH banding: `impliedThreshold = (1/bands)^(1/rowsPerBand)`
+    * is where the S-curve rises steeply; `pAtThreshold` is the candidate
+    * probability [[candidateProbability]] gives a pair sitting exactly at
+    * the requested threshold. */
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+                           impliedThreshold: Double, pAtThreshold: Double)
+
+  /** Pick `(bands, rowsPerBand)` for [[minhashPairs]]/[[minhashDedup]]
+    * given a similarity `threshold` and a signature budget of `nHashes`
+    * minhashes: recall-first, the plan whose implied threshold sits
+    * highest AT OR BELOW the target (so the steep part of the S-curve is
+    * crossed before the target and near-threshold pairs are still
+    * candidates), with ties favoring fewer sub-threshold candidates. The
+    * defaults of [[minhashPairs]] (16×4) are exactly
+    * `lshPlan(0.5, 64)`. Pure driver-side arithmetic — use it to size the
+    * banding before a 100 TB run instead of hand-tuning. */
+  def lshPlan(threshold: Double, nHashes: Int = 64): LshPlan = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(nHashes >= 1, s"nHashes must be positive: $nHashes")
+    val plans = (1 to nHashes).flatMap { r =>
+      val b = nHashes / r
+      if (b >= 1)
+        Some(LshPlan(b, r, math.pow(1.0 / b, 1.0 / r),
+          candidateProbability(threshold, b, r)))
+      else None
+    }
+    val below = plans.filter(_.impliedThreshold <= threshold)
+    if (below.nonEmpty) below.maxBy(_.impliedThreshold)
+    else plans.minBy(_.impliedThreshold)
+  }
+
   /** Benchmark decontamination: corpus documents sharing any word
     * `n`-gram with the `benchmark` set, with the overlap count —
     * `(idCol, n_overlaps)`, overlap counted over DISTINCT corpus-side

@@ -235,6 +235,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.forall(identity))
   }
 
+  test("lshPlan: S-curve math and the recall-first banding choice") {
+    // closed-form checks of the candidate S-curve
+    assert(Dedup.candidateProbability(1.0, 16, 4) == 1.0)
+    assert(Dedup.candidateProbability(0.0, 16, 4) == 0.0)
+    val p = Dedup.candidateProbability(0.5, 16, 4)
+    assert(math.abs(p - (1.0 - math.pow(1.0 - 0.0625, 16))) < 1e-12)
+    assert(math.abs(p - 0.6439) < 1e-3)
+    // the library defaults (16 bands x 4 rows) are the 0.5/64 plan
+    val half = Dedup.lshPlan(0.5, 64)
+    assert(half.bands == 16 && half.rowsPerBand == 4)
+    assert(math.abs(half.impliedThreshold - 0.5) < 1e-12)
+    // a stricter threshold shifts to taller bands (8x8 implies ~0.771,
+    // the highest implied threshold at or below 0.8 for a 64-hash budget)
+    val strict = Dedup.lshPlan(0.8, 64)
+    assert(strict.bands == 8 && strict.rowsPerBand == 8)
+    assert(strict.impliedThreshold <= 0.8)
+    // monotone recall: looser pairs are never more likely candidates
+    val ss = (1 to 9).map(_ / 10.0)
+    val probs = ss.map(Dedup.candidateProbability(_, strict.bands, strict.rowsPerBand))
+    assert(probs == probs.sorted)
+  }
+
   test("contaminationReport names the benchmark each hit came from") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta end"),  // hits A
