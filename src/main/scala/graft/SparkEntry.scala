@@ -2942,8 +2942,8 @@ object SparkEntry {
              n_words BETWEEN 60 AND 100000 AS word_count_ok,
              n_words > 0 AND (CAST(sum_len AS DOUBLE) / n_words)
                BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
-             n_words > 0 AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
-               AS symbol_ratio_ok,
+             n_words > 0 AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+               AND CAST(n_ell AS DOUBLE) / n_words <= 0.1 AS symbol_ratio_ok,
              n_bullet / n_lines <= 0.9 AS bullet_ok,
              n_ellend / n_lines <= 0.3 AS ellipsis_ok,
              n_words > 0 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8

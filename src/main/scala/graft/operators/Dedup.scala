@@ -653,7 +653,12 @@ object Dedup {
       threshold: Double = 0.95,
       maxCluster: Int = 10000
   ): MayFail[DataFrame] = MayFail {
-    require(nClusters > 0 && nClusters <= 60, s"nClusters in (0, 60]: $nClusters")
+    // unlike the packed 60-bit signature, argmax assignment has no bit
+    // budget — the ceiling only bounds the cached sign matrix
+    // (nClusters × dim doubles); 64k cells × 1k dims ≈ 0.5 GB is the
+    // sane upper end
+    require(nClusters > 0 && nClusters <= 65536,
+      s"nClusters in (0, 65536]: $nClusters")
     semanticDedupAssignedImpl(
       df.select(col(idCol),
         PortableLsh.clusterCol(col(vecCol), nClusters).as("cluster"),

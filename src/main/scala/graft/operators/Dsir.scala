@@ -91,7 +91,12 @@ object Dsir {
 
   /** Deterministic selection: top `k` documents by `log_weight`
     * (id tiebreak) — the temperature→0 limit of [[resample]]. Plans as
-    * TakeOrderedAndProject (no global sort). */
+    * TakeOrderedAndProject only while
+    * `k ≤ spark.sql.execution.topKSortFallbackThreshold` (default 10k);
+    * beyond that Spark falls back to a global sort, so for
+    * million-document selections prefer a weight-threshold filter
+    * (cutoff from [[LmScore.sampleCutoffs]]-style quantiles) and keep
+    * rank-based top-k for the short lists it is meant for. */
   def topK(weights: DataFrame, idCol: String, k: Int): MayFail[DataFrame] =
     MayFail {
       require(k > 0, s"k must be positive: $k")
@@ -100,11 +105,16 @@ object Dsir {
 
   /** Gumbel-top-k importance resampling (the paper's estimator, made
     * deterministic): select `k` documents by
-    * `log_weight / temperature + g(id)` where
-    * `g = −ln(−ln(u))` and `u = (portableHash60(id ∥ "§" ∥ salt) + 0.5) / 2^60`
+    * `log_weight / temperature + g(id)` where `g = −ln(−ln(u))` and
+    * `u = ((portableHash60(id ∥ "§" ∥ salt) & (2^52−1)) + 0.5) / 2^52`
     * — a pure function of (id, salt), so the draw is reproducible across
-    * engines and reruns, and a new `salt` is a fresh draw. Gumbel-top-k
-    * over `logw/T + g` samples WITHOUT replacement ∝ softmax(logw/T). */
+    * engines and reruns, and a new `salt` is a fresh draw. (The 52-bit
+    * mask keeps every numerator exactly representable as a double, so
+    * `u` is strictly inside (0, 1) — an unmasked 60-bit hash near 2^60
+    * rounds to u = 1.0 and `−ln(−ln(1))` is undefined.) Gumbel-top-k
+    * over `logw/T + g` samples WITHOUT replacement ∝ softmax(logw/T).
+    * Same top-k caveat as [[topK]]: rank-based selection is for short
+    * lists. Returns the input schema unchanged. */
   def resample(weights: DataFrame, idCol: String, k: Int,
                temperature: Double = 1.0,
                salt: String = "0"): MayFail[DataFrame] = MayFail {
@@ -112,11 +122,13 @@ object Dsir {
     require(temperature > 0, s"temperature must be positive: $temperature")
     val u = (TextFunctions.portableHash60(
       concat(col(idCol).cast("string"), lit("§" + salt)))
-      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+      .bitwiseAND(lit((1L << 52) - 1))
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
     weights
-      .withColumn("gumbel_score",
+      .withColumn("__gumbel",
         col("log_weight") / temperature + -log(-log(u)))
-      .orderBy(col("gumbel_score").desc, col(idCol))
+      .orderBy(col("__gumbel").desc, col(idCol))
       .limit(k)
+      .drop("__gumbel")
   }
 }

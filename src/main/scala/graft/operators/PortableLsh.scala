@@ -52,7 +52,9 @@ object PortableLsh {
     * `row_number() OVER (PARTITION BY id ORDER BY p DESC, j) = 1` over
     * the same `signs`/`proj` CTEs as the signature. */
   def clusterCol(vecCol: Column, nClusters: Int): Column = {
-    require(nClusters > 0 && nClusters <= 60, s"nClusters out of range: $nClusters")
+    // no 60-bit packing here (argmax, not a signature); the ceiling only
+    // bounds the cached sign matrix
+    require(nClusters > 0 && nClusters <= 65536, s"nClusters out of range: $nClusters")
     graft.functions.FunctionBridge.column(
       graft.functions.PortableClusterAssign(
         graft.functions.FunctionBridge.expression(vecCol), nClusters))

@@ -136,10 +136,12 @@ object Quality {
     * filtering on `pass`.
     *
     * Rules: word count in [minWords, maxWords]; mean word length in
-    * [3, 10]; (`#` + `...`) to word ratio ≤ 0.1; ≤ 90% of lines start
-    * with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words
-    * contain an alphabetic character; ≥ 2 distinct of the eight required
-    * stop words. A word-less document fails every word-denominated rule.
+    * [3, 10]; `#`-to-word AND `...`-to-word ratios each ≤ 0.1 (the paper
+    * thresholds each symbol separately); ≤ 90% of lines start with a
+    * bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words contain
+    * an alphabetic character; ≥ 2 distinct of the eight required stop
+    * words. A word-less (or null-text) document fails every
+    * word-denominated rule with `false`, never null.
     *
     * Scale: pure per-row column expressions — no shuffle, no UDF, fully
     * codegen'd; filters push down around it. */
@@ -150,17 +152,20 @@ object Quality {
       minWords: Long = 50L,
       maxWords: Long = 100000L
   ): MayFail[DataFrame] = MayFail {
-    val ts = graft.functions.TextFunctions.tokens(col(textCol))
+    // null text behaves as empty text so every flag is a real boolean
+    // (a NULL pass would vanish from BOTH filter(pass) and filter(!pass))
+    val txt = coalesce(col(textCol), lit(""))
+    val ts = graft.functions.TextFunctions.tokens(txt)
     val nWords = size(ts).cast("long")
     val sumLen = aggregate(ts, lit(0L), (a, t) => a + length(t).cast("long"))
     val meanLen = sumLen.cast("double") / nWords.cast("double")
-    val nHash = (length(col(textCol)) -
-      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val nHash = (length(txt) -
+      length(regexp_replace(txt, "#", ""))).cast("long")
     // non-overlapping "..." occurrences: the removed length is always a
     // multiple of 3
-    val nEll = ((length(col(textCol)) -
-      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
-    val lines = split(col(textCol), "\n")
+    val nEll = ((length(txt) -
+      length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(txt, "\n")
     val nLines = size(lines).cast("double")
     val nBullet = size(filter(lines, l =>
       ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
@@ -175,7 +180,8 @@ object Quality {
       (nWords >= minWords && nWords <= maxWords).as("word_count_ok"),
       (nWords > 0 && meanLen.between(3.0, 10.0)).as("mean_word_len_ok"),
       (nWords > 0 &&
-        (nHash + nEll).cast("double") / nWords.cast("double") <= 0.1)
+        nHash.cast("double") / nWords.cast("double") <= 0.1 &&
+        nEll.cast("double") / nWords.cast("double") <= 0.1)
         .as("symbol_ratio_ok"),
       (nBullet / nLines <= 0.9).as("bullet_ok"),
       (nEllEnd / nLines <= 0.3).as("ellipsis_ok"),

@@ -20,6 +20,12 @@ import graft.functional.MayFail
   */
 object TfIdf {
 
+  /** THE module's tokenization contract (replayed character-for-character
+    * by the DuckDB oracles): lowercased whitespace split, empties
+    * removed. Single definition so postings and BM25 cannot drift. */
+  private def terms(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "[ \t\n\r\f]+"), t => t =!= "")
+
   /** Sparse TF-IDF postings `(idCol, term, w)`: terms are lowercased
     * whitespace tokens, `w = tf · (ln((N+1)/(df+1)) + 1)` (smoothed IDF —
     * never zero, so exact duplicates still match on every term). `N` is
@@ -49,7 +55,7 @@ object TfIdf {
     val nDocs = nDocsL.toDouble
     val toks = df.select(
         col(idCol).as("id"),
-        explode(filter(split(lower(col(textCol)), "[ \t\n\r\f]+"), t => t =!= "")).as("term"))
+        explode(terms(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dfn"))
@@ -238,8 +244,6 @@ object TfIdf {
   ): MayFail[DataFrame] = MayFail {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
-    def terms(c: org.apache.spark.sql.Column) =
-      filter(split(lower(c), "[ \t\n\r\f]+"), t => t =!= "")
     val toks = corpus.select(col(idCol).as("docId"),
       explode(terms(col(textCol))).as("term"))
     val tf = toks.groupBy("docId", "term")
