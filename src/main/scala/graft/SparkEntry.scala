@@ -2924,7 +2924,8 @@ object SparkEntry {
              CAST(len(ts) AS BIGINT) AS n_words,
              list_sum(list_transform(ts, x -> CAST(len(x) AS BIGINT))) AS sum_len,
              CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-             CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3
+               + (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS n_ell,
              CAST(len(lines) AS DOUBLE) AS n_lines,
              CAST(len(list_filter(lines, l ->
                starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- ')

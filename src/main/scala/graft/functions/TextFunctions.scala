@@ -12,14 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased, whitespace-collapsed, trimmed text — the canonical form
-    * fingerprints and exact dedup key on. */
-  def normalizeText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** THE portable whitespace class — the cross-engine tokenization
+    * contract every oracle replays. Spelled as an explicit character
+    * class because `\s` is NOT portable: Java's `\s` matches vertical
+    * tab `\x0B`, RE2's (DuckDB's) does not, so a `\s`-built operator
+    * and its oracle disagree on any document containing `\x0B`.
+    * (`\x0B` is therefore a token character on every engine here.) */
+  private val WhitespaceClass = "[ \\t\\n\\r\\f]+"
 
-  /** Whitespace tokenization, empty tokens removed. */
+  /** Lowercased, whitespace-collapsed, trimmed text — the canonical form
+    * fingerprints and exact dedup key on. Portable: uses
+    * [[WhitespaceClass]], replayed by DuckDB bit-for-bit. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, WhitespaceClass, " ")))
+
+  /** Whitespace tokenization, empty tokens removed. Portable: splits on
+    * [[WhitespaceClass]], so every tokens-derived operator (shingles,
+    * DSIR grams, Gopher rules, term drift, LM scores) recomputes
+    * identically in external SQL. */
   def tokens(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+    filter(split(lower(trim(c)), WhitespaceClass), t => t =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -819,7 +819,12 @@ object Dedup {
     * counts broadcast onto the tiny pair frame. Text never shuffles.
     * Exact (no sketch): at 10^12 distinct shingles the (hash, source)
     * frame is a plain 16-byte-row aggregate — the same cost class as
-    * [[exact]] dedup. */
+    * [[exact]] dedup.
+    *
+    * A NULL source reports as the sentinel source `"<null>"` (the
+    * [[graft.operators.Sampling]] key convention) — without the coalesce
+    * a null slice would survive the shingle aggregation but vanish from
+    * the pair report, because `source_a < source_b` is NULL for it. */
   def sourceOverlap(
       df: DataFrame,
       textCol: String,
@@ -827,7 +832,7 @@ object Dedup {
       shingleSize: Int = 3
   ): MayFail[DataFrame] = MayFail {
     require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
-    val sh = df.select(col(sourceCol).as("__src"),
+    val sh = df.select(coalesce(col(sourceCol).cast("string"), lit("<null>")).as("__src"),
         explode(array_distinct(
           wordShingleHashes(coalesce(col(textCol), lit("")), shingleSize))).as("__h"))
       .distinct()

@@ -104,7 +104,10 @@ object LmScore {
     val label = cutoffs.zip(labels).foldRight(lit(labels.last)) {
       case ((c, l), rest) => when(col(scoreCol) <= c, lit(l)).otherwise(rest)
     }
-    scores.withColumn("bucket", label)
+    // a NULL score surfaces as a NULL bucket — without the guard every
+    // `score <= c` is NULL, the otherwise-chain falls through, and an
+    // unscored document silently lands in the last (above-all) bucket
+    scores.withColumn("bucket", when(col(scoreCol).isNotNull, label))
   }
 
   /** Approximate quantile cutoffs for [[buckets]]: `nBuckets − 1` interior

@@ -161,10 +161,14 @@ object Quality {
     val meanLen = sumLen.cast("double") / nWords.cast("double")
     val nHash = (length(txt) -
       length(regexp_replace(txt, "#", ""))).cast("long")
-    // non-overlapping "..." occurrences: the removed length is always a
-    // multiple of 3
+    // ONE ellipsis definition shared by the symbol-ratio and line-end
+    // rules: non-overlapping "..." occurrences (removed length is always
+    // a multiple of 3) PLUS Unicode '…' — without the second term a
+    // document full of '…' passes the symbol-ratio rule while still
+    // counting as line-end ellipsis
     val nEll = ((length(txt) -
-      length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3).cast("long")
+      length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3 +
+      (length(txt) - length(regexp_replace(txt, "…", "")))).cast("long")
     val lines = split(txt, "\n")
     val nLines = size(lines).cast("double")
     val nBullet = size(filter(lines, l =>

@@ -18,6 +18,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(tokens($"t")).as[Seq[String]].head() == Seq("hello", "world"))
   }
 
+  test("tokens use the portable whitespace class: \\x0B is a token character, not a separator") {
+    // Java's \s matches vertical tab, RE2's (DuckDB's) does not — the
+    // explicit class pins the DuckDB-replayable semantics: "a\x0Bb" is
+    // ONE token on every engine
+    val df = Seq("a\u000Bb c").toDF("t")
+    assert(df.select(tokens($"t")).as[Seq[String]].head() == Seq("a\u000Bb", "c"))
+    assert(df.select(normalizeText($"t")).as[String].head() == "a\u000Bb c")
+  }
+
   test("wordShingles produces n-grams in order; short docs give empty") {
     val df = Seq("a b c d", "a b").toDF("t")
     val sh = df.select(wordShingles($"t", 3)).as[Seq[String]].collect()

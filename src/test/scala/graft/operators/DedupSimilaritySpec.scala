@@ -286,6 +286,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(("web", "wiki", 2L, 2L, 1L, 0.333333)))
   }
 
+  test("sourceOverlap reports a NULL source under the <null> sentinel instead of dropping it") {
+    val df = Seq(
+      (1L, Option("wiki"), "a b c"), (2L, Option.empty[String], "a b c")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, "text", "source").get
+      .select("source_a", "source_b", "n_common")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("<null>", "wiki", 1L)))
+  }
+
   test("sourceOverlap dedups shingles within and across documents of one source") {
     // two wiki docs with the same text contribute ONE distinct shingle set
     val df = Seq(

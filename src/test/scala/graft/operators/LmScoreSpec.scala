@@ -74,6 +74,14 @@ class LmScoreSpec extends AnyFunSuite {
       3L -> "middle", 4L -> "tail"))
   }
 
+  test("buckets surfaces a NULL score as a NULL bucket, never the tail label") {
+    val df = Seq((0L, Some(10.0)), (1L, None), (2L, Some(99.0)))
+      .toDF("id", "perplexity")
+    val got = LmScore.buckets(df, "perplexity", Seq(30.0, 30.5)).get
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(0L -> Some("head"), 1L -> None, 2L -> Some("tail")))
+  }
+
   test("buckets validates cutoff order and label arity") {
     val df = Seq((0L, 1.0)).toDF("id", "s")
     assert(LmScore.buckets(df, "s", Seq(2.0, 1.0)).isFailing)

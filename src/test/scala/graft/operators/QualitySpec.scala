@@ -137,6 +137,20 @@ class QualitySpec extends AnyFunSuite {
     assert(!flag(got(7), "stopword_ok"))
   }
 
+  test("gopherFlags: both rules share one ellipsis definition ('…' counts in the symbol ratio)") {
+    // 10 words + 2 unicode ellipses: ratio 0.2 > 0.1 must fail the
+    // symbol-ratio rule exactly like the ASCII '...' form would
+    val uni = "the report and data have … merit with good … words"
+    val ascii = "the report and data have ... merit with good ... words"
+    val got = Quality.gopherFlags(
+      Seq((0L, uni), (1L, ascii)).toDF("doc_id", "text"),
+      "text", "doc_id", minWords = 5L).get.orderBy("doc_id").collect()
+    def flag(r: org.apache.spark.sql.Row, name: String): Boolean =
+      r.getBoolean(r.fieldIndex(name))
+    assert(!flag(got(0), "symbol_ratio_ok"), "unicode ellipsis must count")
+    assert(!flag(got(1), "symbol_ratio_ok"))
+  }
+
   test("gopherFlags: a word-less document fails word-denominated rules without dividing by zero") {
     val got = Quality.gopherFlags(Seq((0L, "")).toDF("doc_id", "text"),
       "text", "doc_id").get.collect().head
