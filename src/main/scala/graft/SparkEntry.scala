@@ -889,15 +889,16 @@ object SparkEntry {
     }),
 
     "q64_sampling" -> ((s, dir) => {
-      // Fixed per-group quota: counts are deterministic (min(n, |group|))
-      // even though the chosen rows are seed-dependent.
-      (for {
-        sample <- graft.operators.Sampling.fixedPerGroup(
-                    tbl(s, dir, "documents"), Seq("lang"), n = 40)
-        g <- Group.agg(sample, Seq("lang"), Group.Agg(Seq(
-               count(lit(1)).as("n_sampled"))))
-        o <- Order.by(g, Seq("lang"))
-      } yield o).get
+      // Token-budget sampling, VALUE-EXACT: the per-group selection order
+      // is the portable md5 hash of (salt § doc_id), so the oracle
+      // replays the exact chosen rows — not just their counts. (The
+      // fixedPerGroup quota variant stays count-gated in spec tests; its
+      // rand(seed) order is intentionally non-portable.)
+      graft.operators.Sampling.byTokenBudget(
+          tbl(s, dir, "documents"), Seq("lang"), "n_chars",
+          budget = 10000L, idCols = Seq("doc_id"), salt = "r4").get
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
     }),
 
     "q62_tpch6" -> ((s, dir) => {
@@ -2239,8 +2240,21 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
          FROM documents GROUP BY lang ORDER BY lang""",
     "q64_sampling" ->
-      """SELECT lang, least(count(*), 40) AS n_sampled
-         FROM documents GROUP BY lang ORDER BY lang""",
+      """WITH t AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(('0x' || substring(md5('r4§' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hk
+           FROM documents
+         ), r AS (
+           SELECT lang, doc_id, n_chars,
+             sum(greatest(coalesce(n_chars, 0), 0))
+               OVER (PARTITION BY lang ORDER BY hk, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS run
+           FROM t
+         )
+         SELECT lang, doc_id, n_chars FROM r
+         WHERE run - greatest(coalesce(n_chars, 0), 0) < 10000
+         ORDER BY lang, doc_id""",
     "q62_tpch6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n

@@ -41,24 +41,38 @@ object Sampling {
       seed: Long = 42L): MayFail[DataFrame] =
     MayFail(df.stat.sampleBy(keyCol, fractions, seed))
 
-  /** Greedy token-budget sample: rows are taken in seeded-random order
+  /** Greedy token-budget sample: rows are taken in pseudo-random order
     * per group until the group's running token count passes `budget` (the
     * row that crosses the line is included, so every non-empty group
     * yields at least one row). The LLM-corpus shape: "at most N tokens
-    * per source". */
+    * per source".
+    *
+    * The order is the portable md5 hash of the `idCols` values (salted) —
+    * a pure function of the DATA, so the selected subset is identical
+    * across reruns, repartitions, and engines. (`rand(seed)` would seed
+    * per PARTITION: rebuilding the corpus upstream silently changes which
+    * rows are kept.) A new `salt` is a fresh independent draw; `idCols`
+    * tiebreak hash collisions, so they must uniquely identify a row
+    * within its group. */
   def byTokenBudget(
       df: DataFrame,
       keys: Seq[String],
       tokenCountCol: String,
       budget: Long,
-      seed: Long = 42L): MayFail[DataFrame] = MayFail {
+      idCols: Seq[String],
+      salt: String = "0"): MayFail[DataFrame] = MayFail {
     require(budget > 0, s"budget must be positive: $budget")
+    require(idCols.nonEmpty, "byTokenBudget needs idCols — the hash of the " +
+      "row identity IS the deterministic sampling order")
     val run = s"__run_${java.util.UUID.randomUUID.toString.take(8)}"
     // null token counts consume no budget (coalesce→0) instead of
     // null-poisoning the filter; negative counts are clamped to 0 so a
     // bad row cannot re-open a spent budget
     val tokens = greatest(coalesce(col(tokenCountCol), lit(0L)), lit(0L))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
+    val hk = graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(hk +: idCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(run, sum(tokens).over(w))
       .filter(col(run) - tokens < budget)

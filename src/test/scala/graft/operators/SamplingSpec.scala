@@ -38,7 +38,8 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("byTokenBudget stops once the running count crosses the budget") {
-    val got = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", budget = 100L).get
+    val got = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", budget = 100L,
+      idCols = Seq("id")).get
     val sums = got.groupBy("lang")
       .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("t"),
         org.apache.spark.sql.functions.count($"id").as("c"))
@@ -49,7 +50,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(sums("fr")._1 == 15L) // whole group under budget
     // at least one row per non-empty group even if a single row exceeds budget
     val fat = Seq(("x", 1L, 1000L)).toDF("lang", "id", "n_tokens")
-    assert(Sampling.byTokenBudget(fat, Seq("lang"), "n_tokens", 10L).get.count() == 1)
+    assert(Sampling.byTokenBudget(fat, Seq("lang"), "n_tokens", 10L,
+      idCols = Seq("id")).get.count() == 1)
+  }
+
+  test("byTokenBudget selection is a pure function of the data (partitioning-invariant)") {
+    val a = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", 100L,
+      idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
+    // same data, different physical layout ⇒ SAME rows (rand(seed) fails this)
+    val b = Sampling.byTokenBudget(docs.repartition(7), Seq("lang"), "n_tokens", 100L,
+      idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // a different salt is an independent draw
+    val c = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", 100L,
+      idCols = Seq("id"), salt = "fresh").get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c)
   }
 
   test("shardByTokenBudget assigns contiguous shards by exclusive running sum") {
