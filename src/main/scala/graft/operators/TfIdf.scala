@@ -33,15 +33,18 @@ object TfIdf {
     * The count executes `df`'s own plan once — cheap for a plain scan,
     * a real extra pass for a derived frame — but never re-runs the far
     * costlier tokenize+aggregate pipeline the way a distinct-id count
-    * over the postings would. `maxDfFraction` drops terms appearing in
-    * more than that fraction of documents. */
+    * over the postings would. Pipelines that already know the document
+    * count (a snapshot, a previous stage's aggregate) pass it via
+    * `nDocs` and skip that action entirely. `maxDfFraction` drops terms
+    * appearing in more than that fraction of documents. */
   def postings(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxDfFraction: Double = 1.0
+      maxDfFraction: Double = 1.0,
+      nDocs: Option[Long] = None
   ): DataFrame =
-    postingsWithN(df, textCol, idCol, maxDfFraction, df.count())
+    postingsWithN(df, textCol, idCol, maxDfFraction, nDocs.getOrElse(df.count()))
 
   private def postingsWithN(
       df: DataFrame,
@@ -82,7 +85,8 @@ object TfIdf {
       threshold: Double = 0.8,
       maxDfFraction: Double = 1.0,
       denseMaxVocab: Int = 2048,
-      denseMaxBroadcastBytes: Long = 256L << 20
+      denseMaxBroadcastBytes: Long = 256L << 20,
+      knownNDocs: Option[Long] = None
   ): MayFail[DataFrame] = MayFail {
     // deliberately NOT cached on the sparse path: a cache() here would
     // pin the postings in executor storage past this call with no owner
@@ -90,8 +94,9 @@ object TfIdf {
     // stats+dots double-use recomputes the postings subtree, exactly
     // like the SQL formulation; callers running MANY similarity passes
     // should snapshot postings() once (Optimise.snapshot) and pay the
-    // materialization knowingly.
-    val nDocs = df.count()
+    // materialization knowingly. knownNDocs skips the count action when
+    // the caller already has it — same contract as postings()/bm25Search.
+    val nDocs = knownNDocs.getOrElse(df.count())
     val w = postingsWithN(df, textCol, idCol, maxDfFraction, nDocs)
     // Unit postings: every weight divided by its document norm ONCE, so
     // a pair's cosine is a plain dot product and NEITHER strategy needs
@@ -230,7 +235,9 @@ object TfIdf {
     * never re-shuffles per query. Top-k per query is a rank-limited
     * window ([[graft.physical.Order.topKPerGroup]] — WindowGroupLimit
     * caps the shuffle). `corpus.count()` runs once for N, the same
-    * convention (and caveat for derived frames) as [[postings]]. */
+    * convention (and caveat for derived frames) as [[postings]] — and
+    * the same `nDocs` escape hatch skips it when the caller already
+    * knows N. */
   def bm25Search(
       corpus: DataFrame,
       queries: DataFrame,
@@ -240,7 +247,8 @@ object TfIdf {
       queryIdCol: String,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      nDocs: Option[Long] = None
   ): MayFail[DataFrame] = MayFail {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
@@ -251,7 +259,7 @@ object TfIdf {
     val dl = toks.groupBy("docId").agg(count(lit(1)).cast("double").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfn"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
-    val nDocs = corpus.count().toDouble
+    val nDocsD = nDocs.getOrElse(corpus.count()).toDouble
     val qterms = queries.select(col(queryIdCol).as("queryId"),
       explode(array_distinct(terms(col(queryTextCol)))).as("term"))
     val scored = tf
@@ -260,7 +268,7 @@ object TfIdf {
       .join(dl, Seq("docId"))
       .crossJoin(broadcast(avgdl))
       .withColumn("__s",
-        log(lit(1.0) + (lit(nDocs) - col("dfn") + 0.5) / (col("dfn") + 0.5)) *
+        log(lit(1.0) + (lit(nDocsD) - col("dfn") + 0.5) / (col("dfn") + 0.5)) *
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("queryId", "docId")

@@ -115,4 +115,35 @@ class TfIdfSpec extends AnyFunSuite {
     assert(TfIdf.bm25Search(df, q, "text", "doc_id", "qtext", "query_id", k = 0).isFailing)
     assert(TfIdf.bm25Search(df, q, "text", "doc_id", "qtext", "query_id", b = 1.5).isFailing)
   }
+
+  test("nDocs pass-through skips the count action (no Spark job until the caller acts)") {
+    // a derived-frame caller that already knows N must not pay a full
+    // pipeline re-execution for the internal df.count()
+    val corpus = Seq((0L, "alpha beta"), (1L, "beta gamma"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val queries = Seq((9L, "beta")).toDF("query_id", "qtext")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val p = TfIdf.postings(corpus, "text", "doc_id", nDocs = Some(3L))
+      val s = TfIdf.bm25Search(corpus, queries, "text", "doc_id",
+        "qtext", "query_id", k = 2, nDocs = Some(3L)).get
+      // listener delivery is async — give the bus a beat, then demand zero
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"building the frames must run NO job with nDocs given, saw ${jobs.get()}")
+      // and the explicit N must produce the same results as the counted one
+      val viaCount = TfIdf.postings(corpus, "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+      assert(p.collect().map(_.toSeq).toSet == viaCount)
+      val searchViaCount = TfIdf.bm25Search(corpus, queries, "text", "doc_id",
+        "qtext", "query_id", k = 2).get.collect().map(_.toSeq).toSet
+      assert(s.collect().map(_.toSeq).toSet == searchViaCount)
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
 }
