@@ -1486,6 +1486,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q119_ccnet_perlang" -> ((s, dir) => {
+      // CCNet's ACTUAL recipe: cutoffs fitted per language, not globally
+      // (Wenzek et al. §4.3). Pinned per-lang cutoffs straddle each
+      // language's own quartiles so all three labels occur in every
+      // language and two languages disagree on the same perplexity.
+      // The assignment joins the broadcast 5-row cutoffs frame and
+      // labels against the UN-rounded perplexity, map-side.
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val ppl = graft.operators.LmScore.unigramScores(docs, "text", "doc_id").get
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val cuts = Seq(
+        ("de", Seq(29.91, 30.12)), ("en", Seq(29.93, 30.13)),
+        ("es", Seq(29.95, 30.13)), ("fr", Seq(29.92, 30.10)),
+        ("zh", Seq(29.90, 30.14))).toDF("lang", "cutoffs")
+      graft.operators.LmScore.bucketsByKey(ppl, "perplexity", cuts, Seq("lang")).get
+        .select(col("doc_id"), col("lang"),
+          round(col("perplexity"), 4).as("ppl_uni"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "q117_c4_clean" -> ((s, dir) => {
       // C4 rules over synthesized line structure (the corpus has no
       // newlines/punctuation): line A ends "."; line B keeps its terminal
@@ -2995,6 +3016,38 @@ object SparkEntry {
                 WHEN ppl <= 30.5 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM uscore ORDER BY doc_id""",
+
+    // q119: the same unigram perplexity, bucketed by PER-LANGUAGE pinned
+    // cutoffs (a VALUES join standing in for the broadcast cutoffs frame).
+    "q119_ccnet_perlang" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents
+         ), uni AS (
+           SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+         ), stats AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS N, count(*) AS V FROM uni
+         ), uscore AS (
+           SELECT t.doc_id,
+             exp(-avg(ln((u.c1 + 1.0) / (s.N + 1.0 * s.V)))) AS ppl
+           FROM toks t JOIN uni u USING (tok), stats s
+           GROUP BY t.doc_id
+         ), cuts AS (
+           SELECT * FROM (VALUES
+             ('de', 29.91, 30.12), ('en', 29.93, 30.13),
+             ('es', 29.95, 30.13), ('fr', 29.92, 30.10),
+             ('zh', 29.90, 30.14)) AS v(lang, c1, c2)
+         )
+         SELECT d.doc_id, d.lang, round(u.ppl, 4) AS ppl_uni,
+           CASE WHEN u.ppl <= k.c1 THEN 'head'
+                WHEN u.ppl <= k.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM documents d
+         JOIN uscore u USING (doc_id)
+         JOIN cuts k USING (lang)
+         ORDER BY d.doc_id""",
 
     // q117: same synthesized lines, same rule-for-rule replay; empty
     // surviving-line lists rebuild via coalesce (DuckDB array_to_string

@@ -125,4 +125,62 @@ object LmScore {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     scores.stat.approxQuantile(scoreCol, probs, relativeError).toSeq
   }
+
+  /** Per-key quantile cutoffs — CCNet fits its head/middle/tail cutoffs
+    * PER LANGUAGE (Wenzek et al. §4.3), not globally: a global fit would
+    * let an easy language's scores push every hard-language document
+    * into "tail". One grouped `percentile_approx` aggregation; returns
+    * `(keys…, cutoffs array<double>)` with `nBuckets − 1` ascending
+    * cutoffs per key, ready for [[bucketsByKey]]. The result is
+    * keys-cardinality-sized (languages, not documents) — broadcast
+    * material. */
+  def sampleCutoffsByKey(
+      scores: DataFrame,
+      scoreCol: String,
+      keys: Seq[String],
+      nBuckets: Int = 3,
+      accuracy: Int = 10000
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty,
+      "sampleCutoffsByKey needs at least one key — use sampleCutoffs for a global fit")
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    val probs = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    scores.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("cutoffs"))
+  }
+
+  /** [[buckets]] with per-key cutoffs: `cutoffs` is a
+    * `(keys…, cutoffs array<double>)` frame ([[sampleCutoffsByKey]]'s
+    * shape, or pinned literals for reproducible pipelines), broadcast
+    * and joined on `keys`; each row is labeled against ITS key's
+    * ascending cutoff array (`labels(i)` when score ≤ `cutoffs(i)`,
+    * the last label above them all). A NULL score, or a key with no
+    * cutoffs row, yields a NULL bucket — unscored is visible, never
+    * silently "tail". Still map-side: the cutoffs frame is
+    * key-cardinality-sized and explicitly broadcast. */
+  def bucketsByKey(
+      scores: DataFrame,
+      scoreCol: String,
+      cutoffs: DataFrame,
+      keys: Seq[String],
+      labels: Seq[String] = Seq("head", "middle", "tail")
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "bucketsByKey needs at least one key column")
+    require(labels.size >= 2, s"need at least 2 labels: $labels")
+    require(cutoffs.columns.contains("cutoffs"),
+      s"cutoffs frame must carry a 'cutoffs' array column, has: ${cutoffs.columns.mkString(", ")}")
+    val labelArr = array(labels.map(lit): _*)
+    // index = #cutoffs strictly below the score (ties take the lower
+    // bucket, matching buckets' inclusive upper bounds); clamped so a
+    // longer-than-expected cutoff array cannot index past the labels
+    val idx = size(filter(col("__cuts"), c => col(scoreCol) > c))
+    val label = when(col(scoreCol).isNotNull && col("__cuts").isNotNull,
+      element_at(labelArr, least(idx, lit(labels.size - 1)) + 1))
+    scores
+      .join(broadcast(cutoffs.select(keys.map(col) :+ col("cutoffs").as("__cuts"): _*)),
+        keys, "left")
+      .withColumn("bucket", label)
+      .drop("__cuts")
+  }
 }

@@ -89,6 +89,34 @@ class LmScoreSpec extends AnyFunSuite {
     assert(LmScore.buckets(df, "s", Seq.empty).isFailing)
   }
 
+  test("sampleCutoffsByKey fits per-key cutoffs (CCNet per-language recipe)") {
+    // two "languages" with disjoint score ranges: a global fit would put
+    // every B document in 'tail'; per-key fits split each internally
+    val df = ((0 until 300).map(i => ("a", i.toLong, i.toDouble)) ++
+      (0 until 300).map(i => ("b", 1000L + i, 1000.0 + i))).toDF("lang", "id", "s")
+    val cuts = LmScore.sampleCutoffsByKey(df, "s", Seq("lang"), nBuckets = 3).get
+    val m = cuts.select("lang", "cutoffs").as[(String, Seq[Double])].collect().toMap
+    assert(m.keySet == Set("a", "b"))
+    assert(m("a").size == 2 && m("a") == m("a").sorted)
+    assert(m("a").last < 300.0 && m("b").head > 1000.0, m)
+    val labeled = LmScore.bucketsByKey(df, "s", cuts, Seq("lang")).get
+      .groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect()
+    // each language gets all three labels, ~evenly
+    assert(labeled.length == 6)
+    labeled.foreach { case (_, _, n) => assert(math.abs(n - 100L) <= 15L, labeled.toSeq) }
+  }
+
+  test("bucketsByKey: NULL score or missing key yields a NULL bucket") {
+    val df = Seq(("a", 0L, Some(1.0)), ("a", 1L, None), ("zz", 2L, Some(1.0)))
+      .toDF("lang", "id", "s")
+    val cuts = Seq(("a", Seq(5.0))).toDF("lang", "cutoffs")
+    val got = LmScore.bucketsByKey(df, "s", cuts, Seq("lang"),
+      labels = Seq("lo", "hi")).get
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(0L -> Some("lo"), 1L -> None, 2L -> None))
+  }
+
   test("sampleCutoffs feed buckets into roughly even tertiles") {
     val df = (0 until 900).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
     val cuts = LmScore.sampleCutoffs(df, "s", nBuckets = 3).get
