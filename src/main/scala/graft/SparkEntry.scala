@@ -1455,6 +1455,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q120_dsir_threshold" -> ((s, dir) => {
+      // DSIR threshold selection — the scale path: a map-side weight
+      // filter instead of rank-based top-k. The pinned cutoff (-18.3)
+      // sits inside a 0.6-wide gap of the sf0.01 weight distribution,
+      // so last-ulp summation differences cannot flip membership; the
+      // oracle replays weights AND filter exactly.
+      val docs = tbl(s, dir, "documents")
+      val w = graft.operators.Dsir.logWeights(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", nBuckets = 4096, alpha = 0.5).get
+      graft.operators.Dsir.selectByThreshold(w, cutoff = -18.3).get
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     "q115_gopher" -> ((s, dir) => {
       // Gopher rule flags over the corpus, lowered word-count floor so
       // both outcomes occur at gate scale (synthetic docs run ~40-90
@@ -2937,6 +2954,52 @@ object SparkEntry {
            round(coalesce(s.w, 0.0), 6) AS log_weight
          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
          LEFT JOIN scored s ON s.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    // q120: q114's weight replay plus the pinned threshold filter
+    // (gram-less docs carry the coalesced weight 0, so they pass).
+    "q120_dsir_threshold" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest(list_concat(ts,
+             list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])))
+             AS gram
+           FROM toks
+         ), buck AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) % 4096 AS bucket
+           FROM grams
+         ), dense AS (SELECT unnest(range(0, 4096)) AS bucket),
+         tc AS (
+           SELECT d.bucket, coalesce(c.n, 0) AS n
+           FROM dense d LEFT JOIN (
+             SELECT bucket, count(*) AS n FROM buck WHERE doc_id % 10 = 0
+             GROUP BY bucket) c ON c.bucket = d.bucket
+         ), rc AS (
+           SELECT d.bucket, coalesce(c.n, 0) AS n
+           FROM dense d LEFT JOIN (
+             SELECT bucket, count(*) AS n FROM buck WHERE doc_id % 10 <> 0
+             GROUP BY bucket) c ON c.bucket = d.bucket
+         ),
+         lp AS (SELECT bucket, ln((n + 0.5) / ((SELECT sum(n) FROM tc) + 0.5 * 4096)) AS logp FROM tc),
+         lq AS (SELECT bucket, ln((n + 0.5) / ((SELECT sum(n) FROM rc) + 0.5 * 4096)) AS logq FROM rc),
+         scored AS (
+           SELECT b.doc_id, count(*) AS n_grams, sum(lp.logp - lq.logq) AS w
+           FROM buck b
+           JOIN lp ON lp.bucket = b.bucket
+           JOIN lq ON lq.bucket = b.bucket
+           WHERE b.doc_id % 10 <> 0
+           GROUP BY b.doc_id
+         )
+         SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+           round(coalesce(s.w, 0.0), 6) AS log_weight
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         LEFT JOIN scored s ON s.doc_id = d.doc_id
+         WHERE coalesce(s.w, 0.0) >= -18.3
          ORDER BY d.doc_id""",
 
     // q115: Gopher rules replayed rule-for-rule (same tokenization, same

@@ -103,6 +103,26 @@ object Dsir {
       weights.orderBy(col("log_weight").desc, col(idCol)).limit(k)
     }
 
+  /** Threshold selection — the million-document path [[topK]]'s scaladoc
+    * promises: a pure map-side `log_weight ≥ cutoff` filter, no sort, no
+    * TakeOrderedAndProject fallback, pushed down to the scan when the
+    * weights are materialized. Pin `cutoff` for reproducible pipelines,
+    * or fit it with [[weightCutoff]]. */
+  def selectByThreshold(weights: DataFrame, cutoff: Double): MayFail[DataFrame] =
+    MayFail(weights.filter(col("log_weight") >= cutoff))
+
+  /** Quantile-sketch cutoff for [[selectByThreshold]] keeping roughly
+    * the top `fraction` of documents by weight — the driver receives ONE
+    * double (a sketch, never data), the same CCNet-style recipe as
+    * [[LmScore.sampleCutoffs]]. */
+  def weightCutoff(
+      weights: DataFrame,
+      fraction: Double,
+      relativeError: Double = 0.001): MayFail[Double] = MayFail {
+    require(fraction > 0 && fraction < 1, s"fraction in (0,1): $fraction")
+    weights.stat.approxQuantile("log_weight", Array(1.0 - fraction), relativeError).head
+  }
+
   /** Gumbel-top-k importance resampling (the paper's estimator, made
     * deterministic): select `k` documents by
     * `log_weight / temperature + g(id)` where `g = −ln(−ln(u))` and

@@ -69,4 +69,18 @@ class DsirSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(s1 != s3, "different salt should perturb the draw")
   }
+
+  test("selectByThreshold filters map-side; weightCutoff keeps ~the top fraction") {
+    val w = (0 until 1000).map(i => (i.toLong, 5L, i.toDouble / 100.0))
+      .toDF("doc_id", "n_grams", "log_weight")
+    val kept = Dsir.selectByThreshold(w, cutoff = 5.0).get
+    assert(kept.count() == 500L)
+    // no sort/TakeOrdered in the plan — a plain filter
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered") && !plan.contains("Sort"), plan)
+    val cut = Dsir.weightCutoff(w, fraction = 0.25).get
+    val n = Dsir.selectByThreshold(w, cut).get.count()
+    assert(math.abs(n - 250L) <= 10L, s"cutoff $cut kept $n")
+    assert(Dsir.weightCutoff(w, fraction = 1.5).isFailing)
+  }
 }
