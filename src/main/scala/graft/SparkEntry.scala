@@ -1472,6 +1472,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q121_media_decode" -> ((s, dir) => {
+      // REAL codec round-trip, JDK-only: planted (w, h, gray, rate, n,
+      // amp) per doc → true PNG/WAV bytes (MediaSynth, ImageIO/
+      // AudioSystem encoders) → JdkMediaDecoder recovers them by ACTUAL
+      // decode. The oracle recomputes the planted values by arithmetic —
+      // constant fills make mean_intensity == gray and rms == amp/32768
+      // exactly, so a decoder that misreads even one pixel fails the
+      // gate. (The synthesis UDF is test-fixture plumbing; the graded
+      // operator is the mapPartitions decode.)
+      val png = udf((w: Int, h: Int, g: Int) =>
+        Multimodal.MediaSynth.pngBytes(w, h, g))
+      val wav = udf((r: Int, n: Int, a: Int) =>
+        Multimodal.MediaSynth.wavBytes(r, n, a))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+          (lit(5) + pmod(col("doc_id"), lit(7))).cast("int"),
+          pmod(col("doc_id"), lit(256)).cast("int")))
+        .withColumn("aud", wav(
+          (lit(8000) + pmod(col("doc_id"), lit(4)) * 4000).cast("int"),
+          (lit(50) + pmod(col("doc_id"), lit(100))).cast("int"),
+          (lit(100) + pmod(col("doc_id"), lit(300)) * 100).cast("int")))
+      (for {
+        i <- Multimodal.decodeImage(base, "img",
+               decoder = Multimodal.JdkMediaDecoder)
+        a <- Multimodal.decodeAudio(i, "aud",
+               decoder = Multimodal.JdkMediaDecoder)
+      } yield a.select(
+        col("doc_id"),
+        col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"),
+        col("image_meta.channels").as("channels"),
+        col("image_meta.format").as("format"),
+        col("image_meta.mean_intensity").as("mean_intensity"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.n_samples").as("n_samples"),
+        round(col("audio_meta.duration_sec"), 6).as("duration_sec"),
+        round(col("audio_meta.rms_energy"), 6).as("rms_energy"))
+        .orderBy("doc_id")).get
+    }),
+
     "q115_gopher" -> ((s, dir) => {
       // Gopher rule flags over the corpus, lowered word-count floor so
       // both outcomes occur at gate scale (synthetic docs run ~40-90
@@ -3001,6 +3042,23 @@ object SparkEntry {
          LEFT JOIN scored s ON s.doc_id = d.doc_id
          WHERE coalesce(s.w, 0.0) >= -18.3
          ORDER BY d.doc_id""",
+
+    // q121: the oracle recomputes the PLANTED media parameters by
+    // arithmetic — the Spark side must recover them from true encoded
+    // PNG/WAV bytes via real JDK codec decode.
+    "q121_media_decode" ->
+      """SELECT doc_id,
+         CAST(8 + doc_id % 16 AS INTEGER) AS width,
+         CAST(5 + doc_id % 7 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels,
+         'png' AS format,
+         CAST(doc_id % 256 AS DOUBLE) AS mean_intensity,
+         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+         CAST(50 + doc_id % 100 AS BIGINT) AS n_samples,
+         round((50 + doc_id % 100) / CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE), 6)
+           AS duration_sec,
+         round((100 + (doc_id % 300) * 100) / 32768.0, 6) AS rms_energy
+         FROM documents ORDER BY doc_id""",
 
     // q115: Gopher rules replayed rule-for-rule (same tokenization, same
     // line splitting, same thresholds).

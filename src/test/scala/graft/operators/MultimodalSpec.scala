@@ -73,4 +73,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
     assert(rows.map(_._2).toSeq == Seq(0L, 1024L, 2048L, 3072L))
   }
+
+  test("JdkMediaDecoder really decodes PNG: planted dims, channels, exact mean") {
+    val bytes = Multimodal.MediaSynth.pngBytes(13, 7, 200)
+    // true PNG magic — these are real encoded bytes, not a fake
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val df = Seq((0L, bytes)).toDF("id", "payload")
+    val out = Multimodal.decodeImage(df, "payload",
+      decoder = Multimodal.JdkMediaDecoder).get
+    val r = out.select("image_meta.width", "image_meta.height",
+      "image_meta.channels", "image_meta.format", "image_meta.mean_intensity")
+      .as[(Int, Int, Int, String, Double)].head()
+    assert(r == ((13, 7, 3, "png", 200.0)))
+  }
+
+  test("JdkMediaDecoder really decodes WAV: rate, frames, exact RMS") {
+    val bytes = Multimodal.MediaSynth.wavBytes(16000, 160, 16384)
+    assert(new String(bytes.take(4)) == "RIFF") // real WAV container
+    val df = Seq((0L, bytes)).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "payload",
+      decoder = Multimodal.JdkMediaDecoder).get
+    val r = out.select("audio_meta.sample_rate", "audio_meta.n_samples",
+      "audio_meta.duration_sec", "audio_meta.rms_energy")
+      .as[(Int, Long, Double, Double)].head()
+    assert(r._1 == 16000 && r._2 == 160L)
+    assert(math.abs(r._3 - 0.01) < 1e-12)
+    assert(r._4 == 16384.0 / 32768.0) // constant amplitude ⇒ rms exact
+  }
+
+  test("JdkMediaDecoder decodes a non-constant image and a negative-amplitude wave") {
+    // gradient image: mean of 0..255 rows is (0+255)/2 for even heights
+    val img = new java.awt.image.BufferedImage(4, 256,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 256).foreach { y =>
+      val g = (y << 16) | (y << 8) | y
+      (0 until 4).foreach(x => img.setRGB(x, y, g))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val mean = Multimodal.JdkMediaDecoder.decodeImage(baos.toByteArray).getDouble(4)
+    assert(mean == 127.5)
+    val rms = Multimodal.JdkMediaDecoder
+      .decodeAudio(Multimodal.MediaSynth.wavBytes(8000, 80, -8192)).getDouble(3)
+    assert(rms == 8192.0 / 32768.0)
+  }
+
+  test("JdkMediaDecoder fails loudly on a payload no codec recognizes") {
+    val err = intercept[Exception] {
+      Multimodal.JdkMediaDecoder.decodeImage("not an image".getBytes)
+    }
+    assert(err.getMessage.contains("ImageIO"))
+  }
 }
