@@ -157,6 +157,45 @@ object Dedup {
     scored.select(col("idA"), col("idB"), out.as(scoreName))
   }
 
+  /** [[minhashPairs]] with the banding CHOSEN by [[lshPlan]] instead of
+    * hand-tuned: give the target `threshold` and a signature budget
+    * `nHashes`, and the S-curve planner picks `bands × rowsPerBand` —
+    * the same auto-sizing move as the embedding dedup's
+    * occupancy-targeted signatures. Recall-first (the implied threshold
+    * sits at or below the target), so near-threshold pairs stay
+    * candidates; the exact-Jaccard verification then filters precisely
+    * at `threshold`. Prefer this at scale: a hand-tuned banding that was
+    * right for one corpus silently loses recall when the threshold
+    * moves. */
+  def minhashPairsAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      nHashes: Int = 64,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = {
+    val plan = lshPlan(threshold, nHashes)
+    minhashPairs(df, textCol, idCol, shingleSize, plan.bands, plan.rowsPerBand,
+      threshold, maxBucket)
+  }
+
+  /** [[minhashDedup]] with [[lshPlan]]-chosen banding (see
+    * [[minhashPairsAuto]]). */
+  def minhashDedupAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      nHashes: Int = 64
+  ): MayFail[DataFrame] = {
+    val plan = lshPlan(threshold, nHashes)
+    minhashDedup(df, textCol, idCol, shingleSize, plan.bands, plan.rowsPerBand,
+      threshold)
+  }
+
   /** MinHash-LSH dedup: drop every document that is a near-duplicate of a
     * lower-id document (greedy representative-by-min-id, the standard
     * corpus-dedup policy). */

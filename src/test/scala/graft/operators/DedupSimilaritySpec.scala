@@ -41,6 +41,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhashPairsAuto: lshPlan-chosen banding finds the same near-dups") {
+    // 0.5 / 64 hashes resolves to the hand-tuned default (16×4), so the
+    // auto mode must reproduce minhashPairs' exact result here…
+    val auto = Dedup.minhashPairsAuto(docs, "text", "doc_id", threshold = 0.5).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val manual = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(auto == manual && auto.contains((0L, 1L)))
+    // …and at a higher threshold the planner picks DEEPER bands (more
+    // rows per band) than the 0.5 default, per the S-curve
+    val p9 = Dedup.lshPlan(0.9, 64)
+    assert(p9.rowsPerBand > 4, s"plan at 0.9: $p9")
+    val strict = Dedup.minhashPairsAuto(docs, "text", "doc_id", threshold = 0.9).get
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(strict.contains((0L, 1L))) // the exact duplicate always survives
+    assert(Dedup.minhashDedupAuto(docs, "text", "doc_id", threshold = 0.5).get
+      .count() < docs.count())
+  }
+
   test("minhashDedup drops near-duplicates of lower-id docs") {
     val kept = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5).get
       .select("doc_id").as[Long].collect().toSet
