@@ -44,6 +44,44 @@ object Bench {
     "q114_dsir"
   )
 
+  /** Streaming micro-batch throughput: `nEvents` synthetic events pushed
+    * through the watermarked sliding-window aggregation (the q91 plan
+    * shape) over `batches` micro-batches into a memory sink. Times the
+    * state-store path — watermark advance, window state add/evict, sink
+    * append — which the batch headliners never touch, so a state-
+    * management regression shows up here and nowhere else. */
+  private def benchStreaming(spark: SparkSession, nEvents: Int, batches: Int): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF.toDF("ts", "key", "v")
+    val agg = graft.streaming.Stream.windowedAgg(df, "ts",
+      watermarkDelay = "10 minutes", windowDuration = "10 minutes",
+      aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      keys = Seq("key"), slideDuration = Some("5 minutes")).get
+    val name = s"bench_stream_$nEvents"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val perBatch = nEvents / batches
+    val t0 = System.nanoTime()
+    var b = 0
+    while (b < batches) {
+      input.addData((0 until perBatch).map { i =>
+        val e = b * perBatch + i
+        // 50 ms event spacing: the event-time span crosses many windows,
+        // so every batch both opens new state and finalizes old state
+        (new java.sql.Timestamp(base + e.toLong * 50), s"k${e % 64}", (e % 97).toDouble)
+      })
+      q.processAllAvailable()
+      b += 1
+    }
+    q.stop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,10 +120,22 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results
+    // streaming throughput line (same warmup-then-measure discipline;
+    // one run — the measured span already amortizes over 4 micro-batches)
+    val streaming = {
+      try benchStreaming(spark, nEvents = 10000, batches = 2) // warmup
+      catch { case _: Throwable => () }
+      try Seq("qS1_stream_window" -> benchStreaming(spark, nEvents = 200000, batches = 4))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] qS1_stream_window FAILED: ${e.getMessage}")
+        Seq("qS1_stream_window" -> -1.0)
+      }
+    }
+    val all = results ++ streaming
+    val qs = all
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()

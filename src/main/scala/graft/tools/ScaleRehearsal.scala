@@ -4,13 +4,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× scale rehearsal: replicate the sf0.1 tables in-memory and time the
-  * scale-critical operators, looking for super-linear behavior. */
+  * scale-critical operators, looking for super-linear behavior.
+  *
+  * Emits a machine-readable artifact (`args(1)`, default
+  * `REHEARSAL.json`): per-operator seconds plus every standing invariant
+  * as a named boolean — so scale regressions are visible round-over-round
+  * as a diffable gate file, not only in ad-hoc logs. Invariants still
+  * `assert` (a violated one aborts the run AND leaves `"aborted"` in the
+  * artifact). */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val outPath = args.lift(1).getOrElse("REHEARSAL.json")
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val invariants = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    def writeArtifact(aborted: Boolean): Unit = {
+      val ts = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val inv = invariants.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"mult":$mult,"aborted":$aborted,"timings_sec":$ts,"invariants":$inv}""" + "\n")
+    }
+    def check(name: String, cond: Boolean, msg: => String): Unit = {
+      invariants(name) = cond
+      if (!cond) { writeArtifact(aborted = true); sys.error(msg) }
+    }
 
     def replicate(df: DataFrame, idCols: Seq[String]): DataFrame =
       (0 until mult).map { i =>
@@ -20,7 +43,9 @@ object ScaleRehearsal {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[rehearsal] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(name) = sec
+      println(f"[rehearsal] $name%-24s $sec%8.2f s  rows=$n")
     }
 
     val docs = replicate(spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
@@ -130,11 +155,11 @@ object ScaleRehearsal {
     val pairsRaw = graft.operators.Dedup.minhashPairs(
       docs, "text", "doc_id", threshold = 0.5).get.count()
     println(s"[rehearsal] pair volume: baseReps=$pairsBaseReps dedupedFirst=$pairsDeduped raw=$pairsRaw")
-    assert(pairsDeduped == pairsBaseReps,
+    check("exact_first_pair_volume", pairsDeduped == pairsBaseReps,
       s"exact-dedup-first must restore the base reps' pair volume: " +
         s"$pairsDeduped != $pairsBaseReps")
     val expectedBlowup = mult.toLong * mult * pairsBaseReps / 4
-    assert(mult < 2 || pairsRaw > math.max(pairsDeduped * mult, expectedBlowup),
+    check("raw_pair_blowup", mult < 2 || pairsRaw > math.max(pairsDeduped * mult, expectedBlowup),
       s"expected ~mult² pair blowup without exact dedup, got raw=$pairsRaw " +
         s"vs deduped=$pairsDeduped (mult=$mult)")
 
@@ -145,7 +170,8 @@ object ScaleRehearsal {
     val exactTop = li.groupBy("l_partkey").count()
       .orderBy(col("count").desc, col("l_partkey")).limit(10)
       .select("l_partkey").collect().map(_.getLong(0)).toSet
-    assert(cms == exactTop, s"CMS top-10 diverged from exact: $cms vs $exactTop")
+    check("cms_topk_exact", cms == exactTop,
+      s"CMS top-10 diverged from exact: $cms vs $exactTop")
 
     // Segment keep-first under replication: replicas introduce no new
     // distinct paragraphs (same texts; head/footer indices stay inside
@@ -156,7 +182,7 @@ object ScaleRehearsal {
         .get.agg(sum("n_kept")).head().getLong(0)
     val keptBase = keptTotal(base)
     val keptRepl = keptTotal(docs)
-    assert(keptRepl == keptBase,
+    check("segment_keep_first", keptRepl == keptBase,
       s"paragraph dedup must keep exactly the base's distinct segments under " +
         s"replication: $keptRepl != $keptBase")
 
@@ -168,7 +194,7 @@ object ScaleRehearsal {
         .get.select("segment").collect().map(_.getString(0)).toSet
     val bpBase = bpSet(base, 50L)
     val bpRepl = bpSet(docs, 50L * mult)
-    assert(bpBase == bpRepl,
+    check("boilerplate_stability", bpBase == bpRepl,
       s"boilerplate set must be replication-stable: base=${bpBase.size} repl=${bpRepl.size}")
 
     // Span-dedup replication law: replicas share every text, so replica
@@ -182,7 +208,7 @@ object ScaleRehearsal {
     val spanReplDropped = graft.operators.Segments.spanDedup(docs, "text", "doc_id", n = 8).get
       .agg(sum("n_dropped")).head().getLong(0)
     val spanExpected = spanBase.getLong(0) + (mult - 1).toLong * spanBase.getLong(1)
-    assert(spanReplDropped == spanExpected,
+    check("span_dedup_replication", spanReplDropped == spanExpected,
       s"span dedup must wipe exactly the replicas' covered tokens: " +
         s"$spanReplDropped != $spanExpected")
 
@@ -197,13 +223,15 @@ object ScaleRehearsal {
       .filter(col("kept")).count()
     val semBase = semKept(embBase)
     val semRepl = semKept(emb)
-    assert(semRepl == semBase,
+    check("semantic_dedup_replication", semRepl == semBase,
       s"semantic dedup must keep exactly the base corpus under replication: " +
         s"$semRepl != $semBase")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law)")
+    writeArtifact(aborted = false)
+    println(s"[rehearsal] artifact written to $outPath")
     spark.stop()
   }
 }
