@@ -1513,6 +1513,47 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q122_media_resize" -> ((s, dir) => {
+      // REAL pixel resize: planted constant-fill PNGs → bilinear
+      // aspect-preserving scale into a 32×32 box → re-encode → decode
+      // the OUTPUT bytes. Bilinear interpolation of a constant image is
+      // that constant, so mean_intensity must survive the resize
+      // exactly; the oracle replays the scale arithmetic in the same
+      // floating-point operation order (least of the two ratios, then
+      // one multiply, then round).
+      val png = udf((w: Int, h: Int, g: Int) =>
+        Multimodal.MediaSynth.pngBytes(w, h, g))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          (lit(20) + pmod(col("doc_id"), lit(80))).cast("int"),
+          (lit(10) + pmod(col("doc_id"), lit(60))).cast("int"),
+          pmod(col("doc_id"), lit(256)).cast("int")))
+      (for {
+        r <- Multimodal.resizeImage(base, "img", maxW = 32, maxH = 32)
+        d <- Multimodal.decodeImage(r, "resized", metaCol = "rmeta",
+               decoder = Multimodal.JdkMediaDecoder)
+      } yield d.select(
+        col("doc_id"),
+        col("rmeta.width").as("rwidth"),
+        col("rmeta.height").as("rheight"),
+        col("rmeta.channels").as("channels"),
+        col("rmeta.format").as("format"),
+        col("rmeta.mean_intensity").as("mean_intensity"))
+        .orderBy("doc_id")).get
+    }),
+
+    "q123_sample_quota_hash" -> ((s, dir) => {
+      // Deterministic per-group quota: exactly min(40, |lang group|)
+      // docs per language, selected by the salted portable hash — the
+      // oracle replays the exact chosen rows via row_number over the
+      // same key (q64's idiom for fixed quotas instead of budgets).
+      graft.operators.Sampling.fixedPerGroupByHash(
+          tbl(s, dir, "documents"), Seq("lang"), n = 40,
+          idCols = Seq("doc_id"), salt = "r4").get
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+
     "q115_gopher" -> ((s, dir) => {
       // Gopher rule flags over the corpus, lowered word-count floor so
       // both outcomes occur at gate scale (synthetic docs run ~40-90
@@ -3059,6 +3100,43 @@ object SparkEntry {
            AS duration_sec,
          round((100 + (doc_id % 300) * 100) / 32768.0, 6) AS rms_energy
          FROM documents ORDER BY doc_id""",
+
+    // q122: the resize-arithmetic replay — same operation order as the
+    // operator (least of ratios → multiply → round), constant fill makes
+    // the mean resize-invariant.
+    "q122_media_resize" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CAST(20 + doc_id % 80 AS DOUBLE) AS w,
+             CAST(10 + doc_id % 60 AS DOUBLE) AS h
+           FROM documents
+         ), k AS (
+           SELECT doc_id, w, h,
+             least(1.0, least(32.0 / w, 32.0 / h)) AS scale
+           FROM p
+         )
+         SELECT doc_id,
+           CAST(round(w * scale) AS INTEGER) AS rwidth,
+           CAST(round(h * scale) AS INTEGER) AS rheight,
+           CAST(3 AS INTEGER) AS channels,
+           'png' AS format,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+         FROM k ORDER BY doc_id""",
+
+    // q123: exact replay of the hash-ordered quota selection.
+    "q123_sample_quota_hash" ->
+      """WITH t AS (
+           SELECT lang, doc_id, n_chars,
+             CAST(('0x' || substring(md5('r4§' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hk
+           FROM documents
+         ), r AS (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+           FROM t
+         )
+         SELECT lang, doc_id, n_chars FROM r WHERE rn <= 40
+         ORDER BY lang, doc_id""",
 
     // q115: Gopher rules replayed rule-for-rule (same tokenization, same
     // line splitting, same thresholds).

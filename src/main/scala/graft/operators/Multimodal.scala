@@ -265,6 +265,52 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** REAL image resize on JDK codecs: decode → aspect-preserving scale
+    * into the `maxW`×`maxH` bounding box (bilinear `Graphics2D` redraw —
+    * never upscaled past the original) → re-encode as PNG. One codec
+    * pipeline per partition, same `mapPartitions` shape as decode; null
+    * payloads stay null. Output column holds the resized PNG bytes —
+    * feed it back through [[decodeImage]]/[[extractFeatures]], or sink
+    * it. (Metadata-only pipelines that don't need the pixels should use
+    * [[resizeMeta]] — pure column arithmetic, no decode cost.) */
+  def resizeImage(
+      df: DataFrame,
+      binCol: String,
+      maxW: Int,
+      maxH: Int,
+      outCol: String = "resized"): MayFail[DataFrame] = MayFail {
+    require(maxW > 0 && maxH > 0, s"bad bounding box: ${maxW}x$maxH")
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out =
+          if (bytes == null) null
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "no JDK ImageIO codec recognizes this payload")
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+              math.max(1, math.round(img.getHeight * scale).toInt))
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", baos)
+            baos.toByteArray
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Rescale image metadata to a bounding box, preserving aspect ratio
     * (pure column arithmetic — no decode needed for metadata-only ops). */
   def resizeMeta(

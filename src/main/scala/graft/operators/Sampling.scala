@@ -32,6 +32,32 @@ object Sampling {
       .drop(rn)
   }
 
+  /** [[fixedPerGroup]] with the portable-hash order instead of
+    * `rand(seed)` (the [[byTokenBudget]] idiom): exactly `min(n,
+    * |group|)` rows per group, chosen as a pure function of the data —
+    * identical across reruns, repartitions, and engines, and replayable
+    * by external SQL as a `row_number` over the salted md5 key. Use
+    * this when the sample must be auditable or rebuild-stable; plain
+    * [[fixedPerGroup]] remains for fresh-draw-per-seed semantics. */
+  def fixedPerGroupByHash(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      idCols: Seq[String],
+      salt: String = "0"): MayFail[DataFrame] = MayFail {
+    require(n > 0, s"n must be positive: $n")
+    require(idCols.nonEmpty, "fixedPerGroupByHash needs idCols — the hash of " +
+      "the row identity IS the deterministic sampling order")
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val hk = graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(hk +: idCols.map(col): _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+
   /** Per-group sampling fractions (thin wrapper over `sampleBy`, which is
     * map-side only — no shuffle). */
   def byFractions(

@@ -118,6 +118,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rms == 8192.0 / 32768.0)
   }
 
+  test("resizeImage really rescales pixels: bounding box honored, constant fill preserved") {
+    val df = Seq(
+      (0L, Multimodal.MediaSynth.pngBytes(100, 50, 60)), // downscale 0.32
+      (1L, Multimodal.MediaSynth.pngBytes(10, 8, 200)),  // under the box: untouched
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "img")
+    val out = (for {
+      r <- Multimodal.resizeImage(df, "img", maxW = 32, maxH = 32)
+      d <- Multimodal.decodeImage(r, "resized", metaCol = "m",
+             decoder = Multimodal.JdkMediaDecoder)
+    } yield d).get.orderBy("id")
+    assert(out.filter($"resized".isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+    val rows = out.filter($"m".isNotNull)
+      .select("m.width", "m.height", "m.mean_intensity")
+      .as[(Int, Int, Double)].collect()
+    assert(rows(0) == ((32, 16, 60.0))) // scale = 32/100; bilinear keeps the constant
+    assert(rows(1) == ((10, 8, 200.0))) // never upscaled
+  }
+
   test("JdkMediaDecoder fails loudly on a payload no codec recognizes") {
     val err = intercept[Exception] {
       Multimodal.JdkMediaDecoder.decodeImage("not an image".getBytes)

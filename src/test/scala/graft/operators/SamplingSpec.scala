@@ -54,6 +54,21 @@ class SamplingSpec extends AnyFunSuite {
       idCols = Seq("id")).get.count() == 1)
   }
 
+  test("fixedPerGroupByHash: exact quota, partitioning-invariant, salt = fresh draw") {
+    val a = Sampling.fixedPerGroupByHash(docs, Seq("lang"), n = 10,
+      idCols = Seq("id")).get
+    assert(a.groupBy("lang").count().as[(String, Long)].collect().toMap
+      .values.forall(_ <= 10L))
+    val ids = a.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.fixedPerGroupByHash(docs.repartition(7), Seq("lang"), n = 10,
+      idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == b, "selection must not depend on physical layout")
+    val c = Sampling.fixedPerGroupByHash(docs, Seq("lang"), n = 10,
+      idCols = Seq("id"), salt = "fresh").get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids != c)
+  }
+
   test("byTokenBudget selection is a pure function of the data (partitioning-invariant)") {
     val a = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", 100L,
       idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
