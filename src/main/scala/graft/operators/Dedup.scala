@@ -780,9 +780,12 @@ object Dedup {
           candidateProbability(threshold, b, r)))
       else None
     }
+    // ties on implied threshold (e.g. 2×2 vs 4×4, both 0.707) resolve to
+    // the plan with the LOWER candidate probability at the target — the
+    // documented fewer-sub-threshold-candidates tie-break
     val below = plans.filter(_.impliedThreshold <= threshold)
-    if (below.nonEmpty) below.maxBy(_.impliedThreshold)
-    else plans.minBy(_.impliedThreshold)
+    if (below.nonEmpty) below.maxBy(p => (p.impliedThreshold, -p.pAtThreshold))
+    else plans.minBy(p => (p.impliedThreshold, p.pAtThreshold))
   }
 
   /** Benchmark decontamination: corpus documents sharing any word
@@ -860,10 +863,12 @@ object Dedup {
     * frame is a plain 16-byte-row aggregate — the same cost class as
     * [[exact]] dedup.
     *
-    * A NULL source reports as the sentinel source `"<null>"` (the
-    * [[graft.operators.Sampling]] key convention) — without the coalesce
-    * a null slice would survive the shingle aggregation but vanish from
-    * the pair report, because `source_a < source_b` is NULL for it. */
+    * A NULL source is reported as a real NULL row, ordered BEFORE every
+    * non-null source (so it always appears as `source_a`) — without the
+    * explicit null arm a null slice would survive the shingle
+    * aggregation but vanish from the pair report, because
+    * `source_a < source_b` is NULL for it. The source column keeps its
+    * original type and its native `<` pair orientation. */
   def sourceOverlap(
       df: DataFrame,
       textCol: String,
@@ -871,20 +876,24 @@ object Dedup {
       shingleSize: Int = 3
   ): MayFail[DataFrame] = MayFail {
     require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
-    val sh = df.select(coalesce(col(sourceCol).cast("string"), lit("<null>")).as("__src"),
+    val sh = df.select(col(sourceCol).as("__src"),
         explode(array_distinct(
           wordShingleHashes(coalesce(col(textCol), lit("")), shingleSize))).as("__h"))
       .distinct()
     val perSrc = sh.groupBy("__src").agg(count(lit(1)).as("__n"))
     sh.select(col("__h"), col("__src").as("source_a"))
       .join(sh.select(col("__h"), col("__src").as("source_b")), Seq("__h"))
-      .filter(col("source_a") < col("source_b"))
+      // NULL sorts first: the explicit null arm keeps a null-source
+      // slice in the report (plain `<` is NULL against NULL)
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a").isNull && col("source_b").isNotNull))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(perSrc.select(col("__src").as("source_a"), col("__n").as("n_a"))),
-        Seq("source_a"))
-      .join(broadcast(perSrc.select(col("__src").as("source_b"), col("__n").as("n_b"))),
-        Seq("source_b"))
+      // null-safe equality so the NULL source row finds its own count
+      .join(broadcast(perSrc.select(col("__src").as("__sa"), col("__n").as("n_a"))),
+        col("source_a") <=> col("__sa"))
+      .join(broadcast(perSrc.select(col("__src").as("__sb"), col("__n").as("n_b"))),
+        col("source_b") <=> col("__sb"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }

@@ -155,9 +155,11 @@ object LmScore {
     * shape, or pinned literals for reproducible pipelines), broadcast
     * and joined on `keys`; each row is labeled against ITS key's
     * ascending cutoff array (`labels(i)` when score ≤ `cutoffs(i)`,
-    * the last label above them all). A NULL score, or a key with no
-    * cutoffs row, yields a NULL bucket — unscored is visible, never
-    * silently "tail". Still map-side: the cutoffs frame is
+    * the last label above them all). A NULL score, a key with no
+    * cutoffs row, or a cutoffs array whose length is not
+    * `labels.size − 1` yields a NULL bucket — unscored is visible,
+    * never silently "tail", and an arity mismatch never silently merges
+    * the top buckets. Still map-side: the cutoffs frame is
     * key-cardinality-sized and explicitly broadcast. */
   def bucketsByKey(
       scores: DataFrame,
@@ -172,11 +174,16 @@ object LmScore {
       s"cutoffs frame must carry a 'cutoffs' array column, has: ${cutoffs.columns.mkString(", ")}")
     val labelArr = array(labels.map(lit): _*)
     // index = #cutoffs strictly below the score (ties take the lower
-    // bucket, matching buckets' inclusive upper bounds); clamped so a
-    // longer-than-expected cutoff array cannot index past the labels
+    // bucket, matching buckets' inclusive upper bounds). Arity is
+    // enforced PER KEY: a cutoffs array that does not carry exactly
+    // labels−1 entries yields NULL buckets for that key — the same
+    // loud-NULL contract as a missing key, never a silent merge of the
+    // top buckets (buckets() rejects the mismatch at call time; here the
+    // arity is data, so the check must be per row)
     val idx = size(filter(col("__cuts"), c => col(scoreCol) > c))
-    val label = when(col(scoreCol).isNotNull && col("__cuts").isNotNull,
-      element_at(labelArr, least(idx, lit(labels.size - 1)) + 1))
+    val label = when(col(scoreCol).isNotNull &&
+        size(col("__cuts")) === labels.size - 1,
+      element_at(labelArr, idx + 1))
     scores
       .join(broadcast(cutoffs.select(keys.map(col) :+ col("cutoffs").as("__cuts"): _*)),
         keys, "left")

@@ -97,13 +97,15 @@ object Multimodal {
         require(readers.hasNext, "no JDK ImageIO codec recognizes this payload " +
           "(PNG/JPEG/BMP/GIF supported)")
         val reader = readers.next()
-        reader.setInput(iis)
-        val fmt = reader.getFormatName.toLowerCase
-        val img = reader.read(0)
         try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          // read(0) inside the try: a recognized-but-corrupt payload
+          // throws here, and the reader must still be disposed
+          val img = reader.read(0)
           val raster = img.getRaster
           val (w, h, channels) = (img.getWidth, img.getHeight, raster.getNumBands)
-          val row = new Array[Double](w.toLong.toInt * channels)
+          val row = new Array[Double](w * channels)
           var sum = 0.0
           var y = 0
           while (y < h) {

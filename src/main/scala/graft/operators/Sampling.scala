@@ -49,14 +49,22 @@ object Sampling {
     require(idCols.nonEmpty, "fixedPerGroupByHash needs idCols — the hash of " +
       "the row identity IS the deterministic sampling order")
     val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
-    val hk = graft.functions.TextFunctions.portableHash60(
-      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(hk +: idCols.map(col): _*)
+      .orderBy(hashOrder(salt, idCols): _*)
     df.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= n)
       .drop(rn)
   }
+
+  /** THE deterministic sampling order: the salted portable md5 hash of
+    * the id columns, id-tiebroken. ONE definition — the DuckDB oracles
+    * replay this expression character-for-character
+    * (`md5(salt § id § …)`), so [[byTokenBudget]] and
+    * [[fixedPerGroupByHash]] must never drift apart. */
+  private def hashOrder(salt: String, idCols: Seq[String]): Seq[Column] =
+    graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*)) +:
+      idCols.map(col)
 
   /** Per-group sampling fractions (thin wrapper over `sampleBy`, which is
     * map-side only — no shuffle). */
@@ -95,10 +103,8 @@ object Sampling {
     // null-poisoning the filter; negative counts are clamped to 0 so a
     // bad row cannot re-open a spent budget
     val tokens = greatest(coalesce(col(tokenCountCol), lit(0L)), lit(0L))
-    val hk = graft.functions.TextFunctions.portableHash60(
-      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(hk +: idCols.map(col): _*)
+      .orderBy(hashOrder(salt, idCols): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(run, sum(tokens).over(w))
       .filter(col(run) - tokens < budget)

@@ -86,7 +86,7 @@ object TfIdf {
       maxDfFraction: Double = 1.0,
       denseMaxVocab: Int = 2048,
       denseMaxBroadcastBytes: Long = 256L << 20,
-      knownNDocs: Option[Long] = None
+      nDocs: Option[Long] = None
   ): MayFail[DataFrame] = MayFail {
     // deliberately NOT cached on the sparse path: a cache() here would
     // pin the postings in executor storage past this call with no owner
@@ -94,10 +94,11 @@ object TfIdf {
     // stats+dots double-use recomputes the postings subtree, exactly
     // like the SQL formulation; callers running MANY similarity passes
     // should snapshot postings() once (Optimise.snapshot) and pay the
-    // materialization knowingly. knownNDocs skips the count action when
-    // the caller already has it — same contract as postings()/bm25Search.
-    val nDocs = knownNDocs.getOrElse(df.count())
-    val w = postingsWithN(df, textCol, idCol, maxDfFraction, nDocs)
+    // materialization knowingly. The nDocs param skips the count action
+    // when the caller already has it — same contract as postings()/
+    // bm25Search (same name, too).
+    val nDocsL = nDocs.getOrElse(df.count())
+    val w = postingsWithN(df, textCol, idCol, maxDfFraction, nDocsL)
     // Unit postings: every weight divided by its document norm ONCE, so
     // a pair's cosine is a plain dot product and NEITHER strategy needs
     // norm joins after its pair aggregation (the previous formulation
@@ -128,8 +129,8 @@ object TfIdf {
         coalesce(sum(col("count") * col("count")), lit(0L)).as("sumdf2")).head()
     val nTerms = stats.getLong(0)
     val sumDf2 = stats.getLong(1)
-    val denseBytes = nDocs * nTerms * 8L
-    val denseFlops = nDocs.toDouble * nDocs * nTerms / 2
+    val denseBytes = nDocsL * nTerms * 8L
+    val denseFlops = nDocsL.toDouble * nDocsL * nTerms / 2
     // NB the flops guard still assumes the WORST-case dense candidate
     // volume (n²/2, i.e. a corpus with zero spread along every
     // dimension); the band prune usually collapses that, so this is a
@@ -144,7 +145,7 @@ object TfIdf {
       // BOTH sides of the pair join (the no-cache rule above is about
       // UNBOUNDED postings pinned past the call; localCheckpoint blocks
       // are freed with the RDD)
-      densePairs(un.localCheckpoint(), nDocs, threshold)
+      densePairs(un.localCheckpoint(), nDocsL, threshold)
     else sparsePairs(un, threshold)
   }
 

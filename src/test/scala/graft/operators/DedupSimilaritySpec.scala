@@ -305,14 +305,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(("web", "wiki", 2L, 2L, 1L, 0.333333)))
   }
 
-  test("sourceOverlap reports a NULL source under the <null> sentinel instead of dropping it") {
+  test("sourceOverlap reports a NULL source as a real NULL row instead of dropping it") {
     val df = Seq(
       (1L, Option("wiki"), "a b c"), (2L, Option.empty[String], "a b c")
     ).toDF("doc_id", "source", "text")
     val got = Dedup.sourceOverlap(df, "text", "source").get
-      .select("source_a", "source_b", "n_common")
-      .as[(String, String, Long)].collect().toSeq
-    assert(got == Seq(("<null>", "wiki", 1L)))
+      .select("source_a", "source_b", "n_a", "n_common")
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    // NULL orders before every non-null source and carries its own count
+    assert(got == Seq((None, Some("wiki"), 1L, 1L)))
+  }
+
+  test("sourceOverlap keeps a non-string source column's type and numeric orientation") {
+    val df = Seq((1L, 2, "a b c"), (2L, 10, "a b c")).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(df, "text", "source").get
+    assert(out.schema("source_a").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = out.select("source_a", "source_b").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((2, 10))) // numeric <, not lexicographic ("10" < "2")
   }
 
   test("sourceOverlap dedups shingles within and across documents of one source") {

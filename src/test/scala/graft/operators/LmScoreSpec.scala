@@ -117,6 +117,16 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got == Map(0L -> Some("lo"), 1L -> None, 2L -> None))
   }
 
+  test("bucketsByKey: a cutoffs/labels arity mismatch yields NULL, never a silent merge") {
+    val df = Seq(("a", 0L, 99.0)).toDF("lang", "id", "s")
+    // 2 cutoffs but only 2 labels (needs 3): the key's rows go NULL
+    val cuts = Seq(("a", Seq(5.0, 10.0))).toDF("lang", "cutoffs")
+    val got = LmScore.bucketsByKey(df, "s", cuts, Seq("lang"),
+      labels = Seq("lo", "hi")).get
+      .select("bucket").as[Option[String]].head()
+    assert(got.isEmpty, "score above a mismatched cutoff array must not silently take the last label")
+  }
+
   test("sampleCutoffs feed buckets into roughly even tertiles") {
     val df = (0 until 900).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
     val cuts = LmScore.sampleCutoffs(df, "s", nBuckets = 3).get
