@@ -1542,6 +1542,53 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q124_audio_spectrum" -> ((s, dir) => {
+      // REAL DSP: planted pure tones (bin k = 3 + doc_id % 29 of a
+      // 1024-point window at 16 kHz) → true WAV bytes → AudioSystem
+      // decode → radix-2 FFT → the dominant bin must be EXACTLY the
+      // planted one (all sine energy lands in bin k when the window
+      // length equals nFft; int16 rounding noise is ~90 dB down).
+      val wav = udf((k: Int) =>
+        Multimodal.MediaSynth.sineWavBytes(16000, 1024, k, 12000))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav((lit(3) + pmod(col("doc_id"), lit(29))).cast("int")))
+      Multimodal.audioSpectralFeatures(base, "aud", nFft = 1024).get
+        .select(
+          col("doc_id"),
+          col("audio_spectrum.sample_rate").as("sample_rate"),
+          col("audio_spectrum.n_fft").as("n_fft"),
+          col("audio_spectrum.dominant_bin").as("dominant_bin"),
+          round(col("audio_spectrum.dominant_freq_hz"), 6).as("dominant_freq_hz"))
+        .orderBy("doc_id")
+    }),
+
+    "q125_video_frames" -> ((s, dir) => {
+      // REAL frame pipeline: per doc, a GFV1 container of 2–4 true PNG
+      // frames (dims and gray level planted per frame) → extractFrames
+      // explode → JDK decode of each frame's actual bytes. The oracle
+      // regenerates the planted per-frame parameters with a range
+      // unnest — one wrong frame boundary or misdecoded pixel fails.
+      val vid = udf((docId: Long) => {
+        val nf = (2 + docId % 3).toInt
+        Multimodal.MediaSynth.framesContainer((0 until nf).map { f =>
+          Multimodal.MediaSynth.pngBytes(16 + f, 9 + f, ((docId * 7 + f * 13) % 256).toInt)
+        })
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", vid(col("doc_id")))
+      (for {
+        fr <- Multimodal.extractFrames(base, "vid")
+        d  <- Multimodal.decodeImage(fr, "frame", metaCol = "fmeta",
+                decoder = Multimodal.JdkMediaDecoder)
+      } yield d.select(
+        col("doc_id"),
+        col("frame_idx"),
+        col("fmeta.width").as("width"),
+        col("fmeta.height").as("height"),
+        col("fmeta.mean_intensity").as("mean_intensity"))
+        .orderBy("doc_id", "frame_idx")).get
+    }),
+
     "q123_sample_quota_hash" -> ((s, dir) => {
       // Deterministic per-group quota: exactly min(40, |lang group|)
       // docs per language, selected by the salted portable hash — the
@@ -3122,6 +3169,30 @@ object SparkEntry {
            'png' AS format,
            CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
          FROM k ORDER BY doc_id""",
+
+    // q124: planted-tone arithmetic — the Spark side must recover the
+    // bin from a true FFT over true decoded WAV bytes.
+    "q124_audio_spectrum" ->
+      """SELECT doc_id,
+         CAST(16000 AS INTEGER) AS sample_rate,
+         CAST(1024 AS INTEGER) AS n_fft,
+         CAST(3 + doc_id % 29 AS INTEGER) AS dominant_bin,
+         round((3 + doc_id % 29) * 16000.0 / 1024, 6) AS dominant_freq_hz
+         FROM documents ORDER BY doc_id""",
+
+    // q125: per-frame planted parameters regenerated by a range unnest.
+    "q125_video_frames" ->
+      """WITH f AS (
+           SELECT doc_id,
+             unnest(range(0, 2 + doc_id % 3)) AS frame_idx
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(16 + frame_idx AS INTEGER) AS width,
+           CAST(9 + frame_idx AS INTEGER) AS height,
+           CAST((doc_id * 7 + frame_idx * 13) % 256 AS DOUBLE) AS mean_intensity
+         FROM f ORDER BY doc_id, frame_idx""",
 
     // q123: exact replay of the hash-ordered quota selection.
     "q123_sample_quota_hash" ->

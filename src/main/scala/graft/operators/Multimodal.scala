@@ -177,8 +177,6 @@ object Multimodal {
       * `amplitude / 32768.0` (every sample identical, so the mean square
       * is the square of one sample — no float-order sensitivity). */
     def wavBytes(sampleRate: Int, nSamples: Int, amplitude: Int): Array[Byte] = {
-      require(sampleRate > 0, s"bad sampleRate: $sampleRate")
-      require(nSamples >= 0, s"bad nSamples: $nSamples")
       require(amplitude >= -32768 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0
@@ -187,15 +185,101 @@ object Multimodal {
         pcm(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
         i += 1
       }
+      wrapPcm(sampleRate, pcm, nSamples)
+    }
+
+    /** Pure-tone mono PCM16 WAV: `cycles` full sine periods across
+      * `nSamples` — when `nSamples` equals the analyzer's `nFft`, all
+      * signal energy lands exactly in FFT bin `cycles`, so
+      * [[audioSpectralFeatures]] recovers `dominant_bin == cycles`. */
+    def sineWavBytes(sampleRate: Int, nSamples: Int, cycles: Int,
+                     amplitude: Int): Array[Byte] = {
+      require(amplitude >= 0 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
+      require(cycles >= 0, s"cycles must be non-negative: $cycles")
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = math.round(
+          amplitude * math.sin(2.0 * math.Pi * cycles * i / nSamples)).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      wrapPcm(sampleRate, pcm, nSamples)
+    }
+
+    private def wrapPcm(sampleRate: Int, pcm: Array[Byte], nFrames: Int): Array[Byte] = {
+      require(sampleRate > 0, s"bad sampleRate: $sampleRate")
+      require(nFrames >= 0, s"bad nFrames: $nFrames")
       val fmt = new javax.sound.sampled.AudioFormat(
         sampleRate.toFloat, 16, 1, true, false)
       val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
       val baos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     }
+
+    /** Toy length-prefixed frames container (`GFV1` magic, int32 count,
+      * then `int32 length ∥ frame bytes` per frame) — the fixture format
+      * [[extractFrames]] parses. A real pipeline swaps this for its
+      * container's splitter behind the same extract-then-decode shape. */
+    def framesContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(baos)
+      d.writeBytes("GFV1")
+      d.writeInt(frames.length)
+      frames.foreach { f => d.writeInt(f.length); d.write(f) }
+      d.flush()
+      baos.toByteArray
+    }
+  }
+
+  /** REAL frame extraction: split a `GFV1` frames container
+    * ([[MediaSynth.framesContainer]]) into one row per frame —
+    * `(input columns…, frame_idx, frame)` with the frame's encoded
+    * bytes, ready for [[decodeImage]] / [[extractFeatures]] on the
+    * `frame` column. This is the explode half of video processing: the
+    * per-frame payloads are REAL encoded images (decoded downstream by
+    * actual codecs), not offsets into an opaque blob.
+    *
+    * `maxFrames` caps the fan-out per document (evenly spaced sampling
+    * belongs upstream in the container writer; this cap is the
+    * blow-up guard). Null payloads produce zero rows — a video-less
+    * document has no frames, and the caller still holds the original
+    * frame-less row in `df`. */
+  def extractFrames(
+      df: DataFrame,
+      binCol: String,
+      maxFrames: Int = 64): MayFail[DataFrame] = MayFail {
+    require(maxFrames > 0, s"maxFrames must be positive: $maxFrames")
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("frame", BinaryType, nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFV1",
+            "not a GFV1 frames container")
+          val n = math.min(bb.getInt, maxFrames)
+          // materialized (not a lazy iterator): the buffer reads are
+          // stateful and must happen in frame order exactly once
+          (0 until n).map { f =>
+            val len = bb.getInt
+            val fb = new Array[Byte](len)
+            bb.get(fb)
+            Row.fromSeq(row.toSeq ++ Seq(f, fb))
+          }.iterator
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   private def withDecodedMeta(
@@ -263,6 +347,125 @@ object Multimodal {
           hist
         }
         Row.fromSeq(row.toSeq :+ feat)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Iterative radix-2 Cooley–Tukey FFT (in-place, double precision) —
+    * the textbook algorithm, here because no DSP library ships with the
+    * JDK. `re`/`im` lengths must be a power of two. */
+  private[operators] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"FFT needs a power-of-two length: $n")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k
+          val b = a + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  val audioSpectrumType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_fft", IntegerType, nullable = false),
+    StructField("dominant_bin", IntegerType, nullable = false),
+    StructField("dominant_freq_hz", DoubleType, nullable = false),
+    StructField("spectral_centroid_hz", DoubleType, nullable = false),
+    StructField("energy", DoubleType, nullable = false)))
+
+  /** REAL spectral features over WAV PCM16 audio: decode via
+    * `AudioSystem`, FFT the first `nFft` samples (zero-padded if
+    * shorter), report the dominant non-DC bin and its frequency, the
+    * spectral centroid, and the total in-band energy. The JDK-only
+    * answer to "what's in this audio" beyond duration — language/music/
+    * silence triage keys off exactly these signals.
+    *
+    * Same mapPartitions shape as [[decodeImage]]; null payloads yield a
+    * null struct. `dominant_freq_hz = dominant_bin · rate / nFft` —
+    * a pure sine planted AT a bin frequency is recovered exactly
+    * (the oracle contract of the q124 gate). */
+  def audioSpectralFeatures(
+      df: DataFrame,
+      binCol: String,
+      metaCol: String = "audio_spectrum",
+      nFft: Int = 1024): MayFail[DataFrame] = MayFail {
+    require(nFft >= 2 && (nFft & (nFft - 1)) == 0, s"nFft must be a power of two: $nFft")
+    val outSchema = df.schema.add(metaCol, audioSpectrumType, nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val meta = if (bytes == null) null else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val afmt = ais.getFormat
+            require(afmt.getSampleSizeInBits == 16 &&
+              afmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"audioSpectralFeatures handles 16-bit signed PCM, got $afmt")
+            val rate = afmt.getSampleRate.toInt
+            val data = ais.readAllBytes()
+            val big = afmt.isBigEndian
+            val re = new Array[Double](nFft)
+            val im = new Array[Double](nFft)
+            val nSamp = math.min(nFft, data.length / 2)
+            var i = 0
+            while (i < nSamp) {
+              re(i) = (if (big) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff))
+                       else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort / 32768.0
+              i += 1
+            }
+            fft(re, im)
+            // one-sided spectrum, DC excluded: bins 1 .. nFft/2
+            var best = 1
+            var bestMag = 0.0
+            var centNum = 0.0
+            var energy = 0.0
+            var k = 1
+            while (k <= nFft / 2) {
+              val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+              if (mag > bestMag) { bestMag = mag; best = k }
+              centNum += k.toDouble * rate / nFft * mag
+              energy += mag
+              k += 1
+            }
+            val centroid = if (energy == 0.0) 0.0 else centNum / energy
+            Row(rate, nFft, best, best.toDouble * rate / nFft, centroid, energy)
+          } finally ais.close()
+        }
+        Row.fromSeq(row.toSeq :+ meta)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -137,6 +137,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1) == ((10, 8, 200.0))) // never upscaled
   }
 
+  test("fft matches the DFT definition on a known vector and is energy-preserving") {
+    // DFT of [1,0,0,0] is [1,1,1,1]; of [1,1,1,1] is [4,0,0,0]
+    val re1 = Array(1.0, 0.0, 0.0, 0.0); val im1 = new Array[Double](4)
+    Multimodal.fft(re1, im1)
+    assert(re1.forall(x => math.abs(x - 1.0) < 1e-12) && im1.forall(math.abs(_) < 1e-12))
+    val re2 = Array(1.0, 1.0, 1.0, 1.0); val im2 = new Array[Double](4)
+    Multimodal.fft(re2, im2)
+    assert(math.abs(re2(0) - 4.0) < 1e-12 && (1 to 3).forall(i => math.abs(re2(i)) < 1e-12))
+    // Parseval on a pseudo-random vector: Σ|x|² == Σ|X|²/N
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(256)(rnd.nextDouble() - 0.5)
+    val (re, im) = (x.clone(), new Array[Double](256))
+    Multimodal.fft(re, im)
+    val lhs = x.map(v => v * v).sum
+    val rhs = re.indices.map(i => re(i) * re(i) + im(i) * im(i)).sum / 256
+    assert(math.abs(lhs - rhs) < 1e-9)
+  }
+
+  test("audioSpectralFeatures recovers a planted tone's exact bin") {
+    val df = Seq(
+      (0L, Multimodal.MediaSynth.sineWavBytes(16000, 1024, 25, 12000)),
+      (1L, Multimodal.MediaSynth.wavBytes(16000, 1024, 5000)), // DC: no non-DC peak
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "aud")
+    val out = Multimodal.audioSpectralFeatures(df, "aud").get.orderBy("id")
+    assert(out.filter($"audio_spectrum".isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+    val r = out.filter($"audio_spectrum".isNotNull)
+      .select("audio_spectrum.dominant_bin", "audio_spectrum.dominant_freq_hz",
+        "audio_spectrum.spectral_centroid_hz")
+      .as[(Int, Double, Double)].collect()
+    assert(r(0)._1 == 25)
+    assert(math.abs(r(0)._2 - 25.0 * 16000 / 1024) < 1e-9)
+    // centroid of a pure tone sits at the tone (rounding noise shifts it <1 bin)
+    assert(math.abs(r(0)._3 - r(0)._2) < 16000.0 / 1024)
+  }
+
+  test("extractFrames explodes a GFV1 container into decodable per-frame rows") {
+    val container = Multimodal.MediaSynth.framesContainer(Seq(
+      Multimodal.MediaSynth.pngBytes(8, 4, 10),
+      Multimodal.MediaSynth.pngBytes(9, 5, 20),
+      Multimodal.MediaSynth.pngBytes(10, 6, 30)))
+    val df = Seq((0L, container), (1L, null.asInstanceOf[Array[Byte]])).toDF("id", "vid")
+    val out = (for {
+      fr <- Multimodal.extractFrames(df, "vid", maxFrames = 2) // cap applies
+      d  <- Multimodal.decodeImage(fr, "frame", metaCol = "m",
+              decoder = Multimodal.JdkMediaDecoder)
+    } yield d).get
+    val rows = out.select("id", "frame_idx", "m.width", "m.mean_intensity")
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // null payload: zero rows; maxFrames = 2 keeps frames 0 and 1 only
+    assert(rows == Seq((0L, 0, 8, 10.0), (0L, 1, 9, 20.0)))
+    val bad = Seq((0L, "nope".getBytes)).toDF("id", "vid")
+    val err = intercept[Exception] {
+      Multimodal.extractFrames(bad, "vid").get.count()
+    }
+    assert(err.getMessage.contains("GFV1"))
+  }
+
   test("JdkMediaDecoder fails loudly on a payload no codec recognizes") {
     val err = intercept[Exception] {
       Multimodal.JdkMediaDecoder.decodeImage("not an image".getBytes)
