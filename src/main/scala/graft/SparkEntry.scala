@@ -1542,6 +1542,28 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q126_gopher_repetition" -> ((s, dir) => {
+      // Gopher's repetition half over synthesized structure: every 3rd
+      // doc repeats a line (dup_line_frac 1/3 > 0.30), every 7th
+      // repeats the whole first block (paragraph + line dups), and
+      // doc_id % 5 spam-phrase repeats trip the duplicated-n-gram
+      // rules at r ≥ 2 — so every rule fires somewhere and the oracle
+      // replays fractions AND verdicts exactly.
+      val d = tbl(s, dir, "documents")
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val l3 = when(pmod(col("doc_id"), lit(3)) === 0, l1)
+        .otherwise(concat(lit("uniq "), col("doc_id").cast("string")))
+      val part1 = concat(l1, lit("\n"), l2, lit("\n"), l3)
+      val part2 = when(pmod(col("doc_id"), lit(7)) === 0, part1)
+        .otherwise(concat(lit("second block "), col("doc_id").cast("string")))
+      val spam = expr("repeat(' spam alpha beta gamma delta', CAST(doc_id % 5 AS INT))")
+      val lined = d.select(col("doc_id"),
+        concat(part1, lit("\n\n"), part2, spam).as("text"))
+      graft.operators.Quality.gopherRepetitionFlags(lined, "text", "doc_id").get
+        .orderBy("doc_id")
+    }),
+
     "q124_audio_spectrum" -> ((s, dir) => {
       // REAL DSP: planted pure tones (bin k = 3 + doc_id % 29 of a
       // 1024-point window at 16 kHz) → true WAV bytes → AudioSystem
@@ -3169,6 +3191,94 @@ object SparkEntry {
            'png' AS format,
            CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
          FROM k ORDER BY doc_id""",
+
+    // q126: full repetition-rule replay — same synthesized text, same
+    // line/paragraph splits, same tagged gram orders, same thresholds.
+    "q126_gopher_repetition" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             (substring(text, 1, 40) || chr(10) || substring(text, 41, 40) || chr(10) ||
+              CASE WHEN doc_id % 3 = 0 THEN substring(text, 1, 40)
+                   ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END) AS p1
+           FROM documents
+         ), aug2 AS (
+           SELECT doc_id,
+             p1 || chr(10) || chr(10) ||
+             (CASE WHEN doc_id % 7 = 0 THEN p1
+                   ELSE 'second block ' || CAST(doc_id AS VARCHAR) END) ||
+             repeat(' spam alpha beta gamma delta', CAST(doc_id % 5 AS INT)) AS t
+           FROM aug
+         ), m AS (
+           SELECT doc_id, t,
+             CAST(greatest(length(t), 1) AS DOUBLE) AS nc,
+             string_split(t, chr(10)) AS lines,
+             string_split(t, chr(10) || chr(10)) AS paras,
+             list_filter(string_split_regex(lower(trim(t)), '[ \t\n\r\f]+'),
+                         x -> x <> '') AS ts
+           FROM aug2
+         ), lp AS (
+           SELECT doc_id, nc, ts,
+             (len(lines) - len(list_distinct(lines)))
+               / CAST(greatest(len(lines), 1) AS DOUBLE) AS dlf,
+             (list_sum(list_transform(lines, l -> length(l))) -
+              list_sum(list_transform(list_distinct(lines), l -> length(l)))) / nc AS dlcf,
+             (len(paras) - len(list_distinct(paras)))
+               / CAST(greatest(len(paras), 1) AS DOUBLE) AS dpf,
+             (list_sum(list_transform(paras, l -> length(l))) -
+              list_sum(list_transform(list_distinct(paras), l -> length(l)))) / nc AS dpcf
+           FROM m
+         ), g AS (
+           SELECT doc_id, n,
+             unnest(list_transform(range(1, greatest(len(ts) - n + 2, 1)),
+               i -> array_to_string(ts[i:i+n-1], ' '))) AS gram
+           FROM m CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n)
+           WHERE len(ts) >= n
+         ), gc AS (
+           SELECT doc_id, n, gram, count(*) AS c, length(gram) AS glen
+           FROM g GROUP BY doc_id, n, gram
+         ), pn AS (
+           SELECT doc_id, n,
+             coalesce(max(CASE WHEN c >= 2 THEN c * glen END), 0) AS topc,
+             coalesce(sum(CASE WHEN c >= 2 THEN c * glen END), 0) AS dupc
+           FROM gc GROUP BY doc_id, n
+         ), w AS (
+           SELECT doc_id,
+             max(CASE WHEN n = 2 THEN topc END) AS t2,
+             max(CASE WHEN n = 3 THEN topc END) AS t3,
+             max(CASE WHEN n = 4 THEN topc END) AS t4,
+             max(CASE WHEN n = 5 THEN dupc END) AS d5,
+             max(CASE WHEN n = 6 THEN dupc END) AS d6,
+             max(CASE WHEN n = 7 THEN dupc END) AS d7,
+             max(CASE WHEN n = 8 THEN dupc END) AS d8,
+             max(CASE WHEN n = 9 THEN dupc END) AS d9,
+             max(CASE WHEN n = 10 THEN dupc END) AS d10
+           FROM pn GROUP BY doc_id
+         )
+         SELECT l.doc_id,
+           round(dlf, 6) AS dup_line_frac,
+           round(dlcf, 6) AS dup_line_char_frac,
+           round(dpf, 6) AS dup_para_frac,
+           round(dpcf, 6) AS dup_para_char_frac,
+           round(coalesce(t2, 0) / nc, 6) AS top_2gram_frac,
+           round(coalesce(t3, 0) / nc, 6) AS top_3gram_frac,
+           round(coalesce(t4, 0) / nc, 6) AS top_4gram_frac,
+           round(least(coalesce(d5, 0) / nc, 1.0), 6) AS dup_5gram_frac,
+           round(least(coalesce(d6, 0) / nc, 1.0), 6) AS dup_6gram_frac,
+           round(least(coalesce(d7, 0) / nc, 1.0), 6) AS dup_7gram_frac,
+           round(least(coalesce(d8, 0) / nc, 1.0), 6) AS dup_8gram_frac,
+           round(least(coalesce(d9, 0) / nc, 1.0), 6) AS dup_9gram_frac,
+           round(least(coalesce(d10, 0) / nc, 1.0), 6) AS dup_10gram_frac,
+           (dlf <= 0.30 AND dpf <= 0.30 AND dlcf <= 0.20 AND dpcf <= 0.20 AND
+            coalesce(t2, 0) / nc <= 0.20 AND coalesce(t3, 0) / nc <= 0.18 AND
+            coalesce(t4, 0) / nc <= 0.16 AND
+            least(coalesce(d5, 0) / nc, 1.0) <= 0.15 AND
+            least(coalesce(d6, 0) / nc, 1.0) <= 0.14 AND
+            least(coalesce(d7, 0) / nc, 1.0) <= 0.13 AND
+            least(coalesce(d8, 0) / nc, 1.0) <= 0.12 AND
+            least(coalesce(d9, 0) / nc, 1.0) <= 0.11 AND
+            least(coalesce(d10, 0) / nc, 1.0) <= 0.10) AS pass
+         FROM lp l LEFT JOIN w USING (doc_id)
+         ORDER BY l.doc_id""",
 
     // q124: planted-tone arithmetic — the Spark side must recover the
     // bin from a true FFT over true decoded WAV bytes.

@@ -127,6 +127,107 @@ object Quality {
       .limit(topK)
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, arXiv:2112.11446 table
+    * A1, repetition section) — the other half of the Gopher filter set
+    * ([[gopherFlags]] covers the quality rules): documents dominated by
+    * repeated lines, paragraphs, or n-grams are crawler artifacts and
+    * template spam, the highest-volume junk class in web corpora.
+    *
+    * Emitted per document: the 13 fractions (rounded to 6 digits) and
+    * the conjunction `pass` over the paper's thresholds —
+    * duplicate line/paragraph fraction ≤ 0.30, duplicate line/paragraph
+    * CHARACTER fraction ≤ 0.20, top {2,3,4}-gram character fraction
+    * ≤ {0.20, 0.18, 0.16}, duplicated {5..10}-gram character fraction
+    * ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}.
+    *
+    * Definitions (replayed exactly by the oracle): lines split on `\n`,
+    * paragraphs on `\n\n` (empties kept); duplicate fraction =
+    * `(#items − #distinct) / #items`; duplicate character fraction =
+    * (chars of occurrences beyond the first) / document chars; top
+    * n-gram fraction = `count·len(gram)` of the most character-covering
+    * REPEATED n-gram (count ≥ 2; 0 when nothing repeats — a unique gram
+    * is not repetition) / document chars; duplicated n-gram fraction =
+    * `Σ_{grams with count ≥ 2} count·len(gram)` / document chars,
+    * capped at 1 (overlapping occurrences double-count chars — the
+    * span-exact variant needs positional coverage; this is the standard
+    * overlap-free approximation, applied identically on both engines).
+    *
+    * Scale shape: line/paragraph rules are pure column expressions; the
+    * n-gram rules are ONE tagged explode (all 9 gram orders in a single
+    * pass over the corpus) → one `(id, n, gram)` count aggregation →
+    * one per-id pivot → one join back. Two shuffles total, independent
+    * of how many gram orders are checked. */
+  def gopherRepetitionFlags(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val topN = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupN = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val allN = (topN ++ dupN).map(_._1)
+
+    val txt = coalesce(col(textCol), lit(""))
+    val nchars = greatest(length(txt).cast("long"), lit(1L)).cast("double")
+    def dupFrac(arr: Column): Column =
+      (size(arr) - size(array_distinct(arr))).cast("double") /
+        greatest(size(arr), lit(1)).cast("double")
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    def dupCharFrac(arr: Column): Column =
+      (charSum(arr) - charSum(array_distinct(arr))).cast("double") / nchars
+    val lines = split(txt, "\n")
+    val paras = split(txt, "\n\n")
+    val base = df.select(col(idCol).as("id"), nchars.as("__nc"),
+      dupFrac(lines).as("dup_line_frac"),
+      dupCharFrac(lines).as("dup_line_char_frac"),
+      dupFrac(paras).as("dup_para_frac"),
+      dupCharFrac(paras).as("dup_para_char_frac"))
+
+    // all 9 gram orders in ONE explode: (n, gram) structs, flattened
+    val tagged = flatten(array(allN.map { n =>
+      transform(graft.functions.TextFunctions.wordShingles(txt, n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }: _*))
+    val perN = df
+      .select(col(idCol).as("id"), explode(tagged).as("t"))
+      .select(col("id"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .groupBy("id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("glen", length(col("gram")).cast("long"))
+      .groupBy("id", "n")
+      // top rule scores the most character-covering gram ONLY when it
+      // actually repeats (count ≥ 2): a unique long gram is not
+      // repetition, and on short documents it would fail every doc
+      .agg(coalesce(max(when(col("c") >= 2, col("c") * col("glen"))), lit(0L))
+          .as("top_chars"),
+        coalesce(sum(when(col("c") >= 2, col("c") * col("glen"))), lit(0L))
+          .as("dup_chars"))
+    val pivotAggs: Seq[Column] =
+      allN.map(n => max(when(col("n") === n, col("top_chars"))).as(s"__top$n")) ++
+        allN.map(n => max(when(col("n") === n, col("dup_chars"))).as(s"__dup$n"))
+    val wide = perN.groupBy("id").agg(pivotAggs.head, pivotAggs.tail: _*)
+
+    val joined = base.join(wide, Seq("id"), "left")
+    def topFrac(n: Int): Column =
+      coalesce(col(s"__top$n"), lit(0L)).cast("double") / col("__nc")
+    def dupGramFrac(n: Int): Column =
+      least(coalesce(col(s"__dup$n"), lit(0L)).cast("double") / col("__nc"), lit(1.0))
+    val pass =
+      col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
+        topN.map { case (n, t) => topFrac(n) <= t }.reduce(_ && _) &&
+        dupN.map { case (n, t) => dupGramFrac(n) <= t }.reduce(_ && _)
+    joined.select(
+      col("id").as(idCol) +:
+        round(col("dup_line_frac"), 6).as("dup_line_frac") +:
+        round(col("dup_line_char_frac"), 6).as("dup_line_char_frac") +:
+        round(col("dup_para_frac"), 6).as("dup_para_frac") +:
+        round(col("dup_para_char_frac"), 6).as("dup_para_char_frac") +:
+        (topN.map { case (n, _) => round(topFrac(n), 6).as(s"top_${n}gram_frac") } ++
+          dupN.map { case (n, _) => round(dupGramFrac(n), 6).as(s"dup_${n}gram_frac") } :+
+          pass.as("pass")): _*)
+  }
+
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 table A1):
     * the standard pre-training document filter set, one boolean per rule
     * plus the conjunction — `(idCol, n_words, word_count_ok,

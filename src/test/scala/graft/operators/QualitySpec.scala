@@ -161,6 +161,29 @@ class QualitySpec extends AnyFunSuite {
     assert(flag("bullet_ok") && flag("ellipsis_ok")) // no lines misbehave
   }
 
+  test("gopherRepetitionFlags: each repetition rule fires on its designed offender") {
+    val cleanLine = "the quick brown fox jumps over the lazy dog near a very calm river today"
+    val docs = Seq(
+      (0L, cleanLine + "\n" + "another fine sentence with plenty of fresh distinct words here"),
+      (1L, "dup line\ndup line\ndup line\nok"),                 // line dup
+      (2L, "para one block\n\npara one block"),                 // paragraph dup
+      (3L, cleanLine + (" spam alpha beta gamma delta" * 5)),   // 5-gram repetition
+      (4L, "go go go go go go go go go go and then something")  // top 2-gram repetition
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherRepetitionFlags(docs, "text", "doc_id").get
+      .orderBy("doc_id").collect()
+    def f(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getDouble(r.fieldIndex(c))
+    def pass(r: org.apache.spark.sql.Row): Boolean = r.getBoolean(r.fieldIndex("pass"))
+    assert(pass(got(0)), s"clean doc must pass: ${got(0)}")
+    assert(f(got(1), "dup_line_frac") > 0.30 && !pass(got(1)))
+    assert(f(got(2), "dup_para_frac") > 0.30 && !pass(got(2)))
+    assert(f(got(3), "dup_5gram_frac") > 0.15 && !pass(got(3)))
+    assert(f(got(4), "top_2gram_frac") > 0.20 && !pass(got(4)))
+    // a unique long gram is NOT repetition: doc 0's top fractions are 0
+    assert(f(got(0), "top_4gram_frac") == 0.0)
+  }
+
   test("termDrift surfaces the shifted terms first and handles one-sided vocab") {
     // corpora share filler; 'newword' exists only in B, 'oldword' only in A
     val a = Seq.fill(20)((1L, "filler common tokens here oldword")).toDF("id", "text")
