@@ -1542,6 +1542,24 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q127_url_canonical" -> ((s, dir) => {
+      // URL canonicalization — the key for URL-level dedup: messy
+      // synthesized URLs (upper-case scheme/host, default port,
+      // tracking params around a real param, fragment) must collapse to
+      // the clean canonical form; the oracle replays the exact regex
+      // chain (RE2-safe patterns, so both engines agree per character).
+      val messy = concat(lit("HTTP://Src"), pmod(col("doc_id"), lit(7)),
+        lit(".Example.ORG:80/Path"), pmod(col("doc_id"), lit(5)),
+        lit("?utm_source=feed"), col("doc_id"),
+        lit("&id="), pmod(col("doc_id"), lit(50)),
+        lit("&fbclid=x"), col("doc_id"),
+        lit("#sec"), col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+        .withColumn("canonical_url", TextFunctions.canonicalizeUrl(col("url")))
+        .orderBy("doc_id")
+    }),
+
     "q126_gopher_repetition" -> ((s, dir) => {
       // Gopher's repetition half over synthesized structure: every 3rd
       // doc repeats a line (dup_line_frac 1/3 > 0.30), every 7th
@@ -3191,6 +3209,36 @@ object SparkEntry {
            'png' AS format,
            CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
          FROM k ORDER BY doc_id""",
+
+    // q127: the canonicalization regex chain replayed step-for-step
+    // (DuckDB backrefs are \1, Spark's are $1 — same RE2-safe patterns).
+    "q127_url_canonical" ->
+      """WITH m AS (
+           SELECT doc_id,
+             'HTTP://Src' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG:80/Path' ||
+             CAST(doc_id % 5 AS VARCHAR) || '?utm_source=feed' || CAST(doc_id AS VARCHAR) ||
+             '&id=' || CAST(doc_id % 50 AS VARCHAR) || '&fbclid=x' || CAST(doc_id AS VARCHAR) ||
+             '#sec' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents
+         ), s1 AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '(?i)^(https?://[^/?#]+)', 1)) ||
+               regexp_replace(url, '(?i)^(https?://[^/?#]+)', '', 'g') AS a
+           FROM m
+         ), s2 AS (SELECT doc_id, url, regexp_replace(a, '#.*', '', 'g') AS a FROM s1),
+         s3 AS (SELECT doc_id, url, regexp_replace(a,
+           '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*',
+           '\1', 'g') AS a FROM s2),
+         s4 AS (SELECT doc_id, url, regexp_replace(a, '\?&+', '?', 'g') AS a FROM s3),
+         s5 AS (SELECT doc_id, url, regexp_replace(a, '&&+', '&', 'g') AS a FROM s4),
+         s6 AS (SELECT doc_id, url, regexp_replace(a, '[?&]+$', '', 'g') AS a FROM s5),
+         s7 AS (SELECT doc_id, url,
+           regexp_replace(a, '^(http://[^/?#:]+):80([/?]|$)', '\1\2', 'g') AS a FROM s6),
+         s8 AS (SELECT doc_id, url,
+           regexp_replace(a, '^(https://[^/?#:]+):443([/?]|$)', '\1\2', 'g') AS a FROM s7)
+         SELECT doc_id, url,
+           regexp_replace(a, '^(https?://[^/?#]+)/$', '\1', 'g') AS canonical_url
+         FROM s8 ORDER BY doc_id""",
 
     // q126: full repetition-rule replay — same synthesized text, same
     // line/paragraph splits, same tagged gram orders, same thresholds.

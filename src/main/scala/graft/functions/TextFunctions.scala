@@ -311,4 +311,38 @@ object TextFunctions {
     * not interpreted inside a lambda. */
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Canonical form of a single URL column — THE key for URL-level
+    * dedup of a web corpus (the same page crawled twice differs only in
+    * tracking params, fragment, host case, or a default port):
+    *
+    *  1. scheme+host lowercased (path/query case preserved);
+    *  2. `#fragment` dropped;
+    *  3. tracking params dropped (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid`, `igshid`, `mc_cid`, `mc_eid`) with separator
+    *     cleanup, other params left in their original order;
+    *  4. default ports dropped (`:80` for http, `:443` for https);
+    *  5. a bare-root trailing slash dropped (`http://a.com/` →
+    *     `http://a.com`).
+    *
+    * Pure chained `regexp_replace` — codegen'd, zero UDFs, and every
+    * pattern is lookahead-free so RE2 (DuckDB) replays it
+    * character-for-character. Non-URL input passes through with only
+    * the fragment/separator cleanups applied (garbage stays garbage —
+    * filter with [[urls]] upstream). */
+  def canonicalizeUrl(u: Column): Column = {
+    val pfx = "(?i)^(https?://[^/?#]+)"
+    val lowered = concat(lower(regexp_extract(u, pfx, 1)),
+      regexp_replace(u, pfx, ""))
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*",
+      "$1")
+    val sep1 = regexp_replace(noTrack, "\\?&+", "?")
+    val sep2 = regexp_replace(sep1, "&&+", "&")
+    val sep3 = regexp_replace(sep2, "[?&]+$", "")
+    val port1 = regexp_replace(sep3, "^(http://[^/?#:]+):80([/?]|$)", "$1$2")
+    val port2 = regexp_replace(port1, "^(https://[^/?#:]+):443([/?]|$)", "$1$2")
+    regexp_replace(port2, "^(https?://[^/?#]+)/$", "$1")
+  }
 }

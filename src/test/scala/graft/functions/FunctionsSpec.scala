@@ -159,6 +159,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r4.getInt(0) == viaCol && r4.getInt(0) >= 0 && r4.getInt(0) < 8)
   }
 
+  test("canonicalizeUrl: case, fragment, tracking params, default ports, bare-root slash") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&a=1&fbclid=z#top",
+        "http://www.example.com/Path/Page?a=1"),
+      ("https://A.com:443/", "https://a.com"),
+      ("https://a.com/x?utm_campaign=spring", "https://a.com/x"),
+      ("http://a.com/?b=2", "http://a.com/?b=2"),      // real param: slash stays
+      ("http://a.com:8080/x", "http://a.com:8080/x"),  // non-default port kept
+      ("https://a.com/p?id=1&utm_a=2&id2=3", "https://a.com/p?id=1&id2=3")
+    ).toDF("url", "want")
+    val bad = cases.filter(canonicalizeUrl($"url") =!= $"want")
+      .select("url", "want").collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
     val df = Seq((Array(1f, 2f, 3f, 4f), Array(2f, 4f, 6f, 8f), Array(-1f, 5f, -3f, 0.5f)))
       .toDF("a", "b", "c")
