@@ -1542,6 +1542,28 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q128_bin_encode" -> ((s, dir) => {
+      // Binary (sign) quantization: every 32-bit code word recomputed by
+      // the oracle with a bigint shift — one wrong sign bit anywhere in
+      // the corpus flips a code and fails the hash compare.
+      graft.operators.Quantize.binEncode(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id").get
+        .select(col("vec_id"),
+          element_at(col("bin_code"), 1).as("code_w0"),
+          element_at(col("bin_code"), 2).as("code_w1"))
+        .orderBy("vec_id")
+    }),
+
+    "q129_bin_knn" -> ((s, dir) => {
+      // Hamming-shortlist kNN with exact rerank; exhaustive shortlist ⇒
+      // must equal exact brute-force top-k (q98's gating pattern).
+      // Production-size shortlist recall is locked by QuantizeSpec.
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.Quantize.binKnn(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", k = 5, shortlistK = 1 << 20).get
+        .orderBy("queryId", "rank")
+    }),
+
     "q127_url_canonical" -> ((s, dir) => {
       // URL canonicalization — the key for URL-level dedup: messy
       // synthesized URLs (upper-case scheme/host, default port,
@@ -2895,6 +2917,18 @@ object SparkEntry {
          FROM codes ORDER BY vec_id""",
 
     "q98_sq_knn" -> knnExactOracle,
+    "q129_bin_knn" -> knnExactOracle,
+
+    // q128: every 32-bit code word recomputed with a bigint shift.
+    "q128_bin_encode" ->
+      """SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN embedding[j + 1] > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS code_w0,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN embedding[j + 33] > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS code_w1
+         FROM embeddings ORDER BY vec_id""",
 
     "q99_mix_sources" ->
       """WITH w AS (

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.functional.MayFail
 import graft.functions.VectorFunctions.{vecCosine, vecCosineDouble}
 
-/** Embedding quantization: per-vector int8 scalar quantization (SQ8) and
-  * approximate kNN over the quantized codes with exact float rerank.
+/** Embedding quantization: per-vector int8 scalar quantization (SQ8),
+  * 1-bit binary (sign) quantization, and approximate kNN over either
+  * code family with exact float rerank.
   *
   * At 100 TB the embedding store, not the compute, is the bottleneck —
   * SQ8 stores each dimension in one byte (`array<tinyint>` in Tungsten
@@ -45,6 +46,75 @@ object Quantize {
   def sqDecode(codes: Column, vmin: Column, vmax: Column): Column =
     transform(codes, c =>
       vmin + (c.cast("double") + lit(128.0)) * ((vmax - vmin) / lit(255.0)))
+
+  /** 1-bit (sign) binary codes: bit `j` of word `w` set ⟺
+    * `vec[32·w + j] > 0` — packed into `array<bigint>` of 32-bit words
+    * (32 dims per word keeps every value positive, so the packing
+    * replays in any SQL engine with a bigint shift and no sign-bit
+    * edge). 32× smaller than float32; Hamming distance between codes
+    * approximates angular distance (Charikar 2002 — the same bound
+    * behind [[graft.functions.TextFunctions]]'s simhash). */
+  private def packBits(v: Column): Column =
+    transform(
+      sequence(lit(0), ceil(size(v).cast("double") / 32.0).cast("int") - 1),
+      w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+        acc + when(
+          (w * 32 + j) < size(v) && element_at(v, w * 32 + j + 1) > lit(0.0f),
+          pow(lit(2.0), j).cast("long")).otherwise(lit(0L))))
+
+  /** Encode: `(idCol, bin_code: array<bigint>)`; null vectors yield null
+    * codes. */
+  def binEncode(df: DataFrame, vecCol: String, idCol: String): MayFail[DataFrame] =
+    MayFail(df.select(col(idCol), packBits(col(vecCol)).as("bin_code")))
+
+  /** Hamming distance between two packed codes (popcount of XOR, summed
+    * over words). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Top-k cosine neighbors via binary-code Hamming shortlist + exact
+    * float rerank — [[sqKnn]]'s shape at 32× (instead of 4×)
+    * compression: the Hamming scan touches one or two BIGINTs per
+    * vector (popcount-cheap), queries broadcast, the same
+    * WindowGroupLimit-capped shortlist shuffle, and only the shortlist
+    * rejoins the float corpus. The coarser signal wants a larger
+    * `shortlistK` than SQ8 for the same recall (QuantizeSpec locks
+    * recall; an exhaustive shortlist reproduces exact brute force,
+    * which is how the gate checks the full path). */
+  def binKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      shortlistK: Int = 200
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1 && shortlistK >= k,
+      s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    val enc = corpus.select(col(idCol).as("neighborId"),
+      packBits(col(vecCol)).as("__code"))
+    val q = queries.select(col(idCol).as("queryId"),
+      col(vecCol).as("__qv"), packBits(col(vecCol)).as("__qcode"))
+    val scored = enc.join(broadcast(q), col("queryId") =!= col("neighborId"))
+      .withColumn("__ham", hammingDistance(col("__qcode"), col("__code")))
+    val wGlob = Window.partitionBy(col("queryId"))
+      .orderBy(col("__ham"), col("neighborId"))
+    val shortlist = scored
+      .withColumn("__sr", row_number().over(wGlob))
+      .filter(col("__sr") <= shortlistK)
+      .select(col("queryId"), col("neighborId"))
+    val rerank = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
+      .join(broadcast(shortlist), Seq("neighborId"))
+      .join(broadcast(q.select(col("queryId"), col("__qv"))), Seq("queryId"))
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+    val wFinal = Window.partitionBy(col("queryId"))
+      .orderBy(col("cosine").desc, col("neighborId"))
+    rerank.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("neighborId"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
 
   /** Top-k cosine neighbors scored on the quantized reconstruction, then
     * exact-reranked on the original floats.

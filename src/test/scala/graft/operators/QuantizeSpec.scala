@@ -73,5 +73,56 @@ class QuantizeSpec extends AnyFunSuite {
       case graft.functional.Fail(e) => e.getMessage.contains("shortlistK")
       case _                        => false
     })
+    assert(Quantize.binKnn(df, df, "vec", "id", k = 10, shortlistK = 5).isFailing)
+  }
+
+  test("binEncode packs sign bits into 32-bit words (known vector)") {
+    // 36 dims: bits 0,2 of word 0 and bit 3 (dim 35) of word 1 positive
+    val v = Array.fill(36)(-1f)
+    v(0) = 1f; v(2) = 0.5f; v(35) = 2f
+    val got = Quantize.binEncode(Seq((0L, v)).toDF("id", "vec"), "vec", "id").get
+      .select("bin_code").as[Seq[Long]].head()
+    assert(got == Seq(1L + 4L, 8L), got)
+    // zero is NOT positive: a zero vector encodes to all-zero words
+    val z = Quantize.binEncode(Seq((0L, Array.fill(33)(0f))).toDF("id", "vec"),
+      "vec", "id").get.select("bin_code").as[Seq[Long]].head()
+    assert(z == Seq(0L, 0L))
+  }
+
+  test("hammingDistance counts differing sign bits across words") {
+    val a = Array.fill(40)(1f)
+    val b = Array.fill(40)(1f)
+    b(1) = -1f; b(38) = -1f // two flipped signs, one per word
+    val enc = Seq((0L, a), (1L, b)).toDF("id", "vec")
+    val codes = Quantize.binEncode(enc, "vec", "id").get
+      .orderBy("id").select("bin_code").as[Seq[Long]].collect()
+    val viaCodes = Seq((codes(0), codes(1))).toDF("ca", "cb")
+      .select(Quantize.hammingDistance(col("ca"), col("cb"))).as[Long].head()
+    assert(viaCodes == 2L)
+  }
+
+  test("binKnn with exhaustive shortlist reproduces exact brute-force top-k") {
+    val data = randomVecs(120, 12, seed = 23L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaBin = Quantize.binKnn(df, queries, "vec", "id", k = 5, shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaBin == exact)
+  }
+
+  test("binKnn keeps useful recall at a production shortlist (coarser than SQ8)") {
+    val data = randomVecs(200, 64, seed = 37L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val approx = Quantize.binKnn(df, queries, "vec", "id", k = 5, shortlistK = 50).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below 0.7 for 64-dim sign codes at shortlist 50")
   }
 }
