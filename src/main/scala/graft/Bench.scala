@@ -41,7 +41,12 @@ object Bench {
     // data-selection additions: codebook-cell quadratic pairing and the
     // two-corpus broadcast-scored gram stream
     "q113_semantic_dedup",
-    "q114_dsir"
+    "q114_dsir",
+    // round-4 additions: the 9-gram-order tagged explode (heaviest new
+    // corpus pass) and the per-row codec+FFT pipeline (CPU-bound
+    // mapPartitions — regressions in the native-work path show here)
+    "q126_gopher_repetition",
+    "q124_audio_spectrum"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

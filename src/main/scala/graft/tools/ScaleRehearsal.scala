@@ -134,6 +134,15 @@ object ScaleRehearsal {
       docs, docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), substring(col("text"), 1, 80).as("qt")),
       "text", "doc_id", "qt", "qid", k = 5).get.count())
+    // round-4: all 9 gram orders in one tagged explode — the gram volume
+    // is ~9x the token count, the heaviest linear-in-corpus text pass
+    time("gopher-repetition")(graft.operators.Quality.gopherRepetitionFlags(
+      withParagraphs(docs), "text", "doc_id").get.count())
+    // binary codes: packing is map-side; the Hamming scan touches two
+    // BIGINTs per (query, vector) pair
+    time("bin-knn")(graft.operators.Quantize.binKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, shortlistK = 50).get.count())
 
     // ---- standing invariants (assertions, not just timings) ----------
 
