@@ -1542,6 +1542,28 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q130_corpus_diff" -> ((s, dir) => {
+      // Corpus version diff: v2 drops every 13th doc, rewrites every
+      // 5th, adds a fresh id per 11th — statuses replayed by CASE
+      // arithmetic. The fingerprint compare must agree with direct
+      // normalized-text equality (whitespace-insensitive: the %5
+      // mutation only pads spaces for %10==5, which must read as
+      // UNCHANGED).
+      val v1 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2base = v1.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 5,
+            concat(lit("  "), col("text"), lit("   ")))       // normalizes away
+            .when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" v2 edit")))           // real change
+            .otherwise(col("text")))
+      val v2 = v2base.unionByName(
+        v1.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.operators.Merge.corpusDiff(v1, v2, "text", "doc_id").get
+        .orderBy("doc_id")
+    }),
+
     "q128_bin_encode" -> ((s, dir) => {
       // Binary (sign) quantization: every 32-bit code word recomputed by
       // the oracle with a bigint shift — one wrong sign bit anywhere in
@@ -2918,6 +2940,22 @@ object SparkEntry {
 
     "q98_sq_knn" -> knnExactOracle,
     "q129_bin_knn" -> knnExactOracle,
+
+    // q130: statuses replayed by the same construction arithmetic —
+    // the whitespace-only mutation (%10==5) must land 'unchanged'.
+    "q130_corpus_diff" ->
+      """WITH v AS (
+           SELECT doc_id FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 FROM documents WHERE doc_id % 11 = 0
+         )
+         SELECT doc_id,
+           CASE WHEN doc_id >= 100000 THEN 'added'
+                WHEN doc_id % 13 = 0 THEN 'removed'
+                WHEN doc_id % 10 = 5 THEN 'unchanged'
+                WHEN doc_id % 5 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM v ORDER BY doc_id""",
 
     // q128: every 32-bit code word recomputed with a bigint shift.
     "q128_bin_encode" ->

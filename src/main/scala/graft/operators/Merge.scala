@@ -78,4 +78,37 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Corpus version diff: per id, `added` (only in `b`), `removed`
+    * (only in `a`), `changed` (both sides, normalized content differs),
+    * `unchanged` — the audit that answers "what did the new crawl
+    * actually change" before a rebuilt corpus reaches training.
+    * Content comparison is by [[graft.functions.TextFunctions
+    * .fingerprint]] of the NORMALIZED text (case/whitespace-insensitive;
+    * null text compares as empty), computed per side BEFORE the join so
+    * only `(id, 8-byte hash)` rows shuffle — the documents themselves
+    * never move. One full-outer shuffle join on id; ids must be unique
+    * per side (it is the version key). Returns `(idCol, status)`.
+    *
+    * An external engine replays this without knowing the hash function:
+    * within one engine, hash equality ⟺ normalized-text equality (modulo
+    * 64-bit collisions), so the oracle compares the normalized text
+    * directly and must agree row-for-row. */
+  def corpusDiff(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      idCol: String
+  ): MayFail[DataFrame] = MayFail {
+    def fp(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.fingerprint(
+          coalesce(col(textCol), lit(""))).as(tag))
+    fp(a, "__fa").join(fp(b, "__fb"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -69,4 +69,16 @@ class MergeSpec extends AnyFunSuite {
       (1L, "c", ts(9), None, true),
       (2L, "z", ts(2), None, true)))
   }
+
+  test("corpusDiff labels added/removed/changed/unchanged; whitespace is not a change") {
+    val v1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"),
+      (4L, Option.empty[String].orNull)).toDF("id", "text")
+    val v2 = Seq((1L, "alpha text"), (2L, "  Beta   TEXT "), (3L, "rewritten"),
+      (5L, "fresh doc")).toDF("id", "text")
+    val got = Merge.corpusDiff(v1, v2, "text", "id").get
+      .as[(Long, String)].collect().toMap
+    // id 2: case/whitespace normalize away; id 4 removed (null text = empty)
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
 }
