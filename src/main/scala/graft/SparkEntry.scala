@@ -1542,6 +1542,35 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q131_stream_enrich" -> ((s, dir) => {
+      // Stream-static enrichment: file-streamed events joined to a
+      // broadcast 5-row dimension (stateless, per-micro-batch), then
+      // aggregated per category — must equal the batch join the oracle
+      // runs.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_src"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "revenue"),
+        ("error", "ops")).toDF("event_type", "category")
+      val name = "graft_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        e   <- graft.streaming.Stream.enrich(src, dim, Seq("event_type"))
+        agg <- Transform(e)(_.groupBy(col("category"))
+                 .agg(count(lit(1)).as("n"),
+                   round(sum(col("value")), 4).as("sum_value")))
+      } yield agg).get
+      val q = out.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("category")
+    }),
+
     "q130_corpus_diff" -> ((s, dir) => {
       // Corpus version diff: v2 drops every 13th doc, rewrites every
       // 5th, adds a fresh id per 11th — statuses replayed by CASE
@@ -2940,6 +2969,18 @@ object SparkEntry {
 
     "q98_sq_knn" -> knnExactOracle,
     "q129_bin_knn" -> knnExactOracle,
+
+    // q131: the batch equivalent of the streamed enrichment join.
+    "q131_stream_enrich" ->
+      """WITH dim AS (
+           SELECT * FROM (VALUES
+             ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'revenue'), ('signup', 'revenue'),
+             ('error', 'ops')) AS v(event_type, category)
+         )
+         SELECT d.category, count(*) AS n, round(sum(e.value), 4) AS sum_value
+         FROM events e JOIN dim d USING (event_type)
+         GROUP BY d.category ORDER BY d.category""",
 
     // q130: statuses replayed by the same construction arithmetic —
     // the whitespace-only mutation (%10==5) must land 'unchanged'.

@@ -195,6 +195,28 @@ object Stream {
   /** Drain a stream into an in-memory table synchronously — the offline
     * test/debug sink (pairs with `Read.fileStream`). Returns the result
     * as a batch frame after `processAllAvailable`. */
+  /** Stream-static enrichment join — the most common streaming verb:
+    * attach dimension attributes to each event as it flows. Stateless
+    * by construction (each micro-batch joins against the current dim
+    * snapshot — no watermark, no state store), and the dim broadcasts
+    * by default, so enrichment adds zero shuffle to the stream.
+    * Spark supports inner and left-outer for the stream side of a
+    * stream-static join; other types are rejected with a clear message
+    * instead of Spark's analysis error. */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left",
+      broadcastDim: Boolean = true): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "enrich needs at least one join key")
+    val jt = joinType.toLowerCase
+    require(Seq("inner", "left", "left_outer").contains(jt),
+      s"stream-static enrichment supports inner/left joins, got: $joinType")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, keys, jt)
+  }
+
   def drainToMemory(
       df: DataFrame,
       queryName: String,

@@ -178,4 +178,24 @@ class StreamSpec extends AnyFunSuite {
     assert(last("a") == ((3L, 7.0)))   // state carried across batches
     assert(last("b") == ((1L, 8.0)))
   }
+
+  test("enrich joins a broadcast static dimension per micro-batch, left semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val dim = Seq(("a", "cat1"), ("b", "cat2")).toDF("key", "category")
+    val out = Stream.enrich(input.toDF.toDF("key", "v"), dim, Seq("key")).get
+    input.addData(("a", 1.0), ("b", 2.0), ("zz", 3.0))
+    val got = Stream.drainToMemory(out, "enrich_test").get
+      .select("key", "category", "v")
+      .as[(String, Option[String], Double)].collect().toSet
+    // left join: the unmatched key survives with a null category
+    assert(got == Set(("a", Some("cat1"), 1.0), ("b", Some("cat2"), 2.0),
+      ("zz", None, 3.0)))
+    // unsupported stream-side join types fail with OUR message
+    assert(Stream.enrich(input.toDF.toDF("key", "v"), dim, Seq("key"),
+      joinType = "right") match {
+      case graft.functional.Fail(e) => e.getMessage.contains("enrichment")
+      case _                        => false
+    })
+  }
 }
