@@ -1559,7 +1559,11 @@ object SparkEntry {
       val name = "graft_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val out = (for {
         src <- Read.fileStream(staged, "parquet", schema)
-        e   <- graft.streaming.Stream.enrich(src, dim, Seq("event_type"))
+        // inner join to MATCH the oracle's semantics exactly — a left
+        // join would only agree while the fixture's event_type domain
+        // happens to equal the dim keys
+        e   <- graft.streaming.Stream.enrich(src, dim, Seq("event_type"),
+                 joinType = "inner")
         agg <- Transform(e)(_.groupBy(col("category"))
                  .agg(count(lit(1)).as("n"),
                    round(sum(col("value")), 4).as("sum_value")))

@@ -177,6 +177,7 @@ object Multimodal {
       * `amplitude / 32768.0` (every sample identical, so the mean square
       * is the square of one sample — no float-order sensitivity). */
     def wavBytes(sampleRate: Int, nSamples: Int, amplitude: Int): Array[Byte] = {
+      require(nSamples >= 0, s"bad nSamples: $nSamples")
       require(amplitude >= -32768 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0
@@ -194,6 +195,7 @@ object Multimodal {
       * [[audioSpectralFeatures]] recovers `dominant_bin == cycles`. */
     def sineWavBytes(sampleRate: Int, nSamples: Int, cycles: Int,
                      amplitude: Int): Array[Byte] = {
+      require(nSamples >= 0, s"bad nSamples: $nSamples")
       require(amplitude >= 0 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
       require(cycles >= 0, s"cycles must be non-negative: $cycles")
       val pcm = new Array[Byte](nSamples * 2)
@@ -408,7 +410,10 @@ object Multimodal {
   /** REAL spectral features over WAV PCM16 audio: decode via
     * `AudioSystem`, FFT the first `nFft` samples (zero-padded if
     * shorter), report the dominant non-DC bin and its frequency, the
-    * spectral centroid, and the total in-band energy. The JDK-only
+    * (magnitude-weighted) spectral centroid, and the in-band spectral
+    * energy `Σ|X_k|²` over bins 1..nFft/2. Mono only — stereo must be
+    * downmixed first (interleaved L/R read as mono halves every
+    * frequency). The JDK-only
     * answer to "what's in this audio" beyond duration — language/music/
     * silence triage keys off exactly these signals.
     *
@@ -435,6 +440,12 @@ object Multimodal {
             require(afmt.getSampleSizeInBits == 16 &&
               afmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
               s"audioSpectralFeatures handles 16-bit signed PCM, got $afmt")
+            // stereo interleaves L/R: reading it as mono halves every
+            // frequency and lands tones in the wrong bin — downmix
+            // upstream rather than silently mis-analyze
+            require(afmt.getChannels == 1,
+              s"audioSpectralFeatures needs MONO audio (got ${afmt.getChannels} " +
+                "channels) — downmix before analysis")
             val rate = afmt.getSampleRate.toInt
             val data = ais.readAllBytes()
             val big = afmt.isBigEndian
@@ -452,16 +463,19 @@ object Multimodal {
             var best = 1
             var bestMag = 0.0
             var centNum = 0.0
+            var magSum = 0.0
             var energy = 0.0
             var k = 1
             while (k <= nFft / 2) {
-              val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+              val p = re(k) * re(k) + im(k) * im(k)
+              val mag = math.sqrt(p)
               if (mag > bestMag) { bestMag = mag; best = k }
               centNum += k.toDouble * rate / nFft * mag
-              energy += mag
+              magSum += mag
+              energy += p // true spectral energy Σ|X_k|² (Parseval units)
               k += 1
             }
-            val centroid = if (energy == 0.0) 0.0 else centNum / energy
+            val centroid = if (magSum == 0.0) 0.0 else centNum / magSum
             Row(rate, nFft, best, best.toDouble * rate / nFft, centroid, energy)
           } finally ais.close()
         }

@@ -55,12 +55,18 @@ object Quantize {
     * approximates angular distance (Charikar 2002 — the same bound
     * behind [[graft.functions.TextFunctions]]'s simhash). */
   private def packBits(v: Column): Column =
-    transform(
-      sequence(lit(0), ceil(size(v).cast("double") / 32.0).cast("int") - 1),
-      w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-        acc + when(
-          (w * 32 + j) < size(v) && element_at(v, w * 32 + j + 1) > lit(0.0f),
-          pow(lit(2.0), j).cast("long")).otherwise(lit(0L))))
+    // empty-vector guard: sequence(0, ceil(0/32)-1) would count DOWN to
+    // word -1, whose (w*32+j) < size test passes and evaluates
+    // element_at at index ≤ 0 — an ANSI error. Empty in, empty out;
+    // null in, null out (the when propagates it).
+    when(size(v) > 0,
+      transform(
+        sequence(lit(0), ceil(size(v).cast("double") / 32.0).cast("int") - 1),
+        w => aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+          acc + when(
+            (w * 32 + j) < size(v) && element_at(v, w * 32 + j + 1) > lit(0.0f),
+            pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))))
+      .otherwise(when(v.isNotNull, array().cast("array<bigint>")))
 
   /** Encode: `(idCol, bin_code: array<bigint>)`; null vectors yield null
     * codes. */
@@ -92,21 +98,42 @@ object Quantize {
   ): MayFail[DataFrame] = MayFail {
     require(k >= 1 && shortlistK >= k,
       s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    // null-code rows (null embeddings) are dropped up front: under the
+    // ascending Hamming order Spark sorts nulls FIRST, so they would
+    // otherwise crowd real neighbors out of the shortlist; ragged
+    // dimensions likewise null the zip_with-based distance, so the
+    // ordering is additionally nulls-last as a belt-and-braces guard
     val enc = corpus.select(col(idCol).as("neighborId"),
-      packBits(col(vecCol)).as("__code"))
+        packBits(col(vecCol)).as("__code"))
+      .filter(col("__code").isNotNull)
     val q = queries.select(col(idCol).as("queryId"),
       col(vecCol).as("__qv"), packBits(col(vecCol)).as("__qcode"))
     val scored = enc.join(broadcast(q), col("queryId") =!= col("neighborId"))
       .withColumn("__ham", hammingDistance(col("__qcode"), col("__code")))
     val wGlob = Window.partitionBy(col("queryId"))
-      .orderBy(col("__ham"), col("neighborId"))
+      .orderBy(col("__ham").asc_nulls_last, col("neighborId"))
     val shortlist = scored
       .withColumn("__sr", row_number().over(wGlob))
       .filter(col("__sr") <= shortlistK)
       .select(col("queryId"), col("neighborId"))
+    rerankShortlist(corpus, vecCol, idCol,
+      q.select(col("queryId"), col("__qv")), shortlist, k)
+  }
+
+  /** Shared exact-rerank tail of [[sqKnn]] and [[binKnn]]: join the
+    * (bounded, broadcast) shortlist back to the float corpus, score the
+    * exact cosine, rank-limit to `k`. ONE definition so a tie-break or
+    * ordering fix applies to every shortlist family. */
+  private def rerankShortlist(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      q: DataFrame, // (queryId, __qv)
+      shortlist: DataFrame, // (queryId, neighborId)
+      k: Int): DataFrame = {
     val rerank = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
       .join(broadcast(shortlist), Seq("neighborId"))
-      .join(broadcast(q.select(col("queryId"), col("__qv"))), Seq("queryId"))
+      .join(broadcast(q), Seq("queryId"))
       .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
     val wFinal = Window.partitionBy(col("queryId"))
       .orderBy(col("cosine").desc, col("neighborId"))
@@ -155,15 +182,7 @@ object Quantize {
       .withColumn("__sr", row_number().over(wGlob))
       .filter(col("__sr") <= shortlistK)
       .select(col("queryId"), col("neighborId"))
-    val rerank = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
-      .join(broadcast(shortlist), Seq("neighborId"))
-      .join(broadcast(q.select(col("queryId"), col("__qv"))), Seq("queryId"))
-      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
-    val wFinal = Window.partitionBy(col("queryId"))
-      .orderBy(col("cosine").desc, col("neighborId"))
-    rerank.withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
-      .select(col("queryId"), col("neighborId"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    rerankShortlist(corpus, vecCol, idCol,
+      q.select(col("queryId"), col("__qv")), shortlist, k)
   }
 }

@@ -192,9 +192,6 @@ object Stream {
       }
   }
 
-  /** Drain a stream into an in-memory table synchronously — the offline
-    * test/debug sink (pairs with `Read.fileStream`). Returns the result
-    * as a batch frame after `processAllAvailable`. */
   /** Stream-static enrichment join — the most common streaming verb:
     * attach dimension attributes to each event as it flows. Stateless
     * by construction (each micro-batch joins against the current dim
@@ -217,6 +214,9 @@ object Stream {
     stream.join(d, keys, jt)
   }
 
+  /** Drain a stream into an in-memory table synchronously — the offline
+    * test/debug sink (pairs with `Read.fileStream`). Returns the result
+    * as a batch frame after `processAllAvailable`. */
   def drainToMemory(
       df: DataFrame,
       queryName: String,

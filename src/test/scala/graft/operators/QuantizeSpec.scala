@@ -87,6 +87,24 @@ class QuantizeSpec extends AnyFunSuite {
     val z = Quantize.binEncode(Seq((0L, Array.fill(33)(0f))).toDF("id", "vec"),
       "vec", "id").get.select("bin_code").as[Seq[Long]].head()
     assert(z == Seq(0L, 0L))
+    // empty → empty, null → null (no ANSI element_at blow-up)
+    val edge = Quantize.binEncode(
+      Seq((0L, Some(Array.empty[Float])), (1L, Option.empty[Array[Float]]))
+        .toDF("id", "vec"), "vec", "id").get
+      .orderBy("id").select("bin_code").as[Option[Seq[Long]]].collect().toSeq
+    assert(edge == Seq(Some(Seq.empty), None))
+  }
+
+  test("binKnn ignores null-embedding corpus rows instead of shortlisting them first") {
+    val good = randomVecs(30, 8, seed = 3L)
+    val df = (good.map { case (i, v) => (i, Option(v)) } ++
+      (100 until 140).map(i => (i.toLong, Option.empty[Array[Float]])))
+      .toDF("id", "vec")
+    val queries = good.take(2).toDF("id", "vec")
+    val got = Quantize.binKnn(df, queries, "vec", "id", k = 3, shortlistK = 5).get
+      .select("neighborId").as[Long].collect()
+    // 40 null rows > shortlistK: results must still be real neighbors
+    assert(got.nonEmpty && got.forall(_ < 100L), got.toSeq)
   }
 
   test("hammingDistance counts differing sign bits across words") {
