@@ -1542,6 +1542,19 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q132_sample_fractions_hash" -> ((s, dir) => {
+      // Deterministic stratified fractions: the salted-md5 draw is a
+      // pure function of (salt, doc_id), so the oracle replays the
+      // exact kept rows — and the unlisted language ('zh') keeps the
+      // default fraction 0, i.e. vanishes.
+      graft.operators.Sampling.byFractionsByHash(
+          tbl(s, dir, "documents"),
+          "lang", Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.0),
+          idCols = Seq("doc_id"), salt = "r4").get
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+
     "q131_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment: file-streamed events joined to a
       // broadcast 5-row dimension (stateless, per-micro-batch), then
@@ -2973,6 +2986,17 @@ object SparkEntry {
 
     "q98_sq_knn" -> knnExactOracle,
     "q129_bin_knn" -> knnExactOracle,
+
+    // q132: exact replay of the stratified hash draw.
+    "q132_sample_fractions_hash" ->
+      """SELECT lang, doc_id, n_chars
+         FROM documents
+         WHERE (CAST(('0x' || substring(md5('r4§' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000)
+               < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
+                            ELSE 0.0 END) * 1000000.0
+         ORDER BY lang, doc_id""",
 
     // q131: the batch equivalent of the streamed enrichment join.
     "q131_stream_enrich" ->

@@ -75,6 +75,35 @@ object Sampling {
       seed: Long = 42L): MayFail[DataFrame] =
     MayFail(df.stat.sampleBy(keyCol, fractions, seed))
 
+  /** [[byFractions]] with the portable-hash draw: a row is kept iff
+    * `portableHash60(salt § id…) mod 10⁶ < fraction·10⁶` for its key's
+    * fraction — a pure function of the data, so the stratified sample
+    * is identical across reruns, repartitions, and engines (Spark's
+    * `sampleBy` draws per partition, so a corpus rebuild silently
+    * changes which rows are kept — the same trap `rand(seed)` windows
+    * have). Keys absent from `fractions` keep `defaultFraction`
+    * (0 = drop). Still map-side only: no shuffle, filters push down
+    * around it. */
+  def byFractionsByHash(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Map[String, Double],
+      idCols: Seq[String],
+      salt: String = "0",
+      defaultFraction: Double = 0.0): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "byFractionsByHash needs idCols — the hash of " +
+      "the row identity IS the deterministic draw")
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions default=$defaultFraction")
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(keyCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    val u = pmod(graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*)),
+      lit(1000000L)).cast("double")
+    df.filter(u < frac * 1000000.0)
+  }
+
   /** Greedy token-budget sample: rows are taken in pseudo-random order
     * per group until the group's running token count passes `budget` (the
     * row that crosses the line is included, so every non-empty group

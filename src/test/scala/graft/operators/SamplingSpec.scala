@@ -54,6 +54,23 @@ class SamplingSpec extends AnyFunSuite {
       idCols = Seq("id")).get.count() == 1)
   }
 
+  test("byFractionsByHash: deterministic stratified draw, default fraction drops") {
+    val a = Sampling.byFractionsByHash(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0), idCols = Seq("id")).get
+    val counts = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("de", 0L) == 30L)      // fraction 1 keeps all
+    assert(!counts.contains("fr"))                 // default 0 drops unlisted keys
+    assert(counts("en") > 20L && counts("en") < 80L)
+    // pure function of the data: layout-invariant, same rows every run
+    val ids = a.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.byFractionsByHash(docs.repartition(7), "lang",
+      Map("en" -> 0.5, "de" -> 1.0), idCols = Seq("id")).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == b)
+    assert(Sampling.byFractionsByHash(docs, "lang", Map("en" -> 1.5),
+      idCols = Seq("id")).isFailing)
+  }
+
   test("fixedPerGroupByHash: exact quota, partitioning-invariant, salt = fresh draw") {
     val a = Sampling.fixedPerGroupByHash(docs, Seq("lang"), n = 10,
       idCols = Seq("id")).get
