@@ -72,22 +72,65 @@ object Bench {
     try {
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
       val perBatch = nEvents / batches
-      val t0 = System.nanoTime()
-      var b = 0
-      while (b < batches) {
-        input.addData((0 until perBatch).map { i =>
+      // fixtures are built BEFORE the clock starts: the timed span must
+      // measure addData + processAllAvailable (the state-store path), not
+      // driver-side Scala collection allocation
+      val batchData = (0 until batches).map { b =>
+        (0 until perBatch).map { i =>
           val e = b * perBatch + i
           // 50 ms event spacing: the event-time span crosses many windows,
           // so every batch both opens new state and finalizes old state
           (new java.sql.Timestamp(base + e.toLong * 50), s"k${e % 64}", (e % 97).toDouble)
-        })
+        }
+      }
+      val t0 = System.nanoTime()
+      batchData.foreach { d =>
+        input.addData(d)
         q.processAllAvailable()
-        b += 1
       }
       // end the measurement BEFORE stop(): shutdown latency is not the
       // state-store path this number exists to isolate
       (System.nanoTime() - t0) / 1e9
     } finally q.stop() // a mid-measure failure must not leak a live query
+  }
+
+  /** Fixed-work CPU calibration: a constant-input single-thread splitmix64
+    * fold (no allocation, no Spark) timed with the same min-of-N
+    * discipline as the queries. The work never changes round-over-round,
+    * so the recorded seconds are a pure measure of the HOST's state —
+    * divide two rounds' query numbers by their calibration ratio before
+    * calling a delta a regression (round 4's 1.3× "regression" was
+    * exactly this: host-load drift, refuted only by a worktree A/B). */
+  private def cpuCalibration(runs: Int): Double = {
+    var sink = 0L
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 200000000L) { acc ^= graft.functions.VecOps.splitmix64(i); i += 1 }
+      sink ^= acc // consume: the fold must not be dead-code-eliminated
+      (System.nanoTime() - t0) / 1e9
+    }
+    val times = (0 until math.max(1, runs)).map(_ => once())
+    if (sink == 42L) System.err.println("") // keep `sink` observably live
+    times.min
+  }
+
+  /** Fixed-work Spark calibration: a constant `range → xxhash64 → sum`
+    * job — captures scheduler/executor-thread contention that the
+    * single-thread kernel can't see. Same min-of-N timing. */
+  private def sparkCalibration(spark: SparkSession, runs: Int): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing random 64-bit hashes overflows a long
+      // under ANSI mode
+      spark.range(0L, 100000000L, 1L, 32)
+        .agg(expr("bit_xor(xxhash64(id))")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup (codegen/JIT)
+    (0 until math.max(1, runs)).map(_ => once()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,11 +152,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best-of-2 per query: single-run timings on a shared local JVM carry
-    // ±25% GC/JIT noise at these sizes — the minimum of two post-warmup
+    // best-of-3 per query: single-run timings on a shared local JVM carry
+    // ±25% GC/JIT noise at these sizes — the minimum of three post-warmup
     // runs is the standard way to report the plan's cost, not the noise
     val runs = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
     val results = headline.map { name =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
@@ -128,26 +171,34 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    // streaming throughput line (same warmup-then-measure discipline;
-    // one run — the measured span already amortizes over 4 micro-batches).
+    // streaming throughput line, warmup then MIN-OF-2 measured runs (the
+    // same discipline as the batch queries — a single-shot number was too
+    // noisy to trend: 15.6 s recorded vs 8.4 s re-measured in round 4).
     // Reported under its own "streaming" key and EXCLUDED from "total":
     // total stays a min-of-N batch-query sum, comparable round-over-round
-    // without a single-run different-workload-class term mixed in.
+    // without a different-workload-class term mixed in.
+    val streamRuns = 2
     val streamSec = {
       try benchStreaming(spark, nEvents = 10000, batches = 2) // warmup
       catch { case _: Throwable => () }
-      try benchStreaming(spark, nEvents = 200000, batches = 4)
+      try (0 until streamRuns)
+        .map(_ => benchStreaming(spark, nEvents = 200000, batches = 4)).min
       catch { case e: Throwable =>
         System.err.println(s"[bench] qS1_stream_window FAILED: ${e.getMessage}")
         -1.0
       }
     }
+    // host-state calibration (fixed work, never changes round-over-round):
+    // normalize cross-round query deltas by the calibration ratio before
+    // reading them as plan regressions
+    val calCpu = cpuCalibration(runs)
+    val calSpark = sparkCalibration(spark, runs)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"events":200000,"runs":1},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"note":"fixed work; divide cross-round query deltas by the calibration ratio before reading them as regressions"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()
   }
 }

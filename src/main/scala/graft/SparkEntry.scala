@@ -1562,7 +1562,11 @@ object SparkEntry {
       // runs.
       implicit val sp: SparkSession = s
       import s.implicits._
-      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_src"
+      // UUID-suffixed staging (like the memory-sink table name): a fixed
+      // path would let two concurrent gate runs overwrite each other's
+      // staged parquet mid-stream; deleted after the query stops.
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich_src_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
       events(s, dir).write.mode("overwrite").parquet(staged)
       val schema = s.read.parquet(staged).schema
       val dim = Seq(
@@ -1585,6 +1589,12 @@ object SparkEntry {
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      // the memory sink holds the rows now — the staged parquet can go
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(staged))
       s.table(name).orderBy("category")
     }),
 
@@ -1642,6 +1652,7 @@ object SparkEntry {
         lit(".Example.ORG:80/Path"), pmod(col("doc_id"), lit(5)),
         lit("?utm_source=feed"), col("doc_id"),
         lit("&id="), pmod(col("doc_id"), lit(50)),
+        lit("&UTM_Medium=m"), pmod(col("doc_id"), lit(3)), // uppercased tracker — (?i) must strip it
         lit("&fbclid=x"), col("doc_id"),
         lit("#sec"), col("doc_id"))
       tbl(s, dir, "documents")
@@ -3358,7 +3369,9 @@ object SparkEntry {
            SELECT doc_id,
              'HTTP://Src' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG:80/Path' ||
              CAST(doc_id % 5 AS VARCHAR) || '?utm_source=feed' || CAST(doc_id AS VARCHAR) ||
-             '&id=' || CAST(doc_id % 50 AS VARCHAR) || '&fbclid=x' || CAST(doc_id AS VARCHAR) ||
+             '&id=' || CAST(doc_id % 50 AS VARCHAR) ||
+             '&UTM_Medium=m' || CAST(doc_id % 3 AS VARCHAR) ||
+             '&fbclid=x' || CAST(doc_id AS VARCHAR) ||
              '#sec' || CAST(doc_id AS VARCHAR) AS url
            FROM documents
          ), s1 AS (
@@ -3368,7 +3381,7 @@ object SparkEntry {
            FROM m
          ), s2 AS (SELECT doc_id, url, regexp_replace(a, '#.*', '', 'g') AS a FROM s1),
          s3 AS (SELECT doc_id, url, regexp_replace(a,
-           '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*',
+           '(?i)([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*',
            '\1', 'g') AS a FROM s2),
          s4 AS (SELECT doc_id, url, regexp_replace(a, '\?&+', '?', 'g') AS a FROM s3),
          s5 AS (SELECT doc_id, url, regexp_replace(a, '&&+', '&', 'g') AS a FROM s4),

@@ -318,9 +318,10 @@ object TextFunctions {
     *
     *  1. scheme+host lowercased (path/query case preserved);
     *  2. `#fragment` dropped;
-    *  3. tracking params dropped (`utm_*`, `fbclid`, `gclid`,
-    *     `msclkid`, `igshid`, `mc_cid`, `mc_eid`) with separator
-    *     cleanup, other params left in their original order;
+    *  3. tracking params dropped case-insensitively (`utm_*`, `fbclid`,
+    *     `gclid`, `msclkid`, `igshid`, `mc_cid`, `mc_eid` — `UTM_SOURCE`
+    *     is the same tracker) with separator cleanup, other params left
+    *     in their original order;
     *  4. default ports dropped (`:80` for http, `:443` for https);
     *  5. a bare-root trailing slash dropped (`http://a.com/` →
     *     `http://a.com`).
@@ -335,8 +336,11 @@ object TextFunctions {
     val lowered = concat(lower(regexp_extract(u, pfx, 1)),
       regexp_replace(u, pfx, ""))
     val noFrag = regexp_replace(lowered, "#.*", "")
+    // (?i): trackers are matched case-insensitively like the scheme/host
+    // normalization — 'UTM_SOURCE=x' is the same tracker as 'utm_source=x'
+    // (inline flag is RE2-safe, so DuckDB replays it identically)
     val noTrack = regexp_replace(noFrag,
-      "([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*",
+      "(?i)([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid)=[^&#]*",
       "$1")
     val sep1 = regexp_replace(noTrack, "\\?&+", "?")
     val sep2 = regexp_replace(sep1, "&&+", "&")

@@ -128,8 +128,14 @@ object Multimodal {
           fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           s"JdkMediaDecoder handles 16-bit signed PCM, got $fmt")
         val rate = fmt.getSampleRate.toInt
-        val nFrames = ais.getFrameLength
         val data = ais.readAllBytes()
+        // AudioSystem reports NOT_SPECIFIED (-1) for some stream-wrapped
+        // PCM inputs; the bytes are fully read anyway, so derive the frame
+        // count from them rather than emit n_samples=-1 / negative duration
+        val frameSize =
+          if (fmt.getFrameSize > 0) fmt.getFrameSize else 2 * math.max(fmt.getChannels, 1)
+        val nFrames =
+          if (ais.getFrameLength >= 0) ais.getFrameLength else data.length.toLong / frameSize
         val big = fmt.isBigEndian
         var acc = 0.0
         var i = 0
@@ -270,7 +276,12 @@ object Multimodal {
           bb.get(magic)
           require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFV1",
             "not a GFV1 frames container")
-          val n = math.min(bb.getInt, maxFrames)
+          val rawN = bb.getInt
+          // a corrupt header must fail as loudly as a bad magic — a
+          // negative count under math.min would silently yield zero rows,
+          // indistinguishable from a legitimately frame-less video
+          require(rawN >= 0, s"corrupt GFV1 header: negative frame count $rawN")
+          val n = math.min(rawN, maxFrames)
           // materialized (not a lazy iterator): the buffer reads are
           // stateful and must happen in frame order exactly once
           (0 until n).map { f =>

@@ -167,7 +167,10 @@ class FunctionsSpec extends AnyFunSuite {
       ("https://a.com/x?utm_campaign=spring", "https://a.com/x"),
       ("http://a.com/?b=2", "http://a.com/?b=2"),      // real param: slash stays
       ("http://a.com:8080/x", "http://a.com:8080/x"),  // non-default port kept
-      ("https://a.com/p?id=1&utm_a=2&id2=3", "https://a.com/p?id=1&id2=3")
+      ("https://a.com/p?id=1&utm_a=2&id2=3", "https://a.com/p?id=1&id2=3"),
+      // trackers strip case-insensitively — the same page crawled with
+      // uppercased params must land on the same dedup key
+      ("https://a.com/p?UTM_SOURCE=x&id=1&FbClId=z", "https://a.com/p?id=1")
     ).toDF("url", "want")
     val bad = cases.filter(canonicalizeUrl($"url") =!= $"want")
       .select("url", "want").collect()
