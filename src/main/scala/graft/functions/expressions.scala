@@ -89,7 +89,16 @@ object VecOps {
         var j = 0
         while (j < d) {
           val h = splitmix64(s + i.toLong * 0x9E3779B97F4A7C15L + j.toLong)
-          t(i * d + j) = (h >> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          // >>> 12 (logical, 52 bits kept): the entry must be uniform on
+          // [-1,1) with MEAN ZERO. The previous `(h >> 11)` kept 53 bits
+          // WITH sign over a 2^52 divisor — entries on [-3,1), mean −1 —
+          // so every "independent" hyperplane shared a large common −1⃗
+          // component (measured pairwise plane |cos| ≈ 0.45 instead of
+          // the ~0.09 of true 64-dim random planes). Correlated planes
+          // collapse an isotropic corpus into a few giant buckets
+          // (maxOcc 167/2000 at 10 bits vs 10 unbiased) and the
+          // in-bucket quadratic verification melts down at scale.
+          t(i * d + j) = (h >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
           j += 1
         }
         i += 1

@@ -590,15 +590,17 @@ object Dedup {
     * buckets. Returns `(idA, idB, cosine)`.
     *
     * `nBits <= 0` auto-sizes the signature from a corpus count so the
-    * EXPECTED bucket occupancy stays ~64 vectors as the corpus grows
-    * (`nBits = log2(n/64)`, clamped to [4, 24]). A fixed signature width
+    * EXPECTED bucket occupancy stays ~16 vectors as the corpus grows
+    * (`nBits = log2(n/16)`, clamped to [4, 24]). A fixed signature width
     * is the classic LSH scale trap: bucket occupancy — and therefore the
     * quadratic in-bucket verification — grows linearly with the corpus,
-    * so the parameter that was tuned at 10⁵ vectors melts down at 10⁹
-    * (measured here: 8 bits is right at 2×10⁴ vectors and already 8×
-    * slower than occupancy-sized buckets at 2×10⁵). More bits = smaller
-    * buckets = lower per-table recall; raise `tables` to compensate when
-    * auto-sizing lands wide. */
+    * so the parameter that was tuned at 10⁵ vectors melts down at 10⁹.
+    * The ~16 target matches the measured sweet spot (at 2×10⁴ vectors,
+    * 11-bit tables generate 1.8M candidate pairs vs 8M for 8-bit ones,
+    * and run 3.4× faster end-to-end, on par with the portable
+    * band-agreement formulation). More bits = smaller buckets = lower
+    * per-table recall; raise `tables` to compensate when auto-sizing
+    * lands wide. */
   def embeddingNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -613,7 +615,7 @@ object Dedup {
       if (nBits > 0) nBits
       else {
         val n = math.max(base.count(), 1L)
-        math.min(24, math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt))
+        math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
       }
     // distinct bucket keys per table: (table, signature) — same slim-banding
     // shape as the text dedups (vectors join back only at verification).

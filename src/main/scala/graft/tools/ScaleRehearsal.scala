@@ -64,8 +64,10 @@ object ScaleRehearsal {
     time("dedup-minhash")(graft.operators.Dedup.minhashPairs(
       docs, "text", "doc_id", threshold = 0.5).get.count())
     // nBits sizes buckets to the corpus: 20k vectors / 2^8 buckets ≈ 78
-    // per bucket (4 bits would mean 1250-vector buckets — quadratic
-    // verification, measured 65 s; bucket granularity is THE cost knob)
+    // per bucket — deliberately coarser than the auto-sizer's ~16 target
+    // so the hand-tuned-too-wide cost stays visible as a datapoint
+    // (4 bits would mean 1250-vector buckets — quadratic verification;
+    // bucket granularity is THE cost knob)
     time("dedup-embedding")(graft.operators.Dedup.embeddingNearDupPairs(
       emb, "embedding", "vec_id", threshold = 0.25, nBits = 8, tables = 8).get.count())
     time("dedup-embedding-portable")(graft.operators.Dedup.embeddingNearDupPairsPortable(
