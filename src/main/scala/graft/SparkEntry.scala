@@ -1542,6 +1542,31 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q133_lsh_cap_report" -> ((s, dir) => {
+      // Cap observability: the portable-banding occupancy report —
+      // every counter (buckets, dropped buckets, rows in dropped
+      // buckets, max occupancy) is a pure function of the md5-sign
+      // signatures, so the oracle recomputes the report exactly. The
+      // deliberately tight maxBucket guarantees real drops, proving
+      // the recall loss the round-4 verdict flagged as silent is now
+      // a queryable number.
+      graft.operators.Dedup.embeddingCapReportPortable(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id",
+          bandBits = 4, nBands = 15, maxBucket = 40).get
+        .orderBy("n_buckets")
+    }),
+
+    "q134_shortlist_report" -> ((s, dir) => {
+      // Shortlist-truncation observability for the quantized kNN: per
+      // query, candidates vs the shortlistK cap — trivially replayed
+      // by the oracle from corpus counts.
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.Quantize.shortlistReport(
+          emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+          shortlistK = 50).get
+        .orderBy("queryId")
+    }),
+
     "q132_sample_fractions_hash" -> ((s, dir) => {
       // Deterministic stratified fractions: the salted-md5 draw is a
       // pure function of (salt, doc_id), so the oracle replays the
@@ -3008,6 +3033,37 @@ object SparkEntry {
                             WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
                             ELSE 0.0 END) * 1000000.0
          ORDER BY lang, doc_id""",
+
+    // q133: the portable-banding occupancy report replayed from the
+    // md5-sign signatures (same sig CTEs as q37/q39; 15 bands × 4 bits
+    // is exactly the 60-bit signature). DuckDB's integer sum widens to
+    // HUGEINT, so every counter is cast back to BIGINT.
+    "q133_lsh_cap_report" -> (portableSigCtes +
+      """, banded AS (
+           SELECT bb.b AS band, ((sh >> (bb.b * 4)) & 15) AS bucket
+           FROM sh, (SELECT unnest(range(0, 15)) AS b) bb
+         ), occ AS (
+           SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+         )
+         SELECT count(*) AS n_buckets,
+           CAST(count(CASE WHEN n > 40 THEN 1 END) AS BIGINT) AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 40 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ ORDER BY n_buckets"""),
+
+    // q134: shortlist truncation from plain corpus counts.
+    "q134_shortlist_report" ->
+      """WITH tot AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id AS queryId FROM embeddings WHERE vec_id < 10),
+         slf AS (SELECT vec_id AS queryId, count(*) AS s FROM embeddings
+                 WHERE embedding IS NOT NULL GROUP BY vec_id)
+         SELECT q.queryId,
+           CAST(t.n - coalesce(slf.s, 0) AS BIGINT) AS n_candidates,
+           CAST(least(t.n - coalesce(slf.s, 0), 50) AS BIGINT) AS n_shortlisted,
+           CAST(greatest(t.n - coalesce(slf.s, 0) - 50, 0) AS BIGINT) AS n_truncated
+         FROM q CROSS JOIN tot t LEFT JOIN slf ON slf.queryId = q.queryId
+         ORDER BY q.queryId""",
 
     // q131: the batch equivalent of the streamed enrichment join.
     "q131_stream_enrich" ->

@@ -85,26 +85,36 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
-    // Shingle HASHES, not shingle strings — minhash and Jaccard only need
-    // a stable hash per shingle, so the whole path is array<long>.
-    val sh = df.select(
-        col(idCol).as("id"),
-        wordShingleHashes(col(textCol), shingleSize).as("shingles"))
-      // docs below the shingle size have EMPTY hash arrays — identical
-      // (all-MaxValue) minhash signatures would funnel them into one
-      // degenerate bucket per band, verified and discarded at pure cost
-      .filter(size(col("shingles")) > 0)
+    val sh = minhashShingled(df, textCol, idCol, shingleSize)
     // Slim banding: only (id, band, bucket) — 24-byte rows — flows through
     // the explode/shuffle/self-join; the shingle-hash arrays are joined
     // back ONLY for surviving candidate pairs. Banding the payload itself
     // would shuffle every document `bands` times.
     val banded = candidateBands(
-      sh.select(col("id"),
-        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys")),
-      maxBucket)
+      minhashKeyed(sh, bands, rowsPerBand), maxBucket)
     verifiedPairs(banded, sh.withColumnRenamed("shingles", "__p"),
       "jaccard", jaccardHashes, _ >= threshold, roundDigits = Some(6))
   }
+
+  /** Shingle HASHES, not shingle strings — minhash and Jaccard only need
+    * a stable hash per shingle, so the whole path is array<long>. Docs
+    * below the shingle size have EMPTY hash arrays — identical
+    * (all-MaxValue) minhash signatures would funnel them into one
+    * degenerate bucket per band, verified and discarded at pure cost —
+    * so they are dropped here. */
+  private def minhashShingled(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        wordShingleHashes(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** `(id, __keys)` banding keys from a [[minhashShingled]] frame — ONE
+    * definition so the pair generators and the cap reports band
+    * identically. */
+  private def minhashKeyed(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col("id"),
+      minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys"))
 
   /** Explode per-doc band keys, drop oversized/singleton buckets.
     * Input: (id, __keys: array<long>); output: (id, band, bucket).
@@ -431,21 +441,16 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
-    def shingled(df: DataFrame): DataFrame = df.select(
-        col(idCol).as("id"),
-        wordShingleHashes(col(textCol), shingleSize).as("__p"))
-      .filter(size(col("__p")) > 0)
     def cappedBands(sh: DataFrame): DataFrame = {
-      val banded = sh.select(col("id"),
-          minhashBandKeysFromHashes(col("__p"), bands, rowsPerBand).as("__keys"))
+      val banded = minhashKeyed(sh, bands, rowsPerBand)
         .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
       val w = Window.partitionBy(col("band"), col("bucket"))
       banded.withColumn("__bs", count(lit(1)).over(w))
         .filter(col("__bs") <= maxBucket)
         .drop("__bs")
     }
-    val shB = shingled(batch)
-    val shR = shingled(reference)
+    val shB = minhashShingled(batch, textCol, idCol, shingleSize)
+    val shR = minhashShingled(reference, textCol, idCol, shingleSize)
     val cand = cappedBands(shB)
       .select(col("band"), col("bucket"), col("id").as("idNew"))
       .join(cappedBands(shR)
@@ -454,8 +459,8 @@ object Dedup {
       .select("idNew", "idRef")
       .dropDuplicates("idNew", "idRef")
     cand
-      .join(shB.select(col("id").as("idNew"), col("__p").as("__pN")), "idNew")
-      .join(shR.select(col("id").as("idRef"), col("__p").as("__pR")), "idRef")
+      .join(shB.select(col("id").as("idNew"), col("shingles").as("__pN")), "idNew")
+      .join(shR.select(col("id").as("idRef"), col("shingles").as("__pR")), "idRef")
       .withColumn("jaccard", jaccardHashes(col("__pN"), col("__pR")))
       .filter(col("jaccard") >= threshold)
       .select(col("idNew"), col("idRef"), round(col("jaccard"), 6).as("jaccard"))
@@ -611,23 +616,32 @@ object Dedup {
       maxBucket: Int = 2000
   ): MayFail[DataFrame] = MayFail {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bits =
-      if (nBits > 0) nBits
-      else {
-        val n = math.max(base.count(), 1L)
-        math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-      }
     // distinct bucket keys per table: (table, signature) — same slim-banding
     // shape as the text dedups (vectors join back only at verification).
     val banded = candidateBands(
-      base.select(col("id"),
-        array((0 until tables).map { t =>
-          hyperplaneBits(col("v"), bits, seed = 42L + 1000L * t)
-        }: _*).as("__keys")),
-      maxBucket)
+      seededEmbeddingKeyed(base, seededBits(base, nBits), tables), maxBucket)
     verifiedPairs(banded, base.withColumnRenamed("v", "__p"),
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
+
+  /** Signature width for the seeded embedding LSH: the given `nBits`, or
+    * (when `nBits <= 0`) occupancy-sized from a corpus count — see
+    * [[embeddingNearDupPairs]]. */
+  private def seededBits(base: DataFrame, nBits: Int): Int =
+    if (nBits > 0) nBits
+    else {
+      val n = math.max(base.count(), 1L)
+      math.min(24, math.max(4, math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+    }
+
+  /** `(id, __keys)` seeded-hyperplane table keys over a `(id, v)` frame —
+    * ONE definition so [[embeddingNearDupPairs]] and
+    * [[embeddingCapReport]] band identically. */
+  private def seededEmbeddingKeyed(base: DataFrame, bits: Int, tables: Int): DataFrame =
+    base.select(col("id"),
+      array((0 until tables).map { t =>
+        hyperplaneBits(col("v"), bits, seed = 42L + 1000L * t)
+      }: _*).as("__keys"))
 
   /** Embedding near-dup pairs with an EXPLICIT, engine-reproducible
     * candidate contract: candidates are pairs agreeing on ALL `bandBits`
@@ -653,17 +667,24 @@ object Dedup {
       nBands: Int = 6,
       maxBucket: Int = 2000
   ): MayFail[DataFrame] = MayFail {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__p"))
+    val banded = candidateBands(
+      portableEmbeddingKeyed(df, vecCol, idCol, bandBits, nBands), maxBucket)
+    verifiedPairs(banded, base,
+      "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
+  }
+
+  /** `(id, __keys)` portable md5-sign band keys — ONE definition so
+    * [[embeddingNearDupPairsPortable]] and [[embeddingCapReportPortable]]
+    * band identically. */
+  private def portableEmbeddingKeyed(df: DataFrame, vecCol: String, idCol: String,
+                                     bandBits: Int, nBands: Int): DataFrame = {
     require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
       s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
-    val bits = bandBits * nBands
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("__p"),
-      PortableLsh.vecSimhashCol(col(vecCol), bits).as("__sh"))
-    val banded = candidateBands(
-      base.select(col("id"),
-        bandKeysFromSimhash(col("__sh"), bandBits, nBands).as("__keys")),
-      maxBucket)
-    verifiedPairs(banded, base.select(col("id"), col("__p")),
-      "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
+    df.select(col(idCol).as("id"),
+      bandKeysFromSimhash(
+        PortableLsh.vecSimhashCol(col(vecCol), bandBits * nBands),
+        bandBits, nBands).as("__keys"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -898,5 +919,101 @@ object Dedup {
         col("source_b") <=> col("__sb"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
+  // ---- cap observability ----------------------------------------------
+  //
+  // `maxBucket` is a necessary guard (a degenerate bucket makes the
+  // in-bucket verification quadratic), but a silent one: a
+  // boilerplate-heavy corpus at 100 TB could lose recall with nothing in
+  // the output saying so. These reports surface what the cap dropped —
+  // the library's own "no silent caps" posture applied to itself. Each
+  // report bands with the SAME key definition as its paired pair
+  // generator (shared private helpers), so the numbers describe exactly
+  // the run you'd do.
+
+  /** One-row occupancy/cap report over a `(id, __keys)` banding:
+    * `(n_buckets, n_dropped_buckets, rows_in_dropped_buckets,
+    * max_occupancy)`. A "dropped" bucket is one the paired pair
+    * generator skips for holding more than `maxBucket` occupants;
+    * `rows_in_dropped_buckets` counts (id, band) memberships whose
+    * candidate pairs are silently lost to the cap. */
+  private def capReportFromKeys(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.select(posexplode(col("__keys")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("__n") > maxBucket, lit(1))).as("n_dropped_buckets"),
+        coalesce(sum(when(col("__n") > maxBucket, col("__n"))), lit(0L))
+          .as("rows_in_dropped_buckets"),
+        coalesce(max(col("__n")), lit(0L)).as("max_occupancy"))
+
+  /** Cap report for the banding [[minhashPairs]]/[[minhashDedup]] would
+    * use at these parameters. `n_dropped_buckets > 0` means the run
+    * loses candidate pairs to the `maxBucket` guard — raise the cap,
+    * exact-dedup first (boilerplate clones are the usual culprit), or
+    * accept and record the recall deviation. */
+  def minhashCapReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    capReportFromKeys(
+      minhashKeyed(minhashShingled(df, textCol, idCol, shingleSize),
+        bands, rowsPerBand), maxBucket)
+  }
+
+  /** Cap report for [[minhashPairsAgainst]]/[[dedupAgainst]]: one row per
+    * side (`side` ∈ batch, reference) — the cross-corpus join drops a
+    * bucket per SIDE, so both sides' occupancy matters. */
+  def incrementalCapReport(
+      batch: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    def side(df: DataFrame, name: String): DataFrame =
+      capReportFromKeys(
+        minhashKeyed(minhashShingled(df, textCol, idCol, shingleSize),
+          bands, rowsPerBand), maxBucket)
+        .select(lit(name).as("side"), col("*"))
+    side(batch, "batch").unionByName(side(reference, "reference"))
+  }
+
+  /** Cap report for [[embeddingNearDupPairs]] (seeded hyperplane tables;
+    * `nBits <= 0` auto-sizes exactly as the pair generator does). */
+  def embeddingCapReport(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int = 16,
+      tables: Int = 4,
+      maxBucket: Int = 2000
+  ): MayFail[DataFrame] = MayFail {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    capReportFromKeys(
+      seededEmbeddingKeyed(base, seededBits(base, nBits), tables), maxBucket)
+  }
+
+  /** Cap report for [[embeddingNearDupPairsPortable]] — every counter is
+    * a pure function of the data (md5-sign signatures), so an external
+    * SQL engine can recompute the report bit-for-bit (the gate does). */
+  def embeddingCapReportPortable(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      bandBits: Int = 10,
+      nBands: Int = 6,
+      maxBucket: Int = 2000
+  ): MayFail[DataFrame] = MayFail {
+    capReportFromKeys(
+      portableEmbeddingKeyed(df, vecCol, idCol, bandBits, nBands), maxBucket)
   }
 }

@@ -185,4 +185,45 @@ object Quantize {
     rerankShortlist(corpus, vecCol, idCol,
       q.select(col("queryId"), col("__qv")), shortlist, k)
   }
+
+  /** Shortlist-truncation report for [[binKnn]]/[[sqKnn]]: per query,
+    * how many scorable corpus candidates existed and how many the
+    * `shortlistK` cap cut before the exact rerank —
+    * `(queryId, n_candidates, n_shortlisted, n_truncated)`.
+    *
+    * The truncation is a necessary guard (it bounds the rerank join) but
+    * a silent recall knob: every truncated candidate is a vector the
+    * exact rerank never saw. `n_truncated >> shortlistK` says the
+    * approximate ordering is doing real selection work — validate its
+    * recall (QuantizeSpec's pattern) or raise `shortlistK`.
+    *
+    * Scale shape: one corpus count + one broadcast semi-aggregation for
+    * the queries' own corpus rows — the corpus is scanned, never
+    * shuffled or paired. */
+  def shortlistReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      shortlistK: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(shortlistK >= 1, s"shortlistK must be positive: $shortlistK")
+    // candidates = corpus rows with a non-null code (null vectors are
+    // dropped up front by the kNN scan) minus the query's own rows —
+    // mirroring binKnn's `queryId =!= neighborId` join condition
+    val enc = corpus.select(col(idCol).as("neighborId"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val qIds = queries.select(col(idCol).as("queryId"))
+    val total = enc.agg(count(lit(1)).as("__N"))
+    val selfCnt = enc.join(broadcast(qIds), col("neighborId") === col("queryId"))
+      .groupBy("queryId").agg(count(lit(1)).as("__self"))
+    qIds.crossJoin(broadcast(total))
+      .join(broadcast(selfCnt), Seq("queryId"), "left")
+      .select(col("queryId"),
+        (col("__N") - coalesce(col("__self"), lit(0L))).as("n_candidates"))
+      .select(col("queryId"), col("n_candidates"),
+        least(col("n_candidates"), lit(shortlistK.toLong)).as("n_shortlisted"),
+        greatest(col("n_candidates") - lit(shortlistK.toLong), lit(0L))
+          .as("n_truncated"))
+  }
 }

@@ -146,6 +146,27 @@ object ScaleRehearsal {
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, shortlistK = 50).get.count())
 
+    // ---- cap observability (round-5): the LSH bucket caps and the kNN
+    // shortlist cap are necessary guards but silent recall knobs — log
+    // their counters with every rehearsal so a boilerplate-heavy corpus
+    // shows its dropped buckets here, not in a production surprise.
+    def logReport(name: String, df: DataFrame): Unit = {
+      val cols = df.columns
+      df.collect().foreach { r =>
+        println(s"[rehearsal] cap-report $name: " +
+          cols.map(c => s"$c=${r.getAs[Any](c)}").mkString(" "))
+      }
+    }
+    logReport("minhash", graft.operators.Dedup.minhashCapReport(
+      docs, "text", "doc_id").get)
+    logReport("embedding-auto", graft.operators.Dedup.embeddingCapReport(
+      emb, "embedding", "vec_id", nBits = 0, tables = 8).get)
+    logReport("bin-knn-shortlist", graft.operators.Quantize.shortlistReport(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", shortlistK = 50)
+      .get.agg(count(lit(1)).as("n_queries"),
+        sum("n_truncated").as("total_truncated"),
+        max("n_truncated").as("max_truncated")))
+
     // ---- standing invariants (assertions, not just timings) ----------
 
     // Exact-dedup-FIRST ordering (Dedup.dedupPipeline scaladoc): a corpus

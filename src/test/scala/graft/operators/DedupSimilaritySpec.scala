@@ -41,6 +41,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("cap reports surface what maxBucket silently drops") {
+    // 50 clones of one boilerplate doc: every band has ONE bucket of 50,
+    // so maxBucket=10 drops all 16 bands' buckets — minhashPairs emits
+    // ZERO pairs and, before this report existed, nothing said why
+    val boiler = (0L until 50L).map(i => (i, (1 to 30).map(w => s"b$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(boiler, "text", "doc_id",
+      threshold = 0.5, maxBucket = 10).get
+    assert(pairs.count() == 0, "capped run silently emits nothing…")
+    val rep = Dedup.minhashCapReport(boiler, "text", "doc_id", maxBucket = 10).get
+      .head()
+    assert(rep.getAs[Long]("n_buckets") == 16)
+    assert(rep.getAs[Long]("n_dropped_buckets") == 16, "…and the report says so")
+    assert(rep.getAs[Long]("rows_in_dropped_buckets") == 16L * 50)
+    assert(rep.getAs[Long]("max_occupancy") == 50)
+    // a healthy corpus reports zero drops under the same cap
+    val ok = Dedup.minhashCapReport(docs, "text", "doc_id", maxBucket = 10).get.head()
+    assert(ok.getAs[Long]("n_dropped_buckets") == 0)
+    assert(ok.getAs[Long]("max_occupancy") <= 3)
+    // incremental: per-side rows, batch side carries the boilerplate
+    val inc = Dedup.incrementalCapReport(boiler, docs, "text", "doc_id",
+      maxBucket = 10).get.collect().map(r => r.getString(0) -> r.getAs[Long]("n_dropped_buckets")).toMap
+    assert(inc("batch") == 16 && inc("reference") == 0)
+  }
+
+  test("embedding cap reports band identically to their pair generators") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val df = (0L until 40L).map(i => (i, base)).toDF("vec_id", "embedding")
+    // 40 identical vectors: one bucket per table/band of size 40
+    val seeded = Dedup.embeddingCapReport(df, "embedding", "vec_id",
+      nBits = 4, tables = 4, maxBucket = 10).get.head()
+    assert(seeded.getAs[Long]("n_dropped_buckets") == 4)
+    assert(seeded.getAs[Long]("max_occupancy") == 40)
+    val portable = Dedup.embeddingCapReportPortable(df, "embedding", "vec_id",
+      bandBits = 4, nBands = 4, maxBucket = 10).get.head()
+    assert(portable.getAs[Long]("n_dropped_buckets") == 4)
+    assert(portable.getAs[Long]("rows_in_dropped_buckets") == 4L * 40)
+    // …and with the cap raised, nothing drops
+    val lifted = Dedup.embeddingCapReport(df, "embedding", "vec_id",
+      nBits = 4, tables = 4, maxBucket = 100).get.head()
+    assert(lifted.getAs[Long]("n_dropped_buckets") == 0)
+  }
+
   test("minhashPairsAuto: lshPlan-chosen banding finds the same near-dups") {
     // 0.5 / 64 hashes resolves to the hand-tuned default (16×4), so the
     // auto mode must reproduce minhashPairs' exact result here…

@@ -42,6 +42,29 @@ class QuantizeSpec extends AnyFunSuite {
     assert(dec.forall(_ == 3.5))
   }
 
+  test("shortlistReport counts the candidates the shortlist cap cuts") {
+    val df = randomVecs(120, 12, seed = 31L).toDF("id", "vec")
+      // one null vector: not a scorable candidate, must not count
+      .union(Seq((999L, null.asInstanceOf[Array[Float]])).toDF("id", "vec"))
+    val queries = df.filter(col("id") < 3 || col("id") === 999L)
+    val rep = Quantize.shortlistReport(df, queries, "vec", "id", shortlistK = 50).get
+      .orderBy("queryId")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.length == 4)
+    rep.foreach { case (qid, cand, shortlisted, truncated) =>
+      // 120 non-null corpus rows; a query with a non-null corpus row
+      // excludes itself, the null-vector query (999) excludes nothing
+      val expectCand = if (qid == 999L) 120L else 119L
+      assert(cand == expectCand, s"query $qid")
+      assert(shortlisted == 50 && truncated == expectCand - 50)
+    }
+    // an exhaustive shortlist reports zero truncation — the same setting
+    // under which binKnn provably equals brute force
+    val none = Quantize.shortlistReport(df, queries, "vec", "id",
+      shortlistK = 1 << 20).get.agg(sum("n_truncated")).head().getLong(0)
+    assert(none == 0)
+  }
+
   test("sqKnn with exhaustive shortlist reproduces exact brute-force top-k") {
     val data = randomVecs(120, 12, seed = 23L)
     val df = data.toDF("id", "vec")
