@@ -1542,6 +1542,37 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q135_avi_frames" -> ((s, dir) => {
+      // REAL RIFF/AVI MJPEG pipeline: per doc, an honest AVI container
+      // (RIFF → hdrl(avih, strl) → movi with 00dc JPEG chunks) around
+      // true JPEG frames → extractFrames RIFF walk → JDK decode. The
+      // oracle replays the LOSSLESS planted structure (frame count,
+      // order, dims, codec) — gray levels are JPEG-lossy and bounded in
+      // MultimodalSpec instead.
+      val vid = udf((docId: Long) => {
+        val nf = (1 + docId % 3).toInt
+        val w = 12 + (docId % 4).toInt * 2
+        val h = 10 + (docId % 3).toInt * 2
+        Multimodal.MediaSynth.aviMjpegBytes(
+          (0 until nf).map(f =>
+            Multimodal.MediaSynth.jpegBytes(w, h, ((docId * 11 + f * 29) % 256).toInt)),
+          w, h)
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", vid(col("doc_id")))
+      (for {
+        fr <- Multimodal.extractFrames(base, "vid")
+        d  <- Multimodal.decodeImage(fr, "frame", metaCol = "fmeta",
+                decoder = Multimodal.JdkMediaDecoder)
+      } yield d.select(
+        col("doc_id"),
+        col("frame_idx"),
+        col("fmeta.width").as("width"),
+        col("fmeta.height").as("height"),
+        col("fmeta.format").as("format"))
+        .orderBy("doc_id", "frame_idx")).get
+    }),
+
     "q133_lsh_cap_report" -> ((s, dir) => {
       // Cap observability: the portable-banding occupancy report —
       // every counter (buckets, dropped buckets, rows in dropped
@@ -3033,6 +3064,20 @@ object SparkEntry {
                             WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
                             ELSE 0.0 END) * 1000000.0
          ORDER BY lang, doc_id""",
+
+    // q135: the AVI's lossless planted structure replayed by arithmetic
+    // (gray levels are JPEG-lossy — spec-bounded, not gated).
+    "q135_avi_frames" ->
+      """WITH f AS (
+           SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS frame_idx
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(12 + (doc_id % 4) * 2 AS INTEGER) AS width,
+           CAST(10 + (doc_id % 3) * 2 AS INTEGER) AS height,
+           'jpeg' AS format
+         FROM f ORDER BY doc_id, frame_idx""",
 
     // q133: the portable-banding occupancy report replayed from the
     // md5-sign signatures (same sig CTEs as q37/q39; 15 bands × 4 bits

@@ -85,9 +85,10 @@ object Multimodal {
     * Audio: `javax.sound.sampled.AudioSystem`, 16-bit PCM WAV (the
     * training-corpus interchange format); `n_samples` counts FRAMES
     * (channel-invariant), `rms_energy` is the RMS over all channel
-    * samples normalized to [0,1] by 1/32768. Non-PCM16 payloads fail
-    * with a clear message rather than decoding garbage — convert
-    * upstream or plug a wider decoder into the same contract. */
+    * samples normalized to [0,1] by 1/32768. Non-PCM16 encodings that
+    * AudioSystem can convert (µ-law, a-law, 8-bit PCM) are transcoded
+    * to PCM16 in-JVM before analysis; anything else fails with a clear
+    * message rather than decoding garbage. */
   object JdkMediaDecoder extends MediaDecoder {
     override def decodeImage(bytes: Array[Byte]): Row = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -120,13 +121,26 @@ object Multimodal {
     }
 
     override def decodeAudio(bytes: Array[Byte]): Row = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      // non-PCM16 payloads (µ-law/a-law telephony corpora, 8-bit PCM) are
+      // transcoded to 16-bit signed PCM in-JVM — a format conversion, not
+      // a new codec; anything AudioSystem cannot convert fails loudly
+      val sf = src.getFormat
+      val ais =
+        if (sf.getSampleSizeInBits == 16 &&
+          sf.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) src
+        else {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            sf.getSampleRate, 16, sf.getChannels, 2 * sf.getChannels,
+            sf.getSampleRate, false)
+          require(javax.sound.sampled.AudioSystem.isConversionSupported(target, sf),
+            s"JdkMediaDecoder cannot transcode $sf to 16-bit signed PCM")
+          javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        }
       try {
         val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 &&
-          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"JdkMediaDecoder handles 16-bit signed PCM, got $fmt")
         val rate = fmt.getSampleRate.toInt
         val data = ais.readAllBytes()
         // AudioSystem reports NOT_SPECIFIED (-1) for some stream-wrapped
@@ -216,6 +230,47 @@ object Multimodal {
       wrapPcm(sampleRate, pcm, nSamples)
     }
 
+    /** Constant-amplitude mono µ-law WAV: the PCM16 fixture transcoded
+      * to 8-bit µ-law by AudioSystem itself — the telephony-corpus
+      * format [[JdkMediaDecoder.decodeAudio]] must transcode back.
+      * µ-law is logarithmically quantized, so the decoded RMS is only
+      * ~`amplitude / 32768` (bound the error in specs; don't gate it
+      * exactly). */
+    def ulawWavBytes(sampleRate: Int, nSamples: Int, amplitude: Int): Array[Byte] = {
+      require(amplitude >= -32768 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
+      val pcm16 = wavBytes(sampleRate, nSamples, amplitude)
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(pcm16))
+      val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW,
+          sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false), src)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ulaw,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Constant-level mono 8-bit UNSIGNED PCM WAV (the WAV-standard 8-bit
+      * layout). The 8→16 transcode widens to ~`(level - 128) * 256`
+      * (AudioSystem's converter dithers the low byte, so bound the RMS
+      * in specs rather than gating it exactly). */
+    def wav8Bytes(sampleRate: Int, nSamples: Int, level: Int): Array[Byte] = {
+      require(sampleRate > 0, s"bad sampleRate: $sampleRate")
+      require(nSamples >= 0, s"bad nSamples: $nSamples")
+      require(level >= 0 && level <= 255, s"8-bit unsigned level: $level")
+      val pcm = Array.fill(nSamples)(level.toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
     private def wrapPcm(sampleRate: Int, pcm: Array[Byte], nFrames: Int): Array[Byte] = {
       require(sampleRate > 0, s"bad sampleRate: $sampleRate")
       require(nFrames >= 0, s"bad nFrames: $nFrames")
@@ -230,9 +285,9 @@ object Multimodal {
     }
 
     /** Toy length-prefixed frames container (`GFV1` magic, int32 count,
-      * then `int32 length ∥ frame bytes` per frame) — the fixture format
-      * [[extractFrames]] parses. A real pipeline swaps this for its
-      * container's splitter behind the same extract-then-decode shape. */
+      * then `int32 length ∥ frame bytes` per frame) — the simplest format
+      * [[extractFrames]] parses. A real pipeline uses the RIFF/AVI path
+      * ([[aviMjpegBytes]]) behind the same extract-then-decode shape. */
     def framesContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       val d = new java.io.DataOutputStream(baos)
@@ -242,21 +297,97 @@ object Multimodal {
       d.flush()
       baos.toByteArray
     }
+
+    /** Single-color JPEG (the MJPEG frame payload). Unlike [[pngBytes]]
+      * the codec is LOSSY — plant only lossless parameters (dimensions,
+      * frame count) in an exact oracle and bound the gray error in
+      * specs. */
+    def jpegBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+      require(gray >= 0 && gray <= 255, s"gray in [0,255]: $gray")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+
+    /** Minimal structurally-honest MJPEG AVI (public RIFF/AVI layout:
+      * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+      * LIST('movi' '00dc'…))`) around pre-encoded JPEG frames — the
+      * real-world fixture for [[extractFrames]]'s RIFF path. All sizes
+      * little-endian; frame chunks word-aligned per the spec. */
+    def aviMjpegBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+                      fps: Int = 25): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0,
+        s"bad AVI params: ${width}x$height@$fps")
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] = Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(s: String): Array[Byte] = {
+        require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+        cc(id) ++ le32(body.length) ++ body ++ pad
+      }
+      def list(listType: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", cc(listType) ++ body)
+      val usPerFrame = 1000000 / fps
+      val maxBytes = frames.map(_.length).foldLeft(0)(math.max)
+      val avih = // MainAVIHeader: 14 little-endian u32 fields
+        le32(usPerFrame) ++ le32(maxBytes * fps) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxBytes) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = // AVIStreamHeader for a 'vids'/'MJPG' stream
+        cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+        le32(maxBytes) ++ le32(-1) ++ le32(0) ++
+        le32(0) ++ le32((height << 16) | (width & 0xffff)) // rcFrame
+      val strf = // BITMAPINFOHEADER, biCompression = 'MJPG'
+        le32(40) ++ le32(width) ++ le32(height) ++
+        Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
+        le32(width * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        frames.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+      val form = cc("AVI ") ++ hdrl ++ movi
+      out.write(cc("RIFF")); out.write(le32(form.length)); out.write(form)
+      out.toByteArray
+    }
   }
 
-  /** REAL frame extraction: split a `GFV1` frames container
-    * ([[MediaSynth.framesContainer]]) into one row per frame —
-    * `(input columns…, frame_idx, frame)` with the frame's encoded
-    * bytes, ready for [[decodeImage]] / [[extractFeatures]] on the
-    * `frame` column. This is the explode half of video processing: the
-    * per-frame payloads are REAL encoded images (decoded downstream by
-    * actual codecs), not offsets into an opaque blob.
+  /** REAL frame extraction: split a frames container into one row per
+    * frame — `(input columns…, frame_idx, frame)` with the frame's
+    * encoded bytes, ready for [[decodeImage]] / [[extractFeatures]] on
+    * the `frame` column. This is the explode half of video processing:
+    * the per-frame payloads are REAL encoded images (decoded downstream
+    * by actual codecs), not offsets into an opaque blob.
+    *
+    * Containers, dispatched on the leading magic:
+    *  - `RIFF`/AVI (public chunk layout): the `LIST movi` body's
+    *    `##dc`/`##db` chunks in file order — an MJPEG AVI's frames are
+    *    plain JPEGs, so they flow straight into the ImageIO decode path;
+    *  - `GFV1` ([[MediaSynth.framesContainer]]): the toy length-prefixed
+    *    fixture format.
     *
     * `maxFrames` caps the fan-out per document (evenly spaced sampling
     * belongs upstream in the container writer; this cap is the
     * blow-up guard). Null payloads produce zero rows — a video-less
     * document has no frames, and the caller still holds the original
-    * frame-less row in `df`. */
+    * frame-less row in `df`. Corrupt headers (bad magic, negative
+    * counts/sizes, truncated chunks) fail loudly — silently yielding
+    * zero rows would be indistinguishable from a frame-less video. */
   def extractFrames(
       df: DataFrame,
       binCol: String,
@@ -266,33 +397,94 @@ object Multimodal {
       .add("frame_idx", IntegerType, nullable = false)
       .add("frame", BinaryType, nullable = true)
     val binIdx = df.schema.fieldIndex(binCol)
+    val cap = maxFrames
     df.mapPartitions { rows =>
       rows.flatMap { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
-        else {
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          val magic = new Array[Byte](4)
-          bb.get(magic)
-          require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFV1",
-            "not a GFV1 frames container")
-          val rawN = bb.getInt
-          // a corrupt header must fail as loudly as a bad magic — a
-          // negative count under math.min would silently yield zero rows,
-          // indistinguishable from a legitimately frame-less video
-          require(rawN >= 0, s"corrupt GFV1 header: negative frame count $rawN")
-          val n = math.min(rawN, maxFrames)
-          // materialized (not a lazy iterator): the buffer reads are
-          // stateful and must happen in frame order exactly once
-          (0 until n).map { f =>
-            val len = bb.getInt
-            val fb = new Array[Byte](len)
-            bb.get(fb)
-            Row.fromSeq(row.toSeq ++ Seq(f, fb))
-          }.iterator
+        else splitFrames(bytes, cap).iterator.zipWithIndex.map { case (fb, f) =>
+          Row.fromSeq(row.toSeq ++ Seq(f, fb))
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Frame payloads of a supported container, in file order, capped at
+    * `maxFrames` — the splitter core of [[extractFrames]]. */
+  private[operators] def splitFrames(bytes: Array[Byte],
+                                     maxFrames: Int): IndexedSeq[Array[Byte]] = {
+    require(bytes.length >= 4, s"payload too short for a container header: ${bytes.length}")
+    new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case "GFV1" => gfv1Frames(bytes, maxFrames)
+      case "RIFF" => riffMoviFrames(bytes, maxFrames)
+      case other  => throw new IllegalArgumentException(
+        s"unsupported frames container (magic '$other'): expected RIFF/AVI or GFV1")
+    }
+  }
+
+  private def gfv1Frames(bytes: Array[Byte], maxFrames: Int): IndexedSeq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.position(4)
+    val rawN = bb.getInt
+    // a corrupt header must fail as loudly as a bad magic — a negative
+    // count under math.min would silently yield zero rows
+    require(rawN >= 0, s"corrupt GFV1 header: negative frame count $rawN")
+    val n = math.min(rawN, maxFrames)
+    // materialized (not a lazy iterator): the buffer reads are stateful
+    // and must happen in frame order exactly once
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining, s"corrupt GFV1 frame length $len")
+      val fb = new Array[Byte](len)
+      bb.get(fb)
+      fb
+    }
+  }
+
+  /** RIFF/AVI walk (public spec: chunks are `fourcc ∥ u32le size ∥ body`,
+    * word-aligned; lists are `LIST ∥ size ∥ listType ∥ chunks…`): descend
+    * into the `AVI ` form's `LIST movi` body — recursing through `rec `
+    * grouping lists some muxers emit — and collect every `##dc`/`##db`
+    * (compressed/uncompressed video data) chunk payload. Header lists
+    * (`hdrl`) and the `idx1` index are skipped structurally; no decoder
+    * is involved until the frames reach [[decodeImage]]. */
+  private def riffMoviFrames(bytes: Array[Byte], maxFrames: Int): IndexedSeq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a)
+      new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    val riffSize = bb.getInt
+    require(riffSize >= 4 && 8L + riffSize <= bytes.length,
+      s"corrupt RIFF size $riffSize for ${bytes.length}-byte payload")
+    require(fourcc() == "AVI ", "RIFF form is not 'AVI '")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val isFrame = java.util.regex.Pattern.compile("[0-9]{2}d[bc]")
+    // walk the chunk sequence in [bb.position(), end); `inMovi` gates
+    // frame collection so a stray ##dc outside movi is not a frame
+    def walk(end: Int, inMovi: Boolean): Unit = {
+      while (bb.position() + 8 <= end && frames.size < maxFrames) {
+        val id = fourcc()
+        val sz = bb.getInt
+        require(sz >= 0 && bb.position() + sz <= end,
+          s"corrupt RIFF chunk '$id': size $sz overruns its parent")
+        val next = bb.position() + sz + (sz & 1) // word alignment
+        if (id == "LIST") {
+          require(sz >= 4, s"corrupt LIST size $sz")
+          val listType = fourcc()
+          if (listType == "movi" || (inMovi && listType == "rec "))
+            walk(bb.position() + sz - 4, inMovi = true)
+        } else if (inMovi && isFrame.matcher(id).matches()) {
+          val fb = new Array[Byte](sz)
+          bb.get(fb)
+          frames += fb
+        }
+        bb.position(math.min(next, end))
+      }
+    }
+    walk(8 + riffSize, inMovi = false)
+    frames.toIndexedSeq
   }
 
   private def withDecodedMeta(

@@ -101,6 +101,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r._4 == 16384.0 / 32768.0) // constant amplitude ⇒ rms exact
   }
 
+  test("JdkMediaDecoder transcodes u-law and 8-bit WAV to PCM16 before analysis") {
+    // µ-law: AudioSystem's own encoder round-trips through the decoder's
+    // transcode path; log-quantization makes the constant amplitude only
+    // approximately recoverable
+    val ulaw = Multimodal.MediaSynth.ulawWavBytes(8000, 160, 8000)
+    val r = Multimodal.JdkMediaDecoder.decodeAudio(ulaw)
+    assert(r.getInt(0) == 8000 && r.getLong(1) == 160L)
+    assert(math.abs(r.getDouble(3) - 8000.0 / 32768.0) < 0.05 * 8000.0 / 32768.0,
+      s"u-law rms ${r.getDouble(3)}")
+    // 8-bit unsigned PCM: the 8→16 widening is ~×256 (the converter
+    // dithers the low byte — 1% bound, not exact)
+    val w8 = Multimodal.MediaSynth.wav8Bytes(11025, 220, 200)
+    val r8 = Multimodal.JdkMediaDecoder.decodeAudio(w8)
+    assert(r8.getInt(0) == 11025 && r8.getLong(1) == 220L)
+    assert(math.abs(r8.getDouble(3) - (200 - 128) * 256.0 / 32768.0) < 0.01,
+      s"8-bit rms ${r8.getDouble(3)}")
+    // duration comes from the transcoded frame count
+    assert(math.abs(r8.getDouble(2) - 220.0 / 11025.0) < 1e-12)
+  }
+
   test("JdkMediaDecoder decodes a non-constant image and a negative-amplitude wave") {
     // gradient image: mean of 0..255 rows is (0+255)/2 for even heights
     val img = new java.awt.image.BufferedImage(4, 256,
@@ -193,6 +213,36 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.extractFrames(bad, "vid").get.count()
     }
     assert(err.getMessage.contains("GFV1"))
+  }
+
+  test("extractFrames splits a RIFF/AVI MJPEG container into real JPEG frames") {
+    val grays = Seq(30, 120, 220)
+    val avi = Multimodal.MediaSynth.aviMjpegBytes(
+      grays.map(g => Multimodal.MediaSynth.jpegBytes(16, 12, g)), 16, 12)
+    val df = Seq((0L, avi)).toDF("id", "vid")
+    val out = (for {
+      fr <- Multimodal.extractFrames(df, "vid")
+      d  <- Multimodal.decodeImage(fr, "frame", metaCol = "m",
+              decoder = Multimodal.JdkMediaDecoder)
+    } yield d).get
+    val rows = out.select("id", "frame_idx", "m.width", "m.height", "m.format",
+        "m.mean_intensity")
+      .as[(Long, Int, Int, Int, String, Double)].collect().sortBy(_._2).toSeq
+    // structure is lossless: count, order, dims, codec
+    assert(rows.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((0, 16, 12, "jpeg"), (1, 16, 12, "jpeg"), (2, 16, 12, "jpeg")))
+    // JPEG is lossy — constant-gray frames decode within a few levels
+    rows.zip(grays).foreach { case (r, g) =>
+      assert(math.abs(r._6 - g) <= 3.0, s"frame ${r._2}: ${r._6} vs $g")
+    }
+    // maxFrames caps in file order
+    assert(Multimodal.extractFrames(df, "vid", maxFrames = 2).get.count() == 2)
+    // a truncated container fails loudly, not as zero frames
+    val trunc = Seq((0L, avi.dropRight(10))).toDF("id", "vid")
+    val err = intercept[Exception] {
+      Multimodal.extractFrames(trunc, "vid").get.count()
+    }
+    assert(err.getMessage.contains("RIFF"))
   }
 
   test("JdkMediaDecoder fails loudly on a payload no codec recognizes") {
