@@ -1542,6 +1542,20 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q136_sample_composite_strata" -> ((s, dir) => {
+      // Composite (source, lang) stratification — the corpus-mixing
+      // shape: per-stratum keep-fractions with a non-zero default, the
+      // same salted-md5 draw as q132 replayed row-exact by the oracle.
+      graft.operators.Sampling.byFractionsByHash(
+          tbl(s, dir, "documents"),
+          Seq("source", "lang"),
+          Map(Seq("src0", "en") -> 1.0, Seq("src1", "en") -> 0.5,
+            Seq("src0", "de") -> 0.25, Seq("src2", "zh") -> 0.0),
+          idCols = Seq("doc_id"), salt = "r5", defaultFraction = 0.3).get
+        .select("source", "lang", "doc_id", "n_chars")
+        .orderBy("source", "lang", "doc_id")
+    }),
+
     "q135_avi_frames" -> ((s, dir) => {
       // REAL RIFF/AVI MJPEG pipeline: per doc, an honest AVI container
       // (RIFF → hdrl(avih, strl) → movi with 00dc JPEG chunks) around
@@ -3064,6 +3078,20 @@ object SparkEntry {
                             WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
                             ELSE 0.0 END) * 1000000.0
          ORDER BY lang, doc_id""",
+
+    // q136: the composite-strata draw replayed row-exact (q132's idiom
+    // with a tuple CASE and a non-zero default fraction).
+    "q136_sample_composite_strata" ->
+      """SELECT source, lang, doc_id, n_chars
+         FROM documents
+         WHERE (CAST(('0x' || substring(md5('r5§' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000)
+               < (CASE WHEN source = 'src0' AND lang = 'en' THEN 1.0
+                       WHEN source = 'src1' AND lang = 'en' THEN 0.5
+                       WHEN source = 'src0' AND lang = 'de' THEN 0.25
+                       WHEN source = 'src2' AND lang = 'zh' THEN 0.0
+                       ELSE 0.3 END) * 1000000.0
+         ORDER BY source, lang, doc_id""",
 
     // q135: the AVI's lossless planted structure replayed by arithmetic
     // (gray levels are JPEG-lossy — spec-bounded, not gated).

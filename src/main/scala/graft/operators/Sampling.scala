@@ -90,13 +90,38 @@ object Sampling {
       fractions: Map[String, Double],
       idCols: Seq[String],
       salt: String = "0",
-      defaultFraction: Double = 0.0): MayFail[DataFrame] = MayFail {
+      defaultFraction: Double = 0.0): MayFail[DataFrame] =
+    byFractionsByHash(df, Seq(keyCol),
+      fractions.map { case (k, f) => Seq(k) -> f },
+      idCols, salt, defaultFraction)
+
+  /** [[byFractionsByHash]] with COMPOSITE strata: corpus mixing is
+    * usually keyed on (source, lang), not one column — the stratum key
+    * is the ordered tuple of `keyCols` values, and `fractions` maps
+    * value tuples (null-safe positional match; non-string key columns
+    * compare against the given strings under Spark's usual coercion) to
+    * keep-fractions. Same portable-hash draw on `idCols`, so the sample
+    * stays a pure function of the data; still map-side only. */
+  def byFractionsByHash(
+      df: DataFrame,
+      keyCols: Seq[String],
+      fractions: Map[Seq[String], Double],
+      idCols: Seq[String],
+      salt: String,
+      defaultFraction: Double): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "byFractionsByHash needs at least one key column")
     require(idCols.nonEmpty, "byFractionsByHash needs idCols — the hash of " +
       "the row identity IS the deterministic draw")
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]: $fractions default=$defaultFraction")
-    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
-      when(col(keyCol) === lit(k), lit(f)).otherwise(acc)
+    fractions.keys.foreach(ks => require(ks.length == keyCols.length,
+      s"stratum ${ks.mkString("(", ",", ")")} arity != keyCols ${keyCols.length}"))
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (ks, f)) =>
+      // <=> (null-safe): strata are exact tuples, so chain order is
+      // irrelevant; a null key component simply never matches a stratum
+      val cond = keyCols.zip(ks).map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+      when(cond, lit(f)).otherwise(acc)
     }
     val u = pmod(graft.functions.TextFunctions.portableHash60(
       concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*)),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -69,6 +70,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids == b)
     assert(Sampling.byFractionsByHash(docs, "lang", Map("en" -> 1.5),
       idCols = Seq("id")).isFailing)
+  }
+
+  test("byFractionsByHash: composite (source, lang) strata") {
+    val df = docs.withColumn("src",
+      concat(lit("s"), pmod(col("id"), lit(2))))
+    val got = Sampling.byFractionsByHash(df, Seq("src", "lang"),
+      Map(Seq("s0", "en") -> 1.0, Seq("s1", "en") -> 0.0),
+      idCols = Seq("id"), salt = "0", defaultFraction = 0.5).get
+    val counts = got.groupBy("src", "lang").count()
+      .as[(String, String, Long)].collect().map { case (s, l, n) => (s, l) -> n }.toMap
+    val all = df.groupBy("src", "lang").count()
+      .as[(String, String, Long)].collect().map { case (s, l, n) => (s, l) -> n }.toMap
+    assert(counts(("s0", "en")) == all(("s0", "en")))       // fraction 1 keeps the stratum
+    assert(!counts.contains(("s1", "en")))                  // fraction 0 drops it
+    // unlisted strata draw at the default fraction, same rows every layout
+    val ids = got.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.byFractionsByHash(df.repartition(7), Seq("src", "lang"),
+      Map(Seq("s0", "en") -> 1.0, Seq("s1", "en") -> 0.0),
+      idCols = Seq("id"), salt = "0", defaultFraction = 0.5).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == b)
+    // the single-key overload IS the one-column composite
+    val single = Sampling.byFractionsByHash(df, "lang", Map("en" -> 0.5),
+      idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
+    val multi = Sampling.byFractionsByHash(df, Seq("lang"), Map(Seq("en") -> 0.5),
+      idCols = Seq("id"), salt = "0", defaultFraction = 0.0).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(single == multi)
+    // arity mismatch fails loudly
+    assert(Sampling.byFractionsByHash(df, Seq("src", "lang"),
+      Map(Seq("en") -> 0.5), idCols = Seq("id"), salt = "0",
+      defaultFraction = 0.0).isFailing)
   }
 
   test("fixedPerGroupByHash: exact quota, partitioning-invariant, salt = fresh draw") {
