@@ -1542,6 +1542,26 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q137_temperature_weights" -> ((s, dir) => {
+      // Temperature mixture weights (p_s ∝ n_s^alpha): exact counts,
+      // shares, and capped keep-fractions per (source-bucketed) lang —
+      // the oracle replays the pow/share arithmetic to 6 digits.
+      graft.operators.Sampling.temperatureWeights(
+          tbl(s, dir, "documents"), Seq("lang"), alpha = 0.5,
+          targetRows = 300L).get
+        .orderBy("lang")
+    }),
+
+    "q138_temperature_mix" -> ((s, dir) => {
+      // The temperature sample itself: keep-fraction lookup + the same
+      // salted-md5 draw as q132/q136, replayed row-exact.
+      graft.operators.Sampling.byTemperature(
+          tbl(s, dir, "documents"), Seq("lang"), alpha = 0.5,
+          targetRows = 300L, idCols = Seq("doc_id"), salt = "r5t").get
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+
     "q136_sample_composite_strata" -> ((s, dir) => {
       // Composite (source, lang) stratification — the corpus-mixing
       // shape: per-stratum keep-fractions with a non-zero default, the
@@ -3078,6 +3098,31 @@ object SparkEntry {
                             WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
                             ELSE 0.0 END) * 1000000.0
          ORDER BY lang, doc_id""",
+
+    // q137/q138: temperature mixing — weights replayed by pow/share
+    // arithmetic; the sample by the same md5 draw over the rounded
+    // keep-fraction.
+    "q137_temperature_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+         t AS (SELECT sum(wt) AS tot FROM w)
+         SELECT w.lang, w.n,
+           round(w.wt / t.tot, 6) AS share,
+           round(least(1.0, (w.wt / t.tot) * 300 / w.n), 6) AS keep_fraction
+         FROM w CROSS JOIN t ORDER BY w.lang""",
+
+    "q138_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+         t AS (SELECT sum(wt) AS tot FROM w),
+         f AS (SELECT w.lang,
+                 round(least(1.0, (w.wt / t.tot) * 300 / w.n), 6) AS frac
+               FROM w CROSS JOIN t)
+         SELECT d.lang, d.doc_id, d.n_chars
+         FROM documents d JOIN f ON f.lang = d.lang
+         WHERE (CAST(('0x' || substring(md5('r5t§' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000) < f.frac * 1000000.0
+         ORDER BY d.lang, d.doc_id""",
 
     // q136: the composite-strata draw replayed row-exact (q132's idiom
     // with a tuple CASE and a non-zero default fraction).

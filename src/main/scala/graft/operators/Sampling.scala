@@ -281,6 +281,73 @@ object Sampling {
       .filter(col(epochCol) < floor(w) || keepFrac)
   }
 
+  /** Per-stratum temperature weights — the `p_s ∝ n_s^alpha` mixture rule
+    * of multilingual/multi-source LLM pipelines (Conneau & Lample 2019
+    * §3.1; Raffel et al. 2020 §3.4.3 examples-proportional mixing): one row per stratum with its exact count, its share of the
+    * mixture, and the keep-fraction that lands the stratum at
+    * `share · targetRows` rows (capped at 1 — a stratum smaller than its
+    * target contributes everything it has).
+    *
+    * `alpha < 1` upweights small strata (the anti-English-dominance
+    * setting), `alpha = 1` is proportional (a plain `targetRows / N`
+    * downsample), `alpha = 0` aims for equal rows per stratum. Fractions
+    * round to 6 digits so an engine replaying the arithmetic cannot flip
+    * a boundary row on a last-ulp `pow` divergence.
+    *
+    * Scale shape: one aggregate over the keys (the result is
+    * stratum-cardinality-sized), a broadcast of the one-row weight
+    * total — the corpus itself never shuffles. */
+  def temperatureWeights(
+      df: DataFrame,
+      keyCols: Seq[String],
+      alpha: Double,
+      targetRows: Long): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "temperatureWeights needs at least one key column")
+    require(alpha >= 0, s"alpha must be non-negative: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum(col("__w")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(keyCols.map(col) ++ Seq(
+        col("n"),
+        round(col("__w") / col("__tot"), 6).as("share"),
+        round(least(lit(1.0),
+          (col("__w") / col("__tot")) * targetRows / col("n")), 6)
+          .as("keep_fraction")): _*)
+  }
+
+  /** Temperature mixture sample: keep each row iff the salted
+    * portable-hash draw clears its stratum's [[temperatureWeights]]
+    * keep-fraction. The realized size is `~targetRows` within Bernoulli
+    * noise (capped strata contribute all their rows); the selection is a
+    * pure function of the data — identical across reruns, repartitions,
+    * and engines. Weight lookup is a broadcast join on the (tiny)
+    * stratum frame; the filter itself is map-side. */
+  def byTemperature(
+      df: DataFrame,
+      keyCols: Seq[String],
+      alpha: Double,
+      targetRows: Long,
+      idCols: Seq[String],
+      salt: String = "0"): MayFail[DataFrame] =
+    temperatureWeights(df, keyCols, alpha, targetRows).map { weights =>
+      require(idCols.nonEmpty, "byTemperature needs idCols — the hash of " +
+        "the row identity IS the deterministic draw")
+      val fracs = weights.select(
+        keyCols.map(k => col(k).as(s"__k_$k")) :+ col("keep_fraction").as("__frac"): _*)
+      // null-safe key match: a null stratum is a real stratum here (it
+      // was counted), unlike the fraction-map samplers where null can
+      // never match a configured stratum
+      val cond = keyCols.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+      val u = pmod(graft.functions.TextFunctions.portableHash60(
+        concat(lit(salt) +: idCols.flatMap(k => Seq(lit("§"), keyStr(col(k)))): _*)),
+        lit(1000000L)).cast("double")
+      df.join(broadcast(fracs), cond)
+        .filter(u < col("__frac") * 1000000.0)
+        .drop(fracs.columns: _*)
+    }
+
   /** Deterministic pseudo-random corpus order: a portable md5 shuffle key
     * per row. At scale, write with `repartitionByRange(shuffleCol)` +
     * local sort — a distributed shuffle of the corpus into a stable

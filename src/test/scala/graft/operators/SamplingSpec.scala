@@ -119,6 +119,49 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids != c)
   }
 
+  test("temperatureWeights: alpha sweeps from proportional to equalized") {
+    // docs: en=100, de=30, fr=3 (133 total)
+    val w1 = Sampling.temperatureWeights(docs, Seq("lang"), alpha = 1.0,
+      targetRows = 50L).get
+      .select("lang", "n", "keep_fraction").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // alpha=1 is a plain proportional downsample: same fraction everywhere
+    val f = 50.0 / 133.0
+    Seq("en", "de", "fr").foreach { l =>
+      assert(math.abs(w1(l)._2 - f) < 1e-6, s"$l: ${w1(l)}")
+    }
+    // alpha=0 aims for equal rows per stratum: fr (3 docs < 50/3 target)
+    // caps at 1 and is fully kept; en gets ~16.7/100
+    val w0 = Sampling.temperatureWeights(docs, Seq("lang"), alpha = 0.0,
+      targetRows = 50L).get
+      .select("lang", "keep_fraction").as[(String, Double)].collect().toMap
+    assert(w0("fr") == 1.0)
+    assert(math.abs(w0("en") - 50.0 / 3 / 100) < 1e-6)
+    // shares sum to 1
+    val shareSum = Sampling.temperatureWeights(docs, Seq("lang"), alpha = 0.5,
+      targetRows = 50L).get.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-5)
+  }
+
+  test("byTemperature: deterministic mixture sample near the target size") {
+    val got = Sampling.byTemperature(docs, Seq("lang"), alpha = 0.5,
+      targetRows = 60L, idCols = Seq("id")).get
+    val n = got.count()
+    assert(n > 30 && n < 90, s"realized $n for target 60") // Bernoulli noise band
+    // capped stratum (fr at alpha 0) is fully kept
+    val eq = Sampling.byTemperature(docs, Seq("lang"), alpha = 0.0,
+      targetRows = 60L, idCols = Seq("id")).get
+    assert(eq.filter($"lang" === "fr").count() == 3)
+    // pure function of the data: layout-invariant
+    val a = got.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.byTemperature(docs.repartition(7), Seq("lang"), alpha = 0.5,
+      targetRows = 60L, idCols = Seq("id")).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // the schema passes through unchanged (no helper columns leak)
+    assert(got.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("byTokenBudget selection is a pure function of the data (partitioning-invariant)") {
     val a = Sampling.byTokenBudget(docs, Seq("lang"), "n_tokens", 100L,
       idCols = Seq("id")).get.select("id").as[Long].collect().sorted.toSeq
