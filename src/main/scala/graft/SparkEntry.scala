@@ -1542,6 +1542,40 @@ object SparkEntry {
         .orderBy("doc_id")).get
     }),
 
+    "q139_encoding_anomalies" -> ((s, dir) => {
+      // Mojibake / decode-failure sweep over synthesized corruption:
+      // every 3rd doc gets UTF-8-as-Latin1 digraphs, every 5th a U+FFFD
+      // replacement char, every 7th a C0 control byte — the oracle
+      // counts the same RE2-safe patterns.
+      val corrupted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafÃ© â€™quoteâ€™ Â°C"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" bad�byte�"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" c\u0001tl")).otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), corrupted.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.replacementCharCount(col("t")).as("n_replacement"),
+          TextFunctions.mojibakeCount(col("t")).as("n_mojibake"),
+          TextFunctions.controlCharCount(col("t")).as("n_control"),
+          TextFunctions.encodingSuspect(col("t")).as("suspect"))
+        .orderBy("doc_id")
+    }),
+
+    "q140_dedup_keep_best" -> ((s, dir) => {
+      // Keep-best exact dedup: synthetic duplicate groups (doc_id % 97
+      // shared key), the longest text (n_chars priority) survives each
+      // group with min-id tiebreak — the keep rule replayed as a window
+      // by the oracle.
+      val d = tbl(s, dir, "documents")
+        .withColumn("dup_key", pmod(col("doc_id"), lit(97)))
+      graft.operators.Dedup.exactKeepBest(
+          d, Seq("dup_key"), "doc_id", priorityCol = "n_chars").get
+        .select("dup_key", "doc_id", "n_chars", "lang")
+        .orderBy("dup_key", "doc_id")
+    }),
+
     "q137_temperature_weights" -> ((s, dir) => {
       // Temperature mixture weights (p_s ∝ n_s^alpha): exact counts,
       // shares, and capped keep-fractions per (source-bucketed) lang —
@@ -3098,6 +3132,42 @@ object SparkEntry {
                             WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.0
                             ELSE 0.0 END) * 1000000.0
          ORDER BY lang, doc_id""",
+
+    // q139: same corruption construction, same RE2-safe patterns — both
+    // engines count code-point for code-point.
+    "q139_encoding_anomalies" ->
+      """WITH m AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© â€™quoteâ€™ Â°C' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' bad�byte�' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' c' || chr(1) || 'tl' ELSE '' END AS t
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '�')) AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(t, 'Ã[©¨¤¶¼±§³ª]|â€[™œ“”–—]|Â[°»«·]')) AS BIGINT)
+             AS n_mojibake,
+           CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0E-\x1F\x{007F}-\x{009F}]')) AS BIGINT)
+             AS n_control,
+           (len(regexp_extract_all(t, '�')) > 0
+             OR len(regexp_extract_all(t, 'Ã[©¨¤¶¼±§³ª]|â€[™œ“”–—]|Â[°»«·]')) > 0
+             OR len(regexp_extract_all(t, '[\x00-\x08\x0B\x0E-\x1F\x{007F}-\x{009F}]')) > 0)
+             AS suspect
+         FROM m ORDER BY doc_id""",
+
+    // q140: the keep-best rule is a window — replayed exactly.
+    "q140_dedup_keep_best" ->
+      """WITH d AS (
+           SELECT doc_id % 97 AS dup_key, doc_id, n_chars, lang FROM documents
+         ), r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY dup_key
+             ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+           FROM d
+         )
+         SELECT dup_key, doc_id, n_chars, lang FROM r
+         WHERE rn = 1 ORDER BY dup_key, doc_id""",
 
     // q137/q138: temperature mixing — weights replayed by pow/share
     // arithmetic; the sample by the same md5 draw over the rounded

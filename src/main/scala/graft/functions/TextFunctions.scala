@@ -312,6 +312,37 @@ object TextFunctions {
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 
+  /** U+FFFD replacement characters — each one is a byte sequence some
+    * upstream decoder could not read (a hard decode failure, not a
+    * style issue). Codegen'd regexp count; the literal is RE2-safe. */
+  def replacementCharCount(c: Column): Column =
+    regexp_count(c, lit("�")).cast("long")
+
+  /** Classic UTF-8-read-as-Latin-1/cp1252 mojibake digraphs ("Ã©" for
+    * é, "â€™" for ', "Â°" for °, …): the high-frequency artifacts of
+    * the single most common encoding mistake in web corpora. A curated
+    * alternation of literal digraphs — lookahead-free, so Java regex
+    * and RE2 count identically code-point for code-point. */
+  val mojibakePattern: String = "Ã[©¨¤¶¼±§³ª]|â€[™œ“”–—]|Â[°»«·]"
+
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c, lit(mojibakePattern)).cast("long")
+
+  /** C0/C1 control characters (excluding \t \n \r \f, which the
+    * tokenizer treats as whitespace) — binary junk that leaked into a
+    * text column. */
+  val controlCharPattern: String =
+    "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x{007F}-\\x{009F}]"
+
+  def controlCharCount(c: Column): Column =
+    regexp_count(c, lit(controlCharPattern)).cast("long")
+
+  /** Any encoding anomaly present — the pre-training sweep predicate
+    * (route suspects to re-decoding or drop them). */
+  def encodingSuspect(c: Column): Column =
+    (replacementCharCount(c) > 0) || (mojibakeCount(c) > 0) ||
+      (controlCharCount(c) > 0)
+
   /** Canonical form of a single URL column — THE key for URL-level
     * dedup of a web corpus (the same page crawled twice differs only in
     * tracking params, fragment, host case, or a default port):

@@ -51,6 +51,26 @@ object Dedup {
         .drop(rn)
     }
 
+  /** Exact dedup keeping the BEST row per duplicate group — highest
+    * `priorityCol` (nulls last), min-`idCol` tiebreak — instead of the
+    * min-id policy. Real dedup usually wants the cleanest/longest copy
+    * of a duplicated page, not whichever crawl got the smaller id:
+    * pass a quality score, a token count, or a recency stamp as the
+    * priority. Groups on the full column values ([[exactStrict]]'s
+    * no-collision semantics); same single-window plan shape. */
+  def exactKeepBest(
+      df: DataFrame,
+      cols: Seq[String],
+      idCol: String,
+      priorityCol: String): MayFail[DataFrame] = MayFail {
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val w = Window.partitionBy(cols.map(col): _*)
+      .orderBy(col(priorityCol).desc_nulls_last, col(idCol))
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
+
   /** Normalized-text exact dedup (case/whitespace-insensitive). */
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): MayFail[DataFrame] =
     MayFail {
@@ -386,6 +406,38 @@ object Dedup {
       val drop = clusters.filter(col("id") =!= col("cluster"))
         .select(col("id").as(idCol))
       df.join(drop, Seq(idCol), "left_anti")
+    }
+
+  /** [[minhashDedupTransitive]] with the [[exactKeepBest]] keep policy:
+    * per near-duplicate component, the highest-`priorityCol` member
+    * (min-id tiebreak) survives instead of the minimum id — "keep the
+    * cleanest copy of the cluster". Singletons (never paired) survive
+    * untouched. Same plan shape plus one priority window over the
+    * (LSH-pair-sized, tiny vs corpus) labeled rows. */
+  def minhashDedupTransitiveKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      priorityCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7
+  ): MayFail[DataFrame] =
+    for {
+      pairs <- minhashPairs(df, textCol, idCol, shingleSize, bands, rowsPerBand, threshold)
+      clusters <- duplicateClusters(pairs)
+    } yield {
+      val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+      // singletons carry a null cluster after the left join; giving each
+      // its own partition key (its id) makes the keep-window a no-op for
+      // them instead of ranking all singletons against each other
+      val labeled = df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      val w = Window.partitionBy(coalesce(col("cluster"), col(idCol)))
+        .orderBy(col(priorityCol).desc_nulls_last, col(idCol))
+      labeled.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(rn, "cluster")
     }
 
   /** Full corpus-dedup pipeline: exact dedup FIRST (hash groupBy — cheap,

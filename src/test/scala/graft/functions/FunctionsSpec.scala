@@ -177,6 +177,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("encoding anomaly counts: mojibake digraphs, U+FFFD, control chars") {
+    val df = Seq(
+      ("clean text, nothing wrong", 0L, 0L, 0L, false),
+      ("caf\u00c3\u00a9 and \u00e2\u20ac\u2122quoted\u00e2\u20ac\u2122", 0L, 3L, 0L, true), // mojibake e-acute + two broken apostrophes
+      ("lost \ufffd bytes \ufffd\ufffd", 3L, 0L, 0L, true),
+      ("c\u0001tl and d\u007fel", 0L, 0L, 2L, true),
+      ("caf\u00e9 is fine", 0L, 0L, 0L, false) // real accented char is NOT mojibake
+    ).toDF("t", "wr", "wm", "wc", "ws")
+    val bad = df.filter(
+      replacementCharCount($"t") =!= $"wr" || mojibakeCount($"t") =!= $"wm" ||
+        controlCharCount($"t") =!= $"wc" || encodingSuspect($"t") =!= $"ws")
+      .collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
     val df = Seq((Array(1f, 2f, 3f, 4f), Array(2f, 4f, 6f, 8f), Array(-1f, 5f, -3f, 0.5f)))
       .toDF("a", "b", "c")

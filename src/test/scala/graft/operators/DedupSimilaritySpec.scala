@@ -41,6 +41,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("keep-best dedup keeps the highest-priority duplicate, not the min id") {
+    val df = Seq[(Long, String, java.lang.Long)](
+      (0L, "dup", 10L), (1L, "dup", 50L), (2L, "dup", 50L), // 1 wins: best, min-id tie
+      (3L, "uniq", 5L),
+      (4L, "nulls", null), (5L, "nulls", 7L) // nulls last: 5 wins
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.exactKeepBest(df, Seq("text"), "doc_id", "quality").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // transitive near-dup variant: the chain 0~1~2 keeps only its best
+    val near = Seq(
+      (0L, (1 to 50).map(i => s"w$i").mkString(" "), 1.0),
+      (1L, (1 to 50).map(i => s"w$i").mkString(" "), 9.0),
+      (2L, ((1 to 49).map(i => s"w$i") :+ "CHANGED").mkString(" "), 5.0),
+      (3L, (1 to 50).map(i => s"other$i").mkString(" "), 0.5) // singleton survives
+    ).toDF("doc_id", "text", "quality")
+    val keptNear = Dedup.minhashDedupTransitiveKeepBest(
+      near, "text", "doc_id", "quality", threshold = 0.5).get
+    assert(keptNear.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(keptNear.columns.toSeq == near.columns.toSeq) // no helper cols leak
+  }
+
   test("cap reports surface what maxBucket silently drops") {
     // 50 clones of one boilerplate doc: every band has ONE bucket of 50,
     // so maxBucket=10 drops all 16 bands' buckets — minhashPairs emits
