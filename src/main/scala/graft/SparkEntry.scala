@@ -1576,6 +1576,76 @@ object SparkEntry {
         .orderBy("dup_key", "doc_id")
     }),
 
+    "q141_unicode_normalize" -> ((s, dir) => {
+      // NFC normalization over planted decomposed sequences: every 2nd
+      // doc gets "e"+U+0301 (composes to é), every 3rd "A"+U+030A
+      // (composes to Å), every 5th an ALREADY-precomposed " déjà"
+      // (NFC-stable). Both engines build the identical raw string and
+      // normalize it — the result strings, code-point lengths, and the
+      // changed flag must agree exactly.
+      val raw = concat(col("text"),
+        // decomposed: e + U+0301 combining acute
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" cafe\u0301")).otherwise(lit("")),
+        // decomposed: A + U+030A ring, o + U+0308 diaeresis
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" A\u030Angstro\u0308m")).otherwise(lit("")),
+        // precomposed U+00E9 / U+00E0 — already NFC, must pass unchanged
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" d\u00e9j\u00e0")).otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), raw.as("t"))
+        .select(col("doc_id"),
+          TextFunctions.unicodeNormalize(col("t"), "NFC").as("nfc"),
+          length(col("t")).as("len_raw"),
+          length(TextFunctions.unicodeNormalize(col("t"), "NFC")).as("len_nfc"),
+          (TextFunctions.unicodeNormalize(col("t"), "NFC") =!= col("t")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    "q142_domain_blocklist" -> ((s, dir) => {
+      // Parent-domain blocklist filter: synthesized 4-label hosts, a
+      // blocklist mixing a registrable domain (blocks every subdomain),
+      // a full-host exact entry, a mid-level suffix, and a never-
+      // matching entry — the oracle replays suffix matching with
+      // `dom = b OR dom LIKE '%.' || b`.
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+        .withColumn("url", concat(lit("http://w"), pmod(col("doc_id"), lit(4)),
+          lit(".s"), pmod(col("doc_id"), lit(5)),
+          lit(".example"), pmod(col("doc_id"), lit(3)),
+          lit(".com/p"), col("doc_id")))
+      val bl = Seq("example0.com", "w1.s2.example1.com", "s3.example2.com", "other.net")
+        .toDF("domain")
+      graft.operators.Quality.filterByDomainBlocklist(d, "url", "doc_id", bl).get
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q143_frequent_ngrams" -> ((s, dir) => {
+      // Corpus-wide frequent trigram report on the raw corpus (the
+      // sentence-pool synthesis repeats phrases naturally): top-50 by
+      // occurrence count with distinct-doc counts, total (count desc,
+      // ngram) order — the oracle rebuilds the n-grams with a list
+      // comprehension over the same explicit-class tokenizer.
+      graft.operators.Quality.frequentNgrams(
+          tbl(s, dir, "documents"), "text", "doc_id",
+          n = 3, topK = 50, minCount = 2L).get
+    }),
+
+    "q144_group_centroids" -> ((s, dir) => {
+      // Per-label embedding centroids (element-wise mean, rounded to 6):
+      // flattened to (label, dim_idx, mu, n_members) rows so the gate
+      // hash-compares every coordinate against the oracle's
+      // unnest-and-avg replay.
+      graft.operators.Similarity.groupCentroids(
+          tbl(s, dir, "embeddings"), "label", "embedding").get
+        .select(col("label"), col("n_members"),
+          posexplode(col("centroid")).as(Seq("dim_idx", "mu")))
+        .select(col("label"), col("dim_idx"), col("mu"), col("n_members"))
+        .orderBy("label", "dim_idx")
+    }),
+
     "q137_temperature_weights" -> ((s, dir) => {
       // Temperature mixture weights (p_s ∝ n_s^alpha): exact counts,
       // shares, and capped keep-fractions per (source-bucketed) lang —
@@ -3168,6 +3238,84 @@ object SparkEntry {
          )
          SELECT dup_key, doc_id, n_chars, lang FROM r
          WHERE rn = 1 ORDER BY dup_key, doc_id""",
+
+    // q141: same planted sequences via chr() code points; DuckDB's
+    // nfc_normalize is the same UAX #15 NFC. length() counts code
+    // points in both engines.
+    "q141_unicode_normalize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' d' || chr(233) || 'j' || chr(224) ELSE '' END AS t
+           FROM documents
+         )
+         SELECT doc_id,
+           nfc_normalize(t) AS nfc,
+           CAST(length(t) AS INT) AS len_raw,
+           CAST(length(nfc_normalize(t)) AS INT) AS len_nfc,
+           (nfc_normalize(t) <> t) AS changed
+         FROM m ORDER BY doc_id""",
+
+    // q142: suffix blocklist semantics replayed as exact-or-parent
+    // (`dom = b OR dom LIKE '%.' || b`).
+    "q142_domain_blocklist" ->
+      """WITH u AS (
+           SELECT doc_id, lang, source,
+             'w' || (doc_id % 4) || '.s' || (doc_id % 5) ||
+             '.example' || (doc_id % 3) || '.com' AS dom
+           FROM documents
+         ), b AS (
+           SELECT * FROM (VALUES ('example0.com'), ('w1.s2.example1.com'),
+                                 ('s3.example2.com'), ('other.net')) AS t(d)
+         )
+         SELECT doc_id, lang, source FROM u
+         WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE u.dom = b.d OR u.dom LIKE '%.' || b.d)
+         ORDER BY doc_id""",
+
+    // q143: n-grams rebuilt with a list comprehension over the same
+    // explicit-class tokenizer; same (count desc, ngram) total order.
+    "q143_frequent_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]) AS ngram
+           FROM toks WHERE len(t) >= 3
+         )
+         SELECT ngram,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+         FROM grams GROUP BY ngram
+         HAVING count(*) >= 2
+         ORDER BY n_occurrences DESC, ngram LIMIT 50""",
+
+    // q144: element-wise mean replayed by unnest-and-avg, rounded to 6
+    // in both engines (double accumulation order differs).
+    "q144_group_centroids" ->
+      """WITH e AS (
+           SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_idx,
+             unnest(embedding) AS v
+           FROM embeddings WHERE embedding IS NOT NULL
+         ), c AS (
+           SELECT label, count(*) AS n_members
+           FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
+         )
+         SELECT e.label, e.dim_idx,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mu, c.n_members
+         FROM e JOIN c USING (label)
+         GROUP BY e.label, e.dim_idx, c.n_members
+         ORDER BY label, dim_idx""",
 
     // q137/q138: temperature mixing — weights replayed by pow/share
     // arithmetic; the sample by the same md5 draw over the rounded

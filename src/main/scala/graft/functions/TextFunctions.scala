@@ -312,6 +312,30 @@ object TextFunctions {
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 
+  /** Every parent-domain suffix of a dotted hostname — `a.b.example.com`
+    * → `[a.b.example.com, b.example.com, example.com, com]` — the shape
+    * domain blocklists match on (listing `example.com` blocks every
+    * subdomain). Pure array expression over the already-extracted
+    * [[urlDomain]]; empty/dotless input yields the input itself. */
+  def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Unicode normalization (UAX #15) — the canonical-form pass that must
+    * run before ANY text hashing: precomposed "é" (U+00E9) and
+    * "e"+U+0301 are byte-different, so exact dedup, minhash shingles and
+    * token counts silently disagree on un-normalized text. `form` is one
+    * of NFC/NFD/NFKC/NFKD (NFC for dedup keys; NFKC additionally folds
+    * compatibility forms — ligatures, fullwidth letters, superscripts —
+    * for token-level matching). Codegen'd native expression with an
+    * allocation-free already-normalized fast path. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column = {
+    val ord = java.text.Normalizer.Form.valueOf(form.toUpperCase).ordinal
+    FunctionBridge.column(UnicodeNormalize(FunctionBridge.expression(c), ord))
+  }
+
   /** U+FFFD replacement characters — each one is a byte sequence some
     * upstream decoder could not read (a hard decode failure, not a
     * style issue). Codegen'd regexp count; the literal is RE2-safe. */

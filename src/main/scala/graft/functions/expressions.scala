@@ -835,3 +835,35 @@ case class PackBinsNextFit(child: Expression, capacity: Long)
     copy(child = newChild)
   override def prettyName: String = "pack_bins_next_fit"
 }
+
+/** Unicode normalization — the canonical-form pass a web corpus needs
+  * before ANY text hashing: the same word crawled as precomposed "é"
+  * (U+00E9) and as "e"+U+0301 is byte-different, so exact dedup, minhash
+  * shingles, and token counts all silently disagree until both are
+  * normalized. Wraps the JDK's `java.text.Normalizer` (Unicode UAX #15)
+  * in a codegen'd expression; the already-normalized fast path (the vast
+  * majority of real text) is a pure scan that allocates nothing. */
+object UnicodeNormImpl {
+  private val FORMS: Array[java.text.Normalizer.Form] =
+    java.text.Normalizer.Form.values()
+
+  def normalize(s: UTF8String, formOrdinal: Int): UTF8String = {
+    val f = FORMS(formOrdinal)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
+case class UnicodeNormalize(child: Expression, formOrdinal: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormImpl.normalize(input.asInstanceOf[UTF8String], formOrdinal)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnicodeNormImpl.normalize($c, $formOrdinal)")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_normalize"
+}

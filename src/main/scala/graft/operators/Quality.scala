@@ -299,4 +299,72 @@ object Quality {
           col("symbol_ratio_ok") && col("bullet_ok") && col("ellipsis_ok") &&
           col("alpha_ok") && col("stopword_ok"))
   }
+
+  /** Drop every document whose URL's domain — or ANY parent domain —
+    * appears in a blocklist table (listing `example.com` blocks
+    * `a.b.example.com`): the standard web-corpus provenance filter
+    * (adult/malware/spam domain lists run to millions of entries, so the
+    * blocklist is a TABLE, not a literal).
+    *
+    * Scale posture: only slim `(id, suffix)` pairs explode (a hostname
+    * has ~3-5 labels); the suffix⋈blocklist join broadcasts when the
+    * list is small (AQE decides), the matched-id set is tiny and
+    * `distinct`s on ids only, and the corpus itself moves once through
+    * the final id anti-join — the text column never shuffles with the
+    * match machinery. */
+  def filterByDomainBlocklist(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      blocklist: DataFrame,
+      blDomainCol: String = "domain"): MayFail[DataFrame] = MayFail {
+    import graft.functions.TextFunctions
+    val sfx = "__bl_suffix"
+    val hits = df
+      .select(col(idCol), explode(
+        TextFunctions.domainSuffixes(
+          TextFunctions.urlDomain(col(urlCol)))).as(sfx))
+      .join(blocklist.select(lower(col(blDomainCol)).as(sfx)), Seq(sfx), "left_semi")
+      .select(idCol).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus-wide frequent word n-grams: the top-`topK` n-grams by total
+    * occurrence count (with the distinct-document count alongside) —
+    * the report that surfaces boilerplate phrases, spam templates, and
+    * licence headers worth stripping before training. Whitespace
+    * tokenization with the engine-portable explicit class (never `\s`),
+    * optional lowercasing.
+    *
+    * Scale posture: the n-gram explode is map-side; the groupBy is ONE
+    * shuffle with map-side partial aggregation (n-gram keys follow a
+    * Zipf law, so partial combine collapses the head before it moves);
+    * `minCount` prunes the long tail before the top-k, and the top-k is
+    * a `TakeOrderedAndProject` (no global sort materializes). The
+    * distinct-doc count rides the same shuffle as a two-level partial
+    * aggregate. */
+  def frequentNgrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      topK: Int = 100,
+      minCount: Long = 2L,
+      lowercase: Boolean = true): MayFail[DataFrame] = MayFail {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val raw = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = filter(split(raw, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    // sequence(1, 0) would DESCEND ([1,0]) — guard short docs explicitly
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topK)
+  }
 }

@@ -186,4 +186,34 @@ object Similarity {
       .select(col("queryId"), col("neighborId"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** Element-wise mean embedding per group — the centroid table behind
+    * cluster summaries, class prototypes, and per-source embedding
+    * drift. Returns `(keyCol, centroid: array<double>, n_members)`;
+    * centroid entries rounded to `roundDigits` (6 = the cross-engine
+    * float convention). Null vectors are skipped (they contribute to
+    * neither mean nor count).
+    *
+    * Scale posture: `Summarizer.mean` is a real partial aggregate — each
+    * map partition folds its vectors into one running sum per key before
+    * anything shuffles, so exactly ONE shuffle of (key, dim-sized sum)
+    * rows happens regardless of corpus size. Never posexplodes the
+    * corpus (that would shuffle rows × dim). */
+  def groupCentroids(
+      df: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      roundDigits: Int = 6): MayFail[DataFrame] = MayFail {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    df.filter(col(vecCol).isNotNull)
+      .select(col(keyCol), array_to_vector(col(vecCol)).as("__v"))
+      .groupBy(keyCol)
+      .agg(Summarizer.mean(col("__v")).as("__m"),
+        count(lit(1)).as("n_members"))
+      .select(col(keyCol),
+        transform(vector_to_array(col("__m")),
+          x => round(x, roundDigits)).as("centroid"),
+        col("n_members"))
+  }
 }

@@ -153,4 +153,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "sparse path must stay an equi-join on term")
   }
+
+  test("q143: frequent n-grams partial-aggregate map-side and plan top-k") {
+    val plan = planOf("q143_frequent_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k is a full sort")
+    assert(plan.contains("partial_count"),
+      "no map-side partial aggregation before the n-gram shuffle")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q144: group centroids are ONE partial aggregate — corpus vectors never posexplode") {
+    val plan = planOf("q144_group_centroids")
+    // Summarizer.mean is a TypedImperativeAggregate: partial per-partition
+    // fold, one shuffle of (key, dim-sized state)
+    assert(plan.contains("ObjectHashAggregate"), "mean did not plan as an object agg")
+    assert(plan.toLowerCase.contains("partial"), "no partial aggregation")
+    // the posexplode in the gate flattening sits ABOVE the agg (it explodes
+    // #groups x dim rows), never below it (corpus x dim). Formatted-mode
+    // operator ids grow from the leaves toward the root, so Generate's id
+    // must exceed every ObjectHashAggregate id.
+    val ids = (name: String) =>
+      (name + """ \((\d+)\)""").r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    val gen = ids("Generate")
+    val agg = ids("ObjectHashAggregate")
+    assert(gen.nonEmpty && agg.nonEmpty)
+    assert(gen.min > agg.max,
+      s"posexplode (ids $gen) must sit above the mean aggregate (ids $agg)")
+  }
+
+  test("q142: blocklist filter never shuffles the corpus text with the match machinery") {
+    val plan = planOf("q142_domain_blocklist")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "blocklist semi/anti joins should broadcast at this scale")
+  }
 }

@@ -192,6 +192,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility forms") {
+    val df = Seq(
+      "cafe\u0301",        // e + combining acute -> precomposed
+      "A\u030Angstro\u0308m", // ring + diaeresis compose
+      "d\u00e9j\u00e0",     // already NFC: unchanged
+      "\uFB01le",          // LATIN SMALL LIGATURE FI: NFC keeps, NFKC folds to "fi"
+      "\uFF21BC",          // FULLWIDTH A: NFKC folds to "A"
+      "x\u00B2"            // superscript two: NFKC folds to "x2"
+    ).toDF("t")
+    val nfc = df.select(unicodeNormalize($"t", "NFC")).as[String].collect().toSeq
+    assert(nfc == Seq("caf\u00e9", "\u00c5ngstr\u00f6m", "d\u00e9j\u00e0",
+      "\uFB01le", "\uFF21BC", "x\u00B2"))
+    val nfkc = df.select(unicodeNormalize($"t", "NFKC")).as[String].collect().toSeq
+    assert(nfkc == Seq("caf\u00e9", "\u00c5ngstr\u00f6m", "d\u00e9j\u00e0",
+      "file", "ABC", "x2"))
+    // dedup motivation: byte-different spellings, one key after NFC
+    val a = spark.sql("SELECT 1").select(lit("caf\u00e9").as("x"))
+    val b = spark.sql("SELECT 1").select(lit("cafe\u0301").as("x"))
+    assert(a.select(unicodeNormalize($"x")).as[String].head() ==
+      b.select(unicodeNormalize($"x")).as[String].head())
+    // invalid form fails fast at plan time, null passes through
+    intercept[IllegalArgumentException] { unicodeNormalize($"t", "NFX") }
+    val withNull = Seq[Option[String]](Some("a"), None).toDF("t")
+    assert(withNull.select(unicodeNormalize($"t")).as[Option[String]]
+      .collect().toSeq == Seq(Some("a"), None))
+  }
+
+  test("domainSuffixes walks every parent domain") {
+    val df = Seq("a.b.example.com", "example.com", "localhost").toDF("d")
+    val got = df.select(domainSuffixes($"d")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("a.b.example.com", "b.example.com", "example.com", "com"),
+      Seq("example.com", "com"),
+      Seq("localhost")))
+  }
+
   test("hyperplaneBits: identical vectors share all bits, scaled vectors too") {
     val df = Seq((Array(1f, 2f, 3f, 4f), Array(2f, 4f, 6f, 8f), Array(-1f, 5f, -3f, 0.5f)))
       .toDF("a", "b", "c")

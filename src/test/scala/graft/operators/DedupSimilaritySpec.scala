@@ -493,4 +493,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("idNew", "idRef", "jaccard").as[(Long, Long, Double)].collect()
     assert(pairs.toSeq == Seq((0L, 0L, 1.0)))
   }
+
+  test("groupCentroids: element-wise means, null vectors skipped, counts right") {
+    val df = Seq(
+      ("a", Array(1f, 2f, 3f)),
+      ("a", Array(3f, 4f, 5f)),
+      ("b", Array(10f, 0f, -2f)),
+      ("b", null.asInstanceOf[Array[Float]])
+    ).toDF("k", "vec")
+    val got = Similarity.groupCentroids(df, "k", "vec").get
+      .as[(String, Seq[Double], Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", Seq(2.0, 3.0, 4.0), 2L)))
+    assert(got("b") == (("b", Seq(10.0, 0.0, -2.0), 1L))) // null contributes nothing
+    // rounding convention: a third rounds to 6 digits
+    val thirds = Seq(("c", Array(1f, 0f)), ("c", Array(0f, 0f)), ("c", Array(0f, 0f)))
+      .toDF("k", "vec")
+    assert(Similarity.groupCentroids(thirds, "k", "vec").get
+      .as[(String, Seq[Double], Long)].head()._2 == Seq(0.333333, 0.0))
+  }
 }

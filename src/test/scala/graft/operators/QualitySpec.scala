@@ -204,4 +204,45 @@ class QualitySpec extends AnyFunSuite {
       .select("js_contrib").as[Double].collect()
     assert(rows.forall(math.abs(_) < 1e-12))
   }
+
+  test("filterByDomainBlocklist blocks exact hosts and every subdomain of a listed domain") {
+    val docs = Seq(
+      (1L, "http://a.b.spam.com/x"),   // subdomain of listed spam.com -> blocked
+      (2L, "http://spam.com/y"),       // exact registrable match -> blocked
+      (3L, "http://notspam.com/z"),    // SUBSTRING is not a suffix match -> kept
+      (4L, "http://exact.host.org/w"), // full-host entry -> blocked
+      (5L, "http://deep.exact.host.org/v"), // subdomain of the full-host entry -> blocked
+      (6L, "http://clean.net/u"),      // unlisted -> kept
+      (7L, "http://SPAM.com/s")        // host case-insensitive -> blocked
+    ).toDF("id", "url")
+    val bl = Seq("spam.com", "exact.host.org").toDF("domain")
+    val kept = Quality.filterByDomainBlocklist(docs, "url", "id", bl).get
+    assert(kept.select("id").as[Long].collect().toSet == Set(3L, 6L))
+    assert(kept.columns.toSeq == docs.columns.toSeq) // no helper cols leak
+    // blocklist casing is normalized too
+    val blUpper = Seq("Spam.COM").toDF("domain")
+    assert(Quality.filterByDomainBlocklist(docs, "url", "id", blUpper).get
+      .select("id").as[Long].collect().toSet == Set(3L, 4L, 5L, 6L))
+  }
+
+  test("frequentNgrams counts occurrences and distinct docs, prunes, orders") {
+    val docs = Seq(
+      (1L, "the quick fox the quick fox"), // "the quick fox" twice in one doc
+      (2L, "the quick fox jumps"),
+      (3L, "THE QUICK fox"),               // lowercased -> same trigram
+      (4L, "too short"),                   // < n tokens: contributes nothing
+      (5L, "all unique tokens here")
+    ).toDF("id", "text")
+    val got = Quality.frequentNgrams(docs, "text", "id", n = 3, topK = 10,
+      minCount = 2L).get.as[(String, Long, Long)].collect().toSeq
+    // "the quick fox": 4 occurrences across 3 docs; "quick fox the"/"fox the quick"
+    // appear once each (pruned by minCount); everything else is unique
+    assert(got.head == (("the quick fox", 4L, 3L)))
+    assert(got.forall(_._2 >= 2L))
+    assert(got == got.sortBy(g => (-g._2, g._1))) // total order
+    // lowercase=false keeps case-distinct n-grams apart
+    val cased = Quality.frequentNgrams(docs, "text", "id", n = 3, topK = 10,
+      minCount = 2L, lowercase = false).get.as[(String, Long, Long)].collect().toSeq
+    assert(cased.head == (("the quick fox", 3L, 2L)))
+  }
 }
