@@ -46,7 +46,11 @@ object Bench {
     // corpus pass) and the per-row codec+FFT pipeline (CPU-bound
     // mapPartitions — regressions in the native-work path show here)
     "q126_gopher_repetition",
-    "q124_audio_spectrum"
+    "q124_audio_spectrum",
+    // round-5 addition: corpus-wide n-gram mining — the widest explode in
+    // the library (every trigram of every doc through one partial-agg
+    // shuffle); top-k and partial-combine regressions surface here
+    "q143_frequent_ngrams"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

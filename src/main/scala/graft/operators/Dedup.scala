@@ -71,11 +71,24 @@ object Dedup {
       .drop(rn)
   }
 
-  /** Normalized-text exact dedup (case/whitespace-insensitive). */
-  def exactNormalized(df: DataFrame, textCol: String, idCol: String): MayFail[DataFrame] =
+  /** Normalized-text exact dedup (case/whitespace-insensitive).
+    *
+    * `unicodeForm` (e.g. `Some("NFC")`) additionally unicode-normalizes
+    * before fingerprinting, so precomposed "é" and "e"+combining-acute —
+    * byte-different, visually identical — share a dedup key. Off by
+    * default (byte-compat with the historical key); NFC costs one
+    * codegen'd scan with an allocation-free already-normalized fast
+    * path, so turning it on is nearly free on mostly-ASCII corpora. */
+  def exactNormalized(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      unicodeForm: Option[String] = None): MayFail[DataFrame] =
     MayFail {
       val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
-      val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+      val keyed = unicodeForm.fold(col(textCol))(f =>
+        graft.functions.TextFunctions.unicodeNormalize(col(textCol), f))
+      val w = Window.partitionBy(fingerprint(keyed)).orderBy(col(idCol))
       df.withColumn(rn, row_number().over(w))
         .filter(col(rn) === 1)
         .drop(rn)

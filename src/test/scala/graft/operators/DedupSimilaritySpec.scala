@@ -33,6 +33,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L))
   }
 
+  test("Dedup.exactNormalized with NFC collapses byte-different unicode spellings") {
+    // precomposed é (U+00E9) vs decomposed e+U+0301: byte-different,
+    // visually identical — only the NFC key unifies them
+    val df = Seq((0L, "caf\u00e9 menu"), (1L, "cafe\u0301 menu"), (2L, "tea"))
+      .toDF("doc_id", "text")
+    val without = Dedup.exactNormalized(df, "text", "doc_id").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(without == Set(0L, 1L, 2L)) // historical key: no collapse
+    val withNfc = Dedup.exactNormalized(df, "text", "doc_id", Some("NFC")).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(withNfc == Set(0L, 2L))
+  }
+
   test("minhashPairs finds exact and near dups, not unrelated pairs") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5).get
       .select("idA", "idB").as[(Long, Long)].collect().toSet
