@@ -1633,6 +1633,53 @@ object SparkEntry {
           n = 3, topK = 50, minCount = 2L).get
     }),
 
+    "q145_leakage_safe_split" -> ((s, dir) => {
+      // Leakage-safe split over planted duplicate pairs (self-union with
+      // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
+      // ENTIRELY on one side, drawn by the portable md5 hash of the
+      // cluster representative (= min id) — so the oracle replays every
+      // assignment exactly from the construction.
+      val docs = tbl(s, dir, "documents")
+      val doubled = docs.select("doc_id", "text")
+        .union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.leakageSafeSplit(doubled, "text", "doc_id",
+          weights = Seq(0.8, 0.2), salt = "s5", names = Seq("train", "test"),
+          threshold = 1.0).get
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    "q146_text_diversity" -> ((s, dir) => {
+      // Unigram diversity signals: Shannon entropy (native hash-map
+      // expression) and type-token ratio — the oracle recomputes both
+      // by unnest-group-sum over the same portable tokenizer.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.unigramEntropy(col("text")), 6).as("entropy"),
+          round(TextFunctions.typeTokenRatio(col("text")), 6).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    "q147_rrf_fusion" -> ((s, dir) => {
+      // Reciprocal-rank fusion of two per-lang rankings (longest-docs
+      // and portable-hash order, top-20 each) into a fused top-10 —
+      // every 1/(k+rank) contribution replayed by the oracle.
+      val d = tbl(s, dir, "documents")
+      val wa = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val a = d.withColumn("rank", row_number().over(wa))
+        .filter(col("rank") <= 20).select("lang", "doc_id", "rank")
+      val hb = TextFunctions.portableHash60(
+        concat(lit("rrf§"), col("doc_id").cast("string")))
+      val wb = Window.partitionBy(col("lang")).orderBy(hb, col("doc_id"))
+      val b = d.withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 20).select("lang", "doc_id", "rank")
+      graft.operators.TfIdf.rrfFuse(Seq(a, b), Seq("lang"), "doc_id",
+          "rank", k = 60, topK = 10).get
+        .orderBy("lang", "fused_rank")
+    }),
+
     "q144_group_centroids" -> ((s, dir) => {
       // Per-label embedding centroids (element-wise mean, rounded to 6):
       // flattened to (label, dim_idx, mu, n_members) rows so the gate
@@ -3298,6 +3345,79 @@ object SparkEntry {
          FROM grams GROUP BY ngram
          HAVING count(*) >= 2
          ORDER BY n_occurrences DESC, ngram LIMIT 50""",
+
+    // q145: the cluster representative is the min id by construction;
+    // the draw is the same salted-md5 convention both engines compute.
+    "q145_leakage_safe_split" ->
+      """WITH d AS (
+           SELECT doc_id FROM documents
+           UNION ALL SELECT doc_id + 1000000 FROM documents
+         ), r AS (
+           SELECT doc_id,
+             CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                  ELSE doc_id END AS rep
+           FROM d
+         )
+         SELECT doc_id,
+           CASE WHEN (CAST(('0x' || substring(md5('s5§' || CAST(rep AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.8
+                THEN 'train' ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+
+    // q146: entropy and TTR recomputed by unnest-group-sum over the
+    // identical tokenizer; both engines round to 6.
+    "q146_text_diversity" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents
+         ), cnt AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+           GROUP BY doc_id, tok
+         ), st AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS n_types FROM cnt GROUP BY doc_id
+         ), ent AS (
+           SELECT cnt.doc_id, round(sum(-(c / st.n) * ln(c / st.n)), 6) AS entropy
+           FROM cnt JOIN st USING (doc_id) GROUP BY cnt.doc_id
+         )
+         SELECT toks.doc_id,
+           CAST(len(toks.t) AS INT) AS n_tokens,
+           coalesce(ent.entropy, 0.0) AS entropy,
+           coalesce(round(st.n_types / CAST(st.n AS DOUBLE), 6), 0.0) AS ttr
+         FROM toks LEFT JOIN st ON toks.doc_id = st.doc_id
+                   LEFT JOIN ent ON toks.doc_id = ent.doc_id
+         ORDER BY toks.doc_id""",
+
+    // q147: both source rankings and every 1/(k+rank) term replayed;
+    // two-term IEEE addition is order-exact, both engines round to 6
+    // BEFORE the fused ranking so ties resolve identically.
+    "q147_rrf_fusion" ->
+      """WITH a AS (
+           SELECT lang, doc_id, row_number() OVER (
+             PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r
+           FROM documents
+         ), b AS (
+           SELECT lang, doc_id, row_number() OVER (
+             PARTITION BY lang ORDER BY
+               CAST(('0x' || substring(md5('rrf§' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT), doc_id) AS r
+           FROM documents
+         ), u AS (
+           SELECT lang, doc_id, 1.0 / (60 + r) AS c FROM a WHERE r <= 20
+           UNION ALL
+           SELECT lang, doc_id, 1.0 / (60 + r) AS c FROM b WHERE r <= 20
+         ), s AS (
+           SELECT lang, doc_id, round(sum(c), 6) AS rrf_score
+           FROM u GROUP BY lang, doc_id
+         ), f AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY lang ORDER BY rrf_score DESC, doc_id) AS fused_rank
+           FROM s
+         )
+         SELECT lang, doc_id, rrf_score, fused_rank FROM f
+         WHERE fused_rank <= 10 ORDER BY lang, fused_rank""",
 
     // q144: element-wise mean replayed by unnest-and-avg, rounded to 6
     // in both engines (double accumulation order differs).

@@ -312,6 +312,23 @@ object TextFunctions {
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 
+  /** Shannon entropy (nats) of the document's unigram distribution — the
+    * cheap gibberish/repetition signal: near-0 for "spam spam spam",
+    * ≈ log(n_tokens) for all-distinct text. Native codegen'd single
+    * hash-map pass; tokenization matches [[tokens]] (lowercased explicit
+    * whitespace class, empties dropped) so DuckDB replays it by
+    * unnest-group-sum. */
+  def unigramEntropy(c: Column): Column =
+    FunctionBridge.column(UnigramEntropy(FunctionBridge.expression(c)))
+
+  /** Type-token ratio (distinct/total tokens; 0 for empty docs) — the
+    * classic lexical-diversity quality signal, pure column expression. */
+  def typeTokenRatio(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+  }
+
   /** Every parent-domain suffix of a dotted hostname — `a.b.example.com`
     * → `[a.b.example.com, b.example.com, example.com, com]` — the shape
     * domain blocklists match on (listing `example.com` blocks every

@@ -867,3 +867,55 @@ case class UnicodeNormalize(child: Expression, formOrdinal: Int)
     copy(child = newChild)
   override def prettyName: String = "unicode_normalize"
 }
+
+/** Within-document unigram statistics — the cheap gibberish/repetition
+  * signals a quality pipeline computes for every document: Shannon
+  * entropy of the unigram distribution (low = repetitive spam, high =
+  * random noise) and the distinct-token count. One hash-map pass per
+  * row; tokenization is the engine-portable explicit whitespace class
+  * (same as `TextFunctions.tokens`: lowercased, empties dropped). */
+object EntropyImpl {
+  private def counts(s: UTF8String): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    val str = s.toString.toLowerCase
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) m.merge(str.substring(start, i), 1, Integer.sum _)
+    }
+    m
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  def unigramEntropy(s: UTF8String): Double = {
+    val m = counts(s)
+    var total = 0L
+    val it0 = m.values().iterator()
+    while (it0.hasNext) total += it0.next().toLong
+    if (total == 0L) return 0.0
+    var h = 0.0
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / total
+      h -= p * math.log(p)
+    }
+    h
+  }
+}
+
+case class UnigramEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    EntropyImpl.unigramEntropy(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.EntropyImpl.unigramEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnigramEntropy =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_entropy"
+}

@@ -453,6 +453,58 @@ object Dedup {
         .drop(rn, "cluster")
     }
 
+  /** Train/val/test split that CANNOT leak near-duplicates across
+    * splits: every connected near-duplicate component (MinHash-LSH pairs
+    * → min-label clusters) lands entirely on one side, because the draw
+    * hashes the CLUSTER representative, not the document. Splitting
+    * uniformly at the document level puts ~`2·frac·(1-frac)` of each
+    * duplicate cluster's mass on both sides — the classic train/test
+    * contamination that inflates eval numbers.
+    *
+    * The draw is the library's portable salted-md5 convention (a pure
+    * function of salt and representative id), so the assignment is
+    * rerun-, repartition-, and engine-stable. Singletons hash their own
+    * id. Adds `splitCol`; weights normalize; `names` defaults to
+    * train/val/test at 3 weights, s0..sN otherwise. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: Seq[Double],
+      salt: String = "split",
+      names: Seq[String] = Nil,
+      splitCol: String = "split",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7
+  ): MayFail[DataFrame] =
+    for {
+      pairs <- minhashPairs(df, textCol, idCol, shingleSize, bands, rowsPerBand, threshold)
+      clusters <- duplicateClusters(pairs)
+    } yield {
+      require(weights.nonEmpty && weights.forall(_ > 0),
+        s"weights must be positive: $weights")
+      val labels =
+        if (names.nonEmpty) {
+          require(names.length == weights.length,
+            s"names (${names.length}) and weights (${weights.length}) lengths differ")
+          names
+        }
+        else if (weights.length == 3) Seq("train", "val", "test")
+        else weights.indices.map(i => s"s$i")
+      val total = weights.sum
+      val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+      val labeled = df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      val rep = coalesce(col("cluster"), col(idCol)).cast("string")
+      val bucket = pmod(graft.functions.TextFunctions.portableHash60(
+        concat(lit(salt), lit("§"), rep)), lit(1000000L)).cast("double") / 1000000.0
+      val label = cum.zip(labels).reverse.foldLeft(lit(labels.last)) {
+        case (acc, (bound, name)) => when(bucket < bound, lit(name)).otherwise(acc)
+      }
+      labeled.withColumn(splitCol, label).drop("cluster")
+    }
+
   /** Full corpus-dedup pipeline: exact dedup FIRST (hash groupBy — cheap,
     * removes identical copies), then MinHash-LSH near-dup on the
     * representatives.

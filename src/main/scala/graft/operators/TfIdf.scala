@@ -277,4 +277,35 @@ object TfIdf {
     graft.physical.Order.topKPerGroup(scored, Seq("queryId"),
       Seq(col("score").desc, col("docId")), k, rankCol = "rank").get
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine any number of
+    * rankings of the same document space — BM25, dense kNN, recency —
+    * into one, scoring each (query, doc) by `Σ_r 1/(k + rank_r)`. The
+    * standard hybrid-retrieval merge for data-curation search: rank
+    * scales are incomparable across rankers, ranks are not.
+    *
+    * Each input needs `queryCols ++ (docCol, rankCol)` (rank 1-based).
+    * One union + ONE shuffle on (query, doc) with map-side partial sum;
+    * the per-query top-k is a rank-limit window (WindowGroupLimit caps
+    * map partitions before the shuffle). Ties break on docCol for a
+    * deterministic, engine-replayable order. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      queryCols: Seq[String],
+      docCol: String,
+      rankCol: String = "rank",
+      k: Int = 60,
+      topK: Int = 10): MayFail[DataFrame] = MayFail {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"rrf k must be >= 0, got $k")
+    val keyCols = queryCols :+ docCol
+    val contrib = rankings
+      .map(_.select(keyCols.map(col) :+
+        (lit(1.0) / (lit(k) + col(rankCol).cast("double"))).as("__c"): _*))
+      .reduce(_.unionByName(_))
+    val scored = contrib.groupBy(keyCols.map(col): _*)
+      .agg(round(sum(col("__c")), 6).as("rrf_score"))
+    graft.physical.Order.topKPerGroup(scored, queryCols,
+      Seq(col("rrf_score").desc, col(docCol)), topK, rankCol = "fused_rank").get
+  }
 }

@@ -219,6 +219,28 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().toSeq == Seq(Some("a"), None))
   }
 
+  test("unigramEntropy and typeTokenRatio: hand-computed signals") {
+    val df = Seq(
+      "spam spam spam spam",      // one type: H = 0, ttr = 0.25
+      "a b a b",                  // two types at 1/2 each: H = ln 2
+      "w x y z",                  // all distinct: H = ln 4, ttr = 1
+      "A a",                      // lowercased: one type
+      ""                          // empty: both 0
+    ).toDF("t")
+    val got = df.select(unigramEntropy($"t").as("h"), typeTokenRatio($"t").as("r"))
+      .as[(Double, Double)].collect().toSeq
+    assert(math.abs(got(0)._1) < 1e-12 && got(0)._2 == 0.25)
+    assert(math.abs(got(1)._1 - math.log(2)) < 1e-12 && got(1)._2 == 0.5)
+    assert(math.abs(got(2)._1 - math.log(4)) < 1e-12 && got(2)._2 == 1.0)
+    assert(math.abs(got(3)._1) < 1e-12 && got(3)._2 == 0.5)
+    assert(got(4) == ((0.0, 0.0)))
+    // 3:1 mix: H = -(3/4)ln(3/4) - (1/4)ln(1/4)
+    val mix = Seq("x x x y").toDF("t")
+      .select(unigramEntropy($"t")).as[Double].head()
+    val want = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    assert(math.abs(mix - want) < 1e-12)
+  }
+
   test("domainSuffixes walks every parent domain") {
     val df = Seq("a.b.example.com", "example.com", "localhost").toDF("d")
     val got = df.select(domainSuffixes($"d")).as[Seq[String]].collect().toSeq

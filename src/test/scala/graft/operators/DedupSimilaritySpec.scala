@@ -524,4 +524,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.groupCentroids(thirds, "k", "vec").get
       .as[(String, Seq[Double], Long)].head()._2 == Seq(0.333333, 0.0))
   }
+
+  test("leakageSafeSplit never puts near-duplicates on opposite sides") {
+    // 30 clusters of 3 near-identical docs each: under a doc-level split
+    // most clusters WOULD straddle; the cluster-hash split never does
+    val rows = (0 until 30).flatMap { c =>
+      val base = (1 to 40).map(i => s"c${c}w$i")
+      Seq(
+        (c * 10L, base.mkString(" ")),
+        (c * 10L + 1, base.mkString(" ")),
+        (c * 10L + 2, (base.dropRight(1) :+ "CHANGED").mkString(" ")))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val split = Dedup.leakageSafeSplit(df, "text", "doc_id",
+      weights = Seq(0.5, 0.5), salt = "t", threshold = 0.5).get
+    assert(split.columns.toSeq == df.columns.toSeq :+ "split")
+    val sides = split.select((col("doc_id") / 10).cast("int").as("c"), col("split"))
+      .distinct().groupBy("c").count().as[(Int, Long)].collect()
+    assert(sides.forall(_._2 == 1L), "a cluster straddles the split")
+    // both sides are populated (50/50 over 30 cluster draws)
+    val byName = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("s0", "s1") && byName.values.forall(_ > 0))
+    // determinism: a second run assigns identically
+    val again = Dedup.leakageSafeSplit(df, "text", "doc_id",
+      weights = Seq(0.5, 0.5), salt = "t", threshold = 0.5).get
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+    // 3 weights default to train/val/test names
+    val three = Dedup.leakageSafeSplit(df, "text", "doc_id",
+      weights = Seq(8, 1, 1), salt = "t", threshold = 0.5).get
+    assert(three.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
 }

@@ -146,4 +146,26 @@ class TfIdfSpec extends AnyFunSuite {
       assert(s.collect().map(_.toSeq).toSet == searchViaCount)
     } finally spark.sparkContext.removeSparkListener(counter)
   }
+
+  test("rrfFuse combines rankings by sum of 1/(k+rank), ties break on doc") {
+    val a = Seq(("q1", 10L, 1), ("q1", 20L, 2), ("q1", 30L, 3)).toDF("q", "doc", "rank")
+    val b = Seq(("q1", 20L, 1), ("q1", 10L, 2), ("q1", 40L, 3)).toDF("q", "doc", "rank")
+    val fused = TfIdf.rrfFuse(Seq(a, b), Seq("q"), "doc", "rank", k = 60, topK = 10).get
+      .as[(String, Long, Double, Int)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    val s = (r1: Int, r2: Int) =>
+      math.rint((1.0 / (60 + r1) + 1.0 / (60 + r2)) * 1e6) / 1e6
+    // 10 and 20 have SYMMETRIC ranks (1,2)/(2,1): same score, doc tiebreak
+    assert(fused(10L) == ((s(1, 2), 1)))
+    assert(fused(20L) == ((s(1, 2), 2)))
+    assert(fused(30L)._1 == math.rint(1.0 / 63 * 1e6) / 1e6)
+    assert(Set(fused(30L)._2, fused(40L)._2) == Set(3, 4))
+    // topK caps the fused list
+    val top1 = TfIdf.rrfFuse(Seq(a, b), Seq("q"), "doc", "rank", topK = 1).get
+    assert(top1.count() == 1)
+    // single ranking passes through (scores are monotone in rank)
+    val solo = TfIdf.rrfFuse(Seq(a), Seq("q"), "doc", "rank").get
+      .as[(String, Long, Double, Int)].collect().sortBy(_._4).map(_._2).toSeq
+    assert(solo == Seq(10L, 20L, 30L))
+  }
 }
