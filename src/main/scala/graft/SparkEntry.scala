@@ -1633,6 +1633,36 @@ object SparkEntry {
           n = 3, topK = 50, minCount = 2L).get
     }),
 
+    "q148_histogram" -> ((s, dir) => {
+      // Fixed-bin histogram of n_chars (20 bins over [0, 600)): every
+      // bin present including empty ones, IEEE floor/clamp assignment
+      // replayed bit-for-bit by the oracle.
+      graft.operators.Quality.histogram(
+          tbl(s, dir, "documents"), "n_chars", nBins = 20, lo = 0.0, hi = 600.0).get
+        .orderBy("bin")
+    }),
+
+    "q149_profile_by" -> ((s, dir) => {
+      // Grouped profile: per-(lang, column) stats in ONE aggregation
+      // pass — the per-source quality dashboard.
+      graft.operators.Quality.profileBy(
+          tbl(s, dir, "documents"), Seq("lang"), Seq("n_chars", "source")).get
+        .orderBy("lang", "column")
+    }),
+
+    "q150_histogram_psi" -> ((s, dir) => {
+      // PSI drift between even-id docs (reference) and odd-id docs with
+      // a planted deterministic shift (current): per-bin p/q/contrib and
+      // the total, ε-floored — all replayed by the oracle's arithmetic.
+      val d = tbl(s, dir, "documents")
+      val ref = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val cur = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("n_chars", col("n_chars") + pmod(col("doc_id"), lit(7)) * lit(50))
+      graft.operators.Quality.histogramPsi(ref, cur, "n_chars",
+          nBins = 10, lo = 0.0, hi = 800.0).get
+        .orderBy("bin")
+    }),
+
     "q145_leakage_safe_split" -> ((s, dir) => {
       // Leakage-safe split over planted duplicate pairs (self-union with
       // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
@@ -3345,6 +3375,76 @@ object SparkEntry {
          FROM grams GROUP BY ngram
          HAVING count(*) >= 2
          ORDER BY n_occurrences DESC, ngram LIMIT 50""",
+
+    // q148: identical floor/clamp arithmetic; range() supplies the
+    // empty bins.
+    "q148_histogram" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 30.0), 0.0),
+                             19.0) AS INT) AS bin
+           FROM documents WHERE n_chars IS NOT NULL
+         ), c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+         SELECT CAST(r.bin AS INT) AS bin,
+           round(r.bin * 30.0, 6) AS bin_lo,
+           round((r.bin + 1) * 30.0, 6) AS bin_hi,
+           coalesce(c.n, 0) AS n
+         FROM range(20) AS r(bin) LEFT JOIN c ON r.bin = c.bin
+         ORDER BY bin""",
+
+    // q149: per-column stats unioned; count(DISTINCT) excludes nulls in
+    // both engines; min/max rendered as strings.
+    "q149_profile_by" ->
+      """WITH n AS (
+           SELECT lang, 'n_chars' AS "column", count(*) AS n,
+             count(*) FILTER (WHERE n_chars IS NULL) AS n_null,
+             count(DISTINCT n_chars) AS n_distinct,
+             CAST(min(n_chars) AS VARCHAR) AS min_str,
+             CAST(max(n_chars) AS VARCHAR) AS max_str
+           FROM documents GROUP BY lang
+         ), s AS (
+           SELECT lang, 'source' AS "column", count(*) AS n,
+             count(*) FILTER (WHERE source IS NULL) AS n_null,
+             count(DISTINCT source) AS n_distinct,
+             CAST(min(source) AS VARCHAR) AS min_str,
+             CAST(max(source) AS VARCHAR) AS max_str
+           FROM documents GROUP BY lang
+         )
+         SELECT * FROM n UNION ALL SELECT * FROM s
+         ORDER BY lang, "column" """,
+
+    // q150: both histograms and the ε-floored PSI arithmetic replayed.
+    "q150_histogram_psi" ->
+      """WITH ref AS (
+           SELECT n_chars FROM documents WHERE doc_id % 2 = 0
+         ), cur AS (
+           SELECT n_chars + (doc_id % 7) * 50 AS n_chars
+           FROM documents WHERE doc_id % 2 = 1
+         ), hr AS (
+           SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 80.0), 0.0),
+                             9.0) AS INT) AS bin, count(*) AS n
+           FROM ref WHERE n_chars IS NOT NULL GROUP BY 1
+         ), hc AS (
+           SELECT CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 80.0), 0.0),
+                             9.0) AS INT) AS bin, count(*) AS n
+           FROM cur WHERE n_chars IS NOT NULL GROUP BY 1
+         ), j AS (
+           SELECT CAST(r.bin AS INT) AS bin,
+             round(r.bin * 80.0, 6) AS bin_lo,
+             round((r.bin + 1) * 80.0, 6) AS bin_hi,
+             coalesce(hr.n, 0) AS n_ref, coalesce(hc.n, 0) AS n_cur
+           FROM range(10) AS r(bin)
+             LEFT JOIN hr ON r.bin = hr.bin LEFT JOIN hc ON r.bin = hc.bin
+         ), t AS (
+           SELECT *,
+             greatest(n_ref / CAST(sum(n_ref) OVER () AS DOUBLE), 0.0001) AS p,
+             greatest(n_cur / CAST(sum(n_cur) OVER () AS DOUBLE), 0.0001) AS q
+           FROM j
+         )
+         SELECT bin, bin_lo, bin_hi, n_ref, n_cur,
+           round(p, 6) AS p, round(q, 6) AS q,
+           round((p - q) * ln(p / q), 6) AS psi_contrib,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+         FROM t ORDER BY bin""",
 
     // q145: the cluster representative is the min id by construction;
     // the draw is the same salted-md5 convention both engines compute.

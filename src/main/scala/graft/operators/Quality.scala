@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
@@ -367,4 +368,101 @@ object Quality {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(topK)
   }
+
+  /** Fixed-bin histogram of a numeric column over [lo, hi): `nBins`
+    * equal-width bins, under/overflow clamped into the edge bins, nulls
+    * dropped. Returns `(bin, bin_lo, bin_hi, n)` with every bin present
+    * (empty bins report 0) — the fixed frame a drift dashboard diffs
+    * round-over-round. The bin arithmetic is plain IEEE floor/clamp, so
+    * any engine replays the assignment bit-for-bit; ONE partial-agg
+    * shuffle of at most nBins keys.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      lo: Double,
+      hi: Double): MayFail[DataFrame] = MayFail {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    val frame = df.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+    frame.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * lit(w), 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * lit(w), 6).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** [[profile]] per group — the per-source / per-language quality
+    * dashboard: one row per (group, column) with the same statistics.
+    * Still ONE aggregation pass (all per-column aggregates ride the same
+    * groupBy; the long format comes from an inline stack above the agg,
+    * never a per-column rescan). */
+  def profileBy(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "profileBy needs at least one key column")
+    require(cols.nonEmpty, "profileBy needs at least one column")
+    val missing = (keyCols ++ cols).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profileBy: no such column(s): ${missing.mkString(", ")}")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"), col(s"__mx_$c").as("max_str"))
+    }
+    one.select(keyCols.map(col) :+ explode(array(stacked: _*)).as("p"): _*)
+      .select(keyCols.map(col) :+ col("p.*"): _*)
+  }
+
+  /** Population Stability Index between a reference and a current
+    * corpus over a shared fixed-bin histogram: `Σ (p−q)·ln(p/q)` with
+    * the standard ε-floor on empty bins (PSI is undefined at 0; the
+    * floor keeps a vanished bin a large-but-finite signal). Rule of
+    * thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted. Returns
+    * one row per bin (p, q, contribution) plus the total via a window —
+    * the drill-down a drift alert needs, not just the scalar.
+    * Two histogram passes (one per side), nothing else. */
+  def histogramPsi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      lo: Double,
+      hi: Double,
+      eps: Double = 1e-4): MayFail[DataFrame] =
+    for {
+      h1 <- histogram(ref, valueCol, nBins, lo, hi)
+      h2 <- histogram(cur, valueCol, nBins, lo, hi)
+    } yield {
+      val joined = h1.select(col("bin"), col("bin_lo"), col("bin_hi"),
+          col("n").as("n_ref"))
+        .join(h2.select(col("bin"), col("n").as("n_cur")), Seq("bin"))
+      val tot = Window.partitionBy()
+      val p = greatest(col("n_ref") / sum(col("n_ref")).over(tot), lit(eps))
+      val q = greatest(col("n_cur") / sum(col("n_cur")).over(tot), lit(eps))
+      joined
+        .withColumn("p", round(p, 6))
+        .withColumn("q", round(q, 6))
+        .withColumn("psi_contrib", round((p - q) * log(p / q), 6))
+        .withColumn("psi_total",
+          round(sum((p - q) * log(p / q)).over(tot), 6))
+        .select("bin", "bin_lo", "bin_hi", "n_ref", "n_cur",
+          "p", "q", "psi_contrib", "psi_total")
+    }
 }

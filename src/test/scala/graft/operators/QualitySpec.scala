@@ -245,4 +245,49 @@ class QualitySpec extends AnyFunSuite {
       minCount = 2L, lowercase = false).get.as[(String, Long, Long)].collect().toSeq
     assert(cased.head == (("the quick fox", 3L, 2L)))
   }
+
+  test("histogram: clamped edges, empty bins present, nulls dropped") {
+    val d = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 99.9, 100.0, 250.0, null)
+      .toDF("v")
+    val h = Quality.histogram(d, "v", nBins = 10, lo = 0.0, hi = 100.0).get
+      .orderBy("bin").as[(Int, Double, Double, Long)].collect().toSeq
+    assert(h.size == 10)
+    assert(h.map(_._1) == (0 until 10))
+    val byBin = h.map(r => r._1 -> r._4).toMap
+    assert(byBin(0) == 3L) // -5 clamps in, 0.0 and 9.9 land here
+    assert(byBin(1) == 1L) // 10.0 boundary is inclusive-low
+    assert(byBin(2) == 1L) // 25.0
+    assert(byBin(9) == 3L) // 99.9 plus clamped 100.0 and 250.0
+    assert(byBin.values.sum == 8L) // null dropped
+    assert(h(1)._2 == 10.0 && h(1)._3 == 20.0) // bin edges
+    assert(Quality.histogram(d, "v", 0, 0, 1).isInstanceOf[graft.functional.Fail])
+  }
+
+  test("profileBy: per-group per-column stats in one pass") {
+    val d = Seq(
+      ("en", Some(10L), Some("a")), ("en", Some(20L), None),
+      ("de", Some(10L), Some("b")), ("de", None, Some("b"))
+    ).toDF("lang", "len", "src")
+    val p = Quality.profileBy(d, Seq("lang"), Seq("len", "src")).get
+      .as[(String, String, Long, Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(p(("en", "len")) == (("en", "len", 2L, 0L, 2L, "10", "20")))
+    assert(p(("en", "src")) == (("en", "src", 2L, 1L, 1L, "a", "a")))
+    assert(p(("de", "len")) == (("de", "len", 2L, 1L, 1L, "10", "10")))
+    assert(p(("de", "src")) == (("de", "src", 2L, 0L, 1L, "b", "b")))
+  }
+
+  test("histogramPsi: identical corpora score ~0, a shifted one does not") {
+    val ref = (1 to 200).map(i => (i % 100).toDouble).toDF("v")
+    val same = Quality.histogramPsi(ref, ref, "v", 10, 0.0, 100.0).get
+    assert(same.select("psi_total").as[Double].head() == 0.0)
+    // shift mass upward: PSI must exceed the 0.25 "shifted" rule of thumb
+    val cur = (1 to 200).map(i => 50.0 + (i % 50)).toDF("v")
+    val drift = Quality.histogramPsi(ref, cur, "v", 10, 0.0, 100.0).get
+    assert(drift.select("psi_total").as[Double].head() > 0.25)
+    // empty current bins are ε-floored, never NaN/Inf
+    val contribs = drift.select("psi_contrib").as[Double].collect()
+    assert(contribs.forall(c => !c.isNaN && !c.isInfinite))
+    assert(drift.count() == 10)
+  }
 }
