@@ -1663,6 +1663,49 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q151_image_dhash" -> ((s, dir) => {
+      // REAL perceptual hash on real codec bytes: planted 9×8 gray
+      // gradient PNGs (pixel = (base + sx·x + sy·y) mod 256, lossless) →
+      // JDK decode → dHash. At the 9×8 sampling grid the align-centers
+      // bilinear is exact identity, so every one of the 64 bits is pure
+      // modular arithmetic the oracle replays; emitted as two unsigned
+      // 32-bit halves to keep the SQL in signed-BIGINT range.
+      val png = udf((b: Int, sx: Int, sy: Int) =>
+        Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          pmod(col("doc_id"), lit(256)).cast("int"),
+          (lit(20) + pmod(col("doc_id"), lit(40))).cast("int"),
+          (lit(3) + pmod(col("doc_id"), lit(11))).cast("int")))
+      Multimodal.imageDHash(base, "img").get
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("hash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    "q152_image_neardup" -> ((s, dir) => {
+      // LAION-style image dedup: docs j and j+250 are planted siblings
+      // (odd twins get sx+1 — a one-step gradient change that flips only
+      // the wrap bits). dHash → banded Hamming pigeonhole (7 bands over
+      // 64 bits, uncapped buckets for oracle parity) → verified pairs ==
+      // ALL pairs with hamming <= 6, which the oracle brute-forces from
+      // the planted arithmetic.
+      val png = udf((b: Int, sx: Int, sy: Int) =>
+        Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy))
+      val j = pmod(col("doc_id"), lit(250))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          pmod(j * 37, lit(256)).cast("int"),
+          (lit(20) + pmod(j, lit(40)) +
+            when(col("doc_id") >= 250, pmod(col("doc_id"), lit(2)))
+              .otherwise(lit(0))).cast("int"),
+          (lit(3) + pmod(j, lit(11))).cast("int")))
+      Multimodal.imageNearDupPairs(base, "img", "doc_id",
+          maxHamming = 6, maxBucket = Int.MaxValue).get
+        .orderBy("idA", "idB")
+    }),
+
     "q145_leakage_safe_split" -> ((s, dir) => {
       // Leakage-safe split over planted duplicate pairs (self-union with
       // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
@@ -3445,6 +3488,69 @@ object SparkEntry {
            round((p - q) * ln(p / q), 6) AS psi_contrib,
            round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
          FROM t ORDER BY bin""",
+
+    // q151: all 64 dHash bits replayed as modular arithmetic — the 9×8
+    // grid makes the bilinear sample an exact identity, and the gradient
+    // construction makes bit(y·8+x) = ((base+sx·(x+1)+sy·y) mod 256 >
+    // (base+sx·x+sy·y) mod 256).
+    "q151_image_dhash" ->
+      """WITH p AS (
+           SELECT doc_id,
+             doc_id % 256 AS base,
+             20 + doc_id % 40 AS sx,
+             3 + doc_id % 11 AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         )
+         SELECT doc_id,
+           CAST(sum(CASE WHEN i >= 32
+                         THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN i < 32
+                         THEN b * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    // q152: brute-force replay — pigeonhole banding with uncapped
+    // buckets guarantees the operator emits exactly the pairs with
+    // hamming <= 6, so the oracle joins all pairs and filters.
+    "q152_image_neardup" ->
+      """WITH p AS (
+           SELECT doc_id,
+             (doc_id % 250) * 37 % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 THEN doc_id % 2 ELSE 0 END) AS sx,
+             3 + (doc_id % 250) % 11 AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+         ORDER BY idA, idB""",
 
     // q145: the cluster representative is the min id by construction;
     // the draw is the same salted-md5 convention both engines compute.

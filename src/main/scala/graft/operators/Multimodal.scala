@@ -193,6 +193,30 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** Gray gradient PNG: pixel(x,y) = `(base + sx·x + sy·y) mod 256` on
+      * all three channels — lossless encode, so a decoder reads the
+      * planted value back EXACTLY. At 9×8 (the dHash sampling grid) the
+      * perceptual hash of this image is pure modular arithmetic an
+      * external SQL oracle can replay bit for bit. */
+    def gradientPngBytes(width: Int, height: Int, base: Int, sx: Int, sy: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = java.lang.Math.floorMod(base + sx * x + sy * y, 256)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
     /** Constant-amplitude mono PCM16 WAV: decoded `rms_energy` is exactly
       * `amplitude / 32768.0` (every sample identical, so the mean square
       * is the square of one sample — no float-order sensitivity). */
@@ -555,6 +579,100 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** 64-bit difference hash (dHash) of one decoded image: bilinear-sample
+    * the luma plane onto a 9×8 grid (align-centers mapping — an already
+    * 9×8 input is sampled EXACTLY, no interpolation error), then set bit
+    * `y·8+x` iff `luma(x+1,y) > luma(x,y)`. The standard perceptual-hash
+    * construction (Krawetz 2013, public): gradient *direction* survives
+    * re-encoding, mild resizing, and brightness shifts, so near-identical
+    * images land within a few bits of Hamming distance. */
+  private[operators] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (tw, th) = (9, 8)
+    val (w, h) = (img.getWidth, img.getHeight)
+    def luma(x: Int, y: Int): Double = {
+      val p = img.getRGB(x, y)
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000.0
+    }
+    val g = Array.ofDim[Double](th, tw)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        // align-centers: identity when (w,h) == (tw,th), clamped at edges
+        val sx = (tx + 0.5) * w / tw - 0.5
+        val sy = (ty + 0.5) * h / th - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val y1 = math.min(h - 1, y0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        val fy = math.max(0.0, math.min(1.0, sy - y0))
+        g(ty)(tx) = (1 - fx) * (1 - fy) * luma(x0, y0) + fx * (1 - fy) * luma(x1, y0) +
+          (1 - fx) * fy * luma(x0, y1) + fx * fy * luma(x1, y1)
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash column: decode each image payload with the JDK
+    * codecs and append its 64-bit [[dhash64]] as `outCol` (null payload →
+    * null hash). Same `mapPartitions` shape as [[decodeImage]] — one
+    * codec pipeline per partition, embarrassingly parallel, no shuffle. */
+  def imageDHash(
+      df: DataFrame,
+      binCol: String,
+      outCol: String = "dhash"): MayFail[DataFrame] = MayFail {
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val hash =
+          if (bytes == null) null
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "no JDK ImageIO codec recognizes this payload")
+            java.lang.Long.valueOf(dhash64(img))
+          }
+        Row.fromSeq(row.toSeq :+ hash)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Image near-duplicate pairs: dHash every payload, then reuse the
+    * banded-Hamming pigeonhole core ([[Dedup.simhashPairsFrom]]) — band
+    * the 64-bit hashes so only same-bucket candidates are verified, never
+    * all pairs. Output `(idA, idB, hamming)` with `hamming <= maxHamming`
+    * (recall is guaranteed by pigeonhole while buckets stay under
+    * `maxBucket`; see [[Dedup.minhashCapReport]] for the cap-observability
+    * pattern).
+    * This is the LAION-style image-dedup shape: the corpus shuffles slim
+    * `(id, band, bucket)` rows, never pixel data. */
+  def imageNearDupPairs(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxHamming: Int = 6,
+      maxBucket: Int = 10000): MayFail[DataFrame] =
+    for {
+      hashed <- imageDHash(df.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "sh")
+      pairs <- Dedup.simhashPairsFrom(
+        hashed.select(col("id"), col("sh")), maxHamming, maxBucket, bits = 64)
+    } yield pairs
 
   /** Iterative radix-2 Cooley–Tukey FFT (in-place, double precision) —
     * the textbook algorithm, here because no DSP library ships with the

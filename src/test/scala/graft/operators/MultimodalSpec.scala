@@ -251,4 +251,71 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("ImageIO"))
   }
+
+  test("imageDHash replays the planted gradient arithmetic at the 9×8 grid") {
+    // pixel = (base + sx·x + sy·y) mod 256; at 9×8 the bilinear sample is
+    // identity, so bit(y·8+x) = (p(x+1,y) > p(x,y)) exactly.
+    def expected(base: Int, sx: Int, sy: Int): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val p0 = (base + sx * x + sy * y) % 256
+        val p1 = (base + sx * (x + 1) + sy * y) % 256
+        if (p1 > p0) h |= 1L << (y * 8 + x)
+      }
+      h
+    }
+    val df = Seq(
+      (0L, Multimodal.MediaSynth.gradientPngBytes(9, 8, 10, 33, 7)),
+      (1L, Multimodal.MediaSynth.gradientPngBytes(9, 8, 200, 51, 3)),
+      (2L, Multimodal.MediaSynth.pngBytes(9, 8, 128)) // constant → no bit set
+    ).toDF("id", "img")
+    val got = Multimodal.imageDHash(df, "img").get
+      .orderBy("id").select("dhash").as[Long].collect()
+    assert(got(0) == expected(10, 33, 7))
+    assert(got(1) == expected(200, 51, 3))
+    assert(got(2) == 0L)
+  }
+
+  test("imageDHash is invariant under block-replicated upscale and null-safe") {
+    // a 90×80 image whose 10×10 blocks replicate the 9×8 gradient samples
+    // back to the identical hash: align-centers sampling lands inside the
+    // block, so downscale recovers the exact source pixels.
+    val small = Multimodal.MediaSynth.gradientPngBytes(9, 8, 77, 29, 5)
+    val big = {
+      val img = new java.awt.image.BufferedImage(
+        90, 80, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val v = (77 + 29 * (x / 10) + 5 * (y / 10)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val df = Seq((0L, Option(small)), (1L, Option(big)), (2L, Option.empty[Array[Byte]]))
+      .toDF("id", "img")
+    val got = Multimodal.imageDHash(df, "img").get
+      .orderBy("id").select("dhash").as[Option[Long]].collect()
+    assert(got(0).isDefined && got(0) == got(1))
+    assert(got(2).isEmpty)
+  }
+
+  test("imageNearDupPairs pairs planted near-duplicates via banded Hamming") {
+    // ids 0/10 identical, 1/11 one gradient step apart (few wrap bits
+    // flip), 2 unrelated (orthogonal vertical gradient — far from both)
+    val mk = (b: Int, sx: Int, sy: Int) =>
+      Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy)
+    val df = Seq(
+      (0L, mk(10, 33, 7)), (10L, mk(10, 33, 7)),
+      (1L, mk(50, 41, 5)), (11L, mk(50, 42, 5)),
+      (2L, mk(0, 0, 91))
+    ).toDF("id", "img")
+    val pairs = Multimodal.imageNearDupPairs(df, "img", "id",
+        maxHamming = 6, maxBucket = Int.MaxValue).get
+      .orderBy("idA", "idB")
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.contains((0L, 10L, 0)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 11L && p._3 <= 6))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }
