@@ -1706,6 +1706,41 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q153_audio_fingerprint" -> ((s, dir) => {
+      // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
+      // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
+      // cycles — all signal energy lands in that exact bin, so the
+      // recovered dominant-bin sequence is pure modular arithmetic.
+      val wav = udf((id: Long) =>
+        Multimodal.MediaSynth.frameSineWavBytes(8000, 256,
+          (0 until 4).map(f => (3 + (id * 7 + f * 11) % 97).toInt), 12000))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav(col("doc_id")))
+      Multimodal.audioFingerprint(base, "aud", nFft = 256).get
+        .select(col("doc_id"),
+          posexplode(col("fingerprint")).as(Seq("frame", "bin")))
+        .orderBy("doc_id", "frame")
+    }),
+
+    "q154_audio_neardup" -> ((s, dir) => {
+      // Audio dedup: clips j and j+250 are planted siblings (odd twins
+      // get frame 0 shifted one bin). Fingerprint → slim (id, frame,
+      // bin) bucket join → pairs with >= 3 of 4 frames agreeing; the
+      // oracle replays the planted bin arithmetic and brute-forces the
+      // same pair set.
+      val wav = udf((id: Long) => {
+        val j = id % 250
+        val cs = Array.tabulate(4)(f => (3 + (j * 7 + f * 11) % 97).toInt)
+        if (id >= 250 && id % 2 == 1) cs(0) += 1
+        Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs.toSeq, 12000)
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav(col("doc_id")))
+      Multimodal.audioNearDupPairs(base, "aud", "doc_id",
+          nFft = 256, minMatches = 3, maxBucket = Int.MaxValue).get
+        .orderBy("idA", "idB")
+    }),
+
     "q145_leakage_safe_split" -> ((s, dir) => {
       // Leakage-safe split over planted duplicate pairs (self-union with
       // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
@@ -3550,6 +3585,31 @@ object SparkEntry {
                 AS INTEGER) AS hamming
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+         ORDER BY idA, idB""",
+
+    // q153: the dominant bin of a frame holding exactly c full sine
+    // cycles is bin c — the planted sequence replays as arithmetic.
+    "q153_audio_fingerprint" ->
+      """SELECT doc_id, CAST(f.f AS INTEGER) AS frame,
+           CAST(3 + (doc_id * 7 + f.f * 11) % 97 AS INTEGER) AS bin
+         FROM documents, range(4) AS f(f)
+         ORDER BY doc_id, frame""",
+
+    // q154: brute-force replay of the (frame, bin) agreement count over
+    // the planted sibling construction.
+    "q154_audio_neardup" ->
+      """WITH fp AS (
+           SELECT doc_id, f.f AS frame,
+             3 + ((doc_id % 250) * 7 + f.f * 11) % 97 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                     THEN 1 ELSE 0 END) AS bin
+           FROM documents, range(4) AS f(f)
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(count(*) AS BIGINT) AS n_matches
+         FROM fp a JOIN fp b
+           ON a.frame = b.frame AND a.bin = b.bin AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY idA, idB""",
 
     // q145: the cluster representative is the min id by construction;

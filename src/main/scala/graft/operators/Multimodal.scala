@@ -254,6 +254,34 @@ object Multimodal {
       wrapPcm(sampleRate, pcm, nSamples)
     }
 
+    /** Multi-frame pure-tone mono PCM16 WAV: frame `f` holds
+      * `cyclesPerFrame(f)` full sine periods across `nFft` samples, so a
+      * frame-aligned FFT analyzer recovers dominant bin
+      * `cyclesPerFrame(f)` in every frame exactly — the per-frame
+      * extension of [[sineWavBytes]], for fingerprint oracles. */
+    def frameSineWavBytes(sampleRate: Int, nFft: Int, cyclesPerFrame: Seq[Int],
+                          amplitude: Int): Array[Byte] = {
+      require(amplitude >= 0 && amplitude <= 32767, s"PCM16 amplitude: $amplitude")
+      val n = nFft * cyclesPerFrame.length
+      val pcm = new Array[Byte](n * 2)
+      var f = 0
+      while (f < cyclesPerFrame.length) {
+        val c = cyclesPerFrame(f)
+        require(c >= 0, s"cycles must be non-negative: $c")
+        var i = 0
+        while (i < nFft) {
+          val v = math.round(
+            amplitude * math.sin(2.0 * math.Pi * c * i / nFft)).toInt
+          val j = f * nFft + i
+          pcm(2 * j) = (v & 0xff).toByte
+          pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        f += 1
+      }
+      wrapPcm(sampleRate, pcm, n)
+    }
+
     /** Constant-amplitude mono µ-law WAV: the PCM16 fixture transcoded
       * to 8-bit µ-law by AudioSystem itself — the telephony-corpus
       * format [[JdkMediaDecoder.decodeAudio]] must transcode back.
@@ -804,6 +832,107 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** Audio fingerprint: split a PCM16 mono clip into frame-aligned
+    * `nFft`-sample windows and emit the dominant FFT bin of each full
+    * frame as `array<int>` (Shazam-style constellation, reduced to the
+    * strongest peak per frame — the bin sequence survives re-encoding
+    * and amplitude changes, so matching runs on slim int arrays, never
+    * on waveforms). Null payload → null fingerprint; a clip shorter
+    * than one frame → empty array. */
+  def audioFingerprint(
+      df: DataFrame,
+      binCol: String,
+      outCol: String = "fingerprint",
+      nFft: Int = 1024): MayFail[DataFrame] = MayFail {
+    require(nFft >= 2 && (nFft & (nFft - 1)) == 0, s"nFft must be a power of two: $nFft")
+    val outSchema = df.schema.add(outCol,
+      ArrayType(IntegerType, containsNull = false), nullable = true)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val fp = if (bytes == null) null else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val afmt = ais.getFormat
+            require(afmt.getSampleSizeInBits == 16 &&
+              afmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              s"audioFingerprint handles 16-bit signed PCM, got $afmt")
+            require(afmt.getChannels == 1,
+              s"audioFingerprint needs MONO audio (got ${afmt.getChannels} " +
+                "channels) — downmix before analysis")
+            val data = ais.readAllBytes()
+            val big = afmt.isBigEndian
+            val nFrames = data.length / 2 / nFft
+            val re = new Array[Double](nFft)
+            val im = new Array[Double](nFft)
+            val out = new Array[Int](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              java.util.Arrays.fill(re, 0.0)
+              java.util.Arrays.fill(im, 0.0)
+              var i = 0
+              while (i < nFft) {
+                val j = f * nFft + i
+                re(i) = (if (big) ((data(2 * j) << 8) | (data(2 * j + 1) & 0xff))
+                         else ((data(2 * j + 1) << 8) | (data(2 * j) & 0xff))).toShort / 32768.0
+                i += 1
+              }
+              fft(re, im)
+              var best = 1
+              var bestMag = 0.0
+              var k = 1
+              while (k <= nFft / 2) {
+                val p = re(k) * re(k) + im(k) * im(k)
+                if (p > bestMag) { bestMag = p; best = k }
+                k += 1
+              }
+              out(f) = best
+              f += 1
+            }
+            out
+          } finally ais.close()
+        }
+        Row.fromSeq(row.toSeq :+ fp)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Audio near-duplicate pairs: fingerprint every clip, explode to slim
+    * `(id, frame, bin)` rows, and equi-join on the (frame, bin) bucket —
+    * two clips pair when `>= minMatches` frames agree on the dominant
+    * bin. The corpus shuffles int triples, never audio; a degenerate
+    * bucket (e.g. silence, every clip's bin 1) is capped at `maxBucket`
+    * ids like the LSH family. Output `(idA, idB, n_matches)`. */
+  def audioNearDupPairs(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      nFft: Int = 1024,
+      minMatches: Int = 3,
+      maxBucket: Int = 10000): MayFail[DataFrame] =
+    for {
+      fp <- audioFingerprint(df.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
+    } yield {
+      import org.apache.spark.sql.expressions.Window
+      val frames = fp.select(col("id"),
+        posexplode(col("__fp")).as(Seq("frame", "bin")))
+      val wBucket = Window.partitionBy(col("frame"), col("bin"))
+      val capped = frames
+        .withColumn("__n", count(lit(1)).over(wBucket))
+        .filter(col("__n") <= maxBucket && col("__n") > 1)
+        .drop("__n")
+      capped.select(col("frame"), col("bin"), col("id").as("idA"))
+        .join(capped.select(col("frame"), col("bin"), col("id").as("idB")),
+          Seq("frame", "bin"))
+        .filter(col("idA") < col("idB"))
+        .groupBy(col("idA"), col("idB"))
+        .agg(count(lit(1)).as("n_matches"))
+        .filter(col("n_matches") >= minMatches)
+    }
 
   /** REAL image resize on JDK codecs: decode → aspect-preserving scale
     * into the `maxW`×`maxH` bounding box (bilinear `Graphics2D` redraw —

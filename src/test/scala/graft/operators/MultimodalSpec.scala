@@ -300,6 +300,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isEmpty)
   }
 
+  test("audioFingerprint recovers the planted per-frame dominant bins") {
+    val df = Seq(
+      (0L, Option(Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(5, 17, 40), 12000))),
+      (1L, Option(Multimodal.MediaSynth.wavBytes(8000, 100, 500))), // < 1 frame
+      (2L, Option.empty[Array[Byte]])
+    ).toDF("id", "aud")
+    val got = Multimodal.audioFingerprint(df, "aud", nFft = 256).get
+      .orderBy("id").select("fingerprint").as[Option[Seq[Int]]].collect()
+    assert(got(0).contains(Seq(5, 17, 40)))
+    assert(got(1).contains(Seq.empty[Int])) // short clip → no full frame
+    assert(got(2).isEmpty)                  // null payload → null fingerprint
+  }
+
+  test("audioNearDupPairs pairs clips agreeing on enough frames") {
+    val mk = (cs: Seq[Int]) =>
+      Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs, 12000)
+    val df = Seq(
+      (0L, mk(Seq(5, 17, 40, 8))), (10L, mk(Seq(5, 17, 40, 8))),  // identical
+      (1L, mk(Seq(5, 17, 40, 9))),                                 // 3 of 4 match 0/10
+      (2L, mk(Seq(90, 91, 92, 93)))                                // unrelated
+    ).toDF("id", "aud")
+    val pairs = Multimodal.audioNearDupPairs(df, "aud", "id",
+        nFft = 256, minMatches = 3).get
+      .orderBy("idA", "idB")
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 3L), (0L, 10L, 4L), (1L, 10L, 3L)))
+  }
+
   test("imageNearDupPairs pairs planted near-duplicates via banded Hamming") {
     // ids 0/10 identical, 1/11 one gradient step apart (few wrap bits
     // flip), 2 unrelated (orthogonal vertical gradient — far from both)
