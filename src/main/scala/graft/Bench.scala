@@ -105,7 +105,7 @@ object Bench {
     * divide two rounds' query numbers by their calibration ratio before
     * calling a delta a regression (round 4's 1.3× "regression" was
     * exactly this: host-load drift, refuted only by a worktree A/B). */
-  private def cpuCalibration(runs: Int): Double = {
+  private[graft] def cpuCalibration(runs: Int): Double = {
     var sink = 0L
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -123,7 +123,7 @@ object Bench {
   /** Fixed-work Spark calibration: a constant `range → xxhash64 → sum`
     * job — captures scheduler/executor-thread contention that the
     * single-thread kernel can't see. Same min-of-N timing. */
-  private def sparkCalibration(spark: SparkSession, runs: Int): Double = {
+  private[graft] def sparkCalibration(spark: SparkSession, runs: Int): Double = {
     import org.apache.spark.sql.functions._
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -1741,6 +1741,31 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q155_hard_negatives" -> ((s, dir) => {
+      // Contrastive-training data prep: per anchor, the 5 most-similar
+      // vectors with a DIFFERENT label (the boundary negatives). Exact
+      // brute-force form → the oracle replays cosine + label filter +
+      // rank identically.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "label", k = 5).get
+        .orderBy("anchorId", "rank")
+    }),
+
+    "q156_knn_recall" -> ((s, dir) => {
+      // ANN recall harness on a deterministically degraded input: drop
+      // every exact neighbor with (queryId + neighborId) % 3 == 0 and
+      // measure recall@5 against the untouched baseline — the metric
+      // arithmetic (membership counts, zero-miss queries, rounding) is
+      // what's gated; both inputs replay in SQL.
+      val emb = tbl(s, dir, "embeddings")
+      val exact = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5).get
+      val degraded = exact.filter(pmod(col("queryId") + col("neighborId"), lit(3)) =!= 0)
+      Similarity.knnRecall(degraded, exact, k = 5).get
+        .orderBy("queryId")
+    }),
+
     "q145_leakage_safe_split" -> ((s, dir) => {
       // Leakage-safe split over planted duplicate pairs (self-union with
       // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
@@ -3611,6 +3636,54 @@ object SparkEntry {
            ON a.frame = b.frame AND a.bin = b.bin AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY idA, idB""",
+
+    // q155: exact-kNN replay with the label-mismatch condition in the
+    // join, same rounding/tie discipline as q38.
+    "q155_hard_negatives" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS anchorId, c.vec_id AS negativeId,
+             c.label AS negativeLabel,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS c_raw
+           FROM embeddings q JOIN embeddings c
+             ON c.vec_id <> q.vec_id AND c.label <> q.label
+           WHERE q.vec_id < 10
+         ), ranked AS (
+           SELECT anchorId, negativeId, negativeLabel, c_raw,
+             row_number() OVER (PARTITION BY anchorId
+                                ORDER BY c_raw DESC, negativeId) AS rank
+           FROM scored
+         )
+         SELECT anchorId, negativeId, negativeLabel,
+           round(c_raw, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY anchorId, rank""",
+
+    // q156: the exact top-5 replayed, deterministically degraded, and
+    // the recall arithmetic recomputed per query.
+    "q156_knn_recall" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS queryId, c.vec_id AS neighborId,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS c_raw
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10
+         ), ranked AS (
+           SELECT queryId, neighborId,
+             row_number() OVER (PARTITION BY queryId
+                                ORDER BY c_raw DESC, neighborId) AS rank
+           FROM scored
+         ), exact AS (
+           SELECT queryId, neighborId FROM ranked WHERE rank <= 5
+         ), degraded AS (
+           SELECT * FROM exact WHERE (queryId + neighborId) % 3 <> 0
+         )
+         SELECT e.queryId,
+           CAST(count(d.neighborId) AS BIGINT) AS n_hit,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           round(count(d.neighborId) / CAST(count(*) AS DOUBLE), 6) AS recall
+         FROM exact e LEFT JOIN degraded d
+           ON e.queryId = d.queryId AND e.neighborId = d.neighborId
+         GROUP BY e.queryId ORDER BY e.queryId""",
 
     // q145: the cluster representative is the min id by construction;
     // the draw is the same salted-md5 convention both engines compute.

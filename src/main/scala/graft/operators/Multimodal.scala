@@ -254,6 +254,34 @@ object Multimodal {
       wrapPcm(sampleRate, pcm, nSamples)
     }
 
+    /** Pseudorandom-noise gray PNG: pixel(x,y) drawn from splitmix64 of
+      * `(seed, x, y)`, plus `tweak` added (mod 256) at pixel (0,0) only.
+      * Noise dHashes are ~uniform over 64 bits — two independent seeds
+      * land ~32 bits apart, far outside any near-dup threshold — while
+      * the same seed is an exact clone and a small `tweak` flips at most
+      * one dHash bit. The realistic corpus shape for rehearsing image
+      * dedup: diverse corpus + planted near-identical pairs. */
+    def noisePngBytes(width: Int, height: Int, seed: Long, tweak: Int = 0): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val base = (graft.functions.VecOps.splitmix64(
+            seed * (width.toLong * height) + y.toLong * width + x) & 0xffL).toInt
+          val v = if (x == 0 && y == 0) java.lang.Math.floorMod(base + tweak, 256) else base
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
     /** Multi-frame pure-tone mono PCM16 WAV: frame `f` holds
       * `cyclesPerFrame(f)` full sine periods across `nFft` samples, so a
       * frame-aligned FFT analyzer recovers dominant bin

@@ -19,6 +19,65 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Hard-negative mining for contrastive training (the DPR / SBERT
+    * data-prep step): for each anchor, the `k` most-similar corpus
+    * vectors carrying a DIFFERENT label — the negatives nearest the
+    * decision boundary, which carry most of the contrastive gradient.
+    * Same broadcast-anchors + rank-limit plan as [[bruteForceKnn]]; the
+    * label mismatch is part of the join condition, so same-label rows
+    * never reach the scorer. Null labels drop out (`=!=` is
+    * null-rejecting) — anchors and negatives both need a real label.
+    * Returns `(anchorId, negativeId, negativeLabel, cosine, rank)`.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    val c = corpus.select(col(idCol).as("negativeId"),
+      col(labelCol).as("negativeLabel"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("anchorId"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"))
+    val scored = c
+      .join(broadcast(q), col("anchorId") =!= col("negativeId") &&
+        col("negativeLabel") =!= col("__ql"))
+      .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("anchorId"))
+      .orderBy(col("cosine").desc, col("negativeId"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchorId"), col("negativeId"), col("negativeLabel"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Recall@k of an approximate kNN result against the exact baseline —
+    * the ANN quality harness: feed any two `(queryId, neighborId, rank)`
+    * frames (e.g. [[lshKnn]] vs [[bruteForceKnn]]) and get per-query
+    * `(n_hit, n_exact, recall)`. Membership, not rank order, is scored
+    * (the standard recall@k definition); queries the approximate index
+    * missed entirely score 0, not null. Two slim aggregations over id
+    * pairs — never touches vectors. */
+  def knnRecall(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(k > 0, s"k must be positive: $k")
+    val a = approx.filter(col("rank") <= k).select(col("queryId"), col("neighborId"))
+    val e = exact.filter(col("rank") <= k).select(col("queryId"), col("neighborId"))
+    val hits = e.join(a, Seq("queryId", "neighborId"), "left_semi")
+      .groupBy("queryId").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("queryId").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("queryId"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("queryId"), col("n_hit"), col("n_exact"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Brute-force exact top-k cosine neighbors — the recall baseline.
     *
     * For `k` up to `spark.sql.optimizer.windowGroupLimitThreshold`

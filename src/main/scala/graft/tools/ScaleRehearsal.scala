@@ -22,13 +22,20 @@ object ScaleRehearsal {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val invariants = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    // fixed-work host-state calibration (same kernels as Bench): rehearsal
+    // numbers drift with host load exactly like bench numbers did in round
+    // 4 — normalize cross-round deltas by the calibration ratio first
+    val calCpu = graft.Bench.cpuCalibration(2)
+    val calSpark = graft.Bench.sparkCalibration(spark, 2)
+    println(f"[rehearsal] calibration cpu=$calCpu%.2f s spark=$calSpark%.2f s")
     def writeArtifact(aborted: Boolean): Unit = {
       val ts = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val inv = invariants.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"mult":$mult,"aborted":$aborted,"timings_sec":$ts,"invariants":$inv}""" + "\n")
+        s"""{"mult":$mult,"aborted":$aborted,"timings_sec":$ts,"invariants":$inv,""" +
+          s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.2f"},"spark_range_sec":${f"$calSpark%.2f"}}}""" + "\n")
     }
     def check(name: String, cond: Boolean, msg: => String): Unit = {
       invariants(name) = cond
@@ -146,6 +153,46 @@ object ScaleRehearsal {
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, shortlistK = 50).get.count())
 
+    // round-5 multimodal near-dup: real codec work (PNG encode+decode,
+    // per-frame FFT) per row is the dominant linear cost; the pair joins
+    // shuffle only slim (id, band/frame, bucket/bin) rows. Noise images
+    // (uniform dHashes) + planted sibling pairs (2k = clone seed, 2k+1 =
+    // one-pixel tweak → ≤ 1 dHash bit) — the realistic diverse-corpus +
+    // near-dup shape. (A gradient-only fixture is ADVERSARIAL here:
+    // gradient dHashes cluster within a few bits and 50k of them emit
+    // ~61M "near-dup" pairs — pair volume is corpus-similarity-bound,
+    // not operator-bound, exactly like clone-heavy text corpora.)
+    val noisePng = udf((id: Long) =>
+      graft.operators.Multimodal.MediaSynth.noisePngBytes(
+        9, 8, id / 2, tweak = if (id % 2 == 1) 7 else 0))
+    val docsImg = docs.select(col("doc_id"), noisePng(col("doc_id")).as("img"))
+    var imagePairs: DataFrame = null
+    time("image-neardup") {
+      imagePairs = graft.operators.Multimodal.imageNearDupPairs(
+        docsImg, "img", "doc_id", maxHamming = 6, maxBucket = 10000).get.cache()
+      imagePairs.count()
+    }
+    // planted audio siblings: docs (2k, 2k+1) share splitmix-drawn cycles
+    // on frames 1-3 and differ on frame 0 → every even doc pairs with its
+    // successor at exactly >= 3 matching frames (recall invariant below);
+    // splitmix keeps unrelated clips' frame matches at random-collision
+    // rates, so the bucket join stays slim
+    val sibWav = udf((id: Long) => {
+      val g = id / 2
+      val cs = Array.tabulate(4)(f =>
+        1 + math.floorMod(graft.functions.VecOps.splitmix64(g * 4 + f), 120L).toInt)
+      if (id % 2 == 1) cs(0) += 1
+      graft.operators.Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs.toSeq, 12000)
+    })
+    val docsAud = docs.select(col("doc_id"), sibWav(col("doc_id")).as("aud"))
+    var audioPairs: DataFrame = null
+    time("audio-neardup") {
+      audioPairs = graft.operators.Multimodal.audioNearDupPairs(
+        docsAud, "aud", "doc_id", nFft = 256, minMatches = 3,
+        maxBucket = 10000).get.cache()
+      audioPairs.count()
+    }
+
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
     // their counters with every rehearsal so a boilerplate-heavy corpus
@@ -259,9 +306,33 @@ object ScaleRehearsal {
       s"semantic dedup must keep exactly the base corpus under replication: " +
         s"$semRepl != $semBase")
 
+    // planted image recall: every (2k, 2k+1) one-pixel-tweak pair is
+    // within 1 dHash bit, so the banded join must surface ALL of them
+    val imgPlantedFound = imagePairs
+      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
+      .count()
+    val imgPlantedExpected = docs.count() / 2
+    imagePairs.unpersist()
+    check("image_planted_recall", imgPlantedFound == imgPlantedExpected,
+      s"image near-dup must recall every planted sibling pair: " +
+        s"$imgPlantedFound != $imgPlantedExpected")
+
+    // planted audio recall: every (2k, 2k+1) sibling pair agrees on
+    // exactly frames 1-3, so the fingerprint join must surface ALL of
+    // them — a dropped bucket or a broken frame alignment shows up as a
+    // missing planted pair, not as a silent recall dip
+    val plantedFound = audioPairs
+      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
+      .count()
+    val plantedExpected = docs.count() / 2
+    audioPairs.unpersist()
+    check("audio_planted_recall", plantedFound == plantedExpected,
+      s"audio near-dup must recall every planted sibling pair: " +
+        s"$plantedFound != $plantedExpected")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
-      "semantic-dedup replication law)")
+      "semantic-dedup replication law, image/audio planted recall)")
     writeArtifact(aborted = false)
     println(s"[rehearsal] artifact written to $outPath")
     spark.stop()

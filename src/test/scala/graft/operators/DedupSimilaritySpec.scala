@@ -556,4 +556,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(three.select("split").distinct().as[String].collect().toSet
       .subsetOf(Set("train", "val", "test")))
   }
+
+  test("hardNegatives ranks only different-label vectors, nearest first") {
+    // anchor 0 (label 0) at e1; same-label 1 also at e1 (cosine 1 — must
+    // be excluded); negatives at decreasing similarity; null label drops
+    val vecs = Seq(
+      (0L, Array(1f, 0f), Some(0)),
+      (1L, Array(1f, 0f), Some(0)),       // same label — never a negative
+      (2L, Array(0.9f, 0.1f), Some(1)),   // nearest negative
+      (3L, Array(0f, 1f), Some(1)),       // orthogonal negative
+      (4L, Array(1f, 0.1f), None)         // null label — dropped
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0),
+        "embedding", "vec_id", "label", k = 5).get
+      .select("anchorId", "negativeId", "negativeLabel", "rank")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1, 1), (0L, 3L, 1, 2)))
+  }
+
+  test("knnRecall counts membership, zero-fills fully-missed queries") {
+    val exact = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3)
+    ).toDF("queryId", "neighborId", "rank")
+    // approx finds 2 of 3 for query 0 (different ranks — membership, not
+    // order, is scored), nothing for query 1
+    val approx = Seq((0L, 12L, 1), (0L, 10L, 2))
+      .toDF("queryId", "neighborId", "rank")
+    val got = Similarity.knnRecall(approx, exact, k = 3).get
+      .orderBy("queryId")
+      .select("queryId", "n_hit", "n_exact", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 3L, 0.666667), (1L, 0L, 3L, 0.0)))
+    // rank filter: an approx hit beyond k must not count
+    val beyond = Seq((0L, 10L, 4)).toDF("queryId", "neighborId", "rank")
+    val g2 = Similarity.knnRecall(beyond, exact, k = 3).get
+      .filter($"queryId" === 0).select("n_hit").as[Long].collect()
+    assert(g2.toSeq == Seq(0L))
+  }
 }
