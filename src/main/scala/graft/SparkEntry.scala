@@ -1766,6 +1766,18 @@ object SparkEntry {
         .orderBy("queryId")
     }),
 
+    "q157_triplet_mine" -> ((s, dir) => {
+      // FaceNet-style triplets: hardest positive (same label, lowest
+      // cosine) + hardest negative (different label, highest cosine) per
+      // anchor — both argselects and the cosine arithmetic replay in SQL.
+      // The semi-hard variant is spec-locked (fallback rule isn't worth
+      // an oracle CASE tower).
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.tripletMine(emb, emb.filter(col("vec_id") < 10),
+          "embedding", "vec_id", "label").get
+        .orderBy("anchorId")
+    }),
+
     "q145_leakage_safe_split" -> ((s, dir) => {
       // Leakage-safe split over planted duplicate pairs (self-union with
       // +1e6 ids, threshold 1.0): each {id, id+1e6} cluster must land
@@ -3684,6 +3696,36 @@ object SparkEntry {
          FROM exact e LEFT JOIN degraded d
            ON e.queryId = d.queryId AND e.neighborId = d.neighborId
          GROUP BY e.queryId ORDER BY e.queryId""",
+
+    // q157: hardest positive = rank 1 ascending among same-label,
+    // hardest negative = rank 1 descending among different-label; inner
+    // join drops anchors lacking either side.
+    "q157_triplet_mine" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS anchorId, c.vec_id AS candidateId,
+             c.label AS cl, q.label AS ql,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS c_raw
+           FROM embeddings q JOIN embeddings c
+             ON c.vec_id <> q.vec_id
+             AND c.label IS NOT NULL AND q.label IS NOT NULL
+           WHERE q.vec_id < 10
+         ), pos AS (
+           SELECT anchorId, candidateId AS positiveId, c_raw AS pcos,
+             row_number() OVER (PARTITION BY anchorId
+                                ORDER BY c_raw ASC, candidateId) AS r
+           FROM scored WHERE cl = ql
+         ), neg AS (
+           SELECT anchorId, candidateId AS negativeId, c_raw AS ncos,
+             row_number() OVER (PARTITION BY anchorId
+                                ORDER BY c_raw DESC, candidateId) AS r
+           FROM scored WHERE cl <> ql
+         )
+         SELECT p.anchorId, p.positiveId, n.negativeId,
+           round(p.pcos, 6) AS pos_cosine, round(n.ncos, 6) AS neg_cosine
+         FROM pos p JOIN neg n ON p.anchorId = n.anchorId
+         WHERE p.r = 1 AND n.r = 1
+         ORDER BY p.anchorId""",
 
     // q145: the cluster representative is the min id by construction;
     // the draw is the same salted-md5 convention both engines compute.

@@ -78,6 +78,68 @@ object Similarity {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
+  /** Triplet mining for metric learning (FaceNet, Schroff 2015): one
+    * `(anchor, positive, negative)` row per anchor — the hardest
+    * positive (same label, LOWEST cosine: the stretched-apart pair the
+    * loss must pull together) and the hardest negative (different
+    * label, HIGHEST cosine). With `semiHard = true` the negative is the
+    * closest one still farther than the positive (`cos(a,n) <
+    * cos(a,p)`) — the regime FaceNet found stable — falling back to the
+    * hardest negative when none qualifies. Anchors without both a
+    * same-label and a different-label counterpart drop (no degenerate
+    * triplets); null labels never participate. Same broadcast-anchors
+    * scan as [[bruteForceKnn]]: one corpus pass, two rank-1 windows over
+    * slim scored rows.
+    * Returns `(anchorId, positiveId, negativeId, pos_cosine, neg_cosine)`.
+    */
+  def tripletMine(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      semiHard: Boolean = false
+  ): MayFail[DataFrame] = MayFail {
+    val c = corpus.select(col(idCol).as("candidateId"),
+      col(labelCol).as("__cl"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("anchorId"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"))
+    val scored = c
+      .join(broadcast(q), col("anchorId") =!= col("candidateId") &&
+        col("__cl").isNotNull && col("__ql").isNotNull)
+      .withColumn("__cos", vecCosine(col("__qv"), col("__cv")))
+    val wPos = Window.partitionBy(col("anchorId"))
+      .orderBy(col("__cos").asc, col("candidateId"))
+    val pos = scored.filter(col("__cl") === col("__ql"))
+      .withColumn("__r", row_number().over(wPos)).filter(col("__r") === 1)
+      .select(col("anchorId"), col("candidateId").as("positiveId"),
+        col("__cos").as("__pcos"))
+    val negBase = scored.filter(col("__cl") =!= col("__ql"))
+    val wNeg = Window.partitionBy(col("anchorId"))
+      .orderBy(col("__cos").desc, col("candidateId"))
+    val neg =
+      if (!semiHard)
+        negBase.withColumn("__r", row_number().over(wNeg)).filter(col("__r") === 1)
+          .select(col("anchorId"), col("candidateId").as("negativeId"),
+            col("__cos").as("__ncos"))
+      else {
+        // rank semi-hard candidates (cos < pos_cos) ahead of the
+        // fallback pool, then take rank 1 — one window, built-in fallback
+        val withPos = negBase.join(broadcast(pos.select(col("anchorId"), col("__pcos"))),
+          Seq("anchorId"))
+        val wSemi = Window.partitionBy(col("anchorId"))
+          .orderBy((col("__cos") < col("__pcos")).desc, col("__cos").desc,
+            col("candidateId"))
+        withPos.withColumn("__r", row_number().over(wSemi)).filter(col("__r") === 1)
+          .select(col("anchorId"), col("candidateId").as("negativeId"),
+            col("__cos").as("__ncos"))
+      }
+    pos.join(neg, Seq("anchorId"))
+      .select(col("anchorId"), col("positiveId"), col("negativeId"),
+        round(col("__pcos"), 6).as("pos_cosine"),
+        round(col("__ncos"), 6).as("neg_cosine"))
+  }
+
   /** Brute-force exact top-k cosine neighbors — the recall baseline.
     *
     * For `k` up to `spark.sql.optimizer.windowGroupLimitThreshold`

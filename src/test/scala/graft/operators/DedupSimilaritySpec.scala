@@ -574,6 +574,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Seq((0L, 2L, 1, 1), (0L, 3L, 1, 2)))
   }
 
+  test("tripletMine picks hardest positive and negative; semi-hard respects the margin") {
+    // anchor 0 (label 0) at e1; positives: 1 (cos 1, easy), 2 (cos ~0,
+    // hard → picked); negatives: 3 (cos ~0.995, hard), 4 (cos ~0.1)
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.01f), 0),
+      (2L, Array(0.01f, 1f), 0),     // hardest positive
+      (3L, Array(0.995f, 0.1f), 1),  // hardest negative
+      (4L, Array(0.1f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter($"vec_id" === 0)
+    val hard = Similarity.tripletMine(vecs, anchors,
+        "embedding", "vec_id", "label").get
+      .select("anchorId", "positiveId", "negativeId")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hard == Seq((0L, 2L, 3L)))
+    // semi-hard: negatives farther than the positive (cos < pos_cos ≈
+    // 0.0955…): only 4 qualifies? cos(a,4)≈0.0995 > pos_cos ≈ 0.01995 —
+    // neither qualifies, so the fallback returns the hardest (3)
+    val semi = Similarity.tripletMine(vecs, anchors,
+        "embedding", "vec_id", "label", semiHard = true).get
+      .select("negativeId").as[Long].collect().toSeq
+    assert(semi == Seq(3L))
+    // move the positive close so both negatives are farther → semi-hard
+    // picks the CLOSEST still-farther negative (4), not the hardest (3)
+    val vecs2 = Seq(
+      (0L, Array(1f, 0f), 0),
+      (2L, Array(0.999f, 0.01f), 0), // easy positive, cos ≈ 1
+      (3L, Array(0.995f, 0.1f), 1),  // closer than... no: cos ≈ 0.995 < pos
+      (4L, Array(0.1f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val semi2 = Similarity.tripletMine(vecs2, vecs2.filter($"vec_id" === 0),
+        "embedding", "vec_id", "label", semiHard = true).get
+      .select("negativeId").as[Long].collect().toSeq
+    assert(semi2 == Seq(3L)) // both < pos_cos; semi-hard = max cos among them
+    // anchors with no same-label counterpart drop
+    val lonely = Similarity.tripletMine(vecs2, vecs2.filter($"vec_id" === 3),
+        "embedding", "vec_id", "label").get
+    assert(lonely.filter($"anchorId" === 3).count() == 1) // 3 has partner 4
+  }
+
   test("knnRecall counts membership, zero-fills fully-missed queries") {
     val exact = Seq(
       (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
