@@ -726,8 +726,14 @@ object Multimodal {
     for {
       hashed <- imageDHash(df.filter(col(binCol).isNotNull)
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "sh")
-      pairs <- Dedup.simhashPairsFrom(
-        hashed.select(col("id"), col("sh")), maxHamming, maxBucket, bits = 64)
+      // the (id, sh) frame feeds four plan paths (banding + both sides
+      // of pair verification); without a persist Spark re-runs the
+      // DECODE 4× — for media the codec pass dominates, so pin the slim
+      // 16-byte/row hash frame instead (storage scales with row count,
+      // not payload bytes; spills to disk if it must)
+      slim = hashed.select(col("id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs <- Dedup.simhashPairsFrom(slim, maxHamming, maxBucket, bits = 64)
     } yield pairs
 
   /** Iterative radix-2 Cooley–Tukey FFT (in-place, double precision) —
@@ -949,10 +955,13 @@ object Multimodal {
       val frames = fp.select(col("id"),
         posexplode(col("__fp")).as(Seq("frame", "bin")))
       val wBucket = Window.partitionBy(col("frame"), col("bin"))
+      // both sides of the self-join read this frame; persist the slim
+      // (id, frame, bin) triples so the codec+FFT pass runs ONCE
       val capped = frames
         .withColumn("__n", count(lit(1)).over(wBucket))
         .filter(col("__n") <= maxBucket && col("__n") > 1)
         .drop("__n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       capped.select(col("frame"), col("bin"), col("id").as("idA"))
         .join(capped.select(col("frame"), col("bin"), col("id").as("idB")),
           Seq("frame", "bin"))

@@ -134,7 +134,9 @@ object Similarity {
           .select(col("anchorId"), col("candidateId").as("negativeId"),
             col("__cos").as("__ncos"))
       }
-    pos.join(neg, Seq("anchorId"))
+    // both sides are one-row-per-anchor (anchors are the broadcast-small
+    // side by contract) — hint it so the final stitch never sort-merges
+    pos.join(broadcast(neg), Seq("anchorId"))
       .select(col("anchorId"), col("positiveId"), col("negativeId"),
         round(col("__pcos"), 6).as("pos_cosine"),
         round(col("__ncos"), 6).as("neg_cosine"))
