@@ -174,31 +174,10 @@ object Multimodal {
     * amplitude) by arithmetic, and the decoder must recover them from
     * the true encoded bytes. Also handy as a user smoke fixture. */
   object MediaSynth {
-    /** Single-color PNG: `mean_intensity` of the decoded image is exactly
-      * `gray` (lossless format, constant fill). */
-    def pngBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
-      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
-      require(gray >= 0 && gray <= 255, s"gray in [0,255]: $gray")
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val rgb = (gray << 16) | (gray << 8) | gray
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
-    }
-
-    /** Gray gradient PNG: pixel(x,y) = `(base + sx·x + sy·y) mod 256` on
-      * all three channels — lossless encode, so a decoder reads the
-      * planted value back EXACTLY. At 9×8 (the dHash sampling grid) the
-      * perceptual hash of this image is pure modular arithmetic an
-      * external SQL oracle can replay bit for bit. */
-    def gradientPngBytes(width: Int, height: Int, base: Int, sx: Int, sy: Int): Array[Byte] = {
+    /** Shared gray-PNG scaffold: render `pixel(x, y) ∈ [0,255]` on all
+      * three channels and encode losslessly — every synthetic image
+      * fixture differs only in its pixel function. */
+    private def grayPng(width: Int, height: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
       require(width > 0 && height > 0, s"bad dims: ${width}x$height")
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -206,7 +185,7 @@ object Multimodal {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val v = java.lang.Math.floorMod(base + sx * x + sy * y, 256)
+          val v = pixel(x, y)
           img.setRGB(x, y, (v << 16) | (v << 8) | v)
           x += 1
         }
@@ -216,6 +195,22 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
+
+    /** Single-color PNG: `mean_intensity` of the decoded image is exactly
+      * `gray` (lossless format, constant fill). */
+    def pngBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
+      require(gray >= 0 && gray <= 255, s"gray in [0,255]: $gray")
+      grayPng(width, height)((_, _) => gray)
+    }
+
+    /** Gray gradient PNG: pixel(x,y) = `(base + sx·x + sy·y) mod 256` on
+      * all three channels — lossless encode, so a decoder reads the
+      * planted value back EXACTLY. At 9×8 (the dHash sampling grid) the
+      * perceptual hash of this image is pure modular arithmetic an
+      * external SQL oracle can replay bit for bit. */
+    def gradientPngBytes(width: Int, height: Int, base: Int, sx: Int, sy: Int): Array[Byte] =
+      grayPng(width, height)((x, y) =>
+        java.lang.Math.floorMod(base + sx * x + sy * y, 256))
 
     /** Constant-amplitude mono PCM16 WAV: decoded `rms_energy` is exactly
       * `amplitude / 32768.0` (every sample identical, so the mean square
@@ -261,26 +256,12 @@ object Multimodal {
       * the same seed is an exact clone and a small `tweak` flips at most
       * one dHash bit. The realistic corpus shape for rehearsing image
       * dedup: diverse corpus + planted near-identical pairs. */
-    def noisePngBytes(width: Int, height: Int, seed: Long, tweak: Int = 0): Array[Byte] = {
-      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val base = (graft.functions.VecOps.splitmix64(
-            seed * (width.toLong * height) + y.toLong * width + x) & 0xffL).toInt
-          val v = if (x == 0 && y == 0) java.lang.Math.floorMod(base + tweak, 256) else base
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
+    def noisePngBytes(width: Int, height: Int, seed: Long, tweak: Int = 0): Array[Byte] =
+      grayPng(width, height) { (x, y) =>
+        val base = (graft.functions.VecOps.splitmix64(
+          seed * (width.toLong * height) + y.toLong * width + x) & 0xffL).toInt
+        if (x == 0 && y == 0) java.lang.Math.floorMod(base + tweak, 256) else base
       }
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
-    }
 
     /** Multi-frame pure-tone mono PCM16 WAV: frame `f` holds
       * `cyclesPerFrame(f)` full sine periods across `nFft` samples, so a
@@ -295,7 +276,11 @@ object Multimodal {
       var f = 0
       while (f < cyclesPerFrame.length) {
         val c = cyclesPerFrame(f)
-        require(c >= 0, s"cycles must be non-negative: $c")
+        // the "dominant bin == c" contract needs 0 < c < nFft/2: c = 0 or
+        // nFft/2 synthesizes (near-)silence (bin search defaults to 1)
+        // and c > nFft/2 aliases to bin nFft − c — fail loudly here
+        require(c > 0 && c < nFft / 2,
+          s"cycles must be in (0, nFft/2) = (0, ${nFft / 2}) for exact bin recovery: $c")
         var i = 0
         while (i < nFft) {
           val v = math.round(
@@ -716,7 +701,13 @@ object Multimodal {
     * `maxBucket`; see [[Dedup.minhashCapReport]] for the cap-observability
     * pattern).
     * This is the LAION-style image-dedup shape: the corpus shuffles slim
-    * `(id, band, bucket)` rows, never pixel data. */
+    * `(id, band, bucket)` rows, never pixel data.
+    *
+    * The slim `(id, hash)` frame is persisted (MEMORY_AND_DISK) so the
+    * decode pass runs once across the four plan paths that read it; the
+    * entry lives until the session ends or `spark.catalog.clearCache()`
+    * — long-running services calling this repeatedly should clear
+    * between corpora. */
   def imageNearDupPairs(
       df: DataFrame,
       binCol: String,
@@ -935,11 +926,23 @@ object Multimodal {
   }
 
   /** Audio near-duplicate pairs: fingerprint every clip, explode to slim
-    * `(id, frame, bin)` rows, and equi-join on the (frame, bin) bucket —
-    * two clips pair when `>= minMatches` frames agree on the dominant
-    * bin. The corpus shuffles int triples, never audio; a degenerate
-    * bucket (e.g. silence, every clip's bin 1) is capped at `maxBucket`
-    * ids like the LSH family. Output `(idA, idB, n_matches)`. */
+    * `(id, frame, bin)` rows, equi-join on the (frame, bin) bucket to
+    * GENERATE candidates, then recompute the exact agreement count from
+    * the full fingerprints — two clips pair when `>= minMatches` frames
+    * agree on the dominant bin. The corpus shuffles int triples, never
+    * audio. A degenerate bucket (e.g. silence, every clip's bin 1) is
+    * capped at `maxBucket` ids, and — the LSH-family contract — the cap
+    * only prunes CANDIDATES: any pair that still surfaces through an
+    * uncapped bucket gets its true `n_matches` from the verification
+    * pass, never an undercount from the pruned join. (A pair agreeing
+    * ONLY inside dropped buckets is lost, as with every LSH cap — size
+    * `maxBucket` to the corpus, or pass `Int.MaxValue` for guaranteed
+    * recall.) Output `(idA, idB, n_matches)`.
+    *
+    * The slim fingerprint frame is persisted (MEMORY_AND_DISK) so the
+    * codec+FFT pass runs once; the entry lives until the session ends or
+    * `spark.catalog.clearCache()` — long-running services calling this
+    * repeatedly should clear between corpora. */
   def audioNearDupPairs(
       df: DataFrame,
       binCol: String,
@@ -952,23 +955,31 @@ object Multimodal {
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
     } yield {
       import org.apache.spark.sql.expressions.Window
-      val frames = fp.select(col("id"),
+      val slim = fp.select(col("id"), col("__fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val frames = slim.select(col("id"),
         posexplode(col("__fp")).as(Seq("frame", "bin")))
       val wBucket = Window.partitionBy(col("frame"), col("bin"))
-      // both sides of the self-join read this frame; persist the slim
-      // (id, frame, bin) triples so the codec+FFT pass runs ONCE
       val capped = frames
         .withColumn("__n", count(lit(1)).over(wBucket))
         .filter(col("__n") <= maxBucket && col("__n") > 1)
         .drop("__n")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      capped.select(col("frame"), col("bin"), col("id").as("idA"))
+      val candidates = capped.select(col("frame"), col("bin"), col("id").as("idA"))
         .join(capped.select(col("frame"), col("bin"), col("id").as("idB")),
           Seq("frame", "bin"))
         .filter(col("idA") < col("idB"))
-        .groupBy(col("idA"), col("idB"))
-        .agg(count(lit(1)).as("n_matches"))
+        .select(col("idA"), col("idB"))
+        .distinct()
+      // verification: exact positional agreement count over the FULL
+      // fingerprints (clips of unequal length zip-pad with null → false)
+      candidates
+        .join(slim.select(col("id").as("idA"), col("__fp").as("__fa")), "idA")
+        .join(slim.select(col("id").as("idB"), col("__fp").as("__fb")), "idB")
+        .withColumn("n_matches",
+          size(filter(zip_with(col("__fa"), col("__fb"),
+            (a, b) => coalesce(a === b, lit(false))), x => x)).cast("long"))
         .filter(col("n_matches") >= minMatches)
+        .select(col("idA"), col("idB"), col("n_matches"))
     }
 
   /** REAL image resize on JDK codecs: decode → aspect-preserving scale

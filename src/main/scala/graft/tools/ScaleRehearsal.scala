@@ -58,7 +58,8 @@ object ScaleRehearsal {
     val docs = replicate(spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
     val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_orderkey"))
     val emb = replicate(spark.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
-    println(s"[rehearsal] mult=$mult docs=${docs.count()} lineitem=${li.count()} emb=${emb.count()}")
+    val nDocs = docs.count()
+    println(s"[rehearsal] mult=$mult docs=$nDocs lineitem=${li.count()} emb=${emb.count()}")
 
     time("q1-agg")(li.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -311,7 +312,7 @@ object ScaleRehearsal {
     val imgPlantedFound = imagePairs
       .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
       .count()
-    val imgPlantedExpected = docs.count() / 2
+    val imgPlantedExpected = nDocs / 2
     imagePairs.unpersist()
     check("image_planted_recall", imgPlantedFound == imgPlantedExpected,
       s"image near-dup must recall every planted sibling pair: " +
@@ -324,7 +325,7 @@ object ScaleRehearsal {
     val plantedFound = audioPairs
       .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
       .count()
-    val plantedExpected = docs.count() / 2
+    val plantedExpected = nDocs / 2
     audioPairs.unpersist()
     check("audio_planted_recall", plantedFound == plantedExpected,
       s"audio near-dup must recall every planted sibling pair: " +

@@ -590,29 +590,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("anchorId", "positiveId", "negativeId")
       .as[(Long, Long, Long)].collect().toSeq
     assert(hard == Seq((0L, 2L, 3L)))
-    // semi-hard: negatives farther than the positive (cos < pos_cos ≈
-    // 0.0955…): only 4 qualifies? cos(a,4)≈0.0995 > pos_cos ≈ 0.01995 —
-    // neither qualifies, so the fallback returns the hardest (3)
-    val semi = Similarity.tripletMine(vecs, anchors,
-        "embedding", "vec_id", "label", semiHard = true).get
-      .select("negativeId").as[Long].collect().toSeq
-    assert(semi == Seq(3L))
-    // move the positive close so both negatives are farther → semi-hard
-    // picks the CLOSEST still-farther negative (4), not the hardest (3)
+    // semi-hard MUST diverge from hardest here: pos_cos ≈ 0.7; negative
+    // 3 (cos ≈ 0.99) is hardest but NOT semi-hard (closer than the
+    // positive); negative 4 (cos 0.5 < pos_cos) qualifies → semi-hard
+    // picks 4 where hard picks 3
     val vecs2 = Seq(
       (0L, Array(1f, 0f), 0),
-      (2L, Array(0.999f, 0.01f), 0), // easy positive, cos ≈ 1
-      (3L, Array(0.995f, 0.1f), 1),  // closer than... no: cos ≈ 0.995 < pos
-      (4L, Array(0.1f, 1f), 1)
+      (2L, Array(0.7f, 0.714f), 0),   // the only positive, cos ≈ 0.7
+      (3L, Array(0.99f, 0.14f), 1),   // hardest negative, cos ≈ 0.99
+      (4L, Array(0.5f, 0.866f), 1)    // semi-hard negative, cos = 0.5
     ).toDF("vec_id", "embedding", "label")
-    val semi2 = Similarity.tripletMine(vecs2, vecs2.filter($"vec_id" === 0),
+    val a2 = vecs2.filter($"vec_id" === 0)
+    val hard2 = Similarity.tripletMine(vecs2, a2,
+        "embedding", "vec_id", "label").get
+      .select("negativeId").as[Long].collect().toSeq
+    val semi2 = Similarity.tripletMine(vecs2, a2,
         "embedding", "vec_id", "label", semiHard = true).get
       .select("negativeId").as[Long].collect().toSeq
-    assert(semi2 == Seq(3L)) // both < pos_cos; semi-hard = max cos among them
-    // anchors with no same-label counterpart drop
-    val lonely = Similarity.tripletMine(vecs2, vecs2.filter($"vec_id" === 3),
+    assert(hard2 == Seq(3L) && semi2 == Seq(4L))
+    // fallback: in the FIRST fixture the hardest positive sits at cos ≈
+    // 0.02 while both negatives are closer (0.995, 0.0995) — no negative
+    // qualifies as semi-hard, so the fallback must return the hardest
+    val semiFallback = Similarity.tripletMine(vecs, anchors,
+        "embedding", "vec_id", "label", semiHard = true).get
+      .select("negativeId").as[Long].collect().toSeq
+    assert(semiFallback == Seq(3L))
+    // true lonely-anchor drop: label 2 has a single member → no positive
+    val vecs4 = vecs2.union(Seq((5L, Array(0f, 1f), 2)).toDF("vec_id", "embedding", "label"))
+    val lonely = Similarity.tripletMine(vecs4, vecs4.filter($"vec_id" === 5),
         "embedding", "vec_id", "label").get
-    assert(lonely.filter($"anchorId" === 3).count() == 1) // 3 has partner 4
+    assert(lonely.count() == 0)
   }
 
   test("knnRecall counts membership, zero-fills fully-missed queries") {
