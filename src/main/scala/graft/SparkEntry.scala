@@ -1736,8 +1736,13 @@ object SparkEntry {
       })
       val base = tbl(s, dir, "documents").select(col("doc_id"))
         .withColumn("aud", wav(col("doc_id")))
+      // bandWidth = 2: with 4-frame clips and minMatches = 3 at most one
+      // frame mismatches, so one of the two 2-frame bands is always
+      // intact — same emitted set as single-frame banding (the oracle
+      // brute-forces it), at a squared candidate-key space
       Multimodal.audioNearDupPairs(base, "aud", "doc_id",
-          nFft = 256, minMatches = 3, maxBucket = Int.MaxValue).get
+          nFft = 256, minMatches = 3, maxBucket = Int.MaxValue,
+          bandWidth = 2).get
         .orderBy("idA", "idB")
     }),
 

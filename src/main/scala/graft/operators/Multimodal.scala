@@ -925,19 +925,35 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** Audio near-duplicate pairs: fingerprint every clip, explode to slim
-    * `(id, frame, bin)` rows, equi-join on the (frame, bin) bucket to
-    * GENERATE candidates, then recompute the exact agreement count from
-    * the full fingerprints — two clips pair when `>= minMatches` frames
-    * agree on the dominant bin. The corpus shuffles int triples, never
-    * audio. A degenerate bucket (e.g. silence, every clip's bin 1) is
-    * capped at `maxBucket` ids, and — the LSH-family contract — the cap
-    * only prunes CANDIDATES: any pair that still surfaces through an
-    * uncapped bucket gets its true `n_matches` from the verification
-    * pass, never an undercount from the pruned join. (A pair agreeing
-    * ONLY inside dropped buckets is lost, as with every LSH cap — size
-    * `maxBucket` to the corpus, or pass `Int.MaxValue` for guaranteed
-    * recall.) Output `(idA, idB, n_matches)`.
+  /** Audio near-duplicate pairs: fingerprint every clip, band the
+    * dominant-bin sequence into groups of `bandWidth` consecutive
+    * frames, equi-join on the (band, bins) bucket to GENERATE
+    * candidates, then recompute the exact agreement count from the full
+    * fingerprints — two clips pair when `>= minMatches` frames agree on
+    * the dominant bin. The corpus shuffles slim (bucket, id) rows, never
+    * audio.
+    *
+    * `bandWidth` is the candidate-selectivity knob, exactly like LSH
+    * `rowsPerBand`: a 2-frame band key has `(nFft/2)²` possible values
+    * instead of `nFft/2`, so bucket occupancy — and with it the
+    * quadratic candidate volume — drops by that factor. Pigeonhole
+    * recall: a pair of F-full-frame clips with `M = F − matches`
+    * mismatched frames breaks at most M bands, so recall is guaranteed
+    * while `M < floor(F / bandWidth)` (for the default `bandWidth = 1`,
+    * any agreeing frame is a shared bucket — always safe; for F = 4,
+    * minMatches = 3, `bandWidth = 2` halves the bands and squares the
+    * key space with recall intact). A trailing partial band is skipped
+    * on the clip that owns it — size bandWidth so full clips carry
+    * `floor(F / bandWidth)` complete bands.
+    *
+    * The LSH-family cap contract: `maxBucket` only prunes CANDIDATE
+    * buckets; any pair surfacing through an uncapped bucket gets its
+    * true `n_matches` from the verification pass (positional agreement
+    * over the FULL fingerprints — never an undercount from the pruned
+    * join). A pair agreeing only inside dropped buckets is lost, as with
+    * every LSH cap — size `maxBucket` to the corpus, or pass
+    * `Int.MaxValue` for guaranteed recall. Output `(idA, idB,
+    * n_matches)`.
     *
     * The slim fingerprint frame is persisted (MEMORY_AND_DISK) so the
     * codec+FFT pass runs once; the entry lives until the session ends or
@@ -949,24 +965,34 @@ object Multimodal {
       idCol: String,
       nFft: Int = 1024,
       minMatches: Int = 3,
-      maxBucket: Int = 10000): MayFail[DataFrame] =
+      maxBucket: Int = 10000,
+      bandWidth: Int = 1): MayFail[DataFrame] =
     for {
+      _ <- MayFail(require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth"))
       fp <- audioFingerprint(df.filter(col(binCol).isNotNull)
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
     } yield {
       import org.apache.spark.sql.expressions.Window
       val slim = fp.select(col("id"), col("__fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val frames = slim.select(col("id"),
-        posexplode(col("__fp")).as(Seq("frame", "bin")))
-      val wBucket = Window.partitionBy(col("frame"), col("bin"))
-      val capped = frames
+      // (band, bins-in-band) keys, full bands only; hashed to one long —
+      // a hash collision can only ADD a candidate, verification keeps
+      // the result exact
+      val banded = slim
+        .filter(size(col("__fp")) >= bandWidth)
+        .select(col("id"), posexplode(expr(
+          s"transform(sequence(0, (size(__fp) div $bandWidth) - 1), " +
+            s"b -> slice(__fp, b * $bandWidth + 1, $bandWidth))"))
+          .as(Seq("band", "bins")))
+        .filter(size(col("bins")) === bandWidth)
+        .select(col("id"), xxhash64(col("band"), col("bins")).as("bucket"))
+      val wBucket = Window.partitionBy(col("bucket"))
+      val capped = banded
         .withColumn("__n", count(lit(1)).over(wBucket))
         .filter(col("__n") <= maxBucket && col("__n") > 1)
         .drop("__n")
-      val candidates = capped.select(col("frame"), col("bin"), col("id").as("idA"))
-        .join(capped.select(col("frame"), col("bin"), col("id").as("idB")),
-          Seq("frame", "bin"))
+      val candidates = capped.select(col("bucket"), col("id").as("idA"))
+        .join(capped.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
         .filter(col("idA") < col("idB"))
         .select(col("idA"), col("idB"))
         .distinct()

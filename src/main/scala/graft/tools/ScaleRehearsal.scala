@@ -188,9 +188,12 @@ object ScaleRehearsal {
     val docsAud = docs.select(col("doc_id"), sibWav(col("doc_id")).as("aud"))
     var audioPairs: DataFrame = null
     time("audio-neardup") {
+      // bandWidth 2 = the scale knob: (nFft/2)² key space instead of
+      // nFft/2, ~bucket-occupancy× fewer candidate pairs, recall intact
+      // for 3-of-4 agreement by pigeonhole
       audioPairs = graft.operators.Multimodal.audioNearDupPairs(
         docsAud, "aud", "doc_id", nFft = 256, minMatches = 3,
-        maxBucket = 10000).get.cache()
+        maxBucket = 10000, bandWidth = 2).get.cache()
       audioPairs.count()
     }
 

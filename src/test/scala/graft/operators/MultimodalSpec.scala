@@ -326,6 +326,14 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("idA", "idB")
       .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
     assert(pairs.toSeq == Seq((0L, 1L, 3L), (0L, 10L, 4L), (1L, 10L, 3L)))
+    // 2-frame banding: 4-frame clips with >= 3 agreeing frames always
+    // keep one band intact (pigeonhole), so the emitted set is identical
+    // to single-frame banding — just with a squared candidate-key space
+    val banded = Multimodal.audioNearDupPairs(df, "aud", "id",
+        nFft = 256, minMatches = 3, bandWidth = 2).get
+      .orderBy("idA", "idB")
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(banded.toSeq == pairs.toSeq)
   }
 
   test("imageNearDupPairs pairs planted near-duplicates via banded Hamming") {
