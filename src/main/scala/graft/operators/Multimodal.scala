@@ -942,9 +942,9 @@ object Multimodal {
     * while `M < floor(F / bandWidth)` (for the default `bandWidth = 1`,
     * any agreeing frame is a shared bucket — always safe; for F = 4,
     * minMatches = 3, `bandWidth = 2` halves the bands and squares the
-    * key space with recall intact). A trailing partial band is skipped
-    * on the clip that owns it — size bandWidth so full clips carry
-    * `floor(F / bandWidth)` complete bands.
+    * key space with recall intact). Only complete bands are keyed — a
+    * clip carries `floor(F / bandWidth)` of them; trailing frames beyond
+    * the last full band never form a key.
     *
     * The LSH-family cap contract: `maxBucket` only prunes CANDIDATE
     * buckets; any pair surfacing through an uncapped bucket gets its
@@ -984,7 +984,6 @@ object Multimodal {
           s"transform(sequence(0, (size(__fp) div $bandWidth) - 1), " +
             s"b -> slice(__fp, b * $bandWidth + 1, $bandWidth))"))
           .as(Seq("band", "bins")))
-        .filter(size(col("bins")) === bandWidth)
         .select(col("id"), xxhash64(col("band"), col("bins")).as("bucket"))
       val wBucket = Window.partitionBy(col("bucket"))
       val capped = banded

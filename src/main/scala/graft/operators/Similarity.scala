@@ -43,7 +43,8 @@ object Similarity {
       col(labelCol).as("__ql"), col(vecCol).as("__qv"))
     val scored = c
       .join(broadcast(q), col("anchorId") =!= col("negativeId") &&
-        col("negativeLabel") =!= col("__ql"))
+        col("negativeLabel") =!= col("__ql") &&
+        col("__cv").isNotNull && col("__qv").isNotNull)
       .withColumn("cosine", vecCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("anchorId"))
       .orderBy(col("cosine").desc, col("negativeId"))
@@ -104,42 +105,51 @@ object Similarity {
       col(labelCol).as("__cl"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("anchorId"),
       col(labelCol).as("__ql"), col(vecCol).as("__qv"))
+    // null labels AND null vectors are excluded in the join: a null
+    // vector yields a null cosine, which an argmin would otherwise rank
+    // first (Spark sorts nulls first ascending) — a degenerate "hardest
+    // positive"
     val scored = c
       .join(broadcast(q), col("anchorId") =!= col("candidateId") &&
-        col("__cl").isNotNull && col("__ql").isNotNull)
+        col("__cl").isNotNull && col("__ql").isNotNull &&
+        col("__cv").isNotNull && col("__qv").isNotNull)
       .withColumn("__cos", vecCosine(col("__qv"), col("__cv")))
-    val wPos = Window.partitionBy(col("anchorId"))
-      .orderBy(col("__cos").asc, col("candidateId"))
-    val pos = scored.filter(col("__cl") === col("__ql"))
-      .withColumn("__r", row_number().over(wPos)).filter(col("__r") === 1)
-      .select(col("anchorId"), col("candidateId").as("positiveId"),
-        col("__cos").as("__pcos"))
-    val negBase = scored.filter(col("__cl") =!= col("__ql"))
-    val wNeg = Window.partitionBy(col("anchorId"))
-      .orderBy(col("__cos").desc, col("candidateId"))
-    val neg =
-      if (!semiHard)
-        negBase.withColumn("__r", row_number().over(wNeg)).filter(col("__r") === 1)
-          .select(col("anchorId"), col("candidateId").as("negativeId"),
-            col("__cos").as("__ncos"))
+      .withColumn("__same", col("__cl") === col("__ql"))
+    // ONE corpus pass: min_by/max_by with a (cos, id) ordering struct
+    // reproduce the rank-1-window semantics (ties break to the lower
+    // candidate id; the `when` guards make each argselect see only its
+    // side — null ordinals are skipped) but partial-aggregate map-side,
+    // so the shuffle carries one row per (partition, anchor) instead of
+    // the whole scored set, and the scan never re-executes per branch.
+    def stitched(sc: DataFrame): DataFrame = sc.groupBy(col("anchorId")).agg(
+      min_by(struct(col("candidateId"), col("__cos")),
+        when(col("__same"), struct(col("__cos"), col("candidateId")))).as("__p"),
+      max_by(struct(col("candidateId"), col("__cos")),
+        when(!col("__same"), struct(col("__cos"), negate(col("candidateId"))))).as("__n"))
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
+    val hard = stitched(scored)
+    val out =
+      if (!semiHard) hard
       else {
-        // rank semi-hard candidates (cos < pos_cos) ahead of the
-        // fallback pool, then take rank 1 — one window, built-in fallback
-        val withPos = negBase.join(broadcast(pos.select(col("anchorId"), col("__pcos"))),
-          Seq("anchorId"))
-        val wSemi = Window.partitionBy(col("anchorId"))
-          .orderBy((col("__cos") < col("__pcos")).desc, col("__cos").desc,
-            col("candidateId"))
-        withPos.withColumn("__r", row_number().over(wSemi)).filter(col("__r") === 1)
-          .select(col("anchorId"), col("candidateId").as("negativeId"),
-            col("__cos").as("__ncos"))
+        // second pass, same single-agg shape: negatives strictly farther
+        // than this anchor's positive; anchors with no qualifier keep
+        // the hardest-negative fallback from pass one
+        val semiNeg = scored.filter(!col("__same"))
+          .join(broadcast(hard.select(col("anchorId"),
+            col("__p.__cos").as("__pcos"))), Seq("anchorId"))
+          .filter(col("__cos") < col("__pcos"))
+          .groupBy(col("anchorId")).agg(
+            max_by(struct(col("candidateId"), col("__cos")),
+              struct(col("__cos"), negate(col("candidateId")))).as("__sn"))
+        hard.join(broadcast(semiNeg), Seq("anchorId"), "left")
+          .select(col("anchorId"), col("__p"),
+            coalesce(col("__sn"), col("__n")).as("__n"))
       }
-    // both sides are one-row-per-anchor (anchors are the broadcast-small
-    // side by contract) — hint it so the final stitch never sort-merges
-    pos.join(broadcast(neg), Seq("anchorId"))
-      .select(col("anchorId"), col("positiveId"), col("negativeId"),
-        round(col("__pcos"), 6).as("pos_cosine"),
-        round(col("__ncos"), 6).as("neg_cosine"))
+    out.select(col("anchorId"),
+      col("__p.candidateId").as("positiveId"),
+      col("__n.candidateId").as("negativeId"),
+      round(col("__p.__cos"), 6).as("pos_cosine"),
+      round(col("__n.__cos"), 6).as("neg_cosine"))
   }
 
   /** Brute-force exact top-k cosine neighbors — the recall baseline.

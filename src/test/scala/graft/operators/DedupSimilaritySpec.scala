@@ -620,6 +620,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val lonely = Similarity.tripletMine(vecs4, vecs4.filter($"vec_id" === 5),
         "embedding", "vec_id", "label").get
     assert(lonely.count() == 0)
+    // a null-embedding same-label row must never become the "hardest
+    // positive" (null cosine would sort first ascending) — it is excluded
+    val withNullVec = Seq(
+      (0L, Option(Array(1f, 0f)), 0),
+      (2L, Option(Array(0.7f, 0.714f)), 0),
+      (6L, Option.empty[Array[Float]], 0), // null vector, same label
+      (3L, Option(Array(0.99f, 0.14f)), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val guarded = Similarity.tripletMine(withNullVec,
+        withNullVec.filter($"vec_id" === 0), "embedding", "vec_id", "label").get
+      .select("positiveId").as[Long].collect().toSeq
+    assert(guarded == Seq(2L))
   }
 
   test("knnRecall counts membership, zero-fills fully-missed queries") {
