@@ -1706,6 +1706,49 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q158_image_dedup" -> ((s, dir) => {
+      // Exact perceptual-clone dedup over the q152 sibling corpus at
+      // maxHamming = 0: one 64-bit band ⇒ pure hash-equality clusters,
+      // keep the min doc_id per cluster — the oracle groups the replayed
+      // hashes and keeps each group's minimum.
+      val png = udf((b: Int, sx: Int, sy: Int) =>
+        Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy))
+      val j = pmod(col("doc_id"), lit(250))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          pmod(j * 37, lit(256)).cast("int"),
+          (lit(20) + pmod(j, lit(40)) +
+            when(col("doc_id") >= 250, pmod(col("doc_id"), lit(2)))
+              .otherwise(lit(0))).cast("int"),
+          (lit(3) + pmod(j, lit(11))).cast("int")))
+      Multimodal.imageDedup(base, "img", "doc_id",
+          maxHamming = 0, maxBucket = Int.MaxValue).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q159_audio_dedup" -> ((s, dir) => {
+      // Exact fingerprint dedup over the q154 sibling corpus: minMatches
+      // = 4 of 4 frames ⇒ clusters are fingerprint-equality groups (even
+      // twins collapse, odd twins differ on frame 0 and survive) — the
+      // oracle groups the replayed bin sequences and keeps each group's
+      // minimum id. bandWidth = 2 stays pigeonhole-complete (0
+      // mismatched frames < 2 bands).
+      val wav = udf((id: Long) => {
+        val j = id % 250
+        val cs = Array.tabulate(4)(f => (3 + (j * 7 + f * 11) % 97).toInt)
+        if (id >= 250 && id % 2 == 1) cs(0) += 1
+        Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs.toSeq, 12000)
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav(col("doc_id")))
+      Multimodal.audioDedup(base, "aud", "doc_id",
+          nFft = 256, minMatches = 4, maxBucket = Int.MaxValue,
+          bandWidth = 2).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -3628,6 +3671,56 @@ object SparkEntry {
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY idA, idB""",
+
+    // q158: hash-equality clusters (maxHamming 0) — group the replayed
+    // 64-bit hashes, keep each group's minimum id.
+    "q158_image_dedup" ->
+      """WITH p AS (
+           SELECT doc_id,
+             (doc_id % 250) * 37 % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 THEN doc_id % 2 ELSE 0 END) AS sx,
+             3 + (doc_id % 250) % 11 AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id
+         )
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY hi, lo) AS rep
+           FROM h
+         ) WHERE doc_id = rep ORDER BY doc_id""",
+
+    // q159: fingerprint-equality clusters (minMatches == frame count) —
+    // group the replayed bin sequences, keep each group's minimum id.
+    "q159_audio_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             3 + ((doc_id % 250) * 7) % 97 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1
+                     THEN 1 ELSE 0 END) AS b0,
+             3 + ((doc_id % 250) * 7 + 11) % 97 AS b1,
+             3 + ((doc_id % 250) * 7 + 22) % 97 AS b2,
+             3 + ((doc_id % 250) * 7 + 33) % 97 AS b3
+           FROM documents
+         )
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY b0, b1, b2, b3) AS rep
+           FROM fp
+         ) WHERE doc_id = rep ORDER BY doc_id""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -858,6 +858,29 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Transitive image dedup: [[imageNearDupPairs]] →
+    * [[Dedup.duplicateClusters]] connected components → keep exactly one
+    * representative (the minimum id) per near-duplicate cluster;
+    * singletons survive untouched. `maxHamming = 0` degenerates to
+    * exact perceptual-clone dedup (one band holding the whole 64-bit
+    * hash — pure equality bucketing, no candidate blowup). The corpus
+    * frame passes through un-decoded except for the hash pass; the
+    * anti-join drops only cluster non-representatives. */
+  def imageDedup(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxHamming: Int = 6,
+      maxBucket: Int = 10000): MayFail[DataFrame] =
+    for {
+      pairs <- imageNearDupPairs(df, binCol, idCol, maxHamming, maxBucket)
+      clusters <- Dedup.duplicateClusters(pairs.select(col("idA"), col("idB")))
+    } yield {
+      val drop = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      df.join(drop, Seq(idCol), "left_anti")
+    }
+
   /** Audio fingerprint: split a PCM16 mono clip into frame-aligned
     * `nFft`-sample windows and emit the dominant FFT bin of each full
     * frame as `array<int>` (Shazam-style constellation, reduced to the
@@ -1005,6 +1028,30 @@ object Multimodal {
             (a, b) => coalesce(a === b, lit(false))), x => x)).cast("long"))
         .filter(col("n_matches") >= minMatches)
         .select(col("idA"), col("idB"), col("n_matches"))
+    }
+
+  /** Transitive audio dedup: [[audioNearDupPairs]] →
+    * [[Dedup.duplicateClusters]] connected components → keep the
+    * minimum-id representative per cluster; singletons survive. With
+    * `minMatches` equal to the clip frame count this is exact
+    * fingerprint-equality dedup; lower values collapse chains of
+    * partially-agreeing clips. */
+  def audioDedup(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      nFft: Int = 1024,
+      minMatches: Int = 3,
+      maxBucket: Int = 10000,
+      bandWidth: Int = 1): MayFail[DataFrame] =
+    for {
+      pairs <- audioNearDupPairs(df, binCol, idCol, nFft, minMatches,
+        maxBucket, bandWidth)
+      clusters <- Dedup.duplicateClusters(pairs.select(col("idA"), col("idB")))
+    } yield {
+      val drop = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      df.join(drop, Seq(idCol), "left_anti")
     }
 
   /** REAL image resize on JDK codecs: decode → aspect-preserving scale

@@ -300,6 +300,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isEmpty)
   }
 
+  test("imageDedup keeps one representative per transitive cluster") {
+    val mk = (b: Int, sx: Int, sy: Int) =>
+      Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy)
+    val df = Seq(
+      (0L, mk(10, 33, 7)), (10L, mk(10, 33, 7)), // exact clones → keep 0
+      (1L, mk(50, 41, 5)), (11L, mk(50, 42, 5)), // near pair → keep 1
+      (2L, mk(0, 0, 91))                         // singleton survives
+    ).toDF("id", "img")
+    val kept = Multimodal.imageDedup(df, "img", "id",
+        maxHamming = 6, maxBucket = Int.MaxValue).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(0L, 1L, 2L))
+    // maxHamming = 0: only the exact clone collapses
+    val keptExact = Multimodal.imageDedup(df, "img", "id",
+        maxHamming = 0, maxBucket = Int.MaxValue).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptExact == Seq(0L, 1L, 2L, 11L))
+  }
+
   test("audioFingerprint recovers the planted per-frame dominant bins") {
     val df = Seq(
       (0L, Option(Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(5, 17, 40), 12000))),
@@ -334,6 +353,26 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("idA", "idB")
       .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
     assert(banded.toSeq == pairs.toSeq)
+  }
+
+  test("audioDedup keeps one representative per agreement cluster") {
+    val mk = (cs: Seq[Int]) =>
+      Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs, 12000)
+    val df = Seq(
+      (0L, mk(Seq(5, 17, 40, 8))), (10L, mk(Seq(5, 17, 40, 8))),  // clones
+      (1L, mk(Seq(5, 17, 40, 9))),  // chains to 0/10 at 3-of-4
+      (2L, mk(Seq(90, 91, 92, 93))) // singleton
+    ).toDF("id", "aud")
+    // minMatches 3: {0, 1, 10} is one transitive cluster → keep 0 and 2
+    val kept = Multimodal.audioDedup(df, "aud", "id",
+        nFft = 256, minMatches = 3).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(0L, 2L))
+    // minMatches 4 (= frame count): only exact fingerprints collapse
+    val keptExact = Multimodal.audioDedup(df, "aud", "id",
+        nFft = 256, minMatches = 4, bandWidth = 2).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptExact == Seq(0L, 1L, 2L))
   }
 
   test("imageNearDupPairs pairs planted near-duplicates via banded Hamming") {
