@@ -25,13 +25,25 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses by default — read nanos as long and convert to
-    * microsecond timestamps (`div 1000` matches DuckDB's ns→µs cast). */
+  /** The events table has shipped with two `ts` encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default — read
+    * nanos as long and `div 1000` to µs, matching DuckDB's ns→µs cast) and
+    * plain TIMESTAMP(MICROS) (readable directly). Adapt to whichever the
+    * parquet footer declares so every events-backed query survives a data
+    * regeneration. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // tz-less parquet micros: cast to TIMESTAMP (session tz is UTC in
+        // every entry point, so wall-clock values are preserved) — the
+        // NTZ flavor is rejected by event-time watermarking
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a native timestamp type
+    }
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the Phase-1
