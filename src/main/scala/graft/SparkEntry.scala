@@ -1761,6 +1761,171 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q160_video_neardup" -> ((s, dir) => {
+      // Video dedup over frame-hash sequences: clips are 4-frame GFV1
+      // containers of planted 9×8 gradient PNGs (lossless — every
+      // frame's dHash replays as the q152 modular arithmetic). Docs j
+      // and j+250 are siblings; odd twins get frame 0's sx+1 (a frame-
+      // level mismatch). Fingerprint → banded candidates → pairs with
+      // >= 3 of 4 aligned frames agreeing; the oracle brute-forces the
+      // per-frame hash equality join. bandWidth = 2 stays pigeonhole-
+      // complete (<= 1 mismatched frame breaks at most 1 of 2 bands).
+      val clip = udf((id: Long) => {
+        val j = id % 250
+        Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+          val sx = 20 + j % 40 + (if (id >= 250 && id % 2 == 1 && f == 0) 1 else 0)
+          Multimodal.MediaSynth.gradientPngBytes(9, 8,
+            ((j * 37 + f * 13) % 256).toInt, sx.toInt, (3 + (j + f) % 11).toInt)
+        })
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", clip(col("doc_id")))
+      Multimodal.videoNearDupPairs(base, "vid", "doc_id",
+          minMatches = 3, maxBucket = Int.MaxValue, bandWidth = 2).get
+        .orderBy("idA", "idB")
+    }),
+
+    "q161_video_dedup" -> ((s, dir) => {
+      // Transitive video dedup over the q160 corpus at minMatches = 4
+      // (= frame count): clusters are fingerprint-equality groups (even
+      // twins collapse, odd twins differ on frame 0 and survive) — the
+      // oracle groups the replayed per-frame hash sequences and keeps
+      // each group's minimum id.
+      val clip = udf((id: Long) => {
+        val j = id % 250
+        Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+          val sx = 20 + j % 40 + (if (id >= 250 && id % 2 == 1 && f == 0) 1 else 0)
+          Multimodal.MediaSynth.gradientPngBytes(9, 8,
+            ((j * 37 + f * 13) % 256).toInt, sx.toInt, (3 + (j + f) % 11).toInt)
+        })
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", clip(col("doc_id")))
+      Multimodal.videoDedup(base, "vid", "doc_id",
+          minMatches = 4, maxBucket = Int.MaxValue, bandWidth = 2).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q162_image_cap_report" -> ((s, dir) => {
+      // Cap observability for the image dHash banding (the round-5
+      // verdict's "silent cap" gap): the q152 sibling corpus at a
+      // deliberately tight maxBucket — every occupancy counter replays
+      // from the planted hash arithmetic, so the recall the cap would
+      // cost is a queryable number, not a silent loss.
+      val png = udf((b: Int, sx: Int, sy: Int) =>
+        Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy))
+      val j = pmod(col("doc_id"), lit(250))
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(
+          pmod(j * 37, lit(256)).cast("int"),
+          (lit(20) + pmod(j, lit(40)) +
+            when(col("doc_id") >= 250, pmod(col("doc_id"), lit(2)))
+              .otherwise(lit(0))).cast("int"),
+          (lit(3) + pmod(j, lit(11))).cast("int")))
+      Multimodal.imageCapReport(base, "img", "doc_id",
+          maxHamming = 6, maxBucket = 3).get
+        .orderBy("n_buckets")
+    }),
+
+    "q163_video_cap_report" -> ((s, dir) => {
+      // Cap observability for the video frame-hash banding: the q160
+      // corpus at maxBucket = 1, so every sibling-shared band bucket
+      // counts as dropped — the oracle replays band keys as grouped
+      // per-frame hash strings (bucket identity, not bucket hash,
+      // drives every counter).
+      val clip = udf((id: Long) => {
+        val j = id % 250
+        Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+          val sx = 20 + j % 40 + (if (id >= 250 && id % 2 == 1 && f == 0) 1 else 0)
+          Multimodal.MediaSynth.gradientPngBytes(9, 8,
+            ((j * 37 + f * 13) % 256).toInt, sx.toInt, (3 + (j + f) % 11).toInt)
+        })
+      })
+      val base = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", clip(col("doc_id")))
+      Multimodal.videoCapReport(base, "vid", "doc_id",
+          maxBucket = 1, bandWidth = 2).get
+        .orderBy("n_buckets")
+    }),
+
+    "q164_image_dedup_against" -> ((s, dir) => {
+      // Incremental image dedup — the production ingest shape: batch
+      // (doc_id >= 250) deduped AGAINST the reference corpus (doc_id <
+      // 250). Every 5th batch image is novel (sx shifted 9 gradient
+      // steps); the rest are q152-style twins of their reference
+      // sibling. Kept = batch images with no reference hash within
+      // Hamming 6 — the oracle brute-forces the cross-corpus join.
+      val png = udf((id: Long) => {
+        val j = id % 250
+        val sx = 20 + j % 40 +
+          (if (id >= 250) { if (id % 5 == 0) 9 else id % 2 } else 0)
+        Multimodal.MediaSynth.gradientPngBytes(9, 8,
+          ((j * 37) % 256).toInt, sx.toInt, (3 + j % 11).toInt)
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(col("doc_id")))
+      val batch = all.filter(col("doc_id") >= 250)
+      val reference = all.filter(col("doc_id") < 250)
+      Multimodal.imageDedupAgainst(batch, reference, "img", "doc_id",
+          maxHamming = 6, maxBucket = Int.MaxValue).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q165_audio_dedup_against" -> ((s, dir) => {
+      // Incremental audio dedup: batch clips (doc_id >= 250) against the
+      // reference corpus (doc_id < 250). Every 5th batch clip is novel
+      // (bins shifted by 50 mod 97, which can collide back — the oracle
+      // decides); the rest are q154-style twins. Kept = batch clips with
+      // < 3 of 4 frames agreeing with every reference clip.
+      val wav = udf((id: Long) => {
+        val j = id % 250
+        val cs = Array.tabulate(4) { f =>
+          val b = 3 + (j * 7 + f * 11) % 97
+          if (id >= 250 && id % 5 == 0) (3 + (j * 7 + f * 11 + 50) % 97).toInt
+          else if (id >= 250 && id % 2 == 1 && f == 0) (b + 1).toInt
+          else b.toInt
+        }
+        Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs.toSeq, 12000)
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav(col("doc_id")))
+      val batch = all.filter(col("doc_id") >= 250)
+      val reference = all.filter(col("doc_id") < 250)
+      Multimodal.audioDedupAgainst(batch, reference, "aud", "doc_id",
+          nFft = 256, minMatches = 3, maxBucket = Int.MaxValue,
+          bandWidth = 2).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q166_video_dedup_against" -> ((s, dir) => {
+      // Incremental video dedup: the q160 corpus split batch/reference
+      // at doc_id 250; every 5th batch clip is novel (all frames' base
+      // shifted 101). Kept = batch clips with < 3 of 4 aligned frames
+      // agreeing with every reference clip.
+      val clip = udf((id: Long) => {
+        val j = id % 250
+        val novel = id >= 250 && id % 5 == 0
+        Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+          val base = (j * 37 + f * 13 + (if (novel) 101 else 0)) % 256
+          val sx = 20 + j % 40 +
+            (if (id >= 250 && id % 2 == 1 && f == 0 && !novel) 1 else 0)
+          Multimodal.MediaSynth.gradientPngBytes(9, 8,
+            base.toInt, sx.toInt, (3 + (j + f) % 11).toInt)
+        })
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", clip(col("doc_id")))
+      val batch = all.filter(col("doc_id") >= 250)
+      val reference = all.filter(col("doc_id") < 250)
+      Multimodal.videoDedupAgainst(batch, reference, "vid", "doc_id",
+          minMatches = 3, maxBucket = Int.MaxValue, bandWidth = 2).get
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -3733,6 +3898,264 @@ object SparkEntry {
            SELECT doc_id, min(doc_id) OVER (PARTITION BY b0, b1, b2, b3) AS rep
            FROM fp
          ) WHERE doc_id = rep ORDER BY doc_id""",
+
+    // q160: per-frame dHash replay (the q152 bits arithmetic, per
+    // (doc_id, frame)) → brute-force aligned-frame equality join.
+    "q160_video_neardup" ->
+      """WITH p AS (
+           SELECT doc_id, f.f AS frame,
+             ((doc_id % 250) * 37 + f.f * 13) % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                     THEN 1 ELSE 0 END) AS sx,
+             3 + ((doc_id % 250) + f.f) % 11 AS sy
+           FROM documents, range(4) AS f(f)
+         ), bits AS (
+           SELECT doc_id, frame, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, frame,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, frame
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(count(*) AS BIGINT) AS n_matches
+         FROM h a JOIN h b
+           ON a.frame = b.frame AND a.hi = b.hi AND a.lo = b.lo
+             AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY idA, idB""",
+
+    // q161: fingerprint-equality clusters (minMatches == frame count) —
+    // group the replayed frame-hash sequences, keep each group's minimum.
+    "q161_video_dedup" ->
+      """WITH p AS (
+           SELECT doc_id, f.f AS frame,
+             ((doc_id % 250) * 37 + f.f * 13) % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                     THEN 1 ELSE 0 END) AS sx,
+             3 + ((doc_id % 250) + f.f) % 11 AS sy
+           FROM documents, range(4) AS f(f)
+         ), bits AS (
+           SELECT doc_id, frame, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, frame,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, frame
+         ), fp AS (
+           SELECT doc_id,
+             string_agg(hi || ':' || lo, ',' ORDER BY frame) AS key
+           FROM h GROUP BY doc_id
+         )
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS rep
+           FROM fp
+         ) WHERE doc_id = rep ORDER BY doc_id""",
+
+    // q162: the q152 hash replay → 9-bit band slices (bandBits =
+    // ⌊64/7⌋, 7 bands; band 3 straddles the lo/hi split) → occupancy
+    // counters at maxBucket = 3.
+    "q162_image_cap_report" ->
+      """WITH p AS (
+           SELECT doc_id,
+             (doc_id % 250) * 37 % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 THEN doc_id % 2 ELSE 0 END) AS sx,
+             3 + (doc_id % 250) % 11 AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id
+         ), bands AS (
+           SELECT doc_id, bb.b AS band,
+             CASE WHEN bb.b <= 2 THEN (lo >> (9 * bb.b)) & 511
+                  WHEN bb.b = 3 THEN ((lo >> 27) & 31) | ((hi & 15) << 5)
+                  ELSE (hi >> (9 * bb.b - 32)) & 511 END AS bucket
+           FROM h, range(7) AS bb(b)
+         ), occ AS (
+           SELECT band, bucket, count(*) AS n
+           FROM bands GROUP BY band, bucket
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > 3 THEN 1 END) AS BIGINT)
+             AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 3 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ""",
+
+    // q163: the q160 per-frame hash replay → 2-frame band keys →
+    // occupancy counters at maxBucket = 1 (bucket identity is the
+    // grouped hash string; the engine-side xxhash64 only renames it).
+    "q163_video_cap_report" ->
+      """WITH p AS (
+           SELECT doc_id, f.f AS frame,
+             ((doc_id % 250) * 37 + f.f * 13) % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                     THEN 1 ELSE 0 END) AS sx,
+             3 + ((doc_id % 250) + f.f) % 11 AS sy
+           FROM documents, range(4) AS f(f)
+         ), bits AS (
+           SELECT doc_id, frame, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, frame,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, frame
+         ), bk AS (
+           SELECT doc_id, frame // 2 AS band,
+             string_agg(hi || ':' || lo, ',' ORDER BY frame) AS key
+           FROM h GROUP BY doc_id, frame // 2
+         ), occ AS (
+           SELECT band, key, count(*) AS n FROM bk GROUP BY band, key
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+             AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ""",
+
+    // q164: cross-corpus dHash anti-join — a batch image survives iff no
+    // reference hash sits within Hamming 6.
+    "q164_image_dedup_against" ->
+      """WITH p AS (
+           SELECT doc_id,
+             (doc_id % 250) * 37 % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250
+                     THEN (CASE WHEN doc_id % 5 = 0 THEN 9
+                           ELSE doc_id % 2 END)
+                     ELSE 0 END) AS sx,
+             3 + (doc_id % 250) % 11 AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id
+         )
+         SELECT b.doc_id FROM h b
+         WHERE b.doc_id >= 250 AND NOT EXISTS (
+           SELECT 1 FROM h r WHERE r.doc_id < 250
+             AND bit_count(xor(b.hi, r.hi)) + bit_count(xor(b.lo, r.lo)) <= 6
+         ) ORDER BY doc_id""",
+
+    // q165: cross-corpus aligned-frame agreement — a batch clip survives
+    // iff no reference clip agrees on >= 3 of 4 frames.
+    "q165_audio_dedup_against" ->
+      """WITH fp AS (
+           SELECT doc_id, f.f AS frame,
+             CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                  THEN 3 + ((doc_id % 250) * 7 + f.f * 11 + 50) % 97
+                  WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                  THEN 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 + 1
+                  ELSE 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 END AS bin
+           FROM documents, range(4) AS f(f)
+         ), hits AS (
+           SELECT a.doc_id FROM fp a JOIN fp r
+             ON a.doc_id >= 250 AND r.doc_id < 250
+               AND a.frame = r.frame AND a.bin = r.bin
+           GROUP BY a.doc_id, r.doc_id HAVING count(*) >= 3
+         )
+         SELECT DISTINCT doc_id FROM fp
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY doc_id""",
+
+    // q166: cross-corpus aligned-frame hash agreement over the video
+    // corpus (novel batch clips shift every frame's base by 101).
+    "q166_video_dedup_against" ->
+      """WITH p AS (
+           SELECT doc_id, f.f AS frame,
+             ((doc_id % 250) * 37 + f.f * 13 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                     THEN 101 ELSE 0 END)) % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                       AND doc_id % 5 <> 0
+                     THEN 1 ELSE 0 END) AS sx,
+             3 + ((doc_id % 250) + f.f) % 11 AS sy
+           FROM documents, range(4) AS f(f)
+         ), bits AS (
+           SELECT doc_id, frame, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, frame,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, frame
+         ), hits AS (
+           SELECT a.doc_id FROM h a JOIN h r
+             ON a.doc_id >= 250 AND r.doc_id < 250
+               AND a.frame = r.frame AND a.hi = r.hi AND a.lo = r.lo
+           GROUP BY a.doc_id, r.doc_id HAVING count(*) >= 3
+         )
+         SELECT DISTINCT doc_id FROM h
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY doc_id""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -393,4 +393,283 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 11L && p._3 <= 6))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  // --- video: frame-hash sequence fingerprints ----------------------------
+
+  /** The dHash replay for a planted 9×8 gradient (see the imageDHash
+    * replay test for the derivation). */
+  private def gradHash(base: Int, sx: Int, sy: Int): Long = {
+    var h = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p0 = (base + sx * x + sy * y) % 256
+      val p1 = (base + sx * (x + 1) + sy * y) % 256
+      if (p1 > p0) h |= 1L << (y * 8 + x)
+    }
+    h
+  }
+
+  private def gfv1Clip(frames: Seq[(Int, Int, Int)]): Array[Byte] =
+    Multimodal.MediaSynth.framesContainer(frames.map { case (b, sx, sy) =>
+      Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy)
+    })
+
+  test("videoFingerprint recovers the planted per-frame dHash sequence") {
+    val df = Seq(
+      (0L, Option(gfv1Clip(Seq((10, 33, 7), (200, 51, 3))))),
+      (1L, Option(Multimodal.MediaSynth.framesContainer(Seq.empty))),
+      (2L, Option.empty[Array[Byte]])
+    ).toDF("id", "vid")
+    val got = Multimodal.videoFingerprint(df, "vid").get
+      .orderBy("id").select("fingerprint").as[Option[Seq[Long]]].collect()
+    assert(got(0).contains(Seq(gradHash(10, 33, 7), gradHash(200, 51, 3))))
+    assert(got(1).contains(Seq.empty[Long])) // frameless clip → empty
+    assert(got(2).isEmpty)                   // null payload → null
+    // maxFrames caps the fingerprint in file order
+    val capped = Multimodal.videoFingerprint(df.filter($"id" === 0), "vid",
+        maxFrames = 1).get.select("fingerprint").as[Seq[Long]].head()
+    assert(capped == Seq(gradHash(10, 33, 7)))
+  }
+
+  test("videoFingerprint hashes the RIFF/AVI MJPEG path end to end") {
+    // byte-identical JPEG frames hash identically across clips; a
+    // different gradient produces a different hash (sanity-checked by
+    // decoding the frame directly — JPEG is lossy, so the EXPECTED hash
+    // comes from the decoder, not the planted arithmetic)
+    def jpegGrad(base: Int, sx: Int, sy: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = (base + sx * x + sy * y) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val fa = jpegGrad(10, 33, 7)
+    val fb = jpegGrad(40, 3, 51)
+    def decodedHash(jpeg: Array[Byte]): Long = Multimodal.dhash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg)))
+    assert(decodedHash(fa) != decodedHash(fb)) // discriminative fixture
+    val avi = (fs: Seq[Array[Byte]]) =>
+      Multimodal.MediaSynth.aviMjpegBytes(fs, 9, 8)
+    val df = Seq(
+      (0L, avi(Seq(fa, fb))), (1L, avi(Seq(fa, fb))), // byte-identical clips
+      (2L, avi(Seq(fb, fb)))
+    ).toDF("id", "vid")
+    val got = Multimodal.videoFingerprint(df, "vid").get
+      .orderBy("id").select("fingerprint").as[Seq[Long]].collect()
+    assert(got(0) == Seq(decodedHash(fa), decodedHash(fb)))
+    assert(got(0) == got(1))
+    assert(got(2) == Seq(decodedHash(fb), decodedHash(fb)))
+    // and the pair op finds exactly the identical pair
+    val pairs = Multimodal.videoNearDupPairs(df, "vid", "id",
+        minMatches = 2).get
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 2L)))
+  }
+
+  test("videoNearDupPairs pairs clips agreeing on enough frames") {
+    val f = Seq((10, 33, 7), (50, 41, 5), (200, 51, 3), (90, 21, 9))
+    val df = Seq(
+      (0L, gfv1Clip(f)), (10L, gfv1Clip(f)),              // identical
+      (1L, gfv1Clip(f.updated(3, (90, 22, 9)))),          // 3 of 4 match
+      (2L, gfv1Clip(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13))))
+    ).toDF("id", "vid")
+    val pairs = Multimodal.videoNearDupPairs(df, "vid", "id",
+        minMatches = 3).get
+      .orderBy("idA", "idB")
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 3L), (0L, 10L, 4L), (1L, 10L, 3L)))
+    // 2-frame banding: >= 3 of 4 agreeing frames always keep one band
+    // intact (pigeonhole) — same emitted set, squared key space
+    val banded = Multimodal.videoNearDupPairs(df, "vid", "id",
+        minMatches = 3, bandWidth = 2).get
+      .orderBy("idA", "idB")
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(banded.toSeq == pairs.toSeq)
+  }
+
+  test("videoNearDupPairs frameHamming tolerance absorbs per-frame drift") {
+    val f = Seq((10, 33, 7), (50, 41, 5), (200, 51, 3), (90, 21, 9))
+    // clip 1's last frame is a one-gradient-step twin of clip 0's —
+    // nonzero but small Hamming (the q152 construction)
+    val drifted = f.updated(3, (90, 22, 9))
+    val ham = java.lang.Long.bitCount(
+      gradHash(90, 21, 9) ^ gradHash(90, 22, 9))
+    assert(ham > 0 && ham <= 6) // fixture sanity: drifted, within tolerance
+    val df = Seq((0L, gfv1Clip(f)), (1L, gfv1Clip(drifted))).toDF("id", "vid")
+    // exact agreement: 3 of 4 frames
+    val exact = Multimodal.videoNearDupPairs(df, "vid", "id",
+        minMatches = 4).get.count()
+    assert(exact == 0)
+    // tolerant agreement: the drifted frame counts, 4 of 4 — candidates
+    // still come from the three exactly-equal frames' bands
+    val tolerant = Multimodal.videoNearDupPairs(df, "vid", "id",
+        minMatches = 4, frameHamming = 6).get
+      .select("idA", "idB", "n_matches").as[(Long, Long, Long)].collect()
+    assert(tolerant.toSeq == Seq((0L, 1L, 4L)))
+  }
+
+  test("videoDedup keeps one representative per agreement cluster") {
+    val f = Seq((10, 33, 7), (50, 41, 5), (200, 51, 3), (90, 21, 9))
+    val df = Seq(
+      (0L, gfv1Clip(f)), (10L, gfv1Clip(f)),     // clones
+      (1L, gfv1Clip(f.updated(3, (90, 22, 9)))), // chains at 3-of-4
+      (2L, gfv1Clip(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13))))
+    ).toDF("id", "vid")
+    val kept = Multimodal.videoDedup(df, "vid", "id", minMatches = 3).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(0L, 2L))
+    // minMatches = frame count: only exact fingerprints collapse
+    val keptExact = Multimodal.videoDedup(df, "vid", "id",
+        minMatches = 4, bandWidth = 2).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptExact == Seq(0L, 1L, 2L))
+  }
+
+  // --- incremental (batch-vs-reference) media dedup -----------------------
+
+  test("imageDedupAgainst keeps only batch images absent from the reference") {
+    val mk = (b: Int, sx: Int, sy: Int) =>
+      Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy)
+    val reference = Seq((100L, mk(10, 33, 7)), (101L, mk(50, 41, 5)))
+      .toDF("id", "img")
+    val batch = Seq(
+      (0L, mk(10, 33, 7)), // exact clone of ref 100 → dropped
+      (1L, mk(50, 42, 5)), // near-dup of ref 101 (one gradient step) → dropped
+      (2L, mk(0, 0, 91))   // new → kept
+    ).toDF("id", "img")
+    val kept = Multimodal.imageDedupAgainst(batch, reference, "img", "id",
+        maxHamming = 6, maxBucket = Int.MaxValue).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L))
+    // maxHamming = 0: only the exact clone drops
+    val keptExact = Multimodal.imageDedupAgainst(batch, reference, "img", "id",
+        maxHamming = 0, maxBucket = Int.MaxValue).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptExact == Seq(1L, 2L))
+  }
+
+  test("audioDedupAgainst keeps only batch clips absent from the reference") {
+    val mk = (cs: Seq[Int]) =>
+      Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs, 12000)
+    val reference = Seq((100L, mk(Seq(5, 17, 40, 8)))).toDF("id", "aud")
+    val batch = Seq(
+      (0L, mk(Seq(5, 17, 40, 8))),  // clone of ref → dropped
+      (1L, mk(Seq(5, 17, 40, 9))),  // 3 of 4 frames agree → dropped
+      (2L, mk(Seq(90, 91, 92, 93))) // new → kept
+    ).toDF("id", "aud")
+    val kept = Multimodal.audioDedupAgainst(batch, reference, "aud", "id",
+        nFft = 256, minMatches = 3).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L))
+    val keptExact = Multimodal.audioDedupAgainst(batch, reference, "aud", "id",
+        nFft = 256, minMatches = 4, bandWidth = 2).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptExact == Seq(1L, 2L))
+  }
+
+  test("videoDedupAgainst keeps only batch clips absent from the reference") {
+    val f = Seq((10, 33, 7), (50, 41, 5), (200, 51, 3), (90, 21, 9))
+    val reference = Seq((100L, gfv1Clip(f))).toDF("id", "vid")
+    val batch = Seq(
+      (0L, gfv1Clip(f)),                          // clone → dropped
+      (1L, gfv1Clip(f.updated(3, (90, 22, 9)))),  // 3 of 4 → dropped
+      (2L, gfv1Clip(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (11, 12, 13))))
+    ).toDF("id", "vid")
+    val kept = Multimodal.videoDedupAgainst(batch, reference, "vid", "id",
+        minMatches = 3).get
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L))
+  }
+
+  // --- cap observability ---------------------------------------------------
+
+  test("media cap reports surface dropped buckets on degenerate corpora") {
+    // image: 5 byte-identical images → 7 bands (64/⌊64/7⌋), each bucket
+    // holding all 5; maxBucket = 3 drops every one — and the paired pair
+    // generator emits NOTHING, which the report explains
+    val img = Multimodal.MediaSynth.gradientPngBytes(9, 8, 10, 33, 7)
+    val imgDf = (0L until 5L).map((_, img)).toDF("id", "img")
+    val imgRep = Multimodal.imageCapReport(imgDf, "img", "id",
+        maxHamming = 6, maxBucket = 3).get
+      .as[(Long, Long, Long, Long)].head()
+    assert(imgRep == ((7L, 7L, 35L, 5L)))
+    assert(Multimodal.imageNearDupPairs(imgDf, "img", "id",
+      maxHamming = 6, maxBucket = 3).get.count() == 0)
+    // audio: 5 clips with identical 4-frame fingerprints (the all-silence
+    // shape) → 4 single-frame bands, occupancy 5 each
+    val aud = Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(5, 17, 40, 8), 12000)
+    val audDf = (0L until 5L).map((_, aud)).toDF("id", "aud")
+    val audRep = Multimodal.audioCapReport(audDf, "aud", "id",
+        nFft = 256, maxBucket = 3).get
+      .as[(Long, Long, Long, Long)].head()
+    assert(audRep == ((4L, 4L, 20L, 5L)))
+    assert(Multimodal.audioNearDupPairs(audDf, "aud", "id",
+      nFft = 256, minMatches = 3, maxBucket = 3).get.count() == 0)
+    // video: same shape over frame-hash bands
+    val clip = gfv1Clip(Seq((10, 33, 7), (50, 41, 5), (200, 51, 3), (90, 21, 9)))
+    val vidDf = (0L until 5L).map((_, clip)).toDF("id", "vid")
+    val vidRep = Multimodal.videoCapReport(vidDf, "vid", "id", maxBucket = 3).get
+      .as[(Long, Long, Long, Long)].head()
+    assert(vidRep == ((4L, 4L, 20L, 5L)))
+    // an adequate cap reports zero drops
+    val ok = Multimodal.videoCapReport(vidDf, "vid", "id", maxBucket = 10).get
+      .as[(Long, Long, Long, Long)].head()
+    assert(ok == ((4L, 0L, 0L, 5L)))
+  }
+
+  test("simhashCapReport counts the exact banding simhashPairs builds") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different document about spark internals")
+    ).toDF("id", "text")
+    // maxHamming = 3 → 16-bit bands × 4; the three clones share all 4
+    // buckets (occupancy 3), doc 3 adds 4 singletons
+    val rep = graft.operators.Dedup.simhashCapReport(docs, "text", "id",
+        maxHamming = 3, maxBucket = 2).get
+      .as[(Long, Long, Long, Long)].head()
+    assert(rep == ((8L, 4L, 12L, 3L)))
+    assert(graft.operators.Dedup.simhashPairs(docs, "text", "id",
+      maxHamming = 3, maxBucket = 2).get.count() == 0)
+  }
+
+  // --- cache discipline ----------------------------------------------------
+
+  test("dedup wrappers release their pinned fingerprint frames") {
+    spark.catalog.clearCache()
+    val mk = (b: Int, sx: Int, sy: Int) =>
+      Multimodal.MediaSynth.gradientPngBytes(9, 8, b, sx, sy)
+    val imgDf = Seq((0L, mk(10, 33, 7)), (1L, mk(10, 33, 7)), (2L, mk(0, 0, 91)))
+      .toDF("id", "img")
+    assert(Multimodal.imageDedup(imgDf, "img", "id",
+      maxHamming = 0, maxBucket = Int.MaxValue).get.count() == 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "imageDedup must unpersist its slim hash frame")
+    val aud = Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(5, 17, 40, 8), 12000)
+    val audDf = Seq((0L, aud), (1L, aud)).toDF("id", "aud")
+    assert(Multimodal.audioDedup(audDf, "aud", "id",
+      nFft = 256, minMatches = 4).get.count() == 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "audioDedup must unpersist its slim fingerprint frame")
+    val clip = gfv1Clip(Seq((10, 33, 7), (50, 41, 5)))
+    val vidDf = Seq((0L, clip), (1L, clip)).toDF("id", "vid")
+    assert(Multimodal.videoDedup(vidDf, "vid", "id", minMatches = 2).get.count() == 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "videoDedup must unpersist its slim fingerprint frame")
+    assert(Multimodal.imageDedupAgainst(imgDf, imgDf, "img", "id",
+      maxHamming = 0, maxBucket = Int.MaxValue).get.count() == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "imageDedupAgainst must unpersist both slim hash frames")
+    // the PAIR-level ops keep the documented persist (callers that chain
+    // multiple reads off the pairs frame rely on it) — released by
+    // clearCache between corpora
+    assert(Multimodal.imageNearDupPairs(imgDf, "img", "id",
+      maxHamming = 0, maxBucket = Int.MaxValue).get.count() >= 1)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    spark.catalog.clearCache()
+  }
 }
