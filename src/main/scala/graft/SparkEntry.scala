@@ -1853,15 +1853,19 @@ object SparkEntry {
       // Incremental image dedup — the production ingest shape: batch
       // (doc_id >= 250) deduped AGAINST the reference corpus (doc_id <
       // 250). Every 5th batch image is novel (sx shifted 9 gradient
-      // steps); the rest are q152-style twins of their reference
-      // sibling. Kept = batch images with no reference hash within
-      // Hamming 6 — the oracle brute-forces the cross-corpus join.
+      // steps AND sy shifted 13 — far enough that ~half the novels clear
+      // Hamming 6 from every reference, so the kept set is non-trivial
+      // in BOTH directions: some novels kept, some still collide); the
+      // rest are q152-style twins of their reference sibling. Kept =
+      // batch images with no reference hash within Hamming 6 — the
+      // oracle brute-forces the cross-corpus join.
       val png = udf((id: Long) => {
         val j = id % 250
         val sx = 20 + j % 40 +
           (if (id >= 250) { if (id % 5 == 0) 9 else id % 2 } else 0)
+        val sy = 3 + j % 11 + (if (id >= 250 && id % 5 == 0) 13 else 0)
         Multimodal.MediaSynth.gradientPngBytes(9, 8,
-          ((j * 37) % 256).toInt, sx.toInt, (3 + j % 11).toInt)
+          ((j * 37) % 256).toInt, sx.toInt, sy.toInt)
       })
       val all = tbl(s, dir, "documents").select(col("doc_id"))
         .withColumn("img", png(col("doc_id")))
@@ -1875,15 +1879,20 @@ object SparkEntry {
 
     "q165_audio_dedup_against" -> ((s, dir) => {
       // Incremental audio dedup: batch clips (doc_id >= 250) against the
-      // reference corpus (doc_id < 250). Every 5th batch clip is novel
-      // (bins shifted by 50 mod 97, which can collide back — the oracle
-      // decides); the rest are q154-style twins. Kept = batch clips with
-      // < 3 of 4 frames agreeing with every reference clip.
+      // reference corpus (doc_id < 250). Every 5th batch clip is novel:
+      // its bins land in [100, 127], DISJOINT from the [3, 99] range the
+      // reference corpus occupies (and under the 128-bin Nyquist limit
+      // of the 256-sample FFT), so every novel clip must survive — a
+      // non-trivial kept set the gate can discriminate on (the round-7
+      // +50 mod 97 shift mapped every novel clip back onto a reference
+      // fingerprint, asserting an empty kept set). The rest are
+      // q154-style twins. Kept = batch clips with < 3 of 4 frames
+      // agreeing with every reference clip.
       val wav = udf((id: Long) => {
         val j = id % 250
         val cs = Array.tabulate(4) { f =>
           val b = 3 + (j * 7 + f * 11) % 97
-          if (id >= 250 && id % 5 == 0) (3 + (j * 7 + f * 11 + 50) % 97).toInt
+          if (id >= 250 && id % 5 == 0) (100 + (j * 7 + f * 11) % 28).toInt
           else if (id >= 250 && id % 2 == 1 && f == 0) (b + 1).toInt
           else b.toInt
         }
@@ -4071,7 +4080,9 @@ object SparkEntry {
                      THEN (CASE WHEN doc_id % 5 = 0 THEN 9
                            ELSE doc_id % 2 END)
                      ELSE 0 END) AS sx,
-             3 + (doc_id % 250) % 11 AS sy
+             3 + (doc_id % 250) % 11 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                     THEN 13 ELSE 0 END) AS sy
            FROM documents
          ), bits AS (
            SELECT doc_id, g.y * 8 + g.x AS i,
@@ -4102,7 +4113,7 @@ object SparkEntry {
       """WITH fp AS (
            SELECT doc_id, f.f AS frame,
              CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
-                  THEN 3 + ((doc_id % 250) * 7 + f.f * 11 + 50) % 97
+                  THEN 100 + ((doc_id % 250) * 7 + f.f * 11) % 28
                   WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
                   THEN 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 + 1
                   ELSE 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 END AS bin

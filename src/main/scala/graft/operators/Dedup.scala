@@ -151,9 +151,8 @@ object Dedup {
 
   /** Explode per-doc band keys, drop oversized/singleton buckets.
     * Input: (id, __keys: array<long>); output: (id, band, bucket).
-    * A window count on the bucket key beats the aggregate+join
-    * formulation here (measured: one shuffle+sort vs two shuffles; the
-    * banded rows are slim, so the sort is cheap).
+    * The cap is the skew-robust [[Banding.capBuckets]] (partial-agg
+    * count + join-back — no single task ever holds a hot bucket).
     *
     * NB: `InferFiltersFromGenerate` clones the `__keys` expression into a
     * size/null pre-filter under the explode, so an expensive key kernel
@@ -165,11 +164,7 @@ object Dedup {
   private def candidateBands(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val banded = keyed
       .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    banded
-      .withColumn("__bs", count(lit(1)).over(wBucket))
-      .filter(col("__bs") <= maxBucket && col("__bs") > 1)
-      .drop("__bs")
+    Banding.capBuckets(banded, Seq("band", "bucket"), maxBucket, minOccupancy = 2)
   }
 
   /** Distinct (idA < idB) pairs sharing any (band, bucket). */
@@ -561,10 +556,7 @@ object Dedup {
     def cappedBands(sh: DataFrame): DataFrame = {
       val banded = minhashKeyed(sh, bands, rowsPerBand)
         .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      banded.withColumn("__bs", count(lit(1)).over(w))
-        .filter(col("__bs") <= maxBucket)
-        .drop("__bs")
+      Banding.capBuckets(banded, Seq("band", "bucket"), maxBucket, minOccupancy = 1)
     }
     val shB = minhashShingled(batch, textCol, idCol, shingleSize)
     val shR = minhashShingled(reference, textCol, idCol, shingleSize)
@@ -677,10 +669,7 @@ object Dedup {
     def capped(hashed: DataFrame): DataFrame = {
       val banded = simhashKeyed(hashed, maxHamming, bits)
         .select(col("id"), posexplode(col("__keys")).as(Seq("band", "bucket")))
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      banded.withColumn("__bs", count(lit(1)).over(w))
-        .filter(col("__bs") <= maxBucket)
-        .drop("__bs")
+      Banding.capBuckets(banded, Seq("band", "bucket"), maxBucket, minOccupancy = 1)
     }
     val cand = capped(hashedNew)
       .select(col("band"), col("bucket"), col("id").as("idNew"))

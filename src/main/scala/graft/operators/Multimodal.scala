@@ -1099,12 +1099,8 @@ object Multimodal {
       maxBucket: Int,
       bandWidth: Int,
       agree: (Column, Column) => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wBucket = Window.partitionBy(col("bucket"))
-    val capped = sequenceBanded(slim, bandWidth)
-      .withColumn("__n", count(lit(1)).over(wBucket))
-      .filter(col("__n") <= maxBucket && col("__n") > 1)
-      .drop("__n")
+    val capped = Banding.capBuckets(
+      sequenceBanded(slim, bandWidth), Seq("bucket"), maxBucket, minOccupancy = 2)
     val candidates = capped.select(col("bucket"), col("id").as("idA"))
       .join(capped.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
       .filter(col("idA") < col("idB"))
@@ -1133,13 +1129,9 @@ object Multimodal {
       maxBucket: Int,
       bandWidth: Int,
       agree: (Column, Column) => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wBucket = Window.partitionBy(col("bucket"))
     def capped(slim: DataFrame): DataFrame =
-      sequenceBanded(slim, bandWidth)
-        .withColumn("__n", count(lit(1)).over(wBucket))
-        .filter(col("__n") <= maxBucket)
-        .drop("__n")
+      Banding.capBuckets(
+        sequenceBanded(slim, bandWidth), Seq("bucket"), maxBucket, minOccupancy = 1)
     val candidates = capped(slimNew).select(col("bucket"), col("id").as("idNew"))
       .join(capped(slimRef).select(col("bucket"), col("id").as("idRef")), Seq("bucket"))
       .select(col("idNew"), col("idRef"))
