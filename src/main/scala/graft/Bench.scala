@@ -58,14 +58,44 @@ object Bench {
     * shape) over `batches` micro-batches into a memory sink. Times the
     * state-store path — watermark advance, window state add/evict, sink
     * append — which the batch headliners never touch, so a state-
-    * management regression shows up here and nowhere else. */
+    * management regression shows up here and nowhere else.
+    *
+    * Cost model, established by tools/StreamProbe in round 8: each
+    * micro-batch's wall time is DOMINATED by state-store commit
+    * (commitTimeMs ≈ 12-17 s summed over the 32 partitions for only 256
+    * state rows — per-partition fixed fsync/rename cost, not data
+    * volume), so qS1 tracks HOST DISK LATENCY, which the cpu/spark
+    * calibrations cannot see — that is what the unexplained r6/r7
+    * 4× swing on unchanged code was (re-measured ~7.5-10 s in r8,
+    * matching r5's 9.55 s). Normalize qS1 deltas by `disk_fsync_sec`
+    * before reading them as regressions. RocksDBStateStoreProvider was
+    * A/B'd and is ~1.7× WORSE here (higher per-commit checkpoint cost
+    * at tiny state), so the default provider stands. */
   private def benchStreaming(spark: SparkSession, nEvents: Int, batches: Int): Double = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, String, Double)]
-    val df = input.toDF.toDF("ts", "key", "v")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    // Each micro-batch ships ONE row — the batch index — and the events
+    // are derived IN-STREAM by explode(sequence(...)): the old
+    // driver-side Seq[(Timestamp, String, Double)] was encoded into the
+    // micro-batch plan and rode into every task binary (rounds 5-7's
+    // "Broadcasting large task binary with size 2.8 MiB" bench-tail
+    // warning — StreamProbe pinned it to this exact closure). Derived
+    // event values are IDENTICAL (timestamp_millis is instant-based like
+    // java.sql.Timestamp), batch boundaries are identical, and the
+    // fixture synthesis is negligible arithmetic ahead of the shuffle,
+    // so the state-store path qS1 exists to measure is unchanged.
+    val perBatchE = nEvents / batches
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = input.toDF
+      .select(explode(sequence(
+        col("value").cast("long") * perBatchE,
+        (col("value").cast("long") + 1) * perBatchE - 1)).as("e"))
+      .select(
+        timestamp_millis(lit(baseMs) + col("e") * 50).as("ts"),
+        concat(lit("k"), col("e") % 64).as("key"),
+        (col("e") % 97).cast("double").as("v"))
     val agg = graft.streaming.Stream.windowedAgg(df, "ts",
       watermarkDelay = "10 minutes", windowDuration = "10 minutes",
       aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
@@ -74,22 +104,11 @@ object Bench {
     val q = agg.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-      val perBatch = nEvents / batches
-      // fixtures are built BEFORE the clock starts: the timed span must
-      // measure addData + processAllAvailable (the state-store path), not
-      // driver-side Scala collection allocation
-      val batchData = (0 until batches).map { b =>
-        (0 until perBatch).map { i =>
-          val e = b * perBatch + i
-          // 50 ms event spacing: the event-time span crosses many windows,
-          // so every batch both opens new state and finalizes old state
-          (new java.sql.Timestamp(base + e.toLong * 50), s"k${e % 64}", (e % 97).toDouble)
-        }
-      }
+      // 50 ms event spacing: the event-time span crosses many windows,
+      // so every batch both opens new state and finalizes old state.
       val t0 = System.nanoTime()
-      batchData.foreach { d =>
-        input.addData(d)
+      (0 until batches).foreach { b =>
+        input.addData(Seq(b))
         q.processAllAvailable()
       }
       // end the measurement BEFORE stop(): shutdown latency is not the
@@ -118,6 +137,38 @@ object Bench {
     val times = (0 until math.max(1, runs)).map(_ => once())
     if (sink == 42L) System.err.println("") // keep `sink` observably live
     times.min
+  }
+
+  /** Fixed-work disk calibration: create + write + fsync 64 4-KiB files,
+    * min-of-N. The state-store commit path that dominates qS1 is
+    * fsync-bound (per-partition delta-file create/force/rename), which
+    * neither the CPU kernel nor the spark-range job touches — the r6/r7
+    * "qS1 regressed 4× on unchanged code" mystery was exactly a host
+    * disk-latency swing the other two calibrations certified as "flat".
+    * Divide cross-round qS1 deltas by this ratio first. */
+  private[graft] def diskCalibration(runs: Int): Double = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_disk_cal")
+    val payload = Array.fill(4096)(7.toByte)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 64) {
+        val p = dir.resolve(s"f$i")
+        val ch = java.nio.channels.FileChannel.open(p,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+          StandardOpenOption.TRUNCATE_EXISTING)
+        try { ch.write(java.nio.ByteBuffer.wrap(payload)); ch.force(true) }
+        finally ch.close()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    try { once(); (0 until math.max(1, runs)).map(_ => once()).min }
+    finally {
+      (0 until 64).foreach(i => Files.deleteIfExists(dir.resolve(s"f$i")))
+      Files.deleteIfExists(dir)
+    }
   }
 
   /** Fixed-work Spark calibration: a constant `range → xxhash64 → sum`
@@ -197,12 +248,13 @@ object Bench {
     // reading them as plan regressions
     val calCpu = cpuCalibration(runs)
     val calSpark = sparkCalibration(spark, runs)
+    val calDisk = diskCalibration(runs)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"note":"fixed work; divide cross-round query deltas by the calibration ratio before reading them as regressions"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"note":"fixed work; divide cross-round query deltas by the calibration ratio before reading them as regressions; qS1 is fsync-bound, normalize it by disk_fsync_sec"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()
   }
 }
