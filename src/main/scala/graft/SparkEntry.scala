@@ -1935,6 +1935,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q167_image_incr_cap_report" -> ((s, dir) => {
+      // Per-side cap observability for q164's cross-corpus banding: the
+      // *DedupAgainst family caps each side SEPARATELY, so the report
+      // carries one row per side — every counter replays from the
+      // planted hash arithmetic at a deliberately tight maxBucket.
+      val png = udf((id: Long) => {
+        val j = id % 250
+        val sx = 20 + j % 40 +
+          (if (id >= 250) { if (id % 5 == 0) 9 else id % 2 } else 0)
+        val sy = 3 + j % 11 + (if (id >= 250 && id % 5 == 0) 13 else 0)
+        Multimodal.MediaSynth.gradientPngBytes(9, 8,
+          ((j * 37) % 256).toInt, sx.toInt, sy.toInt)
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", png(col("doc_id")))
+      Multimodal.imageIncrementalCapReport(
+          all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+          "img", "doc_id", maxHamming = 6, maxBucket = 3).get
+        .orderBy("side")
+    }),
+
+    "q168_audio_incr_cap_report" -> ((s, dir) => {
+      // Per-side cap observability for q165's cross-corpus banding
+      // (bandWidth 2 over the 4-frame dominant-bin sequences, maxBucket
+      // 1 so every shared bucket counts as dropped on its side).
+      val wav = udf((id: Long) => {
+        val j = id % 250
+        val cs = Array.tabulate(4) { f =>
+          val b = 3 + (j * 7 + f * 11) % 97
+          if (id >= 250 && id % 5 == 0) (100 + (j * 7 + f * 11) % 28).toInt
+          else if (id >= 250 && id % 2 == 1 && f == 0) (b + 1).toInt
+          else b.toInt
+        }
+        Multimodal.MediaSynth.frameSineWavBytes(8000, 256, cs.toSeq, 12000)
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("aud", wav(col("doc_id")))
+      Multimodal.audioIncrementalCapReport(
+          all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+          "aud", "doc_id", nFft = 256, maxBucket = 1, bandWidth = 2).get
+        .orderBy("side")
+    }),
+
+    "q169_video_incr_cap_report" -> ((s, dir) => {
+      // Per-side cap observability for q166's cross-corpus banding
+      // (2-frame band keys over the per-frame dHash sequences).
+      val clip = udf((id: Long) => {
+        val j = id % 250
+        val novel = id >= 250 && id % 5 == 0
+        Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+          val base = (j * 37 + f * 13 + (if (novel) 101 else 0)) % 256
+          val sx = 20 + j % 40 +
+            (if (id >= 250 && id % 2 == 1 && f == 0 && !novel) 1 else 0)
+          Multimodal.MediaSynth.gradientPngBytes(9, 8,
+            base.toInt, sx.toInt, (3 + (j + f) % 11).toInt)
+        })
+      })
+      val all = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", clip(col("doc_id")))
+      Multimodal.videoIncrementalCapReport(
+          all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+          "vid", "doc_id", maxBucket = 1, bandWidth = 2).get
+        .orderBy("side")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4167,6 +4232,135 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM h
          WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",
+
+    // q167: the q164 hash replay → 9-bit band slices (q162's layout),
+    // occupancy counters per SIDE at maxBucket = 3.
+    "q167_image_incr_cap_report" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id >= 250 THEN 'batch' ELSE 'reference' END
+               AS side,
+             (doc_id % 250) * 37 % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250
+                     THEN (CASE WHEN doc_id % 5 = 0 THEN 9
+                           ELSE doc_id % 2 END)
+                     ELSE 0 END) AS sx,
+             3 + (doc_id % 250) % 11 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                     THEN 13 ELSE 0 END) AS sy
+           FROM documents
+         ), bits AS (
+           SELECT doc_id, side, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, side,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, side
+         ), bands AS (
+           SELECT doc_id, side, bb.b AS band,
+             CASE WHEN bb.b <= 2 THEN (lo >> (9 * bb.b)) & 511
+                  WHEN bb.b = 3 THEN ((lo >> 27) & 31) | ((hi & 15) << 5)
+                  ELSE (hi >> (9 * bb.b - 32)) & 511 END AS bucket
+           FROM h, range(7) AS bb(b)
+         ), occ AS (
+           SELECT side, band, bucket, count(*) AS n
+           FROM bands GROUP BY 1, 2, 3
+         )
+         SELECT side, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > 3 THEN 1 END) AS BIGINT)
+             AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 3 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ GROUP BY side ORDER BY side""",
+
+    // q168: the q165 bin replay → 2-frame band keys → occupancy
+    // counters per SIDE at maxBucket = 1 (bucket identity is the
+    // grouped bin string; the engine-side xxhash64 only renames it).
+    "q168_audio_incr_cap_report" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             CASE WHEN doc_id >= 250 THEN 'batch' ELSE 'reference' END
+               AS side,
+             f.f AS frame,
+             CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                  THEN 100 + ((doc_id % 250) * 7 + f.f * 11) % 28
+                  WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                  THEN 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 + 1
+                  ELSE 3 + ((doc_id % 250) * 7 + f.f * 11) % 97 END AS bin
+           FROM documents, range(4) AS f(f)
+         ), bk AS (
+           SELECT side, doc_id, frame // 2 AS band,
+             string_agg(bin, ',' ORDER BY frame) AS key
+           FROM fp GROUP BY side, doc_id, frame // 2
+         ), occ AS (
+           SELECT side, band, key, count(*) AS n FROM bk GROUP BY 1, 2, 3
+         )
+         SELECT side, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+             AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ GROUP BY side ORDER BY side""",
+
+    // q169: the q166 per-frame hash replay → 2-frame band keys →
+    // occupancy counters per SIDE at maxBucket = 1.
+    "q169_video_incr_cap_report" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id >= 250 THEN 'batch' ELSE 'reference' END
+               AS side,
+             f.f AS frame,
+             ((doc_id % 250) * 37 + f.f * 13 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+                     THEN 101 ELSE 0 END)) % 256 AS base,
+             20 + (doc_id % 250) % 40 +
+               (CASE WHEN doc_id >= 250 AND doc_id % 2 = 1 AND f.f = 0
+                       AND doc_id % 5 <> 0
+                     THEN 1 ELSE 0 END) AS sx,
+             3 + ((doc_id % 250) + f.f) % 11 AS sy
+           FROM documents, range(4) AS f(f)
+         ), bits AS (
+           SELECT doc_id, side, frame, g.y * 8 + g.x AS i,
+             CASE WHEN (base + sx * (g.x + 1) + sy * g.y) % 256 >
+                       (base + sx * g.x + sy * g.y) % 256
+                  THEN 1 ELSE 0 END AS b
+           FROM p, (SELECT xx.x AS x, yy.y AS y
+                    FROM range(8) AS xx(x), range(8) AS yy(y)) g
+         ), h AS (
+           SELECT doc_id, side, frame,
+             CAST(sum(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN i < 32
+                           THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id, side, frame
+         ), bk AS (
+           SELECT side, doc_id, frame // 2 AS band,
+             string_agg(hi || ':' || lo, ',' ORDER BY frame) AS key
+           FROM h GROUP BY side, doc_id, frame // 2
+         ), occ AS (
+           SELECT side, band, key, count(*) AS n FROM bk GROUP BY 1, 2, 3
+         )
+         SELECT side, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+             AS n_dropped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             AS rows_in_dropped_buckets,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
+         FROM occ GROUP BY side ORDER BY side""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

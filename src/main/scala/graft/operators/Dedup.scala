@@ -699,6 +699,25 @@ object Dedup {
     capReportFromKeys(simhashKeyed(hashed, maxHamming, bits), maxBucket)
   }
 
+  /** Cap report for [[simhashPairsAgainstFrom]]: one row per side
+    * (`side` ∈ batch, reference) — the cross-corpus join caps each side
+    * SEPARATELY, so both sides' occupancy matters
+    * ([[incrementalCapReport]]'s contract over precomputed signatures;
+    * the image dHash family routes through here via
+    * [[graft.operators.Multimodal.imageIncrementalCapReport]]). */
+  def simhashIncrementalCapReportFrom(
+      hashedNew: DataFrame,
+      hashedRef: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      bits: Int = 64
+  ): MayFail[DataFrame] = MayFail {
+    def side(hashed: DataFrame, name: String): DataFrame =
+      capReportFromKeys(simhashKeyed(hashed, maxHamming, bits), maxBucket)
+        .select(lit(name).as("side"), col("*"))
+    side(hashedNew, "batch").unionByName(side(hashedRef, "reference"))
+  }
+
   /** Cap report for [[simhashPairs]] at these parameters (text surface
     * of [[simhashCapReportFrom]]). */
   def simhashCapReport(

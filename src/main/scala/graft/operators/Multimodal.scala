@@ -704,20 +704,27 @@ object Multimodal {
     * `(id, band, bucket)` rows, never pixel data.
     *
     * The slim `(id, hash)` frame is persisted (MEMORY_AND_DISK) so the
-    * decode pass runs once across the four plan paths that read it; the
-    * entry lives until the session ends or `spark.catalog.clearCache()`
-    * — long-running services calling this repeatedly should clear
-    * between corpora. */
+    * decode pass runs once across the four plan paths that read it. With
+    * `materialize = false` (default) the returned plan stays lazy and
+    * the cache entry lives until the session ends; long-running services
+    * calling this repeatedly should pass `materialize = true`, which
+    * eagerly `localCheckpoint`s the pairs (severing their lineage from
+    * the cache entry) and unpersists EXACTLY this frame before returning
+    * — the dedup wrappers' release discipline, without the
+    * `spark.catalog.clearCache()` footgun of evicting unrelated caches. */
   def imageNearDupPairs(
       df: DataFrame,
       binCol: String,
       idCol: String,
       maxHamming: Int = 6,
-      maxBucket: Int = 10000): MayFail[DataFrame] =
+      maxBucket: Int = 10000,
+      materialize: Boolean = false): MayFail[DataFrame] =
     for {
       slim <- imageSlimHashes(df, binCol, idCol)
       pairs <- Dedup.simhashPairsFrom(slim, maxHamming, maxBucket, bits = 64)
-    } yield pairs
+    } yield
+      if (materialize) { val out = pairs.localCheckpoint(true); slim.unpersist(); out }
+      else pairs
 
   /** Persisted slim `(id, sh)` dHash frame: it feeds four plan paths
     * (banding + both sides of pair verification); without a persist
@@ -725,7 +732,7 @@ object Multimodal {
     * so pin the slim 16-byte/row hash frame instead (storage scales with
     * row count, not payload bytes; spills to disk if it must). The dedup
     * wrappers unpersist it after their terminal action; pair-level
-    * callers release via `spark.catalog.clearCache()` between corpora. */
+    * callers release it with `materialize = true`. */
   private def imageSlimHashes(
       df: DataFrame,
       binCol: String,
@@ -750,6 +757,28 @@ object Multimodal {
       hashed <- imageDHash(df.filter(col(binCol).isNotNull)
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "sh")
       rep <- Dedup.simhashCapReportFrom(hashed.select(col("id"), col("sh")),
+        maxHamming, maxBucket, bits = 64)
+    } yield rep
+
+  /** Cap report for [[imageDedupAgainst]]: one row per side (`side` ∈
+    * batch, reference) — the cross-corpus join caps each side
+    * SEPARATELY, so both sides' occupancy matters. Single pass per
+    * side, nothing persisted. */
+  def imageIncrementalCapReport(
+      batch: DataFrame,
+      reference: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxHamming: Int = 6,
+      maxBucket: Int = 10000): MayFail[DataFrame] =
+    for {
+      hashedNew <- imageDHash(batch.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "sh")
+      hashedRef <- imageDHash(reference.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "sh")
+      rep <- Dedup.simhashIncrementalCapReportFrom(
+        hashedNew.select(col("id"), col("sh")),
+        hashedRef.select(col("id"), col("sh")),
         maxHamming, maxBucket, bits = 64)
     } yield rep
 
@@ -1037,9 +1066,13 @@ object Multimodal {
     * n_matches)`.
     *
     * The slim fingerprint frame is persisted (MEMORY_AND_DISK) so the
-    * codec+FFT pass runs once; the entry lives until the session ends or
-    * `spark.catalog.clearCache()` — long-running services calling this
-    * repeatedly should clear between corpora. */
+    * codec+FFT pass runs once. With `materialize = false` (default) the
+    * returned plan stays lazy and the cache entry lives until the
+    * session ends; long-running services calling this repeatedly should
+    * pass `materialize = true`, which eagerly `localCheckpoint`s the
+    * pairs and unpersists EXACTLY this frame before returning (the
+    * dedup wrappers' release discipline — no
+    * `spark.catalog.clearCache()`, which would evict unrelated caches). */
   def audioNearDupPairs(
       df: DataFrame,
       binCol: String,
@@ -1047,11 +1080,16 @@ object Multimodal {
       nFft: Int = 1024,
       minMatches: Int = 3,
       maxBucket: Int = 10000,
-      bandWidth: Int = 1): MayFail[DataFrame] =
+      bandWidth: Int = 1,
+      materialize: Boolean = false): MayFail[DataFrame] =
     for {
       _ <- MayFail(require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth"))
       slim <- audioSlimFingerprints(df, binCol, idCol, nFft)
-    } yield sequencePairsFrom(slim, minMatches, maxBucket, bandWidth, posEquals)
+    } yield {
+      val pairs = sequencePairsFrom(slim, minMatches, maxBucket, bandWidth, posEquals)
+      if (materialize) { val out = pairs.localCheckpoint(true); slim.unpersist(); out }
+      else pairs
+    }
 
   /** Persisted slim `(id, __fp)` fingerprint frame — the decode+FFT pass
     * runs once for every plan path that reads it. Callers that finish
@@ -1118,7 +1156,8 @@ object Multimodal {
   /** Cross-corpus variant of [[sequencePairsFrom]]: batch bands join
     * reference bands on the bucket key; each side is capped SEPARATELY
     * (a bucket can be dropped on one side and kept on the other — both
-    * sides' occupancy is queryable via the cap reports). Single-occupant
+    * sides' occupancy is queryable in one call via the per-side
+    * `*IncrementalCapReport` surfaces). Single-occupant
     * buckets survive here, unlike the self-join: one batch row and one
     * reference row in the same bucket IS a candidate. Output
     * `(idNew, idRef, n_matches)`. */
@@ -1175,6 +1214,32 @@ object Multimodal {
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
     } yield capReportFromBuckets(
       sequenceBanded(fp.select(col("id"), col("__fp")), bandWidth), maxBucket)
+
+  /** Cap report for [[audioDedupAgainst]]: one row per side (`side` ∈
+    * batch, reference) — the cross-corpus join caps each side
+    * SEPARATELY, so both sides' occupancy matters. Single pass per
+    * side, nothing persisted. */
+  def audioIncrementalCapReport(
+      batch: DataFrame,
+      reference: DataFrame,
+      binCol: String,
+      idCol: String,
+      nFft: Int = 1024,
+      maxBucket: Int = 10000,
+      bandWidth: Int = 1): MayFail[DataFrame] =
+    for {
+      _ <- MayFail(require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth"))
+      fpNew <- audioFingerprint(batch.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
+      fpRef <- audioFingerprint(reference.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", nFft)
+    } yield {
+      def side(fp: DataFrame, name: String): DataFrame =
+        capReportFromBuckets(
+          sequenceBanded(fp.select(col("id"), col("__fp")), bandWidth), maxBucket)
+          .select(lit(name).as("side"), col("*"))
+      side(fpNew, "batch").unionByName(side(fpRef, "reference"))
+    }
 
   /** Incremental audio dedup: keep only the batch clips that do NOT
     * near-duplicate the reference corpus — the production ingest shape
@@ -1308,7 +1373,9 @@ object Multimodal {
     * to surface — size `bandWidth` accordingly. The `maxBucket` cap
     * prunes candidate buckets, never scores ([[audioNearDupPairs]]'s
     * contract); occupancy is queryable via [[videoCapReport]]. Output
-    * `(idA, idB, n_matches)`. */
+    * `(idA, idB, n_matches)`. `materialize = true` eagerly
+    * `localCheckpoint`s the pairs and releases the pinned slim
+    * fingerprint frame before returning (see [[audioNearDupPairs]]). */
   def videoNearDupPairs(
       df: DataFrame,
       binCol: String,
@@ -1317,7 +1384,8 @@ object Multimodal {
       maxBucket: Int = 10000,
       bandWidth: Int = 1,
       frameHamming: Int = 0,
-      maxFrames: Int = 256): MayFail[DataFrame] =
+      maxFrames: Int = 256,
+      materialize: Boolean = false): MayFail[DataFrame] =
     for {
       _ <- MayFail {
         require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
@@ -1325,8 +1393,12 @@ object Multimodal {
           s"frameHamming out of range: $frameHamming")
       }
       slim <- videoSlimFingerprints(df, binCol, idCol, maxFrames)
-    } yield sequencePairsFrom(slim, minMatches, maxBucket, bandWidth,
-      frameAgree(frameHamming))
+    } yield {
+      val pairs = sequencePairsFrom(slim, minMatches, maxBucket, bandWidth,
+        frameAgree(frameHamming))
+      if (materialize) { val out = pairs.localCheckpoint(true); slim.unpersist(); out }
+      else pairs
+    }
 
   /** Transitive video dedup: [[videoNearDupPairs]] →
     * [[Dedup.duplicateClusters]] connected components → keep the
@@ -1377,6 +1449,32 @@ object Multimodal {
         .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", maxFrames)
     } yield capReportFromBuckets(
       sequenceBanded(fp.select(col("id"), col("__fp")), bandWidth), maxBucket)
+
+  /** Cap report for [[videoDedupAgainst]]: one row per side (`side` ∈
+    * batch, reference) — the cross-corpus join caps each side
+    * SEPARATELY, so both sides' occupancy matters. Single pass per
+    * side, nothing persisted. */
+  def videoIncrementalCapReport(
+      batch: DataFrame,
+      reference: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxBucket: Int = 10000,
+      bandWidth: Int = 1,
+      maxFrames: Int = 256): MayFail[DataFrame] =
+    for {
+      _ <- MayFail(require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth"))
+      fpNew <- videoFingerprint(batch.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", maxFrames)
+      fpRef <- videoFingerprint(reference.filter(col(binCol).isNotNull)
+        .select(col(idCol).as("id"), col(binCol).as("__bin")), "__bin", "__fp", maxFrames)
+    } yield {
+      def side(fp: DataFrame, name: String): DataFrame =
+        capReportFromBuckets(
+          sequenceBanded(fp.select(col("id"), col("__fp")), bandWidth), maxBucket)
+          .select(lit(name).as("side"), col("*"))
+      side(fpNew, "batch").unionByName(side(fpRef, "reference"))
+    }
 
   /** Incremental video dedup: keep only the batch clips that do NOT
     * near-duplicate the reference corpus ([[audioDedupAgainst]]'s shape

@@ -664,12 +664,46 @@ class MultimodalSpec extends AnyFunSuite {
       maxHamming = 0, maxBucket = Int.MaxValue).get.count() == 0)
     assert(spark.sharedState.cacheManager.isEmpty,
       "imageDedupAgainst must unpersist both slim hash frames")
-    // the PAIR-level ops keep the documented persist (callers that chain
-    // multiple reads off the pairs frame rely on it) — released by
-    // clearCache between corpora
+    // the PAIR-level ops keep the documented persist by default (callers
+    // that chain multiple reads off the pairs frame rely on it)...
     assert(Multimodal.imageNearDupPairs(imgDf, "img", "id",
       maxHamming = 0, maxBucket = Int.MaxValue).get.count() >= 1)
     assert(!spark.sharedState.cacheManager.isEmpty)
     spark.catalog.clearCache()
+    // ...and release EXACTLY their own frame with materialize = true —
+    // the long-running-service path, no clearCache footgun
+    assert(Multimodal.imageNearDupPairs(imgDf, "img", "id",
+      maxHamming = 0, maxBucket = Int.MaxValue, materialize = true)
+      .get.count() >= 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "imageNearDupPairs(materialize = true) must unpersist its slim frame")
+    assert(Multimodal.audioNearDupPairs(audDf, "aud", "id",
+      nFft = 256, minMatches = 4, materialize = true).get.count() == 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "audioNearDupPairs(materialize = true) must unpersist its slim frame")
+    assert(Multimodal.videoNearDupPairs(vidDf, "vid", "id",
+      minMatches = 2, materialize = true).get.count() == 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "videoNearDupPairs(materialize = true) must unpersist its slim frame")
+  }
+
+  test("incremental cap reports count each side separately") {
+    // batch: 3 clips sharing one fingerprint; reference: the same
+    // fingerprint once plus a distinct one — at maxBucket = 2 the shared
+    // bucket is dropped on the batch side (occupancy 3) but KEPT on the
+    // reference side (occupancy 1): the per-side report must show the
+    // asymmetry the cross-corpus join actually acts on.
+    val aud = Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(5, 17, 40, 8), 12000)
+    val other = Multimodal.MediaSynth.frameSineWavBytes(8000, 256, Seq(90, 91, 92, 93), 12000)
+    val batch = (0L until 3L).map((_, aud)).toDF("id", "aud")
+    val ref = Seq((10L, aud), (11L, other)).toDF("id", "aud")
+    val rep = Multimodal.audioIncrementalCapReport(batch, ref, "aud", "id",
+        nFft = 256, maxBucket = 2).get
+      .orderBy("side")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // 4 single-frame bands per fingerprint: batch = 4 buckets all at
+    // occupancy 3 (dropped); reference = 8 singleton buckets, none dropped
+    assert(rep(0) == (("batch", 4L, 4L, 12L, 3L)))
+    assert(rep(1) == (("reference", 8L, 0L, 0L, 1L)))
   }
 }
