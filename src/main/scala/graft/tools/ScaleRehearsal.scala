@@ -27,7 +27,8 @@ object ScaleRehearsal {
     // 4 — normalize cross-round deltas by the calibration ratio first
     val calCpu = graft.Bench.cpuCalibration(2)
     val calSpark = graft.Bench.sparkCalibration(spark, 2)
-    println(f"[rehearsal] calibration cpu=$calCpu%.2f s spark=$calSpark%.2f s")
+    val calDisk = graft.Bench.diskCalibration(2)
+    println(f"[rehearsal] calibration cpu=$calCpu%.2f s spark=$calSpark%.2f s disk=$calDisk%.3f s")
     def writeArtifact(aborted: Boolean): Unit = {
       val ts = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
@@ -35,7 +36,7 @@ object ScaleRehearsal {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
         s"""{"mult":$mult,"aborted":$aborted,"timings_sec":$ts,"invariants":$inv,""" +
-          s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.2f"},"spark_range_sec":${f"$calSpark%.2f"}}}""" + "\n")
+          s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.2f"},"spark_range_sec":${f"$calSpark%.2f"},"disk_fsync_sec":${f"$calDisk%.3f"}}}""" + "\n")
     }
     def check(name: String, cond: Boolean, msg: => String): Unit = {
       invariants(name) = cond
@@ -173,6 +174,13 @@ object ScaleRehearsal {
         docsImg, "img", "doc_id", maxHamming = 6, maxBucket = 10000).get.cache()
       imagePairs.count()
     }
+    // count the planted siblings NOW, while the pairs are cached (the
+    // video section clears the session cache to isolate its own
+    // release invariant); the checks stay in the invariant section
+    val imgPlantedFound = imagePairs
+      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
+      .count()
+    imagePairs.unpersist()
     // planted audio siblings: docs (2k, 2k+1) share splitmix-drawn cycles
     // on frames 1-3 and differ on frame 0 → every even doc pairs with its
     // successor at exactly >= 3 matching frames (recall invariant below);
@@ -195,6 +203,67 @@ object ScaleRehearsal {
         docsAud, "aud", "doc_id", nFft = 256, minMatches = 3,
         maxBucket = 10000, bandWidth = 2).get.cache()
       audioPairs.count()
+    }
+    val plantedFound = audioPairs
+      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
+      .count()
+    audioPairs.unpersist()
+
+    // round-7 video family at scale: per-frame dHash sequences under the
+    // audio banding skeleton. Sibling clips (2k, 2k+1) share noise frames
+    // 1-3 and differ (≤ 1 dHash bit — possibly 0) on frame 0, so with
+    // bandWidth = 2 the (frames 2,3) band is shared INTACT → every
+    // planted pair must surface with n_matches >= 3 (pigeonhole at exact
+    // frame equality). materialize = true exercises the round-8 release
+    // path: the slim fingerprint frame must not stay pinned.
+    // isolate the cache-release invariant below: earlier sections'
+    // documented lazy persists (pair-level ops) would otherwise mask
+    // whether the VIDEO path released its own frame
+    spark.catalog.clearCache()
+    val sibClip = udf((id: Long) => {
+      val g = id / 2
+      graft.operators.Multimodal.MediaSynth.framesContainer((0 until 4).map { f =>
+        graft.operators.Multimodal.MediaSynth.noisePngBytes(
+          9, 8, g * 4 + f, tweak = if (f == 0 && id % 2 == 1) 7 else 0)
+      })
+    })
+    val docsVid = docs.select(col("doc_id"), sibClip(col("doc_id")).as("vid"))
+    var videoPairs: DataFrame = null
+    time("video-neardup") {
+      videoPairs = graft.operators.Multimodal.videoNearDupPairs(
+        docsVid, "vid", "doc_id", minMatches = 3, maxBucket = 10000,
+        bandWidth = 2, materialize = true).get
+      videoPairs.count()
+    }
+
+    // incremental media dedup at scale (round-7 *DedupAgainst): batch =
+    // frame-0-retweaked siblings of the first `batchN` reference clips
+    // (3-of-4 agreement → must be DROPPED) interleaved with novel clips
+    // drawn from a disjoint seed space (zero aligned-frame agreement →
+    // must SURVIVE). The kept set must be exactly the novel slots — a
+    // cap/banding/alignment bug shows up as a wrong partition, not a
+    // silent recall dip.
+    val batchN = math.min(2000L, nDocs)
+    val batchClip = udf((id: Long) => {
+      val frames =
+        if (id % 5 == 0)
+          (0 until 4).map(f => graft.operators.Multimodal.MediaSynth.noisePngBytes(
+            9, 8, (1L << 40) + id * 4 + f))
+        else {
+          val g = id / 2
+          (0 until 4).map(f => graft.operators.Multimodal.MediaSynth.noisePngBytes(
+            9, 8, g * 4 + f, tweak = if (f == 0) 13 else 0))
+        }
+      graft.operators.Multimodal.MediaSynth.framesContainer(frames)
+    })
+    val batchVid = spark.range(batchN)
+      .select(col("id").as("doc_id"), batchClip(col("id")).as("vid"))
+    var vidAgainstKept: DataFrame = null
+    time("video-dedup-against") {
+      vidAgainstKept = graft.operators.Multimodal.videoDedupAgainst(
+        batchVid, docsVid, "vid", "doc_id", minMatches = 3,
+        maxBucket = 10000, bandWidth = 2).get.select("doc_id").localCheckpoint(true)
+      vidAgainstKept.count()
     }
 
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
@@ -312,11 +381,8 @@ object ScaleRehearsal {
 
     // planted image recall: every (2k, 2k+1) one-pixel-tweak pair is
     // within 1 dHash bit, so the banded join must surface ALL of them
-    val imgPlantedFound = imagePairs
-      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
-      .count()
+    // (count computed up at the timing site, while the pairs were cached)
     val imgPlantedExpected = nDocs / 2
-    imagePairs.unpersist()
     check("image_planted_recall", imgPlantedFound == imgPlantedExpected,
       s"image near-dup must recall every planted sibling pair: " +
         s"$imgPlantedFound != $imgPlantedExpected")
@@ -325,18 +391,38 @@ object ScaleRehearsal {
     // exactly frames 1-3, so the fingerprint join must surface ALL of
     // them — a dropped bucket or a broken frame alignment shows up as a
     // missing planted pair, not as a silent recall dip
-    val plantedFound = audioPairs
-      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
-      .count()
     val plantedExpected = nDocs / 2
-    audioPairs.unpersist()
     check("audio_planted_recall", plantedFound == plantedExpected,
       s"audio near-dup must recall every planted sibling pair: " +
         s"$plantedFound != $plantedExpected")
 
+    // planted video recall: every (2k, 2k+1) sibling pair shares frames
+    // 1-3, so the 2-frame band join must surface ALL of them
+    val vidPlantedFound = videoPairs
+      .filter(col("idB") === col("idA") + 1 && pmod(col("idA"), lit(2)) === 0)
+      .count()
+    check("video_planted_recall", vidPlantedFound == nDocs / 2,
+      s"video near-dup must recall every planted sibling pair: " +
+        s"$vidPlantedFound != ${nDocs / 2}")
+    // the materialize = true pair op must have released its pinned slim
+    // fingerprint frame (the round-8 cache-release contract at scale)
+    check("video_pairs_cache_released", spark.sharedState.cacheManager.isEmpty,
+      "videoNearDupPairs(materialize = true) left a cache entry pinned")
+
+    // incremental video dedup partition: kept == exactly the novel slots
+    val keptIds = vidAgainstKept
+    val keptCnt = keptIds.count()
+    val keptNovel = keptIds.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    val expectedNovel = (0L until batchN).count(_ % 5 == 0).toLong
+    check("video_dedup_against_partition",
+      keptCnt == expectedNovel && keptNovel == keptCnt,
+      s"videoDedupAgainst must keep exactly the novel clips: kept=$keptCnt " +
+        s"(novel-of-kept=$keptNovel) expected=$expectedNovel")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
-      "semantic-dedup replication law, image/audio planted recall)")
+      "semantic-dedup replication law, image/audio/video planted recall, " +
+      "video cache release, videoDedupAgainst novel/sibling partition)")
     writeArtifact(aborted = false)
     println(s"[rehearsal] artifact written to $outPath")
     spark.stop()
