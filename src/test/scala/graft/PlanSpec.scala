@@ -34,6 +34,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "top-k is a full sort")
   }
 
+  test("q34: bucket cap is partial-agg + join-back, never a window") {
+    // Banding.capBuckets (round 8): a degenerate hot bucket must collapse
+    // map-side under partial aggregation — a count-over-Window cap would
+    // put the whole bucket into one task. Locks the skew-hardening.
+    val plan = planOf("q34_dedup_minhash")
+    assert(!plan.contains("Window"),
+      "bucket cap must not plan as a window over the bucket key")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final aggregate for the bucket occupancy count")
+  }
+
   test("q55: star joins broadcast the dimensions at small scale") {
     val plan = planOf("q55_tpch5")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
