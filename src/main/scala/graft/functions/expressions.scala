@@ -575,6 +575,52 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram STRINGS in one pass: a token-boundary walk over the
+    * (optionally lowercased) bytes, then each n-token window copied into
+    * a fresh UTF8String with single-space separators. Value-identical to
+    * `filter(split(text, "[ \t\n\r\f]+"), _ != "")` slid with
+    * `array_join(slice(toks, i, n), " ")` — but that higher-order
+    * formulation evaluates interpreted lambdas per gram position and
+    * re-slices the token array each time; this is the q143-style
+    * corpus-mining hot path, so it gets the same native treatment as
+    * the hash kernels above. */
+  def wordNgrams(s: UTF8String, n: Int, lowercase: Boolean): ArrayData = {
+    val str = if (lowercase) s.toLowerCase else s
+    val bytes = str.getBytes
+    val len = bytes.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val st = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val t = starts.length
+    if (t < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](t - n + 1)
+    var g = 0
+    while (g <= t - n) {
+      var size = n - 1
+      var j = 0
+      while (j < n) { size += ends(g + j) - starts(g + j); j += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val l = ends(g + j) - starts(g + j)
+        System.arraycopy(bytes, starts(g + j), buf, pos, l)
+        pos += l
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hash per character n-gram of the normalized text (lowercased,
     * whitespace runs collapsed to single spaces, trimmed). */
   def charShingleHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
@@ -667,6 +713,19 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "word_shingle_hashes"
+}
+
+case class WordNgrams(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.wordNgrams(input.asInstanceOf[UTF8String], n, lowercase)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.wordNgrams($c, $n, $lowercase)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
 }
 
 case class CharShingleHashes(child: Expression, n: Int, seed: Long)

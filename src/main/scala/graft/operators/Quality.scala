@@ -353,13 +353,11 @@ object Quality {
       minCount: Long = 2L,
       lowercase: Boolean = true): MayFail[DataFrame] = MayFail {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val raw = if (lowercase) lower(col(textCol)) else col(textCol)
-    val toks = filter(split(raw, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
-    // sequence(1, 0) would DESCEND ([1,0]) — guard short docs explicitly
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass gram kernel (graft.functions.WordNgrams): the
+    // split/slice/array_join formulation evaluated interpreted lambdas
+    // per gram position — 8× the whole query's cost at sf0.1 (q143
+    // 3.66 s → 0.45 s when it became this one codegen'd expression)
+    val grams = graft.functions.TextFunctions.wordNgrams(col(textCol), n, lowercase)
     df.select(col(idCol), explode(grams).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"),

@@ -34,6 +34,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sh(1) == Seq.empty)
   }
 
+  test("wordNgrams native kernel matches the split/slice/array_join formulation") {
+    // the HOF formulation is the semantic reference (it is what the
+    // DuckDB oracles replay); the native kernel must be value-identical
+    // on whitespace runs, every separator class member, unicode
+    // lowercasing, and short/empty docs
+    val df = Seq(
+      "  the quick   brown\tfox\njumps\r over\f the lazy dog  ",
+      "ÅÄÖ Ünïcödé TÉXT",
+      "ab c",
+      "one",
+      "",
+      "a b",
+      "tab\t\t\tseparated\twords"
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = filter(split(lower($"t"), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
+      val ref = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      df.select(wordNgrams($"t", n).as("g"), ref.as("r"))
+        .as[(Seq[String], Seq[String])].collect()
+        .foreach { case (g, r) => assert(g == r, s"n=$n") }
+    }
+  }
+
   test("charShingles over normalized text") {
     val sh = Seq("ab  cd").toDF("t")
       .select(charShingles($"t", 3)).as[Seq[String]].head()
