@@ -83,10 +83,17 @@ object TfIdfProbe {
       val joined = bSide.join(broadcast(aSide),
         col("__bkb") === col("__bka") && col("idA") < col("idB"))
       time("dense:candidates")(joined.count())
-      time("dense:join+cosine")(joined
+      def scored = joined
         .withColumn("cosine",
           graft.functions.VectorFunctions.vecCosineDouble(col("__ua"), col("__ub")))
-        .filter(col("cosine") >= 0.95).count())
+        .filter(col("cosine") >= 0.95)
+      time("dense:join+cosine")(scored.count())
+      // codegen differential: if interpreted mode costs the same, the
+      // codegen path never engaged and the 6 us/pair is interpretation
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      time("dense:join+cosine-nocodegen")(scored.count())
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      time("dense:join+cosine-again")(scored.count())
     }
 
     // how big is the term join actually
