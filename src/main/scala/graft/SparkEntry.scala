@@ -2000,6 +2000,29 @@ object SparkEntry {
         .orderBy("side")
     }),
 
+    "q170_retrieval_metrics" -> ((s, dir) => {
+      // TREC-style ranked-retrieval eval (nDCG/MRR/P/R @10) on an
+      // arithmetic fixture: ranked lists and graded judgments both
+      // replay as modular arithmetic, so every discount, gain, and
+      // ideal-DCG position is value-exact in the oracle. Some queries
+      // hit multiple judged docs, some none — the metrics discriminate.
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+      val results = ids.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("queryId"),
+          explode(sequence(lit(1L), lit(10L))).as("rank"))
+        .select(col("queryId"),
+          pmod(col("queryId") * 31 + col("rank") * 7, lit(500)).as("docId"),
+          col("rank"))
+      val judgments = ids
+        .select(col("doc_id").as("docId"),
+          explode(sequence(lit(0L), lit(9L))).as("queryId"))
+        .filter(pmod(col("docId") * 13 + col("queryId") * 5, lit(7)) === 0)
+        .select(col("queryId"), col("docId"),
+          (lit(1) + pmod(col("docId"), lit(3))).as("rel"))
+      Similarity.retrievalMetrics(results, judgments, k = 10).get
+        .orderBy("queryId")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4361,6 +4384,46 @@ object SparkEntry {
              AS rows_in_dropped_buckets,
            CAST(coalesce(max(n), 0) AS BIGINT) AS max_occupancy
          FROM occ GROUP BY side ORDER BY side""",
+
+    // q170: TREC nDCG/MRR/P/R@10 — ranked lists and graded judgments
+    // replay as modular arithmetic; ideal DCG positions sort grades
+    // descending (ties interchangeable, sum order-invariant).
+    "q170_retrieval_metrics" ->
+      """WITH res AS (
+           SELECT doc_id AS qid, r.r AS rank,
+             (doc_id * 31 + r.r * 7) % 500 AS did
+           FROM documents, range(1, 11) AS r(r)
+           WHERE doc_id < 10
+         ), jd AS (
+           SELECT qq.q AS qid, d.doc_id AS did,
+             1 + d.doc_id % 3 AS rel
+           FROM documents d, range(10) AS qq(q)
+           WHERE (d.doc_id * 13 + qq.q * 5) % 7 = 0
+         ), ideal AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant,
+             sum(CASE WHEN pos <= 10
+                      THEN (pow(2, rel) - 1) / log2(pos + 1) END) AS idcg
+           FROM (SELECT qid, rel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, did) AS pos
+                 FROM jd)
+           GROUP BY qid
+         ), hit AS (
+           SELECT res.qid,
+             sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
+             1.0 / min(rank) AS mrr,
+             CAST(count(*) AS BIGINT) AS n_hit
+           FROM res JOIN jd ON res.qid = jd.qid AND res.did = jd.did
+           GROUP BY res.qid
+         )
+         SELECT i.qid AS queryId,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_relevant,
+           round(coalesce(dcg, 0) / idcg, 6) AS ndcg,
+           round(coalesce(mrr, 0), 6) AS mrr,
+           round(coalesce(n_hit, 0) / 10.0, 6) AS "precision",
+           round(coalesce(n_hit, 0) / n_relevant, 6) AS recall
+         FROM ideal i LEFT JOIN hit ON i.qid = hit.qid
+         ORDER BY queryId""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -79,6 +79,64 @@ object Similarity {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
+  /** Ranked-retrieval quality metrics against graded relevance judgments
+    * — the standard eval for the BM25 / RRF / kNN retrieval surfaces
+    * feeding a training-data pipeline (TREC conventions): per judged
+    * query, `nDCG@k` (gain `2^rel − 1`, `log2(rank+1)` position
+    * discount, ideal DCG from the query's top-k grades), `MRR@k`
+    * (reciprocal rank of the first relevant hit, 0 when none),
+    * `precision@k` (hits / k) and `recall@k` (hits / total relevant).
+    *
+    * Contract: `results(queryId, docId, rank)` with 1-based ranks and
+    * ties already broken; `judgments(queryId, docId, rel)` with
+    * `rel >= 1` meaning relevant (graded). Queries with no relevant
+    * judgment drop (their ideal DCG is undefined); judged queries the
+    * results frame missed entirely score 0 across the board.
+    *
+    * Scale shape: one window over the judgments (per-query judgment
+    * lists — small by construction), two slim aggregations over
+    * `(queryId, docId, rank, rel)` rows, one join; vectors and
+    * documents never move. Returns `(queryId, n_hit, n_relevant, ndcg,
+    * mrr, precision, recall)`, metrics rounded to 6. */
+  def retrievalMetrics(
+      results: DataFrame,
+      judgments: DataFrame,
+      k: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val rel = judgments.filter(col("rel") >= 1)
+      .select(col("queryId"), col("docId"), col("rel").cast("double").as("__rel"))
+    // ideal DCG: the query's grades sorted descending; equal grades are
+    // interchangeable so the sum is deterministic regardless of tie order
+    val pos = Window.partitionBy(col("queryId"))
+      .orderBy(col("__rel").desc, col("docId"))
+    val ideal = rel
+      .withColumn("__pos", row_number().over(pos).cast("double"))
+      .groupBy("queryId")
+      .agg(
+        sum(when(col("__pos") <= k,
+          (pow(lit(2.0), col("__rel")) - 1) / log2(col("__pos") + 1)))
+          .as("__idcg"),
+        count(lit(1)).as("n_relevant"))
+    val hits = results.filter(col("rank") <= k)
+      .select(col("queryId"), col("docId"), col("rank").cast("double").as("__rank"))
+      .join(rel, Seq("queryId", "docId"))
+      .groupBy("queryId")
+      .agg(
+        sum((pow(lit(2.0), col("__rel")) - 1) / log2(col("__rank") + 1)).as("__dcg"),
+        (lit(1.0) / min(col("__rank"))).as("__mrr"),
+        count(lit(1)).as("n_hit"))
+    ideal.join(hits, Seq("queryId"), "left")
+      .select(col("queryId"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_relevant"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg"),
+        round(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6).as("precision"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_relevant"), 6).as("recall"))
+  }
+
   /** Triplet mining for metric learning (FaceNet, Schroff 2015): one
     * `(anchor, positive, negative)` row per anchor — the hardest
     * positive (same label, LOWEST cosine: the stretched-apart pair the

@@ -654,4 +654,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter($"queryId" === 0).select("n_hit").as[Long].collect()
     assert(g2.toSeq == Seq(0L))
   }
+
+  test("retrievalMetrics: hand-computed nDCG/MRR/P/R, zero-hit and missing queries") {
+    // query 0: retrieves A (rel 3, rank 1), B (unjudged, rank 2),
+    // C (rel 1, rank 3); D (rel 2) is relevant but never retrieved.
+    //   DCG  = 7/log2(2) + 1/log2(4)               = 7.5
+    //   IDCG = 7/log2(2) + 3/log2(3) + 1/log2(4)   = 9.392789...
+    //   nDCG = 0.798485, MRR = 1 (hit at rank 1),
+    //   P@3 = 2/3, R = 2/3
+    // query 1: judged but nothing retrieved → all zeros.
+    // query 2: retrieved but has NO relevant judgment → dropped.
+    val results = Seq(
+      (0L, 100L, 1L), (0L, 101L, 2L), (0L, 102L, 3L),
+      (2L, 100L, 1L)
+    ).toDF("queryId", "docId", "rank")
+    val judgments = Seq(
+      (0L, 100L, 3), (0L, 102L, 1), (0L, 103L, 2),
+      (1L, 100L, 1)
+    ).toDF("queryId", "docId", "rel")
+    val got = Similarity.retrievalMetrics(results, judgments, k = 3).get
+      .orderBy("queryId")
+      .select("queryId", "n_hit", "n_relevant", "ndcg", "mrr", "precision", "recall")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 3L, 0.798485, 1.0, 0.666667, 0.666667),
+      (1L, 0L, 1L, 0.0, 0.0, 0.0, 0.0)))
+    // rank cutoff: a relevant hit beyond k contributes nothing
+    val deep = Seq((1L, 100L, 4L)).toDF("queryId", "docId", "rank")
+    val g2 = Similarity.retrievalMetrics(deep, judgments, k = 3).get
+      .filter($"queryId" === 1).select("n_hit").as[Long].collect()
+    assert(g2.toSeq == Seq(0L))
+  }
 }
