@@ -148,4 +148,31 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("wordNgrams matches a sliding-window reference on random text") {
+    // adversarial alphabet: every separator-class member, multi-byte
+    // unicode (2- and 3-byte UTF-8), uppercase needing lowercasing,
+    // punctuation glued to words
+    val alphabet = "abcXYZ  \t\n\r\fæØ魚9'-"
+    samples(300) {
+      val s = List.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val n = 1 + rnd.nextInt(3)
+      val toks = s.toLowerCase(java.util.Locale.ROOT)
+        .split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+      val expect =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val got = TextHashImpl.wordNgrams(UTF8String.fromString(s), n, lowercase = true)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == expect, s"s=${s.replace("\n", "\\n")} n=$n")
+      // lowercase = false must preserve the original token bytes
+      val raw = TextHashImpl.wordNgrams(UTF8String.fromString(s), n, lowercase = false)
+      val rawSeq = (0 until raw.numElements()).map(i => raw.getUTF8String(i).toString)
+      val rawToks = s.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+      val rawExpect =
+        if (rawToks.size < n) Seq.empty
+        else rawToks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(rawSeq == rawExpect)
+    }
+  }
 }
