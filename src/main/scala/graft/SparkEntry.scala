@@ -3252,9 +3252,34 @@ object SparkEntry {
          WHERE sid < max_sid
             OR lastMs + 1800000 < (SELECT epoch_ms(max(ts)) FROM events)
          ORDER BY user_id, firstMs""",
+    // q65: at threshold 1.0 the connected components are exactly the
+    // shingle-SET equality classes (equality is transitive), and the
+    // planted +1M copies never win the min-id — so the expectation is
+    // one representative per class of the BASE corpus. Grouping classes
+    // (not raw docs) matters: the sf0.1 corpus contains a handful of
+    // NATURAL duplicate texts (4992 classes / 5000 docs) that the
+    // engine correctly merges — the old per-doc oracle assumed a
+    // duplicate-free corpus and broke at 10× the gate scale.
     "q65_dedup_transitive" ->
-      """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
-         FROM documents GROUP BY lang ORDER BY lang""",
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(ts) >= 3 THEN
+               list_sort(list_distinct(list_transform(range(1, len(ts)-1),
+                 i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])))::VARCHAR
+             ELSE 'short:' || doc_id END AS key
+           FROM toks
+         ), kept AS (
+           SELECT min(doc_id) AS doc_id FROM sh GROUP BY key
+         )
+         SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(s.doc_id) AS min_id
+         FROM kept k JOIN sh s ON k.doc_id = s.doc_id
+         GROUP BY s.lang ORDER BY lang""",
     "q64_sampling" ->
       """WITH t AS (
            SELECT lang, doc_id, n_chars,
@@ -4530,15 +4555,30 @@ object SparkEntry {
 
     // q145: the cluster representative is the min id by construction;
     // the draw is the same salted-md5 convention both engines compute.
+    // q145: the cluster representative is the min id of the shingle-SET
+    // equality class, not blindly `id` — natural duplicate texts (present
+    // at sf0.1) merge {a, b, a+1M, b+1M} into ONE cluster drawn by
+    // md5 of a, and the engine correctly keeps that whole cluster on one
+    // side (the old per-pair oracle broke at 10× the gate scale).
     "q145_leakage_safe_split" ->
-      """WITH d AS (
-           SELECT doc_id FROM documents
-           UNION ALL SELECT doc_id + 1000000 FROM documents
-         ), r AS (
+      """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
-                  ELSE doc_id END AS rep
-           FROM d
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) >= 3 THEN
+               list_sort(list_distinct(list_transform(range(1, len(ts)-1),
+                 i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])))::VARCHAR
+             ELSE 'short:' || doc_id END AS key
+           FROM toks
+         ), r0 AS (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS rep
+           FROM sh
+         ), r AS (
+           SELECT doc_id, rep FROM r0
+           UNION ALL SELECT doc_id + 1000000, rep FROM r0
          )
          SELECT doc_id,
            CASE WHEN (CAST(('0x' || substring(md5('s5§' || CAST(rep AS VARCHAR)), 1, 15))
