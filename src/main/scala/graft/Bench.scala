@@ -50,7 +50,13 @@ object Bench {
     // round-5 addition: corpus-wide n-gram mining — the widest explode in
     // the library (every trigram of every doc through one partial-agg
     // shuffle); top-k and partial-combine regressions surface here
-    "q143_frequent_ngrams"
+    "q143_frequent_ngrams",
+    // round-8 additions: the deepest TPC-H join trees — Q9's 5-way
+    // fact-dimension fan-out and Q21's decorrelated EXISTS/NOT-EXISTS
+    // (two countDistinct aggs + two semi joins over the same fact);
+    // join-order and broadcast-threshold regressions surface here
+    "q171_tpch9",
+    "q173_tpch21"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

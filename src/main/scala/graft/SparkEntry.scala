@@ -2023,6 +2023,114 @@ object SparkEntry {
         .orderBy("queryId")
     }),
 
+    "q171_tpch9" -> ((s, dir) => {
+      // TPC-H Q9 shape (product-line profit by nation × year): lineitem
+      // fans out through three broadcastable dimensions (part filtered by
+      // name, supplier, nation) and one fact-fact join (orders). Only
+      // lineitem⋈orders shuffles; the part filter prunes before the join.
+      // No partsupp table in this schema, so supply cost is modeled as
+      // 0.4 × p_retailprice × l_quantity — same join/agg skeleton.
+      val part = tbl(s, dir, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+      val supp = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("n_nationkey"))
+      val nation = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+      // Every money column is exactly 2-decimal, so each profit term is
+      // exact at 4 decimals: accumulate in scaled-integer (×10⁴ bigint) —
+      // order-independent and bit-identical across engines, where a raw
+      // double sum rounds nondeterministically at the cent boundary (same
+      // motivation as q109's decimal accumulation).
+      val term = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.4) * col("p_retailprice") * col("l_quantity")
+      (for {
+        a <- Join.inner(li, part, Join.On(Seq("l_partkey")))
+        b <- Join.inner(a, supp, Join.On(Seq("l_suppkey")))
+        c <- Join.inner(b, nation, Join.On(Seq("n_nationkey")))
+        d <- Join.inner(c, orders, Join.On(Seq("l_orderkey")))
+        g <- Group.agg(
+               d.withColumn("o_year", year(col("o_orderdate")).cast("long"))
+                .withColumn("__p4", round(term * 10000).cast("long")),
+               Seq("n_name", "o_year"),
+               Group.Agg(Seq(
+                 round(sum(col("__p4")) / 10000.0, 2).as("profit"))))
+      } yield g.orderBy(col("n_name"), col("o_year").desc)).get
+    }),
+
+    "q172_tpch22" -> ((s, dir) => {
+      // TPC-H Q22 shape (global-market opportunity): customers with an
+      // above-average positive balance and NO orders, counted per
+      // country. The scalar-subquery threshold stays declarative — a
+      // 1-row aggregate cross-joined with a broadcast hint, never a
+      // driver collect — and NOT EXISTS decorrelates to a left-anti join
+      // on the order keys. Balance totals accumulate in scaled-integer
+      // (×100 bigint) cents: exact for 2-decimal money and
+      // order-independent, so the cent rounding is engine-deterministic.
+      val cust = tbl(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("__thr"))
+      val orderKeys = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      (for {
+        above  <- Filter.where(cust.crossJoin(broadcast(thr)),
+                    col("c_acctbal") > col("__thr"))
+        noOrd  <- Join.anti(above, orderKeys, Join.On(Seq("c_custkey")))
+        g      <- Group.agg(
+                    noOrd.withColumn("__c2",
+                      round(col("c_acctbal") * 100).cast("long")),
+                    Seq("c_nationkey"),
+                    Group.Agg(Seq(
+                      count(lit(1)).as("numcust"),
+                      round(sum(col("__c2")) / 100.0, 2).as("totacctbal"))))
+        o      <- Order.by(g, Seq("c_nationkey"))
+      } yield o.withColumnRenamed("c_nationkey", "cntrycode")).get
+    }),
+
+    "q173_tpch21" -> ((s, dir) => {
+      // TPC-H Q21 shape (suppliers who solely delayed multi-supplier
+      // orders), DECORRELATED: the reference EXISTS / NOT-EXISTS pair
+      // becomes two per-order supplier-cardinality aggregates joined back
+      // by order key — a supplier qualifies iff its order has ≥ 2 distinct
+      // suppliers and exactly ONE distinct supplier with returnflag 'R'
+      // (itself). Equi-joins + partial aggs only; no per-row correlated
+      // probe survives to the physical plan, which is the difference
+      // between this running at 100 TB and not.
+      // Both cardinalities come from ONE distinct-pair aggregation of
+      // lineitem — (order, supplier) pairs tagged with "had an R row" —
+      // instead of two separate countDistinct passes: one fact scan, one
+      // narrow re-aggregation, one semi join.
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = tbl(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val supp = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      val lr = li.filter(col("l_returnflag") === "R")
+      (for {
+        pairs <- Group.agg(li, Seq("l_orderkey", "l_suppkey"),
+                   Group.Agg(Seq(max(when(col("l_returnflag") === "R", 1)
+                     .otherwise(0)).as("__r"))))
+        perOrd <- Group.agg(pairs, Seq("l_orderkey"),
+                    Group.Agg(Seq(count(lit(1)).as("nsupp"),
+                      sum(col("__r")).as("nsupp_r"))))
+        good <- Filter.where(perOrd,
+                  col("nsupp") >= 2 && col("nsupp_r") === 1)
+        a <- Join.inner(lr.select("l_orderkey", "l_suppkey"), fOrders,
+               Join.On(Seq("l_orderkey")))
+        b <- Join.semi(a, good.select("l_orderkey"), Join.On(Seq("l_orderkey")))
+        d <- Join.inner(b, supp, Join.On(Seq("l_suppkey")))
+        g <- Group.agg(d, Seq("s_name"),
+               Group.Agg(Seq(count(lit(1)).as("numwait"))))
+        k <- Order.topK(g, Seq(col("numwait").desc, col("s_name")), 10)
+      } yield k).get
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4449,6 +4557,56 @@ object SparkEntry {
            round(coalesce(n_hit, 0) / n_relevant, 6) AS recall
          FROM ideal i LEFT JOIN hit ON i.qid = hit.qid
          ORDER BY queryId""",
+
+    // q171: TPC-H Q9 shape; supply cost modeled as 0.4·retailprice·qty
+    // (no partsupp table in this schema). Profit terms are exact at 4
+    // decimals (2-decimal money), so both engines accumulate ×10⁴
+    // bigints — order-independent, deterministic cent rounding.
+    "q171_tpch9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY n_name, o_year
+         ORDER BY n_name, o_year DESC""",
+
+    // q172: TPC-H Q22 shape — above-average-balance customers with no
+    // orders, per country; scaled-integer cents for the balance total.
+    "q172_tpch22" ->
+      """SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey ORDER BY cntrycode""",
+
+    // q173: TPC-H Q21 shape in its correlated EXISTS / NOT-EXISTS form —
+    // the Spark side runs the decorrelated aggregate formulation; the two
+    // are equivalent (≥2 distinct suppliers ∧ exactly one distinct 'R'
+    // supplier, which is l1's own).
+    "q173_tpch21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

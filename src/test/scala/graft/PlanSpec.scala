@@ -137,6 +137,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p7.contains("CartesianProduct"))
   }
 
+  test("q171/q172/q173: the deep TPC-H shapes stay broadcast + decorrelated") {
+    val p9 = planOf("q171_tpch9")
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 2,
+      "Q9's part/supplier/nation dimensions should broadcast")
+    assert(!p9.contains("CartesianProduct"))
+    assert(p9.contains("StringContains(p_name") || p9.contains("IsNotNull(p_partkey"),
+      "part-name filter not pushed toward the part scan")
+    val p22 = planOf("q172_tpch22")
+    // the 1-row threshold frame joins without shuffling the customer side
+    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastHashJoin"),
+      "scalar threshold should broadcast, never shuffle customers")
+    assert(p22.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    val p21 = planOf("q173_tpch21")
+    assert(p21.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      "the decorrelated Q21 must stay on equi-joins — no per-row correlated probe")
+    assert(p21.contains("TakeOrderedAndProject"), "Q21 top-10 is a full sort")
+  }
+
   test("q103: packing is one group shuffle plus the native sequential pass") {
     val plan = planOf("q103_pack")
     assert(plan.contains("pack_bins_next_fit"), "native next-fit kernel missing")
