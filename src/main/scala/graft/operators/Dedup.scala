@@ -116,17 +116,30 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      materialize: Boolean = false
   ): MayFail[DataFrame] = MayFail {
-    val sh = minhashShingled(df, textCol, idCol, shingleSize)
+    val shRaw = minhashShingled(df, textCol, idCol, shingleSize)
+    // The shingled frame feeds FOUR plan positions (banding agg + probe
+    // under the bucket cap, then the two verification join-backs), so its
+    // kernel re-evaluates up to 4× per run when lazy. `materialize = true`
+    // pins the slim (id, shingle-hashes) frame for ONE evaluation, eagerly
+    // checkpoints the (small) pair list, and releases the pin before
+    // returning — same single-decode contract as the Multimodal pair ops.
+    val sh =
+      if (materialize)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
     // Slim banding: only (id, band, bucket) — 24-byte rows — flows through
     // the explode/shuffle/self-join; the shingle-hash arrays are joined
     // back ONLY for surviving candidate pairs. Banding the payload itself
     // would shuffle every document `bands` times.
     val banded = candidateBands(
       minhashKeyed(sh, bands, rowsPerBand), maxBucket)
-    verifiedPairs(banded, sh.withColumnRenamed("shingles", "__p"),
+    val pairs = verifiedPairs(banded, sh.withColumnRenamed("shingles", "__p"),
       "jaccard", jaccardHashes, _ >= threshold, roundDigits = Some(6))
+    if (materialize) { val out = pairs.localCheckpoint(true); sh.unpersist(); out }
+    else pairs
   }
 
   /** Shingle HASHES, not shingle strings — minhash and Jaccard only need

@@ -54,6 +54,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhashPairs materialize=true: identical pairs, no cache entry left pinned") {
+    spark.catalog.clearCache()
+    val lazyPairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5).get
+      .select("idA", "idB", "jaccard").collect().toSet
+    val matPairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5,
+        materialize = true).get
+      .select("idA", "idB", "jaccard").collect().toSet
+    assert(matPairs == lazyPairs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "materialize=true must unpersist the slim shingled frame before returning")
+  }
+
   test("keep-best dedup keeps the highest-priority duplicate, not the min id") {
     val df = Seq[(Long, String, java.lang.Long)](
       (0L, "dup", 10L), (1L, "dup", 50L), (2L, "dup", 50L), // 1 wins: best, min-id tie
