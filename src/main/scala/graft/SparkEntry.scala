@@ -2131,6 +2131,159 @@ object SparkEntry {
       } yield k).get
     }),
 
+    "q174_tpch8" -> ((s, dir) => {
+      // TPC-H Q8 shape (national market share): the 8-table star
+      // decomposes into lineitem ⋈ orders (the one fact-fact shuffle) with
+      // every dimension — filtered part, supplier→nation(supp), customer→
+      // nation→region — broadcast. The market-share ratio is a conditional
+      // aggregate over ONE pass (no self-join of the volume CTE); both
+      // numerator and denominator accumulate as exact ×10⁴ scaled-integer
+      // bigints so the 6-decimal ratio is engine-deterministic.
+      val part = tbl(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey").as("l_partkey"))
+      val supp = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val suppNat = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))
+      val custRegion = {
+        val reg = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey").as("n_regionkey"))
+        val nat = tbl(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        tbl(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey").as("n_nationkey"))
+          .join(nat, Seq("n_nationkey")).join(reg, Seq("n_regionkey"))
+          .select("o_custkey")
+      }
+      val orders = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_orderdate"))
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val vol4 = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000).cast("long")
+      (for {
+        a <- Join.inner(li, part, Join.On(Seq("l_partkey")))
+        b <- Join.inner(a, supp, Join.On(Seq("l_suppkey")))
+        c <- Join.inner(b, suppNat, Join.On(Seq("s_nationkey")))
+        d <- Join.inner(c, orders, Join.On(Seq("l_orderkey")))
+        e <- Join.semi(d, custRegion.hint("broadcast"),
+               Join.On(Seq("o_custkey")))
+        g <- Group.agg(
+               e.withColumn("o_year", year(col("o_orderdate")).cast("long"))
+                .withColumn("__v4", vol4),
+               Seq("o_year"),
+               Group.Agg(Seq(
+                 round(sum(when(col("nation") === "NATION_8", col("__v4"))
+                     .otherwise(0L)).cast("double") / sum(col("__v4")), 6)
+                   .as("mkt_share"))))
+        o <- Order.by(g, Seq("o_year"))
+      } yield o).get
+    }),
+
+    "q175_tpch13" -> ((s, dir) => {
+      // TPC-H Q13 shape (customer order-count distribution): a left OUTER
+      // join whose non-key predicate (order priority) lives IN the join
+      // condition — customers keep their zero-count row — then two
+      // aggregations: count per customer, histogram over those counts.
+      // One shuffle per aggregation; the first reuses the join's
+      // hash-partitioning on c_custkey, so the o_custkey exchange is the
+      // only fact shuffle in the plan.
+      val cust = tbl(s, dir, "customer").select("c_custkey")
+      val ord = tbl(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+      (for {
+        j <- Join.left(cust, ord, Join.With(
+               col("c_custkey") === col("o_custkey") &&
+               col("o_orderpriority") =!= "1-URGENT"))
+        per <- Group.agg(j, Seq("c_custkey"),
+                 Group.Agg(Seq(count(col("o_orderkey")).as("c_count"))))
+        dist <- Group.agg(per, Seq("c_count"),
+                  Group.Agg(Seq(count(lit(1)).as("custdist"))))
+        o <- Order.by(dist, Seq("custdist", "c_count"), descending = true)
+      } yield o).get
+    }),
+
+    "q176_tpch15" -> ((s, dir) => {
+      // TPC-H Q15 shape (top supplier): the revenue "view" materializes
+      // once as a per-supplier aggregate in exact ×10⁴ scaled-integer
+      // bigints; the scalar `max(total_revenue)` is a 1-row aggregate of
+      // that frame cross-joined back with a broadcast hint (never a
+      // driver collect), and the winner filter is bigint equality — no
+      // float-boundary flakiness, deterministic across engines.
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .select(col("l_suppkey").as("s_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("__v4"))
+      val supp = tbl(s, dir, "supplier").select("s_suppkey", "s_name")
+      (for {
+        rev <- Group.agg(li, Seq("s_suppkey"),
+                 Group.Agg(Seq(sum(col("__v4")).as("__r4"))))
+        top <- Filter.where(
+                 rev.crossJoin(broadcast(rev.agg(max(col("__r4")).as("__m4")))),
+                 col("__r4") === col("__m4"))
+        j <- Join.inner(top, supp, Join.On(Seq("s_suppkey")))
+        o <- Order.by(j.select(col("s_suppkey"), col("s_name"),
+               round(col("__r4") / 10000.0, 2).as("total_revenue")),
+               Seq("s_suppkey"))
+      } yield o).get
+    }),
+
+    "q177_tpch17" -> ((s, dir) => {
+      // TPC-H Q17 shape (small-quantity-order revenue), DECORRELATED: the
+      // correlated per-part `avg(l_quantity)` subquery becomes one
+      // grouped aggregate over the brand-filtered parts' lineitems,
+      // joined back by part key — both sides prune through the broadcast
+      // part filter before any fact shuffle. Quantities are integral
+      // doubles (sum exact < 2^53), so sum/count×0.2 is bit-identical
+      // across engines; revenue accumulates in exact ×100 cents.
+      val part = tbl(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey").as("l_partkey"))
+      val li = tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      (for {
+        branded <- Join.semi(li, part, Join.On(Seq("l_partkey")))
+        thr <- Group.agg(branded, Seq("l_partkey"),
+                 Group.Agg(Seq(
+                   (sum(col("l_quantity")) / count(lit(1)) * 0.2)
+                     .as("__qthr"))))
+        j <- Join.inner(branded, thr, Join.On(Seq("l_partkey")))
+        small <- Filter.where(j, col("l_quantity") < col("__qthr"))
+        g = small.agg(round(
+              sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0
+                / 7.0, 2).as("avg_yearly"))
+      } yield g).get
+    }),
+
+    "q178_tpch19" -> ((s, dir) => {
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicate): three
+      // brand/size/quantity branches OR'd across the part⋈lineitem join.
+      // Catalyst's constraint propagation extracts the per-side residues —
+      // the part scan reads only the three brands' rows (PushedFilters
+      // carries the brand/size Or), the lineitem scan gets the overall
+      // quantity envelope, and part broadcasts. Revenue accumulates in
+      // exact ×10⁴ scaled-integer form.
+      val part = tbl(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val branch = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      (for {
+        j <- Join.inner(li, part.hint("broadcast"), Join.On(Seq("p_partkey")))
+        m <- Filter.where(j,
+               branch("Brand#12", 1, 5, 1, 11) ||
+               branch("Brand#23", 1, 10, 10, 20) ||
+               branch("Brand#34", 1, 15, 20, 30))
+        g = m.agg(round(
+              sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * 10000).cast("long")) / 10000.0, 2).as("revenue"))
+      } yield g).get
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4607,6 +4760,90 @@ object SparkEntry {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+
+    // q174: TPC-H Q8 shape — NATION_8's share of PROMO-part volume
+    // supplied to ASIA customers, per order year. Numerator and
+    // denominator are exact ×10⁴ bigints; only the final 6-decimal
+    // ratio is a double.
+    "q174_tpch8" ->
+      """WITH vol AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS v4,
+             n2.n_name AS nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE p_type = 'PROMO'
+             AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31'
+             AND EXISTS (SELECT 1 FROM customer c
+                         JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                         JOIN region r ON n1.n_regionkey = r.r_regionkey
+                         WHERE c.c_custkey = orders.o_custkey
+                           AND r.r_name = 'ASIA'))
+         SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_8' THEN v4 ELSE 0 END)
+                 * 1.0 / sum(v4), 6) AS mkt_share
+         FROM vol GROUP BY o_year ORDER BY o_year""",
+
+    // q175: TPC-H Q13 shape — order-count histogram with the priority
+    // predicate inside the LEFT JOIN condition (zero-order customers
+    // keep their row).
+    "q175_tpch13" ->
+      """WITH per AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM per GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    // q176: TPC-H Q15 shape — the revenue view in exact ×10⁴ bigints, the
+    // max as a scalar subquery, winner by bigint equality.
+    "q176_tpch15" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS s_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS r4
+           FROM lineitem
+           WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+           GROUP BY 1)
+         SELECT r.s_suppkey, s_name, round(r4 / 10000.0, 2) AS total_revenue
+         FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+         WHERE r4 = (SELECT max(r4) FROM rev)
+         ORDER BY r.s_suppkey""",
+
+    // q177: TPC-H Q17 shape in its correlated form — the Spark side runs
+    // the decorrelated grouped-avg formulation; quantities are integral
+    // doubles so sum/count×0.2 is bit-identical, revenue in exact cents.
+    "q177_tpch17" ->
+      """WITH branded AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23'),
+         thr AS (
+           SELECT l_partkey, sum(l_quantity) / count(*) * 0.2 AS qthr
+           FROM branded GROUP BY l_partkey)
+         SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                / 100.0 / 7.0, 2) AS avg_yearly
+         FROM branded b JOIN thr t ON b.l_partkey = t.l_partkey
+         WHERE b.l_quantity < t.qthr""",
+
+    // q178: TPC-H Q19 shape — three-branch disjunctive predicate across
+    // the join; revenue in exact ×10⁴ scaled-integer form.
+    "q178_tpch19" ->
+      """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -156,6 +156,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p21.contains("TakeOrderedAndProject"), "Q21 top-10 is a full sort")
   }
 
+  test("q174-q178: the round-8 TPC-H shapes — broadcast stars, pushed disjunction") {
+    val p8 = planOf("q174_tpch8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 4,
+      "Q8's dimension fan (part, supplier, nation, customer-region semi) should broadcast")
+    assert(p8.contains("LeftSemi"),
+      "the ASIA-customer membership must plan as a semi join, not a row-multiplying inner")
+    assert(!p8.contains("CartesianProduct"))
+    assert(p8.contains("EqualTo(p_type,PROMO"), "part-type filter not pushed to the scan")
+    val p13 = planOf("q175_tpch13")
+    assert(p13.contains("LeftOuter") || p13.contains("BroadcastHashJoin"),
+      "Q13's customer⟕orders join missing")
+    assert(!p13.contains("CartesianProduct") && !p13.contains("BroadcastNestedLoopJoin"),
+      "the join-condition priority predicate must not degrade the join to a BNLJ")
+    val p15 = planOf("q176_tpch15")
+    assert(p15.contains("BroadcastNestedLoopJoin") || p15.contains("BroadcastHashJoin"),
+      "the scalar max must broadcast back, never shuffle the revenue view")
+    val p17 = planOf("q177_tpch17")
+    assert(p17.contains("LeftSemi"), "the brand prune should semi-join before aggregating")
+    assert(!p17.contains("CartesianProduct"),
+      "the decorrelated per-part threshold must stay an equi-join")
+    val p19 = planOf("q178_tpch19")
+    assert(p19.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "Q19's quantity-envelope disjunction must push to the lineitem scan")
+    assert(p19.contains("EqualTo(p_brand,Brand#12"),
+      "Q19's brand/size disjunction must push to the part scan")
+    assert(p19.contains("BroadcastHashJoin"), "part side should broadcast")
+  }
+
   test("q103: packing is one group shuffle plus the native sequential pass") {
     val plan = planOf("q103_pack")
     assert(plan.contains("pack_bins_next_fit"), "native next-fit kernel missing")
