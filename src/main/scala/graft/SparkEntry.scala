@@ -2284,6 +2284,18 @@ object SparkEntry {
       } yield g).get
     }),
 
+    "q179_mmr_select" -> ((s, dir) => {
+      // Diversified retrieval: greedy MMR over a 12-candidate shortlist,
+      // k=4 per query. λ=0.5 keeps both λ and 1−λ exact in binary, so
+      // every greedy score is bit-identical across engines and the
+      // oracle replays the selection with a 4-step unrolled CTE chain.
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.mmrSelect(emb.filter(col("vec_id") < 60),
+        emb.filter(col("vec_id").between(490, 492)),
+        "embedding", "vec_id", k = 4, lambda = 0.5, shortlist = 12).get
+        .orderBy("queryId", "rank")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4844,6 +4856,95 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    // q179: greedy MMR replayed as a 4-step unrolled CTE chain — each
+    // step scores the un-selected shortlist 0.5·rel − 0.5·max(sim to
+    // selected) and picks the row_number-1 row (ties toward smaller id),
+    // exactly the operator's greedy. λ=0.5 keeps both weights exact in
+    // binary so the scores are bit-identical.
+    "q179_mmr_select" ->
+      """WITH cand AS (
+           SELECT q.vec_id AS queryId, c.vec_id AS candId,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS rel
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id BETWEEN 490 AND 492 AND c.vec_id < 60
+             AND q.vec_id <> c.vec_id),
+         short AS (
+           SELECT queryId, candId, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY queryId
+                        ORDER BY rel DESC, candId) AS rn
+             FROM cand) WHERE rn <= 12),
+         sims AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS sim
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < 60 AND b.vec_id < 60 AND a.vec_id <> b.vec_id),
+         sel1 AS (
+           SELECT queryId, candId, rel, 0.5 * rel AS mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY queryId
+                        ORDER BY rel DESC, candId) AS rn
+             FROM short) WHERE rn = 1),
+         pool2 AS (
+           SELECT s.* FROM short s LEFT JOIN sel1 x
+             ON x.queryId = s.queryId AND x.candId = s.candId
+           WHERE x.candId IS NULL),
+         step2 AS (
+           SELECT p.queryId, p.candId, p.rel,
+             0.5 * p.rel - 0.5 * max(ss.sim) AS mmr
+           FROM pool2 p JOIN sel1 t ON t.queryId = p.queryId
+           JOIN sims ss ON ss.ida = p.candId AND ss.idb = t.candId
+           GROUP BY p.queryId, p.candId, p.rel),
+         sel2 AS (
+           SELECT queryId, candId, rel, mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY queryId
+                        ORDER BY mmr DESC, candId) AS rn
+             FROM step2) WHERE rn = 1),
+         prev3 AS (
+           SELECT queryId, candId FROM sel1
+           UNION ALL SELECT queryId, candId FROM sel2),
+         pool3 AS (
+           SELECT s.* FROM short s LEFT JOIN prev3 x
+             ON x.queryId = s.queryId AND x.candId = s.candId
+           WHERE x.candId IS NULL),
+         step3 AS (
+           SELECT p.queryId, p.candId, p.rel,
+             0.5 * p.rel - 0.5 * max(ss.sim) AS mmr
+           FROM pool3 p JOIN prev3 t ON t.queryId = p.queryId
+           JOIN sims ss ON ss.ida = p.candId AND ss.idb = t.candId
+           GROUP BY p.queryId, p.candId, p.rel),
+         sel3 AS (
+           SELECT queryId, candId, rel, mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY queryId
+                        ORDER BY mmr DESC, candId) AS rn
+             FROM step3) WHERE rn = 1),
+         prev4 AS (
+           SELECT queryId, candId FROM prev3
+           UNION ALL SELECT queryId, candId FROM sel3),
+         pool4 AS (
+           SELECT s.* FROM short s LEFT JOIN prev4 x
+             ON x.queryId = s.queryId AND x.candId = s.candId
+           WHERE x.candId IS NULL),
+         step4 AS (
+           SELECT p.queryId, p.candId, p.rel,
+             0.5 * p.rel - 0.5 * max(ss.sim) AS mmr
+           FROM pool4 p JOIN prev4 t ON t.queryId = p.queryId
+           JOIN sims ss ON ss.ida = p.candId AND ss.idb = t.candId
+           GROUP BY p.queryId, p.candId, p.rel),
+         sel4 AS (
+           SELECT queryId, candId, rel, mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY queryId
+                        ORDER BY mmr DESC, candId) AS rn
+             FROM step4) WHERE rn = 1)
+         SELECT queryId, CAST(rank AS INTEGER) AS rank, candId,
+           round(rel, 6) AS relevance, round(mmr, 6) AS mmr
+         FROM (
+           SELECT *, 1 AS rank FROM sel1
+           UNION ALL SELECT *, 2 AS rank FROM sel2
+           UNION ALL SELECT *, 3 AS rank FROM sel3
+           UNION ALL SELECT *, 4 AS rank FROM sel4)
+         ORDER BY queryId, rank""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -137,6 +137,116 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)) / col("n_relevant"), 6).as("recall"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * per query, a greedy top-`k` that trades relevance against
+    * redundancy — each step picks the candidate maximizing
+    * `λ·cos(query, cand) − (1−λ)·max_{s∈selected} cos(cand, s)` (the
+    * max over an empty selected set is 0, so step 1 is plain argmax
+    * relevance). The standard diversified-retrieval primitive: RAG
+    * context assembly, eval-set construction, diverse exemplar picking.
+    *
+    * Scale shape: queries broadcast against ONE corpus scan (the
+    * [[bruteForceKnn]] skeleton) scoring relevance with the native
+    * cosine kernel; a rank window caps each query's candidates at
+    * `shortlist` (Spark's partial WindowGroupLimit bounds the shuffle
+    * map-side), and the inherently sequential greedy runs per query
+    * inside `flatMapGroups` over that bounded shortlist — state is
+    * `shortlist` vectors per query, queries are the parallelism. The
+    * greedy costs O(k·shortlist) kernel-identical cosines per query.
+    * Determinism: ties break toward the smaller candidate id at every
+    * step, so the selection is a pure function of the data (auditable,
+    * engine-replayable).
+    *
+    * `idCol` must be integral (cast to long); vectors are
+    * `array<float>`. Candidates equal to the query id are excluded.
+    * Returns `(queryId, rank, candId, relevance, mmr)` with `rank`
+    * 1..k (fewer when the shortlist runs dry); scores rounded to 6.
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      shortlist: Int = 100
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val c = corpus.select(col(idCol).cast("long").as("candId"),
+      col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).cast("long").as("queryId"),
+      col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(q), col("queryId") =!= col("candId"))
+      .withColumn("__rel", vecCosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("queryId"))
+      .orderBy(col("__rel").desc, col("candId"))
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col("queryId"), col("candId"), col("__rel"), col("__cv"))
+    val spark = short.sparkSession
+    import spark.implicits._
+    val lam = lambda
+    val kk = k
+    short.as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+        val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }.toArray
+        // mirror of expressions.Kernels.cosine so greedy pairwise sims are
+        // bit-identical with the relevance kernel (and the SQL oracle)
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom == 0.0) 0.0 else d / denom
+        }
+        val used = new java.util.HashSet[Long]()
+        val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Double)]
+        var rank = 1
+        while (rank <= kk && used.size < cands.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            val (id, rel, v) = cands(i)
+            if (!used.contains(id)) {
+              var maxSim = 0.0
+              if (chosenVecs.nonEmpty) {
+                maxSim = Double.NegativeInfinity
+                var j = 0
+                while (j < chosenVecs.length) {
+                  val s = cos(v, chosenVecs(j))
+                  if (s > maxSim) maxSim = s
+                  j += 1
+                }
+              }
+              val score = lam * rel - (1.0 - lam) * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && bestIdx >= 0 && id < cands(bestIdx)._1)) {
+                bestScore = score; bestIdx = i
+              }
+            }
+            i += 1
+          }
+          val (id, rel, v) = cands(bestIdx)
+          used.add(id); chosenVecs += v
+          out += ((qid, rank, id, rel, bestScore))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("queryId", "rank", "candId", "relevance", "mmr")
+      .select(col("queryId"), col("rank"), col("candId"),
+        round(col("relevance"), 6).as("relevance"),
+        round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Triplet mining for metric learning (FaceNet, Schroff 2015): one
     * `(anchor, positive, negative)` row per anchor — the hardest
     * positive (same label, LOWEST cosine: the stretched-apart pair the

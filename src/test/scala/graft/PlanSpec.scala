@@ -184,6 +184,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p19.contains("BroadcastHashJoin"), "part side should broadcast")
   }
 
+  test("q179: MMR scores against a broadcast query set with a map-side shortlist cap") {
+    val plan = planOf("q179_mmr_select")
+    assert(plan.contains("BroadcastExchange"), "queries must broadcast — never shuffle the corpus")
+    assert(plan.contains("WindowGroupLimit"),
+      "the shortlist cap must push map-side (partial WindowGroupLimit) so only capped rows shuffle")
+    assert(plan.contains("MapGroups"), "the greedy runs per query group over the bounded shortlist")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q103: packing is one group shuffle plus the native sequential pass") {
     val plan = planOf("q103_pack")
     assert(plan.contains("pack_bins_next_fit"), "native next-fit kernel missing")

@@ -697,4 +697,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter($"queryId" === 1).select("n_hit").as[Long].collect()
     assert(g2.toSeq == Seq(0L))
   }
+
+  test("mmrSelect skips the redundant twin of the first pick in favor of diversity") {
+    // Relevance ranks (11: 0.9995, 10: 0.9439, 12: 0.5272) — but 10 is a
+    // near-clone of the first pick 11 (sim 0.9537), so at λ=0.5 its MMR
+    // score (−0.0049) falls below the oblique 12's (+0.0132): MMR must
+    // emit 11, 12, 10 where plain top-3 would emit 11, 10, 12.
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.95f, 0.3f, 0.0f)),
+      (12L, Seq(0.2f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.35f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, queries, "embedding", "vec_id",
+        k = 3, lambda = 0.5, shortlist = 10).get
+      .orderBy("rank")
+      .select("candId", "rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((11L, 1), (12L, 2), (10L, 3)),
+      s"diversity should reorder the redundant twin: $got")
+  }
+
+  test("mmrSelect at λ=1 degenerates to relevance ranking (bruteForceKnn order)") {
+    val emb = (0L to 20L).map(i =>
+      (i, Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, (i % 5) / 5.0f)))
+    val corpus = emb.toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrSelect(corpus, queries, "embedding", "vec_id",
+        k = 5, lambda = 1.0, shortlist = 21).get
+      .orderBy("rank").select("candId").as[Long].collect().toSeq
+    val knn = Similarity.bruteForceKnn(corpus, queries, "embedding", "vec_id", k = 5).get
+      .orderBy("rank").select("neighborId").as[Long].collect().toSeq
+    assert(mmr == knn, s"λ=1 must reduce to pure relevance: $mmr vs $knn")
+  }
+
+  test("mmrSelect emits fewer than k rows when the shortlist runs dry, ranks contiguous") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, queries, "embedding", "vec_id",
+        k = 5, lambda = 0.5, shortlist = 8).get
+      .orderBy("rank").select("rank").as[Int].collect().toSeq
+    assert(got == Seq(1, 2))
+  }
+
+  test("mmrSelect validates its knobs") {
+    val df = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 0).isFailing)
+    assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 5,
+      shortlist = 3).isFailing)
+    assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 1,
+      lambda = 1.5).isFailing)
+  }
 }
