@@ -2296,6 +2296,20 @@ object SparkEntry {
         .orderBy("queryId", "rank")
     }),
 
+    "q180_pair_recall" -> ((s, dir) => {
+      // Measured-recall audit: deterministic 20% sample, brute-force
+      // exact-Jaccard truth within it, scored against a deliberately
+      // handicapped generator (minhash pairs restricted to even idA) so
+      // the estimate lands strictly below 1. The oracle replays the
+      // sample draw (md5 mod), the truth brute force, and the handicap.
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).get
+        .filter(col("idA") % 2 === 0)
+      Dedup.pairRecallEstimate(docs, "text", "doc_id", pairs,
+        threshold = 0.5, sampleFraction = 0.2).get
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -4945,6 +4959,62 @@ object SparkEntry {
            UNION ALL SELECT *, 3 AS rank FROM sel3
            UNION ALL SELECT *, 4 AS rank FROM sel4)
          ORDER BY queryId, rank""",
+
+    // q180: the recall estimator replayed end-to-end — the portable
+    // sample draw, the brute-force exact-Jaccard truth inside the
+    // sample, the even-idA generator handicap, and the ratio arithmetic.
+    // Generator pairs replay as exact Jaccard >= 0.5 over the full
+    // corpus (the q34 equivalence: every true pair here sits at >= 0.9
+    // where 16x4 banding recall is 1 - 4e-8).
+    "q180_pair_recall" ->
+      """WITH samp AS (
+           SELECT doc_id, text FROM documents
+           WHERE (CAST(('0x' || substring(md5('recall§' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000000) < 200000),
+         stoks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM samp),
+         ssh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM stoks WHERE len(ts) >= 3),
+         truth AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 >= 0.5),
+         ftoks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents),
+         fsh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM ftoks WHERE len(ts) >= 3),
+         gpairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM fsh a JOIN fsh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 >= 0.5
+             AND (a.doc_id % 2) = 0),
+         rec AS (
+           SELECT t.idA, t.idB FROM truth t
+           WHERE EXISTS (SELECT 1 FROM gpairs g
+                         WHERE g.idA = t.idA AND g.idB = t.idB))
+         SELECT (SELECT count(*) FROM samp) AS n_sampled,
+           (SELECT count(*) FROM truth) AS true_pairs,
+           (SELECT count(*) FROM rec) AS recalled_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+                ELSE round((SELECT count(*) FROM rec) * 1.0
+                      / (SELECT count(*) FROM truth), 6) END AS recall""",
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

@@ -1160,6 +1160,64 @@ object Dedup {
     * loses candidate pairs to the `maxBucket` guard — raise the cap,
     * exact-dedup first (boilerplate clones are the usual culprit), or
     * accept and record the recall deviation. */
+  /** MEASURED recall of any candidate pair set against brute-force ground
+    * truth on a deterministic sample — the audit harness for LSH banding
+    * and bucket caps, whose recall at corpus scale is otherwise an
+    * S-curve formula (see [[lshPlan]]) evaluated on an assumed similarity
+    * distribution, not a number measured on YOUR corpus.
+    *
+    * Sampling is the library's portable draw (`portableHash60(salt § id)
+    * mod 10⁶ < fraction·10⁶` — a pure function of the data, identical
+    * across reruns and engines); ground truth is exact shingle-hash
+    * Jaccard ≥ `threshold` brute-forced over all sample pairs; a pair is
+    * "recalled" when `pairs` contains it in either orientation. Returns
+    * ONE row `(n_sampled, true_pairs, recalled_pairs, recall)` — recall
+    * is NULL when the sample holds no true pairs (raise the fraction).
+    *
+    * Scale: the brute-force truth is O(m²) kernel Jaccards for m =
+    * fraction·n sample docs — the sample side is broadcast, so the
+    * quadratic scoring distributes over executors without shuffling,
+    * but `sampleFraction` must be sized for m in the 10³–10⁵ range (at
+    * 10⁵ docs ≈ 5×10⁹ comparisons — an audit-job budget, not a per-batch
+    * one). Everything else is slim aggregates. */
+  def pairRecallEstimate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      pairs: DataFrame,
+      threshold: Double,
+      sampleFraction: Double,
+      shingleSize: Int = 3,
+      salt: String = "recall"
+  ): MayFail[DataFrame] = MayFail {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0,1]: $sampleFraction")
+    val draw = pmod(
+      portableHash60(concat(lit(s"$salt§"), col(idCol).cast("string"))),
+      lit(1000000L))
+    val sampled = df.filter(draw < math.round(sampleFraction * 1e6))
+    val sh = sampled.select(col(idCol).cast("long").as("id"),
+        wordShingleHashes(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val truth = sh.select(col("id").as("idA"), col("__sh").as("__shA"))
+      .join(broadcast(sh.select(col("id").as("idB"), col("__sh").as("__shB"))),
+        col("idA") < col("idB"))
+      .filter(jaccardHashes(col("__shA"), col("__shB")) >= threshold)
+      .select("idA", "idB")
+    val got = pairs.select(
+      least(col("idA").cast("long"), col("idB").cast("long")).as("idA"),
+      greatest(col("idA").cast("long"), col("idB").cast("long")).as("idB"))
+    val recalled = truth.join(got, Seq("idA", "idB"), "left_semi")
+    sampled.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("true_pairs"))))
+      .crossJoin(broadcast(recalled.agg(count(lit(1)).as("recalled_pairs"))))
+      .select(col("n_sampled"), col("true_pairs"), col("recalled_pairs"),
+        when(col("true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("recalled_pairs").cast("double") /
+            col("true_pairs"), 6)).as("recall"))
+  }
+
   def minhashCapReport(
       df: DataFrame,
       textCol: String,

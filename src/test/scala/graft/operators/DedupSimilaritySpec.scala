@@ -739,6 +739,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1, 2))
   }
 
+  test("pairRecallEstimate: uncapped generator scores 1.0; cap-induced loss is measured") {
+    // 30 clones in one boilerplate group (+ spread uniques): sampled at
+    // 100% the truth is all clone pairs. Uncapped minhashPairs finds
+    // every one; a maxBucket=10 cap drops the 30-occupant buckets and
+    // the estimator must report that as recall 0, not silently pass.
+    val boiler = (0L until 30L).map(i => (i, (1 to 30).map(w => s"b$w").mkString(" "))) ++
+      (100L until 110L).map(i => (i, (1 to 30).map(w => s"u${i}x$w").mkString(" ")))
+    val df = boiler.toDF("doc_id", "text")
+    val full = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5).get
+    val r1 = Dedup.pairRecallEstimate(df, "text", "doc_id", full,
+      threshold = 0.5, sampleFraction = 1.0).get.head()
+    assert(r1.getAs[Long]("n_sampled") == 40)
+    assert(r1.getAs[Long]("true_pairs") == 30L * 29 / 2)
+    assert(r1.getAs[Double]("recall") == 1.0)
+    val capped = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5,
+      maxBucket = 10).get
+    val r2 = Dedup.pairRecallEstimate(df, "text", "doc_id", capped,
+      threshold = 0.5, sampleFraction = 1.0).get.head()
+    assert(r2.getAs[Long]("recalled_pairs") == 0 && r2.getAs[Double]("recall") == 0.0,
+      "the cap silently dropped every clone bucket — the estimator must say so")
+  }
+
+  test("pairRecallEstimate counts pairs in either orientation and NULLs an empty truth") {
+    val df = Seq(
+      (0L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val reversed = Seq((1L, 0L)).toDF("idA", "idB") // generator emitted (B, A)
+    val r = Dedup.pairRecallEstimate(df, "text", "doc_id", reversed,
+      threshold = 0.5, sampleFraction = 1.0).get.head()
+    assert(r.getAs[Long]("true_pairs") == 1 && r.getAs[Double]("recall") == 1.0)
+    // unrelated docs: no truth pairs -> NULL recall (distinguishable from 0)
+    val uniq = Seq(
+      (0L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r2 = Dedup.pairRecallEstimate(uniq, "text", "doc_id",
+      spark.emptyDataFrame.select(lit(0L).as("idA"), lit(0L).as("idB")).limit(0),
+      threshold = 0.5, sampleFraction = 1.0).get.head()
+    assert(r2.getAs[Long]("true_pairs") == 0 && r2.isNullAt(r2.fieldIndex("recall")))
+  }
+
   test("mmrSelect validates its knobs") {
     val df = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
     assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 0).isFailing)
