@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Merge, Multimodal, Similarity, Sketch}
+import graft.operators.{Dedup, Merge, Multimodal, Quantize, Similarity, Sketch}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2308,6 +2308,29 @@ object SparkEntry {
         .filter(col("idA") % 2 === 0)
       Dedup.pairRecallEstimate(docs, "text", "doc_id", pairs,
         threshold = 0.5, sampleFraction = 0.2).get
+    }),
+
+    "q181_pq_encode" -> ((s, dir) => {
+      // Product-quantization codes (8 subspaces × 16 cells over 64-dim)
+      // on the portable md5-sign codebook — every per-subspace argmax is
+      // recomputed by the oracle from the shared sign formula, so the
+      // quantizer itself (not just a downstream ranking) is value-gated.
+      Quantize.pqEncode(tbl(s, dir, "embeddings"), "embedding", "vec_id",
+          m = 8, cells = 16).get
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .orderBy("vec_id", "s")
+    }),
+
+    "q182_pq_knn" -> ((s, dir) => {
+      // ADC-scored kNN with an exhaustive shortlist (600 ≥ corpus), so
+      // the exact rerank sees every candidate and the emitted top-k
+      // equals exact brute force — the full plan path (code scan, table
+      // broadcast, shortlist window, rerank join) under an exact oracle.
+      // Approximate-shortlist recall is measured in QuantizeSpec.
+      val emb = tbl(s, dir, "embeddings")
+      Quantize.pqKnn(emb, emb.filter(col("vec_id") < 10), "embedding",
+          "vec_id", k = 5, m = 8, cells = 16, shortlistK = 600).get
+        .orderBy("queryId", "rank")
     }),
 
     "q153_audio_fingerprint" -> ((s, dir) => {
@@ -5015,6 +5038,37 @@ object SparkEntry {
            CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
                 ELSE round((SELECT count(*) FROM rec) * 1.0
                       / (SELECT count(*) FROM truth), 6) END AS recall""",
+
+    // q181: the PQ quantizer replayed from the shared md5 sign formula —
+    // subspace ss of 8 uses sign rows [ss·16, (ss+1)·16) over its 8-dim
+    // slice; code = argmax projection (ties toward the smaller cell).
+    "q181_pq_encode" ->
+      """WITH signs AS (
+           SELECT jj.j AS j, ii.i AS i,
+             CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(jj.j AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR)),
+                    1, 15)) AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END AS sg
+           FROM (SELECT unnest(range(0, 128)) AS j) jj,
+                (SELECT unnest(range(0, 8)) AS i) ii
+         ), proj AS (
+           SELECT e.vec_id, g.j // 16 AS ss, g.j % 16 AS c,
+             sum(CAST(e.embedding[(g.j // 16) * 8 + g.i + 1] AS DOUBLE)
+                 * g.sg) AS p
+           FROM embeddings e, signs g
+           GROUP BY e.vec_id, ss, c
+         )
+         SELECT vec_id, CAST(ss AS INTEGER) AS s, CAST(c AS INTEGER) AS code
+         FROM (
+           SELECT vec_id, ss, c,
+             row_number() OVER (PARTITION BY vec_id, ss
+                                ORDER BY p DESC, c) AS rn
+           FROM proj) WHERE rn = 1
+         ORDER BY vec_id, s""",
+
+    // q182: exhaustive shortlist ⇒ the exact rerank sees every candidate
+    // ⇒ ADC kNN equals exact top-k by construction (the q40/q98 gating
+    // pattern for approximate retrieval paths).
+    "q182_pq_knn" -> knnExactOracle,
 
     // q153: the dominant bin of a frame holding exactly c full sine
     // cycles is bin c — the planted sequence replays as arithmetic.

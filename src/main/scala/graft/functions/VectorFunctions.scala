@@ -39,4 +39,20 @@ object VectorFunctions {
     * angular distance share long bit-prefixes with high probability. */
   def hyperplaneBits(v: Column, nBits: Int = 16, seed: Long = 42L): Column =
     column(HyperplaneBits(expression(v), nBits, seed))
+
+  /** Product-quantization codes over the portable md5-sign codebook:
+    * `m` subspace codes, each in `[0, k)`. */
+  def portablePqCodes(v: Column, m: Int, k: Int): Column =
+    column(PortablePqCodes(expression(v), m, k))
+
+  /** Flattened per-query ADC lookup table for [[portablePqCodes]]:
+    * `table[s·k + c]` = projection of query subvector `s` onto codebook
+    * row `(s, c)`. */
+  def portablePqTable(v: Column, m: Int, k: Int): Column =
+    column(PortablePqTable(expression(v), m, k))
+
+  /** Asymmetric-distance score: `Σ_s table[s·k + codes[s]]` — `m` array
+    * reads per candidate instead of a full-dimension dot product. */
+  def pqAdcScore(codes: Column, table: Column): Column =
+    column(PqAdcScore(expression(codes), expression(table)))
 }

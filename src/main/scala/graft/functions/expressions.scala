@@ -477,6 +477,130 @@ case class PortableClusterAssign(child: Expression, nClusters: Int)
   override def prettyName: String = "portable_cluster"
 }
 
+/** Product-quantization kernels over the portable md5-sign codebook
+  * (same single sign source as [[PortableVecSimhashImpl]], so any engine
+  * with `md5()` replays codes and ADC tables exactly). Subspace `s` of
+  * `m` uses sign rows `[s·k, (s+1)·k)` over the sub-dimension — distinct
+  * rows per subspace, one shared formula. */
+object PortablePqImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Per-subspace code: argmax over `c < k` of the projection of
+    * subvector `s` onto sign row `s·k + c` (ties → smallest c). */
+  def codes(v: ArrayData, m: Int, k: Int, isDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val s = PortableVecSimhashImpl.signs(m * k, sub)
+    val out = new Array[Int](m)
+    var ss = 0
+    while (ss < m) {
+      var best = 0
+      var bestP = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val off = (ss * k + c) * sub
+        var acc = 0.0
+        var i = 0
+        if (isDouble) while (i < sub) { acc += v.getDouble(ss * sub + i) * s(off + i); i += 1 }
+        else while (i < sub) { acc += v.getFloat(ss * sub + i).toDouble * s(off + i); i += 1 }
+        if (acc > bestP) { bestP = acc; best = c }
+        c += 1
+      }
+      out(ss) = best
+      ss += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table, flattened `(s·k + c) → partial`: the
+    * projection of query subvector `s` onto sign row `s·k + c`. Computed
+    * ONCE per query (m·k·sub multiplies); scoring a code is then `m`
+    * array reads instead of a `dim`-wide dot. */
+  def table(v: ArrayData, m: Int, k: Int, isDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val s = PortableVecSimhashImpl.signs(m * k, sub)
+    val out = new Array[Double](m * k)
+    var ss = 0
+    while (ss < m) {
+      var c = 0
+      while (c < k) {
+        val off = (ss * k + c) * sub
+        var acc = 0.0
+        var i = 0
+        if (isDouble) while (i < sub) { acc += v.getDouble(ss * sub + i) * s(off + i); i += 1 }
+        else while (i < sub) { acc += v.getFloat(ss * sub + i).toDouble * s(off + i); i += 1 }
+        out(ss * k + c) = acc
+        c += 1
+      }
+      ss += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score `Σ_s table[s·k + codes[s]]` with `k = |table| / |codes|`. */
+  def adc(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    val k = table.numElements() / m
+    var acc = 0.0
+    var ss = 0
+    while (ss < m) { acc += table.getDouble(ss * k + codes.getInt(ss)); ss += 1 }
+    acc
+  }
+}
+
+case class PortablePqCodes(child: Expression, m: Int, k: Int)
+    extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"portable_pq_codes needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PortablePqImpl.codes(input.asInstanceOf[ArrayData], m, k, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortablePqImpl.codes($c, $m, $k, $isDouble)")
+  override protected def withNewChildInternal(newChild: Expression): PortablePqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "portable_pq_codes"
+}
+
+case class PortablePqTable(child: Expression, m: Int, k: Int)
+    extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"portable_pq_table needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PortablePqImpl.table(input.asInstanceOf[ArrayData], m, k, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortablePqImpl.table($c, $m, $k, $isDouble)")
+  override protected def withNewChildInternal(newChild: Expression): PortablePqTable =
+    copy(child = newChild)
+  override def prettyName: String = "portable_pq_table"
+}
+
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PortablePqImpl.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PortablePqImpl.adc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_score"
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

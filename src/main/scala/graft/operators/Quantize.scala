@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
-import graft.functions.VectorFunctions.{vecCosine, vecCosineDouble}
+import graft.functions.VectorFunctions.{pqAdcScore, portablePqCodes, portablePqTable, vecCosine, vecCosineDouble}
 
 /** Embedding quantization: per-vector int8 scalar quantization (SQ8),
   * 1-bit binary (sign) quantization, and approximate kNN over either
@@ -178,6 +178,76 @@ object Quantize {
     // — production shortlists are tens-to-hundreds, inside that bound.
     val wGlob = Window.partitionBy(col("queryId"))
       .orderBy(col("__approx").desc, col("neighborId"))
+    val shortlist = scored
+      .withColumn("__sr", row_number().over(wGlob))
+      .filter(col("__sr") <= shortlistK)
+      .select(col("queryId"), col("neighborId"))
+    rerankShortlist(corpus, vecCol, idCol,
+      q.select(col("queryId"), col("__qv")), shortlist, k)
+  }
+
+  /** Product-quantization codes (Jégou et al. 2011) over the portable
+    * md5-sign codebook: the vector splits into `m` subspaces and each
+    * subvector is assigned its argmax-projection codebook row — `m`
+    * small ints replace `dim` floats (m=8, k=16 over 64-dim float32 is
+    * 64×ish compression before code packing). The portable codebook is
+    * the cross-engine-checkable stand-in for trained per-subspace
+    * k-means (the [[graft.functions.PortableClusterAssign]] convention —
+    * any engine with `md5()` replays every code); recall of the
+    * ADC-ranked search built on it is measurable with
+    * [[Similarity.knnRecall]], which is the contract that matters at
+    * scale. Encoding is a pure per-row projection: no shuffle at all.
+    * Returns `(idCol, codes: array<int>)`; null vectors yield null. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      cells: Int = 16
+  ): MayFail[DataFrame] = MayFail {
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    df.select(col(idCol), portablePqCodes(col(vecCol), m, cells).as("codes"))
+  }
+
+  /** Top-k neighbors ranked by PQ asymmetric-distance (ADC) scoring,
+    * exact-reranked on the original floats — the IVF-PQ scale path's
+    * scoring half (compose with [[Similarity.ivfKnn]]'s cell routing to
+    * bound the scan).
+    *
+    * Shape for scale: each query precomputes its `m·cells` lookup table
+    * ONCE (broadcast with the query); scoring a candidate is then `m`
+    * array reads against a code scan ~`dim/m`× smaller than the float
+    * corpus — at 100 TB of embeddings the ADC pass reads codes only, and
+    * the full-precision vectors surface exclusively in the bounded
+    * shortlist rerank ([[sqKnn]]'s contract: the shortlist is
+    * `queries × shortlistK` rows, broadcast back, corpus never
+    * shuffled). `shortlistK` trades recall for rerank cost; a shortlist
+    * covering the corpus degenerates to exact brute force (how the
+    * oracle gates this path — approximate rankings are gated by
+    * measured recall, QuantizeSpec). */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      m: Int = 8,
+      cells: Int = 16,
+      shortlistK: Int = 100
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1 && shortlistK >= k,
+      s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    val enc = corpus.select(col(idCol).as("neighborId"),
+        portablePqCodes(col(vecCol), m, cells).as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = queries.select(col(idCol).as("queryId"),
+      col(vecCol).as("__qv"),
+      portablePqTable(col(vecCol), m, cells).as("__tab"))
+    val scored = enc.join(broadcast(q), col("queryId") =!= col("neighborId"))
+      .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))
+    val wGlob = Window.partitionBy(col("queryId"))
+      .orderBy(col("__approx").desc_nulls_last, col("neighborId"))
     val shortlist = scored
       .withColumn("__sr", row_number().over(wGlob))
       .filter(col("__sr") <= shortlistK)

@@ -166,4 +166,64 @@ class QuantizeSpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall below 0.7 for 64-dim sign codes at shortlist 50")
   }
+
+  test("pqEncode emits m codes in [0, cells); ADC score is the table lookup sum") {
+    val df = randomVecs(60, 16, seed = 41L).toDF("id", "vec")
+    val enc = Quantize.pqEncode(df, "vec", "id", m = 4, cells = 8).get
+    val codes = enc.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // ADC against a vector's OWN table must equal the sum of its argmax
+    // projections — recompute both sides through the public columns
+    import graft.functions.VectorFunctions._
+    val self = df.select(col("id"),
+        portablePqCodes(col("vec"), 4, 8).as("c"),
+        portablePqTable(col("vec"), 4, 8).as("t"))
+      .withColumn("adc", pqAdcScore(col("c"), col("t")))
+      .withColumn("manual",
+        expr("aggregate(transform(c, (x, s) -> t[s * 8 + x]), 0D, (a, b) -> a + b)"))
+      .select(abs(col("adc") - col("manual")).as("d")).as[Double].collect()
+    assert(self.forall(_ == 0.0), "kernel ADC must equal the HOF-replayed lookup sum")
+  }
+
+  test("pqKnn with exhaustive shortlist reproduces exact brute-force top-k") {
+    val data = randomVecs(120, 16, seed = 23L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaPq = Quantize.pqKnn(df, queries, "vec", "id", k = 5,
+        m = 4, cells = 8, shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaPq == exact)
+  }
+
+  test("pqKnn recall on clustered data: ADC shortlist finds same-cluster neighbors") {
+    // 5 planted directions, 40 noisy members each: the regime PQ exists
+    // for. MEASURED recall@5 with a 15% shortlist must stay high — the
+    // ADC ordering does real selection work here, not just the rerank.
+    val rnd = new scala.util.Random(7L)
+    val bases = Seq.fill(5)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val data = Seq.tabulate(200) { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val approx = Quantize.pqKnn(df, queries, "vec", "id", k = 5,
+        m = 4, cells = 8, shortlistK = 30).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below 0.7 on clustered data at shortlist 30")
+  }
+
+  test("pqKnn and pqEncode validate their knobs") {
+    val df = randomVecs(10, 16, seed = 5L).toDF("id", "vec")
+    assert(Quantize.pqKnn(df, df, "vec", "id", k = 10, shortlistK = 5).isFailing)
+    assert(Quantize.pqKnn(df, df, "vec", "id", k = 1, cells = 1).isFailing)
+    assert(Quantize.pqEncode(df, "vec", "id", m = 0).isFailing)
+  }
 }
