@@ -56,7 +56,13 @@ object Bench {
     // (two countDistinct aggs + two semi joins over the same fact);
     // join-order and broadcast-threshold regressions surface here
     "q171_tpch9",
-    "q173_tpch21"
+    "q173_tpch21",
+    // round-8 session additions: the PQ ADC path (code scan + lookup
+    // tables + exhaustive rerank — the quantized-retrieval ceiling) and
+    // the MMR greedy over WindowGroupLimit-capped shortlists (the
+    // flatMapGroups sequential-kernel pattern)
+    "q182_pq_knn",
+    "q179_mmr_select"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed
