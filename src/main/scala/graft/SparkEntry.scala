@@ -2310,6 +2310,28 @@ object SparkEntry {
         threshold = 0.5, sampleFraction = 0.2).get
     }),
 
+    "q183_asof_nearest" -> ((s, dir) => {
+      // merge_asof nearest-direction with tolerance: for each click, the
+      // closest purchase by the same user within ±2 hours (ties →
+      // backward, the pandas order). Same union+window plan as q52 —
+      // one shuffle on user_id, the second direction adds only an
+      // in-partition sort. The corpus has no equidistant-purchase ties
+      // (checked), so the match set is a pure function of the data.
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"))
+      graft.operators.AsOfJoin.asOf(
+        clicks, purchases, "ts", "purchase_ts", Seq("user_id"),
+        rightCols = Seq("purchase_value"), direction = "nearest",
+        tolerance = Some(expr("INTERVAL 2 HOURS"))).get
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_ts"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     "q181_pq_encode" -> ((s, dir) => {
       // Product-quantization codes (8 subspaces × 16 cells over 64-dim)
       // on the portable md5-sign codebook — every per-subspace argmax is
@@ -5038,6 +5060,34 @@ object SparkEntry {
            CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
                 ELSE round((SELECT count(*) FROM rec) * 1.0
                       / (SELECT count(*) FROM truth), 6) END AS recall""",
+
+    // q183: brute-force replay of nearest-within-tolerance — all pairs
+    // inside ±2h ranked by (distance, backward-first), rank 1 kept,
+    // left join back preserves unmatched clicks.
+    "q183_asof_nearest" ->
+      """WITH l AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts AS pts, round(value, 4) AS pv FROM events
+           WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT l.event_id, r.pts, r.pv,
+             CASE WHEN r.pts <= l.ts THEN l.ts - r.pts
+                  ELSE r.pts - l.ts END AS dist,
+             CASE WHEN r.pts <= l.ts THEN 0 ELSE 1 END AS side
+           FROM l JOIN r ON l.user_id = r.user_id
+           WHERE r.pts BETWEEN l.ts - INTERVAL 2 HOUR
+                           AND l.ts + INTERVAL 2 HOUR),
+         best AS (
+           SELECT event_id, pts, pv FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_id
+                        ORDER BY dist, side) AS rn
+             FROM cand) WHERE rn = 1)
+         SELECT l.event_id, l.user_id, l.ts,
+           b.pts AS purchase_ts, b.pv AS purchase_value
+         FROM l LEFT JOIN best b ON b.event_id = l.event_id
+         ORDER BY l.event_id""",
 
     // q181: the PQ quantizer replayed from the shared md5 sign formula —
     // subspace ss of 8 uses sign rows [ss·16, (ss+1)·16) over its 8-dim

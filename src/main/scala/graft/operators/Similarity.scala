@@ -161,7 +161,15 @@ object Similarity {
     * `array<float>`. Candidates equal to the query id are excluded.
     * Returns `(queryId, rank, candId, relevance, mmr)` with `rank`
     * 1..k (fewer when the shortlist runs dry); scores rounded to 6.
-    */
+    *
+    * λ and exact duplicates: an exact clone of an already-selected item
+    * scores `λ·rel − (1−λ)·1`; with `rel ≈ 1` (the selected item was
+    * itself highly relevant) that is `2λ − 1` — NON-negative for
+    * `λ ≥ 0.5`, so at such λ a perfectly-relevant duplicate legally
+    * outscores mildly-relevant diverse candidates (measured at the 10×
+    * rehearsal). If the corpus may contain exact/near-exact duplicates,
+    * either dedup first ([[Dedup]]) or run `λ < 0.5`, where the clone
+    * penalty strictly dominates. */
   def mmrSelect(
       corpus: DataFrame,
       queries: DataFrame,

@@ -154,6 +154,22 @@ object ScaleRehearsal {
     time("bin-knn")(graft.operators.Quantize.binKnn(
       emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
       k = 5, shortlistK = 50).get.count())
+    // round-8 session: PQ ADC scan (codes ~dim/m x smaller than floats;
+    // per-candidate cost is m array reads) and the MMR greedy over a
+    // bounded per-query shortlist
+    time("pq-knn")(graft.operators.Quantize.pqKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, m = 8, cells = 16, shortlistK = 50).get.count())
+    time("mmr-select")(graft.operators.Similarity.mmrSelect(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 10, lambda = 0.5, shortlist = 100).get.count())
+    // measured-recall audit: the O(m²) truth brute force over a ~2%
+    // sample of the replicated corpus — the audit-job cost shape
+    time("pair-recall")(graft.operators.Dedup.pairRecallEstimate(
+      docs, "text", "doc_id",
+      graft.operators.Dedup.minhashPairs(docs, "text", "doc_id",
+        threshold = 0.5).get,
+      threshold = 0.5, sampleFraction = 0.02).get.count())
 
     // round-5 multimodal near-dup: real codec work (PNG encode+decode,
     // per-frame FFT) per row is the dominant linear cost; the pair joins
@@ -418,6 +434,72 @@ object ScaleRehearsal {
       keptCnt == expectedNovel && keptNovel == keptCnt,
       s"videoDedupAgainst must keep exactly the novel clips: kept=$keptCnt " +
         s"(novel-of-kept=$keptNovel) expected=$expectedNovel")
+
+    // PQ exhaustive-shortlist law at scale: when the shortlist covers the
+    // corpus the exact rerank sees every candidate, so ADC kNN must equal
+    // exact brute force on the REPLICATED corpus (ties included — both
+    // paths break ties by neighborId)
+    val nEmb = emb.count()
+    val pqExh = graft.operators.Quantize.pqKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 5, m = 8, cells = 16, shortlistK = (nEmb + 1).toInt).get
+      .select("queryId", "neighborId", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bfExh = graft.operators.Similarity.bruteForceKnn(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5).get
+      .select("queryId", "neighborId", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    check("pq_exhaustive_exact", pqExh == bfExh,
+      s"exhaustive-shortlist PQ kNN must equal exact top-k: ${pqExh.size} vs ${bfExh.size}")
+
+    // MMR anti-redundancy at scale: the replicated corpus guarantees
+    // exact clones of every top-relevance vector (including the query's
+    // own replicas, rel = 1) inside the shortlist. At λ ≥ 0.5 a clone of
+    // a selected rel≈1 item scores 2λ−1 ≥ 0 and legally outscores
+    // mildly-relevant diverse candidates — the first run of this
+    // invariant at λ=0.5 caught exactly that (now documented on the
+    // operator). Below 0.5 the clone penalty strictly dominates: at
+    // λ=0.25 a clone scores −0.5 while any distinct near-orthogonal
+    // candidate stays above −0.4 — so NO two selected items may be
+    // near-identical.
+    val mmrSel = graft.operators.Similarity.mmrSelect(
+      emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id",
+      k = 10, lambda = 0.25, shortlist = 100).get
+      .select(col("queryId"), col("candId"))
+    val selVec = mmrSel.join(emb.select(col("vec_id").as("candId"),
+      col("embedding")), Seq("candId"))
+    val redundant = selVec.as("a").join(selVec.as("b"),
+        col("a.queryId") === col("b.queryId") &&
+        col("a.candId") < col("b.candId"))
+      .filter(graft.functions.VectorFunctions.vecCosine(
+        col("a.embedding"), col("b.embedding")) > 0.99)
+      .count()
+    check("mmr_no_redundant_selection", redundant == 0,
+      s"MMR selected $redundant near-identical pairs despite clones in every shortlist")
+
+    // Measured-recall laws at scale: the uncapped generator scores
+    // exactly 1.0 on the sampled truth (clone pairs sit at Jaccard 1
+    // where banding recall is certain), and the even-idA handicap is
+    // MEASURED as a strict loss, not rounded away
+    val fullPairs = graft.operators.Dedup.minhashPairs(
+      docs, "text", "doc_id", threshold = 0.5).get
+    val rFull = graft.operators.Dedup.pairRecallEstimate(
+      docs, "text", "doc_id", fullPairs,
+      threshold = 0.5, sampleFraction = 0.02).get.head()
+    // (a mult=1 smoke run may sample zero true pairs — the strict forms
+    // need the replicated corpus's clone pairs, same guard as
+    // raw_pair_blowup)
+    check("pair_recall_uncapped_one",
+      mult < 2 ||
+        (rFull.getAs[Long]("true_pairs") > 0 && rFull.getAs[Double]("recall") == 1.0),
+      s"uncapped minhash must recall every sampled truth pair: $rFull")
+    val rHandicap = graft.operators.Dedup.pairRecallEstimate(
+      docs, "text", "doc_id", fullPairs.filter(pmod(col("idA"), lit(2)) === 0),
+      threshold = 0.5, sampleFraction = 0.02).get.head()
+    check("pair_recall_measures_loss",
+      mult < 2 ||
+        rHandicap.getAs[Long]("recalled_pairs") < rHandicap.getAs[Long]("true_pairs"),
+      s"the even-idA handicap must register as measured recall loss: $rHandicap")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
