@@ -2355,6 +2355,23 @@ object SparkEntry {
         .orderBy("queryId", "rank")
     }),
 
+    "q184_pq_assigned" -> ((s, dir) => {
+      // Caller-supplied-codebook PQ (the trained-k-means path) under a
+      // value-exact oracle: the codebook is synthesized from exact
+      // quarter-rational arithmetic — centroid[i] = ((s·31 + cell·7 +
+      // i·3) mod 11 − 5) / 4 — so DuckDB replays every nearest-center
+      // (l2) assignment, including the 2·x·c − |c|² expansion.
+      val cb = s.range(0, 8).select(col("id").cast("int").as("s"))
+        .crossJoin(s.range(0, 16).select(col("id").cast("int").as("cell")))
+        .withColumn("centroid", expr(
+          "transform(sequence(0, 7), i -> " +
+          "CAST(((s*31 + cell*7 + i*3) % 11 - 5) / 4.0 AS FLOAT))"))
+      Quantize.pqEncodeWith(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", cb, m = 8, metric = "l2").get
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .orderBy("vec_id", "s")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -5088,6 +5105,32 @@ object SparkEntry {
            b.pts AS purchase_ts, b.pv AS purchase_value
          FROM l LEFT JOIN best b ON b.event_id = l.event_id
          ORDER BY l.event_id""",
+
+    // q184: the assigned-codebook quantizer replayed — the synthetic
+    // centroids are exact binary quarters, so the l2 argmax
+    // (2·x·c − |c|², ties toward the smaller cell) is deterministic.
+    "q184_pq_assigned" ->
+      """WITH cb AS (
+           SELECT ss.s AS s, cc.cell AS cell, ii.i AS i,
+             CAST(((ss.s * 31 + cc.cell * 7 + ii.i * 3) % 11 - 5) / 4.0
+                  AS DOUBLE) AS cv
+           FROM (SELECT unnest(range(0, 8)) AS s) ss,
+                (SELECT unnest(range(0, 16)) AS cell) cc,
+                (SELECT unnest(range(0, 8)) AS i) ii
+         ), sc AS (
+           SELECT e.vec_id, cb.s, cb.cell,
+             sum(CAST(e.embedding[cb.s * 8 + cb.i + 1] AS DOUBLE) * cb.cv) AS d,
+             sum(cb.cv * cb.cv) AS cc2
+           FROM embeddings e, cb
+           GROUP BY e.vec_id, cb.s, cb.cell
+         )
+         SELECT vec_id, CAST(s AS INTEGER) AS s, CAST(cell AS INTEGER) AS code
+         FROM (
+           SELECT vec_id, s, cell,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY 2 * d - cc2 DESC, cell) AS rn
+           FROM sc) WHERE rn = 1
+         ORDER BY vec_id, s""",
 
     // q181: the PQ quantizer replayed from the shared md5 sign formula —
     // subspace ss of 8 uses sign rows [ss·16, (ss+1)·16) over its 8-dim

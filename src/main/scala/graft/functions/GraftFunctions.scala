@@ -89,5 +89,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("pack_bins_next_fit",
       es => { arity("pack_bins_next_fit", es, 2, 2)
         PackBinsNextFit(es.head, longLit(es(1))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      es => { arity("word_ngrams", es, 2, 2)
+        WordNgrams(es.head, intLit(es(1)), lowercase = true) }, "scala_udf")
+    reg.createOrReplaceTempFunction("portable_pq_codes",
+      es => { arity("portable_pq_codes", es, 3, 3)
+        PortablePqCodes(es.head, intLit(es(1)), intLit(es(2))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("portable_pq_table",
+      es => { arity("portable_pq_table", es, 3, 3)
+        PortablePqTable(es.head, intLit(es(1)), intLit(es(2))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc_score",
+      es => { arity("pq_adc_score", es, 2, 2)
+        PqAdcScore(es(0), es(1)) }, "scala_udf")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
-import graft.functions.VectorFunctions.{pqAdcScore, portablePqCodes, portablePqTable, vecCosine, vecCosineDouble}
+import graft.functions.VectorFunctions.{pqAdcScore, portablePqCodes, portablePqTable, vecCosine, vecCosineDouble, vecDot}
 
 /** Embedding quantization: per-vector int8 scalar quantization (SQ8),
   * 1-bit binary (sign) quantization, and approximate kNN over either
@@ -254,6 +254,115 @@ object Quantize {
       .select(col("queryId"), col("neighborId"))
     rerankShortlist(corpus, vecCol, idCol,
       q.select(col("queryId"), col("__qv")), shortlist, k)
+  }
+
+  /** PQ encode against a CALLER-SUPPLIED codebook — the production path
+    * where per-subspace centroids come from real k-means (train each
+    * subspace with `spark.ml` KMeans over `slice(vec, s·sub+1, sub)`
+    * and collect the cluster centers into `centroids`), mirroring
+    * [[Dedup.semanticDedupAssigned]]'s caller-trained convention.
+    *
+    * `centroids`: `(s: int, cell: int, centroid: array<float>)`, one row
+    * per subspace × cell — m·cells rows, broadcast. `metric` is the
+    * assignment rule: `"l2"` (k-means convention, nearest center) or
+    * `"dot"` (argmax projection, the portable codebook's rule); ties
+    * break toward the smaller cell either way.
+    *
+    * Plan: the corpus explodes into (id, s, subvector) slim rows — m
+    * rows per vector, `sub` floats each — joins the broadcast codebook,
+    * and two aggregations (argmax per (id, s), ordered reassembly per
+    * id) produce `codes`. Two shuffles of slim rows; vectors never
+    * shuffle whole. Returns `(idCol, codes: array<int>)`. */
+  def pqEncodeWith(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: DataFrame,
+      m: Int,
+      metric: String = "l2"
+  ): MayFail[DataFrame] = MayFail {
+    require(m >= 1, s"need m >= 1 (got $m)")
+    require(Seq("l2", "dot").contains(metric), s"metric must be l2 | dot: $metric")
+    val exploded = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("__sv", expr(s"slice(__v, s * (size(__v) div $m) + 1, size(__v) div $m)"))
+      .select(col("__id"), col("s"), col("__sv"))
+    val cb = centroids.select(col("s"), col("cell"), col("centroid"))
+    val score = metric match {
+      case "dot" => vecDot(col("__sv"), col("centroid"))
+      // negative squared L2, dot-expanded: argmax(-(|x|²-2x·c+|c|²)) =
+      // argmax(2x·c - |c|²) — |x|² is constant per (id, s)
+      case "l2" =>
+        lit(2.0) * vecDot(col("__sv"), col("centroid")) -
+          vecDot(col("centroid"), col("centroid"))
+    }
+    exploded.join(broadcast(cb), Seq("s"))
+      .withColumn("__score", score)
+      // max over struct is lexicographic: best score, then smallest cell
+      .groupBy(col("__id"), col("s"))
+      .agg(max(struct(col("__score"), (-col("cell")).as("__negCell"))).as("__best"))
+      .select(col("__id"), col("s"), (-col("__best.__negCell")).cast("int").as("cell"))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cell")))),
+        x => x.getField("cell")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+  }
+
+  /** ADC kNN over a caller-supplied codebook ([[pqEncodeWith]]'s search
+    * half): each query's m·cells lookup table assembles from the
+    * broadcast codebook (partial = `metric` score of the query
+    * subvector against each cell) and candidates cost m array reads via
+    * the same native `pq_adc_score` kernel as [[pqKnn]] — then the
+    * bounded shortlist reranks on exact float cosines. */
+  def pqKnnWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: DataFrame,
+      m: Int,
+      cells: Int,
+      k: Int = 10,
+      shortlistK: Int = 100,
+      metric: String = "l2"
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1 && shortlistK >= k,
+      s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    val enc = pqEncodeWith(corpus, vecCol, idCol, centroids, m, metric).get
+      .select(col(idCol).as("neighborId"), col("codes").as("__codes"))
+    val cb = centroids.select(col("s"), col("cell"), col("centroid"))
+    val partial = metric match {
+      case "dot" => vecDot(col("__sv"), col("centroid"))
+      case "l2" =>
+        lit(2.0) * vecDot(col("__sv"), col("centroid")) -
+          vecDot(col("centroid"), col("centroid"))
+    }
+    val qTab = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("__sv",
+        expr(s"slice(__qv, s * (size(__qv) div $m) + 1, size(__qv) div $m)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("__p", partial)
+      .groupBy(col("queryId"))
+      .agg(first(col("__qv")).as("__qv"),
+        transform(array_sort(collect_list(
+          struct((col("s") * cells + col("cell")).as("i"), col("__p")))),
+          x => x.getField("__p")).as("__tab"))
+    val scored = enc.join(broadcast(qTab), col("queryId") =!= col("neighborId"))
+      .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))
+    val wGlob = Window.partitionBy(col("queryId"))
+      .orderBy(col("__approx").desc_nulls_last, col("neighborId"))
+    val shortlist = scored
+      .withColumn("__sr", row_number().over(wGlob))
+      .filter(col("__sr") <= shortlistK)
+      .select(col("queryId"), col("neighborId"))
+    rerankShortlist(corpus, vecCol, idCol,
+      qTab.select(col("queryId"), col("__qv")), shortlist, k)
   }
 
   /** Shortlist-truncation report for [[binKnn]]/[[sqKnn]]: per query,

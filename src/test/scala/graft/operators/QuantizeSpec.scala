@@ -220,6 +220,77 @@ class QuantizeSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall below 0.7 on clustered data at shortlist 30")
   }
 
+  test("pqEncodeWith: l2 picks the nearest center, dot the largest projection, ties low") {
+    // 1-subspace, 2-dim, hand-placed centers: vector (1, 0) is L2-nearest
+    // to cell 0 at (0.9, 0) but projects larger onto cell 1 at (9, 9)
+    val cb = Seq((0, 0, Seq(0.9f, 0.0f)), (0, 1, Seq(9.0f, 9.0f)))
+      .toDF("s", "cell", "centroid")
+    val df = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val l2 = Quantize.pqEncodeWith(df, "vec", "id", cb, m = 1, metric = "l2").get
+      .select("codes").as[Seq[Int]].head()
+    assert(l2 == Seq(0), "l2 must pick the nearest center, not the biggest projection")
+    val dot = Quantize.pqEncodeWith(df, "vec", "id", cb, m = 1, metric = "dot").get
+      .select("codes").as[Seq[Int]].head()
+    assert(dot == Seq(1))
+    // exact tie (duplicate centers) → smaller cell
+    val tieCb = Seq((0, 3, Seq(1.0f, 1.0f)), (0, 1, Seq(1.0f, 1.0f)))
+      .toDF("s", "cell", "centroid")
+    val tie = Quantize.pqEncodeWith(df, "vec", "id", tieCb, m = 1).get
+      .select("codes").as[Seq[Int]].head()
+    assert(tie == Seq(1))
+  }
+
+  test("pqKnnWith with exhaustive shortlist reproduces exact brute-force top-k") {
+    val data = randomVecs(120, 16, seed = 29L)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val rnd = new scala.util.Random(3L)
+    val cb = (for { s <- 0 until 4; c <- 0 until 8 }
+      yield (s, c, Seq.fill(4)(rnd.nextFloat() * 2f - 1f))).toDF("s", "cell", "centroid")
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaPq = Quantize.pqKnnWith(df, queries, "vec", "id", cb,
+        m = 4, cells = 8, k = 5, shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaPq == exact)
+  }
+
+  test("pqKnnWith composes with real per-subspace k-means training") {
+    // the intended production flow: train spark.ml KMeans on each
+    // subvector slice, feed the centers in as the codebook
+    val rnd = new scala.util.Random(7L)
+    val bases = Seq.fill(5)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val data = Seq.tabulate(200) { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val df = data.toDF("id", "vec")
+    val m = 4; val sub = 4; val cells = 8
+    val cb = (0 until m).flatMap { s =>
+      val withFeat = df.selectExpr(s"slice(vec, ${s * sub} + 1, $sub) AS sv")
+        .selectExpr((0 until sub).map(i => s"CAST(sv[$i] AS DOUBLE) AS f$i"): _*)
+      val feat = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols((0 until sub).map(i => s"f$i").toArray)
+        .setOutputCol("features").transform(withFeat)
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(cells).setSeed(42L).setFeaturesCol("features").fit(feat)
+      km.clusterCenters.zipWithIndex.map { case (ctr, cell) =>
+        (s, cell, ctr.toArray.map(_.toFloat).toSeq)
+      }
+    }.toDF("s", "cell", "centroid")
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val approx = Quantize.pqKnnWith(df, queries, "vec", "id", cb,
+        m = m, cells = cells, k = 5, shortlistK = 30).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7,
+      s"trained-codebook recall $recall below 0.7 on clustered data at shortlist 30")
+  }
+
   test("pqKnn and pqEncode validate their knobs") {
     val df = randomVecs(10, 16, seed = 5L).toDF("id", "vec")
     assert(Quantize.pqKnn(df, df, "vec", "id", k = 10, shortlistK = 5).isFailing)
