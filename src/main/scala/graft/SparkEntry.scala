@@ -2372,6 +2372,28 @@ object SparkEntry {
         .orderBy("vec_id", "s")
     }),
 
+    "q186_ivfpq_knn" -> ((s, dir) => {
+      // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
+      // corpus): routing excludes nothing and the exact rerank sees all
+      // candidates, so the result equals exact top-k — the q40/q98
+      // gating pattern for the composed path. Pruned-probe recall is
+      // measured in QuantizeSpec.
+      val emb = tbl(s, dir, "embeddings")
+      Quantize.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), "embedding",
+          "vec_id", k = 5, nCentroids = 8, nProbe = 8, m = 8, cells = 16,
+          shortlistK = 600).get
+        .orderBy("queryId", "rank")
+    }),
+
+    "q185_embedding_outliers" -> ((s, dir) => {
+      // Per-label centroid cosine + within-group z-score: the embedding
+      // data-quality screen. Both aggregate rounds (element-wise mean,
+      // cosine mean/stddev) replay in SQL over the same double casts.
+      Similarity.embeddingOutliers(tbl(s, dir, "embeddings"),
+        "embedding", "vec_id", "label").get
+        .orderBy("vec_id")
+    }),
+
     "q153_audio_fingerprint" -> ((s, dir) => {
       // REAL per-frame FFT on real WAV bytes: 4 frames × 256 samples,
       // frame f planted with (3 + (doc_id·7 + f·11) mod 97) full sine
@@ -5105,6 +5127,40 @@ object SparkEntry {
            b.pts AS purchase_ts, b.pv AS purchase_value
          FROM l LEFT JOIN best b ON b.event_id = l.event_id
          ORDER BY l.event_id""",
+
+    // q186: exhaustive probes + exhaustive shortlist ⇒ exact top-k.
+    "q186_ivfpq_knn" -> knnExactOracle,
+
+    // q185: centroid cosines and group z-scores replayed — element-wise
+    // avg centroid, list cosine, avg/stddev_samp per label; singleton or
+    // zero-variance groups yield NULL z on both engines.
+    "q185_embedding_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL
+         ), ex AS (
+           SELECT label, CAST(generate_subscripts(v, 1) - 1 AS INT) AS i,
+             unnest(v) AS x
+           FROM e
+         ), cent AS (
+           SELECT label, list(mu ORDER BY i) AS c FROM (
+             SELECT label, i, avg(x) AS mu FROM ex GROUP BY label, i)
+           GROUP BY label
+         ), n AS (
+           SELECT label, count(*) AS n_members FROM e GROUP BY label
+         ), cosx AS (
+           SELECT e.vec_id, e.label, list_cosine_similarity(e.v, cent.c) AS cosv
+           FROM e JOIN cent USING (label)
+         ), st AS (
+           SELECT label, avg(cosv) AS mu, stddev_samp(cosv) AS sd
+           FROM cosx GROUP BY label
+         )
+         SELECT c.vec_id, c.label, n.n_members,
+           round(c.cosv, 6) AS cos_centroid,
+           CASE WHEN st.sd IS NULL OR st.sd = 0 THEN NULL
+                ELSE round((c.cosv - st.mu) / st.sd, 6) END AS z
+         FROM cosx c JOIN st USING (label) JOIN n USING (label)
+         ORDER BY c.vec_id""",
 
     // q184: the assigned-codebook quantizer replayed — the synthetic
     // centroids are exact binary quarters, so the l2 argmax

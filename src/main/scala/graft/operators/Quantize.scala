@@ -365,6 +365,86 @@ object Quantize {
       qTab.select(col("queryId"), col("__qv")), shortlist, k)
   }
 
+  /** IVF-ADC — the FAISS IVFPQ layout expressed as a Spark plan: a
+    * coarse k-means router bounds the scan to each query's `nProbe`
+    * nearest cells (trained inline like [[Similarity.ivfKnn]], centroid
+    * table broadcast), candidates within probed cells score by PQ
+    * asymmetric distance (portable codebook, native kernel — m array
+    * reads per candidate over codes ~dim/m× smaller than floats), and
+    * the bounded shortlist exact-reranks on the original vectors.
+    *
+    * At 100 TB this is the compounding win: IVF prunes the CANDIDATE SET
+    * (scan nProbe/nCentroids of the corpus) while PQ shrinks the BYTES
+    * PER CANDIDATE — cluster the corpus by `centroid` at write time
+    * (`Optimise.reparBy`) and each probe reads only its cells' files.
+    * Simplification vs FAISS: codes quantize raw vectors, not coarse
+    * residuals — the exact rerank absorbs the coarser approximation
+    * (recall measured in QuantizeSpec); per-cell trained residual
+    * codebooks can be composed from [[pqEncodeWith]] when needed.
+    *
+    * Exhaustive settings (`nProbe = nCentroids`, `shortlistK ≥ corpus`)
+    * degenerate to exact brute force — how the gate checks the path. */
+  def ivfPqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      cells: Int = 16,
+      shortlistK: Int = 100
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1 && shortlistK >= k,
+      s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids (got nProbe=$nProbe, nCentroids=$nCentroids)")
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val assembled = corpus
+      .select(col(idCol).as("neighborId"), col(vecCol).as("__cv"))
+      .filter(col("__cv").isNotNull)
+      .withColumn("__fv", array_to_vector(col("__cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("__fv").setPredictionCol("centroid")
+      .fit(assembled)
+    // the inverted lists carry codes, never float vectors
+    val lists = km.transform(assembled)
+      .select(col("neighborId"), col("centroid"),
+        portablePqCodes(col("__cv"), m, cells).as("__codes"))
+    val centers = km.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("centroid", "__cvec")
+
+    val q = queries.select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
+      portablePqTable(col(vecCol), m, cells).as("__tab"))
+    val wProbe = Window.partitionBy(col("queryId")).orderBy(col("__d2"), col("centroid"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("__d2",
+        vecDot(col("__qv"), col("__qv")) + vecDot(col("__cvec"), col("__cvec"))
+          - lit(2.0) * vecDot(col("__qv"), col("__cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("queryId"), col("__qv"), col("__tab"), col("centroid"))
+
+    val scored = lists.join(broadcast(probes), Seq("centroid"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))
+    val wGlob = Window.partitionBy(col("queryId"))
+      .orderBy(col("__approx").desc_nulls_last, col("neighborId"))
+    val shortlist = scored
+      .withColumn("__sr", row_number().over(wGlob))
+      .filter(col("__sr") <= shortlistK)
+      .select(col("queryId"), col("neighborId"))
+    rerankShortlist(corpus, vecCol, idCol,
+      q.select(col("queryId"), col("__qv")), shortlist, k)
+  }
+
   /** Shortlist-truncation report for [[binKnn]]/[[sqKnn]]: per query,
     * how many scorable corpus candidates existed and how many the
     * `shortlistK` cap cut before the exact rerank —

@@ -508,6 +508,49 @@ object Similarity {
     * anything shuffles, so exactly ONE shuffle of (key, dim-sized sum)
     * rows happens regardless of corpus size. Never posexplodes the
     * corpus (that would shuffle rows × dim). */
+  /** Per-group embedding outlier scores — the data-quality screen for
+    * embedding pipelines (corrupt decodes, mislabeled rows, and
+    * off-distribution vectors all surface as low cosine to their own
+    * group's centroid). For each row: the cosine to its group centroid
+    * and that cosine's z-score within the group
+    * (`(cos − mean) / stddev_samp`; NULL for singleton/constant groups).
+    * Filter `z < -2` (or rank ascending) downstream to quarantine.
+    *
+    * Plan: two slim aggregate+broadcast-back rounds — the per-group
+    * centroid (one Summarizer.mean pass), then per-group cosine
+    * mean/stddev — with the cosine computed map-side between them.
+    * Vectors shuffle only into the first aggregate's partial states;
+    * the join-backs are group-cardinality rows, broadcast. Returns
+    * `(idCol, groupCol, n_members, cos_centroid, z)` rounded to 6. */
+  def embeddingOutliers(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      groupCol: String
+  ): MayFail[DataFrame] = MayFail {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        col(vecCol).cast("array<double>").as("__v"))
+    val cents = rows
+      .select(col(groupCol), array_to_vector(col("__v")).as("__mv"))
+      .groupBy(groupCol)
+      .agg(Summarizer.mean(col("__mv")).as("__c"), count(lit(1)).as("n_members"))
+      .select(col(groupCol), vector_to_array(col("__c")).as("__c"),
+        col("n_members"))
+    val scored = rows.join(broadcast(cents), Seq(groupCol))
+      .withColumn("__cos", vecCosineDouble(col("__v"), col("__c")))
+    val stats = scored.groupBy(groupCol)
+      .agg(avg(col("__cos")).as("__mu"), stddev_samp(col("__cos")).as("__sd"))
+    scored.join(broadcast(stats), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_members"),
+        round(col("__cos"), 6).as("cos_centroid"),
+        when(col("__sd").isNull || col("__sd") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__cos") - col("__mu")) / col("__sd"), 6))
+          .as("z"))
+  }
+
   def groupCentroids(
       df: DataFrame,
       keyCol: String,

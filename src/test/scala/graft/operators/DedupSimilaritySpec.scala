@@ -781,6 +781,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r2.getAs[Long]("true_pairs") == 0 && r2.isNullAt(r2.fieldIndex("recall")))
   }
 
+  test("embeddingOutliers flags the planted off-distribution vector with the lowest z") {
+    val tight = (0L until 8L).map(i =>
+      (i, 0, Seq(1.0f, 0.05f * i, 0.0f))) // a tight +x cluster
+    val planted = Seq((99L, 0, Seq(-1.0f, 0.2f, 0.0f))) // opposite direction
+    val single = Seq((200L, 1, Seq(0.0f, 1.0f, 0.0f))) // singleton group
+    val df = (tight ++ planted ++ single).toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingOutliers(df, "embedding", "vec_id", "label").get
+    val z = got.filter($"label" === 0).orderBy("z")
+      .select("vec_id", "z").as[(Long, Option[Double])].collect()
+    assert(z.head._1 == 99L && z.head._2.exists(_ < -2.0),
+      s"the planted opposite vector must carry the most negative z: ${z.toSeq}")
+    assert(z.tail.forall(_._2.exists(_ > -1.5)))
+    val lone = got.filter($"label" === 1).select("n_members", "z")
+      .as[(Long, Option[Double])].head()
+    assert(lone == ((1L, None)), "singleton groups must yield NULL z, not NaN")
+    // null vectors drop instead of poisoning the centroid
+    val withNull = df.union(Seq((300L, 0, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "label", "embedding"))
+    assert(Similarity.embeddingOutliers(withNull, "embedding", "vec_id", "label")
+      .get.count() == got.count())
+  }
+
   test("mmrSelect validates its knobs") {
     val df = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
     assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 0).isFailing)

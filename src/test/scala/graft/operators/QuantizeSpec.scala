@@ -291,6 +291,35 @@ class QuantizeSpec extends AnyFunSuite {
       s"trained-codebook recall $recall below 0.7 on clustered data at shortlist 30")
   }
 
+  test("ivfPqKnn: exhaustive settings reproduce exact top-k; pruned probes keep recall") {
+    val rnd = new scala.util.Random(7L)
+    val bases = Seq.fill(5)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val data = Seq.tabulate(200) { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val exhaustive = Quantize.ivfPqKnn(df, queries, "vec", "id", k = 5,
+        nCentroids = 8, nProbe = 8, m = 4, cells = 8, shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(exhaustive == exact,
+      "probe-all + exhaustive shortlist must equal exact brute force")
+    // pruned: 2 of 8 cells probed, tight shortlist — the clustered
+    // structure should keep most true neighbors reachable
+    val pruned = Quantize.ivfPqKnn(df, queries, "vec", "id", k = 5,
+        nCentroids = 8, nProbe = 2, m = 4, cells = 8, shortlistK = 30).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet intersect pruned).size.toDouble / exactSet.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall below 0.6 at nProbe=2/8, shortlist 30")
+    assert(Quantize.ivfPqKnn(df, df, "vec", "id", nProbe = 9, nCentroids = 8).isFailing)
+  }
+
   test("pqKnn and pqEncode validate their knobs") {
     val df = randomVecs(10, 16, seed = 5L).toDF("id", "vec")
     assert(Quantize.pqKnn(df, df, "vec", "id", k = 10, shortlistK = 5).isFailing)
