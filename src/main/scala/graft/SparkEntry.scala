@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Merge, Multimodal, Quantize, Similarity, Sketch}
+import graft.operators.{Dedup, Merge, Multimodal, Quantize, Similarity, Sketch, TimeSeries}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2370,6 +2370,19 @@ object SparkEntry {
           "vec_id", cb, m = 8, metric = "l2").get
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
         .orderBy("vec_id", "s")
+    }),
+
+    "q187_gap_fill" -> ((s, dir) => {
+      // Regularize the event stream to 1-hour buckets per event type:
+      // empty buckets materialize with n=0 and the last non-empty
+      // bucket's sum carried forward (ffill). The oracle replays the
+      // grid (range over each type's span), the bucket aggregation, and
+      // the ignore-nulls carry-forward window.
+      TimeSeries.gapFill(events(s, dir), "ts", Seq("event_type"),
+          bucketSec = 3600L, valueCol = "value", how = "sum",
+          fill = "ffill").get
+        .withColumn("value", round(col("value"), 4))
+        .orderBy("event_type", "bucket_ts")
     }),
 
     "q186_ivfpq_knn" -> ((s, dir) => {
@@ -5130,6 +5143,40 @@ object SparkEntry {
 
     // q186: exhaustive probes + exhaustive shortlist ⇒ exact top-k.
     "q186_ivfpq_knn" -> knnExactOracle,
+
+    // q187: the gap-fill grid replayed — per-type span range, bucket
+    // aggregation, left join, ignore-nulls carry-forward window; bucket
+    // timestamps rebuilt with tz-free epoch arithmetic.
+    "q187_gap_fill" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DOUBLE)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.n, 0) AS n, c.v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), f AS (
+           SELECT event_type, b, n,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM j
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           n, round(v, 4) AS value
+         FROM f ORDER BY event_type, bucket_ts""",
 
     // q185: centroid cosines and group z-scores replayed — element-wise
     // avg centroid, list cosine, avg/stddev_samp per label; singleton or
