@@ -2284,6 +2284,29 @@ object SparkEntry {
       } yield g).get
     }),
 
+    "q188_tpch12" -> ((s, dir) => {
+      // TPC-H Q12 shape (line-priority distribution; l_returnflag stands
+      // in for the absent l_shipmode column): the one fact-fact shuffle
+      // join on orderkey, with the date filter pushed to the lineitem
+      // scan so only the 1996 slice shuffles, then one conditional
+      // aggregate pass — high-priority vs low-priority line counts per
+      // return flag, no second scan or self-join.
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_orderkey", "l_returnflag")
+      val isHigh = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      (for {
+        j <- Join.inner(li, orders, Join.On(Seq("l_orderkey")))
+        g <- Group.agg(j, Seq("l_returnflag"), Group.Agg(Seq(
+               sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+               sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))))
+        o <- Order.by(g, Seq("l_returnflag"))
+      } yield o).get
+    }),
+
     "q179_mmr_select" -> ((s, dir) => {
       // Diversified retrieval: greedy MMR over a 12-candidate shortlist,
       // k=4 per query. λ=0.5 keeps both λ and 1−λ exact in binary, so
@@ -5177,6 +5200,18 @@ object SparkEntry {
              AS bucket_ts,
            n, round(v, 4) AS value
          FROM f ORDER BY event_type, bucket_ts""",
+
+    // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
+    // return flag (shipmode stand-in); 1996 slice only.
+    "q188_tpch12" ->
+      """SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q185: centroid cosines and group z-scores replayed — element-wise
     // avg centroid, list cosine, avg/stddev_samp per label; singleton or
