@@ -31,7 +31,7 @@ object SparkEntry {
     * plain TIMESTAMP(MICROS) (readable directly). Adapt to whichever the
     * parquet footer declares so every events-backed query survives a data
     * regeneration. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
@@ -2400,11 +2400,81 @@ object SparkEntry {
       // empty buckets materialize with n=0 and the last non-empty
       // bucket's sum carried forward (ffill). The oracle replays the
       // grid (range over each type's span), the bucket aggregation, and
-      // the ignore-nulls carry-forward window.
-      TimeSeries.gapFill(events(s, dir), "ts", Seq("event_type"),
-          bucketSec = 3600L, valueCol = "value", how = "sum",
-          fill = "ffill").get
-        .withColumn("value", round(col("value"), 4))
+      // the ignore-nulls carry-forward window. Values pre-scale to ×100
+      // integral doubles (the data is 2-decimal) so every partial sum
+      // is exact and order-independent — engine-deterministic without
+      // relying on a rounding margin.
+      TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "sum", fill = "ffill").get
+        .withColumn("value", round(col("value") / 100.0, 4))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    "q189_gap_fill_linear" -> ((s, dir) => {
+      // Linear interpolation across gaps: hourly per-type averages, with
+      // empty buckets interpolated between the surrounding cells. The
+      // oracle replays the same prev/next ignore-nulls windows and the
+      // identical IEEE interpolation expression. ×100 integral scaling
+      // makes the cell sums exact, so the interpolation inputs — and
+      // therefore its IEEE outputs — are bit-identical across engines.
+      TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "avg", fill = "linear").get
+        // +1e-9 pre-round: cell means / interpolants are exact dyadic
+        // rationals that can land EXACTLY on a 4-decimal tie, where
+        // HALF_UP-on-string (Spark) and true-value rounding (DuckDB)
+        // disagree; the shift moves ties strictly off the boundary on
+        // both engines (inputs are bit-identical, spacing >= 4e-8).
+        .withColumn("value", round(col("value") / 100.0 + lit(1e-9), 4))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    "q190_rolling_anomaly" -> ((s, dir) => {
+      // Anomaly screen composed from the gap-fill grid: zero-filled
+      // hourly sums, then a leak-free trailing-24-bucket mean/std and
+      // the z-score of each bucket against them. Empty buckets score as
+      // genuine anomalies instead of collapsing the window span. ×100
+      // integral scaling keeps the rolling sum / sum-of-squares frames
+      // exact (max |v²·24| ≈ 6e12 < 2⁵³), so mean/std/z are
+      // bit-deterministic; z is scale-invariant.
+      val gf = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.rollingStats(gf, "bucket_ts", Seq("event_type"),
+          "value", window = 24).get
+        // value is exact 2-decimal (integral cents / 100) so it rounds
+        // tie-free; mean/std/z are dyadic rationals that can tie at 4
+        // decimals — +1e-9 shifts ties off the boundary identically on
+        // both engines (see q189).
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("value") / 100.0, 4).as("value"), col("roll_n"),
+          round(col("roll_mean") / 100.0 + lit(1e-9), 4).as("roll_mean"),
+          round(col("roll_std") / 100.0 + lit(1e-9), 4).as("roll_std"),
+          round(col("z") + lit(1e-9), 4).as("z"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    "q191_ewma" -> ((s, dir) => {
+      // Recursive EWMA (pandas ewm(adjust=false)) over the zero-filled
+      // hourly grid — the one sequential per-key scan in the library.
+      // alpha = 0.25 keeps both alpha and 1-alpha exact in binary, so
+      // the oracle's list_reduce replay is bit-identical per step.
+      val gf = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.ewma(gf, "bucket_ts", Seq("event_type"), "value",
+          alpha = 0.25).get
+        // smoothed values are dyadic rationals (0.25/0.75 multipliers on
+        // integral cents) — +1e-9 pre-round avoids exact 4-decimal ties
+        // (see q189); raw value is exact 2-decimal, tie-free.
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("ewma") / 100.0 + lit(1e-9), 4).as("ewma"))
         .orderBy("event_type", "bucket_ts")
     }),
 
@@ -5175,7 +5245,7 @@ object SparkEntry {
            SELECT event_type,
              CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
              CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(value AS DOUBLE)) AS v
+             sum(round(value * 100)) AS v
            FROM events WHERE ts IS NOT NULL
            GROUP BY event_type, b
          ), spans AS (
@@ -5198,8 +5268,130 @@ object SparkEntry {
          SELECT event_type,
            TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
              AS bucket_ts,
-           n, round(v, 4) AS value
+           n, round(v / 100.0, 4) AS value
          FROM f ORDER BY event_type, bucket_ts""",
+
+    // q189: linear gap interpolation replayed — grid + prev/next
+    // ignore-nulls window pairs + the identical interpolation formula.
+    "q189_gap_fill_linear" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.n, 0) AS n, c.v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), nb AS (
+           SELECT event_type, b, n, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wb AS pb,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER wf AS nb
+           FROM j
+           WINDOW wb AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           n,
+           round(coalesce(v, pv + (nv - pv) *
+             (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))) / 100.0
+             + 1e-9, 4) AS value
+         FROM nb ORDER BY event_type, bucket_ts""",
+
+    // q190: zero-filled grid + trailing-24 leak-free rolling windows —
+    // exact sum / sum-of-squares frames over ROWS 24 PRECEDING..
+    // 1 PRECEDING (the operator's own formula), z gated on n>=2 and
+    // positive variance, all replayed on ×100 integral values.
+    "q190_rolling_anomaly" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.n, 0) AS n,
+             coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), r AS (
+           SELECT event_type, b, v,
+             sum(v) OVER w AS s, sum(v * v) OVER w AS s2,
+             CAST(count(v) OVER w AS BIGINT) AS rn
+           FROM j
+           WINDOW w AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         ), st AS (
+           SELECT event_type, b, v, rn,
+             CASE WHEN rn >= 1 THEN s / rn END AS m,
+             CASE WHEN rn >= 2 THEN
+               sqrt(greatest(s2 - s * s / rn, 0.0) / (rn - 1)) END AS sd
+           FROM r
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           round(v / 100.0, 4) AS value, rn AS roll_n,
+           round(m / 100.0 + 1e-9, 4) AS roll_mean,
+           round(sd / 100.0 + 1e-9, 4) AS roll_std,
+           round(CASE WHEN rn >= 2 AND sd > 0 THEN (v - m) / sd END
+             + 1e-9, 4) AS z
+         FROM st ORDER BY event_type, bucket_ts""",
+
+    // q191: the EWMA recursion replayed exactly — list() collects each
+    // row's ordered prefix, list_reduce folds s = 0.25 v + 0.75 s in
+    // DOUBLE, the same IEEE sequence the sequential scan runs.
+    "q191_ewma" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           round(v / 100.0, 4) AS value,
+           round(list_reduce(
+             list(v) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (acc, e) -> CAST(0.25 AS DOUBLE) * e
+               + CAST(0.75 AS DOUBLE) * acc) / 100.0 + 1e-9, 4) AS ewma
+         FROM j ORDER BY event_type, bucket_ts""",
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functional.MayFail
 
@@ -21,6 +22,9 @@ object TimeSeries {
     *  - `"null"`  — value NULL (gauges where absence ≠ zero)
     *  - `"ffill"` — last non-empty bucket's value carries forward
     *    (step-function state; the grid analog of [[AsOfJoin]] backward)
+    *  - `"linear"` — gaps interpolate linearly between the surrounding
+    *    non-empty buckets (gauges sampled irregularly). Every gap has
+    *    both neighbors because the grid spans [first, last] cell.
     *
     * `how` aggregates `valueCol` within a bucket: `sum`, `avg`, `min`,
     * `max`, or `count`.
@@ -50,8 +54,8 @@ object TimeSeries {
     require(keyCols.nonEmpty, "keyCols must name at least one key column")
     require(Seq("sum", "avg", "min", "max", "count").contains(how),
       s"how must be sum | avg | min | max | count: $how")
-    require(Seq("zero", "null", "ffill").contains(fill),
-      s"fill must be zero | null | ffill: $fill")
+    require(Seq("zero", "null", "ffill", "linear").contains(fill),
+      s"fill must be zero | null | ffill | linear: $fill")
     val keys = keyCols.map(col)
     val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
       .cast("long").as("__bucket")
@@ -80,9 +84,127 @@ object TimeSeries {
         val w = Window.partitionBy(keys: _*).orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         joined.withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+      case "linear" =>
+        // Both fills run over the SAME (key, bucket) sort — one shuffle,
+        // two in-partition window passes, no second exchange.
+        val wb = Window.partitionBy(keys: _*).orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(keys: _*).orderBy(col("__bucket"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val cellB = when(col("__v").isNotNull, col("__bucket"))
+        val prevV = last(col("__v"), ignoreNulls = true).over(wb)
+        val prevB = last(cellB, ignoreNulls = true).over(wb)
+        val nextV = first(col("__v"), ignoreNulls = true).over(wf)
+        val nextB = first(cellB, ignoreNulls = true).over(wf)
+        joined.withColumn("__v",
+          when(col("__v").isNotNull, col("__v")).otherwise(
+            prevV + (nextV - prevV) *
+              ((col("__bucket") - prevB).cast("double") /
+               (nextB - prevB).cast("double"))))
     }
     valued.select((keys :+
       timestamp_seconds(col("__bucket")).as("bucket_ts") :+
       col("n") :+ col("__v").as("value")): _*)
+  }
+
+  /** Trailing-window anomaly stats per key: for each row, the mean /
+    * sample-stddev / count of the PRECEDING `window` rows (current row
+    * excluded — leak-free, so the score is usable as a model feature or
+    * an online alert threshold) and the z-score of the current value
+    * against them. `z` is NULL until the trailing window holds ≥ 2
+    * values or when it has zero variance.
+    *
+    * Adds `roll_mean, roll_std, roll_n, z`. One shuffle on the keys,
+    * one in-partition sorted pass; the frame is `window` rows regardless
+    * of data volume, so memory per task is O(window). Compose after
+    * [[gapFill]] so "no data" buckets score as anomalies rather than
+    * silently collapsing the window span.
+    *
+    * The stddev comes from exact sum / sum-of-squares frames (clamped at
+    * 0) rather than `stddev_samp`: with integral inputs (e.g. cent- or
+    * ×100-scaled values) every partial sum is exact, making the score
+    * bit-deterministic across engines and partition layouts — the
+    * two-pass-formula cancellation caveat applies only to values with
+    * mean ≫ spread at full float precision.
+    */
+  def rollingStats(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      window: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(window >= 2, s"window must be >= 2 rows: $window")
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-window, -1)
+    val v = col(valueCol).cast("double")
+    val n = col("roll_n")
+    val m2 = greatest(col("__s2") - col("__s") * col("__s") / n, lit(0.0))
+    df.withColumn("__s", sum(v).over(w))
+      .withColumn("__s2", sum(v * v).over(w))
+      .withColumn("roll_n", count(v).over(w))
+      .withColumn("roll_mean", when(n >= 1, col("__s") / n))
+      .withColumn("roll_std", when(n >= 2, sqrt(m2 / (n - lit(1)))))
+      .withColumn("z",
+        when(n >= 2 && col("roll_std") > 0,
+          (v - col("roll_mean")) / col("roll_std")))
+      .drop("__s", "__s2")
+  }
+
+  /** Exponentially-weighted moving average per key, the recursive
+    * (non-adjusted, pandas `ewm(adjust=false)`) form:
+    * `s_0 = v_0; s_t = alpha * v_t + (1 - alpha) * s_(t-1)`.
+    *
+    * Recursion doesn't window-express (each row needs the previous
+    * OUTPUT), so this is the one genuinely sequential scan in the
+    * library: repartition on the keys, sort within partitions by
+    * (keys, order), and a single mapPartitions pass carrying (key,
+    * state). Linear, streaming, no per-key materialization — a key's
+    * rows are consumed one at a time, so a 10⁹-row key costs memory
+    * O(1). NULL values don't update state: they emit the current
+    * smoothed value (or NULL before the first observation).
+    *
+    * Adds `ewma: double`.
+    */
+  def ewma(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      alpha: Double
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val schema = df.schema
+    val out = schema.add("ewma", DoubleType, nullable = true)
+    val kIdx = keyCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val keys = keyCols.map(col)
+    val sorted = df.repartition(keys: _*)
+      .sortWithinPartitions((keys :+ col(orderCol)): _*)
+    val beta = 1.0 - alpha
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var s = 0.0
+      var seeded = false
+      it.map { r =>
+        val k = kIdx.map(r.get)
+        if (k != curKey) { curKey = k; seeded = false }
+        val vAny = r.get(vIdx)
+        val sm: Any =
+          if (vAny == null) { if (seeded) s else null }
+          else {
+            val v = vAny match {
+              case d: Double => d
+              case n: Number => n.doubleValue()
+            }
+            s = if (seeded) alpha * v + beta * s else v
+            seeded = true
+            s
+          }
+        Row.fromSeq(r.toSeq :+ sm)
+      }
+    }(Encoders.row(out))
   }
 }

@@ -43,6 +43,63 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ff(("a", 30L)) == ((1L, Some(4.0))))
   }
 
+  test("linear fill interpolates gaps between the surrounding cells") {
+    // a: cells at buckets 0 (sum 7), 30 (4), 40 (1) — buckets 10/20 sit
+    // 1/3 and 2/3 of the way from 7.0 to 4.0
+    val got = cells("linear")
+    assert(got(("a", 0L)) == ((2L, Some(7.0))))
+    assert(got(("a", 10L))._2.get === 7.0 + (4.0 - 7.0) / 3.0)
+    assert(got(("a", 20L))._2.get === 7.0 + (4.0 - 7.0) * 2.0 / 3.0)
+    assert(got(("a", 30L)) == ((1L, Some(4.0))))
+    assert(got(("b", 100L)) == ((1L, Some(9.0))))
+  }
+
+  test("rollingStats: leak-free trailing mean/std and z; NULL until 2 obs") {
+    val base = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 11.0), ("a", 4L, 50.0),
+      ("b", 1L, 5.0)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.rollingStats(base, "t", Seq("k"), "v", window = 3).get
+      .select(col("k"), col("t"), col("roll_n"), col("roll_mean"), col("z"))
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", 1L)) == ((0L, None, None)))
+    assert(got(("a", 2L))._1 == 1L)
+    assert(got(("a", 2L))._3.isEmpty, "one trailing obs -> no z")
+    assert(got(("a", 3L))._2.get === 11.0) // mean of 10, 12
+    val (n4, m4, z4) = got(("a", 4L))
+    assert(n4 == 3L && m4.get === 11.0)
+    assert(z4.get === (50.0 - 11.0) / 1.0) // std of 10,12,11 = 1.0
+    assert(got(("b", 1L)) == ((0L, None, None)))
+    // zero-variance trailing window -> NULL z
+    val flat = Seq(("a", 1L, 3.0), ("a", 2L, 3.0), ("a", 3L, 9.0))
+      .toDF("k", "t", "v")
+    val fz = TimeSeries.rollingStats(flat, "t", Seq("k"), "v", 3).get
+      .filter(col("t") === 3).select("z").as[Option[Double]].head()
+    assert(fz.isEmpty)
+    assert(TimeSeries.rollingStats(flat, "t", Seq("k"), "v", 1).isFailing)
+  }
+
+  test("ewma replays the recursion per key; NULLs carry state") {
+    val base = Seq(
+      ("a", 1L, Some(4.0)), ("a", 2L, Some(8.0)), ("a", 3L, None),
+      ("a", 4L, Some(2.0)), ("b", 1L, None), ("b", 2L, Some(6.0))
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.ewma(base, "t", Seq("k"), "v", alpha = 0.25).get
+      .select(col("k"), col("t"), col("ewma"))
+      .as[(String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val s2 = 0.25 * 8.0 + 0.75 * 4.0 // 5.0
+    assert(got(("a", 1L)).get === 4.0)
+    assert(got(("a", 2L)).get === s2)
+    assert(got(("a", 3L)).get === s2, "NULL value emits carried state")
+    assert(got(("a", 4L)).get === 0.25 * 2.0 + 0.75 * s2)
+    assert(got(("b", 1L)).isEmpty, "NULL before first obs -> NULL")
+    assert(got(("b", 2L)).get === 6.0)
+    assert(TimeSeries.ewma(base, "t", Seq("k"), "v", 0.0).isFailing)
+    assert(TimeSeries.ewma(base, "t", Seq(), "v", 0.5).isFailing)
+  }
+
   test("count aggregation and knob validation") {
     val got = TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", how = "count").get
       .filter(col("k") === "a").orderBy("bucket_ts")
@@ -51,6 +108,6 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 0L, "v").isFailing)
     assert(TimeSeries.gapFill(ev, "ts", Seq(), 10L, "v").isFailing)
     assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", how = "median").isFailing)
-    assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", fill = "bfill").isFailing)
+    assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", fill = "interp").isFailing)
   }
 }
