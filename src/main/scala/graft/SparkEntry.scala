@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Merge, Multimodal, Quantize, Similarity, Sketch, TimeSeries}
+import graft.operators.{Behavior, Dedup, Graph, Merge, Multimodal, Quantize, Similarity, Sketch, TimeSeries}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2476,6 +2476,55 @@ object SparkEntry {
           round(col("value") / 100.0, 4).as("value"),
           round(col("ewma") / 100.0 + lit(1e-9), 4).as("ewma"))
         .orderBy("event_type", "bucket_ts")
+    }),
+
+    "q192_funnel" -> ((s, dir) => {
+      // Ordered view → click → purchase funnel with a 3-day conversion
+      // window from entry: 150 → 115 → 65 entities at sf0.01 — each
+      // later step's min-time window depends on the previous step's
+      // window RESULT, which the oracle replays as the same chained
+      // CTE of per-user conditional mins. Counts are exact integers;
+      // rates divide identical longs on both engines (bit-identical
+      // doubles) with the +1e-9 tie-shift before round.
+      Behavior.funnel(events(s, dir), "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 259200L).get
+    }),
+
+    "q193_cohort_retention" -> ((s, dir) => {
+      // Daily-cohort retention matrix: cohort = first active day per
+      // user, cells = distinct (user, day) activity counted against the
+      // cohort's offset-0 size. Counts exact; retention divides the
+      // same two longs on both engines.
+      Behavior.cohortRetention(events(s, dir), "ts", "user_id",
+          bucketSec = 86400L).get
+        .orderBy("cohort_ts", "offset")
+    }),
+
+    "q194_event_transitions" -> ((s, dir) => {
+      // First-order Markov transition matrix over per-user event
+      // sequences (ordered by ts with event_id as the deterministic
+      // equal-µs tiebreak): 25 (prev, next) cells at sf0.01 whose
+      // counts the oracle replays with the identical lag window; row
+      // probabilities divide exact longs.
+      Behavior.transitionMatrix(events(s, dir), "ts", "event_id",
+          "user_id", "event_type").get
+        .orderBy("prev_type", "type")
+    }),
+
+    "q195_pagerank" -> ((s, dir) => {
+      // Fixed-point PageRank over the symmetric part↔supplier graph
+      // from lineitem (nodes namespaced 2·part / 2·supp+1), 3
+      // iterations at scale 1e9. Every mass transfer is BIGINT floor
+      // division — exact and order-independent — so the oracle replays
+      // the full recursion with `//` and matches rank-for-rank; score
+      // divides the same integers (bit-identical double).
+      val li = tbl(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 3,
+          scale = 1000000000L).get
+        .orderBy("node")
     }),
 
     "q186_ivfpq_knn" -> ((s, dir) => {
@@ -5392,6 +5441,167 @@ object SparkEntry {
              (acc, e) -> CAST(0.25 AS DOUBLE) * e
                + CAST(0.75 AS DOUBLE) * acc) / 100.0 + 1e-9, 4) AS ewma
          FROM j ORDER BY event_type, bucket_ts""",
+
+    // q192: the funnel window chain replayed — per-user conditional
+    // mins where each step's window references the previous step's
+    // window result; the summary stacks the counts and divides the
+    // identical longs.
+    "q192_funnel" ->
+      """WITH base AS (
+           SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL
+         ), s1 AS (
+           SELECT *, min(CASE WHEN t = 'view' THEN us END)
+             OVER (PARTITION BY user_id) AS t1 FROM base
+         ), s2 AS (
+           SELECT *, min(CASE WHEN t = 'click' AND us > t1
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t2 FROM s1
+         ), s3 AS (
+           SELECT *, min(CASE WHEN t = 'purchase' AND us > t2
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t3 FROM s2
+         ), per AS (
+           SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+           FROM s3 GROUP BY user_id
+         ), agg AS (
+           SELECT CAST(count(t1) AS BIGINT) AS c1,
+             CAST(count(t2) AS BIGINT) AS c2,
+             CAST(count(t3) AS BIGINT) AS c3 FROM per
+         ), r AS (
+           SELECT 1 AS step_idx, 'view' AS step, c1 AS users, c1 FROM agg
+           UNION ALL SELECT 2, 'click', c2, c1 FROM agg
+           UNION ALL SELECT 3, 'purchase', c3, c1 FROM agg
+         ), f AS (
+           SELECT step_idx, step, users, c1,
+             lag(users) OVER (ORDER BY step_idx) AS pu FROM r
+         )
+         SELECT step_idx, step, users,
+           CASE WHEN c1 > 0
+             THEN round(CAST(users AS DOUBLE) / c1 + 1e-9, 4) END
+             AS conv_overall,
+           CASE WHEN pu > 0
+             THEN round(CAST(users AS DOUBLE) / pu + 1e-9, 4) END
+             AS conv_step
+         FROM f ORDER BY step_idx""",
+
+    // q193: daily cohorts — window-min first-day assignment, distinct
+    // (user, day) activity, the (cohort, offset) matrix, and the
+    // offset-0 size join-back.
+    "q193_cohort_retention" ->
+      """WITH b AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bk
+           FROM events WHERE ts IS NOT NULL
+         ), c AS (
+           SELECT user_id, bk,
+             min(bk) OVER (PARTITION BY user_id) AS ch FROM b
+         ), d AS (
+           SELECT DISTINCT user_id, ch, bk FROM c
+         ), m AS (
+           SELECT ch, CAST((bk - ch) // 86400 AS INT) AS o,
+             CAST(count(*) AS BIGINT) AS active
+           FROM d GROUP BY ch, o
+         ), s AS (
+           SELECT ch, active AS cohort_size FROM m WHERE o = 0
+         )
+         SELECT
+           TIMESTAMP '1970-01-01 00:00:00' + m.ch * INTERVAL 1 SECOND
+             AS cohort_ts,
+           m.o AS "offset", m.active, s.cohort_size,
+           round(CAST(m.active AS DOUBLE) / s.cohort_size + 1e-9, 4)
+             AS retention
+         FROM m JOIN s ON s.ch = m.ch
+         ORDER BY cohort_ts, "offset"""",
+
+    // q194: the identical lag window (ts, event_id deterministic order)
+    // and the row-conditional probability over the aggregated matrix.
+    "q194_event_transitions" ->
+      """WITH l AS (
+           SELECT user_id, event_type AS type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events WHERE ts IS NOT NULL
+         ), m AS (
+           SELECT prev_type, type, CAST(count(*) AS BIGINT) AS n FROM l
+           WHERE prev_type IS NOT NULL GROUP BY prev_type, type
+         )
+         SELECT prev_type, type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)
+             + 1e-9, 4) AS p
+         FROM m ORDER BY prev_type, type""",
+
+    // q195: the fixed-point PageRank recursion unrolled — BIGINT floor
+    // division makes every mass transfer exact and order-independent,
+    // so three CTE rounds replay the distributed iteration rank-for-
+    // rank; teleport = (1e9 * 3) // 20, dangling term included (0 on
+    // this symmetric graph, replayed for fidelity).
+    "q195_pagerank" ->
+      """WITH f AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT src, dst FROM f
+           UNION SELECT dst AS src, src AS dst FROM f
+         ), nd AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e
+         ), deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd
+         ), r0 AS (
+           SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nd
+         ), d1 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r0 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i1 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17) // (20 * d.outdeg)) AS m
+           FROM e JOIN r0 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r1 AS (
+           SELECT nd.node,
+             COALESCE(i1.m, 0) + 150000000 + (SELECT ds FROM d1) AS rank
+           FROM nd LEFT JOIN i1 ON i1.node = nd.node
+         ), d2 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r1 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i2 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17) // (20 * d.outdeg)) AS m
+           FROM e JOIN r1 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r2 AS (
+           SELECT nd.node,
+             COALESCE(i2.m, 0) + 150000000 + (SELECT ds FROM d2) AS rank
+           FROM nd LEFT JOIN i2 ON i2.node = nd.node
+         ), d3 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r2 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i3 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17) // (20 * d.outdeg)) AS m
+           FROM e JOIN r2 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r3 AS (
+           SELECT nd.node,
+             COALESCE(i3.m, 0) + 150000000 + (SELECT ds FROM d3) AS rank
+           FROM nd LEFT JOIN i3 ON i3.node = nd.node
+         )
+         SELECT node, rank,
+           CAST(rank AS DOUBLE) /
+             CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
+         FROM r3 ORDER BY node""",
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functional.MayFail
+
+/** Behavioral analytics over event streams — ordered funnels, cohort
+  * retention, and transition mining. These are the product-analytics
+  * counterparts of the sessionization surface (Stream.sessionize): the
+  * questions a training-data pipeline asks of its telemetry ("where do
+  * users drop off", "which cohorts stick", "what follows what") at the
+  * same scale as the corpus itself.
+  *
+  * Every operator here shuffles ONCE on the entity key and runs the
+  * sequential logic as in-partition window passes over that single
+  * exchange — the same partitioning-reuse discipline as
+  * [[TimeSeries.gapFill]]'s linear fill.
+  */
+object Behavior {
+
+  /** Per-entity ordered funnel: for each user, the timestamp (µs) at
+    * which each step of `steps` was first reached, where step k counts
+    * only events STRICTLY after the step k−1 time and within
+    * `windowSec` of the step-1 (funnel entry) time. NULL = not reached.
+    *
+    * Returns `(userCol, step_1_us … step_k_us: bigint)` — one row per
+    * entity that has at least one event of a funnel type.
+    *
+    * Plan: filter to funnel event types (pushed to the scan), ONE hash
+    * exchange on the entity, then k unbounded-frame window aggregates
+    * over that same partitioning (Catalyst reuses the exchange — the
+    * chain adds in-partition passes, never shuffles), and a final
+    * same-key groupBy collapse. Each step's time depends on the
+    * previous step's WINDOW RESULT, which is why this is a window
+    * chain and not a single aggregation.
+    */
+  def funnelSteps(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val w = Window.partitionBy(col(userCol))
+    val base = df
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"))
+    val winUs = windowSec * 1000000L
+    val stepped = steps.zipWithIndex.foldLeft(base) { case (acc, (step, i)) =>
+      val name = s"step_${i + 1}_us"
+      val qualifies =
+        if (i == 0) col("__t") === lit(step)
+        else col("__t") === lit(step) &&
+          col("__us") > col(s"step_${i}_us") &&
+          col("__us") <= col("step_1_us") + lit(winUs)
+      acc.withColumn(name, min(when(qualifies, col("__us"))).over(w))
+    }
+    val stepCols = steps.indices.map(i => s"step_${i + 1}_us")
+    // step columns are constant per user after the windows — min collapses
+    // to one row per entity on the SAME partitioning (no new exchange)
+    stepped.groupBy(col(userCol))
+      .agg(min(stepCols.head).as(stepCols.head),
+        stepCols.tail.map(c => min(c).as(c)): _*)
+  }
+
+  /** Funnel summary: one row per step with the entity count that
+    * reached it, the conversion from funnel entry (`conv_overall`) and
+    * from the previous step (`conv_step`). Counts are exact; rates are
+    * `round(_, 4)` with the library's +1e-9 tie-shift (both engines
+    * divide identical integers, so the pre-round doubles are
+    * bit-identical).
+    *
+    * Returns `(step_idx: int, step: string, users: bigint,
+    * conv_overall: double, conv_step: double)`.
+    */
+  def funnel(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long
+  ): MayFail[DataFrame] =
+    funnelSteps(df, tsCol, userCol, typeCol, steps, windowSec).map { per =>
+      val counts = per.agg(
+        count(col("step_1_us")).as("c1"),
+        steps.indices.tail.map(i =>
+          count(col(s"step_${i + 1}_us")).as(s"c${i + 1}")): _*)
+      val stackArgs = steps.zipWithIndex.map { case (s, i) =>
+        s"${i + 1}, '${s.replace("'", "''")}', c${i + 1}"
+      }.mkString(", ")
+      counts
+        .selectExpr(s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)",
+          "c1")
+        .withColumn("prev_users",
+          lag(col("users"), 1).over(Window.orderBy(col("step_idx"))))
+        .withColumn("conv_overall",
+          when(col("c1") > 0,
+            round(col("users") / col("c1") + lit(1e-9), 4)))
+        .withColumn("conv_step",
+          when(col("prev_users") > 0,
+            round(col("users") / col("prev_users") + lit(1e-9), 4)))
+        .select(col("step_idx").cast("int").as("step_idx"), col("step"),
+          col("users"), col("conv_overall"), col("conv_step"))
+        .orderBy("step_idx")
+    }
+
+  /** Cohort retention matrix: cohort = the entity's FIRST active
+    * `bucketSec` bucket; for every (cohort, bucket-offset) cell, the
+    * count of cohort entities active in that bucket and the retention
+    * rate against the cohort's size (its offset-0 count — every entity
+    * is active in its own first bucket by construction).
+    *
+    * Returns `(cohort_ts: timestamp, offset: int, active: bigint,
+    * cohort_size: bigint, retention: double)`.
+    *
+    * Plan: one exchange on the entity (window-min cohort assignment +
+    * per-(entity, bucket) dedupe ride the same partitioning), one
+    * partial-agg shuffle to the (cohort, offset) matrix — whose size is
+    * cohorts × offsets, tiny — and a broadcast join-back of the
+    * offset-0 sizes. Entity cardinality never concentrates on one task.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      bucketSec: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    val w = Window.partitionBy(col(userCol))
+    val buckets = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol),
+        (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
+          .cast("long").as("__b"))
+      .withColumn("__cohort", min(col("__b")).over(w))
+      .select(col(userCol), col("__cohort"), col("__b"))
+      .distinct()
+    val matrix = buckets.groupBy(col("__cohort"),
+        ((col("__b") - col("__cohort")) / bucketSec).cast("int").as("offset"))
+      .agg(count(lit(1)).as("active"))
+    val sizes = matrix.filter(col("offset") === 0)
+      .select(col("__cohort"), col("active").as("cohort_size"))
+    matrix.join(broadcast(sizes), Seq("__cohort"))
+      .select(timestamp_seconds(col("__cohort")).as("cohort_ts"),
+        col("offset"), col("active"), col("cohort_size"),
+        round(col("active") / col("cohort_size") + lit(1e-9), 4)
+          .as("retention"))
+  }
+
+  /** First-order transition matrix over per-entity event sequences:
+    * counts of consecutive (prev_type → type) pairs, ordered by
+    * (`tsCol`, `idCol`) within each entity ( `idCol` makes equal-µs
+    * orderings deterministic), with the row-conditional probability.
+    * `maxGapSec` treats longer silences as sequence breaks (no
+    * transition across them) — `None` links everything.
+    *
+    * Returns `(prev_type, type, n: bigint, p: double)`.
+    *
+    * Plan: one exchange on the entity, one in-partition lag pass, one
+    * partial-agg shuffle to the (type × type) matrix; `p` normalizes
+    * with a window over that tiny matrix.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      typeCol: String,
+      maxGapSec: Option[Long] = None
+  ): MayFail[DataFrame] = MayFail {
+    maxGapSec.foreach(g => require(g > 0, s"maxGapSec must be positive: $g"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col(idCol))
+    val lagged = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol), col(idCol), col(typeCol).as("type"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("prev_type", lag(col("type"), 1).over(w))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val linked = maxGapSec match {
+      case Some(g) => lagged.filter(col("__us") - col("__prev_us") <= g * 1000000L)
+      case None    => lagged
+    }
+    val matrix = linked.groupBy(col("prev_type"), col("type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    matrix.withColumn("p",
+      round(col("n") / sum(col("n")).over(wp) + lit(1e-9), 4))
+  }
+}

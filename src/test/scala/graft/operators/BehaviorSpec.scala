@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("event_id", "user_id", "epoch", "t")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+
+  // u1 completes; u2's click lands outside the 100 s window; u3 has no
+  // entry event; u4's same-second click is excluded by strict ordering
+  // but a later one counts, purchase is out of window; u5 completes at
+  // the window edge (inclusive)
+  private lazy val funnelEv = ev(Seq(
+    (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
+    (4L, 2L, 10L, "view"), (5L, 2L, 150L, "click"), (6L, 2L, 12L, "purchase"),
+    (7L, 3L, 5L, "click"),
+    (8L, 4L, 10L, "view"), (9L, 4L, 10L, "click"), (10L, 4L, 11L, "click"),
+    (11L, 4L, 200L, "purchase"),
+    (12L, 5L, 50L, "view"), (13L, 5L, 60L, "click"), (14L, 5L, 150L, "purchase")
+  ))
+
+  test("funnelSteps: strict step order, conversion window from entry") {
+    val per = Behavior.funnelSteps(funnelEv, "ts", "user_id", "t",
+        Seq("view", "click", "purchase"), windowSec = 100L).get
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(per(1L) == ((Some(10000000L), Some(20000000L), Some(30000000L))))
+    // click at 150 s > 10 s + 100 s window; the 12 s purchase precedes
+    // any click so it can't satisfy step 3 either
+    assert(per(2L) == ((Some(10000000L), None, None)))
+    // no view: every later step stays NULL even though a click exists
+    assert(per(3L) == ((None, None, None)))
+    // click at the SAME second as the view is excluded (strictly-after),
+    // the 11 s click counts; purchase at 200 s is out of window
+    assert(per(4L) == ((Some(10000000L), Some(11000000L), None)))
+    // purchase exactly at t1 + window is included (inclusive bound)
+    assert(per(5L) == ((Some(50000000L), Some(60000000L), Some(150000000L))))
+  }
+
+  test("funnel summary: counts and both conversion rates") {
+    val rows = Behavior.funnel(funnelEv, "ts", "user_id", "t",
+        Seq("view", "click", "purchase"), windowSec = 100L).get
+      .as[(Int, String, Long, Option[Double], Option[Double])].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 2L)))
+    assert(rows(0)._4.contains(1.0) && rows(0)._5.isEmpty)
+    assert(rows(1)._4.contains(0.75) && rows(1)._5.contains(0.75))
+    assert(rows(2)._4.contains(0.5) && rows(2)._5.contains(0.6667))
+  }
+
+  test("cohortRetention: first-bucket cohorts, per-bucket distinct activity") {
+    val data = ev(Seq(
+      (1L, 1L, 1L, "x"), (2L, 1L, 12L, "x"), (3L, 1L, 25L, "x"),
+      (4L, 2L, 5L, "x"), (5L, 2L, 25L, "x"),
+      (6L, 3L, 11L, "x"), (7L, 3L, 15L, "x")
+    ))
+    val got = Behavior.cohortRetention(data, "ts", "user_id", bucketSec = 10L).get
+      .select(col("cohort_ts").cast("long"), col("offset"), col("active"),
+        col("cohort_size"), col("retention"))
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((0L, 0)) == ((2L, 2L, 1.0)))   // u1, u2 start in bucket 0
+    assert(got((0L, 1)) == ((1L, 2L, 0.5)))   // only u1 active in bucket 10
+    assert(got((0L, 2)) == ((2L, 2L, 1.0)))   // both back in bucket 20
+    assert(got((10L, 0)) == ((1L, 1L, 1.0)))  // u3's duplicate events dedupe
+    assert(got.size == 4)
+  }
+
+  test("transitionMatrix: lag pairs, equal-ts id tiebreak, gap cap") {
+    val data = ev(Seq(
+      (1L, 1L, 1L, "a"), (2L, 1L, 2L, "b"), (3L, 1L, 3L, "a"),
+      (4L, 2L, 1L, "a"), (5L, 2L, 2L, "a"),
+      (6L, 3L, 5L, "x"), (7L, 3L, 5L, "y"),     // same second: id orders x→y
+      (8L, 4L, 1L, "a"), (9L, 4L, 100L, "b")    // 99 s silence
+    ))
+    def matrix(gap: Option[Long]) =
+      Behavior.transitionMatrix(data, "ts", "event_id", "user_id", "t", gap).get
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val capped = matrix(Some(10L))
+    assert(capped == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "a") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0)), ("x", "y") -> ((1L, 1.0))))
+    // uncapped links u4's pair too; prev=a row normalizes over 3
+    val open = matrix(None)
+    assert(open(("a", "b")) == ((2L, 0.6667)))
+    assert(open(("a", "a")) == ((1L, 0.3333)))
+  }
+}
