@@ -2527,6 +2527,41 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q196_bipartite_projection" -> ((s, dir) => {
+      // Co-occurrence projection: supplier–supplier edges weighted by
+      // shared distinct parts, thresholded at 150 (355 edges over the
+      // 100 suppliers at sf0.01). The oracle replays the distinct
+      // membership self-join and the HAVING threshold; counts exact.
+      Graph.projectBipartite(tbl(s, dir, "lineitem"),
+          "l_suppkey", "l_partkey", minShared = 150L).get
+        .orderBy("src", "dst")
+    }),
+
+    "q197_triangle_count" -> ((s, dir) => {
+      // Exact per-node triangle counts (forward/degree-orientation
+      // algorithm) over the thresholded supplier co-occurrence graph:
+      // 287 triangles across 64 of the graph's nodes at sf0.01. The
+      // oracle brute-forces a<b<c closure joins — orientation is the
+      // scale path, the SQL is the spec. Clustering coefficient divides
+      // the same exact integers on both engines.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.triangleCount(proj, "src", "dst").get
+        .withColumn("clustering", round(col("clustering") + lit(1e-9), 4))
+        .orderBy("node")
+    }),
+
+    "q198_graph_components" -> ((s, dir) => {
+      // Connected components of the sparser threshold-160 supplier
+      // graph (49 nodes, 5 components at sf0.01) — min-reachable-node
+      // labels, which the oracle replays via a recursive-CTE
+      // reachability closure.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 160L).get
+      Graph.connectedComponents(proj, "src", "dst").get
+        .orderBy("node")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -5602,6 +5637,71 @@ object SparkEntry {
            CAST(rank AS DOUBLE) /
              CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
          FROM r3 ORDER BY node""",
+
+    // q196: the projection replayed — distinct memberships, right-key
+    // self-join, pair aggregation, threshold.
+    "q196_bipartite_projection" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         )
+         SELECT a.s AS src, b.s AS dst, CAST(count(*) AS BIGINT) AS shared
+         FROM m a JOIN m b ON a.p = b.p AND a.s < b.s
+         GROUP BY a.s, b.s HAVING count(*) >= 150
+         ORDER BY src, dst""",
+
+    // q197: triangles brute-forced as a<b<c closure joins over the
+    // normalized edge list; per-node counts stack the three corners;
+    // clustering = 2T/(d(d-1)) on the identical integers.
+    "q197_triangle_count" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+             SELECT x AS node FROM pr UNION ALL SELECT y FROM pr)
+           GROUP BY node
+         ), t AS (
+           SELECT e1.x AS a, e1.y AS b, e2.y AS c
+           FROM pr e1 JOIN pr e2 ON e2.x = e1.y
+           JOIN pr e3 ON e3.x = e1.x AND e3.y = e2.y
+         ), cnt AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+             SELECT a AS node FROM t UNION ALL SELECT b FROM t
+             UNION ALL SELECT c FROM t)
+           GROUP BY node
+         )
+         SELECT d.node, d.degree,
+           COALESCE(cnt.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2 THEN
+             round(2.0 * COALESCE(cnt.triangles, 0) /
+               (d.degree * (d.degree - 1)) + 1e-9, 4) END AS clustering
+         FROM deg d LEFT JOIN cnt ON cnt.node = d.node
+         ORDER BY d.node""",
+
+    // q198: min-reachable-node component labels via a recursive
+    // reachability closure (the SQL spec of min-label propagation /
+    // driver union-find).
+    "q198_graph_components" ->
+      """WITH RECURSIVE m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 160
+         ), e AS (
+           SELECT x AS src, y AS dst FROM pr UNION SELECT y, x FROM pr
+         ), nodes AS (
+           SELECT DISTINCT src AS node FROM e
+         ), r AS (
+           SELECT node, node AS reach FROM nodes
+           UNION
+           SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+         )
+         SELECT node, min(reach) AS component FROM r GROUP BY node
+         ORDER BY node""",
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

@@ -117,4 +117,154 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     result
   }
+
+  /** Project a bipartite membership frame (left, right) onto the left
+    * side: an edge between two left nodes for every `>= minShared`
+    * right keys they co-occur on — the co-occurrence graph behind
+    * "suppliers stocking the same parts", "docs citing the same URL",
+    * "users touching the same item".
+    *
+    * Returns `(src, dst, shared: bigint)` with `src < dst` (each
+    * undirected edge once).
+    *
+    * Plan: distinct memberships, self-join on the right key, one
+    * partial-agg shuffle on the pair. The self-join emits
+    * `C(degree, 2)` pairs per right key, so a viral key (a stop-word
+    * URL, a part every supplier stocks) is quadratic — `maxRightDegree`
+    * drops right keys hotter than the cap BEFORE pairing (computed with
+    * partial-agg `groupBy().count()` + a broadcast join-back, never a
+    * single-task window). Dropped keys lose their co-occurrence signal:
+    * the cap prunes candidates, never scores, and is reported by
+    * [[projectionCapReport]]. 0 = uncapped.
+    */
+  def projectBipartite(
+      df: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      minShared: Long = 1L,
+      maxRightDegree: Long = 0L
+  ): MayFail[DataFrame] = MayFail {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxRightDegree >= 0, s"maxRightDegree must be >= 0: $maxRightDegree")
+    val m = df.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+    val kept =
+      if (maxRightDegree == 0) m
+      else {
+        val hot = m.groupBy("r").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") > maxRightDegree)
+          .select("r")
+        m.join(broadcast(hot), Seq("r"), "left_anti")
+      }
+    val a = kept.select(col("l").as("src"), col("r"))
+    val b = kept.select(col("l").as("dst"), col("r"))
+    a.join(b, Seq("r"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** What [[projectBipartite]]'s `maxRightDegree` cap would drop:
+    * per-key degree stats for the keys above the cap. Query this before
+    * trusting a capped projection — silent recall loss is the failure
+    * mode the cap reports exist for.
+    * Returns `(r, degree)` for dropped keys, hottest first. */
+  def projectionCapReport(
+      df: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxRightDegree: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(maxRightDegree >= 1, s"maxRightDegree must be >= 1: $maxRightDegree")
+    df.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+      .groupBy("r").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") > maxRightDegree)
+      .orderBy(col("degree").desc, col("r"))
+  }
+
+  /** Exact per-node triangle counts with degree and clustering
+    * coefficient, via the forward (degree-orientation) algorithm:
+    * orient every undirected edge from its (degree, id)-smaller
+    * endpoint, enumerate wedges from each node's oriented
+    * out-neighborhood, and close them against the oriented edge set.
+    *
+    * Returns `(node, degree: bigint, triangles: bigint,
+    * clustering: double)` — `clustering` = 2T/(d(d−1)), NULL when
+    * d < 2.
+    *
+    * Orientation is what makes this scale: a node's oriented out-degree
+    * is O(√m) regardless of its real degree (only ties-or-higher
+    * neighbors count), so the wedge join emits O(m^1.5) candidates
+    * total — the celebrity node that would make naive wedge counting
+    * quadratic contributes almost none. Three hash joins + one
+    * partial-agg shuffle; no windows, no driver state.
+    */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .persist()
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("dd"))
+      .persist()
+    val o1 = oriented.select(col("src"), col("dst").as("d1"), col("dd").as("dd1"))
+    val o2 = oriented.select(col("src"), col("dst").as("d2"), col("dd").as("dd2"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dd1") < col("dd2") ||
+        (col("dd1") === col("dd2") && col("d1") < col("d2")))
+    val triangles = wedges.join(oriented
+        .select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+      .select(col("src").as("n1"), col("d1").as("n2"), col("d2").as("n3"))
+    val perNode = triangles
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val result = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1))))
+      .localCheckpoint(true)
+    und.unpersist(); deg.unpersist(); oriented.unpersist()
+    result
+  }
+
+  /** Connected components over an edge frame — delegates to the
+    * stats-gated engine behind [[Dedup.duplicateClusters]] (driver
+    * union-find when the edge set is provably small, distributed
+    * min-label propagation otherwise; non-convergence surfaces as
+    * `IgnorableFail`). Returns `(node, component)` where `component`
+    * is the minimum node id reachable. */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 10,
+      maxDriverEdges: Long = 1000000L
+  ): MayFail[DataFrame] =
+    Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("idA"), col(dstCol).as("idB")),
+        maxIter, maxDriverEdges)
+      .map(_.select(col("id").as("node"), col("cluster").as("component")))
 }

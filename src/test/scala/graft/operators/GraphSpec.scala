@@ -60,4 +60,51 @@ class GraphSpec extends AnyFunSuite {
     val r = Graph.pageRank(e, "s", "d", iterations = 1, scale = Long.MaxValue / 20)
     assert(r.isFailing)
   }
+
+  test("projectBipartite thresholds shared right keys; src < dst once") {
+    val m = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("C", 3L), ("A", 2L)).toDF("l", "r")
+    def proj(minShared: Long, cap: Long = 0L) =
+      Graph.projectBipartite(m, "l", "r", minShared, cap).get
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    assert(proj(2L) == Map(("A", "B") -> 2L))
+    assert(proj(1L) == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // cap 2 drops key 3 (all three members) before pairing
+    assert(proj(1L, cap = 2L) == Map(("A", "B") -> 1L))
+    val report = Graph.projectionCapReport(m, "l", "r", 2L).get
+      .as[(Long, Long)].collect()
+    assert(report.toSeq == Seq((3L, 3L)))
+  }
+
+  test("triangleCount: K4 + pendant golden, duplicate/reversed edges normalize") {
+    // K4 on 1..4 (every node in 3 triangles, clustering 1.0) plus a
+    // pendant 5—1 (degree(1) rises to 4, clustering drops to 0.5);
+    // reversed and duplicate edges must not double-count
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 4L), (5L, 1L)).toDF("s", "d")
+    val got = Graph.triangleCount(e, "s", "d").get
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 3L, Some(0.5))))
+    assert(got(2L) == ((3L, 3L, Some(1.0))))
+    assert(got(3L) == ((3L, 3L, Some(1.0))))
+    assert(got(4L) == ((3L, 3L, Some(1.0))))
+    assert(got(5L) == ((1L, 0L, None)))
+  }
+
+  test("triangleCount: star graph has zero triangles, self-loops dropped") {
+    val star = (2L to 20L).map(i => (1L, i)) :+ ((1L, 1L))
+    val got = Graph.triangleCount(star.toDF("s", "d"), "s", "d").get
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.forall(_._3 == 0L))
+    assert(got.find(_._1 == 1L).get._2 == 19L)
+  }
+
+  test("connectedComponents labels by minimum reachable node") {
+    val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val got = Graph.connectedComponents(e, "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
