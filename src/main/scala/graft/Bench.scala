@@ -62,7 +62,13 @@ object Bench {
     // the MMR greedy over WindowGroupLimit-capped shortlists (the
     // flatMapGroups sequential-kernel pattern)
     "q182_pq_knn",
-    "q179_mmr_select"
+    "q179_mmr_select",
+    // round-8 session: the iterative fixed-point PageRank (3 join+agg
+    // rounds with a per-iteration driver scalar) and the triangle wedge
+    // join (the O(m^1.5) orientation path) — iterative-plan and
+    // self-join regressions surface here
+    "q195_pagerank",
+    "q197_triangle_count"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

@@ -282,6 +282,74 @@ object ScaleRehearsal {
       vidAgainstKept.count()
     }
 
+    // round-8 session: behavioral analytics + graph family. Replication
+    // law: replicas get DISJOINT user/node id spaces with identical
+    // structure, so every count scales by exactly mult and every
+    // fixed-point rank is replica-identical — exact-integer invariants,
+    // not tolerance checks.
+    val evBase = graft.SparkEntry.events(spark, dir)
+    val evRepl = replicate(evBase, Seq("event_id", "user_id"))
+    def funnelUsers(d: DataFrame): Seq[Long] =
+      graft.operators.Behavior.funnel(d, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 259200L).get
+        .orderBy("step_idx").select("users").collect().map(_.getLong(0)).toSeq
+    var funnelRepl: Seq[Long] = null
+    time("funnel")({ funnelRepl = funnelUsers(evRepl); funnelRepl.sum })
+    def cohortMap(d: DataFrame): Map[(Long, Int), Long] =
+      graft.operators.Behavior.cohortRetention(d, "ts", "user_id",
+        bucketSec = 86400L).get
+        .select(col("cohort_ts").cast("long"), col("offset"), col("active"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    var cohortRepl: Map[(Long, Int), Long] = null
+    time("cohort-retention")({ cohortRepl = cohortMap(evRepl); cohortRepl.size.toLong })
+    def transMap(d: DataFrame): Map[(String, String), Long] =
+      graft.operators.Behavior.transitionMatrix(d, "ts", "event_id",
+        "user_id", "event_type").get
+        .select("prev_type", "type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    var transRepl: Map[(String, String), Long] = null
+    time("transitions")({ transRepl = transMap(evRepl); transRepl.size.toLong })
+
+    // graph fixtures: mult disjoint copies of the sf0.1 part↔supplier
+    // bipartite graph (ids shifted per replica, parity namespacing
+    // preserved)
+    val liBase = spark.read.parquet(s"$dir/lineitem.parquet")
+    def membership(m: Int): DataFrame = (0 until m).map { i =>
+      liBase.select((col("l_suppkey") + i.toLong * 100000000L).as("s"),
+        (col("l_partkey") + i.toLong * 100000000L).as("p"))
+    }.reduce(_ union _)
+    def prEdges(memb: DataFrame): DataFrame = {
+      val fwd = memb.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val membRepl = membership(mult).localCheckpoint(true)
+    var prRepl: DataFrame = null
+    time("pagerank") {
+      prRepl = graft.operators.Graph.pageRank(prEdges(membRepl), "src", "dst",
+        iterations = 3, scale = 1000000000L).get
+      prRepl.count()
+    }
+    // threshold from the BASE shared-count distribution so the projected
+    // graph stays non-trivial at any sf (replicas inherit it identically)
+    val basePairs = graft.operators.Graph.projectBipartite(
+      membership(1), "s", "p", minShared = 1L).get.localCheckpoint(true)
+    val minShared = basePairs.stat.approxQuantile("shared", Array(0.95), 0.001)(0).toLong
+    val baseGraph = basePairs.filter(col("shared") >= minShared).localCheckpoint(true)
+    var triRepl: DataFrame = null
+    time("triangle-count") {
+      triRepl = graft.operators.Graph.triangleCount(
+        graft.operators.Graph.projectBipartite(membRepl, "s", "p",
+          minShared = minShared).get, "src", "dst").get
+      triRepl.count()
+    }
+    var compRepl: DataFrame = null
+    time("graph-components") {
+      compRepl = graft.operators.Graph.connectedComponents(
+        graft.operators.Graph.projectBipartite(membRepl, "s", "p",
+          minShared = minShared).get, "src", "dst").get.localCheckpoint(true)
+      compRepl.count()
+    }
+
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
     // their counters with every rehearsal so a boilerplate-heavy corpus
@@ -500,6 +568,45 @@ object ScaleRehearsal {
       mult < 2 ||
         rHandicap.getAs[Long]("recalled_pairs") < rHandicap.getAs[Long]("true_pairs"),
       s"the even-idA handicap must register as measured recall loss: $rHandicap")
+
+    // behavior replication laws: replicas are disjoint users with
+    // identical event structure, so every count scales by exactly mult
+    val funnelBase = funnelUsers(evBase)
+    check("funnel_replication_law", funnelRepl == funnelBase.map(_ * mult),
+      s"funnel user counts must scale by exactly mult: $funnelRepl vs $funnelBase x $mult")
+    val cohortBase = cohortMap(evBase)
+    check("cohort_replication_law",
+      cohortRepl == cohortBase.map { case (k, v) => k -> v * mult },
+      s"cohort actives must scale by exactly mult: cells base=${cohortBase.size} " +
+        s"repl=${cohortRepl.size}")
+    val transBase = transMap(evBase)
+    check("transition_replication_law",
+      transRepl == transBase.map { case (k, v) => k -> v * mult },
+      s"transition counts must scale by exactly mult: ${transRepl.size} cells")
+    // fixed-point PageRank determinism at scale: replica-0 ranks must be
+    // bit-identical to a separate base-graph run (different job, different
+    // partition layout — the exact-integer claim, measured)
+    val prBase = graft.operators.Graph.pageRank(prEdges(membership(1)),
+      "src", "dst", iterations = 3, scale = 1000000000L).get
+    val prDiff = prBase.select(col("node"), col("rank").as("rb"))
+      .join(prRepl.filter(col("node") < 200000000L)
+        .select(col("node"), col("rank").as("rr")), Seq("node"), "full")
+      .filter(col("rb").isNull || col("rr").isNull || col("rb") =!= col("rr"))
+      .count()
+    check("pagerank_replica_identical", prDiff == 0,
+      s"replica-0 PageRank must be bit-identical to the base run: $prDiff differing nodes")
+    val triBaseTotal = graft.operators.Graph.triangleCount(baseGraph, "src", "dst")
+      .get.agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0)
+    val triReplTotal = triRepl.agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0)
+    check("triangle_replication_law",
+      triBaseTotal > 0 && triReplTotal == triBaseTotal * mult,
+      s"per-node triangle total must scale by exactly mult: " +
+        s"$triReplTotal != $triBaseTotal x $mult")
+    val compBaseN = graft.operators.Graph.connectedComponents(baseGraph, "src", "dst")
+      .get.select("component").distinct().count()
+    val compReplN = compRepl.select("component").distinct().count()
+    check("components_replication_law", compReplN == compBaseN * mult,
+      s"component count must scale by exactly mult: $compReplN != $compBaseN x $mult")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
