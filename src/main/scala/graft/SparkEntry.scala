@@ -2562,6 +2562,30 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q199_weighted_pagerank" -> ((s, dir) => {
+      // Weight-proportional fixed-point PageRank over the thresholded
+      // supplier co-occurrence graph (weights = shared-part counts,
+      // symmetrized): transfers are (rank·17·w) div (20·outWeight) —
+      // still exact BIGINT arithmetic, so the oracle replays the full
+      // 3-iteration recursion rank-for-rank.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      val sym = proj.union(proj.select(col("dst").as("src"),
+        col("src").as("dst"), col("shared")))
+      Graph.pageRank(sym, "src", "dst", iterations = 3,
+          scale = 1000000000L, weightCol = Some("shared")).get
+        .orderBy("node")
+    }),
+
+    "q200_top_paths" -> ((s, dir) => {
+      // Top-10 opening paths (first two event types per user): 25
+      // distinct paths at sf0.01 with counts 13…1 — the per-entity
+      // bounded sort-collect shape; ties broken by path, replayed with
+      // an ordered string_agg.
+      Behavior.topPaths(events(s, dir), "ts", "event_id", "user_id",
+        "event_type", maxLen = 2, k = 10).get
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -5702,6 +5726,92 @@ object SparkEntry {
          )
          SELECT node, min(reach) AS component FROM r GROUP BY node
          ORDER BY node""",
+
+    // q199: the weighted fixed-point recursion unrolled — transfers
+    // (rank·17·w) // (20·outWeight), exact BIGINT, rank-for-rank.
+    "q199_weighted_pagerank" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y, CAST(count(*) AS BIGINT) AS w
+           FROM m a JOIN m b ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS (
+           SELECT x AS src, y AS dst, w FROM pr
+           UNION ALL SELECT y, x, w FROM pr
+         ), nd AS (
+           SELECT DISTINCT src AS node FROM e
+         ), deg AS (
+           SELECT src AS node, SUM(w) AS outw FROM e GROUP BY src
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd
+         ), r0 AS (
+           SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nd
+         ), d1 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r0 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i1 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17 * e.w) // (20 * d.outw)) AS im
+           FROM e JOIN r0 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r1 AS (
+           SELECT nd.node,
+             COALESCE(i1.im, 0) + 150000000 + (SELECT ds FROM d1) AS rank
+           FROM nd LEFT JOIN i1 ON i1.node = nd.node
+         ), d2 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r1 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i2 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17 * e.w) // (20 * d.outw)) AS im
+           FROM e JOIN r1 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r2 AS (
+           SELECT nd.node,
+             COALESCE(i2.im, 0) + 150000000 + (SELECT ds FROM d2) AS rank
+           FROM nd LEFT JOIN i2 ON i2.node = nd.node
+         ), d3 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r2 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i3 AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17 * e.w) // (20 * d.outw)) AS im
+           FROM e JOIN r2 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r3 AS (
+           SELECT nd.node,
+             COALESCE(i3.im, 0) + 150000000 + (SELECT ds FROM d3) AS rank
+           FROM nd LEFT JOIN i3 ON i3.node = nd.node
+         )
+         SELECT node, rank,
+           CAST(rank AS DOUBLE) /
+             CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
+         FROM r3 ORDER BY node""",
+
+    // q200: per-entity ordered prefix paths via ordered string_agg,
+    // heaviest-first with path tiebreak.
+    "q200_top_paths" ->
+      """WITH o AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE ts IS NOT NULL
+         ), p AS (
+           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM o WHERE rn <= 2 GROUP BY user_id
+         ), c AS (
+           SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+         )
+         SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""",
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

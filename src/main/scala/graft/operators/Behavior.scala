@@ -194,4 +194,45 @@ object Behavior {
     matrix.withColumn("p",
       round(col("n") / sum(col("n")).over(wp) + lit(1e-9), 4))
   }
+
+  /** Top-k opening paths: each entity's first `maxLen` event types in
+    * order joined with `sep`, counted across entities, heaviest first
+    * (path ascending as the deterministic tiebreak). "What do users do
+    * first" — the onboarding/drop-off companion to [[funnel]].
+    *
+    * Returns `(path: string, n: bigint)`, `k` rows.
+    *
+    * Plan: one exchange on the entity; a row_number pass BOUNDS the
+    * per-entity state to `maxLen` rows BEFORE the collect (an entity
+    * with 10⁹ events contributes maxLen rows to the sort-collect, so
+    * per-group memory is O(maxLen)); then a partial-agg shuffle on the
+    * path string — at most |types|^maxLen distinct values — and a
+    * TakeOrderedAndProject top-k.
+    */
+  def topPaths(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      typeCol: String,
+      maxLen: Int,
+      k: Int,
+      sep: String = ">"
+  ): MayFail[DataFrame] = MayFail {
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    df.filter(col(tsCol).isNotNull)
+      .select(col(userCol), col(idCol), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"), col("__t")))),
+          x => x.getField("__t")), sep).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -57,9 +57,16 @@ object Graph {
     * frames are released before returning (the library's unpersist
     * discipline).
     *
-    * `scale` must satisfy `n * scale * dampNum < Long.MaxValue`
-    * (enforced) — at 1e9 nodes pick `scale = 1e8`; precision is
-    * 1/scale of a node's share, far below any ranking decision.
+    * With `weightCol`, transfers are weight-proportional:
+    * `(rank * dampNum * w) div (dampDen * outWeight)` — duplicate
+    * (src, dst) rows sum their weights, non-positive/null weights are
+    * dropped. Unweighted is the weight-1 special case of the same
+    * formula, so the two modes share one arithmetic spec.
+    *
+    * `scale` must satisfy `n * scale * dampNum * maxWeight <
+    * Long.MaxValue` (enforced) — at 1e9 nodes pick `scale = 1e8`;
+    * precision is 1/scale of a node's share, far below any ranking
+    * decision.
     */
   def pageRank(
       edges: DataFrame,
@@ -69,7 +76,8 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 17L,
       dampDen: Long = 20L,
-      checkpointEvery: Int = 5
+      checkpointEvery: Int = 5,
+      weightCol: Option[String] = None
   ): MayFail[DataFrame] = MayFail {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale > 0, s"scale must be positive: $scale")
@@ -77,33 +85,43 @@ object Graph {
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
     require(checkpointEvery >= 0, s"checkpointEvery must be >= 0: $checkpointEvery")
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .persist()
+    val e = (weightCol match {
+      case Some(w) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(w).cast("long").as("w"))
+          .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .groupBy("src", "dst").agg(sum("w").as("w"))
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+          .withColumn("w", lit(1L))
+    }).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("outw"))
       .persist()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    require(scale <= Long.MaxValue / dampNum / n,
-      s"n * scale * dampNum overflows Long: n=$n scale=$scale")
+    val maxW = if (weightCol.isEmpty) 1L
+      else e.agg(coalesce(max(col("w")), lit(1L))).first().getLong(0)
+    require(scale <= Long.MaxValue / dampNum / math.max(maxW, 1L) / n,
+      s"n * scale * dampNum * maxWeight overflows Long: n=$n scale=$scale maxW=$maxW")
 
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
-      val dangling = ranks.join(outdeg, Seq("node"), "left_anti")
+      val dangling = ranks.join(outw, Seq("node"), "left_anti")
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
         .first().getLong(0)
       val perNodeBase = teleport + dangling / n
       val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, e("src") === outdeg("node"))
+        .join(outw, e("src") === outw("node"))
         .select(e("dst").as("node"),
-          expr(s"(rank * $dampNum) div (${dampDen}L * outdeg)").as("c"))
+          expr(s"(rank * $dampNum * w) div (${dampDen}L * outw)").as("c"))
       val in = contrib.groupBy("node").agg(sum("c").as("in_mass"))
       ranks = nodes.join(in, Seq("node"), "left")
         .select(col("node"),
@@ -114,7 +132,7 @@ object Graph {
     val result = ranks.withColumn("score",
       col("rank").cast("double") / lit((n * scale).toDouble))
       .localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    e.unpersist(); nodes.unpersist(); outw.unpersist()
     result
   }
 

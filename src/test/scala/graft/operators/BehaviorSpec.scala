@@ -73,6 +73,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("topPaths: ordered prefixes, count-desc path-asc order, id tiebreak") {
+    val data = ev(Seq(
+      (1L, 1L, 1L, "a"), (2L, 1L, 2L, "b"), (3L, 1L, 3L, "c"),
+      (4L, 2L, 1L, "a"), (5L, 2L, 5L, "b"),
+      (6L, 3L, 1L, "b"), (7L, 3L, 2L, "a"),
+      (8L, 4L, 1L, "a"),
+      (9L, 5L, 7L, "y"), (10L, 5L, 7L, "x")   // same second: id orders y→x
+    ))
+    val got = Behavior.topPaths(data, "ts", "event_id", "user_id", "t",
+        maxLen = 2, k = 3).get
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b", 2L), ("a", 1L), ("b>a", 1L)))
+  }
+
   test("transitionMatrix: lag pairs, equal-ts id tiebreak, gap cap") {
     val data = ev(Seq(
       (1L, 1L, 1L, "a"), (2L, 1L, 2L, "b"), (3L, 1L, 3L, "a"),

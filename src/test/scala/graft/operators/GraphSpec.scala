@@ -61,6 +61,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r.isFailing)
   }
 
+  test("weighted pageRank: hand-computed transfer golden, duplicate weights sum") {
+    // W(1)=4: 1→2 carries (1000·17·3) div 80 = 637, 1→3 carries 212;
+    // 2→1 and 3→1 each carry 850; teleport (1000·3) div 20 = 150
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("s", "d", "w")
+    val got = ranksOf(Graph.pageRank(e, "s", "d", iterations = 1,
+      scale = 1000L, weightCol = Some("w")).get)
+    assert(got == Map(1L -> 1850L, 2L -> 787L, 3L -> 362L))
+    // duplicate (src, dst) rows sum their weights: a symmetric equal-
+    // weight cycle is the exact fixed point
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 2L), (2L, 1L, 3L)).toDF("s", "d", "w")
+    val cyc = ranksOf(Graph.pageRank(dup, "s", "d", iterations = 3,
+      scale = 1000L, weightCol = Some("w")).get)
+    assert(cyc == Map(1L -> 1000L, 2L -> 1000L))
+  }
+
   test("projectBipartite thresholds shared right keys; src < dst once") {
     val m = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
       ("C", 3L), ("A", 2L)).toDF("l", "r")
