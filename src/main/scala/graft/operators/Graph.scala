@@ -51,11 +51,15 @@ object Graph {
     * every round), ONE partial-agg shuffle summing in-mass per dst, and
     * a left join back onto the node set. The dangling term is a 1-row
     * aggregate per iteration — the standard driver-side scalar every
-    * distributed PageRank (including GraphX's) pays. Lineage is cut
-    * with `localCheckpoint` every `checkpointEvery` rounds so deep
-    * iteration counts don't grow the plan unboundedly; all persisted
-    * frames are released before returning (the library's unpersist
-    * discipline).
+    * distributed PageRank (including GraphX's) pays. The rank frame is
+    * MATERIALIZED (`localCheckpoint`) every iteration: it is consumed
+    * three times per round (dangling scalar, contribution join,
+    * join-back), so a lazy frame would re-execute its whole lineage
+    * ~3× per round — exponential in the iteration count. Materializing
+    * a slim (node, rank) frame per round is the linear-cost shape; it
+    * also keeps the plan depth constant for deep iteration counts. All
+    * persisted frames are released before returning (the library's
+    * unpersist discipline).
     *
     * With `weightCol`, transfers are weight-proportional:
     * `(rank * dampNum * w) div (dampDen * outWeight)` — duplicate
@@ -76,14 +80,12 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 17L,
       dampDen: Long = 20L,
-      checkpointEvery: Int = 5,
       weightCol: Option[String] = None
   ): MayFail[DataFrame] = MayFail {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale > 0, s"scale must be positive: $scale")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
-    require(checkpointEvery >= 0, s"checkpointEvery must be >= 0: $checkpointEvery")
 
     val e = (weightCol match {
       case Some(w) =>
@@ -112,8 +114,8 @@ object Graph {
       s"n * scale * dampNum * maxWeight overflows Long: n=$n scale=$scale maxW=$maxW")
 
     val teleport = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (i <- 1 to iterations) {
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
       val dangling = ranks.join(outw, Seq("node"), "left_anti")
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
         .first().getLong(0)
@@ -126,8 +128,7 @@ object Graph {
       ranks = nodes.join(in, Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("in_mass"), lit(0L)) + lit(perNodeBase)).as("rank"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true)
+        .localCheckpoint(true)
     }
     val result = ranks.withColumn("score",
       col("rank").cast("double") / lit((n * scale).toDouble))

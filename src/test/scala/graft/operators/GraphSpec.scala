@@ -42,7 +42,7 @@ class GraphSpec extends AnyFunSuite {
   test("ranks are a pure function of the graph — partitioning-invariant") {
     val edges = (1L to 40L).map(i => (i % 7, (i * 3) % 7)).toDF("s", "d")
     val a = ranksOf(Graph.pageRank(edges, "s", "d", iterations = 3,
-      scale = 100000L, checkpointEvery = 1).get)
+      scale = 100000L).get)
     val b = ranksOf(Graph.pageRank(edges.repartition(13), "s", "d",
       iterations = 3, scale = 100000L).get)
     assert(a == b && a.nonEmpty)
