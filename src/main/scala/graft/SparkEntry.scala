@@ -2586,6 +2586,27 @@ object SparkEntry {
         "event_type", maxLen = 2, k = 10).get
     }),
 
+    "q201_session_stats" -> ((s, dir) => {
+      // Batch sessionization (6 h gap split) + per-session summary: the
+      // batch counterpart of the q66 streaming sessionizer, replayed as
+      // the identical lag + running-sum windows. All outputs are exact
+      // integers/timestamps.
+      Behavior.sessionStats(events(s, dir), "ts", "event_id", "user_id",
+          gapSec = 21600L).get
+        .orderBy("user_id", "session_idx")
+    }),
+
+    "q202_kcore" -> ((s, dir) => {
+      // 6-core of the thresholded supplier co-occurrence graph (46
+      // survivors of 68 nodes at sf0.01, peeling converges in 3
+      // rounds). The oracle unrolls 8 peel rounds — idempotent after
+      // convergence — and reports in-core degrees.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.kCore(proj, "src", "dst", k = 6L).get
+        .orderBy("node")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -3345,6 +3366,37 @@ object SparkEntry {
        )
        SELECT queryId, neighborId, round(c_raw, 6) AS cosine, rank
        FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""
+
+  /** q202's oracle, generated: `rounds` unrolled peel rounds over the
+    * thresholded supplier co-occurrence graph. Peeling is idempotent
+    * after convergence, so any `rounds` >= the actual peel depth (3 at
+    * sf0.01) yields the true k-core — 8 leaves margin for regenerated
+    * testdata without hand-editing 8 near-identical CTE blocks. */
+  private def kCoreOracleSql(k: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), a0 AS (SELECT DISTINCT src AS node FROM e)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""", d$i AS (
+           SELECT e.src AS node, CAST(count(*) AS BIGINT) AS c FROM e
+           JOIN a${i - 1} x ON x.node = e.src
+           JOIN a${i - 1} y ON y.node = e.dst
+           GROUP BY e.src
+         ), a$i AS (SELECT node FROM d$i WHERE c >= $k)""")
+    }
+    sb.append(
+      s"\n         SELECT node, c AS core_degree FROM d$rounds WHERE c >= $k ORDER BY node")
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -5812,6 +5864,36 @@ object SparkEntry {
            SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
          )
          SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""",
+
+    // q201: gap-split sessionization replayed — the same lag window,
+    // break flag, 0-based running-sum session index, and per-session
+    // aggregates.
+    "q201_session_stats" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS pus
+           FROM events WHERE ts IS NOT NULL
+         ), f AS (
+           SELECT *, CASE WHEN pus IS NULL OR us - pus > 21600000000
+             THEN 1 ELSE 0 END AS brk FROM o
+         ), s AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - 1 AS session_idx
+           FROM f
+         )
+         SELECT user_id, session_idx, min(ts) AS start_ts,
+           max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_events,
+           (max(us) - min(us)) // 1000000 AS duration_sec
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    // q202: k-core peeling unrolled to 8 rounds (idempotent once the
+    // peel stabilizes — round 3 at sf0.01); the SQL is the semantic
+    // spec, the operator's semi-join loop is the scale path.
+    "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

@@ -195,6 +195,59 @@ object Behavior {
       round(col("n") / sum(col("n")).over(wp) + lit(1e-9), 4))
   }
 
+  /** Batch sessionization: assign each event a per-entity
+    * `session_idx` (0-based), starting a new session whenever the gap
+    * since the entity's previous event exceeds `gapSec`. The batch
+    * counterpart of the streaming `Stream.sessionize`
+    * (flatMapGroupsWithState) — same gap-split semantics, expressed as
+    * two window passes (lag + running sum of break flags) over ONE
+    * exchange and one in-partition sort on (entity, ts, id).
+    *
+    * Adds `session_idx: bigint` to the input columns.
+    */
+  def sessionize(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      gapSec: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(us, col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__prev_us", lag(us, 1).over(w))
+      .withColumn("session_idx",
+        sum(when(col("__prev_us").isNull ||
+            us - col("__prev_us") > gapSec * 1000000L, 1L).otherwise(0L))
+          .over(run) - 1)
+      .drop("__prev_us")
+  }
+
+  /** Per-session summary over [[sessionize]]'s assignment: start/end
+    * timestamps, event count, and whole-second duration per (entity,
+    * session). One extra partial-agg shuffle on (entity, session_idx);
+    * all outputs are exact integers/timestamps.
+    *
+    * Returns `(userCol, session_idx, start_ts, end_ts,
+    * n_events: bigint, duration_sec: bigint)`.
+    */
+  def sessionStats(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      gapSec: Long
+  ): MayFail[DataFrame] =
+    sessionize(df, tsCol, idCol, userCol, gapSec).map { s =>
+      s.groupBy(col(userCol), col("session_idx"))
+        .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+          count(lit(1)).as("n_events"),
+          expr(s"(max(unix_micros($tsCol)) - min(unix_micros($tsCol))) div 1000000")
+            .as("duration_sec"))
+    }
+
   /** Top-k opening paths: each entity's first `maxLen` event types in
     * order joined with `sep`, counted across entities, heaviest first
     * (path ascending as the deterministic tiebreak). "What do users do

@@ -269,6 +269,83 @@ object Graph {
     result
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree within the surviving subgraph is < k until stable.
+    * The standard graph-cleaning primitive — link-farm/noise trimming
+    * before PageRank, dense-community extraction before clustering.
+    *
+    * Returns `(node, core_degree: bigint)` for the surviving nodes
+    * (degree counted within the core, so every value is >= k); empty
+    * when no k-core exists.
+    *
+    * Plan per round: two semi-joins restrict the symmetric edge list to
+    * surviving endpoints, one partial-agg shuffle counts degrees, the
+    * survivor set is materialized (`localCheckpoint` — it is consumed
+    * by both next-round semi-joins AND the convergence count, the same
+    * multi-consumer rule as [[pageRank]]'s rank frame). Peeling is
+    * monotone, so rounds <= the longest peel chain (typically a handful
+    * on real graphs); `maxRounds` only guards pathological chains, and
+    * hitting it surfaces as `IgnorableFail` carrying the partial
+    * (still-shrinking) survivor set.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Long,
+      maxRounds: Int = 100
+  ): MayFail[DataFrame] = {
+    val run = MayFail {
+      require(k >= 1, s"k must be >= 1: $k")
+      require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+      val und = edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .distinct()
+      val e2 = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var alive = e2.select(col("src").as("node")).distinct().localCheckpoint(true)
+      var aliveN = alive.count()
+      var converged = false
+      var round = 0
+      var deg: DataFrame = null
+      while (!converged && round < maxRounds) {
+        deg = e2
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("core_degree"))
+          .filter(col("core_degree") >= k)
+          .localCheckpoint(true)
+        val nextAlive = deg.select("node")
+        val nextN = deg.count()
+        converged = nextN == aliveN
+        alive = nextAlive
+        aliveN = nextN
+        round += 1
+        if (aliveN == 0) converged = true
+      }
+      val result =
+        if (aliveN == 0)
+          alive.withColumn("core_degree", lit(0L)).filter(lit(false))
+        else deg
+      e2.unpersist()
+      (result, converged)
+    }
+    run.flatMap { case (result, converged) =>
+      if (converged) graft.functional.Ok(result)
+      else {
+        val err = new IllegalStateException(
+          s"kCore: peeling did not stabilize within $maxRounds rounds; " +
+            "the returned survivor set is still shrinking — raise maxRounds")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+        graft.functional.IgnorableFail(err, result)
+      }
+    }
+  }
+
   /** Connected components over an edge frame — delegates to the
     * stats-gated engine behind [[Dedup.duplicateClusters]] (driver
     * union-find when the edge set is provably small, distributed

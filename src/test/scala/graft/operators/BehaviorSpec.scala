@@ -73,6 +73,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("sessionize + sessionStats: gap splits, 0-based index, exact durations") {
+    val data = ev(Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 250L, "c"),
+      (4L, 1L, 5000L, "d"),
+      (5L, 2L, 7L, "x")
+    ))
+    val idx = Behavior.sessionize(data, "ts", "event_id", "user_id", gapSec = 200L)
+      .get.select("event_id", "session_idx")
+      .as[(Long, Long)].collect().toMap
+    assert(idx == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    val stats = Behavior.sessionStats(data, "ts", "event_id", "user_id",
+        gapSec = 200L).get
+      .select(col("user_id"), col("session_idx"),
+        col("start_ts").cast("long"), col("end_ts").cast("long"),
+        col("n_events"), col("duration_sec"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(stats((1L, 0L)) == ((0L, 250L, 3L, 250L)))
+    assert(stats((1L, 1L)) == ((5000L, 5000L, 1L, 0L)))
+    assert(stats((2L, 0L)) == ((7L, 7L, 1L, 0L)))
+    assert(stats.size == 3)
+  }
+
   test("topPaths: ordered prefixes, count-desc path-asc order, id tiebreak") {
     val data = ev(Seq(
       (1L, 1L, 1L, "a"), (2L, 1L, 2L, "b"), (3L, 1L, 3L, "c"),

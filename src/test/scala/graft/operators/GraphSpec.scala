@@ -117,6 +117,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 == 19L)
   }
 
+  test("kCore: peels pendants, reports in-core degrees, cascades") {
+    // K4 on 1..4 + pendant 5—1: the 2-core (and 3-core) is K4 with
+    // in-core degree 3 (node 1's pendant edge does NOT count)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("s", "d")
+    val core2 = Graph.kCore(e, "s", "d", k = 3L).get
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-core does not exist
+    assert(Graph.kCore(e, "s", "d", k = 4L).get.count() == 0)
+    // cascade: triangle 1-2-3 with a chain 3—4—5; peeling 5 (deg 1)
+    // exposes 4 (deg 1) — the 2-core is the triangle alone
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val tri = Graph.kCore(chain, "s", "d", k = 2L).get
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("connectedComponents labels by minimum reachable node") {
     val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("s", "d")
     val got = Graph.connectedComponents(e, "s", "d").get
