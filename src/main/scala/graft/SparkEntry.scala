@@ -2607,6 +2607,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q203_hits" -> ((s, dir) => {
+      // HITS over the DIRECTED part→supplier graph (hubs = parts,
+      // authorities = suppliers — each side's other score is exactly
+      // 0): two iterations of integer L1-renormalized mutual
+      // reinforcement, replayed by the oracle's unrolled half-steps.
+      val li = tbl(s, dir, "lineitem")
+      val edges = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.hits(edges, "src", "dst", iterations = 2, scale = 1000000L).get
+        .orderBy("node")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -3395,6 +3407,58 @@ object SparkEntry {
     }
     sb.append(
       s"\n         SELECT node, c AS core_degree FROM d$rounds WHERE c >= $k ORDER BY node")
+    sb.toString
+  }
+
+  /** q203's oracle, generated: `iterations` unrolled HITS rounds (two
+    * normalized half-steps each) over the directed part→supplier graph.
+    * M = n·scale; every normalization is `(raw · M) // Σraw` on exact
+    * BIGINTs, matching [[graft.operators.Graph.hits]] value-for-value. */
+  private def hitsOracleSql(iterations: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), nd AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e
+         ), nn AS (
+           SELECT CAST(count(*) AS BIGINT) * $scale AS m FROM nd
+         ), h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nd)""")
+    for (i <- 1 to iterations) {
+      sb.append(s""", ar$i AS (
+           SELECT e.dst AS node, SUM(h.h) AS raw FROM e
+           JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst
+         ), af$i AS (
+           SELECT nd.node, COALESCE(ar$i.raw, 0) AS raw
+           FROM nd LEFT JOIN ar$i ON ar$i.node = nd.node
+         ), sa$i AS (SELECT SUM(raw) AS s FROM af$i
+         ), a$i AS (
+           SELECT node, (raw * (SELECT m FROM nn)) // (SELECT s FROM sa$i)
+             AS a FROM af$i
+         ), hr$i AS (
+           SELECT e.src AS node, SUM(a.a) AS raw FROM e
+           JOIN a$i a ON a.node = e.dst GROUP BY e.src
+         ), hf$i AS (
+           SELECT nd.node, COALESCE(hr$i.raw, 0) AS raw
+           FROM nd LEFT JOIN hr$i ON hr$i.node = nd.node
+         ), sh$i AS (SELECT SUM(raw) AS s FROM hf$i
+         ), h$i AS (
+           SELECT node, (raw * (SELECT m FROM nn)) // (SELECT s FROM sh$i)
+             AS h FROM hf$i
+         )""")
+    }
+    sb.append(
+      s"""
+         SELECT h$iterations.node, h$iterations.h AS hub,
+           a$iterations.a AS authority,
+           CAST(h$iterations.h AS DOUBLE) / CAST((SELECT m FROM nn) AS DOUBLE)
+             AS hub_score,
+           CAST(a$iterations.a AS DOUBLE) / CAST((SELECT m FROM nn) AS DOUBLE)
+             AS auth_score
+         FROM h$iterations JOIN a$iterations
+           ON a$iterations.node = h$iterations.node
+         ORDER BY h$iterations.node""")
     sb.toString
   }
 
@@ -5894,6 +5958,10 @@ object SparkEntry {
     // peel stabilizes — round 3 at sf0.01); the SQL is the semantic
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
+
+    // q203: HITS unrolled — two normalized half-steps per iteration,
+    // every (raw · M) // Σraw replayed on exact BIGINTs.
+    "q203_hits" -> hitsOracleSql(iterations = 2, scale = 1000000L),
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

@@ -114,9 +114,16 @@ object Graph {
       s"n * scale * dampNum * maxWeight overflows Long: n=$n scale=$scale maxW=$maxW")
 
     val teleport = (scale * (dampDen - dampNum)) / dampDen
+    // the dangling node SET is structural (rank-independent): compute it
+    // once, and skip the per-iteration rank-sum job entirely on graphs
+    // without dangling nodes (every symmetrized graph)
+    val danglingNodes = nodes.join(outw, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(outw, Seq("node"), "left_anti")
+      val dangling = if (!hasDangling) 0L
+      else ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
         .first().getLong(0)
       val perNodeBase = teleport + dangling / n
@@ -266,6 +273,78 @@ object Graph {
           lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1))))
       .localCheckpoint(true)
     und.unpersist(); deg.unpersist(); oriented.unpersist()
+    result
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in the same fixed-point
+    * BIGINT discipline as [[pageRank]]: authority(v) = Σ hub over
+    * in-edges, hub(v) = Σ authority over out-edges, each vector
+    * L1-renormalized to total mass `n * scale` after every half-step
+    * via `(raw * M) div Σraw` — exact, order-independent, replayable.
+    *
+    * Returns `(node, hub: bigint, authority: bigint, hub_score: double,
+    * auth_score: double)`; scores divide by `M` (bit-identical
+    * doubles).
+    *
+    * The renormalization product bounds the scale: `M = n * scale` must
+    * satisfy `M² < Long.MaxValue` (enforced) — pick `scale` ≤ 3e9 / n.
+    * Plan per half-step: one hash join + partial-agg shuffle, a left
+    * join back onto the node frame, a 1-row sum (the normalization
+    * scalar — HITS's driver roundtrip, exactly like PageRank's dangling
+    * term), and an eager materialization (the multi-consumer rule).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 2,
+      scale: Long = 1000000L
+  ): MayFail[DataFrame] = MayFail {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale > 0, s"scale must be positive: $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty edge list")
+    val m = n * scale
+    require(m <= 3037000499L,
+      s"n * scale must stay <= sqrt(Long.MaxValue) for the renormalization " +
+        s"product: n=$n scale=$scale")
+
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(true)
+      val s = full.agg(coalesce(sum("raw"), lit(0L))).first().getLong(0)
+      require(s > 0,
+        s"HITS $out mass collapsed to zero — scale=$scale is too coarse " +
+          "for this graph; raise it")
+      full.select(col("node"), expr(s"(raw * ${m}L) div ${s}L").as(out))
+        .localCheckpoint(true)
+    }
+
+    var hubs = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(e("dst").as("node")).agg(sum("h").as("raw"))
+      auths = normalized(araw, "a")
+      val hraw = e.join(auths, e("dst") === auths("node"))
+        .groupBy(e("src").as("node")).agg(sum("a").as("raw"))
+      hubs = normalized(hraw, "h")
+    }
+    val result = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"),
+        (col("h").cast("double") / lit(m.toDouble)).as("hub_score"),
+        (col("a").cast("double") / lit(m.toDouble)).as("auth_score"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
     result
   }
 

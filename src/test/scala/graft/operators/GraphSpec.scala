@@ -117,6 +117,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 == 19L)
   }
 
+  test("hits: hand-computed renormalized half-steps; pure source/sink split") {
+    // 1→3, 2→3, 2→4; scale 1000, n=4, M=4000, one iteration:
+    //  araw = (3: 2000, 4: 1000), Σ=3000 → a(3)=2666, a(4)=1333
+    //  hraw = (1: 2666, 2: 3999), Σ=6665 → h(1)=1600, h(2)=2400
+    // sources have authority 0, sinks have hub 0 — exactly
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    val got = Graph.hits(e, "s", "d", iterations = 1, scale = 1000L).get
+      .select("node", "hub", "authority")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1600L, 0L)), 2L -> ((2400L, 0L)),
+      3L -> ((0L, 2666L)), 4L -> ((0L, 1333L))))
+  }
+
+  test("hits: single edge concentrates both vectors; scores normalize by M") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val got = Graph.hits(e, "s", "d", iterations = 1, scale = 1000L).get
+      .select("node", "hub", "authority", "hub_score", "auth_score")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2000L, 0L, 1.0, 0.0)))
+    assert(got(2L) == ((0L, 2000L, 0.0, 1.0)))
+  }
+
   test("kCore: peels pendants, reports in-core degrees, cascades") {
     // K4 on 1..4 + pendant 5—1: the 2-core (and 3-core) is K4 with
     // in-core degree 3 (node 1's pendant edge does NOT count)
