@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Behavior, Dedup, Graph, Merge, Multimodal, Quantize, Similarity, Sketch, TimeSeries}
+import graft.operators.{Behavior, Dedup, Graph, Merge, Multimodal, Quantize, Similarity, Sketch, Stats, TimeSeries}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2617,6 +2617,44 @@ object SparkEntry {
         (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.hits(edges, "src", "dst", iterations = 2, scale = 1000000L).get
         .orderBy("node")
+    }),
+
+    "q204_ab_ttest" -> ((s, dir) => {
+      // Welch two-sample t-test, click vs view event values. ×100
+      // integral scaling makes every sum exact so t/df are
+      // bit-deterministic; t and df are scale-invariant, means/vars
+      // descale for reporting.
+      Stats.welchTTest(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", "event_type", "click", "view").get
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a") / 100 + lit(1e-9), 4).as("mean_a"),
+          round(col("mean_b") / 100 + lit(1e-9), 4).as("mean_b"),
+          round(col("var_a") / 10000 + lit(1e-9), 4).as("var_a"),
+          round(col("var_b") / 10000 + lit(1e-9), 4).as("var_b"),
+          round(col("t") + lit(1e-9), 4).as("t"),
+          round(col("df") + lit(1e-9), 4).as("df"))
+    }),
+
+    "q205_chi_square" -> ((s, dir) => {
+      // Pearson independence test: event_type × value-band (5×5 grid,
+      // dof 16). Counts and marginals are exact; chi2 is a 25-term
+      // float sum — rounded, with the ~1e-13 ulp noise far inside the
+      // 1e-9 tie-shift.
+      Stats.chiSquareIndependence(
+          events(s, dir)
+            .withColumn("band", floor(col("value") / 100).cast("int")),
+          "event_type", "band").get
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          round(col("chi2") + lit(1e-9), 4).as("chi2"))
+    }),
+
+    "q206_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney U, click vs view: midranks are exact dyadics so
+      // U/rank sums are bit-deterministic with NO rounding — the gate
+      // compares raw doubles.
+      Stats.mannWhitneyU(events(s, dir), "value", "event_type",
+        "click", "view").get
     }),
 
     "q186_ivfpq_knn" -> ((s, dir) => {
@@ -5962,6 +6000,92 @@ object SparkEntry {
     // q203: HITS unrolled — two normalized half-steps per iteration,
     // every (raw · M) // Σraw replayed on exact BIGINTs.
     "q203_hits" -> hitsOracleSql(iterations = 2, scale = 1000000L),
+
+    // q204: the Welch formula replayed on exact ×100 sums — identical
+    // IEEE inputs → identical t and Welch–Satterthwaite df.
+    "q204_ab_ttest" ->
+      """WITH f AS (
+           SELECT event_type AS g, round(value * 100) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), a AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS na,
+             COALESCE(sum(CASE WHEN g = 'click' THEN v END), 0) AS sa,
+             COALESCE(sum(CASE WHEN g = 'click' THEN v * v END), 0) AS s2a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS nb,
+             COALESCE(sum(CASE WHEN g = 'view' THEN v END), 0) AS sb,
+             COALESCE(sum(CASE WHEN g = 'view' THEN v * v END), 0) AS s2b
+           FROM f
+         ), st AS (
+           SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             greatest(s2a - sa * sa / na, 0.0) / (na - 1) AS va,
+             greatest(s2b - sb * sb / nb, 0.0) / (nb - 1) AS vb
+           FROM a
+         ), se AS (
+           SELECT *, va / na + vb / nb AS se2 FROM st
+         )
+         SELECT na AS n_a, nb AS n_b,
+           round(ma / 100 + 1e-9, 4) AS mean_a,
+           round(mb / 100 + 1e-9, 4) AS mean_b,
+           round(va / 10000 + 1e-9, 4) AS var_a,
+           round(vb / 10000 + 1e-9, 4) AS var_b,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN (ma - mb) / sqrt(se2) END + 1e-9, 4) AS t,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN se2 * se2 / ((va / na) * (va / na) / (na - 1)
+               + (vb / nb) * (vb / nb) / (nb - 1)) END + 1e-9, 4) AS df
+         FROM se""",
+
+    // q205: contingency cells, marginals, full grid with absent cells,
+    // and the textbook (o−e)²/e reduction.
+    "q205_chi_square" ->
+      """WITH src AS (
+           SELECT event_type AS r, CAST(floor(value / 100) AS INT) AS c
+           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+         ), obs AS (
+           SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM src GROUP BY r, c
+         ), rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY r
+         ), ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY c
+         ), tot AS (SELECT sum(o) AS n FROM obs
+         ), grid AS (
+           SELECT rt.r, ct.c, COALESCE(obs.o, 0) AS o, rt.rt, ct.ct,
+             (SELECT n FROM tot) AS n
+           FROM rt CROSS JOIN ct
+           LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+         )
+         SELECT max(n) AS n,
+           CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+           (count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS dof,
+           round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
+             / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
+         FROM grid""",
+
+    // q206: midranks (rank + (ties−1)/2 — exact dyadics) and the U
+    // statistics, bit-exact with no rounding.
+    "q206_mann_whitney" ->
+      """WITH f AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), rk AS (
+           SELECT g, v, rank() OVER (ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY v) AS ties
+           FROM f
+         ), mid AS (
+           SELECT g, r + (ties - 1) / 2.0 AS m FROM rk
+         ), agg AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS n_b,
+             COALESCE(sum(CASE WHEN g = 'click' THEN m END), 0) AS r_a,
+             COALESCE(sum(CASE WHEN g = 'view' THEN m END), 0) AS r_b
+           FROM mid
+         )
+         SELECT n_a, n_b,
+           r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+           r_b - n_b * (n_b + 1) / 2.0 AS u_b,
+           r_a, r_b
+         FROM agg""",
 
     // q188: TPC-H Q12 shape — fact-fact join, conditional counts per
     // return flag (shipmode stand-in); 1996 slice only.

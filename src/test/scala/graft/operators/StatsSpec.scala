@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def close(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+
+  test("welchTTest: hand-computed t and Welch–Satterthwaite df") {
+    // A = [1,2,3] (mean 2, var 1), B = [2,4] (mean 3, var 2)
+    // se2 = 1/3 + 1 = 4/3 → t = −1/√(4/3) = −0.866025…
+    // df = (4/3)² / ((1/9)/2 + 1) = 32/19 = 1.684210…
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Stats.welchTTest(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._1 == 3L && r._2 == 2L)
+    assert(r._3 == 2.0 && r._4 == 3.0 && r._5 == 1.0 && r._6 == 2.0)
+    assert(close(r._7, -1.0 / math.sqrt(4.0 / 3.0)))
+    assert(close(r._8, 32.0 / 19.0))
+  }
+
+  test("welchTTest: NULL statistic when a group is degenerate") {
+    val df0 = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.welchTTest(df0, "v", "g", "a", "b").get
+      .select("t", "df").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("chiSquareIndependence: textbook 2x2, absent cells expected in full") {
+    val rows =
+      Seq.fill(10)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+      Seq.fill(10)(("y", 0)) ++ Seq.fill(30)(("y", 1))
+    val r = Stats.chiSquareIndependence(rows.toDF("r", "c"), "r", "c").get
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(r._1 == 60L && r._2 == 2L && r._3 == 2L && r._4 == 1L)
+    assert(close(r._5, 3.75))
+    // disjoint categories: the zero cells carry their full expectation
+    val disjoint = Seq.fill(5)(("x", 0)) ++ Seq.fill(5)(("y", 1))
+    val d = Stats.chiSquareIndependence(disjoint.toDF("r", "c"), "r", "c").get
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(d._1 == 10L && d._4 == 1L && close(d._5, 10.0))
+  }
+
+  test("mannWhitneyU: midrank ties, U partition invariant") {
+    // sorted: 1(a) 2(b) [3 3 3](a a b) → midranks 1, 2, 4
+    // r_a = 1+4+4 = 9, r_b = 2+4 = 6, u_a = 3, u_b = 3 = n_a·n_b − u_a
+    val df0 = Seq(("a", 1.0), ("a", 3.0), ("a", 3.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Stats.mannWhitneyU(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(r == ((3L, 2L, 3.0, 3.0, 9.0, 6.0)))
+  }
+
+  test("mannWhitneyU: identical distributions give symmetric U") {
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(r._3 == r._4 && r._3 + r._4 == (r._1 * r._2).toDouble)
+  }
+}
