@@ -2657,6 +2657,27 @@ object SparkEntry {
         "click", "view").get
     }),
 
+    "q207_proportion_ztest" -> ((s, dir) => {
+      // Conversion-rate comparison: share of high-value (> 250) events,
+      // click vs view. Four exact counts → IEEE-identical p/z on both
+      // engines; +1e-9 before round.
+      Stats.proportionZTest(
+          events(s, dir).withColumn("hi", col("value") > 250),
+          "hi", "event_type", "click", "view").get
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          round(col("p_a") + lit(1e-9), 4).as("p_a"),
+          round(col("p_b") + lit(1e-9), 4).as("p_b"),
+          round(col("z") + lit(1e-9), 4).as("z"))
+    }),
+
+    "q208_ks_test" -> ((s, dir) => {
+      // Two-sample KS distance, click vs view values: every CDF step
+      // divides the same exact cumulative counts, so `d` gates with no
+      // rounding (the q206 determinism tier).
+      Stats.ksTest(events(s, dir), "value", "event_type",
+        "click", "view").get
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6060,6 +6081,59 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q207: four exact counts → pooled-SE z replayed identically.
+    "q207_proportion_ztest" ->
+      """WITH f AS (
+           SELECT event_type AS g, (value > 250) AS hi FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), a AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS na,
+             CAST(count(CASE WHEN g = 'click' AND hi THEN 1 END) AS BIGINT)
+               AS sa,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS nb,
+             CAST(count(CASE WHEN g = 'view' AND hi THEN 1 END) AS BIGINT)
+               AS sb
+           FROM f
+         ), p AS (
+           SELECT *, CAST(sa AS DOUBLE) / na AS pa,
+             CAST(sb AS DOUBLE) / nb AS pb,
+             CAST(sa + sb AS DOUBLE) / (na + nb) AS pp
+           FROM a
+         )
+         SELECT na AS n_a, sa AS s_a, nb AS n_b, sb AS s_b,
+           round(pa + 1e-9, 4) AS p_a, round(pb + 1e-9, 4) AS p_b,
+           round(CASE WHEN na >= 1 AND nb >= 1 AND pp > 0 AND pp < 1
+             THEN (pa - pb) / sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+             END + 1e-9, 4) AS z
+         FROM p""",
+
+    // q208: per-value cumulative counts → CDF steps dividing identical
+    // BIGINTs; the max-abs-difference gates raw (no rounding).
+    "q208_ks_test" ->
+      """WITH f AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), byv AS (
+           SELECT v,
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS ca,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS cb
+           FROM f GROUP BY v
+         ), tot AS (
+           SELECT sum(ca) AS na, sum(cb) AS nb FROM byv
+         ), c AS (
+           SELECT v,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
+           FROM byv
+         )
+         SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           max(abs(CAST(cumA AS DOUBLE) / (SELECT na FROM tot)
+             - CAST(cumB AS DOUBLE) / (SELECT nb FROM tot))) AS d
+         FROM c""",
 
     // q206: midranks (rank + (ties−1)/2 — exact dyadics) and the U
     // statistics, bit-exact with no rounding.

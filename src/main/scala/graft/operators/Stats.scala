@@ -102,6 +102,81 @@ object Stats {
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"), col("chi2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: the maximum absolute
+    * difference between the two groups' empirical CDFs, evaluated at
+    * every observed value. Returns ONE row `(n_a, n_b, d)`.
+    *
+    * Like [[mannWhitneyU]], the reduction runs at distinct-value
+    * granularity (cumulative counts over the value grid), and every
+    * per-value CDF step divides the same exact BIGINTs on any engine —
+    * `d` is deterministic with no rounding.
+    */
+  def ksTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    val v = col(valueCol).cast("double")
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("v")
+      .agg(count(when(col("g") === groupA, 1)).as("__ca"),
+        count(when(col("g") === groupB, 1)).as("__cb"))
+    val totals = byValue.agg(
+      coalesce(sum("__ca"), lit(0L)).as("n_a"),
+      coalesce(sum("__cb"), lit(0L)).as("n_b"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue.crossJoin(broadcast(totals))
+      .withColumn("__cumA", sum(col("__ca")).over(cum))
+      .withColumn("__cumB", sum(col("__cb")).over(cum))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__cumA") / col("n_a") - col("__cumB") / col("n_b")))
+          .as("d"))
+  }
+
+  /** Two-proportion z-test (pooled standard error): compare the rate
+    * at which `successCol` (a boolean column/expression name) holds
+    * between `groupA` and `groupB`. The funnel-conversion readout.
+    * Returns ONE row `(n_a, s_a, n_b, s_b, p_a, p_b, z)`; `z` is NULL
+    * when a group is empty or the pooled rate is degenerate (0 or 1).
+    * One `sum(when(...))` scan; all statistics are IEEE functions of
+    * four exact counts.
+    */
+  def proportionZTest(
+      df: DataFrame,
+      successCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    val succ = col(successCol).cast("boolean")
+    def in(label: String) = col(groupCol) === lit(label)
+    val base = df
+      .filter(succ.isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        count(when(in(groupA), 1)).as("n_a"),
+        count(when(in(groupA) && succ, 1)).as("s_a"),
+        count(when(in(groupB), 1)).as("n_b"),
+        count(when(in(groupB) && succ, 1)).as("s_b"))
+    val pa = col("s_a") / col("n_a")
+    val pb = col("s_b") / col("n_b")
+    val p = (col("s_a") + col("s_b")) / (col("n_a") + col("n_b"))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1 && p > 0 && p < 1
+    base
+      .withColumn("p_a", when(col("n_a") >= 1, pa))
+      .withColumn("p_b", when(col("n_b") >= 1, pb))
+      .withColumn("z", when(ok,
+        (pa - pb) / sqrt(p * (lit(1) - p) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .select("n_a", "s_a", "n_b", "s_b", "p_a", "p_b", "z")
+  }
+
   /** Mann–Whitney U (rank-sum) test of `valueCol` between `groupA` and
     * `groupB`: U statistics from midrank sums with the standard tie
     * handling. Midranks are exact dyadics (k or k + 0.5), so their sums

@@ -57,6 +57,31 @@ class StatsSpec extends AnyFunSuite {
     assert(r == ((3L, 2L, 3.0, 3.0, 9.0, 6.0)))
   }
 
+  test("ksTest: hand-computed CDF max gap; identical samples give 0") {
+    // A=[1,2], B=[2,3]: gaps at 1, 2, 3 are 0.5, 0.5, 0 → d = 0.5
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.ksTest(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((2L, 2L, 0.5)))
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(Stats.ksTest(same, "v", "g", "a", "b").get
+      .as[(Long, Long, Double)].collect().head._3 == 0.0)
+  }
+
+  test("proportionZTest: hand-computed pooled z; degenerate pool is NULL") {
+    // A: 2/4, B: 1/4 → pooled 3/8; z = 0.25/√(0.375·0.625·0.5)
+    val df0 = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false))).toDF("g", "s")
+    val r = Stats.proportionZTest(df0, "s", "g", "a", "b").get
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 4L && r._2 == 2L && r._3 == 4L && r._4 == 1L)
+    assert(r._5 == 0.5 && r._6 == 0.25)
+    assert(close(r._7, 0.25 / math.sqrt(0.375 * 0.625 * 0.5)))
+    val allTrue = Seq(("a", true), ("b", true)).toDF("g", "s")
+    assert(Stats.proportionZTest(allTrue, "s", "g", "a", "b").get
+      .select("z").collect().head.isNullAt(0))
+  }
+
   test("mannWhitneyU: identical distributions give symmetric U") {
     val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
     val r = Stats.mannWhitneyU(df0, "v", "g", "a", "b").get
