@@ -2678,6 +2678,31 @@ object SparkEntry {
         "click", "view").get
     }),
 
+    "q209_attribution" -> ((s, dir) => {
+      // Last-touch attribution: each purchase attributed to the most
+      // recent click/view strictly before it within 3 days. The twin
+      // ignore-nulls last_value windows share one frame so both fields
+      // come from the same touch row; all outputs exact micros.
+      Behavior.attribution(events(s, dir), "ts", "event_id", "user_id",
+          "event_type", convType = "purchase",
+          touchTypes = Seq("click", "view"), windowSec = 259200L).get
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q210_bfs_depths" -> ((s, dir) => {
+      // Multi-source BFS from suppliers 1-3 over the symmetric
+      // part↔supplier graph, capped at 4 hops — min-hop depths the
+      // oracle replays with a recursive reachability CTE.
+      val li = tbl(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.filter(col("l_suppkey") <= 3)
+        .select((col("l_suppkey") * 2 + 1).as("node"))
+      Graph.bfsDepths(edges, "src", "dst", seeds, "node", maxDepth = 4).get
+        .orderBy("node")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6081,6 +6106,55 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q209: twin ignore-nulls last_value windows over the same
+    // 1-PRECEDING frame — both fields from the same touch row — and
+    // the conversion-window gate on exact micros.
+    "q209_attribution" ->
+      """WITH f AS (
+           SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us
+           FROM events
+           WHERE ts IS NOT NULL
+             AND event_type IN ('purchase', 'click', 'view')
+         ), l AS (
+           SELECT *,
+             last_value(CASE WHEN t IN ('click', 'view') THEN t END
+               IGNORE NULLS) OVER w AS lt,
+             last_value(CASE WHEN t IN ('click', 'view') THEN us END
+               IGNORE NULLS) OVER w AS lus
+           FROM f
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         )
+         SELECT user_id, event_id, make_timestamp(us) AS conv_ts,
+           CASE WHEN lus IS NOT NULL AND us - lus <= 259200000000
+             THEN lt END AS touch_type,
+           CASE WHEN lus IS NOT NULL AND us - lus <= 259200000000
+             THEN make_timestamp(lus) END AS touch_ts,
+           CASE WHEN lus IS NOT NULL AND us - lus <= 259200000000
+             THEN (us - lus) // 1000000 END AS gap_sec
+         FROM l WHERE t = 'purchase'
+         ORDER BY user_id, event_id""",
+
+    // q210: min-hop depths via a recursive reachability closure capped
+    // at the same depth.
+    "q210_bfs_depths" ->
+      """WITH RECURSIVE f AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT src, dst FROM f UNION SELECT dst, src FROM f
+         ), seeds AS (
+           SELECT DISTINCT l_suppkey * 2 + 1 AS node FROM lineitem
+           WHERE l_suppkey <= 3
+         ), r AS (
+           SELECT node, 0 AS d FROM seeds
+           UNION
+           SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+           WHERE r.d < 4
+         )
+         SELECT node, CAST(min(d) AS INT) AS depth FROM r GROUP BY node
+         ORDER BY node""",
 
     // q207: four exact counts → pooled-SE z replayed identically.
     "q207_proportion_ztest" ->

@@ -248,6 +248,55 @@ object Behavior {
             .as("duration_sec"))
     }
 
+  /** Last-touch attribution: for every conversion event (type
+    * `convType`), the most recent touch event (type in `touchTypes`)
+    * STRICTLY before it and within `windowSec` — the standard
+    * marketing-attribution readout, also the "what preceded this
+    * failure" forensic query.
+    *
+    * Returns one row per conversion: `(userCol, idCol, conv_ts,
+    * touch_type, touch_ts, gap_sec)` — touch columns NULL when no
+    * qualifying touch exists.
+    *
+    * Plan: one exchange on the entity, one in-partition sorted pass.
+    * The two `last(..., ignoreNulls)` windows share the same frame and
+    * sort, so they pick fields from the SAME touch row — no join back.
+    */
+  def attribution(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      windowSec: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(touchTypes.nonEmpty, "touchTypes must name at least one type")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("__t").isin(touchTypes: _*)
+    val winUs = windowSec * 1000000L
+    df.filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(convType +: touchTypes: _*))
+      .select(col(userCol), col(idCol), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__lt_type", last(when(isTouch, col("__t")), ignoreNulls = true).over(w))
+      .withColumn("__lt_us", last(when(isTouch, col("__us")), ignoreNulls = true).over(w))
+      .filter(col("__t") === lit(convType))
+      .withColumn("__in",
+        col("__lt_us").isNotNull && col("__us") - col("__lt_us") <= winUs)
+      .select(col(userCol), col(idCol),
+        timestamp_micros(col("__us")).as("conv_ts"),
+        when(col("__in"), col("__lt_type")).as("touch_type"),
+        when(col("__in"), timestamp_micros(col("__lt_us"))).as("touch_ts"),
+        when(col("__in"),
+          expr("(__us - __lt_us) div 1000000")).as("gap_sec"))
+  }
+
   /** Top-k opening paths: each entity's first `maxLen` event types in
     * order joined with `sep`, counted across entities, heaviest first
     * (path ascending as the deterministic tiebreak). "What do users do

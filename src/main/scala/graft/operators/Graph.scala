@@ -425,6 +425,58 @@ object Graph {
     }
   }
 
+  /** Multi-source BFS depths: the minimum hop count from any seed node
+    * along DIRECTED edges (symmetrize the edge list for undirected
+    * reach), capped at `maxDepth`. The crawl-frontier / blast-radius /
+    * "how far is everything from the trusted set" primitive.
+    *
+    * Returns `(node, depth: int)` for every reached node (seeds at 0).
+    *
+    * Plan: classic frontier expansion — per level, one hash join from
+    * the (materialized, slim) frontier into the persisted edge list,
+    * a distinct, and an anti-join against the visited set; stops early
+    * when a frontier empties. Each node enters the visited set exactly
+    * once, so total work is O(edges × levels-reached) worst case and
+    * the per-level frames are node-sized.
+    */
+  def bfsDepths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    var depths = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("depth", lit(0))
+      .localCheckpoint(true)
+    var frontier = depths.select("node")
+    var d = 0
+    var done = frontier.limit(1).count() == 0
+    while (!done && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(depths, Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      done = next.limit(1).count() == 0
+      if (!done) {
+        depths = depths.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+      }
+    }
+    e.unpersist()
+    depths
+  }
+
   /** Connected components over an edge frame — delegates to the
     * stats-gated engine behind [[Dedup.duplicateClusters]] (driver
     * union-find when the edge set is provably small, distributed

@@ -73,6 +73,28 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("attribution: last touch within window, NULL beyond it or absent") {
+    val data = ev(Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
+      (4L, 1L, 300L, "purchase"),             // 280 s after the click: out of window
+      (5L, 2L, 5L, "purchase"),               // no touches at all
+      (6L, 4L, 10L, "view"), (7L, 4L, 20L, "purchase"),
+      (8L, 4L, 30L, "purchase")               // both purchases hit the same view
+    ))
+    val got = Behavior.attribution(data, "ts", "event_id", "user_id", "t",
+        "purchase", Seq("click", "view"), windowSec = 100L).get
+      .select(col("event_id"), col("touch_type"),
+        col("touch_ts").cast("long"), col("gap_sec"))
+      .as[(Long, Option[String], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(3L) == ((Some("click"), Some(20L), Some(10L))))
+    assert(got(4L) == ((None, None, None)))
+    assert(got(5L) == ((None, None, None)))
+    assert(got(7L) == ((Some("view"), Some(10L), Some(10L))))
+    assert(got(8L) == ((Some("view"), Some(10L), Some(20L))))
+    assert(got.size == 5)
+  }
+
   test("sessionize + sessionStats: gap splits, 0-based index, exact durations") {
     val data = ev(Seq(
       (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 250L, "c"),

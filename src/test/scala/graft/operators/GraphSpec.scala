@@ -159,6 +159,24 @@ class GraphSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("bfsDepths: min-hop levels, depth cap, multi-seed min, cycle-safe") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val seeds1 = Seq(1L).toDF("n")
+    val capped = Graph.bfsDepths(chain, "s", "d", seeds1, "n", maxDepth = 2)
+      .get.as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // a second seed at the far end shortcuts node 3 via the extra edge
+    val withBack = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L)).toDF("s", "d")
+    val multi = Graph.bfsDepths(withBack, "s", "d", Seq(1L, 4L).toDF("n"),
+      "n", maxDepth = 4).get.as[(Long, Int)].collect().toMap
+    assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+    // cycles terminate: each node is visited once
+    val cyc = Graph.bfsDepths(Seq((1L, 2L), (2L, 1L)).toDF("s", "d"),
+      "s", "d", seeds1, "n", maxDepth = 10).get
+      .as[(Long, Int)].collect().toMap
+    assert(cyc == Map(1L -> 0, 2L -> 1))
+  }
+
   test("connectedComponents labels by minimum reachable node") {
     val e = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("s", "d")
     val got = Graph.connectedComponents(e, "s", "d").get
