@@ -2703,6 +2703,37 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q211_skew_report" -> ((s, dir) => {
+      // Pre-shuffle key-skew diagnosis on l_suppkey: top-10 heaviest
+      // keys with exact share/cumulative share — the "should I salt
+      // this join" readout. Counts exact; shares divide identical
+      // longs.
+      graft.operators.Quality.skewReport(tbl(s, dir, "lineitem"),
+        Seq("l_suppkey"), topK = 10).get
+        .orderBy("rank")
+    }),
+
+    "q212_funnel_timing" -> ((s, dir) => {
+      // Time-to-convert profile for the q192 funnel: per step, exact
+      // whole-second min/max from entry and the mean over exact µs
+      // sums. Step 1 timing is NULL by definition.
+      Behavior.funnelTiming(events(s, dir), "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 259200L).get
+    }),
+
+    "q213_correlation_matrix" -> ((s, dir) => {
+      // One-pass pairwise Pearson matrix over quantity / discount /
+      // tax (×100 integral, so every moment sum is exact and r is
+      // bit-deterministic).
+      val f = tbl(s, dir, "lineitem")
+        .withColumn("disc100", round(col("l_discount") * 100))
+        .withColumn("tax100", round(col("l_tax") * 100))
+      Stats.correlationMatrix(f, Seq("l_quantity", "disc100", "tax100")).get
+        .select(col("col_a"), col("col_b"), col("n"),
+          round(col("r") + lit(1e-9), 4).as("r"))
+        .orderBy("col_a", "col_b")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6106,6 +6137,104 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q212: the q192 funnel chain extended with per-step timing
+    // aggregates — exact µs differences, whole-second div, mean over
+    // exact sums.
+    "q212_funnel_timing" ->
+      """WITH base AS (
+           SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL
+         ), s1 AS (
+           SELECT *, min(CASE WHEN t = 'view' THEN us END)
+             OVER (PARTITION BY user_id) AS t1 FROM base
+         ), s2 AS (
+           SELECT *, min(CASE WHEN t = 'click' AND us > t1
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t2 FROM s1
+         ), s3 AS (
+           SELECT *, min(CASE WHEN t = 'purchase' AND us > t2
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t3 FROM s2
+         ), per AS (
+           SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+           FROM s3 GROUP BY user_id
+         ), agg AS (
+           SELECT CAST(count(t1) AS BIGINT) AS c1,
+             CAST(count(t2) AS BIGINT) AS c2,
+             CAST(min((t2 - t1) // 1000000) AS BIGINT) AS mn2,
+             CAST(max((t2 - t1) // 1000000) AS BIGINT) AS mx2,
+             COALESCE(sum(t2 - t1), 0) AS s2,
+             CAST(count(t3) AS BIGINT) AS c3,
+             CAST(min((t3 - t1) // 1000000) AS BIGINT) AS mn3,
+             CAST(max((t3 - t1) // 1000000) AS BIGINT) AS mx3,
+             COALESCE(sum(t3 - t1), 0) AS s3
+           FROM per
+         ), r AS (
+           SELECT 1 AS step_idx, 'view' AS step, c1 AS users,
+             CAST(NULL AS BIGINT) AS min_sec, CAST(NULL AS BIGINT) AS max_sec,
+             CAST(NULL AS DOUBLE) AS avg_sec FROM agg
+           UNION ALL SELECT 2, 'click', c2, mn2, mx2,
+             CASE WHEN c2 > 0
+               THEN round(s2 * 1.0 / c2 / 1000000 + 1e-9, 4) END FROM agg
+           UNION ALL SELECT 3, 'purchase', c3, mn3, mx3,
+             CASE WHEN c3 > 0
+               THEN round(s3 * 1.0 / c3 / 1000000 + 1e-9, 4) END FROM agg
+         )
+         SELECT * FROM r ORDER BY step_idx""",
+
+    // q213: product-moment r from one pass of exact moment sums
+    // (integral ×100 inputs), identical IEEE arithmetic per pair.
+    "q213_correlation_matrix" ->
+      """WITH f AS (
+           SELECT l_quantity AS q, round(l_discount * 100) AS d,
+             round(l_tax * 100) AS t
+           FROM lineitem
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(q) AS sq, sum(d) AS sd, sum(t) AS st,
+             sum(q * d) AS sqd, sum(q * t) AS sqt, sum(d * t) AS sdt,
+             sum(q * q) AS sqq, sum(d * d) AS sdd, sum(t * t) AS stt
+           FROM f
+         ), p AS (
+           SELECT 'disc100' AS col_a, 'tax100' AS col_b, n,
+             n * sdt - sd * st AS cov,
+             n * sdd - sd * sd AS vx, n * stt - st * st AS vy FROM a
+           UNION ALL SELECT 'l_quantity', 'disc100', n,
+             n * sqd - sq * sd, n * sqq - sq * sq, n * sdd - sd * sd FROM a
+           UNION ALL SELECT 'l_quantity', 'tax100', n,
+             n * sqt - sq * st, n * sqq - sq * sq, n * stt - st * st FROM a
+         )
+         SELECT col_a, col_b, n,
+           round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+             THEN cov / sqrt(vx * vy) END + 1e-9, 4) AS r
+         FROM p ORDER BY col_a, col_b""",
+
+    // q211: key counts, top-10 by (n desc, key), shares over the same
+    // exact longs.
+    "q211_skew_report" ->
+      """WITH c AS (
+           SELECT CAST(l_suppkey AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY l_suppkey
+         ), t AS (
+           SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS n_distinct
+           FROM c
+         ), r AS (
+           SELECT key, n,
+             CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+             sum(n) OVER (ORDER BY n DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c
+         )
+         SELECT rank, key, n, (SELECT total FROM t) AS total,
+           (SELECT n_distinct FROM t) AS n_distinct,
+           round(CAST(n AS DOUBLE) / (SELECT total FROM t) + 1e-9, 4)
+             AS share,
+           round(CAST(cum AS DOUBLE) / (SELECT total FROM t) + 1e-9, 4)
+             AS cum_share
+         FROM r WHERE rank <= 10 ORDER BY rank""",
 
     // q209: twin ignore-nulls last_value windows over the same
     // 1-PRECEDING frame — both fields from the same touch row — and

@@ -112,6 +112,53 @@ object Behavior {
         .orderBy("step_idx")
     }
 
+  /** Time-to-convert profile over [[funnelSteps]]: per step, how many
+    * entities reached it and the min / mean / max seconds from funnel
+    * entry. min/max are exact whole seconds; the mean divides an exact
+    * µs sum by the entity count (bit-deterministic — timestamps are
+    * integral micros).
+    *
+    * Returns `(step_idx: int, step, users, min_sec, max_sec,
+    * avg_sec: double)` — timing columns NULL for step 1 (zero by
+    * definition would hide nothing) and for unreached steps.
+    */
+  def funnelTiming(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long
+  ): MayFail[DataFrame] =
+    funnelSteps(df, tsCol, userCol, typeCol, steps, windowSec).map { per =>
+      val aggs = steps.indices.flatMap { i =>
+        val c = col(s"step_${i + 1}_us")
+        val d = c - col("step_1_us")
+        Seq(count(c).as(s"c${i + 1}"),
+          min(expr(s"(step_${i + 1}_us - step_1_us) div 1000000"))
+            .as(s"mn${i + 1}"),
+          max(expr(s"(step_${i + 1}_us - step_1_us) div 1000000"))
+            .as(s"mx${i + 1}"),
+          sum(d).as(s"s${i + 1}"))
+      }
+      val counts = per.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = steps.zipWithIndex.map { case (s, i) =>
+        val k = i + 1
+        s"$k, '${s.replace("'", "''")}', c$k, mn$k, mx$k, s$k"
+      }.mkString(", ")
+      counts
+        .selectExpr(s"stack(${steps.size}, $stackArgs) AS " +
+          "(step_idx, step, users, min_sec, max_sec, __sum_us)")
+        .select(col("step_idx").cast("int").as("step_idx"), col("step"),
+          col("users"),
+          when(col("step_idx") > 1, col("min_sec")).as("min_sec"),
+          when(col("step_idx") > 1, col("max_sec")).as("max_sec"),
+          when(col("step_idx") > 1 && col("users") > 0,
+            round(col("__sum_us") / col("users") / 1000000L + lit(1e-9), 4))
+            .as("avg_sec"))
+        .orderBy("step_idx")
+    }
+
   /** Cohort retention matrix: cohort = the entity's FIRST active
     * `bucketSec` bucket; for every (cohort, bucket-offset) cell, the
     * count of cohort entities active in that bucket and the retention

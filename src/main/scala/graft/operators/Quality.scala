@@ -463,4 +463,41 @@ object Quality {
         .select("bin", "bin_lo", "bin_hi", "n_ref", "n_cur",
           "p", "q", "psi_contrib", "psi_total")
     }
+
+  /** Shuffle-skew diagnosis for a prospective join/agg key: the top-K
+    * heaviest key values with their share and cumulative share of all
+    * rows, plus the total row and distinct-key counts. Read this BEFORE
+    * shuffling 100 TB on the key — a top share of 0.2 means one reducer
+    * gets a fifth of the data and the job needs salting or AQE skew
+    * handling ([[graft.physical.Optimise]].saltedJoin).
+    *
+    * Returns `(rank, key: string, n, total, n_distinct, share,
+    * cum_share)`, `topK` rows, heaviest first (key string as the
+    * deterministic tiebreak). One partial-agg shuffle on the key; the
+    * top-K reduction and the share windows run on the K-row frame.
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCols: Seq[String],
+      topK: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val keyStr = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    val counts = df.groupBy(keyStr.as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(coalesce(sum("n"), lit(0L)).as("total"),
+      count(lit(1)).as("n_distinct"))
+    val ord = Seq(col("n").desc, col("key"))
+    val wRank = Window.orderBy(ord: _*)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(ord: _*).limit(topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__cum", sum(col("n")).over(wCum))
+      .select(col("rank"), col("key"), col("n"), col("total"),
+        col("n_distinct"),
+        round(col("n") / col("total") + lit(1e-9), 4).as("share"),
+        round(col("__cum") / col("total") + lit(1e-9), 4).as("cum_share"))
+  }
 }

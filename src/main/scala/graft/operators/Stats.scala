@@ -102,6 +102,53 @@ object Stats {
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"), col("chi2"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE
+    * aggregation pass: every pair's (n, Σx, Σy, Σxy, Σx², Σy²) rides
+    * the same scan (pairwise-complete rows — both values non-null),
+    * and `r` follows from the product-moment formula. Returns one row
+    * per unordered pair: `(col_a, col_b, n: bigint, r: double)`, NULL
+    * `r` when n < 2 or either variance is 0.
+    *
+    * Determinism follows the module convention: with inputs scaled so
+    * products and their sums stay within 2⁵³ (e.g. cents × small
+    * integers), every moment is exact and `r` is bit-reproducible.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(cols.size >= 2, s"need at least two columns: $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      Seq(count(when(both, 1)).as(s"n$k"),
+        coalesce(sum(when(both, x)), lit(0.0)).as(s"sx$k"),
+        coalesce(sum(when(both, y)), lit(0.0)).as(s"sy$k"),
+        coalesce(sum(when(both, x * y)), lit(0.0)).as(s"sxy$k"),
+        coalesce(sum(when(both, x * x)), lit(0.0)).as(s"sxx$k"),
+        coalesce(sum(when(both, y * y)), lit(0.0)).as(s"syy$k"))
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((a, b), k) =>
+      s"'${a.replace("'", "''")}', '${b.replace("'", "''")}', " +
+        s"n$k, sx$k, sy$k, sxy$k, sxx$k, syy$k"
+    }.mkString(", ")
+    base
+      .selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(col_a, col_b, n, __sx, __sy, __sxy, __sxx, __syy)")
+      .withColumn("__vx", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r",
+        when(col("n") >= 2 && col("__vx") > 0 && col("__vy") > 0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt(col("__vx") * col("__vy"))))
+      .select("col_a", "col_b", "n", "r")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: the maximum absolute
     * difference between the two groups' empirical CDFs, evaluated at
     * every observed value. Returns ONE row `(n_a, n_b, d)`.

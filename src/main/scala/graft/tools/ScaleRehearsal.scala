@@ -350,6 +350,44 @@ object ScaleRehearsal {
       compRepl.count()
     }
 
+    // round-8 session: statistical tests + attribution + BFS. The exact
+    // invariants exploit IEEE division: equal real quotients round to
+    // IDENTICAL doubles, so KS distances and Welch means are exactly
+    // replication-invariant ((10·s)/(10·n) = s/n bit-for-bit).
+    // ×100 integral scaling (the q204 gate convention): bit-identity
+    // of the replicated means NEEDS exact sums — raw 2-decimal doubles
+    // sum with order-dependent ulps and the invariant would be noise
+    def welchRow(d: DataFrame) =
+      graft.operators.Stats.welchTTest(
+        d.withColumn("value", round(col("value") * 100)),
+        "value", "event_type", "click", "view").get.collect().head
+    var welchRepl: org.apache.spark.sql.Row = null
+    time("welch-ttest")({ welchRepl = welchRow(evRepl); 1L })
+    def ksD(d: DataFrame): Double =
+      graft.operators.Stats.ksTest(d, "value", "event_type",
+        "click", "view").get.collect().head.getAs[Double]("d")
+    var ksRepl = 0.0
+    time("ks-test")({ ksRepl = ksD(evRepl); 1L })
+    def attribCounts(d: DataFrame): Map[String, Long] =
+      graft.operators.Behavior.attribution(d, "ts", "event_id", "user_id",
+        "event_type", "purchase", Seq("click", "view"), 259200L).get
+        .groupBy("touch_type").count()
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    var attribRepl: Map[String, Long] = null
+    time("attribution")({ attribRepl = attribCounts(evRepl); attribRepl.values.sum })
+    def bfsHist(memb: DataFrame): Map[Int, Long] = {
+      val fwd = memb.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      val seeds = memb.filter(pmod(col("s"), lit(100000000L)) <= 3)
+        .select((col("s") * 2 + 1).as("node"))
+      graft.operators.Graph.bfsDepths(
+          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+          "src", "dst", seeds, "node", maxDepth = 4).get
+        .groupBy("depth").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    var bfsRepl: Map[Int, Long] = null
+    time("bfs-depths")({ bfsRepl = bfsHist(membRepl); bfsRepl.values.sum })
+
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
     // their counters with every rehearsal so a boilerplate-heavy corpus
@@ -607,6 +645,26 @@ object ScaleRehearsal {
     val compReplN = compRepl.select("component").distinct().count()
     check("components_replication_law", compReplN == compBaseN * mult,
       s"component count must scale by exactly mult: $compReplN != $compBaseN x $mult")
+
+    // stats/attribution/BFS replication laws
+    val welchBase = welchRow(evBase)
+    check("welch_mean_replication",
+      welchRepl.getAs[Double]("mean_a") == welchBase.getAs[Double]("mean_a") &&
+        welchRepl.getAs[Double]("mean_b") == welchBase.getAs[Double]("mean_b") &&
+        welchRepl.getAs[Long]("n_a") == welchBase.getAs[Long]("n_a") * mult,
+      s"Welch means must be bit-identical under replication: $welchRepl vs $welchBase")
+    val ksBase = ksD(evBase)
+    check("ks_replication_invariant", ksRepl == ksBase,
+      s"KS distance must be bit-identical under replication: $ksRepl != $ksBase")
+    val attribBase = attribCounts(evBase)
+    check("attribution_replication_law",
+      attribRepl == attribBase.map { case (k, v) => k -> v * mult },
+      s"attributed-conversion counts must scale by exactly mult: " +
+        s"$attribRepl vs $attribBase x $mult")
+    val bfsBase = bfsHist(membership(1))
+    check("bfs_replication_law",
+      bfsRepl == bfsBase.map { case (k, v) => k -> v * mult },
+      s"BFS depth histogram must scale by exactly mult: $bfsRepl vs $bfsBase x $mult")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +

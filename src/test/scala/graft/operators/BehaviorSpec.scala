@@ -55,6 +55,18 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows(2)._4.contains(0.5) && rows(2)._5.contains(0.6667))
   }
 
+  test("funnelTiming: exact min/max/mean seconds from entry, NULL for step 1") {
+    // step-2 reachers: u1 (10 s), u4 (1 s), u5 (10 s) → mean exactly 7;
+    // step-3 reachers: u1 (20 s), u5 (100 s) → mean 60
+    val got = Behavior.funnelTiming(funnelEv, "ts", "user_id", "t",
+        Seq("view", "click", "purchase"), windowSec = 100L).get
+      .as[(Int, String, Long, Option[Long], Option[Long], Option[Double])]
+      .collect()
+    assert(got(0) == ((1, "view", 4L, None, None, None)))
+    assert(got(1) == ((2, "click", 3L, Some(1L), Some(10L), Some(7.0))))
+    assert(got(2) == ((3, "purchase", 2L, Some(20L), Some(100L), Some(60.0))))
+  }
+
   test("cohortRetention: first-bucket cohorts, per-bucket distinct activity") {
     val data = ev(Seq(
       (1L, 1L, 1L, "x"), (2L, 1L, 12L, "x"), (3L, 1L, 25L, "x"),

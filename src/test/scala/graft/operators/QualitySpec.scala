@@ -17,6 +17,20 @@ class QualitySpec extends AnyFunSuite {
     (4L, Some("a"), None)
   ).toDF("id", "tag", "v")
 
+  test("skewReport: exact shares, cumulative share, null-key handling") {
+    // a x5, b x3, null x2 -> shares .5 / .3 / .2, cumulative .5 / .8 / 1.0
+    val keys = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq.fill(2)(Option.empty[String])).toDF("k")
+    val got = Quality.skewReport(keys, Seq("k"), topK = 2).get
+      .as[(Int, String, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 2)
+    assert(got(0) == ((1, "a", 5L, 10L, 3L, 0.5, 0.5)))
+    assert(got(1) == ((2, "b", 3L, 10L, 3L, 0.3, 0.8)))
+    val all = Quality.skewReport(keys, Seq("k"), topK = 10).get
+      .as[(Int, String, Long, Long, Long, Double, Double)].collect()
+    assert(all.length == 3 && all(2)._2 == "<null>" && all(2)._7 == 1.0)
+  }
+
   test("profile reports n / nulls / distinct / min / max per column") {
     val p = Quality.profile(df, Seq("id", "tag", "v")).get
       .as[(String, Long, Long, Long, String, String)].collect()

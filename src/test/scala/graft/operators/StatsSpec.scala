@@ -82,6 +82,23 @@ class StatsSpec extends AnyFunSuite {
       .select("z").collect().head.isNullAt(0))
   }
 
+  test("correlationMatrix: perfect correlations, constant NULL, pairwise-complete n") {
+    val df0 = Seq(
+      (Some(1.0), Some(2.0), Some(3.0), 5.0),
+      (Some(2.0), Some(4.0), Some(2.0), 5.0),
+      (Some(3.0), Some(6.0), Some(1.0), 5.0),
+      (Some(4.0), None, None, 5.0)
+    ).toDF("x", "y", "z", "c")
+    val got = Stats.correlationMatrix(df0, Seq("x", "y", "z", "c")).get
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("x", "y")) == ((3L, Some(1.0))))      // y = 2x exactly
+    assert(got(("x", "z")) == ((3L, Some(-1.0))))     // z = 4 − x
+    assert(got(("y", "z")) == ((3L, Some(-1.0))))
+    assert(got(("x", "c")) == ((4L, None)))           // zero variance → NULL
+    assert(got.size == 6)
+  }
+
   test("mannWhitneyU: identical distributions give symmetric U") {
     val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
     val r = Stats.mannWhitneyU(df0, "v", "g", "a", "b").get
