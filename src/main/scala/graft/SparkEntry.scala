@@ -2734,6 +2734,25 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q214_cusum" -> ((s, dir) => {
+      // Two-sided CUSUM drift scores over the zero-filled hourly grid
+      // (target 350.00, slack 50.00 in ×100 units): with integral
+      // inputs every max/min/add step is exact, so the oracle replays
+      // both recursions bit-for-bit via list_reduce folds seeded with
+      // a prepended 0 state.
+      val gf = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.cusum(gf, "bucket_ts", Seq("event_type"), "value",
+          target = 35000.0, slack = 5000.0).get
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("cusum_hi") / 100.0, 4).as("cusum_hi"),
+          round(col("cusum_lo") / 100.0, 4).as("cusum_lo"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6137,6 +6156,47 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q214: both CUSUM recursions replayed exactly — list_reduce over
+    // the ordered prefix with a prepended 0 initial state; all steps
+    // integral so the folds are bit-identical.
+    "q214_cusum" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.n, 0) AS n,
+             coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           round(v / 100.0, 4) AS value,
+           round(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list(v) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             (acc, e) -> greatest(CAST(0 AS DOUBLE),
+               acc + e - 35000 - 5000)) / 100.0, 4) AS cusum_hi,
+           round(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list(v) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             (acc, e) -> least(CAST(0 AS DOUBLE),
+               acc + e - 35000 + 5000)) / 100.0, 4) AS cusum_lo
+         FROM j ORDER BY event_type, bucket_ts""",
 
     // q212: the q192 funnel chain extended with per-step timing
     // aggregates — exact µs differences, whole-second div, mean over

@@ -152,6 +152,60 @@ object TimeSeries {
       .drop("__s", "__s2")
   }
 
+  /** Two-sided CUSUM change-point scores per key:
+    * `hi_t = max(0, hi_(t-1) + v_t − target − slack)` and
+    * `lo_t = min(0, lo_(t-1) + v_t − target + slack)` — the classic
+    * drift detector: `cusum_hi` grows under a sustained upward shift
+    * beyond `slack`, `cusum_lo` falls under a downward one, and both
+    * reset toward 0 under in-control data. Alert on |score| crossing a
+    * threshold h of your choice.
+    *
+    * Like [[ewma]], the recursion needs the previous OUTPUT, so this is
+    * a sequential in-partition scan: repartition on keys, sort, one
+    * pass carrying two doubles per key — O(1) memory, any key length.
+    * NULL values leave the state unchanged and emit the current scores.
+    * With integral inputs (×100 convention) every max/min/add step is
+    * exact, so scores are bit-deterministic.
+    *
+    * Adds `cusum_hi, cusum_lo: double`.
+    */
+  def cusum(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      target: Double,
+      slack: Double
+  ): MayFail[DataFrame] = MayFail {
+    require(slack >= 0.0, s"slack must be >= 0: $slack")
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val schema = df.schema
+    val out = schema.add("cusum_hi", DoubleType, nullable = true)
+      .add("cusum_lo", DoubleType, nullable = true)
+    val kIdx = keyCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val keys = keyCols.map(col)
+    val sorted = df.repartition(keys: _*)
+      .sortWithinPartitions((keys :+ col(orderCol)): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var hi = 0.0
+      var lo = 0.0
+      it.map { r =>
+        val k = kIdx.map(r.get)
+        if (k != curKey) { curKey = k; hi = 0.0; lo = 0.0 }
+        r.get(vIdx) match {
+          case null => ()
+          case n: Number =>
+            val v = n.doubleValue()
+            hi = math.max(0.0, hi + v - target - slack)
+            lo = math.min(0.0, lo + v - target + slack)
+        }
+        Row.fromSeq(r.toSeq :+ hi :+ lo)
+      }
+    }(Encoders.row(out))
+  }
+
   /** Exponentially-weighted moving average per key, the recursive
     * (non-adjusted, pandas `ewm(adjust=false)`) form:
     * `s_0 = v_0; s_t = alpha * v_t + (1 - alpha) * s_(t-1)`.

@@ -23,6 +23,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Double])].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
+  test("cusum: two-sided recursion, slack band, NULL hold, key reset") {
+    val data = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, Some(-20.0)), ("a", 3L, Some(30.0)),
+      ("a", 4L, None),
+      ("b", 1L, Some(100.0))
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.cusum(data, "t", Seq("k"), "v",
+        target = 3.0, slack = 0.0).get
+      .select("k", "t", "cusum_hi", "cusum_lo")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // hi: max(0,5-3)=2 -> max(0,2-23)=0 -> max(0,27)=27; NULL holds 27
+    // lo: 0 -> -23 -> min(0,-23+27)=0
+    assert(got(("a", 1L)) == ((2.0, 0.0)))
+    assert(got(("a", 2L)) == ((0.0, -23.0)))
+    assert(got(("a", 3L)) == ((27.0, 0.0)))
+    assert(got(("a", 4L)) == ((27.0, 0.0)))
+    // key reset: b starts from 0, not from a's state
+    assert(got(("b", 1L)) == ((97.0, 0.0)))
+    // slack widens the dead band on both sides
+    val slacked = TimeSeries.cusum(data.filter(col("k") === "a"), "t",
+        Seq("k"), "v", target = 3.0, slack = 1.0).get
+      .select("t", "cusum_hi", "cusum_lo")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(slacked(1L) == ((1.0, 0.0)))
+    assert(slacked(2L) == ((0.0, -22.0)))
+    assert(slacked(3L) == ((26.0, 0.0)))
+  }
+
   test("gaps materialize with n=0; zero fill writes 0.0") {
     val got = cells("zero")
     assert(got.size == 5 + 1, s"a spans 5 buckets + b 1: ${got.keys}")
