@@ -2753,6 +2753,23 @@ object SparkEntry {
         .orderBy("event_type", "bucket_ts")
     }),
 
+    "q215_trend" -> ((s, dir) => {
+      // Per-type least-squares trend over the zero-filled hourly grid:
+      // exact moment sums (time origin shifted per key, ×100 values)
+      // make slope/intercept bit-deterministic; slope reported per day
+      // for readability.
+      val gf = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.trend(gf, "bucket_ts", Seq("event_type"), "value").get
+        .select(col("event_type"), col("n"),
+          round(col("slope") * 86400 / 100.0 + lit(1e-9), 4)
+            .as("slope_per_day"),
+          round(col("intercept") / 100.0 + lit(1e-9), 4).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6156,6 +6173,47 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q215: the product-moment fit replayed on the same exact sums —
+    // per-key time origin, five moments, identical IEEE slope math.
+    "q215_trend" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), sh AS (
+           SELECT event_type,
+             CAST(b - min(b) OVER (PARTITION BY event_type) AS DOUBLE) AS t,
+             v
+           FROM j
+         ), m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(t) AS st, sum(v) AS sv, sum(t * v) AS stv,
+             sum(t * t) AS stt
+           FROM sh GROUP BY event_type
+         ), fit AS (
+           SELECT event_type, n,
+             CASE WHEN n >= 2 AND n * stt - st * st > 0
+               THEN (n * stv - st * sv) / (n * stt - st * st) END AS slope,
+             st, sv
+           FROM m
+         )
+         SELECT event_type, n,
+           round(slope * 86400 / 100.0 + 1e-9, 4) AS slope_per_day,
+           round((sv - slope * st) / n / 100.0 + 1e-9, 4) AS intercept
+         FROM fit ORDER BY event_type""",
 
     // q214: both CUSUM recursions replayed exactly — list_reduce over
     // the ordered prefix with a prepended 0 initial state; all steps

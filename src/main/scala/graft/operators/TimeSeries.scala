@@ -206,6 +206,49 @@ object TimeSeries {
     }(Encoders.row(out))
   }
 
+  /** Per-key least-squares linear trend: slope (value units per
+    * second) and intercept (fitted value at the key's FIRST
+    * observation) from the product-moment sums. "Is this metric
+    * drifting, and how fast" — the long-horizon companion of the
+    * [[cusum]] step detector.
+    *
+    * Returns `(keyCols…, n: bigint, slope, intercept)` — NULL when
+    * n < 2 or the time values are all equal.
+    *
+    * Plan: one exchange on the keys; the per-key time origin shift
+    * (`t − min(t)`, a window over that same exchange) keeps `Σt²`
+    * within double-exact range for spans up to years, so with integral
+    * values (×100 convention) every moment is exact and the fit is
+    * bit-deterministic. One partial-agg shuffle for the five sums.
+    */
+  def trend(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__sec", col(tsCol).cast("long"))
+      .withColumn("__t", (col("__sec") - min(col("__sec")).over(w)).cast("double"))
+      .withColumn("__v", col(valueCol).cast("double"))
+    val agg = base.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__t")).as("__st"),
+      sum(col("__v")).as("__sv"),
+      sum(col("__t") * col("__v")).as("__stv"),
+      sum(col("__t") * col("__t")).as("__stt"))
+    val den = col("n") * col("__stt") - col("__st") * col("__st")
+    agg
+      .withColumn("slope", when(col("n") >= 2 && den > 0,
+        (col("n") * col("__stv") - col("__st") * col("__sv")) / den))
+      .withColumn("intercept", when(col("slope").isNotNull,
+        (col("__sv") - col("slope") * col("__st")) / col("n")))
+      .select((keys :+ col("n") :+ col("slope") :+ col("intercept")): _*)
+  }
+
   /** Exponentially-weighted moving average per key, the recursive
     * (non-adjusted, pandas `ewm(adjust=false)`) form:
     * `s_0 = v_0; s_t = alpha * v_t + (1 - alpha) * s_(t-1)`.

@@ -23,6 +23,22 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Double])].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
+  test("trend: exact slope/intercept, origin shift, degenerate NULLs") {
+    // key a: v = 10 + 2t at t = 100, 101, 102 (origin shifts to 0) ->
+    // slope 2, intercept 10; key b: single point -> NULL fit
+    val data = Seq(
+      ("a", 100L, 10.0), ("a", 101L, 12.0), ("a", 102L, 14.0),
+      ("b", 5L, 9.0),
+      ("c", 7L, 1.0), ("c", 7L, 3.0)      // zero time variance -> NULL
+    ).toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val got = TimeSeries.trend(data, "ts", Seq("k"), "v").get
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, Some(2.0), Some(10.0))))
+    assert(got("b") == ((1L, None, None)))
+    assert(got("c") == ((2L, None, None)))
+  }
+
   test("cusum: two-sided recursion, slack band, NULL hold, key reset") {
     val data = Seq(
       ("a", 1L, Some(5.0)), ("a", 2L, Some(-20.0)), ("a", 3L, Some(30.0)),
