@@ -387,6 +387,35 @@ object ScaleRehearsal {
     }
     var bfsRepl: Map[Int, Long] = null
     time("bfs-depths")({ bfsRepl = bfsHist(membRepl); bfsRepl.values.sum })
+    // CUSUM/trend scaling laws: replicated users add rows to the SAME
+    // per-type grid, so hourly sums scale by exactly mult — and because
+    // every recursion step is linear-with-max over exact integers,
+    // cusum(mult·v; mult·T, mult·k) = mult·cusum(v; T, k) bit-for-bit,
+    // and the slope of a ×mult series is ×mult exactly
+    def hourly(d: DataFrame): DataFrame = graft.operators.TimeSeries.gapFill(
+      d.withColumn("value", round(col("value") * 100)),
+      "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+      how = "sum", fill = "zero").get
+    def cusumMap(d: DataFrame, t: Double, k: Double): Map[(String, Long), (Double, Double)] =
+      graft.operators.TimeSeries.cusum(hourly(d), "bucket_ts",
+        Seq("event_type"), "value", target = t, slack = k).get
+        .select(col("event_type"), col("bucket_ts").cast("long"),
+          col("cusum_hi"), col("cusum_lo"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+    var cusumRepl: Map[(String, Long), (Double, Double)] = null
+    time("cusum")({
+      cusumRepl = cusumMap(evRepl, 35000.0 * mult, 5000.0 * mult)
+      cusumRepl.size.toLong
+    })
+    def trendMap(d: DataFrame): Map[String, (Option[Double], Option[Double])] =
+      graft.operators.TimeSeries.trend(hourly(d), "bucket_ts",
+        Seq("event_type"), "value").get
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.getAs[java.lang.Double]("slope")).map(_.doubleValue),
+            Option(r.getAs[java.lang.Double]("intercept")).map(_.doubleValue)))).toMap
+    var trendRepl: Map[String, (Option[Double], Option[Double])] = null
+    time("trend")({ trendRepl = trendMap(evRepl); trendRepl.size.toLong })
 
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
@@ -665,6 +694,28 @@ object ScaleRehearsal {
     check("bfs_replication_law",
       bfsRepl == bfsBase.map { case (k, v) => k -> v * mult },
       s"BFS depth histogram must scale by exactly mult: $bfsRepl vs $bfsBase x $mult")
+    val cusumBase = cusumMap(evBase, 35000.0, 5000.0)
+    check("cusum_scaling_law",
+      cusumRepl == cusumBase.map { case (k, (h, l)) => k -> ((h * mult, l * mult)) },
+      s"CUSUM with mult-scaled target/slack must be exactly mult x the base " +
+        s"scores: ${cusumRepl.size} cells vs ${cusumBase.size}")
+    // trend scales by mult only to relative tolerance: the moment
+    // products (n·Σtv ≈ 1e17) exceed 2^53, so the ×mult and base paths
+    // round DIFFERENT exact reals and can differ in final ulps — unlike
+    // CUSUM, whose every step stays in exact-integer range
+    val trendBase = trendMap(evBase)
+    def relEq(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+      case (Some(x), Some(y)) =>
+        math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+      case (None, None) => true
+      case _ => false
+    }
+    check("trend_scaling_law",
+      trendRepl.keySet == trendBase.keySet && trendRepl.forall { case (k, (s, i)) =>
+        relEq(s, trendBase(k)._1.map(_ * mult)) &&
+          relEq(i, trendBase(k)._2.map(_ * mult)) },
+      s"trend of a mult-scaled series must scale slope/intercept by mult " +
+        s"(1e-9 rel): $trendRepl vs $trendBase")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
