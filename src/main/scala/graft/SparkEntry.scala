@@ -2770,6 +2770,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q216_modularity" -> ((s, dir) => {
+      // Modularity of the connected-component partition of the
+      // threshold-160 supplier graph: components make every edge
+      // within-community, so Q = 1 − Σ(d_c/2m)² — the oracle replays
+      // labels (recursive CTE), both term families, and the reduction.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 160L).get
+      val cc = Graph.connectedComponents(proj, "src", "dst").get
+      Graph.modularity(proj, "src", "dst", cc, "node", "component").get
+        .select(col("m"), col("n_communities"),
+          round(col("q") + lit(1e-9), 4).as("q"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6173,6 +6186,48 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q216: component labels via the q198 reachability closure, then
+    // the modularity terms — within-community edges / m minus squared
+    // half-degree fractions.
+    "q216_modularity" ->
+      """WITH RECURSIVE mm AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM mm a JOIN mm b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 160
+         ), e2 AS (
+           SELECT x AS src, y AS dst FROM pr UNION SELECT y, x FROM pr
+         ), nodes AS (
+           SELECT DISTINCT src AS node FROM e2
+         ), r AS (
+           SELECT node, node AS reach FROM nodes
+           UNION
+           SELECT r.node, e2.dst FROM r JOIN e2 ON e2.src = r.reach
+         ), lab AS (
+           SELECT node, min(reach) AS c FROM r GROUP BY node
+         ), led AS (
+           SELECT pr.x AS a, pr.y AS b, la.c AS ca, lb.c AS cb
+           FROM pr JOIN lab la ON la.node = pr.x
+             JOIN lab lb ON lb.node = pr.y
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS m FROM led
+         ), wth AS (
+           SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_c FROM led
+           WHERE ca = cb GROUP BY ca
+         ), deg AS (
+           SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM (
+             SELECT ca AS c FROM led UNION ALL SELECT cb FROM led)
+           GROUP BY c
+         )
+         SELECT (SELECT m FROM tot) AS m,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(
+             COALESCE(wth.e_c, 0) / CAST((SELECT m FROM tot) AS DOUBLE)
+             - pow(deg.d_c / (2.0 * (SELECT m FROM tot)), 2)) + 1e-9, 4)
+             AS q
+         FROM deg LEFT JOIN wth ON wth.c = deg.c""",
 
     // q215: the product-moment fit replayed on the same exact sums —
     // per-key time origin, five moments, identical IEEE slope math.

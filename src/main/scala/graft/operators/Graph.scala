@@ -425,6 +425,66 @@ object Graph {
     }
   }
 
+  /** Newman modularity of a node partition over an undirected graph:
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)` — within-community edge fraction
+    * minus the degree-based expectation. Scores how well a community
+    * assignment (from [[connectedComponents]], [[kCore]] shells, an
+    * external clustering…) explains the edge structure; Q ≈ 0 means no
+    * better than random, higher is denser-than-chance communities.
+    *
+    * Returns ONE row `(m: bigint, n_communities: bigint, q: double)`.
+    * Edges with an unlabeled endpoint are dropped (inner join), so
+    * partial labelings score only their covered subgraph.
+    *
+    * Plan: normalize + dedupe edges, two label joins (the label frame
+    * is node-sized — broadcast-scale for most graphs), one partial-agg
+    * shuffle per term family, and a communities-sized final reduction.
+    * `q` sums floats over the community set — tiny for real partitions,
+    * the χ²-tier noise — round at comparison boundaries.
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      communityCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("node"),
+        col(communityCol).as("c"))
+      .filter(col("node").isNotNull && col("c").isNotNull)
+      .distinct()
+    val labeled = und
+      .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+      .persist()
+    val m = labeled.count()
+    val result =
+      if (m == 0L)
+        labeled.sparkSession.range(1).select(lit(0L).as("m"),
+          lit(0L).as("n_communities"), lit(null).cast("double").as("q"))
+      else {
+        val within = labeled.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+        val degrees = labeled.select(col("ca").as("c"))
+          .union(labeled.select(col("cb").as("c")))
+          .groupBy("c").agg(count(lit(1)).as("d_c"))
+        degrees.join(within, Seq("c"), "left")
+          .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+          .agg(lit(m).as("m"), count(lit(1)).as("n_communities"),
+            sum(col("e_c") / lit(m.toDouble) -
+              pow(col("d_c") / lit(2.0 * m), 2)).as("q"))
+      }
+    val out = result.localCheckpoint(true)
+    labeled.unpersist()
+    out
+  }
+
   /** Multi-source BFS depths: the minimum hop count from any seed node
     * along DIRECTED edges (symmetrize the edge list for undirected
     * reach), capped at `maxDepth`. The crawl-frontier / blast-radius /

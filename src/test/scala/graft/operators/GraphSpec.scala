@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -175,6 +176,29 @@ class GraphSpec extends AnyFunSuite {
       "s", "d", seeds1, "n", maxDepth = 10).get
       .as[(Long, Int)].collect().toMap
     assert(cyc == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("modularity: two triangles + bridge golden, unlabeled edges dropped") {
+    // communities {1,2,3} and {4,5,6}, one bridge: m=7, e_c=3 each,
+    // d_c=7 each → Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (6L, 7L)).toDF("s", "d") // 6—7 has no label
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("n", "c")
+    val r = Graph.modularity(e, "s", "d", lab, "n", "c").get
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r._1 == 7L && r._2 == 2L)
+    assert(math.abs(r._3.get - (6.0 / 7.0 - 0.5)) < 1e-12)
+    // one community covering everything scores exactly 0
+    val one = lab.withColumn("c", lit("X"))
+    val r1 = Graph.modularity(e, "s", "d", one, "n", "c").get
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r1._2 == 1L && r1._3.contains(0.0))
+    // nothing labeled → m = 0, NULL q
+    val none = lab.filter(lit(false))
+    val r0 = Graph.modularity(e, "s", "d", none, "n", "c").get
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r0 == ((0L, 0L, None)))
   }
 
   test("connectedComponents labels by minimum reachable node") {
