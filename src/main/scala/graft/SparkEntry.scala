@@ -2783,6 +2783,18 @@ object SparkEntry {
           round(col("q") + lit(1e-9), 4).as("q"))
     }),
 
+    "q217_projection_jaccard" -> ((s, dir) => {
+      // Jaccard-weighted co-occurrence projection: shared / (dA + dB −
+      // shared) over post-cap supplier part-set degrees — exact longs
+      // in, identical IEEE division out.
+      Graph.projectBipartite(tbl(s, dir, "lineitem"),
+          "l_suppkey", "l_partkey", minShared = 150L,
+          weighting = "jaccard").get
+        .select(col("src"), col("dst"), col("shared"),
+          round(col("weight") + lit(1e-9), 4).as("weight"))
+        .orderBy("src", "dst")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6186,6 +6198,24 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q217: pair counts + per-supplier part-set degrees → the Jaccard
+    // division on the identical longs.
+    "q217_projection_jaccard" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), deg AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS d FROM m GROUP BY s
+         ), pr AS (
+           SELECT a.s AS src, b.s AS dst, CAST(count(*) AS BIGINT) AS shared
+           FROM m a JOIN m b ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         )
+         SELECT pr.src, pr.dst, pr.shared,
+           round(CAST(pr.shared AS DOUBLE) / (da.d + db.d - pr.shared)
+             + 1e-9, 4) AS weight
+         FROM pr JOIN deg da ON da.s = pr.src JOIN deg db ON db.s = pr.dst
+         ORDER BY pr.src, pr.dst""",
 
     // q216: component labels via the q198 reachability closure, then
     // the modularity terms — within-community edges / m minus squared

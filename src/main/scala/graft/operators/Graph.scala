@@ -151,7 +151,13 @@ object Graph {
     * "users touching the same item".
     *
     * Returns `(src, dst, shared: bigint)` with `src < dst` (each
-    * undirected edge once).
+    * undirected edge once). `weighting` other than `"count"` appends a
+    * normalized `weight: double` — `jaccard` (shared / union of the
+    * two membership sets), `cosine` (shared / √(dA·dB)), or `overlap`
+    * (shared / min degree) — computed from post-cap left degrees, so
+    * the weights describe the same graph the pairing saw. Weighted
+    * edges feed [[pageRank]]'s `weightCol` (scale them to integers
+    * first) or any similarity threshold.
     *
     * Plan: distinct memberships, self-join on the right key, one
     * partial-agg shuffle on the pair. The self-join emits
@@ -168,10 +174,13 @@ object Graph {
       leftCol: String,
       rightCol: String,
       minShared: Long = 1L,
-      maxRightDegree: Long = 0L
+      maxRightDegree: Long = 0L,
+      weighting: String = "count"
   ): MayFail[DataFrame] = MayFail {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxRightDegree >= 0, s"maxRightDegree must be >= 0: $maxRightDegree")
+    require(Seq("count", "jaccard", "cosine", "overlap").contains(weighting),
+      s"weighting must be count | jaccard | cosine | overlap: $weighting")
     val m = df.select(col(leftCol).as("l"), col(rightCol).as("r"))
       .filter(col("l").isNotNull && col("r").isNotNull)
       .distinct()
@@ -185,11 +194,29 @@ object Graph {
       }
     val a = kept.select(col("l").as("src"), col("r"))
     val b = kept.select(col("l").as("dst"), col("r"))
-    a.join(b, Seq("r"))
+    val pairs = a.join(b, Seq("r"))
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    if (weighting == "count") pairs
+    else {
+      // left-node degrees AFTER the hot-key cap, so the weights
+      // describe the same graph the pairing saw
+      val deg = kept.groupBy(col("l").as("node")).agg(count(lit(1)).as("deg"))
+      val joined = pairs
+        .join(deg.select(col("node").as("src"), col("deg").as("__da")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("__db")), Seq("dst"))
+      val w = weighting match {
+        case "jaccard" =>
+          col("shared") / (col("__da") + col("__db") - col("shared"))
+        case "cosine" =>
+          col("shared") / sqrt(col("__da") * col("__db"))
+        case "overlap" =>
+          col("shared") / least(col("__da"), col("__db"))
+      }
+      joined.select(col("src"), col("dst"), col("shared"), w.as("weight"))
+    }
   }
 
   /** What [[projectBipartite]]'s `maxRightDegree` cap would drop:

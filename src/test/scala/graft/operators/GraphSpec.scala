@@ -94,6 +94,28 @@ class GraphSpec extends AnyFunSuite {
     assert(report.toSeq == Seq((3L, 3L)))
   }
 
+  test("projectBipartite weightings: jaccard/cosine/overlap from post-cap degrees") {
+    // A:{1,2,3}, B:{2,3}, C:{3} → degrees 3/2/1; shared AB=2, AC=1, BC=1
+    val m = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("C", 3L)).toDF("l", "r")
+    def weights(mode: String) =
+      Graph.projectBipartite(m, "l", "r", minShared = 1L, weighting = mode)
+        .get.select("src", "dst", "weight")
+        .as[(String, String, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val j = weights("jaccard")
+    assert(j(("A", "B")) == 2.0 / 3 && j(("A", "C")) == 1.0 / 3 &&
+      j(("B", "C")) == 0.5)
+    val c = weights("cosine")
+    assert(c(("A", "B")) == 2.0 / math.sqrt(6.0) &&
+      c(("B", "C")) == 1.0 / math.sqrt(2.0))
+    val o = weights("overlap")
+    assert(o.values.toSet == Set(1.0))
+    // count mode keeps the original 3-column schema
+    assert(Graph.projectBipartite(m, "l", "r", 1L).get.columns.toSeq ==
+      Seq("src", "dst", "shared"))
+  }
+
   test("triangleCount: K4 + pendant golden, duplicate/reversed edges normalize") {
     // K4 on 1..4 (every node in 3 triangles, clustering 1.0) plus a
     // pendant 5—1 (degree(1) rises to 4, clustering drops to 0.5);
