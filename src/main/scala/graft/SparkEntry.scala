@@ -2795,6 +2795,21 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    "q218_bootstrap_ci" -> ((s, dir) => {
+      // Deterministic Poisson-bootstrap 95% CI for the mean event value
+      // (×100 integral → every weighted sum exact): the md5-derived
+      // Poisson draws, the B resample means, the sort, and the order-
+      // statistic picks all replay in SQL character-for-character.
+      Stats.bootstrapCI(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", Seq("event_id"), b = 100, alpha = 0.05,
+          salt = "bootq").get
+        .select(col("n"), col("b"),
+          round(col("mean") / 100.0 + lit(1e-9), 4).as("mean"),
+          round(col("ci_lo") / 100.0 + lit(1e-9), 4).as("ci_lo"),
+          round(col("ci_hi") / 100.0 + lit(1e-9), 4).as("ci_hi"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6198,6 +6213,53 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q218: the portable Poisson draws (md5 → uniform → inverse CDF),
+    // per-resample weighted means, and the sorted order-statistic picks
+    // replayed end to end.
+    "q218_bootstrap_ci" ->
+      """WITH base AS (
+           SELECT event_id, round(value * 100) AS v FROM events
+           WHERE value IS NOT NULL
+         ), reps AS (
+           SELECT unnest(range(0, 100)) AS r
+         ), drawn AS (
+           SELECT r.r, base.v,
+             CAST(('0x' || substring(md5('bootq§' || CAST(r.r AS VARCHAR)
+               || '§' || CAST(base.event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 / 1000000.0 AS u
+           FROM base CROSS JOIN reps r
+         ), wtd AS (
+           SELECT r, v,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+           FROM drawn
+         ), means AS (
+           SELECT sum(w * v) / sum(w) AS m FROM wtd
+           GROUP BY r HAVING sum(w) > 0
+         ), arr AS (
+           SELECT list_sort(list(m)) AS a FROM means
+         ), ci AS (
+           SELECT
+             a[greatest(1, CAST(ceil(len(a) * 0.025) AS INT))] AS ci_lo,
+             a[least(len(a), CAST(ceil(len(a) * 0.975) AS INT))] AS ci_hi
+           FROM arr
+         ), overall AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(v) / count(*) AS mean FROM base
+         )
+         SELECT overall.n, 100 AS b,
+           round(overall.mean / 100.0 + 1e-9, 4) AS mean,
+           round(ci.ci_lo / 100.0 + 1e-9, 4) AS ci_lo,
+           round(ci.ci_hi / 100.0 + 1e-9, 4) AS ci_hi
+         FROM overall CROSS JOIN ci""",
 
     // q217: pair counts + per-supplier part-set degrees → the Jaccard
     // division on the identical longs.

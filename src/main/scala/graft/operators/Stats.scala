@@ -149,6 +149,76 @@ object Stats {
       .select("col_a", "col_b", "n", "r")
   }
 
+  /** Deterministic Poisson bootstrap CI for the mean of `valueCol`:
+    * each of `b` resamples weights every row by a Poisson(1) draw
+    * derived from the portable md5 hash of (salt § resample § id) —
+    * the classic scalable bootstrap (resampling without materializing
+    * samples; Chamandy et al.'s "Estimating Uncertainty for Massive
+    * Data Streams" / the Poisson-bootstrap literature), made
+    * REPRODUCIBLE: the draw is a pure function of the data, replayable
+    * by external SQL character-for-character, like every sampling
+    * decision in [[Sampling]].
+    *
+    * Returns ONE row `(n, b, mean, ci_lo, ci_hi)` — the percentile
+    * interval from the sorted resample means (order statistics
+    * `ceil(α/2·B)` and `ceil((1−α/2)·B)`, clamped, self-adjusting if a
+    * degenerate resample drops out). The Poisson draw is inverse-CDF
+    * truncated at 8 (tail mass < 1e-5, identically on both engines).
+    *
+    * Plan: a map-side `b`-way row replication (the bootstrap's
+    * documented b×N scan — no shuffle until the B-row mean reduction),
+    * one partial-agg shuffle to `b` rows, one tiny sort. Determinism:
+    * with integral (×100) values every weighted sum is exact, so the
+    * interval is bit-reproducible.
+    */
+  def bootstrapCI(
+      df: DataFrame,
+      valueCol: String,
+      idCols: Seq[String],
+      b: Int = 100,
+      alpha: Double = 0.05,
+      salt: String = "boot"
+  ): MayFail[DataFrame] = MayFail {
+    require(b >= 10, s"b must be >= 10 resamples: $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(idCols.nonEmpty, "idCols must name the row identity")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+    val reps = base.sparkSession.range(b).select(col("id").as("__r"))
+    val key = concat(lit(salt) +: (Seq(lit("§"), col("__r").cast("string")) ++
+      idCols.flatMap(c => Seq(lit("§"),
+        coalesce(col(c).cast("string"), lit("<null>"))))): _*)
+    val u = (graft.functions.TextFunctions.portableHash60(key) % 1000000L)
+      .cast("double") / 1000000.0
+    // Poisson(1) inverse CDF, truncated at 8
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9999167588507119, 6L)
+      .when(u < 0.9999897508033253, 7L)
+      .otherwise(8L)
+    val means = base.crossJoin(broadcast(reps))
+      .select(col("__r"), v.as("__v"), w.as("__w"))
+      .groupBy("__r")
+      .agg(sum(col("__w") * col("__v")).as("__sv"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select((col("__sv") / col("__sw")).as("__mean"))
+    val ci = means.agg(sort_array(collect_list(col("__mean"))).as("__arr"))
+      .select(
+        element_at(col("__arr"), greatest(lit(1),
+          ceil(size(col("__arr")) * lit(alpha / 2)).cast("int"))).as("ci_lo"),
+        element_at(col("__arr"), least(size(col("__arr")),
+          ceil(size(col("__arr")) * lit(1 - alpha / 2)).cast("int")))
+          .as("ci_hi"))
+    val full = base.agg(count(lit(1)).as("n"),
+      (sum(v) / count(lit(1))).as("mean"))
+    full.crossJoin(broadcast(ci))
+      .select(col("n"), lit(b).as("b"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: the maximum absolute
     * difference between the two groups' empirical CDFs, evaluated at
     * every observed value. Returns ONE row `(n_a, n_b, d)`.

@@ -329,6 +329,14 @@ object ScaleRehearsal {
         iterations = 3, scale = 1000000000L).get
       prRepl.count()
     }
+    // HITS scale bounded by M² < Long.Max: 210k nodes → scale 10000
+    var hitsRepl: DataFrame = null
+    time("hits") {
+      hitsRepl = graft.operators.Graph.hits(
+        membRepl.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        "src", "dst", iterations = 2, scale = 10000L).get
+      hitsRepl.count()
+    }
     // threshold from the BASE shared-count distribution so the projected
     // graph stays non-trivial at any sf (replicas inherit it identically)
     val basePairs = graft.operators.Graph.projectBipartite(
@@ -662,6 +670,22 @@ object ScaleRehearsal {
       .count()
     check("pagerank_replica_identical", prDiff == 0,
       s"replica-0 PageRank must be bit-identical to the base run: $prDiff differing nodes")
+    // HITS replica identity is exact at the SAME scale: raw sums are
+    // replica-local, and (raw·10M) // (10Σ) == (raw·M) // Σ for
+    // positive integers — the renormalization cancels the 10×
+    val hitsBase = graft.operators.Graph.hits(
+      membership(1).select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+      "src", "dst", iterations = 2, scale = 10000L).get
+    val hitsDiff = hitsBase.select(col("node"), col("hub").as("hb"),
+        col("authority").as("ab"))
+      .join(hitsRepl.filter(col("node") < 200000000L)
+        .select(col("node"), col("hub").as("hr"), col("authority").as("ar")),
+        Seq("node"), "full")
+      .filter(col("hb").isNull || col("hr").isNull ||
+        col("hb") =!= col("hr") || col("ab") =!= col("ar"))
+      .count()
+    check("hits_replica_identical", hitsDiff == 0,
+      s"replica-0 HITS must be bit-identical to the base run: $hitsDiff differing nodes")
     val triBaseTotal = graft.operators.Graph.triangleCount(baseGraph, "src", "dst")
       .get.agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0)
     val triReplTotal = triRepl.agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0)

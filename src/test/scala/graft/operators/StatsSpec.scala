@@ -99,6 +99,25 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("bootstrapCI: deterministic, ordered interval around the sample mean") {
+    val df0 = (1L to 200L).map(i => (i, (i % 17).toDouble)).toDF("id", "v")
+    def run() = Stats.bootstrapCI(df0, "v", Seq("id"), b = 50,
+        alpha = 0.1, salt = "spec").get
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    val r = run()
+    assert(r._1 == 200L && r._2 == 50)
+    assert(r._4 <= r._3 && r._3 <= r._5 && r._4 < r._5,
+      s"interval must bracket the sample mean: $r")
+    // pure function of (data, salt): a second run is bit-identical
+    assert(run() == r)
+    // a different salt draws different resamples (almost surely a
+    // different interval — deterministic given the fixture)
+    val other = Stats.bootstrapCI(df0, "v", Seq("id"), b = 50,
+        alpha = 0.1, salt = "spec2").get
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    assert(other != r)
+  }
+
   test("mannWhitneyU: identical distributions give symmetric U") {
     val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
     val r = Stats.mannWhitneyU(df0, "v", "g", "a", "b").get
