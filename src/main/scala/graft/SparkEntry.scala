@@ -2810,6 +2810,16 @@ object SparkEntry {
           round(col("ci_hi") / 100.0 + lit(1e-9), 4).as("ci_hi"))
     }),
 
+    "q219_anonymity_report" -> ((s, dir) => {
+      // k-anonymity / l-diversity screen on customers: (nation, mktseg)
+      // as quasi-identifiers, account balance band as the sensitive
+      // attribute — every output an exact count.
+      graft.operators.Quality.anonymityReport(
+        tbl(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("int")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 20L, l = 5L).get
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6213,6 +6223,27 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q219: equivalence classes + the threshold reductions replayed on
+    // exact counts.
+    "q219_anonymity_report" ->
+      """WITH cls AS (
+           SELECT coalesce(CAST(c_nationkey AS VARCHAR), '<null>') AS nk,
+             coalesce(CAST(c_mktsegment AS VARCHAR), '<null>') AS seg,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT))
+               AS BIGINT) AS dv
+           FROM customer GROUP BY nk, seg
+         )
+         SELECT sum(sz) AS n_rows, CAST(count(*) AS BIGINT) AS n_classes,
+           min(sz) AS min_class_size,
+           CAST(count(CASE WHEN sz < 20 THEN 1 END) AS BIGINT)
+             AS n_small_classes,
+           COALESCE(sum(CASE WHEN sz < 20 THEN sz END), 0) AS rows_at_risk,
+           min(dv) AS min_diversity,
+           CAST(count(CASE WHEN dv < 5 THEN 1 END) AS BIGINT)
+             AS n_low_diversity_classes
+         FROM cls""",
 
     // q218: the portable Poisson draws (md5 → uniform → inverse CDF),
     // per-resample weighted means, and the sorted order-statistic picks

@@ -464,6 +464,46 @@ object Quality {
           "p", "q", "psi_contrib", "psi_total")
     }
 
+  /** Privacy-governance screen: k-anonymity and l-diversity of a
+    * quasi-identifier combination. Rows whose quasi-identifier
+    * equivalence class has fewer than `k` members are re-identifiable;
+    * classes whose sensitive attribute shows fewer than `l` distinct
+    * values leak it even at size ≥ k. Returns ONE row:
+    * `(n_rows, n_classes, min_class_size, n_small_classes,
+    * rows_at_risk, min_diversity, n_low_diversity_classes)` — all
+    * exact counts. Run this before releasing or training on any table
+    * carrying user attributes.
+    *
+    * Plan: one partial-agg shuffle to the equivalence classes (count +
+    * distinct-sensitive per class), one tiny reduction. Class
+    * cardinality is bounded by the quasi-identifier value space.
+    */
+  def anonymityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(quasiCols.nonEmpty, "quasiCols must name at least one column")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(l >= 1, s"l must be >= 1: $l")
+    val classes = df
+      .groupBy(quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("<null>")).as(c)): _*)
+      .agg(count(lit(1)).as("__size"),
+        countDistinct(col(sensitiveCol)).as("__div"))
+    classes.agg(
+      sum(col("__size")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__size")).as("min_class_size"),
+      count(when(col("__size") < k, 1)).as("n_small_classes"),
+      coalesce(sum(when(col("__size") < k, col("__size"))), lit(0L))
+        .as("rows_at_risk"),
+      min(col("__div")).as("min_diversity"),
+      count(when(col("__div") < l, 1)).as("n_low_diversity_classes"))
+  }
+
   /** Shuffle-skew diagnosis for a prospective join/agg key: the top-K
     * heaviest key values with their share and cumulative share of all
     * rows, plus the total row and distinct-key counts. Read this BEFORE

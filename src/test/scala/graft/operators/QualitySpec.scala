@@ -17,6 +17,19 @@ class QualitySpec extends AnyFunSuite {
     (4L, Some("a"), None)
   ).toDF("id", "tag", "v")
 
+  test("anonymityReport: class sizes, at-risk rows, diversity floors") {
+    // classes: (A,x) size 3 div 2; (A,y) size 1 div 1; (B,x) size 2 div 2
+    val rows = Seq(
+      ("A", "x", 1), ("A", "x", 1), ("A", "x", 2),
+      ("A", "y", 9),
+      ("B", "x", 1), ("B", "x", 3)
+    ).toDF("q1", "q2", "s")
+    val r = Quality.anonymityReport(rows, Seq("q1", "q2"), "s", k = 3L, l = 2L)
+      .get.as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // n_rows, n_classes, min_size, small(<3), rows_at_risk, min_div, low_div(<2)
+    assert(r == ((6L, 3L, 1L, 2L, 3L, 1L, 1L)))
+  }
+
   test("skewReport: exact shares, cumulative share, null-key handling") {
     // a x5, b x3, null x2 -> shares .5 / .3 / .2, cumulative .5 / .8 / 1.0
     val keys = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
