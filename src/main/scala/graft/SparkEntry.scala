@@ -2820,6 +2820,19 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 20L, l = 5L).get
     }),
 
+    "q220_cross_correlation" -> ((s, dir) => {
+      // Lagged click↔purchase cross-correlation over hourly sums
+      // (×100 integral → exact moments, bit-identical r per lag), lags
+      // −3…3 hours on co-observed buckets.
+      TimeSeries.crossCorrelation(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", "event_type", "value", keyA = "click", keyB = "purchase",
+          bucketSec = 3600L, maxLag = 3).get
+        .select(col("lag"), col("n"),
+          round(col("r") + lit(1e-9), 4).as("r"))
+        .orderBy("lag")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6223,6 +6236,43 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q220: per-side hourly cells, the lag-shifted inner alignment, and
+    // the per-lag product-moment r on exact sums.
+    "q220_cross_correlation" ->
+      """WITH ca AS (
+           SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS va
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type = 'click'
+           GROUP BY b
+         ), cb AS (
+           SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS vb
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type = 'purchase'
+           GROUP BY b
+         ), lags AS (
+           SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag
+         ), al AS (
+           SELECT lags.lag, ca.va, cb.vb
+           FROM ca CROSS JOIN lags
+           JOIN cb ON cb.b = ca.b + lags.lag * 3600
+         ), m AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(va) AS sx, sum(vb) AS sy, sum(va * vb) AS sxy,
+             sum(va * va) AS sxx, sum(vb * vb) AS syy
+           FROM al GROUP BY lag
+         )
+         SELECT lag, n,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+               AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+             + 1e-9, 4) AS r
+         FROM m ORDER BY lag""",
 
     // q219: equivalence classes + the threshold reductions replayed on
     // exact counts.

@@ -206,6 +206,63 @@ object TimeSeries {
     }(Encoders.row(out))
   }
 
+  /** Lagged cross-correlation between two keys' bucketed series:
+    * Pearson r of (A at bucket t, B at bucket t + lag·bucketSec) for
+    * every lag in −maxLag…maxLag — "does A lead B, and by how much"
+    * (the peak-|r| lag). Buckets are co-observed inner alignments of
+    * each side's aggregated cells; zero-fill upstream with [[gapFill]]
+    * when absence should count as 0.
+    *
+    * Returns `(lag: int, n: bigint, r: double)`, one row per lag, NULL
+    * `r` on degenerate overlaps.
+    *
+    * Plan: one partial-agg shuffle to each side's (bucket, sum) cells,
+    * a lag-exploded join (2·maxLag+1 slim copies of the A side — the
+    * documented fan-out), and per-lag moment sums. With integral (×100)
+    * values every moment is exact → bit-deterministic r.
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      keyA: String,
+      keyB: String,
+      bucketSec: Long,
+      maxLag: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    require(keyA != keyB, s"keys must differ: $keyA")
+    val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
+      .cast("long").as("__b")
+    def cells(key: String, out: String) = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull &&
+        col(keyCol) === lit(key))
+      .select(bucket, col(valueCol).cast("double").as(out))
+      .groupBy("__b").agg(sum(col(out)).as(out))
+    val ca = cells(keyA, "__va")
+    val cb = cells(keyB, "__vb")
+    val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val aligned = ca.crossJoin(broadcast(lags))
+      .withColumn("__tb", col("__b") + col("lag") * bucketSec)
+      .join(cb.withColumnRenamed("__b", "__tb"), Seq("__tb"))
+    val m = aligned.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum(col("__va")).as("__sx"), sum(col("__vb")).as("__sy"),
+      sum(col("__va") * col("__vb")).as("__sxy"),
+      sum(col("__va") * col("__va")).as("__sxx"),
+      sum(col("__vb") * col("__vb")).as("__syy"))
+    val vx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("n") * col("__syy") - col("__sy") * col("__sy")
+    m.withColumn("r",
+        when(col("n") >= 2 && vx > 0 && vy > 0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt(vx * vy)))
+      .select("lag", "n", "r")
+  }
+
   /** Per-key least-squares linear trend: slope (value units per
     * second) and intercept (fitted value at the key's FIRST
     * observation) from the product-moment sums. "Is this metric

@@ -23,6 +23,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Double])].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
+  test("crossCorrelation: shifted-copy peak at the true lag") {
+    // B is A delayed by exactly 1 bucket: r = 1.0 at lag +1 (A at t
+    // aligns with B at t+1), degenerate or weaker elsewhere
+    val a = Seq(10.0, 50.0, 20.0, 80.0, 30.0)
+    val rows =
+      a.zipWithIndex.map { case (v, i) => ("A", i.toLong * 10, v) } ++
+      a.zipWithIndex.map { case (v, i) => ("B", (i + 1).toLong * 10, v) }
+    val data = rows.toDF("k", "epoch", "v")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = TimeSeries.crossCorrelation(data, "ts", "k", "v",
+        keyA = "A", keyB = "B", bucketSec = 10L, maxLag = 2).get
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1) == ((5L, Some(1.0))))
+    assert(got(0)._1 == 4L)                    // 4 co-observed buckets
+    assert(got(1)._2.get > got(0)._2.getOrElse(-2.0))
+    assert(got(-2)._1 == 2L)
+  }
+
   test("trend: exact slope/intercept, origin shift, degenerate NULLs") {
     // key a: v = 10 + 2t at t = 100, 101, 102 (origin shifts to 0) ->
     // slope 2, intercept 10; key b: single point -> NULL fit
