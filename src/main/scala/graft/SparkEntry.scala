@@ -2833,6 +2833,20 @@ object SparkEntry {
         .orderBy("lag")
     }),
 
+    "q221_autocorrelation" -> ((s, dir) => {
+      // View-event ACF over hourly sums, lags 0…6 (keyA == keyB is the
+      // autocorrelation special case): lag 0 must read exactly 1.0; a
+      // daily cycle would peak again at lag 24.
+      TimeSeries.crossCorrelation(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", "event_type", "value", keyA = "view", keyB = "view",
+          bucketSec = 3600L, maxLag = 6).get
+        .filter(col("lag") >= 0)
+        .select(col("lag"), col("n"),
+          round(col("r") + lit(1e-9), 4).as("r"))
+        .orderBy("lag")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6236,6 +6250,35 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q221: the ACF special case — same-series cells on both sides.
+    "q221_autocorrelation" ->
+      """WITH ca AS (
+           SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type = 'view'
+           GROUP BY b
+         ), lags AS (
+           SELECT CAST(unnest(range(0, 7)) AS INT) AS lag
+         ), al AS (
+           SELECT lags.lag, a.v AS va, b.v AS vb
+           FROM ca a CROSS JOIN lags
+           JOIN ca b ON b.b = a.b + lags.lag * 3600
+         ), m AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(va) AS sx, sum(vb) AS sy, sum(va * vb) AS sxy,
+             sum(va * va) AS sxx, sum(vb * vb) AS syy
+           FROM al GROUP BY lag
+         )
+         SELECT lag, n,
+           round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+               AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+             + 1e-9, 4) AS r
+         FROM m ORDER BY lag""",
 
     // q220: per-side hourly cells, the lag-shifted inner alignment, and
     // the per-lag product-moment r on exact sums.

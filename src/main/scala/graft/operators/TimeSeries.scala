@@ -214,7 +214,9 @@ object TimeSeries {
     * when absence should count as 0.
     *
     * Returns `(lag: int, n: bigint, r: double)`, one row per lag, NULL
-    * `r` on degenerate overlaps.
+    * `r` on degenerate overlaps. `keyA == keyB` gives the
+    * AUTOCORRELATION function (lag 0 ≡ 1) — seasonality shows up as
+    * peaks at the period's lag.
     *
     * Plan: one partial-agg shuffle to each side's (bucket, sum) cells,
     * a lag-exploded join (2·maxLag+1 slim copies of the A side — the
@@ -233,7 +235,6 @@ object TimeSeries {
   ): MayFail[DataFrame] = MayFail {
     require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
     require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
-    require(keyA != keyB, s"keys must differ: $keyA")
     val bucket = (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
       .cast("long").as("__b")
     def cells(key: String, out: String) = df

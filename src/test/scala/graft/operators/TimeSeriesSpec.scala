@@ -40,6 +40,12 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(0)._1 == 4L)                    // 4 co-observed buckets
     assert(got(1)._2.get > got(0)._2.getOrElse(-2.0))
     assert(got(-2)._1 == 2L)
+    // keyA == keyB is the ACF: lag 0 reads exactly 1.0
+    val acf = TimeSeries.crossCorrelation(data, "ts", "k", "v",
+        keyA = "A", keyB = "A", bucketSec = 10L, maxLag = 1).get
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(acf(0).contains(1.0))
   }
 
   test("trend: exact slope/intercept, origin shift, degenerate NULLs") {
