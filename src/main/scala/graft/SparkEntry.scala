@@ -2847,6 +2847,22 @@ object SparkEntry {
         .orderBy("lag")
     }),
 
+    "q222_trustrank" -> ((s, dir) => {
+      // Personalized PageRank from a trusted seed set (suppliers 1-5):
+      // teleport + dangling mass land only on seeds, so authority
+      // decays with distance from trust — the TrustRank shape. Exact
+      // BIGINT arithmetic; the oracle replays all 3 rounds.
+      val li = tbl(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.filter(col("l_suppkey") <= 5)
+        .select((col("l_suppkey") * 2 + 1).as("node"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3,
+          scale = 1000000000L, teleportTo = Some(seeds)).get
+        .orderBy("node")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6250,6 +6266,82 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q222: the personalized recursion unrolled — the full teleport
+    // pool ((n·scale·3)//20) plus damped dangling mass splits over the
+    // seeds; non-seeds receive in-mass only.
+    "q222_trustrank" ->
+      """WITH f AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT src, dst FROM f
+           UNION SELECT dst AS src, src AS dst FROM f
+         ), nd AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e
+         ), deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd
+         ), sds AS (
+           SELECT DISTINCT l_suppkey * 2 + 1 AS node FROM lineitem
+           WHERE l_suppkey <= 5
+         ), ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sds
+         ), r0 AS (
+           SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nd
+         ), d1 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0) AS dg
+           FROM r0 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i1 AS (
+           SELECT e.dst AS node, SUM((r.rank * 17) // (20 * d.outdeg)) AS im
+           FROM e JOIN r0 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r1 AS (
+           SELECT nd.node, COALESCE(i1.im, 0) +
+             CASE WHEN nd.node IN (SELECT node FROM sds)
+               THEN ((SELECT n FROM nn) * 1000000000 * 3 // 20
+                 + (SELECT dg FROM d1)) // (SELECT k FROM ns)
+               ELSE 0 END AS rank
+           FROM nd LEFT JOIN i1 ON i1.node = nd.node
+         ), d2 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0) AS dg
+           FROM r1 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i2 AS (
+           SELECT e.dst AS node, SUM((r.rank * 17) // (20 * d.outdeg)) AS im
+           FROM e JOIN r1 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r2 AS (
+           SELECT nd.node, COALESCE(i2.im, 0) +
+             CASE WHEN nd.node IN (SELECT node FROM sds)
+               THEN ((SELECT n FROM nn) * 1000000000 * 3 // 20
+                 + (SELECT dg FROM d2)) // (SELECT k FROM ns)
+               ELSE 0 END AS rank
+           FROM nd LEFT JOIN i2 ON i2.node = nd.node
+         ), d3 AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0) AS dg
+           FROM r2 r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i3 AS (
+           SELECT e.dst AS node, SUM((r.rank * 17) // (20 * d.outdeg)) AS im
+           FROM e JOIN r2 r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r3 AS (
+           SELECT nd.node, COALESCE(i3.im, 0) +
+             CASE WHEN nd.node IN (SELECT node FROM sds)
+               THEN ((SELECT n FROM nn) * 1000000000 * 3 // 20
+                 + (SELECT dg FROM d3)) // (SELECT k FROM ns)
+               ELSE 0 END AS rank
+           FROM nd LEFT JOIN i3 ON i3.node = nd.node
+         )
+         SELECT node, rank,
+           CAST(rank AS DOUBLE) /
+             CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
+         FROM r3 ORDER BY node""",
 
     // q221: the ACF special case — same-series cells on both sides.
     "q221_autocorrelation" ->

@@ -67,6 +67,15 @@ object Graph {
     * dropped. Unweighted is the weight-1 special case of the same
     * formula, so the two modes share one arithmetic spec.
     *
+    * With `teleportTo`, the teleport (and dangling) mass lands ONLY on
+    * the given seed nodes, split evenly — personalized PageRank /
+    * TrustRank (Gyöngyi et al. 2004): authority flows outward from a
+    * trusted seed set, the crawl-prioritization and spam-demotion
+    * form. Each seed receives
+    * `(n·scale·(dampDen−dampNum)) div (dampDen·|seeds|)` per round;
+    * non-seeds get teleport 0. Seeds not present in the graph are
+    * ignored.
+    *
     * `scale` must satisfy `n * scale * dampNum * maxWeight <
     * Long.MaxValue` (enforced) — at 1e9 nodes pick `scale = 1e8`;
     * precision is 1/scale of a node's share, far below any ranking
@@ -80,7 +89,9 @@ object Graph {
       scale: Long = 1000000000L,
       dampNum: Long = 17L,
       dampDen: Long = 20L,
-      weightCol: Option[String] = None
+      weightCol: Option[String] = None,
+      teleportTo: Option[DataFrame] = None,
+      teleportCol: String = "node"
   ): MayFail[DataFrame] = MayFail {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale > 0, s"scale must be positive: $scale")
@@ -113,6 +124,17 @@ object Graph {
     require(scale <= Long.MaxValue / dampNum / math.max(maxW, 1L) / n,
       s"n * scale * dampNum * maxWeight overflows Long: n=$n scale=$scale maxW=$maxW")
 
+    // seed frame (personalized mode): graph-present seeds only
+    val seeds = teleportTo.map { s =>
+      s.select(col(teleportCol).as("node")).filter(col("node").isNotNull)
+        .distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val nSeeds = seeds.map(_.count()).getOrElse(0L)
+    seeds.foreach(_ => require(nSeeds > 0,
+      "teleportTo must contain at least one node present in the graph"))
+
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     // the dangling node SET is structural (rank-independent): compute it
     // once, and skip the per-iteration rank-sum job entirely on graphs
@@ -126,16 +148,27 @@ object Graph {
       else ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
         .first().getLong(0)
-      val perNodeBase = teleport + dangling / n
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .join(outw, e("src") === outw("node"))
         .select(e("dst").as("node"),
           expr(s"(rank * $dampNum * w) div (${dampDen}L * outw)").as("c"))
       val in = contrib.groupBy("node").agg(sum("c").as("in_mass"))
-      ranks = nodes.join(in, Seq("node"), "left")
-        .select(col("node"),
-          (coalesce(col("in_mass"), lit(0L)) + lit(perNodeBase)).as("rank"))
-        .localCheckpoint(true)
+      val joined = nodes.join(in, Seq("node"), "left")
+      ranks = (seeds match {
+        case None =>
+          val perNodeBase = teleport + dangling / n
+          joined.select(col("node"),
+            (coalesce(col("in_mass"), lit(0L)) + lit(perNodeBase)).as("rank"))
+        case Some(sd) =>
+          // the full teleport pool (n·scale·(den−num)) div den plus the
+          // damped dangling mass, split evenly over the seeds
+          val perSeed = (n * scale * (dampDen - dampNum) / dampDen + dangling) / nSeeds
+          joined.join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
+            .select(col("node"),
+              (coalesce(col("in_mass"), lit(0L)) +
+                when(col("__seed").isNotNull, lit(perSeed)).otherwise(lit(0L)))
+                .as("rank"))
+      }).localCheckpoint(true)
     }
     val result = ranks.withColumn("score",
       col("rank").cast("double") / lit((n * scale).toDouble))

@@ -94,6 +94,23 @@ class GraphSpec extends AnyFunSuite {
     assert(report.toSeq == Seq((3L, 3L)))
   }
 
+  test("personalized pageRank: seed-only teleport + dangling pool golden") {
+    // 1→2, seed {1}, scale 1000, n=2, node 2 dangling
+    // iter1: dang=(1000·17)div20=850; perSeed=(2000·3div20)+850=1150
+    //        r(1)=1150 (no in-edges), r(2)=850
+    // iter2: dang=(850·17)div20=722; perSeed=300+722=1022
+    //        r(1)=1022, r(2)=(1150·17)div20=977
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    def run(iters: Int) = ranksOf(Graph.pageRank(e, "s", "d",
+      iterations = iters, scale = 1000L, teleportTo = Some(seeds)).get)
+    assert(run(1) == Map(1L -> 1150L, 2L -> 850L))
+    assert(run(2) == Map(1L -> 1022L, 2L -> 977L))
+    // seeds absent from the graph are rejected
+    assert(Graph.pageRank(e, "s", "d", iterations = 1, scale = 1000L,
+      teleportTo = Some(Seq(99L).toDF("node"))).isFailing)
+  }
+
   test("projectBipartite weightings: jaccard/cosine/overlap from post-cap degrees") {
     // A:{1,2,3}, B:{2,3}, C:{3} → degrees 3/2/1; shared AB=2, AC=1, BC=1
     val m = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
