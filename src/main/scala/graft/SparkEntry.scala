@@ -2863,6 +2863,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q223_assortativity" -> ((s, dir) => {
+      // Degree assortativity of the threshold-150 supplier graph —
+      // Pearson over both orientations of every edge's endpoint
+      // degrees, exact integer moments throughout.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.assortativity(proj, "src", "dst").get
+        .select(col("n_edges"), round(col("r") + lit(1e-9), 4).as("r"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6266,6 +6276,41 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q223: endpoint-degree pairs in both orientations, one moment
+    // reduction — the product-moment r on identical exact sums.
+    "q223_assortativity" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT x AS node FROM pr UNION ALL SELECT y FROM pr)
+           GROUP BY node
+         ), pairs AS (
+           SELECT da.d AS dx, db.d AS dy FROM pr
+             JOIN deg da ON da.node = pr.x JOIN deg db ON db.node = pr.y
+         ), sym AS (
+           SELECT CAST(dx AS DOUBLE) AS x, CAST(dy AS DOUBLE) AS y
+           FROM pairs
+           UNION ALL SELECT CAST(dy AS DOUBLE), CAST(dx AS DOUBLE)
+           FROM pairs
+         ), mm AS (
+           SELECT CAST(count(*) AS BIGINT) AS n2,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM sym
+         )
+         SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+           round(CASE WHEN n2 * sxx - sx * sx > 0
+               AND n2 * syy - sy * sy > 0
+             THEN (n2 * sxy - sx * sy) /
+               sqrt((n2 * sxx - sx * sx) * (n2 * syy - sy * sy)) END
+             + 1e-9, 4) AS r
+         FROM mm""",
 
     // q222: the personalized recursion unrolled — the full teleport
     // pool ((n·scale·3)//20) plus damped dangling mass splits over the

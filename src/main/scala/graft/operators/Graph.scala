@@ -485,6 +485,52 @@ object Graph {
     }
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * the degrees at the two ends of every edge — positive on
+    * hub-prefers-hub graphs (social nets), negative on hub-and-spoke
+    * topologies (the web, supply chains). Computed over both
+    * orientations of each undirected edge (the standard symmetric
+    * convention), from exact integer moment sums — bit-deterministic.
+    *
+    * Returns ONE row `(n_edges: bigint, r: double)` — `n_edges` counts
+    * undirected edges; NULL `r` when degenerate (all degrees equal).
+    *
+    * Plan: normalize + dedupe, one degree aggregation, two broadcast-
+    * scale degree joins, one 1-row moment reduction.
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val paired = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      // both orientations: (da, db) and (db, da)
+      .select(col("da").cast("double").as("x"), col("db").cast("double").as("y"))
+    val sym = paired.union(paired.select(col("y").as("x"), col("x").as("y")))
+    val m = sym.agg(
+      count(lit(1)).as("n2"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val vx = col("n2") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n2") * col("syy") - col("sy") * col("sy")
+    m.withColumn("r",
+        when(vx > 0 && vy > 0,
+          (col("n2") * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy)))
+      .select((col("n2") / 2).cast("long").as("n_edges"), col("r"))
+  }
+
   /** Newman modularity of a node partition over an undirected graph:
     * `Q = Σ_c (e_c/m − (d_c/2m)²)` — within-community edge fraction
     * minus the degree-based expectation. Scores how well a community

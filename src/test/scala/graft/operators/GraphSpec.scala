@@ -217,6 +217,19 @@ class GraphSpec extends AnyFunSuite {
     assert(cyc == Map(1L -> 0, 2L -> 1))
   }
 
+  test("assortativity: star is maximally disassortative, cycle degenerate") {
+    // star K1,3: every edge pairs degree 3 with degree 1 → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").get
+      .as[(Long, Option[Double])].collect().head
+    assert(r._1 == 3L && math.abs(r._2.get - (-1.0)) < 1e-12)
+    // a cycle has all degrees equal: zero variance → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val rc = Graph.assortativity(cyc, "s", "d").get
+      .as[(Long, Option[Double])].collect().head
+    assert(rc == ((3L, None)))
+  }
+
   test("modularity: two triangles + bridge golden, unlabeled edges dropped") {
     // communities {1,2,3} and {4,5,6}, one bridge: m=7, e_c=3 each,
     // d_c=7 each → Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2
