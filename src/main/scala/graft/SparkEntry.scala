@@ -2873,6 +2873,23 @@ object SparkEntry {
         .select(col("n_edges"), round(col("r") + lit(1e-9), 4).as("r"))
     }),
 
+    "q224_paired_ttest" -> ((s, dir) => {
+      // Paired t over per-line extended price vs its discounted
+      // counterpart, in WHOLE DOLLARS (not cents): the sum of squared
+      // differences must stay inside 2⁵³ for exact order-independent
+      // sums — cent scaling would put Σd² within a factor of 4 of the
+      // boundary at sf0.01 and over it at sf0.1.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("pa", round(col("l_extendedprice")))
+        .withColumn("pb", round(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))))
+      Stats.pairedTTest(li, "pa", "pb").get
+        .select(col("n"),
+          round(col("mean_diff") + lit(1e-9), 4).as("mean_diff"),
+          round(col("var_diff") + lit(1e-9), 4).as("var_diff"),
+          round(col("t") + lit(1e-9), 4).as("t"), col("df"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6276,6 +6293,28 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q224: the one-sample formula on exact whole-dollar differences.
+    "q224_paired_ttest" ->
+      """WITH f AS (
+           SELECT round(l_extendedprice)
+             - round(l_extendedprice * (1 - l_discount)) AS d
+           FROM lineitem
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             COALESCE(sum(d), 0) AS s, COALESCE(sum(d * d), 0) AS s2
+           FROM f
+         ), st AS (
+           SELECT n, s / n AS md,
+             greatest(s2 - s * s / n, 0.0) / (n - 1) AS vd
+           FROM a
+         )
+         SELECT n, round(md + 1e-9, 4) AS mean_diff,
+           round(vd + 1e-9, 4) AS var_diff,
+           round(CASE WHEN n >= 2 AND vd > 0
+             THEN md / sqrt(vd / n) END + 1e-9, 4) AS t,
+           n - 1 AS df
+         FROM st""",
 
     // q223: endpoint-degree pairs in both orientations, one moment
     // reduction — the product-moment r on identical exact sums.

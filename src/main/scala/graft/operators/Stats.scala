@@ -102,6 +102,37 @@ object Stats {
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"), col("chi2"))
   }
 
+  /** Paired t-test: the one-sample t of the per-row differences
+    * `valueA − valueB` (before/after measurements on the SAME rows —
+    * the within-subject counterpart of [[welchTTest]]). Returns ONE
+    * row `(n, mean_diff, var_diff, t, df)` with `df = n − 1`; NULL
+    * t when n < 2 or the differences have zero variance. One
+    * `sum`/`sum-of-squares` scan; exact under integral (×100) inputs.
+    */
+  def pairedTTest(
+      df: DataFrame,
+      valueA: String,
+      valueB: String
+  ): MayFail[DataFrame] = MayFail {
+    val d = col(valueA).cast("double") - col(valueB).cast("double")
+    val base = df.filter(col(valueA).isNotNull && col(valueB).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(d), lit(0.0)).as("__s"),
+        coalesce(sum(d * d), lit(0.0)).as("__s2"))
+    val mean = when(col("n") >= 1, col("__s") / col("n"))
+    val variance = when(col("n") >= 2,
+      greatest(col("__s2") - col("__s") * col("__s") / col("n"), lit(0.0)) /
+        (col("n") - lit(1)))
+    base
+      .withColumn("mean_diff", mean)
+      .withColumn("var_diff", variance)
+      .withColumn("t",
+        when(col("n") >= 2 && col("var_diff") > 0,
+          col("mean_diff") / sqrt(col("var_diff") / col("n"))))
+      .withColumn("df", when(col("n") >= 2, col("n") - 1))
+      .select("n", "mean_diff", "var_diff", "t", "df")
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE
     * aggregation pass: every pair's (n, Σx, Σy, Σxy, Σx², Σy²) rides
     * the same scan (pairwise-complete rows — both values non-null),

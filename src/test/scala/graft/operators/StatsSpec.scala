@@ -99,6 +99,20 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("pairedTTest: one-sample t of differences, df = n-1") {
+    // d = [2, 3, 0]: mean 5/3, var 7/3, t = 5/sqrt(7)
+    val df0 = Seq((5.0, 3.0), (7.0, 4.0), (6.0, 6.0)).toDF("a", "b")
+    val r = Stats.pairedTTest(df0, "a", "b").get
+      .as[(Long, Double, Double, Double, Long)].collect().head
+    assert(r._1 == 3L && r._5 == 2L)
+    assert(close(r._2, 5.0 / 3) && close(r._3, 7.0 / 3))
+    assert(close(r._4, 5.0 / math.sqrt(7.0)))
+    // zero-variance differences -> NULL t
+    val const = Seq((5.0, 3.0), (4.0, 2.0)).toDF("a", "b")
+    assert(Stats.pairedTTest(const, "a", "b").get
+      .select("t").collect().head.isNullAt(0))
+  }
+
   test("bootstrapCI: deterministic, ordered interval around the sample mean") {
     val df0 = (1L to 200L).map(i => (i, (i % 17).toDouble)).toDF("id", "v")
     def run() = Stats.bootstrapCI(df0, "v", Seq("id"), b = 50,
