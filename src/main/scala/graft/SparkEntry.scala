@@ -2633,7 +2633,8 @@ object SparkEntry {
           round(col("var_a") / 10000 + lit(1e-9), 4).as("var_a"),
           round(col("var_b") / 10000 + lit(1e-9), 4).as("var_b"),
           round(col("t") + lit(1e-9), 4).as("t"),
-          round(col("df") + lit(1e-9), 4).as("df"))
+          round(col("df") + lit(1e-9), 4).as("df"),
+          round(col("cohen_d") + lit(1e-9), 4).as("cohen_d"))
     }),
 
     "q205_chi_square" -> ((s, dir) => {
@@ -6266,7 +6267,10 @@ object SparkEntry {
              THEN (ma - mb) / sqrt(se2) END + 1e-9, 4) AS t,
            round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
              THEN se2 * se2 / ((va / na) * (va / na) / (na - 1)
-               + (vb / nb) * (vb / nb) / (nb - 1)) END + 1e-9, 4) AS df
+               + (vb / nb) * (vb / nb) / (nb - 1)) END + 1e-9, 4) AS df,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN (ma - mb) / sqrt(((na - 1) * va + (nb - 1) * vb)
+               / (na + nb - 2)) END + 1e-9, 4) AS cohen_d
          FROM se""",
 
     // q205: contingency cells, marginals, full grid with absent cells,

@@ -21,11 +21,13 @@ object Stats {
 
   /** Welch's unequal-variance two-sample t-test of `valueCol` between
     * `groupA` and `groupB` of `groupCol`. Returns ONE row:
-    * `(n_a, n_b, mean_a, mean_b, var_a, var_b, t, df)` — `t` the Welch
-    * statistic, `df` the Welch–Satterthwaite degrees of freedom.
-    * Sample variances come from exact sum / sum-of-squares (clamped at
-    * 0), the [[TimeSeries.rollingStats]] formula. NULL t/df when
-    * either group has < 2 rows or both variances are 0.
+    * `(n_a, n_b, mean_a, mean_b, var_a, var_b, t, df, cohen_d)` — `t`
+    * the Welch statistic, `df` the Welch–Satterthwaite degrees of
+    * freedom, `cohen_d` the pooled-SD effect size (significance says
+    * whether a difference exists; d says whether it MATTERS). Sample
+    * variances come from exact sum / sum-of-squares (clamped at 0),
+    * the [[TimeSeries.rollingStats]] formula. NULL t/df/d when either
+    * group has < 2 rows or both variances are 0.
     */
   def welchTTest(
       df: DataFrame,
@@ -57,11 +59,17 @@ object Stats {
     val sb = col("var_b") / col("n_b")
     val se2 = sa + sb
     val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    val pooled = sqrt(((col("n_a") - lit(1)) * col("var_a") +
+      (col("n_b") - lit(1)) * col("var_b")) /
+      (col("n_a") + col("n_b") - lit(2)))
     stats
       .withColumn("t", when(ok, (col("mean_a") - col("mean_b")) / sqrt(se2)))
       .withColumn("df", when(ok, (se2 * se2) /
         (sa * sa / (col("n_a") - lit(1)) + sb * sb / (col("n_b") - lit(1)))))
-      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t", "df")
+      .withColumn("cohen_d",
+        when(ok, (col("mean_a") - col("mean_b")) / pooled))
+      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t", "df",
+        "cohen_d")
   }
 
   /** Pearson χ² test of independence over the `rowCol` × `colCol`

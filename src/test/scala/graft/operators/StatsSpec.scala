@@ -17,12 +17,14 @@ class StatsSpec extends AnyFunSuite {
     val df0 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
       .toDF("g", "v")
     val r = Stats.welchTTest(df0, "v", "g", "a", "b").get
-      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
       .collect().head
     assert(r._1 == 3L && r._2 == 2L)
     assert(r._3 == 2.0 && r._4 == 3.0 && r._5 == 1.0 && r._6 == 2.0)
     assert(close(r._7, -1.0 / math.sqrt(4.0 / 3.0)))
     assert(close(r._8, 32.0 / 19.0))
+    // pooled SD = sqrt((2·1 + 1·2)/3) = sqrt(4/3) → d = −1/sqrt(4/3)
+    assert(close(r._9, -1.0 / math.sqrt(4.0 / 3.0)))
   }
 
   test("welchTTest: NULL statistic when a group is degenerate") {
