@@ -2891,6 +2891,24 @@ object SparkEntry {
           round(col("t") + lit(1e-9), 4).as("t"), col("df"))
     }),
 
+    "q225_funnel_by_segment" -> ((s, dir) => {
+      // The q192 funnel split by a derived acquisition segment: each
+      // user's first event's props-k mod 4 (regexp-extracted — no JSON
+      // engine dependence). 4 segments × 3 steps, exact counts.
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val segs = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"),
+          (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 4)
+            .as("seg"))
+      Behavior.funnelBySegment(ev, "ts", "user_id", "event_type",
+          segs, "seg", Seq("view", "click", "purchase"),
+          windowSec = 259200L).get
+        .orderBy("segment", "step_idx")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6297,6 +6315,64 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q225: the q192 chain + first-event segment assignment + the
+    // per-segment stack and lag.
+    "q225_funnel_by_segment" ->
+      """WITH base AS (
+           SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+             AND ts IS NOT NULL
+         ), s1 AS (
+           SELECT *, min(CASE WHEN t = 'view' THEN us END)
+             OVER (PARTITION BY user_id) AS t1 FROM base
+         ), s2 AS (
+           SELECT *, min(CASE WHEN t = 'click' AND us > t1
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t2 FROM s1
+         ), s3 AS (
+           SELECT *, min(CASE WHEN t = 'purchase' AND us > t2
+               AND us <= t1 + 259200000000 THEN us END)
+             OVER (PARTITION BY user_id) AS t3 FROM s2
+         ), per AS (
+           SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+           FROM s3 GROUP BY user_id
+         ), fe AS (
+           SELECT user_id, props,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE ts IS NOT NULL
+         ), segs AS (
+           SELECT user_id, CAST(
+             CAST(regexp_extract(props, '[0-9]+') AS INT) % 4 AS VARCHAR)
+             AS segment
+           FROM fe WHERE rn = 1
+         ), agg AS (
+           SELECT segment,
+             CAST(count(t1) AS BIGINT) AS c1,
+             CAST(count(t2) AS BIGINT) AS c2,
+             CAST(count(t3) AS BIGINT) AS c3
+           FROM per JOIN segs ON segs.user_id = per.user_id
+           GROUP BY segment
+         ), r AS (
+           SELECT segment, 1 AS step_idx, 'view' AS step, c1 AS users, c1
+           FROM agg
+           UNION ALL SELECT segment, 2, 'click', c2, c1 FROM agg
+           UNION ALL SELECT segment, 3, 'purchase', c3, c1 FROM agg
+         ), f AS (
+           SELECT segment, step_idx, step, users, c1,
+             lag(users) OVER (PARTITION BY segment ORDER BY step_idx)
+               AS pu
+           FROM r
+         )
+         SELECT segment, step_idx, step, users,
+           CASE WHEN c1 > 0
+             THEN round(CAST(users AS DOUBLE) / c1 + 1e-9, 4) END
+             AS conv_overall,
+           CASE WHEN pu > 0
+             THEN round(CAST(users AS DOUBLE) / pu + 1e-9, 4) END
+             AS conv_step
+         FROM f ORDER BY segment, step_idx""",
 
     // q224: the one-sample formula on exact whole-dollar differences.
     "q224_paired_ttest" ->

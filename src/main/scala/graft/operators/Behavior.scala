@@ -159,6 +159,57 @@ object Behavior {
         .orderBy("step_idx")
     }
 
+  /** [[funnel]] split by a per-entity segment (acquisition channel,
+    * country, experiment arm…) supplied as a `(userCol, segment)`
+    * dimension frame — the every-product-team "where does each segment
+    * drop off" view. Entities without a segment row are dropped (inner
+    * join; pre-fill a default segment to keep them).
+    *
+    * Returns `(segment, step_idx, step, users, conv_overall,
+    * conv_step)` ordered within each segment.
+    *
+    * Plan: the [[funnelSteps]] single-exchange chain, a join to the
+    * (usually broadcast-scale) dimension frame, one partial-agg
+    * shuffle to segments, and the per-segment stack + lag over a
+    * segment×steps-sized frame.
+    */
+  def funnelBySegment(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      segments: DataFrame,
+      segmentCol: String,
+      steps: Seq[String],
+      windowSec: Long
+  ): MayFail[DataFrame] =
+    funnelSteps(df, tsCol, userCol, typeCol, steps, windowSec).map { per =>
+      val seg = segments.select(col(userCol),
+          col(segmentCol).cast("string").as("segment"))
+        .filter(col("segment").isNotNull)
+        .distinct()
+      val aggs = steps.indices.map(i =>
+        count(col(s"step_${i + 1}_us")).as(s"c${i + 1}"))
+      val bySeg = per.join(seg, Seq(userCol))
+        .groupBy("segment")
+        .agg(aggs.head, aggs.tail: _*)
+      val stackArgs = steps.zipWithIndex.map { case (s, i) =>
+        s"${i + 1}, '${s.replace("'", "''")}', c${i + 1}"
+      }.mkString(", ")
+      val w = Window.partitionBy(col("segment")).orderBy(col("step_idx"))
+      bySeg
+        .selectExpr("segment", "c1",
+          s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)")
+        .withColumn("prev_users", lag(col("users"), 1).over(w))
+        .select(col("segment"), col("step_idx").cast("int").as("step_idx"),
+          col("step"), col("users"),
+          when(col("c1") > 0,
+            round(col("users") / col("c1") + lit(1e-9), 4)).as("conv_overall"),
+          when(col("prev_users") > 0,
+            round(col("users") / col("prev_users") + lit(1e-9), 4))
+            .as("conv_step"))
+    }
+
   /** Cohort retention matrix: cohort = the entity's FIRST active
     * `bucketSec` bucket; for every (cohort, bucket-offset) cell, the
     * count of cohort entities active in that bucket and the retention

@@ -55,6 +55,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows(2)._4.contains(0.5) && rows(2)._5.contains(0.6667))
   }
 
+  test("funnelBySegment: per-segment counts and conversions, unsegmented dropped") {
+    val segs = Seq((1L, "g1"), (2L, "g1"), (4L, "g2"), (5L, "g2"))
+      .toDF("user_id", "seg") // u3 has no segment row
+    val got = Behavior.funnelBySegment(funnelEv, "ts", "user_id", "t",
+        segs, "seg", Seq("view", "click", "purchase"), windowSec = 100L).get
+      .as[(String, Int, String, Long, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+    // g1 = {u1 complete, u2 entry-only}; g2 = {u4 two steps, u5 complete}
+    assert(got(("g1", 1)) == ((2L, Some(1.0), None)))
+    assert(got(("g1", 2)) == ((1L, Some(0.5), Some(0.5))))
+    assert(got(("g1", 3)) == ((1L, Some(0.5), Some(1.0))))
+    assert(got(("g2", 2)) == ((2L, Some(1.0), Some(1.0))))
+    assert(got(("g2", 3)) == ((1L, Some(0.5), Some(0.5))))
+    assert(got.size == 6) // u3 contributes to no segment
+  }
+
   test("funnelTiming: exact min/max/mean seconds from entry, NULL for step 1") {
     // step-2 reachers: u1 (10 s), u4 (1 s), u5 (10 s) → mean exactly 7;
     // step-3 reachers: u1 (20 s), u5 (100 s) → mean 60
