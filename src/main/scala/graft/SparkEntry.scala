@@ -2909,6 +2909,15 @@ object SparkEntry {
         .orderBy("segment", "step_idx")
     }),
 
+    "q226_stickiness" -> ((s, dir) => {
+      // DAU / trailing-7-day MAU per day — exact distinct counts and
+      // the identical-longs ratio; the 7-day window keeps the gate
+      // discriminative over the 30-day span.
+      Behavior.stickiness(events(s, dir), "ts", "user_id",
+          windowDays = 7).get
+        .orderBy("day_ts")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6315,6 +6324,35 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q226: the (user, day) distinct frame, the window explode into
+    // trailing MAU membership, and the grid join — all exact counts.
+    "q226_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+           FROM events WHERE ts IS NOT NULL
+         ), span AS (
+           SELECT min(d) AS lo, max(d) AS hi FROM ud
+         ), dau AS (
+           SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+         ), mau AS (
+           SELECT md AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+           FROM (SELECT user_id, unnest(range(d, d + 7)) AS md FROM ud)
+           GROUP BY md
+         ), grid AS (
+           SELECT unnest(range(lo, hi + 1)) AS d FROM span
+         )
+         SELECT
+           TIMESTAMP '1970-01-01 00:00:00' + grid.d * 86400
+             * INTERVAL 1 SECOND AS day_ts,
+           COALESCE(dau.dau, 0) AS dau, COALESCE(mau.mau, 0) AS mau,
+           CASE WHEN COALESCE(mau.mau, 0) > 0
+             THEN round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / mau.mau
+               + 1e-9, 4) END AS stickiness
+         FROM grid LEFT JOIN mau ON mau.d = grid.d
+         LEFT JOIN dau ON dau.d = grid.d
+         ORDER BY day_ts""",
 
     // q225: the q192 chain + first-event segment assignment + the
     // per-segment stack and lag.

@@ -293,6 +293,53 @@ object Behavior {
       round(col("n") / sum(col("n")).over(wp) + lit(1e-9), 4))
   }
 
+  /** DAU/MAU stickiness: per day, the distinct entities active that
+    * day (DAU), the distinct entities active in the trailing
+    * `windowDays` (MAU), and their ratio — the standard engagement
+    * depth metric ("how much of the monthly audience shows up
+    * daily").
+    *
+    * Returns `(day_ts: timestamp, dau, mau: bigint,
+    * stickiness: double)` for every day in the observed span (days
+    * with no activity report DAU 0 against the still-live MAU).
+    *
+    * Plan: one distinct pass to (entity, day), a `windowDays`-way
+    * slim explode (each active day contributes the entity to the
+    * following window's MAU — the documented fan-out; distinct-count
+    * windows don't compose, this is the standard reduction), and one
+    * partial-agg shuffle per metric. Counts exact; the ratio divides
+    * identical longs.
+    */
+  def stickiness(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      windowDays: Int = 30
+  ): MayFail[DataFrame] = MayFail {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val day = floor(col(tsCol).cast("long") / 86400L).cast("long").as("__d")
+    val ud = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), day)
+      .distinct()
+    val span = ud.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    val dau = ud.groupBy("__d").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + lit(windowDays - 1)))
+          .as("__d"))
+      .groupBy("__d").agg(countDistinct(col("__u")).as("mau"))
+    val grid = span.select(
+      explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    grid.join(mau, Seq("__d"), "left")
+      .join(dau, Seq("__d"), "left")
+      .select(timestamp_seconds(col("__d") * 86400L).as("day_ts"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness",
+        when(col("mau") > 0,
+          round(col("dau") / col("mau") + lit(1e-9), 4)))
+  }
+
   /** Batch sessionization: assign each event a per-entity
     * `session_idx` (0-based), starting a new session whenever the gap
     * since the entity's previous event exceeds `gapSec`. The batch

@@ -123,6 +123,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("stickiness: trailing-window MAU membership, empty days, NULL on dead windows") {
+    // u1 on days 0 and 2, u2 on day 1; 2-day window
+    val data = ev(Seq(
+      (1L, 1L, 10L, "x"), (2L, 1L, 2L * 86400 + 5L, "x"),
+      (3L, 2L, 86400L + 7L, "x"),
+      (4L, 3L, 4L * 86400 + 1L, "x")   // u3 far out: creates dead days
+    ))
+    val got = Behavior.stickiness(data, "ts", "user_id", windowDays = 2).get
+      .select(col("day_ts").cast("long"), col("dau"), col("mau"),
+        col("stickiness"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 / 86400 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((1L, 1L, Some(1.0))))
+    assert(got(1L) == ((1L, 2L, Some(0.5))))   // u1 carries over, u2 active
+    assert(got(2L) == ((1L, 2L, Some(0.5))))   // u1 active, u2 carries
+    assert(got(3L) == ((0L, 1L, Some(0.0))))   // only u1's day-2 carry
+    assert(got(4L) == ((1L, 1L, Some(1.0))))
+    assert(got.size == 5)
+  }
+
   test("sessionize + sessionStats: gap splits, 0-based index, exact durations") {
     val data = ev(Seq(
       (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 250L, "c"),
