@@ -2918,6 +2918,21 @@ object SparkEntry {
         .orderBy("day_ts")
     }),
 
+    "q227_activity_histogram" -> ((s, dir) => {
+      // L30-style engagement curve: users by number of distinct active
+      // days — exact two-stage counts.
+      Behavior.activityHistogram(events(s, dir), "ts", "user_id").get
+        .orderBy("buckets_active")
+    }),
+
+    "q228_new_vs_returning" -> ((s, dir) => {
+      // Daily audience composition: first-ever-day actives vs
+      // returning — exact counts off the (user, day) dedupe + window
+      // min.
+      Behavior.newVsReturning(events(s, dir), "ts", "user_id").get
+        .orderBy("day_ts")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6324,6 +6339,40 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q227: dedupe → per-user active-day count → histogram.
+    "q227_activity_histogram" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+           FROM events WHERE ts IS NOT NULL
+         ), per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS buckets_active
+           FROM ud GROUP BY user_id
+         )
+         SELECT buckets_active, CAST(count(*) AS BIGINT) AS n_entities
+         FROM per GROUP BY buckets_active ORDER BY buckets_active""",
+
+    // q228: the (user, day) dedupe + per-user first day → daily
+    // new/returning split.
+    "q228_new_vs_returning" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+           FROM events WHERE ts IS NOT NULL
+         ), f AS (
+           SELECT user_id, d,
+             min(d) OVER (PARTITION BY user_id) AS fd
+           FROM ud
+         )
+         SELECT
+           TIMESTAMP '1970-01-01 00:00:00' + d * 86400
+             * INTERVAL 1 SECOND AS day_ts,
+           CAST(count(CASE WHEN d = fd THEN 1 END) AS BIGINT)
+             AS new_users,
+           CAST(count(CASE WHEN d <> fd THEN 1 END) AS BIGINT)
+             AS returning_users
+         FROM f GROUP BY d ORDER BY day_ts""",
 
     // q226: the (user, day) distinct frame, the window explode into
     // trailing MAU membership, and the grid join — all exact counts.

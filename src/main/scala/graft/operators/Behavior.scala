@@ -340,6 +340,55 @@ object Behavior {
           round(col("dau") / col("mau") + lit(1e-9), 4)))
   }
 
+  /** Activity-frequency histogram (the "L28/L30 curve"): how many
+    * entities were active on exactly k distinct `bucketSec` buckets —
+    * the engagement-distribution shape (a healthy product shows a
+    * smile: many 1-bucket tourists, a bump of every-bucket devotees).
+    *
+    * Returns `(buckets_active: bigint, n_entities: bigint)`, ascending.
+    * Two partial-agg shuffles ((entity, bucket) dedupe → per-entity
+    * count → histogram); exact counts.
+    */
+  def activityHistogram(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      bucketSec: Long = 86400L
+  ): MayFail[DataFrame] = MayFail {
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    df.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(col(tsCol).cast("long") / bucketSec).cast("long").as("__b"))
+      .distinct()
+      .groupBy("__u").agg(count(lit(1)).as("buckets_active"))
+      .groupBy("buckets_active").agg(count(lit(1)).as("n_entities"))
+  }
+
+  /** Per-day split of actives into NEW (first-ever activity that day)
+    * and RETURNING — the acquisition-vs-retention composition of every
+    * day's audience. Returns `(day_ts, new_users, returning_users:
+    * bigint)` for days with activity. One exchange on the entity (the
+    * first-day window rides the (entity, day) dedupe), one partial-agg
+    * shuffle to days; exact counts.
+    */
+  def newVsReturning(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val w = Window.partitionBy(col("__u"))
+    df.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(col(tsCol).cast("long") / 86400L).cast("long").as("__d"))
+      .distinct()
+      .withColumn("__first", min(col("__d")).over(w))
+      .groupBy("__d").agg(
+        count(when(col("__d") === col("__first"), 1)).as("new_users"),
+        count(when(col("__d") =!= col("__first"), 1)).as("returning_users"))
+      .select(timestamp_seconds(col("__d") * 86400L).as("day_ts"),
+        col("new_users"), col("returning_users"))
+  }
+
   /** Batch sessionization: assign each event a per-entity
     * `session_idx` (0-based), starting a new session whenever the gap
     * since the entity's previous event exceeds `gapSec`. The batch

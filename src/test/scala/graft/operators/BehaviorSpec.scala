@@ -123,6 +123,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("activityHistogram and newVsReturning: exact engagement splits") {
+    // u1 active days 0,1,2; u2 days 0,2; u3 day 1 (two events dedupe)
+    val data = ev(Seq(
+      (1L, 1L, 10L, "x"), (2L, 1L, 86400L + 1, "x"), (3L, 1L, 2 * 86400L + 1, "x"),
+      (4L, 2L, 20L, "x"), (5L, 2L, 2 * 86400L + 9, "x"),
+      (6L, 3L, 86400L + 3, "x"), (7L, 3L, 86400L + 9, "x")
+    ))
+    val hist = Behavior.activityHistogram(data, "ts", "user_id").get
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val nvr = Behavior.newVsReturning(data, "ts", "user_id").get
+      .select(col("day_ts").cast("long"), col("new_users"),
+        col("returning_users"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 / 86400 -> ((r._2, r._3))).toMap
+    assert(nvr == Map(0L -> ((2L, 0L)), 1L -> ((1L, 1L)), 2L -> ((0L, 2L))))
+  }
+
   test("stickiness: trailing-window MAU membership, empty days, NULL on dead windows") {
     // u1 on days 0 and 2, u2 on day 1; 2-day window
     val data = ev(Seq(
