@@ -2933,6 +2933,19 @@ object SparkEntry {
         .orderBy("day_ts")
     }),
 
+    "q229_rfm" -> ((s, dir) => {
+      // RFM per user (×100 integral monetary → exact sums), quintile
+      // scores with id tiebreaks — fully deterministic, replayed with
+      // the identical ntile orderings.
+      Behavior.rfm(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", "user_id", "value", nTiles = 5).get
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          round(col("monetary") / 100.0, 4).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy("user_id")
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6339,6 +6352,34 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q229: per-user aggregates + corpus max day + three ntile
+    // orderings with id tiebreaks.
+    "q229_rfm" ->
+      """WITH per AS (
+           SELECT user_id,
+             max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS lastd,
+             CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+               AS BIGINT) AS frequency,
+             COALESCE(sum(round(value * 100)), 0) AS monetary
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY user_id
+         ), mx AS (SELECT max(lastd) AS m FROM per
+         ), sc AS (
+           SELECT user_id, (SELECT m FROM mx) - lastd AS recency_days,
+             frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY (SELECT m FROM mx) - lastd,
+               user_id) AS INT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+               AS INT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+               AS INT) AS m_score
+           FROM per
+         )
+         SELECT user_id, recency_days, frequency,
+           round(monetary / 100.0, 4) AS monetary,
+           r_score, f_score, m_score
+         FROM sc ORDER BY user_id""",
 
     // q227: dedupe → per-user active-day count → histogram.
     "q227_activity_histogram" ->

@@ -389,6 +389,50 @@ object Behavior {
         col("new_users"), col("returning_users"))
   }
 
+  /** RFM segmentation: per entity, Recency (days since last activity,
+    * measured against the corpus's last day so the result is a pure
+    * function of the data), Frequency (distinct active days), Monetary
+    * (summed `valueCol`), each quantile-scored 1…`nTiles` with 1 =
+    * BEST (most recent / most frequent / highest value; entity id
+    * tiebreak makes every ntile deterministic).
+    *
+    * Returns `(userCol, recency_days, frequency: bigint, monetary,
+    * r_score, f_score, m_score: int)`.
+    *
+    * Plan: one exchange on the entity for the three aggregates, a
+    * 1-row broadcast of the corpus max day, and three ntile windows
+    * over the entity-level frame (global order — ntile is a rank
+    * statistic; the frame is entity-sized, aggregate it rather than
+    * scoring raw events).
+    */
+  def rfm(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      valueCol: String,
+      nTiles: Int = 5
+  ): MayFail[DataFrame] = MayFail {
+    require(nTiles >= 2, s"nTiles must be >= 2: $nTiles")
+    val day = floor(col(tsCol).cast("long") / 86400L).cast("long")
+    val per = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol), day.as("__d"), col(valueCol).cast("double").as("__v"))
+      .groupBy(col(userCol))
+      .agg(max(col("__d")).as("__last"),
+        countDistinct(col("__d")).as("frequency"),
+        coalesce(sum(col("__v")), lit(0.0)).as("monetary"))
+    val maxDay = per.agg(max(col("__last")).as("__m"))
+    per.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("__m") - col("__last"))
+      .withColumn("r_score", ntile(nTiles).over(
+        Window.orderBy(col("recency_days"), col(userCol))))
+      .withColumn("f_score", ntile(nTiles).over(
+        Window.orderBy(col("frequency").desc, col(userCol))))
+      .withColumn("m_score", ntile(nTiles).over(
+        Window.orderBy(col("monetary").desc, col(userCol))))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** Batch sessionization: assign each event a per-entity
     * `session_idx` (0-based), starting a new session whenever the gap
     * since the entity's previous event exceeds `gapSec`. The batch

@@ -123,6 +123,25 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("rfm: recency vs corpus max day, 1 = best, id tiebreaks") {
+    // u1: days 0..2, value 10+20+30; u2: day 2 only, value 100;
+    // u3: day 0 only, value 1 → corpus max day 2
+    val data = Seq(
+      (1L, 1L, 10L, 10.0), (2L, 1L, 86400L + 1, 20.0),
+      (3L, 1L, 2 * 86400L + 2, 30.0),
+      (4L, 2L, 2 * 86400L + 5, 100.0),
+      (5L, 3L, 7L, 1.0)
+    ).toDF("event_id", "user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = Behavior.rfm(data, "ts", "user_id", "value", nTiles = 3).get
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // recency: u1 0, u2 0, u3 2; frequency: 3/1/1; monetary: 60/100/1
+    assert(got(1L) == ((0L, 3L, 60.0, 1, 1, 2)))
+    assert(got(2L) == ((0L, 1L, 100.0, 2, 2, 1)))
+    assert(got(3L) == ((2L, 1L, 1.0, 3, 3, 3)))
+  }
+
   test("activityHistogram and newVsReturning: exact engagement splits") {
     // u1 active days 0,1,2; u2 days 0,2; u3 day 1 (two events dedupe)
     val data = ev(Seq(
