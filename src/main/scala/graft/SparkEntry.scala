@@ -2946,6 +2946,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q230_transitivity" -> ((s, dir) => {
+      // Global clustering coefficient of the threshold-150 supplier
+      // graph: 3·triangles / Σ C(deg, 2), exact integer terms.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.transitivity(proj, "src", "dst").get
+        .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
+          round(col("transitivity") + lit(1e-9), 4).as("transitivity"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6352,6 +6362,35 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q230: brute-force triangles (the q197 spec) + wedge sum from
+    // degrees → the 3T/W ratio on exact integers.
+    "q230_transitivity" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT x AS node FROM pr UNION ALL SELECT y FROM pr)
+           GROUP BY node
+         ), t AS (
+           SELECT e1.x AS a, e1.y AS b, e2.y AS c
+           FROM pr e1 JOIN pr e2 ON e2.x = e1.y
+           JOIN pr e3 ON e3.x = e1.x AND e3.y = e2.y
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triangles
+           FROM deg
+         )
+         SELECT n_nodes, n_wedges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+             THEN 3.0 * n_triangles / n_wedges END + 1e-9, 4)
+             AS transitivity
+         FROM agg""",
 
     // q229: per-user aggregates + corpus max day + three ntile
     // orderings with id tiebreaks.

@@ -485,6 +485,33 @@ object Graph {
     }
   }
 
+  /** Global transitivity (the graph-level clustering coefficient):
+    * `3·triangles / wedges`, where wedges = Σ C(deg, 2) — the
+    * probability that two neighbors of a node are themselves
+    * connected. One number for "how clumpy is this graph" (random
+    * graphs ≈ density; social graphs ≫). Built on [[triangleCount]];
+    * exact integer numerator and denominator.
+    *
+    * Returns ONE row `(n_nodes, n_wedges, n_triangles: bigint,
+    * transitivity: double)` — NULL transitivity on wedge-free graphs.
+    */
+  def transitivity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): MayFail[DataFrame] =
+    triangleCount(edges, srcCol, dstCol).map { tc =>
+      tc.agg(
+          count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("degree") * (col("degree") - 1) / 2), lit(0L))
+            .cast("long").as("n_wedges"),
+          (coalesce(sum(col("triangles")), lit(0L)) / 3).cast("long")
+            .as("n_triangles"))
+        .withColumn("transitivity",
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges")))
+    }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * the degrees at the two ends of every edge — positive on
     * hub-prefers-hub graphs (social nets), negative on hub-and-spoke

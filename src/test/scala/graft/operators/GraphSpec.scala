@@ -217,6 +217,21 @@ class GraphSpec extends AnyFunSuite {
     assert(cyc == Map(1L -> 0, 2L -> 1))
   }
 
+  test("transitivity: K4+pendant golden; star has zero") {
+    // K4 + pendant 5—1: T = 4; wedges = C(4,2) + 3·C(3,2) + C(1,2) = 15
+    // → transitivity = 12/15 = 0.8
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("s", "d")
+    val r = Graph.transitivity(e, "s", "d").get
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(r == ((5L, 15L, 4L, Some(0.8))))
+    // star: wedges but no triangles → exactly 0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val rs = Graph.transitivity(star, "s", "d").get
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(rs == ((4L, 3L, 0L, Some(0.0))))
+  }
+
   test("assortativity: star is maximally disassortative, cycle degenerate") {
     // star K1,3: every edge pairs degree 3 with degree 1 → r = −1
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
