@@ -2956,6 +2956,18 @@ object SparkEntry {
           round(col("transitivity") + lit(1e-9), 4).as("transitivity"))
     }),
 
+    "q231_gini" -> ((s, dir) => {
+      // Revenue-concentration Gini over per-user summed event value
+      // (×100 cents → exact rank-weighted sums; 150 users).
+      val perUser = events(s, dir)
+        .withColumn("value", round(col("value") * 100))
+        .groupBy("user_id").agg(sum("value").as("spend"))
+      Stats.gini(perUser, "spend", "user_id").get
+        .select(col("n"),
+          round(col("total") / 100.0, 4).as("total"),
+          round(col("gini") + lit(1e-9), 4).as("gini"))
+    }),
+
     "q186_ivfpq_knn" -> ((s, dir) => {
       // IVF-ADC with exhaustive settings (probe every cell, shortlist ≥
       // corpus): routing excludes nothing and the exact rerank sees all
@@ -6362,6 +6374,27 @@ object SparkEntry {
            round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
              / (rt * ct / CAST(n AS DOUBLE))) + 1e-9, 4) AS chi2
          FROM grid""",
+
+    // q231: the ranked Gini formula on exact per-user cent totals.
+    "q231_gini" ->
+      """WITH per AS (
+           SELECT user_id, sum(round(value * 100)) AS spend
+           FROM events WHERE value IS NOT NULL GROUP BY user_id
+         ), rk AS (
+           SELECT spend,
+             row_number() OVER (ORDER BY spend, user_id) AS i
+           FROM per
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             COALESCE(sum(spend), 0) AS total,
+             COALESCE(sum(i * spend), 0) AS iv
+           FROM rk
+         )
+         SELECT n, round(total / 100.0, 4) AS total,
+           round(CASE WHEN total > 0
+             THEN 2.0 * iv / (n * total) - (n + 1.0) / n END + 1e-9, 4)
+             AS gini
+         FROM a""",
 
     // q230: brute-force triangles (the q197 spec) + wedge sum from
     // degrees → the 3T/W ratio on exact integers.

@@ -141,6 +141,42 @@ object Stats {
       .select("n", "mean_diff", "var_diff", "t", "df")
   }
 
+  /** Gini coefficient of a non-negative distribution (revenue
+    * concentration, engagement inequality): 0 = perfectly even, → 1 =
+    * one entity holds everything. Uses the ranked formula
+    * `G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n` with the id column breaking
+    * value ties (ties make the rank weights deterministic without
+    * changing G — Σi over a tie run is order-invariant).
+    *
+    * Returns ONE row `(n, total, gini)`; NULL gini when the total is
+    * 0. Fails on negative values (Gini is undefined there).
+    *
+    * Plan: one global rank sort over the (value, id) order — like the
+    * rank tests, an order statistic — then a 1-row reduction; with
+    * integral values and `n·max(x)` within 2⁵³ every term is exact.
+    */
+  def gini(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+    val neg = base.filter(v < 0).limit(1).count()
+    require(neg == 0, s"gini is undefined for negative $valueCol values")
+    val w = Window.orderBy(col("__v"), col("__id"))
+    base.select(v.as("__v"), col(idCol).as("__id"))
+      .withColumn("__i", row_number().over(w))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__v")), lit(0.0)).as("total"),
+        coalesce(sum(col("__i") * col("__v")), lit(0.0)).as("__iv"))
+      .withColumn("gini",
+        when(col("total") > 0,
+          lit(2.0) * col("__iv") / (col("n") * col("total")) -
+            (col("n") + lit(1.0)) / col("n")))
+      .select("n", "total", "gini")
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` in ONE
     * aggregation pass: every pair's (n, Σx, Σy, Σxy, Σx², Σy²) rides
     * the same scan (pairwise-complete rows — both values non-null),

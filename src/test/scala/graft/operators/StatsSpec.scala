@@ -101,6 +101,24 @@ class StatsSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("gini: textbook extremes and a hand-computed middle") {
+    // perfectly even: G = 0
+    val even = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("id", "v")
+    val ge = Stats.gini(even, "v", "id").get
+      .as[(Long, Double, Double)].collect().head
+    assert(ge._1 == 4L && ge._2 == 20.0 && math.abs(ge._3) < 1e-12)
+    // one holder: G = (n−1)/n = 0.75
+    val one = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 8.0)).toDF("id", "v")
+    assert(math.abs(Stats.gini(one, "v", "id").get
+      .as[(Long, Double, Double)].collect().head._3 - 0.75) < 1e-12)
+    // x = [1,2,3,4]: G = 2·(1+4+9+16)/(4·10) − 5/4 = 0.25
+    val mid = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    assert(math.abs(Stats.gini(mid, "v", "id").get
+      .as[(Long, Double, Double)].collect().head._3 - 0.25) < 1e-12)
+    // negative values are rejected
+    assert(Stats.gini(Seq((1L, -1.0)).toDF("id", "v"), "v", "id").isFailing)
+  }
+
   test("pairedTTest: one-sample t of differences, df = n-1") {
     // d = [2, 3, 0]: mean 5/3, var 7/3, t = 5/sqrt(7)
     val df0 = Seq((5.0, 3.0), (7.0, 4.0), (6.0, 6.0)).toDF("a", "b")
