@@ -3725,7 +3725,8 @@ object SparkEntry {
                               ORDER BY c_raw DESC, neighborId) AS rank
          FROM scored
        )
-       SELECT queryId, neighborId, round(c_raw, 6) AS cosine, rank
+       SELECT queryId, neighborId, round(c_raw, 6) AS cosine,
+         CAST(rank AS INTEGER) AS rank
        FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""
 
   /** q202's oracle, generated: `rounds` unrolled peel rounds over the
@@ -3799,8 +3800,8 @@ object SparkEntry {
     }
     sb.append(
       s"""
-         SELECT h$iterations.node, h$iterations.h AS hub,
-           a$iterations.a AS authority,
+         SELECT h$iterations.node, CAST(h$iterations.h AS BIGINT) AS hub,
+           CAST(a$iterations.a AS BIGINT) AS authority,
            CAST(h$iterations.h AS DOUBLE) / CAST((SELECT m FROM nn) AS DOUBLE)
              AS hub_score,
            CAST(a$iterations.a AS DOUBLE) / CAST((SELECT m FROM nn) AS DOUBLE)
@@ -3903,7 +3904,7 @@ object SparkEntry {
     "q19_window_lag" ->
       """SELECT o_custkey, o_orderkey,
          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-         row_number() OVER w AS rn
+         CAST(row_number() OVER w AS INTEGER) AS rn
          FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
     "q20_window_running" ->
@@ -3954,7 +3955,7 @@ object SparkEntry {
          FROM lineitem""",
     "q29_text_tokens" ->
       """SELECT doc_id,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
          list_sum(list_transform(
            list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
            x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))::BIGINT AS n_subwords
@@ -4138,7 +4139,8 @@ object SparkEntry {
                                 ORDER BY c_raw DESC, neighborId) AS rank
            FROM scored
          )
-         SELECT queryId, neighborId, round(c_raw, 6) AS cosine, rank
+         SELECT queryId, neighborId, round(c_raw, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""),
     "q40_knn_ivf" -> knnExactOracle,
     "q41_vec_stats" ->
@@ -4245,20 +4247,20 @@ object SparkEntry {
            true AS sse_nonneg, true AS sse_below_total, true AS n_clusters_ok,
            round(sum(sc), 4) AS total_scatter
          FROM dims""",
-    "q49_crossval" -> "SELECT 2.0 AS mae_cv",
+    "q49_crossval" -> "SELECT CAST(2.0 AS DOUBLE) AS mae_cv",
     "q50_multimodal" ->
       """SELECT doc_id,
          CAST(greatest(1, floor(sqrt(strlen(text)))) AS INTEGER) AS width,
          CAST(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS channels,
-         least(CAST(ceil(greatest(1, floor(sqrt(strlen(text)))) *
+         CAST(least(CAST(ceil(greatest(1, floor(sqrt(strlen(text)))) *
            least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
-                 1.0)) AS INTEGER), 64) AS rwidth,
-         least(CAST(ceil(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) *
+                 1.0)) AS INTEGER), 64) AS INTEGER) AS rwidth,
+         CAST(least(CAST(ceil(greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))) *
            least(64.0 / greatest(1, floor(sqrt(strlen(text)))),
                  64.0 / greatest(1, ceil(strlen(text) / greatest(1, floor(sqrt(strlen(text)))))),
-                 1.0)) AS INTEGER), 64) AS rheight
+                 1.0)) AS INTEGER), 64) AS INTEGER) AS rheight
          FROM documents ORDER BY doc_id""",
     "q67_zorder" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -4604,7 +4606,8 @@ object SparkEntry {
     "q87_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
          round(lead(o_totalprice, 1) OVER wk, 2) AS next_price,
-         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS price_rank,
+         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+           AS INTEGER) AS price_rank,
          round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS avg3
          FROM orders WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey)
@@ -4897,8 +4900,8 @@ object SparkEntry {
            FROM documents WHERE n_chars IS NOT NULL
          ), c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
          SELECT CAST(r.bin AS INT) AS bin,
-           round(r.bin * 30.0, 6) AS bin_lo,
-           round((r.bin + 1) * 30.0, 6) AS bin_hi,
+           round(CAST(r.bin * 30.0 AS DOUBLE), 6) AS bin_lo,
+           round(CAST((r.bin + 1) * 30.0 AS DOUBLE), 6) AS bin_hi,
            coalesce(c.n, 0) AS n
          FROM range(20) AS r(bin) LEFT JOIN c ON r.bin = c.bin
          ORDER BY bin""",
@@ -4941,8 +4944,8 @@ object SparkEntry {
            FROM cur WHERE n_chars IS NOT NULL GROUP BY 1
          ), j AS (
            SELECT CAST(r.bin AS INT) AS bin,
-             round(r.bin * 80.0, 6) AS bin_lo,
-             round((r.bin + 1) * 80.0, 6) AS bin_hi,
+             round(CAST(r.bin * 80.0 AS DOUBLE), 6) AS bin_lo,
+             round(CAST((r.bin + 1) * 80.0 AS DOUBLE), 6) AS bin_hi,
              coalesce(hr.n, 0) AS n_ref, coalesce(hc.n, 0) AS n_cur
            FROM range(10) AS r(bin)
              LEFT JOIN hr ON r.bin = hr.bin LEFT JOIN hc ON r.bin = hc.bin
@@ -6122,7 +6125,7 @@ object SparkEntry {
              COALESCE(i3.m, 0) + 150000000 + (SELECT ds FROM d3) AS rank
            FROM nd LEFT JOIN i3 ON i3.node = nd.node
          )
-         SELECT node, rank,
+         SELECT node, CAST(rank AS BIGINT) AS rank,
            CAST(rank AS DOUBLE) /
              CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
          FROM r3 ORDER BY node""",
@@ -6257,7 +6260,7 @@ object SparkEntry {
              COALESCE(i3.im, 0) + 150000000 + (SELECT ds FROM d3) AS rank
            FROM nd LEFT JOIN i3 ON i3.node = nd.node
          )
-         SELECT node, rank,
+         SELECT node, CAST(rank AS BIGINT) AS rank,
            CAST(rank AS DOUBLE) /
              CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
          FROM r3 ORDER BY node""",
@@ -6367,7 +6370,7 @@ object SparkEntry {
            FROM rt CROSS JOIN ct
            LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
          )
-         SELECT max(n) AS n,
+         SELECT CAST(max(n) AS BIGINT) AS n,
            CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
            (count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS dof,
@@ -6702,7 +6705,7 @@ object SparkEntry {
                ELSE 0 END AS rank
            FROM nd LEFT JOIN i3 ON i3.node = nd.node
          )
-         SELECT node, rank,
+         SELECT node, CAST(rank AS BIGINT) AS rank,
            CAST(rank AS DOUBLE) /
              CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
          FROM r3 ORDER BY node""",
@@ -6784,11 +6787,13 @@ object SparkEntry {
                AS BIGINT) AS dv
            FROM customer GROUP BY nk, seg
          )
-         SELECT sum(sz) AS n_rows, CAST(count(*) AS BIGINT) AS n_classes,
+         SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
            min(sz) AS min_class_size,
            CAST(count(CASE WHEN sz < 20 THEN 1 END) AS BIGINT)
              AS n_small_classes,
-           COALESCE(sum(CASE WHEN sz < 20 THEN sz END), 0) AS rows_at_risk,
+           CAST(COALESCE(sum(CASE WHEN sz < 20 THEN sz END), 0) AS BIGINT)
+             AS rows_at_risk,
            min(dv) AS min_diversity,
            CAST(count(CASE WHEN dv < 5 THEN 1 END) AS BIGINT)
              AS n_low_diversity_classes
@@ -7073,7 +7078,8 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM c
          )
-         SELECT rank, key, n, (SELECT total FROM t) AS total,
+         SELECT rank, key, n,
+           CAST((SELECT total FROM t) AS BIGINT) AS total,
            (SELECT n_distinct FROM t) AS n_distinct,
            round(CAST(n AS DOUBLE) / (SELECT total FROM t) + 1e-9, 4)
              AS share,
@@ -7178,7 +7184,8 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB
            FROM byv
          )
-         SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+         SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
            max(abs(CAST(cumA AS DOUBLE) / (SELECT na FROM tot)
              - CAST(cumB AS DOUBLE) / (SELECT nb FROM tot))) AS d
          FROM c""",
@@ -7213,10 +7220,10 @@ object SparkEntry {
     // return flag (shipmode stand-in); 1996 slice only.
     "q188_tpch12" ->
       """SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
          GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -7352,7 +7359,7 @@ object SparkEntry {
            FROM scored
          )
          SELECT anchorId, negativeId, negativeLabel,
-           round(c_raw, 6) AS cosine, rank
+           round(c_raw, 6) AS cosine, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY anchorId, rank""",
 
     // q156: the exact top-5 replayed, deterministically degraded, and
@@ -7497,7 +7504,8 @@ object SparkEntry {
              PARTITION BY lang ORDER BY rrf_score DESC, doc_id) AS fused_rank
            FROM s
          )
-         SELECT lang, doc_id, rrf_score, fused_rank FROM f
+         SELECT lang, doc_id, rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank FROM f
          WHERE fused_rank <= 10 ORDER BY lang, fused_rank""",
 
     // q144: element-wise mean replayed by unnest-and-avg, rounded to 6

@@ -50,6 +50,18 @@ for name in names:
     e, ec = canon(erows, ecols)
     if gc != ec:
         print(f"{name}: SCHEMA MISMATCH spark={gc} duck={ec}"); fails.append(name); continue
+    # Type-level check: the driver's hasher is type-sensitive, so an oracle
+    # column typed HUGEINT/DECIMAL where Spark wrote BIGINT/DOUBLE hash-fails
+    # even when every value matches. Compare DuckDB's inferred type for the
+    # Spark parquet (= the Spark type) against the oracle expression's type.
+    gtypes = dict(zip(got.columns, [str(t) for t in got.types]))
+    etypes = dict(zip(exp.columns, [str(t) for t in exp.types]))
+    tdiff = [(c, gtypes[c], etypes[c]) for c in gtypes
+             if c in etypes and gtypes[c] != etypes[c]]
+    if tdiff:
+        print(f"{name}: TYPE MISMATCH " +
+              "; ".join(f"{c}: spark={a} oracle={b}" for c, a, b in tdiff))
+        fails.append(name); continue
     if len(g) != len(e):
         print(f"{name}: ROWCOUNT {len(g)} vs {len(e)}"); fails.append(name); continue
     diff = sum(1 for a, b in zip(g, e) if a != b)
