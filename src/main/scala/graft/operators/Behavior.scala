@@ -389,21 +389,76 @@ object Behavior {
         col("new_users"), col("returning_users"))
   }
 
+  /** Distributed global row_number over a total order, without a
+    * single-partition sort: range-repartition on the order keys
+    * (totally ordered partitions), eagerly `localCheckpoint` so both
+    * consumers below read the SAME partitioning, count rows per
+    * partition (a tiny ≤P-row frame), turn the counts into cumulative
+    * offsets, broadcast them back, and add the in-partition
+    * `row_number` to the partition's offset. Every sort is parallel;
+    * the only single-partition work is the ≤P-row offset scan.
+    *
+    * Returns (frame + rnName column, the checkpointed frame so the
+    * caller can release its storage — `Optimise.releaseCheckpoint` —
+    * once downstream work is materialized).
+    */
+  private def withGlobalRowNumber(
+      d: DataFrame,
+      order: Seq[Column],
+      rnName: String
+  ): (DataFrame, DataFrame) = {
+    val p = d.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = d.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = ranged.join(broadcast(offsets), "__pid")
+      .withColumn(rnName,
+        col("__off") + row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .drop("__pid", "__off")
+    (ranked, ranged)
+  }
+
+  /** Closed-form ntile from a 1-based global row number: with
+    * `q = n div k`, `r = n mod k`, the first r buckets hold q+1 rows —
+    * identical bucket sizing to SQL `ntile(k)`, computed arithmetically
+    * so no ntile window (and no global sort) is needed.
+    */
+  private def ntileFromRowNumber(rn: String, n: String, k: Int): Column =
+    expr(s"""CAST(CASE
+         WHEN $rn <= ($n % $k) * (($n div $k) + 1)
+         THEN ($rn + ($n div $k)) div (($n div $k) + 1)
+         ELSE ($n % $k) +
+           ($rn - ($n % $k) * (($n div $k) + 1) + greatest($n div $k, 1) - 1)
+             div greatest($n div $k, 1)
+         END AS INT)""")
+
   /** RFM segmentation: per entity, Recency (days since last activity,
     * measured against the corpus's last day so the result is a pure
     * function of the data), Frequency (distinct active days), Monetary
     * (summed `valueCol`), each quantile-scored 1…`nTiles` with 1 =
     * BEST (most recent / most frequent / highest value; entity id
-    * tiebreak makes every ntile deterministic).
+    * tiebreak makes every score deterministic — bit-identical to
+    * `ntile` over the same (metric, id) order).
     *
     * Returns `(userCol, recency_days, frequency: bigint, monetary,
     * r_score, f_score, m_score: int)`.
     *
     * Plan: one exchange on the entity for the three aggregates, a
-    * 1-row broadcast of the corpus max day, and three ntile windows
-    * over the entity-level frame (global order — ntile is a rank
-    * statistic; the frame is entity-sized, aggregate it rather than
-    * scoring raw events).
+    * 1-row broadcast of (corpus max day, entity count), then three
+    * [[withGlobalRowNumber]] passes — range exchange + parallel
+    * in-partition sort each, NO single-partition window — with the
+    * score derived arithmetically by [[ntileFromRowNumber]].
+    * Superseded checkpoints are released as soon as the next pass
+    * materializes; the final pass's checkpoint backs the returned
+    * frame and stays pinned until the caller drops it.
     */
   def rfm(
       df: DataFrame,
@@ -420,15 +475,23 @@ object Behavior {
       .agg(max(col("__d")).as("__last"),
         countDistinct(col("__d")).as("frequency"),
         coalesce(sum(col("__v")), lit(0.0)).as("monetary"))
-    val maxDay = per.agg(max(col("__last")).as("__m"))
-    per.crossJoin(broadcast(maxDay))
+    val totals = per.agg(max(col("__last")).as("__m"),
+      count(lit(1)).as("__n"))
+    val base = per.crossJoin(broadcast(totals))
       .withColumn("recency_days", col("__m") - col("__last"))
-      .withColumn("r_score", ntile(nTiles).over(
-        Window.orderBy(col("recency_days"), col(userCol))))
-      .withColumn("f_score", ntile(nTiles).over(
-        Window.orderBy(col("frequency").desc, col(userCol))))
-      .withColumn("m_score", ntile(nTiles).over(
-        Window.orderBy(col("monetary").desc, col(userCol))))
+    val (s1, c1) = withGlobalRowNumber(base,
+      Seq(col("recency_days"), col(userCol)), "__rn_r")
+    val (s2, c2) = withGlobalRowNumber(s1,
+      Seq(col("frequency").desc, col(userCol)), "__rn_f")
+    graft.physical.Optimise.releaseCheckpoint(c1)
+    val (s3, c3) = withGlobalRowNumber(s2,
+      Seq(col("monetary").desc, col(userCol)), "__rn_m")
+    graft.physical.Optimise.releaseCheckpoint(c2)
+    val _ = c3 // backs the returned frame; pinned until the caller drops it
+    s3
+      .withColumn("r_score", ntileFromRowNumber("__rn_r", "__n", nTiles))
+      .withColumn("f_score", ntileFromRowNumber("__rn_f", "__n", nTiles))
+      .withColumn("m_score", ntileFromRowNumber("__rn_m", "__n", nTiles))
       .select(col(userCol), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
+import graft.physical.Optimise
 
 /** Link-analysis over edge lists — the graph counterpart of the
   * connected-components pass inside [[Dedup.transitive]]. PageRank
@@ -144,6 +145,7 @@ object Graph {
     val hasDangling = danglingNodes.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
+      val prevRanks = ranks
       val dangling = if (!hasDangling) 0L
       else ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
@@ -169,11 +171,18 @@ object Graph {
                 when(col("__seed").isNotNull, lit(perSeed)).otherwise(lit(0L)))
                 .as("rank"))
       }).localCheckpoint(true)
+      // the new rank vector is materialized — the superseded round's
+      // pinned blocks can go (long sessions would otherwise accumulate
+      // one rank frame per iteration per invocation)
+      Optimise.releaseCheckpoint(prevRanks)
     }
     val result = ranks.withColumn("score",
       col("rank").cast("double") / lit((n * scale).toDouble))
       .localCheckpoint(true)
     e.unpersist(); nodes.unpersist(); outw.unpersist()
+    Optimise.releaseCheckpoint(ranks)
+    seeds.foreach(Optimise.releaseCheckpoint)
+    Optimise.releaseCheckpoint(danglingNodes)
     result
   }
 
@@ -385,19 +394,25 @@ object Graph {
       require(s > 0,
         s"HITS $out mass collapsed to zero — scale=$scale is too coarse " +
           "for this graph; raise it")
-      full.select(col("node"), expr(s"(raw * ${m}L) div ${s}L").as(out))
+      val norm = full.select(col("node"), expr(s"(raw * ${m}L) div ${s}L").as(out))
         .localCheckpoint(true)
+      Optimise.releaseCheckpoint(full)
+      norm
     }
 
     var hubs = nodes.withColumn("h", lit(scale)).localCheckpoint(true)
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
+      val prevHubs = hubs
+      val prevAuths = auths
       val araw = e.join(hubs, e("src") === hubs("node"))
         .groupBy(e("dst").as("node")).agg(sum("h").as("raw"))
       auths = normalized(araw, "a")
+      if (prevAuths != null) Optimise.releaseCheckpoint(prevAuths)
       val hraw = e.join(auths, e("dst") === auths("node"))
         .groupBy(e("src").as("node")).agg(sum("a").as("raw"))
       hubs = normalized(hraw, "h")
+      Optimise.releaseCheckpoint(prevHubs)
     }
     val result = hubs.join(auths, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"),
@@ -405,6 +420,8 @@ object Graph {
         (col("a").cast("double") / lit(m.toDouble)).as("auth_score"))
       .localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
+    Optimise.releaseCheckpoint(hubs)
+    if (auths != null) Optimise.releaseCheckpoint(auths)
     result
   }
 
@@ -451,6 +468,8 @@ object Graph {
       var round = 0
       var deg: DataFrame = null
       while (!converged && round < maxRounds) {
+        val prevDeg = deg
+        val prevAlive = alive
         deg = e2
           .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -458,6 +477,11 @@ object Graph {
           .agg(count(lit(1)).as("core_degree"))
           .filter(col("core_degree") >= k)
           .localCheckpoint(true)
+        // the new survivor frame is materialized — release the previous
+        // round's pinned blocks (alive is a projection of deg, so the
+        // first round also releases the seed alive checkpoint)
+        if (prevDeg != null) Optimise.releaseCheckpoint(prevDeg)
+        else Optimise.releaseCheckpoint(prevAlive)
         val nextAlive = deg.select("node")
         val nextN = deg.count()
         converged = nextN == aliveN
@@ -650,6 +674,7 @@ object Graph {
       .withColumn("depth", lit(0))
       .localCheckpoint(true)
     var frontier = depths.select("node")
+    var frontierCk: DataFrame = null // the checkpoint backing `frontier`
     var d = 0
     var done = frontier.limit(1).count() == 0
     while (!done && d < maxDepth) {
@@ -662,11 +687,20 @@ object Graph {
         .localCheckpoint(true)
       done = next.limit(1).count() == 0
       if (!done) {
+        val prevDepths = depths
         depths = depths.union(next).localCheckpoint(true)
+        // union checkpoint materialized: the previous depths frame and
+        // the frontier two rounds back are both superseded
+        Optimise.releaseCheckpoint(prevDepths)
+        if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
+        frontierCk = next
         frontier = next.select("node")
+      } else {
+        Optimise.releaseCheckpoint(next)
       }
     }
     e.unpersist()
+    if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
     depths
   }
 

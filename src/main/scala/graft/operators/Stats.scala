@@ -144,16 +144,21 @@ object Stats {
   /** Gini coefficient of a non-negative distribution (revenue
     * concentration, engagement inequality): 0 = perfectly even, → 1 =
     * one entity holds everything. Uses the ranked formula
-    * `G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n` with the id column breaking
-    * value ties (ties make the rank weights deterministic without
-    * changing G — Σi over a tie run is order-invariant).
+    * `G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n`. Σi over a run of t equal
+    * values after c smaller rows is order-invariant (`t·c + t(t+1)/2`),
+    * so ranks never need to be materialized per row — `idCol` is kept
+    * for API stability but no longer participates (any tie order
+    * yields the same G).
     *
     * Returns ONE row `(n, total, gini)`; NULL gini when the total is
     * 0. Fails on negative values (Gini is undefined there).
     *
-    * Plan: one global rank sort over the (value, id) order — like the
-    * rank tests, an order statistic — then a 1-row reduction; with
-    * integral values and `n·max(x)` within 2⁵³ every term is exact.
+    * Plan: like [[mannWhitneyU]], the order statistic reduces at the
+    * DISTINCT-VALUE level — one partial-agg shuffle to (value, count),
+    * a running-sum window over the value grid only (never the rows),
+    * then a 1-row reduction. A 10¹⁰-row ledger over cent-granular
+    * amounts windows over its value grid, not its rows; with integral
+    * values and `n·max(x)` within 2⁵³ every term is exact.
     */
   def gini(
       df: DataFrame,
@@ -164,12 +169,21 @@ object Stats {
     val base = df.filter(col(valueCol).isNotNull)
     val neg = base.filter(v < 0).limit(1).count()
     require(neg == 0, s"gini is undefined for negative $valueCol values")
-    val w = Window.orderBy(col("__v"), col("__id"))
-    base.select(v.as("__v"), col(idCol).as("__id"))
-      .withColumn("__i", row_number().over(w))
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__v")), lit(0.0)).as("total"),
-        coalesce(sum(col("__i") * col("__v")), lit(0.0)).as("__iv"))
+    val byValue = base.select(v.as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__t"))
+    val before = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Σi over the run = t·c + t(t+1)/2; t(t+1) is even so the double
+    // division is exact while t(t+1) ≤ 2⁵³
+    val runs = byValue
+      .withColumn("__c", coalesce(sum(col("__t")).over(before), lit(0L)))
+      .withColumn("__isum",
+        col("__t") * col("__c") +
+          col("__t") * (col("__t") + lit(1)) / lit(2.0))
+    runs
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n"),
+        coalesce(sum(col("__v") * col("__t")), lit(0.0)).as("total"),
+        coalesce(sum(col("__v") * col("__isum")), lit(0.0)).as("__iv"))
       .withColumn("gini",
         when(col("total") > 0,
           lit(2.0) * col("__iv") / (col("n") * col("total")) -

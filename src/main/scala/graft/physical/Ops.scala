@@ -314,6 +314,20 @@ object Optimise {
 
   def unpersist(df: DataFrame): MayFail[DataFrame] = MayFail { df.unpersist(); df }
 
+  /** Release the pinned storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` does not reach a checkpoint's backing RDD (the
+    * checkpoint wraps an already-persisted internal RDD in a
+    * `LogicalRDD` leaf), so iterative operators that checkpoint per
+    * round would otherwise pin superseded blocks for the life of the
+    * session. Safe on any frame: a no-op unless the plan is a
+    * checkpoint leaf. Call only once every downstream consumer of the
+    * SUPERSEDED frame has been materialized.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key with a
     * random shard in [0, saltFactor) and replicate every small-side row
     * across all shards, so a hot key's rows spread over `saltFactor`

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -140,6 +141,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 3L, 60.0, 1, 1, 2)))
     assert(got(2L) == ((0L, 1L, 100.0, 2, 2, 1)))
     assert(got(3L) == ((2L, 1L, 1.0, 3, 3, 3)))
+  }
+
+  test("rfm: ntile parity on uneven buckets, no single-partition sort") {
+    // 7 users / 3 tiles → bucket sizes 3,2,2; heavy monetary ties so
+    // id tiebreaks decide every boundary. Expect bit-parity with
+    // ntile() over the same (metric, id) orders.
+    val data = (1L to 7L).map { u =>
+      (u, u, (u % 3) * 86400L + u, if (u <= 4) 50.0 else 10.0 * u)
+    }.toDF("event_id", "user_id", "epoch", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val got = Behavior.rfm(data, "ts", "user_id", "value", nTiles = 3).get
+    val viaNtile = got
+      .withColumn("r2", ntile(3).over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f2", ntile(3).over(
+        Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m2", ntile(3).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))))
+      .filter(col("r_score") =!= col("r2") ||
+        col("f_score") =!= col("f2") || col("m_score") =!= col("m2"))
+    assert(viaNtile.count() == 0, "closed-form scores must equal ntile")
+    // the operator's own plan must not contain an unpartitioned window
+    // (its windows are partitioned by __pid / run over the tiny offset
+    // frame only) — assert no ntile survives in the optimized plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), "rfm must not plan an ntile window")
   }
 
   test("activityHistogram and newVsReturning: exact engagement splits") {

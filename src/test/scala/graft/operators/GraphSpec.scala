@@ -274,4 +274,44 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("iterative operators release superseded checkpoints (no storage leak)") {
+    // per-iteration localCheckpoints must be unpersisted once superseded:
+    // after the run, only the RESULT's own checkpoint may remain pinned,
+    // and releasing it returns storage to the pre-call baseline.
+    val sc = spark.sparkContext
+    def pinned(): Int = sc.getPersistentRDDs.size
+    // one-sided bounds: the async ContextCleaner may collect leftovers
+    // from OTHER suites mid-test, so the baseline can only shrink
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    for (_ <- 1 to 2) { // second pass catches cross-invocation growth
+      val before = pinned()
+      val pr = Graph.pageRank(e, "s", "d", iterations = 5).get
+      pr.count()
+      assert(pinned() <= before + 1, "pageRank must pin only its result")
+      graft.physical.Optimise.releaseCheckpoint(pr)
+      assert(pinned() <= before)
+
+      val h = Graph.hits(e, "s", "d", iterations = 4).get
+      h.count()
+      assert(pinned() <= before + 1, "hits must pin only its result")
+      graft.physical.Optimise.releaseCheckpoint(h)
+      assert(pinned() <= before)
+
+      val seeds = Seq(1L).toDF("n")
+      val b = Graph.bfsDepths(e, "s", "d", seeds, "n", maxDepth = 6).get
+      b.count()
+      assert(pinned() <= before + 1, "bfsDepths must pin only its result")
+      graft.physical.Optimise.releaseCheckpoint(b)
+      assert(pinned() <= before)
+
+      val kc = Graph.kCore(e.union(e.select($"d", $"s")),
+        "s", "d", k = 2).get
+      kc.count()
+      assert(pinned() <= before + 1, "kCore must pin only its result")
+      graft.physical.Optimise.releaseCheckpoint(kc)
+      assert(pinned() <= before)
+    }
+  }
 }

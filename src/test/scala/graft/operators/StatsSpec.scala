@@ -119,6 +119,28 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.gini(Seq((1L, -1.0)).toDF("id", "v"), "v", "id").isFailing)
   }
 
+  test("gini: tie runs match the row-level ranked formula; value-grid plan") {
+    // heavy ties: x = [1,1,1,2,2,7,7,7,7,10] — row-level ranked formula
+    // computed by hand over any tie order (Σi per run is order-invariant)
+    val xs = Seq(1.0, 1.0, 1.0, 2.0, 2.0, 7.0, 7.0, 7.0, 7.0, 10.0)
+    val df0 = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val n = xs.size
+    val total = xs.sum
+    val iv = xs.sorted.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    val expect = 2.0 * iv / (n * total) - (n + 1.0) / n
+    val got = Stats.gini(df0, "v", "id").get
+    val r = got.as[(Long, Double, Double)].collect().head
+    assert(r._1 == n.toLong && r._2 == total)
+    assert(math.abs(r._3 - expect) < 1e-12)
+    // the unavoidable order-statistic window runs over the VALUE GRID,
+    // not the rows: the plan's window sits above an aggregate on __v
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition"))
+    assert(!plan.toLowerCase.contains("row_number"),
+      "gini must not materialize per-row ranks")
+  }
+
   test("pairedTTest: one-sample t of differences, df = n-1") {
     // d = [2, 3, 0]: mean 5/3, var 7/3, t = 5/sqrt(7)
     val df0 = Seq((5.0, 3.0), (7.0, 4.0), (6.0, 6.0)).toDF("a", "b")
