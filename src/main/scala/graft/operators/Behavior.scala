@@ -163,7 +163,11 @@ object Behavior {
     * country, experiment arm…) supplied as a `(userCol, segment)`
     * dimension frame — the every-product-team "where does each segment
     * drop off" view. Entities without a segment row are dropped (inner
-    * join; pre-fill a default segment to keep them).
+    * join; pre-fill a default segment to keep them). ONE segment per
+    * entity is enforced: an entity mapped to several segment values
+    * keeps only its MINIMUM segment (deterministic), so per-segment
+    * user counts and conversion denominators are never inflated by
+    * double membership.
     *
     * Returns `(segment, step_idx, step, users, conv_overall,
     * conv_step)` ordered within each segment.
@@ -187,7 +191,7 @@ object Behavior {
       val seg = segments.select(col(userCol),
           col(segmentCol).cast("string").as("segment"))
         .filter(col("segment").isNotNull)
-        .distinct()
+        .groupBy(col(userCol)).agg(min(col("segment")).as("segment"))
       val aggs = steps.indices.map(i =>
         count(col(s"step_${i + 1}_us")).as(s"c${i + 1}"))
       val bySeg = per.join(seg, Seq(userCol))
@@ -504,7 +508,11 @@ object Behavior {
     * two window passes (lag + running sum of break flags) over ONE
     * exchange and one in-partition sort on (entity, ts, id).
     *
-    * Adds `session_idx: bigint` to the input columns.
+    * Adds `session_idx: bigint` to the input columns. Rows with a NULL
+    * `tsCol` are DROPPED (a session index is undefined without an
+    * event time — same contract as the streaming counterpart, where an
+    * unparseable timestamp never reaches the state machine); filter or
+    * repair them upstream if they must be kept.
     */
   def sessionize(
       df: DataFrame,

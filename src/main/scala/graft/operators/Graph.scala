@@ -527,9 +527,11 @@ object Graph {
     triangleCount(edges, srcCol, dstCol).map { tc =>
       tc.agg(
           count(lit(1)).as("n_nodes"),
-          coalesce(sum(col("degree") * (col("degree") - 1) / 2), lit(0L))
-            .cast("long").as("n_wedges"),
-          (coalesce(sum(col("triangles")), lit(0L)) / 3).cast("long")
+          // integer `div` end to end: double division would silently
+          // lose precision once the wedge sum exceeds 2^53
+          coalesce(sum(expr("degree * (degree - 1L) div 2")), lit(0L))
+            .as("n_wedges"),
+          coalesce(expr("sum(triangles) div 3"), lit(0L))
             .as("n_triangles"))
         .withColumn("transitivity",
           when(col("n_wedges") > 0,

@@ -259,6 +259,15 @@ object Stats {
     * one partial-agg shuffle to `b` rows, one tiny sort. Determinism:
     * with integral (×100) values every weighted sum is exact, so the
     * interval is bit-reproducible.
+    *
+    * CONTRACT on `idCols`: the hash key concatenates the id values
+    * with `§` and renders NULL as the literal `<null>`, so id values
+    * containing `§` (or the string `<null>`) can collide across rows,
+    * correlating their Poisson draws and subtly biasing the CI. Use
+    * ids free of the separator (numeric/uuid keys qualify) — the
+    * SQL-replayability guarantee (the draw must be reproducible by
+    * external engines character-for-character) is why the key is a
+    * plain string concat rather than an escaped/length-prefixed hash.
     */
   def bootstrapCI(
       df: DataFrame,
