@@ -274,8 +274,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // qS1 normalized by the fsync calibration IN the artifact, so
+    // cross-round readers compare the host-independent number directly
+    // (the raw seconds swing 4x with host disk latency alone)
+    val qS1PerFsync =
+      if (streamSec >= 0 && calDisk > 0) streamSec / calDisk else -1.0
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"note":"fixed work; divide cross-round query deltas by the calibration ratio before reading them as regressions; qS1 is fsync-bound, normalize it by disk_fsync_sec"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"qS1_per_fsync":${f"$qS1PerFsync%.1f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"note":"fixed work; divide cross-round query deltas by the calibration ratio before reading them as regressions; qS1 is fsync-bound, qS1_per_fsync is the normalized number"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()
   }
 }

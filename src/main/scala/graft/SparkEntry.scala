@@ -2607,6 +2607,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q232_louvain" -> ((s, dir) => {
+      // Louvain local-move passes over the q202 co-occurrence graph:
+      // 4 semi-synchronous passes from singleton communities, every
+      // gain compared as an exact BIGINT (2m²-scaled ΔQ), md5-parity
+      // move damping — the oracle unrolls the identical passes.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.louvainMove(proj, "src", "dst", passes = 4).get
+        .orderBy("node")
+    }),
+
     "q203_hits" -> ((s, dir) => {
       // HITS over the DIRECTED part→supplier graph (hubs = parts,
       // authorities = suppliers — each side's other score is exactly
@@ -3757,6 +3768,72 @@ object SparkEntry {
     }
     sb.append(
       s"\n         SELECT node, c AS core_degree FROM d$rounds WHERE c >= $k ORDER BY node")
+    sb.toString
+  }
+
+  /** q232's oracle, generated: `passes` unrolled Louvain local-move
+    * passes over the q202 co-occurrence graph, replaying
+    * [[graft.operators.Graph.louvainMove]] decision-for-decision: the
+    * 2m²-scaled integer gain, the (gain DESC, community ASC) argmax,
+    * and the md5-parity damping are all exact, so the labeling is
+    * bit-identical across engines. */
+  private def louvainOracleSql(passes: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH mm AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS MATERIALIZED (
+           SELECT a.s AS x, b.s AS y FROM mm a JOIN mm b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS MATERIALIZED (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), em AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pr
+         ), deg AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS k FROM e
+           GROUP BY src
+         ), lab0 AS (SELECT node, node AS c FROM deg)""")
+    for (p <- 1 to passes) {
+      val q = p - 1
+      sb.append(s""", tot$q AS MATERIALIZED (
+           SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
+           FROM lab$q l JOIN deg d ON d.node = l.node GROUP BY l.c
+         ), lk$p AS MATERIALIZED (
+           SELECT e.src AS node, l.c AS cn, CAST(count(*) AS BIGINT) AS e_ic
+           FROM e JOIN lab$q l ON l.node = e.dst GROUP BY e.src, l.c
+         ), cur$p AS (
+           SELECT l.node, l.c, d.k, COALESCE(lk.e_ic, 0) AS e_own,
+             t.tot AS tot_own
+           FROM lab$q l
+           JOIN deg d ON d.node = l.node
+           LEFT JOIN lk$p lk ON lk.node = l.node AND lk.cn = l.c
+           JOIN tot$q t ON t.c = l.c
+         ), gn$p AS (
+           SELECT g.node, g.cn,
+             2 * (SELECT m FROM em) * (g.e_ic - c.e_own)
+               - c.k * (tn.tot - c.tot_own + c.k) AS g
+           FROM lk$p g
+           JOIN cur$p c ON c.node = g.node
+           JOIN tot$q tn ON tn.c = g.cn
+           WHERE g.cn <> c.c
+         ), mv$p AS (
+           SELECT node, cn FROM (
+             SELECT node, cn,
+               row_number() OVER (PARTITION BY node ORDER BY g DESC, cn)
+                 AS rn
+             FROM gn$p
+             WHERE g > 0 AND CAST(('0x' ||
+               substring(md5(CAST(node AS VARCHAR)), 1, 1)) AS BIGINT) % 2
+               = ${p % 2}
+           ) WHERE rn = 1
+         ), lab$p AS MATERIALIZED (
+           SELECT l.node, COALESCE(m.cn, l.c) AS c
+           FROM lab$q l LEFT JOIN mv$p m ON m.node = l.node
+         )""")
+    }
+    sb.append(s"""
+         SELECT node, c AS community FROM lab$passes ORDER BY node""")
     sb.toString
   }
 
@@ -6310,6 +6387,7 @@ object SparkEntry {
     // peel stabilizes — round 3 at sf0.01); the SQL is the semantic
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
+    "q232_louvain" -> louvainOracleSql(passes = 4),
 
     // q203: HITS unrolled — two normalized half-steps per iteration,
     // every (raw · M) // Σraw replayed on exact BIGINTs.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
@@ -723,4 +724,107 @@ object Graph {
         edges.select(col(srcCol).as("idA"), col(dstCol).as("idB")),
         maxIter, maxDriverEdges)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
+
+  /** Louvain LOCAL-MOVE passes (Blondel et al. 2008, phase 1): starting
+    * from singleton communities, each pass considers moving every
+    * eligible node into the neighboring community with the best
+    * modularity gain and applies all strictly-positive best moves at
+    * once. The community-detection primitive [[modularity]] only
+    * SCORES — this produces the labeling.
+    *
+    * Determinism, house-style: the gain comparison runs on EXACT
+    * integers. ΔQ of moving node i (degree kᵢ) from community a to b is
+    * `(e_ib − e_ia\i)/m − kᵢ·(Σtot(b) − Σtot(a) + kᵢ)/(2m²)`; scaling
+    * by the positive constant 2m² gives
+    * `g = 2m·(e_ib − e_ia\i) − kᵢ·(Σtot(b) − Σtot(a) + kᵢ)` — BIGINT
+    * arithmetic, so the argmax (ties → smallest community id) and the
+    * `g > 0` gate are bit-deterministic at any parallelism and
+    * replayable in external SQL.
+    *
+    * Synchronous application can oscillate (two nodes swapping
+    * communities forever), so each pass only moves nodes whose
+    * PORTABLE HASH parity (first md5 hex digit of the id string — the
+    * same replayable-draw device as `Stats.bootstrapCI`) matches the
+    * pass parity — the standard semi-synchronous damping; run an even
+    * number of `passes` so both classes move equally often.
+    *
+    * Returns `(node, community: the original node-id type)` for every
+    * node of the (symmetrized, deduplicated, self-loop-free) graph.
+    *
+    * Plan per pass: two label joins onto the edge list, one partial-agg
+    * shuffle to (node, neighbor-community) link counts, a per-node
+    * window (hash-partitioned on the node — never single-partition) for
+    * the argmax, and a label update join. The label frame is
+    * checkpointed per pass and the superseded one released immediately
+    * — the [[pageRank]] storage discipline.
+    */
+  def louvainMove(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      passes: Int = 4
+  ): MayFail[DataFrame] = MayFail {
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val m = und.count()
+    require(m > 0, "louvainMove needs a non-empty edge list")
+    require(m <= 3037000499L,
+      s"2m * degree must stay within Long for the integer gain: m=$m")
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("k"))
+      .persist()
+    var lab = deg.select(col("node"), col("node").as("c"))
+      .localCheckpoint(true)
+    for (pass <- 1 to passes) {
+      val prevLab = lab
+      // Σtot per community and each node's links into each neighboring
+      // community, under the CURRENT labeling
+      val tot = lab.join(deg, Seq("node"))
+        .groupBy("c").agg(sum("k").as("tot"))
+      val links = e
+        .join(lab.withColumnRenamed("node", "dst")
+          .withColumnRenamed("c", "cn"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("cn"))
+        .agg(count(lit(1)).as("e_ic"))
+      val cur = lab
+        .join(deg, Seq("node"))
+        .join(links.withColumnRenamed("cn", "c")
+            .withColumnRenamed("e_ic", "e_own"),
+          Seq("node", "c"), "left")
+        .select(col("node"), col("c"), col("k"),
+          coalesce(col("e_own"), lit(0L)).as("e_own"))
+        .join(tot.withColumnRenamed("tot", "tot_own"), Seq("c"))
+      val gains = links
+        .join(cur, Seq("node"))
+        .filter(col("cn") =!= col("c"))
+        .join(tot.withColumnRenamed("c", "cn")
+          .withColumnRenamed("tot", "tot_new"), Seq("cn"))
+        .withColumn("g",
+          lit(2L * m) * (col("e_ic") - col("e_own")) -
+            col("k") * (col("tot_new") - col("tot_own") + col("k")))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("g").desc, col("cn"))
+      val parity = pmod(
+        conv(substring(md5(col("node").cast("string")), 1, 1), 16, 10)
+          .cast("long"), lit(2L))
+      val moves = gains
+        .filter(col("g") > 0 && parity === lit(pass % 2))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("cn"))
+      lab = lab.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cn"), col("c")).as("c"))
+        .localCheckpoint(true)
+      Optimise.releaseCheckpoint(prevLab)
+    }
+    e.unpersist(); deg.unpersist()
+    lab.select(col("node"), col("c").as("community"))
+  }
 }

@@ -425,6 +425,52 @@ object ScaleRehearsal {
     var trendRepl: Map[String, (Option[Double], Option[Double])] = null
     time("trend")({ trendRepl = trendMap(evRepl); trendRepl.size.toLong })
 
+    // round-9 session: capped projection under a VIRAL right key,
+    // k-core convergence at scale, modularity/assortativity laws.
+    // Viral key: per replica, one synthetic part stocked by every
+    // supplier with local id < 1000 — ~10^3 members, ~5·10^5 pairs per
+    // replica if paired; the cap (set to the natural max right degree,
+    // so every organic key survives) must drop it BEFORE pairing.
+    val natMaxDeg = membership(1).distinct()
+      .groupBy("p").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    val viralMemb = membRepl.union(
+        membRepl.filter(pmod(col("s"), lit(100000000L)) < 1000L)
+          .select(col("s"),
+            (expr("s div 100000000") * 100000000L + 99999999L).as("p"))
+          .distinct())
+      .localCheckpoint(true)
+    var projCapped: DataFrame = null
+    time("bipartite-projection-capped") {
+      projCapped = graft.operators.Graph.projectBipartite(viralMemb, "s", "p",
+        minShared = 1L, maxRightDegree = natMaxDeg).get.localCheckpoint(true)
+      projCapped.count()
+    }
+    // the replicated thresholded co-occurrence graph (the triangle /
+    // components fixture), shared by the round-9 ops below
+    val projRepl = graft.operators.Graph.projectBipartite(membRepl, "s", "p",
+      minShared = minShared).get.localCheckpoint(true)
+    var coreRepl: DataFrame = null
+    var coreConverged = false
+    time("kcore") {
+      val r = graft.operators.Graph.kCore(projRepl, "src", "dst", k = 2L)
+      coreConverged = r.isInstanceOf[graft.functional.Ok[_]]
+      coreRepl = r.get.localCheckpoint(true)
+      coreRepl.count()
+    }
+    var modRepl: org.apache.spark.sql.Row = null
+    time("modularity") {
+      modRepl = graft.operators.Graph.modularity(projRepl, "src", "dst",
+        compRepl, "node", "component").get.head()
+      1L
+    }
+    var assortRepl: org.apache.spark.sql.Row = null
+    time("assortativity") {
+      assortRepl = graft.operators.Graph.assortativity(projRepl, "src", "dst")
+        .get.head()
+      1L
+    }
+
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
     // their counters with every rehearsal so a boilerplate-heavy corpus
@@ -693,11 +739,77 @@ object ScaleRehearsal {
       triBaseTotal > 0 && triReplTotal == triBaseTotal * mult,
       s"per-node triangle total must scale by exactly mult: " +
         s"$triReplTotal != $triBaseTotal x $mult")
-    val compBaseN = graft.operators.Graph.connectedComponents(baseGraph, "src", "dst")
-      .get.select("component").distinct().count()
+    val compBase = graft.operators.Graph.connectedComponents(baseGraph, "src", "dst")
+      .get.localCheckpoint(true)
+    val compBaseN = compBase.select("component").distinct().count()
     val compReplN = compRepl.select("component").distinct().count()
     check("components_replication_law", compReplN == compBaseN * mult,
       s"component count must scale by exactly mult: $compReplN != $compBaseN x $mult")
+
+    // round-9 graph invariants ----------------------------------------
+    // capped projection == uncapped projection WITHOUT the viral key:
+    // the cap prunes candidate generation only, never scores — organic
+    // pairs are untouched and the loss is exactly the injected key
+    val projClean = graft.operators.Graph.projectBipartite(membRepl, "s", "p",
+      minShared = 1L).get
+    val projDiff = projCapped.select("src", "dst", "shared")
+      .join(projClean.select(col("src"), col("dst"), col("shared").as("s2")),
+        Seq("src", "dst"), "full")
+      .filter(col("shared").isNull || col("s2").isNull ||
+        col("shared") =!= col("s2"))
+      .count()
+    check("projection_cap_recall", projDiff == 0,
+      s"capped viral projection must equal the organic projection: " +
+        s"$projDiff differing pairs")
+    val capRows = graft.operators.Graph.projectionCapReport(
+      viralMemb, "s", "p", natMaxDeg).get.collect()
+    check("projection_cap_report_exact",
+      capRows.length == mult &&
+        capRows.forall(r => r.getLong(0) % 100000000L == 99999999L),
+      s"cap report must list exactly the $mult injected viral keys: " +
+        capRows.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(","))
+    // k-core: peeling must converge, and per-replica structure makes
+    // both the survivor count and the in-core degree mass scale by mult
+    check("kcore_converged", coreConverged,
+      s"k-core peeling must converge at ${mult}x")
+    val coreBase = graft.operators.Graph.kCore(baseGraph, "src", "dst", k = 2L).get
+    val cb = coreBase.agg(count(lit(1)), coalesce(sum("core_degree"), lit(0L)))
+      .head()
+    val cr = coreRepl.agg(count(lit(1)), coalesce(sum("core_degree"), lit(0L)))
+      .head()
+    check("kcore_replication_law",
+      cb.getLong(0) > 0 && cr.getLong(0) == cb.getLong(0) * mult &&
+        cr.getLong(1) == cb.getLong(1) * mult,
+      s"k-core survivors and degree mass must scale by exactly mult: " +
+        s"(${cr.getLong(0)},${cr.getLong(1)}) vs (${cb.getLong(0)},${cb.getLong(1)}) x $mult")
+    // modularity under component labels: every edge is intra-community,
+    // so Q = 1 − Σ(d_c/2m)² and replication divides the degree term by
+    // mult exactly: (1 − Q_repl) == (1 − Q_base)/mult (float-division
+    // rounding differs between the two paths → relative tolerance)
+    val modBase = graft.operators.Graph.modularity(baseGraph, "src", "dst",
+      compBase, "node", "component").get.head()
+    val qb = modBase.getAs[Double]("q")
+    val qr = modRepl.getAs[Double]("q")
+    check("modularity_replication_law",
+      math.abs((1.0 - qr) - (1.0 - qb) / mult) <=
+        1e-9 * math.max(math.abs(1.0 - qr), math.abs(1.0 - qb) / mult),
+      s"component-labeled modularity must satisfy (1−Q') == (1−Q)/mult: " +
+        s"q_repl=$qr q_base=$qb mult=$mult")
+    // assortativity is replication-invariant: every degree moment
+    // scales by exactly mult (integral sums), so r is the same real —
+    // the two paths round differently only in final ulps
+    val assortBase = graft.operators.Graph.assortativity(baseGraph, "src", "dst")
+      .get.head()
+    val rb = Option(assortBase.getAs[java.lang.Double]("r")).map(_.doubleValue)
+    val rr = Option(assortRepl.getAs[java.lang.Double]("r")).map(_.doubleValue)
+    check("assortativity_replication_invariant",
+      (rb, rr) match {
+        case (Some(x), Some(y)) =>
+          math.abs(x - y) <= 1e-12 * math.max(math.abs(x), math.abs(y))
+        case (None, None) => true
+        case _ => false
+      },
+      s"assortativity must be replication-invariant: r_repl=$rr r_base=$rb")
 
     // stats/attribution/BFS replication laws
     val welchBase = welchRow(evBase)

@@ -275,6 +275,44 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("louvainMove: two cliques + bridge separate; modularity improves") {
+    // two K4s (1-4, 5-8) joined by one bridge 4-5: the canonical
+    // two-community graph. Local moves from singletons must land each
+    // clique in one community and never merge across the bridge.
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val e = (k4a ++ k4b :+ ((4L, 5L))).toDF("s", "d")
+    val lab = Graph.louvainMove(e, "s", "d", passes = 6).get
+      .as[(Long, Long)].collect().toMap
+    assert(lab.keySet == (1L to 8L).toSet)
+    val left = (1L to 4L).map(lab).toSet
+    val right = (5L to 8L).map(lab).toSet
+    assert(left.size == 1, s"left clique must unify: $lab")
+    assert(right.size == 1, s"right clique must unify: $lab")
+    assert(left != right, s"bridge must not merge the cliques: $lab")
+    // scoring the produced labels beats the singleton baseline
+    val labDf = Graph.louvainMove(e, "s", "d", passes = 6).get
+    val q = Graph.modularity(e, "s", "d", labDf, "node", "community").get
+      .select("q").as[Option[Double]].collect().head.get
+    val qSingleton = Graph.modularity(e, "s", "d",
+      e.select($"s".as("n")).union(e.select($"d".as("n"))).distinct()
+        .select($"n", $"n".as("c")), "n", "c").get
+      .select("q").as[Option[Double]].collect().head.get
+    assert(q > qSingleton && q > 0.3, s"q=$q singleton=$qSingleton")
+  }
+
+  test("louvainMove: deterministic across partitionings; triangle unifies") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val a = Graph.louvainMove(e, "s", "d", passes = 4).get
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.louvainMove(e.repartition(7), "s", "d", passes = 4).get
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet.size == 1, s"triangle must unify: $a")
+    // empty edge list is rejected
+    assert(Graph.louvainMove(e.filter(lit(false)), "s", "d").isFailing)
+  }
+
   test("iterative operators release superseded checkpoints (no storage leak)") {
     // per-iteration localCheckpoints must be unpersisted once superseded:
     // after the run, only the RESULT's own checkpoint may remain pinned,
