@@ -2395,6 +2395,26 @@ object SparkEntry {
         .orderBy("vec_id", "s")
     }),
 
+    "q233_seasonal" -> ((s, dir) => {
+      // STL-lite decomposition of the hourly zero-filled per-type
+      // series (×100 integral sums), period 24: the centered MA and
+      // the per-phase means are exact rationals of integers; only the
+      // re-center term sums ≤24 doubles — tier-3 noise, rounded at 4
+      // with the 1e-9 tie-shift on both engines.
+      val filled = TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "sum", fill = "zero").get
+      TimeSeries.seasonalDecompose(filled, "bucket_ts", Seq("event_type"),
+          "value", period = 24).get
+        .select(col("event_type"), col("bucket_ts"), col("phase"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("trend") / 100.0 + lit(1e-9), 4).as("trend"),
+          round(col("seasonal") / 100.0 + lit(1e-9), 4).as("seasonal"),
+          round(col("residual") / 100.0 + lit(1e-9), 4).as("residual"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     "q187_gap_fill" -> ((s, dir) => {
       // Regularize the event stream to 1-hour buckets per event type:
       // empty buckets materialize with n=0 and the last non-empty
@@ -5893,6 +5913,65 @@ object SparkEntry {
     // q187: the gap-fill grid replayed — per-type span range, bucket
     // aggregation, left join, ignore-nulls carry-forward window; bucket
     // timestamps rebuilt with tz-free epoch arithmetic.
+    // q233: the zero-filled grid + the full STL-lite replay — exact
+    // 24-row centered MA (11 preceding / 12 following, the operator's
+    // asymmetric even-period centering), integral detrended numerators,
+    // per-phase rational means, float re-center under the tie-shift.
+    "q233_seasonal" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), f AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), o AS (
+           SELECT event_type, b, v,
+             CAST((row_number() OVER w - 1) % 24 AS INT) AS phase,
+             count(v) OVER wt AS wn,
+             sum(v) OVER wt AS ws
+           FROM f
+           WINDOW w AS (PARTITION BY event_type ORDER BY b),
+           wt AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+         ), t AS (
+           SELECT *,
+             CASE WHEN wn = 24 THEN ws / 24.0 END AS trend,
+             CASE WHEN wn = 24 THEN v * 24 - ws END AS dnum
+           FROM o
+         ), pa AS (
+           SELECT event_type, phase, sum(dnum) AS snum,
+             CAST(count(*) AS BIGINT) AS sn
+           FROM t WHERE dnum IS NOT NULL GROUP BY event_type, phase
+         ), pav AS (
+           SELECT event_type, phase, snum / (sn * 24.0) AS sraw FROM pa
+         ), ctr AS (
+           SELECT event_type, sum(sraw) / count(*) AS center
+           FROM pav GROUP BY event_type
+         ), seas AS (
+           SELECT pav.event_type, pav.phase, sraw - center AS seasonal
+           FROM pav JOIN ctr ON ctr.event_type = pav.event_type
+         )
+         SELECT t.event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           t.phase, round(v / 100.0, 4) AS value,
+           round(t.trend / 100.0 + 1e-9, 4) AS trend,
+           round(s.seasonal / 100.0 + 1e-9, 4) AS seasonal,
+           round((v - t.trend - s.seasonal) / 100.0 + 1e-9, 4) AS residual
+         FROM t LEFT JOIN seas s
+           ON s.event_type = t.event_type AND s.phase = t.phase
+         ORDER BY t.event_type, bucket_ts""",
+
     "q187_gap_fill" ->
       """WITH cells AS (
            SELECT event_type,

@@ -152,6 +152,76 @@ object TimeSeries {
       .drop("__s", "__s2")
   }
 
+  /** STL-lite ADDITIVE seasonal decomposition per key over a REGULAR
+    * series (feed [[gapFill]] output — one row per bucket, constant
+    * spacing; phases are positional):
+    *
+    *  - `trend` — centered moving average over `period` rows (NULL
+    *    where the window is incomplete: the first/last rows of each
+    *    key, or any window containing a NULL value). Even periods
+    *    center asymmetrically (⌊(p−1)/2⌋ before, the rest after).
+    *  - `seasonal` — the classical period-average method (the
+    *    decomposition statsmodels `seasonal_decompose` implements):
+    *    per-phase mean of the detrended values, re-centered so the
+    *    period's seasonal components sum to zero.
+    *  - `residual` — `value − trend − seasonal` (NULL where trend is).
+    *
+    * Determinism: with integral inputs (×100 convention) the window
+    * sums and the per-phase numerators (`v·period − window_sum`) are
+    * exact integers, so `trend` and the raw phase means are
+    * bit-identical across engines; only the re-centering term sums
+    * ≤`period` doubles (χ²-tier ulp noise — round gate comparisons
+    * with the 1e-9 tie-shift).
+    *
+    * Plan: ONE exchange on the keys drives the row-number and
+    * moving-average windows (in-partition passes over the same sort),
+    * then a partial-agg shuffle to the tiny (key, phase) frame, a
+    * key-level re-center reduction, and a broadcast-scale join back.
+    * Grid volume is rows-per-key — the [[gapFill]] scale posture.
+    *
+    * Adds `phase: int, trend, seasonal, residual: double`.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      period: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val keys = keyCols.map(col)
+    val before = (period - 1) / 2
+    val after = period - 1 - before
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val wTrend = wOrd.rowsBetween(-before, after)
+    val base = df
+      .withColumn("__v", col(valueCol).cast("double"))
+      .withColumn("phase",
+        pmod(row_number().over(wOrd) - 1, lit(period)).cast("int"))
+      .withColumn("__wn", count(col("__v")).over(wTrend))
+      .withColumn("__ws", sum(col("__v")).over(wTrend))
+      .withColumn("trend",
+        when(col("__wn") === period, col("__ws") / period))
+      // detrended ×period: integral inputs keep this an exact integer
+      .withColumn("__dnum",
+        when(col("trend").isNotNull,
+          col("__v") * period - col("__ws")))
+    val phaseAvg = base.filter(col("__dnum").isNotNull)
+      .groupBy((keys :+ col("phase")): _*)
+      .agg(sum(col("__dnum")).as("__snum"), count(lit(1)).as("__sn"))
+      .withColumn("__sraw",
+        col("__snum") / (col("__sn") * lit(period.toDouble)))
+    val centers = phaseAvg.groupBy(keys: _*)
+      .agg((sum(col("__sraw")) / count(lit(1))).as("__center"))
+    val seasonal = phaseAvg.join(centers, keyCols)
+      .select((keys :+ col("phase") :+
+        (col("__sraw") - col("__center")).as("seasonal")): _*)
+    base.join(seasonal, keyCols :+ "phase", "left")
+      .withColumn("residual", col("__v") - col("trend") - col("seasonal"))
+      .drop("__v", "__wn", "__ws", "__dnum")
+  }
+
   /** Two-sided CUSUM change-point scores per key:
     * `hi_t = max(0, hi_(t-1) + v_t − target − slack)` and
     * `lo_t = min(0, lo_(t-1) + v_t − target + slack)` — the classic

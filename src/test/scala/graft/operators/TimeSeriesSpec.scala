@@ -170,6 +170,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.ewma(base, "t", Seq(), "v", 0.5).isFailing)
   }
 
+  test("seasonalDecompose: pure square wave — flat trend, exact seasonal") {
+    // v alternates 10/20 with period 2 → interior trend = 15 exactly,
+    // seasonal = ∓5 (re-centered), residual = 0; the last row's window
+    // is incomplete → NULL trend/residual
+    val rows = (0L until 8L).map(i => ("k", i, if (i % 2 == 0) 10.0 else 20.0))
+    val df0 = rows.toDF("key", "t", "v")
+    val got = TimeSeries.seasonalDecompose(df0, "t", Seq("key"), "v", 2).get
+      .select("t", "phase", "trend", "seasonal", "residual")
+      .as[(Long, Int, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    got.foreach { case (t, phase, trend, seasonal, residual) =>
+      assert(phase == (t % 2).toInt)
+      if (t == 7) { // incomplete trailing window (period 2: 0 before, 1 after)
+        assert(trend.isEmpty && residual.isEmpty)
+      } else {
+        assert(trend.contains(15.0), s"t=$t: $trend")
+        assert(residual.contains(0.0), s"t=$t: $residual")
+      }
+      assert(seasonal.contains(if (t % 2 == 0) -5.0 else 5.0))
+    }
+  }
+
+  test("seasonalDecompose: linear trend passes through; keys independent") {
+    // v = 10·t (no seasonality): detrended values are identical for
+    // every phase, so re-centered seasonal is exactly 0 and trend
+    // recovers the line on interior rows. Period 3 (odd → symmetric).
+    val rows = (0L until 9L).map(i => ("k", i, 10.0 * i)) ++
+      Seq(("other", 0L, 1.0), ("other", 1L, 2.0), ("other", 2L, 3.0))
+    val got = TimeSeries.seasonalDecompose(
+        rows.toDF("key", "t", "v"), "t", Seq("key"), "v", 3).get
+      .filter(col("key") === "k")
+      .select("t", "trend", "seasonal", "residual")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    got.foreach { case (t, trend, seasonal, residual) =>
+      if (t >= 1 && t <= 7) {
+        assert(trend.contains(10.0 * t), s"t=$t: $trend")
+        assert(residual.exists(r => math.abs(r) < 1e-12), s"t=$t: $residual")
+      } else assert(trend.isEmpty)
+      assert(seasonal.exists(s => math.abs(s) < 1e-12), s"t=$t: $seasonal")
+    }
+    // knob validation
+    assert(TimeSeries.seasonalDecompose(
+      rows.toDF("key", "t", "v"), "t", Seq("key"), "v", 1).isFailing)
+    assert(TimeSeries.seasonalDecompose(
+      rows.toDF("key", "t", "v"), "t", Seq.empty, "v", 2).isFailing)
+  }
+
   test("count aggregation and knob validation") {
     val got = TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", how = "count").get
       .filter(col("k") === "a").orderBy("bucket_ts")
