@@ -71,7 +71,15 @@ object Bench {
     // rehearsal where the threshold is data-derived) — iterative-plan
     // and self-join regressions surface here
     "q195_pagerank",
-    "q196_bipartite_projection"
+    "q196_bipartite_projection",
+    // round-9 additions: Louvain local moves over the direct bipartite
+    // graph (4 label-join/agg/window rounds — the deepest iterative
+    // plan after PageRank; the q232 co-occurrence variant empties at
+    // sf0.1) and the STL-lite decomposition (two window families + a
+    // phase agg over the gapFilled grid); iterative-label and
+    // window-chain regressions surface here
+    "q234_louvain_bipartite",
+    "q233_seasonal"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

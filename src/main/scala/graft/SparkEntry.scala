@@ -2638,6 +2638,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q234_louvain_bipartite" -> ((s, dir) => {
+      // Louvain over the DIRECT part↔supplier graph (non-trivial at
+      // every sf, unlike q232's thresholded projection which empties
+      // at sf0.1) — the bench headliner for the iterative label plan.
+      val li = tbl(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.louvainMove(e, "src", "dst", passes = 4).get
+        .orderBy("node")
+    }),
+
     "q203_hits" -> ((s, dir) => {
       // HITS over the DIRECTED part→supplier graph (hubs = parts,
       // authorities = suppliers — each side's other score is exactly
@@ -3797,16 +3808,21 @@ object SparkEntry {
     * 2m²-scaled integer gain, the (gain DESC, community ASC) argmax,
     * and the md5-parity damping are all exact, so the labeling is
     * bit-identical across engines. */
-  private def louvainOracleSql(passes: Int): String = {
-    val sb = new StringBuilder
-    sb.append(
-      """WITH mm AS (
+  private def louvainOracleSql(
+      passes: Int,
+      prCtes: String =
+        """WITH mm AS (
            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
          ), pr AS MATERIALIZED (
            SELECT a.s AS x, b.s AS y FROM mm a JOIN mm b
              ON a.p = b.p AND a.s < b.s
            GROUP BY a.s, b.s HAVING count(*) >= 150
-         ), e AS MATERIALIZED (
+         )"""
+  ): String = {
+    val sb = new StringBuilder
+    sb.append(prCtes)
+    sb.append(
+      """, e AS MATERIALIZED (
            SELECT x AS src, y AS dst FROM pr
            UNION ALL SELECT y, x FROM pr
          ), em AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM pr
@@ -6467,6 +6483,11 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    "q234_louvain_bipartite" -> louvainOracleSql(passes = 4,
+      prCtes = """WITH pr AS MATERIALIZED (
+           SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS x,
+                  greatest(l_partkey * 2, l_suppkey * 2 + 1) AS y
+           FROM lineitem)"""),
 
     // q203: HITS unrolled — two normalized half-steps per iteration,
     // every (raw · M) // Σraw replayed on exact BIGINTs.

@@ -751,12 +751,15 @@ object Graph {
     * Returns `(node, community: the original node-id type)` for every
     * node of the (symmetrized, deduplicated, self-loop-free) graph.
     *
-    * Plan per pass: two label joins onto the edge list, one partial-agg
-    * shuffle to (node, neighbor-community) link counts, a per-node
-    * window (hash-partitioned on the node — never single-partition) for
-    * the argmax, and a label update join. The label frame is
-    * checkpointed per pass and the superseded one released immediately
-    * — the [[pageRank]] storage discipline.
+    * Plan per pass: ONE label join onto the edge list feeding a single
+    * partial-agg shuffle to (node, neighbor-community) link counts —
+    * the node's own community rides along as a synthesized zero row, so
+    * the own-community link count AND total are read by the same
+    * hash-partitioned per-node window that runs the argmax (never
+    * single-partition, no second links pass) — one community-total
+    * join, one node-info join, and a label update join. The label
+    * frame is checkpointed per pass and the superseded one released
+    * immediately — the [[pageRank]] storage discipline.
     */
   def louvainMove(
       edges: DataFrame,
@@ -770,8 +773,12 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+    // pre-partitioned on dst: every pass joins the labels in on dst,
+    // so the cached layout is reused and the edge list never
+    // re-shuffles across passes
     val e = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     val m = und.count()
     require(m > 0, "louvainMove needs a non-empty edge list")
@@ -784,33 +791,37 @@ object Graph {
       .localCheckpoint(true)
     for (pass <- 1 to passes) {
       val prevLab = lab
-      // Σtot per community and each node's links into each neighboring
-      // community, under the CURRENT labeling
-      val tot = lab.join(deg, Seq("node"))
-        .groupBy("c").agg(sum("k").as("tot"))
-      val links = e
+      // one (node, c, k) frame and the community degree totals
+      val nodeInfo = lab.join(deg, Seq("node"))
+      val tot = nodeInfo.groupBy("c").agg(sum("k").as("tot"))
+      // each node's link counts into every neighboring community, with
+      // a synthesized ZERO row for the node's own community so a
+      // single node-partitioned window below can read both the
+      // own-community link count and the own-community total — no
+      // second links computation, no (node, c) equi-join back
+      val linksRaw = e
         .join(lab.withColumnRenamed("node", "dst")
           .withColumnRenamed("c", "cn"), Seq("dst"))
-        .groupBy(col("src").as("node"), col("cn"))
-        .agg(count(lit(1)).as("e_ic"))
-      val cur = lab
-        .join(deg, Seq("node"))
-        .join(links.withColumnRenamed("cn", "c")
-            .withColumnRenamed("e_ic", "e_own"),
-          Seq("node", "c"), "left")
-        .select(col("node"), col("c"), col("k"),
-          coalesce(col("e_own"), lit(0L)).as("e_own"))
-        .join(tot.withColumnRenamed("tot", "tot_own"), Seq("c"))
-      val gains = links
-        .join(cur, Seq("node"))
-        .filter(col("cn") =!= col("c"))
+        .select(col("src").as("node"), col("cn"), lit(1L).as("__one"))
+      val ownZero = nodeInfo
+        .select(col("node"), col("c").as("cn"), lit(0L).as("__one"))
+      val links = linksRaw.unionByName(ownZero)
+        .groupBy("node", "cn").agg(sum("__one").as("e_ic"))
+      val wNode = Window.partitionBy(col("node"))
+      val g2 = links
         .join(tot.withColumnRenamed("c", "cn")
-          .withColumnRenamed("tot", "tot_new"), Seq("cn"))
+          .withColumnRenamed("tot", "tot_cn"), Seq("cn"))
+        .join(nodeInfo, Seq("node"))
+        .withColumn("e_own",
+          max(when(col("cn") === col("c"), col("e_ic"))).over(wNode))
+        .withColumn("tot_own",
+          max(when(col("cn") === col("c"), col("tot_cn"))).over(wNode))
+      val gains = g2
+        .filter(col("cn") =!= col("c"))
         .withColumn("g",
           lit(2L * m) * (col("e_ic") - col("e_own")) -
-            col("k") * (col("tot_new") - col("tot_own") + col("k")))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("g").desc, col("cn"))
+            col("k") * (col("tot_cn") - col("tot_own") + col("k")))
+      val w = wNode.orderBy(col("g").desc, col("cn"))
       val parity = pmod(
         conv(substring(md5(col("node").cast("string")), 1, 1), 16, 10)
           .cast("long"), lit(2L))
