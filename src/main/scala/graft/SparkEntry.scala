@@ -2679,6 +2679,47 @@ object SparkEntry {
           round(col("cohen_d") + lit(1e-9), 4).as("cohen_d"))
     }),
 
+    "q235_anova" -> ((s, dir) => {
+      // One-way F across all event types on ×100 integral values:
+      // per-group moments exact; the k-term Σs²/n reduction is the
+      // χ²-tier float sum — rounded under the tie-shift. SS in cent²
+      // → /10⁴ for dollar² output.
+      Stats.anova(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", "event_type").get
+        .select(col("n"), col("k"),
+          round(col("ss_between") / 10000.0 + lit(1e-9), 4).as("ss_between"),
+          round(col("ss_within") / 10000.0 + lit(1e-9), 4).as("ss_within"),
+          col("df_between"), col("df_within"),
+          round(col("f") + lit(1e-9), 4).as("f"))
+    }),
+
+    "q236_kruskal_wallis" -> ((s, dir) => {
+      // Rank-based k-group test on the raw values (ranks don't need
+      // the ×100 scaling): midranks exact dyadics at distinct-value
+      // granularity, H rounded under the tie-shift.
+      Stats.kruskalWallis(events(s, dir), "value", "event_type").get
+        .select(col("n"), col("k"), col("df"),
+          round(col("h") + lit(1e-9), 4).as("h"),
+          round(col("h_adj") + lit(1e-9), 4).as("h_adj"))
+    }),
+
+    "q237_fdr" -> ((s, dir) => {
+      // BH step-up over a per-document p-value frame drawn from the
+      // portable md5 device (the bootstrapCI convention) — adjustment
+      // runs on the raw doubles, outputs rounded under the tie-shift;
+      // the reject comparison happens BEFORE rounding, identically on
+      // both engines.
+      val p = tbl(s, dir, "documents").select(col("doc_id"),
+        (conv(substring(md5(concat(lit("fdr§"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 1000000L / lit(1000000.0)).as("p"))
+      Stats.fdrAdjust(p, "p", alpha = 0.1).get
+        .select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(col("q_value") + lit(1e-9), 6).as("q_value"), col("reject"))
+        .orderBy("doc_id")
+    }),
+
     "q205_chi_square" -> ((s, dir) => {
       // Pearson independence test: event_type × value-band (5×5 grid,
       // dof 16). Counts and marginals are exact; chi2 is a 25-term
@@ -6533,6 +6574,99 @@ object SparkEntry {
 
     // q205: contingency cells, marginals, full grid with absent cells,
     // and the textbook (o−e)²/e reduction.
+    // q235: per-group moments on exact cent sums, the identical
+    // SSB/SSW/F arithmetic; S·S may pass 2⁵³ but both engines multiply
+    // IDENTICAL doubles, so the product is bit-equal.
+    "q235_anova" ->
+      """WITH per AS (
+           SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+             sum(round(value * 100)) AS s,
+             sum(round(value * 100) * round(value * 100)) AS s2
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY event_type
+         ), a AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS st, sum(s2) AS s2t,
+             sum(s * s / CAST(n AS DOUBLE)) AS b
+           FROM per
+         )
+         SELECT n, k,
+           round(greatest(b - st * st / CAST(n AS DOUBLE), 0) / 10000.0
+             + 1e-9, 4) AS ss_between,
+           round(greatest(s2t - b, 0) / 10000.0 + 1e-9, 4) AS ss_within,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(CASE WHEN k >= 2 AND n - k >= 1 AND greatest(s2t - b, 0) > 0
+             THEN (greatest(b - st * st / CAST(n AS DOUBLE), 0) / (k - 1))
+               / (greatest(s2t - b, 0) / (n - k)) END + 1e-9, 4) AS f
+         FROM a""",
+
+    // q236: the MWU distinct-value midrank machinery generalized to k
+    // groups; the identical H / tie-correction arithmetic.
+    "q236_kruskal_wallis" ->
+      """WITH f AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ), cells AS (
+           SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY v, g
+         ), perv AS (
+           SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v
+         ), mids AS (
+           SELECT v, t,
+             COALESCE(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (t + 1) / 2.0 AS mid
+           FROM perv
+         ), perg AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS ng, sum(c * mid) AS rg
+           FROM cells JOIN mids USING (v) GROUP BY g
+         ), tie AS (
+           SELECT COALESCE(sum(CAST(t AS DOUBLE) * t * t - t), 0) AS tc
+           FROM perv
+         ), a AS (
+           SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(rg * rg / CAST(ng AS DOUBLE)) AS r
+           FROM perg
+         )
+         SELECT n, k, CAST(k - 1 AS BIGINT) AS df,
+           round(CASE WHEN k >= 2 AND n >= 2
+             THEN 12.0 / (n * (n + 1)) * r - 3.0 * (n + 1) END + 1e-9, 4)
+             AS h,
+           round(CASE WHEN k >= 2 AND n >= 2
+               AND 1.0 - tc / (CAST(n AS DOUBLE) * n * n - n) > 0
+             THEN (12.0 / (n * (n + 1)) * r - 3.0 * (n + 1))
+               / (1.0 - tc / (CAST(n AS DOUBLE) * n * n - n)) END + 1e-9, 4)
+             AS h_adj
+         FROM a CROSS JOIN tie""",
+
+    // q237: the portable md5 p-draw, the distinct-p BH grid (run-end
+    // index, reverse running min), and the pre-rounding reject compare.
+    "q237_fdr" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5('fdr§' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 1000000 / 1000000.0 AS p
+           FROM documents
+         ), grid AS (
+           SELECT p, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY p
+         ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid
+         ), j AS (
+           SELECT p, sum(c) OVER (ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jhi
+           FROM grid
+         ), q AS (
+           SELECT p,
+             least(min(p * (SELECT n FROM nn) / jhi) OVER (ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0)
+               AS q_value
+           FROM j
+         )
+         SELECT t.doc_id, round(t.p, 6) AS p,
+           round(q.q_value + 1e-9, 6) AS q_value,
+           q.q_value <= 0.1 AS reject
+         FROM t JOIN q ON q.p = t.p
+         ORDER BY t.doc_id""",
+
     "q205_chi_square" ->
       """WITH src AS (
            SELECT event_type AS r, CAST(floor(value / 100) AS INT) AS c

@@ -443,4 +443,155 @@ object Stats {
         col("r_b") - col("n_b") * (col("n_b") + lit(1)) / lit(2.0))
       .select("n_a", "n_b", "u_a", "u_b", "r_a", "r_b")
   }
+
+  /** One-way ANOVA F-test of `valueCol` across ALL groups of
+    * `groupCol` (the k-group generalization of [[welchTTest]]'s
+    * two-group question, under the classic equal-variance model):
+    * between-group and within-group sums of squares from one
+    * two-stage aggregation — per-group (n, Σ, Σ²) then a k-row
+    * reduction — so a 10¹⁰-row experiment costs one scan.
+    *
+    * Returns ONE row `(n, k: bigint, ss_between, ss_within,
+    * df_between, df_within: bigint, f: double)`; NULL `f` when
+    * degenerate (k < 2, n ≤ k, or zero within-group variance).
+    *
+    * Determinism: per-group sums are exact under integral (×100)
+    * inputs; the k-row reduction sums `Σ²/n` doubles (χ²-tier ulp
+    * noise — round gate comparisons with the 1e-9 tie-shift).
+    */
+  def anova(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    per.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        count(lit(1)).as("k"),
+        coalesce(sum(col("__s")), lit(0.0)).as("__S"),
+        coalesce(sum(col("__s2")), lit(0.0)).as("__S2"),
+        coalesce(sum(col("__s") * col("__s") / col("__n")), lit(0.0))
+          .as("__B"))
+      .withColumn("ss_between",
+        when(col("n") > 0,
+          greatest(col("__B") - col("__S") * col("__S") / col("n"),
+            lit(0.0))))
+      .withColumn("ss_within",
+        when(col("n") > 0, greatest(col("__S2") - col("__B"), lit(0.0))))
+      .withColumn("df_between", col("k") - 1)
+      .withColumn("df_within", col("n") - col("k"))
+      .withColumn("f",
+        when(col("k") >= 2 && col("df_within") >= 1 && col("ss_within") > 0,
+          (col("ss_between") / col("df_between")) /
+            (col("ss_within") / col("df_within"))))
+      .select("n", "k", "ss_between", "ss_within",
+        "df_between", "df_within", "f")
+  }
+
+  /** Kruskal–Wallis H test of `valueCol` across ALL groups of
+    * `groupCol` — the rank-based (distribution-free) counterpart of
+    * [[anova]] and the k-group generalization of [[mannWhitneyU]],
+    * with midrank ties and the standard tie correction
+    * `C = 1 − Σ(t³−t)/(N³−N)`.
+    *
+    * Returns ONE row `(n, k, df: bigint, h, h_adj: double)` — `h_adj =
+    * h / C`; NULL `h_adj` when every value ties (C = 0), NULL both
+    * when k < 2.
+    *
+    * Plan: exactly the [[mannWhitneyU]] discipline — ranks reduce at
+    * the DISTINCT-VALUE level: one partial-agg shuffle to (value,
+    * group) cells, a value-grid running-sum window for midranks (the
+    * grid, never the rows), one partial-agg shuffle to per-group rank
+    * sums, and a k-row reduction. Midranks are exact dyadics; `h`
+    * carries only the final IEEE divisions.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val cells = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perV = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val before = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mids = perV
+      .withColumn("__mid",
+        coalesce(sum(col("__t")).over(before), lit(0L)) +
+          (col("__t") + lit(1)) / lit(2.0))
+    val perG = cells.join(mids, Seq("__v"))
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__mid")).as("__rg"))
+    // tie term in double: t³ would overflow Long for ~2³¹-row tie runs
+    val ties = perV.agg(
+      coalesce(sum(col("__t").cast("double") * col("__t") * col("__t") -
+        col("__t")), lit(0.0)).as("__tc"))
+    perG.agg(
+        coalesce(sum(col("__ng")), lit(0L)).as("n"),
+        count(lit(1)).as("k"),
+        coalesce(sum(col("__rg") * col("__rg") / col("__ng")), lit(0.0))
+          .as("__R"))
+      .crossJoin(broadcast(ties))
+      .withColumn("df", col("k") - 1)
+      .withColumn("h",
+        when(col("k") >= 2 && col("n") >= 2,
+          lit(12.0) / (col("n") * (col("n") + lit(1))) * col("__R") -
+            lit(3.0) * (col("n") + lit(1))))
+      .withColumn("__C",
+        lit(1.0) - col("__tc") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))
+      .withColumn("h_adj", when(col("__C") > 0, col("h") / col("__C")))
+      .select("n", "k", "df", "h", "h_adj")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a HYPOTHESIS-level frame
+    * (one row per test): adds the step-up adjusted q-value
+    * `q_i = min_{j ≥ i} (p_(j) · n / j)` clamped at 1, and a `reject`
+    * flag at level `alpha` (reject ⇔ q ≤ alpha — equivalent to the
+    * classic largest-i rule). The multiple-comparisons guard for
+    * metric sweeps: thousands of [[welchTTest]] readouts can't all be
+    * winners.
+    *
+    * Plan: the [[gini]] trick — the order statistic reduces to
+    * DISTINCT-P granularity. Within a tie run of equal p, `p·n/j` is
+    * minimized at the run's LAST index, so the grid needs one running
+    * count and one reverse running min over distinct p values (never
+    * the rows), then a broadcast-scale join back onto the tests.
+    * NULL-p rows pass through with NULL q/reject.
+    *
+    * Adds `q_value: double, reject: boolean`.
+    */
+  def fdrAdjust(
+      df: DataFrame,
+      pCol: String,
+      alpha: Double = 0.05
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val p = col(pCol).cast("double")
+    val bad = df.filter(p < 0 || p > 1).limit(1).count()
+    require(bad == 0, s"$pCol must lie in [0,1]")
+    val grid = df.filter(p.isNotNull)
+      .groupBy(p.as("__p")).agg(count(lit(1)).as("__t"))
+    val upto = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromHere = Window.orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val total = grid.agg(coalesce(sum(col("__t")), lit(0L)).as("__n"))
+    val qs = grid
+      .crossJoin(broadcast(total))
+      .withColumn("__jhi", sum(col("__t")).over(upto))
+      .withColumn("__raw", col("__p") * col("__n") / col("__jhi"))
+      .withColumn("q_value", least(min(col("__raw")).over(fromHere), lit(1.0)))
+      .select(col("__p"), col("q_value"))
+    df.join(qs, p === col("__p"), "left")
+      .drop("__p")
+      .withColumn("reject",
+        when(p.isNotNull, col("q_value") <= alpha))
+  }
 }

@@ -180,4 +180,71 @@ class StatsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Double, Double)].collect().head
     assert(r._3 == r._4 && r._3 + r._4 == (r._1 * r._2).toDouble)
   }
+
+  test("anova: hand-computed F; degenerate cases NULL") {
+    // groups a=[1,2,3] (mean 2), b=[4,5,6] (mean 5): SSB = 13.5,
+    // SSW = 4, df = (1, 4), F = 13.5 / 1 = 13.5
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.anova(df0, "v", "g").get
+      .as[(Long, Long, Double, Double, Long, Long, Option[Double])]
+      .collect().head
+    assert(r._1 == 6L && r._2 == 2L)
+    assert(math.abs(r._3 - 13.5) < 1e-12 && math.abs(r._4 - 4.0) < 1e-12)
+    assert(r._5 == 1L && r._6 == 4L)
+    assert(r._7.exists(f => math.abs(f - 13.5) < 1e-12))
+    // one group → NULL F; zero within-variance → NULL F
+    assert(Stats.anova(df0.filter($"g" === "a"), "v", "g").get
+      .select("f").as[Option[Double]].collect().head.isEmpty)
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(Stats.anova(flat, "v", "g").get
+      .select("f").as[Option[Double]].collect().head.isEmpty)
+  }
+
+  test("kruskalWallis: textbook three-group H with and without ties") {
+    // no ties: a=[1,2], b=[3,4], c=[5,6] → ranks 1..6,
+    // R = {3, 7, 11}; H = 12/(6·7)·(9/2+49/2+121/2) − 21 = 25.57…−21
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df0, "v", "g").get
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().head
+    val expect = 12.0 / 42.0 * (4.5 + 24.5 + 60.5) - 21.0
+    assert(r._1 == 6L && r._2 == 3L && r._3 == 2L)
+    assert(r._4.exists(h => math.abs(h - expect) < 1e-12))
+    assert(r._5.exists(h => math.abs(h - expect) < 1e-12)) // no ties → C=1
+    // all-equal values: C = 0 → NULL h_adj
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val rt = Stats.kruskalWallis(tied, "v", "g").get
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().head
+    assert(rt._5.isEmpty)
+  }
+
+  test("fdrAdjust: BH step-up q-values, tie runs, clamp at 1") {
+    // p = [0.01, 0.02, 0.02, 0.9], n = 4:
+    //   raw at jhi: 0.01·4/1 = 0.04; 0.02·4/3 ≈ 0.0267 (tie run ends
+    //   at j=3); 0.9·4/4 = 0.9 → reverse min: [0.04→min(0.04,…)=0.0267?
+    //   no — q_1 = min(0.04, 0.0267, 0.9) = 0.0267], q(0.02) = 0.0267,
+    //   q(0.9) = 0.9
+    val df0 = Seq((1L, 0.01), (2L, 0.02), (3L, 0.02), (4L, 0.9))
+      .toDF("id", "p")
+    val got = Stats.fdrAdjust(df0, "p", alpha = 0.05).get
+      .select("id", "q_value", "reject")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val q2 = 0.02 * 4 / 3.0
+    assert(got(1L)._1.exists(q => math.abs(q - q2) < 1e-12)) // stepped down
+    assert(got(2L)._1.exists(q => math.abs(q - q2) < 1e-12))
+    assert(got(3L)._1 == got(2L)._1)
+    assert(got(4L)._1.contains(0.9))
+    assert(got(1L)._2.contains(true) && got(4L)._2.contains(false))
+    // NULL p is not a test: excluded from n and passed through with
+    // NULL q (n = 1 here, so q = p exactly)
+    val big = Seq((1L, Some(0.999)), (2L, None)).toDF("id", "p")
+    val gb = Stats.fdrAdjust(big, "p", alpha = 0.1).get
+      .select("id", "q_value").as[(Long, Option[Double])].collect().toMap
+    assert(gb(1L).contains(0.999))
+    assert(gb(2L).isEmpty)
+    // out-of-range p rejected
+    assert(Stats.fdrAdjust(Seq((1L, 1.5)).toDF("id", "p"), "p").isFailing)
+  }
 }
