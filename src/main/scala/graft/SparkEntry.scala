@@ -2638,6 +2638,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q238_link_predict" -> ((s, dir) => {
+      // Missing-edge scores over the direct part↔supplier graph with
+      // the hub cap at degree 50 (drops supplier hubs; wedges come
+      // from part centers only — the capped-quadratic posture under
+      // test). Jaccard exact; Adamic–Adar rounded under the tie-shift.
+      val li = tbl(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.linkPredict(e, "src", "dst", minCommon = 2L, maxDegree = 50L)
+        .get
+        .select(col("src"), col("dst"), col("common"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"),
+          round(col("adamic_adar") + lit(1e-9), 6).as("adamic_adar"))
+        .orderBy("src", "dst")
+    }),
+
     "q234_louvain_bipartite" -> ((s, dir) => {
       // Louvain over the DIRECT part↔supplier graph (non-trivial at
       // every sf, unlike q232's thresholded projection which empties
@@ -6524,6 +6540,45 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    // q238: wedge pairing from sub-cap centers, the same three scores
+    // (ln() — DuckDB log() is base-10), existing-edge anti-join via
+    // NOT EXISTS.
+    "q238_link_predict" ->
+      """WITH und AS (
+           SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+             greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b
+           FROM lineitem
+         ), nb AS MATERIALIZED (
+           SELECT a AS w, b AS x FROM und
+           UNION ALL SELECT b, a FROM und
+         ), deg AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY w
+         ), centers AS (
+           SELECT nb.w, nb.x FROM nb JOIN deg ON deg.w = nb.w
+           WHERE deg.deg <= 50
+         ), scored AS (
+           SELECT n1.x AS src, n2.x AS dst,
+             CAST(count(*) AS BIGINT) AS common,
+             sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa
+           FROM centers n1
+           JOIN centers n2 ON n1.w = n2.w AND n1.x < n2.x
+           JOIN deg d ON d.w = n1.w
+           GROUP BY n1.x, n2.x
+           HAVING count(*) >= 2
+         ), novel AS (
+           SELECT s.* FROM scored s
+           WHERE NOT EXISTS (
+             SELECT 1 FROM und WHERE und.a = s.src AND und.b = s.dst)
+         )
+         SELECT n.src, n.dst, n.common,
+           round(CAST(n.common AS DOUBLE) / (da.deg + db.deg - n.common)
+             + 1e-9, 6) AS jaccard,
+           round(n.aa + 1e-9, 6) AS adamic_adar
+         FROM novel n
+         JOIN deg da ON da.w = n.src
+         JOIN deg db ON db.w = n.dst
+         ORDER BY n.src, n.dst""",
+
     "q234_louvain_bipartite" -> louvainOracleSql(passes = 4,
       prCtes = """WITH pr AS MATERIALIZED (
            SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS x,

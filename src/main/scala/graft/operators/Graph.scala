@@ -725,6 +725,96 @@ object Graph {
         maxIter, maxDriverEdges)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
 
+  /** Link prediction over an undirected graph: for every NON-ADJACENT
+    * node pair sharing ≥ `minCommon` neighbors, the three classic
+    * scores — common-neighbor count, Jaccard
+    * (`cn / (deg(a) + deg(b) − cn)`), and Adamic–Adar
+    * (`Σ_w 1/ln(deg(w))` over shared neighbors `w`; every shared
+    * neighbor has degree ≥ 2, so the log never vanishes). The
+    * "which edges are missing" primitive: recommendation candidates,
+    * knowledge-graph completion, dedup-edge suggestion.
+    *
+    * Returns `(src, dst, common: bigint, jaccard, adamic_adar:
+    * double)` with `src < dst`. Common/Jaccard are exact integer
+    * arithmetic; Adamic–Adar sums floats over the shared-neighbor set
+    * (χ²-tier noise — round gate comparisons with the tie-shift).
+    *
+    * Scale: pairs are generated per wedge CENTER — `C(deg, 2)` pairs
+    * per node — so a hub is quadratic exactly like
+    * [[projectBipartite]]'s viral right key. `maxDegree` drops centers
+    * hotter than the cap BEFORE pairing (partial-agg degree count +
+    * join-back, never a window); the dropped hubs are queryable via
+    * [[linkPredictCapReport]], and a hub still appears as an ENDPOINT
+    * of predictions centered elsewhere. Plan: one degree aggregation,
+    * one self-join on the center, one partial-agg shuffle on the pair,
+    * an existing-edge anti-join, two endpoint degree joins.
+    */
+  def linkPredict(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minCommon: Long = 1L,
+      maxDegree: Long = 0L
+  ): MayFail[DataFrame] = MayFail {
+    require(minCommon >= 1, s"minCommon must be >= 1: $minCommon")
+    require(maxDegree >= 0, s"maxDegree must be >= 0: $maxDegree")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val nb = und.select(col("a").as("w"), col("b").as("x"))
+      .union(und.select(col("b").as("w"), col("a").as("x")))
+      .persist()
+    val deg = nb.groupBy("w").agg(count(lit(1)).as("deg")).persist()
+    val centers =
+      if (maxDegree == 0) nb
+      else nb.join(deg.filter(col("deg") <= maxDegree).select("w"), Seq("w"))
+    val wedges = centers.as("n1")
+      .join(centers.as("n2"),
+        col("n1.w") === col("n2.w") && col("n1.x") < col("n2.x"))
+      .select(col("n1.x").as("src"), col("n2.x").as("dst"), col("n1.w").as("w"))
+    val scored = wedges
+      .join(deg.withColumnRenamed("deg", "__dw"), Seq("w"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("__dw").cast("double"))).as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+      .join(und.select(col("a").as("src"), col("b").as("dst")),
+        Seq("src", "dst"), "left_anti")
+    val out = scored
+      .join(deg.select(col("w").as("src"), col("deg").as("__da")), Seq("src"))
+      .join(deg.select(col("w").as("dst"), col("deg").as("__db")), Seq("dst"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("__da") + col("__db") - col("common")))
+      .select("src", "dst", "common", "jaccard", "adamic_adar")
+      .localCheckpoint(true)
+    nb.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** The hubs [[linkPredict]]'s `maxDegree` cap silenced: every node
+    * with degree above the cap (no predictions are CENTERED there),
+    * heaviest first. Returns `(node, degree: bigint)`. */
+  def linkPredictCapReport(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") > maxDegree)
+      .orderBy(col("degree").desc, col("node"))
+  }
+
   /** Louvain LOCAL-MOVE passes (Blondel et al. 2008, phase 1): starting
     * from singleton communities, each pass considers moving every
     * eligible node into the neighboring community with the best

@@ -275,6 +275,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("linkPredict: square-cycle goldens, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1: the two diagonals are the only predictions;
+    // every degree is 2 → common=2, jaccard = 2/(2+2−2) = 1,
+    // adamic_adar = 2/ln 2
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.linkPredict(sq, "s", "d").get
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    got.values.foreach { case (cn, j, aa) =>
+      assert(cn == 2L && j == 1.0)
+      assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-12)
+    }
+    // adjacent pairs never appear even when they share neighbors
+    // (triangle): no non-adjacent pair exists at all
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.linkPredict(tri, "s", "d").get.count() == 0)
+    // hub cap: star 1..5 around 0 — all predictions are centered at
+    // the hub; capping below its degree drops them all, and the cap
+    // report names exactly the hub
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    assert(Graph.linkPredict(star, "s", "d").get.count() == 10L)
+    assert(Graph.linkPredict(star, "s", "d", maxDegree = 4L).get.count() == 0L)
+    val rep = Graph.linkPredictCapReport(star, "s", "d", 4L).get
+      .as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((0L, 5L)))
+  }
+
   test("louvainMove: two cliques + bridge separate; modularity improves") {
     // two K4s (1-4, 5-8) joined by one bridge 4-5: the canonical
     // two-community graph. Local moves from singletons must land each
