@@ -2638,6 +2638,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q239_categorical_drift" -> ((s, dir) => {
+      // Lang-mix drift between the even-id snapshot and the odd-id
+      // snapshot with a planted 'xx' injection every 11th doc: exact
+      // grid counts, ε-floored PSI, homogeneity χ² — all replayed on
+      // the category grid.
+      val docs = tbl(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("lang", when(col("doc_id") % 11 === 0, lit("xx"))
+          .otherwise(col("lang")))
+      graft.operators.Quality.categoricalDrift(ref, cur, "lang").get
+        .orderBy("category")
+    }),
+
     "q238_link_predict" -> ((s, dir) => {
       // Missing-edge scores over the direct part↔supplier graph with
       // the hub cap at degree 50 (drops supplier hubs; wedges come
@@ -6540,6 +6554,49 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    // q239: both category grids, the full-outer zero-filled join, and
+    // the identical PSI / homogeneity-χ² IEEE arithmetic.
+    "q239_categorical_drift" ->
+      """WITH ref AS (
+           SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS category
+           FROM documents WHERE doc_id % 2 = 0
+         ), cur AS (
+           SELECT coalesce(CAST(CASE WHEN doc_id % 11 = 0 THEN 'xx'
+             ELSE lang END AS VARCHAR), '<null>') AS category
+           FROM documents WHERE doc_id % 2 = 1
+         ), g1 AS (
+           SELECT category, CAST(count(*) AS BIGINT) AS n_ref
+           FROM ref GROUP BY category
+         ), g2 AS (
+           SELECT category, CAST(count(*) AS BIGINT) AS n_cur
+           FROM cur GROUP BY category
+         ), j AS (
+           SELECT coalesce(g1.category, g2.category) AS category,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+           FROM g1 FULL JOIN g2 ON g1.category = g2.category
+         ), w AS (
+           SELECT *,
+             CAST(sum(n_ref) OVER () AS BIGINT) AS nr,
+             CAST(sum(n_cur) OVER () AS BIGINT) AS nc,
+             CAST(n_ref + n_cur AS DOUBLE) AS ti
+           FROM j
+         ), s AS (
+           SELECT *,
+             greatest(n_ref / CAST(nr AS DOUBLE), 0.0001) AS p,
+             greatest(n_cur / CAST(nc AS DOUBLE), 0.0001) AS q,
+             nr * ti / (nr + nc) AS er,
+             nc * ti / (nr + nc) AS ec
+           FROM w
+         )
+         SELECT category, n_ref, n_cur,
+           round(p, 6) AS p, round(q, 6) AS q,
+           round((p - q) * ln(p / q), 6) AS psi_contrib,
+           round(sum((p - q) * ln(p / q)) OVER () + 1e-9, 6) AS psi_total,
+           round(sum((n_ref - er) * (n_ref - er) / er
+             + (n_cur - ec) * (n_cur - ec) / ec) OVER () + 1e-9, 4)
+             AS chi2_total
+         FROM s ORDER BY category""",
+
     // q238: wedge pairing from sub-cap centers, the same three scores
     // (ln() — DuckDB log() is base-10), existing-edge anti-join via
     // NOT EXISTS.

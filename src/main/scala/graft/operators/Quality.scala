@@ -464,6 +464,57 @@ object Quality {
           "p", "q", "psi_contrib", "psi_total")
     }
 
+  /** Categorical drift report between a reference and a current frame
+    * — the categorical counterpart of [[histogramPsi]], for monitoring
+    * lang / source / label mix shift between training snapshots: per
+    * category (union of both sides, zero-filled, NULL as the literal
+    * `<null>` category) the counts, ε-floored shares, PSI contribution
+    * and total, plus the two-sample homogeneity χ² over the same grid.
+    *
+    * Returns `(category, n_ref, n_cur, p, q, psi_contrib, psi_total,
+    * chi2_total)` ordered by category. Counts are exact; the PSI/χ²
+    * terms are grid-sized float sums (χ²-tier — the grid is category
+    * cardinality, never rows).
+    *
+    * Plan: two partial-agg shuffles to the category grids, one
+    * full-outer grid join, grid-sized windows.
+    */
+  def categoricalDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      eps: Double = 1e-4
+  ): MayFail[DataFrame] = MayFail {
+    require(eps > 0, s"eps must be positive: $eps")
+    def grid(df: DataFrame, out: String): DataFrame =
+      df.select(coalesce(col(catCol).cast("string"), lit("<null>"))
+          .as("category"))
+        .groupBy("category").agg(count(lit(1)).as(out))
+    val j = grid(ref, "n_ref").join(grid(cur, "n_cur"), Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = Window.partitionBy()
+    val nr = sum(col("n_ref")).over(tot)
+    val nc = sum(col("n_cur")).over(tot)
+    val p = greatest(col("n_ref") / nr, lit(eps))
+    val q = greatest(col("n_cur") / nc, lit(eps))
+    val ti = (col("n_ref") + col("n_cur")).cast("double")
+    val er = nr * ti / (nr + nc)
+    val ec = nc * ti / (nr + nc)
+    val chi = (col("n_ref") - er) * (col("n_ref") - er) / er +
+      (col("n_cur") - ec) * (col("n_cur") - ec) / ec
+    j.withColumn("p", round(p, 6))
+      .withColumn("q", round(q, 6))
+      .withColumn("psi_contrib", round((p - q) * log(p / q), 6))
+      .withColumn("psi_total",
+        round(sum((p - q) * log(p / q)).over(tot) + lit(1e-9), 6))
+      .withColumn("chi2_total",
+        round(sum(chi).over(tot) + lit(1e-9), 4))
+      .select("category", "n_ref", "n_cur", "p", "q",
+        "psi_contrib", "psi_total", "chi2_total")
+  }
+
   /** Privacy-governance screen: k-anonymity and l-diversity of a
     * quasi-identifier combination. Rows whose quasi-identifier
     * equivalence class has fewer than `k` members are re-identifiable;

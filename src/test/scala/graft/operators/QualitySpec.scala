@@ -317,4 +317,26 @@ class QualitySpec extends AnyFunSuite {
     assert(contribs.forall(c => !c.isNaN && !c.isInfinite))
     assert(drift.count() == 10)
   }
+
+  test("categoricalDrift: union grid, zero fill, hand-computed chi2, null bucket") {
+    // ref = [a,a,a,b], cur = [a,b,b,c]: per-category homogeneity χ²
+    // contributions 1 (a) + 1/3 (b) + 1 (c) = 7/3
+    val ref = Seq("a", "a", "a", "b").toDF("cat")
+    val cur = Seq("a", "b", "b", "c").toDF("cat")
+    val got = Quality.categoricalDrift(ref, cur, "cat").get
+      .select("category", "n_ref", "n_cur", "p", "q", "chi2_total")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a") == ((3L, 1L, 0.75, 0.25, 2.3333)))
+    assert(got("b")._1 == 1L && got("b")._2 == 2L)
+    assert(got("c") == ((0L, 1L, 0.0001, 0.25, 2.3333))) // ε floor on p
+    // identical corpora → psi_total ≈ 0; NULL categories bucket as <null>
+    val withNull = Seq(Some("a"), None).toDF("cat")
+    val same = Quality.categoricalDrift(withNull, withNull, "cat").get
+    val rows = same.select("category", "psi_total")
+      .as[(String, Double)].collect().toMap
+    assert(rows.keySet == Set("a", "<null>"))
+    assert(rows.values.forall(v => math.abs(v) < 1e-6))
+  }
 }
