@@ -2638,6 +2638,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q240_kaplan_meier" -> ((s, dir) => {
+      // Product-limit churn curve over per-user lifetimes (last −
+      // first active HOUR — hour granularity keeps the duration grid
+      // discriminative over the 30-day span), right-censored when the
+      // user was still active within 24 h of the corpus edge. Counts
+      // exact; the running product is rounded under the tie-shift.
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      val hour = floor(col("ts").cast("long") / 3600L).cast("long")
+      val per = ev.select(col("user_id"), hour.as("__d"))
+        .groupBy("user_id")
+        .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+      val maxHour = per.agg(max(col("__l")).as("__m"))
+      val lifetimes = per.crossJoin(broadcast(maxHour))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__l") < col("__m") - 24).cast("int").as("observed"))
+      Behavior.kaplanMeier(lifetimes, "duration", "observed").get
+        .select(col("duration"), col("n_risk"), col("n_events"),
+          col("n_censored"),
+          round(col("survival") + lit(1e-9), 6).as("survival"))
+        .orderBy("duration")
+    }),
+
     "q239_categorical_drift" -> ((s, dir) => {
       // Lang-mix drift between the even-id snapshot and the odd-id
       // snapshot with a planted 'xx' injection every 11th doc: exact
@@ -6554,6 +6576,42 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    // q240: per-user lifetimes, the duration grid, the reverse running
+    // risk count, and the ordered product-limit window replayed.
+    "q240_kaplan_meier" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS f,
+             CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS l
+           FROM events WHERE ts IS NOT NULL GROUP BY user_id
+         ), mx AS (SELECT max(l) AS m FROM per
+         ), lt AS (
+           SELECT l - f AS duration,
+             CASE WHEN l < (SELECT m FROM mx) - 24 THEN 1 ELSE 0 END AS o
+           FROM per
+         ), grid AS (
+           SELECT duration,
+             CAST(count(CASE WHEN o = 1 THEN 1 END) AS BIGINT) AS n_events,
+             CAST(count(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS n_censored
+           FROM lt GROUP BY duration
+         ), nn AS (
+           SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM grid
+         ), w AS (
+           SELECT *,
+             (SELECT n FROM nn) - COALESCE(sum(n_events + n_censored)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM grid
+         )
+         SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+           n_events, n_censored,
+           round(product(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+             OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+             AS survival
+         FROM w ORDER BY duration""",
+
     // q239: both category grids, the full-outer zero-filled join, and
     // the identical PSI / homogeneity-χ² IEEE arithmetic.
     "q239_categorical_drift" ->

@@ -500,6 +500,54 @@ object Behavior {
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Kaplan–Meier survival estimator over a per-entity
+    * `(duration, observed)` frame — the churn/retention curve with
+    * right-censoring done properly: entities still active at the end
+    * of observation (`observed` = 0/false) leave the risk set without
+    * counting as churn events, so the curve is unbiased by the
+    * snapshot date. Feed per-user lifetimes (last − first active day,
+    * censored when still active near the corpus edge).
+    *
+    * Returns one row per DISTINCT duration:
+    * `(duration, n_risk, n_events, n_censored: bigint,
+    * survival: double)` — `survival` is the product-limit
+    * `Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ)`, constant across censor-only rows.
+    *
+    * Plan: one partial-agg shuffle to the duration grid, then
+    * grid-sized windows (a reverse running count for the risk set and
+    * a running product for the curve) — distinct-duration granularity,
+    * never rows, the [[graft.operators.Stats.mannWhitneyU]]
+    * discipline. The running product multiplies in grid order on both
+    * engines; cross-engine ulp drift is χ²-tier (round comparisons
+    * with the tie-shift).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val dur = col(durationCol)
+    val obs = col(observedCol).cast("boolean")
+    val base = df.filter(dur.isNotNull && dur >= 0 && obs.isNotNull)
+    val grid = base.groupBy(dur.as("duration"))
+      .agg(count(when(obs, 1)).as("n_events"),
+        count(when(!obs, 1)).as("n_censored"))
+    val before = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = grid.agg(
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("__n"))
+    grid.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(
+          sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      .withColumn("survival",
+        product(lit(1.0) -
+          col("n_events").cast("double") / col("n_risk")).over(upto))
+      .select("duration", "n_risk", "n_events", "n_censored", "survival")
+  }
+
   /** Batch sessionization: assign each event a per-entity
     * `session_idx` (0-based), starting a new session whenever the gap
     * since the entity's previous event exceeds `gapSec`. The batch

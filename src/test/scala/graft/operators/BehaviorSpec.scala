@@ -143,6 +143,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 1L, 1.0, 3, 3, 3)))
   }
 
+  test("kaplanMeier: textbook product-limit with censoring") {
+    // durations: 1 event, 2 censored, 3 event, 4 event, 5 censored
+    //  t=1: n=5, d=1 → S = 0.8
+    //  t=2: n=4, c=1 → S unchanged
+    //  t=3: n=3, d=1 → S = 0.8·(2/3)
+    //  t=4: n=2, d=1 → S = 0.8·(2/3)·(1/2)
+    //  t=5: n=1, c=1 → S unchanged
+    val data = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("duration", "observed")
+    val got = Behavior.kaplanMeier(data, "duration", "observed").get
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 5L, 1L, 0L), (2L, 4L, 0L, 1L), (3L, 3L, 1L, 0L),
+      (4L, 2L, 1L, 0L), (5L, 1L, 0L, 1L)))
+    val s = got.map(r => r._1 -> r._5).toMap
+    assert(math.abs(s(1L) - 0.8) < 1e-12)
+    assert(s(2L) == s(1L))
+    assert(math.abs(s(3L) - 0.8 * 2 / 3) < 1e-12)
+    assert(math.abs(s(4L) - 0.8 * 2 / 3 * 0.5) < 1e-12)
+    assert(s(5L) == s(4L))
+    // negative/null durations are dropped
+    val dirty = Seq((Some(-1L), Some(1)), (None, Some(1)), (Some(2L), None),
+      (Some(0L), Some(1))).toDF("duration", "observed")
+    assert(Behavior.kaplanMeier(dirty, "duration", "observed").get.count() == 1)
+  }
+
   test("rfm: ntile parity on uneven buckets, no single-partition sort") {
     // 7 users / 3 tiles → bucket sizes 3,2,2; heavy monetary ties so
     // id tiebreaks decide every boundary. Expect bit-parity with
