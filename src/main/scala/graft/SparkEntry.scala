@@ -2638,6 +2638,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q241_holt" -> ((s, dir) => {
+      // Brown's double exponential smoothing (level + trend) of the
+      // hourly zero-filled per-type series: two cascaded scalar EWMA
+      // folds at α = 0.5, replayed by the oracle with two q191-style
+      // list_reduce passes — identical IEEE sequences on both engines.
+      val filled = TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "sum", fill = "zero").get
+      TimeSeries.holt(filled, "bucket_ts", Seq("event_type"), "value").get
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("holt_level") / 100.0 + lit(1e-9), 4).as("holt_level"),
+          round(col("holt_trend") / 100.0 + lit(1e-9), 4).as("holt_trend"),
+          round(col("holt_forecast") / 100.0 + lit(1e-9), 4)
+            .as("holt_forecast"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     "q240_kaplan_meier" -> ((s, dir) => {
       // Product-limit churn curve over per-user lifetimes (last −
       // first active HOUR — hour granularity keeps the duration grid
@@ -6576,6 +6595,55 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    // q241: the zero-filled grid + Brown's cascade replayed as TWO
+    // scalar list_reduce folds (the q191 device): s1 over the value
+    // prefix, s2 over the s1-series prefix — identical IEEE sequences;
+    // with α = 0.5 the trend coefficient α/(1−α) is exactly 1.
+    "q241_holt" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), s1s AS (
+           SELECT event_type, b, v,
+             list_reduce(
+               list(v) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, e) -> CAST(0.5 AS DOUBLE) * e
+                 + CAST(0.5 AS DOUBLE) * acc) AS s1
+           FROM j
+         ), s2s AS (
+           SELECT event_type, b, v, s1,
+             list_reduce(
+               list(s1) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, e) -> CAST(0.5 AS DOUBLE) * e
+                 + CAST(0.5 AS DOUBLE) * acc) AS s2
+           FROM s1s
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           round(v / 100.0, 4) AS value,
+           round((CAST(2 AS DOUBLE) * s1 - s2) / 100.0 + 1e-9, 4)
+             AS holt_level,
+           round((s1 - s2) / 100.0 + 1e-9, 4) AS holt_trend,
+           round(((CAST(2 AS DOUBLE) * s1 - s2) + (s1 - s2)) / 100.0
+             + 1e-9, 4) AS holt_forecast
+         FROM s2s ORDER BY event_type, bucket_ts""",
+
     // q240: per-user lifetimes, the duration grid, the reverse running
     // risk count, and the ordered product-limit window replayed.
     "q240_kaplan_meier" ->

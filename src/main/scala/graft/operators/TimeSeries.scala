@@ -432,4 +432,82 @@ object TimeSeries {
       }
     }(Encoders.row(out))
   }
+
+  /** Brown's DOUBLE exponential smoothing per key (level + trend — the
+    * [[ewma]] that follows a drifting series without lag bias): two
+    * cascaded EWMAs `s1_t = α·v_t + (1−α)·s1_(t−1)` and
+    * `s2_t = α·s1_t + (1−α)·s2_(t−1)` (both seeded at `v_1`), from
+    * which `level = 2·s1 − s2`, `trend = α/(1−α)·(s1 − s2)`, and the
+    * one-step-ahead `forecast = level + trend` — compare the forecast
+    * against the next observation for a drift-aware anomaly score.
+    *
+    * The cascade form (Brown 1956) is chosen over Holt's coupled
+    * (level, trend) recursion deliberately: each stage is a SCALAR
+    * fold, so external SQL replays it exactly with the same
+    * `list_reduce` device as [[ewma]]'s oracle — a coupled struct
+    * accumulator is NOT faithfully replayable (DuckDB's struct-state
+    * list_reduce evaluates fields against a mutated buffer on
+    * non-first fold steps).
+    *
+    * The same sequential in-partition scan as [[ewma]]: repartition on
+    * keys, in-partition sort, one pass carrying (s1, s2) per key —
+    * O(1) memory, a 10⁹-row key streams. NULL values hold state and
+    * emit the current outputs (NULL before the first observation).
+    * Both engines execute the identical IEEE op sequence, so outputs
+    * are bit-reproducible.
+    *
+    * Adds `holt_level, holt_trend, holt_forecast: double`.
+    */
+  def holt(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      alpha: Double = 0.5
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1): $alpha")
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val schema = df.schema
+    val out = schema.add("holt_level", DoubleType, nullable = true)
+      .add("holt_trend", DoubleType, nullable = true)
+      .add("holt_forecast", DoubleType, nullable = true)
+    val kIdx = keyCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val keys = keyCols.map(col)
+    val sorted = df.repartition(keys: _*)
+      .sortWithinPartitions((keys :+ col(orderCol)): _*)
+    val a1 = 1.0 - alpha
+    val c = alpha / (1.0 - alpha)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var s1 = 0.0
+      var s2 = 0.0
+      var seeded = false
+      it.map { r =>
+        val k = kIdx.map(r.get)
+        if (k != curKey) { curKey = k; seeded = false }
+        val vAny = r.get(vIdx)
+        val tail: Seq[Any] =
+          if (vAny == null) {
+            if (seeded)
+              Seq(2.0 * s1 - s2, c * (s1 - s2),
+                (2.0 * s1 - s2) + c * (s1 - s2))
+            else Seq(null, null, null)
+          } else {
+            val v = vAny match {
+              case d: Double => d
+              case n: Number => n.doubleValue()
+            }
+            if (seeded) {
+              s1 = alpha * v + a1 * s1
+              s2 = alpha * s1 + a1 * s2
+            } else { s1 = v; s2 = v; seeded = true }
+            val level = 2.0 * s1 - s2
+            val trend = c * (s1 - s2)
+            Seq(level, trend, level + trend)
+          }
+        Row.fromSeq(r.toSeq ++ tail)
+      }
+    }(Encoders.row(out))
+  }
 }

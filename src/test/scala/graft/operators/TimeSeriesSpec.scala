@@ -218,6 +218,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       rows.toDF("key", "t", "v"), "t", Seq.empty, "v", 2).isFailing)
   }
 
+  test("holt: Brown cascade hand golden, NULL holds state, key reset") {
+    // v = [4, 8, 12] at α = 0.5: s1 = [4, 6, 9], s2 = [4, 5, 7] →
+    // level = [4, 7, 11], trend = [0, 1, 2], forecast = [4, 8, 13]
+    val data = Seq(("k", 1L, Some(4.0)), ("k", 2L, Some(8.0)),
+      ("k", 3L, Some(12.0)), ("k", 4L, None),
+      ("z", 1L, Some(10.0))).toDF("key", "t", "v")
+    val r = TimeSeries.holt(data, "t", Seq("key"), "v", alpha = 0.5).get
+      .select("key", "t", "holt_level", "holt_trend", "holt_forecast")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r(("k", 1L)) == ((Some(4.0), Some(0.0), Some(4.0))))
+    assert(r(("k", 2L)) == ((Some(7.0), Some(1.0), Some(8.0))))
+    assert(r(("k", 3L)) == ((Some(11.0), Some(2.0), Some(13.0))))
+    // NULL holds state and emits the current outputs
+    assert(r(("k", 4L)) == ((Some(11.0), Some(2.0), Some(13.0))))
+    // a fresh key reseeds
+    assert(r(("z", 1L)) == ((Some(10.0), Some(0.0), Some(10.0))))
+    // alpha bounds
+    assert(TimeSeries.holt(data, "t", Seq("key"), "v", alpha = 1.0).isFailing)
+  }
+
   test("count aggregation and knob validation") {
     val got = TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", how = "count").get
       .filter(col("k") === "a").orderBy("bucket_ts")
