@@ -254,4 +254,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "blocklist semi/anti joins should broadcast at this scale")
   }
+
+  test("q238: link prediction pairs via wedge equi-joins, never all-pairs") {
+    val plan = planOf("q238_link_predict")
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in link predict")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi join in link predict")
+  }
+
+  test("q234: louvain label passes are equi-joins + partitioned windows") {
+    // louvainMove materializes per-pass checkpoints at construction, so
+    // this also exercises the 4-pass pipeline end to end
+    val plan = planOf("q234_louvain_bipartite")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("ntile"), "louvain must not plan an ntile window")
+  }
+
+  test("q241: holt is one key exchange + the sequential scan — no windows") {
+    val plan = planOf("q241_holt")
+    assert(!plan.contains("CartesianProduct"))
+    // the smoothing itself is mapPartitions over one hash exchange; no
+    // window machinery should appear below the gate's output sort
+    assert(plan.contains("hashpartitioning(event_type"),
+      "holt lost its key repartition")
+  }
 }
