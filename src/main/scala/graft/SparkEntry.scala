@@ -2693,6 +2693,23 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q242_label_propagation" -> ((s, dir) => {
+      // Seed the first 10 suppliers with nation-derived labels and
+      // spread them across the part↔supplier graph by exact majority
+      // vote (ties → smallest label), 3 rounds; the oracle unrolls the
+      // identical rounds — idempotent past convergence.
+      val li = tbl(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = tbl(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 10)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          (col("s_nationkey") % 3).cast("string").as("lab"))
+      Graph.labelPropagate(e, "src", "dst", seeds, "node", "lab",
+          maxRounds = 3).get
+        .orderBy("node")
+    }),
+
     "q238_link_predict" -> ((s, dir) => {
       // Missing-edge scores over the direct part↔supplier graph with
       // the hub cap at degree 50 (drops supplier hubs; wedges come
@@ -3982,6 +3999,52 @@ object SparkEntry {
     }
     sb.append(s"""
          SELECT node, c AS community FROM lab$passes ORDER BY node""")
+    sb.toString
+  }
+
+  /** q242's oracle, generated: `rounds` unrolled label-propagation
+    * rounds over the direct part↔supplier graph, replaying
+    * [[graft.operators.Graph.labelPropagate]] vote-for-vote — exact
+    * majority counts, (count DESC, label ASC) argmax, seeds never
+    * overwritten. Rounds are idempotent past convergence. */
+  private def labelPropagationOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS (
+           SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+             greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b
+           FROM lineitem
+         ), e AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM und
+           UNION ALL SELECT b, a FROM und
+         ), lab0 AS MATERIALIZED (
+           SELECT s_suppkey * 2 + 1 AS node,
+             CAST(s_nationkey % 3 AS VARCHAR) AS label,
+             CAST(0 AS INTEGER) AS rounds
+           FROM supplier WHERE s_suppkey <= 10
+         )""")
+    for (r <- 1 to rounds) {
+      val q = r - 1
+      sb.append(s""", v$r AS (
+           SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+           FROM e JOIN lab$q l ON l.node = e.dst
+           GROUP BY e.src, l.label
+         ), n$r AS (
+           SELECT node, label FROM (
+             SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn
+             FROM v$r
+             WHERE node NOT IN (SELECT node FROM lab$q)
+           ) WHERE rn = 1
+         ), lab$r AS MATERIALIZED (
+           SELECT * FROM lab$q
+           UNION ALL
+           SELECT node, label, CAST($r AS INTEGER) FROM n$r
+         )""")
+    }
+    sb.append(s"""
+         SELECT node, label, rounds FROM lab$rounds ORDER BY node""")
     sb.toString
   }
 
@@ -6595,6 +6658,7 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+    "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
     // q241: the zero-filled grid + Brown's cascade replayed as TWO
     // scalar list_reduce folds (the q191 device): s1 over the value
     // prefix, s2 over the s1-series prefix — identical IEEE sequences;

@@ -725,6 +725,82 @@ object Graph {
         maxIter, maxDriverEdges)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
 
+  /** Semi-supervised label propagation: spread FIXED seed labels
+    * (spam/ham, trusted/banned, topic tags) from a labeled node subset
+    * across the undirected graph — each round, every still-unlabeled
+    * node adopts the MAJORITY label among its labeled neighbors
+    * (ties → smallest label string), and seed labels never change.
+    * Deterministic: counts are exact and the (count DESC, label ASC)
+    * argmax has no randomness — two runs (or two engines) agree
+    * exactly. Distinct from [[louvainMove]] (which DISCOVERS structure
+    * from nothing): this TRANSFERS known labels — weak supervision for
+    * corpus labeling, trust/spam frontier expansion.
+    *
+    * Returns `(node, label: string, rounds: int)` for every node
+    * REACHED within `maxRounds` (`rounds` = the round the node was
+    * first labeled, 0 for seeds); unreached nodes are absent — count
+    * them via an anti-join when coverage matters.
+    *
+    * Plan per round: one join from the labeled set into the persisted
+    * (dst-partitioned) edge list, one partial-agg shuffle to
+    * (node, label) votes, a hash-partitioned per-node argmax window,
+    * and an anti-join against the already-labeled set — each node is
+    * labeled exactly once, so total work is O(edges × rounds) worst
+    * case, the [[bfsDepths]] posture. Checkpoints released per the
+    * house discipline.
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      maxRounds: Int = 5
+  ): MayFail[DataFrame] = MayFail {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    var labeled = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).cast("string").as("label"))
+      .filter(col("node").isNotNull && col("label").isNotNull)
+      .groupBy("node").agg(min(col("label")).as("label"))
+      .withColumn("rounds", lit(0))
+      .localCheckpoint(true)
+    var r = 0
+    var done = labeled.limit(1).count() == 0
+    while (!done && r < maxRounds) {
+      r += 1
+      val votes = e
+        .join(labeled.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label"))
+      val next = votes
+        .join(labeled.select("node"), Seq("node"), "left_anti")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+      val prevLabeled = labeled
+      val prevCount = prevLabeled.count()
+      labeled = labeled
+        .unionByName(next.withColumn("rounds", lit(r)))
+        .localCheckpoint(true)
+      done = labeled.count() == prevCount
+      Optimise.releaseCheckpoint(prevLabeled)
+    }
+    e.unpersist()
+    labeled
+  }
+
   /** Link prediction over an undirected graph: for every NON-ADJACENT
     * node pair sharing ≥ `minCommon` neighbors, the three classic
     * scores — common-neighbor count, Jaccard

@@ -275,6 +275,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("labelPropagate: majority votes, deterministic ties, round stamps") {
+    // path 1—2—3—4—5, seeds 1→a and 5→b: round 1 labels 2→a and 4→b;
+    // round 2 labels 3 with a 1–1 tie → smallest label "a"
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq((1L, "a"), (5L, "b")).toDF("n", "lab")
+    val got = Graph.labelPropagate(path, "s", "d", seeds, "n", "lab").get
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("a", 0)), 2L -> (("a", 1)), 3L -> (("a", 2)),
+      4L -> (("b", 1)), 5L -> (("b", 0))))
+    // true majority beats the tiebreak: hub 0 with neighbors a, a, b
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val s2 = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("n", "lab")
+    val hub = Graph.labelPropagate(star, "s", "d", s2, "n", "lab").get
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(hub(0L) == "a")
+    // maxRounds caps the reach; unreached nodes are absent
+    val capped = Graph.labelPropagate(path, "s", "d",
+      Seq((1L, "a")).toDF("n", "lab"), "n", "lab", maxRounds = 1).get
+      .as[(Long, String, Int)].collect().map(_._1).toSet
+    assert(capped == Set(1L, 2L))
+  }
+
   test("linkPredict: square-cycle goldens, adjacency excluded, hub cap") {
     // square 1-2-3-4-1: the two diagonals are the only predictions;
     // every degree is 2 → common=2, jaccard = 2/(2+2−2) = 1,
