@@ -2693,6 +2693,15 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q243_percentiles" -> ((s, dir) => {
+      // Exact order statistics of document lengths at 7 cut points —
+      // the reproducible-threshold primitive; rank arithmetic and the
+      // grid pick replayed exactly (no approximation anywhere).
+      graft.operators.Quality.percentiles(tbl(s, dir, "documents"),
+          "n_chars", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)).get
+        .orderBy("p")
+    }),
+
     "q242_label_propagation" -> ((s, dir) => {
       // Seed the first 10 suppliers with nation-derived labels and
       // spread them across the part↔supplier graph by exact majority
@@ -6743,6 +6752,30 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
              AS survival
          FROM w ORDER BY duration""",
+
+    // q243: the distinct-value grid, running counts, ⌈p·n⌉ ranks, and
+    // the first-row-reaching-rank pick — all exact.
+    "q243_percentiles" ->
+      """WITH grid AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS t
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY v
+         ), nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM grid
+         ), cum AS (
+           SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS c
+           FROM grid
+         ), ps AS (
+           SELECT CAST(unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+             AS DOUBLE) AS p
+         ), ranked AS (
+           SELECT p, greatest(CAST(ceil(p * (SELECT n FROM nn)) AS BIGINT),
+             1) AS rank
+           FROM ps
+         )
+         SELECT r.p, r.rank, c.v AS value
+         FROM ranked r JOIN cum c ON c.c >= r.rank AND c.c - c.t < r.rank
+         ORDER BY r.p""",
 
     // q239: both category grids, the full-outer zero-filled join, and
     // the identical PSI / homogeneity-χ² IEEE arithmetic.

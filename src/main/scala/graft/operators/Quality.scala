@@ -397,6 +397,56 @@ object Quality {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** EXACT percentiles at scale — the deterministic alternative to
+    * `approxQuantile` for threshold decisions that must be
+    * reproducible (length cutoffs, quality floors, dedup thresholds):
+    * for each requested p the lower order statistic `x_(⌈p·n⌉)` (p = 0
+    * → the minimum), computed at DISTINCT-VALUE granularity — one
+    * partial-agg shuffle to the (value, count) grid, one running-count
+    * window over the GRID (never the rows), and a broadcast-scale
+    * pick. A 10¹⁰-row column over a bounded value domain (lengths,
+    * scores, cents) windows over its value grid only.
+    *
+    * Returns one row per requested percentile:
+    * `(p: double, rank: bigint, value: double)` — `rank` = ⌈p·n⌉
+    * (clamped to ≥ 1), NULL value only on an empty input.
+    */
+  def percentiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double]
+  ): MayFail[DataFrame] = MayFail {
+    require(ps.nonEmpty, "ps must name at least one percentile")
+    require(ps.forall(p => p >= 0 && p <= 1), s"percentiles must be in [0,1]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate percentiles: $ps")
+    val v = col(valueCol).cast("double")
+    val grid = df.filter(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__t"))
+    val upto = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = grid.agg(coalesce(sum(col("__t")), lit(0L)).as("__n"))
+    val cum = grid
+      .withColumn("__cum", sum(col("__t")).over(upto))
+      .crossJoin(broadcast(total))
+    val wanted = df.sparkSession
+      .createDataFrame(ps.map(Tuple1.apply)).toDF("p")
+    // rank = ceil(p·n) clamped to >= 1; the percentile value is the
+    // FIRST grid row whose running count reaches the rank
+    val ranked = wanted.crossJoin(broadcast(total))
+      .withColumn("rank",
+        greatest(ceil(col("p") * col("__n")).cast("long"), lit(1L)))
+    // stream the grid once against the BROADCAST rank list (exactly one
+    // grid row matches each rank); a final left join restores the
+    // empty-input rows with NULL value
+    val hits = cum.join(broadcast(ranked),
+        col("__cum") >= col("rank") &&
+          col("__cum") - col("__t") < col("rank"))
+      .select(col("p"), col("__v").as("value"))
+    ranked.select("p", "rank")
+      .join(hits, Seq("p"), "left")
+      .select("p", "rank", "value")
+  }
+
   /** [[profile]] per group — the per-source / per-language quality
     * dashboard: one row per (group, column) with the same statistics.
     * Still ONE aggregation pass (all per-column aggregates ride the same

@@ -318,6 +318,26 @@ class QualitySpec extends AnyFunSuite {
     assert(drift.count() == 10)
   }
 
+  test("percentiles: exact lower order statistics, ties, edges, empty") {
+    // values [10×1, 20×2, 30×1]: n=4 → p=0 rank 1 → 10; p=.5 rank 2
+    // → 20; p=.6 rank ⌈2.4⌉=3 → 20; p=1 rank 4 → 30
+    val data = Seq(10.0, 20.0, 20.0, 30.0).toDF("v")
+    val got = Quality.percentiles(data, "v", Seq(0.0, 0.5, 0.6, 1.0)).get
+      .as[(Double, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0.0) == ((1L, Some(10.0))))
+    assert(got(0.5) == ((2L, Some(20.0))))
+    assert(got(0.6) == ((3L, Some(20.0))))
+    assert(got(1.0) == ((4L, Some(30.0))))
+    // empty input: every requested p present with NULL value
+    val empty = Quality.percentiles(data.filter(lit(false)), "v", Seq(0.5))
+      .get.as[(Double, Long, Option[Double])].collect()
+    assert(empty.toSeq == Seq((0.5, 1L, None)))
+    // knob validation
+    assert(Quality.percentiles(data, "v", Seq(1.5)).isFailing)
+    assert(Quality.percentiles(data, "v", Seq(0.5, 0.5)).isFailing)
+  }
+
   test("categoricalDrift: union grid, zero fill, hand-computed chi2, null bucket") {
     // ref = [a,a,a,b], cur = [a,b,b,c]: per-category homogeneity χ²
     // contributions 1 (a) + 1/3 (b) + 1 (c) = 7/3
