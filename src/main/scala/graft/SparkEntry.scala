@@ -2675,7 +2675,10 @@ object SparkEntry {
       Behavior.kaplanMeier(lifetimes, "duration", "observed").get
         .select(col("duration"), col("n_risk"), col("n_events"),
           col("n_censored"),
-          round(col("survival") + lit(1e-9), 6).as("survival"))
+          round(col("survival") + lit(1e-9), 6).as("survival"),
+          round(col("survival_se") + lit(1e-9), 6).as("survival_se"),
+          round(col("ci_lo") + lit(1e-9), 6).as("ci_lo"),
+          round(col("ci_hi") + lit(1e-9), 6).as("ci_hi"))
         .orderBy("duration")
     }),
 
@@ -6744,14 +6747,25 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS n_risk
            FROM grid
+         ), sv AS (
+           SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+             n_events, n_censored,
+             product(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             sum(CASE WHEN n_events > 0 AND n_risk > n_events
+               THEN CAST(n_events AS DOUBLE)
+                 / (n_risk * (n_risk - n_events)) ELSE 0 END)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+           FROM w
          )
-         SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
-           n_events, n_censored,
-           round(product(1.0 - CAST(n_events AS DOUBLE) / n_risk)
-             OVER (ORDER BY duration
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
-             AS survival
-         FROM w ORDER BY duration""",
+         SELECT duration, n_risk, n_events, n_censored,
+           round(s + 1e-9, 6) AS survival,
+           round(s * sqrt(g) + 1e-9, 6) AS survival_se,
+           round(greatest(s - 1.96 * (s * sqrt(g)), 0) + 1e-9, 6) AS ci_lo,
+           round(least(s + 1.96 * (s * sqrt(g)), 1) + 1e-9, 6) AS ci_hi
+         FROM sv ORDER BY duration""",
 
     // q243: the distinct-value grid, running counts, ⌈p·n⌉ ranks, and
     // the first-row-reaching-rank pick — all exact.

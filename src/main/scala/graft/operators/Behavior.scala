@@ -509,9 +509,13 @@ object Behavior {
     * censored when still active near the corpus edge).
     *
     * Returns one row per DISTINCT duration:
-    * `(duration, n_risk, n_events, n_censored: bigint,
-    * survival: double)` — `survival` is the product-limit
-    * `Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ)`, constant across censor-only rows.
+    * `(duration, n_risk, n_events, n_censored: bigint, survival,
+    * survival_se, ci_lo, ci_hi: double)` — `survival` is the
+    * product-limit `Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ)` (constant across
+    * censor-only rows), `survival_se` the Greenwood standard error
+    * `S·√(Σ dⱼ/(nⱼ(nⱼ−dⱼ)))`, and `ci_lo/ci_hi` the 95% normal
+    * interval clamped to [0, 1] (terms where the risk set is consumed
+    * entirely contribute 0 — survival is 0 from there anyway).
     *
     * Plan: one partial-agg shuffle to the duration grid, then
     * grid-sized windows (a reverse running count for the risk set and
@@ -545,7 +549,18 @@ object Behavior {
       .withColumn("survival",
         product(lit(1.0) -
           col("n_events").cast("double") / col("n_risk")).over(upto))
-      .select("duration", "n_risk", "n_events", "n_censored", "survival")
+      .withColumn("__g",
+        sum(when(col("n_events") > 0 && col("n_risk") > col("n_events"),
+            col("n_events").cast("double") /
+              (col("n_risk") * (col("n_risk") - col("n_events"))))
+          .otherwise(lit(0.0))).over(upto))
+      .withColumn("survival_se", col("survival") * sqrt(col("__g")))
+      .withColumn("ci_lo",
+        greatest(col("survival") - lit(1.96) * col("survival_se"), lit(0.0)))
+      .withColumn("ci_hi",
+        least(col("survival") + lit(1.96) * col("survival_se"), lit(1.0)))
+      .select("duration", "n_risk", "n_events", "n_censored", "survival",
+        "survival_se", "ci_lo", "ci_hi")
   }
 
   /** Batch sessionization: assign each event a per-entity

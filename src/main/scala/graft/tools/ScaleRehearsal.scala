@@ -470,6 +470,61 @@ object ScaleRehearsal {
         .get.head()
       1L
     }
+    // round-9 session-2: link prediction (capped), label propagation,
+    // Kaplan–Meier, exact percentiles — each with an exact law below
+    def lpEdges(memb: DataFrame): DataFrame =
+      memb.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+    var linkRepl: DataFrame = null
+    time("link-predict") {
+      linkRepl = graft.operators.Graph.linkPredict(lpEdges(membRepl),
+        "src", "dst", minCommon = 2L, maxDegree = 50L).get
+        .localCheckpoint(true)
+      linkRepl.count()
+    }
+    def lpSeeds(memb: DataFrame): DataFrame =
+      memb.filter(pmod(col("s"), lit(100000000L)) <= 10L)
+        .select((col("s") * 2 + 1).as("node"),
+          // label from the LOCAL id so every replica gets the same
+          // seed labeling (s itself shifts by i·10⁸ per replica)
+          pmod(pmod(col("s"), lit(100000000L)), lit(3L)).cast("string")
+            .as("lab"))
+        .distinct()
+    var propRepl: DataFrame = null
+    time("label-propagation") {
+      propRepl = graft.operators.Graph.labelPropagate(lpEdges(membRepl),
+        "src", "dst", lpSeeds(membRepl), "node", "lab", maxRounds = 3).get
+      propRepl.count()
+    }
+    def kmCurve(d: DataFrame): DataFrame = {
+      val hour = floor(col("ts").cast("long") / 3600L).cast("long")
+      val per = d.filter(col("ts").isNotNull)
+        .select(col("user_id"), hour.as("__h"))
+        .groupBy("user_id")
+        .agg(min(col("__h")).as("__f"), max(col("__h")).as("__l"))
+      val mx = per.agg(max(col("__l")).as("__m"))
+      graft.operators.Behavior.kaplanMeier(
+        per.crossJoin(broadcast(mx))
+          .select((col("__l") - col("__f")).as("duration"),
+            (col("__l") < col("__m") - 24).cast("int").as("observed")),
+        "duration", "observed").get
+    }
+    var kmRepl: Map[Long, (Long, Double)] = null
+    time("kaplan-meier") {
+      kmRepl = kmCurve(evRepl)
+        .select(col("duration"), col("n_risk"), col("survival"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      kmRepl.size.toLong
+    }
+    var pctRepl: Map[Double, (Long, Double)] = null
+    time("percentiles") {
+      pctRepl = graft.operators.Quality.percentiles(
+          evRepl.withColumn("value", round(col("value") * 100)),
+          "value", Seq(0.25, 0.5, 0.9, 0.99)).get
+        .collect().map(r => r.getDouble(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      pctRepl.size.toLong
+    }
 
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
@@ -810,6 +865,65 @@ object ScaleRehearsal {
         case _ => false
       },
       s"assortativity must be replication-invariant: r_repl=$rr r_base=$rb")
+    // round-9 session-2 invariants ------------------------------------
+    // link prediction: replicas are disjoint, so the prediction set
+    // scales by exactly mult and replica-0 predictions (ids < the
+    // doubled shift) are identical to a base run
+    val linkBase = graft.operators.Graph.linkPredict(lpEdges(membership(1)),
+      "src", "dst", minCommon = 2L, maxDegree = 50L).get.localCheckpoint(true)
+    val linkBaseN = linkBase.count()
+    check("link_predict_replication_law",
+      linkBaseN > 0 && linkRepl.count() == linkBaseN * mult,
+      s"prediction count must scale by exactly mult: " +
+        s"${linkRepl.count()} != $linkBaseN x $mult")
+    val linkDiff = linkBase.select(col("src"), col("dst"), col("common"))
+      .join(linkRepl.filter(col("src") < 200000000L)
+          .select(col("src"), col("dst"), col("common").as("c2")),
+        Seq("src", "dst"), "full")
+      .filter(col("common").isNull || col("c2").isNull ||
+        col("common") =!= col("c2"))
+      .count()
+    check("link_predict_replica_identical", linkDiff == 0,
+      s"replica-0 predictions must match the base run: $linkDiff differ")
+    // label propagation is id-independent (votes + label-string ties),
+    // so each replica's local (node → label, rounds) mapping is
+    // IDENTICAL to a base run — exact, not tolerance
+    val propBase = graft.operators.Graph.labelPropagate(lpEdges(membership(1)),
+      "src", "dst", lpSeeds(membership(1)), "node", "lab", maxRounds = 3).get
+    val propDiff = propBase.select(col("node"), col("label"), col("rounds"))
+      .join(propRepl.filter(col("node") < 200000000L)
+          .select(col("node"), col("label").as("l2"), col("rounds").as("r2")),
+        Seq("node"), "full")
+      .filter(col("label").isNull || col("l2").isNull ||
+        col("label") =!= col("l2") || col("rounds") =!= col("r2"))
+      .count()
+    check("label_propagation_replica_identical", propDiff == 0,
+      s"replica-0 labels must match the base run: $propDiff differ")
+    // Kaplan–Meier: replicated users keep the same duration grid; every
+    // factor 1 − (mult·d)/(mult·n) rounds the SAME real as 1 − d/n, so
+    // the survival curve is bit-identical and n_risk scales exactly
+    val kmBase = kmCurve(evBase)
+      .select(col("duration"), col("n_risk"), col("survival"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    check("kaplan_meier_replication_invariant",
+      kmRepl.keySet == kmBase.keySet && kmBase.nonEmpty &&
+        kmBase.forall { case (t, (n, s)) =>
+          kmRepl(t)._1 == n * mult && kmRepl(t)._2 == s },
+      s"KM curve must be bit-identical with mult-scaled risk sets: " +
+        s"${kmRepl.size} vs ${kmBase.size} rows")
+    // exact percentiles: the order statistic is a pure function of the
+    // data — a differently-partitioned run of the SAME corpus must
+    // agree bit-for-bit (⌈p·n⌉ itself is not linear in n, so the
+    // cross-scale comparison is rank-for-rank, not a ×mult law)
+    val pctShuffled = graft.operators.Quality.percentiles(
+        evRepl.repartition(37).withColumn("value", round(col("value") * 100)),
+        "value", Seq(0.25, 0.5, 0.9, 0.99)).get
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    check("percentiles_partition_invariant",
+      pctRepl.nonEmpty && pctRepl == pctShuffled,
+      s"percentiles must be partitioning-invariant: $pctRepl vs $pctShuffled")
 
     // stats/attribution/BFS replication laws
     val welchBase = welchRow(evBase)

@@ -152,17 +152,28 @@ class BehaviorSpec extends AnyFunSuite {
     //  t=5: n=1, c=1 → S unchanged
     val data = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
       .toDF("duration", "observed")
-    val got = Behavior.kaplanMeier(data, "duration", "observed").get
-      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
-    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+    val rows = Behavior.kaplanMeier(data, "duration", "observed").get
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
       (1L, 5L, 1L, 0L), (2L, 4L, 0L, 1L), (3L, 3L, 1L, 0L),
       (4L, 2L, 1L, 0L), (5L, 1L, 0L, 1L)))
-    val s = got.map(r => r._1 -> r._5).toMap
+    val s = rows.map(r => r._1 -> r._5).toMap
     assert(math.abs(s(1L) - 0.8) < 1e-12)
     assert(s(2L) == s(1L))
     assert(math.abs(s(3L) - 0.8 * 2 / 3) < 1e-12)
     assert(math.abs(s(4L) - 0.8 * 2 / 3 * 0.5) < 1e-12)
     assert(s(5L) == s(4L))
+    // Greenwood: se(t=1) = 0.8·√(1/(5·4)); censor rows add no term;
+    // CI clamps inside [0, 1]
+    val se = rows.map(r => r._1 -> r._6).toMap
+    assert(math.abs(se(1L) - 0.8 * math.sqrt(1.0 / 20.0)) < 1e-12)
+    assert(se(2L) == se(1L))
+    val g3 = 1.0 / 20.0 + 1.0 / (3.0 * 2.0)
+    assert(math.abs(se(3L) - s(3L) * math.sqrt(g3)) < 1e-12)
+    rows.foreach { r =>
+      assert(r._7 >= 0.0 && r._8 <= 1.0 && r._7 <= r._5 && r._5 <= r._8)
+    }
     // negative/null durations are dropped
     val dirty = Seq((Some(-1L), Some(1)), (None, Some(1)), (Some(2L), None),
       (Some(0L), Some(1))).toDF("duration", "observed")
