@@ -2682,6 +2682,51 @@ object SparkEntry {
         .orderBy("duration")
     }),
 
+    "q244_log_rank" -> ((s, dir) => {
+      // Two-cohort churn comparison — even- vs odd-id users' lifetimes
+      // (same hour-granularity construction as q240) under the
+      // log-rank test. Event/risk counts exact; the hypergeometric
+      // moment sums are χ²-tier, rounded under the tie-shift.
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      val hour = floor(col("ts").cast("long") / 3600L).cast("long")
+      val per = ev.select(col("user_id"), hour.as("__d"))
+        .groupBy("user_id")
+        .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+      val maxHour = per.agg(max(col("__l")).as("__m"))
+      val lifetimes = per.crossJoin(broadcast(maxHour))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__l") < col("__m") - 24).cast("int").as("observed"),
+          when(col("user_id") % 2 === 0, lit("even"))
+            .otherwise(lit("odd")).as("grp"))
+      Behavior.logRank(lifetimes, "duration", "observed", "grp").get
+        .select(col("group_a"), col("group_b"), col("obs_a"), col("obs_b"),
+          round(col("exp_a") + lit(1e-9), 6).as("exp_a"),
+          round(col("exp_b") + lit(1e-9), 6).as("exp_b"),
+          round(col("variance") + lit(1e-9), 6).as("variance"),
+          round(col("chi2") + lit(1e-9), 6).as("chi2"))
+    }),
+
+    "q245_nelson_aalen" -> ((s, dir) => {
+      // Cumulative-hazard view of the q240 lifetimes frame: running
+      // Σ d/n and its Poisson SE over the same duration grid. Counts
+      // exact; hazard sums rounded under the tie-shift.
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      val hour = floor(col("ts").cast("long") / 3600L).cast("long")
+      val per = ev.select(col("user_id"), hour.as("__d"))
+        .groupBy("user_id")
+        .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+      val maxHour = per.agg(max(col("__l")).as("__m"))
+      val lifetimes = per.crossJoin(broadcast(maxHour))
+        .select((col("__l") - col("__f")).as("duration"),
+          (col("__l") < col("__m") - 24).cast("int").as("observed"))
+      Behavior.nelsonAalen(lifetimes, "duration", "observed").get
+        .select(col("duration"), col("n_risk"), col("n_events"),
+          col("n_censored"),
+          round(col("cum_hazard") + lit(1e-9), 6).as("cum_hazard"),
+          round(col("cum_hazard_se") + lit(1e-9), 6).as("cum_hazard_se"))
+        .orderBy("duration")
+    }),
+
     "q239_categorical_drift" -> ((s, dir) => {
       // Lang-mix drift between the even-id snapshot and the odd-id
       // snapshot with a planted 'xx' injection every 11th doc: exact
@@ -6766,6 +6811,112 @@ object SparkEntry {
            round(greatest(s - 1.96 * (s * sqrt(g)), 0) + 1e-9, 6) AS ci_lo,
            round(least(s + 1.96 * (s * sqrt(g)), 1) + 1e-9, 6) AS ci_hi
          FROM sv ORDER BY duration""",
+
+    // q244: the q240 lifetimes chain split by user parity; per-group
+    // risk sets from reverse running counts; hypergeometric moments
+    // summed over EVENT rows only.
+    "q244_log_rank" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS f,
+             CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS l
+           FROM events WHERE ts IS NOT NULL GROUP BY user_id
+         ), mx AS (SELECT max(l) AS m FROM per
+         ), lt AS (
+           SELECT l - f AS duration,
+             CASE WHEN l < (SELECT m FROM mx) - 24 THEN 1 ELSE 0 END AS o,
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+           FROM per
+         ), grid AS (
+           SELECT duration,
+             CAST(count(CASE WHEN o = 1 AND g = 'even' THEN 1 END)
+               AS BIGINT) AS d1,
+             CAST(count(CASE WHEN o = 1 AND g = 'odd' THEN 1 END)
+               AS BIGINT) AS d2,
+             CAST(count(CASE WHEN o = 0 AND g = 'even' THEN 1 END)
+               AS BIGINT) AS c1,
+             CAST(count(CASE WHEN o = 0 AND g = 'odd' THEN 1 END)
+               AS BIGINT) AS c2
+           FROM lt GROUP BY duration
+         ), tot AS (
+           SELECT CAST(sum(d1 + c1) AS BIGINT) AS n1t,
+             CAST(sum(d2 + c2) AS BIGINT) AS n2t
+           FROM grid
+         ), w AS (
+           SELECT *,
+             (SELECT n1t FROM tot) - COALESCE(sum(d1 + c1)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             (SELECT n2t FROM tot) - COALESCE(sum(d2 + c2)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n2
+           FROM grid
+         ), ev AS (
+           SELECT d1, d2, d1 + d2 AS dt, n1, n2,
+             CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS e1,
+             CASE WHEN n1 + n2 > 1
+               THEN CAST(d1 + d2 AS DOUBLE) * n1 * n2
+                 * ((n1 + n2) - (d1 + d2))
+                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * ((n1 + n2) - 1))
+               ELSE 0 END AS v
+           FROM w WHERE d1 + d2 > 0
+         ), agg AS (
+           SELECT CAST(sum(d1) AS BIGINT) AS obs_a,
+             CAST(sum(d2) AS BIGINT) AS obs_b,
+             sum(e1) AS exp_a, sum(CAST(dt AS DOUBLE) - e1) AS exp_b,
+             sum(v) AS variance
+           FROM ev
+         )
+         SELECT 'even' AS group_a, 'odd' AS group_b, obs_a, obs_b,
+           round(exp_a + 1e-9, 6) AS exp_a,
+           round(exp_b + 1e-9, 6) AS exp_b,
+           round(variance + 1e-9, 6) AS variance,
+           round(CASE WHEN variance > 0
+             THEN (CAST(obs_a AS DOUBLE) - exp_a) ^ 2 / variance END
+             + 1e-9, 6) AS chi2
+         FROM agg""",
+
+    // q245: the q240 grid with running Σ d/n and √(Σ d/n²) instead of
+    // the product-limit curve.
+    "q245_nelson_aalen" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS f,
+             CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS l
+           FROM events WHERE ts IS NOT NULL GROUP BY user_id
+         ), mx AS (SELECT max(l) AS m FROM per
+         ), lt AS (
+           SELECT l - f AS duration,
+             CASE WHEN l < (SELECT m FROM mx) - 24 THEN 1 ELSE 0 END AS o
+           FROM per
+         ), grid AS (
+           SELECT duration,
+             CAST(count(CASE WHEN o = 1 THEN 1 END) AS BIGINT) AS n_events,
+             CAST(count(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS n_censored
+           FROM lt GROUP BY duration
+         ), nn AS (
+           SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n FROM grid
+         ), w AS (
+           SELECT *,
+             (SELECT n FROM nn) - COALESCE(sum(n_events + n_censored)
+               OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM grid
+         )
+         SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           n_censored,
+           round(sum(CAST(n_events AS DOUBLE) / n_risk)
+             OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + 1e-9, 6) AS cum_hazard,
+           round(sqrt(sum(CAST(n_events AS DOUBLE) / (n_risk * n_risk))
+             OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             + 1e-9, 6) AS cum_hazard_se
+         FROM w ORDER BY duration""",
 
     // q243: the distinct-value grid, running counts, ⌈p·n⌉ ranks, and
     // the first-row-reaching-rank pick — all exact.

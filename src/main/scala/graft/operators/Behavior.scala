@@ -563,6 +563,135 @@ object Behavior {
         "survival_se", "ci_lo", "ci_hi")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * `(duration, observed)` frame as [[kaplanMeier]] — the hazard-side
+    * view of the survival curve (`H(t) = Σ_{tⱼ ≤ t} dⱼ/nⱼ`), preferred
+    * when hazards are the modelling target (e.g. comparing churn
+    * intensity across cohorts) because sums are better behaved than
+    * products near the tail.
+    *
+    * Returns one row per DISTINCT duration:
+    * `(duration, n_risk, n_events, n_censored: bigint, cum_hazard,
+    * cum_hazard_se: double)` — the SE is the Poisson/Aalen form
+    * `√(Σ dⱼ/nⱼ²)`.
+    *
+    * Plan: identical shape to [[kaplanMeier]] — one partial-agg
+    * shuffle to the duration grid, grid-sized windows only. Counts
+    * exact; the hazard sums carry χ²-tier float noise (gate rounds
+    * under the tie-shift).
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val dur = col(durationCol)
+    val obs = col(observedCol).cast("boolean")
+    val base = df.filter(dur.isNotNull && dur >= 0 && obs.isNotNull)
+    val grid = base.groupBy(dur.as("duration"))
+      .agg(count(when(obs, 1)).as("n_events"),
+        count(when(!obs, 1)).as("n_censored"))
+    val before = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = grid.agg(
+      coalesce(sum(col("n_events") + col("n_censored")), lit(0L)).as("__n"))
+    grid.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(
+          sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      .withColumn("cum_hazard",
+        sum(col("n_events").cast("double") / col("n_risk")).over(upto))
+      .withColumn("cum_hazard_se",
+        sqrt(sum(col("n_events").cast("double") /
+          (col("n_risk") * col("n_risk"))).over(upto)))
+      .select("duration", "n_risk", "n_events", "n_censored", "cum_hazard",
+        "cum_hazard_se")
+  }
+
+  /** Two-group log-rank test over a per-entity
+    * `(duration, observed, group)` frame — "do these two cohorts churn
+    * at the same rate?", the standard companion to [[kaplanMeier]].
+    * At each distinct EVENT time `t`: observed events `d₁ₜ` vs the
+    * hypergeometric expectation `dₜ·n₁ₜ/nₜ` with variance
+    * `dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)`; the statistic is
+    * `(O₁−E₁)²/V ~ χ²(1)`. Reports the statistic, not a p-value —
+    * house convention (see [[graft.operators.Stats.chiSquareIndependence]]).
+    *
+    * `groupCol` must hold exactly two distinct non-null values
+    * ([[graft.functional.Fail]] otherwise); `group_a` is the smaller
+    * by string sort, so output is deterministic regardless of
+    * partitioning.
+    *
+    * Returns one row:
+    * `(group_a, group_b: string, obs_a, obs_b: bigint, exp_a, exp_b,
+    * variance, chi2: double)`.
+    *
+    * Plan: one partial-agg shuffle to the duration grid with per-group
+    * event/censor counts, grid-sized windows for the two risk sets,
+    * one final global agg. The two-label probe is a bounded
+    * driver-side action (≤ 3 rows). Counts and risk sets exact; the
+    * expectation/variance sums are χ²-tier floats.
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      groupCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val dur = col(durationCol)
+    val obs = col(observedCol).cast("boolean")
+    val grp = col(groupCol).cast("string")
+    val base = df.filter(dur.isNotNull && dur >= 0 && obs.isNotNull &&
+      grp.isNotNull)
+    val labels = base.select(grp.as("__g")).distinct()
+      .orderBy("__g").limit(3).collect().map(_.getString(0))
+    require(labels.length == 2,
+      s"logRank needs exactly 2 groups in '$groupCol', found " +
+        s"${labels.length}")
+    val Array(ga, gb) = labels
+    val grid = base.groupBy(dur.as("duration"))
+      .agg(count(when(obs && grp === ga, 1)).as("d1"),
+        count(when(obs && grp === gb, 1)).as("d2"),
+        count(when(!obs && grp === ga, 1)).as("c1"),
+        count(when(!obs && grp === gb, 1)).as("c2"))
+    val before = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = grid.agg(
+      coalesce(sum(col("d1") + col("c1")), lit(0L)).as("__n1"),
+      coalesce(sum(col("d2") + col("c2")), lit(0L)).as("__n2"))
+    val risk = grid.crossJoin(broadcast(totals))
+      .withColumn("n1",
+        col("__n1") - coalesce(sum(col("d1") + col("c1")).over(before),
+          lit(0L)))
+      .withColumn("n2",
+        col("__n2") - coalesce(sum(col("d2") + col("c2")).over(before),
+          lit(0L)))
+      .filter(col("d1") + col("d2") > 0)
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("nt", col("n1") + col("n2"))
+      .withColumn("e1",
+        col("dt").cast("double") * col("n1") / col("nt"))
+      .withColumn("v",
+        when(col("nt") > 1,
+          col("dt").cast("double") * col("n1") * col("n2") *
+            (col("nt") - col("dt")) /
+            (col("nt").cast("double") * col("nt") * (col("nt") - 1)))
+          .otherwise(lit(0.0)))
+    risk.agg(
+        sum(col("d1")).as("obs_a"), sum(col("d2")).as("obs_b"),
+        sum(col("e1")).as("exp_a"),
+        sum(col("dt").cast("double") - col("e1")).as("exp_b"),
+        sum(col("v")).as("variance"))
+      .select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+        col("obs_a"), col("obs_b"), col("exp_a"), col("exp_b"),
+        col("variance"),
+        when(col("variance") > 0,
+          pow(col("obs_a").cast("double") - col("exp_a"), 2) /
+            col("variance")).as("chi2"))
+  }
+
   /** Batch sessionization: assign each event a per-entity
     * `session_idx` (0-based), starting a new session whenever the gap
     * since the entity's previous event exceeds `gapSec`. The batch

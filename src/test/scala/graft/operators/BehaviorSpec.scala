@@ -180,6 +180,59 @@ class BehaviorSpec extends AnyFunSuite {
     assert(Behavior.kaplanMeier(dirty, "duration", "observed").get.count() == 1)
   }
 
+  test("nelsonAalen: running hazard and Poisson SE on the KM fixture") {
+    val data = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("duration", "observed")
+    val rows = Behavior.nelsonAalen(data, "duration", "observed").get
+      .as[(Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 5L, 1L, 0L), (2L, 4L, 0L, 1L), (3L, 3L, 1L, 0L),
+      (4L, 2L, 1L, 0L), (5L, 1L, 0L, 1L)))
+    val h = rows.map(r => r._1 -> r._5).toMap
+    assert(math.abs(h(1L) - 0.2) < 1e-12)
+    assert(h(2L) == h(1L)) // censor-only row: hazard unchanged
+    assert(math.abs(h(3L) - (0.2 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(h(4L) - (0.2 + 1.0 / 3 + 0.5)) < 1e-12)
+    assert(h(5L) == h(4L))
+    val se = rows.map(r => r._1 -> r._6).toMap
+    assert(math.abs(se(3L) - math.sqrt(1.0 / 25 + 1.0 / 9)) < 1e-12)
+  }
+
+  test("logRank: textbook two-group hypergeometric moments") {
+    // A: 1e, 3e, 5c; B: 2e, 4c, 6e →
+    //  t=1: n=(3,3), d1=1 → e1=0.5,  v=0.25
+    //  t=2: n=(2,3), d2=1 → e1=0.4,  v=0.24
+    //  t=3: n=(2,2), d1=1 → e1=0.5,  v=0.25
+    //  t=6: n=(0,1), d2=1 → e1=0,    v=0 (nt=1 guard)
+    val data = Seq((1L, 1, "A"), (3L, 1, "A"), (5L, 0, "A"),
+      (2L, 1, "B"), (4L, 0, "B"), (6L, 1, "B"))
+      .toDF("duration", "observed", "grp")
+    val r = Behavior.logRank(data, "duration", "observed", "grp").get
+      .as[(String, String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect()
+    assert(r.length == 1)
+    val (ga, gb, o1, o2, e1, e2, v, chi2) = r.head
+    assert(ga == "A" && gb == "B" && o1 == 2L && o2 == 2L)
+    assert(math.abs(e1 - 1.4) < 1e-12)
+    assert(math.abs(e2 - 2.6) < 1e-12)
+    assert(math.abs(v - 0.74) < 1e-12)
+    assert(math.abs(chi2.get - 0.36 / 0.74) < 1e-12)
+    // symmetric: swapping labels swaps obs/exp, same chi2
+    val sw = Behavior.logRank(
+        data.withColumn("grp",
+          when(col("grp") === "A", "Z").otherwise("Y")),
+        "duration", "observed", "grp").get
+      .as[(String, String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(sw._1 == "Y" && sw._3 == 2L &&
+      math.abs(sw._5 - 2.6) < 1e-12 &&
+      math.abs(sw._8.get - chi2.get) < 1e-12)
+    // not-exactly-two groups → Fail
+    assert(Behavior.logRank(
+      data.withColumn("grp", lit("one")),
+      "duration", "observed", "grp").isFailing)
+  }
+
   test("rfm: ntile parity on uneven buckets, no single-partition sort") {
     // 7 users / 3 tiles → bucket sizes 3,2,2; heavy monetary ties so
     // id tiebreaks decide every boundary. Expect bit-parity with
