@@ -2741,6 +2741,34 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q246_quantile_drift" -> ((s, dir) => {
+      // Equal-frequency PSI between the even-id and odd-id document
+      // snapshots with a planted 3× length inflation on every 5th odd
+      // doc: decile edges are exact order statistics of the REF side,
+      // so both engines bin identically; PSI rounded under tie-shift.
+      val docs = tbl(s, dir, "documents").filter(col("n_chars").isNotNull)
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") * 3)
+            .otherwise(col("n_chars")))
+      graft.operators.Quality.quantileDrift(ref, cur, "n_chars",
+          nBins = 10).get
+        .orderBy("bin")
+    }),
+
+    "q247_referential_integrity" -> ((s, dir) => {
+      // Orphan screen on orders→customer with planted damage: every
+      // 89th order's custkey NULLed, every 97th pointed past the
+      // customer domain. All counts exact.
+      val child = tbl(s, dir, "orders")
+        .select(when(col("o_orderkey") % 89 === 0, lit(null))
+          .when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("k"))
+      graft.operators.Quality.referentialIntegrity(child, "k",
+        tbl(s, dir, "customer"), "c_custkey").get
+    }),
+
     "q243_percentiles" -> ((s, dir) => {
       // Exact order statistics of document lengths at 7 cut points —
       // the reproducible-threshold primitive; rank arithmetic and the
@@ -6917,6 +6945,92 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              + 1e-9, 6) AS cum_hazard_se
          FROM w ORDER BY duration""",
+
+    // q246: decile edges via the q243 rank-pick on the REF grid, bins
+    // by strict-below edge count, ε-floored PSI over the 10-bin frame.
+    "q246_quantile_drift" ->
+      """WITH refv AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE n_chars IS NOT NULL AND doc_id % 2 = 0
+         ), curv AS (
+           SELECT CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars * 3
+             ELSE n_chars END AS DOUBLE) AS v
+           FROM documents WHERE n_chars IS NOT NULL AND doc_id % 2 = 1
+         ), grid AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS t FROM refv GROUP BY v
+         ), nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM grid
+         ), cum AS (
+           SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS c
+           FROM grid
+         ), ranked AS (
+           SELECT i, greatest(CAST(ceil(i / 10.0 * (SELECT n FROM nn))
+             AS BIGINT), 1) AS r
+           FROM (SELECT unnest(generate_series(1, 9)) AS i)
+         ), edges AS (
+           SELECT r.i, c.v FROM ranked r
+           JOIN cum c ON c.c >= r.r AND c.c - c.t < r.r
+         ), rb AS (
+           SELECT (SELECT count(*) FROM edges e WHERE e.v < t.v) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+           FROM refv t GROUP BY 1
+         ), cb AS (
+           SELECT (SELECT count(*) FROM edges e WHERE e.v < t.v) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+           FROM curv t GROUP BY 1
+         ), bins AS (
+           SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin
+         ), j AS (
+           SELECT b.bin,
+             COALESCE(rb.n, 0) AS n_ref, COALESCE(cb.n, 0) AS n_cur,
+             CASE WHEN b.bin > 0
+               THEN (SELECT v FROM edges WHERE i = b.bin) END AS lo,
+             CASE WHEN b.bin < 9
+               THEN (SELECT v FROM edges WHERE i = b.bin + 1) END AS hi
+           FROM bins b
+           LEFT JOIN rb ON rb.bin = b.bin LEFT JOIN cb ON cb.bin = b.bin
+         ), fl AS (
+           SELECT *,
+             greatest(CAST(n_ref AS DOUBLE)
+               / (SELECT sum(n_ref) FROM j), 1e-4) AS p,
+             greatest(CAST(n_cur AS DOUBLE)
+               / (SELECT sum(n_cur) FROM j), 1e-4) AS q
+           FROM j
+         )
+         SELECT bin, lo, hi, n_ref, n_cur,
+           round(p + 1e-9, 6) AS p, round(q + 1e-9, 6) AS q,
+           round((p - q) * ln(p / q) + 1e-9, 6) AS psi_contrib,
+           round((SELECT sum((p - q) * ln(p / q)) FROM fl) + 1e-9, 6)
+             AS psi_total
+         FROM fl ORDER BY bin""",
+
+    // q247: all exact counts; orphan grid anti-joined, not rows.
+    "q247_referential_integrity" ->
+      """WITH child AS (
+           SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
+             WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+             ELSE o_custkey END AS k
+           FROM orders
+         ), nulls AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN k IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_key
+           FROM child
+         ), grid AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n
+           FROM child WHERE k IS NOT NULL GROUP BY k
+         ), orph AS (
+           SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_orphans,
+             CAST(count(*) AS BIGINT) AS n_orphan_keys
+           FROM grid
+           WHERE k NOT IN (SELECT c_custkey FROM customer)
+         )
+         SELECT n_child, n_null_key, n_orphans, n_orphan_keys,
+           round(CASE WHEN n_child > n_null_key
+             THEN CAST(n_orphans AS DOUBLE) / (n_child - n_null_key)
+             ELSE 0 END + 1e-9, 6) AS orphan_share
+         FROM nulls, orph""",
 
     // q243: the distinct-value grid, running counts, ⌈p·n⌉ ranks, and
     // the first-row-reaching-rank pick — all exact.

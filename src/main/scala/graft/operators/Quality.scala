@@ -565,6 +565,114 @@ object Quality {
         "psi_contrib", "psi_total", "chi2_total")
   }
 
+  /** PSI drift over EQUAL-FREQUENCY bins — the production-standard
+    * form of [[histogramPsi]]: bin edges are the reference corpus's
+    * own `i/nBins` quantiles (exact order statistics via the
+    * [[percentiles]] grid machinery, so thresholds are reproducible),
+    * which makes every reference bin carry ~1/nBins of the mass and
+    * the PSI insensitive to the value range — no lo/hi guessing, and
+    * tail drift is weighted the same as body drift.
+    *
+    * Returns one row per bin:
+    * `(bin: int, lo, hi: double, n_ref, n_cur: bigint, p, q,
+    * psi_contrib, psi_total: double)` — `lo`/`hi` are the interior
+    * edge values (NULL at the open ends); bin `i` holds values `v`
+    * with `edge_{i-1} < v ≤ edge_i`. Heavy ties can produce duplicate
+    * edges and thus structurally empty bins — the ε-floor keeps their
+    * PSI finite (document-level mass collapse IS drift signal).
+    *
+    * Plan: one partial-agg shuffle per side to the value grids, the
+    * edge pick on the REF grid (grid-sized window), and a bounded
+    * driver-side edge collect (nBins−1 doubles) folded into a
+    * branch-free bin expression both sides share — counts exact, PSI
+    * χ²-tier.
+    */
+  def quantileDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 10,
+      eps: Double = 1e-4
+  ): MayFail[DataFrame] = MayFail {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    require(eps > 0, s"eps must be positive: $eps")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edges = percentiles(ref, valueCol, ps).get
+      .select("p", "value").collect()
+      .sortBy(_.getDouble(0))
+      .map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+    require(!edges.exists(_.isNaN), "quantileDrift: empty reference corpus")
+    val v = col(valueCol).cast("double")
+    // bin = number of interior edges strictly below v (0 .. nBins-1)
+    val bin = edges.map(e => when(v > lit(e), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(v.isNotNull).groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as(out))
+    val frame = ref.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val j = frame
+      .join(counts(ref, "n_ref"), Seq("bin"), "left")
+      .join(counts(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val lo = when(col("bin") > 0,
+      element_at(lit(edges), col("bin")))
+    val hi = when(col("bin") < nBins - 1,
+      element_at(lit(edges), col("bin") + 1))
+    val tot = Window.partitionBy()
+    val p = greatest(col("n_ref") / sum(col("n_ref")).over(tot), lit(eps))
+    val q = greatest(col("n_cur") / sum(col("n_cur")).over(tot), lit(eps))
+    j.withColumn("lo", lo)
+      .withColumn("hi", hi)
+      .withColumn("p", round(p + lit(1e-9), 6))
+      .withColumn("q", round(q + lit(1e-9), 6))
+      .withColumn("psi_contrib",
+        round((p - q) * log(p / q) + lit(1e-9), 6))
+      .withColumn("psi_total",
+        round(sum((p - q) * log(p / q)).over(tot) + lit(1e-9), 6))
+      .select("bin", "lo", "hi", "n_ref", "n_cur", "p", "q",
+        "psi_contrib", "psi_total")
+  }
+
+  /** Referential-integrity screen for a foreign-key relationship —
+    * run BEFORE joining 100 TB on the key: reports how many child rows
+    * have no matching parent (orphans), how many carry a NULL key (a
+    * join silently drops them), and the distinct orphan-key count.
+    * Returns ONE row, all exact counts:
+    * `(n_child, n_null_key, n_orphans, n_orphan_keys, orphan_share:
+    * double)` — `orphan_share` over the non-null-keyed rows.
+    *
+    * Plan: child grid via one partial-agg shuffle on the key, then a
+    * LEFT ANTI join of the grid (not the rows) against the parent
+    * keys — a 10¹⁰-row child with a bounded key domain anti-joins its
+    * key grid only.
+    */
+  def referentialIntegrity(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): MayFail[DataFrame] = MayFail {
+    val nulls = child.agg(count(lit(1)).as("n_child"),
+      count(when(col(childKey).isNull, 1)).as("n_null_key"))
+    val grid = child.filter(col(childKey).isNotNull)
+      .groupBy(col(childKey).as("__k")).agg(count(lit(1)).as("__n"))
+    val orphans = grid.join(
+        parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_orphans"),
+        count(lit(1)).as("n_orphan_keys"))
+    nulls.crossJoin(broadcast(orphans))
+      .select(col("n_child"), col("n_null_key"), col("n_orphans"),
+        col("n_orphan_keys"),
+        round(when(col("n_child") > col("n_null_key"),
+          col("n_orphans").cast("double") /
+            (col("n_child") - col("n_null_key"))).otherwise(lit(0.0))
+          + lit(1e-9), 6).as("orphan_share"))
+  }
+
   /** Privacy-governance screen: k-anonymity and l-diversity of a
     * quasi-identifier combination. Rows whose quasi-identifier
     * equivalence class has fewer than `k` members are re-identifiable;

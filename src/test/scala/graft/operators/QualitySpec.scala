@@ -359,4 +359,45 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.keySet == Set("a", "<null>"))
     assert(rows.values.forall(v => math.abs(v) < 1e-6))
   }
+
+  test("quantileDrift: equal-frequency bins from ref edges, shift detected") {
+    // ref = 1..100: decile edges 10,20,…,90 → each bin holds exactly 10
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Quality.quantileDrift(ref, ref, "v", nBins = 10).get
+      .orderBy("bin")
+      .as[(Int, Option[Double], Option[Double], Long, Long, Double,
+        Double, Double, Double)].collect()
+    assert(same.length == 10)
+    assert(same.forall(r => r._4 == 10L && r._5 == 10L))
+    assert(same.forall(r => math.abs(r._9) < 1e-6)) // psi_total ~ 0
+    // open ends: bin 0 lo NULL / hi 10; bin 9 lo 90 / hi NULL
+    assert(same.head._2.isEmpty && same.head._3.contains(10.0))
+    assert(same.last._2.contains(90.0) && same.last._3.isEmpty)
+    // everything shifted past the top edge lands in bin 9 → PSI large
+    val cur = (1 to 100).map(i => 1000.0 + i).toDF("v")
+    val drift = Quality.quantileDrift(ref, cur, "v", nBins = 10).get
+    assert(drift.select("psi_total").as[Double].head() > 0.25)
+    assert(drift.select("psi_contrib").as[Double].collect()
+      .forall(c => !c.isNaN && !c.isInfinite))
+    // empty ref → Fail, bad knob → Fail
+    assert(Quality.quantileDrift(ref.filter(lit(false)), ref, "v").isFailing)
+    assert(Quality.quantileDrift(ref, ref, "v", nBins = 1).isFailing)
+  }
+
+  test("referentialIntegrity: orphans, null keys, exact counts") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // children: 4 matched, 2 orphans on one key, 1 orphan on another,
+    // 2 null keys
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(3L), Some(9L),
+      Some(9L), Some(8L), None, None).toDF("fk")
+    val r = Quality.referentialIntegrity(child, "fk", parent, "pk").get
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._1 == 9L && r._2 == 2L && r._3 == 3L && r._4 == 2L)
+    assert(math.abs(r._5 - 3.0 / 7) < 1e-6)
+    // all-null child: share 0, no division blowup
+    val allNull = Seq[Option[Long]](None, None).toDF("fk")
+    val r2 = Quality.referentialIntegrity(allNull, "fk", parent, "pk").get
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r2 == ((2L, 2L, 0L, 0L, 0.0)))
+  }
 }
