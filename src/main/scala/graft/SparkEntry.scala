@@ -2741,6 +2741,23 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q248_markov_attribution" -> ((s, dir) => {
+      // Data-driven multi-touch attribution over the events stream:
+      // first-order chain on pre-conversion paths, 30 synchronous
+      // absorption steps, one simultaneous solve for all four channel
+      // removals. Probabilities exact rationals; fixed-point sums
+      // rounded under the tie-shift.
+      Behavior.markovAttribution(events(s, dir), "ts", "event_id",
+          "user_id", "event_type", convChannel = "purchase",
+          iterations = 30).get
+        .select(col("channel"),
+          round(col("base_cvr") + lit(1e-9), 6).as("base_cvr"),
+          round(col("removed_cvr") + lit(1e-9), 6).as("removed_cvr"),
+          round(col("removal_effect") + lit(1e-9), 6).as("removal_effect"),
+          round(col("attribution") + lit(1e-9), 6).as("attribution"))
+        .orderBy("channel")
+    }),
+
     "q246_quantile_drift" -> ((s, dir) => {
       // Equal-frequency PSI between the even-id and odd-id document
       // snapshots with a planted 3× length inflation on every 5th odd
@@ -4092,6 +4109,95 @@ object SparkEntry {
     * [[graft.operators.Graph.labelPropagate]] vote-for-vote — exact
     * majority counts, (count DESC, label ASC) argmax, seeds never
     * overwritten. Rounds are idempotent past convergence. */
+  /** q248's oracle, generated: the per-user channel paths (touches
+    * strictly before the first conversion), the transition-probability
+    * grid, the removal-replicated edge frame, and `iterations` unrolled
+    * synchronous fixed-point steps of the absorption probability —
+    * matching [[graft.operators.Behavior.markovAttribution]] step for
+    * step. Every p-step CTE is MATERIALIZED: DuckDB inlines
+    * multi-referenced CTEs, and inlining re-expands the join chain
+    * exponentially across steps (the Louvain-oracle lesson). */
+  private def markovOracleSql(iterations: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH base AS MATERIALIZED (
+           SELECT user_id AS u, event_id AS id, event_type AS c,
+             epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         ), convs AS MATERIALIZED (
+           SELECT u, us AS cus, id AS cid FROM (
+             SELECT u, us, id,
+               row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn
+             FROM base WHERE c = 'purchase')
+           WHERE rn = 1
+         ), touches AS MATERIALIZED (
+           SELECT b.u, b.c, b.us, b.id, (cv.u IS NOT NULL) AS conv
+           FROM base b LEFT JOIN convs cv ON cv.u = b.u
+           WHERE b.c <> 'purchase'
+             AND (cv.u IS NULL OR (b.us, b.id) < (cv.cus, cv.cid))
+         ), sq AS MATERIALIZED (
+           SELECT u, c, conv,
+             row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn,
+             lead(c) OVER (PARTITION BY u ORDER BY us, id) AS nxt
+           FROM touches
+         ), edges AS MATERIALIZED (
+           SELECT c AS f, COALESCE(nxt,
+             CASE WHEN conv THEN '(conv)' ELSE '(null)' END) AS t
+           FROM sq
+           UNION ALL
+           SELECT '(start)', c FROM sq WHERE rn = 1
+           UNION ALL
+           SELECT '(start)', '(conv)' FROM convs cv
+           WHERE cv.u NOT IN (SELECT u FROM touches)
+         ), probs AS MATERIALIZED (
+           SELECT f, t,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY f) AS p
+           FROM (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+             FROM edges GROUP BY f, t)
+         ), removals AS MATERIALIZED (
+           SELECT DISTINCT c AS removed FROM touches
+           UNION ALL SELECT '(none)'
+         ), redges AS MATERIALIZED (
+           SELECT r.removed, e.f,
+             CASE WHEN e.t = r.removed THEN '(null)' ELSE e.t END AS t,
+             e.p
+           FROM removals r CROSS JOIN probs e
+           WHERE e.f <> r.removed
+         ), p0 AS MATERIALIZED (
+           SELECT DISTINCT removed, f AS state, 0.0 AS p FROM redges
+         )""")
+    for (k <- 1 to iterations) {
+      val q = k - 1
+      sb.append(s""", p$k AS MATERIALIZED (
+           SELECT e.removed, e.f AS state,
+             sum(e.p * CASE WHEN e.t = '(conv)' THEN 1.0
+               WHEN e.t = '(null)' THEN 0.0
+               ELSE COALESCE(pk.p, 0.0) END) AS p
+           FROM redges e LEFT JOIN p$q pk
+             ON pk.removed = e.removed AND pk.state = e.t
+           GROUP BY 1, 2
+         )""")
+    }
+    sb.append(s""", eff AS (
+           SELECT removed AS channel,
+             (SELECT p FROM p$iterations
+              WHERE removed = '(none)' AND state = '(start)') AS base_cvr,
+             p AS removed_cvr,
+             greatest(1.0 - p / (SELECT p FROM p$iterations
+               WHERE removed = '(none)' AND state = '(start)'), 0.0) AS re
+           FROM p$iterations
+           WHERE removed <> '(none)' AND state = '(start)'
+         )
+         SELECT channel, round(base_cvr + 1e-9, 6) AS base_cvr,
+           round(removed_cvr + 1e-9, 6) AS removed_cvr,
+           round(re + 1e-9, 6) AS removal_effect,
+           round(CASE WHEN (SELECT sum(re) FROM eff) > 0
+             THEN re / (SELECT sum(re) FROM eff) END + 1e-9, 6)
+             AS attribution
+         FROM eff ORDER BY channel""")
+    sb.toString
+  }
+
   private def labelPropagationOracleSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -6945,6 +7051,10 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              + 1e-9, 6) AS cum_hazard_se
          FROM w ORDER BY duration""",
+
+    // q248: generated unrolled absorption fixed-point (see
+    // markovOracleSql).
+    "q248_markov_attribution" -> markovOracleSql(iterations = 30),
 
     // q246: decile edges via the q243 rank-pick on the REF grid, bins
     // by strict-below edge count, ε-floored PSI over the 10-bin frame.

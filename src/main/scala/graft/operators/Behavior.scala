@@ -798,6 +798,127 @@ object Behavior {
           expr("(__us - __lt_us) div 1000000")).as("gap_sec"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al.'s data-driven
+    * multi-touch model, publicly described in "Mapping the Customer
+    * Journey", 2014): build the first-order Markov chain over per-user
+    * channel paths — `(start) → touches… → (conv)|(null)`, touches
+    * taken strictly before the user's FIRST conversion — then score
+    * each channel by how much the chain's conversion probability drops
+    * when that channel is removed (its transitions redirected to
+    * `(null)`). Unlike last-touch [[attribution]], this credits
+    * assisting channels.
+    *
+    * The absorption probability is computed by `iterations` synchronous
+    * fixed-point steps (the K-step absorption probability — the same
+    * truncation discipline as [[Graph.pageRank]]; it converges
+    * geometrically and extra steps past convergence are harmless). ALL
+    * removals are solved simultaneously under a composite
+    * `(removed, state)` key — one join+agg pipeline per step, never a
+    * per-channel loop.
+    *
+    * State names `(start)`, `(conv)`, `(null)`, `(none)` are reserved;
+    * a channel literally named one of these would collide (not checked
+    * — rename upstream).
+    *
+    * Returns one row per channel:
+    * `(channel: string, base_cvr, removed_cvr, removal_effect,
+    * attribution: double)` — `removal_effect = max(0, 1 −
+    * removed_cvr/base_cvr)`, `attribution` its share of the sum (NULL
+    * when no removal has any effect or there are no conversions).
+    *
+    * Plan: path edges from one exchange on the entity (the
+    * [[sessionize]] window discipline); transition probabilities from
+    * one partial-agg shuffle on the edge; the removal-replicated edge
+    * frame is `localCheckpoint`ed ONCE (size ≤ (C+1)·E for C channels
+    * and E ≤ (C+2)² edges — channel cardinality, never rows) and each
+    * step joins and aggregates on the composite key with the
+    * checkpoint-release discipline of [[Graph.pageRank]]. Counts and
+    * probabilities exact rationals; the fixed-point sums are χ²-tier
+    * floats.
+    */
+  def markovAttribution(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      channelCol: String,
+      convChannel: String,
+      iterations: Int = 20
+  ): MayFail[DataFrame] = MayFail {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val base = df.filter(col(tsCol).isNotNull && col(channelCol).isNotNull)
+      .select(col(userCol).as("__u"), col(idCol).as("__id"),
+        col(channelCol).cast("string").as("__c"),
+        unix_micros(col(tsCol)).as("__us"))
+    val convs = base.filter(col("__c") === convChannel)
+      .groupBy("__u").agg(min(struct(col("__us"), col("__id"))).as("__ck"))
+    val touches = base.filter(col("__c") =!= convChannel)
+      .join(convs, Seq("__u"), "left")
+      .filter(col("__ck").isNull ||
+        struct(col("__us"), col("__id")) < col("__ck"))
+    val w = Window.partitionBy("__u").orderBy(col("__us"), col("__id"))
+    val seq0 = touches
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__c"), 1).over(w))
+    val eMid = seq0.select(col("__c").as("from"),
+      coalesce(col("__next"),
+        when(col("__ck").isNotNull, lit("(conv)"))
+          .otherwise(lit("(null)"))).as("to"))
+    val eStart = seq0.filter(col("__rn") === 1)
+      .select(lit("(start)").as("from"), col("__c").as("to"))
+    val eDirect = convs
+      .join(touches.select("__u").distinct(), Seq("__u"), "left_anti")
+      .select(lit("(start)").as("from"), lit("(conv)").as("to"))
+    val probs = eMid.unionByName(eStart).unionByName(eDirect)
+      .groupBy("from", "to").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from")))
+      .select("from", "to", "p")
+    val removals = touches.select(col("__c").as("removed")).distinct()
+      .unionByName(df.sparkSession.range(1)
+        .select(lit("(none)").as("removed")))
+    val redges = removals.crossJoin(probs)
+      .filter(col("from") =!= col("removed"))
+      .withColumn("to", when(col("to") === col("removed"), lit("(null)"))
+        .otherwise(col("to")))
+      .localCheckpoint(true)
+    var p = redges.select(col("removed"), col("from").as("state"))
+      .distinct()
+      .withColumn("p", lit(0.0))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = redges.alias("e")
+        .join(p.alias("pk"),
+          col("e.removed") === col("pk.removed") &&
+            col("e.to") === col("pk.state"), "left")
+        .select(col("e.removed").as("removed"), col("e.from").as("state"),
+          (col("e.p") * when(col("e.to") === "(conv)", lit(1.0))
+            .when(col("e.to") === "(null)", lit(0.0))
+            .otherwise(coalesce(col("pk.p"), lit(0.0)))).as("__t"))
+        .groupBy("removed", "state").agg(sum(col("__t")).as("p"))
+        .localCheckpoint(true)
+      graft.physical.Optimise.releaseCheckpoint(p)
+      p = next
+    }
+    graft.physical.Optimise.releaseCheckpoint(redges)
+    val baseP = p.filter(col("removed") === "(none)" &&
+        col("state") === "(start)")
+      .select(col("p").as("__base"))
+    val tot = Window.partitionBy()
+    p.filter(col("removed") =!= "(none)" && col("state") === "(start)")
+      .select(col("removed").as("channel"), col("p").as("removed_cvr"))
+      .crossJoin(broadcast(baseP))
+      .withColumn("removal_effect",
+        when(col("__base") > 0,
+          greatest(lit(1.0) - col("removed_cvr") / col("__base"),
+            lit(0.0))))
+      .withColumn("attribution",
+        when(sum(col("removal_effect")).over(tot) > 0,
+          col("removal_effect") / sum(col("removal_effect")).over(tot)))
+      .select(col("channel"), col("__base").as("base_cvr"),
+        col("removed_cvr"), col("removal_effect"), col("attribution"))
+  }
+
   /** Top-k opening paths: each entity's first `maxLen` event types in
     * order joined with `sep`, counted across entities, heaviest first
     * (path ascending as the deterministic tiebreak). "What do users do

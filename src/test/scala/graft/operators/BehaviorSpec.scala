@@ -233,6 +233,41 @@ class BehaviorSpec extends AnyFunSuite {
       "duration", "observed", "grp").isFailing)
   }
 
+  test("markovAttribution: hand-solved removal effects on a toy chain") {
+    // u1: A→conv (+ a post-conversion B that must be ignored)
+    // u2: A→B→conv;  u3: B (no conversion);  u4: direct conversion
+    // Chain: start→{A:.5, B:.25, conv:.25}; A→{conv:.5, B:.5};
+    // B→{conv:.5, null:.5} → base 0.75; remove A → 0.375 (effect .5);
+    // remove B → 0.5 (effect 1/3); attribution .6/.4
+    val data = ev(Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "conv"), (8L, 1L, 30L, "B"),
+      (3L, 2L, 10L, "A"), (4L, 2L, 20L, "B"), (5L, 2L, 30L, "conv"),
+      (6L, 3L, 10L, "B"),
+      (7L, 4L, 10L, "conv")))
+    val got = Behavior.markovAttribution(data, "ts", "event_id", "user_id",
+        "t", "conv", iterations = 10).get
+      .as[(String, Double, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    val a = got("A"); val b = got("B")
+    assert(math.abs(a._2 - 0.75) < 1e-9 && math.abs(b._2 - 0.75) < 1e-9)
+    assert(math.abs(a._3 - 0.375) < 1e-9)
+    assert(math.abs(b._3 - 0.5) < 1e-9)
+    assert(math.abs(a._4.get - 0.5) < 1e-9)
+    assert(math.abs(b._4.get - 1.0 / 3) < 1e-9)
+    assert(math.abs(a._5.get - 0.6) < 1e-9)
+    assert(math.abs(b._5.get - 0.4) < 1e-9)
+    // no conversions at all: base 0, effects NULL, no blowup
+    val none = Behavior.markovAttribution(
+        ev(Seq((1L, 1L, 10L, "A"), (2L, 2L, 10L, "B"))),
+        "ts", "event_id", "user_id", "t", "conv", iterations = 3).get
+      .as[(String, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(none.length == 2)
+    assert(none.forall(r => r._2 == 0.0 && r._3 == 0.0 &&
+      r._4.isEmpty && r._5.isEmpty))
+  }
+
   test("rfm: ntile parity on uneven buckets, no single-partition sort") {
     // 7 users / 3 tiles → bucket sizes 3,2,2; heavy monetary ties so
     // id tiebreaks decide every boundary. Expect bit-parity with
