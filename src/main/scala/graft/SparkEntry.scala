@@ -2884,6 +2884,21 @@ object SparkEntry {
           round(col("f") + lit(1e-9), 4).as("f"))
     }),
 
+    "q249_levene" -> ((s, dir) => {
+      // Brown–Forsythe variance-homogeneity screen across event types
+      // on ×100 integral values: medians half-integral, z-sums exact
+      // dyadics; only the k-term B reduction and the final ratio are
+      // float — rounded under the tie-shift. SS in cent² → /10⁴.
+      Stats.leveneTest(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", "event_type").get
+        .select(col("n"), col("k"),
+          round(col("ss_between") / 10000.0 + lit(1e-9), 4).as("ss_between"),
+          round(col("ss_within") / 10000.0 + lit(1e-9), 4).as("ss_within"),
+          col("df_between"), col("df_within"),
+          round(col("w") + lit(1e-9), 4).as("w"))
+    }),
+
     "q236_kruskal_wallis" -> ((s, dir) => {
       // Rank-based k-group test on the raw values (ranks don't need
       // the ×100 scaling): midranks exact dyadics at distinct-value
@@ -7323,6 +7338,53 @@ object SparkEntry {
            round(CASE WHEN k >= 2 AND n - k >= 1 AND greatest(s2t - b, 0) > 0
              THEN (greatest(b - st * st / CAST(n AS DOUBLE), 0) / (k - 1))
                / (greatest(s2t - b, 0) / (n - k)) END + 1e-9, 4) AS f
+         FROM a""",
+
+    // q249: per-group true medians via the grid rank-pick, |v−m| frame,
+    // then the q235 anova reduction on z.
+    "q249_levene" ->
+      """WITH f AS (
+           SELECT event_type AS g, round(value * 100) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ), grid AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY g, v
+         ), cum AS (
+           SELECT g, v, t,
+             CAST(sum(t) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM grid
+         ), med AS (
+           SELECT m1.g, (m1.v + m2.v) / 2.0 AS m
+           FROM (SELECT g, v FROM cum
+             WHERE c >= (n + 1) // 2 AND c - t < (n + 1) // 2) m1
+           JOIN (SELECT g, v FROM cum
+             WHERE c >= n // 2 + 1 AND c - t < n // 2 + 1) m2
+           ON m1.g = m2.g
+         ), z AS (
+           SELECT f.g, abs(f.v - med.m) AS z
+           FROM f JOIN med ON med.g = f.g
+         ), per AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(z) AS s,
+             sum(z * z) AS s2
+           FROM z GROUP BY g
+         ), a AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(s) AS st, sum(s2) AS s2t,
+             sum(s * s / CAST(n AS DOUBLE)) AS b
+           FROM per
+         )
+         SELECT n, k,
+           round(greatest(b - st * st / CAST(n AS DOUBLE), 0) / 10000.0
+             + 1e-9, 4) AS ss_between,
+           round(greatest(s2t - b, 0) / 10000.0 + 1e-9, 4) AS ss_within,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(CASE WHEN k >= 2 AND n - k >= 1 AND greatest(s2t - b, 0) > 0
+             THEN (greatest(b - st * st / CAST(n AS DOUBLE), 0) / (k - 1))
+               / (greatest(s2t - b, 0) / (n - k)) END + 1e-9, 4) AS w
          FROM a""",
 
     // q236: the MWU distinct-value midrank machinery generalized to k

@@ -491,6 +491,54 @@ object Stats {
         "df_between", "df_within", "f")
   }
 
+  /** Brown–Forsythe/Levene test of variance homogeneity across ALL
+    * groups of `groupCol` — the robust pre-check before trusting
+    * [[anova]]'s or [[welchTTest]]'s pooled assumptions. Uses the
+    * Brown–Forsythe form (centers = per-group TRUE medians — the
+    * median-centered variant is robust to non-normality; Brown &
+    * Forsythe 1974): `z = |v − median_g|`, then the one-way F on the
+    * z-values.
+    *
+    * Returns ONE row `(n, k: bigint, ss_between, ss_within: double,
+    * df_between, df_within: bigint, w: double)` — `w` is the test
+    * statistic (the F of the z frame), NULL under the same degenerate
+    * conditions as [[anova]].
+    *
+    * Plan: per-group medians at DISTINCT-VALUE granularity (the
+    * [[mannWhitneyU]] discipline — a per-group value grid with
+    * running-count windows partitioned BY GROUP, so the sort
+    * parallelizes across groups), one join back to tag rows with their
+    * group median, then the single-pass [[anova]] reduction. Under the
+    * ×100 integral-input convention the medians are half-integral and
+    * every z/z² sum is an exact dyadic — order-independent, the
+    * strongest determinism tier.
+    */
+  def leveneTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val grid = base.groupBy("__g", "__v").agg(count(lit(1)).as("__t"))
+    val upto = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("__c", sum(col("__t")).over(upto))
+      .withColumn("__n", sum(col("__t")).over(Window.partitionBy("__g")))
+    val r1 = expr("(__n + 1) div 2")
+    val r2 = expr("__n div 2 + 1")
+    val m1 = cum.filter(col("__c") >= r1 && col("__c") - col("__t") < r1)
+      .select(col("__g"), col("__v").as("__m1"))
+    val m2 = cum.filter(col("__c") >= r2 && col("__c") - col("__t") < r2)
+      .select(col("__g"), col("__v").as("__m2"))
+    val med = m1.join(m2, Seq("__g"))
+      .select(col("__g"), ((col("__m1") + col("__m2")) / 2).as("__m"))
+    val z = base.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__m")).as("__z"))
+    anova(z, "__z", "__g").get.withColumnRenamed("f", "w")
+  }
+
   /** Kruskal–Wallis H test of `valueCol` across ALL groups of
     * `groupCol` — the rank-based (distribution-free) counterpart of
     * [[anova]] and the k-group generalization of [[mannWhitneyU]],

@@ -247,4 +247,25 @@ class StatsSpec extends AnyFunSuite {
     // out-of-range p rejected
     assert(Stats.fdrAdjust(Seq((1L, 1.5)).toDF("id", "p"), "p").isFailing)
   }
+
+  test("leveneTest: Brown–Forsythe W from per-group true medians") {
+    // A = [1,2,3,4,10] (odd n, median 3) → z = [2,1,0,1,7]
+    // B = [5,5,6,7] (even n, median 5.5) → z = [.5,.5,.5,1.5]
+    val data = (Seq(1.0, 2.0, 3.0, 4.0, 10.0).map(("A", _)) ++
+      Seq(5.0, 5.0, 6.0, 7.0).map(("B", _))).toDF("g", "v")
+    val r = Stats.leveneTest(data, "v", "g").get
+      .as[(Long, Long, Double, Double, Long, Long, Option[Double])].head()
+    assert(r._1 == 9L && r._2 == 2L && r._5 == 1L && r._6 == 7L)
+    val b = 121.0 / 5 + 9.0 / 4            // Σ s²/n over z
+    val ssB = b - 196.0 / 9                // st = 14, n = 9
+    val ssW = 58.0 - b                     // Σ z² = 58
+    assert(math.abs(r._3 - ssB) < 1e-9)
+    assert(math.abs(r._4 - ssW) < 1e-9)
+    assert(math.abs(r._7.get - (ssB / 1) / (ssW / 7)) < 1e-9)
+    // a constant group has z ≡ 0 but W still defined across groups;
+    // a single group → NULL (k < 2)
+    val one = Stats.leveneTest(data.filter($"g" === "A"), "v", "g").get
+      .select("w").as[Option[Double]].head()
+    assert(one.isEmpty)
+  }
 }
