@@ -2884,6 +2884,21 @@ object SparkEntry {
           round(col("f") + lit(1e-9), 4).as("f"))
     }),
 
+    "q250_fisher_exact" -> ((s, dir) => {
+      // Near-independent 2×2 (doc-id parity × length parity) so the
+      // two-sided tail genuinely sums both sides of the mode. Cells
+      // exact; the hypergeometric tail is χ²-tier (lgamma ulps inside
+      // the 1e-7 inclusion slack + tie-shift).
+      val docs = tbl(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select((col("doc_id") % 2 === 0).as("r"),
+          (col("n_chars") % 2 === 0).as("c"))
+      Stats.fisherExact(docs, "r", "c").get
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(col("odds_ratio") + lit(1e-9), 6).as("odds_ratio"),
+          round(col("p_two_sided") + lit(1e-9), 6).as("p_two_sided"))
+    }),
+
     "q249_levene" -> ((s, dir) => {
       // Brown–Forsythe variance-homogeneity screen across event types
       // on ×100 integral values: medians half-integral, z-sums exact
@@ -7339,6 +7354,43 @@ object SparkEntry {
              THEN (greatest(b - st * st / CAST(n AS DOUBLE), 0) / (k - 1))
                / (greatest(s2t - b, 0) / (n - k)) END + 1e-9, 4) AS f
          FROM a""",
+
+    // q250: the same lgamma log-PMF over the full k support, inclusion
+    // under the observed PMF × (1+1e-7).
+    "q250_fisher_exact" ->
+      """WITH cnt AS (
+           SELECT
+             CAST(count(CASE WHEN r AND c THEN 1 END) AS BIGINT) AS a,
+             CAST(count(CASE WHEN r AND NOT c THEN 1 END) AS BIGINT) AS b,
+             CAST(count(CASE WHEN NOT r AND c THEN 1 END) AS BIGINT) AS c,
+             CAST(count(CASE WHEN NOT r AND NOT c THEN 1 END) AS BIGINT)
+               AS d
+           FROM (SELECT doc_id % 2 = 0 AS r, n_chars % 2 = 0 AS c
+             FROM documents WHERE n_chars IS NOT NULL)
+         ), par AS (
+           SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n
+           FROM cnt
+         ), ks AS (
+           SELECT unnest(generate_series(
+             greatest(0, (SELECT c1 - r2 FROM par)),
+             least((SELECT r1 FROM par), (SELECT c1 FROM par)))) AS k
+         ), lp AS (
+           SELECT k,
+             lgamma(p.r1 + 1) + lgamma(p.r2 + 1) + lgamma(p.c1 + 1)
+               + lgamma(p.n - p.c1 + 1) - lgamma(p.n + 1) - lgamma(k + 1)
+               - lgamma(p.r1 - k + 1) - lgamma(p.c1 - k + 1)
+               - lgamma(p.r2 - p.c1 + k + 1) AS l
+           FROM ks, par p
+         )
+         SELECT a, b, c, d,
+           CASE WHEN b > 0 AND c > 0 THEN
+             round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+               + 1e-9, 6) END AS odds_ratio,
+           round(least((SELECT sum(exp(l)) FROM lp
+             WHERE l <= (SELECT l FROM lp, par WHERE k = par.a)
+               + ln(1 + 1e-7)), 1.0) + 1e-9, 6) AS p_two_sided
+         FROM par""",
 
     // q249: per-group true medians via the grid rank-pick, |v−m| frame,
     // then the q235 anova reduction on z.

@@ -491,6 +491,67 @@ object Stats {
         "df_between", "df_within", "f")
   }
 
+  /** Fisher's exact test on a 2×2 contingency table — the
+    * small-count-safe alternative to [[chiSquareIndependence]] (χ²'s
+    * expected-count-≥5 assumption routinely fails on rare-category
+    * screens). `rowCol`/`colCol` are cast to boolean; NULL rows are
+    * dropped. Two-sided p: the sum of all hypergeometric tables whose
+    * PMF ≤ the observed PMF × (1+1e-7) — the standard relative-slack
+    * convention (as in R's fisher.test).
+    *
+    * Returns ONE row `(a, b, c, d: bigint, odds_ratio, p_two_sided:
+    * double)` — cells (a=TT, b=TF, c=FT, d=FF), `odds_ratio` the
+    * sample ad/bc (NULL when bc = 0).
+    *
+    * Plan: ONE distributed aggregation for the four cells; the
+    * hypergeometric tail is a bounded DRIVER-side loop of
+    * `min(r1,c1) − max(0,c1−r2)` log-PMF terms (log-binomials via
+    * commons-math `logGamma`, shipped with Spark). At 100 TB that loop
+    * is O(smallest margin) — for huge balanced margins prefer
+    * [[chiSquareIndependence]], which the large counts then justify.
+    * Counts exact; the PMF comparison and tail sum are χ²-tier floats
+    * (cross-engine lgamma ulps covered by the inclusion slack and the
+    * gate tie-shift).
+    */
+  def fisherExact(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val r = col(rowCol).cast("boolean")
+    val c = col(colCol).cast("boolean")
+    val cells = df.filter(r.isNotNull && c.isNotNull).agg(
+      count(when(r && c, 1)).as("a"),
+      count(when(r && !c, 1)).as("b"),
+      count(when(!r && c, 1)).as("c"),
+      count(when(!r && !c, 1)).as("d")).collect()(0)
+    val (a, b, cc, d) = (cells.getLong(0), cells.getLong(1),
+      cells.getLong(2), cells.getLong(3))
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lf(x: Long): Double = logGamma(x + 1.0)
+    val r1 = a + b; val r2 = cc + d; val c1 = a + cc; val n = r1 + r2
+    def lpmf(k: Long): Double =
+      lf(r1) + lf(r2) + lf(c1) + lf(n - c1) - lf(n) -
+        lf(k) - lf(r1 - k) - lf(c1 - k) - lf(r2 - c1 + k)
+    val p =
+      if (n == 0L) 1.0
+      else {
+        val kLo = math.max(0L, c1 - r2); val kHi = math.min(r1, c1)
+        val thresh = lpmf(a) + math.log1p(1e-7)
+        var s = 0.0; var k = kLo
+        while (k <= kHi) {
+          val lp = lpmf(k); if (lp <= thresh) s += math.exp(lp); k += 1
+        }
+        math.min(s, 1.0)
+      }
+    val or: java.lang.Double =
+      if (b > 0 && cc > 0) a.toDouble * d / (b.toDouble * cc) else null
+    val sp = df.sparkSession
+    import sp.implicits._
+    Seq((a, b, cc, d, Option(or).map(_.doubleValue), p))
+      .toDF("a", "b", "c", "d", "odds_ratio", "p_two_sided")
+  }
+
   /** Brown–Forsythe/Levene test of variance homogeneity across ALL
     * groups of `groupCol` — the robust pre-check before trusting
     * [[anova]]'s or [[welchTTest]]'s pooled assumptions. Uses the

@@ -248,6 +248,28 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.fdrAdjust(Seq((1L, 1.5)).toDF("id", "p"), "p").isFailing)
   }
 
+  test("fisherExact: tea-tasting table, p = 34/70, OR = 9") {
+    // a=3 b=1 c=1 d=3: PMFs over k∈0..4 are (1,16,36,16,1)/70; obs
+    // pmf 16/70 → two-sided sum (1+16+16+1)/70
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Stats.fisherExact(rows.toDF("r", "c"), "r", "c").get
+      .as[(Long, Long, Long, Long, Option[Double], Double)].head()
+    assert(r._1 == 3L && r._2 == 1L && r._3 == 1L && r._4 == 3L)
+    assert(math.abs(r._5.get - 9.0) < 1e-12)
+    assert(math.abs(r._6 - 34.0 / 70) < 1e-9)
+    // empty input: p = 1, OR NULL
+    val e = Stats.fisherExact(rows.toDF("r", "c").filter($"r" =!= $"r"),
+        "r", "c").get
+      .as[(Long, Long, Long, Long, Option[Double], Double)].head()
+    assert(e == ((0L, 0L, 0L, 0L, None, 1.0)))
+    // a zero margin (all r true): p = 1 by convention
+    val m = Stats.fisherExact(
+        Seq((true, true), (true, false)).toDF("r", "c"), "r", "c").get
+      .select("p_two_sided").as[Double].head()
+    assert(math.abs(m - 1.0) < 1e-12)
+  }
+
   test("leveneTest: Brown–Forsythe W from per-group true medians") {
     // A = [1,2,3,4,10] (odd n, median 3) → z = [2,1,0,1,7]
     // B = [5,5,6,7] (even n, median 5.5) → z = [.5,.5,.5,1.5]
