@@ -2795,6 +2795,25 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q251_sssp_weighted" -> ((s, dir) => {
+      // Min-quantity routes from suppliers 1-5 across the undirected
+      // part↔supplier graph, 6 relaxation rounds. Parallel edges
+      // reduce to their min l_quantity; every distance is an exact
+      // dyadic sum of integral quantities — gated with NO rounding.
+      val li = tbl(s, dir, "lineitem")
+      val pe = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        col("l_quantity").as("w"))
+      val e = pe.unionByName(pe.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      val seeds = tbl(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 5)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.ssspWeighted(e, "src", "dst", "w", seeds, "node",
+          maxRounds = 6).get
+        .orderBy("node")
+    }),
+
     "q242_label_propagation" -> ((s, dir) => {
       // Seed the first 10 suppliers with nation-derived labels and
       // spread them across the part↔supplier graph by exact majority
@@ -4225,6 +4244,40 @@ object SparkEntry {
              THEN re / (SELECT sum(re) FROM eff) END + 1e-9, 6)
              AS attribution
          FROM eff ORDER BY channel""")
+    sb.toString
+  }
+
+  /** q251's oracle, generated: `rounds` unrolled synchronous min-plus
+    * relaxations over the min-weight undirected part↔supplier edge
+    * list — matching [[graft.operators.Graph.ssspWeighted]] round for
+    * round (idempotent past convergence, so extra rounds are safe). */
+  private def ssspOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pe AS (
+           SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(min(l_quantity) AS DOUBLE) AS w
+           FROM lineitem GROUP BY 1, 2
+         ), e AS MATERIALIZED (
+           SELECT src, dst, w FROM pe
+           UNION ALL SELECT dst, src, w FROM pe
+         ), d0 AS MATERIALIZED (
+           SELECT s_suppkey * 2 + 1 AS node, 0.0 AS dist
+           FROM supplier WHERE s_suppkey <= 5
+         )""")
+    for (k <- 1 to rounds) {
+      val q = k - 1
+      sb.append(s""", d$k AS MATERIALIZED (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d$q
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d$q d JOIN e ON e.src = d.node
+           ) GROUP BY node
+         )""")
+    }
+    sb.append(s"""
+         SELECT node, dist FROM d$rounds ORDER BY node""")
     sb.toString
   }
 
@@ -6880,6 +6933,9 @@ object SparkEntry {
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
+
+    // q251: generated unrolled min-plus relaxation (see ssspOracleSql).
+    "q251_sssp_weighted" -> ssspOracleSql(rounds = 6),
     // q241: the zero-filled grid + Brown's cascade replayed as TWO
     // scalar list_reduce folds (the q191 device): s1 over the value
     // prefix, s2 over the s1-series prefix — identical IEEE sequences;

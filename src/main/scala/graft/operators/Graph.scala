@@ -645,6 +645,77 @@ object Graph {
     out
   }
 
+  /** Weighted single-source(-set) shortest paths — the weighted
+    * companion to [[bfsDepths]]: synchronous Bellman–Ford relaxation
+    * from a seed set, `maxRounds` rounds (so the result is the
+    * HOP-BOUNDED shortest distance — rounds past convergence are
+    * idempotent, and on a graph whose shortest paths use more than
+    * `maxRounds` hops the remaining improvements are simply not yet
+    * applied; raise the cap for deep graphs). Non-negative weights
+    * assumed (the classic termination argument; negative edges relax
+    * under the round cap but a negative cycle never converges).
+    *
+    * Returns `(node, dist: double)` — nodes reachable within
+    * `maxRounds` hops, seeds at distance 0. With integral weights
+    * every distance is an exact dyadic (min-plus over exact sums —
+    * deterministic regardless of partitioning, since `min` is
+    * order-free).
+    *
+    * Plan: parallel edges reduce to their min weight ONCE (shortest
+    * paths never use a heavier parallel edge) and the edge frame is
+    * persisted across rounds; each round is one join on the frontier
+    * key + a partial-agg min per destination + a full-outer min-merge,
+    * with the per-round `localCheckpoint` + release discipline of
+    * [[pageRank]]. Convergence is detected structurally (no candidate
+    * improves any distance) — one `limit(1).count()` probe per round,
+    * never a collect of the frame.
+    */
+  def ssspWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxRounds: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    require(maxRounds >= 0, s"maxRounds must be >= 0: $maxRounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .persist()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("dist", lit(0.0))
+      .localCheckpoint(true)
+    var r = 0
+    var done = dist.limit(1).count() == 0
+    while (!done && r < maxRounds) {
+      r += 1
+      val cand = e
+        .join(dist.select(col("node").as("src"), col("dist").as("__pd")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("__pd") + col("w")).as("__nd"))
+        .groupBy("node").agg(min(col("__nd")).as("__nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("__nd") < col("dist"))
+      done = improved.limit(1).count() == 0
+      if (!done) {
+        val merged = dist.join(cand, Seq("node"), "full")
+          .select(col("node"),
+            least(coalesce(col("dist"), col("__nd")),
+              coalesce(col("__nd"), col("dist"))).as("dist"))
+          .localCheckpoint(true)
+        Optimise.releaseCheckpoint(dist)
+        dist = merged
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Multi-source BFS depths: the minimum hop count from any seed node
     * along DIRECTED edges (symmetrize the edge list for undirected
     * reach), capped at `maxDepth`. The crawl-frontier / blast-radius /

@@ -363,6 +363,25 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvainMove(e.filter(lit(false)), "s", "d").isFailing)
   }
 
+  test("ssspWeighted: shortcut beats direct edge, hop bound, parallel min") {
+    // 1→2 (5), 1→3 (1, plus a parallel 7 that must lose), 3→2 (1),
+    // 2→4 (1): dists from {1} are 0/2/1/3 — node 2 via the shortcut
+    val e = Seq((1L, 2L, 5.0), (1L, 3L, 1.0), (1L, 3L, 7.0),
+      (3L, 2L, 1.0), (2L, 4L, 1.0)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.ssspWeighted(e, "s", "d", "w", seeds, "n").get
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 1.0, 4L -> 3.0))
+    // one round: only direct relaxations (2 keeps the heavy edge)
+    val one = Graph.ssspWeighted(e, "s", "d", "w", seeds, "n",
+        maxRounds = 1).get
+      .as[(Long, Double)].collect().toMap
+    assert(one == Map(1L -> 0.0, 2L -> 5.0, 3L -> 1.0))
+    // empty seed set: empty result, no blowup
+    assert(Graph.ssspWeighted(e, "s", "d", "w",
+      seeds.filter($"n" =!= $"n"), "n").get.count() == 0)
+  }
+
   test("iterative operators release superseded checkpoints (no storage leak)") {
     // per-iteration localCheckpoints must be unpersisted once superseded:
     // after the run, only the RESULT's own checkpoint may remain pinned,
@@ -392,6 +411,13 @@ class GraphSpec extends AnyFunSuite {
       b.count()
       assert(pinned() <= before + 1, "bfsDepths must pin only its result")
       graft.physical.Optimise.releaseCheckpoint(b)
+      assert(pinned() <= before)
+
+      val sw = Graph.ssspWeighted(e.withColumn("w", lit(1.0)),
+        "s", "d", "w", seeds, "n", maxRounds = 6).get
+      sw.count()
+      assert(pinned() <= before + 1, "ssspWeighted must pin only its result")
+      graft.physical.Optimise.releaseCheckpoint(sw)
       assert(pinned() <= before)
 
       val kc = Graph.kCore(e.union(e.select($"d", $"s")),
