@@ -1645,6 +1645,22 @@ object SparkEntry {
           n = 3, topK = 50, minCount = 2L).get
     }),
 
+    "q252_contamination" -> ((s, dir) => {
+      // Decontamination screen: even-id docs as the corpus, odd-id
+      // docs as the "benchmark" — the sentence-pool synthesis shares
+      // 5-grams across the split, so the screen genuinely fires. All
+      // counts exact; the ratio rounded under the tie-shift.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dedup.contaminationScreen(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", n = 5).get
+        .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+          col("n_bench_docs"),
+          round(col("contamination") + lit(1e-9), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     "q148_histogram" -> ((s, dir) => {
       // Fixed-bin histogram of n_chars (20 bins over [0, 600)): every
       // bin present including empty ones, IEEE floor/clamp assignment
@@ -5452,6 +5468,45 @@ object SparkEntry {
          FROM grams GROUP BY ngram
          HAVING count(*) >= 2
          ORDER BY n_occurrences DESC, ngram LIMIT 50""",
+
+    // q252: the q143 tokenizer/list-comprehension gram builder on both
+    // corpus halves, DISTINCT (id, gram) sets, gram-keyed join.
+    "q252_contamination" ->
+      """WITH ttoks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents WHERE doc_id % 2 = 0
+         ), tg AS (
+           SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, len(t) - 3)]) AS g
+           FROM ttoks WHERE len(t) >= 5
+         ), btoks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents WHERE doc_id % 2 = 1
+         ), bg AS (
+           SELECT DISTINCT doc_id AS bid,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, len(t) - 3)]) AS g
+           FROM btoks WHERE len(t) >= 5
+         ), tot AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM tg GROUP BY doc_id
+         ), hits AS (
+           SELECT tg.doc_id,
+             CAST(count(DISTINCT tg.g) AS BIGINT) AS n_hit_grams,
+             CAST(count(DISTINCT bg.bid) AS BIGINT) AS n_bench_docs
+           FROM tg JOIN bg ON bg.g = tg.g
+           GROUP BY tg.doc_id
+         )
+         SELECT h.doc_id, t.n_grams, h.n_hit_grams, h.n_bench_docs,
+           round(CAST(h.n_hit_grams AS DOUBLE) / t.n_grams + 1e-9, 6)
+             AS contamination
+         FROM hits h JOIN tot t ON t.doc_id = h.doc_id
+         ORDER BY h.doc_id""",
 
     // q148: identical floor/clamp arithmetic; range() supplies the
     // empty bins.

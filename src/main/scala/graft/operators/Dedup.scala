@@ -1282,4 +1282,57 @@ object Dedup {
     capReportFromKeys(
       portableEmbeddingKeyed(df, vecCol, idCol, bandBits, nBands), maxBucket)
   }
+
+  /** Benchmark-decontamination screen — the overlap check every serious
+    * training pipeline runs before an eval claim (the 13-gram
+    * convention is the GPT-3 appendix-C method, publicly described in
+    * Brown et al. 2020): flag each training document sharing at least
+    * one word `n`-gram with the benchmark corpus. Both frames must
+    * carry `textCol`/`idCol` under the same names.
+    *
+    * Returns one row PER CONTAMINATED TRAINING DOC:
+    * `(idCol, n_grams, n_hit_grams, n_bench_docs: bigint,
+    * contamination: double)` — `n_grams` = the doc's distinct n-grams,
+    * `n_hit_grams` how many of them appear anywhere in the benchmark,
+    * `n_bench_docs` how many distinct benchmark docs share at least one
+    * gram, `contamination = n_hit_grams/n_grams`. Anti-join the result
+    * on `idCol` to get the decontaminated corpus; docs shorter than `n`
+    * tokens have no grams and cannot be flagged.
+    *
+    * Plan: both gram explosions are map-side (the codegen'd
+    * [[graft.functions.TextFunctions.wordNgrams]] kernel) and reduce to
+    * DISTINCT (id, gram) sets before anything joins; the join key is
+    * the gram string — high-order grams are near-unique, so the join
+    * fans out only on genuine contamination. Benchmarks are small next
+    * to a 100 TB corpus: Catalyst broadcasts the benchmark gram set
+    * when it fits, and the shuffle join it falls back to is keyed on
+    * grams (no skew — a gram repeated across the whole benchmark is
+    * still one key side). Counts exact; the ratio is one division.
+    */
+  def contaminationScreen(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13,
+      lowercase: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(wordNgrams(col(textCol), n, lowercase)).as("__g"))
+        .distinct()
+    val tg = grams(train, "__tid")
+    val bg = grams(bench, "__bid")
+    val tot = tg.groupBy("__tid").agg(count(lit(1)).as("n_grams"))
+    tg.join(bg, Seq("__g"))
+      .groupBy("__tid")
+      .agg(countDistinct(col("__g")).as("n_hit_grams"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+      .join(tot, Seq("__tid"))
+      .select(col("__tid").as(idCol), col("n_grams"), col("n_hit_grams"),
+        col("n_bench_docs"),
+        (col("n_hit_grams").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
 }

@@ -811,4 +811,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.mmrSelect(df, df, "embedding", "vec_id", k = 1,
       lambda = 1.5).isFailing)
   }
+
+  test("contaminationScreen: gram overlap counts, clean docs absent") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e f"), (2L, "x y z w"), (3L, "q q q"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "c d e f g"), (11L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationScreen(train, bench, "text", "doc_id",
+        n = 3).get
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // d1: 4 grams, hits {c d e, d e f} from b10 → 2/4; d2: 2 grams,
+    // hits {x y z} from b11 → 1/2; d3 shares nothing → absent
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 4L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 1L, 0.5)))
+    // n larger than every doc: nothing to flag
+    assert(Dedup.contaminationScreen(train, bench, "text", "doc_id",
+      n = 20).get.count() == 0)
+  }
 }
