@@ -2757,6 +2757,19 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q253_attribution_credits" -> ((s, dir) => {
+      // U-shaped (position-based) multi-touch credits over a 7-day
+      // window: counts exact, positional weights exact rationals,
+      // per-channel credit sums rounded under the tie-shift.
+      Behavior.attributionCredits(events(s, dir), "ts", "event_id",
+          "user_id", "event_type", convType = "purchase",
+          touchTypes = Seq("view", "click", "signup"),
+          windowSec = 604800L, model = "position").get
+        .select(col("channel"), col("n_touches"), col("n_conversions"),
+          round(col("credit") + lit(1e-9), 6).as("credit"))
+        .orderBy("channel")
+    }),
+
     "q248_markov_attribution" -> ((s, dir) => {
       // Data-driven multi-touch attribution over the events stream:
       // first-order chain on pre-conversion paths, 30 synchronous
@@ -7196,6 +7209,51 @@ object SparkEntry {
     // q248: generated unrolled absorption fixed-point (see
     // markovOracleSql).
     "q248_markov_attribution" -> markovOracleSql(iterations = 30),
+
+    // q253: next-conversion via a reverse-frame min window, positional
+    // weights, per-conversion normalization — all replayed.
+    "q253_attribution_credits" ->
+      """WITH base AS (
+           SELECT user_id AS u, event_id AS id, event_type AS t,
+             epoch_us(ts) AS us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS cus
+           FROM events
+           WHERE ts IS NOT NULL
+             AND event_type IN ('purchase', 'view', 'click', 'signup')
+         ), touches AS (
+           SELECT * FROM base
+           WHERE t <> 'purchase' AND cus IS NOT NULL
+             AND cus - us <= 604800000000
+         ), wtd AS (
+           SELECT u, cus, t, us, id,
+             count(*) OVER (PARTITION BY u, cus) AS k,
+             row_number() OVER (PARTITION BY u, cus ORDER BY us, id)
+               AS pos
+           FROM touches
+         ), rw AS (
+           SELECT u, cus, t,
+             CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+               WHEN pos = 1 OR pos = k THEN 0.4
+               ELSE 0.2 / (k - 2) END AS raw
+           FROM wtd
+         ), nw AS (
+           SELECT u, cus, t,
+             raw / sum(raw) OVER (PARTITION BY u, cus) AS w
+           FROM rw
+         ), agg AS (
+           SELECT t AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+             sum(w) AS credit
+           FROM nw GROUP BY t
+         ), convs AS (
+           SELECT t AS channel, CAST(count(*) AS BIGINT) AS n_conversions
+           FROM (SELECT DISTINCT t, u, cus FROM nw) GROUP BY t
+         )
+         SELECT a.channel, a.n_touches, c.n_conversions,
+           round(a.credit + 1e-9, 6) AS credit
+         FROM agg a JOIN convs c ON c.channel = a.channel
+         ORDER BY a.channel""",
 
     // q246: decile edges via the q243 rank-pick on the REF grid, bins
     // by strict-below edge count, ε-floored PSI over the 10-bin frame.

@@ -798,6 +798,92 @@ object Behavior {
           expr("(__us - __lt_us) div 1000000")).as("gap_sec"))
   }
 
+  /** Rule-based multi-touch attribution credits — the standard model
+    * suite between last-touch [[attribution]] and the data-driven
+    * [[markovAttribution]]: each conversion's credit is split across
+    * the touches that precede it (strictly before, within `windowSec`,
+    * attributed to the FIRST conversion after the touch) by `model`:
+    *
+    *  - `"linear"`: 1/k to each of the k touches;
+    *  - `"position"`: 40% first, 40% last, 20% split across middles
+    *    (100% / 50-50 when k = 1 / 2) — the U-shaped industry default;
+    *  - `"time_decay"`: weight `0.5^(Δt/halfLifeSec)` per touch,
+    *    normalized per conversion.
+    *
+    * Returns one row per channel:
+    * `(channel: string, n_touches, n_conversions: bigint, credit:
+    * double)` — `n_conversions` counts conversions the channel touched
+    * at least once; `Σ credit` over channels = number of attributed
+    * conversions.
+    *
+    * Plan: ONE exchange on the entity; the next-conversion timestamp
+    * is a reverse-frame min window over that exchange, the per-
+    * conversion touch count/position/weight-sum are three more window
+    * passes over the SAME partitioning (Catalyst reuses the exchange),
+    * then one partial-agg shuffle on the channel. Linear/position
+    * weights are exact rationals; the per-channel credit sums (and all
+    * time-decay weights) are χ²-tier floats.
+    */
+  def attributionCredits(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      windowSec: Long,
+      model: String = "linear",
+      halfLifeSec: Long = 86400L
+  ): MayFail[DataFrame] = MayFail {
+    require(touchTypes.nonEmpty, "touchTypes must name at least one type")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    require(Seq("linear", "position", "time_decay").contains(model),
+      s"unknown model '$model' (linear|position|time_decay)")
+    require(halfLifeSec > 0, s"halfLifeSec must be positive: $halfLifeSec")
+    val winUs = windowSec * 1000000L
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val base = df.filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(convType +: touchTypes: _*))
+      .select(col(userCol).as("__u"), col(idCol).as("__id"),
+        col(typeCol).as("__t"), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__cus",
+        min(when(col("__t") === convType, col("__us"))).over(after))
+    val touches = base
+      .filter(col("__t") =!= convType && col("__cus").isNotNull &&
+        col("__cus") - col("__us") <= winUs)
+    val perConv = Window.partitionBy(col("__u"), col("__cus"))
+    val ordered = perConv.orderBy(col("__us"), col("__id"))
+    val raw = model match {
+      case "linear" => lit(1.0)
+      case "position" => lit(1.0) // positional weights assigned below
+      case "time_decay" =>
+        pow(lit(0.5),
+          (col("__cus") - col("__us")).cast("double") /
+            lit(halfLifeSec * 1000000.0))
+    }
+    val weighted = touches
+      .withColumn("__k", count(lit(1)).over(perConv))
+      .withColumn("__pos", row_number().over(ordered))
+      .withColumn("__raw",
+        if (model == "position")
+          when(col("__k") === 1, lit(1.0))
+            .when(col("__k") === 2, lit(0.5))
+            .when(col("__pos") === 1 || col("__pos") === col("__k"),
+              lit(0.4))
+            .otherwise(lit(0.2) / (col("__k") - 2))
+        else raw)
+      .withColumn("__w", col("__raw") /
+        sum(col("__raw")).over(perConv))
+    weighted.groupBy(col("__t").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("__u"), col("__cus")).as("n_conversions"),
+        sum(col("__w")).as("credit"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al.'s data-driven
     * multi-touch model, publicly described in "Mapping the Customer
     * Journey", 2014): build the first-order Markov chain over per-user

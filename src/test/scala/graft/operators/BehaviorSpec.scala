@@ -233,6 +233,44 @@ class BehaviorSpec extends AnyFunSuite {
       "duration", "observed", "grp").isFailing)
   }
 
+  test("attributionCredits: position/linear/time-decay hand-computed") {
+    // u1: v,c,s then purchase (k=3); u2: v→conv1, c→conv2 (k=1 each);
+    // u3: touch with no conversion; u4: touch outside the window
+    val data = ev(Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "signup"),
+      (4L, 1L, 40L, "purchase"),
+      (5L, 2L, 10L, "view"), (6L, 2L, 20L, "purchase"),
+      (7L, 2L, 30L, "click"), (8L, 2L, 40L, "purchase"),
+      (9L, 3L, 10L, "click"),
+      (10L, 4L, 10L, "view"), (11L, 4L, 150L, "purchase")))
+    def run(model: String, hl: Long = 86400L) =
+      Behavior.attributionCredits(data, "ts", "event_id", "user_id", "t",
+          "purchase", Seq("view", "click", "signup"), windowSec = 100L,
+          model = model, halfLifeSec = hl).get
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val pos = run("position")
+    assert(pos.keySet == Set("view", "click", "signup"))
+    assert(pos("view")._1 == 2L && pos("view")._2 == 2L &&
+      math.abs(pos("view")._3 - 1.4) < 1e-9)
+    assert(pos("click")._1 == 2L && pos("click")._2 == 2L &&
+      math.abs(pos("click")._3 - 1.2) < 1e-9)
+    assert(pos("signup") == ((1L, 1L, 0.4)))
+    val lin = run("linear")
+    assert(math.abs(lin("view")._3 - (1.0 / 3 + 1)) < 1e-9)
+    assert(math.abs(lin("signup")._3 - 1.0 / 3) < 1e-9)
+    // half-life 10 s: u1 Δt = 30/20/10 → 1/7, 2/7, 4/7
+    val td = run("time_decay", hl = 10L)
+    assert(math.abs(td("view")._3 - (1.0 / 7 + 1)) < 1e-9)
+    assert(math.abs(td("click")._3 - (2.0 / 7 + 1)) < 1e-9)
+    assert(math.abs(td("signup")._3 - 4.0 / 7) < 1e-9)
+    // Σ credit = attributed conversions (3) for every model
+    for (m <- Seq(pos, lin, td))
+      assert(math.abs(m.values.map(_._3).sum - 3.0) < 1e-9)
+    assert(Behavior.attributionCredits(data, "ts", "event_id", "user_id",
+      "t", "purchase", Seq("view"), 100L, model = "bogus").isFailing)
+  }
+
   test("markovAttribution: hand-solved removal effects on a toy chain") {
     // u1: A→conv (+ a post-conversion B that must be ignored)
     // u2: A→B→conv;  u3: B (no conversion);  u4: direct conversion
