@@ -79,7 +79,17 @@ object Bench {
     // phase agg over the gapFilled grid); iterative-label and
     // window-chain regressions surface here
     "q234_louvain_bipartite",
-    "q233_seasonal"
+    "q233_seasonal",
+    // round-9 session-3: the 30-step simultaneous absorbing-chain solve
+    // (the deepest fixed-point after PageRank/Louvain — per-iteration
+    // join+agg on a composite key), the Bellman–Ford relaxation over
+    // the undirected bipartite graph, and the 5-gram decontamination
+    // join (two distinct-gram explosions + a gram-keyed join — the
+    // heaviest new text pass); iterative-chain and gram-join
+    // regressions surface here
+    "q248_markov_attribution",
+    "q251_sssp_weighted",
+    "q252_contamination"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

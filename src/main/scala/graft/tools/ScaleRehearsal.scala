@@ -526,6 +526,52 @@ object ScaleRehearsal {
       pctRepl.size.toLong
     }
 
+    // round-9 session-3: Markov attribution, rule-based credits,
+    // weighted SSSP, decontamination — laws below
+    def markovMap(d: DataFrame): Map[String, (Double, Double, Option[Double])] =
+      graft.operators.Behavior.markovAttribution(d, "ts", "event_id",
+          "user_id", "event_type", "purchase", iterations = 20).get
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    var markovRepl: Map[String, (Double, Double, Option[Double])] = null
+    time("markov-attribution")({ markovRepl = markovMap(evRepl); markovRepl.size.toLong })
+    def creditMap(d: DataFrame): Map[String, (Long, Long, Double)] =
+      graft.operators.Behavior.attributionCredits(d, "ts", "event_id",
+          "user_id", "event_type", "purchase",
+          Seq("view", "click", "signup"), windowSec = 604800L,
+          model = "position").get
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    var creditRepl: Map[String, (Long, Long, Double)] = null
+    time("attribution-credits")({ creditRepl = creditMap(evRepl); creditRepl.size.toLong })
+    // weighted SSSP over the bipartite graph: deterministic local-id
+    // weights so every replica carries the identical weighted topology
+    def ssspDist(memb: DataFrame): DataFrame = {
+      val pe = memb.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"),
+        (pmod(pmod(col("p"), lit(100000000L)), lit(7L)) + 1).cast("double").as("w"))
+      val und = pe.unionByName(pe.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      val seeds = memb.filter(pmod(col("s"), lit(100000000L)) <= 5L)
+        .select((col("s") * 2 + 1).as("node")).distinct()
+      graft.operators.Graph.ssspWeighted(und, "src", "dst", "w",
+        seeds, "node", maxRounds = 6).get
+    }
+    var ssspRepl: DataFrame = null
+    time("sssp-weighted") {
+      ssspRepl = ssspDist(membRepl).localCheckpoint(true)
+      ssspRepl.count()
+    }
+    def contamFrame(d: DataFrame): DataFrame =
+      graft.operators.Dedup.contaminationScreen(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", n = 5).get
+    var contamRepl: DataFrame = null
+    time("contamination") {
+      contamRepl = contamFrame(docs).localCheckpoint(true)
+      contamRepl.count()
+    }
+
     // ---- cap observability (round-5): the LSH bucket caps and the kNN
     // shortlist cap are necessary guards but silent recall knobs — log
     // their counters with every rehearsal so a boilerplate-heavy corpus
@@ -966,6 +1012,71 @@ object ScaleRehearsal {
           relEq(i, trendBase(k)._2.map(_ * mult)) },
       s"trend of a mult-scaled series must scale slope/intercept by mult " +
         s"(1e-9 rel): $trendRepl vs $trendBase")
+
+    // round-9 session-3 invariants ------------------------------------
+    // Markov attribution: every transition probability (n·mult)/(tot·mult)
+    // rounds the SAME real as n/tot (correctly-rounded IEEE division of
+    // exact integers), so the whole absorption solve is bit-identical
+    // under replication — exact, not tolerance
+    val markovBase = markovMap(evBase)
+    check("markov_replication_identical",
+      markovBase.nonEmpty && markovRepl == markovBase,
+      s"Markov attribution must be bit-identical under replication: " +
+        s"$markovRepl vs $markovBase")
+    // rule-based credits: touch/conversion counts scale exactly; the
+    // per-channel credit is the same multiset of per-conversion weights
+    // summed mult times over, so it is ×mult only to 1e-9 rel (sum order)
+    val creditBase = creditMap(evBase)
+    check("attribution_credits_scaling_law",
+      creditRepl.keySet == creditBase.keySet && creditRepl.nonEmpty &&
+        creditRepl.forall { case (ch, (t, c, w)) =>
+          t == creditBase(ch)._1 * mult && c == creditBase(ch)._2 * mult &&
+            math.abs(w - creditBase(ch)._3 * mult) <=
+              1e-9 * math.max(math.abs(w), 1.0) },
+      s"credits must scale by exactly mult (counts) / 1e-9 rel (credit): " +
+        s"$creditRepl vs $creditBase x $mult")
+    // weighted SSSP: disjoint replicas with identical weighted topology →
+    // reached-node count scales exactly and replica-0 distances are
+    // bit-identical (min-plus over identical exact integral sums)
+    val ssspBase = ssspDist(membership(1)).localCheckpoint(true)
+    val ssspBaseN = ssspBase.count()
+    check("sssp_replication_law",
+      ssspBaseN > 0 && ssspRepl.count() == ssspBaseN * mult,
+      s"SSSP reach must scale by exactly mult: " +
+        s"${ssspRepl.count()} != $ssspBaseN x $mult")
+    val ssspDiff = ssspBase.join(
+        ssspRepl.filter(col("node") < 200000000L)
+          .select(col("node"), col("dist").as("d2")),
+        Seq("node"), "full")
+      .filter(col("dist").isNull || col("d2").isNull ||
+        col("dist") =!= col("d2"))
+      .count()
+    check("sssp_replica_identical", ssspDiff == 0,
+      s"replica-0 distances must match the base run: $ssspDiff differ")
+    // decontamination: replicas share gram STRINGS, so a replica-0 doc
+    // keeps its n_grams/n_hit_grams while its bench-doc hits pick up
+    // every bench replica → ×mult exactly
+    val docsBase = spark.read.parquet(s"$dir/documents.parquet")
+    val contamBase = contamFrame(docsBase).localCheckpoint(true)
+    val contamBaseN = contamBase.count()
+    check("contamination_replication_law",
+      contamBaseN > 0 && contamRepl.count() == contamBaseN * mult,
+      s"contaminated-doc count must scale by exactly mult: " +
+        s"${contamRepl.count()} != $contamBaseN x $mult")
+    val contamDiff = contamBase
+      .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+        col("n_bench_docs"))
+      .join(contamRepl.filter(col("doc_id") < 100000000L)
+          .select(col("doc_id"), col("n_grams").as("g2"),
+            col("n_hit_grams").as("h2"), col("n_bench_docs").as("b2")),
+        Seq("doc_id"), "full")
+      .filter(col("n_grams").isNull || col("g2").isNull ||
+        col("n_grams") =!= col("g2") || col("n_hit_grams") =!= col("h2") ||
+        col("b2") =!= col("n_bench_docs") * mult)
+      .count()
+    check("contamination_replica_law", contamDiff == 0,
+      s"replica-0 contamination rows must match the base run with " +
+        s"mult-scaled bench hits: $contamDiff differ")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +

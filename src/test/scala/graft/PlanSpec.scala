@@ -278,4 +278,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(event_type"),
       "holt lost its key repartition")
   }
+
+  test("q249: levene medians window BY GROUP, never a single partition") {
+    // the per-group value-grid windows must stay partitioned on the
+    // group key — a global-sort median would serialize the whole input
+    val plan = planOf("q249_levene")
+    assert(plan.contains("hashpartitioning(__g"),
+      "levene lost its per-group grid partitioning")
+    // the 1-row final reduction may exchange to a single partition; a
+    // WINDOW without the group key in its spec may not
+    assert(!"windowspecdefinition\\(__v".r.findFirstIn(plan).isDefined,
+      "levene plans an unpartitioned (row-level global) window")
+  }
+
+  test("q253: credits ride ONE entity exchange; no joins below the agg") {
+    val plan = planOf("q253_attribution_credits")
+    assert(!plan.contains("CartesianProduct"))
+    // all four window passes share the user-key exchange; the only
+    // hash exchanges are the entity key and the final channel agg
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"credits should need at most 3 hash exchanges, found $exchanges")
+  }
+
+  test("q252: contamination joins on the gram key, never all-pairs") {
+    val plan = planOf("q252_contamination")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in contamination")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi join in contamination")
+  }
+
+  test("q246: quantile-drift bins are a branch-free projection + tiny agg") {
+    // the bin assignment must stay an expression over the scan (the
+    // edge list is folded into the plan), never a per-row join against
+    // an edge table
+    val plan = planOf("q246_quantile_drift")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range-join bin assignment in quantile drift")
+  }
 }
