@@ -2824,6 +2824,26 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q254_harmonic_closeness" -> ((s, dir) => {
+      // Landmark harmonic centrality over the symmetrized
+      // part↔supplier graph from 8 supplier landmarks, 4 hops — all
+      // landmarks expanded under one composite key. Counts exact; the
+      // Σ 1/d sum rounded under the tie-shift.
+      val li = tbl(s, dir, "lineitem")
+      val pe = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val e = pe.unionByName(pe.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val lms = tbl(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 8)
+        .select((col("s_suppkey") * 2 + 1).as("lm"))
+      Graph.harmonicCloseness(e, "src", "dst", lms, "lm",
+          maxDepth = 4).get
+        .select(col("node"), col("n_landmarks"),
+          round(col("harmonic") + lit(1e-9), 6).as("harmonic"))
+        .orderBy("node")
+    }),
+
     "q251_sssp_weighted" -> ((s, dir) => {
       // Min-quantity routes from suppliers 1-5 across the undirected
       // part↔supplier graph, 6 relaxation rounds. Parallel edges
@@ -4307,6 +4327,44 @@ object SparkEntry {
     }
     sb.append(s"""
          SELECT node, dist FROM d$rounds ORDER BY node""")
+    sb.toString
+  }
+
+  /** q254's oracle, generated: `depth` unrolled composite-key BFS
+    * levels (frontier join + NOT-EXISTS visited check per level) over
+    * the symmetrized part↔supplier graph, then the per-node Σ 1/d —
+    * matching [[graft.operators.Graph.harmonicCloseness]] level for
+    * level. */
+  private def harmonicOracleSql(depth: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pe AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), e AS MATERIALIZED (
+           SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+         ), vis0 AS MATERIALIZED (
+           SELECT s_suppkey * 2 + 1 AS lm, s_suppkey * 2 + 1 AS node,
+             0 AS depth
+           FROM supplier WHERE s_suppkey <= 8
+         )""")
+    for (k <- 1 to depth) {
+      val q = k - 1
+      sb.append(s""", f$k AS MATERIALIZED (
+           SELECT DISTINCT v.lm, e.dst AS node
+           FROM vis$q v JOIN e ON e.src = v.node
+           WHERE v.depth = $q AND NOT EXISTS (
+             SELECT 1 FROM vis$q x WHERE x.lm = v.lm AND x.node = e.dst)
+         ), vis$k AS MATERIALIZED (
+           SELECT * FROM vis$q
+           UNION ALL SELECT lm, node, $k FROM f$k
+         )""")
+    }
+    sb.append(s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS n_landmarks,
+           round(sum(1.0 / depth) + 1e-9, 6) AS harmonic
+         FROM vis$depth WHERE depth > 0
+         GROUP BY node ORDER BY node""")
     sb.toString
   }
 
@@ -7004,6 +7062,9 @@ object SparkEntry {
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).
     "q251_sssp_weighted" -> ssspOracleSql(rounds = 6),
+
+    // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
+    "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
     // q241: the zero-filled grid + Brown's cascade replayed as TWO
     // scalar list_reduce folds (the q191 device): s1 over the value
     // prefix, s2 over the s1-series prefix — identical IEEE sequences;

@@ -716,6 +716,82 @@ object Graph {
     dist
   }
 
+  /** Landmark harmonic closeness — the scalable centrality readout:
+    * exact harmonic centrality needs all-pairs distances (O(n·m),
+    * hopeless at 10⁹ nodes), so the standard estimator samples L
+    * landmark nodes and scores every node by `Σ_l 1/d(l, node)` over
+    * the landmarks that reach it (Boldi & Vigna's harmonic form —
+    * well-defined under disconnection, unlike classic closeness).
+    * Pick landmarks uniformly (or by degree) upstream; more landmarks
+    * = tighter estimate.
+    *
+    * ALL landmarks are expanded simultaneously under a composite
+    * `(landmark, node)` key — one frontier join + distinct + visited
+    * anti-join per level for the whole landmark set (the
+    * [[Behavior.markovAttribution]] composite-key discipline applied
+    * to [[bfsDepths]]), never a per-landmark loop.
+    *
+    * Returns `(node, n_landmarks: bigint, harmonic: double)` — rows
+    * for nodes reached by at least one landmark in 1..`maxDepth` hops
+    * (self-visits at depth 0 are excluded from both outputs). Counts
+    * exact; the 1/d sum is a grid-small float (χ²-tier).
+    *
+    * Plan: the [[bfsDepths]] posture with per-level frames of size
+    * ≤ L·n: persisted slim edge list, per-level `localCheckpoint` +
+    * release, structural early stop on an empty frontier.
+    */
+  def harmonicCloseness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      landmarks: DataFrame,
+      landmarkCol: String,
+      maxDepth: Int = 6
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    var visited = landmarks.select(col(landmarkCol).as("lm")).distinct()
+      .filter(col("lm").isNotNull)
+      .select(col("lm"), col("lm").as("node"), lit(0).as("depth"))
+      .localCheckpoint(true)
+    var frontier = visited.select("lm", "node")
+    var frontierCk: DataFrame = null
+    var d = 0
+    var done = frontier.limit(1).count() == 0
+    while (!done && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited, Seq("lm", "node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      done = next.limit(1).count() == 0
+      if (!done) {
+        val prev = visited
+        visited = visited.union(next).localCheckpoint(true)
+        Optimise.releaseCheckpoint(prev)
+        if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
+        frontierCk = next
+        frontier = next.select("lm", "node")
+      } else {
+        Optimise.releaseCheckpoint(next)
+      }
+    }
+    e.unpersist()
+    if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
+    val out = visited.filter(col("depth") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(lit(1.0) / col("depth")).as("harmonic"))
+      .localCheckpoint(true)
+    Optimise.releaseCheckpoint(visited)
+    out
+  }
+
   /** Multi-source BFS depths: the minimum hop count from any seed node
     * along DIRECTED edges (symmetrize the edge list for undirected
     * reach), capped at `maxDepth`. The crawl-frontier / blast-radius /

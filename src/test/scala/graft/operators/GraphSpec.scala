@@ -382,6 +382,33 @@ class GraphSpec extends AnyFunSuite {
       seeds.filter($"n" =!= $"n"), "n").get.count() == 0)
   }
 
+  test("harmonicCloseness: per-landmark depths under one composite key") {
+    // path 1-2-3-4 (undirected) with landmarks {1, 4}:
+    //   node 2: d(1)=1, d(4)=2 → 1.5;  node 3: symmetric → 1.5
+    //   node 1: d(4)=3 → 1/3;  node 4: d(1)=3 → 1/3 (self excluded)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val e = und.union(und.select($"d", $"s"))
+    val lms = Seq(1L, 4L).toDF("lm")
+    val got = Graph.harmonicCloseness(e, "s", "d", lms, "lm").get
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - 1.5) < 1e-12)
+    assert(got(3L)._1 == 2L && math.abs(got(3L)._2 - 1.5) < 1e-12)
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - 1.0 / 3) < 1e-12)
+    assert(got(4L)._1 == 1L && math.abs(got(4L)._2 - 1.0 / 3) < 1e-12)
+    // depth cap: maxDepth 1 sees only direct neighbors
+    val capped = Graph.harmonicCloseness(e, "s", "d", lms, "lm",
+        maxDepth = 1).get
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(capped == Map(2L -> 1.0, 3L -> 1.0))
+    // disconnected landmark contributes nothing beyond itself
+    val got2 = Graph.harmonicCloseness(e, "s", "d",
+        Seq(1L, 99L).toDF("lm"), "lm").get
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(!got2.contains(99L) && got2(2L) == 1L)
+  }
+
   test("iterative operators release superseded checkpoints (no storage leak)") {
     // per-iteration localCheckpoints must be unpersisted once superseded:
     // after the run, only the RESULT's own checkpoint may remain pinned,
