@@ -2787,6 +2787,39 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    "q255_entropy_report" -> ((s, dir) => {
+      // Per-column entropy/uniqueness dashboard over three documents
+      // columns: counts exact, entropy Σ c·ln c and top-share rounded
+      // under the tie-shift.
+      graft.operators.Quality.entropyReport(tbl(s, dir, "documents"),
+          Seq("lang", "source", "n_chars")).get
+        .select(col("column"), col("n"), col("n_distinct"),
+          round(col("entropy") + lit(1e-9), 6).as("entropy"),
+          round(col("top_share") + lit(1e-9), 6).as("top_share"))
+        .orderBy("column")
+    }),
+
+    "q257_spearman" -> ((s, dir) => {
+      // Rank correlation of cent values vs their hundreds bucket —
+      // strongly monotone with heavy b-ties, so the midrank machinery
+      // is genuinely exercised. Midranks exact dyadics on the grids;
+      // rho rounded under the tie-shift.
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).as("a"),
+          floor(col("value") / 100).as("b"))
+      Stats.spearman(ev, "a", "b").get
+        .select(col("n"), round(col("rho") + lit(1e-9), 6).as("rho"))
+    }),
+
+    "q256_cramers_v" -> ((s, dir) => {
+      // Association strength lang×source: the χ² machinery plus the
+      // bounded effect size — rounded under the tie-shift.
+      Stats.cramersV(tbl(s, dir, "documents"), "lang", "source").get
+        .select(col("n"), col("n_rows"), col("n_cols"),
+          round(col("chi2") + lit(1e-9), 4).as("chi2"),
+          round(col("v") + lit(1e-9), 6).as("v"))
+    }),
+
     "q246_quantile_drift" -> ((s, dir) => {
       // Equal-frequency PSI between the even-id and odd-id document
       // snapshots with a planted 3× length inflation on every 5th odd
@@ -7315,6 +7348,109 @@ object SparkEntry {
            round(a.credit + 1e-9, 6) AS credit
          FROM agg a JOIN convs c ON c.channel = a.channel
          ORDER BY a.channel""",
+
+    // q255: per-column value grids, ln N − Σc·ln c / N, top-share.
+    "q255_entropy_report" ->
+      """WITH g1 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY CAST(lang AS VARCHAR)
+         ), a1 AS (
+           SELECT 'lang' AS "column", CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS tp, sum(n * ln(n)) AS s
+           FROM g1
+         ), g2 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE source IS NOT NULL GROUP BY CAST(source AS VARCHAR)
+         ), a2 AS (
+           SELECT 'source' AS "column", CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS tp, sum(n * ln(n)) AS s
+           FROM g2
+         ), g3 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE n_chars IS NOT NULL GROUP BY CAST(n_chars AS VARCHAR)
+         ), a3 AS (
+           SELECT 'n_chars' AS "column", CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(n) AS BIGINT) AS tp, sum(n * ln(n)) AS s
+           FROM g3
+         ), u AS (
+           SELECT * FROM a1 UNION ALL SELECT * FROM a2
+           UNION ALL SELECT * FROM a3
+         )
+         SELECT "column", n, n_distinct,
+           round(CASE WHEN n > 0 THEN ln(n) - s / n END + 1e-9, 6)
+             AS entropy,
+           round(CASE WHEN n > 0 THEN CAST(tp AS DOUBLE) / n END
+             + 1e-9, 6) AS top_share
+         FROM u ORDER BY "column"""",
+
+    // q257: per-column midrank grids (the MWU tie-run device) joined to
+    // the (a,b) cell grid; Pearson moments with multiplicities.
+    "q257_spearman" ->
+      """WITH base AS (
+           SELECT round(value * 100) AS a, floor(value / 100) AS b
+           FROM events WHERE value IS NOT NULL
+         ), cells AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY a, b
+         ), ga AS (
+           SELECT a, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY a
+         ), ra AS (
+           SELECT a, COALESCE(sum(t) OVER (ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (t + 1) / 2.0 AS r
+           FROM ga
+         ), gb AS (
+           SELECT b, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY b
+         ), rb AS (
+           SELECT b, COALESCE(sum(t) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (t + 1) / 2.0 AS r
+           FROM gb
+         ), m AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(c * ra.r) AS sa, sum(c * rb.r) AS sb,
+             sum(c * ra.r * ra.r) AS saa, sum(c * rb.r * rb.r) AS sbb,
+             sum(c * ra.r * rb.r) AS sab
+           FROM cells JOIN ra USING (a) JOIN rb USING (b)
+         )
+         SELECT n,
+           round(CASE WHEN n >= 2 AND n * saa - sa * sa > 0
+               AND n * sbb - sb * sb > 0
+             THEN (n * sab - sa * sb)
+               / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) END
+             + 1e-9, 6) AS rho
+         FROM m""",
+
+    // q256: the q205 full-grid χ² replay plus √(χ²/(N·min(r−1,c−1))).
+    "q256_cramers_v" ->
+      """WITH obs AS (
+           SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS o
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY r, c
+         ), rt AS (SELECT r, sum(o) AS rt FROM obs GROUP BY r
+         ), ct AS (SELECT c, sum(o) AS ct FROM obs GROUP BY c
+         ), tot AS (SELECT sum(o) AS n FROM obs
+         ), grid AS (
+           SELECT rt.r, ct.c, COALESCE(obs.o, 0) AS o, rt.rt, ct.ct,
+             (SELECT n FROM tot) AS n
+           FROM rt CROSS JOIN ct
+           LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+         ), a AS (
+           SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+             sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
+               / (rt * ct / CAST(n AS DOUBLE))) AS chi2
+           FROM grid
+         )
+         SELECT n, n_rows, n_cols, round(chi2 + 1e-9, 4) AS chi2,
+           round(CASE WHEN n > 0 AND least(n_rows - 1, n_cols - 1) > 0
+             THEN sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) END
+             + 1e-9, 6) AS v
+         FROM a""",
 
     // q246: decile edges via the q243 rank-pick on the REF grid, bins
     // by strict-below edge count, ε-floored PSI over the 10-bin frame.

@@ -565,6 +565,51 @@ object Quality {
         "psi_contrib", "psi_total", "chi2_total")
   }
 
+  /** Column entropy / uniqueness report — the information-theoretic
+    * extension of [[profileBy]]: per column the Shannon entropy (nats)
+    * of its value distribution, the distinct count, and the heaviest
+    * value's share. Reads: entropy ≈ 0 + top_share ≈ 1 → the column is
+    * near-constant (drop it); entropy ≈ ln(n_distinct) → uniform;
+    * n_distinct ≈ n → a key. The pre-join/pre-groupBy companion to
+    * [[skewReport]] when you want one number per column instead of the
+    * top-K drill-down.
+    *
+    * Returns one row per column:
+    * `(column: string, n, n_distinct: bigint, entropy, top_share:
+    * double)` — NULLs excluded from all statistics; `entropy` computed
+    * as `ln N − (Σ cᵢ·ln cᵢ)/N` (one extra sum on the grid, no
+    * per-row probabilities), NULL on an empty column.
+    *
+    * Plan: one partial-agg shuffle per column to its value grid (each
+    * collapses map-side), then a grid-sized reduction; the per-column
+    * frames union into one result. Counts exact; the entropy sum is
+    * χ²-tier.
+    */
+  def entropyReport(
+      df: DataFrame,
+      cols: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(cols.nonEmpty, "entropyReport needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"entropyReport: no such column(s): ${missing.mkString(", ")}")
+    cols.map { c =>
+      val grid = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      grid.agg(
+          coalesce(sum(col("__n")), lit(0L)).as("n"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(max(col("__n")), lit(0L)).as("__top"),
+          coalesce(sum(col("__n") * log(col("__n"))), lit(0.0)).as("__s"))
+        .select(lit(c).as("column"), col("n"), col("n_distinct"),
+          when(col("n") > 0,
+            log(col("n")) - col("__s") / col("n")).as("entropy"),
+          when(col("n") > 0,
+            col("__top").cast("double") / col("n")).as("top_share"))
+    }.reduce(_ unionByName _)
+  }
+
   /** PSI drift over EQUAL-FREQUENCY bins — the production-standard
     * form of [[histogramPsi]]: bin edges are the reference corpus's
     * own `i/nBins` quantiles (exact order statistics via the

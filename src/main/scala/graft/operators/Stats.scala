@@ -444,6 +444,65 @@ object Stats {
       .select("n_a", "n_b", "u_a", "u_b", "r_a", "r_b")
   }
 
+  /** Spearman rank correlation of two numeric columns — the monotone-
+    * association companion to [[correlationMatrix]]'s Pearson r (rank
+    * correlation is outlier-robust and scale-free; use it when the
+    * relationship is monotone but not linear). Midrank ties (the
+    * standard `rho` with tie handling via Pearson-on-midranks).
+    *
+    * Returns ONE row `(n: bigint, rho: double)` — NULL `rho` when
+    * either column is constant (zero rank variance) or n < 2.
+    *
+    * Plan: NO per-row ranking anywhere — per-column midranks live on
+    * each column's DISTINCT-VALUE grid (the [[mannWhitneyU]] tie-run
+    * device: a run of t equal values after c smaller ones has midrank
+    * c + (t+1)/2), and the Pearson moments reduce over the DISTINCT
+    * (a, b) CELL grid with multiplicities. A 10¹⁰-row frame over
+    * bounded value domains computes rho from its grids only. One
+    * shuffle per column grid + one on the pair cells. Midranks exact
+    * dyadics; the moment sums are χ²-tier.
+    */
+  def spearman(
+      df: DataFrame,
+      aCol: String,
+      bCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val base = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    def midranks(valueOut: String, rankOut: String, side: String) = {
+      val grid = cells.groupBy(col(side).as(valueOut))
+        .agg(sum(col("__c")).as("__t"))
+      val before = Window.orderBy(col(valueOut))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid.withColumn(rankOut,
+        coalesce(sum(col("__t")).over(before), lit(0L)) +
+          (col("__t") + lit(1)) / lit(2.0))
+        .select(valueOut, rankOut)
+    }
+    val withRanks = cells
+      .join(midranks("__a", "__ra", "__a"), Seq("__a"))
+      .join(midranks("__b", "__rb", "__b"), Seq("__b"))
+    withRanks.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n"),
+        coalesce(sum(col("__c") * col("__ra")), lit(0.0)).as("__sa"),
+        coalesce(sum(col("__c") * col("__rb")), lit(0.0)).as("__sb"),
+        coalesce(sum(col("__c") * col("__ra") * col("__ra")), lit(0.0))
+          .as("__saa"),
+        coalesce(sum(col("__c") * col("__rb") * col("__rb")), lit(0.0))
+          .as("__sbb"),
+        coalesce(sum(col("__c") * col("__ra") * col("__rb")), lit(0.0))
+          .as("__sab"))
+      .withColumn("__va", col("n") * col("__saa") - col("__sa") * col("__sa"))
+      .withColumn("__vb", col("n") * col("__sbb") - col("__sb") * col("__sb"))
+      .select(col("n"),
+        when(col("n") >= 2 && col("__va") > 0 && col("__vb") > 0,
+          (col("n") * col("__sab") - col("__sa") * col("__sb")) /
+            sqrt(col("__va") * col("__vb"))).as("rho"))
+  }
+
   /** One-way ANOVA F-test of `valueCol` across ALL groups of
     * `groupCol` (the k-group generalization of [[welchTTest]]'s
     * two-group question, under the classic equal-variance model):
@@ -490,6 +549,32 @@ object Stats {
       .select("n", "k", "ss_between", "ss_within",
         "df_between", "df_within", "f")
   }
+
+  /** Cramér's V association strength for two categorical columns —
+    * the effect size [[chiSquareIndependence]] lacks: χ² grows with N,
+    * so at 10¹⁰ rows everything is "significant"; V = √(χ²/(N·min(r−1,
+    * c−1))) rescales to [0, 1] where ~0.1/0.3/0.5 read as
+    * weak/moderate/strong. The feature-redundancy screen before
+    * training on correlated categoricals.
+    *
+    * Returns ONE row `(n, n_rows, n_cols: bigint, chi2, v: double)` —
+    * NULL `v` when either dimension is constant (min = 0) or N = 0.
+    *
+    * Plan: identical to [[chiSquareIndependence]] — one partial-agg
+    * shuffle to the (row, col) cells, tiny-grid arithmetic. χ²-tier
+    * float sums.
+    */
+  def cramersV(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String
+  ): MayFail[DataFrame] =
+    chiSquareIndependence(df, rowCol, colCol).map { base =>
+      val m = least(col("n_rows") - 1, col("n_cols") - 1)
+      base.select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+        when(col("n") > 0 && m > 0,
+          sqrt(col("chi2") / (col("n") * m))).as("v"))
+    }
 
   /** Fisher's exact test on a 2×2 contingency table — the
     * small-count-safe alternative to [[chiSquareIndependence]] (χ²'s

@@ -384,6 +384,32 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.quantileDrift(ref, ref, "v", nBins = 1).isFailing)
   }
 
+  test("entropyReport: hand-computed entropy, constant and key columns") {
+    // cat: a,a,a,b → H = ln4 − (3ln3)/4; const: all "x" → H = 0,
+    // top_share 1; key: all distinct → H = ln4, top_share 1/4
+    val data = Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "x", 3L),
+      ("b", "x", 4L)).toDF("cat", "const", "key")
+    val got = Quality.entropyReport(data, Seq("cat", "const", "key")).get
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("cat")._2 == 4L && got("cat")._3 == 2L)
+    assert(math.abs(got("cat")._4.get -
+      (math.log(4) - 3 * math.log(3) / 4)) < 1e-12)
+    assert(got("cat")._5.contains(0.75))
+    assert(got("const")._3 == 1L && got("const")._4.get == 0.0 &&
+      got("const")._5.contains(1.0))
+    assert(got("key")._3 == 4L &&
+      math.abs(got("key")._4.get - math.log(4)) < 1e-12 &&
+      got("key")._5.contains(0.25))
+    // empty column → NULL entropy; unknown column → Fail
+    val withNull = data.withColumn("empty",
+      when($"key" < 0, $"cat"))
+    val e = Quality.entropyReport(withNull, Seq("empty")).get
+      .as[(String, Long, Long, Option[Double], Option[Double])].head()
+    assert(e._2 == 0L && e._4.isEmpty)
+    assert(Quality.entropyReport(data, Seq("nope")).isFailing)
+  }
+
   test("referentialIntegrity: orphans, null keys, exact counts") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     // children: 4 matched, 2 orphans on one key, 1 orphan on another,

@@ -248,6 +248,54 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.fdrAdjust(Seq((1L, 1.5)).toDF("id", "p"), "p").isFailing)
   }
 
+  test("spearman: midrank ties, perfect/reversed monotone, constant NULL") {
+    // a = 1..5, b = [5,6,7,8,7]: rb = [1,2,3.5,5,3.5] →
+    // rho = Pearson(ra, rb) = 0.825 (classic tied example)
+    val data = Seq((1.0, 5.0), (2.0, 6.0), (3.0, 7.0), (4.0, 8.0),
+      (5.0, 7.0)).toDF("a", "b")
+    val ra = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val rb = Seq(1.0, 2.0, 3.5, 5.0, 3.5)
+    val n = 5.0
+    val (sa, sb) = (ra.sum, rb.sum)
+    val sab = ra.zip(rb).map { case (x, y) => x * y }.sum
+    val expected = (n * sab - sa * sb) /
+      math.sqrt((n * ra.map(x => x * x).sum - sa * sa) *
+        (n * rb.map(x => x * x).sum - sb * sb))
+    val got = Stats.spearman(data, "a", "b").get
+      .as[(Long, Option[Double])].head()
+    assert(got._1 == 5L && math.abs(got._2.get - expected) < 1e-12)
+    // strictly monotone → exactly 1; reversed → −1
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0)).toDF("a", "b")
+    assert(math.abs(Stats.spearman(mono, "a", "b").get
+      .as[(Long, Option[Double])].head()._2.get - 1.0) < 1e-12)
+    val rev = Seq((1.0, 9.0), (2.0, 5.0), (3.0, 1.0)).toDF("a", "b")
+    assert(math.abs(Stats.spearman(rev, "a", "b").get
+      .as[(Long, Option[Double])].head()._2.get + 1.0) < 1e-12)
+    // constant column → NULL
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("a", "b")
+    assert(Stats.spearman(const, "a", "b").get
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("cramersV: perfect association = 1, independence = 0, constant NULL") {
+    // perfect 2×2 diagonal: χ² = n, min(r−1,c−1) = 1 → V = 1
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val vp = Stats.cramersV(perfect, "r", "c").get
+      .select("v").as[Option[Double]].head()
+    assert(math.abs(vp.get - 1.0) < 1e-12)
+    // independent uniform grid: χ² = 0 → V = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val vi = Stats.cramersV(indep, "r", "c").get
+      .select("v").as[Option[Double]].head()
+    assert(math.abs(vi.get) < 1e-12)
+    // a constant dimension → NULL v
+    val const = Seq(("a", "x"), ("b", "x")).toDF("r", "c")
+    assert(Stats.cramersV(const, "r", "c").get
+      .select("v").as[Option[Double]].head().isEmpty)
+  }
+
   test("fisherExact: tea-tasting table, p = 34/70, OR = 9") {
     // a=3 b=1 c=1 d=3: PMFs over k∈0..4 are (1,16,36,16,1)/70; obs
     // pmf 16/70 → two-sided sum (1+16+16+1)/70
