@@ -2857,6 +2857,20 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q258_degree_distribution" -> ((s, dir) => {
+      // Degree histogram of the part↔supplier graph (distinct edges,
+      // both endpoints) — the cap-picking readout. Counts exact;
+      // shares rounded under the tie-shift.
+      val li = tbl(s, dir, "lineitem")
+      val pe = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      Graph.degreeDistribution(pe, "src", "dst", mode = "both").get
+        .select(col("degree"), col("n_nodes"), col("total_nodes"),
+          round(col("share") + lit(1e-9), 6).as("share"),
+          round(col("cum_share") + lit(1e-9), 6).as("cum_share"))
+        .orderBy("degree")
+    }),
+
     "q254_harmonic_closeness" -> ((s, dir) => {
       // Landmark harmonic centrality over the symmetrized
       // part↔supplier graph from 8 supplier landmarks, 4 hops — all
@@ -7098,6 +7112,28 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q258: node→degree→count with the running node-CDF.
+    "q258_degree_distribution" ->
+      """WITH pe AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), nodes AS (
+           SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe
+         ), deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS degree
+           FROM nodes GROUP BY node
+         ), dist AS (
+           SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg GROUP BY degree
+         ), tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS t FROM dist)
+         SELECT degree, n_nodes, (SELECT t FROM tot) AS total_nodes,
+           round(CAST(n_nodes AS DOUBLE) / (SELECT t FROM tot)
+             + 1e-9, 6) AS share,
+           round(CAST(sum(n_nodes) OVER (ORDER BY degree
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / (SELECT t FROM tot) + 1e-9, 6) AS cum_share
+         FROM dist ORDER BY degree""",
     // q241: the zero-filled grid + Brown's cascade replayed as TWO
     // scalar list_reduce folds (the q191 device): s1 over the value
     // prefix, s2 over the s1-series prefix — identical IEEE sequences;

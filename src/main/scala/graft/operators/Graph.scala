@@ -699,21 +699,76 @@ object Graph {
           Seq("src"))
         .select(col("dst").as("node"), (col("__pd") + col("w")).as("__nd"))
         .groupBy("node").agg(min(col("__nd")).as("__nd"))
-      val improved = cand.join(dist, Seq("node"), "left")
-        .filter(col("dist").isNull || col("__nd") < col("dist"))
-      done = improved.limit(1).count() == 0
+      // ONE full-outer merge per round carrying an improvement flag —
+      // the convergence probe then scans the checkpointed merge
+      // instead of re-running the relaxation join
+      val merged = dist.join(cand, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("__nd")),
+            coalesce(col("__nd"), col("dist"))).as("dist"),
+          (col("dist").isNull ||
+            (col("__nd").isNotNull && col("__nd") < col("dist")))
+            .as("__chg"))
+        .localCheckpoint(true)
+      done = merged.filter(col("__chg")).limit(1).count() == 0
       if (!done) {
-        val merged = dist.join(cand, Seq("node"), "full")
-          .select(col("node"),
-            least(coalesce(col("dist"), col("__nd")),
-              coalesce(col("__nd"), col("dist"))).as("dist"))
-          .localCheckpoint(true)
         Optimise.releaseCheckpoint(dist)
-        dist = merged
+        dist = merged.select("node", "dist")
+      } else {
+        Optimise.releaseCheckpoint(merged)
       }
     }
     e.unpersist()
     dist
+  }
+
+  /** Degree-distribution report — the graph-side counterpart of
+    * [[graft.operators.Quality.skewReport]]: the (degree → node count)
+    * histogram with shares and the node-CDF, read BEFORE picking the
+    * hub caps ([[projectBipartite]] `maxRightDegree`, [[linkPredict]]
+    * `maxDegree`) or deciding a salting strategy — the degree where
+    * `cum_share` crosses 0.99 is the principled cap.
+    *
+    * `mode`: `"src"` = out-degree, `"dst"` = in-degree, `"both"` =
+    * total endpoint count (symmetrize upstream for undirected graphs
+    * instead of using "both" on a one-direction edge list if
+    * self-loop/duplicate semantics matter).
+    *
+    * Returns one row per DISTINCT degree, ascending:
+    * `(degree, n_nodes, total_nodes: bigint, share, cum_share:
+    * double)` — all counts exact, shares grid-small divisions.
+    *
+    * Plan: one partial-agg shuffle node→degree, one degree→count
+    * (both collapse map-side), grid-sized windows only.
+    */
+  def degreeDistribution(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      mode: String = "both"
+  ): MayFail[DataFrame] = MayFail {
+    require(Seq("src", "dst", "both").contains(mode),
+      s"unknown mode '$mode' (src|dst|both)")
+    val s = edges.select(col(srcCol).as("node"))
+      .filter(col("node").isNotNull)
+    val d = edges.select(col(dstCol).as("node"))
+      .filter(col("node").isNotNull)
+    val nodes = mode match {
+      case "src" => s
+      case "dst" => d
+      case _ => s.unionAll(d)
+    }
+    val deg = nodes.groupBy("node").agg(count(lit(1)).as("degree"))
+    val dist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val total = dist.agg(coalesce(sum(col("n_nodes")), lit(0L)).as("total_nodes"))
+    val upto = Window.orderBy(col("degree"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_nodes").cast("double") / col("total_nodes"))
+      .withColumn("cum_share",
+        sum(col("n_nodes")).over(upto).cast("double") / col("total_nodes"))
+      .select("degree", "n_nodes", "total_nodes", "share", "cum_share")
   }
 
   /** Landmark harmonic closeness — the scalable centrality readout:

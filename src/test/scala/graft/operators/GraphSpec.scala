@@ -382,6 +382,27 @@ class GraphSpec extends AnyFunSuite {
       seeds.filter($"n" =!= $"n"), "n").get.count() == 0)
   }
 
+  test("degreeDistribution: modes, histogram, CDF") {
+    // 1→2, 1→3, 2→3: out-degrees {1:2, 2:1}; in {2:1, 3:2};
+    // both {1:2, 2:2, 3:2}
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    def m(mode: String) = Graph.degreeDistribution(e, "s", "d", mode).get
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val out = m("src")
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L && out(1L)._3 == 2L)
+    val in = m("dst")
+    assert(in(1L)._2 == 1L && in(2L)._2 == 1L)
+    val both = m("both")
+    assert(both.keySet == Set(2L) && both(2L)._2 == 3L &&
+      both(2L)._4 == 1.0 && both(2L)._5 == 1.0)
+    // CDF is monotone and ends at 1
+    val cdf = Graph.degreeDistribution(e, "s", "d", "src").get
+      .orderBy("degree").select("cum_share").as[Double].collect()
+    assert(cdf.sameElements(cdf.sorted) && math.abs(cdf.last - 1.0) < 1e-12)
+    assert(Graph.degreeDistribution(e, "s", "d", "bogus").isFailing)
+  }
+
   test("harmonicCloseness: per-landmark depths under one composite key") {
     // path 1-2-3-4 (undirected) with landmarks {1, 4}:
     //   node 2: d(1)=1, d(4)=2 → 1.5;  node 3: symmetric → 1.5
