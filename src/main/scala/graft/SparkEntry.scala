@@ -2857,6 +2857,21 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q259_embedding_drift" -> ((s, dir) => {
+      // Centroid/norm drift between the even- and odd-id embedding
+      // halves: per-row norms are sequential in-array folds (bit-
+      // portable); the cross-row means and the cosine rounded under
+      // the tie-shift.
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.Similarity.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding").get
+        .select(col("n_ref"), col("n_cur"), col("dim"),
+          round(col("centroid_cosine") + lit(1e-9), 6).as("centroid_cosine"),
+          round(col("mean_norm_ref") + lit(1e-9), 6).as("mean_norm_ref"),
+          round(col("mean_norm_cur") + lit(1e-9), 6).as("mean_norm_cur"))
+    }),
+
     "q258_degree_distribution" -> ((s, dir) => {
       // Degree histogram of the part↔supplier graph (distinct edges,
       // both endpoints) — the cap-picking readout. Counts exact;
@@ -7112,6 +7127,52 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q259: per-row norms as sequential list folds, per-dim centroid
+    // means, the cosine over the joined centroid frame.
+    "q259_embedding_drift" ->
+      """WITH r AS (
+           SELECT embedding AS e FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 2 = 0
+         ), c AS (
+           SELECT embedding AS e FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id % 2 = 1
+         ), sr AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_ref,
+             avg(sqrt(list_aggregate(list_transform(e,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+               AS mean_norm_ref
+           FROM r
+         ), sc AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cur,
+             avg(sqrt(list_aggregate(list_transform(e,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+               AS mean_norm_cur
+           FROM c
+         ), mr AS (
+           SELECT i, avg(CAST(v AS DOUBLE)) AS mu
+           FROM (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS v
+             FROM r)
+           GROUP BY i
+         ), mc AS (
+           SELECT i, avg(CAST(v AS DOUBLE)) AS mu
+           FROM (SELECT generate_subscripts(e, 1) AS i, unnest(e) AS v
+             FROM c)
+           GROUP BY i
+         ), d AS (
+           SELECT COALESCE(sum(mr.mu * mc.mu), 0) AS ab,
+             COALESCE(sum(mr.mu * mr.mu), 0) AS aa,
+             COALESCE(sum(mc.mu * mc.mu), 0) AS bb,
+             CAST(count(*) AS BIGINT) AS dim
+           FROM mr JOIN mc USING (i)
+         )
+         SELECT n_ref, n_cur, dim,
+           round(CASE WHEN aa > 0 AND bb > 0
+             THEN ab / (sqrt(aa) * sqrt(bb)) END + 1e-9, 6)
+             AS centroid_cosine,
+           round(mean_norm_ref + 1e-9, 6) AS mean_norm_ref,
+           round(mean_norm_cur + 1e-9, 6) AS mean_norm_cur
+         FROM sr, sc, d""",
 
     // q258: node→degree→count with the running node-CDF.
     "q258_degree_distribution" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,56 @@ object Similarity {
     * null-rejecting) — anchors and negatives both need a real label.
     * Returns `(anchorId, negativeId, negativeLabel, cosine, rank)`.
     */
+  /** Embedding-space drift report between two snapshots — the
+    * vector-side counterpart of [[graft.operators.Quality.quantileDrift]]:
+    * when the embedding model or the corpus mix changes, the centroid
+    * moves and norms shift long before any scalar column does. Reads:
+    * `centroid_cosine` ≈ 1 → stable space; a falling cosine or a
+    * norm-scale jump → re-embed or re-tune ANN thresholds before
+    * trusting cross-snapshot similarity joins.
+    *
+    * Returns ONE row `(n_ref, n_cur, dim: bigint, centroid_cosine,
+    * mean_norm_ref, mean_norm_cur: double)` — NULL cosine when either
+    * centroid is the zero vector.
+    *
+    * Plan: per side one scalar agg (count + mean norm; the per-row
+    * norm is a SEQUENTIAL in-array fold, bit-portable across engines)
+    * and one dim-keyed partial agg for the centroid (posexplode →
+    * ndim keys); the cosine reduces the ndim-row joined centroid
+    * frame. Counts exact; the cross-row means are χ²-tier.
+    */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String
+  ): MayFail[DataFrame] = MayFail {
+    def sq(v: Column): Column =
+      aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), _ + _)
+    def scalars(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          avg(sqrt(sq(col(vecCol)))).as(s"mean_norm_$tag"))
+    def centroid(df: DataFrame, out: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("dim_idx", "__x")))
+        .groupBy("dim_idx")
+        .agg(avg(col("__x").cast("double")).as(out))
+    val dots = centroid(ref, "__ma").join(centroid(cur, "__mb"),
+        Seq("dim_idx"))
+      .agg(coalesce(sum(col("__ma") * col("__mb")), lit(0.0)).as("__ab"),
+        coalesce(sum(col("__ma") * col("__ma")), lit(0.0)).as("__aa"),
+        coalesce(sum(col("__mb") * col("__mb")), lit(0.0)).as("__bb"),
+        count(lit(1)).as("dim"))
+    scalars(ref, "ref").crossJoin(broadcast(scalars(cur, "cur")))
+      .crossJoin(broadcast(dots))
+      .select(col("n_ref"), col("n_cur"), col("dim"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))))
+          .as("centroid_cosine"),
+        col("mean_norm_ref"), col("mean_norm_cur"))
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,

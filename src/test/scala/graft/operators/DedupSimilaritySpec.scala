@@ -812,6 +812,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       lambda = 1.5).isFailing)
   }
 
+  test("embeddingDrift: centroid cosine, norms, zero-centroid NULL") {
+    import spark.implicits._
+    val ref = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cur = Seq((3L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDrift(ref, cur, "embedding").get
+      .as[(Long, Long, Long, Option[Double], Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 1L && r._3 == 2L)
+    assert(math.abs(r._4.get) < 1e-12) // orthogonal centroids
+    assert(math.abs(r._5 - 1.0) < 1e-12 && math.abs(r._6 - 2.0) < 1e-12)
+    // identical corpora → cosine exactly 1
+    val same = Similarity.embeddingDrift(ref, ref, "embedding").get
+      .select("centroid_cosine").as[Option[Double]].head()
+    assert(math.abs(same.get - 1.0) < 1e-12)
+    // zero centroid → NULL cosine
+    val zero = Seq((4L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDrift(ref, zero, "embedding").get
+      .select("centroid_cosine").as[Option[Double]].head().isEmpty)
+  }
+
   test("contaminationScreen: gram overlap counts, clean docs absent") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e f"), (2L, "x y z w"), (3L, "q q q"))
