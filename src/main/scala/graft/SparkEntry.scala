@@ -2857,6 +2857,47 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q260_jaro_winkler" -> ((s, dir) => {
+      // Value-parity gate for the native Jaro-Winkler kernel: every
+      // part name scored against a char-dropped and a reversed variant
+      // — 2000 diverse (length, matches, transpositions, prefix)
+      // shapes. Rounded under the tie-shift (scores are rationals;
+      // ulp noise only).
+      val p = tbl(s, dir, "part")
+      val dirty = expr("concat(substring(p_name, 1, 7), substring(p_name, 9))")
+      p.select(col("p_partkey"),
+          round(graft.functions.TextFunctions.jaroWinkler(col("p_name"), dirty)
+            + lit(1e-9), 6).as("jw_dirty"),
+          round(graft.functions.TextFunctions.jaroWinkler(col("p_name"),
+            reverse(col("p_name"))) + lit(1e-9), 6).as("jw_rev"))
+        .orderBy("p_partkey")
+    }),
+
+    "q261_record_linkage" -> ((s, dir) => {
+      // Blocked fuzzy record linkage: part names vs a char-dropped
+      // dirty copy, prefix-2 blocking, best match per left at
+      // threshold 0.9. Scores rounded inside the operator (rank and
+      // threshold are defined on the rounded value — see Linkage
+      // scaladoc); rank cast to the oracle's BIGINT row_number.
+      val p = tbl(s, dir, "part")
+      val left = p.select(col("p_partkey").as("lid"), col("p_name").as("nm"))
+      val right = p.select((col("p_partkey") + 10000000L).as("rid"),
+        expr("concat(substring(p_name, 1, 7), substring(p_name, 9))").as("nm"))
+      graft.operators.Linkage.linkage(left, right, "lid", "rid", "nm", "nm",
+          threshold = 0.9, topPerLeft = 1).get
+        .select(col("lid"), col("rid"), col("score"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("lid")
+    }),
+
+    "q262_linkage_cap_report" -> ((s, dir) => {
+      // What a maxBlockSize=250 cap would drop from the linkage above:
+      // the four hot prefix-2 blocks. Counts exact.
+      graft.operators.Linkage.linkageCapReport(
+        tbl(s, dir, "part"), "p_name",
+        graft.operators.Linkage.prefixBlocker(2), maxBlockSize = 250).get
+    }),
+
     "q259_embedding_drift" -> ((s, dir) => {
       // Centroid/norm drift between the even- and odd-id embedding
       // halves: per-row norms are sequential in-array folds (bit-
@@ -7127,6 +7168,46 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q260: DuckDB's jaro_winkler_similarity IS the reference semantics
+    // the kernel implements (byte-level, boost>0.7, prefix cap 4) —
+    // this gate is the value-parity proof across 2000 name shapes.
+    "q260_jaro_winkler" ->
+      """SELECT p_partkey,
+         round(jaro_winkler_similarity(p_name,
+           substr(p_name, 1, 7) || substr(p_name, 9)) + 1e-9, 6) AS jw_dirty,
+         round(jaro_winkler_similarity(p_name, reverse(p_name)) + 1e-9, 6)
+           AS jw_rev
+         FROM part ORDER BY p_partkey""",
+
+    // q261: the same blocked-join + rounded-score rank the operator
+    // runs, on DuckDB's native jaro_winkler.
+    "q261_record_linkage" ->
+      """WITH l AS (
+           SELECT p_partkey AS lid, p_name AS nm FROM part
+         ), r AS (
+           SELECT p_partkey + 10000000 AS rid,
+             substr(p_name, 1, 7) || substr(p_name, 9) AS nm FROM part
+         ), cand AS (
+           SELECT l.lid, r.rid,
+             round(jaro_winkler_similarity(l.nm, r.nm) + 1e-9, 6) AS score
+           FROM l JOIN r
+             ON substr(lower(trim(l.nm)), 1, 2) = substr(lower(trim(r.nm)), 1, 2)
+         ), kept AS (
+           SELECT lid, rid, score,
+             CAST(row_number() OVER (PARTITION BY lid
+               ORDER BY score DESC, rid) AS BIGINT) AS rank
+           FROM cand WHERE score >= 0.9
+         )
+         SELECT lid, rid, score, rank FROM kept
+         WHERE rank <= 1 ORDER BY lid""",
+
+    // q262: per-block right-side counts above the cap, hottest first.
+    "q262_linkage_cap_report" ->
+      """SELECT substr(lower(trim(p_name)), 1, 2) AS block_key,
+         CAST(count(*) AS BIGINT) AS n_right
+         FROM part GROUP BY block_key HAVING count(*) > 250
+         ORDER BY n_right DESC, block_key""",
 
     // q259: per-row norms as sequential list folds, per-dim centroid
     // means, the cosine over the joined centroid frame.

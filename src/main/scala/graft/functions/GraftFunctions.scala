@@ -101,5 +101,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("pq_adc_score",
       es => { arity("pq_adc_score", es, 2, 2)
         PqAdcScore(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => { arity("jaro_winkler", es, 2, 2)
+        JaroWinklerSim(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("jaro",
+      es => { arity("jaro", es, 2, 2)
+        JaroSim(es(0), es(1)) }, "scala_udf")
   }
 }

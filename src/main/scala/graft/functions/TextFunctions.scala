@@ -141,6 +141,17 @@ object TextFunctions {
     FunctionBridge.column(
       MinHashBandKeysFromHashes(FunctionBridge.expression(hashes), bands, rows, seed))
 
+  /** Jaro–Winkler similarity (native codegen'd kernel; DuckDB-parity
+    * byte semantics — see [[JaroWinklerImpl]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    FunctionBridge.column(
+      JaroWinklerSim(FunctionBridge.expression(a), FunctionBridge.expression(b)))
+
+  /** Plain Jaro similarity (no prefix boost). */
+  def jaroSim(a: Column, b: Column): Column =
+    FunctionBridge.column(
+      JaroSim(FunctionBridge.expression(a), FunctionBridge.expression(b)))
+
   /** Distinct-element Jaccard of two `array<long>` columns (native). */
   def jaccardHashes(a: Column, b: Column): Column =
     FunctionBridge.column(

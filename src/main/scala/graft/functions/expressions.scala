@@ -1102,3 +1102,94 @@ case class UnigramEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "unigram_entropy"
 }
+
+/** Jaro and Jaro–Winkler string similarity over UTF-8 BYTES — the exact
+  * semantics of DuckDB's `jaro_winkler_similarity` (itself the rapidfuzz
+  * algorithm), verified value-for-value in the q260 gate: byte-level
+  * comparison (multi-byte codepoints count per byte), match window
+  * `max(len)/2 - 1` (floored at 0), transposition count halved by integer
+  * division, Winkler boost `+ prefix·0.1·(1−jaro)` only when jaro > 0.7
+  * with the common prefix capped at 4 bytes, and 0.0 (not 1.0) when
+  * either side is empty. Record linkage across engines needs the VALUES
+  * to agree, not just the algorithm family — hence a spec'd kernel
+  * instead of a per-case reimplementation.
+  */
+object JaroWinklerImpl {
+
+  def jaroBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a(i) == b(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    (md / la + md / lb + (md - t / 2) / md) / 3.0
+  }
+
+  def jaro(a: UTF8String, b: UTF8String): Double =
+    jaroBytes(a.getBytes, b.getBytes)
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val sim = jaroBytes(ab, bb)
+    if (sim <= 0.7) return sim
+    val cap = math.min(4, math.min(ab.length, bb.length))
+    var p = 0
+    while (p < cap && ab(p) == bb(p)) p += 1
+    sim + p * 0.1 * (1.0 - sim)
+  }
+}
+
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaroWinklerImpl.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
+case class JaroSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaroWinklerImpl.jaro($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro"
+}

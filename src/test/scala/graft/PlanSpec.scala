@@ -309,6 +309,17 @@ class PlanSpec extends AnyFunSuite {
       "non-equi join in contamination")
   }
 
+  test("q261: linkage candidates come from a block equi-join, never all-pairs") {
+    val plan = planOf("q261_record_linkage")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in linkage")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi candidate join in linkage")
+    // the JW kernel is a codegen'd expression, not a UDF
+    assert(plan.contains("jaro_winkler"), "kernel missing from plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "linkage scoring fell off codegen into a UDF")
+  }
+
   test("q246: quantile-drift bins are a branch-free projection + tiny agg") {
     // the bin assignment must stay an expression over the scan (the
     // edge list is folded into the plan), never a per-row join against
