@@ -2857,6 +2857,46 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q263_benford_digits" -> ((s, dir) => {
+      // First-digit grid of the price column (as integral cents) vs
+      // Benford's law — the synthetic-uniform prices deviate, which is
+      // exactly the screen's point. Counts exact; shares and log10
+      // expectations rounded under the tie-shift.
+      val li = tbl(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.operators.Quality.benfordReport(li, "cents").get
+        .select(col("digit"), col("n"),
+          round(col("p_obs") + lit(1e-9), 6).as("p_obs"),
+          round(col("p_exp") + lit(1e-9), 6).as("p_exp"),
+          round(col("abs_dev") + lit(1e-9), 6).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
+    "q264_benford_stat" -> ((s, dir) => {
+      // One-row Benford conformity summary: chi2 vs the law, Nigrini
+      // MAD. Count exact; stats rounded under the tie-shift.
+      val li = tbl(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.operators.Quality.benfordStat(li, "cents").get
+        .select(col("n_rows"),
+          round(col("chi2") + lit(1e-9), 4).as("chi2"),
+          round(col("mad") + lit(1e-9), 6).as("mad"))
+    }),
+
+    "q265_fd_screen" -> ((s, dir) => {
+      // Functional-dependency screen: two violated deps on lineitem
+      // (synthetic lineitems repeat (orderkey, linenumber)), one
+      // holding dep on orders (o_orderkey is unique). Counts exact.
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+      graft.operators.Quality.functionalDependencyScreen(li, Seq(
+          Seq("l_orderkey") -> "l_returnflag",
+          Seq("l_orderkey", "l_linenumber") -> "l_partkey")).get
+        .unionByName(graft.operators.Quality.functionalDependencyScreen(
+          ord, Seq(Seq("o_orderkey") -> "o_custkey")).get)
+        .orderBy("lhs", "rhs")
+    }),
+
     "q260_jaro_winkler" -> ((s, dir) => {
       // Value-parity gate for the native Jaro-Winkler kernel: every
       // part name scored against a char-dropped and a reversed variant
@@ -7168,6 +7208,88 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q263/q264: integer-cents first digit via integer-to-string (the
+    // portable route — float-to-string is not), full 1..9 grid.
+    "q263_benford_digits" ->
+      """WITH src AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+         ), d AS (
+           SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+           FROM src WHERE v > 0 GROUP BY 1
+         ), g AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+         SELECT g.digit, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           round(COALESCE(d.n, 0) / tot + 1e-9, 6) AS p_obs,
+           round(log10(1 + 1.0 / g.digit) + 1e-9, 6) AS p_exp,
+           round(abs(COALESCE(d.n, 0) / tot - log10(1 + 1.0 / g.digit))
+             + 1e-9, 6) AS abs_dev
+         FROM g LEFT JOIN d USING (digit), t ORDER BY g.digit""",
+
+    "q264_benford_stat" ->
+      """WITH src AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+         ), d AS (
+           SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n
+           FROM src WHERE v > 0 GROUP BY 1
+         ), g AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit),
+         rep AS (
+           SELECT COALESCE(d.n, 0) AS n,
+             COALESCE(d.n, 0) / (SELECT sum(n) FROM d) AS p_obs,
+             log10(1 + 1.0 / g.digit) AS p_exp
+           FROM g LEFT JOIN d USING (digit)
+         )
+         SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           round(sum(n) * sum((p_obs - p_exp) * (p_obs - p_exp) / p_exp)
+             + 1e-9, 4) AS chi2,
+           round(avg(abs(p_obs - p_exp)) + 1e-9, 6) AS mad
+         FROM rep""",
+
+    // q265: one exact distinct-count pass per dependency, unioned.
+    "q265_fd_screen" ->
+      """WITH a AS (
+           SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS violating_rows
+           FROM (SELECT count(*) AS n,
+                   count(DISTINCT COALESCE(CAST(l_returnflag AS VARCHAR),
+                     '<null>')) AS nd
+                 FROM lineitem GROUP BY l_orderkey)
+         ), b AS (
+           SELECT 'l_orderkey,l_linenumber' AS lhs, 'l_partkey' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS violating_rows
+           FROM (SELECT count(*) AS n,
+                   count(DISTINCT COALESCE(CAST(l_partkey AS VARCHAR),
+                     '<null>')) AS nd
+                 FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         ), c AS (
+           SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS violating_rows
+           FROM (SELECT count(*) AS n,
+                   count(DISTINCT COALESCE(CAST(o_custkey AS VARCHAR),
+                     '<null>')) AS nd
+                 FROM orders GROUP BY o_orderkey)
+         )
+         SELECT lhs, rhs, n_groups, violating_groups, violating_rows,
+           violating_groups = 0 AS holds
+         FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+               UNION ALL SELECT * FROM c)
+         ORDER BY lhs, rhs""",
 
     // q260: DuckDB's jaro_winkler_similarity IS the reference semantics
     // the kernel implements (byte-level, boost>0.7, prefix cap 4) —

@@ -794,4 +794,91 @@ object Quality {
         round(col("n") / col("total") + lit(1e-9), 4).as("share"),
         round(col("__cum") / col("total") + lit(1e-9), 4).as("cum_share"))
   }
+
+  /** First-significant-digit distribution vs Benford's law — the
+    * classic fabricated-data / broken-pipeline screen: naturally
+    * occurring multi-order-of-magnitude amounts follow
+    * P(d) = log10(1 + 1/d); synthetic, truncated, or capped values
+    * don't. A large deviation means the column was generated, clipped,
+    * or unit-mangled somewhere upstream.
+    *
+    * `valueCol` must be INTEGRAL-valued (pass cents, not dollars —
+    * float-to-string is not portable across engines, integer-to-string
+    * is; the first digit is unchanged by a power-of-ten rescale).
+    * Null and non-positive rows are excluded.
+    *
+    * Returns 9 rows `(digit: int, n: bigint, p_obs, p_exp, abs_dev)`
+    * — every digit present even at count 0. One partial-agg pass to 9
+    * rows; everything after runs on the 9-row frame. Counts exact;
+    * the shares and log10 expectations are float-tier (round under the
+    * tie-shift when gating).
+    */
+  def benfordReport(df: DataFrame, valueCol: String): MayFail[DataFrame] =
+    MayFail {
+      val v = col(valueCol).cast("long")
+      val counts = df.filter(v.isNotNull && v > 0)
+        .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val grid = df.sparkSession.range(1, 10)
+        .select(col("id").cast("int").as("digit"))
+      val totals = counts.agg(coalesce(sum("n"), lit(0L)).as("__tot"))
+      val pExp = log10(lit(1.0) + lit(1.0) / col("digit"))
+      grid.join(counts, Seq("digit"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(totals))
+        .select(col("digit"), col("n"),
+          (col("n") / col("__tot")).as("p_obs"), pExp.as("p_exp"),
+          abs(col("n") / col("__tot") - pExp).as("abs_dev"))
+    }
+
+  /** One-row Benford summary over [[benfordReport]]'s grid:
+    * `(n_rows: bigint, chi2, mad)` — Pearson χ² against the Benford
+    * expectation (8 dof) and the mean absolute deviation of the nine
+    * digit shares (Nigrini's MAD; > 0.015 is his "nonconformity" line
+    * for first digits). */
+  def benfordStat(df: DataFrame, valueCol: String): MayFail[DataFrame] =
+    benfordReport(df, valueCol).map { rep =>
+      rep.agg(
+        coalesce(sum("n"), lit(0L)).as("n_rows"),
+        (coalesce(sum("n"), lit(0L)) *
+          sum(pow(col("p_obs") - col("p_exp"), 2) / col("p_exp"))).as("chi2"),
+        avg(col("abs_dev")).as("mad"))
+    }
+
+  /** Functional-dependency screen: for each candidate `lhs -> rhs`
+    * dependency, does every lhs group map to exactly one rhs value?
+    * The profiling primitive behind key discovery, denormalization
+    * checks, and "is this column derivable" questions.
+    *
+    * Returns one row per dependency: `(lhs, rhs, n_groups,
+    * violating_groups, violating_rows, holds)` where `violating_rows`
+    * counts ALL rows in groups with more than one distinct rhs (nulls
+    * count as a value: lhs rows with null rhs conflict with non-null).
+    *
+    * Plan: one exact `groupBy(lhs)` + distinct-count pass per
+    * dependency (each is a partial-agg shuffle on its own key), then a
+    * one-row reduction each; results unioned. Counts exact.
+    */
+  def functionalDependencyScreen(
+      df: DataFrame,
+      deps: Seq[(Seq[String], String)]
+  ): MayFail[DataFrame] = MayFail {
+    require(deps.nonEmpty, "deps must name at least one lhs -> rhs pair")
+    deps.map { case (lhs, rhs) =>
+      require(lhs.nonEmpty, "dependency lhs must name at least one column")
+      val rhsKey = coalesce(col(rhs).cast("string"), lit("<null>"))
+      val groups = df.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          countDistinct(rhsKey).as("__nd"))
+      groups.agg(
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__nd") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violating_groups"),
+          coalesce(sum(when(col("__nd") > 1, col("__n")).otherwise(0L)),
+            lit(0L)).as("violating_rows"))
+        .select(lit(lhs.mkString(",")).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("violating_groups"), col("violating_rows"),
+          (col("violating_groups") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -426,4 +426,46 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(r2 == ((2L, 2L, 0L, 0L, 0.0)))
   }
+
+  test("benfordReport: digit grid complete, zero/null/negative excluded") {
+    val vals = Seq(Some(1L), Some(19L), Some(2L), Some(35L), Some(999L),
+      Some(0L), Some(-7L), None).toDF("v")
+    val got = Quality.benfordReport(vals, "v").get
+      .select("digit", "n").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    val row = Quality.benfordReport(vals, "v").get
+      .filter($"digit" === 1)
+      .select("p_obs", "p_exp").as[(Double, Double)].head()
+    assert(math.abs(row._1 - 0.4) < 1e-12)
+    assert(math.abs(row._2 - math.log10(2.0)) < 1e-12)
+  }
+
+  test("benfordStat equals the hand-computed chi2 and mad of the report") {
+    val vals = Seq(1L, 19L, 2L, 35L, 999L).toDF("v")
+    val rep = Quality.benfordReport(vals, "v").get
+      .select("n", "p_obs", "p_exp").as[(Long, Double, Double)].collect()
+    val n = rep.map(_._1).sum
+    val chi2 = n * rep.map { case (_, o, e) => (o - e) * (o - e) / e }.sum
+    val mad = rep.map { case (_, o, e) => math.abs(o - e) }.sum / 9.0
+    val got = Quality.benfordStat(vals, "v").get
+      .as[(Long, Double, Double)].head()
+    assert(got._1 == 5L)
+    assert(math.abs(got._2 - chi2) < 1e-9)
+    assert(math.abs(got._3 - mad) < 1e-12)
+  }
+
+  test("functionalDependencyScreen: violated and holding deps, null rhs") {
+    val t = Seq((1L, "x", Some("a")), (1L, "x", Some("a")),
+      (2L, "y", Some("a")), (2L, "y", Some("b")),
+      (3L, "z", None), (3L, "z", Some("c"))).toDF("k", "u", "r")
+    val got = Quality.functionalDependencyScreen(t,
+        Seq(Seq("k") -> "r", Seq("k") -> "u", Seq("k", "u") -> "u")).get
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // k -> r: groups 2 and 3 violate (3 via null-vs-'c'); 4 rows affected
+    assert(got(("k", "r")) == ((3L, 2L, 4L, false)))
+    assert(got(("k", "u")) == ((3L, 0L, 0L, true)))
+    assert(got(("k,u", "u")) == ((3L, 0L, 0L, true)))
+  }
 }
