@@ -2857,6 +2857,56 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q267_changepoint" -> ((s, dir) => {
+      // Per-user mean-shift changepoint over the event stream —
+      // exact-integer prefix sums make every candidate gain a
+      // deterministic IEEE expression, so the whole row (index, ts,
+      // means, gain) is gated UNROUNDED.
+      graft.operators.TimeSeries.changepoint(events(s, dir), Seq("user_id"),
+          "ts", "value", scale = 100L, minSegment = 5).get
+        .orderBy("user_id")
+    }),
+
+    "q268_theil_sen" -> ((s, dir) => {
+      // Per-user Theil-Sen robust slope (value units per second):
+      // every pairwise slope is one IEEE division of exact integers;
+      // gated unrounded.
+      graft.operators.TimeSeries.theilSen(events(s, dir), Seq("user_id"),
+          "ts", "value", scale = 100L, maxPoints = 1000).get
+        .orderBy("user_id")
+    }),
+
+    "q269_reciprocity" -> ((s, dir) => {
+      // Reciprocity of the directed part->supplier edge set (supplier
+      // ids are also valid part ids, so mutual pairs exist). Counts
+      // exact; the ratio is one IEEE division, gated unrounded.
+      graft.operators.Graph.reciprocity(tbl(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey").get
+    }),
+
+    "q266_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout: per-user pre-period
+      // (Jan 1-15) value sum as the covariate, post-period sum as the
+      // metric, user parity as the arm. Unit sums are exact ×100
+      // integers; the covariance-tier outputs rounded under the
+      // tie-shift.
+      val ev = events(s, dir)
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val split = lit("2024-01-16").cast("timestamp")
+      val units = ev.groupBy("user_id").agg(
+          sum(when(col("ts") < split, cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= split, cents).otherwise(0L)).as("y"))
+        .withColumn("grp", (col("user_id") % 2).cast("string"))
+      graft.operators.Stats.cuped(units, "grp", "y", "x", "1", "0").get
+        .select(col("n_treat"), col("n_ctrl"),
+          round(col("theta") + lit(1e-9), 6).as("theta"),
+          round(col("effect_raw") + lit(1e-9), 4).as("effect_raw"),
+          round(col("se_raw") + lit(1e-9), 4).as("se_raw"),
+          round(col("effect_cuped") + lit(1e-9), 4).as("effect_cuped"),
+          round(col("se_cuped") + lit(1e-9), 4).as("se_cuped"),
+          round(col("var_reduction") + lit(1e-9), 6).as("var_reduction"))
+    }),
+
     "q263_benford_digits" -> ((s, dir) => {
       // First-digit grid of the price column (as integral cents) vs
       // Benford's law — the synthetic-uniform prices deviate, which is
@@ -7208,6 +7258,130 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q267: the same exact-integer prefix-sum argmax; DuckDB '/' on
+    // (BIGINT-exact double, BIGINT) is the same IEEE division.
+    "q267_changepoint" ->
+      """WITH base AS (
+           SELECT user_id AS k, ts, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         ), st AS (
+           SELECT k, ts, v,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY ts, v)
+               AS BIGINT) AS i,
+             sum(v) OVER (PARTITION BY k ORDER BY ts, v
+               ROWS UNBOUNDED PRECEDING) AS s,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+             sum(v) OVER (PARTITION BY k) AS tot
+           FROM base
+         ), cand AS (
+           SELECT *,
+             CAST(s * s AS DOUBLE) / i
+               + CAST((tot - s) * (tot - s) AS DOUBLE) / (n - i)
+               - CAST(tot * tot AS DOUBLE) / n AS gain
+           FROM st WHERE i >= 5 AND i <= n - 5
+         )
+         SELECT k AS user_id, n, i AS t_index, ts AS split_ts,
+           CAST(s AS DOUBLE) / (i * 100.0) AS mean_left,
+           CAST(tot - s AS DOUBLE) / ((n - i) * 100.0) AS mean_right,
+           gain / (100.0 * 100.0) AS gain
+         FROM cand
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY gain DESC, i) = 1
+         ORDER BY user_id""",
+
+    // q268: pair slopes from exact (x100 value, epoch-us) integers;
+    // median picked by rank, averaged when even.
+    "q268_theil_sen" ->
+      """WITH base AS (
+           SELECT user_id AS k, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         ), pts AS (
+           SELECT k, t, v,
+             row_number() OVER (PARTITION BY k ORDER BY t DESC, v DESC) AS r
+           FROM base QUALIFY r <= 1000
+         ), sl AS (
+           SELECT a.k,
+             (CAST(b.v - a.v AS DOUBLE) * 10000.0) / (b.t - a.t) AS slope
+           FROM pts a JOIN pts b
+             ON a.k = b.k AND a.r < b.r AND a.t <> b.t
+         ), idx AS (
+           SELECT k, slope,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m,
+             row_number() OVER (PARTITION BY k ORDER BY slope) AS i
+           FROM sl
+         ), med AS (
+           SELECT k, CAST(max(m) AS BIGINT) AS n_pairs, avg(slope) AS slope
+           FROM idx
+           WHERE i = CAST(floor((m + 1) / 2) AS BIGINT)
+              OR i = CAST(floor((m + 2) / 2) AS BIGINT)
+           GROUP BY k
+         ), np AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM pts GROUP BY k
+         )
+         SELECT k AS user_id, n_points, n_pairs, slope
+         FROM med JOIN np USING (k) ORDER BY user_id""",
+
+    // q269: distinct non-loop edges, reverse-existence semi join.
+    "q269_reciprocity" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+             AND l_partkey <> l_suppkey
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM e
+           WHERE EXISTS (SELECT 1 FROM e e2
+                         WHERE e2.s = e.d AND e2.d = e.s)
+         ), t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_edges, n_reciprocal,
+           CAST(n_reciprocal AS DOUBLE) / n_edges AS reciprocity
+         FROM t, m""",
+
+    // q266: the same pooled-theta CUPED adjustment on DuckDB's
+    // covar_pop/var_pop; unit sums exact ×100 integers.
+    "q266_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) AS y,
+             CAST(user_id % 2 AS VARCHAR) AS g
+           FROM events GROUP BY user_id
+         ), pre AS (
+           SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+           FROM u
+         ), a AS (
+           SELECT g, y,
+             CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END AS theta,
+             y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END) * (x - mx)
+               AS adj
+           FROM u, pre
+         )
+         SELECT
+           CAST(count(CASE WHEN g = '1' THEN 1 END) AS BIGINT) AS n_treat,
+           CAST(count(CASE WHEN g = '0' THEN 1 END) AS BIGINT) AS n_ctrl,
+           round(min(theta) + 1e-9, 6) AS theta,
+           round(avg(CASE WHEN g = '1' THEN y END)
+             - avg(CASE WHEN g = '0' THEN y END) + 1e-9, 4) AS effect_raw,
+           round(sqrt(var_pop(CASE WHEN g = '1' THEN y END)
+               / count(CASE WHEN g = '1' THEN 1 END)
+             + var_pop(CASE WHEN g = '0' THEN y END)
+               / count(CASE WHEN g = '0' THEN 1 END)) + 1e-9, 4) AS se_raw,
+           round(avg(CASE WHEN g = '1' THEN adj END)
+             - avg(CASE WHEN g = '0' THEN adj END) + 1e-9, 4)
+             AS effect_cuped,
+           round(sqrt(var_pop(CASE WHEN g = '1' THEN adj END)
+               / count(CASE WHEN g = '1' THEN 1 END)
+             + var_pop(CASE WHEN g = '0' THEN adj END)
+               / count(CASE WHEN g = '0' THEN 1 END)) + 1e-9, 4)
+             AS se_cuped,
+           round(CASE WHEN var_pop(y) > 0
+             THEN 1.0 - var_pop(adj) / var_pop(y) END + 1e-9, 6)
+             AS var_reduction
+         FROM a""",
 
     // q263/q264: integer-cents first digit via integer-to-string (the
     // portable route — float-to-string is not), full 1..9 grid.

@@ -1206,4 +1206,39 @@ object Graph {
     e.unpersist(); deg.unpersist()
     lab.select(col("node"), col("c").as("community"))
   }
+
+  /** Edge reciprocity of a directed graph: the share of (distinct,
+    * non-loop) edges whose reverse edge also exists — the standard
+    * one-number readout of how mutual a follow/link/reply graph is
+    * (≈0: broadcast-shaped; ≈1: friendship-shaped). Garlaschelli &
+    * Loffredo's r.
+    *
+    * Returns one row `(n_edges, n_reciprocal: bigint, reciprocity:
+    * double)` — `n_reciprocal` counts EDGES with a reverse partner
+    * (both directions of a mutual pair count), so `reciprocity =
+    * n_reciprocal / n_edges`. Empty graph → 0-edge row with NULL ratio.
+    *
+    * Plan: distinct edges once, one self equi-join on the reversed
+    * key (semi — only existence matters), two scalar aggs. Counts
+    * exact; the ratio is one IEEE division of exact integers, gated
+    * unrounded.
+    */
+  def reciprocity(
+      df: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val e = df.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val mutual = e.join(rev, Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") / col("n_edges"))
+          .as("reciprocity"))
+  }
 }

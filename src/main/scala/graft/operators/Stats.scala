@@ -788,4 +788,84 @@ object Stats {
       .withColumn("reject",
         when(p.isNotNull, col("q_value") <= alpha))
   }
+
+  /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
+    * WSDM'13): adjust each unit's metric by its PRE-experiment
+    * covariate, `y' = y − θ(x − x̄)` with `θ = cov(x, y)/var(x)`, and
+    * estimate the treatment effect on the adjusted metric — the
+    * covariate is unaffected by treatment, so the effect is unbiased
+    * while the estimator variance shrinks by the squared correlation.
+    * The difference between shipping an experiment readout in one week
+    * vs three at a given sensitivity.
+    *
+    * `df` is UNIT-level (one row per randomization unit). θ is pooled
+    * across both groups (the standard single-θ form — a per-group θ
+    * would re-introduce bias under heterogeneous pre-period slopes).
+    * Rows outside the two named groups, or with null metric/covariate,
+    * are excluded.
+    *
+    * Returns one row `(n_treat, n_ctrl: bigint, theta, effect_raw,
+    * se_raw, effect_cuped, se_cuped, var_reduction: double)` — Welch
+    * unpooled standard errors on both the raw and adjusted metric;
+    * `var_reduction = 1 − var(y')/var(y)` pooled over both groups.
+    * Zero-variance covariate → θ = 0 and CUPED degrades to the raw
+    * estimate (no division blow-up).
+    *
+    * Plan: one scalar aggregate for θ/x̄ (broadcast back — 1-row
+    * frame), then one conditional aggregate pass to the single output
+    * row. Two scans, no shuffle wider than the partial aggs. Float
+    * tier: covariance partial sums — round outputs when gating.
+    */
+  def cuped(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String,
+      treatGroup: String,
+      controlGroup: String
+  ): MayFail[DataFrame] = MayFail {
+    require(treatGroup != controlGroup,
+      "treatGroup and controlGroup must differ")
+    val g = col(groupCol).cast("string")
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val base = df.filter(y.isNotNull && x.isNotNull &&
+        (g === treatGroup || g === controlGroup))
+      .select(g.as("__g"), y.as("__y"), x.as("__x"))
+    val pre = base.agg(
+      covar_pop(col("__x"), col("__y")).as("__cxy"),
+      var_pop(col("__x")).as("__vx"),
+      avg(col("__x")).as("__mx"))
+    val theta = when(col("__vx") > 0, col("__cxy") / col("__vx"))
+      .otherwise(lit(0.0))
+    val adj = base.crossJoin(broadcast(pre))
+      .withColumn("__theta", theta)
+      .withColumn("__adj",
+        col("__y") - col("__theta") * (col("__x") - col("__mx")))
+      .withColumn("__t", (col("__g") === treatGroup).cast("int"))
+    val t = col("__t")
+    adj.agg(
+        count(when(t === 1, lit(1))).as("n_treat"),
+        count(when(t === 0, lit(1))).as("n_ctrl"),
+        first(col("__theta")).as("theta"),
+        avg(when(t === 1, col("__y"))).as("__myt"),
+        avg(when(t === 0, col("__y"))).as("__myc"),
+        avg(when(t === 1, col("__adj"))).as("__mat"),
+        avg(when(t === 0, col("__adj"))).as("__mac"),
+        var_pop(when(t === 1, col("__y"))).as("__vyt"),
+        var_pop(when(t === 0, col("__y"))).as("__vyc"),
+        var_pop(when(t === 1, col("__adj"))).as("__vat"),
+        var_pop(when(t === 0, col("__adj"))).as("__vac"),
+        var_pop(col("__y")).as("__vy"),
+        var_pop(col("__adj")).as("__va"))
+      .select(col("n_treat"), col("n_ctrl"), col("theta"),
+        (col("__myt") - col("__myc")).as("effect_raw"),
+        sqrt(col("__vyt") / col("n_treat") + col("__vyc") / col("n_ctrl"))
+          .as("se_raw"),
+        (col("__mat") - col("__mac")).as("effect_cuped"),
+        sqrt(col("__vat") / col("n_treat") + col("__vac") / col("n_ctrl"))
+          .as("se_cuped"),
+        when(col("__vy") > 0, lit(1.0) - col("__va") / col("__vy"))
+          .as("var_reduction"))
+  }
 }

@@ -510,4 +510,144 @@ object TimeSeries {
       }
     }(Encoders.row(out))
   }
+
+  /** Single most-likely MEAN-SHIFT changepoint per key — the binary-
+    * segmentation base step (Scott & Knott's split; also PELT's unit
+    * move): the split `t` that maximizes the between-segment SSE
+    * reduction `S_t²/t + (S−S_t)²/(n−t) − S²/n` over the ts-ordered
+    * series. Run it once for "did the metric jump, and when"; recurse
+    * on the halves (driver-side, depth-bounded) for multiple breaks.
+    *
+    * Determinism (the CUSUM/q214 discipline): values enter as exact
+    * ×`scale` integers, so every prefix sum is an exact BIGINT and each
+    * candidate's gain is a fixed sequence of IEEE divisions of exact
+    * integers — bit-identical across engines, argmax-safe with the
+    * `(gain desc, t asc)` tie-break, gated UNROUNDED. Squares of
+    * per-key scaled sums must stay under 2^63 (|Σv·scale| < 3.0e9 per
+    * key) — both engines raise on overflow (ANSI), never silently
+    * wrap.
+    *
+    * `minSegment` bounds both segment lengths; keys with fewer than
+    * `2·minSegment` points emit nothing.
+    *
+    * Returns one row per key: `(keyCols…, n, t_index, split_ts,
+    * mean_left, mean_right, gain)` — `t_index` = last point of the
+    * left segment (1-based), `gain` in squared value units.
+    *
+    * Plan: per-key ordered windows (prefix sums) + one per-key rank —
+    * one hash exchange on the key, no joins, no driver state. Frames
+    * are series-sized per key.
+    */
+  def changepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      scale: Long = 100L,
+      minSegment: Int = 2
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    require(minSegment >= 1, s"minSegment must be >= 1: $minSegment")
+    val keys = keyCols.map(col)
+    val vInt = round(col(valueCol) * scale).cast("long")
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(tsCol).as("__ts") :+ vInt.as("__v"): _*)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__ts"), col("__v"))
+    val wKey = Window.partitionBy(keys: _*)
+    val staged = base
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__s", sum(col("__v")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__tot", sum(col("__v")).over(wKey))
+    val cand = staged
+      .filter(col("__i") >= minSegment && col("__i") <= col("__n") - minSegment)
+      .withColumn("__gain",
+        (col("__s") * col("__s")).cast("double") / col("__i")
+          + ((col("__tot") - col("__s")) * (col("__tot") - col("__s")))
+            .cast("double") / (col("__n") - col("__i"))
+          - (col("__tot") * col("__tot")).cast("double") / col("__n"))
+    val pick = Window.partitionBy(keys: _*)
+      .orderBy(col("__gain").desc, col("__i"))
+    val sc = lit(scale.toDouble)
+    cand.withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(keys ++ Seq(
+        col("__n").as("n"), col("__i").as("t_index"),
+        col("__ts").as("split_ts"),
+        (col("__s").cast("double") / (col("__i") * sc)).as("mean_left"),
+        ((col("__tot") - col("__s")).cast("double")
+          / ((col("__n") - col("__i")) * sc)).as("mean_right"),
+        (col("__gain") / (sc * sc)).as("gain")): _*)
+  }
+
+  /** Theil–Sen robust slope per key: the MEDIAN of all pairwise slopes
+    * `(v_j − v_i)/(t_j − t_i)` — the standard robust alternative to
+    * [[trend]]'s OLS when outliers or heavy tails would drag the
+    * least-squares fit (breakdown point 29%, vs 0 for OLS).
+    *
+    * Pairing is O(k²) PER KEY — bounded by `maxPoints` (each key keeps
+    * its latest `maxPoints` rows by ts before pairing; dropped history
+    * biases toward the recent regime, which is usually the one being
+    * asked about). Keys parallelize; a 10⁶-key table with 1000-point
+    * series is 5·10⁸ pair rows through one equi-join on the key — fine;
+    * one key with 10⁶ points is not — cap it.
+    *
+    * Determinism: values ×`scale` and epoch-microsecond timestamps are
+    * exact integers, each slope is one IEEE division of exact doubles
+    * (slopes in value-units per SECOND: `scale` must divide 10⁶), and
+    * the median picks by rank over the slope order — bit-identical
+    * across engines, gated unrounded. Pairs with equal timestamps are
+    * excluded (undefined slope).
+    *
+    * Returns one row per key: `(keyCols…, n_points, n_pairs, slope)`;
+    * keys with fewer than 2 distinct-ts points emit nothing.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      scale: Long = 100L,
+      maxPoints: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    require(scale >= 1 && 1000000L % scale == 0,
+      s"scale must divide 1e6 for exact per-second slopes: $scale")
+    require(maxPoints >= 2, s"maxPoints must be >= 2: $maxPoints")
+    val keys = keyCols.map(col)
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ unix_micros(col(tsCol)).as("__t")
+        :+ round(col(valueCol) * scale).cast("long").as("__v"): _*)
+    val recent = Window.partitionBy(keys: _*)
+      .orderBy(col("__t").desc, col("__v").desc)
+    val pts = base.withColumn("__r", row_number().over(recent))
+      .filter(col("__r") <= maxPoints)
+    val a = pts.select(keys :+ col("__t").as("__ta") :+ col("__v").as("__va")
+      :+ col("__r").as("__ra"): _*)
+    val b = pts.select(keys :+ col("__t").as("__tb") :+ col("__v").as("__vb")
+      :+ col("__r").as("__rb"): _*)
+    val perSec = lit(1000000.0 / scale)
+    val slopes = a.join(b, keyCols)
+      .filter(col("__ra") < col("__rb") && col("__ta") =!= col("__tb"))
+      .select(keys :+
+        (((col("__vb") - col("__va")).cast("double") * perSec)
+          / (col("__tb") - col("__ta"))).as("__slope"): _*)
+    val wKey = Window.partitionBy(keys: _*)
+    val ordered = slopes
+      .withColumn("__m", count(lit(1)).over(wKey))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("__slope"))))
+    val nPts = pts.groupBy(keys: _*).agg(count(lit(1)).as("n_points"))
+    ordered
+      .filter(col("__i") === floor((col("__m") + 1) / 2).cast("long")
+        || col("__i") === floor((col("__m") + 2) / 2).cast("long"))
+      .groupBy(keys: _*)
+      .agg(max(col("__m")).as("n_pairs"), avg(col("__slope")).as("slope"))
+      .join(nPts, keyCols)
+      .select(keys ++ Seq(col("n_points"), col("n_pairs"), col("slope")): _*)
+  }
 }

@@ -476,4 +476,17 @@ class GraphSpec extends AnyFunSuite {
       assert(pinned() <= before)
     }
   }
+
+  test("reciprocity: mutual edges counted both ways, loops and dups dropped") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 5L), (5L, 5L), (1L, 2L))
+      .toDF("s", "d")
+    val r = Graph.reciprocity(e, "s", "d").get
+      .as[(Long, Long, Option[Double])].head()
+    assert(r == ((4L, 2L, Some(0.5))))
+    // empty graph: zero edges, NULL ratio
+    val empty = Seq((7L, 7L)).toDF("s", "d") // only a loop
+    val r2 = Graph.reciprocity(empty, "s", "d").get
+      .as[(Long, Long, Option[Double])].head()
+    assert(r2 == ((0L, 0L, None)))
+  }
 }

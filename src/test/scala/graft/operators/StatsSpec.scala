@@ -338,4 +338,51 @@ class StatsSpec extends AnyFunSuite {
       .select("w").as[Option[Double]].head()
     assert(one.isEmpty)
   }
+
+  test("cuped matches the hand-computed pooled-theta adjustment") {
+    val units = Seq(
+      ("c", 1.0, 2.2), ("c", 2.0, 4.1), ("c", 3.0, 6.3), ("c", 4.0, 8.0),
+      ("t", 1.0, 3.1), ("t", 2.0, 5.2), ("t", 3.0, 7.0), ("t", 4.0, 9.2))
+    val df = units.toDF("g", "x", "y")
+    val r = Stats.cuped(df, "g", "y", "x", "t", "c").get
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .head()
+    // hand computation (population moments, pooled theta)
+    val xs = units.map(_._2); val ys = units.map(_._3); val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cxy = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / n
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum / n
+    val theta = cxy / vx
+    val adj = units.map { case (g, x, y) => (g, y - theta * (x - mx)) }
+    def mean(s: Seq[Double]) = s.sum / s.size
+    def vpop(s: Seq[Double]) = { val m = mean(s); s.map(a => (a-m)*(a-m)).sum / s.size }
+    val at = adj.filter(_._1 == "t").map(_._2)
+    val ac = adj.filter(_._1 == "c").map(_._2)
+    val yt = units.filter(_._1 == "t").map(_._3)
+    val yc = units.filter(_._1 == "c").map(_._3)
+    assert(r._1 == 4L && r._2 == 4L)
+    assert(math.abs(r._3 - theta) < 1e-9)
+    assert(math.abs(r._4 - (mean(yt) - mean(yc))) < 1e-9)
+    assert(math.abs(r._5 - math.sqrt(vpop(yt)/4 + vpop(yc)/4)) < 1e-9)
+    assert(math.abs(r._6 - (mean(at) - mean(ac))) < 1e-9)
+    assert(math.abs(r._7 - math.sqrt(vpop(at)/4 + vpop(ac)/4)) < 1e-9)
+    assert(math.abs(r._8 - (1.0 - vpop(adj.map(_._2)) / vpop(ys))) < 1e-9)
+    // CUPED se must beat raw se on this strongly-correlated fixture
+    assert(r._7 < r._5 && r._8 > 0.9)
+  }
+
+  test("cuped degrades gracefully on a zero-variance covariate") {
+    val df = Seq(("t", 1.0, 3.0), ("t", 1.0, 5.0),
+      ("c", 1.0, 2.0), ("c", 1.0, 4.0)).toDF("g", "x", "y")
+    val r = Stats.cuped(df, "g", "y", "x", "t", "c").get
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .head()
+    assert(r._3 == 0.0)               // theta
+    assert(r._4 == r._6 && r._5 == r._7) // cuped == raw
+    // rows outside the two groups are excluded
+    val extra = df.union(Seq(("z", 9.0, 9.0)).toDF("g", "x", "y"))
+    val r2 = Stats.cuped(extra, "g", "y", "x", "t", "c").get
+      .select("n_treat", "n_ctrl").as[(Long, Long)].head()
+    assert(r2 == ((2L, 2L)))
+  }
 }

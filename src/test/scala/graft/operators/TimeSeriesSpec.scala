@@ -249,4 +249,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", how = "median").isFailing)
     assert(TimeSeries.gapFill(ev, "ts", Seq("k"), 10L, "v", fill = "interp").isFailing)
   }
+
+  private def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("changepoint finds the planted mean shift with exact gain") {
+    val rows = Seq(0.0, 0.0, 0.0, 10.0, 10.0, 10.0).zipWithIndex
+      .map { case (v, i) => ("a", tsOf(i + 1), v) }
+    val df = rows.toDF("k", "ts", "v")
+    val r = TimeSeries.changepoint(df, Seq("k"), "ts", "v",
+        minSegment = 1).get
+      .select("k", "n", "t_index", "mean_left", "mean_right", "gain")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    // split after point 3; total SSE around mean 5 is 6*25 = 150,
+    // segment SSEs are 0 -> gain exactly 150
+    assert(r == (("a", 6L, 3L, 0.0, 10.0, 150.0)))
+  }
+
+  test("changepoint: minSegment bounds, short keys absent, tie -> earliest t") {
+    val short = Seq(("s", tsOf(1), 1.0), ("s", tsOf(2), 2.0),
+      ("s", tsOf(3), 3.0)).toDF("k", "ts", "v")
+    assert(TimeSeries.changepoint(short, Seq("k"), "ts", "v",
+      minSegment = 2).get.count() == 0)
+    // constant series: every split gains exactly 0 -> earliest valid t
+    val const = (1 to 6).map(i => ("c", tsOf(i.toLong), 5.0))
+      .toDF("k", "ts", "v")
+    val r = TimeSeries.changepoint(const, Seq("k"), "ts", "v",
+        minSegment = 2).get
+      .select("t_index", "gain").as[(Long, Double)].head()
+    assert(r == ((2L, 0.0)))
+  }
+
+  test("theilSen: median pairwise slope, maxPoints window, equal ts excluded") {
+    val df = Seq(("a", tsOf(0), 0.0), ("a", tsOf(1), 1.0),
+      ("a", tsOf(2), 2.0), ("a", tsOf(3), 103.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.theilSen(df, Seq("k"), "ts", "v").get
+      .select("n_points", "n_pairs", "slope")
+      .as[(Long, Long, Double)].head()
+    assert(r._1 == 4L && r._2 == 6L)
+    // sorted slopes [1,1,1,103/3,51,101] -> median avg(1, 103/3)
+    assert(math.abs(r._3 - (1.0 + 103.0 / 3.0) / 2.0) < 1e-12)
+    // latest-3 window: slopes [1, 51, 101] -> median 51
+    val capped = TimeSeries.theilSen(df, Seq("k"), "ts", "v",
+        maxPoints = 3).get.select("slope").as[Double].head()
+    assert(capped == 51.0)
+    // duplicate-ts pair contributes no slope
+    val dup = Seq(("d", tsOf(1), 1.0), ("d", tsOf(1), 5.0),
+      ("d", tsOf(2), 3.0)).toDF("k", "ts", "v")
+    val rd = TimeSeries.theilSen(dup, Seq("k"), "ts", "v").get
+      .select("n_pairs").as[Long].head()
+    assert(rd == 2L)
+    // scale must divide 1e6
+    assert(TimeSeries.theilSen(df, Seq("k"), "ts", "v", scale = 3L).isFailing)
+  }
 }
