@@ -89,7 +89,15 @@ object Bench {
     // regressions surface here
     "q248_markov_attribution",
     "q251_sssp_weighted",
-    "q252_contamination"
+    "q252_contamination",
+    // round-9 session-4: blocked Jaro-Winkler record linkage (the
+    // quadratic-within-block candidate join through the codegen'd
+    // kernel — at sf0.1 that is ~5e7 scored pairs, the hottest
+    // expression loop in the library) and the per-key pairwise
+    // Theil-Sen slopes (bounded-quadratic self-join + median ranks);
+    // kernel-codegen and block-join regressions surface here
+    "q261_record_linkage",
+    "q268_theil_sen"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

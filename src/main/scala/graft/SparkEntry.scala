@@ -2857,6 +2857,63 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q271_anderson_darling" -> ((s, dir) => {
+      // Two-sample Anderson-Darling (click vs view values) over the
+      // distinct-value grid. Counts exact; the term sum is χ²-tier,
+      // rounded under the tie-shift.
+      graft.operators.Stats.andersonDarling(events(s, dir), "value",
+          "event_type", "click", "view").get
+        .select(col("n_a"), col("n_b"),
+          round(col("a2") + lit(1e-9), 6).as("a2"))
+    }),
+
+    "q272_weighted_sample" -> ((s, dir) => {
+      // Global A-ES weighted draw: 60 documents by n_chars weight.
+      // Keys are rounded exact-dyadic exponential draws; the oracle
+      // replays the md5 -> uniform -> key chain verbatim.
+      graft.operators.Sampling.weightedByHash(
+          tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          Seq("doc_id"), "n_chars", k = 60, seed = "r9").get
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("sample_key"),
+          col("sample_rank").cast("bigint").as("sample_rank"))
+        .orderBy("sample_rank")
+    }),
+
+    "q273_weighted_sample_strata" -> ((s, dir) => {
+      // Per-language A-ES draw, 10 docs per stratum — the partitioned-
+      // window path of the same sampler.
+      graft.operators.Sampling.weightedByHash(
+          tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          Seq("doc_id"), "n_chars", k = 10, seed = "r9",
+          strataCols = Seq("lang")).get
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("sample_key"),
+          col("sample_rank").cast("bigint").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
+    "q270_holt_winters" -> ((s, dir) => {
+      // Seasonal (period-24) Holt-Winters over the hourly zero-filled
+      // per-type series: the q233 seasonal indices deseasonalize, the
+      // q241 Brown cascade smooths, the index adds back. χ²-tier
+      // seasonal noise decays through the cascade; rounded at 4 under
+      // the tie-shift.
+      val filled = TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "sum", fill = "zero").get
+      TimeSeries.holtWinters(filled, "bucket_ts", Seq("event_type"),
+          "value", period = 24).get
+        .select(col("event_type"), col("bucket_ts"), col("phase"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("seasonal") / 100.0 + lit(1e-9), 4).as("seasonal"),
+          round(col("hw_level") / 100.0 + lit(1e-9), 4).as("hw_level"),
+          round(col("hw_trend") / 100.0 + lit(1e-9), 4).as("hw_trend"),
+          round(col("hw_fitted") / 100.0 + lit(1e-9), 4).as("hw_fitted"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     "q267_changepoint" -> ((s, dir) => {
       // Per-user mean-shift changepoint over the event stream —
       // exact-integer prefix sums make every candidate gain a
@@ -7258,6 +7315,158 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q271: the MWU distinct-grid device with the Scholz-Stephens
+    // weighted sum.
+    "q271_anderson_darling" ->
+      """WITH src AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), grid AS (
+           SELECT v,
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS ca,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS cb
+           FROM src GROUP BY v
+         ), st AS (
+           SELECT *, ca + cb AS l,
+             sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS B,
+             sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS M
+           FROM grid
+         ), tot AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b
+           FROM grid
+         ), terms AS (
+           SELECT coalesce(sum(
+             CAST(l AS DOUBLE)
+               * CAST((n_a + n_b) * M - n_a * B AS DOUBLE)
+               * CAST((n_a + n_b) * M - n_a * B AS DOUBLE)
+               / (B * (n_a + n_b - B))), 0) AS s
+           FROM st, tot WHERE B < n_a + n_b
+         )
+         SELECT n_a, n_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+             THEN s / (n_a * n_b) END + 1e-9, 6) AS a2
+         FROM tot, terms""",
+
+    // q272/q273: the md5 -> 53-bit dyadic uniform -> exponential-key
+    // chain replayed verbatim; rank over (key, id).
+    "q272_weighted_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substring(md5('r9§' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h
+           FROM documents
+           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+         ), k AS (
+           SELECT doc_id, lang, n_chars,
+             round(-ln((h // 128 + 1) / 9007199254740992.0)
+               / CAST(n_chars AS DOUBLE) + 1e-12, 9) AS sample_key
+           FROM t
+         ), r AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY sample_key, doc_id)
+             AS BIGINT) AS sample_rank
+           FROM k
+         )
+         SELECT doc_id, lang, n_chars, sample_key, sample_rank
+         FROM r WHERE sample_rank <= 60 ORDER BY sample_rank""",
+
+    "q273_weighted_sample_strata" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substring(md5('r9§' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h
+           FROM documents
+           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+         ), k AS (
+           SELECT doc_id, lang, n_chars,
+             round(-ln((h // 128 + 1) / 9007199254740992.0)
+               / CAST(n_chars AS DOUBLE) + 1e-12, 9) AS sample_key
+           FROM t
+         ), r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
+           FROM k
+         )
+         SELECT doc_id, lang, n_chars, sample_key, sample_rank
+         FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""",
+
+    // q270: the q233 seasonal CTEs feeding the q241 list_reduce
+    // cascade on the deseasonalized series.
+    "q270_holt_winters" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), f AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), o AS (
+           SELECT event_type, b, v,
+             CAST((row_number() OVER w - 1) % 24 AS INT) AS phase,
+             count(v) OVER wt AS wn,
+             sum(v) OVER wt AS ws
+           FROM f
+           WINDOW w AS (PARTITION BY event_type ORDER BY b),
+           wt AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+         ), t AS (
+           SELECT *, CASE WHEN wn = 24 THEN v * 24 - ws END AS dnum
+           FROM o
+         ), pa AS (
+           SELECT event_type, phase, sum(dnum) AS snum,
+             CAST(count(*) AS BIGINT) AS sn
+           FROM t WHERE dnum IS NOT NULL GROUP BY event_type, phase
+         ), pav AS (
+           SELECT event_type, phase, snum / (sn * 24.0) AS sraw FROM pa
+         ), ctr AS (
+           SELECT event_type, sum(sraw) / count(*) AS center
+           FROM pav GROUP BY event_type
+         ), seas AS (
+           SELECT pav.event_type, pav.phase, sraw - center AS seasonal
+           FROM pav JOIN ctr ON ctr.event_type = pav.event_type
+         ), d AS (
+           SELECT t.event_type, t.b, t.phase, t.v, s.seasonal,
+             t.v - s.seasonal AS des
+           FROM t LEFT JOIN seas s
+             ON s.event_type = t.event_type AND s.phase = t.phase
+         ), s1s AS (
+           SELECT *,
+             list_reduce(
+               list(des) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, e) -> CAST(0.5 AS DOUBLE) * e
+                 + CAST(0.5 AS DOUBLE) * acc) AS s1
+           FROM d
+         ), s2s AS (
+           SELECT *,
+             list_reduce(
+               list(s1) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, e) -> CAST(0.5 AS DOUBLE) * e
+                 + CAST(0.5 AS DOUBLE) * acc) AS s2
+           FROM s1s
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           phase, round(v / 100.0, 4) AS value,
+           round(seasonal / 100.0 + 1e-9, 4) AS seasonal,
+           round((CAST(2 AS DOUBLE) * s1 - s2) / 100.0 + 1e-9, 4)
+             AS hw_level,
+           round((s1 - s2) / 100.0 + 1e-9, 4) AS hw_trend,
+           round(((CAST(2 AS DOUBLE) * s1 - s2) + (s1 - s2) + seasonal)
+             / 100.0 + 1e-9, 4) AS hw_fitted
+         FROM s2s ORDER BY event_type, bucket_ts""",
 
     // q267: the same exact-integer prefix-sum argmax; DuckDB '/' on
     // (BIGINT-exact double, BIGINT) is the same IEEE division.

@@ -1153,17 +1153,59 @@ object JaroWinklerImpl {
     (md / la + md / lb + (md - t / 2) / md) / 3.0
   }
 
-  def jaro(a: UTF8String, b: UTF8String): Double =
-    jaroBytes(a.getBytes, b.getBytes)
+  /** Allocation-free fast path for strings up to 64 bytes (nearly all
+    * names/titles): match flags live in two Long bitmasks and bytes are
+    * read in place from the UTF8String — no per-call arrays. Same
+    * result as [[jaroBytes]] by construction (same traversal order). */
+  private def jaroShort(a: UTF8String, la: Int, b: UTF8String, lb: Int): Double = {
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    var aM = 0L
+    var bM = 0L
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val ca = a.getByte(i)
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if ((bM & (1L << j)) == 0L && ca == b.getByte(j)) {
+          aM |= 1L << i; bM |= 1L << j; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if ((aM & (1L << i)) != 0L) {
+        while ((bM & (1L << k)) == 0L) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    (md / la + md / lb + (md - t / 2) / md) / 3.0
+  }
+
+  def jaro(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes
+    val lb = b.numBytes
+    if (la == 0 || lb == 0) 0.0
+    else if (la <= 64 && lb <= 64) jaroShort(a, la, b, lb)
+    else jaroBytes(a.getBytes, b.getBytes)
+  }
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val ab = a.getBytes
-    val bb = b.getBytes
-    val sim = jaroBytes(ab, bb)
+    val sim = jaro(a, b)
     if (sim <= 0.7) return sim
-    val cap = math.min(4, math.min(ab.length, bb.length))
+    val cap = math.min(4, math.min(a.numBytes, b.numBytes))
     var p = 0
-    while (p < cap && ab(p) == bb(p)) p += 1
+    while (p < cap && a.getByte(p) == b.getByte(p)) p += 1
     sim + p * 0.1 * (1.0 - sim)
   }
 }

@@ -81,14 +81,50 @@ object Linkage {
       .filter(col("__n") > maxBlockSize)
       .select("__bk")
     val r = r0.join(broadcast(hot), Seq("__bk"), "left_anti")
-    val scored = l.join(r, Seq("__bk"))
-      .select(col("__lid"), col("__rid"),
+
+    // Score DISTINCT (block, string) pairs, not id pairs: real-world
+    // match keys repeat heavily (Zipf), so the quadratic kernel loop
+    // runs once per distinct pair and ids re-attach linearly. With
+    // all-unique strings this degenerates to the naive plan plus two
+    // cheap distincts.
+    val ld = l.select("__bk", "__ls").distinct()
+    val rd = r.groupBy("__bk", "__rs").agg(count(lit(1)).as("__nr"))
+    val scored = ld.join(rd, Seq("__bk"))
+      .select(col("__bk"), col("__ls"), col("__rs"), col("__nr"),
         round(TextFunctions.jaroWinkler(col("__ls"), col("__rs"))
           + lit(1e-9), scoreDigits).as("score"))
       .filter(col("score") >= threshold)
+
+    // Rank-safe pruning before re-expansion. Final rank orders by
+    // (score desc, rid asc), so for one left row: every id of a
+    // strictly-better-scored string outranks every id of a worse one,
+    // and within a string only its `topPerLeft` smallest ids can make
+    // the cut. Keep a string pair iff the FULL id count of strictly
+    // better strings is < topPerLeft, and keep per right string its
+    // `topPerLeft` smallest ids — expansion is O(topPerLeft) per left
+    // row instead of O(ids-per-name).
+    val wCum = Window.partitionBy("__ls")
+      .orderBy(col("score").desc, col("__rs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy("__ls", "score")
+    val kept = scored
+      .withColumn("__cumAll", sum(col("__nr")).over(wCum))
+      .withColumn("__tieCum",
+        sum(col("__nr")).over(wTie.orderBy(col("__rs"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__better", col("__cumAll") - col("__tieCum"))
+      .filter(col("__better") < topPerLeft)
+      .select("__bk", "__ls", "__rs", "score")
+    val rKeep = r.withColumn("__rr", row_number().over(
+        Window.partitionBy("__bk", "__rs").orderBy(col("__rid"))))
+      .filter(col("__rr") <= topPerLeft)
+      .select("__bk", "__rs", "__rid")
+
+    val expanded = l.join(kept, Seq("__bk", "__ls"))
+      .join(rKeep, Seq("__bk", "__rs"))
     val w = Window.partitionBy("__lid")
       .orderBy(col("score").desc, col("__rid"))
-    scored.withColumn("rank", row_number().over(w))
+    expanded.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topPerLeft)
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         col("score"), col("rank"))

@@ -366,6 +366,57 @@ object Sampling {
     df.withColumn(shuffleCol, graft.functions.TextFunctions.portableHash60(concat(parts: _*)))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES:
+    * each row draws an exponential key `−ln(u)/w` from its portable
+    * md5 uniform `u` and the `k` SMALLEST keys win, which is exactly
+    * sampling without replacement with probability proportional to
+    * weight at each draw. The quality-weighted corpus subsetting
+    * primitive ([[byTemperature]] reweights SOURCES; this picks
+    * DOCUMENTS by per-row weight — dedup priority, quality score,
+    * inverse-cluster-size).
+    *
+    * Deterministic and engine-portable: `u = (md5_60(seed § id…) >> 7
+    * + 1) / 2⁵³` is an exact dyadic in (0, 1]; keys are rounded at 9
+    * digits under a 1e-12 tie-shift (ln's cross-engine ulp is ~1e-19
+    * of the key) and tie-break on `idCols` — same device as the
+    * linkage scores. Rows with NULL or non-positive weight are
+    * excluded.
+    *
+    * Plan: global draw (`strataCols` empty) is orderBy+limit —
+    * TakeOrderedAndProject, never a single-task global window; the
+    * final rank then runs on the k-row frame. Stratified draw is one
+    * partitioned window, k rows per stratum.
+    *
+    * Returns the input columns + `(sample_key, sample_rank)`.
+    */
+  def weightedByHash(
+      df: DataFrame,
+      idCols: Seq[String],
+      weightCol: String,
+      k: Int,
+      seed: String = "graft",
+      strataCols: Seq[String] = Nil
+  ): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "weightedByHash needs at least one id column")
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = graft.functions.TextFunctions.portableHash60(
+      concat(lit(seed) +: idCols.flatMap(c => Seq(lit("§"), keyStr(col(c)))): _*))
+    val u = (shiftright(h, 7) + lit(1L)).cast("double") /
+      lit(9007199254740992.0)
+    val w = col(weightCol).cast("double")
+    val base = df.filter(w.isNotNull && w > 0)
+      .withColumn("sample_key", round(-log(u) / w + lit(1e-12), 9))
+    val ord = col("sample_key") +: idCols.map(col)
+    if (strataCols.isEmpty) {
+      base.orderBy(ord: _*).limit(k)
+        .withColumn("sample_rank", row_number().over(Window.orderBy(ord: _*)))
+    } else {
+      val wS = Window.partitionBy(strataCols.map(col): _*).orderBy(ord: _*)
+      base.withColumn("sample_rank", row_number().over(wS))
+        .filter(col("sample_rank") <= k)
+    }
+  }
+
   /** Sequence packing: assign documents to fixed token-capacity training
     * bins, next-fit in `orderCol` order within each `groupCols` cell —
     * the step that turns a cleaned corpus into training contexts with

@@ -789,6 +789,65 @@ object Stats {
         when(p.isNotNull, col("q_value") <= alpha))
   }
 
+  /** Two-sample Anderson–Darling test statistic (Scholz & Stephens
+    * 1987, the non-midrank k=2 form at distinct-value granularity):
+    *
+    *   A² = 1/(n_a·n_b) · Σ_j  l_j · (N·M_j − n_a·B_j)² / (B_j·(N−B_j))
+    *
+    * over distinct sorted values j with cumulative count B_j < N,
+    * where l_j is the count at value j, M_j the cumulative count from
+    * sample a, N = n_a + n_b. The tail-sensitive companion to
+    * [[ksTest]]: KS sees only the single largest ECDF gap, A² weights
+    * every gap by 1/(B(N−B)) — differences in the DISTRIBUTION TAILS
+    * move A² long before they move D. Under H₀, E[A²] ≈ 1; compare to
+    * the Scholz–Stephens tables (the variance normalization needs
+    * their σ_N polynomial — deliberately out of scope here).
+    *
+    * Returns one row `(n_a, n_b: bigint, a2: double)`.
+    *
+    * Plan: the [[mannWhitneyU]] device — one partial-agg reduction to
+    * the DISTINCT-VALUE grid, windows over the grid only (a 10¹⁰-row
+    * sample windows over its value grid), one scalar agg. The bracket
+    * `N·M − n_a·B` stays exact BIGINT up to ~3·10⁹ rows, then squares
+    * in double. Σ of float terms is χ²-tier — round when gating.
+    */
+  def andersonDarling(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    val v = col(valueCol).cast("double")
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("v")
+      .agg(count(when(col("g") === groupA, 1)).as("__ca"),
+        count(when(col("g") === groupB, 1)).as("__cb"))
+    val upto = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = byValue
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__B", sum(col("__l")).over(upto))
+      .withColumn("__M", sum(col("__ca")).over(upto))
+    val tot = st.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+    val n = col("n_a") + col("n_b")
+    val bracket = (n * col("__M") - col("n_a") * col("__B")).cast("double")
+    val termSum = st.crossJoin(broadcast(tot))
+      .filter(col("__B") < n)
+      .select((col("__l") * bracket * bracket /
+        (col("__B") * (n - col("__B")))).as("__term"))
+      .agg(coalesce(sum(col("__term")), lit(0.0)).as("__s"))
+    tot.crossJoin(broadcast(termSum))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__s") / (col("n_a") * col("n_b"))).as("a2"))
+  }
+
   /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
     * WSDM'13): adjust each unit's metric by its PRE-experiment
     * covariate, `y' = y − θ(x − x̄)` with `θ = cov(x, y)/var(x)`, and

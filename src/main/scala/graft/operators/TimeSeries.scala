@@ -511,6 +511,53 @@ object TimeSeries {
     }(Encoders.row(out))
   }
 
+  /** Holt–Winters-style additive SEASONAL smoothing — the composition
+    * this library's devices were built for: the [[seasonalDecompose]]
+    * period-mean seasonal indices remove the cycle, [[holt]]'s Brown
+    * cascade smooths the deseasonalized series into level + trend, and
+    * the index adds back for the fitted/one-step value. Use over
+    * [[holt]] whenever the series has a known cycle (hour-of-day,
+    * day-of-week) — un-deseasonalized smoothing chases the cycle as if
+    * it were trend.
+    *
+    * Deviation from textbook triple exponential smoothing, by design:
+    * the seasonal indices are FIXED period means, not recursively
+    * updated with a third γ smoothing constant — the coupled (level,
+    * trend, season) recursion is not SQL-replayable (see [[holt]]'s
+    * scaladoc on the DuckDB struct-fold defect), while this cascade
+    * replays exactly with the proven q233 + q241 oracle devices. For
+    * slowly-drifting seasonality, re-fit on a rolling window.
+    *
+    * Adds `phase: int, seasonal, hw_level, hw_trend, hw_fitted:
+    * double` — `hw_fitted = level + trend + seasonal(phase)` is the
+    * in-sample one-step value. Rows whose phase lacks a seasonal index
+    * (series shorter than ~2 periods) carry NULLs through.
+    *
+    * Plan: the decompose windows + one key exchange for the sequential
+    * cascade — nothing global. Determinism: the seasonal index is
+    * χ²-tier (one ≤period-element float mean); the cascade decays that
+    * noise geometrically — round under the tie-shift when gating.
+    */
+  def holtWinters(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      period: Int,
+      alpha: Double = 0.5
+  ): MayFail[DataFrame] =
+    for {
+      sd <- seasonalDecompose(df, orderCol, keyCols, valueCol, period)
+      des = sd
+        .withColumn("__des", col(valueCol).cast("double") - col("seasonal"))
+        .drop("trend", "residual")
+      sm <- holt(des, orderCol, keyCols, "__des", alpha)
+    } yield sm
+      .withColumn("hw_fitted", col("holt_forecast") + col("seasonal"))
+      .withColumnRenamed("holt_level", "hw_level")
+      .withColumnRenamed("holt_trend", "hw_trend")
+      .drop("__des", "holt_forecast")
+
   /** Single most-likely MEAN-SHIFT changepoint per key — the binary-
     * segmentation base step (Scott & Knott's split; also PELT's unit
     * move): the split `t` that maximizes the between-segment SSE

@@ -1078,6 +1078,127 @@ object ScaleRehearsal {
       s"replica-0 contamination rows must match the base run with " +
         s"mult-scaled bench hits: $contamDiff differ")
 
+    // round-9 session-4 invariants ------------------------------------
+    // record linkage: replicas share the NAME space (blocking and the
+    // distinct-pair scoring are replica-invariant) while ids are
+    // disjoint — so the match count scales by exactly mult and
+    // replica-0 picks the same (score, smallest-rid) winners
+    // bit-for-bit (foreign replicas only ADD larger rids, which the
+    // tie-break never prefers)
+    val partsBase = spark.read.parquet(s"$dir/part.parquet")
+    val partsRepl = replicate(partsBase, Seq("p_partkey"))
+    val dirtyName =
+      expr("concat(substring(p_name, 1, 7), substring(p_name, 9))")
+    def linkFrame(p: DataFrame, cap: Long): DataFrame =
+      graft.operators.Linkage.linkage(
+        p.select(col("p_partkey").as("lid"), col("p_name").as("nm")),
+        p.select((col("p_partkey") + 10000000L).as("rid"),
+          dirtyName.as("nm")),
+        "lid", "rid", "nm", "nm", threshold = 0.9, topPerLeft = 1,
+        maxBlockSize = cap).get
+    var rlRepl: DataFrame = null
+    time("record-linkage")({
+      rlRepl = linkFrame(partsRepl, 100000000L).localCheckpoint(true)
+      rlRepl.count()
+    })
+    val rlBase = linkFrame(partsBase, 100000000L).localCheckpoint(true)
+    val rlBaseN = rlBase.count()
+    check("linkage_replication_law",
+      rlBaseN > 0 && rlRepl.count() == rlBaseN * mult,
+      s"linkage matches must scale by exactly mult: " +
+        s"${rlRepl.count()} != $rlBaseN x $mult")
+    val rlDiff = rlBase.join(
+        rlRepl.filter(col("lid") < 100000000L)
+          .select(col("lid"), col("rid").as("r2"), col("score").as("s2")),
+        Seq("lid"), "full")
+      .filter(col("rid").isNull || col("r2").isNull ||
+        col("rid") =!= col("r2") || col("score") =!= col("s2"))
+      .count()
+    check("linkage_replica_identical", rlDiff == 0,
+      s"replica-0 linkage winners must match the base run: $rlDiff differ")
+    // hot-block cap: report matches an independent recount exactly, and
+    // a capped run equals the uncapped run minus the dropped blocks
+    // (left and right share the block key, so a dropped block removes
+    // whole left rows, never partial candidate sets)
+    val rightRepl = partsRepl.select(
+      (col("p_partkey") + 10000000L).as("rid"), dirtyName.as("nm"))
+    val capRep = graft.operators.Linkage.linkageCapReport(rightRepl, "nm",
+        graft.operators.Linkage.prefixBlocker(2), maxBlockSize = 25000L).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val capDirect = rightRepl
+      .select(substring(lower(trim(col("nm"))), 1, 2).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n")).filter(col("n") > 25000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    check("linkage_cap_report_exact",
+      capRep.nonEmpty && capRep == capDirect,
+      s"cap report must equal the direct recount: $capRep vs $capDirect")
+    val capped = linkFrame(partsRepl, 25000L)
+    val lidBlock = partsRepl.select(col("p_partkey").as("lid"),
+      substring(lower(trim(col("p_name"))), 1, 2).as("bk"))
+    val expCapped = rlRepl.join(lidBlock, Seq("lid"))
+      .filter(!col("bk").isin(capRep.keySet.toSeq: _*))
+      .select("lid", "rid", "score", "rank")
+    check("linkage_cap_semantics",
+      capped.exceptAll(expCapped).isEmpty &&
+        expCapped.exceptAll(capped).isEmpty,
+      "capped linkage must equal the uncapped run minus dropped blocks")
+    // changepoint / theil-sen: disjoint per-key replicas with identical
+    // series — every per-key output row is bit-identical to the base
+    // run and the row count scales by exactly mult (every quantity is
+    // an IEEE expression of exact integers; no tolerance needed)
+    def cpMap(d: DataFrame): Map[Long, (Long, Long, Double, Double, Double)] =
+      graft.operators.TimeSeries.changepoint(d, Seq("user_id"), "ts",
+          "value", minSegment = 5).get
+        .select(col("user_id"), col("n"), col("t_index"),
+          col("mean_left"), col("mean_right"), col("gain"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    var cpRepl: Map[Long, (Long, Long, Double, Double, Double)] = null
+    time("changepoint")({ cpRepl = cpMap(evRepl); cpRepl.size.toLong })
+    val cpBase = cpMap(evBase)
+    check("changepoint_replication_law",
+      cpBase.nonEmpty && cpRepl.size == cpBase.size * mult &&
+        cpBase.forall { case (u, v) => cpRepl(u) == v },
+      s"changepoint rows must be replica-identical and scale by mult: " +
+        s"${cpRepl.size} vs ${cpBase.size} x $mult")
+    def slopeMap(d: DataFrame): Map[Long, (Long, Long, Double)] =
+      graft.operators.TimeSeries.theilSen(d, Seq("user_id"), "ts",
+          "value").get
+        .select(col("user_id"), col("n_points"), col("n_pairs"), col("slope"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    var slopeRepl: Map[Long, (Long, Long, Double)] = null
+    time("theil-sen")({ slopeRepl = slopeMap(evRepl); slopeRepl.size.toLong })
+    val slopeBase = slopeMap(evBase)
+    check("theil_sen_replication_law",
+      slopeBase.nonEmpty && slopeRepl.size == slopeBase.size * mult &&
+        slopeBase.forall { case (u, v) => slopeRepl(u) == v },
+      s"theil-sen rows must be replica-identical and scale by mult: " +
+        s"${slopeRepl.size} vs ${slopeBase.size} x $mult")
+    // reciprocity: disjoint edge replicas — counts scale by exactly
+    // mult and the ratio (mult·a)/(mult·b) rounds the same real as a/b
+    val liRecip = replicate(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey"))
+    var recipRepl: (Long, Long, Double) = null
+    time("reciprocity")({
+      val r = graft.operators.Graph.reciprocity(liRecip,
+        "l_partkey", "l_suppkey").get.collect().head
+      recipRepl = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      recipRepl._1
+    })
+    val recipBase = graft.operators.Graph.reciprocity(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_partkey", "l_suppkey").get.collect().head
+    check("reciprocity_replication_law",
+      recipBase.getLong(0) > 0 &&
+        recipRepl == ((recipBase.getLong(0) * mult, recipBase.getLong(1) * mult,
+          recipBase.getDouble(2))),
+      s"reciprocity must scale counts by mult with a bit-identical " +
+        s"ratio: $recipRepl vs $recipBase x $mult")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

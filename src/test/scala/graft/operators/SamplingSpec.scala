@@ -341,4 +341,47 @@ class SamplingSpec extends AnyFunSuite {
       case _                        => false
     })
   }
+
+  test("weightedByHash: deterministic, k respected, bad weights excluded") {
+    val df = (1L to 100L).map(i => (i, "s" + (i % 4), i.toDouble))
+      .toDF("id", "src", "w")
+    val a = Sampling.weightedByHash(df, Seq("id"), "w", k = 10).get
+      .select("id", "sample_rank").as[(Long, Int)].collect().toSet
+    val b = Sampling.weightedByHash(df, Seq("id"), "w", k = 10).get
+      .select("id", "sample_rank").as[(Long, Int)].collect().toSet
+    assert(a == b && a.size == 10)
+    assert(a.map(_._2) == (1 to 10).toSet)
+    // a row with overwhelming weight is drawn first: key = -ln(u)/w -> 0
+    val heavy = df.union(Seq((999L, "sX", 1e12)).toDF("id", "src", "w"))
+    val top = Sampling.weightedByHash(heavy, Seq("id"), "w", k = 1).get
+      .select("id").as[Long].head()
+    assert(top == 999L)
+    // null / non-positive weights never selected
+    val mixed = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.0)),
+      (4L, Some(-1.0)), (5L, Some(2.0))).toDF("id", "w")
+    val got = Sampling.weightedByHash(mixed, Seq("id"), "w", k = 10).get
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L))
+    // stratified path: k per stratum, ranks restart
+    val strat = Sampling.weightedByHash(df, Seq("id"), "w", k = 3,
+        strataCols = Seq("src")).get
+      .select("src", "sample_rank").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(strat.keySet == Set("s0", "s1", "s2", "s3"))
+    assert(strat.values.forall(_ == Seq(1, 2, 3)))
+  }
+
+  test("weightedByHash favors heavier rows across seeds (A-ES law)") {
+    // 50/50 split of weights 9:1 -> heavy half should dominate the
+    // sample across many independent seeds
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) 9.0 else 1.0)).toDF("id", "w")
+    val heavyShare = (1 to 20).map { s =>
+      Sampling.weightedByHash(df, Seq("id"), "w", k = 20,
+          seed = s"seed$s").get
+        .select("id").as[Long].collect().count(_ <= 100)
+    }.sum / (20.0 * 20.0)
+    assert(heavyShare > 0.75 && heavyShare < 1.0,
+      s"heavy-weight share $heavyShare should be near 0.9")
+  }
 }

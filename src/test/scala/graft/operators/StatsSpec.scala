@@ -339,6 +339,30 @@ class StatsSpec extends AnyFunSuite {
     assert(one.isEmpty)
   }
 
+  test("andersonDarling matches the hand-computed Scholz-Stephens sum") {
+    // a: [1, 2, 3], b: [2, 4] -> distinct grid 1,2,3,4 with
+    // (ca, cb): (1,0), (1,1), (1,0), (0,1); N=5, n_a=3, n_b=2
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Stats.andersonDarling(df, "v", "g", "a", "b").get
+      .as[(Long, Long, Option[Double])].head()
+    // grid rows with B<N: j=1: l=1,B=1,M=1 -> (5·1-3·1)²·1/(1·4)=1
+    //   j=2: l=2,B=3,M=2 -> (10-9)²·2/(3·2)=1/3
+    //   j=3: l=1,B=4,M=3 -> (15-12)²·1/(4·1)=9/4
+    val expected = (1.0 + 1.0 / 3.0 + 9.0 / 4.0) / (3.0 * 2.0)
+    assert(r._1 == 3L && r._2 == 2L)
+    assert(math.abs(r._3.get - expected) < 1e-12)
+    // identical samples -> A² = 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Stats.andersonDarling(same, "v", "g", "a", "b").get
+      .select("a2").as[Option[Double]].head().get == 0.0)
+    // an empty group -> NULL a2
+    val one = df.filter($"g" === "a")
+    assert(Stats.andersonDarling(one, "v", "g", "a", "b").get
+      .select("a2").as[Option[Double]].head().isEmpty)
+  }
+
   test("cuped matches the hand-computed pooled-theta adjustment") {
     val units = Seq(
       ("c", 1.0, 2.2), ("c", 2.0, 4.1), ("c", 3.0, 6.3), ("c", 4.0, 8.0),

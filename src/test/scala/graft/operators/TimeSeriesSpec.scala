@@ -279,6 +279,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r == ((2L, 0.0)))
   }
 
+  test("holtWinters: perfectly periodic series is fitted exactly") {
+    // alternating 10/20 with period 2: seasonal = ∓5, deseasonalized
+    // series is the constant 15, Brown smoothing of a constant is that
+    // constant with zero trend -> hw_fitted reproduces every value
+    val rows = (1 to 8).map(i =>
+      ("a", i.toLong, if (i % 2 == 1) 10.0 else 20.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = TimeSeries.holtWinters(df, "t", Seq("k"), "v", period = 2).get
+      .select("t", "v", "seasonal", "hw_level", "hw_trend", "hw_fitted")
+      .as[(Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.length == 8)
+    got.foreach { case (t, v, seas, lvl, tr, fit) =>
+      assert(seas == (if (t % 2 == 1) -5.0 else 5.0))
+      assert(lvl == 15.0 && tr == 0.0 && fit == v)
+    }
+  }
+
   test("theilSen: median pairwise slope, maxPoints window, equal ts excluded") {
     val df = Seq(("a", tsOf(0), 0.0), ("a", tsOf(1), 1.0),
       ("a", tsOf(2), 2.0), ("a", tsOf(3), 103.0)).toDF("k", "ts", "v")
