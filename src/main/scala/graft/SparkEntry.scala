@@ -2857,6 +2857,49 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q277_conversion_series" -> ((s, dir) => {
+      // Daily view->purchase conversion with Wilson 95% bands. Counts
+      // exact; the interval chain is fixed-op-order IEEE from exact
+      // ints, rounded under the tie-shift by convention.
+      graft.operators.Behavior.conversionSeries(events(s, dir), "ts",
+          "user_id", "event_type", "view", "purchase",
+          bucketSec = 86400L).get
+        .select(col("bucket_ts"), col("n"), col("k"),
+          round(col("rate") + lit(1e-9), 6).as("rate"),
+          round(col("ci_low") + lit(1e-9), 6).as("ci_low"),
+          round(col("ci_high") + lit(1e-9), 6).as("ci_high"))
+        .orderBy("bucket_ts")
+    }),
+
+    "q276_rake_keywords" -> ((s, dir) => {
+      // RAKE keyphrases, top 3 per document. Word scores are exact
+      // int divisions; phrase sums rounded inside the operator (the
+      // rank is defined on the rounded score).
+      graft.operators.Keywords.rake(tbl(s, dir, "documents"),
+          "doc_id", "text", stopwords = rakeStops, topK = 3).get
+        .select(col("doc_id"), col("phrase"), col("score"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("doc_id", "rank", "phrase")
+    }),
+
+    "q275_core_number" -> ((s, dir) => {
+      // Full core decomposition (coreness per node) of the supplier
+      // co-occurrence graph via H-index propagation. All-integer,
+      // gated exact.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.coreNumber(proj, "src", "dst").get.orderBy("node")
+    }),
+
+    "q274_ktruss" -> ((s, dir) => {
+      // 4-truss backbone of the supplier co-occurrence graph: every
+      // surviving edge sits in >= 2 triangles among survivors. Counts
+      // exact; oracle is the generated unrolled peeling.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.kTruss(proj, "src", "dst", k = 4).get.orderBy("src", "dst")
+    }),
+
     "q271_anderson_darling" -> ((s, dir) => {
       // Two-sample Anderson-Darling (click vs view values) over the
       // distinct-value grid. Counts exact; the term sum is χ²-tier,
@@ -4355,6 +4398,86 @@ object SparkEntry {
     * after convergence, so any `rounds` >= the actual peel depth (3 at
     * sf0.01) yields the true k-core — 8 leaves margin for regenerated
     * testdata without hand-editing 8 near-identical CTE blocks. */
+  /** ONE stopword list for the q276 RAKE gate — the oracle SQL inlines
+    * the same words; the two must never drift. */
+  private val rakeStops: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "this", "be", "are", "was", "at", "by", "an",
+    "or", "from")
+
+  private def rakeStopsSqlList: String =
+    rakeStops.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** q275's oracle, generated: `rounds` unrolled H-index-propagation
+    * steps over the q197 co-occurrence graph, replaying
+    * [[graft.operators.Graph.coreNumber]] round-for-round (all-integer,
+    * idempotent once converged — extra rounds are harmless). */
+  private def coreNumberOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS MATERIALIZED (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS MATERIALIZED (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), h0 AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS h
+           FROM e GROUP BY src
+         )""")
+    for (i <- 1 to rounds) {
+      sb.append(s""", h$i AS MATERIALIZED (
+           SELECT src AS node, max(least(r, hv)) AS h FROM (
+             SELECT e.src,
+               CAST(row_number() OVER (PARTITION BY e.src
+                 ORDER BY p.h DESC, e.dst) AS BIGINT) AS r,
+               p.h AS hv
+             FROM e JOIN h${i - 1} p ON p.node = e.dst)
+           GROUP BY src
+         )""")
+    }
+    sb.append(s"\n         SELECT node, h AS coreness FROM h$rounds ORDER BY node")
+    sb.toString
+  }
+
+  /** q274's oracle, generated: `rounds` unrolled support-peeling rounds
+    * over the q197 co-occurrence graph. Each round brute-forces the
+    * a<b<c triangle closure (the SQL is the spec; orientation is the
+    * scale path) and drops edges under k−2. Peeling is idempotent once
+    * stable, so an unroll depth past convergence is harmless.
+    * MATERIALIZED: DuckDB inlines multi-referenced CTEs, which would
+    * re-expand the triangle join exponentially across rounds. */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), e0 AS MATERIALIZED (
+           SELECT a.s AS a, b.s AS b FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         )""")
+    for (i <- 0 until rounds) {
+      sb.append(s""", t$i AS MATERIALIZED (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e$i e1 JOIN e$i e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e$i e3 ON e3.a = e1.b AND e3.b = e2.b
+         ), s$i AS MATERIALIZED (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+             SELECT x AS a, y AS b FROM t$i
+             UNION ALL SELECT x AS a, z AS b FROM t$i
+             UNION ALL SELECT y AS a, z AS b FROM t$i
+           ) GROUP BY a, b HAVING count(*) >= ${k - 2}
+         ), e${i + 1} AS MATERIALIZED (SELECT a, b FROM s$i)""")
+    }
+    sb.append(s"\n         SELECT a AS src, b AS dst, support " +
+      s"FROM s${rounds - 1} ORDER BY src, dst")
+    sb.toString
+  }
+
   private def kCoreOracleSql(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -7315,6 +7438,92 @@ object SparkEntry {
 
     // q254: generated unrolled composite-key BFS (see harmonicOracleSql).
     "q254_harmonic_closeness" -> harmonicOracleSql(depth = 4),
+
+    // q274: generated unrolled support peeling (see kTrussOracleSql).
+    "q274_ktruss" -> kTrussOracleSql(k = 4, rounds = 8),
+
+    // q275: generated unrolled H-index propagation.
+    "q275_core_number" -> coreNumberOracleSql(rounds = 12),
+
+    // q277: base/converted flags per (bucket, entity), then the Wilson
+    // chain with the identical op order.
+    "q277_conversion_series" ->
+      """WITH f AS (
+           SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS b,
+             user_id AS e,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fr,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS tv
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+           GROUP BY b, e
+         ), c AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tv) AS BIGINT) AS k
+           FROM f WHERE fr = 1 GROUP BY b
+         ), wls AS (
+           SELECT b, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             1.0 + (1.96 * 1.96) / n AS denom
+           FROM c
+         )
+         SELECT TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           n, k,
+           round(p + 1e-9, 6) AS rate,
+           round((p + (1.96 * 1.96) / (2.0 * n)) / denom
+             - (1.96 * sqrt(p * (1.0 - p) / n
+               + (1.96 * 1.96) / (4.0 * n * n))) / denom + 1e-9, 6)
+             AS ci_low,
+           round((p + (1.96 * 1.96) / (2.0 * n)) / denom
+             + (1.96 * sqrt(p * (1.0 - p) / n
+               + (1.96 * 1.96) / (4.0 * n * n))) / denom + 1e-9, 6)
+             AS ci_high
+         FROM wls ORDER BY bucket_ts""",
+
+    // q276: the same tokenize -> stop-split -> deg/freq -> phrase-sum
+    // chain; rank on the rounded score with phrase tie-break.
+    "q276_rake_keywords" ->
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(
+             lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')),
+             '\\s+'), x -> x <> '') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, unnest(toks) AS w,
+             generate_subscripts(toks, 1) AS pos
+           FROM t
+         ), f AS (
+           SELECT doc_id, w, pos,
+             w IN $rakeStopsSqlList AS is_stop,
+             sum(CASE WHEN w IN $rakeStopsSqlList THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS pid
+           FROM w
+         ), pw AS (
+           SELECT doc_id, pid, w, pos FROM f WHERE NOT is_stop
+         ), ph AS (
+           SELECT doc_id, pid, count(*) AS plen FROM pw
+           GROUP BY doc_id, pid HAVING count(*) <= 4
+         ), ws AS (
+           SELECT pw.doc_id, w,
+             CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+           FROM pw JOIN ph USING (doc_id, pid)
+           GROUP BY pw.doc_id, w
+         ), ps AS (
+           SELECT pw.doc_id, pw.pid,
+             string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+             round(sum(ws.wscore) + 1e-9, 6) AS score
+           FROM pw JOIN ph USING (doc_id, pid)
+             JOIN ws ON ws.doc_id = pw.doc_id AND ws.w = pw.w
+           GROUP BY pw.doc_id, pw.pid
+         ), r AS (
+           SELECT doc_id, phrase, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, phrase) AS BIGINT) AS rank
+           FROM ps
+         )
+         SELECT doc_id, phrase, score, rank FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank, phrase""",
 
     // q271: the MWU distinct-grid device with the Scholz-Stephens
     // weighted sum.

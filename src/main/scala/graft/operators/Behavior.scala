@@ -1045,4 +1045,62 @@ object Behavior {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** Conversion-rate time series with WILSON score intervals — the
+    * dashboard readout done right: per `bucketSec` bucket, the share
+    * of entities that performed `fromEvent` and ALSO `toEvent` within
+    * the same bucket, with the Wilson 95% band instead of the normal
+    * approximation (Wilson stays inside [0,1] and behaves at small n
+    * and extreme rates — the difference between a credible and a
+    * nonsense error bar on a low-traffic day).
+    *
+    *   center = (p + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+    *
+    * Only buckets with at least one base entity appear. Counts exact;
+    * the interval arithmetic is a FIXED op-order IEEE chain from exact
+    * integers (√ is correctly rounded by the standard), so the oracle
+    * replays it bit-for-bit — still round when gating, by convention.
+    *
+    * Returns `(bucket_ts: timestamp, n, k: bigint, rate, ci_low,
+    * ci_high: double)`.
+    *
+    * Plan: one partial agg to (bucket, entity) flags, one to buckets.
+    */
+  def conversionSeries(
+      df: DataFrame,
+      tsCol: String,
+      entityCol: String,
+      typeCol: String,
+      fromEvent: String,
+      toEvent: String,
+      bucketSec: Long,
+      z: Double = 1.96
+  ): MayFail[DataFrame] = MayFail {
+    require(bucketSec >= 1, s"bucketSec must be >= 1: $bucketSec")
+    require(z > 0, s"z must be > 0: $z")
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec)
+    val flags = df
+      .filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(fromEvent, toEvent))
+      .select(bucket.as("bucket_ts"), col(entityCol).as("__e"),
+        col(typeCol).as("__t"))
+      .groupBy("bucket_ts", "__e")
+      .agg(max((col("__t") === fromEvent).cast("int")).as("__from"),
+        max((col("__t") === toEvent).cast("int")).as("__to"))
+      .filter(col("__from") === 1)
+    val counts = flags.groupBy("bucket_ts")
+      .agg(count(lit(1)).as("n"), sum(col("__to")).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    counts.select(col("bucket_ts"), col("n"), col("k"),
+      p.as("rate"), (center - half).as("ci_low"),
+      (center + half).as("ci_high"))
+  }
 }

@@ -1207,6 +1207,192 @@ object Graph {
     lab.select(col("node"), col("c").as("community"))
   }
 
+  /** Full core decomposition — every node's CORENESS (the largest k
+    * for which it survives [[kCore]] peeling) in one fixed-point
+    * computation, via H-index propagation (Lü, Zhou, Zhang & Stanley
+    * 2016): start each node at its degree and repeatedly replace a
+    * node's value with the H-INDEX of its neighbors' values (the
+    * largest h such that ≥ h neighbors hold value ≥ h); the monotone
+    * non-increasing sequence converges exactly to the core number.
+    * One number per node instead of one [[kCore]] run per k.
+    *
+    * Per round: one adjacency join of the value frame + a per-node
+    * window over each neighborhood (`max(min(rank, value))` — the
+    * H-index as a rank expression), per-round `localCheckpoint` with
+    * release (the pageRank discipline). All-integer, so the result is
+    * exact and engine-replayable round-for-round. `maxRounds`
+    * exhaustion surfaces as `IgnorableFail` with the still-decreasing
+    * partial.
+    *
+    * Input edges undirected (direction/duplicates ignored, self-loops
+    * dropped). Returns `(node, coreness: bigint)`.
+    */
+  def coreNumber(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50
+  ): MayFail[DataFrame] = {
+    val run = MayFail {
+      require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+      val und = edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct()
+      val adj = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var h = adj.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("h"))
+        .localCheckpoint(true)
+      var converged = h.isEmpty
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val prevH = h
+        // neighbor values, ranked within each node's neighborhood;
+        // H-index = max over the ranked list of min(rank, value)
+        val nb = adj
+          .join(h.select(col("node").as("dst"), col("h").as("__hv")),
+            Seq("dst"))
+        val w = Window.partitionBy("src")
+          .orderBy(col("__hv").desc, col("dst"))
+        val next = nb
+          .withColumn("__r", row_number().over(w).cast("long"))
+          .groupBy(col("src").as("node"))
+          .agg(max(least(col("__r"), col("__hv"))).as("h"))
+          .localCheckpoint(true)
+        val changed = next.join(
+            prevH.select(col("node"), col("h").as("__p")), Seq("node"))
+          .filter(col("h") =!= col("__p"))
+          .limit(1).count()
+        Optimise.releaseCheckpoint(prevH)
+        h = next
+        converged = changed == 0
+        round += 1
+      }
+      adj.unpersist()
+      (h.select(col("node"), col("h").as("coreness")), converged)
+    }
+    run.flatMap { case (result, converged) =>
+      if (converged) graft.functional.Ok(result)
+      else {
+        val err = new IllegalStateException(
+          s"coreNumber: H-index propagation did not stabilize within " +
+            s"$maxRounds rounds — raise maxRounds")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+        graft.functional.IgnorableFail(err, result)
+      }
+    }
+  }
+
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * every EDGE participates in at least k−2 triangles — the
+    * cohesive-subgroup primitive one notch stricter than [[kCore]]
+    * (every k-truss is a (k−1)-core, but not vice versa: a star
+    * passes the degree test and fails the triangle test). The standard
+    * community-backbone / spam-subgraph extractor.
+    *
+    * Algorithm: iterative support peeling. Each round recomputes
+    * per-edge triangle support over the SURVIVING edge set via the
+    * same degree-orientation wedge join as [[triangleCount]] (O(m^1.5)
+    * wedge bound, no windows, no driver state) and drops edges under
+    * k−2; peeling cascades until a fixed point. Per-round
+    * `localCheckpoint` with release of the superseded frame (the
+    * pageRank discipline); `maxRounds` exhaustion surfaces as
+    * `IgnorableFail` carrying the still-shrinking partial.
+    *
+    * Input edges are undirected (direction and duplicates ignored,
+    * self-loops dropped). Returns `(src, dst, support)` with
+    * `src < dst` — the surviving edges and their final support.
+    */
+  def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50
+  ): MayFail[DataFrame] = {
+    val run = MayFail {
+      require(k >= 3, s"k must be >= 3: $k")
+      require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+      var e = edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      var n = e.count()
+      var converged = n == 0L
+      var round = 0
+      var sup: DataFrame = null
+      while (!converged && round < maxRounds) {
+        val prevE = e
+        val prevSup = sup
+        val adj = e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst")))
+        val deg = adj.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("__d"))
+        val withDeg = e
+          .join(deg.select(col("node").as("a"), col("__d").as("__da")),
+            Seq("a"))
+          .join(deg.select(col("node").as("b"), col("__d").as("__db")),
+            Seq("b"))
+        val lower = col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b"))
+        val o = withDeg.select(
+          when(lower, col("a")).otherwise(col("b")).as("x"),
+          when(lower, col("b")).otherwise(col("a")).as("y"),
+          when(lower, col("__db")).otherwise(col("__da")).as("__dy"))
+        val wedges = o.select(col("x"), col("y").as("y1"),
+            col("__dy").as("__d1"))
+          .join(o.select(col("x"), col("y").as("y2"),
+            col("__dy").as("__d2")), Seq("x"))
+          .filter(col("__d1") < col("__d2") ||
+            (col("__d1") === col("__d2") && col("y1") < col("y2")))
+        val closed = wedges.join(
+          o.select(col("x").as("y1"), col("y").as("y2")),
+          Seq("y1", "y2"), "left_semi")
+        val tri = closed.select(least(col("x"), col("y1")).as("a"),
+            greatest(col("x"), col("y1")).as("b"))
+          .union(closed.select(least(col("x"), col("y2")).as("a"),
+            greatest(col("x"), col("y2")).as("b")))
+          .union(closed.select(least(col("y1"), col("y2")).as("a"),
+            greatest(col("y1"), col("y2")).as("b")))
+        sup = tri.groupBy("a", "b").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= k - 2)
+          .localCheckpoint(true)
+        if (prevSup != null) Optimise.releaseCheckpoint(prevSup)
+        Optimise.releaseCheckpoint(prevE)
+        val nextN = sup.count()
+        converged = nextN == n
+        e = sup.select("a", "b")
+        n = nextN
+        round += 1
+        if (n == 0) converged = true
+      }
+      val result =
+        if (sup == null || n == 0)
+          e.select(col("a").as("src"), col("b").as("dst"))
+            .withColumn("support", lit(0L)).filter(lit(false))
+        else sup.select(col("a").as("src"), col("b").as("dst"),
+          col("support"))
+      (result, converged)
+    }
+    run.flatMap { case (result, converged) =>
+      if (converged) graft.functional.Ok(result)
+      else {
+        val err = new IllegalStateException(
+          s"kTruss: support peeling did not stabilize within $maxRounds " +
+            "rounds; the returned edge set is still shrinking — raise maxRounds")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+        graft.functional.IgnorableFail(err, result)
+      }
+    }
+  }
+
   /** Edge reciprocity of a directed graph: the share of (distinct,
     * non-loop) edges whose reverse edge also exists — the standard
     * one-number readout of how mutual a follow/link/reply graph is

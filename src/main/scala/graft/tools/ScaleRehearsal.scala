@@ -1199,6 +1199,36 @@ object ScaleRehearsal {
       s"reciprocity must scale counts by mult with a bit-identical " +
         s"ratio: $recipRepl vs $recipBase x $mult")
 
+    // k-truss: disjoint replicas of the thresholded co-occurrence graph
+    // — surviving-edge count scales by exactly mult and replica-0
+    // supports are bit-identical (peeling is a pure function of the
+    // component, and replicas are separate components)
+    var trussRepl: DataFrame = null
+    time("ktruss")({
+      trussRepl = graft.operators.Graph.kTruss(
+          graft.operators.Graph.projectBipartite(membRepl, "s", "p",
+            minShared = minShared).get, "src", "dst", k = 3).get
+        .localCheckpoint(true)
+      trussRepl.count()
+    })
+    val trussBase = graft.operators.Graph.kTruss(baseGraph, "src", "dst",
+      k = 3).get.localCheckpoint(true)
+    val trussBaseN = trussBase.count()
+    check("ktruss_replication_law",
+      trussBaseN > 0 && trussRepl.count() == trussBaseN * mult,
+      s"3-truss edges must scale by exactly mult: " +
+        s"${trussRepl.count()} != $trussBaseN x $mult")
+    val trussDiff = trussBase
+      .select(col("src"), col("dst"), col("support"))
+      .join(trussRepl.filter(col("src") < 100000000L)
+          .select(col("src"), col("dst"), col("support").as("s2")),
+        Seq("src", "dst"), "full")
+      .filter(col("support").isNull || col("s2").isNull ||
+        col("support") =!= col("s2"))
+      .count()
+    check("ktruss_replica_identical", trussDiff == 0,
+      s"replica-0 truss supports must match the base run: $trussDiff differ")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

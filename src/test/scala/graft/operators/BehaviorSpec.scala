@@ -427,4 +427,36 @@ class BehaviorSpec extends AnyFunSuite {
     assert(open(("a", "b")) == ((2L, 0.6667)))
     assert(open(("a", "a")) == ((1L, 0.3333)))
   }
+
+  test("conversionSeries: Wilson interval matches the closed form") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // bucket 0: users 1,2,3,4 view; 1,2 purchase -> 2/4
+    // bucket 1: user 5 views only -> 0/1; user 6 purchases WITHOUT a
+    // view -> not a base entity, excluded
+    val ev = Seq(
+      (1L, ts(10), "view"), (1L, ts(20), "purchase"),
+      (2L, ts(30), "view"), (2L, ts(40), "purchase"),
+      (3L, ts(50), "view"), (4L, ts(60), "view"),
+      (5L, ts(3700), "view"), (6L, ts(3800), "purchase"))
+      .toDF("uid", "ts", "et")
+    val got = Behavior.conversionSeries(ev, "ts", "uid", "et",
+        "view", "purchase", bucketSec = 3600L).get
+      .orderBy("bucket_ts")
+      .select("n", "k", "rate", "ci_low", "ci_high")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 2)
+    assert(got(0)._1 == 4L && got(0)._2 == 2L && got(0)._3 == 0.5)
+    assert(got(1) == ((1L, 0L, 0.0, got(1)._4, got(1)._5)))
+    def wilson(k: Long, n: Long, z: Double = 1.96): (Double, Double) = {
+      val p = k.toDouble / n; val z2 = z * z
+      val denom = 1.0 + z2 / n
+      val c = (p + z2 / (2.0 * n)) / denom
+      val h = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / denom
+      (c - h, c + h)
+    }
+    val (lo0, hi0) = wilson(2, 4)
+    assert(math.abs(got(0)._4 - lo0) < 1e-12 && math.abs(got(0)._5 - hi0) < 1e-12)
+    // Wilson stays inside [0,1] even at rate 0 with n=1
+    assert(got(1)._4 >= 0.0 && got(1)._5 < 1.0 && got(1)._5 > 0.0)
+  }
 }

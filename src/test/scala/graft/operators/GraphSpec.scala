@@ -477,6 +477,61 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("coreNumber: H-index propagation reaches the exact coreness") {
+    // K4 (coreness 3) + pendant 5 on node 4 (coreness 1) + tail 5-6
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val got = Graph.coreNumber(e, "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+    // star: hub degree 5 but coreness 1 (degree alone is not coreness)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("s", "d")
+    val s = Graph.coreNumber(star, "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    assert(s.values.forall(_ == 1L))
+    // agreement with kCore: coreness >= k nodes == kCore(k) survivors
+    val core2 = Graph.kCore(
+        e.select($"s" as "src", $"d" as "dst")
+          .union(e.select($"d" as "src", $"s" as "dst")),
+        "src", "dst", k = 2L).get
+      .select("node").as[Long].collect().toSet
+    assert(got.filter(_._2 >= 2L).keySet == core2)
+  }
+
+  test("kTruss: K4 survives at k=4, pendant triangle peels, cascade empties") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val e = (k4 ++ pendant).toDF("s", "d")
+    // k=4: every K4 edge sits in 2 triangles; the pendant triangle's
+    // edges sit in 1 -> peeled in round 1
+    val t4 = Graph.kTruss(e, "s", "d", k = 4).get
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+    // k=3: everything is in >= 1 triangle within the survivors
+    val t3 = Graph.kTruss(e, "s", "d", k = 3).get
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(t3.keySet.size == 9)
+    assert(t3((5L, 6L)) == 1L && t3((1L, 2L)) == 2L)
+    // two triangles sharing an edge: k=4 cascades to empty (the shared
+    // edge alone has support 2, but loses both triangles in round 2)
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    assert(Graph.kTruss(twoTri, "s", "d", k = 4).get.count() == 0)
+    // a tree has no triangles at all
+    val tree = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.kTruss(tree, "s", "d", k = 3).get.count() == 0)
+    // maxRounds exhaustion surfaces as IgnorableFail with the partial
+    val big = Graph.kTruss(twoTri, "s", "d", k = 4, maxRounds = 1)
+    assert(big match {
+      case graft.functional.IgnorableFail(_, p: org.apache.spark.sql.DataFrame) =>
+        p.count() == 1 // only the shared edge survived round 1
+      case _ => false
+    })
+    assert(Graph.kTruss(e, "s", "d", k = 2).isFailing)
+  }
+
   test("reciprocity: mutual edges counted both ways, loops and dups dropped") {
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 5L), (5L, 5L), (1L, 2L))
       .toDF("s", "d")

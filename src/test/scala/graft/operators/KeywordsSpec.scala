@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class KeywordsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("rake: hand-computed deg/freq phrase scores and ranking") {
+    val df = Seq((1L, "Red apple pie, and red wine!")).toDF("id", "text")
+    val got = Keywords.rake(df, "id", "text", stopwords = Seq("and")).get
+      .select("phrase", "score", "rank").as[(String, Double, Int)]
+      .collect().sortBy(_._3)
+    // words: red(freq 2, deg 3+2=5 -> 2.5), apple(3), pie(3), wine(2)
+    assert(got.length == 2)
+    assert(got(0) == (("red apple pie", 8.5, 1)))
+    assert(got(1) == (("red wine", 4.5, 2)))
+  }
+
+  test("rake: maxPhraseLen drops run-ons, topK bounds, multi-doc isolation") {
+    val df = Seq(
+      (1L, "red apple pie and red wine"),
+      (2L, "green tea and green tea and milk")).toDF("id", "text")
+    // phrase cap 2: doc 1 keeps only "red wine" (the 3-run dropped) —
+    // and word stats recompute over surviving phrases only
+    val capped = Keywords.rake(df.filter($"id" === 1), "id", "text",
+        Seq("and"), maxPhraseLen = 2).get
+      .select("phrase").as[String].collect().toSeq
+    assert(capped == Seq("red wine"))
+    // doc 2: "green tea" appears twice (both occurrences kept),
+    // "milk" once; green/tea score 2 each, milk 1
+    val d2 = Keywords.rake(df, "id", "text", Seq("and"), topK = 2).get
+      .filter($"id" === 2)
+      .select("phrase", "score", "rank").as[(String, Double, Int)]
+      .collect().sortBy(_._3)
+    assert(d2.toSeq == Seq(("green tea", 4.0, 1), ("green tea", 4.0, 2)))
+    // stopword-only text yields nothing
+    val none = Keywords.rake(Seq((3L, "and and the")).toDF("id", "text"),
+      "id", "text", Seq("and", "the")).get
+    assert(none.count() == 0)
+  }
+}
