@@ -2857,6 +2857,34 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q278_forecast_backtest" -> ((s, dir) => {
+      // Naive / seasonal-naive backtest over the hourly zero-filled
+      // per-type grid (period 24, final day held out). MASE is a
+      // chain of IEEE divisions of exact integers — gated UNROUNDED;
+      // sMAPE sums float ratios — rounded under the tie-shift.
+      val filled = TimeSeries.gapFill(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+          how = "sum", fill = "zero").get
+      TimeSeries.forecastBacktest(filled, Seq("event_type"), "bucket_ts",
+          "value", period = 24, horizon = 24, scale = 1L).get
+        .select(col("event_type"), col("n_train"), col("horizon"),
+          round(col("smape_naive") + lit(1e-9), 6).as("smape_naive"),
+          col("mase_naive"),
+          round(col("smape_snaive") + lit(1e-9), 6).as("smape_snaive"),
+          col("mase_snaive"))
+        .orderBy("event_type")
+    }),
+
+    "q279_outlier_report" -> ((s, dir) => {
+      // Tukey-fence outlier screen over three lineitem measures —
+      // exact order-statistic quartiles, IEEE fence arithmetic, exact
+      // counts: gated unrounded.
+      graft.operators.Quality.outlierReport(tbl(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount")).get
+        .orderBy("column")
+    }),
+
     "q277_conversion_series" -> ((s, dir) => {
       // Daily view->purchase conversion with Wilson 95% bands. Counts
       // exact; the interval chain is fixed-op-order IEEE from exact
@@ -7444,6 +7472,127 @@ object SparkEntry {
 
     // q275: generated unrolled H-index propagation.
     "q275_core_number" -> coreNumberOracleSql(rounds = 12),
+
+    // q278: the q241 grid CTEs + the split/scale/forecast replay.
+    "q278_forecast_backtest" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), f AS (
+           SELECT g.event_type, g.b,
+             CAST(round(coalesce(c.v, 0)) AS BIGINT) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), idx AS (
+           SELECT event_type, b, v,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+               AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM f
+         ), base AS (
+           SELECT *, n - 24 AS t FROM idx WHERE n >= 49
+         ), sc1 AS (
+           SELECT event_type, CAST(sum(ad) AS DOUBLE) / count(*) AS sc
+           FROM (SELECT event_type,
+                   abs(v - lag(v, 1) OVER (PARTITION BY event_type
+                     ORDER BY b)) AS ad
+                 FROM base WHERE i <= t)
+           WHERE ad IS NOT NULL GROUP BY event_type
+         ), sc24 AS (
+           SELECT event_type, CAST(sum(ad) AS DOUBLE) / count(*) AS sc
+           FROM (SELECT event_type,
+                   abs(v - lag(v, 24) OVER (PARTITION BY event_type
+                     ORDER BY b)) AS ad
+                 FROM base WHERE i <= t)
+           WHERE ad IS NOT NULL GROUP BY event_type
+         ), lastv AS (
+           SELECT event_type, v AS fn FROM base WHERE i = t
+         ), test AS (
+           SELECT event_type, v, i, t,
+             i - 24 * CAST(ceil(CAST(i - t AS DOUBLE) / 24) AS BIGINT)
+               AS si
+           FROM base WHERE i > t
+         ), sj AS (
+           SELECT test.event_type, test.v, test.t, lastv.fn, bv.v AS fs
+           FROM test
+           JOIN lastv ON lastv.event_type = test.event_type
+           JOIN base bv ON bv.event_type = test.event_type
+             AND bv.i = test.si
+         ), agg AS (
+           SELECT event_type, max(t) AS n_train,
+             CAST(count(*) AS BIGINT) AS horizon,
+             sum(CASE WHEN abs(v) + abs(fn) = 0 THEN 0.0
+               ELSE CAST(abs(v - fn) AS DOUBLE) * 2.0
+                 / (abs(v) + abs(fn)) END) / count(*) AS smape_n,
+             CAST(sum(abs(v - fn)) AS DOUBLE) / count(*) AS mae_n,
+             sum(CASE WHEN abs(v) + abs(fs) = 0 THEN 0.0
+               ELSE CAST(abs(v - fs) AS DOUBLE) * 2.0
+                 / (abs(v) + abs(fs)) END) / count(*) AS smape_s,
+             CAST(sum(abs(v - fs)) AS DOUBLE) / count(*) AS mae_s
+           FROM sj GROUP BY event_type
+         )
+         SELECT agg.event_type, n_train, horizon,
+           round(smape_n + 1e-9, 6) AS smape_naive,
+           CASE WHEN sc1.sc > 0 THEN mae_n / sc1.sc END AS mase_naive,
+           round(smape_s + 1e-9, 6) AS smape_snaive,
+           CASE WHEN sc24.sc > 0 THEN mae_s / sc24.sc END AS mase_snaive
+         FROM agg
+         JOIN sc1 ON sc1.event_type = agg.event_type
+         JOIN sc24 ON sc24.event_type = agg.event_type
+         ORDER BY agg.event_type""",
+
+    // q279: per-column grid + the q243 ⌈p·n⌉ rank pick + fence counts.
+    "q279_outlier_report" ->
+      """WITH cols(colname) AS (
+           VALUES ('l_discount'), ('l_extendedprice'), ('l_quantity')
+         ), src AS (
+           SELECT 'l_quantity' AS colname, CAST(l_quantity AS DOUBLE) AS v
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+         ), grid AS (
+           SELECT colname, v, count(*) AS c FROM src
+           WHERE v IS NOT NULL GROUP BY colname, v
+         ), cum AS (
+           SELECT *, sum(c) OVER (PARTITION BY colname ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(c) OVER (PARTITION BY colname) AS n
+           FROM grid
+         ), q AS (
+           SELECT colname,
+             min(CASE WHEN cm >= greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+               THEN v END) AS q1,
+             min(CASE WHEN cm >= greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+               THEN v END) AS q3
+           FROM cum GROUP BY colname
+         ), fences AS (
+           SELECT colname, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+           FROM q
+         )
+         SELECT src.colname AS "column",
+           CAST(count(src.v) AS BIGINT) AS n,
+           min(f.q1) AS q1, min(f.q3) AS q3,
+           min(f.lo_fence) AS lo_fence, min(f.hi_fence) AS hi_fence,
+           CAST(coalesce(sum(CASE WHEN src.v < f.lo_fence THEN 1 END), 0)
+             AS BIGINT) AS n_low,
+           CAST(coalesce(sum(CASE WHEN src.v > f.hi_fence THEN 1 END), 0)
+             AS BIGINT) AS n_high
+         FROM src JOIN fences f ON f.colname = src.colname
+         GROUP BY src.colname ORDER BY src.colname""",
 
     // q277: base/converted flags per (bucket, entity), then the Wilson
     // chain with the identical op order.

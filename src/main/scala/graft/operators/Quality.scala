@@ -795,6 +795,54 @@ object Quality {
         round(col("__cum") / col("total") + lit(1e-9), 4).as("cum_share"))
   }
 
+  /** Tukey-fence outlier report per column: exact Q1/Q3 (the
+    * [[percentiles]] lower order statistic ⌈p·n⌉ — reproducible, not
+    * `approxQuantile`), the `k`·IQR fences, and how many rows fall
+    * outside each — the first question about any numeric column before
+    * trusting its aggregates. `k = 1.5` is Tukey's inner fence; 3.0
+    * the "far out" fence.
+    *
+    * Returns one row per column: `(column, n, q1, q3, lo_fence,
+    * hi_fence, n_low, n_high)` — NULL quartiles/fences and zero counts
+    * for an all-null column. Order statistics are exact data values
+    * and the fence arithmetic a fixed IEEE chain — gate unrounded.
+    *
+    * Plan: per column one grid reduction + one count pass against the
+    * broadcast fences; columns are unioned (a handful of slim passes,
+    * not a per-row rescan per statistic).
+    */
+  def outlierReport(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Double = 1.5
+  ): MayFail[DataFrame] = MayFail {
+    require(cols.nonEmpty, "cols must name at least one column")
+    require(k > 0, s"k must be > 0: $k")
+    cols.map { c =>
+      val v = col(c).cast("double")
+      val qs = percentiles(df, c, Seq(0.25, 0.75)).get
+        .groupBy()
+        .agg(max(when(col("p") === 0.25, col("value"))).as("q1"),
+          max(when(col("p") === 0.75, col("value"))).as("q3"))
+        .withColumn("lo_fence",
+          col("q1") - lit(k) * (col("q3") - col("q1")))
+        .withColumn("hi_fence",
+          col("q3") + lit(k) * (col("q3") - col("q1")))
+      df.select(v.as("__v")).crossJoin(broadcast(qs))
+        .agg(
+          count(col("__v")).as("n"),
+          first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+          first(col("lo_fence")).as("lo_fence"),
+          first(col("hi_fence")).as("hi_fence"),
+          coalesce(sum(when(col("__v") < col("lo_fence"), 1L)), lit(0L))
+            .as("n_low"),
+          coalesce(sum(when(col("__v") > col("hi_fence"), 1L)), lit(0L))
+            .as("n_high"))
+        .select(lit(c).as("column"), col("n"), col("q1"), col("q3"),
+          col("lo_fence"), col("hi_fence"), col("n_low"), col("n_high"))
+    }.reduce(_ unionByName _)
+  }
+
   /** First-significant-digit distribution vs Benford's law — the
     * classic fabricated-data / broken-pipeline screen: naturally
     * occurring multi-order-of-magnitude amounts follow

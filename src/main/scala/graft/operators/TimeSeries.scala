@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -509,6 +509,105 @@ object TimeSeries {
         Row.fromSeq(r.toSeq ++ tail)
       }
     }(Encoders.row(out))
+  }
+
+  /** Forecast backtest against the two standard BASELINES — naive
+    * (last training value) and seasonal-naive (same phase, last
+    * training cycle): hold out each key's final `horizon` points,
+    * forecast them from the training prefix, and score sMAPE and MASE
+    * (Hyndman & Koehler 2006). Any model worth deploying must beat
+    * these numbers; MASE < 1 means "better than the naive forecast
+    * that MASE scales by" — the honest cross-series comparison.
+    *
+    *   sMAPE = mean 2|y−ŷ| / (|y|+|ŷ|)   (0-denominator terms → 0)
+    *   MASE  = mean|y−ŷ| / scale, scale = train mean |y_t − y_{t−g}|
+    *           (g = 1 for naive, `period` for seasonal-naive)
+    *
+    * Determinism: ×`scale`-integral values make every |error| an exact
+    * integer, so each MASE is a chain of IEEE divisions of exact
+    * integers — gated UNROUNDED; sMAPE sums per-row float ratios —
+    * χ²-tier, round when gating. NULL MASE when the train scale is 0
+    * (constant train series); keys with fewer than
+    * `horizon + period + 1` points emit nothing.
+    *
+    * Returns one row per key: `(keyCols…, n_train, horizon,
+    * smape_naive, mase_naive, smape_snaive, mase_snaive)`.
+    *
+    * Plan: per-key windows for the split + one index equi-join for the
+    * seasonal lookup; keys are the parallelism.
+    */
+  def forecastBacktest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      period: Int,
+      horizon: Int,
+      scale: Long = 100L
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    require(period >= 1, s"period must be >= 1: $period")
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__o"))
+    val wKey = Window.partitionBy(keys: _*)
+    val base = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(orderCol).as("__o")
+        :+ round(col(valueCol) * scale).cast("long").as("__v"): _*)
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .filter(col("__n") >= horizon + period + 1)
+      .withColumn("__t", col("__n") - horizon)
+    // training scales: mean |lag-g| differences within the train prefix
+    val train = base.filter(col("__i") <= col("__t"))
+    def trainScale(g: Int, out: String): DataFrame = train
+      .withColumn("__lag", lag(col("__v"), g).over(wOrd))
+      .filter(col("__lag").isNotNull)
+      .groupBy(keys: _*)
+      .agg((sum(abs(col("__v") - col("__lag"))).cast("double")
+        / count(lit(1))).as(out))
+    // forecasts: naive = train-final value; seasonal-naive = the value
+    // at i − period·⌈(i−T)/period⌉ (last observed same-phase point)
+    val lastTrain = train.filter(col("__i") === col("__t"))
+      .select(keys :+ col("__v").as("__fnaive"): _*)
+    val test = base.filter(col("__i") > col("__t"))
+    val sIdx = col("__i") - lit(period.toLong) *
+      ceil((col("__i") - col("__t")).cast("double") / period).cast("long")
+    val sLookup = base.select(keys :+ col("__i").as("__si")
+      :+ col("__v").as("__fsnaive"): _*)
+    val joined = test
+      .withColumn("__si", sIdx)
+      .join(lastTrain, keyCols)
+      .join(sLookup, keyCols :+ "__si")
+    def smapeTerm(f: Column): Column = {
+      val num = abs(col("__v") - f).cast("double") * 2.0
+      val den = (abs(col("__v")) + abs(f)).cast("double")
+      when(den === 0.0, lit(0.0)).otherwise(num / den)
+    }
+    val perKey = joined.groupBy(keys: _*)
+      .agg(
+        max(col("__t")).as("n_train"),
+        count(lit(1)).as("horizon"),
+        (sum(smapeTerm(col("__fnaive"))) / count(lit(1)))
+          .as("smape_naive"),
+        (sum(abs(col("__v") - col("__fnaive"))).cast("double")
+          / count(lit(1))).as("__mae_n"),
+        (sum(smapeTerm(col("__fsnaive"))) / count(lit(1)))
+          .as("smape_snaive"),
+        (sum(abs(col("__v") - col("__fsnaive"))).cast("double")
+          / count(lit(1))).as("__mae_s"))
+    perKey
+      .join(trainScale(1, "__sc1"), keyCols)
+      .join(trainScale(period, "__scp"), keyCols)
+      .select(keys ++ Seq(col("n_train"), col("horizon"),
+        col("smape_naive"),
+        when(col("__sc1") > 0.0, col("__mae_n") / col("__sc1"))
+          .as("mase_naive"),
+        col("smape_snaive"),
+        when(col("__scp") > 0.0, col("__mae_s") / col("__scp"))
+          .as("mase_snaive")): _*)
   }
 
   /** Holt–Winters-style additive SEASONAL smoothing — the composition

@@ -320,6 +320,20 @@ class PlanSpec extends AnyFunSuite {
       "linkage scoring fell off codegen into a UDF")
   }
 
+  test("q276: RAKE is per-document windows + equi-joins, never all-pairs") {
+    val plan = planOf("q276_rake_keywords")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in rake")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi join in rake")
+  }
+
+  test("q268: theil-sen pairs ride the key equi-join; windows partitioned") {
+    val plan = planOf("q268_theil_sen")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in theil-sen")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi pair join in theil-sen")
+  }
+
   test("q246: quantile-drift bins are a branch-free projection + tiny agg") {
     // the bin assignment must stay an expression over the scan (the
     // edge list is folded into the plan), never a per-row join against

@@ -427,6 +427,23 @@ class QualitySpec extends AnyFunSuite {
     assert(r2 == ((2L, 2L, 0L, 0L, 0.0)))
   }
 
+  test("outlierReport: exact quartiles, Tukey fences, outlier counts") {
+    val vals = ((1 to 100).map(i => (Some(i.toDouble), None: Option[Double]))
+      :+ ((Some(1000.0), None: Option[Double])))
+    val t = vals.toDF("x", "allnull")
+    val got = Quality.outlierReport(t, Seq("x", "allnull")).get
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val x = got("x")
+    // n=101: q1 = x_26 = 26, q3 = x_76 = 76, IQR 50 -> fences -49, 151
+    assert(x._2 == 101L && x._3.get == 26.0 && x._4.get == 76.0)
+    assert(x._5.get == -49.0 && x._6.get == 151.0)
+    assert(x._7 == 0L && x._8 == 1L) // only the planted 1000 is high
+    val nul = got("allnull")
+    assert(nul._2 == 0L && nul._3.isEmpty && nul._7 == 0L && nul._8 == 0L)
+  }
+
   test("benfordReport: digit grid complete, zero/null/negative excluded") {
     val vals = Seq(Some(1L), Some(19L), Some(2L), Some(35L), Some(999L),
       Some(0L), Some(-7L), None).toDF("v")

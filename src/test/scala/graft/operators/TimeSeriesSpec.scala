@@ -279,6 +279,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r == ((2L, 0.0)))
   }
 
+  test("forecastBacktest: hand-computed sMAPE/MASE for both baselines") {
+    val vals = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0, 10.0, 21.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val r = TimeSeries.forecastBacktest(df, Seq("k"), "t", "v",
+        period = 2, horizon = 2).get
+      .select("n_train", "horizon", "smape_naive", "mase_naive",
+        "smape_snaive", "mase_snaive")
+      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r._1 == 6L && r._2 == 2L)
+    // naive fc = 20 for both tests (y = 10, 21):
+    val smapeN = (2.0 * 1000 / 3000 + 2.0 * 100 / 4100) / 2
+    assert(math.abs(r._3 - smapeN) < 1e-12)
+    assert(math.abs(r._4 - 550.0 / 1000.0) < 1e-12) // train |Δ1| mean 1000
+    // seasonal fc = 10, 20 -> errors 0, 100
+    val smapeS = (0.0 + 2.0 * 100 / 4100) / 2
+    assert(math.abs(r._5 - smapeS) < 1e-12)
+    // constant same-phase train differences -> zero scale -> NULL MASE
+    assert(r._6.isEmpty)
+    // too-short keys emit nothing (need horizon + period + 1 points)
+    val short = vals.take(4).zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "t", "v")
+    assert(TimeSeries.forecastBacktest(short, Seq("k"), "t", "v",
+      period = 2, horizon = 2).get.count() == 0)
+  }
+
   test("holtWinters: perfectly periodic series is fitted exactly") {
     // alternating 10/20 with period 2: seasonal = ∓5, deseasonalized
     // series is the constant 15, Brown smoothing of a constant is that
