@@ -2857,6 +2857,23 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    "q280_containment_pairs" -> ((s, dir) => {
+      // Asymmetric containment near-dups over distinct 5-gram sets
+      // (gram-keyed candidates, capped vocab). Counts exact; the
+      // containments are rounded inside the operator (threshold and
+      // output are defined on the rounded value).
+      graft.operators.Dedup.containmentPairs(tbl(s, dir, "documents"),
+          "text", "doc_id", n = 5, threshold = 0.5, maxGramDf = 50L).get
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q281_containment_cap_report" -> ((s, dir) => {
+      // What a df>100 cap would drop from a UNIGRAM containment run —
+      // the stop-word mass. Counts exact.
+      graft.operators.Dedup.containmentCapReport(tbl(s, dir, "documents"),
+        "text", "doc_id", n = 1, maxGramDf = 100L).get
+    }),
+
     "q278_forecast_backtest" -> ((s, dir) => {
       // Naive / seasonal-naive backtest over the hourly zero-filled
       // per-type grid (period 24, final day held out). MASE is a
@@ -7472,6 +7489,58 @@ object SparkEntry {
 
     // q275: generated unrolled H-index propagation.
     "q275_core_number" -> coreNumberOracleSql(rounds = 12),
+
+    // q280/q281: the q252 gram device, pairwise; grams regrouped by
+    // STRING where the operator hashes (the q102/q105 collision
+    // argument).
+    "q280_containment_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents
+         ), g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, len(t) - 3)]) AS g
+           FROM toks WHERE len(t) >= 5
+         ), hot AS (
+           SELECT g FROM g0 GROUP BY g HAVING count(*) > 50
+         ), g AS (
+           SELECT g0.* FROM g0 ANTI JOIN hot USING (g)
+         ), sizes AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS gs FROM g
+           GROUP BY doc_id
+         ), p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT id_a, id_b, shared, sa.gs AS n_a, sb.gs AS n_b,
+           round(CAST(shared AS DOUBLE) / sa.gs + 1e-9, 6)
+             AS containment_a,
+           round(CAST(shared AS DOUBLE) / sb.gs + 1e-9, 6)
+             AS containment_b
+         FROM p JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+         WHERE greatest(round(CAST(shared AS DOUBLE) / sa.gs + 1e-9, 6),
+           round(CAST(shared AS DOUBLE) / sb.gs + 1e-9, 6)) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q281_containment_cap_report" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents
+         ), g0 AS (
+           SELECT DISTINCT doc_id, unnest(t) AS gram
+           FROM toks WHERE len(t) >= 1
+         )
+         SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+         FROM g0 GROUP BY gram HAVING count(*) > 100
+         ORDER BY doc_freq DESC, gram""",
 
     // q278: the q241 grid CTEs + the split/scale/forecast replay.
     "q278_forecast_backtest" ->

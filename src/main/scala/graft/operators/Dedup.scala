@@ -1335,4 +1335,87 @@ object Dedup {
         (col("n_hit_grams").cast("double") / col("n_grams"))
           .as("contamination"))
   }
+
+  /** CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[minhashPairs]]' Jaccard: containment(A in B) =
+    * |grams(A) ∩ grams(B)| / |grams(A)|. Jaccard misses exactly the
+    * pairs that matter for quote/boilerplate/superset dedup (a page
+    * fully contained in a longer page can have arbitrarily small
+    * Jaccard); containment finds them.
+    *
+    * Candidates come from a GRAM-KEYED equi-join (the
+    * [[contaminationScreen]] shape, pairwise): distinct word n-grams
+    * per document, with grams whose document frequency exceeds
+    * `maxGramDf` dropped BEFORE pairing — a corpus-wide stop-gram is
+    * quadratic in the corpus; the cap prunes candidates, never scores,
+    * and is queryable via [[containmentCapReport]]. Gram-set sizes are
+    * computed over the SAME capped vocabulary, so both containments
+    * are exact in-vocabulary fractions (≤ 1 by construction).
+    *
+    * The threshold applies to the ROUNDED max-containment (house
+    * tie-shift — scores are small-denominator rationals; see the
+    * Linkage scaladoc for why raw-double thresholds are one ulp from
+    * flipping). Returns `(id_a, id_b, shared, n_a, n_b,
+    * containment_a, containment_b)`, `id_a < id_b`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      threshold: Double = 0.8,
+      maxGramDf: Long = 1000L,
+      lowercase: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    require(maxGramDf >= 2, s"maxGramDf must be >= 2: $maxGramDf")
+    val g0 = df.select(col(idCol).as("__id"),
+        explode(wordNgrams(col(textCol), n, lowercase)).as("__g"))
+      .distinct()
+    val hot = g0.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf)
+      .select("__g")
+    val g = g0.join(broadcast(hot), Seq("__g"), "left_anti")
+    val sizes = g.groupBy("__id").agg(count(lit(1)).as("__gs"))
+    val pairs = g.select(col("__id").as("id_a"), col("__g"))
+      .join(g.select(col("__id").as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__gs").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__gs").as("n_b")),
+        Seq("id_b"))
+      .withColumn("containment_a",
+        round(col("shared") / col("n_a") + lit(1e-9), 6))
+      .withColumn("containment_b",
+        round(col("shared") / col("n_b") + lit(1e-9), 6))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+      .select("id_a", "id_b", "shared", "n_a", "n_b",
+        "containment_a", "containment_b")
+  }
+
+  /** What [[containmentPairs]]' `maxGramDf` cap would drop: the grams
+    * above the document-frequency cap, hottest first. Returns
+    * `(gram, doc_freq)`. */
+  def containmentCapReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxGramDf: Long,
+      lowercase: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    require(maxGramDf >= 1, s"maxGramDf must be >= 1: $maxGramDf")
+    df.select(col(idCol).as("__id"),
+        explode(wordNgrams(col(textCol), n, lowercase)).as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxGramDf)
+      .orderBy(col("doc_freq").desc, col("gram"))
+  }
 }

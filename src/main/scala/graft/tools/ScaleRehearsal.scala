@@ -1229,6 +1229,36 @@ object ScaleRehearsal {
     check("ktruss_replica_identical", trussDiff == 0,
       s"replica-0 truss supports must match the base run: $trussDiff differ")
 
+    // containment pairs: replicas SHARE the gram-string space, so the
+    // blowup is quadratic by design and exactly predictable —
+    //   out(mult) = mult²·out(1) + C(mult,2)·D
+    // (every base pair appears once per ordered replica combo; every
+    // gram-bearing doc pairs with its own mult−1 twins at containment
+    // 1). The invariant checks the quadratic candidate path does
+    // exactly what the law says, no more, no fewer.
+    val contDocsBase = spark.read.parquet(s"$dir/documents.parquet")
+    val contDocsRepl = replicate(contDocsBase, Seq("doc_id"))
+    def contOut(d: DataFrame): Long =
+      graft.operators.Dedup.containmentPairs(d, "text", "doc_id",
+        n = 5, threshold = 0.5, maxGramDf = 1000000L).get.count()
+    var contReplN = 0L
+    time("containment-pairs")({ contReplN = contOut(contDocsRepl); contReplN })
+    val contBaseN = contOut(contDocsBase)
+    val contD = graft.operators.Dedup.containmentCapReport(
+        contDocsBase, "text", "doc_id", n = 5, maxGramDf = 1000000L)
+      .get.count() // 0 hot grams at this cap — D = docs with >= 1 gram:
+    val contDocsWithGrams = contDocsBase
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.wordNgrams(col("text"), 5)).as("g"),
+        col("doc_id"))
+      .select("doc_id").distinct().count()
+    check("containment_quadratic_law",
+      contBaseN > 0 && contD == 0L &&
+        contReplN == mult.toLong * mult * contBaseN +
+          mult.toLong * (mult - 1) / 2 * contDocsWithGrams,
+      s"containment pairs must follow mult²·base + C(mult,2)·D: " +
+        s"$contReplN vs $mult²·$contBaseN + C·$contDocsWithGrams")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

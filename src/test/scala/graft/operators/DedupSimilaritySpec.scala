@@ -832,6 +832,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("centroid_cosine").as[Option[Double]].head().isEmpty)
   }
 
+  test("containmentPairs: asymmetric containment found where Jaccard is small") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                    // 4 distinct 5-grams
+      (2L, "a b c d e f g h x y"),                // superset: 6 grams
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 5, threshold = 0.8, maxGramDf = 10).get
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val p = got.head
+    assert((p._1, p._2, p._3, p._4, p._5) == ((1L, 2L, 4L, 4L, 6L)))
+    assert(p._6 == 1.0 && math.abs(p._7 - 0.666667) < 1e-9)
+    // the same pair's Jaccard is 4/6 — a 0.8-Jaccard screen misses it
+    // while 0.8-containment catches it (that asymmetry is the point)
+  }
+
+  test("containmentPairs: hot grams capped before pairing; report lists them") {
+    import spark.implicits._
+    // three docs share one 2-gram ("x y"); cap df at 2 -> it never pairs
+    val docs = Seq((1L, "x y a"), (2L, "x y b"), (3L, "x y c"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.1, maxGramDf = 2).get
+    assert(capped.count() == 0)
+    val report = Dedup.containmentCapReport(docs, "text", "doc_id",
+        n = 2, maxGramDf = 2).get
+      .as[(String, Long)].collect().toSeq
+    assert(report == Seq(("x y", 3L)))
+    // uncapped: every pair shares exactly the hot gram
+    val open = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 2, threshold = 0.1, maxGramDf = 10).get
+    assert(open.count() == 3)
+  }
+
   test("contaminationScreen: gram overlap counts, clean docs absent") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e f"), (2L, "x y z w"), (3L, "q q q"))
