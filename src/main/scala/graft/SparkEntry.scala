@@ -2874,6 +2874,86 @@ object SparkEntry {
         "text", "doc_id", n = 1, maxGramDf = 100L).get
     }),
 
+    "q282_kendall_tau" -> ((s, dir) => {
+      // Kendall τ-b of quantity vs discount: both domains are small
+      // (50 × 11 values → ≤550 grid cells), the quadratic runs over
+      // cells. Pair counts exact longs; τ is one IEEE divide/sqrt of
+      // exact-integer-valued doubles — gated UNROUNDED.
+      Stats.kendallTau(tbl(s, dir, "lineitem"),
+        "l_quantity", "l_discount").get
+    }),
+
+    "q283_cliffs_delta" -> ((s, dir) => {
+      // Cliff's δ, click vs view: the q206 value grid, exact cross-
+      // pair counts, one IEEE division — gated unrounded.
+      Stats.cliffsDelta(events(s, dir), "value", "event_type",
+        "click", "view").get
+    }),
+
+    "q284_mcnemar" -> ((s, dir) => {
+      // Paired per-user screen: did the user ever click > 300 vs ever
+      // view > 300. Cells exact; χ² divides exact ints (unrounded);
+      // the exact binomial tail sums lgamma terms — rounded.
+      val u = events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(coalesce(max(when(col("event_type") === "click",
+            col("value"))) > 300, lit(false)).as("bf"),
+          coalesce(max(when(col("event_type") === "view",
+            col("value"))) > 300, lit(false)).as("af"))
+      Stats.mcnemar(u, "bf", "af").get
+        .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+          col("chi2"), round(col("p_exact") + lit(1e-9), 6).as("p_exact"))
+    }),
+
+    "q285_cochran_q" -> ((s, dir) => {
+      // Cochran's Q: did "any event > 350" differ across the 5 event
+      // types each user generated? All-integer moments — Q divides
+      // exact longs, gated unrounded.
+      Stats.cochranQ(
+        events(s, dir).withColumn("hi", col("value") > 350),
+        "user_id", "event_type", "hi").get
+    }),
+
+    "q286_hodges_lehmann" -> ((s, dir) => {
+      // HL shift estimate, click vs view, on integer-rounded values
+      // (the distinct-difference grid stays bounded). Positions exact;
+      // the shift averages two grid doubles — gated unrounded.
+      Stats.hodgesLehmann(
+        events(s, dir).withColumn("v", round(col("value"))),
+        "v", "event_type", "click", "view").get
+    }),
+
+    "q287_bayesian_ab" -> ((s, dir) => {
+      // Beta-Binomial posterior P(view beats click) for the >300
+      // conversion metric under uniform priors. Counts and posterior
+      // means exact; the probability sums lgamma terms — rounded.
+      Stats.bayesianAB(
+          events(s, dir).withColumn("hi", col("value") > 300),
+          "hi", "event_type", "click", "view").get
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          col("mean_a"), col("mean_b"),
+          round(col("prob_b_beats_a") + lit(1e-9), 6).as("prob_b_beats_a"),
+          round(col("expected_lift") + lit(1e-9), 6).as("expected_lift"))
+    }),
+
+    "q288_power_mde" -> ((s, dir) => {
+      // Detectable-effect readout at current sample sizes + required n
+      // for a 10% relative lift. Pure IEEE chain of exact counts with
+      // explicit z constants — gated unrounded.
+      Stats.powerMde(
+        events(s, dir).withColumn("hi", col("value") > 300),
+        "hi", "event_type", "click", "view").get
+    }),
+
+    "q289_mann_kendall" -> ((s, dir) => {
+      // Per-user Mann-Kendall monotone-trend test (the q268 Theil-Sen
+      // companion): S and the tie-corrected variance moments are exact
+      // integers, z one IEEE sqrt/divide — gated unrounded.
+      TimeSeries.mannKendall(events(s, dir), Seq("user_id"),
+          "ts", "value", scale = 100L, maxPoints = 1000).get
+        .orderBy("user_id")
+    }),
+
     "q278_forecast_backtest" -> ((s, dir) => {
       // Naive / seasonal-naive backtest over the hourly zero-filled
       // per-type grid (period 24, final day held out). MASE is a
@@ -7541,6 +7621,292 @@ object SparkEntry {
          SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
          FROM g0 GROUP BY gram HAVING count(*) > 100
          ORDER BY doc_freq DESC, gram""",
+
+    // q282: τ-b replayed on the (quantity, discount) cell grid — the
+    // same strict-a / either-b pair convention, BIGINT casts on every
+    // integer sum, the τ expression mirrored operation-for-operation.
+    "q282_kendall_tau" ->
+      """WITH f AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS a,
+             CAST(l_discount AS DOUBLE) AS b
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         ), cells AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY a, b
+         ), pairs AS (
+           SELECT
+             CAST(COALESCE(sum(CASE WHEN x.b < y.b THEN x.c * y.c END), 0)
+               AS BIGINT) AS concordant,
+             CAST(COALESCE(sum(CASE WHEN x.b > y.b THEN x.c * y.c END), 0)
+               AS BIGINT) AS discordant
+           FROM cells x JOIN cells y ON x.a < y.a
+         ), m AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS sxy2
+           FROM cells
+         ), ta AS (
+           SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY a)
+         ), tb AS (
+           SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY b)
+         )
+         SELECT n, CAST(n * (n - 1) // 2 AS BIGINT) AS n0, n1, n2,
+           concordant, discordant, CAST(sxy2 // 2 AS BIGINT) AS tied_xy,
+           CASE WHEN n * (n - 1) // 2 > n1 AND n * (n - 1) // 2 > n2
+             THEN CAST(concordant - discordant AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE))
+           END AS tau_b
+         FROM m, ta, tb, pairs""",
+
+    // q283: Cliff's δ replayed on the q206 value grid — gt from the
+    // strictly-before running count, one exact division.
+    "q283_cliffs_delta" ->
+      """WITH f AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), byv AS (
+           SELECT v,
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS ca,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS cb
+           FROM f GROUP BY v
+         ), c AS (
+           SELECT v, ca, cb,
+             CAST(COALESCE(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb
+           FROM byv
+         ), agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(COALESCE(sum(ca * cumb), 0) AS BIGINT) AS gt,
+             CAST(COALESCE(sum(ca * cb), 0) AS BIGINT) AS ties
+           FROM c
+         )
+         SELECT n_a, n_b, gt,
+           CAST(n_a * n_b - gt - ties AS BIGINT) AS lt, ties,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN CAST(gt - (n_a * n_b - gt - ties) AS DOUBLE)
+               / (n_a * n_b)
+           END AS delta
+         FROM agg""",
+
+    // q284: McNemar replayed — the same per-user paired booleans, the
+    // Edwards-corrected χ² (exact-int chain, unrounded), and the
+    // two-sided exact binomial tail as a lgamma generate_series sum.
+    "q284_mcnemar" ->
+      """WITH u AS (
+           SELECT user_id,
+             COALESCE(max(CASE WHEN event_type = 'click' THEN value END)
+               > 300, false) AS bf,
+             COALESCE(max(CASE WHEN event_type = 'view' THEN value END)
+               > 300, false) AS af
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+         ), cells AS (
+           SELECT
+             CAST(count(CASE WHEN bf AND af THEN 1 END) AS BIGINT) AS a,
+             CAST(count(CASE WHEN bf AND NOT af THEN 1 END) AS BIGINT) AS b,
+             CAST(count(CASE WHEN NOT bf AND af THEN 1 END) AS BIGINT) AS c,
+             CAST(count(CASE WHEN NOT bf AND NOT af THEN 1 END) AS BIGINT)
+               AS d
+           FROM u
+         ), ks AS (
+           SELECT b + c AS m, unnest(range(0, least(b, c) + 1)) AS k
+           FROM cells
+         ), p AS (
+           SELECT least(1.0, 2 * sum(exp(
+             lgamma(m + 1) - lgamma(k + 1) - lgamma(m - k + 1)
+               - m * ln(2)))) AS p_exact
+           FROM ks
+         )
+         SELECT CAST(a + b + c + d AS BIGINT) AS n, a, b, c, d,
+           CASE WHEN b + c > 0
+             THEN CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+               / (b + c)
+           END AS chi2,
+           round((SELECT p_exact FROM p) + 1e-9, 6) AS p_exact
+         FROM cells""",
+
+    // q285: Cochran's Q replayed — per-(subject, treatment) any-success
+    // cells, the all-integer moment identity, one exact division.
+    "q285_cochran_q" ->
+      """WITH base AS (
+           SELECT user_id AS s, event_type AS t,
+             CAST(max(CASE WHEN value > 350 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY user_id, event_type
+         ), kk AS (
+           SELECT CAST(count(DISTINCT t) AS BIGINT) AS k,
+             CAST(count(DISTINCT s) AS BIGINT) AS n_subjects
+           FROM base
+         ), g AS (
+           SELECT CAST(sum(gg) AS BIGINT) AS n,
+             CAST(sum(gg * gg) AS BIGINT) AS sg2
+           FROM (SELECT CAST(sum(x) AS BIGINT) AS gg FROM base GROUP BY t)
+         ), l AS (
+           SELECT CAST(sum(ll) AS BIGINT) AS sl,
+             CAST(sum(ll * ll) AS BIGINT) AS sl2
+           FROM (SELECT CAST(sum(x) AS BIGINT) AS ll FROM base GROUP BY s)
+         )
+         SELECT n_subjects, k, n, CAST(k - 1 AS BIGINT) AS df,
+           CASE WHEN k >= 2 AND k * sl - sl2 > 0
+             THEN CAST((k - 1) * (k * sg2 - n * n) AS DOUBLE)
+               / (k * sl - sl2)
+           END AS q
+         FROM kk, g, l""",
+
+    // q286: HL shift replayed — value grids per group, the difference
+    // grid with pair weights, weighted lower/upper middles averaged.
+    "q286_hodges_lehmann" ->
+      """WITH f AS (
+           SELECT event_type AS g, round(value) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), ga AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS ca FROM f
+           WHERE g = 'click' GROUP BY v
+         ), gb AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS cb FROM f
+           WHERE g = 'view' GROUP BY v
+         ), d AS (
+           SELECT ga.v - gb.v AS d, CAST(sum(ca * cb) AS BIGINT) AS w
+           FROM ga, gb GROUP BY ga.v - gb.v
+         ), c AS (
+           SELECT d, w,
+             CAST(sum(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(w) OVER () AS BIGINT) AS n
+           FROM d
+         ), lo AS (
+           SELECT d AS d1, n FROM c
+           WHERE c >= (n + 1) // 2 AND c - w < (n + 1) // 2
+         ), hi AS (
+           SELECT d AS d2 FROM c
+           WHERE c >= n // 2 + 1 AND c - w < n // 2 + 1
+         ), cnt AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS n_b
+           FROM f
+         )
+         SELECT n_a, n_b,
+           CAST(COALESCE((SELECT n FROM lo), 0) AS BIGINT) AS n_pairs,
+           (SELECT (d1 + d2) / 2 FROM lo, hi) AS hl_shift
+         FROM cnt""",
+
+    // q287: the exact Beta-Binomial closed-form sum (Cook's identity)
+    // replayed with lgamma over generate_series; posterior means are
+    // exact-long divisions, gated unrounded.
+    "q287_bayesian_ab" ->
+      """WITH f AS (
+           SELECT event_type AS g, value > 300 AS s FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), cnt AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN g = 'click' AND s THEN 1 END) AS BIGINT)
+               AS s_a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS n_b,
+             CAST(count(CASE WHEN g = 'view' AND s THEN 1 END) AS BIGINT)
+               AS s_b
+           FROM f
+         ), par AS (
+           SELECT *, 1 + s_a AS aa, 1 + n_a - s_a AS ba,
+             1 + s_b AS ab, 1 + n_b - s_b AS bb
+           FROM cnt
+         ), terms AS (
+           SELECT aa, ba, ab, bb, unnest(range(0, ab)) AS i FROM par
+         ), p AS (
+           SELECT least(1.0, sum(exp(
+             (lgamma(aa + i) + lgamma(ba + bb) - lgamma(aa + i + ba + bb))
+             - ln(bb + i)
+             - (lgamma(1 + i) + lgamma(bb) - lgamma(1 + i + bb))
+             - (lgamma(aa) + lgamma(ba) - lgamma(aa + ba))))) AS prob
+           FROM terms
+         )
+         SELECT n_a, s_a, n_b, s_b,
+           CAST(aa AS DOUBLE) / (aa + ba) AS mean_a,
+           CAST(ab AS DOUBLE) / (ab + bb) AS mean_b,
+           round((SELECT prob FROM p) + 1e-9, 6) AS prob_b_beats_a,
+           round(CAST(ab AS DOUBLE) / (ab + bb)
+             - CAST(aa AS DOUBLE) / (aa + ba) + 1e-9, 6) AS expected_lift
+         FROM par""",
+
+    // q288: the MDE/power formulas replayed operation-for-operation
+    // with the same explicit z-quantile literals.
+    "q288_power_mde" ->
+      """WITH f AS (
+           SELECT event_type AS g, value > 300 AS s FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), cnt AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN g = 'click' AND s THEN 1 END) AS BIGINT)
+               AS s_a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS n_b
+           FROM f
+         ), sel AS (
+           SELECT n_a, s_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS p,
+             least(n_a, n_b) AS n,
+             1.9599639845400545 + 0.8416212335729143 AS z
+           FROM cnt
+         ), sel2 AS (
+           SELECT *, p * (1.0 - p) AS v FROM sel
+         )
+         SELECT n_a, s_a, n_b, p AS p_a,
+           CASE WHEN v > 0 AND n > 0
+             THEN z * sqrt(2.0 * v / n) END AS mde_abs,
+           CASE WHEN v > 0 AND n > 0
+             THEN z * sqrt(2.0 * v / n) / p END AS mde_rel,
+           CASE WHEN v > 0
+             THEN CAST(ceil(2.0 * v * pow(z / (p * 0.1), 2)) AS BIGINT)
+           END AS n_required
+         FROM sel2""",
+
+    // q289: Mann-Kendall replayed on the q268 point device — pair
+    // signs in time order, tie-run variance moments, the +/-1
+    // continuity z.
+    "q289_mann_kendall" ->
+      """WITH base AS (
+           SELECT user_id AS k, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         ), pts AS (
+           SELECT k, t, v,
+             row_number() OVER (PARTITION BY k ORDER BY t DESC, v DESC) AS r
+           FROM base QUALIFY r <= 1000
+         ), sgn AS (
+           SELECT a.k,
+             CAST(sum(sign(b.v - a.v)
+               * CASE WHEN b.t > a.t THEN 1 ELSE -1 END) AS BIGINT) AS s
+           FROM pts a JOIN pts b
+             ON a.k = b.k AND a.r < b.r AND a.t <> b.t
+           GROUP BY a.k
+         ), ties AS (
+           SELECT k,
+             CAST(sum(t2 * (t2 - 1) * (2 * t2 + 5)) AS BIGINT) AS tc,
+             CAST(sum(t2) AS BIGINT) AS n_points
+           FROM (SELECT k, CAST(count(*) AS BIGINT) AS t2 FROM pts
+                 GROUP BY k, v)
+           GROUP BY k
+         ), j AS (
+           SELECT ties.k AS k, n_points,
+             CAST(COALESCE(sgn.s, 0) AS BIGINT) AS s,
+             n_points * (n_points - 1) * (2 * n_points + 5) - tc AS vv
+           FROM ties LEFT JOIN sgn ON ties.k = sgn.k
+         )
+         SELECT k AS user_id, n_points, s,
+           CAST(vv AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN CAST(vv AS DOUBLE) / 18.0 > 0 THEN
+             (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt(CAST(vv AS DOUBLE) / 18.0)
+           END AS z
+         FROM j ORDER BY user_id""",
 
     // q278: the q241 grid CTEs + the split/scale/forecast replay.
     "q278_forecast_backtest" ->

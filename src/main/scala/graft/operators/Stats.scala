@@ -927,4 +927,412 @@ object Stats {
         when(col("__vy") > 0, lit(1.0) - col("__va") / col("__vy"))
           .as("var_reduction"))
   }
+
+  /** Kendall's τ-b rank correlation of two numeric columns — the
+    * concordance companion to [[spearman]] (τ has a direct
+    * probabilistic reading: P(concordant) − P(discordant), and its
+    * tie correction is symmetric in both margins). NULL rows on
+    * either side are dropped.
+    *
+    * Returns ONE row `(n, n0, n1, n2, concordant, discordant, tied_xy:
+    * bigint, tau_b: double)` — `n0 = n(n−1)/2` total pairs, `n1`/`n2`
+    * the tied-pair counts of the a/b margins, `tau_b = (C − D) /
+    * sqrt((n0−n1)(n0−n2))`, NULL when either margin is constant.
+    *
+    * Plan: observations reduce to the DISTINCT (a, b) CELL grid with
+    * multiplicities (one partial-agg shuffle), then concordant /
+    * discordant pairs come from a grid×grid broadcast nested-loop
+    * join — quadratic in DISTINCT CELLS, never in rows, which is why
+    * `maxCells` (driver-checked) guards the quadratic: a 10¹⁰-row
+    * frame over a bounded/discretized domain pays k² for k cells,
+    * while a continuous column must be binned first (the caller's
+    * explicit decision, same contract as [[TimeSeries.theilSen]]'s
+    * `maxPoints`). All pair counts are exact products of exact longs;
+    * only the final τ divides.
+    */
+  def kendallTau(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Int = 10000
+  ): MayFail[DataFrame] = MayFail {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val k = cells.count()
+    require(k <= maxCells,
+      s"kendallTau: $k distinct (a,b) cells exceed maxCells=$maxCells — " +
+        "bin/discretize the inputs first (the quadratic is over cells)")
+    val l = cells.select(col("__a").as("__a1"), col("__b").as("__b1"),
+      col("__c").as("__c1"))
+    val r = broadcast(cells.select(col("__a").as("__a2"),
+      col("__b").as("__b2"), col("__c").as("__c2")))
+    // count each unordered pair once: strict order on a, either order on b
+    val pairs = l.join(r, col("__a1") < col("__a2"))
+      .agg(
+        coalesce(sum(when(col("__b1") < col("__b2"),
+          col("__c1") * col("__c2"))), lit(0L)).as("concordant"),
+        coalesce(sum(when(col("__b1") > col("__b2"),
+          col("__c1") * col("__c2"))), lit(0L)).as("discordant"))
+    val margins = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      // Σ over same-a (and same-(a,b)) pairs: exact tie-run arithmetic
+      coalesce(sum(col("__c") * (col("__c") - 1)), lit(0L)).as("__sxy2"))
+    val tiesA = cells.groupBy("__a").agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(expr("__t * (__t - 1) div 2")), lit(0L)).as("n1"))
+    val tiesB = cells.groupBy("__b").agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(expr("__t * (__t - 1) div 2")), lit(0L)).as("n2"))
+    margins.crossJoin(tiesA).crossJoin(tiesB).crossJoin(pairs)
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .withColumn("tied_xy", expr("__sxy2 div 2"))
+      .select(col("n"), col("n0"), col("n1"), col("n2"),
+        col("concordant"), col("discordant"), col("tied_xy"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double"))).as("tau_b"))
+  }
+
+  /** Cliff's delta — the nonparametric effect size companion to
+    * [[mannWhitneyU]] (U says whether the groups differ; δ = P(a > b)
+    * − P(a < b) says by HOW MUCH, scale-free in [−1, 1]).
+    *
+    * Returns ONE row `(n_a, n_b, gt, lt, ties: bigint, delta: double)`
+    * — `gt`/`lt`/`ties` the exact cross-pair counts, `delta =
+    * (gt − lt)/(n_a·n_b)`, NULL when either group is empty.
+    *
+    * Plan: the [[mannWhitneyU]] distinct-value-grid device — one
+    * partial-agg shuffle to the value grid, ONE running-count window
+    * over the grid (never the rows), exact long pair counts. A
+    * 10¹⁰-row experiment pays its distinct-value grid only.
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    val v = col(valueCol).cast("double")
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("v")
+      .agg(count(when(col("g") === groupA, 1)).as("__ca"),
+        count(when(col("g") === groupB, 1)).as("__cb"))
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byValue
+      .withColumn("__cumB", coalesce(sum(col("__cb")).over(before), lit(0L)))
+      .agg(
+        coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ca") * col("__cumB")), lit(0L)).as("gt"),
+        coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("ties"))
+      .withColumn("lt", col("n_a") * col("n_b") - col("gt") - col("ties"))
+      .select(col("n_a"), col("n_b"), col("gt"), col("lt"), col("ties"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("gt") - col("lt")).cast("double") / (col("n_a") * col("n_b")))
+          .as("delta"))
+  }
+
+  /** McNemar's test of marginal homogeneity for PAIRED binary
+    * outcomes (before/after on the same subject — the paired
+    * counterpart of [[proportionZTest]], which assumes independent
+    * groups). `beforeCol`/`afterCol` are cast to boolean; rows with a
+    * NULL on either side are dropped. χ² uses the Edwards continuity
+    * correction `(|b−c|−1)²/(b+c)` when `correction` (the default);
+    * `p_exact` is the two-sided exact binomial
+    * `min(1, 2·Σ_{k≤min(b,c)} C(m,k)/2^m)`, m = b + c.
+    *
+    * Returns ONE row `(n, a, b, c, d: bigint, chi2, p_exact: double)`
+    * — `b` = before-only discordant, `c` = after-only; NULL chi2 when
+    * b + c = 0 (no discordant pairs).
+    *
+    * Plan: ONE distributed aggregation for the four cells; the exact
+    * tail is a bounded DRIVER loop of `min(b,c)+1` log-binomial terms
+    * (commons-math `logGamma`, the [[fisherExact]] device) — O(
+    * discordant minimum), so at huge discordant counts the χ² is the
+    * operative statistic and the loop stays cheap anyway.
+    */
+  def mcnemar(
+      df: DataFrame,
+      beforeCol: String,
+      afterCol: String,
+      correction: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    val bf = col(beforeCol).cast("boolean")
+    val af = col(afterCol).cast("boolean")
+    val cells = df.filter(bf.isNotNull && af.isNotNull).agg(
+      count(when(bf && af, 1)).as("a"),
+      count(when(bf && !af, 1)).as("b"),
+      count(when(!bf && af, 1)).as("c"),
+      count(when(!bf && !af, 1)).as("d")).collect()(0)
+    val (aa, b, c, d) = (cells.getLong(0), cells.getLong(1),
+      cells.getLong(2), cells.getLong(3))
+    val m = b + c
+    val chi2: java.lang.Double =
+      if (m == 0L) null
+      else {
+        val num =
+          if (correction) { val x = math.abs(b - c) - 1.0; x * x }
+          else { val x = (b - c).toDouble; x * x }
+        num / m
+      }
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lf(x: Long): Double = logGamma(x + 1.0)
+    val pExact =
+      if (m == 0L) 1.0
+      else {
+        val kMin = math.min(b, c)
+        var s = 0.0; var k = 0L
+        while (k <= kMin) {
+          s += math.exp(lf(m) - lf(k) - lf(m - k) - m * math.log(2.0))
+          k += 1
+        }
+        math.min(1.0, 2.0 * s)
+      }
+    val sp = df.sparkSession
+    import sp.implicits._
+    Seq((aa + b + c + d, aa, b, c, d,
+        Option(chi2).map(_.doubleValue), pExact))
+      .toDF("n", "a", "b", "c", "d", "chi2", "p_exact")
+  }
+
+  /** Hodges–Lehmann location-shift estimate between two samples — the
+    * robust "how far apart are the groups" companion to
+    * [[mannWhitneyU]] (the median of all n_a·n_b pairwise differences
+    * a − b; the estimator whose confidence interval the rank test
+    * inverts). Weighted-median convention over the pair multiset: with
+    * N = n_a·n_b total pairs, the lower middle is pair (N+1) div 2 and
+    * the upper N div 2 + 1 in difference order; `hl_shift` averages
+    * the two (equal when N is odd).
+    *
+    * Returns ONE row `(n_a, n_b, n_pairs: bigint, hl_shift: double)` —
+    * NULL shift when either group is empty.
+    *
+    * Plan: both samples reduce to their DISTINCT-VALUE grids, the
+    * difference multiset is the ka×kb grid CROSS of the two (broadcast
+    * nested-loop, guarded by `maxCells` on the product — the
+    * [[kendallTau]] contract: quadratic in distinct values, never in
+    * rows; bin continuous domains first), then one running-weight
+    * window over the DISTINCT DIFFERENCES picks the two middles.
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      maxCells: Long = 10000000L
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), v.as("v"))
+    val ga = base.filter(col("g") === groupA)
+      .groupBy(col("v").as("__va")).agg(count(lit(1)).as("__ca"))
+    val gb = base.filter(col("g") === groupB)
+      .groupBy(col("v").as("__vb")).agg(count(lit(1)).as("__cb"))
+    val (ka, kb) = (ga.count(), gb.count())
+    require(ka * kb <= maxCells,
+      s"hodgesLehmann: $ka x $kb distinct-value grid exceeds " +
+        s"maxCells=$maxCells — bin the value column first")
+    val diffs = ga.join(broadcast(gb))
+      .groupBy((col("__va") - col("__vb")).as("__d"))
+      .agg(sum(col("__ca") * col("__cb")).as("__w"))
+    val upto = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diffs.withColumn("__c", sum(col("__w")).over(upto))
+      .withColumn("__n", sum(col("__w")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val r1 = expr("(__n + 1) div 2")
+    val r2 = expr("__n div 2 + 1")
+    val lower = cum.filter(col("__c") >= r1 && col("__c") - col("__w") < r1)
+      .select(col("__d").as("__d1"), col("__n"))
+    val upper = cum.filter(col("__c") >= r2 && col("__c") - col("__w") < r2)
+      .select(col("__d").as("__d2"))
+    val counts = base.agg(
+      count(when(col("g") === groupA, 1)).as("n_a"),
+      count(when(col("g") === groupB, 1)).as("n_b"))
+    counts.join(
+        lower.crossJoin(upper)
+          .select(col("__n").as("n_pairs"),
+            ((col("__d1") + col("__d2")) / 2).as("hl_shift")),
+        lit(true), "left")
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("hl_shift"))
+  }
+
+  /** Bayesian A/B readout for a binary metric — Beta–Binomial
+    * posteriors per group and the EXACT posterior probability that B
+    * beats A (the closed-form sum over integer posterior α's; Cook's
+    * identity), the decision-ready alternative to
+    * [[proportionZTest]]'s p-value. `priorAlpha`/`priorBeta` must be
+    * positive INTEGERS (the exact sum needs integer α_B; Beta(1,1) =
+    * uniform is the default).
+    *
+    * Returns ONE row `(n_a, s_a, n_b, s_b: bigint, mean_a, mean_b,
+    * prob_b_beats_a, expected_lift: double)` — posterior means, P(p_B
+    * > p_A), and E[p_B] − E[p_A].
+    *
+    * Plan: ONE distributed aggregation for the four counts; the
+    * probability is a bounded DRIVER loop of α_B = priorAlpha + s_B
+    * log-beta terms (commons-math `logGamma`, the [[fisherExact]]
+    * device) — O(successes of B), so swap the groups to loop over the
+    * smaller success count when it matters.
+    */
+  def bayesianAB(
+      df: DataFrame,
+      successCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      priorAlpha: Long = 1L,
+      priorBeta: Long = 1L
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    require(priorAlpha >= 1 && priorBeta >= 1,
+      s"integer priors >= 1 required: Beta($priorAlpha, $priorBeta)")
+    val s = col(successCol).cast("boolean")
+    val g = col(groupCol)
+    val row = df.filter(s.isNotNull && g.isin(groupA, groupB)).agg(
+      count(when(g === groupA, 1)).as("n_a"),
+      count(when(g === groupA && s, 1)).as("s_a"),
+      count(when(g === groupB, 1)).as("n_b"),
+      count(when(g === groupB && s, 1)).as("s_b")).collect()(0)
+    val (nA, sA, nB, sB) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val (aA, bA) = (priorAlpha + sA, priorBeta + nA - sA)
+    val (aB, bB) = (priorAlpha + sB, priorBeta + nB - sB)
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lbeta(x: Double, y: Double): Double =
+      logGamma(x) + logGamma(y) - logGamma(x + y)
+    val lbA = lbeta(aA.toDouble, bA.toDouble)
+    var p = 0.0
+    var i = 0L
+    while (i < aB) {
+      p += math.exp(lbeta(aA + i.toDouble, bA + bB.toDouble) -
+        math.log(bB + i.toDouble) - lbeta(1.0 + i, bB.toDouble) - lbA)
+      i += 1
+    }
+    val meanA = aA.toDouble / (aA + bA)
+    val meanB = aB.toDouble / (aB + bB)
+    val sp = df.sparkSession
+    import sp.implicits._
+    Seq((nA, sA, nB, sB, meanA, meanB, math.min(p, 1.0), meanB - meanA))
+      .toDF("n_a", "s_a", "n_b", "s_b", "mean_a", "mean_b",
+        "prob_b_beats_a", "expected_lift")
+  }
+
+  /** Experiment power readout — the minimum detectable effect at the
+    * CURRENT sample sizes and the per-arm n required for a target
+    * relative effect, for a binary metric (the "is this test even
+    * worth running" screen before [[proportionZTest]]). Two-sided
+    * normal approximation with equal-allocation variance `2p(1−p)`;
+    * `zAlpha`/`zPower` default to the α = 0.05 / power = 0.80
+    * constants (Φ⁻¹ is not portably computable in-plan, so the
+    * quantiles are explicit parameters — pass your own for other
+    * levels).
+    *
+    * Returns ONE row `(n_a, s_a, n_b: bigint, p_a, mde_abs, mde_rel:
+    * double, n_required: bigint)` — `p_a` the baseline (group A)
+    * rate, `mde_abs/_rel` the detectable absolute/relative lift given
+    * `min(n_a, n_b)` per arm, `n_required` the per-arm size for
+    * `targetRel`. NULLs when the baseline is degenerate (p_a ∈ {0,1}
+    * or empty).
+    *
+    * Plan: one distributed aggregation, then pure column arithmetic —
+    * no collect, composable at any scale.
+    */
+  def powerMde(
+      df: DataFrame,
+      successCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      targetRel: Double = 0.1,
+      zAlpha: Double = 1.9599639845400545,
+      zPower: Double = 0.8416212335729143
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    require(targetRel > 0, s"targetRel must be positive: $targetRel")
+    val s = col(successCol).cast("boolean")
+    val g = col(groupCol)
+    val z = lit(zAlpha + zPower)
+    df.filter(s.isNotNull && g.isin(groupA, groupB)).agg(
+        count(when(g === groupA, 1)).as("n_a"),
+        count(when(g === groupA && s, 1)).as("s_a"),
+        count(when(g === groupB, 1)).as("n_b"))
+      .withColumn("p_a",
+        when(col("n_a") > 0, col("s_a").cast("double") / col("n_a")))
+      .withColumn("__var", col("p_a") * (lit(1.0) - col("p_a")))
+      .withColumn("__n", least(col("n_a"), col("n_b")))
+      .select(col("n_a"), col("s_a"), col("n_b"), col("p_a"),
+        when(col("__var") > 0 && col("__n") > 0,
+          z * sqrt(lit(2.0) * col("__var") / col("__n"))).as("mde_abs"),
+        when(col("__var") > 0 && col("__n") > 0,
+          z * sqrt(lit(2.0) * col("__var") / col("__n")) / col("p_a"))
+          .as("mde_rel"),
+        when(col("__var") > 0,
+          ceil(lit(2.0) * col("__var") *
+            pow(z / (col("p_a") * lit(targetRel)), 2)).cast("long"))
+          .as("n_required"))
+  }
+
+  /** Cochran's Q test — does a binary outcome differ across k
+    * treatments applied to the SAME subjects (the k-treatment
+    * generalization of [[mcnemar]]; e.g. did conversion differ across
+    * k campaign variants each user saw)? `successCol` is cast to
+    * boolean. The design is completed internally: every (subject,
+    * treatment) pair absent from the input counts as failure —
+    * documented contract, callers with true missingness must filter
+    * subjects first.
+    *
+    * Returns ONE row `(n_subjects, k, n: bigint, df: bigint, q:
+    * double)` — `n` total successes, `q = (k−1)(k·ΣGⱼ² − N²) /
+    * (k·ΣLᵢ − ΣLᵢ²)` (all-integer moments, so `q` divides two exact
+    * longs), NULL when the denominator is 0 (every subject all-0 or
+    * all-1) or k < 2.
+    *
+    * Plan: one partial-agg shuffle to (subject, treatment) successes,
+    * one to per-subject row sums, one k-row treatment agg — no
+    * windows, no grid completion materialized (absent pairs
+    * contribute 0 to every moment, so the completion is arithmetic,
+    * not a join).
+    */
+  def cochranQ(
+      df: DataFrame,
+      subjectCol: String,
+      treatmentCol: String,
+      successCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val s = col(successCol).cast("boolean")
+    val base = df
+      .filter(col(subjectCol).isNotNull && col(treatmentCol).isNotNull)
+      .select(col(subjectCol).as("__s"), col(treatmentCol).as("__t"),
+        when(coalesce(s, lit(false)), lit(1L)).otherwise(lit(0L)).as("__x"))
+      .groupBy("__s", "__t")
+      .agg(max(col("__x")).as("__x")) // any success in the cell counts once
+    val kDf = base.agg(countDistinct(col("__t")).as("k"),
+      countDistinct(col("__s")).as("n_subjects"))
+    val gj = base.groupBy("__t").agg(sum(col("__x")).as("__g"))
+      .agg(coalesce(sum(col("__g")), lit(0L)).as("__n"),
+        coalesce(sum(col("__g") * col("__g")), lit(0L)).as("__sg2"))
+    val li = base.groupBy("__s").agg(sum(col("__x")).as("__l"))
+      .agg(coalesce(sum(col("__l")), lit(0L)).as("__sl"),
+        coalesce(sum(col("__l") * col("__l")), lit(0L)).as("__sl2"))
+    kDf.crossJoin(gj).crossJoin(li)
+      .withColumn("__den", col("k") * col("__sl") - col("__sl2"))
+      .select(col("n_subjects"), col("k"), col("__n").as("n"),
+        (col("k") - 1).as("df"),
+        when(col("k") >= 2 && col("__den") > 0,
+          ((col("k") - 1) * (col("k") * col("__sg2") - col("__n") * col("__n")))
+            .cast("double") / col("__den")).as("q"))
+  }
 }

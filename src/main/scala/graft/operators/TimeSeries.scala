@@ -796,4 +796,74 @@ object TimeSeries {
       .join(nPts, keyCols)
       .select(keys ++ Seq(col("n_points"), col("n_pairs"), col("slope")): _*)
   }
+
+  /** Mann–Kendall trend test per key — the significance companion to
+    * [[theilSen]] (Sen gives the slope, MK says whether a monotone
+    * trend exists at all; the standard pairing for environmental /
+    * metric time series). S = Σ_{tᵢ<tⱼ} sign(vⱼ − vᵢ); pairs with
+    * EQUAL timestamps are excluded (ordering undefined — the
+    * [[theilSen]] convention). Variance uses the standard tie
+    * correction `Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18` over the
+    * value-tie runs, and z the ±1 continuity correction.
+    *
+    * Returns one row per key: `(keys…, n_points, s: bigint, var_s, z:
+    * double)` — NULL z when Var = 0 (all values tie) or n < 2.
+    *
+    * Same scale posture as [[theilSen]]: values ×`scale` to exact
+    * longs so S and the variance moments are exact integers (S is an
+    * integer, Var an exact-int ratio, z one IEEE sqrt/divide — the
+    * strongest determinism tier); the per-key quadratic is capped at
+    * `maxPoints` most-recent points (driver-checked contract, the
+    * caller downsamples longer series).
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      scale: Long = 100L,
+      maxPoints: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    require(maxPoints >= 2, s"maxPoints must be >= 2: $maxPoints")
+    val keys = keyCols.map(col)
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ unix_micros(col(tsCol)).as("__t")
+        :+ round(col(valueCol) * scale).cast("long").as("__v"): _*)
+    val recent = Window.partitionBy(keys: _*)
+      .orderBy(col("__t").desc, col("__v").desc)
+    val pts = base.withColumn("__r", row_number().over(recent))
+      .filter(col("__r") <= maxPoints)
+    val a = pts.select(keys :+ col("__t").as("__ta") :+ col("__v").as("__va")
+      :+ col("__r").as("__ra"): _*)
+    val b = pts.select(keys :+ col("__t").as("__tb") :+ col("__v").as("__vb")
+      :+ col("__r").as("__rb"): _*)
+    // each unordered pair once (rank order), signed in TIME order
+    val sPerKey = a.join(b, keyCols)
+      .filter(col("__ra") < col("__rb") && col("__ta") =!= col("__tb"))
+      .select(keys :+
+        (signum(col("__vb") - col("__va")) *
+          when(col("__tb") > col("__ta"), 1).otherwise(-1))
+          .cast("long").as("__sgn"): _*)
+      .groupBy(keys: _*)
+      .agg(sum(col("__sgn")).as("s"))
+    val tieMoments = pts.groupBy(keys :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__kvals"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tc"),
+        sum(col("__t")).as("n_points"))
+    tieMoments.join(sPerKey, keyCols, "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var_s",
+        (col("n_points") * (col("n_points") - 1) *
+          (col("n_points") * 2 + 5) - col("__tc")).cast("double") /
+          lit(18.0))
+      .select(keys ++ Seq(col("n_points"), col("s"), col("var_s"),
+        when(col("var_s") > 0,
+          when(col("s") > 0, (col("s") - 1).cast("double"))
+            .when(col("s") < 0, (col("s") + 1).cast("double"))
+            .otherwise(lit(0.0)) / sqrt(col("var_s"))).as("z")): _*)
+  }
 }

@@ -409,4 +409,148 @@ class StatsSpec extends AnyFunSuite {
       .select("n_treat", "n_ctrl").as[(Long, Long)].head()
     assert(r2 == ((2L, 2L)))
   }
+
+  test("kendallTau: hand-computed tau-b with ties on both margins") {
+    // x = [1,1,2,3], y = [1,2,2,3]: pairs (i<j by index over the cell
+    // expansion) — concordant: (1,1)-(2,2)×? enumerate raw pairs:
+    // (1,1)(1,2): tied x. (1,1)(2,2): C. (1,1)(3,3): C. (1,2)(2,2):
+    // tied y. (1,2)(3,3): C. (2,2)(3,3): C. → C=4, D=0, n0=6, n1=1
+    // (x tie pair), n2=1 (y tie pair) → tau = 4/sqrt(25) = 0.8
+    val df0 = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val r = Stats.kendallTau(df0, "x", "y").get
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(r == ((4L, 6L, 1L, 1L, 4L, 0L, 0L, 0.8)))
+  }
+
+  test("kendallTau: perfect inversion and the maxCells guard") {
+    val inv = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    val r = Stats.kendallTau(inv, "x", "y").get
+      .select("tau_b").as[Double].head()
+    assert(r == -1.0)
+    val e = intercept[IllegalArgumentException](
+      Stats.kendallTau(inv, "x", "y", maxCells = 2).get)
+    assert(e.getMessage.contains("maxCells"))
+    // constant margin → NULL tau
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Stats.kendallTau(const, "x", "y").get
+      .select("tau_b").collect().head.isNullAt(0))
+  }
+
+  test("cliffsDelta: exact pair counts against brute force") {
+    val as = Seq(1.0, 2.0, 2.0, 5.0)
+    val bs = Seq(2.0, 3.0, 4.0)
+    val df0 = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+    val r = Stats.cliffsDelta(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    val gt = (for (a <- as; b <- bs) yield ()).size // placeholder arity
+    val gtN = as.flatMap(a => bs.map(b => a > b)).count(identity)
+    val ltN = as.flatMap(a => bs.map(b => a < b)).count(identity)
+    val tiesN = as.flatMap(a => bs.map(b => a == b)).count(identity)
+    assert(gt == 12) // 4×3 pairs enumerated
+    assert(r == ((4L, 3L, gtN.toLong, ltN.toLong, tiesN.toLong,
+      (gtN - ltN).toDouble / 12)))
+  }
+
+  test("mcnemar: textbook cells, corrected chi2 and exact binomial p") {
+    // b = 5 before-only, c = 1 after-only → chi2 = (|5−1|−1)²/6 = 1.5
+    // p = min(1, 2·(C(6,0)+C(6,1))/2⁶) = 2·7/64 = 0.21875
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false))
+    val r = Stats.mcnemar(rows.toDF("bf", "af"), "bf", "af").get
+      .as[(Long, Long, Long, Long, Long, Option[Double], Double)]
+      .collect().head
+    assert(r._1 == 11L && r._2 == 3L && r._3 == 5L && r._4 == 1L &&
+      r._5 == 2L)
+    assert(r._6.contains(1.5))
+    assert(close(r._7, 0.21875))
+    // uncorrected: (5−1)²/6 = 8/3
+    val u = Stats.mcnemar(rows.toDF("bf", "af"), "bf", "af",
+      correction = false).get.select("chi2").as[Double].head()
+    assert(close(u, 8.0 / 3.0))
+    // no discordant pairs → NULL chi2, p = 1
+    val conc = Seq((true, true), (false, false)).toDF("bf", "af")
+    val r2 = Stats.mcnemar(conc, "bf", "af").get
+      .select("chi2", "p_exact").collect().head
+    assert(r2.isNullAt(0) && r2.getDouble(1) == 1.0)
+  }
+
+  test("cochranQ: textbook 3-treatment design with arithmetic completion") {
+    // subjects 1..4 over treatments A,B,C (x as 0/1):
+    //   s1: A=1 B=1 C=0 | s2: A=1 B=0 C=0 | s3: A=1 B=1 C=1 | s4: 0,0,0
+    // G = [3,2,1], L = [2,1,3,0], N = 6
+    // Q = (k−1)(kΣG²−N²)/(kΣL−ΣL²) = 2·(3·14−36)/(18−14) = 12/4 = 3
+    val rows = Seq((1, "A", true), (1, "B", true), (2, "A", true),
+      (3, "A", true), (3, "B", true), (3, "C", true),
+      (4, "A", false), (1, "C", false), (2, "B", false))
+    // s4's B/C and s2's C are ABSENT rows — completed as failures
+    val r = Stats.cochranQ(rows.toDF("s", "t", "x"), "s", "t", "x").get
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r._1 == 4L && r._2 == 3L && r._3 == 6L && r._4 == 2L)
+    assert(r._5.exists(q => close(q, 3.0)))
+    // duplicate (s,t) rows collapse to any-success
+    val dup = rows ++ Seq((1, "A", false), (1, "A", true))
+    val r2 = Stats.cochranQ(dup.toDF("s", "t", "x"), "s", "t", "x").get
+      .select("n").as[Long].head()
+    assert(r2 == 6L)
+  }
+
+  test("hodgesLehmann: weighted median of pairwise differences") {
+    // A = [1,2], B = [4,6] → diffs sorted [−5,−4,−3,−2], N = 4 even
+    // → lower = pos 2 (−4), upper = pos 3 (−3) → HL = −3.5
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0), ("b", 6.0))
+      .toDF("g", "v")
+    val r = Stats.hodgesLehmann(df0, "v", "g", "a", "b").get
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r == ((2L, 2L, 4L, -3.5)))
+    // odd pair count: A = [1], B = [0, 2, 7] → diffs [1,−1,−6] → −1
+    val odd = Seq(("a", 1.0), ("b", 0.0), ("b", 2.0), ("b", 7.0))
+      .toDF("g", "v")
+    val ro = Stats.hodgesLehmann(odd, "v", "g", "a", "b").get
+      .select("hl_shift").as[Double].head()
+    assert(ro == -1.0)
+    // empty group → 0 pairs, NULL shift
+    val re = Stats.hodgesLehmann(df0.filter($"g" === "a"), "v", "g",
+      "a", "b").get.select("n_pairs", "hl_shift").collect().head
+    assert(re.getLong(0) == 0L && re.isNullAt(1))
+  }
+
+  test("bayesianAB: closed-form P(B>A) matches the analytic integral") {
+    // A: 1/2 → Beta(2,2); B: 2/2 → Beta(3,1)
+    // P(pB>pA) = ∫ 3x²(3x²−2x³)dx = 9/5 − 1 = 0.8
+    val df0 = Seq(("a", true), ("a", false), ("b", true), ("b", true))
+      .toDF("g", "s")
+    val r = Stats.bayesianAB(df0, "s", "g", "a", "b").get
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._1 == 2L && r._2 == 1L && r._3 == 2L && r._4 == 2L)
+    assert(r._5 == 0.5 && r._6 == 0.75)
+    assert(close(r._7, 0.8))
+    assert(close(r._8, 0.25))
+    // symmetric groups → exactly 1/2
+    val sym = Seq(("a", true), ("b", true)).toDF("g", "s")
+    val rs = Stats.bayesianAB(sym, "s", "g", "a", "b").get
+      .select("prob_b_beats_a").as[Double].head()
+    assert(close(rs, 0.5))
+  }
+
+  test("powerMde: formula replay and degenerate-baseline NULLs") {
+    val rows = Seq.fill(10)(("a", true)) ++ Seq.fill(90)(("a", false)) ++
+      Seq.fill(80)(("b", false))
+    val r = Stats.powerMde(rows.toDF("g", "s"), "s", "g", "a", "b").get
+      .as[(Long, Long, Long, Double, Double, Double, Long)]
+      .collect().head
+    val z = 1.9599639845400545 + 0.8416212335729143
+    val p = 0.1; val v = p * (1 - p)
+    assert(r._1 == 100L && r._2 == 10L && r._3 == 80L && r._4 == 0.1)
+    assert(close(r._5, z * math.sqrt(2.0 * v / 80)))
+    assert(close(r._6, z * math.sqrt(2.0 * v / 80) / p))
+    assert(r._7 == math.ceil(2.0 * v * math.pow(z / (p * 0.1), 2)).toLong)
+    // all-failure baseline → NULL mde and n_required
+    val degen = Seq(("a", false), ("b", false)).toDF("g", "s")
+    val rd = Stats.powerMde(degen, "s", "g", "a", "b").get
+      .select("mde_abs", "n_required").collect().head
+    assert(rd.isNullAt(0) && rd.isNullAt(1))
+  }
 }

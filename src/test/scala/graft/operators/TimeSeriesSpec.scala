@@ -345,4 +345,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     // scale must divide 1e6
     assert(TimeSeries.theilSen(df, Seq("k"), "ts", "v", scale = 3L).isFailing)
   }
+
+  test("mannKendall: hand-computed S, tie-corrected variance, z") {
+    // strictly increasing [1,2,3,4]: S = 6, no ties →
+    // var = 4·3·13/18 = 26/3, z = (6−1)/sqrt(26/3)
+    val inc = Seq(("a", tsOf(0), 1.0), ("a", tsOf(1), 2.0),
+      ("a", tsOf(2), 3.0), ("a", tsOf(3), 4.0)).toDF("k", "ts", "v")
+    val r = TimeSeries.mannKendall(inc, Seq("k"), "ts", "v").get
+      .select("n_points", "s", "var_s", "z")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 6L)
+    assert(math.abs(r._3 - 26.0 / 3.0) < 1e-12)
+    assert(math.abs(r._4 - 5.0 / math.sqrt(26.0 / 3.0)) < 1e-12)
+    // value ties correct the variance: [1,1,2] → S = 2,
+    // var = (3·2·11 − 2·1·9)/18 = 48/18
+    val tied = Seq(("t", tsOf(0), 1.0), ("t", tsOf(1), 1.0),
+      ("t", tsOf(2), 2.0)).toDF("k", "ts", "v")
+    val rt = TimeSeries.mannKendall(tied, Seq("k"), "ts", "v").get
+      .select("s", "var_s").as[(Long, Double)].head()
+    assert(rt._1 == 2L && math.abs(rt._2 - 48.0 / 18.0) < 1e-12)
+    // equal-timestamp pairs are excluded; decreasing gives negative S
+    // with the +1 continuity shift
+    val mix = Seq(("d", tsOf(1), 5.0), ("d", tsOf(1), 1.0),
+      ("d", tsOf(2), 3.0), ("d", tsOf(3), 2.0)).toDF("k", "ts", "v")
+    val rd = TimeSeries.mannKendall(mix, Seq("k"), "ts", "v").get
+      .select("s").as[Long].head()
+    // pairs (5,3)(5,2)(1,3)(1,2)(3,2): −1 −1 +1 +1 −1 = −1
+    assert(rd == -1L)
+    // single-point key still emits a row with NULL z
+    val one = Seq(("o", tsOf(0), 1.0)).toDF("k", "ts", "v")
+    val ro = TimeSeries.mannKendall(one, Seq("k"), "ts", "v").get
+      .select("n_points", "z").collect().head
+    assert(ro.getLong(0) == 1L && ro.isNullAt(1))
+  }
 }
