@@ -2954,6 +2954,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q290_readability" -> ((s, dir) => {
+      // Flesch / FK-grade per document from three portable regex
+      // counts; the scores are IEEE chains of exact-long ratios —
+      // gated unrounded.
+      graft.operators.Quality.readability(tbl(s, dir, "documents"),
+          "text", Seq("doc_id")).get
+        .orderBy("doc_id")
+    }),
+
+    "q291_mad_outliers" -> ((s, dir) => {
+      // Median/MAD modified-z outlier report per event type — exact
+      // grid medians; z rounded at 9 BEFORE the 3.5 threshold (the
+      // rounded-threshold convention), so the counts are exact.
+      graft.operators.Quality.madOutliers(events(s, dir), "value",
+          Seq("event_type")).get
+        .orderBy("event_type")
+    }),
+
     "q278_forecast_backtest" -> ((s, dir) => {
       // Naive / seasonal-naive backtest over the hourly zero-filled
       // per-type grid (period 24, final day held out). MASE is a
@@ -7757,6 +7775,93 @@ object SparkEntry {
                / (k * sl - sl2)
            END AS q
          FROM kk, g, l""",
+
+    // q290: the three regex counts replayed (regexp_extract_all is the
+    // q280-proven tokenizer device) + the same score arithmetic.
+    "q290_readability" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))
+               AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT) AS sraw,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+           FROM documents WHERE text IS NOT NULL
+         ), g AS (
+           SELECT doc_id, n_words,
+             CAST(CASE WHEN n_words > 0 THEN greatest(1, sraw)
+                  ELSE 0 END AS BIGINT) AS n_sentences,
+             n_syllables
+           FROM f
+         )
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+           END AS fk_grade
+         FROM g ORDER BY doc_id""",
+
+    // q291: grid medians (the q249 device) for median and MAD, then
+    // the rounded-z threshold replayed.
+    "q291_mad_outliers" ->
+      """WITH base AS (
+           SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL
+         ), grid AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS t FROM base
+           GROUP BY g, v
+         ), cum AS (
+           SELECT g, v, t,
+             CAST(sum(t) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM grid
+         ), med AS (
+           SELECT m1.g, (v1 + v2) / 2 AS med FROM
+             (SELECT g, v AS v1 FROM cum
+              WHERE c >= (n + 1) // 2 AND c - t < (n + 1) // 2) m1
+             JOIN
+             (SELECT g, v AS v2 FROM cum
+              WHERE c >= n // 2 + 1 AND c - t < n // 2 + 1) m2
+             ON m1.g = m2.g
+         ), wm AS (
+           SELECT base.g, v, med, abs(v - med) AS d
+           FROM base JOIN med ON base.g = med.g
+         ), grid2 AS (
+           SELECT g, d, CAST(count(*) AS BIGINT) AS t FROM wm
+           GROUP BY g, d
+         ), cum2 AS (
+           SELECT g, d, t,
+             CAST(sum(t) OVER (PARTITION BY g ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM grid2
+         ), madt AS (
+           SELECT m1.g, (d1 + d2) / 2 AS mad FROM
+             (SELECT g, d AS d1 FROM cum2
+              WHERE c >= (n + 1) // 2 AND c - t < (n + 1) // 2) m1
+             JOIN
+             (SELECT g, d AS d2 FROM cum2
+              WHERE c >= n // 2 + 1 AND c - t < n // 2 + 1) m2
+             ON m1.g = m2.g
+         ), z AS (
+           SELECT wm.g, wm.med, madt.mad,
+             CASE WHEN madt.mad > 0 THEN
+               round(0.6745 * (v - wm.med) / madt.mad + 1e-12, 9)
+             END AS z
+           FROM wm JOIN madt ON wm.g = madt.g
+         )
+         SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+           any_value(med) AS median, any_value(mad) AS mad,
+           CAST(COALESCE(sum(CASE WHEN abs(z) > 3.5 THEN 1 END), 0)
+             AS BIGINT) AS n_outliers,
+           max(abs(z)) AS max_abs_z
+         FROM z GROUP BY g ORDER BY event_type""",
 
     // q286: HL shift replayed — value grids per group, the difference
     // grid with pair weights, weighted lower/upper middles averaged.

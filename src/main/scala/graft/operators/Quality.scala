@@ -843,6 +843,132 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Classic readability scores per document — Flesch reading ease and
+    * Flesch–Kincaid grade, from three PORTABLE regex counts (the same
+    * heuristic tier as [[gopherFlags]]; real syllabification is
+    * dictionary work, and corpus-quality screens only need a stable
+    * monotone proxy):
+    *
+    *  - words      = runs of non-whitespace
+    *  - sentences  = runs of `[.!?]` (floored at 1 when the text has
+    *    words — headlines and fragments count as one sentence)
+    *  - syllables  = vowel-group runs `[aeiouy]+` of the lowercased
+    *    text (no silent-e / diphthong corrections — documented proxy)
+    *
+    * Returns `(idCols…, n_words, n_sentences, n_syllables: bigint,
+    * flesch, fk_grade: double)` — NULL scores when the text has no
+    * words. Flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W); FK grade =
+    * 0.39·(W/S) + 11.8·(Y/W) − 15.59. The ratios divide exact longs,
+    * so the scores are deterministic IEEE chains — gate-stable
+    * unrounded.
+    *
+    * Plan: three codegen'd regexp counts per row, no shuffle at all —
+    * a pure map over the corpus, trivially 100 TB-safe.
+    */
+  def readability(
+      df: DataFrame,
+      textCol: String,
+      idCols: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "idCols must name at least one column")
+    val t = col(textCol)
+    val w = col("n_words").cast("double")
+    val s = col("n_sentences").cast("double")
+    val y = col("n_syllables").cast("double")
+    df.filter(t.isNotNull)
+      .select(idCols.map(col) :+
+        regexp_count(t, lit("[^ \\t\\n\\r\\f]+")).cast("long")
+          .as("n_words") :+
+        regexp_count(t, lit("[.!?]+")).cast("long").as("__sraw") :+
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"): _*)
+      .withColumn("n_sentences",
+        when(col("n_words") > 0, greatest(lit(1L), col("__sraw")))
+          .otherwise(lit(0L)))
+      .select(idCols.map(col) :+ col("n_words") :+ col("n_sentences") :+
+        col("n_syllables") :+
+        when(col("n_words") > 0,
+          lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w))
+          .as("flesch") :+
+        when(col("n_words") > 0,
+          lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59))
+          .as("fk_grade"): _*)
+  }
+
+  /** Robust outlier report per group — median/MAD modified z-scores
+    * (Iglewicz–Hoaglin `0.6745·(x − med)/MAD`), the heavy-tail-safe
+    * companion to [[outlierReport]]'s Tukey fences (MAD has a 50%
+    * breakdown point; quartile fences already distort at ~25%
+    * contamination).
+    *
+    * Returns one row per group: `(by…, n: bigint, median, mad:
+    * double, n_outliers: bigint, max_abs_z: double)` — `n_outliers`
+    * counts rows with `|z| > threshold`; a zero-MAD group (> half the
+    * values identical) yields NULL z for every row: 0 outliers, NULL
+    * `max_abs_z`. THRESHOLDING CONVENTION: z is rounded to 9 digits
+    * (1e-12 tie-shift) before the comparison — a raw-double threshold
+    * sits one ulp from flipping when a score's rational equals it
+    * exactly (the q260 linkage lesson).
+    *
+    * Plan: the [[skewReport]]-tier exact medians — each group's median
+    * and MAD come from its DISTINCT-VALUE grid with running-count
+    * windows PARTITIONED BY GROUP (the `leveneTest` device: sorts
+    * parallelize across groups, a 10¹⁰-row frame pays its value grid
+    * only), then one join back and one aggregation. Two grid passes
+    * (median, then MAD), three shuffles total.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      by: Seq[String] = Nil,
+      threshold: Double = 3.5
+  ): MayFail[DataFrame] = MayFail {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val groups = if (by.isEmpty) Seq("__all") else by
+    val v = col(valueCol).cast("double")
+    val base0 = df.filter(v.isNotNull)
+      .select(by.map(col) :+ v.as("__v"): _*)
+    val base = if (by.isEmpty) base0.withColumn("__all", lit(0)) else base0
+    def gridMedian(frame: DataFrame, vc: String, out: String): DataFrame = {
+      val grid = frame.groupBy(groups.map(col) :+ col(vc): _*)
+        .agg(count(lit(1)).as("__t"))
+      val upto = Window.partitionBy(groups.map(col): _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("__c", sum(col("__t")).over(upto))
+        .withColumn("__n", sum(col("__t")).over(
+          Window.partitionBy(groups.map(col): _*)))
+      val r1 = expr("(__n + 1) div 2")
+      val r2 = expr("__n div 2 + 1")
+      val m1 = cum.filter(col("__c") >= r1 && col("__c") - col("__t") < r1)
+        .select(groups.map(col) :+ col(vc).as("__m1"): _*)
+      val m2 = cum.filter(col("__c") >= r2 && col("__c") - col("__t") < r2)
+        .select(groups.map(col) :+ col(vc).as("__m2"): _*)
+      m1.join(m2, groups)
+        .select(groups.map(col) :+
+          ((col("__m1") + col("__m2")) / 2).as(out): _*)
+    }
+    val med = gridMedian(base, "__v", "median")
+    val withMed = base.join(med, groups)
+    val mad = gridMedian(
+      withMed.withColumn("__d", abs(col("__v") - col("median"))),
+      "__d", "mad")
+    val z = withMed.join(mad, groups)
+      .withColumn("__z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (col("__v") - col("median")) / col("mad")
+            + lit(1e-12), 9)))
+    z.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        coalesce(sum(when(abs(col("__z")) > threshold, 1L)), lit(0L))
+          .as("n_outliers"),
+        max(abs(col("__z"))).as("max_abs_z"))
+      .select((if (by.isEmpty) Seq.empty[Column] else by.map(col)) ++
+        Seq(col("n"), col("median"), col("mad"), col("n_outliers"),
+          col("max_abs_z")): _*)
+  }
+
   /** First-significant-digit distribution vs Benford's law — the
     * classic fabricated-data / broken-pipeline screen: naturally
     * occurring multi-order-of-magnitude amounts follow

@@ -485,4 +485,46 @@ class QualitySpec extends AnyFunSuite {
     assert(got(("k", "u")) == ((3L, 0L, 0L, true)))
     assert(got(("k,u", "u")) == ((3L, 0L, 0L, true)))
   }
+
+  test("readability: hand-counted words/sentences/syllables and scores") {
+    val docs = Seq(
+      (1L, "The cat sat. It purred!"),   // 5 words, 2 sentences
+      (2L, "no terminal punctuation here"), // 4 words, floored to 1
+      (3L, "")                            // 0 words -> NULL scores
+    ).toDF("doc_id", "text")
+    val r = Quality.readability(docs, "text", Seq("doc_id")).get
+      .orderBy("doc_id").collect()
+    // doc 1 syllables: e|a|a|a|i|u|e (vowel-group runs of lowercased
+    // text: "the cat sat. it purred!") = the(1) cat(1) sat(1) it(1)
+    // purred(1: "urre" -> u, e are two runs? u-rr-e = 2) -> recount:
+    // groups: e, a, a, i, u, e = 6
+    assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 2L &&
+      r(0).getLong(3) == 6L)
+    val ws = 5.0 / 2.0; val yw = 6.0 / 5.0
+    assert(math.abs(r(0).getDouble(4) -
+      (206.835 - 1.015 * ws - 84.6 * yw)) < 1e-12)
+    assert(math.abs(r(0).getDouble(5) -
+      (0.39 * ws + 11.8 * yw - 15.59)) < 1e-12)
+    assert(r(1).getLong(1) == 4L && r(1).getLong(2) == 1L)
+    assert(r(2).getLong(1) == 0L && r(2).getLong(2) == 0L &&
+      r(2).isNullAt(4) && r(2).isNullAt(5))
+  }
+
+  test("madOutliers: exact median/MAD, rounded-z threshold, zero-MAD") {
+    // g: [1,2,3,4,100] -> median 3, |d| = [2,1,0,1,97] -> MAD 1
+    // z = 0.6745*(v-3)/1 -> only 100 exceeds 3.5 (z = 65.4265)
+    val df0 = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0, 9.0).map(("h", _))).toDF("k", "v")
+    val r = Quality.madOutliers(df0, "v", Seq("k")).get
+      .orderBy("k").collect()
+    assert(r(0).getLong(1) == 5L && r(0).getDouble(2) == 3.0 &&
+      r(0).getDouble(3) == 1.0 && r(0).getLong(4) == 1L)
+    assert(math.abs(r(0).getDouble(5) - 0.6745 * 97) < 1e-6)
+    // h: median 5, deviations [0,0,0,4] -> MAD 0 -> NULL z, 0 outliers
+    assert(r(1).getDouble(3) == 0.0 && r(1).getLong(4) == 0L &&
+      r(1).isNullAt(5))
+    // ungrouped form emits one row without key columns
+    val ug = Quality.madOutliers(df0, "v").get.collect()
+    assert(ug.length == 1 && ug(0).getLong(0) == 9L)
+  }
 }
