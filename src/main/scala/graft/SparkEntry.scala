@@ -2972,6 +2972,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q292_dtw_pairs" -> ((s, dir) => {
+      // DTW distances between the 5 event-type hourly-profile series
+      // (24-point, zero-filled, ×100-exact): the DP runs inside
+      // whole-stage codegen; every cell is an exact integer-valued
+      // double — gated unrounded against the unrolled-DP oracle.
+      val ev = events(s, dir)
+      val cells = ev.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(sum(round(col("value") * 100)).as("v"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(s.range(0, 24).select(col("id").cast("int").as("h")))
+      val filled = grid.join(cells, Seq("event_type", "h"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0.0)))
+      val series = TimeSeries.toSeries(filled, Seq("event_type"),
+        "h", "v").get
+      TimeSeries.dtwPairs(series, "event_type", "series").get
+        .orderBy("key_a", "key_b")
+    }),
+
     "q278_forecast_backtest" -> ((s, dir) => {
       // Naive / seasonal-naive backtest over the hourly zero-filled
       // per-type grid (period 24, final day held out). MASE is a
@@ -4618,6 +4637,57 @@ object SparkEntry {
     }
     sb.append(s"\n         SELECT a AS src, b AS dst, support " +
       s"FROM s${rounds - 1} ORDER BY src, dst")
+    sb.toString
+  }
+
+  /** q292's oracle, generated: the DTW DP unrolled over fixed-length
+    * series — one CTE stage per row i of the cost matrix, each stage's
+    * column j holding dp(i, j). Column prefixes alternate c/d per
+    * stage so a stage's lateral aliases (cell j reads cell j−1 of the
+    * SAME stage) can't collide with the previous stage's columns.
+    * With ×100-integral series every in-band cell is an exact
+    * integer-valued double and the 1e308 boundary absorbs additions
+    * exactly, so the replay is bit-identical to
+    * [[graft.functions.DtwImpl]]. */
+  private def dtwOracleSql(len: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH cells AS (
+           SELECT event_type, CAST(hour(ts) AS INT) AS h,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, hour(ts)
+         ), grid AS (
+           SELECT t.event_type, g.h
+           FROM (SELECT DISTINCT event_type FROM events) t,
+                (SELECT unnest(range(0, """ + len + """)) AS h) g
+         ), f AS (
+           SELECT grid.event_type, grid.h,
+             CAST(COALESCE(cells.v, 0) AS DOUBLE) AS v
+           FROM grid LEFT JOIN cells
+             ON cells.event_type = grid.event_type AND cells.h = grid.h
+         ), series AS (
+           SELECT event_type AS k, list(v ORDER BY h) AS s FROM f
+           GROUP BY event_type
+         ), r0 AS (
+           SELECT a.k AS key_a, b.k AS key_b, a.s AS sa, b.s AS sb,
+             0.0 AS c0""")
+    for (j <- 1 to len) sb.append(s", 1e308 AS c$j")
+    sb.append("\n           FROM series a JOIN series b ON a.k < b.k)")
+    for (i <- 1 to len) {
+      val (np, op) = (if (i % 2 == 1) "d" else "c", if (i % 2 == 1) "c" else "d")
+      sb.append(s""", r$i AS (
+           SELECT key_a, key_b, sa, sb, 1e308 AS ${np}0""")
+      for (j <- 1 to len)
+        sb.append(s""",
+             abs(sa[$i] - sb[$j]) + least($op$j, $np${j - 1}, $op${j - 1}) AS $np$j""")
+      sb.append(s"\n           FROM r${i - 1})")
+    }
+    val last = if (len % 2 == 1) "d" else "c"
+    sb.append(s"""
+         SELECT key_a, key_b, CAST(len(sa) AS BIGINT) AS n_a,
+           CAST(len(sb) AS BIGINT) AS n_b, $last$len AS dtw
+         FROM r$len ORDER BY key_a, key_b""")
     sb.toString
   }
 
@@ -7775,6 +7845,10 @@ object SparkEntry {
                / (k * sl - sl2)
            END AS q
          FROM kk, g, l""",
+
+    // q292: generated unrolled DTW DP (24 stages, alternating column
+    // prefixes; see dtwOracleSql).
+    "q292_dtw_pairs" -> dtwOracleSql(len = 24),
 
     // q290: the three regex counts replayed (regexp_extract_all is the
     // q280-proven tokenizer device) + the same score arithmetic.

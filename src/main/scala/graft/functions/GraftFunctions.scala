@@ -107,5 +107,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jaro",
       es => { arity("jaro", es, 2, 2)
         JaroSim(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("dtw",
+      es => { arity("dtw", es, 2, 3)
+        DtwDistance(es(0), es(1),
+          if (es.length > 2) intLit(es(2)) else Int.MaxValue) }, "scala_udf")
   }
 }

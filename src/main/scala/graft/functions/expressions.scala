@@ -1235,3 +1235,70 @@ case class JaroSim(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "jaro"
 }
+
+/** Dynamic-time-warping kernel: the O(n·m) two-row DP as a static JVM
+  * method callable from generated code — DTW cannot be expressed with
+  * Spark's array lambdas (the inner recurrence reads its OWN row's
+  * previous cell, which `transform` can't), so this is the (b)-tier
+  * custom-Expression path.
+  *
+  * Local cost |aᵢ − bⱼ|; Sakoe–Chiba band of half-width
+  * `max(band, |n−m|)` (widened so a feasible path always exists).
+  * Out-of-band cells hold exactly 1e308 — a value that absorbs any
+  * realistic cost addition without changing (1e308 + x == 1e308 in
+  * IEEE for x < its ulp ≈ 2e292), so banded results are deterministic
+  * bit-for-bit. With integral inputs (the ×100 convention) every
+  * in-band cell is an exact integer-valued double: the strongest
+  * determinism tier.
+  */
+object DtwImpl {
+  final val Inf = 1e308
+
+  def dtw(a: ArrayData, b: ArrayData, band: Int): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    if (n == 0 || m == 0) return Inf
+    // cap at max(n, m): wider adds nothing and i + w must not overflow
+    val w = math.min(math.max(band, math.abs(n - m)), math.max(n, m))
+    var prev = new Array[Double](m + 1)
+    var curr = new Array[Double](m + 1)
+    var j = 1
+    prev(0) = 0.0
+    while (j <= m) { prev(j) = Inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      curr(0) = Inf
+      val lo = math.max(1, i - w)
+      val hi = math.min(m, i + w)
+      j = 1
+      while (j < lo) { curr(j) = Inf; j += 1 }
+      while (j <= hi) {
+        val cost = math.abs(a.getDouble(i - 1) - b.getDouble(j - 1))
+        var best = prev(j)
+        if (curr(j - 1) < best) best = curr(j - 1)
+        if (prev(j - 1) < best) best = prev(j - 1)
+        curr(j) = cost + best
+        j += 1
+      }
+      while (j <= m) { curr(j) = Inf; j += 1 }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+}
+
+/** `dtw(array<double>, array<double>, band)` → double. */
+case class DtwDistance(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DtwImpl.dtw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], band)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DtwImpl.dtw($a, $b, $band)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DtwDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "dtw"
+}

@@ -866,4 +866,84 @@ object TimeSeries {
             .when(col("s") < 0, (col("s") + 1).cast("double"))
             .otherwise(lit(0.0)) / sqrt(col("var_s"))).as("z")): _*)
   }
+
+  /** Collapse a (key, order, value) frame to one ARRAY row per key,
+    * values in `orderCol` order — the series representation
+    * [[dtwPairs]] and any whole-series kernel consume. `orderCol`
+    * must be unique per key (duplicate order keys would make the
+    * array order engine-dependent — enforced).
+    *
+    * Plan: one partial-agg shuffle; the sort happens INSIDE each
+    * key's collected array (`array_sort` on (order, value) structs),
+    * never as a global exchange. Arrays live in executor rows — keep
+    * series lengths bounded (resample with [[gapFill]] first).
+    */
+  def toSeries(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    val keys = keyCols.map(col)
+    val packed = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col(orderCol)).as("__no"),
+        array_sort(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("double").as("v")))).as("__s"))
+    packed
+      .withColumn("series",
+        when(col("n_points") === col("__no"),
+          transform(col("__s"), x => x.getField("v")))
+          .otherwise(raise_error(concat(lit("toSeries: duplicate "),
+            lit(orderCol), lit(" within a key")))))
+      .select(keys :+ col("n_points") :+ col("series"): _*)
+  }
+
+  /** All-pairs dynamic-time-warping distances between per-key series —
+    * the alignment-tolerant similarity behind "which metrics move
+    * together but shifted" and shapelet-style series dedup (Euclidean
+    * distance punishes phase shifts; DTW warps time). Input is one
+    * ARRAY row per key ([[toSeries]] output). `band` is the
+    * Sakoe–Chiba half-width (window `max(band, |n−m|)`) — the classic
+    * O(n·w) accuracy/cost dial.
+    *
+    * Returns `(key_a, key_b, n_a, n_b: bigint, dtw: double)` for every
+    * unordered key pair (key_a < key_b).
+    *
+    * Plan: the DP runs INSIDE whole-stage codegen (a native
+    * [[graft.functions.DtwDistance]] expression — no UDF
+    * serialization), one broadcast nested-loop self-join over the
+    * SERIES frame: quadratic in KEYS, never in observations — the
+    * [[kendallTau]] contract, `maxKeys`-guarded; block first (by
+    * category, tenant, metric family) when the key domain is large.
+    * With ×100-integral series every distance is an exact
+    * integer-valued double.
+    */
+  def dtwPairs(
+      df: DataFrame,
+      keyCol: String,
+      seriesCol: String,
+      band: Int = Int.MaxValue,
+      maxKeys: Long = 10000L
+  ): MayFail[DataFrame] = MayFail {
+    require(band >= 0, s"band must be >= 0: $band")
+    val k = df.count()
+    require(k <= maxKeys,
+      s"dtwPairs: $k series exceed maxKeys=$maxKeys — block the key " +
+        "domain first (the pair join is quadratic in keys)")
+    val l = df.select(col(keyCol).as("key_a"), col(seriesCol).as("__sa"))
+    val r = broadcast(
+      df.select(col(keyCol).as("key_b"), col(seriesCol).as("__sb")))
+    import org.apache.spark.sql.graftbridge.Bridge
+    l.join(r, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        Bridge.column(graft.functions.DtwDistance(
+          Bridge.expression(col("__sa")),
+          Bridge.expression(col("__sb")), band)).as("dtw"))
+  }
 }

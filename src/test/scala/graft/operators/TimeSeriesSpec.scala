@@ -378,4 +378,65 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select("n_points", "z").collect().head
     assert(ro.getLong(0) == 1L && ro.isNullAt(1))
   }
+
+  // reference full DP for the DTW kernel
+  private def dtwRef(a: Array[Double], b: Array[Double]): Double = {
+    val dp = Array.fill(a.length + 1, b.length + 1)(Double.MaxValue)
+    dp(0)(0) = 0.0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+        math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+    dp(a.length)(b.length)
+  }
+
+  test("dtwPairs: matches the full-DP reference; shift costs less than L2") {
+    val s1 = Array(0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, 0.0)
+    val s2 = Array(0.0, 0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0) // s1 shifted 1
+    val s3 = Array(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0)
+    val df = Seq(("a", s1.toSeq), ("b", s2.toSeq), ("c", s3.toSeq))
+      .toDF("k", "series")
+    val got = TimeSeries.dtwPairs(df, "k", "series").get
+      .orderBy("key_a", "key_b")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(0)._5 == dtwRef(s1, s2))
+    assert(got(1)._5 == dtwRef(s1, s3))
+    assert(got(2)._5 == dtwRef(s2, s3))
+    // the phase shift aligns away: DTW(a,b) = 0 < Manhattan distance
+    assert(got(0)._5 == 0.0)
+    // maxKeys guard
+    assert(TimeSeries.dtwPairs(df, "k", "series", maxKeys = 2).isFailing)
+  }
+
+  test("dtw band: band 0 forces the diagonal; unequal lengths widen it") {
+    val df = Seq(("a", Seq(0.0, 1.0, 2.0, 3.0)), ("b", Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("k", "series")
+    val diag = TimeSeries.dtwPairs(df, "k", "series", band = 0).get
+      .select("dtw").as[Double].head()
+    // band 0 = pure pointwise path: |0-1|+|1-1|+|2-1|+|3-1| = 4
+    assert(diag == 4.0)
+    val full = TimeSeries.dtwPairs(df, "k", "series").get
+      .select("dtw").as[Double].head()
+    assert(full <= diag)
+    // length mismatch still feasible at band 0 (window >= |n-m|)
+    val uneq = Seq(("a", Seq(1.0, 2.0)), ("b", Seq(1.0, 2.0, 2.0)))
+      .toDF("k", "series")
+    val d = TimeSeries.dtwPairs(uneq, "k", "series", band = 0).get
+      .select("dtw").as[Double].head()
+    assert(d == 0.0)
+  }
+
+  test("toSeries: order-sorted arrays; duplicate order key raises") {
+    val df = Seq(("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0),
+      ("b", 1, 5.0)).toDF("k", "o", "v")
+    val r = TimeSeries.toSeries(df, Seq("k"), "o", "v").get
+      .orderBy("k").as[(String, Long, Seq[Double])].collect()
+    assert(r(0) == (("a", 3L, Seq(10.0, 20.0, 30.0))))
+    assert(r(1) == (("b", 1L, Seq(5.0))))
+    val dup = df.union(Seq(("a", 2, 99.0)).toDF("k", "o", "v"))
+    val ex = intercept[Exception](
+      TimeSeries.toSeries(dup, Seq("k"), "o", "v").get.collect())
+    assert(ex.getMessage != null)
+  }
 }
