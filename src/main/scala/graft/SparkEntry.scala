@@ -2972,6 +2972,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q293_textrank" -> ((s, dir) => {
+      // Corpus TextRank over the adjacent-token co-occurrence graph:
+      // exact-BIGINT PageRank mass, deterministic (rank DESC, token)
+      // top-15 — the oracle replays the full 3-iteration recursion.
+      graft.operators.Keywords.textrank(tbl(s, dir, "documents"),
+        "doc_id", "text", window = 2, iterations = 3, topK = 15).get
+    }),
+
     "q292_dtw_pairs" -> ((s, dir) => {
       // DTW distances between the 5 event-type hourly-profile series
       // (24-point, zero-filled, ×100-exact): the DP runs inside
@@ -4637,6 +4645,67 @@ object SparkEntry {
     }
     sb.append(s"\n         SELECT a AS src, b AS dst, support " +
       s"FROM s${rounds - 1} ORDER BY src, dst")
+    sb.toString
+  }
+
+  /** q293's oracle, generated: tokenize (the q280 device), build the
+    * adjacent-pair co-occurrence edge list, then replay the
+    * weighted-PageRank recursion exactly as q199's oracle does —
+    * (rank·17·w) div (20·outw) transfers, per-node teleport
+    * scale·3/20, dangling share div n (always 0 on this symmetric
+    * graph, kept for fidelity). */
+  private def textrankOracleSql(iterations: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents WHERE text IS NOT NULL
+         ), tok AS (
+           SELECT doc_id, unnest(t) AS g,
+             generate_subscripts(t, 1) AS i
+           FROM toks
+         ), pr AS (
+           SELECT least(a.g, b.g) AS x, greatest(a.g, b.g) AS y,
+             CAST(count(*) AS BIGINT) AS w
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.g <> b.g
+           GROUP BY 1, 2
+         ), e AS (
+           SELECT x AS src, y AS dst, w FROM pr
+           UNION ALL SELECT y, x, w FROM pr
+         ), nd AS (
+           SELECT DISTINCT src AS node FROM e
+         ), deg AS (
+           SELECT src AS node, SUM(w) AS outw FROM e GROUP BY src
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd
+         ), r0 AS (
+           SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nd
+         )""")
+    for (i <- 1 to iterations) {
+      sb.append(s""", d$i AS (
+           SELECT COALESCE(SUM((r.rank * 17) // 20), 0)
+             // (SELECT n FROM nn) AS ds
+           FROM r${i - 1} r LEFT JOIN deg d ON d.node = r.node
+           WHERE d.node IS NULL
+         ), i$i AS (
+           SELECT e.dst AS node,
+             SUM((r.rank * 17 * e.w) // (20 * d.outw)) AS im
+           FROM e JOIN r${i - 1} r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+           GROUP BY e.dst
+         ), r$i AS (
+           SELECT nd.node,
+             COALESCE(i$i.im, 0) + 150000000 + (SELECT ds FROM d$i) AS rank
+           FROM nd LEFT JOIN i$i ON i$i.node = nd.node
+         )""")
+    }
+    sb.append(s"""
+         SELECT node AS token, CAST(rank AS BIGINT) AS rank,
+           CAST(rank AS DOUBLE) /
+             CAST((SELECT n FROM nn) * 1000000000 AS DOUBLE) AS score
+         FROM r$iterations ORDER BY rank DESC, token LIMIT $topK""")
     sb.toString
   }
 
@@ -7849,6 +7918,10 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q293: generated 3-iteration weighted-PageRank replay over the
+    // token co-occurrence graph (see textrankOracleSql).
+    "q293_textrank" -> textrankOracleSql(iterations = 3, topK = 15),
 
     // q290: the three regex counts replayed (regexp_extract_all is the
     // q280-proven tokenizer device) + the same score arithmetic.

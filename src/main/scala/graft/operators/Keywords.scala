@@ -77,4 +77,64 @@ object Keywords {
       .filter(col("rank") <= topK)
       .select(col("__id").as(idCol), col("phrase"), col("score"), col("rank"))
   }
+
+  /** TextRank keywords (Mihalcea & Tarau 2004) — corpus-level salient
+    * terms as the stationary weights of a random walk over the word
+    * co-occurrence graph: tokens are nodes, tokens within `window`
+    * positions of each other share an (undirected, count-weighted)
+    * edge, and [[Graph.pageRank]] ranks them. The graph-centrality
+    * complement to [[rake]] (RAKE scores phrases per document;
+    * TextRank scores vocabulary corpus-wide).
+    *
+    * Tokenization: lowercase + whitespace split (the q280 portable
+    * convention). Self-loops (a token adjacent to itself) are
+    * dropped; pairs are normalized (least, greatest) before counting
+    * so direction never matters.
+    *
+    * Returns `topK` rows `(token, rank: bigint, score: double)` in
+    * (rank DESC, token) order — `rank` is PageRank's exact-BIGINT
+    * fixed-point mass (bit-deterministic; the whole ranking replays
+    * in the oracle iteration-for-iteration), `score` the
+    * rank/(n·scale) normalization.
+    *
+    * Plan: one posexplode, `window−1` equi-joins on (doc, position+k)
+    * — never a per-document quadratic — one partial-agg shuffle to
+    * the edge list (VOCABULARY², not corpus, sized), then the
+    * [[Graph.pageRank]] iteration discipline (per-round
+    * localCheckpoint, exact mass transfer). A 10¹⁰-token corpus pays
+    * its vocabulary co-occurrence grid only.
+    */
+  def textrank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iterations: Int = 3,
+      topK: Int = 20,
+      scale: Long = 1000000000L
+  ): MayFail[DataFrame] = MayFail {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = filter(split(lower(col(textCol)), "[ \\t\\n\\r\\f]+"),
+      t => length(t) > 0)
+    val pos = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .select(col("__id"), posexplode(col("__t")).as(Seq("__i", "__w")))
+    val left = pos.select(col("__id"), col("__i"), col("__w").as("__wa"))
+    val pairs = (1 until window).map { k =>
+      val right = pos.select(col("__id"), (col("__i") - k).as("__i"),
+        col("__w").as("__wb"))
+      left.join(right, Seq("__id", "__i"))
+        .filter(col("__wa") =!= col("__wb"))
+        .select(least(col("__wa"), col("__wb")).as("x"),
+          greatest(col("__wa"), col("__wb")).as("y"))
+    }.reduce(_ union _)
+    val und = pairs.groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val sym = und.union(
+      und.select(col("y").as("x"), col("x").as("y"), col("w")))
+    val pr = Graph.pageRank(sym, "x", "y", iterations = iterations,
+      scale = scale, weightCol = Some("w")).get
+    pr.orderBy(col("rank").desc, col("node")).limit(topK)
+      .select(col("node").as("token"), col("rank"), col("score"))
+  }
 }

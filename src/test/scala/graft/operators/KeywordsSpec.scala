@@ -41,4 +41,27 @@ class KeywordsSpec extends AnyFunSuite {
       "id", "text", Seq("and", "the")).get
     assert(none.count() == 0)
   }
+
+  test("textrank: hub token ranks first; symmetric pair ties on rank") {
+    // "b" co-occurs with a, c, d — the hub of the co-occurrence graph
+    val docs = Seq((1L, "a b a b c"), (2L, "b a b d"))
+      .toDF("doc_id", "text")
+    val r = Keywords.textrank(docs, "doc_id", "text", topK = 10).get
+      .as[(String, Long, Double)].collect()
+    assert(r.map(_._1).toSet == Set("a", "b", "c", "d"))
+    assert(r.head._1 == "b")
+    // ranks non-increasing; scores normalize rank/(n*scale)
+    assert(r.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    r.foreach(x => assert(math.abs(x._3 - x._2.toDouble / (4 * 1e9)) < 1e-15))
+    // a perfectly symmetric 2-token graph ties exactly; token breaks it
+    val sym = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val rs = Keywords.textrank(sym, "doc_id", "text", topK = 10).get
+      .as[(String, Long, Double)].collect()
+    assert(rs.map(_._1).toSeq == Seq("x", "y"))
+    assert(rs(0)._2 == rs(1)._2)
+    // widening the window adds distance-2 edges: c and d join via a/b
+    val w3 = Keywords.textrank(docs, "doc_id", "text", window = 3,
+      topK = 10).get.as[(String, Long, Double)].collect()
+    assert(w3.map(_._1).toSet == Set("a", "b", "c", "d"))
+  }
 }
