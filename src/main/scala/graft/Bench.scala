@@ -97,7 +97,15 @@ object Bench {
     // Theil-Sen slopes (bounded-quadratic self-join + median ranks);
     // kernel-codegen and block-join regressions surface here
     "q261_record_linkage",
-    "q268_theil_sen"
+    "q268_theil_sen",
+    // round-9 session-5: per-key pairwise Mann-Kendall (the q268 join
+    // shape driven through a sign-sum instead of a median — pair-join
+    // regressions independent of the rank path surface here) and
+    // corpus TextRank (posexplode → vocabulary-grid partial agg →
+    // 3-iteration weighted PageRank; the explode→iterate composition
+    // is new to the bench)
+    "q289_mann_kendall",
+    "q293_textrank"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

@@ -1259,6 +1259,83 @@ object ScaleRehearsal {
       s"containment pairs must follow mult²·base + C(mult,2)·D: " +
         s"$contReplN vs $mult²·$contBaseN + C·$contDocsWithGrams")
 
+    // mann-kendall: disjoint per-key replicas — every (s, var_s, z) is
+    // bit-identical to the base run (S and the variance moments are
+    // exact integers; z one IEEE sqrt/divide of them)
+    def mkMap(d: DataFrame): Map[Long, (Long, Long, Double, Double)] =
+      graft.operators.TimeSeries.mannKendall(d, Seq("user_id"), "ts",
+          "value").get
+        .select(col("user_id"), col("n_points"), col("s"), col("var_s"),
+          col("z"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    var mkRepl: Map[Long, (Long, Long, Double, Double)] = null
+    time("mann-kendall")({ mkRepl = mkMap(evRepl); mkRepl.size.toLong })
+    val mkBase = mkMap(evBase)
+    check("mann_kendall_replication_law",
+      mkBase.nonEmpty && mkRepl.size == mkBase.size * mult &&
+        mkBase.forall { case (u, v) => mkRepl(u) == v },
+      s"mann-kendall rows must be replica-identical and scale by mult: " +
+        s"${mkRepl.size} vs ${mkBase.size} x $mult")
+    // kendall tau-b: invariant under strictly monotone transforms of
+    // either margin (all pair counts are identical longs, so tau is the
+    // SAME IEEE expression) — checked on the replicated frame
+    def tauRow(d: DataFrame, a: String, b: String) =
+      graft.operators.Stats.kendallTau(d, a, b, maxCells = 100000).get
+        .collect().head
+    var tauPlain: org.apache.spark.sql.Row = null
+    time("kendall-tau")({
+      tauPlain = tauRow(li, "l_quantity", "l_discount"); tauPlain.getLong(0)
+    })
+    val tauXform = tauRow(
+      li.withColumn("qa", col("l_quantity") * 2 + 1)
+        .withColumn("db", pow(col("l_discount"), 3)), "qa", "db")
+    check("kendall_tau_monotone_invariance",
+      tauPlain.getLong(0) > 0 && tauPlain.toSeq.drop(1) == tauXform.toSeq.drop(1),
+      s"tau-b must be invariant under monotone margin transforms: " +
+        s"$tauPlain vs $tauXform")
+    // DTW: replicated events multiply every ×100-exact series cell by
+    // mult, and DTW(m·a, m·b) = m·DTW(a, b) EXACTLY (|m·x − m·y| =
+    // m·|x − y|, min commutes, all sums exact integers)
+    def dtwMap(d: DataFrame): Map[(String, String), Double] = {
+      val cells = d.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(sum(round(col("value") * 100)).as("v"))
+      val grid = d.select("event_type").distinct()
+        .crossJoin(spark.range(0, 24).select(col("id").cast("int").as("h")))
+      val filled = grid.join(cells, Seq("event_type", "h"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0.0)))
+      val series = graft.operators.TimeSeries.toSeries(filled,
+        Seq("event_type"), "h", "v").get
+      graft.operators.TimeSeries.dtwPairs(series, "event_type", "series")
+        .get.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    }
+    var dtwRepl: Map[(String, String), Double] = null
+    time("dtw-pairs")({ dtwRepl = dtwMap(evRepl); dtwRepl.size.toLong })
+    val dtwBase = dtwMap(evBase)
+    check("dtw_mass_scaling_law",
+      dtwBase.nonEmpty && dtwRepl.size == dtwBase.size &&
+        dtwBase.forall { case (k, v) => dtwRepl(k) == v * mult },
+      s"DTW must scale bit-exactly by mult under replication: " +
+        s"$dtwRepl vs $dtwBase x $mult")
+    // textrank: corpus replication multiplies every co-occurrence
+    // weight by mult, and (rank·17·(m·w)) div (20·(m·outw)) floors the
+    // SAME rational as the base — ranks replication-BIT-IDENTICAL (the
+    // markov q248 law)
+    def trOf(d: DataFrame): Seq[(String, Long, Double)] =
+      graft.operators.Keywords.textrank(d, "doc_id", "text", topK = 15)
+        .get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    var trRepl: Seq[(String, Long, Double)] = null
+    time("textrank")({ trRepl = trOf(docs); trRepl.size.toLong })
+    val trBase = trOf(contDocsBase)
+    check("textrank_replication_identity",
+      trBase.nonEmpty && trBase == trRepl,
+      s"textrank ranks must be replication-bit-identical: " +
+        s"$trRepl vs $trBase")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

@@ -343,4 +343,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "range-join bin assignment in quantile drift")
   }
+
+  test("q282: kendall-tau quadratic is BROADCAST over the cell grid") {
+    // the pair join is quadratic in distinct CELLS and must be a
+    // broadcast nested loop (the grid fits by the maxCells contract),
+    // never a cartesian shuffle of the cells
+    val plan = planOf("q282_kendall_tau")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "kendall grid pair join lost its broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "kendall pairs via cartesian shuffle")
+  }
+
+  test("q283/q286: rank-sum grids window over values, one partition OK") {
+    // the δ/HL grids are DISTINCT-VALUE frames — the single global
+    // window over the grid is by design (grid ≪ rows); what must NOT
+    // appear is any row-level window
+    val plan = planOf("q283_cliffs_delta")
+    assert(!plan.contains("CartesianProduct"))
+    val planHl = planOf("q286_hodges_lehmann")
+    assert(planHl.contains("BroadcastNestedLoopJoin"),
+      "HL difference grid lost its broadcast cross")
+  }
+
+  test("q289: mann-kendall pairs ride the key equi-join; no all-pairs") {
+    val plan = planOf("q289_mann_kendall")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in mann-kendall")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi pair join in mann-kendall")
+  }
+
+  test("q290: readability is a pure projection — no shuffle at all") {
+    val plan = planOf("q290_readability")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "readability should not shuffle")
+    assert(!plan.contains("Join"), "readability should not join")
+  }
+
+  test("q292: DTW runs inside whole-stage codegen over a broadcast pair join") {
+    val plan = planOf("q292_dtw_pairs")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "DTW pair join lost its broadcast")
+    // the kernel is a native expression, not a UDF
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "DTW fell back to a UDF")
+  }
+
+  test("q293: textrank edges come from position equi-joins, never all-pairs") {
+    val plan = planOf("q293_textrank")
+    assert(!plan.contains("CartesianProduct"), "all-pairs in textrank")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi token pair join in textrank")
+  }
 }
