@@ -2972,6 +2972,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q294_cohort_ltv" -> ((s, dir) => {
+      // Weekly cohort LTV curves: exact x100 revenue sums, exact
+      // running cumulative, one IEEE chain for ltv - gated unrounded.
+      Behavior.cohortLtv(events(s, dir), "ts", "user_id", "value",
+          bucketSec = 604800L).get
+        .orderBy("cohort_ts", "age")
+    }),
+
+    "q295_page_hinkley" -> ((s, dir) => {
+      // Page-Hinkley upward-drift monitor over the zero-filled hourly
+      // grid (delta 0, lambda 500): prefix sums exact, the m-fold a
+      // sequential float accumulation the oracle replays as a left
+      // fold; outputs rounded, alarm on the rounded-at-9 ph.
+      val gf = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.pageHinkley(gf, Seq("event_type"), "bucket_ts", "value",
+          delta = 0.0, lambda = 500.0, scale = 1L).get
+        .select(col("event_type"), col("bucket_ts"), col("value"),
+          round(col("ph_m") + lit(1e-9), 4).as("ph_m"),
+          round(col("ph") + lit(1e-9), 4).as("ph"), col("alarm"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    "q296_jonckheere" -> ((s, dir) => {
+      // Ordered-alternative trend test across the 5 event types
+      // (alphabetical order): J and every moment exact; the variance
+      // terms are IEEE divisions in a fixed mirrored order - gated
+      // unrounded.
+      Stats.jonckheereTerpstra(
+        events(s, dir).withColumn("band", floor(col("value") / 10)),
+        "band", "event_type").get
+    }),
+
     "q293_textrank" -> ((s, dir) => {
       // Corpus TextRank over the adjacent-token co-occurrence graph:
       // exact-BIGINT PageRank mass, deterministic (rank DESC, token)
@@ -7918,6 +7953,141 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q294: cohort LTV replayed — per-user cohort window, exact x100
+    // revenue cells, running cumulative per cohort, one IEEE chain.
+    "q294_cohort_ltv" ->
+      """WITH rows_ AS (
+           SELECT user_id,
+             CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS b,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         ), coh AS (
+           SELECT user_id, b, v,
+             min(b) OVER (PARTITION BY user_id) AS cohort
+           FROM rows_
+         ), matrix AS (
+           SELECT cohort, CAST((b - cohort) // 604800 AS INT) AS age,
+             CAST(sum(v) AS BIGINT) AS rev,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active
+           FROM coh GROUP BY cohort, age
+         ), sizes AS (
+           SELECT cohort,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+           FROM coh GROUP BY cohort
+         ), cum AS (
+           SELECT m.cohort, m.age, m.active, s.cohort_size, m.rev,
+             CAST(sum(m.rev) OVER (PARTITION BY m.cohort ORDER BY m.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumrev
+           FROM matrix m JOIN sizes s ON m.cohort = s.cohort
+         )
+         SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + cohort * INTERVAL 1 SECOND AS cohort_ts,
+           age, active, cohort_size,
+           CAST(rev AS DOUBLE) / 100 AS revenue,
+           CAST(cumrev AS DOUBLE) / 100 AS cum_revenue,
+           CAST(cumrev AS DOUBLE) / 100 / cohort_size AS ltv
+         FROM cum ORDER BY cohort_ts, age""",
+
+    // q295: Page-Hinkley replayed — the q214 grid, exact prefix sums,
+    // per-row mean terms, the m-fold as a prepended-zero left fold
+    // (the ewma device), running min, rounded outputs + threshold.
+    "q295_page_hinkley" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), j AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0.0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), pre AS (
+           SELECT event_type, b, CAST(round(v) AS BIGINT) AS iv,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+               AS BIGINT) AS t,
+             CAST(sum(CAST(round(v) AS BIGINT)) OVER (PARTITION BY
+               event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS s
+           FROM j
+         ), term AS (
+           SELECT event_type, b, iv,
+             CAST(iv AS DOUBLE) - CAST(s AS DOUBLE) / t - 0.0 AS term
+           FROM pre
+         ), m AS (
+           SELECT event_type, b, iv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(term) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, e) -> acc + e) AS m
+           FROM term
+         ), mm AS (
+           SELECT event_type, b, iv, m,
+             min(m) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM m
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           CAST(iv AS DOUBLE) / 1 AS value,
+           round(m / 1 + 1e-9, 4) AS ph_m,
+           round((m - mn) / 1 + 1e-9, 4) AS ph,
+           round((m - mn) / 1 + 1e-12, 9) > 500.0 AS alarm
+         FROM mm ORDER BY event_type, bucket_ts""",
+
+    // q296: Jonckheere-Terpstra replayed — the (group, value) cell
+    // grid, 2J integral pair counts, the three tie-corrected variance
+    // terms with the SAME double-cast points and addition order.
+    "q296_jonckheere" ->
+      """WITH f AS (
+           SELECT CAST(event_type AS VARCHAR) AS g,
+             CAST(floor(value / 10) AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ), cells AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY g, v
+         ), pairs AS (
+           SELECT CAST(COALESCE(sum(CASE
+               WHEN x.v < y.v THEN x.c * y.c * 2
+               WHEN x.v = y.v THEN x.c * y.c END), 0) AS BIGINT) AS j2
+           FROM cells x JOIN cells y ON x.g < y.g
+         ), gm AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(nn) AS BIGINT) AS n,
+             CAST(sum(nn * nn) AS BIGINT) AS sn2,
+             CAST(sum(nn * (nn - 1) * (nn * 2 + 5)) AS BIGINT) AS sn25,
+             CAST(sum(nn * (nn - 1)) AS BIGINT) AS snn1,
+             CAST(sum(nn * (nn - 1) * (nn - 2)) AS BIGINT) AS snn12
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells GROUP BY g)
+         ), tm AS (
+           SELECT
+             CAST(sum(tt * (tt - 1) * (tt * 2 + 5)) AS BIGINT) AS st25,
+             CAST(sum(tt * (tt - 1)) AS BIGINT) AS stt1,
+             CAST(sum(tt * (tt - 1) * (tt - 2)) AS BIGINT) AS stt12
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells GROUP BY v)
+         ), sel AS (
+           SELECT n, k,
+             CAST(j2 AS DOUBLE) / 2 AS j,
+             CAST(n * n - sn2 AS DOUBLE) / 4 AS e_j,
+             CAST(n * (n - 1) * (n * 2 + 5) - sn25 - st25 AS DOUBLE) / 72
+               + CAST(snn12 AS DOUBLE) * CAST(stt12 AS DOUBLE)
+                 / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+               + CAST(snn1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+                 / (8.0 * CAST(n * (n - 1) AS DOUBLE)) AS var_j
+           FROM gm, tm, pairs
+         )
+         SELECT n, k, j, e_j, var_j,
+           CASE WHEN k >= 2 AND var_j > 0
+             THEN (j - e_j) / sqrt(var_j) END AS z
+         FROM sel""",
 
     // q293: generated 3-iteration weighted-PageRank replay over the
     // token co-occurrence graph (see textrankOracleSql).

@@ -256,6 +256,63 @@ object Behavior {
           .as("retention"))
   }
 
+  /** Cohort LTV curves — cumulative value per user by cohort age, the
+    * revenue companion to [[cohortRetention]] (retention says who came
+    * back; LTV says what they were worth by age k — the payback-window
+    * readout). Cohort = the user's first value-bearing bucket; rows
+    * with NULL ts/value don't count toward cohorts or revenue
+    * (documented contract).
+    *
+    * Returns `(cohort_ts: timestamp, age: int, active, cohort_size:
+    * bigint, revenue, cum_revenue, ltv: double)` — `active` distinct
+    * spenders at that age, `ltv = cum_revenue / cohort_size`. Only
+    * observed (cohort, age) cells emit (gap ages carry no revenue;
+    * left-join a grid downstream if a dense matrix is needed).
+    *
+    * Determinism: revenue sums are exact ×`scale` longs, the running
+    * cumulative is exact, and `ltv` is one IEEE chain of exact
+    * integers — gate-stable unrounded.
+    *
+    * Plan: one per-user window for the cohort tag, one partial-agg
+    * shuffle to (cohort, age) cells, a broadcast of per-cohort sizes,
+    * and a running window over the CELL matrix (cohorts × ages rows,
+    * never user-level).
+    */
+  def cohortLtv(
+      df: DataFrame,
+      tsCol: String,
+      userCol: String,
+      valueCol: String,
+      bucketSec: Long,
+      scale: Long = 100L
+  ): MayFail[DataFrame] = MayFail {
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val w = Window.partitionBy(col(userCol))
+    val rows = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol),
+        (floor(col(tsCol).cast("long") / bucketSec) * bucketSec)
+          .cast("long").as("__b"),
+        round(col(valueCol) * scale).cast("long").as("__v"))
+      .withColumn("__cohort", min(col("__b")).over(w))
+    val matrix = rows.groupBy(col("__cohort"),
+        ((col("__b") - col("__cohort")) / bucketSec).cast("int").as("age"))
+      .agg(sum(col("__v")).as("__rev"),
+        countDistinct(col(userCol)).as("active"))
+    val sizes = rows.groupBy(col("__cohort"))
+      .agg(countDistinct(col(userCol)).as("cohort_size"))
+    val cum = Window.partitionBy(col("__cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matrix.join(broadcast(sizes), Seq("__cohort"))
+      .withColumn("__cum", sum(col("__rev")).over(cum))
+      .select(timestamp_seconds(col("__cohort")).as("cohort_ts"),
+        col("age"), col("active"), col("cohort_size"),
+        (col("__rev").cast("double") / scale).as("revenue"),
+        (col("__cum").cast("double") / scale).as("cum_revenue"),
+        (col("__cum").cast("double") / scale / col("cohort_size"))
+          .as("ltv"))
+  }
+
   /** First-order transition matrix over per-entity event sequences:
     * counts of consecutive (prev_type → type) pairs, ordered by
     * (`tsCol`, `idCol`) within each entity ( `idCol` makes equal-µs

@@ -1285,6 +1285,86 @@ object Stats {
           .as("n_required"))
   }
 
+  /** Jonckheere–Terpstra test for an ORDERED alternative across k
+    * groups — "does the metric trend UP along the group order"
+    * (dose–response, bucket-ordered experiments), strictly more
+    * powerful than [[kruskalWallis]] when the order is known. Groups
+    * are ordered by `groupCol`'s natural sort. `J = Σ_{i<j} U_ij` with
+    * the ½-tie convention; mean and tie-corrected variance are the
+    * standard three-term formulas (Hollander & Wolfe), z the ±1-free
+    * normal approximation.
+    *
+    * Returns ONE row `(n, k: bigint, j, e_j, var_j, z: double)` —
+    * `j` half-integral exact, NULL z when var = 0 or k < 2.
+    *
+    * Plan: observations reduce to the DISTINCT (group, value) CELL
+    * grid; U-counts come from a grid×grid broadcast nested-loop join —
+    * the [[kendallTau]] contract (quadratic in CELLS, `maxCells`
+    * driver-checked; bin continuous metrics first). Every count and
+    * moment is an exact long; the three variance terms are IEEE
+    * divisions of exact-long factors in a FIXED order (large products
+    * cast to double before multiplying — they can exceed 2⁵³, and the
+    * oracle mirrors the cast points exactly).
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      maxCells: Int = 10000
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val cells = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), v.as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val kCells = cells.count()
+    require(kCells <= maxCells,
+      s"jonckheereTerpstra: $kCells distinct (group, value) cells exceed " +
+        s"maxCells=$maxCells — bin the metric first")
+    val l = cells.select(col("__g").as("__g1"), col("__v").as("__v1"),
+      col("__c").as("__c1"))
+    val r = broadcast(cells.select(col("__g").as("__g2"),
+      col("__v").as("__v2"), col("__c").as("__c2")))
+    // 2J stays integral: 2·(less pairs) + (tied pairs), groups ordered
+    val pairs = l.join(r, col("__g1") < col("__g2"))
+      .agg(coalesce(sum(when(col("__v1") < col("__v2"),
+          col("__c1") * col("__c2") * 2)
+          .when(col("__v1") === col("__v2"), col("__c1") * col("__c2"))),
+        lit(0L)).as("__j2"))
+    val groupMoments = cells.groupBy("__g").agg(sum(col("__c")).as("__n"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__n") * col("__n")), lit(0L)).as("__sn2"),
+        coalesce(sum(col("__n") * (col("__n") - 1) *
+          (col("__n") * 2 + 5)), lit(0L)).as("__sn25"),
+        coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)).as("__snn1"),
+        coalesce(sum(col("__n") * (col("__n") - 1) * (col("__n") - 2)),
+          lit(0L)).as("__snn12"))
+    val tieMoments = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+          (col("__t") * 2 + 5)), lit(0L)).as("__st25"),
+        coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L)).as("__stt1"),
+        coalesce(sum(col("__t") * (col("__t") - 1) * (col("__t") - 2)),
+          lit(0L)).as("__stt12"))
+    val nn = col("n")
+    groupMoments.crossJoin(tieMoments).crossJoin(pairs)
+      .withColumn("j", col("__j2").cast("double") / 2)
+      .withColumn("e_j",
+        (nn * nn - col("__sn2")).cast("double") / 4)
+      .withColumn("__a",
+        (nn * (nn - 1) * (nn * 2 + 5) - col("__sn25") - col("__st25"))
+          .cast("double") / 72)
+      .withColumn("__b",
+        col("__snn12").cast("double") * col("__stt12").cast("double") /
+          (lit(36.0) * (nn * (nn - 1) * (nn - 2)).cast("double")))
+      .withColumn("__cc",
+        col("__snn1").cast("double") * col("__stt1").cast("double") /
+          (lit(8.0) * (nn * (nn - 1)).cast("double")))
+      .withColumn("var_j", col("__a") + col("__b") + col("__cc"))
+      .select(col("n"), col("k"), col("j"), col("e_j"), col("var_j"),
+        when(col("k") >= 2 && col("var_j") > 0,
+          (col("j") - col("e_j")) / sqrt(col("var_j"))).as("z"))
+  }
+
   /** Cochran's Q test — does a binary outcome differ across k
     * treatments applied to the SAME subjects (the k-treatment
     * generalization of [[mcnemar]]; e.g. did conversion differ across

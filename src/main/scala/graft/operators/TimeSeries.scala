@@ -867,6 +867,58 @@ object TimeSeries {
             .otherwise(lit(0.0)) / sqrt(col("var_s"))).as("z")): _*)
   }
 
+  /** Page–Hinkley drift test per key — the sequential mean-shift
+    * detector (Page 1954; the standard concept-drift monitor): with
+    * running mean x̄_t, accumulate `m_t = Σ_{i≤t} (x_i − x̄_i − δ)` and
+    * alarm when `m_t − min_{s≤t} m_s > λ`. The online companion to the
+    * retrospective [[changepoint]] (changepoint finds WHERE a finished
+    * series broke; Page–Hinkley flags WHEN a live one is drifting up).
+    *
+    * Adds `(ph_m, ph, alarm)` to `(keyCols…, orderCol, value)` rows —
+    * `ph = m_t − min m`, `alarm` compares the ROUNDED (9-digit,
+    * 1e-12-shift) ph against λ (the q260 boundary convention). δ and
+    * λ are in VALUE units.
+    *
+    * Determinism: prefix sums of the ×`scale` values are exact longs;
+    * each mean/term is one IEEE expression of them; the m-fold is a
+    * sequential in-order float accumulation — the [[ewma]] tier,
+    * replayable as a left fold. One exchange per key, three in-order
+    * window passes, no joins.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      delta: Double = 0.0,
+      lambda: Double = 50.0,
+      scale: Long = 100L
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "keyCols must name at least one key column")
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(orderCol) :+
+        round(col(valueCol) * scale).cast("long").as("__v"): _*)
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__s", sum(col("__v")).over(run))
+      .withColumn("__term",
+        col("__v").cast("double") - col("__s").cast("double") / col("__t")
+          - lit(delta * scale))
+      .withColumn("__m", sum(col("__term")).over(run))
+      .withColumn("__min", min(col("__m")).over(run))
+      .withColumn("ph_m", col("__m") / scale)
+      .withColumn("ph", (col("__m") - col("__min")) / scale)
+      .withColumn("alarm",
+        round(col("ph") + lit(1e-12), 9) > lambda)
+      .select(keys :+ col(orderCol) :+
+        (col("__v").cast("double") / scale).as("value") :+
+        col("ph_m") :+ col("ph") :+ col("alarm"): _*)
+  }
+
   /** Collapse a (key, order, value) frame to one ARRAY row per key,
     * values in `orderCol` order — the series representation
     * [[dtwPairs]] and any whole-series kernel consume. `orderCol`

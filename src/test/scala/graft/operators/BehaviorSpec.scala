@@ -459,4 +459,27 @@ class BehaviorSpec extends AnyFunSuite {
     // Wilson stays inside [0,1] even at rate 0 with n=1
     assert(got(1)._4 >= 0.0 && got(1)._5 < 1.0 && got(1)._5 > 0.0)
   }
+
+  test("cohortLtv: exact cumulative revenue per user by cohort age") {
+    def ts(bucket: Int) = new java.sql.Timestamp(bucket * 100000L)
+    // cohort 0: users 1, 2. age 0 revenue 10+20, age 2 revenue 30 (u1)
+    // cohort 1 (bucket 1): user 3, age 0 revenue 5
+    val df = Seq(
+      (1L, ts(0), 10.0), (2L, ts(0), 20.0), (1L, ts(2), 30.0),
+      (3L, ts(1), 5.0)).toDF("u", "ts", "v")
+    val got = Behavior.cohortLtv(df, "ts", "u", "v", bucketSec = 100L).get
+      .orderBy("cohort_ts", "age")
+      .select("age", "active", "cohort_size", "revenue", "cum_revenue", "ltv")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      (0, 2L, 2L, 30.0, 30.0, 15.0),
+      (2, 1L, 2L, 30.0, 60.0, 30.0),
+      (0, 1L, 1L, 5.0, 5.0, 5.0)))
+    // NULL-value rows count for nothing (not even cohort assignment)
+    val withNull = df.union(Seq((4L, ts(0), null.asInstanceOf[java.lang.Double]))
+      .toDF("u", "ts", "v"))
+    assert(Behavior.cohortLtv(withNull, "ts", "u", "v", 100L).get
+      .orderBy("cohort_ts", "age")
+      .select("cohort_size").as[Long].collect().toSeq == Seq(2L, 2L, 1L))
+  }
 }

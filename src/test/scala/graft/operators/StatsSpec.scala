@@ -553,4 +553,30 @@ class StatsSpec extends AnyFunSuite {
       .select("mde_abs", "n_required").collect().head
     assert(rd.isNullAt(0) && rd.isNullAt(1))
   }
+
+  test("jonckheereTerpstra: textbook no-tie case and tie-corrected variance") {
+    // a = [1,2], b = [3,4]: J = 4, E = (16−8)/4 = 2,
+    // A = (4·3·13 − 2·18)/72 = 120/72, B = C = 0 → var = 5/3
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df0, "v", "g").get
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(r._1 == 4L && r._2 == 2L && r._3 == 4.0 && r._4 == 2.0)
+    assert(close(r._5, 5.0 / 3.0))
+    assert(close(r._6, 2.0 / math.sqrt(5.0 / 3.0)))
+    // ties get the half-count: a = [1,2], b = [2,3] → J = 3 + 0.5
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val rt = Stats.jonckheereTerpstra(tied, "v", "g").get
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(rt._3 == 3.5)
+    // tie-corrected variance, manual three-term formula
+    val n = 4.0; val sn25 = 2 * 18.0; val st25 = 2 * 1 * 9.0
+    val a = (n * 3 * 13 - sn25 - st25) / 72
+    val b = 0.0 // no group or tie run of size >= 3
+    val c = (2.0 + 2.0) * 2.0 / (8.0 * n * 3)
+    assert(close(rt._5, a + b + c))
+    // maxCells guard
+    assert(Stats.jonckheereTerpstra(df0, "v", "g", maxCells = 2).isFailing)
+  }
 }

@@ -427,6 +427,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(d == 0.0)
   }
 
+  test("pageHinkley: flat series never alarms; a level shift does") {
+    // flat [10,10,10]: every term = 0 → m = 0, ph = 0
+    val flat = (0 to 2).map(i => ("f", tsOf(i), 10.0)).toDF("k", "ts", "v")
+    val rf = TimeSeries.pageHinkley(flat, Seq("k"), "ts", "v",
+        delta = 0.0, lambda = 1.0).get
+      .select("ph_m", "ph", "alarm").as[(Double, Double, Boolean)].collect()
+    assert(rf.forall(r => r._1 == 0.0 && r._2 == 0.0 && !r._3))
+    // [0,0,0,0,100]: at the jump, mean_5 = 20 → term = 80, prior m
+    // dipped to 0 → ph = 80 > λ = 50
+    val shift = (0 to 3).map(i => ("s", tsOf(i), 0.0)) :+ (("s", tsOf(4), 100.0))
+    val rs = TimeSeries.pageHinkley(shift.toDF("k", "ts", "v"), Seq("k"),
+        "ts", "v", delta = 0.0, lambda = 50.0).get
+      .orderBy("ts").select("ph", "alarm").as[(Double, Boolean)].collect()
+    assert(rs.dropRight(1).forall(r => r._1 == 0.0 && !r._2))
+    assert(rs.last._1 == 80.0 && rs.last._2)
+    // delta drains slow drift: same jump with delta = 80 never alarms
+    val rd = TimeSeries.pageHinkley(shift.toDF("k", "ts", "v"), Seq("k"),
+        "ts", "v", delta = 80.0, lambda = 50.0).get
+      .select("alarm").as[Boolean].collect()
+    assert(rd.forall(!_))
+  }
+
   test("toSeries: order-sorted arrays; duplicate order key raises") {
     val df = Seq(("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0),
       ("b", 1, 5.0)).toDF("k", "o", "v")
