@@ -3007,6 +3007,36 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q297_wilcoxon" -> ((s, dir) => {
+      // Paired per-user click-total vs view-total (x100 exact):
+      // midranks exact dyadics, rank sums exact half-integer sums -
+      // gated unrounded (the q206 determinism tier).
+      val u = events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "click",
+            round(col("value") * 100))), lit(0.0)).as("bf"),
+          coalesce(sum(when(col("event_type") === "view",
+            round(col("value") * 100))), lit(0.0)).as("af"))
+      Stats.wilcoxonSignedRank(u, "bf", "af").get
+    }),
+
+    "q298_betweenness" -> ((s, dir) => {
+      // Landmark betweenness (Brandes from the 3 smallest nodes) over
+      // the symmetric supplier co-occurrence graph: sigma counts
+      // exact; the delta accumulation sums floats - rounded.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      val sym = proj.select("src", "dst").union(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      val lm = sym.select(col("src").as("node"))
+        .union(sym.select(col("dst").as("node")))
+        .distinct().orderBy("node").limit(3)
+      Graph.betweenness(sym, "src", "dst", lm, "node", maxDepth = 6).get
+        .select(col("node"),
+          round(col("betweenness") + lit(1e-9), 6).as("betweenness"))
+        .orderBy("node")
+    }),
+
     "q293_textrank" -> ((s, dir) => {
       // Corpus TextRank over the adjacent-token co-occurrence graph:
       // exact-BIGINT PageRank mass, deterministic (rank DESC, token)
@@ -4680,6 +4710,69 @@ object SparkEntry {
     }
     sb.append(s"\n         SELECT a AS src, b AS dst, support " +
       s"FROM s${rounds - 1} ORDER BY src, dst")
+    sb.toString
+  }
+
+  /** q298's oracle, generated: the two Brandes phases unrolled over
+    * the q199 supplier co-occurrence graph — forward CTEs v1..vD
+    * (per-level path counts σ with a visited anti-join), backward
+    * CTEs bD..b1 (δ = Σ σ_v/σ_w·(1+δ_w) over depth-consecutive
+    * edges), then the per-node dependency sum over b1..bD. σ exact
+    * longs; δ float sums → the gate rounds both sides. */
+  private def betweennessOracleSql(maxDepth: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), nd AS (
+           SELECT DISTINCT src AS node FROM e
+         ), lm AS (
+           SELECT node FROM nd ORDER BY node LIMIT 3
+         ), v0 AS MATERIALIZED (
+           SELECT node AS s, node, CAST(1 AS BIGINT) AS sigma FROM lm
+         ), vis0 AS MATERIALIZED (SELECT s, node FROM v0)""")
+    for (i <- 1 to maxDepth) {
+      sb.append(s""", v$i AS MATERIALIZED (
+           SELECT p.s, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+           FROM v${i - 1} p JOIN e ON e.src = p.node
+           ANTI JOIN vis${i - 1} x ON x.s = p.s AND x.node = e.dst
+           GROUP BY p.s, e.dst
+         ), vis$i AS MATERIALIZED (
+           SELECT * FROM vis${i - 1} UNION ALL SELECT s, node FROM v$i
+         )""")
+    }
+    sb.append(s""", b$maxDepth AS MATERIALIZED (
+           SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta
+           FROM v$maxDepth)""")
+    for (i <- (maxDepth - 1) to 1 by -1) {
+      sb.append(s""", b$i AS MATERIALIZED (
+           SELECT v.s, v.node, v.sigma,
+             COALESCE(SUM(CAST(v.sigma AS DOUBLE) / w.sigma
+               * (1 + w.delta)), 0) AS delta
+           FROM v$i v
+           LEFT JOIN e ON e.src = v.node
+           LEFT JOIN b${i + 1} w ON w.s = v.s AND w.node = e.dst
+           GROUP BY v.s, v.node, v.sigma
+         )""")
+    }
+    val unions = (1 to maxDepth)
+      .map(i => s"SELECT s, node, delta FROM b$i")
+      .mkString("\n             UNION ALL ")
+    sb.append(s"""
+         SELECT nd.node,
+           round(COALESCE(acc.bc, 0) + 1e-9, 6) AS betweenness
+         FROM nd LEFT JOIN (
+           SELECT node, SUM(delta) AS bc FROM (
+             $unions
+           ) u GROUP BY node) acc ON acc.node = nd.node
+         ORDER BY nd.node""")
     sb.toString
   }
 
@@ -7953,6 +8046,52 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q297: Wilcoxon signed-rank replayed — paired totals, the |d|
+    // grid with midranks, exact half-integer rank sums, variance with
+    // the same double-cast points.
+    "q297_wilcoxon" ->
+      """WITH u AS (
+           SELECT user_id,
+             COALESCE(sum(CASE WHEN event_type = 'click'
+               THEN round(value * 100) END), 0) AS bf,
+             COALESCE(sum(CASE WHEN event_type = 'view'
+               THEN round(value * 100) END), 0) AS af
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+         ), d AS (
+           SELECT af - bf AS d FROM u WHERE af - bf <> 0
+         ), g AS (
+           SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+             CAST(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS tp
+           FROM d GROUP BY abs(d)
+         ), mid AS (
+           SELECT ad, t, tp,
+             CAST(COALESCE(sum(t) OVER (ORDER BY ad ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + (t + 1) / 2.0 AS m
+           FROM g
+         ), agg AS (
+           SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS n,
+             COALESCE(sum(tp * m), 0) AS w_plus,
+             COALESCE(sum((t - tp) * m), 0) AS w_minus,
+             CAST(COALESCE(sum(t * t * t - t), 0) AS BIGINT) AS tc
+           FROM mid
+         ), sel AS (
+           SELECT n, w_plus, w_minus,
+             CAST(n * (n + 1) AS DOUBLE) / 4 AS e_w,
+             CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+               * CAST(n * 2 + 1 AS DOUBLE) / 24
+               - CAST(tc AS DOUBLE) / 48 AS var_w
+           FROM agg
+         )
+         SELECT n, w_plus, w_minus, e_w, var_w,
+           CASE WHEN n > 0 AND var_w > 0
+             THEN (w_plus - e_w) / sqrt(var_w) END AS z
+         FROM sel""",
+
+    // q298: generated two-phase Brandes unroll (see
+    // betweennessOracleSql).
+    "q298_betweenness" -> betweennessOracleSql(maxDepth = 6),
 
     // q294: cohort LTV replayed — per-user cohort window, exact x100
     // revenue cells, running cumulative per cohort, one IEEE chain.

@@ -909,6 +909,108 @@ object Graph {
     depths
   }
 
+  /** Landmark betweenness (Brandes 2001 from a seed set): the
+    * shortest-path dependency sum `Σ_s δ_s(v)` accumulated over the
+    * given landmarks — exact betweenness when the landmarks are ALL
+    * nodes, the standard k-landmark approximation otherwise (pick
+    * landmarks by degree or hash-sample; cost is linear in landmarks).
+    * Directed semantics: pass both edge directions for an undirected
+    * graph (each unordered pair then contributes twice, as in
+    * undirected Brandes before the conventional ÷2).
+    *
+    * Returns `(node, betweenness: double)` for EVERY node of the edge
+    * frame (unreached nodes 0.0). σ path counts are exact longs; the
+    * δ accumulation sums `σ_v/σ_w·(1+δ_w)` floats — χ²-tier, round
+    * under the tie-shift when gating.
+    *
+    * Plan: level-synchronous — forward, one (edges ⨝ frontier) +
+    * partial-agg + anti-join per depth (all keyed by landmark, so k
+    * landmarks ride ONE plan, not k jobs); backward, one three-way
+    * equi-join per depth in decreasing order. Every level frame is
+    * `localCheckpoint`ed and superseded frames released (the
+    * [[pageRank]] discipline); at most `maxDepth` frames live at once,
+    * each ≤ |landmarks|·|V| rows.
+    */
+  def betweenness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      landmarks: DataFrame,
+      landmarkCol: String,
+      maxDepth: Int = 6
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val lvl0 = landmarks.select(col(landmarkCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .select(col("node").as("s"), col("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    // forward: per-depth (landmark, node, sigma) frames
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var visited = lvl0.select("s", "node").localCheckpoint(true)
+    var d = 0
+    var frontierEmpty = lvl0.limit(1).count() == 0
+    while (!frontierEmpty && d < maxDepth) {
+      d += 1
+      val prev = levels.last
+      val next = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "node"), "left_anti")
+        .localCheckpoint(true)
+      frontierEmpty = next.limit(1).count() == 0
+      if (frontierEmpty) { Optimise.releaseCheckpoint(next); d -= 1 }
+      else {
+        levels += next
+        val prevVis = visited
+        visited = visited.union(next.select("s", "node")).localCheckpoint(true)
+        Optimise.releaseCheckpoint(prevVis)
+      }
+    }
+    // backward: delta at the deepest level is 0; walk up accumulating
+    // sigma_v/sigma_w * (1 + delta_w) over DAG edges (depth d -> d+1)
+    // every delta level stays pinned until `bc` is materialized — the
+    // final accumulation reads ALL of them, so releasing a superseded
+    // level mid-loop would truncate lineage it still needs
+    var delta = levels(d).withColumn("delta", lit(0.0)).localCheckpoint(true)
+    val deltaLevels = scala.collection.mutable.ArrayBuffer(delta)
+    val perDepth = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (d >= 1) perDepth += delta.select("s", "node", "delta")
+    var i = d - 1
+    while (i >= 0) {
+      val v = levels(i)
+      val succ = delta.select(col("s"), col("node").as("dst"),
+        col("sigma").as("__sw"), col("delta").as("__dw"))
+      val contrib = v.join(e, v("node") === e("src"), "left")
+        .join(succ, Seq("s", "dst"), "left")
+        .groupBy(col("s"), col("node"), col("sigma"))
+        .agg(coalesce(sum(col("sigma").cast("double") / col("__sw") *
+          (lit(1.0) + col("__dw"))), lit(0.0)).as("delta"))
+      delta = contrib.localCheckpoint(true)
+      deltaLevels += delta
+      if (i >= 1) perDepth += delta.select("s", "node", "delta")
+      i -= 1
+    }
+    val bc = if (perDepth.isEmpty) nodes.withColumn("betweenness", lit(0.0))
+    else nodes.join(
+        perDepth.reduce(_ union _).groupBy("node")
+          .agg(sum(col("delta")).as("__bc")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__bc"), lit(0.0)).as("betweenness"))
+    val result = bc.localCheckpoint(true)
+    deltaLevels.foreach(Optimise.releaseCheckpoint)
+    levels.foreach(Optimise.releaseCheckpoint)
+    Optimise.releaseCheckpoint(visited)
+    e.unpersist(); nodes.unpersist()
+    result
+  }
+
   /** Connected components over an edge frame — delegates to the
     * stats-gated engine behind [[Dedup.duplicateClusters]] (driver
     * union-find when the edge set is provably small, distributed

@@ -1285,6 +1285,65 @@ object Stats {
           .as("n_required"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED numeric outcomes — the
+    * nonparametric companion to [[pairedTTest]] (rank-based, so one
+    * huge outlier pair can't swamp the statistic) and the numeric
+    * sibling of [[mcnemar]]. Zero differences are dropped (the
+    * standard convention); |difference| ranks are midranks over the
+    * DISTINCT-|d| grid; `Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48` with the
+    * tie correction; z uses no continuity correction.
+    *
+    * Returns ONE row `(n: bigint, w_plus, w_minus, e_w, var_w, z:
+    * double)` — `w_plus` the positive-difference rank sum, NULL z when
+    * Var = 0 (all |d| tie... impossible unless every pair ties) or
+    * n = 0.
+    *
+    * Plan: the [[mannWhitneyU]] grid discipline — one partial-agg
+    * shuffle to the |d| grid, one running window over the GRID.
+    * Midranks are exact dyadics, so `w_plus`/`w_minus` and the moment
+    * terms are IEEE chains of exact values — gate unrounded.
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      beforeCol: String,
+      afterCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val b = col(beforeCol).cast("double")
+    val a = col(afterCol).cast("double")
+    val diffs = df.filter(b.isNotNull && a.isNotNull)
+      .select((a - b).as("__d"))
+      .filter(col("__d") =!= 0.0)
+      .select(abs(col("__d")).as("__ad"),
+        (col("__d") > 0).cast("long").as("__pos"))
+    val grid = diffs.groupBy("__ad")
+      .agg(count(lit(1)).as("__t"), sum(col("__pos")).as("__tp"))
+    val before = Window.orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mids = grid.withColumn("__mid",
+      coalesce(sum(col("__t")).over(before), lit(0L)) +
+        (col("__t") + lit(1)) / lit(2.0))
+    mids.agg(
+        coalesce(sum(col("__t")), lit(0L)).as("n"),
+        coalesce(sum(col("__tp") * col("__mid")), lit(0.0)).as("w_plus"),
+        coalesce(sum((col("__t") - col("__tp")) * col("__mid")), lit(0.0))
+          .as("w_minus"),
+        coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
+          lit(0L)).as("__tc"))
+      .withColumn("e_w",
+        (col("n") * (col("n") + 1)).cast("double") / 4)
+      .withColumn("var_w",
+        // factors cast to double BEFORE multiplying: the cubic would
+        // overflow long near n ~ 2e6 (ANSI would throw); the oracle
+        // mirrors the cast points
+        col("n").cast("double") * (col("n") + 1).cast("double") *
+          (col("n") * 2 + 1).cast("double") / 24
+          - col("__tc").cast("double") / 48)
+      .select(col("n"), col("w_plus"), col("w_minus"), col("e_w"),
+        col("var_w"),
+        when(col("n") > 0 && col("var_w") > 0,
+          (col("w_plus") - col("e_w")) / sqrt(col("var_w"))).as("z"))
+  }
+
   /** Jonckheere–Terpstra test for an ORDERED alternative across k
     * groups — "does the metric trend UP along the group order"
     * (dose–response, bucket-ordered experiments), strictly more

@@ -544,4 +544,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].head()
     assert(r2 == ((0L, 0L, None)))
   }
+
+  test("betweenness: path and star against hand-computed Brandes") {
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("s", "d")
+    def all(e: org.apache.spark.sql.DataFrame) =
+      e.select($"s".as("node")).union(e.select($"d".as("node"))).distinct()
+    // path 1-2-3, all landmarks: only node 2 carries pairs (1↔3) → 2.0
+    val path = sym((1L, 2L), (2L, 3L))
+    val rp = Graph.betweenness(path, "s", "d", all(path), "node").get
+      .orderBy("node").as[(Long, Double)].collect()
+    assert(rp.toSeq == Seq((1L, 0.0), (2L, 2.0), (3L, 0.0)))
+    // single landmark 1: only the 1→3 dependency → bc(2) = 1
+    val lm1 = Seq(1L).toDF("node")
+    val r1 = Graph.betweenness(path, "s", "d", lm1, "node").get
+      .orderBy("node").as[(Long, Double)].collect()
+    assert(r1.toSeq == Seq((1L, 0.0), (2L, 1.0), (3L, 0.0)))
+    // star: hub 10 with leaves 1,2,3 → 3·2 ordered leaf pairs → 6
+    val star = sym((10L, 1L), (10L, 2L), (10L, 3L))
+    val rs = Graph.betweenness(star, "s", "d", all(star), "node").get
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    assert(rs(10L) == 6.0 && rs(1L) == 0.0 && rs(2L) == 0.0 && rs(3L) == 0.0)
+    // two shortest paths split sigma: square 1-2-4, 1-3-4 (+ sym):
+    // from 1: sigma(4) = 2 via 2 and 3 → delta(2) = delta(3) = 1/2
+    val square = sym((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val rq = Graph.betweenness(square, "s", "d", Seq(1L).toDF("node"),
+        "node").get
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    assert(rq(2L) == 0.5 && rq(3L) == 0.5 && rq(4L) == 0.0)
+    // maxDepth truncates dependencies beyond the horizon
+    val chain = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    val rc = Graph.betweenness(chain, "s", "d", Seq(1L).toDF("node"),
+        "node", maxDepth = 1).get
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    assert(rc.values.forall(_ == 0.0))
+  }
 }

@@ -579,4 +579,22 @@ class StatsSpec extends AnyFunSuite {
     // maxCells guard
     assert(Stats.jonckheereTerpstra(df0, "v", "g", maxCells = 2).isFailing)
   }
+
+  test("wilcoxonSignedRank: textbook ranks, ties, zero-diff drop") {
+    // diffs = [1,−2,3,4]: W+ = 1+3+4 = 8, E = 5, var = 4·5·9/24 = 7.5
+    val df0 = Seq((0.0, 1.0), (2.0, 0.0), (0.0, 3.0), (0.0, 4.0))
+      .toDF("bf", "af")
+    val r = Stats.wilcoxonSignedRank(df0, "bf", "af").get
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r == ((4L, 8.0, 2.0, 5.0, 7.5, 3.0 / math.sqrt(7.5))))
+    // all-|1| ties: midrank 2 → W+ = 4, W− = 2; var = 3.5 − 24/48 = 3
+    val tied = Seq((0.0, 1.0), (0.0, 1.0), (1.0, 0.0)).toDF("bf", "af")
+    val rt = Stats.wilcoxonSignedRank(tied, "bf", "af").get
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert(rt._1 == 3L && rt._2 == 4.0 && rt._3 == 2.0 && rt._5 == 3.0)
+    // zero differences are dropped entirely
+    val withZero = df0.union(Seq((5.0, 5.0)).toDF("bf", "af"))
+    assert(Stats.wilcoxonSignedRank(withZero, "bf", "af").get
+      .select("n").as[Long].head() == 4L)
+  }
 }
