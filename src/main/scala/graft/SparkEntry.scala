@@ -3007,6 +3007,52 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q299_seasonal_strength" -> ((s, dir) => {
+      // Hyndman seasonal/trend strength over the q233 decomposition:
+      // variance ratios are float-tier - rounded at 4 under the
+      // tie-shift.
+      val filled = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.seasonalStrength(filled, "bucket_ts", Seq("event_type"),
+          "value", period = 24).get
+        .select(col("event_type"), col("n_complete"),
+          round(col("seasonal_strength") + lit(1e-9), 4)
+            .as("seasonal_strength"),
+          round(col("trend_strength") + lit(1e-9), 4).as("trend_strength"))
+        .orderBy("event_type")
+    }),
+
+    "q300_tost" -> ((s, dir) => {
+      // Equivalence TOST with a +/-5.00 margin (x100 units): the q204
+      // exact-moment tier; t stats scale-invariant, means/se descale.
+      Stats.tost(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", "event_type", "click", "view",
+          marginLow = -500.0, marginHigh = 500.0).get
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a") / 100 + lit(1e-9), 4).as("mean_a"),
+          round(col("mean_b") / 100 + lit(1e-9), 4).as("mean_b"),
+          round(col("diff") / 100 + lit(1e-9), 4).as("diff"),
+          round(col("se") / 100 + lit(1e-9), 4).as("se"),
+          round(col("df") + lit(1e-9), 4).as("df"),
+          round(col("t_lower") + lit(1e-9), 4).as("t_lower"),
+          round(col("t_upper") + lit(1e-9), 4).as("t_upper"))
+    }),
+
+    "q301_apply_changes" -> ((s, dir) => {
+      // CDC snapshot: highest-seq op per user wins, purchases act as
+      // deletes. Pure window + filter - exact.
+      val log = events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id").as("seq"),
+          when(col("event_type") === "purchase", "D").otherwise("U")
+            .as("op"),
+          col("value"))
+      graft.operators.Merge.applyChanges(log, Seq("user_id"), "seq", "op")
+        .get.orderBy("user_id")
+    }),
+
     "q297_wilcoxon" -> ((s, dir) => {
       // Paired per-user click-total vs view-total (x100 exact):
       // midranks exact dyadics, rank sums exact half-integer sums -
@@ -8046,6 +8092,125 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q299: the q233 decomposition CTEs + one var_pop aggregation with
+    // the same greatest/ratio arithmetic.
+    "q299_seasonal_strength" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), f AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), o AS (
+           SELECT event_type, b, v,
+             CAST((row_number() OVER w - 1) % 24 AS INT) AS phase,
+             count(v) OVER wt AS wn,
+             sum(v) OVER wt AS ws
+           FROM f
+           WINDOW w AS (PARTITION BY event_type ORDER BY b),
+           wt AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+         ), t AS (
+           SELECT *,
+             CASE WHEN wn = 24 THEN ws / 24.0 END AS trend,
+             CASE WHEN wn = 24 THEN v * 24 - ws END AS dnum
+           FROM o
+         ), pa AS (
+           SELECT event_type, phase, sum(dnum) AS snum,
+             CAST(count(*) AS BIGINT) AS sn
+           FROM t WHERE dnum IS NOT NULL GROUP BY event_type, phase
+         ), pav AS (
+           SELECT event_type, phase, snum / (sn * 24.0) AS sraw FROM pa
+         ), ctr AS (
+           SELECT event_type, sum(sraw) / count(*) AS center
+           FROM pav GROUP BY event_type
+         ), seas AS (
+           SELECT pav.event_type, pav.phase, sraw - center AS seasonal
+           FROM pav JOIN ctr ON ctr.event_type = pav.event_type
+         ), comp AS (
+           SELECT t.event_type, t.trend AS trend, s.seasonal AS seasonal,
+             v - t.trend - s.seasonal AS residual
+           FROM t LEFT JOIN seas s
+             ON s.event_type = t.event_type AND s.phase = t.phase
+           WHERE t.trend IS NOT NULL
+         )
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_complete,
+           round(CASE WHEN var_pop(seasonal + residual) > 0
+             THEN greatest(0.0,
+               1.0 - var_pop(residual) / var_pop(seasonal + residual))
+             END + 1e-9, 4) AS seasonal_strength,
+           round(CASE WHEN var_pop(trend + residual) > 0
+             THEN greatest(0.0,
+               1.0 - var_pop(residual) / var_pop(trend + residual))
+             END + 1e-9, 4) AS trend_strength
+         FROM comp GROUP BY event_type ORDER BY event_type""",
+
+    // q300: the q204 moment CTEs + the TOST arithmetic with the same
+    // margins and cast points.
+    "q300_tost" ->
+      """WITH f AS (
+           SELECT event_type AS g, round(value * 100) AS v FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), a AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS na,
+             COALESCE(sum(CASE WHEN g = 'click' THEN v END), 0) AS sa,
+             COALESCE(sum(CASE WHEN g = 'click' THEN v * v END), 0) AS s2a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS nb,
+             COALESCE(sum(CASE WHEN g = 'view' THEN v END), 0) AS sb,
+             COALESCE(sum(CASE WHEN g = 'view' THEN v * v END), 0) AS s2b
+           FROM f
+         ), st AS (
+           SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             greatest(s2a - sa * sa / na, 0.0) / (na - 1) AS va,
+             greatest(s2b - sb * sb / nb, 0.0) / (nb - 1) AS vb
+           FROM a
+         ), se AS (
+           SELECT *, va / na + vb / nb AS se2,
+             sqrt(va / na + vb / nb) AS se, ma - mb AS diff
+           FROM st
+         )
+         SELECT na AS n_a, nb AS n_b,
+           round(ma / 100 + 1e-9, 4) AS mean_a,
+           round(mb / 100 + 1e-9, 4) AS mean_b,
+           round(diff / 100 + 1e-9, 4) AS diff,
+           round(se / 100 + 1e-9, 4) AS se,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+             THEN se2 * se2 / ((va / na) * (va / na) / (na - 1)
+               + (vb / nb) * (vb / nb) / (nb - 1)) END + 1e-9, 4) AS df,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN (diff - (-500.0)) / se END + 1e-9, 4) AS t_lower,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN (diff - 500.0) / se END + 1e-9, 4) AS t_upper
+         FROM se""",
+
+    // q301: CDC apply replayed — one descending row_number per key,
+    // delete ops filtered after the winner is picked.
+    "q301_apply_changes" ->
+      """WITH log AS (
+           SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             value
+           FROM events WHERE user_id IS NOT NULL
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY seq DESC) AS rn
+           FROM log
+         )
+         SELECT user_id, seq, op, value FROM r
+         WHERE rn = 1 AND op NOT IN ('D', 'delete')
+         ORDER BY user_id""",
 
     // q297: Wilcoxon signed-rank replayed — paired totals, the |d|
     // grid with midranks, exact half-integer rank sums, variance with

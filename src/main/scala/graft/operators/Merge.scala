@@ -111,4 +111,40 @@ object Merge {
           .when(col("__fa") === col("__fb"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Apply a CDC change log to produce the current snapshot — the
+    * insert/update/delete companion to [[upsert]] (which has no
+    * delete) and [[latestByKey]] (which has no ops): per key, the
+    * HIGHEST-`seqCol` operation wins; a winning delete removes the
+    * key, a winning insert/update keeps its payload row. `(keyCols,
+    * seqCol)` must be unique (a key with two ops at the same sequence
+    * number has no defined winner — enforce upstream; typical seq =
+    * a change LSN or event-time + log offset).
+    *
+    * `deleteOps` names the `opCol` values meaning delete; every other
+    * op is an upsert. Returns the log's columns minus nothing —
+    * downstream drops `opCol`/`seqCol` if unwanted.
+    *
+    * Plan: one exchange on the keys, one in-partition `row_number`
+    * pass, one filter — the [[latestByKey]] shape, trivially
+    * 100 TB-safe (no join against the base snapshot; compose with
+    * [[upsert]] to fold into an existing table).
+    */
+  def applyChanges(
+      log: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      deleteOps: Seq[String] = Seq("D", "delete")
+  ): MayFail[DataFrame] = MayFail {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    require(deleteOps.nonEmpty, "deleteOps must name at least one op value")
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    log.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .filter(!col(opCol).isin(deleteOps.map(x => x: Any): _*))
+      .drop(rn)
+  }
 }

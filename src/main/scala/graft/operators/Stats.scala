@@ -1285,6 +1285,46 @@ object Stats {
           .as("n_required"))
   }
 
+  /** TOST equivalence test (two one-sided Welch t-tests) — the
+    * non-inferiority readout [[welchTTest]] can't give: a
+    * non-significant t does NOT mean "equivalent", it means "don't
+    * know"; TOST rejects non-equivalence when BOTH one-sided tests
+    * clear their margin. `marginLow ≤ 0 ≤ marginHigh` bound the
+    * acceptable `mean_a − mean_b` difference in VALUE units.
+    *
+    * Returns ONE row `(n_a, n_b, mean_a, mean_b, diff, se, df,
+    * t_lower, t_upper: double)` — `t_lower = (diff − marginLow)/se`
+    * (reject diff ≤ marginLow when large positive), `t_upper =
+    * (diff − marginHigh)/se` (reject diff ≥ marginHigh when large
+    * negative); compare both to the t(df) quantile downstream (Φ⁻¹/t⁻¹
+    * are not portably computable in-plan — the [[powerMde]]
+    * convention). NULLs under [[welchTTest]]'s degeneracy rules.
+    *
+    * Plan: ONE distributed aggregation (the [[welchTTest]] moments)
+    * plus pure column arithmetic.
+    */
+  def tost(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      marginLow: Double,
+      marginHigh: Double
+  ): MayFail[DataFrame] = MayFail {
+    require(marginLow <= 0 && marginHigh >= 0,
+      s"margins must straddle 0: [$marginLow, $marginHigh]")
+    val w = welchTTest(df, valueCol, groupCol, groupA, groupB).get
+    val se = sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se > 0
+    w.withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("se", se)
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("diff"), col("se"), col("df"),
+        when(ok, (col("diff") - lit(marginLow)) / col("se")).as("t_lower"),
+        when(ok, (col("diff") - lit(marginHigh)) / col("se")).as("t_upper"))
+  }
+
   /** Wilcoxon signed-rank test for PAIRED numeric outcomes — the
     * nonparametric companion to [[pairedTTest]] (rank-based, so one
     * huge outlier pair can't swamp the statistic) and the numeric

@@ -867,6 +867,47 @@ object TimeSeries {
             .otherwise(lit(0.0)) / sqrt(col("var_s"))).as("z")): _*)
   }
 
+  /** Seasonality / trend strength per key (Hyndman & Athanasopoulos,
+    * FPP3 §4.4) — the "is this series worth a seasonal model" readout
+    * on top of [[seasonalDecompose]]:
+    * `F_s = max(0, 1 − Var(R)/Var(S+R))` and
+    * `F_t = max(0, 1 − Var(R)/Var(T+R))`, both in [0, 1], computed
+    * over the rows where the decomposition is complete (trend
+    * window full).
+    *
+    * Returns one row per key `(keyCols…, n_complete: bigint,
+    * seasonal_strength, trend_strength: double)` — NULL strengths
+    * when the corresponding denominator variance is 0 (constant
+    * component).
+    *
+    * Plan: the [[seasonalDecompose]] plan plus ONE per-key
+    * aggregation. Variances are float partial aggs (χ²-tier) — round
+    * under the tie-shift when gating.
+    */
+  def seasonalStrength(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      period: Int
+  ): MayFail[DataFrame] = MayFail {
+    val dec = seasonalDecompose(df, orderCol, keyCols, valueCol, period).get
+    val keys = keyCols.map(col)
+    dec.filter(col("residual").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_complete"),
+        var_pop(col("residual")).as("__vr"),
+        var_pop(col("seasonal") + col("residual")).as("__vsr"),
+        var_pop(col("trend") + col("residual")).as("__vtr"))
+      .select(keys :+ col("n_complete") :+
+        when(col("__vsr") > 0,
+          greatest(lit(0.0), lit(1.0) - col("__vr") / col("__vsr")))
+          .as("seasonal_strength") :+
+        when(col("__vtr") > 0,
+          greatest(lit(0.0), lit(1.0) - col("__vr") / col("__vtr")))
+          .as("trend_strength"): _*)
+  }
+
   /** Page–Hinkley drift test per key — the sequential mean-shift
     * detector (Page 1954; the standard concept-drift monitor): with
     * running mean x̄_t, accumulate `m_t = Σ_{i≤t} (x_i − x̄_i − δ)` and

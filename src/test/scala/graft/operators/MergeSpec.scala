@@ -81,4 +81,22 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
       4L -> "removed", 5L -> "added"))
   }
+
+  test("applyChanges: highest-seq op wins, winning delete removes the key") {
+    val log = Seq(
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "b"),          // → b
+      (2L, 1L, "I", "x"), (2L, 3L, "D", "-"),          // deleted
+      (3L, 5L, "D", "-"), (3L, 7L, "U", "back"),       // re-inserted
+      (4L, 1L, "I", "only")                             // → only
+    ).toDF("k", "seq", "op", "payload")
+    val got = Merge.applyChanges(log, Seq("k"), "seq", "op").get
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b", 3L -> "back", 4L -> "only"))
+    // custom delete vocabulary
+    // with U as the delete vocabulary, keys 1 and 3 (U winners) drop
+    val got2 = Merge.applyChanges(log, Seq("k"), "seq", "op",
+        deleteOps = Seq("U")).get
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(got2 == Map(2L -> "-", 4L -> "only"))
+  }
 }

@@ -597,4 +597,25 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.wilcoxonSignedRank(withZero, "bf", "af").get
       .select("n").as[Long].head() == 4L)
   }
+
+  test("tost: one-sided t stats against the welch moments") {
+    // A = [1,2,3] (mean 2, var 1), B = [2,4] (mean 3, var 2)
+    // diff = −1, se = sqrt(1/3 + 1) = sqrt(4/3)
+    val df0 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Stats.tost(df0, "v", "g", "a", "b", -2.0, 2.0).get
+      .select("diff", "se", "t_lower", "t_upper")
+      .as[(Double, Double, Double, Double)].head()
+    val se = math.sqrt(4.0 / 3.0)
+    assert(close(r._1, -1.0) && close(r._2, se))
+    assert(close(r._3, (-1.0 + 2.0) / se))
+    assert(close(r._4, (-1.0 - 2.0) / se))
+    // margins must straddle zero
+    assert(Stats.tost(df0, "v", "g", "a", "b", 1.0, 2.0).isFailing)
+    // degenerate group → NULL t stats
+    val degen = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val rd = Stats.tost(degen, "v", "g", "a", "b", -1.0, 1.0).get
+      .select("t_lower", "t_upper").collect().head
+    assert(rd.isNullAt(0) && rd.isNullAt(1))
+  }
 }

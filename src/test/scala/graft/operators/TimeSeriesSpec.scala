@@ -427,6 +427,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(d == 0.0)
   }
 
+  test("seasonalStrength: pure cycle reads 1.0; pure trend reads ~0 seasonal") {
+    // period-2 alternating series: all variation is seasonal
+    val cyc = (0 until 12).map(i => ("c", tsOf(i), if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("k", "ts", "v")
+    val rc = TimeSeries.seasonalStrength(cyc, "ts", Seq("k"), "v",
+        period = 2).get
+      .select("seasonal_strength", "trend_strength")
+      .as[(Option[Double], Option[Double])].head()
+    assert(rc._1.exists(s => math.abs(s - 1.0) < 1e-9))
+    // pure linear ramp: seasonal component ~0, trend strength 1
+    val ramp = (0 until 12).map(i => ("r", tsOf(i), i.toDouble))
+      .toDF("k", "ts", "v")
+    val rr = TimeSeries.seasonalStrength(ramp, "ts", Seq("k"), "v",
+        period = 2).get
+      .select("seasonal_strength", "trend_strength")
+      .as[(Option[Double], Option[Double])].head()
+    assert(rr._2.exists(t => math.abs(t - 1.0) < 1e-9))
+    // a constant series has zero variance everywhere -> NULL strengths
+    val const = (0 until 8).map(i => ("x", tsOf(i), 5.0)).toDF("k", "ts", "v")
+    val rx = TimeSeries.seasonalStrength(const, "ts", Seq("k"), "v",
+        period = 2).get.select("seasonal_strength").collect().head
+    assert(rx.isNullAt(0))
+  }
+
   test("pageHinkley: flat series never alarms; a level shift does") {
     // flat [10,10,10]: every term = 0 → m = 0, ph = 0
     val flat = (0 to 2).map(i => ("f", tsOf(i), 10.0)).toDF("k", "ts", "v")
