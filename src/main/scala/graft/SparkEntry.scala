@@ -3007,6 +3007,31 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q302_negative_sample" -> ((s, dir) => {
+      // Ratio-coupled negative sampling (0.5 negatives per long-doc
+      // positive, threshold 400 chars) via the portable-hash draw -
+      // fully deterministic.
+      graft.operators.Sampling.negativeSample(
+          tbl(s, dir, "documents").withColumn("label",
+            col("n_chars") > 400),
+          "label", ratio = 0.5, idCols = Seq("doc_id")).get
+        .select(col("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
+
+    "q303_permutation" -> ((s, dir) => {
+      // 200-round randomization test, click vs view (x100 exact sums;
+      // md5 Bernoulli reassignment): the p-value is an exact count
+      // ratio - gated unrounded; diff_obs descaled and rounded.
+      Stats.permutationTest(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          "value", "event_type", "click", "view",
+          idCols = Seq("event_id"), rounds = 200).get
+        .select(col("n_a"), col("n_b"), col("rounds"),
+          round(col("diff_obs") / 100 + lit(1e-9), 4).as("diff_obs"),
+          col("p_value"))
+    }),
+
     "q299_seasonal_strength" -> ((s, dir) => {
       // Hyndman seasonal/trend strength over the q233 decomposition:
       // variance ratios are float-tier - rounded at 4 under the
@@ -8092,6 +8117,81 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q302: the portable-hash negative draw replayed — positives kept,
+    // negatives ranked by (md5 hash, id) with the ceil-coupled budget.
+    "q302_negative_sample" ->
+      """WITH d AS (
+           SELECT doc_id, COALESCE(n_chars > 400, false) AS label
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, label FROM d WHERE label
+         ), npos AS (
+           SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) AS k FROM pos
+         ), neg AS (
+           SELECT doc_id, label,
+             CAST(('0x' || substring(md5('0§' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h
+           FROM d WHERE NOT label
+         ), sel AS (
+           SELECT doc_id, label FROM (
+             SELECT doc_id, label,
+               row_number() OVER (ORDER BY h, doc_id) AS rn
+             FROM neg)
+           WHERE rn <= (SELECT k FROM npos)
+         )
+         SELECT doc_id, label FROM (
+           SELECT doc_id, label FROM pos
+           UNION ALL SELECT doc_id, label FROM sel)
+         ORDER BY doc_id""",
+
+    // q303: the randomization test replayed — same md5 Bernoulli
+    // assignment, same per-round exact means, same rounded-boundary
+    // extreme count.
+    "q303_permutation" ->
+      """WITH f AS (
+           SELECT event_id, event_type AS g, round(value * 100) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+         ), obs AS (
+           SELECT
+             CAST(count(CASE WHEN g = 'click' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN g = 'view' THEN 1 END) AS BIGINT) AS n_b,
+             COALESCE(sum(CASE WHEN g = 'click' THEN v END), 0)
+               / count(CASE WHEN g = 'click' THEN 1 END)
+             - COALESCE(sum(CASE WHEN g = 'view' THEN v END), 0)
+               / count(CASE WHEN g = 'view' THEN 1 END) AS diff_obs
+           FROM f
+         ), p AS (
+           SELECT b.b, f.v,
+             CAST(('0x' || substring(md5('perm§' || CAST(b.b AS VARCHAR)
+               || '§' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM f, (SELECT unnest(range(0, 200)) AS b) b
+         ), asg AS (
+           SELECT b, v,
+             (h // 128 + 1) / 9007199254740992.0 <
+               CAST((SELECT n_a FROM obs) AS DOUBLE)
+                 / ((SELECT n_a FROM obs) + (SELECT n_b FROM obs)) AS toA
+           FROM p
+         ), per AS (
+           SELECT b,
+             sum(CASE WHEN toA THEN v END)
+               / count(CASE WHEN toA THEN 1 END)
+             - sum(CASE WHEN NOT toA THEN v END)
+               / count(CASE WHEN NOT toA THEN 1 END) AS d
+           FROM asg GROUP BY b
+         ), ex AS (
+           SELECT CAST(COALESCE(sum(CASE WHEN abs(round(d + 1e-12, 9))
+             >= abs(round((SELECT diff_obs FROM obs) + 1e-12, 9))
+             THEN 1 END), 0) AS BIGINT) AS extreme
+           FROM per
+         )
+         SELECT (SELECT n_a FROM obs) AS n_a,
+           (SELECT n_b FROM obs) AS n_b,
+           CAST(200 AS INT) AS rounds,
+           round((SELECT diff_obs FROM obs) / 100 + 1e-9, 4) AS diff_obs,
+           CAST(extreme + 1 AS DOUBLE) / 201 AS p_value
+         FROM ex""",
 
     // q299: the q233 decomposition CTEs + one var_pop aggregation with
     // the same greatest/ratio arithmetic.

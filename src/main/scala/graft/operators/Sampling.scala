@@ -417,6 +417,45 @@ object Sampling {
     }
   }
 
+  /** Ratio-coupled negative sampling — keep every positive and a
+    * deterministic hash-ordered sample of `ratio × n_positives`
+    * negatives (the class-imbalance verb of contrastive / CTR-style
+    * training sets: the negative budget follows the positive count, so
+    * the class ratio survives refreshes without retuning). `labelCol`
+    * casts to boolean; NULL labels count as negative.
+    *
+    * Sampling is the library's portable-hash draw (md5 over salt§id —
+    * no RNG state): the SAME negatives are chosen across reruns,
+    * partitionings, and engines, and growing the corpus only appends
+    * to the selection frontier.
+    *
+    * Plan: one count action over the positives, then a global
+    * (orderBy + limit) draw over the negatives — TakeOrdered, never a
+    * single-partition window (the [[weightedByHash]] posture). Returns
+    * the input columns.
+    */
+  def negativeSample(
+      df: DataFrame,
+      labelCol: String,
+      ratio: Double,
+      idCols: Seq[String],
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(ratio > 0, s"ratio must be positive: $ratio")
+    require(idCols.nonEmpty, "negativeSample needs idCols — the hash of " +
+      "the row identity IS the deterministic sampling order")
+    val isPos = coalesce(col(labelCol).cast("boolean"), lit(false))
+    val pos = df.filter(isPos)
+    val nPos = pos.count()
+    val k = math.ceil(ratio * nPos)
+    require(k <= Int.MaxValue,
+      s"negative budget $k exceeds a single take — lower ratio or split")
+    val neg = df.filter(!isPos)
+      .orderBy(hashOrder(salt, idCols): _*)
+      .limit(k.toInt)
+    pos.union(neg)
+  }
+
   /** Sequence packing: assign documents to fixed token-capacity training
     * bins, next-fit in `orderCol` order within each `groupCols` cell —
     * the step that turns a cleaned corpus into training contexts with

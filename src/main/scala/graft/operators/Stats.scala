@@ -1285,6 +1285,90 @@ object Stats {
           .as("n_required"))
   }
 
+  /** Monte-Carlo randomization test for a two-sample mean difference —
+    * the assumption-free p-value when neither the t-test's normality
+    * nor the rank tests' shape assumptions are wanted. Each of
+    * `rounds` pseudo-permutations reassigns every row to group A with
+    * probability n_a/(n_a+n_b), decided by the library's portable md5
+    * hash of (salt § round § id) — no RNG state, so the p-value is
+    * bit-reproducible across engines and reruns (Bernoulli
+    * randomization, the standard Monte-Carlo surrogate for the exact
+    * permutation distribution; group sizes vary binomially around the
+    * observed ones).
+    *
+    * `p_value = (1 + #{b : |diff_b| ≥ |diff_obs|}) / (rounds + 1)`
+    * (the add-one convention — never exactly 0), with the comparison
+    * on ROUNDED (9-digit, 1e-12-shift) diffs: the boundary
+    * convention. Degenerate rounds (a side drew no rows) count as
+    * not-extreme.
+    *
+    * Returns ONE row `(n_a, n_b: bigint, rounds: int, diff_obs,
+    * p_value: double)`.
+    *
+    * Plan: a `rounds`-way row explode (map-side; document the bound —
+    * 200 rounds of a 10¹⁰-row frame is 2·10¹² flat-mapped rows: sample
+    * the frame first at that scale) into ONE partial-agg shuffle of
+    * `rounds` keys; the observed stats ride a broadcast 1-row frame.
+    * With ×100-integral values every per-round sum is exact.
+    */
+  def permutationTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      idCols: Seq[String],
+      rounds: Int = 200,
+      salt: String = "perm"
+  ): MayFail[DataFrame] = MayFail {
+    require(groupA != groupB, s"groups must differ: $groupA")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(idCols.nonEmpty, "permutationTest needs idCols — the hash of " +
+      "the row identity drives the pseudo-permutations")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .filter(v.isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(Seq(v.as("__v"), col(groupCol).as("__g")) ++
+        idCols.map(col): _*)
+    val obs = base.agg(
+      count(when(col("__g") === groupA, 1)).as("n_a"),
+      count(when(col("__g") === groupB, 1)).as("n_b"),
+      (coalesce(sum(when(col("__g") === groupA, col("__v"))), lit(0.0)) /
+        count(when(col("__g") === groupA, 1)) -
+        coalesce(sum(when(col("__g") === groupB, col("__v"))), lit(0.0)) /
+        count(when(col("__g") === groupB, 1))).as("diff_obs"))
+    val perms = base
+      .select(col("__v"), explode(sequence(lit(0), lit(rounds - 1)))
+        .as("__b"),
+        concat(lit(salt) +: (Seq(lit("§")) ++ Seq(col("__b")
+          .cast("string")) ++ idCols.flatMap(c => Seq(lit("§"),
+          coalesce(col(c).cast("string"), lit("<null>"))))): _*).as("__key"))
+    val h = graft.functions.TextFunctions.portableHash60(col("__key"))
+    val u = (shiftright(h, 7) + lit(1L)).cast("double") /
+      lit(9007199254740992.0)
+    val withObs = perms.crossJoin(broadcast(obs))
+      .withColumn("__toA",
+        u < col("n_a").cast("double") / (col("n_a") + col("n_b")))
+    val perRound = withObs.groupBy("__b")
+      .agg(first(col("diff_obs")).as("diff_obs"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        (sum(when(col("__toA"), col("__v"))) /
+          count(when(col("__toA"), 1)) -
+          sum(when(!col("__toA"), col("__v"))) /
+          count(when(!col("__toA"), 1))).as("__diff"))
+    perRound.agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("diff_obs")).as("__obs"),
+        coalesce(sum(when(
+          abs(round(col("__diff") + lit(1e-12), 9)) >=
+            abs(round(col("diff_obs") + lit(1e-12), 9)), 1L)), lit(0L))
+          .as("__extreme"))
+      .select(col("n_a"), col("n_b"), lit(rounds).as("rounds"),
+        col("__obs").as("diff_obs"),
+        ((col("__extreme") + 1).cast("double") / (rounds + 1))
+          .as("p_value"))
+  }
+
   /** TOST equivalence test (two one-sided Welch t-tests) — the
     * non-inferiority readout [[welchTTest]] can't give: a
     * non-significant t does NOT mean "equivalent", it means "don't

@@ -384,4 +384,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(heavyShare > 0.75 && heavyShare < 1.0,
       s"heavy-weight share $heavyShare should be near 0.9")
   }
+
+  test("negativeSample: ratio-coupled budget, deterministic, all positives kept") {
+    val df = (1L to 100L).map(i => (i, i <= 10)).toDF("id", "label")
+    val got = Sampling.negativeSample(df, "label", ratio = 2.0,
+      idCols = Seq("id")).get.as[(Long, Boolean)].collect()
+    assert(got.count(_._2) == 10)          // every positive kept
+    assert(got.count(!_._2) == 20)         // ceil(2.0 * 10) negatives
+    // rerun draws the SAME negatives
+    val again = Sampling.negativeSample(df, "label", ratio = 2.0,
+      idCols = Seq("id")).get.as[(Long, Boolean)].collect()
+    assert(got.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+    // fractional budgets round up; NULL labels are negatives
+    val withNull = df.union(Seq((200L, null.asInstanceOf[java.lang.Boolean]))
+      .toDF("id", "label"))
+    val g2 = Sampling.negativeSample(withNull, "label", ratio = 0.15,
+      idCols = Seq("id")).get.count()
+    assert(g2 == 10 + 2)                   // ceil(1.5) = 2
+  }
 }

@@ -618,4 +618,28 @@ class StatsSpec extends AnyFunSuite {
       .select("t_lower", "t_upper").collect().head
     assert(rd.isNullAt(0) && rd.isNullAt(1))
   }
+
+  test("permutationTest: identical groups read non-significant; a huge " +
+    "shift reads at the p floor; deterministic across runs") {
+    // identical distributions: p should be large
+    val same = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i % 5).toDouble)).toDF("id", "g", "v")
+    val pSame = Stats.permutationTest(same, "v", "g", "a", "b",
+      idCols = Seq("id"), rounds = 99).get
+      .select("p_value").as[Double].head()
+    assert(pSame > 0.2)
+    // disjoint ranges: observed diff is never matched → p = 1/(R+1)
+    val shifted = ((1 to 20).map(i => (i.toLong, "a", 1000.0 + i)) ++
+      (21 to 40).map(i => (i.toLong, "b", i.toDouble))).toDF("id", "g", "v")
+    val pShift = Stats.permutationTest(shifted, "v", "g", "a", "b",
+      idCols = Seq("id"), rounds = 99).get
+      .as[(Long, Long, Int, Double, Double)].head()
+    assert(pShift._1 == 20L && pShift._2 == 20L && pShift._3 == 99)
+    assert(pShift._5 == 1.0 / 100)
+    // bit-deterministic across runs
+    val again = Stats.permutationTest(shifted, "v", "g", "a", "b",
+      idCols = Seq("id"), rounds = 99).get
+      .select("p_value").as[Double].head()
+    assert(again == pShift._5)
+  }
 }
