@@ -3007,6 +3007,40 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q304_conductance" -> ((s, dir) => {
+      // Cut quality of a (node % 4) labeling over the symmetric
+      // supplier graph: all counts exact, conductance one IEEE
+      // division - gated unrounded.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      val sym = proj.select("src", "dst").union(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = sym.select(col("src").as("node"))
+        .union(sym.select(col("dst").as("node"))).distinct()
+        .withColumn("community", col("node") % 4)
+      Graph.conductance(sym, "src", "dst", labels, "node",
+          "community").get
+        .orderBy("community")
+    }),
+
+    "q305_stl_anomaly" -> ((s, dir) => {
+      // Seasonal-aware anomalies over the q233 decomposition: robust
+      // residual z against per-type median/MAD; flag on the
+      // rounded-at-9 z (boundary convention); outputs descaled and
+      // rounded.
+      val filled = TimeSeries.gapFill(
+        events(s, dir).withColumn("value", round(col("value") * 100)),
+        "ts", Seq("event_type"), bucketSec = 3600L, valueCol = "value",
+        how = "sum", fill = "zero").get
+      TimeSeries.stlAnomaly(filled, "bucket_ts", Seq("event_type"),
+          "value", period = 24, threshold = 3.5).get
+        .select(col("event_type"), col("bucket_ts"),
+          round(col("value") / 100.0, 4).as("value"),
+          round(col("residual") / 100.0 + lit(1e-9), 4).as("residual"),
+          round(col("z") + lit(1e-9), 4).as("z"), col("anomaly"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     "q302_negative_sample" -> ((s, dir) => {
       // Ratio-coupled negative sampling (0.5 negatives per long-doc
       // positive, threshold 400 chars) via the portable-hash draw -
@@ -8117,6 +8151,154 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q304: conductance replayed — label-tagged edges, per-community
+    // volume/cut, the min-volume division.
+    "q304_conductance" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), nd AS (
+           SELECT DISTINCT src AS node FROM e
+         ), lab AS (
+           SELECT node, node % 4 AS c FROM nd
+         ), tagged AS (
+           SELECT ls.c AS cs, ld.c AS cd
+           FROM e JOIN lab ls ON ls.node = e.src
+             JOIN lab ld ON ld.node = e.dst
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS mm FROM tagged
+         ), per AS (
+           SELECT cs AS community, CAST(count(*) AS BIGINT) AS volume,
+             CAST(COALESCE(sum(CASE WHEN cs <> cd THEN 1 END), 0)
+               AS BIGINT) AS cut
+           FROM tagged GROUP BY cs
+         ), sizes AS (
+           SELECT c AS community, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM lab GROUP BY c
+         )
+         SELECT s.community, s.n_nodes,
+           CAST(COALESCE(volume, 0) AS BIGINT) AS volume,
+           CAST(COALESCE(cut, 0) AS BIGINT) AS cut,
+           CASE WHEN least(COALESCE(volume, 0),
+               mm - COALESCE(volume, 0)) > 0
+             THEN CAST(COALESCE(cut, 0) AS DOUBLE)
+               / least(COALESCE(volume, 0), mm - COALESCE(volume, 0))
+           END AS conductance
+         FROM sizes s LEFT JOIN per ON per.community = s.community, tot
+         ORDER BY s.community""",
+
+    // q305: the q233 decomposition + per-type residual median/MAD grid
+    // medians + the rounded-z threshold replay.
+    "q305_stl_anomaly" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             sum(round(value * 100)) AS v
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, b
+         ), spans AS (
+           SELECT event_type, min(b) AS lo, max(b) AS hi FROM cells
+           GROUP BY event_type
+         ), grid AS (
+           SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b
+           FROM spans
+         ), f AS (
+           SELECT g.event_type, g.b, coalesce(c.v, 0) AS v
+           FROM grid g LEFT JOIN cells c
+             ON c.event_type = g.event_type AND c.b = g.b
+         ), o AS (
+           SELECT event_type, b, v,
+             CAST((row_number() OVER w - 1) % 24 AS INT) AS phase,
+             count(v) OVER wt AS wn,
+             sum(v) OVER wt AS ws
+           FROM f
+           WINDOW w AS (PARTITION BY event_type ORDER BY b),
+           wt AS (PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+         ), t AS (
+           SELECT *,
+             CASE WHEN wn = 24 THEN ws / 24.0 END AS trend,
+             CASE WHEN wn = 24 THEN v * 24 - ws END AS dnum
+           FROM o
+         ), pa AS (
+           SELECT event_type, phase, sum(dnum) AS snum,
+             CAST(count(*) AS BIGINT) AS sn
+           FROM t WHERE dnum IS NOT NULL GROUP BY event_type, phase
+         ), pav AS (
+           SELECT event_type, phase, snum / (sn * 24.0) AS sraw FROM pa
+         ), ctr AS (
+           SELECT event_type, sum(sraw) / count(*) AS center
+           FROM pav GROUP BY event_type
+         ), seas AS (
+           SELECT pav.event_type, pav.phase, sraw - center AS seasonal
+           FROM pav JOIN ctr ON ctr.event_type = pav.event_type
+         ), comp AS (
+           SELECT t.event_type, t.b, t.v,
+             CASE WHEN t.trend IS NOT NULL
+               THEN v - t.trend - s.seasonal END AS residual
+           FROM t LEFT JOIN seas s
+             ON s.event_type = t.event_type AND s.phase = t.phase
+         ), g1 AS (
+           SELECT event_type, residual AS rv, CAST(count(*) AS BIGINT) AS t
+           FROM comp WHERE residual IS NOT NULL GROUP BY event_type, residual
+         ), c1 AS (
+           SELECT event_type, rv, t,
+             CAST(sum(t) OVER (PARTITION BY event_type ORDER BY rv ROWS
+               BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM g1
+         ), medt AS (
+           SELECT m1.event_type, (v1 + v2) / 2 AS med FROM
+             (SELECT event_type, rv AS v1 FROM c1
+              WHERE c >= (n + 1) // 2 AND c - t < (n + 1) // 2) m1
+             JOIN
+             (SELECT event_type, rv AS v2 FROM c1
+              WHERE c >= n // 2 + 1 AND c - t < n // 2 + 1) m2
+             ON m1.event_type = m2.event_type
+         ), g2 AS (
+           SELECT comp.event_type, abs(residual - med) AS dv,
+             CAST(count(*) AS BIGINT) AS t
+           FROM comp JOIN medt ON medt.event_type = comp.event_type
+           WHERE residual IS NOT NULL
+           GROUP BY comp.event_type, abs(residual - med)
+         ), c2 AS (
+           SELECT event_type, dv, t,
+             CAST(sum(t) OVER (PARTITION BY event_type ORDER BY dv ROWS
+               BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM g2
+         ), madt AS (
+           SELECT m1.event_type, (d1 + d2) / 2 AS mad FROM
+             (SELECT event_type, dv AS d1 FROM c2
+              WHERE c >= (n + 1) // 2 AND c - t < (n + 1) // 2) m1
+             JOIN
+             (SELECT event_type, dv AS d2 FROM c2
+              WHERE c >= n // 2 + 1 AND c - t < n // 2 + 1) m2
+             ON m1.event_type = m2.event_type
+         ), z AS (
+           SELECT comp.event_type, comp.b, comp.v, comp.residual,
+             CASE WHEN comp.residual IS NOT NULL AND madt.mad > 0
+               THEN round(0.6745 * (comp.residual - medt.med) / madt.mad
+                 + 1e-12, 9) END AS z
+           FROM comp
+           LEFT JOIN medt ON medt.event_type = comp.event_type
+           LEFT JOIN madt ON madt.event_type = comp.event_type
+         )
+         SELECT event_type,
+           TIMESTAMP '1970-01-01 00:00:00' + b * INTERVAL 1 SECOND
+             AS bucket_ts,
+           round(v / 100.0, 4) AS value,
+           round(residual / 100.0 + 1e-9, 4) AS residual,
+           round(z + 1e-9, 4) AS z,
+           COALESCE(abs(z) > 3.5, false) AS anomaly
+         FROM z ORDER BY event_type, bucket_ts""",
 
     // q302: the portable-hash negative draw replayed — positives kept,
     // negatives ranked by (md5 hash, id) with the ceil-coupled budget.

@@ -909,6 +909,61 @@ object Graph {
     depths
   }
 
+  /** Per-community conductance of a given labeling — the cut-quality
+    * companion to [[modularity]] (modularity scores the WHOLE
+    * labeling; conductance φ(C) = cut(C) / min(vol(C), vol(V∖C))
+    * says which individual communities leak — the standard "is this
+    * cluster real" screen after [[louvainMove]] or
+    * [[labelPropagate]]). Directed edge volume (pass both directions
+    * for undirected semantics, the [[betweenness]] convention);
+    * nodes without a label are ignored.
+    *
+    * Returns one row per community: `(community, n_nodes, volume,
+    * cut: bigint, conductance: double)` — NULL conductance for a
+    * community with zero min-volume (isolated or the whole graph).
+    *
+    * Plan: two broadcast-friendly equi-joins to tag edge endpoints
+    * with labels, one partial-agg shuffle per side — all counts
+    * exact; conductance one IEEE division, gate-stable unrounded.
+    */
+  def conductance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val lab = labels.select(col(nodeCol).as("node"),
+        col(labelCol).as("__c"))
+      .filter(col("node").isNotNull && col("__c").isNotNull)
+      .distinct()
+    val tagged = e
+      .join(lab.select(col("node").as("src"), col("__c").as("__cs")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("__c").as("__cd")),
+        Seq("dst"))
+    val total = tagged.agg(count(lit(1)).as("__m"))
+    val perC = tagged.groupBy(col("__cs").as("community"))
+      .agg(count(lit(1)).as("volume"),
+        coalesce(sum(when(col("__cs") =!= col("__cd"), 1L)), lit(0L))
+          .as("cut"))
+    val sizes = lab.groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    sizes.join(perC, Seq("community"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("volume", coalesce(col("volume"), lit(0L)))
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .withColumn("__minvol",
+        least(col("volume"), col("__m") - col("volume")))
+      .select(col("community"), col("n_nodes"), col("volume"), col("cut"),
+        when(col("__minvol") > 0,
+          col("cut").cast("double") / col("__minvol")).as("conductance"))
+  }
+
   /** Landmark betweenness (Brandes 2001 from a seed set): the
     * shortest-path dependency sum `Σ_s δ_s(v)` accumulated over the
     * given landmarks — exact betweenness when the landmarks are ALL

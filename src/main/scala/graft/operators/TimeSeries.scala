@@ -908,6 +908,67 @@ object TimeSeries {
           .as("trend_strength"): _*)
   }
 
+  /** Seasonal-aware anomaly flags — [[rollingStats]] z-scores fire on
+    * every daily peak of a seasonal series; this one decomposes first
+    * ([[seasonalDecompose]]) and scores the RESIDUAL against its
+    * per-key median/MAD (the [[Quality.madOutliers]] robust z), so
+    * only deviations from the expected seasonal shape flag.
+    *
+    * Adds `(trend, seasonal, residual, z, anomaly)` to `(keyCols…,
+    * orderCol, value)` rows — `z` the Iglewicz–Hoaglin modified
+    * z-score of the residual, ROUNDED at 9 (1e-12 shift) before the
+    * threshold comparison (the boundary convention); rows with an
+    * incomplete trend window (series edges) carry NULL z and
+    * `anomaly = false`.
+    *
+    * Plan: the decomposition plan + two per-key DISTINCT-VALUE-grid
+    * median passes (windows partitioned BY KEY) + one join back — no
+    * global sorts.
+    */
+  def stlAnomaly(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      period: Int,
+      threshold: Double = 3.5
+  ): MayFail[DataFrame] = MayFail {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val dec = seasonalDecompose(df, orderCol, keyCols, valueCol, period).get
+    val keys = keyCols.map(col)
+    def gridMedian(frame: DataFrame, vc: String, out: String): DataFrame = {
+      val grid = frame.groupBy(keys :+ col(vc): _*)
+        .agg(count(lit(1)).as("__t"))
+      val upto = Window.partitionBy(keys: _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("__c", sum(col("__t")).over(upto))
+        .withColumn("__n", sum(col("__t")).over(
+          Window.partitionBy(keys: _*)))
+      val r1 = expr("(__n + 1) div 2")
+      val r2 = expr("__n div 2 + 1")
+      val m1 = cum.filter(col("__c") >= r1 && col("__c") - col("__t") < r1)
+        .select(keys :+ col(vc).as("__m1"): _*)
+      val m2 = cum.filter(col("__c") >= r2 && col("__c") - col("__t") < r2)
+        .select(keys :+ col(vc).as("__m2"): _*)
+      m1.join(m2, keyCols)
+        .select(keys :+ ((col("__m1") + col("__m2")) / 2).as(out): _*)
+    }
+    val comp = dec.filter(col("residual").isNotNull)
+    val med = gridMedian(comp, "residual", "__med")
+    val mad = gridMedian(
+      comp.join(med, keyCols)
+        .withColumn("__dev", abs(col("residual") - col("__med"))),
+      "__dev", "__mad")
+    dec.join(med, keyCols, "left").join(mad, keyCols, "left")
+      .withColumn("z",
+        when(col("residual").isNotNull && col("__mad") > 0,
+          round(lit(0.6745) * (col("residual") - col("__med")) /
+            col("__mad") + lit(1e-12), 9)))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__med", "__mad")
+  }
+
   /** Page–Hinkley drift test per key — the sequential mean-shift
     * detector (Page 1954; the standard concept-drift monitor): with
     * running mean x̄_t, accumulate `m_t = Σ_{i≤t} (x_i − x̄_i − δ)` and

@@ -328,6 +328,44 @@ object Optimise {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Static scale audit of a query plan — the anti-pattern counters a
+    * pipeline CI can assert on BEFORE running anything (the same
+    * signals a human reads off `.explain("formatted")`): shuffle and
+    * broadcast exchange counts, nested-loop / cartesian joins, sorts,
+    * whole-stage-codegen span count, parquet scans and how many of
+    * them reached the reader with pushed filters. A plan whose
+    * `cartesian_products` or `bnl_joins` is nonzero, or whose
+    * `scans_with_pushdown` < `parquet_scans` on a filtered read, will
+    * not survive a 100× scale-up — fail the build, not the cluster.
+    *
+    * Returns `(metric: string, value: bigint)` — driver-side plan
+    * inspection only; the query is NOT executed.
+    */
+  def planAudit(df: DataFrame): MayFail[DataFrame] = MayFail {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    def n(pattern: String): Long =
+      pattern.r.findAllIn(plan).length.toLong
+    val metrics = Seq(
+      // formatted mode separates node names from arguments: exchanges
+      // are "(n) Exchange" nodes with an "Arguments: <partitioning>"
+      // detail (codegen markers only exist post-execution under AQE,
+      // so they are deliberately NOT a metric here)
+      "shuffle_exchanges" -> n("\\(\\d+\\) Exchange"),
+      "hash_exchanges" -> n("Arguments: hashpartitioning"),
+      "broadcast_exchanges" -> n("BroadcastExchange"),
+      "bnl_joins" -> n("BroadcastNestedLoopJoin"),
+      "cartesian_products" -> n("CartesianProduct"),
+      "sort_merge_joins" -> n("SortMergeJoin"),
+      "broadcast_hash_joins" -> n("BroadcastHashJoin"),
+      "sorts" -> n("\\(\\d+\\) Sort\\b"),
+      "parquet_scans" -> n("Scan parquet"),
+      "scans_with_pushdown" -> n("PushedFilters: \\[(?!\\])"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    metrics.toDF("metric", "value")
+  }
+
   /** Skew-resistant equi-join: salt the skewed (big) side's key with a
     * random shard in [0, saltFactor) and replicate every small-side row
     * across all shards, so a hot key's rows spread over `saltFactor`

@@ -545,6 +545,27 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == ((0L, 0L, None)))
   }
 
+  test("conductance: two triangles with one bridge") {
+    // triangles {1,2,3} and {4,5,6} joined by 3-4 (symmetrized):
+    // each community: volume 7 (6 internal + 1 bridge out), cut 1,
+    // total m 14 → min(7, 7) = 7 → φ = 1/7
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val sym = (tri ++ tri.map(p => (p._2, p._1))).toDF("s", "d")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("n", "c")
+    val got = Graph.conductance(sym, "s", "d", labels, "n", "c").get
+      .orderBy("community")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("A", 3L, 7L, 1L, 1.0 / 7),
+      ("B", 3L, 7L, 1L, 1.0 / 7)))
+    // a labeled node with no edges: 0 volume, NULL conductance
+    val labels2 = labels.union(Seq((9L, "Z")).toDF("n", "c"))
+    val z = Graph.conductance(sym, "s", "d", labels2, "n", "c").get
+      .filter($"community" === "Z").collect().head
+    assert(z.getLong(2) == 0L && z.isNullAt(4))
+  }
+
   test("betweenness: path and star against hand-computed Brandes") {
     def sym(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(p => (p._2, p._1))).toDF("s", "d")

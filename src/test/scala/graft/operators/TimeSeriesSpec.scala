@@ -451,6 +451,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rx.isNullAt(0))
   }
 
+  test("stlAnomaly: flags only the spike on a seasonal series") {
+    // period-4 cycle with mild deterministic jitter (a perfect cycle
+    // has all-zero residuals → MAD 0 → NULL z everywhere) and ONE
+    // spiked point in the middle; period 4 keeps the trend window
+    // from absorbing the spike (period 2's two-row trend splits it)
+    val vals = (0 until 24).map(i =>
+      if (i == 13) 500.0
+      else Seq(10.0, 20.0, 15.0, 25.0)(i % 4) + (i % 3) * 0.5)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", tsOf(i), v) }
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.stlAnomaly(df, "ts", Seq("k"), "v", period = 4)
+      .get.orderBy("ts")
+      .select("anomaly").as[Boolean].collect()
+    // the MAD flag must fire AT the spike
+    assert(got(13))
+    // far-from-spike rows stay quiet
+    assert(!got(2) && !got(3) && !got(20))
+    // edge rows (incomplete trend window) are never anomalies
+    assert(!got(0) && !got(23))
+  }
+
   test("pageHinkley: flat series never alarms; a level shift does") {
     // flat [10,10,10]: every term = 0 → m = 0, ph = 0
     val flat = (0 to 2).map(i => ("f", tsOf(i), 10.0)).toDF("k", "ts", "v")
