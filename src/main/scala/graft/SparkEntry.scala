@@ -3007,6 +3007,35 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q306_stream_drift" -> ((s, dir) => {
+      // STREAMING Page-Hinkley with exact batch parity: the state
+      // machine replays the q295 arithmetic per event in (ts, id)
+      // order; the oracle recomputes it in SQL with the same fold.
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src306"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_drift_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val out = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        typed = src.filter(col("value").isNotNull &&
+            col("event_type").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"),
+            col("ts"))
+          .as[(String, Long, Double, java.sql.Timestamp)]
+        drift <- graft.streaming.Stream.driftMonitor(typed,
+          delta = 0.0, lambda = 500.0, scale = 100L)
+        res <- graft.streaming.Stream.drainToMemory(drift.toDF(), name)
+      } yield res).get
+      out.select(col("key").as("event_type"), col("id").as("event_id"),
+          col("value"), round(col("ph_m") + lit(1e-9), 4).as("ph_m"),
+          round(col("ph") + lit(1e-9), 4).as("ph"), col("alarm"))
+        .orderBy("event_type", "event_id")
+    }),
+
     "q304_conductance" -> ((s, dir) => {
       // Cut quality of a (node % 4) labeling over the symmetric
       // supplier graph: all counts exact, conductance one IEEE
@@ -8151,6 +8180,47 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q306: the streaming drift monitor replayed in SQL — the q295
+    // fold per event in (ts micros, event_id) order, no grid.
+    "q306_stream_drift" ->
+      """WITH f AS (
+           SELECT event_type, event_id, epoch_us(ts) AS tus,
+             round(value * 100) AS v
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+         ), pre AS (
+           SELECT event_type, event_id, tus, CAST(v AS BIGINT) AS iv,
+             CAST(row_number() OVER wo AS BIGINT) AS t,
+             CAST(sum(CAST(v AS BIGINT)) OVER wr AS BIGINT) AS s
+           FROM f
+           WINDOW wo AS (PARTITION BY event_type ORDER BY tus, event_id),
+           wr AS (PARTITION BY event_type ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ), term AS (
+           SELECT event_type, event_id, tus, iv,
+             CAST(iv AS DOUBLE) - CAST(s AS DOUBLE) / t - 0.0 AS term
+           FROM pre
+         ), m AS (
+           SELECT event_type, event_id, tus, iv,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(term) OVER (PARTITION BY event_type
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, e) -> acc + e) AS m
+           FROM term
+         ), mm AS (
+           SELECT *, min(m) OVER (PARTITION BY event_type
+             ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM m
+         )
+         SELECT event_type, event_id, CAST(iv AS DOUBLE) / 100 AS value,
+           round(m / 100 + 1e-9, 4) AS ph_m,
+           round((m - mn) / 100 + 1e-9, 4) AS ph,
+           round((m - mn) / 100 + 1e-12, 9) > 500.0 AS alarm
+         FROM mm ORDER BY event_type, event_id""",
 
     // q304: conductance replayed — label-tagged edges, per-community
     // volume/cut, the min-volume division.

@@ -192,6 +192,64 @@ object Stream {
       }
   }
 
+  /** Streaming Page–Hinkley drift monitor — the ONLINE form of
+    * [[graft.operators.TimeSeries.pageHinkley]], with BIT-IDENTICAL
+    * arithmetic (same ×scale rounding, same running-mean term, same
+    * left-fold m accumulation, same rounded-at-9 threshold), so a
+    * stream and a batch replay of the same events produce the same
+    * alarms — the state carries `(t, Σv, m, min m)` per key across
+    * micro-batches.
+    *
+    * Input tuples: `(key, eventId, value, eventTime)`. Within a batch,
+    * events process in `(eventTime, eventId)` order; ACROSS batches the
+    * state simply continues, so out-of-order arrival across batch
+    * boundaries degrades to run-segmented semantics — feed a
+    * watermarked, source-ordered stream (or one batch via
+    * availableNow) for exact batch parity.
+    */
+  def driftMonitor(
+      ds: Dataset[(String, Long, Double, java.sql.Timestamp)],
+      delta: Double,
+      lambda: Double,
+      scale: Long = 100L
+  ): MayFail[Dataset[DriftPoint]] = MayFail {
+    require(lambda > 0, s"lambda must be positive: $lambda")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    import ds.sparkSession.implicits._
+    def round9(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[DriftAcc, DriftPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[DriftAcc]) =>
+          var acc = state.getOption
+            .getOrElse(DriftAcc(0L, 0L, 0.0, Double.MaxValue))
+          // order by event-time MICROS (getTime alone truncates to ms
+          // and would tie sub-ms events), then id
+          def us(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          val out = events.toSeq.sortBy(e => (us(e._4), e._2)).map {
+            case (_, id, v, _) =>
+              // Spark's round(): exact-binary BigDecimal, HALF_UP
+              val vi = new java.math.BigDecimal(v * scale)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+              val t = acc.t + 1
+              val s = acc.s + vi
+              val term = vi.toDouble - s.toDouble / t - delta * scale
+              val m = acc.m + term
+              val minM = math.min(acc.minM, m)
+              acc = DriftAcc(t, s, m, minM)
+              val ph = (m - minM) / scale
+              DriftPoint(key, id, vi.toDouble / scale, m / scale, ph,
+                round9(ph + 1e-12) > lambda)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join — the most common streaming verb:
     * attach dimension attributes to each event as it flows. Stateless
     * by construction (each micro-batch joins against the current dim
@@ -399,3 +457,11 @@ final case class SessionAcc(n: Long, sum: Double, firstMs: Long, lastMs: Long)
 /** Closed-session record emitted by [[Stream.sessionize]] on timeout. */
 final case class SessionSummary(
     key: String, n: Long, sum: Double, firstMs: Long, lastMs: Long)
+
+/** Per-key Page–Hinkley state for [[Stream.driftMonitor]]. */
+final case class DriftAcc(t: Long, s: Long, m: Double, minM: Double)
+
+/** Per-event drift readout emitted by [[Stream.driftMonitor]]. */
+final case class DriftPoint(
+    key: String, id: Long, value: Double, ph_m: Double, ph: Double,
+    alarm: Boolean)

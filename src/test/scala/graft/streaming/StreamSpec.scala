@@ -198,4 +198,35 @@ class StreamSpec extends AnyFunSuite {
       case _                        => false
     })
   }
+
+  test("driftMonitor: bit-identical to batch pageHinkley; state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 20).map { i =>
+      ("k", i.toLong, if (i >= 15) 100.0 else 10.0 + (i % 3), ts(i))
+    }
+    // batch reference
+    val batch = graft.operators.TimeSeries.pageHinkley(
+        events.toDF("k", "id", "v", "ts"), Seq("k"), "ts", "v",
+        delta = 0.0, lambda = 50.0, scale = 100L).get
+      .orderBy("ts").select("ph_m", "ph", "alarm")
+      .as[(Double, Double, Boolean)].collect()
+    // stream in TWO micro-batches: state must carry across
+    val input = MemoryStream[(String, Long, Double, Timestamp)]
+    val drift = Stream.driftMonitor(input.toDS(), delta = 0.0,
+      lambda = 50.0, scale = 100L).get
+    val q = drift.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("drift_test").start()
+    input.addData(events.take(12))
+    q.processAllAvailable()
+    input.addData(events.drop(12))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("drift_test")
+      .orderBy("id").select("ph_m", "ph", "alarm")
+      .as[(Double, Double, Boolean)].collect()
+    assert(streamed.length == 20)
+    assert(streamed.toSeq == batch.toSeq)
+    // the level shift at i >= 15 must eventually alarm in both
+    assert(batch.last._3 && streamed.last._3)
+  }
 }
