@@ -3007,6 +3007,35 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q307_one_sample_t" -> ((s, dir) => {
+      // One-sample t of click values vs target 245.00 (x100 exact
+      // moments): IEEE chain of exact sums - gated unrounded.
+      Stats.oneSampleTTest(
+          events(s, dir).filter(col("event_type") === "click")
+            .withColumn("value", round(col("value") * 100)),
+          "value", mu0 = 24500.0).get
+        .select(col("n"), (col("mean") / 100).as("mean"),
+          (col("var") / 10000).as("var"), (col("se") / 100).as("se"),
+          col("t"), col("df"))
+    }),
+
+    "q308_conversion_lag" -> ((s, dir) => {
+      // Time-to-conversion percentiles per channel over the q209
+      // attribution: exact ceil(p*n) order statistics - unrounded.
+      Behavior.conversionLag(events(s, dir), "ts", "event_id", "user_id",
+          "event_type", convType = "purchase",
+          touchTypes = Seq("click", "view"), windowSec = 259200L).get
+        .orderBy("touch_type", "p")
+    }),
+
+    "q309_kfold" -> ((s, dir) => {
+      // Deterministic 5-fold assignment by doc hash - pure projection.
+      graft.operators.Sampling.kfoldByHash(tbl(s, dir, "documents"),
+          k = 5, idCols = Seq("doc_id")).get
+        .select(col("doc_id"), col("fold"))
+        .orderBy("doc_id")
+    }),
+
     "q306_stream_drift" -> ((s, dir) => {
       // STREAMING Page-Hinkley with exact batch parity: the state
       // machine replays the q295 arithmetic per event in (ts, id)
@@ -8180,6 +8209,80 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q307: one-sample t replayed — exact moments, same descale points.
+    "q307_one_sample_t" ->
+      """WITH f AS (
+           SELECT round(value * 100) AS v FROM events
+           WHERE value IS NOT NULL AND event_type = 'click'
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             COALESCE(sum(v), 0) AS s, COALESCE(sum(v * v), 0) AS s2
+           FROM f
+         ), st AS (
+           SELECT n, CASE WHEN n > 0 THEN s / n END AS mean,
+             CASE WHEN n >= 2
+               THEN greatest(s2 - s * s / n, 0.0) / (n - 1) END AS var
+           FROM a
+         ), sel AS (
+           SELECT n, mean, var,
+             CASE WHEN n >= 2 AND var > 0 THEN sqrt(var / n) END AS se
+           FROM st
+         )
+         SELECT n, mean / 100 AS mean, var / 10000 AS var,
+           se / 100 AS se, (mean - 24500.0) / se AS t,
+           CAST(n - 1 AS BIGINT) AS df
+         FROM sel""",
+
+    // q308: the q209 attribution CTEs + the per-channel ceil(p*n)
+    // grid percentile pick.
+    "q308_conversion_lag" ->
+      """WITH f AS (
+           SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS us
+           FROM events
+           WHERE ts IS NOT NULL
+             AND event_type IN ('purchase', 'click', 'view')
+         ), l AS (
+           SELECT *,
+             last_value(CASE WHEN t IN ('click', 'view') THEN t END
+               IGNORE NULLS) OVER w AS lt,
+             last_value(CASE WHEN t IN ('click', 'view') THEN us END
+               IGNORE NULLS) OVER w AS lus
+           FROM f
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), conv AS (
+           SELECT
+             CASE WHEN lus IS NOT NULL AND us - lus <= 259200000000
+               THEN lt END AS touch_type,
+             CASE WHEN lus IS NOT NULL AND us - lus <= 259200000000
+               THEN CAST((us - lus) // 1000000 AS BIGINT) END AS gap_sec
+           FROM l WHERE t = 'purchase'
+         ), g AS (
+           SELECT touch_type, gap_sec, CAST(count(*) AS BIGINT) AS t
+           FROM conv WHERE touch_type IS NOT NULL
+           GROUP BY touch_type, gap_sec
+         ), c AS (
+           SELECT *,
+             CAST(sum(t) OVER (PARTITION BY touch_type ORDER BY gap_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c,
+             CAST(sum(t) OVER (PARTITION BY touch_type) AS BIGINT) AS n
+           FROM g
+         ), ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+         SELECT touch_type, p, n, gap_sec AS lag_sec
+         FROM c, ps
+         WHERE c >= greatest(1, CAST(ceil(p * n) AS BIGINT))
+           AND c - t < greatest(1, CAST(ceil(p * n) AS BIGINT))
+         ORDER BY touch_type, p""",
+
+    // q309: the portable-hash fold assignment replayed.
+    "q309_kfold" ->
+      """SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5('cv§' ||
+             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT)
+             AS fold
+         FROM documents ORDER BY doc_id""",
 
     // q306: the streaming drift monitor replayed in SQL — the q295
     // fold per event in (ts micros, event_id) order, no grid.

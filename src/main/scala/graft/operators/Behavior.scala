@@ -855,6 +855,50 @@ object Behavior {
           expr("(__us - __lt_us) div 1000000")).as("gap_sec"))
   }
 
+  /** Time-to-conversion percentiles per channel — the latency readout
+    * on top of last-touch [[attribution]]: for every attributed
+    * conversion, the gap from its touch, summarized as exact ⌈p·n⌉
+    * order statistics per touch type ("how long after a click does
+    * the purchase land"). Unattributed conversions are excluded.
+    *
+    * Returns one row per (touch_type, p): `(touch_type, p: double,
+    * n: bigint, lag_sec: bigint)`.
+    *
+    * Plan: the [[attribution]] plan, then the exact-percentile grid
+    * device per channel (windows PARTITIONED BY touch type —
+    * [[Quality.percentiles]]' ⌈p·n⌉ convention, everything exact).
+    */
+  def conversionLag(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      userCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      windowSec: Long,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  ): MayFail[DataFrame] = MayFail {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must be in (0, 1]: $ps")
+    val att = attribution(df, tsCol, idCol, userCol, typeCol, convType,
+        touchTypes, windowSec).get
+      .filter(col("touch_type").isNotNull)
+    val grid = att.groupBy(col("touch_type"), col("gap_sec"))
+      .agg(count(lit(1)).as("__t"))
+    val upto = Window.partitionBy("touch_type").orderBy("gap_sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("__c", sum(col("__t")).over(upto))
+      .withColumn("__n", sum(col("__t")).over(
+        Window.partitionBy("touch_type")))
+    ps.map { p =>
+      val r = greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long"))
+      cum.filter(col("__c") >= r && col("__c") - col("__t") < r)
+        .select(col("touch_type"), lit(p).as("p"), col("__n").as("n"),
+          col("gap_sec").as("lag_sec"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Rule-based multi-touch attribution credits — the standard model
     * suite between last-touch [[attribution]] and the data-driven
     * [[markovAttribution]]: each conversion's credit is split across

@@ -456,6 +456,34 @@ object Sampling {
     pos.union(neg)
   }
 
+  /** Deterministic k-fold assignment — adds a `fold ∈ [0, k)` column
+    * from the portable md5 hash of the row identity (or of
+    * `groupCols` when given: every row of a group lands in ONE fold —
+    * the leakage-safe grouped-CV form, so near-duplicate families
+    * split by [[Dedup.leakageSafeSplit]]-style group keys never
+    * straddle folds). No RNG state: folds are stable across reruns,
+    * partitionings, engines, and corpus growth.
+    *
+    * Plan: a pure projection — zero shuffle.
+    */
+  def kfoldByHash(
+      df: DataFrame,
+      k: Int,
+      idCols: Seq[String],
+      groupCols: Seq[String] = Nil,
+      salt: String = "cv"
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(idCols.nonEmpty || groupCols.nonEmpty,
+      "kfoldByHash needs idCols (or groupCols) — the hash of the row " +
+        "identity IS the fold assignment")
+    val keys = if (groupCols.nonEmpty) groupCols else idCols
+    val h = graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: keys.flatMap(c => Seq(lit("§"),
+        keyStr(col(c)))): _*))
+    df.withColumn("fold", (h % k).cast("int"))
+  }
+
   /** Sequence packing: assign documents to fixed token-capacity training
     * bins, next-fit in `orderCol` order within each `groupCols` cell —
     * the step that turns a cleaned corpus into training contexts with

@@ -1285,6 +1285,39 @@ object Stats {
           .as("n_required"))
   }
 
+  /** One-sample t-test of `valueCol` against a hypothesized mean
+    * `mu0` — the "did the metric move off its target" readout (SLA
+    * checks, calibration drift) that [[welchTTest]]'s two-group
+    * surface can't express. Sample variance from exact sum /
+    * sum-of-squares (clamped at 0).
+    *
+    * Returns ONE row `(n: bigint, mean, var, se, t: double, df:
+    * bigint)` — NULL t/se when n < 2 or the variance is 0.
+    *
+    * Plan: ONE distributed aggregation; with ×100-integral inputs the
+    * moments are exact and t is one IEEE chain — gate unrounded.
+    */
+  def oneSampleTTest(
+      df: DataFrame,
+      valueCol: String,
+      mu0: Double
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .agg(count(lit(1)).as("n"), coalesce(sum(v), lit(0.0)).as("__s"),
+        coalesce(sum(v * v), lit(0.0)).as("__s2"))
+      .withColumn("mean", when(col("n") > 0, col("__s") / col("n")))
+      .withColumn("var",
+        when(col("n") >= 2,
+          greatest(col("__s2") - col("__s") * col("__s") / col("n"),
+            lit(0.0)) / (col("n") - 1)))
+      .withColumn("se",
+        when(col("n") >= 2 && col("var") > 0, sqrt(col("var") / col("n"))))
+      .select(col("n"), col("mean"), col("var"), col("se"),
+        ((col("mean") - lit(mu0)) / col("se")).as("t"),
+        (col("n") - 1).as("df"))
+  }
+
   /** Monte-Carlo randomization test for a two-sample mean difference —
     * the assumption-free p-value when neither the t-test's normality
     * nor the rank tests' shape assumptions are wanted. Each of

@@ -460,6 +460,27 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(1)._4 >= 0.0 && got(1)._5 < 1.0 && got(1)._5 > 0.0)
   }
 
+  test("conversionLag: exact per-channel lag percentiles") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: click@0 → buy@10 (lag 10); user 2: click@0 → buy@30;
+    // user 3: view@0 → buy@20; user 4: buy with no touch (excluded)
+    val ev = Seq(
+      (1L, 1L, "click", t(0)), (1L, 2L, "purchase", t(10)),
+      (2L, 3L, "click", t(0)), (2L, 4L, "purchase", t(30)),
+      (3L, 5L, "view", t(0)), (3L, 6L, "purchase", t(20)),
+      (4L, 7L, "purchase", t(5))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.conversionLag(ev, "ts", "event_id", "user_id",
+        "event_type", "purchase", Seq("click", "view"), windowSec = 3600L,
+        ps = Seq(0.5, 1.0)).get
+      .orderBy("touch_type", "p")
+      .as[(String, Double, Long, Long)].collect()
+    // click lags [10, 30]: p50 → ceil(0.5·2)=1st → 10; p100 → 30
+    // view lags [20]: both percentiles → 20
+    assert(got.toSeq == Seq(("click", 0.5, 2L, 10L), ("click", 1.0, 2L, 30L),
+      ("view", 0.5, 1L, 20L), ("view", 1.0, 1L, 20L)))
+  }
+
   test("cohortLtv: exact cumulative revenue per user by cohort age") {
     def ts(bucket: Int) = new java.sql.Timestamp(bucket * 100000L)
     // cohort 0: users 1, 2. age 0 revenue 10+20, age 2 revenue 30 (u1)

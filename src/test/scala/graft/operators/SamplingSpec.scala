@@ -385,6 +385,24 @@ class SamplingSpec extends AnyFunSuite {
       s"heavy-weight share $heavyShare should be near 0.9")
   }
 
+  test("kfoldByHash: stable folds in range; groupCols keep groups together") {
+    val df = (1L to 200L).map(i => (i, i % 7)).toDF("id", "grp")
+    val folds = Sampling.kfoldByHash(df, k = 5, idCols = Seq("id")).get
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    assert(folds.values.toSet.size == 5) // all folds populated at n=200
+    // rerun identical
+    val again = Sampling.kfoldByHash(df, k = 5, idCols = Seq("id")).get
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(folds == again)
+    // grouped form: one fold per group
+    val grouped = Sampling.kfoldByHash(df, k = 3, idCols = Seq("id"),
+        groupCols = Seq("grp")).get
+      .select("grp", "fold").distinct().as[(Long, Int)].collect()
+    assert(grouped.length == 7) // each group maps to exactly one fold
+    assert(Sampling.kfoldByHash(df, k = 1, idCols = Seq("id")).isFailing)
+  }
+
   test("negativeSample: ratio-coupled budget, deterministic, all positives kept") {
     val df = (1L to 100L).map(i => (i, i <= 10)).toDF("id", "label")
     val got = Sampling.negativeSample(df, "label", ratio = 2.0,

@@ -619,6 +619,22 @@ class StatsSpec extends AnyFunSuite {
     assert(rd.isNullAt(0) && rd.isNullAt(1))
   }
 
+  test("oneSampleTTest: hand-computed t against a target mean") {
+    // [1,2,3]: mean 2, var 1, se = 1/sqrt(3); vs mu0 = 1 → t = sqrt(3)
+    val df0 = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Stats.oneSampleTTest(df0, "v", mu0 = 1.0).get
+      .as[(Long, Double, Double, Double, Double, Long)].collect().head
+    assert(r._1 == 3L && r._2 == 2.0 && r._3 == 1.0)
+    assert(close(r._4, 1.0 / math.sqrt(3.0)))
+    assert(close(r._5, math.sqrt(3.0)))
+    assert(r._6 == 2L)
+    // constant column → NULL se/t
+    val const = Seq(5.0, 5.0).toDF("v")
+    val rc = Stats.oneSampleTTest(const, "v", 0.0).get
+      .select("se", "t").collect().head
+    assert(rc.isNullAt(0) && rc.isNullAt(1))
+  }
+
   test("permutationTest: identical groups read non-significant; a huge " +
     "shift reads at the p floor; deterministic across runs") {
     // identical distributions: p should be large
