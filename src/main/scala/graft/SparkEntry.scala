@@ -3007,6 +3007,29 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q310_embedding_health" -> ((s, dir) => {
+      // Embedding hygiene screen: counts exact; norms are per-row
+      // sequential folds (floats cast to double before squaring) and
+      // the percentile picks exact order stats - norm stats rounded.
+      graft.operators.Similarity.embeddingHealth(
+          tbl(s, dir, "embeddings"), "embedding").get
+        .select(col("n"), col("n_null"), col("n_zero_norm"),
+          col("n_dims"), col("dim_min"), col("dim_max"),
+          round(col("norm_p50") + lit(1e-9), 6).as("norm_p50"),
+          round(col("norm_p95") + lit(1e-9), 6).as("norm_p95"))
+    }),
+
+    "q311_containment_against" -> ((s, dir) => {
+      // Cross-corpus containment (odd docs vs even reference): the
+      // q280 device with the df cap computed on the REFERENCE side.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dedup.containmentPairsAgainst(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", n = 5, threshold = 0.5, maxGramDf = 50L).get
+        .orderBy("id_new", "id_ref")
+    }),
+
     "q307_one_sample_t" -> ((s, dir) => {
       // One-sample t of click values vs target 245.00 (x100 exact
       // moments): IEEE chain of exact sums - gated unrounded.
@@ -8209,6 +8232,95 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q310: the hygiene screen replayed — same fold order for the sum
+    // of squares, same grid percentile picks.
+    "q310_embedding_health" ->
+      """WITH e AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), w AS (
+           SELECT v,
+             CASE WHEN v IS NOT NULL THEN CAST(len(v) AS INT) END AS dim,
+             CASE WHEN v IS NOT NULL THEN
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(v, x -> x * x)), (a, b) -> a + b)
+             END AS ss
+           FROM e
+         ), st AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT)
+               AS n_null,
+             CAST(count(CASE WHEN ss = 0 THEN 1 END) AS BIGINT)
+               AS n_zero_norm,
+             CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+             min(dim) AS dim_min, max(dim) AS dim_max
+           FROM w
+         ), g AS (
+           SELECT sqrt(ss) AS nv, CAST(count(*) AS BIGINT) AS t
+           FROM w WHERE ss IS NOT NULL GROUP BY sqrt(ss)
+         ), c AS (
+           SELECT nv, t,
+             CAST(sum(t) OVER (ORDER BY nv ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(t) OVER () AS BIGINT) AS n
+           FROM g
+         )
+         SELECT st.n, st.n_null, st.n_zero_norm, st.n_dims,
+           st.dim_min, st.dim_max,
+           round((SELECT nv FROM c
+             WHERE c >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+               AND c - t < greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+             + 1e-9, 6) AS norm_p50,
+           round((SELECT nv FROM c
+             WHERE c >= greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+               AND c - t < greatest(1, CAST(ceil(0.95 * n) AS BIGINT)))
+             + 1e-9, 6) AS norm_p95
+         FROM st""",
+
+    // q311: the q280 replay split across two corpus halves, df cap on
+    // the reference side only.
+    "q311_containment_against" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f]+'),
+                         t -> len(t) > 0) AS t
+           FROM documents
+         ), g0 AS (
+           SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, len(t) - 3)]) AS g
+           FROM toks WHERE len(t) >= 5
+         ), hot AS (
+           SELECT g FROM g0 WHERE doc_id % 2 = 0
+           GROUP BY g HAVING count(*) > 50
+         ), gref AS (
+           SELECT g0.* FROM g0 ANTI JOIN hot USING (g)
+           WHERE doc_id % 2 = 0
+         ), gnew AS (
+           SELECT g0.* FROM g0 ANTI JOIN hot USING (g)
+           WHERE doc_id % 2 = 1
+         ), sn AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS gs FROM gnew
+           GROUP BY doc_id
+         ), sr AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS gs FROM gref
+           GROUP BY doc_id
+         ), p AS (
+           SELECT a.doc_id AS id_new, b.doc_id AS id_ref,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM gnew a JOIN gref b ON a.g = b.g
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT id_new, id_ref, shared, sn.gs AS n_new, sr.gs AS n_ref,
+           round(CAST(shared AS DOUBLE) / sn.gs + 1e-9, 6)
+             AS containment_new,
+           round(CAST(shared AS DOUBLE) / sr.gs + 1e-9, 6)
+             AS containment_ref
+         FROM p JOIN sn ON sn.doc_id = id_new
+           JOIN sr ON sr.doc_id = id_ref
+         WHERE greatest(round(CAST(shared AS DOUBLE) / sn.gs + 1e-9, 6),
+           round(CAST(shared AS DOUBLE) / sr.gs + 1e-9, 6)) >= 0.5
+         ORDER BY id_new, id_ref""",
 
     // q307: one-sample t replayed — exact moments, same descale points.
     "q307_one_sample_t" ->

@@ -1399,6 +1399,66 @@ object Dedup {
         "containment_a", "containment_b")
   }
 
+  /** [[containmentPairs]] against a REFERENCE corpus — the
+    * incremental-ingest / decontamination form: how much of each NEW
+    * document's distinct n-gram set is contained in some reference
+    * document (quote detection, benchmark leakage, partial-copy
+    * screening across corpus versions). The df cap is computed on the
+    * REFERENCE side (its stop-grams are the ones that explode the
+    * candidate join).
+    *
+    * Returns `(id_new, id_ref, shared, n_new, n_ref: bigint,
+    * containment_new, containment_ref: double)` for pairs whose
+    * GREATER containment clears `threshold` — threshold and outputs on
+    * the ROUNDED score (the q280 boundary convention).
+    *
+    * Plan: identical scale posture to [[containmentPairs]] — distinct
+    * gram sets per side, reference-side hot-gram anti-join BEFORE the
+    * gram-keyed candidate join, caps prune candidates never scores.
+    */
+  def containmentPairsAgainst(
+      dfNew: DataFrame,
+      dfRef: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      threshold: Double = 0.8,
+      maxGramDf: Long = 1000L,
+      lowercase: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    require(maxGramDf >= 2, s"maxGramDf must be >= 2: $maxGramDf")
+    def grams(d: DataFrame) = d.select(col(idCol).as("__id"),
+        explode(wordNgrams(col(textCol), n, lowercase)).as("__g"))
+      .distinct()
+    val gRef0 = grams(dfRef)
+    val hot = gRef0.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf)
+      .select("__g")
+    val gRef = gRef0.join(broadcast(hot), Seq("__g"), "left_anti")
+    val gNew = grams(dfNew).join(broadcast(hot), Seq("__g"), "left_anti")
+    val sizesNew = gNew.groupBy("__id").agg(count(lit(1)).as("__gs"))
+    val sizesRef = gRef.groupBy("__id").agg(count(lit(1)).as("__gs"))
+    gNew.select(col("__id").as("id_new"), col("__g"))
+      .join(gRef.select(col("__id").as("id_ref"), col("__g")), Seq("__g"))
+      .groupBy("id_new", "id_ref")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizesNew.select(col("__id").as("id_new"),
+        col("__gs").as("n_new")), Seq("id_new"))
+      .join(sizesRef.select(col("__id").as("id_ref"),
+        col("__gs").as("n_ref")), Seq("id_ref"))
+      .withColumn("containment_new",
+        round(col("shared") / col("n_new") + lit(1e-9), 6))
+      .withColumn("containment_ref",
+        round(col("shared") / col("n_ref") + lit(1e-9), 6))
+      .filter(greatest(col("containment_new"), col("containment_ref"))
+        >= threshold)
+      .select("id_new", "id_ref", "shared", "n_new", "n_ref",
+        "containment_new", "containment_ref")
+  }
+
   /** What [[containmentPairs]]' `maxGramDf` cap would drop: the grams
     * above the document-frequency cap, hottest first. Returns
     * `(gram, doc_freq)`. */

@@ -618,4 +618,56 @@ object Similarity {
           x => round(x, roundDigits)).as("centroid"),
         col("n_members"))
   }
+
+  /** Embedding-corpus health report — the hygiene screen BEFORE any
+    * ANN/dedup pass trusts the vectors: NULL rows, zero-norm vectors
+    * (cosine-undefined — they silently score 0 against everything),
+    * dimension consistency (a mixed-dim corpus means a broken encoder
+    * version upstream), and the norm distribution (⌈p·n⌉ exact order
+    * stats — an unnormalized batch shows up as a norm-p95 spike).
+    *
+    * Returns ONE row `(n, n_null, n_zero_norm, n_dims: bigint,
+    * dim_min, dim_max: int, norm_p50, norm_p95: double)`.
+    *
+    * Plan: one projection computing dim + a sequential-fold sum of
+    * squares per row (array order — deterministic IEEE; floats cast
+    * to double BEFORE squaring so any engine replays it), one
+    * aggregation, one distinct-norm grid window for the percentiles.
+    */
+  def embeddingHealth(
+      df: DataFrame,
+      vecCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(vecCol)
+    val w = df.select(v.as("__v"))
+      .withColumn("__dim", when(col("__v").isNotNull, size(col("__v"))))
+      .withColumn("__ss", when(col("__v").isNotNull,
+        aggregate(col("__v"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val stats = w.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("__v").isNull, 1L)), lit(0L)).as("n_null"),
+      coalesce(sum(when(col("__ss") === 0.0, 1L)), lit(0L))
+        .as("n_zero_norm"),
+      countDistinct(col("__dim")).as("n_dims"),
+      min(col("__dim")).as("dim_min"),
+      max(col("__dim")).as("dim_max"))
+    val grid = w.filter(col("__ss").isNotNull)
+      .groupBy(sqrt(col("__ss")).as("__nv"))
+      .agg(count(lit(1)).as("__t"))
+    val upto = Window.orderBy(col("__nv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("__c", sum(col("__t")).over(upto))
+      .withColumn("__n", sum(col("__t")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def pick(p: Double, out: String) = {
+      val r = greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long"))
+      cum.filter(col("__c") >= r && col("__c") - col("__t") < r)
+        .select(col("__nv").as(out))
+    }
+    stats
+      .join(pick(0.5, "norm_p50"), lit(true), "left")
+      .join(pick(0.95, "norm_p95"), lit(true), "left")
+  }
 }

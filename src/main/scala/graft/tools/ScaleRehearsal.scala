@@ -1336,6 +1336,70 @@ object ScaleRehearsal {
       s"textrank ranks must be replication-bit-identical: " +
         s"$trRepl vs $trBase")
 
+    // betweenness: landmarks live in replica 0 only — replica-0 nodes
+    // must read the base run (sigma exact; delta float sums compare
+    // ROUNDED at 6), every other replica reads 0
+    val bcBaseGraph = baseGraph // thresholded co-occurrence, symmetric
+    val bcLm = bcBaseGraph.select(col("src").as("node"))
+      .union(bcBaseGraph.select(col("dst").as("node")))
+      .distinct().orderBy("node").limit(3)
+    def bcMap(g: DataFrame): Map[Long, Double] =
+      graft.operators.Graph.betweenness(g, "src", "dst", bcLm, "node",
+          maxDepth = 6).get
+        .collect().map(r => r.getLong(0) ->
+          math.rint(r.getDouble(1) * 1e6) / 1e6).toMap
+    val replGraph = graft.operators.Graph.projectBipartite(membRepl,
+      "s", "p", minShared = minShared).get
+    val replSym = replGraph.select("src", "dst").union(
+      replGraph.select(col("dst").as("src"), col("src").as("dst")))
+    val baseSym = bcBaseGraph.select("src", "dst").union(
+      bcBaseGraph.select(col("dst").as("src"), col("src").as("dst")))
+    var bcRepl: Map[Long, Double] = null
+    time("betweenness")({ bcRepl = bcMap(replSym); bcRepl.size.toLong })
+    val bcBase = bcMap(baseSym)
+    check("betweenness_replica_law",
+      bcBase.exists(_._2 > 0) &&
+        bcBase.forall { case (n, v) => bcRepl(n) == v } &&
+        bcRepl.forall { case (n, v) => bcBase.contains(n) || v == 0.0 },
+      "replica-0 betweenness must match the base run; unseeded " +
+        "replicas must read 0")
+    // conductance: replica shift is a multiple of 4, so node%4 labels
+    // survive — counts scale by mult, the ratio is bit-identical
+    def condMap(g: DataFrame): Map[Long, (Long, Long, Long, Double)] = {
+      val lbl = g.select(col("src").as("node"))
+        .union(g.select(col("dst").as("node"))).distinct()
+        .withColumn("community", col("node") % 4)
+      graft.operators.Graph.conductance(g, "src", "dst", lbl, "node",
+          "community").get
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    }
+    var condRepl: Map[Long, (Long, Long, Long, Double)] = null
+    time("conductance")({ condRepl = condMap(replSym); condRepl.size.toLong })
+    val condBase = condMap(baseSym)
+    check("conductance_replication_law",
+      condBase.nonEmpty && condBase.forall { case (c, (n, v, cut, phi)) =>
+        condRepl(c) == ((n * mult, v * mult, cut * mult, phi))
+      },
+      s"conductance must scale counts by mult with a bit-identical " +
+        s"ratio: $condRepl vs $condBase")
+    // cohort LTV: replicated users multiply every cohort cell by mult;
+    // ltv = (mult·cum)/(mult·size) divides the same real — identical
+    def ltvMap(d: DataFrame): Map[(Long, Int), (Long, Double, Double)] =
+      graft.operators.Behavior.cohortLtv(d, "ts", "user_id", "value",
+          bucketSec = 604800L).get
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1)) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(6)))).toMap
+    var ltvRepl: Map[(Long, Int), (Long, Double, Double)] = null
+    time("cohort-ltv")({ ltvRepl = ltvMap(evRepl); ltvRepl.size.toLong })
+    val ltvBase = ltvMap(evBase)
+    check("cohort_ltv_replication_law",
+      ltvBase.nonEmpty && ltvRepl.size == ltvBase.size &&
+        ltvBase.forall { case (k, (sz, rev, ltv)) =>
+          ltvRepl(k) == ((sz * mult, rev * mult, ltv)) },
+      s"cohort LTV must scale sizes/revenue by mult with identical ltv")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

@@ -886,4 +886,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.contaminationScreen(train, bench, "text", "doc_id",
       n = 20).get.count() == 0)
   }
+
+  test("containmentPairsAgainst: new-in-ref quote detection, ref-side cap") {
+    // ref r1 = "a b c d e f g h"; new n1 quotes its middle exactly
+    val ref = Seq((10L, "a b c d e f g h"), (11L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "c d e f g"), (2L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsAgainst(nw, ref, "text", "doc_id",
+        n = 3, threshold = 0.5, maxGramDf = 100L).get
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    // n1 has 3 trigrams, all inside r1 (6 trigrams): containment_new 1.0
+    assert(got.length == 1)
+    assert(got.head._1 == 1L && got.head._2 == 10L && got.head._3 == 3L)
+    assert(got.head._6 == 1.0 && got.head._7 == 0.5)
+    // a ref-side stop-gram cap drops the candidates it spans
+    val refDup = ref.union(Seq((12L, "c d e f g")).toDF("doc_id", "text"))
+    val capped = Dedup.containmentPairsAgainst(nw, refDup, "text",
+      "doc_id", n = 3, threshold = 0.9, maxGramDf = 100L).get.count()
+    assert(capped == 2L) // n1 matches r1 AND r12 at full containment
+  }
+
+  test("embeddingHealth: nulls, zero norms, mixed dims, norm percentiles") {
+    val rows = Seq(
+      Some(Seq(3.0f, 4.0f)),       // norm 5
+      Some(Seq(0.0f, 0.0f)),       // zero norm
+      Some(Seq(1.0f, 0.0f, 0.0f)), // dim 3, norm 1
+      None)
+    val df = rows.toDF("embedding")
+    val r = Similarity.embeddingHealth(df, "embedding").get
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L && r.getInt(4) == 2 && r.getInt(5) == 3)
+    // norms sorted [0, 1, 5]: p50 → ceil(1.5)=2nd → 1; p95 → 3rd → 5
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 5.0)
+  }
 }
