@@ -1351,9 +1351,11 @@ object ScaleRehearsal {
     val replGraph = graft.operators.Graph.projectBipartite(membRepl,
       "s", "p", minShared = minShared).get
     val replSym = replGraph.select("src", "dst").union(
-      replGraph.select(col("dst").as("src"), col("src").as("dst")))
+        replGraph.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // consumed by betweenness AND conductance
     val baseSym = bcBaseGraph.select("src", "dst").union(
-      bcBaseGraph.select(col("dst").as("src"), col("src").as("dst")))
+        bcBaseGraph.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var bcRepl: Map[Long, Double] = null
     time("betweenness")({ bcRepl = bcMap(replSym); bcRepl.size.toLong })
     val bcBase = bcMap(baseSym)
@@ -1385,7 +1387,11 @@ object ScaleRehearsal {
       s"conductance must scale counts by mult with a bit-identical " +
         s"ratio: $condRepl vs $condBase")
     // cohort LTV: replicated users multiply every cohort cell by mult;
-    // ltv = (mult·cum)/(mult·size) divides the same real — identical
+    // sizes scale EXACTLY; revenue/ltv divide mult-scaled exact longs,
+    // whose descale ((m·r)/100 vs (r/100)·m) may differ in the last
+    // ulp — compare at 1e-9 relative
+    def relEqD(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
     def ltvMap(d: DataFrame): Map[(Long, Int), (Long, Double, Double)] =
       graft.operators.Behavior.cohortLtv(d, "ts", "user_id", "value",
           bucketSec = 604800L).get
@@ -1397,8 +1403,9 @@ object ScaleRehearsal {
     check("cohort_ltv_replication_law",
       ltvBase.nonEmpty && ltvRepl.size == ltvBase.size &&
         ltvBase.forall { case (k, (sz, rev, ltv)) =>
-          ltvRepl(k) == ((sz * mult, rev * mult, ltv)) },
-      s"cohort LTV must scale sizes/revenue by mult with identical ltv")
+          val (rs, rr, rl) = ltvRepl(k)
+          rs == sz * mult && relEqD(rr, rev * mult) && relEqD(rl, ltv) },
+      s"cohort LTV must scale sizes/revenue by mult with matching ltv")
 
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
