@@ -3007,6 +3007,32 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q312_confusion" -> ((s, dir) => {
+      // Confusion matrix of the heuristic language-ID against the lang
+      // ground truth - counts and shares exact.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Quality.confusionMatrix(
+          docs.withColumn("lang_pred",
+            TextFunctions.langId(col("text"))),
+          "lang", "lang_pred").get
+        .orderBy("truth", "pred")
+    }),
+
+    "q313_calibration" -> ((s, dir) => {
+      // Reliability curve: score = value/500 clamped to [0,1], outcome
+      // = value > 300. Counts/rate exact; mean_score rounded.
+      graft.operators.Quality.calibrationCurve(
+          events(s, dir)
+            .withColumn("score", least(lit(1.0), col("value") / 500))
+            .withColumn("hit", col("value") > 300),
+          "score", "hit", nBins = 10).get
+        .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"),
+          col("n_pos"),
+          round(col("mean_score") + lit(1e-9), 6).as("mean_score"),
+          col("rate"))
+        .orderBy("bin")
+    }),
+
     "q310_embedding_health" -> ((s, dir) => {
       // Embedding hygiene screen: counts exact; norms are per-row
       // sequential folds (floats cast to double before squaring) and
@@ -5430,6 +5456,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q31's langid replay, shared with the q312 confusion matrix. */
+  private val langIdOracleSql: String =
+    """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, text,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','una'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','des','est','et','un','une','du','que'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('il','di','che','la','per','un','con','del','una','non'))) AS s_it
+           FROM t
+         )
+         SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
+             WHEN regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') THEN 'ja'
+             WHEN regexp_matches(text, '\p{Hangul}') THEN 'ko'
+             WHEN regexp_matches(text, '\p{Cyrillic}') THEN 'ru'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
+             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_it = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'it'
+             ELSE 'und'
+           END AS lang_pred
+         FROM s ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5601,34 +5657,27 @@ object SparkEntry {
                  (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
                  (1.0 - least(punct * 4.0, 1.0)) * 0.2, 6) AS quality
          FROM m ORDER BY doc_id""",
-    "q31_text_langid" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-           FROM documents
-         ), s AS (
-           SELECT doc_id, text,
-             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
-             len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
-             len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un','por','una'))) AS s_es,
-             len(list_filter(toks, t -> t IN ('le','la','les','des','est','et','un','une','du','que'))) AS s_fr,
-             len(list_filter(toks, t -> t IN ('il','di','che','la','per','un','con','del','una','non'))) AS s_it
-           FROM t
+    "q31_text_langid" -> langIdOracleSql,
+
+    // q312: the q31 langid replay joined to the lang ground truth —
+    // cell counts exact, shares one division of exact longs.
+    "q312_confusion" ->
+      ("WITH p AS (" + langIdOracleSql + """)
+         , j AS (
+           SELECT COALESCE(CAST(d.lang AS VARCHAR), '<null>') AS truth,
+             COALESCE(CAST(p.lang_pred AS VARCHAR), '<null>') AS pred
+           FROM documents d JOIN p ON p.doc_id = d.doc_id
+         ), cells AS (
+           SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+           FROM j GROUP BY truth, pred
          )
-         SELECT doc_id,
-           CASE
-             WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
-             WHEN regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') THEN 'ja'
-             WHEN regexp_matches(text, '\p{Hangul}') THEN 'ko'
-             WHEN regexp_matches(text, '\p{Cyrillic}') THEN 'ru'
-             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
-             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
-             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
-             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
-             WHEN greatest(s_en,s_de,s_es,s_fr,s_it) > 0 AND s_it = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'it'
-             ELSE 'und'
-           END AS lang_pred
-         FROM s ORDER BY doc_id""",
+         SELECT truth, pred, n,
+           CAST(sum(n) OVER (PARTITION BY truth) AS BIGINT) AS truth_total,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY truth) AS BIGINT) AS share
+         FROM cells ORDER BY truth, pred"""),
+
+
     "q32_text_fingerprint" ->
       """SELECT count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_text,
          count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp,
@@ -8232,6 +8281,34 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q313: the reliability curve replayed — same clamp/bin/rate
+    // arithmetic over a fixed bin frame.
+    "q313_calibration" ->
+      """WITH f AS (
+           SELECT least(1.0, value / 500) AS s, value > 300 AS y
+           FROM events WHERE value IS NOT NULL
+         ), b AS (
+           SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin, s, y
+           FROM f WHERE s >= 0 AND s <= 1
+         ), agg AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(CASE WHEN y THEN 1 END), 0) AS BIGINT)
+               AS n_pos,
+             avg(s) AS mean_score
+           FROM b GROUP BY bin
+         ), frame AS (
+           SELECT CAST(unnest(range(0, 10)) AS INT) AS bin
+         )
+         SELECT frame.bin,
+           CAST(frame.bin AS DOUBLE) / 10 AS bin_lo,
+           CAST(frame.bin + 1 AS DOUBLE) / 10 AS bin_hi,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos,
+           round(mean_score + 1e-9, 6) AS mean_score,
+           CASE WHEN n > 0 THEN CAST(n_pos AS DOUBLE) / n END AS rate
+         FROM frame LEFT JOIN agg ON agg.bin = frame.bin
+         ORDER BY frame.bin""",
 
     // q310: the hygiene screen replayed — same fold order for the sum
     // of squares, same grid percentile picks.

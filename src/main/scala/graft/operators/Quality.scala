@@ -969,6 +969,79 @@ object Quality {
           col("max_abs_z")): _*)
   }
 
+  /** Confusion matrix of a categorical prediction against ground
+    * truth — the acceptance screen for any heuristic classifier in
+    * the pipeline (language-ID, topic routing, rule-based PII tags):
+    * per (truth, pred) cell the exact count and its share of the
+    * truth row (recall when truth == pred). NULLs participate as
+    * their own `<null>` category so silent prediction dropouts are
+    * visible.
+    *
+    * Returns `(truth, pred: string, n: bigint, truth_total: bigint,
+    * share: double)` — one partial-agg shuffle to the label² grid,
+    * one window over that tiny grid.
+    */
+  def confusionMatrix(
+      df: DataFrame,
+      truthCol: String,
+      predCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val t = coalesce(col(truthCol).cast("string"), lit("<null>"))
+    val p = coalesce(col(predCol).cast("string"), lit("<null>"))
+    val cells = df.select(t.as("truth"), p.as("pred"))
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("truth_total",
+        sum(col("n")).over(Window.partitionBy("truth")))
+      .withColumn("share",
+        col("n").cast("double") / col("truth_total"))
+  }
+
+  /** Calibration (reliability) curve for a probabilistic score in
+    * [0, 1] against a boolean outcome — "when the model says 0.8,
+    * does it happen 80% of the time": `nBins` equal-width score bins,
+    * per bin the observed rate vs the mean score. Rows with NULL or
+    * out-of-range scores are dropped; empty bins emit with n = 0 so
+    * the curve has a fixed frame.
+    *
+    * Returns `(bin: int, bin_lo, bin_hi: double, n, n_pos: bigint,
+    * mean_score, rate: double)` — counts and `rate` exact;
+    * `mean_score` is a float partial agg (round under the tie-shift
+    * when gating).
+    *
+    * Plan: one branch-free projection + one partial-agg shuffle of at
+    * most nBins keys, one tiny grid join for empty bins.
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10
+  ): MayFail[DataFrame] = MayFail {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val binned = df.filter(s.isNotNull && y.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(least(lit(nBins - 1), floor(s * nBins)).cast("int")
+        .as("bin"), s.as("__s"), y.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__y"), 1L)), lit(0L)).as("n_pos"),
+        avg(col("__s")).as("mean_score"))
+    val sp = df.sparkSession
+    val frame = sp.range(0, nBins).select(col("id").cast("int").as("bin"))
+    frame.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin").cast("double") / nBins).as("bin_lo"),
+        ((col("bin") + 1).cast("double") / nBins).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        col("mean_score"),
+        when(col("n") > 0, col("n_pos").cast("double") / col("n"))
+          .as("rate"))
+  }
+
   /** First-significant-digit distribution vs Benford's law — the
     * classic fabricated-data / broken-pipeline screen: naturally
     * occurring multi-order-of-magnitude amounts follow

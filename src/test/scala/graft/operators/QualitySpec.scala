@@ -510,6 +510,37 @@ class QualitySpec extends AnyFunSuite {
       r(2).isNullAt(4) && r(2).isNullAt(5))
   }
 
+  test("confusionMatrix: per-truth shares, NULLs as a category") {
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), (null, "en")).toDF("truth", "pred")
+    val got = Quality.confusionMatrix(df, "truth", "pred").get
+      .orderBy("truth", "pred")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("<null>", "en", 1L, 1L, 1.0),
+      ("de", "de", 1L, 1L, 1.0),
+      ("en", "de", 1L, 3L, 1.0 / 3),
+      ("en", "en", 2L, 3L, 2.0 / 3)))
+  }
+
+  test("calibrationCurve: fixed bin frame, exact rates, clamp/range rules") {
+    val rows = Seq((0.05, false), (0.08, true), (0.95, true), (0.97, true),
+      (0.99, false), (1.0, true), (1.5, true), (-0.1, false))
+    val got = Quality.calibrationCurve(rows.toDF("s", "y"), "s", "y",
+        nBins = 10).get
+      .orderBy("bin").collect()
+    assert(got.length == 10)
+    // bin 0: scores .05/.08 -> 1 of 2 positive
+    assert(got(0).getLong(3) == 2L && got(0).getLong(4) == 1L &&
+      got(0).getDouble(6) == 0.5)
+    // score exactly 1.0 clamps into the last bin; out-of-range dropped
+    assert(got(9).getLong(3) == 4L && got(9).getLong(4) == 3L)
+    // empty bins emit n = 0 with NULL mean/rate
+    assert(got(5).getLong(3) == 0L && got(5).isNullAt(5) && got(5).isNullAt(6))
+    assert(Quality.calibrationCurve(rows.toDF("s", "y"), "s", "y",
+      nBins = 1).isFailing)
+  }
+
   test("madOutliers: exact median/MAD, rounded-z threshold, zero-MAD") {
     // g: [1,2,3,4,100] -> median 3, |d| = [2,1,0,1,97] -> MAD 1
     // z = 0.6745*(v-3)/1 -> only 100 exceeds 3.5 (z = 65.4265)
