@@ -3007,6 +3007,29 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q314_attr_assortativity" -> ((s, dir) => {
+      // Do supplier-graph edges prefer same-(node % 4) endpoints?
+      // Exact cell counts into one IEEE chain - gated unrounded.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      val sym = proj.select("src", "dst").union(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = sym.select(col("src").as("node"))
+        .union(sym.select(col("dst").as("node"))).distinct()
+        .withColumn("c", col("node") % 4)
+      Graph.attributeAssortativity(sym, "src", "dst", labels,
+        "node", "c").get
+    }),
+
+    "q315_cohens_kappa" -> ((s, dir) => {
+      // Agreement between the langid heuristic and the lang column -
+      // exact cells, one IEEE chain, gated unrounded.
+      Stats.cohensKappa(
+        tbl(s, dir, "documents").withColumn("lang_pred",
+          TextFunctions.langId(col("text"))),
+        "lang", "lang_pred").get
+    }),
+
     "q312_confusion" -> ((s, dir) => {
       // Confusion matrix of the heuristic language-ID against the lang
       // ground truth - counts and shares exact.
@@ -8281,6 +8304,91 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q314: Newman categorical assortativity replayed — label² cells,
+    // marginal products, the same cast points.
+    "q314_attr_assortativity" ->
+      """WITH m AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS (
+           SELECT a.s AS x, b.s AS y FROM m a JOIN m b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         ), e AS (
+           SELECT x AS src, y AS dst FROM pr
+           UNION ALL SELECT y, x FROM pr
+         ), nd AS (SELECT DISTINCT src AS node FROM e
+         ), lab AS (SELECT node, node % 4 AS c FROM nd
+         ), cells AS (
+           SELECT ls.c AS cs, ld.c AS cd, CAST(count(*) AS BIGINT) AS n
+           FROM e JOIN lab ls ON ls.node = e.src
+             JOIN lab ld ON ld.node = e.dst
+           GROUP BY ls.c, ld.c
+         ), rows_ AS (
+           SELECT cs AS c, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY cs
+         ), cols_ AS (
+           SELECT cd AS c, CAST(sum(n) AS BIGINT) AS cl FROM cells GROUP BY cd
+         ), ab AS (
+           SELECT CAST(COALESCE(sum(COALESCE(r, 0) * COALESCE(cl, 0)), 0)
+             AS BIGINT) AS sab
+           FROM rows_ FULL JOIN cols_ USING (c)
+         ), agg AS (
+           SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS m,
+             CAST(COALESCE(sum(CASE WHEN cs = cd THEN n END), 0)
+               AS BIGINT) AS same
+           FROM cells
+         ), sel AS (
+           SELECT m,
+             CASE WHEN m > 0 THEN CAST(same AS DOUBLE) / m END
+               AS same_share,
+             CASE WHEN m > 0 THEN CAST(sab AS DOUBLE)
+               / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) END
+               AS expected_share
+           FROM agg, ab
+         )
+         SELECT m, same_share, expected_share,
+           CASE WHEN expected_share < 1.0
+             THEN (same_share - expected_share) / (1.0 - expected_share)
+           END AS r
+         FROM sel""",
+
+    // q315: Cohen's kappa replayed on the q31 langid predictions.
+    "q315_cohens_kappa" ->
+      ("WITH p AS (" + langIdOracleSql + """)
+         , j AS (
+           SELECT CAST(d.lang AS VARCHAR) AS a,
+             CAST(p.lang_pred AS VARCHAR) AS b
+           FROM documents d JOIN p ON p.doc_id = d.doc_id
+           WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+         ), cells AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY a, b
+         ), rows_ AS (
+           SELECT a AS c, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY a
+         ), cols_ AS (
+           SELECT b AS c, CAST(sum(n) AS BIGINT) AS cl FROM cells GROUP BY b
+         ), ab AS (
+           SELECT CAST(COALESCE(sum(COALESCE(r, 0) * COALESCE(cl, 0)), 0)
+             AS BIGINT) AS sab
+           FROM rows_ FULL JOIN cols_ USING (c)
+         ), agg AS (
+           SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n,
+             CAST(COALESCE(sum(CASE WHEN a = b THEN n END), 0)
+               AS BIGINT) AS agree
+           FROM cells
+         ), sel AS (
+           SELECT n,
+             CASE WHEN n > 0 THEN CAST(agree AS DOUBLE) / n END
+               AS p_observed,
+             CASE WHEN n > 0 THEN CAST(sab AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END
+               AS p_expected
+           FROM agg, ab
+         )
+         SELECT n, p_observed, p_expected,
+           CASE WHEN p_expected < 1.0
+             THEN (p_observed - p_expected) / (1.0 - p_expected)
+           END AS kappa
+         FROM sel"""),
 
     // q313: the reliability curve replayed — same clamp/bin/rate
     // arithmetic over a fixed bin frame.

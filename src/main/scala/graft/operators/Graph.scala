@@ -964,6 +964,65 @@ object Graph {
           col("cut").cast("double") / col("__minvol")).as("conductance"))
   }
 
+  /** Categorical (attribute) assortativity — Newman's discrete
+    * assortativity coefficient `r = (Σᵢ eᵢᵢ − Σᵢ aᵢbᵢ)/(1 − Σᵢ aᵢbᵢ)`
+    * over node-attribute values (language, community, source): do
+    * edges prefer same-attribute endpoints ([[assortativity]] answers
+    * this for DEGREE; this one for any label)? Directed edge counts
+    * (pass both directions for undirected semantics); unlabeled
+    * endpoints drop the edge.
+    *
+    * Returns ONE row `(m: bigint, same_share, expected_share, r:
+    * double)` — NULL r when the expected share is 1 (single
+    * attribute value).
+    *
+    * Plan: two label equi-joins, one cell aggregation over the
+    * attribute² grid, exact longs into one IEEE chain.
+    */
+  def attributeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val lab = labels.select(col(nodeCol).as("node"),
+        col(labelCol).as("__c"))
+      .filter(col("node").isNotNull && col("__c").isNotNull)
+      .distinct()
+    val cells = e
+      .join(lab.select(col("node").as("src"), col("__c").as("__cs")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("__c").as("__cd")),
+        Seq("dst"))
+      .groupBy("__cs", "__cd").agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy(col("__cs").as("__c"))
+      .agg(sum(col("__n")).as("__row"))
+    val cols_ = cells.groupBy(col("__cd").as("__c"))
+      .agg(sum(col("__n")).as("__col"))
+    val ab = rows.join(cols_, Seq("__c"), "full")
+      .agg(coalesce(sum(coalesce(col("__row"), lit(0L)) *
+        coalesce(col("__col"), lit(0L))), lit(0L)).as("__sab"))
+    cells.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("m"),
+        coalesce(sum(when(col("__cs") === col("__cd"), col("__n"))),
+          lit(0L)).as("__same"))
+      .crossJoin(ab)
+      .withColumn("same_share",
+        when(col("m") > 0, col("__same").cast("double") / col("m")))
+      .withColumn("expected_share",
+        when(col("m") > 0, col("__sab").cast("double") /
+          (col("m").cast("double") * col("m").cast("double"))))
+      .select(col("m"), col("same_share"), col("expected_share"),
+        when(col("expected_share") < 1.0,
+          (col("same_share") - col("expected_share")) /
+            (lit(1.0) - col("expected_share"))).as("r"))
+  }
+
   /** Landmark betweenness (Brandes 2001 from a seed set): the
     * shortest-path dependency sum `Σ_s δ_s(v)` accumulated over the
     * given landmarks — exact betweenness when the landmarks are ALL

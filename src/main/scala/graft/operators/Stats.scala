@@ -1285,6 +1285,52 @@ object Stats {
           .as("n_required"))
   }
 
+  /** Cohen's κ inter-rater agreement for two categorical columns —
+    * "how much better than chance do the raters (or a model and its
+    * ground truth) agree": `κ = (p_o − p_e)/(1 − p_e)` with `p_o` the
+    * observed agreement share and `p_e` the marginal-product chance
+    * agreement. NULL values on either side drop the row (use
+    * [[Quality.confusionMatrix]] for the NULL-visible cell view).
+    *
+    * Returns ONE row `(n: bigint, p_observed, p_expected, kappa:
+    * double)` — NULL κ when p_e = 1 (both raters constant).
+    *
+    * Plan: one cell aggregation over the label² grid, one marginal
+    * pass; exact longs into one IEEE chain — gate unrounded.
+    */
+  def cohensKappa(
+      df: DataFrame,
+      rater1Col: String,
+      rater2Col: String
+  ): MayFail[DataFrame] = MayFail {
+    val a = col(rater1Col).cast("string")
+    val b = col(rater2Col).cast("string")
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy(col("__a").as("__c"))
+      .agg(sum(col("__n")).as("__row"))
+    val cols_ = cells.groupBy(col("__b").as("__c"))
+      .agg(sum(col("__n")).as("__col"))
+    val ab = rows.join(cols_, Seq("__c"), "full")
+      .agg(coalesce(sum(coalesce(col("__row"), lit(0L)) *
+        coalesce(col("__col"), lit(0L))), lit(0L)).as("__sab"))
+    cells.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(when(col("__a") === col("__b"), col("__n"))),
+          lit(0L)).as("__agree"))
+      .crossJoin(ab)
+      .withColumn("p_observed",
+        when(col("n") > 0, col("__agree").cast("double") / col("n")))
+      .withColumn("p_expected",
+        when(col("n") > 0, col("__sab").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))))
+      .select(col("n"), col("p_observed"), col("p_expected"),
+        when(col("p_expected") < 1.0,
+          (col("p_observed") - col("p_expected")) /
+            (lit(1.0) - col("p_expected"))).as("kappa"))
+  }
+
   /** One-sample t-test of `valueCol` against a hypothesized mean
     * `mu0` — the "did the metric move off its target" readout (SLA
     * checks, calibration drift) that [[welchTTest]]'s two-group

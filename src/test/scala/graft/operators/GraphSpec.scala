@@ -545,6 +545,26 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == ((0L, 0L, None)))
   }
 
+  test("attributeAssortativity: assortative vs random labelings") {
+    // two triangles + bridge, labels = the triangles: 12 of 14
+    // directed edges same-label → r near 1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val sym = (tri ++ tri.map(p => (p._2, p._1))).toDF("s", "d")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("n", "c")
+    val r = Graph.attributeAssortativity(sym, "s", "d", lab, "n", "c").get
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 == 14L && r._2 == 12.0 / 14)
+    // marginals: each label 7/14 on both sides → p_e = 2·(7/14)² = 0.5
+    assert(math.abs(r._3 - 0.5) < 1e-12)
+    assert(math.abs(r._4 - (12.0 / 14 - 0.5) / 0.5) < 1e-12)
+    // one shared label everywhere → expected = 1 → NULL r
+    val mono = lab.withColumn("c", org.apache.spark.sql.functions.lit("Z"))
+    assert(Graph.attributeAssortativity(sym, "s", "d", mono, "n", "c").get
+      .select("r").collect().head.isNullAt(0))
+  }
+
   test("conductance: two triangles with one bridge") {
     // triangles {1,2,3} and {4,5,6} joined by 3-4 (symmetrized):
     // each community: volume 7 (6 internal + 1 bridge out), cut 1,

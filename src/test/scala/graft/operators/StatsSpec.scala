@@ -619,6 +619,23 @@ class StatsSpec extends AnyFunSuite {
     assert(rd.isNullAt(0) && rd.isNullAt(1))
   }
 
+  test("cohensKappa: textbook agreement vs chance") {
+    // classic 2x2: a=[y,y,y,n,n...], agreement 70%, marginals 50/50-ish
+    // cells: (y,y)=20, (y,n)=5, (n,y)=10, (n,n)=15 → n=50
+    // p_o = 35/50 = 0.7; rows y=25, n=25; cols y=30, n=20
+    // p_e = (25·30 + 25·20)/2500 = 0.5 → κ = 0.2/0.5 = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b").get
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 == 50L && r._2 == 0.7 && r._3 == 0.5)
+    assert(close(r._4, 0.4))
+    // constant raters → p_e = 1 → NULL kappa
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohensKappa(const, "a", "b").get
+      .select("kappa").collect().head.isNullAt(0))
+  }
+
   test("oneSampleTTest: hand-computed t against a target mean") {
     // [1,2,3]: mean 2, var 1, se = 1/sqrt(3); vs mu0 = 1 → t = sqrt(3)
     val df0 = Seq(1.0, 2.0, 3.0).toDF("v")
