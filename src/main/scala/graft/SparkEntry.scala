@@ -3007,6 +3007,19 @@ object SparkEntry {
         "band", "event_type").get
     }),
 
+    "q316_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa over each user's first three event types (every
+      // user has >= 3 events, so the constant-n design holds): all-
+      // integer moments into one IEEE chain - gated unrounded.
+      val ranked = events(s, dir).filter(col("user_id").isNotNull)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(unix_micros(col("ts")), col("event_id"))))
+        .filter(col("__r") <= 3)
+      Stats.fleissKappa(ranked, "user_id", "event_type").get
+    }),
+
     "q314_attr_assortativity" -> ((s, dir) => {
       // Do supplier-graph edges prefer same-(node % 4) endpoints?
       // Exact cell counts into one IEEE chain - gated unrounded.
@@ -8304,6 +8317,50 @@ object SparkEntry {
     // q292: generated unrolled DTW DP (24 stages, alternating column
     // prefixes; see dtwOracleSql).
     "q292_dtw_pairs" -> dtwOracleSql(len = 24),
+
+    // q316: Fleiss replayed — same first-3 ranking, per-subject and
+    // per-category integer moments, one IEEE chain.
+    "q316_fleiss_kappa" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL
+         ), f AS (
+           SELECT user_id, event_type FROM r WHERE rn <= 3
+         ), cells AS (
+           SELECT user_id AS s, event_type AS c,
+             CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY user_id, event_type
+         ), subj AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(max(ni) AS BIGINT) AS nn,
+             CAST(sum(ni2) AS BIGINT) AS sni2
+           FROM (SELECT s, CAST(sum(n) AS BIGINT) AS ni,
+                   CAST(sum(n * n) AS BIGINT) AS ni2
+                 FROM cells GROUP BY s)
+         ), cat AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_categories,
+             CAST(sum(cj * cj) AS BIGINT) AS scj2
+           FROM (SELECT c, CAST(sum(n) AS BIGINT) AS cj
+                 FROM cells GROUP BY c)
+         ), sel AS (
+           SELECT n_subjects, nn, k_categories,
+             CASE WHEN nn >= 2 THEN
+               CAST(sni2 - n_subjects * nn AS DOUBLE)
+                 / CAST(n_subjects * nn * (nn - 1) AS DOUBLE)
+             END AS p_bar,
+             CASE WHEN n_subjects > 0 AND nn > 0 THEN
+               CAST(scj2 AS DOUBLE) / (CAST(n_subjects * nn AS DOUBLE)
+                 * CAST(n_subjects * nn AS DOUBLE))
+             END AS p_e
+           FROM subj, cat
+         )
+         SELECT n_subjects, CAST(nn AS INT) AS n_per_subject,
+           k_categories, p_bar, p_e,
+           CASE WHEN p_e < 1.0
+             THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
+         FROM sel""",
 
     // q314: Newman categorical assortativity replayed — label² cells,
     // marginal products, the same cast points.

@@ -1331,6 +1331,66 @@ object Stats {
             (lit(1.0) - col("p_expected"))).as("kappa"))
   }
 
+  /** Fleiss' κ — multi-rater agreement when EVERY subject gets the
+    * same number of categorical ratings (panel labeling QA, n-way
+    * model ensembles): `κ = (P̄ − P̄ₑ)/(1 − P̄ₑ)` with
+    * `P̄ᵢ = (Σⱼ nᵢⱼ² − n)/(n(n−1))` per subject and `P̄ₑ = Σⱼ pⱼ²`.
+    * The k-rater generalization of [[cohensKappa]]. Input is one row
+    * per RATING `(subject, category)`; subjects whose rating count
+    * differs from the modal count make the design invalid — the
+    * operator fails loudly rather than silently reweighting.
+    *
+    * Returns ONE row `(n_subjects: bigint, n_per_subject: int,
+    * k_categories: bigint, p_bar, p_e, kappa: double)` — NULL κ when
+    * P̄ₑ = 1 (all ratings one category).
+    *
+    * Plan: one partial-agg shuffle to (subject, category) cells, one
+    * per-subject reduction, one per-category reduction — all-integer
+    * moments into one IEEE chain, gate unrounded.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      subjectCol: String,
+      categoryCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val cells = df
+      .filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(subjectCol).as("__s"),
+        col(categoryCol).cast("string").as("__c"))
+      .groupBy("__s", "__c").agg(count(lit(1)).as("__n"))
+    val perSubject = cells.groupBy("__s")
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * col("__n")).as("__ni2"))
+    val nDistinct = perSubject.select(countDistinct(col("__ni")))
+      .first().getLong(0)
+    require(nDistinct <= 1,
+      "fleissKappa: subjects have unequal rating counts — the classic " +
+        "Fleiss design needs a constant n per subject; filter first")
+    val subj = perSubject.agg(
+      count(lit(1)).as("n_subjects"),
+      coalesce(max(col("__ni")), lit(0L)).as("__n"),
+      coalesce(sum(col("__ni2")), lit(0L)).as("__sni2"))
+    val cat = cells.groupBy("__c").agg(sum(col("__n")).as("__cj"))
+      .agg(count(lit(1)).as("k_categories"),
+        coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__scj2"))
+    subj.crossJoin(cat)
+      .withColumn("p_bar",
+        when(col("__n") >= 2,
+          (col("__sni2") - col("n_subjects") * col("__n")).cast("double") /
+            (col("n_subjects") * col("__n") * (col("__n") - 1))
+              .cast("double")))
+      .withColumn("p_e",
+        when(col("n_subjects") > 0 && col("__n") > 0,
+          col("__scj2").cast("double") /
+            ((col("n_subjects") * col("__n")).cast("double") *
+              (col("n_subjects") * col("__n")).cast("double"))))
+      .select(col("n_subjects"), col("__n").cast("int").as("n_per_subject"),
+        col("k_categories"), col("p_bar"), col("p_e"),
+        when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
+  }
+
   /** One-sample t-test of `valueCol` against a hypothesized mean
     * `mu0` — the "did the metric move off its target" readout (SLA
     * checks, calibration drift) that [[welchTTest]]'s two-group

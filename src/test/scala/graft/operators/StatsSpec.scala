@@ -636,6 +636,28 @@ class StatsSpec extends AnyFunSuite {
       .select("kappa").collect().head.isNullAt(0))
   }
 
+  test("fleissKappa: Wikipedia-style fixture and the constant-n guard") {
+    // 3 subjects × 3 raters: s1 all 'a' (ni2 = 9), s2 2a+1b (4+1=5),
+    // s3 1a+1b+1c (3). P̄ᵢ = (9−3)/6, (5−3)/6, (3−3)/6 → P̄ = 8/18
+    // marginals: a=6, b=2, c=1, total 9 → P̄e = (36+4+1)/81
+    val rows = Seq((1, "a"), (1, "a"), (1, "a"),
+      (2, "a"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (3, "c"))
+    val r = Stats.fleissKappa(rows.toDF("s", "c"), "s", "c").get
+      .as[(Long, Int, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 3 && r._3 == 3L)
+    assert(close(r._4, 8.0 / 18))
+    assert(close(r._5, 41.0 / 81))
+    assert(close(r._6, (8.0 / 18 - 41.0 / 81) / (1 - 41.0 / 81)))
+    // unequal rating counts fail loudly
+    val uneq = rows ++ Seq((1, "b"))
+    assert(Stats.fleissKappa(uneq.toDF("s", "c"), "s", "c").isFailing)
+    // unanimous single category → P̄e = 1 → NULL kappa
+    val mono = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x")).toDF("s", "c")
+    assert(Stats.fleissKappa(mono, "s", "c").get
+      .select("kappa").collect().head.isNullAt(0))
+  }
+
   test("oneSampleTTest: hand-computed t against a target mean") {
     // [1,2,3]: mean 2, var 1, se = 1/sqrt(3); vs mu0 = 1 → t = sqrt(3)
     val df0 = Seq(1.0, 2.0, 3.0).toDF("v")
