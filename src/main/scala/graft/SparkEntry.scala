@@ -9048,14 +9048,14 @@ object SparkEntry {
            SELECT CAST(COALESCE(sum(t), 0) AS BIGINT) AS n,
              COALESCE(sum(tp * m), 0) AS w_plus,
              COALESCE(sum((t - tp) * m), 0) AS w_minus,
-             CAST(COALESCE(sum(t * t * t - t), 0) AS BIGINT) AS tc
+             COALESCE(sum(CAST(t AS DOUBLE) * t * t - t), 0) AS tc
            FROM mid
          ), sel AS (
            SELECT n, w_plus, w_minus,
-             CAST(n * (n + 1) AS DOUBLE) / 4 AS e_w,
+             CAST(n AS DOUBLE) * (n + 1) / 4 AS e_w,
              CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
                * CAST(n * 2 + 1 AS DOUBLE) / 24
-               - CAST(tc AS DOUBLE) / 48 AS var_w
+               - tc / 48 AS var_w
            FROM agg
          )
          SELECT n, w_plus, w_minus, e_w, var_w,
@@ -9175,26 +9175,30 @@ object SparkEntry {
          ), gm AS (
            SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(nn) AS BIGINT) AS n,
-             CAST(sum(nn * nn) AS BIGINT) AS sn2,
-             CAST(sum(nn * (nn - 1) * (nn * 2 + 5)) AS BIGINT) AS sn25,
-             CAST(sum(nn * (nn - 1)) AS BIGINT) AS snn1,
-             CAST(sum(nn * (nn - 1) * (nn - 2)) AS BIGINT) AS snn12
+             COALESCE(sum(CAST(nn AS DOUBLE) * nn), 0) AS sn2,
+             COALESCE(sum(CAST(nn AS DOUBLE) * (nn - 1) * (nn * 2 + 5)),
+               0) AS sn25,
+             COALESCE(sum(CAST(nn AS DOUBLE) * (nn - 1)), 0) AS snn1,
+             COALESCE(sum(CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2)),
+               0) AS snn12
            FROM (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells GROUP BY g)
          ), tm AS (
            SELECT
-             CAST(sum(tt * (tt - 1) * (tt * 2 + 5)) AS BIGINT) AS st25,
-             CAST(sum(tt * (tt - 1)) AS BIGINT) AS stt1,
-             CAST(sum(tt * (tt - 1) * (tt - 2)) AS BIGINT) AS stt12
+             COALESCE(sum(CAST(tt AS DOUBLE) * (tt - 1) * (tt * 2 + 5)),
+               0) AS st25,
+             COALESCE(sum(CAST(tt AS DOUBLE) * (tt - 1)), 0) AS stt1,
+             COALESCE(sum(CAST(tt AS DOUBLE) * (tt - 1) * (tt - 2)),
+               0) AS stt12
            FROM (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cells GROUP BY v)
          ), sel AS (
            SELECT n, k,
              CAST(j2 AS DOUBLE) / 2 AS j,
-             CAST(n * n - sn2 AS DOUBLE) / 4 AS e_j,
-             CAST(n * (n - 1) * (n * 2 + 5) - sn25 - st25 AS DOUBLE) / 72
-               + CAST(snn12 AS DOUBLE) * CAST(stt12 AS DOUBLE)
-                 / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
-               + CAST(snn1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
-                 / (8.0 * CAST(n * (n - 1) AS DOUBLE)) AS var_j
+             (CAST(n AS DOUBLE) * n - sn2) / 4 AS e_j,
+             (CAST(n AS DOUBLE) * (n - 1) * (n * 2 + 5) - sn25 - st25) / 72
+               + snn12 * stt12
+                 / (36.0 * (CAST(n AS DOUBLE) * (n - 1) * (n - 2)))
+               + snn1 * stt1
+                 / (8.0 * (CAST(n AS DOUBLE) * (n - 1))) AS var_j
            FROM gm, tm, pairs
          )
          SELECT n, k, j, e_j, var_j,

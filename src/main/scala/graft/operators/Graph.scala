@@ -1366,8 +1366,11 @@ object Graph {
       .persist()
     val m = und.count()
     require(m > 0, "louvainMove needs a non-empty edge list")
-    require(m <= 3037000499L,
-      s"2m * degree must stay within Long for the integer gain: m=$m")
+    // worst-case |gain| = |2m(e_ic - e_own)| + |k(tot_cn - tot_own + k)|
+    // <= 2m·m + m·3m = 5m² (a hub's degree can approach m), so the exact
+    // BIGINT gain needs 5m² <= 2⁶³ — m <= 1.358e9, NOT sqrt(Long.Max)
+    require(m <= 1358000000L,
+      s"5m^2 must stay within Long for the exact integer gain: m=$m")
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("k"))
       .persist()

@@ -173,13 +173,15 @@ object Stats {
       .groupBy("__v").agg(count(lit(1)).as("__t"))
     val before = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // Σi over the run = t·c + t(t+1)/2; t(t+1) is even so the double
-    // division is exact while t(t+1) ≤ 2⁵³
+    // Σi over the run = t·c + t(t+1)/2, in DOUBLE from the first
+    // factor: the Long products t·c and t(t+1) reach ~n²/4 and would
+    // ANSI-overflow near n ~ 6e9 rows; exactness is already bounded by
+    // the documented n·max(x) ≤ 2⁵³ contract, which covers these terms
     val runs = byValue
       .withColumn("__c", coalesce(sum(col("__t")).over(before), lit(0L)))
       .withColumn("__isum",
-        col("__t") * col("__c") +
-          col("__t") * (col("__t") + lit(1)) / lit(2.0))
+        col("__t").cast("double") * col("__c") +
+          col("__t").cast("double") * (col("__t") + lit(1)) / lit(2.0))
     runs
       .agg(coalesce(sum(col("__t")), lit(0L)).as("n"),
         coalesce(sum(col("__v") * col("__t")), lit(0.0)).as("total"),
@@ -1590,17 +1592,19 @@ object Stats {
         coalesce(sum(col("__tp") * col("__mid")), lit(0.0)).as("w_plus"),
         coalesce(sum((col("__t") - col("__tp")) * col("__mid")), lit(0.0))
           .as("w_minus"),
-        coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
-          lit(0L)).as("__tc"))
+        // tie cubic in double from the start (the kruskalWallis cast):
+        // t³ - t overflows Long for a tie run above ~2.09e6 equal |d|
+        coalesce(sum(col("__t").cast("double") * col("__t") * col("__t") -
+          col("__t")), lit(0.0)).as("__tc"))
       .withColumn("e_w",
-        (col("n") * (col("n") + 1)).cast("double") / 4)
+        col("n").cast("double") * (col("n") + 1) / 4)
       .withColumn("var_w",
         // factors cast to double BEFORE multiplying: the cubic would
         // overflow long near n ~ 2e6 (ANSI would throw); the oracle
         // mirrors the cast points
         col("n").cast("double") * (col("n") + 1).cast("double") *
           (col("n") * 2 + 1).cast("double") / 24
-          - col("__tc").cast("double") / 48)
+          - col("__tc") / 48)
       .select(col("n"), col("w_plus"), col("w_minus"), col("e_w"),
         col("var_w"),
         when(col("n") > 0 && col("var_w") > 0,
@@ -1652,35 +1656,43 @@ object Stats {
           col("__c1") * col("__c2") * 2)
           .when(col("__v1") === col("__v2"), col("__c1") * col("__c2"))),
         lit(0L)).as("__j2"))
+    // every quadratic-or-higher moment product casts its FIRST factor
+    // to double before multiplying (the kruskalWallis tie-term cast):
+    // n(n-1)(2n+5) overflows Long at a ~1.66M-row group, n² at ~3e9,
+    // and under ANSI those THROW at exactly the scales the plan doc
+    // advertises. Terms stay exact while each product < 2⁵³.
     val groupMoments = cells.groupBy("__g").agg(sum(col("__c")).as("__n"))
       .agg(count(lit(1)).as("k"),
         coalesce(sum(col("__n")), lit(0L)).as("n"),
-        coalesce(sum(col("__n") * col("__n")), lit(0L)).as("__sn2"),
-        coalesce(sum(col("__n") * (col("__n") - 1) *
-          (col("__n") * 2 + 5)), lit(0L)).as("__sn25"),
-        coalesce(sum(col("__n") * (col("__n") - 1)), lit(0L)).as("__snn1"),
-        coalesce(sum(col("__n") * (col("__n") - 1) * (col("__n") - 2)),
-          lit(0L)).as("__snn12"))
+        coalesce(sum(col("__n").cast("double") * col("__n")), lit(0.0))
+          .as("__sn2"),
+        coalesce(sum(col("__n").cast("double") * (col("__n") - 1) *
+          (col("__n") * 2 + 5)), lit(0.0)).as("__sn25"),
+        coalesce(sum(col("__n").cast("double") * (col("__n") - 1)),
+          lit(0.0)).as("__snn1"),
+        coalesce(sum(col("__n").cast("double") * (col("__n") - 1) *
+          (col("__n") - 2)), lit(0.0)).as("__snn12"))
     val tieMoments = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
-      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
-          (col("__t") * 2 + 5)), lit(0L)).as("__st25"),
-        coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L)).as("__stt1"),
-        coalesce(sum(col("__t") * (col("__t") - 1) * (col("__t") - 2)),
-          lit(0L)).as("__stt12"))
+      .agg(coalesce(sum(col("__t").cast("double") * (col("__t") - 1) *
+          (col("__t") * 2 + 5)), lit(0.0)).as("__st25"),
+        coalesce(sum(col("__t").cast("double") * (col("__t") - 1)),
+          lit(0.0)).as("__stt1"),
+        coalesce(sum(col("__t").cast("double") * (col("__t") - 1) *
+          (col("__t") - 2)), lit(0.0)).as("__stt12"))
     val nn = col("n")
     groupMoments.crossJoin(tieMoments).crossJoin(pairs)
       .withColumn("j", col("__j2").cast("double") / 2)
       .withColumn("e_j",
-        (nn * nn - col("__sn2")).cast("double") / 4)
+        (nn.cast("double") * nn - col("__sn2")) / 4)
       .withColumn("__a",
-        (nn * (nn - 1) * (nn * 2 + 5) - col("__sn25") - col("__st25"))
-          .cast("double") / 72)
+        (nn.cast("double") * (nn - 1) * (nn * 2 + 5) -
+          col("__sn25") - col("__st25")) / 72)
       .withColumn("__b",
-        col("__snn12").cast("double") * col("__stt12").cast("double") /
-          (lit(36.0) * (nn * (nn - 1) * (nn - 2)).cast("double")))
+        col("__snn12") * col("__stt12") /
+          (lit(36.0) * (nn.cast("double") * (nn - 1) * (nn - 2))))
       .withColumn("__cc",
-        col("__snn1").cast("double") * col("__stt1").cast("double") /
-          (lit(8.0) * (nn * (nn - 1)).cast("double")))
+        col("__snn1") * col("__stt1") /
+          (lit(8.0) * (nn.cast("double") * (nn - 1))))
       .withColumn("var_j", col("__a") + col("__b") + col("__cc"))
       .select(col("n"), col("k"), col("j"), col("e_j"), col("var_j"),
         when(col("k") >= 2 && col("var_j") > 0,
