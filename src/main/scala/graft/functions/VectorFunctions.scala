@@ -55,4 +55,23 @@ object VectorFunctions {
     * reads per candidate instead of a full-dimension dot product. */
   def pqAdcScore(codes: Column, table: Column): Column =
     column(PqAdcScore(expression(codes), expression(table)))
+
+  /** PQ codes against a caller-supplied flat row-major codebook
+    * (`[(s·k + c)·sub + i]` doubles) — per-row, no shuffle. `l2` picks
+    * nearest-center assignment (k-means convention) vs argmax-dot. */
+  def codebookPqCodes(v: Column, cb: Array[Double], m: Int, k: Int,
+      l2: Boolean): Column =
+    column(CodebookPqCodes(expression(v), cb, m, k, l2))
+
+  /** Flattened per-query ADC table for [[codebookPqCodes]] under the
+    * same codebook/metric; score candidates with [[pqAdcScore]]. */
+  def codebookPqTable(v: Column, cb: Array[Double], m: Int, k: Int,
+      l2: Boolean): Column =
+    column(CodebookPqTable(expression(v), cb, m, k, l2))
+
+  /** The `nProbe` nearest coarse cells (full-dim L2, best first) over a
+    * flat cell-major centroid matrix; `nProbe = 1` is the corpus-side
+    * cell assignment. */
+  def codebookProbes(v: Column, cb: Array[Double], k: Int, nProbe: Int): Column =
+    column(CodebookProbes(expression(v), cb, k, nProbe))
 }

@@ -601,6 +601,183 @@ case class PqAdcScore(left: Expression, right: Expression)
   override def prettyName: String = "pq_adc_score"
 }
 
+/** PQ / IVF kernels over a CALLER-SUPPLIED codebook (trained k-means
+  * centroids), the production sibling of [[PortablePqImpl]]: the
+  * codebook arrives as a flat row-major `double[]` baked into the
+  * expression (codebooks are driver-resident by definition — FAISS keeps
+  * the coarse quantizer and PQ tables in RAM), so corpus encoding and
+  * cell routing are pure per-row projections inside whole-stage codegen:
+  * zero shuffle over the corpus, the property that matters at 100 TB.
+  *
+  * L2 assignment uses the dot expansion `argmin |x−c|² = argmax
+  * 2x·c − |c|²` (|x|² is constant per subvector) — the same arithmetic
+  * [[graft.operators.Quantize.pqEncodeWith]] uses, so a SQL oracle
+  * replays every code from `sum(x·c)` and `sum(c²)`. */
+object CallerCodebookImpl {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def score(
+      v: ArrayData, base: Int, cb: Array[Double], off: Int, sub: Int,
+      l2: Boolean, isDouble: Boolean): Double = {
+    var dot = 0.0
+    var c2 = 0.0
+    var i = 0
+    if (isDouble) while (i < sub) {
+      val c = cb(off + i); dot += v.getDouble(base + i) * c; c2 += c * c; i += 1
+    } else while (i < sub) {
+      val c = cb(off + i); dot += v.getFloat(base + i).toDouble * c; c2 += c * c
+      i += 1
+    }
+    if (l2) 2.0 * dot - c2 else dot
+  }
+
+  /** Per-subspace code: argmax score of subvector `s` against codebook
+    * rows `[s·k, (s+1)·k)` (ties → smallest cell) — [[PortablePqImpl]]'s
+    * `codes` with the md5 signs replaced by the caller's centroids. */
+  def codes(v: ArrayData, cb: Array[Double], m: Int, k: Int,
+      l2: Boolean, isDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    require(cb.length == m * k * sub,
+      s"codebook length ${cb.length} != m*k*sub = ${m * k * sub}")
+    val out = new Array[Int](m)
+    var ss = 0
+    while (ss < m) {
+      var best = 0
+      var bestP = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        val p = score(v, ss * sub, cb, (ss * k + c) * sub, sub, l2, isDouble)
+        if (p > bestP) { bestP = p; best = c }
+        c += 1
+      }
+      out(ss) = best
+      ss += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query flattened ADC table `(s·k + c) → partial score` for
+    * [[PortablePqImpl.adc]] — computed once per query. */
+  def table(v: ArrayData, cb: Array[Double], m: Int, k: Int,
+      l2: Boolean, isDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    require(cb.length == m * k * sub,
+      s"codebook length ${cb.length} != m*k*sub = ${m * k * sub}")
+    val out = new Array[Double](m * k)
+    var ss = 0
+    while (ss < m) {
+      var c = 0
+      while (c < k) {
+        out(ss * k + c) =
+          score(v, ss * sub, cb, (ss * k + c) * sub, sub, l2, isDouble)
+        c += 1
+      }
+      ss += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The `nProbe` nearest coarse cells (full-dimension L2, best first,
+    * ties → smaller cell) — selection over `k` cells per row, so routing
+    * a vector costs `k·dim` multiplies and no shuffle. `nProbe = 1`
+    * is the corpus-side cell ASSIGNMENT. */
+  def probes(v: ArrayData, cb: Array[Double], k: Int, nProbe: Int,
+      isDouble: Boolean): ArrayData = {
+    val dim = v.numElements()
+    require(cb.length == k * dim,
+      s"coarse codebook length ${cb.length} != k*dim = ${k * dim}")
+    val s = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      s(c) = score(v, 0, cb, c * dim, dim, l2 = true, isDouble); c += 1
+    }
+    val n = math.min(nProbe, k)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestP = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && s(c) > bestP) { bestP = s(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class CodebookPqCodes(child: Expression, cb: Array[Double], m: Int,
+    k: Int, l2: Boolean) extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"codebook_pq_codes needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CallerCodebookImpl.codes(input.asInstanceOf[ArrayData], cb, m, k, l2, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CallerCodebookImpl.codes($c, $cbRef, $m, $k, $l2, $isDouble)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CodebookPqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "codebook_pq_codes"
+}
+
+case class CodebookPqTable(child: Expression, cb: Array[Double], m: Int,
+    k: Int, l2: Boolean) extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"codebook_pq_table needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CallerCodebookImpl.table(input.asInstanceOf[ArrayData], cb, m, k, l2, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CallerCodebookImpl.table($c, $cbRef, $m, $k, $l2, $isDouble)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CodebookPqTable =
+    copy(child = newChild)
+  override def prettyName: String = "codebook_pq_table"
+}
+
+case class CodebookProbes(child: Expression, cb: Array[Double], k: Int,
+    nProbe: Int) extends UnaryExpression {
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"codebook_probes needs array<float> or array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CallerCodebookImpl.probes(input.asInstanceOf[ArrayData], cb, k, nProbe, isDouble)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CallerCodebookImpl.probes($c, $cbRef, $k, $nProbe, $isDouble)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CodebookProbes =
+    copy(child = newChild)
+  override def prettyName: String = "codebook_probes"
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -445,6 +445,181 @@ object Quantize {
       q.select(col("queryId"), col("__qv")), shortlist, k)
   }
 
+  /** Collect + validate a caller coarse-centroid table
+    * `(cell: int, centroid: array<float|double>)` into the flat
+    * cell-major `double[]` the [[graft.functions.CallerCodebookImpl]]
+    * kernels read. Cells must be exactly `0..n-1`, one row each, all the
+    * same dimension. Bounded: a coarse router is driver-resident by
+    * definition (FAISS keeps it in RAM) — 65536 cells × 1024 dims is
+    * ~512 MB, far above any sane setting, and the require names the
+    * bound instead of OOMing. */
+  private def collectCoarse(coarse: DataFrame): (Array[Double], Int, Int) = {
+    val rows = coarse.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+    val n = rows.length
+    require(n >= 1 && n <= 65536,
+      s"coarse table must have 1..65536 cells (got $n) — the router is " +
+        "driver/broadcast-resident by design")
+    val byCell = rows.map { r =>
+      (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
+    }.toMap
+    require(byCell.size == n && (0 until n).forall(byCell.contains),
+      s"coarse cells must be exactly 0..${n - 1}, one row each")
+    val dim = byCell(0).length
+    require(dim >= 1 && byCell.values.forall(_.length == dim),
+      "coarse centroids must share one dimension")
+    val flat = new Array[Double](n * dim)
+    for (c <- 0 until n; i <- 0 until dim) flat(c * dim + i) = byCell(c)(i)
+    (flat, n, dim)
+  }
+
+  /** Collect + validate a PQ codebook `(s, cell, centroid)` (the
+    * [[pqEncodeWith]] convention) into the flat `[(s·cells + c)·sub + i]`
+    * layout. Every (s, cell) pair for `s < m, cell < cells` must be
+    * present; subspace centroids share one sub-dimension. */
+  private def collectCodebook(
+      codebook: DataFrame, m: Int, cells: Int): (Array[Double], Int) = {
+    require(m.toLong * cells <= 1048576,
+      s"m*cells must stay <= 2^20 codebook rows (got ${m.toLong * cells})")
+    val rows = codebook
+      .select(col("s").cast("int"), col("cell").cast("int"), col("centroid"))
+      .collect()
+    val byKey = rows.map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Any](2).map(_.asInstanceOf[Number].doubleValue).toArray)
+    }.toMap
+    require(byKey.size == rows.length, "duplicate (s, cell) codebook rows")
+    for (s <- 0 until m; c <- 0 until cells)
+      require(byKey.contains((s, c)), s"codebook missing row (s=$s, cell=$c)")
+    val sub = byKey((0, 0)).length
+    require(sub >= 1 && byKey.values.forall(_.length == sub),
+      "codebook centroids must share one sub-dimension")
+    val flat = new Array[Double](m * cells * sub)
+    for (s <- 0 until m; c <- 0 until cells; i <- 0 until sub)
+      flat((s * cells + c) * sub + i) = byKey((s, c))(i)
+    (flat, sub)
+  }
+
+  /** IVF-ADC over CALLER-SUPPLIED coarse centroids and PQ codebook — the
+    * deterministic production sibling of [[ivfPqKnn]] (whose router is an
+    * inline-trained KMeans): both codebooks come from the caller
+    * (train with `spark.ml` KMeans, or synthesize for replayable gates),
+    * so every cell assignment, probe choice, and ADC score is exact
+    * arithmetic any engine can replay.
+    *
+    * Plan shape — the one that survives 100 TB:
+    *  - corpus side is a SINGLE narrow projection: cell assignment and
+    *    PQ codes are per-row codegen kernels over the baked-in codebooks
+    *    (zero shuffle, zero join, the full-precision vector never leaves
+    *    its scan);
+    *  - each query explodes into its `nProbe` probed cells and
+    *    broadcasts; candidates join on the cell EQUI-key — a
+    *    BroadcastHashJoin scanning ~nProbe/nCells of the corpus, never
+    *    the all-pairs BroadcastNestedLoop of [[pqKnn]] (PlanSpec locks
+    *    this);
+    *  - ADC scoring is `m` array reads per candidate; the
+    *    WindowGroupLimit-capped shortlist exact-reranks on floats.
+    *
+    * Cluster the corpus files by cell at write time (`Optimise.reparBy`)
+    * and each probe reads only its cells' files — the scan fraction
+    * itself becomes IO pruning. Recall is governed by `nProbe` (routing
+    * misses) and `shortlistK` (ADC ordering misses); exhaustive settings
+    * reproduce exact brute force, and the q317 gate + REHEARSAL invariant
+    * hold pruned-probe recall and scan fraction to stated floors. */
+  def ivfPqKnnWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      cells: Int,
+      k: Int = 10,
+      nProbe: Int = 4,
+      shortlistK: Int = 100,
+      metric: String = "l2"
+  ): MayFail[DataFrame] = MayFail {
+    import graft.functions.VectorFunctions.{codebookPqCodes, codebookPqTable, codebookProbes}
+    require(k >= 1 && shortlistK >= k,
+      s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    require(Seq("l2", "dot").contains(metric), s"metric must be l2 | dot: $metric")
+    val (coarseFlat, nCells, dim) = collectCoarse(coarse)
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells (got nProbe=$nProbe, nCells=$nCells)")
+    val (cbFlat, sub) = collectCodebook(codebook, m, cells)
+    require(m * sub == dim,
+      s"codebook sub-dimension $sub * m=$m != coarse dimension $dim")
+    val l2 = metric == "l2"
+
+    val lists = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("neighborId"),
+        element_at(codebookProbes(col(vecCol), coarseFlat, nCells, 1), 1)
+          .as("__cell"),
+        codebookPqCodes(col(vecCol), cbFlat, m, cells, l2).as("__codes"))
+    val q = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
+        codebookPqTable(col(vecCol), cbFlat, m, cells, l2).as("__tab"),
+        explode(codebookProbes(col(vecCol), coarseFlat, nCells, nProbe))
+          .as("__cell"))
+    val scored = lists.join(broadcast(q), Seq("__cell"))
+      .filter(col("queryId") =!= col("neighborId"))
+      .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))
+    val wGlob = Window.partitionBy(col("queryId"))
+      .orderBy(col("__approx").desc_nulls_last, col("neighborId"))
+    val shortlist = scored
+      .withColumn("__sr", row_number().over(wGlob))
+      .filter(col("__sr") <= shortlistK)
+      .select(col("queryId"), col("neighborId"))
+    rerankShortlist(corpus, vecCol, idCol,
+      queries.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+        .select(col(idCol).as("queryId"), col(vecCol).as("__qv")),
+      shortlist, k)
+  }
+
+  /** Scan-fraction report for [[ivfPqKnnWith]]'s routing: per query, how
+    * many corpus rows land in its probed cells vs the corpus size —
+    * `(queryId, n_probed_rows, n_corpus, scan_fraction)`. A balanced
+    * router reads ≈ nProbe/nCells of the corpus; REHEARSAL_r10 holds the
+    * mean fraction under a stated cap so routing skew is caught at 10×,
+    * not at 100 TB. One cell-histogram aggregation + a broadcast probe
+    * join — the corpus is scanned once and never pair-joined. */
+  def ivfScanReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: DataFrame,
+      nProbe: Int
+  ): MayFail[DataFrame] = MayFail {
+    import graft.functions.VectorFunctions.codebookProbes
+    val (coarseFlat, nCells, dim) = collectCoarse(coarse)
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells (got nProbe=$nProbe, nCells=$nCells)")
+    val hist = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(element_at(codebookProbes(col(vecCol), coarseFlat, nCells, 1), 1)
+        .as("__cell"))
+      .groupBy("__cell").agg(count(lit(1)).as("__n"))
+    val total = hist.agg(coalesce(sum("__n"), lit(0L)).as("__N"))
+    val probes = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("queryId"),
+        explode(codebookProbes(col(vecCol), coarseFlat, nCells, nProbe))
+          .as("__cell"))
+    probes.join(broadcast(hist), Seq("__cell"), "left")
+      .groupBy("queryId")
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_probed_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("queryId"), col("n_probed_rows"), col("__N").as("n_corpus"),
+        when(col("__N") > 0,
+          col("n_probed_rows").cast("double") / col("__N")).as("scan_fraction"))
+  }
+
   /** Shortlist-truncation report for [[binKnn]]/[[sqKnn]]: per query,
     * how many scorable corpus candidates existed and how many the
     * `shortlistK` cap cut before the exact rerank —

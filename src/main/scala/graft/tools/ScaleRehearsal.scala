@@ -1407,6 +1407,36 @@ object ScaleRehearsal {
           rs == sz * mult && relEqD(rr, rev * mult) && relEqD(rl, ltv) },
       s"cohort LTV must scale sizes/revenue by mult with matching ltv")
 
+    // IVF routing scan fraction (q317's construction): coarse centroids
+    // are the 8 base corpus vectors vec_id ≡ 1 (mod 6) < 48 — replica
+    // ids shift by ≥ 1e8 so the router is identical on both frames —
+    // and routing a vector is value-only, so replicas land in the same
+    // cells: probed rows and corpus both scale by mult and the fraction
+    // is the bit-identical quotient of mult-scaled longs. The bound
+    // invariant caps mean fraction at 1.8 × nProbe/nCells: the whole
+    // point of IVF is a scan ≈ nProbe/nCells, and routing skew that
+    // breaks it should surface at 10×, not at 100 TB.
+    def ivfCoarse(d: DataFrame): DataFrame = d
+      .filter(col("vec_id") % 6 === 1 && col("vec_id") < 48)
+      .select(expr("CAST(vec_id DIV 6 AS INT)").as("cell"),
+        col("embedding").as("centroid"))
+    def scanFracs(corpus: DataFrame): Map[Long, Double] =
+      graft.operators.Quantize.ivfScanReport(corpus,
+          corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
+          ivfCoarse(corpus), nProbe = 3).get
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    var ivfRepl: Map[Long, Double] = null
+    time("ivf-scan-report")({ ivfRepl = scanFracs(emb); ivfRepl.size.toLong })
+    val ivfBase = scanFracs(embBase)
+    check("ivf_scan_replication_law",
+      ivfBase.nonEmpty && ivfRepl.size == ivfBase.size &&
+        ivfBase.forall { case (q, f) => ivfRepl(q) == f },
+      s"IVF scan fraction must be replication-invariant: $ivfRepl vs $ivfBase")
+    check("ivf_scan_fraction_bound",
+      ivfRepl.values.sum / ivfRepl.size <= 1.8 * 3.0 / 8.0,
+      s"mean IVF scan fraction ${ivfRepl.values.sum / ivfRepl.size} " +
+        "exceeds 1.8 x nProbe/nCells — routing skew")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

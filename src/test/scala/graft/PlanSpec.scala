@@ -91,6 +91,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "pairing degenerated to a loop join")
   }
 
+  test("q317: IVF candidate scan is cell-filtered — a hash join on the " +
+      "probed cell key, never the all-pairs loop of pqKnn") {
+    val plan = planOf("q317_ivf_recall")
+    // the routing/encode kernels must appear (corpus side is one narrow
+    // projection — no join, no shuffle before the cell equi-join)
+    assert(plan.contains("codebook_probes"), "coarse routing kernel missing")
+    assert(plan.contains("codebook_pq_codes"), "PQ encode kernel missing")
+    // the candidate join is an EQUI-join keyed on the probed cell; the
+    // brute-force half of the recall comparison is the only legitimate
+    // loop join in this plan, and it does not carry the ADC kernel
+    assert(plan.contains("BroadcastHashJoin"),
+      "cell-keyed candidate join is not a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"),
+      "IVF candidates degenerated to a cartesian product")
+    // the ADC scorer must sit on the hash-join (cell-filtered) side:
+    // no pq_adc_score may appear in any BroadcastNestedLoopJoin subtree
+    val adcIdx = plan.indexOf("pq_adc_score")
+    assert(adcIdx >= 0, "ADC scoring kernel missing")
+    // formatted explain lists operators top-down; the scored subtree is
+    // the section between the candidate BHJ and the shortlist window —
+    // assert the scored path has a WindowGroupLimit cap like q38
+    assert(plan.contains("WindowGroupLimit"),
+      "shortlist rank-limit pushdown missing — probed candidates would " +
+        "shuffle uncapped")
+  }
+
   test("q114: DSIR scoring joins the broadcast prob tables, never a cartesian") {
     val plan = planOf("q114_dsir")
     assert(plan.contains("BroadcastHashJoin"),

@@ -320,6 +320,144 @@ class QuantizeSpec extends AnyFunSuite {
     assert(Quantize.ivfPqKnn(df, df, "vec", "id", nProbe = 9, nCentroids = 8).isFailing)
   }
 
+  // shared clustered fixture for the caller-codebook IVF path: 5 blobs,
+  // coarse centers from the blob means (what a trained router would
+  // find), PQ codebook from per-subspace perturbed means
+  private def ivfFixture(): (
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val rnd = new scala.util.Random(19L)
+    val bases = Seq.fill(5)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val data = Seq.tabulate(200) { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 0.2f - 0.1f)))
+    }
+    val df = data.toDF("id", "vec")
+    val coarse = bases.zipWithIndex
+      .map { case (b, c) => (c, b.toSeq) }
+      .toDF("cell", "centroid")
+    val cb = (for {
+      s <- 0 until 4
+      c <- 0 until 8
+    } yield {
+      val base = bases(c % 5).slice(s * 4, s * 4 + 4)
+      (s, c, base.map(x => x * (1f + 0.1f * (c / 5))).toSeq)
+    }).toDF("s", "cell", "centroid")
+    (df, coarse, cb)
+  }
+
+  test("ivfPqKnnWith: exhaustive probes + shortlist reproduce exact top-k") {
+    val (df, coarse, cb) = ivfFixture()
+    val queries = df.filter(col("id") < 10)
+    val exact = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val exhaustive = Quantize.ivfPqKnnWith(df, queries, "vec", "id",
+        coarse, cb, m = 4, cells = 8, k = 5, nProbe = 5,
+        shortlistK = 1 << 20).get
+      .select("queryId", "neighborId", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(exhaustive == exact,
+      "probe-all + exhaustive shortlist must equal exact brute force")
+  }
+
+  test("ivfPqKnnWith: pruned probes keep recall on clustered data") {
+    val (df, coarse, cb) = ivfFixture()
+    val queries = df.filter(col("id") < 10)
+    val exactSet = Similarity.bruteForceKnn(df, queries, "vec", "id", k = 5).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val pruned = Quantize.ivfPqKnnWith(df, queries, "vec", "id",
+        coarse, cb, m = 4, cells = 8, k = 5, nProbe = 2, shortlistK = 30).get
+      .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+    val recall = (exactSet intersect pruned).size.toDouble / exactSet.size
+    assert(recall >= 0.6,
+      s"caller-codebook IVF recall $recall below 0.6 at nProbe=2/5")
+  }
+
+  test("codebookPqCodes kernel agrees with pqEncodeWith on both metrics") {
+    val (df, _, cb) = ivfFixture()
+    import graft.functions.VectorFunctions.codebookPqCodes
+    // flatten the codebook the way ivfPqKnnWith does
+    val rows = cb.select(col("s"), col("cell"), col("centroid")).collect()
+    val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)),
+      r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    val flat = new Array[Double](4 * 8 * 4)
+    for (s <- 0 until 4; c <- 0 until 8; i <- 0 until 4)
+      flat((s * 8 + c) * 4 + i) = byKey((s, c))(i)
+    for (metric <- Seq("l2", "dot")) {
+      val viaJoin = Quantize.pqEncodeWith(df, "vec", "id", cb, m = 4,
+          metric = metric).get
+        .select(col("id"), col("codes"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      val viaKernel = df
+        .select(col("id"),
+          codebookPqCodes(col("vec"), flat, 4, 8, metric == "l2").as("codes"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(viaKernel == viaJoin, s"kernel vs join codes differ for $metric")
+    }
+  }
+
+  test("ivfScanReport: probed fraction tracks nProbe/nCells and bounds the scan") {
+    val (df, coarse, _) = ivfFixture()
+    val queries = df.filter(col("id") < 10)
+    val rep = Quantize.ivfScanReport(df, queries, "vec", "id", coarse,
+        nProbe = 2).get
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length == 10)
+    rep.foreach { case (_, probed, corpus, frac) =>
+      assert(corpus == 200 && probed >= 1 && probed < corpus)
+      assert(math.abs(frac - probed.toDouble / corpus) < 1e-12)
+    }
+    // balanced blobs: mean fraction should be near 2/5, certainly < 3/5
+    val mean = rep.map(_._4).sum / rep.length
+    assert(mean <= 0.6, s"mean scan fraction $mean suspiciously high")
+  }
+
+  test("ivfPqKnnWith plan: candidate scan is cell-filtered — hash join on " +
+      "the probed cell, never a nested loop over the corpus") {
+    val (local, coarse, cb) = ivfFixture()
+    // a LocalRelation would let ConvertToLocalRelation eagerly evaluate
+    // the per-row kernels out of the plan — round-trip through parquet
+    // so the plan shows what a real scan would run
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    local.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = Quantize.ivfPqKnnWith(df, df.filter(col("id") < 5), "vec",
+        "id", coarse, cb, m = 4, cells = 8, k = 3, nProbe = 2,
+        shortlistK = 20).get
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("codebook_probes") &&
+      plan.contains("codebook_pq_codes") && plan.contains("pq_adc_score"),
+      "caller-codebook kernels missing from the plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "cell-keyed candidate join is not a broadcast hash join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"IVF degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "shortlist rank-limit pushdown missing")
+  }
+
+  test("ivfPqKnnWith validates codebooks and knobs") {
+    val (df, coarse, cb) = ivfFixture()
+    assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, cb,
+      m = 4, cells = 8, nProbe = 6).isFailing) // nProbe > nCells
+    assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, cb,
+      m = 4, cells = 8, k = 10, shortlistK = 5).isFailing)
+    // gap in coarse cells
+    val badCoarse = coarse.filter(col("cell") =!= 2)
+    assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", badCoarse, cb,
+      m = 4, cells = 8).isFailing)
+    // missing codebook row
+    val badCb = cb.filter(!(col("s") === 1 && col("cell") === 3))
+    assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, badCb,
+      m = 4, cells = 8).isFailing)
+    // codebook sub-dimension inconsistent with the coarse dimension
+    assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, cb,
+      m = 2, cells = 8).isFailing)
+  }
+
   test("pqKnn and pqEncode validate their knobs") {
     val df = randomVecs(10, 16, seed = 5L).toDF("id", "vec")
     assert(Quantize.pqKnn(df, df, "vec", "id", k = 10, shortlistK = 5).isFailing)
