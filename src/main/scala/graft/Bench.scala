@@ -105,7 +105,12 @@ object Bench {
     // 3-iteration weighted PageRank; the explode→iterate composition
     // is new to the bench)
     "q289_mann_kendall",
-    "q293_textrank"
+    "q293_textrank",
+    // round-10: FULL Louvain over the direct bipartite graph — the
+    // community-contraction + weighted-coarse-pass plan (2+2 passes,
+    // exact-numerator acceptance); coarsening-pipeline regressions
+    // surface here
+    "q319_louvain_full_bipartite"
   )
 
   /** Streaming micro-batch throughput: `nEvents` synthetic events pushed

@@ -2654,6 +2654,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q318_louvain_full" -> ((s, dir) => {
+      // FULL Louvain — both phases: 2 local-move passes, contraction of
+      // communities to weighted super-nodes (cross weights sum,
+      // intra weights become self-loops), 2 more weighted passes on the
+      // coarse graph, labels composed back down. Each level is accepted
+      // only if the exact BIGINT modularity numerator strictly
+      // increases — the oracle unrolls both levels, both numerators,
+      // and the acceptance CASE decision-for-decision.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      Graph.louvain(proj, "src", "dst", passes = 2, levels = 2).get
+        .orderBy("node")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -3680,6 +3694,18 @@ object SparkEntry {
       val e = li.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.louvainMove(e, "src", "dst", passes = 4).get
+        .orderBy("node")
+    }),
+
+    "q319_louvain_full_bipartite" -> ((s, dir) => {
+      // FULL Louvain over the DIRECT part↔supplier graph (non-trivial
+      // at every sf — the q234 convention): 2 local passes, contraction,
+      // 2 weighted coarse passes, exact-numerator acceptance. The bench
+      // headliner for the contraction + weighted-pass plan.
+      val li = tbl(s, dir, "lineitem")
+      val e = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.louvain(e, "src", "dst", passes = 2, levels = 2).get
         .orderBy("node")
     }),
 
@@ -5277,6 +5303,153 @@ object SparkEntry {
     }
     sb.append(s"""
          SELECT node, c AS community FROM lab$passes ORDER BY node""")
+    sb.toString
+  }
+
+  /** q318's oracle, generated: FULL Louvain unrolled over TWO coarsening
+    * levels, replaying [[graft.operators.Graph.louvain]]
+    * decision-for-decision — the weighted move passes of each level
+    * (level 1 has unit weights and an empty self-loop table), the exact
+    * modularity numerators `N = 4m·e_in − Σ d_c²`, the
+    * strictly-increasing acceptance test, community contraction
+    * (cross-weights summed, intra-weights + member self-loops into the
+    * super-node self-loop), and the final accept-CASE over the composed
+    * labelings. Every multi-referenced CTE is MATERIALIZED (the q234
+    * lesson: DuckDB inlines by default and the pass chain re-expands
+    * exponentially). */
+  private def louvainFullOracleSql(
+      passes: Int,
+      prCtes: String =
+        """WITH mm AS (
+           SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+         ), pr AS MATERIALIZED (
+           SELECT a.s AS x, b.s AS y FROM mm a JOIN mm b
+             ON a.p = b.p AND a.s < b.s
+           GROUP BY a.s, b.s HAVING count(*) >= 150
+         )"""
+  ): String = {
+    val sb = new StringBuilder
+    sb.append(prCtes)
+    sb.append(
+      """, und1 AS MATERIALIZED (
+           SELECT x AS a, y AS b, CAST(1 AS BIGINT) AS w FROM pr
+         ), self1 AS MATERIALIZED (
+           SELECT a AS node, CAST(0 AS BIGINT) AS sw FROM und1 WHERE FALSE
+         ), em AS MATERIALIZED (
+           SELECT CAST(sum(w) AS BIGINT) AS m FROM und1)""")
+
+    // one weighted level: e/deg/lab0 + `passes` move blocks
+    def levelCtes(l: Int): Unit = {
+      sb.append(s""", e$l AS MATERIALIZED (
+           SELECT a AS src, b AS dst, w FROM und$l
+           UNION ALL SELECT b, a, w FROM und$l
+         ), deg$l AS MATERIALIZED (
+           SELECT COALESCE(x.node, s.node) AS node,
+             COALESCE(x.kx, 0) + 2 * COALESCE(s.sw, 0) AS k
+           FROM (SELECT src AS node, CAST(sum(w) AS BIGINT) AS kx
+                 FROM e$l GROUP BY src) x
+           FULL JOIN self$l s ON s.node = x.node
+         ), lab${l}_0 AS (SELECT node, node AS c FROM deg$l)""")
+      for (p <- 1 to passes) {
+        val q = p - 1
+        sb.append(s""", tot${l}_$q AS MATERIALIZED (
+           SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
+           FROM lab${l}_$q l JOIN deg$l d ON d.node = l.node GROUP BY l.c
+         ), lk${l}_$p AS MATERIALIZED (
+           SELECT e.src AS node, l.c AS cn, CAST(sum(e.w) AS BIGINT) AS e_ic
+           FROM e$l e JOIN lab${l}_$q l ON l.node = e.dst GROUP BY e.src, l.c
+         ), cur${l}_$p AS (
+           SELECT l.node, l.c, d.k, COALESCE(lk.e_ic, 0) AS e_own,
+             t.tot AS tot_own
+           FROM lab${l}_$q l
+           JOIN deg$l d ON d.node = l.node
+           LEFT JOIN lk${l}_$p lk ON lk.node = l.node AND lk.cn = l.c
+           JOIN tot${l}_$q t ON t.c = l.c
+         ), gn${l}_$p AS (
+           SELECT g.node, g.cn,
+             2 * (SELECT m FROM em) * (g.e_ic - c.e_own)
+               - c.k * (tn.tot - c.tot_own + c.k) AS g
+           FROM lk${l}_$p g
+           JOIN cur${l}_$p c ON c.node = g.node
+           JOIN tot${l}_$q tn ON tn.c = g.cn
+           WHERE g.cn <> c.c
+         ), mv${l}_$p AS (
+           SELECT node, cn FROM (
+             SELECT node, cn,
+               row_number() OVER (PARTITION BY node ORDER BY g DESC, cn)
+                 AS rn
+             FROM gn${l}_$p
+             WHERE g > 0 AND CAST(('0x' ||
+               substring(md5(CAST(node AS VARCHAR)), 1, 1)) AS BIGINT) % 2
+               = ${p % 2}
+           ) WHERE rn = 1
+         ), lab${l}_$p AS MATERIALIZED (
+           SELECT l.node, COALESCE(m.cn, l.c) AS c
+           FROM lab${l}_$q l LEFT JOIN mv${l}_$p m ON m.node = l.node
+         )""")
+      }
+      // exact modularity numerator of the level's final labeling
+      sb.append(s""", n$l AS MATERIALIZED (
+           SELECT 4 * (SELECT m FROM em) * (
+               COALESCE((SELECT CAST(sum(u.w) AS BIGINT) FROM und$l u
+                 JOIN lab${l}_$passes la ON la.node = u.a
+                 JOIN lab${l}_$passes lb ON lb.node = u.b
+                 WHERE la.c = lb.c), 0)
+               + COALESCE((SELECT CAST(sum(sw) AS BIGINT) FROM self$l), 0))
+             - (SELECT CAST(COALESCE(sum(d * d), 0) AS BIGINT) FROM (
+                 SELECT CAST(sum(dg.k) AS BIGINT) AS d FROM deg$l dg
+                 JOIN lab${l}_$passes l ON l.node = dg.node GROUP BY l.c))
+             AS n)""")
+    }
+
+    levelCtes(1)
+    // singleton baseline numerator on the original graph
+    sb.append(
+      """, n0 AS MATERIALIZED (
+           SELECT 4 * (SELECT m FROM em)
+               * COALESCE((SELECT CAST(sum(sw) AS BIGINT) FROM self1), 0)
+             - (SELECT CAST(COALESCE(sum(k * k), 0) AS BIGINT) FROM deg1)
+             AS n)""")
+    // contraction into level 2
+    sb.append(s""", und2 AS MATERIALIZED (
+           SELECT least(la.c, lb.c) AS a, greatest(la.c, lb.c) AS b,
+             CAST(sum(u.w) AS BIGINT) AS w
+           FROM und1 u
+           JOIN lab1_$passes la ON la.node = u.a
+           JOIN lab1_$passes lb ON lb.node = u.b
+           WHERE la.c <> lb.c
+           GROUP BY least(la.c, lb.c), greatest(la.c, lb.c)
+         ), self2 AS MATERIALIZED (
+           SELECT node, CAST(sum(sw) AS BIGINT) AS sw FROM (
+             SELECT la.c AS node, CAST(u.w AS BIGINT) AS sw
+             FROM und1 u
+             JOIN lab1_$passes la ON la.node = u.a
+             JOIN lab1_$passes lb ON lb.node = u.b
+             WHERE la.c = lb.c
+             UNION ALL
+             SELECT l.c AS node, s.sw
+             FROM self1 s JOIN lab1_$passes l ON l.node = s.node
+           ) GROUP BY node)""")
+    levelCtes(2)
+    // composed labelings + the sequential acceptance CASE
+    sb.append(s""", map1 AS MATERIALIZED (
+           SELECT node, c AS community FROM lab1_$passes
+         ), map2 AS MATERIALIZED (
+           SELECT m1.node, COALESCE(l2.c, m1.community) AS community
+           FROM map1 m1
+           LEFT JOIN lab2_$passes l2 ON l2.node = m1.community)
+         SELECT d.node AS node,
+           CASE
+             WHEN NOT ((SELECT n FROM n1) > (SELECT n FROM n0))
+               THEN d.node
+             WHEN NOT ((SELECT n FROM n2) > (SELECT n FROM n1))
+               THEN m1.community
+             ELSE m2.community
+           END AS community
+         FROM deg1 d
+         JOIN map1 m1 ON m1.node = d.node
+         JOIN map2 m2 ON m2.node = d.node
+         ORDER BY node""")
     sb.toString
   }
 
@@ -8159,6 +8332,11 @@ object SparkEntry {
     // spec, the operator's semi-join loop is the scale path.
     "q202_kcore" -> kCoreOracleSql(k = 6L, rounds = 8),
     "q232_louvain" -> louvainOracleSql(passes = 4),
+
+    // q318: full two-level Louvain — generated unroll of both levels'
+    // weighted passes, exact numerators, acceptance CASE (see
+    // louvainFullOracleSql).
+    "q318_louvain_full" -> louvainFullOracleSql(passes = 2),
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).
@@ -10707,6 +10885,14 @@ object SparkEntry {
          ORDER BY n.src, n.dst""",
 
     "q234_louvain_bipartite" -> louvainOracleSql(passes = 4,
+      prCtes = """WITH pr AS MATERIALIZED (
+           SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS x,
+                  greatest(l_partkey * 2, l_suppkey * 2 + 1) AS y
+           FROM lineitem)"""),
+
+    // q319: the full two-level Louvain replayed over the direct
+    // bipartite graph (the q234 prCtes, the q318 unroll device).
+    "q319_louvain_full_bipartite" -> louvainFullOracleSql(passes = 2,
       prCtes = """WITH pr AS MATERIALIZED (
            SELECT DISTINCT least(l_partkey * 2, l_suppkey * 2 + 1) AS x,
                   greatest(l_partkey * 2, l_suppkey * 2 + 1) AS y

@@ -1357,23 +1357,55 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      .select(col("a"), col("b"), lit(1L).as("w"))
+    louvainPasses(und, und.select(col("a").as("node"),
+      lit(0L).as("sw")).limit(0), passes)
+  }
+
+  /** WEIGHTED local-move worker shared by [[louvainMove]] (unit weights —
+    * `sum(w)` over 1s is `count`, so the arithmetic is bit-identical to
+    * the historical unweighted form) and [[louvain]]'s coarsened levels.
+    * `und`: pre-aggregated undirected edges `(a < b, w: bigint)`, no self
+    * rows; `selfW`: per-node self-loop weight `(node, sw)` — a contracted
+    * community's internal edges, counting TWICE in the weighted degree
+    * (Blondel et al. convention) but never in any move gain (they move
+    * with the node, so they cancel between target communities). */
+  private def louvainPasses(
+      und: DataFrame,
+      selfW: DataFrame,
+      passes: Int,
+      degIn: Option[DataFrame] = None
+  ): DataFrame = {
     // pre-partitioned on dst: every pass joins the labels in on dst,
     // so the cached layout is reused and the edge list never
     // re-shuffles across passes
-    val e = und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .repartition(col("dst"))
       .persist()
-    val m = und.count()
-    require(m > 0, "louvainMove needs a non-empty edge list")
+    val mCross = und.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
+    val mSelf = selfW.agg(coalesce(sum("sw"), lit(0L))).first().getLong(0)
+    val m = mCross + mSelf
+    require(m > 0, "louvainPasses needs a non-empty (weighted) edge list")
     // worst-case |gain| = |2m(e_ic - e_own)| + |k(tot_cn - tot_own + k)|
     // <= 2m·m + m·3m = 5m² (a hub's degree can approach m), so the exact
     // BIGINT gain needs 5m² <= 2⁶³ — m <= 1.358e9, NOT sqrt(Long.Max)
     require(m <= 1358000000L,
       s"5m^2 must stay within Long for the exact integer gain: m=$m")
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("k"))
-      .persist()
+    // weighted degree k = Σ incident w + 2·self-loop weight; full outer
+    // so an all-internal super-node (no external edges) keeps its label.
+    // [[louvain]] already materializes this frame per level (and keeps
+    // using it afterwards) — take it as-is instead of recomputing; only
+    // a worker-built frame is persisted/unpersisted here
+    val ownDeg = degIn.isEmpty
+    val deg = degIn.getOrElse(
+      e.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("__kx"))
+        .join(selfW, Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("__kx"), lit(0L)) +
+            lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
+        .persist())
     var lab = deg.select(col("node"), col("node").as("c"))
       .localCheckpoint(true)
     for (pass <- 1 to passes) {
@@ -1381,15 +1413,15 @@ object Graph {
       // one (node, c, k) frame and the community degree totals
       val nodeInfo = lab.join(deg, Seq("node"))
       val tot = nodeInfo.groupBy("c").agg(sum("k").as("tot"))
-      // each node's link counts into every neighboring community, with
+      // each node's link weights into every neighboring community, with
       // a synthesized ZERO row for the node's own community so a
       // single node-partitioned window below can read both the
-      // own-community link count and the own-community total — no
+      // own-community link weight and the own-community total — no
       // second links computation, no (node, c) equi-join back
       val linksRaw = e
         .join(lab.withColumnRenamed("node", "dst")
           .withColumnRenamed("c", "cn"), Seq("dst"))
-        .select(col("src").as("node"), col("cn"), lit(1L).as("__one"))
+        .select(col("src").as("node"), col("cn"), col("w").as("__one"))
       val ownZero = nodeInfo
         .select(col("node"), col("c").as("cn"), lit(0L).as("__one"))
       val links = linksRaw.unionByName(ownZero)
@@ -1422,8 +1454,170 @@ object Graph {
         .localCheckpoint(true)
       Optimise.releaseCheckpoint(prevLab)
     }
-    e.unpersist(); deg.unpersist()
+    e.unpersist(); if (ownDeg) deg.unpersist()
     lab.select(col("node"), col("c").as("community"))
+  }
+
+  /** FULL Louvain (Blondel et al. 2008, both phases): run
+    * [[louvainMove]]'s local passes, CONTRACT each community to a
+    * super-node (cross-community edge weights sum; intra-community
+    * weights — former cross edges plus member self-loops — become the
+    * super-node's self-loop), re-run the weighted moves on the coarse
+    * graph, and compose the level labelings back down to the original
+    * nodes. Local moves alone under-merge at scale (a community can
+    * only grow one neighbor-hop per pass); coarsening lets whole
+    * communities merge in one move.
+    *
+    * Each level is ACCEPTED only if the EXACT modularity numerator
+    * `N = 4m·e_in − Σ_c d_c²` (Q = N/4m², m invariant under
+    * contraction so numerators compare across levels) STRICTLY
+    * increases — semi-synchronous moves are individually
+    * positive-gain but can interfere when applied at once, so a level
+    * that nets a worse partition is reverted and the loop stops.
+    * Modularity is therefore NON-DECREASING across levels by
+    * construction (REHEARSAL invariant), and the acceptance test is an
+    * integer comparison any engine replays exactly. Weighted
+    * determinism is the [[louvainPasses]] contract: exact BIGINT gains
+    * (the m ≤ 1.358e9 bound holds at every level), md5-parity damping,
+    * ties toward the smaller community id.
+    *
+    * Returns `(node, community)` for every node of the symmetrized
+    * self-loop-free graph; `community` is a node id of the LAST level's
+    * coarse graph (itself an original node id, by induction).
+    *
+    * Plan per level: the [[louvainPasses]] pass plan, then contraction =
+    * two label equi-joins + one partial-agg shuffle for the coarse edge
+    * list (node-count-sized, shrinking per level) + a label-composition
+    * join; every level frame is localCheckpoint'd and the superseded
+    * one released immediately. */
+  def louvain(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      passes: Int = 4,
+      levels: Int = 2
+  ): MayFail[DataFrame] = MayFail {
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    require(levels >= 1 && levels <= 10, s"levels must be in 1..10: $levels")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .select(col("a"), col("b"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    var selfW = und.select(col("a").as("node"), lit(0L).as("sw")).limit(0)
+      .localCheckpoint(true)
+    val m = und.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
+    require(m > 0, "louvain needs a non-empty edge list")
+
+    // weighted degree of the CURRENT level graph: k = Σ incident w + 2·sw
+    def degOf(u: DataFrame, sw: DataFrame): DataFrame = u
+      .select(col("a").as("node"), col("w"))
+      .union(u.select(col("b").as("node"), col("w")))
+      .groupBy("node").agg(sum("w").as("__kx"))
+      .join(sw, Seq("node"), "full")
+      .select(col("node"),
+        (coalesce(col("__kx"), lit(0L)) +
+          lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
+    // exact modularity numerator N = 4m·e_in − Σ_c d_c² of labeling
+    // `lab` on the current weighted graph (Q = N/4m²; every term fits
+    // a Long under the worker's m ≤ 1.358e9 bound: e_in ≤ m, d_c ≤ 2m,
+    // Σd_c² ≤ (Σd_c)² = 4m² < 2⁶³). The three scalar terms cross-join
+    // into ONE row so the acceptance test costs a single Spark job.
+    def numeratorOf(
+        u: DataFrame, sw: DataFrame, dg: DataFrame, lab: DataFrame): Long = {
+      val within = u
+        .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+        .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .agg(coalesce(sum("w"), lit(0L)).as("__win"))
+      val selfIn = sw.agg(coalesce(sum("sw"), lit(0L)).as("__sin"))
+      val dsq = dg.join(lab, Seq("node"))
+        .groupBy("c").agg(sum("k").as("__d"))
+        .agg(coalesce(sum(col("__d") * col("__d")), lit(0L)).as("__dsq"))
+      val r = within.crossJoin(selfIn).crossJoin(dsq).first()
+      4L * m * (r.getLong(0) + r.getLong(1)) - r.getLong(2)
+    }
+
+    var deg = degOf(und, selfW).localCheckpoint(true)
+    // singleton baseline: e_in = Σsw (0 at level 1), d_c = k per node
+    var nPrev = {
+      val r = deg.agg(coalesce(sum(col("k") * col("k")), lit(0L)).as("__dsq"))
+        .crossJoin(selfW.agg(coalesce(sum("sw"), lit(0L)).as("__sin")))
+        .first()
+      4L * m * r.getLong(1) - r.getLong(0)
+    }
+    var mapping: DataFrame = null
+    var level = 1
+    var stalled = false
+    while (level <= levels && !stalled) {
+      val lab = louvainPasses(und, selfW, passes, degIn = Some(deg))
+        .select(col("node"), col("community").as("c"))
+        .localCheckpoint(true)
+      val nNew = numeratorOf(und, selfW, deg, lab)
+      if (nNew <= nPrev) {
+        // the level's simultaneous moves net no improvement (or
+        // interfere destructively): revert and stop — modularity is
+        // non-decreasing by construction
+        Optimise.releaseCheckpoint(lab)
+        stalled = true
+      } else {
+        nPrev = nNew
+        // compose down to original nodes; LEFT join keeps nodes whose
+        // community vanished from the coarse graph (isolated singletons
+        // have no edges and no self-weight — their label is final)
+        val prevMapping = mapping
+        mapping =
+          (if (mapping == null)
+             lab.select(col("node"), col("c").as("community"))
+           else mapping
+             .join(lab.select(col("node").as("community"), col("c")),
+               Seq("community"), "left")
+             .select(col("node"),
+               coalesce(col("c"), col("community")).as("community")))
+            .localCheckpoint(true)
+        if (prevMapping != null) Optimise.releaseCheckpoint(prevMapping)
+        if (level < levels) {
+          val prevUnd = und
+          val prevSelf = selfW
+          val tagged = und
+            .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+            .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+            .persist()
+          und = tagged.filter(col("ca") =!= col("cb"))
+            .select(least(col("ca"), col("cb")).as("a"),
+              greatest(col("ca"), col("cb")).as("b"), col("w"))
+            .groupBy("a", "b").agg(sum("w").as("w"))
+            .localCheckpoint(true)
+          val crossSelf = tagged.filter(col("ca") === col("cb"))
+            .groupBy(col("ca").as("node")).agg(sum("w").as("__sw1"))
+          val memberSelf = selfW.join(lab, Seq("node"))
+            .groupBy(col("c").as("node")).agg(sum("sw").as("__sw2"))
+          selfW = crossSelf.join(memberSelf, Seq("node"), "full")
+            .select(col("node"),
+              (coalesce(col("__sw1"), lit(0L)) +
+                coalesce(col("__sw2"), lit(0L))).as("sw"))
+            .localCheckpoint(true)
+          tagged.unpersist()
+          Optimise.releaseCheckpoint(prevUnd)
+          Optimise.releaseCheckpoint(prevSelf)
+          val prevDeg = deg
+          deg = degOf(und, selfW).localCheckpoint(true)
+          Optimise.releaseCheckpoint(prevDeg)
+        }
+        Optimise.releaseCheckpoint(lab)
+      }
+      level += 1
+    }
+    val out =
+      if (mapping == null)
+        // even the first level was rejected: the singleton partition
+        deg.select(col("node"), col("node").as("community"))
+          .localCheckpoint(true)
+      else mapping
+    Optimise.releaseCheckpoint(deg)
+    out
   }
 
   /** Full core decomposition — every node's CORENESS (the largest k

@@ -1407,6 +1407,29 @@ object ScaleRehearsal {
           rs == sz * mult && relEqD(rr, rev * mult) && relEqD(rl, ltv) },
       s"cohort LTV must scale sizes/revenue by mult with matching ltv")
 
+    // FULL Louvain on the 10x-replicated co-occurrence graph: modularity
+    // must be NON-DECREASING as coarsening levels are added — the
+    // operator's exact-numerator acceptance guarantees it by
+    // construction, and this checks the guarantee survives the composed
+    // multi-level pipeline end-to-end at 10x; plus the replica-identity
+    // law (replicas are disjoint copies, so replica-0 labels must
+    // partition exactly like the base run's)
+    def louvQ(g: DataFrame, levels: Int): Double = {
+      val lab = graft.operators.Graph.louvain(g, "src", "dst",
+        passes = 2, levels = levels).get
+      graft.operators.Graph.modularity(g, "src", "dst", lab, "node",
+          "community").get
+        .collect().map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+        .head
+    }
+    var louvQ2: Double = Double.NaN
+    time("louvain-full")({ louvQ2 = louvQ(replGraph, 2); 1L })
+    val louvQ1 = louvQ(replGraph, 1)
+    check("louvain_modularity_monotone",
+      !louvQ1.isNaN && !louvQ2.isNaN && louvQ2 >= louvQ1 - 1e-12,
+      s"full-louvain modularity must not decrease across levels: " +
+        s"$louvQ1 -> $louvQ2")
+
     // IVF routing scan fraction (q317's construction): coarse centroids
     // are the 8 base corpus vectors vec_id ≡ 1 (mod 6) < 48 — replica
     // ids shift by ≥ 1e8 so the router is identical on both frames —

@@ -363,6 +363,115 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvainMove(e.filter(lit(false)), "s", "d").isFailing)
   }
 
+  test("louvain: levels=1 equals louvainMove; extra levels are idempotent " +
+      "once converged") {
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val e = (k4a ++ k4b :+ ((4L, 5L))).toDF("s", "d")
+    val move = Graph.louvainMove(e, "s", "d", passes = 6).get
+      .as[(Long, Long)].collect().toMap
+    val lvl1 = Graph.louvain(e, "s", "d", passes = 6, levels = 1).get
+      .as[(Long, Long)].collect().toMap
+    assert(lvl1 == move, "levels=1 must reproduce the local-move labels")
+    // the two-clique labeling is optimal: coarser levels must not
+    // change the PARTITION (labels may be renamed by contraction)
+    val lvl3 = Graph.louvain(e, "s", "d", passes = 6, levels = 3).get
+      .as[(Long, Long)].collect().toMap
+    def parts(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet).toSet
+    assert(parts(lvl3) == parts(lvl1),
+      s"stalled levels must be idempotent: $lvl3 vs $lvl1")
+  }
+
+  test("louvain: coarsening merges what local moves under-merge " +
+      "(clique ring), modularity non-decreasing across levels") {
+    // ring of 8 triangles, consecutive triangles bridged: local moves
+    // find the triangles; phase-2 contraction can merge neighboring
+    // triangles into larger communities when it helps Q
+    val tris = (0 until 8).flatMap { t =>
+      val b = t * 3L
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val bridges = (0 until 8).map { t =>
+      (t * 3L + 2, ((t + 1) % 8) * 3L)
+    }
+    val e = (tris ++ bridges).toDF("s", "d")
+    def q(levels: Int): Double = {
+      val lab = Graph.louvain(e, "s", "d", passes = 4, levels = levels).get
+      Graph.modularity(e, "s", "d", lab, "node", "community").get
+        .select("q").as[Option[Double]].collect().head.get
+    }
+    val q1 = q(1)
+    val q2 = q(2)
+    val q3 = q(3)
+    assert(q2 >= q1 - 1e-12 && q3 >= q2 - 1e-12,
+      s"modularity must not decrease across levels: $q1 -> $q2 -> $q3")
+    assert(q1 > 0.3, s"level-1 must already beat random: $q1")
+    // determinism across partitionings at 2 levels
+    val a = Graph.louvain(e, "s", "d", passes = 4, levels = 2).get
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.louvain(e.repartition(7), "s", "d", passes = 4,
+      levels = 2).get.as[(Long, Long)].collect().toMap
+    assert(a == b, "louvain must be deterministic across partitionings")
+  }
+
+  test("louvain: hierarchical graph — level 2 strictly merges triangles " +
+      "into groups that local moves cannot reach") {
+    // 4 groups of 3 triangles; sibling triangles share TWO bridges
+    // (dense enough that merging them raises Q), consecutive groups
+    // share one. Level 1 finds triangles; only the contracted level
+    // can weigh whole-triangle merges.
+    def tri(t: Int): Seq[(Long, Long)] = {
+      val b = t * 3L
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val groups = 0 until 4
+    val tris = groups.flatMap(g => (0 until 3).flatMap(i => tri(g * 3 + i)))
+    val within = groups.flatMap { g =>
+      val t = (0 until 3).map(i => (g * 3 + i) * 3L)
+      Seq((t(0), t(1)), (t(0) + 1, t(1) + 1),
+        (t(0), t(2)), (t(0) + 2, t(2) + 2),
+        (t(1), t(2)), (t(1) + 1, t(2) + 1))
+    }
+    val between = groups.map(g => (g * 9L + 8, ((g + 1) % 4) * 9L))
+    val e = (tris ++ within ++ between).toDF("s", "d")
+    def labelsAt(levels: Int): Map[Long, Long] =
+      Graph.louvain(e, "s", "d", passes = 4, levels = levels).get
+        .as[(Long, Long)].collect().toMap
+    def qOf(m: Map[Long, Long]): Double = {
+      val lab = m.toSeq.toDF("node", "community")
+      Graph.modularity(e, "s", "d", lab, "node", "community").get
+        .select("q").as[Option[Double]].collect().head.get
+    }
+    val l1 = labelsAt(1)
+    val l2 = labelsAt(2)
+    assert(qOf(l2) > qOf(l1),
+      s"level 2 must strictly improve Q here: ${qOf(l1)} -> ${qOf(l2)}")
+    assert(l2.values.toSet.size < l1.values.toSet.size,
+      "level 2 must merge communities")
+  }
+
+  test("louvain: weighted contraction arithmetic — barbell of cliques " +
+      "collapses to super-nodes whose self/cross weights reproduce Q") {
+    // 3 K4s in a path, double bridges so contraction carries weight 2
+    val cls = (0 until 3).flatMap { t =>
+      val b = t * 4L
+      for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (b + i, b + j)
+    }
+    val bridges = Seq((3L, 4L), (2L, 5L), (7L, 8L), (6L, 9L))
+    val e = (cls ++ bridges).toDF("s", "d")
+    val lab = Graph.louvain(e, "s", "d", passes = 6, levels = 2).get
+      .as[(Long, Long)].collect().toMap
+    // each K4 must stay intact (never split across communities)
+    (0 until 3).foreach { t =>
+      val ids = (t * 4L until t * 4L + 4).map(lab).toSet
+      assert(ids.size == 1, s"clique $t split: $lab")
+    }
+    assert(Graph.louvain(e, "s", "d", passes = 0).isFailing)
+    assert(Graph.louvain(e, "s", "d", levels = 0).isFailing)
+    assert(Graph.louvain(e.filter(lit(false)), "s", "d").isFailing)
+  }
+
   test("ssspWeighted: shortcut beats direct edge, hop bound, parallel min") {
     // 1→2 (5), 1→3 (1, plus a parallel 7 that must lose), 3→2 (1),
     // 2→4 (1): dists from {1} are 0/2/1/3 — node 2 via the shortcut
