@@ -2654,6 +2654,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q320_cc_star" -> ((s, dir) => {
+      // Large-star/small-star connected components on 8 interleaved
+      // orderkey chains (consecutive keys within each o_orderkey % 8
+      // class link): component diameters are ~n/8 hops — far beyond
+      // any min-label round budget — yet star contraction converges in
+      // O(log n) rounds to the exact closed form the oracle states
+      // directly: component = the residue class minimum.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), pmod(col("o_orderkey"), lit(8)).as("r"))
+      val w = Window.partitionBy(col("r")).orderBy(col("k"))
+      val e = o.withColumn("nxt", lead(col("k"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("k").as("src"), col("nxt").as("dst"))
+      Graph.connectedComponentsStar(e, "src", "dst", maxRounds = 25).get
+        .orderBy("node")
+    }),
+
     "q318_louvain_full" -> ((s, dir) => {
       // FULL Louvain — both phases: 2 local-move passes, contraction of
       // communities to weighted super-nodes (cross weights sum,
@@ -3162,6 +3179,31 @@ object SparkEntry {
           col("value"), round(col("ph_m") + lit(1e-9), 4).as("ph_m"),
           round(col("ph") + lit(1e-9), 4).as("ph"), col("alarm"))
         .orderBy("event_type", "event_id")
+    }),
+
+    "q321_stream_neardup" -> ((s, dir) => {
+      // STREAMING near-dup vs the frozen sub-250 corpus, processed in 4
+      // REAL micro-batches (maxFilesPerTrigger=1 over 4 staged files):
+      // the stateless stream-static band join must reproduce the q101
+      // batch pair set row-for-row — the oracle is the same exact cross
+      // shingle-Jaccard (banding recall 1 at this threshold, q34's
+      // argument; first-matching-band dedup emits each pair once).
+      implicit val sp: SparkSession = s
+      val docs = tbl(s, dir, "documents")
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src321"
+      docs.filter(col("doc_id") >= 250).repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val name = "graft_neardup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val hits = graft.streaming.Stream.neardupAgainst(src,
+        docs.filter(col("doc_id") < 250), "text", "doc_id",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).get
+      graft.streaming.Stream.drainToMemory(hits, name).get
+        .orderBy("idNew", "idRef")
     }),
 
     "q304_conductance" -> ((s, dir) => {
@@ -4749,6 +4791,30 @@ object SparkEntry {
               "benchB" -> docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)),
           "text", "doc_id", n = 8).get
         .orderBy("doc_id", "benchmark")
+    }),
+
+    "q322_leakage_triage" -> ((s, dir) => {
+      // BM25-ranked leakage triage over the q110 planted-leak corpus:
+      // candidates from the exact distinct-8-gram hit join, each
+      // benchmark item's hits ranked by the BM25 relevance of the
+      // (planted) training doc to the benchmark text — the review
+      // queue the decontamination family feeds. k1/b literals and the
+      // full formula replay in the oracle; score rounded at 6 (q118).
+      val docs = tbl(s, dir, "documents")
+      val leak = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("__leak_key"),
+          substring(col("text"), 1, 120).as("__leak"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .withColumn("__leak_key", pmod(col("doc_id"), lit(20)))
+        .join(leak, Seq("__leak_key"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" "), coalesce(col("__leak"), lit(""))))
+            .otherwise(col("text")).as("text"))
+      graft.operators.TfIdf.leakageTriage(corpus,
+          docs.filter(col("doc_id") < 10), "text", "doc_id",
+          "text", "doc_id", n = 8, k = 5).get
+        .orderBy("queryId", "rank")
     }),
 
     "q111_topk_per_group" -> ((s, dir) => {
@@ -8337,6 +8403,14 @@ object SparkEntry {
     // weighted passes, exact numerators, acceptance CASE (see
     // louvainFullOracleSql).
     "q318_louvain_full" -> louvainFullOracleSql(passes = 2),
+
+    // q320: star-contraction components on the interleaved chains have
+    // a CLOSED FORM — every node's component is its residue class
+    // minimum; no round replay needed, the exact labeling IS the check.
+    "q320_cc_star" ->
+      """SELECT o_orderkey AS node,
+           min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
+         FROM orders ORDER BY node""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).
@@ -12522,6 +12596,29 @@ object SparkEntry {
          SELECT idNew, idRef, round(j, 6) AS jaccard FROM pairs
          WHERE j >= 0.5 ORDER BY idNew, idRef""",
 
+    // q321: the STREAMING near-dup gate shares q101's exact
+    // cross-Jaccard oracle - the stream must reproduce the batch pair
+    // set regardless of micro-batching (stateless stream-static join).
+    "q321_stream_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS idNew, b.doc_id AS idRef,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id >= 250 AND b.doc_id < 250
+         )
+         SELECT idNew, idRef, round(j, 6) AS jaccard FROM pairs
+         WHERE j >= 0.5 ORDER BY idNew, idRef""",
+
     "q102_span_dedup" ->
       """WITH t AS (
            SELECT doc_id,
@@ -13098,6 +13195,83 @@ object SparkEntry {
 
     // q118: full BM25 replay — same tokenization, same Lucene idf, same
     // Okapi saturation; scores match to 6 decimals, rank ties by doc id.
+    // q322: BM25-ranked leakage triage replayed end-to-end — the q110
+    // planted corpus, the exact distinct-8-gram candidate join, the
+    // q118 BM25 formula with k1=1.2 / b=0.75 literals, (score DESC,
+    // docId) rank, round-6 score.
+    "q322_leakage_triage" ->
+      """WITH leak AS (
+           SELECT doc_id AS lk, substring(text, 1, 120) AS ltext
+           FROM documents WHERE doc_id < 20
+         ), corpus AS MATERIALIZED (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 0
+               THEN d.text || ' ' || COALESCE(l.ltext, '')
+               ELSE d.text END AS text
+           FROM documents d LEFT JOIN leak l ON l.lk = d.doc_id % 20
+           WHERE d.doc_id >= 20
+         ), ct AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[ \t\n\r\f]+'),
+             t -> t <> '') AS ts
+           FROM corpus
+         ), bt AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[ \t\n\r\f]+'),
+             t -> t <> '') AS ts
+           FROM documents WHERE doc_id < 10
+         ), cg AS (
+           SELECT doc_id AS docId, unnest(list_distinct(list_transform(
+             range(0, greatest(len(ts) - 7, 0)),
+             i -> array_to_string(list_slice(ts, i + 1, i + 8), chr(1)))))
+             AS g
+           FROM ct
+         ), bg AS (
+           SELECT doc_id AS queryId, unnest(list_distinct(list_transform(
+             range(0, greatest(len(ts) - 7, 0)),
+             i -> array_to_string(list_slice(ts, i + 1, i + 8), chr(1)))))
+             AS g
+           FROM bt
+         ), cand AS MATERIALIZED (
+           SELECT queryId, docId, CAST(count(*) AS BIGINT) AS n_hit_grams
+           FROM cg JOIN bg USING (g) GROUP BY queryId, docId
+         ), toks AS MATERIALIZED (
+           SELECT doc_id AS docId, unnest(ts) AS term FROM ct
+         ), tf AS MATERIALIZED (
+           SELECT docId, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY docId, term
+         ), dl AS MATERIALIZED (
+           SELECT docId, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY docId
+         ), dfreq AS MATERIALIZED (
+           SELECT term, CAST(count(*) AS DOUBLE) AS dfn
+           FROM tf GROUP BY term
+         ), q AS (
+           SELECT doc_id AS queryId, unnest(list_distinct(ts)) AS term
+           FROM bt
+         ), scored AS MATERIALIZED (
+           SELECT q.queryId, t.docId,
+             sum(ln(1.0 + ((SELECT count(*) FROM corpus) - d.dfn + 0.5)
+                          / (d.dfn + 0.5))
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                  / (SELECT avg(dl) FROM dl)))) AS score
+           FROM q
+           JOIN tf t USING (term)
+           JOIN dfreq d ON d.term = t.term
+           JOIN dl l ON l.docId = t.docId
+           GROUP BY q.queryId, t.docId
+         ), ranked AS (
+           SELECT c.queryId, c.docId, c.n_hit_grams, s.score,
+             row_number() OVER (PARTITION BY c.queryId
+               ORDER BY s.score DESC, c.docId) AS rank
+           FROM cand c
+           JOIN scored s ON s.queryId = c.queryId AND s.docId = c.docId
+         )
+         SELECT queryId, docId, n_hit_grams, round(score, 6) AS score,
+           CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY queryId, rank""",
+
     "q118_bm25" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * `(id, band, bucket)` frame first — the same guidance as
   * [[graft.operators.TfIdf]] postings.
   */
-private[operators] object Banding {
+private[graft] object Banding {
 
   /** Keep banded rows whose (composite) bucket key holds between
     * `minOccupancy` and `maxBucket` rows. Self-join candidate generation

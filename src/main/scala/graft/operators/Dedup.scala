@@ -148,7 +148,7 @@ object Dedup {
     * (all-MaxValue) minhash signatures would funnel them into one
     * degenerate bucket per band, verified and discarded at pure cost —
     * so they are dropped here. */
-  private def minhashShingled(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def minhashShingled(df: DataFrame, textCol: String, idCol: String,
                               shingleSize: Int): DataFrame =
     df.select(
         col(idCol).as("id"),
@@ -158,7 +158,7 @@ object Dedup {
   /** `(id, __keys)` banding keys from a [[minhashShingled]] frame — ONE
     * definition so the pair generators and the cap reports band
     * identically. */
-  private def minhashKeyed(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def minhashKeyed(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sh.select(col("id"),
       minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand).as("__keys"))
 

@@ -1143,6 +1143,103 @@ object Graph {
         maxIter, maxDriverEdges)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii
+    * 2014) — the WIDE-DIAMETER scale path: min-label propagation
+    * ([[connectedComponents]] → `Dedup.duplicateClusters`) needs
+    * diameter rounds, fine for near-duplicate clusters (tiny diameters)
+    * but a chain-shaped component longer than `maxIter` hops leaves the
+    * loop unconverged. Star contraction halves component height
+    * geometrically — O(log n) rounds for ANY diameter.
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors contract onto
+    *    their minimum.
+    *
+    * Both are pure min/argmin aggregations of exact ids — deterministic
+    * at any parallelism, SQL-replayable (the result itself is the
+    * canonical min-label-per-component, checkable without replaying
+    * rounds). Convergence is structural: the pair set reaches a fixed
+    * point (stars), tested by count + anti-join emptiness — never a
+    * collect. `maxRounds` exhaustion surfaces as `IgnorableFail` with
+    * the partial labeling, the [[connectedComponents]] contract.
+    *
+    * Returns `(node, component)` — `component` = the component's
+    * MINIMUM node id, for every node with ≥ 1 edge.
+    *
+    * Plan per round: two groupBy-min shuffles (one per star phase) +
+    * one distinct — all over frames that never exceed the input pair
+    * count + node count; per-round `localCheckpoint` with release. */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 25
+  ): MayFail[DataFrame] = {
+    val run = MayFail {
+      require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+      var p = edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      var converged = p.limit(1).count() == 0 // empty graph: trivially done
+      var round = 0
+      while (!converged && round < maxRounds) {
+        round += 1
+        val prev = p
+        // large-star: m(u) = min(Γ(u) ∪ {u}) = least(min v, u); every
+        // LARGER neighbor v > u re-points at m — one output pair per
+        // input pair (the v > u side of exactly one orientation)
+        val nbrs = p.select(col("a").as("u"), col("b").as("v"))
+          .union(p.select(col("b").as("u"), col("a").as("v")))
+        val mLarge = nbrs.groupBy("u")
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val p1 = nbrs.join(mLarge, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("m").as("a"), col("v").as("b")) // m ≤ u < v
+          .distinct()
+          .localCheckpoint(true)
+        // small-star: key every pair at its larger endpoint; u and all
+        // smaller neighbors contract onto m = min(Γ⁻(u) ∪ {u}) = min v
+        val byMax = p1.select(col("b").as("u"), col("a").as("v"))
+        val mSmall = byMax.groupBy("u").agg(min(col("v")).as("m"))
+        val p2 = byMax.join(mSmall, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .unionByName(mSmall.select(col("m").as("a"), col("u").as("b")))
+          .distinct()
+          .localCheckpoint(true)
+        Optimise.releaseCheckpoint(p1)
+        // fixed point ⟺ same pair set (both sides distinct): equal
+        // counts + empty difference
+        converged = p2.count() == prev.count() &&
+          p2.join(prev, Seq("a", "b"), "left_anti").limit(1).count() == 0
+        p = p2
+        Optimise.releaseCheckpoint(prev)
+      }
+      // at the fixed point every pair is (component-min, member)
+      val labels = p.select(col("b").as("node"), col("a").as("component"))
+        .unionByName(p.select(col("a").as("node"), col("a").as("component")))
+        .distinct()
+      (labels, converged)
+    }
+    run.flatMap { case (labels, converged) =>
+      if (converged) graft.functional.Ok(labels)
+      else {
+        val err = new IllegalStateException(
+          s"connectedComponentsStar: star contraction did not reach a " +
+            s"fixed point within $maxRounds rounds — raise maxRounds " +
+            "(O(log n) suffices for any diameter)")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+        graft.functional.IgnorableFail(err, labels)
+      }
+    }
+  }
+
   /** Semi-supervised label propagation: spread FIXED seed labels
     * (spam/ham, trusted/banned, topic tags) from a labeled node subset
     * across the undirected graph — each round, every still-unlabeled

@@ -252,6 +252,25 @@ object TfIdf {
       nDocs: Option[Long] = None
   ): MayFail[DataFrame] = MayFail {
     require(k > 0, s"k must be positive: $k")
+    val scored = bm25Scored(corpus, queries, textCol, idCol,
+      queryTextCol, queryIdCol, k1, b, nDocs)
+    graft.physical.Order.topKPerGroup(scored, Seq("queryId"),
+      Seq(col("score").desc, col("docId")), k, rankCol = "rank").get
+  }
+
+  /** The BM25 scoring core of [[bm25Search]] — every (queryId, docId)
+    * pair sharing ≥ 1 term, unranked: `(queryId, docId, score)`. */
+  private def bm25Scored(
+      corpus: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTextCol: String,
+      queryIdCol: String,
+      k1: Double,
+      b: Double,
+      nDocs: Option[Long]
+  ): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
     val toks = corpus.select(col(idCol).as("docId"),
       explode(terms(col(textCol))).as("term"))
@@ -263,7 +282,7 @@ object TfIdf {
     val nDocsD = nDocs.getOrElse(corpus.count()).toDouble
     val qterms = queries.select(col(queryIdCol).as("queryId"),
       explode(array_distinct(terms(col(queryTextCol)))).as("term"))
-    val scored = tf
+    tf
       .join(broadcast(qterms), Seq("term"))
       .join(dfreq, Seq("term"))
       .join(dl, Seq("docId"))
@@ -274,8 +293,63 @@ object TfIdf {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("queryId", "docId")
       .agg(sum(col("__s")).as("score"))
-    graft.physical.Order.topKPerGroup(scored, Seq("queryId"),
-      Seq(col("score").desc, col("docId")), k, rankCol = "rank").get
+  }
+
+  /** BM25-RANKED LEAKAGE TRIAGE — the review queue for the
+    * decontamination family: candidate (benchmark, train-doc) pairs come
+    * from the exact distinct-n-gram hit join
+    * ([[graft.operators.Dedup.contaminationScreen]]'s shape, kept
+    * per-pair), and each benchmark item's candidates rank by the BM25
+    * relevance of the training document to the benchmark text — so a
+    * reviewer (or an automated drop rule) sees the most-likely-leaked
+    * documents first instead of an unordered flag list. An n-gram hit
+    * shares ≥ n terms with its query, so every candidate has a BM25
+    * score (inner join loses nothing).
+    *
+    * Returns per benchmark item the top-`k` candidates:
+    * `(queryId, docId, n_hit_grams: bigint, score: double, rank)` —
+    * rank by (score DESC, docId), score rounded at 6 (the q118
+    * convention).
+    *
+    * Scale: the gram join prunes candidates exactly like
+    * contaminationScreen (distinct grams both sides — a 13-gram is
+    * near-unique, so the join is hit-sized, not corpus-sized); the BM25
+    * side is [[bm25Search]]'s proven exploded-token + broadcast-query
+    * shape; candidates join scores on the (query, doc) equi-key. */
+  def leakageTriage(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchTextCol: String,
+      benchIdCol: String,
+      n: Int = 13,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      lowercase: Boolean = true,
+      nDocs: Option[Long] = None
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    require(k > 0, s"k must be positive: $k")
+    import graft.functions.TextFunctions.wordNgrams
+    val tg = train.select(col(idCol).as("docId"),
+        explode(wordNgrams(col(textCol), n, lowercase)).as("__g"))
+      .distinct()
+    val bg = bench.select(col(benchIdCol).as("queryId"),
+        explode(wordNgrams(col(benchTextCol), n, lowercase)).as("__g"))
+      .distinct()
+    val cand = tg.join(bg, Seq("__g"))
+      .groupBy("queryId", "docId")
+      .agg(count(lit(1)).as("n_hit_grams"))
+    val scored = bm25Scored(train, bench, textCol, idCol,
+      benchTextCol, benchIdCol, k1, b, nDocs)
+    val ranked = graft.physical.Order.topKPerGroup(
+      cand.join(scored, Seq("queryId", "docId")),
+      Seq("queryId"), Seq(col("score").desc, col("docId")), k,
+      rankCol = "rank").get
+    ranked.select(col("queryId"), col("docId"), col("n_hit_grams"),
+      round(col("score"), 6).as("score"), col("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): combine any number of

@@ -250,6 +250,81 @@ object Stream {
       }
   }
 
+  /** STREAMING MinHash-band near-duplicate detection against a FROZEN
+    * reference corpus — the ingest-time "have we seen this before"
+    * filter: each arriving document's banded minhash keys equi-join a
+    * PRE-BUILT static reference index (broadcast by default), candidates
+    * verify by exact shingle-hash Jaccard, and qualifying
+    * `(idNew, idRef, jaccard)` hits emit. STATELESS by construction —
+    * a stream-static join, no watermark, no state store: every
+    * micro-batching of the same events yields row-identical output to
+    * the batch operator (`Dedup.minhashPairsAgainst` with an uncapped
+    * stream side), which is the q321 bit-parity gate.
+    *
+    * Dedup without state: a pair colliding in several bands would emit
+    * once per band, so each candidate row keeps only its FIRST matching
+    * band — both sides carry their full key arrays and the join row
+    * checks `∀ j < band: sk[j] ≠ rk[j]`, a pure per-row predicate.
+    *
+    * Scale shape: the reference index builds ONCE (banded, bucket-capped
+    * with the [[graft.operators.Banding]] skew guard — `maxBucket` also
+    * bounds per-event join fan-out); the stream side is a per-row
+    * projection (shingle hashes + band keys) exploded `bands`-fold into
+    * the equi-join. Broadcast the index when it fits (default); at
+    * larger reference sizes the same plan shuffle-joins per batch. */
+  def neardupAgainst(
+      stream: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    import graft.functions.TextFunctions.jaccardHashes
+    import graft.operators.Banding
+    import graft.operators.Dedup
+    require(stream.isStreaming, "neardupAgainst needs a streaming frame")
+    require(!reference.isStreaming, "the reference corpus must be static")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // static side, built once: banded + capped index carrying each
+    // ref doc's full key array (for the first-match predicate), and the
+    // shingle table for exact verification
+    val shR = Dedup.minhashShingled(reference, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
+    val keyedR = Dedup.minhashKeyed(shR, bands, rowsPerBand)
+    val idxR = Banding.capBuckets(
+        keyedR.select(col("id"), col("__keys"),
+          posexplode(col("__keys")).as(Seq("band", "bucket"))),
+        Seq("band", "bucket"), maxBucket, minOccupancy = 1)
+      .select(col("id").as("idRef"), col("__keys").as("__rk"),
+        col("band"), col("bucket"))
+      .localCheckpoint(true)
+    val refShingles = shR.select(col("id").as("idRef"),
+      col("shingles").as("__pR"))
+    // stream side: pure per-row projections, exploded by band
+    val shS = stream.select(col(idCol).as("idNew"),
+        graft.functions.TextFunctions
+          .wordShingleHashes(col(textCol), shingleSize).as("__pN"))
+      .filter(size(col("__pN")) > 0)
+      .withColumn("__sk", graft.functions.TextFunctions
+        .minhashBandKeysFromHashes(col("__pN"), bands, rowsPerBand))
+      .select(col("idNew"), col("__pN"), col("__sk"),
+        posexplode(col("__sk")).as(Seq("band", "bucket")))
+    shS.join(broadcast(idxR), Seq("band", "bucket"))
+      // first matching band only: no earlier band index collides
+      .filter(!exists(
+        zip_with(slice(col("__sk"), lit(1), col("band")),
+          slice(col("__rk"), lit(1), col("band")), (a, b) => a === b),
+        x => x))
+      .join(broadcast(refShingles), Seq("idRef"))
+      .withColumn("jaccard", jaccardHashes(col("__pN"), col("__pR")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idRef"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Stream-static enrichment join — the most common streaming verb:
     * attach dimension attributes to each event as it flows. Stateless
     * by construction (each micro-batch joins against the current dim

@@ -34,7 +34,8 @@ object BenchProbe {
       }
       println(f"[benchprobe] $n min=${times.min}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
-    println(f"[benchprobe] spark_cal=${graft.Bench.sparkCalibration(spark, 3)}%.3f")
+    println(f"[benchprobe] spark_cal=${graft.Bench.sparkCalibration(spark, 3)}%.3f" +
+      f" sched_cal=${graft.Bench.schedCalibration(spark, 5)}%.3f")
     spark.stop()
   }
 }

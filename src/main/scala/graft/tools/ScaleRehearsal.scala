@@ -28,7 +28,9 @@ object ScaleRehearsal {
     val calCpu = graft.Bench.cpuCalibration(2)
     val calSpark = graft.Bench.sparkCalibration(spark, 2)
     val calDisk = graft.Bench.diskCalibration(2)
-    println(f"[rehearsal] calibration cpu=$calCpu%.2f s spark=$calSpark%.2f s disk=$calDisk%.3f s")
+    val calSched = graft.Bench.schedCalibration(spark, 5)
+    println(f"[rehearsal] calibration cpu=$calCpu%.2f s spark=$calSpark%.2f s " +
+      f"disk=$calDisk%.3f s sched=$calSched%.3f s")
     def writeArtifact(aborted: Boolean): Unit = {
       val ts = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
@@ -36,7 +38,7 @@ object ScaleRehearsal {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
         s"""{"mult":$mult,"aborted":$aborted,"timings_sec":$ts,"invariants":$inv,""" +
-          s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.2f"},"spark_range_sec":${f"$calSpark%.2f"},"disk_fsync_sec":${f"$calDisk%.3f"}}}""" + "\n")
+          s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.2f"},"spark_range_sec":${f"$calSpark%.2f"},"disk_fsync_sec":${f"$calDisk%.3f"},"spark_sched_sec":${f"$calSched%.3f"}}}""" + "\n")
     }
     def check(name: String, cond: Boolean, msg: => String): Unit = {
       invariants(name) = cond

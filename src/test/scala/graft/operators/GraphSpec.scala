@@ -363,6 +363,45 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvainMove(e.filter(lit(false)), "s", "d").isFailing)
   }
 
+  test("connectedComponentsStar: 200-hop path converges exactly in " +
+      "O(log n) rounds where min-label propagation cannot") {
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val e = path.toDF("s", "d")
+    // 12 rounds ≪ the 199-hop diameter: star contraction must still
+    // converge exactly (log₂ 200 ≈ 8)
+    val lab = Graph.connectedComponentsStar(e, "s", "d", maxRounds = 12).get
+      .as[(Long, Long)].collect().toMap
+    assert(lab.size == 200 && lab.values.forall(_ == 0L),
+      s"every path node must label 0: ${lab.filter(_._2 != 0L)}")
+    // the min-label loop at the same budget genuinely fails here (the
+    // gap this operator exists to close) — IgnorableFail partial
+    assert(Graph.connectedComponents(e, "s", "d", maxIter = 12,
+      maxDriverEdges = 0L).isFailing)
+  }
+
+  test("connectedComponentsStar: multiple components, determinism, " +
+      "agreement with duplicateClusters, round-cap failure") {
+    val rnd = new scala.util.Random(23L)
+    val e = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("s", "d")
+    val star = Graph.connectedComponentsStar(e, "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    val viaClusters = Graph.connectedComponents(e, "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    assert(star == viaClusters,
+      "star contraction must produce the same min-label components")
+    val repart = Graph.connectedComponentsStar(e.repartition(7), "s", "d").get
+      .as[(Long, Long)].collect().toMap
+    assert(star == repart, "must be deterministic across partitionings")
+    // a 50-hop path cannot finish in 1 round — IgnorableFail partial
+    val longPath = (0L until 50L).map(i => (i, i + 1)).toDF("s", "d")
+    val failing = Graph.connectedComponentsStar(longPath, "s", "d",
+      maxRounds = 1)
+    assert(failing.isFailing)
+    assert(Graph.connectedComponentsStar(e, "s", "d", maxRounds = 0).isFailing)
+  }
+
   test("louvain: levels=1 equals louvainMove; extra levels are idempotent " +
       "once converged") {
     val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)

@@ -168,4 +168,37 @@ class TfIdfSpec extends AnyFunSuite {
       .as[(String, Long, Double, Int)].collect().sortBy(_._4).map(_._2).toSeq
     assert(solo == Seq(10L, 20L, 30L))
   }
+
+  test("leakageTriage: gram hits gate candidacy, BM25 orders them, " +
+      "non-leaks never appear") {
+    val benchText = "the secret benchmark question about unique kraken " +
+      "zygote wavelet phenomena"
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim leak (all 8-grams) — must rank 1
+      (10L, "prefix words then " + benchText + " and a suffix"),
+      // partial leak: first 8 words only (one 8-gram hit), diluted in a
+      // much longer doc — must rank below the verbatim leak
+      (11L, "the secret benchmark question about unique kraken zygote " +
+        "padding padding padding padding padding padding padding padding " +
+        "padding padding padding padding padding padding padding padding"),
+      // shares TERMS (bm25 > 0) but no 8-gram — must NOT appear
+      (12L, "kraken zygote wavelet mentioned in a different order with " +
+        "other words between every one of them"),
+      (13L, "entirely unrelated text about spark physical plans")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.leakageTriage(train, bench, "text", "doc_id",
+        "text", "doc_id", n = 8, k = 5).get
+      .orderBy("rank")
+      .select("queryId", "docId", "n_hit_grams", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.map(_._2).toSeq == Seq(10L, 11L),
+      s"expected verbatim leak first, partial second, no term-only docs: " +
+        s"${got.toSeq}")
+    assert(got(0)._3 > got(1)._3, "verbatim leak must hit more grams")
+    assert(TfIdf.leakageTriage(train, bench, "text", "doc_id", "text",
+      "doc_id", n = 0).isFailing)
+    assert(TfIdf.leakageTriage(train, bench, "text", "doc_id", "text",
+      "doc_id", k = 0).isFailing)
+  }
 }

@@ -229,4 +229,48 @@ class StreamSpec extends AnyFunSuite {
     // the level shift at i >= 15 must eventually alarm in both
     assert(batch.last._3 && streamed.last._3)
   }
+
+  test("neardupAgainst: two micro-batches equal the batch operator " +
+      "row-for-row; each pair emits exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different reference text about spark engines " +
+        "and their physical plans")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      // exact dup of ref 1, near dup of ref 1, unrelated, exact of ref 2
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (12L, "totally unrelated content sharing no shingles with anything " +
+        "in the frozen corpus at all"),
+      (13L, "completely different reference text about spark engines " +
+        "and their physical plans"))
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF.toDF("doc_id", "text")
+    val out = Stream.neardupAgainst(streamDf, ref, "text", "doc_id",
+      shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).get
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_test").start()
+    input.addData(newDocs.take(2))
+    q.processAllAvailable()
+    input.addData(newDocs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamedRows = spark.table("neardup_test")
+      .as[(Long, Long, Double)].collect()
+    val streamed = streamedRows.toSet
+    val batch = graft.operators.Dedup.minhashPairsAgainst(
+        newDocs.toDF("doc_id", "text"), ref, "text", "doc_id",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).get
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch near-dup parity broken: $streamed vs $batch")
+    assert(streamed.map(p => (p._1, p._2)) ==
+      Set((10L, 1L), (11L, 1L), (13L, 2L)), s"unexpected pair set: $streamed")
+    // first-matching-band dedup: multi-band collisions emit ONCE
+    assert(streamedRows.length == streamed.size,
+      "a pair emitted more than once — band dedup broken")
+    // a static frame on the stream side is rejected
+    assert(Stream.neardupAgainst(ref, ref, "text", "doc_id").isFailing)
+  }
 }
