@@ -26,8 +26,9 @@ object BenchProbe {
       try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
     names.foreach { n =>
-      val times = (0 until 3).map { _ =>
+      val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
