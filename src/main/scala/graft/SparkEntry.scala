@@ -4793,6 +4793,38 @@ object SparkEntry {
         .orderBy("doc_id", "benchmark")
     }),
 
+    "q323_pii" -> ((s, dir) => {
+      // Regex-tier PII scan + redaction over a deterministically
+      // planted corpus (the q110 device): every 5th doc gets an email,
+      // 7th a phone, 11th an IPv4 + SSN, 13th a card number — all
+      // synthesized from doc_id arithmetic so the oracle replays the
+      // planting, the per-class counts on progressively redacted text,
+      // and the full redaction chain byte-for-byte (patterns live in
+      // the Java-regex ∩ RE2 common subset).
+      val docs = tbl(s, dir, "documents")
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-4567"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" node 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".25 ssn 123-45-6789"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" card 4111 1111 1111 1111")).otherwise(lit(""))
+      ).as("text"))
+      val scan = graft.operators.Quality.piiScan(planted, "text",
+        Seq("doc_id")).get
+      val red = graft.operators.Quality.piiRedact(planted, "text").get
+        .select(col("doc_id"), col("text").as("redacted"))
+      scan.join(red, Seq("doc_id")).orderBy("doc_id")
+    }),
+
     "q322_leakage_triage" -> ((s, dir) => {
       // BM25-ranked leakage triage over the q110 planted-leak corpus:
       // candidates from the exact distinct-8-gram hit join, each
@@ -8535,15 +8567,15 @@ object SparkEntry {
          ), agg AS (
            SELECT CAST(sum(ca) AS BIGINT) AS n_a,
              CAST(sum(cb) AS BIGINT) AS n_b,
-             CAST(COALESCE(sum(ca * cumb), 0) AS BIGINT) AS gt,
-             CAST(COALESCE(sum(ca * cb), 0) AS BIGINT) AS ties
+             COALESCE(sum(CAST(ca AS DOUBLE) * cumb), 0) AS gt,
+             COALESCE(sum(CAST(ca AS DOUBLE) * cb), 0) AS ties
            FROM c
          )
          SELECT n_a, n_b, gt,
-           CAST(n_a * n_b - gt - ties AS BIGINT) AS lt, ties,
+           CAST(n_a AS DOUBLE) * n_b - gt - ties AS lt, ties,
            CASE WHEN n_a > 0 AND n_b > 0
-             THEN CAST(gt - (n_a * n_b - gt - ties) AS DOUBLE)
-               / (n_a * n_b)
+             THEN (gt - (CAST(n_a AS DOUBLE) * n_b - gt - ties))
+               / (CAST(n_a AS DOUBLE) * n_b)
            END AS delta
          FROM agg""",
 
@@ -9630,7 +9662,7 @@ object SparkEntry {
            FROM f
          )
          SELECT n_a, n_b,
-           CAST(COALESCE((SELECT n FROM lo), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE((SELECT n FROM lo), 0) AS DOUBLE) AS n_pairs,
            (SELECT (d1 + d2) / 2 FROM lo, hi) AS hl_shift
          FROM cnt""",
 
@@ -13195,6 +13227,69 @@ object SparkEntry {
 
     // q118: full BM25 replay — same tokenization, same Lucene idf, same
     // Okapi saturation; scores match to 6 decimals, rank ties by doc id.
+    // q323: the PII contract replayed literally — planting, per-class
+    // counts on progressively redacted text (contract order: email,
+    // ipv4, ssn, ccard, phone), and the final redaction chain.
+    "q323_pii" ->
+      """WITH planted AS MATERIALIZED (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' node 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.25 ssn 123-45-6789'
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111'
+                ELSE '' END AS text
+           FROM documents
+         ), s1 AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t
+           FROM planted
+         ), s2 AS (
+           SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+               AS n_ipv4,
+             regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '[IP]', 'g') AS t
+           FROM s1
+         ), s3 AS (
+           SELECT doc_id, n_email, n_ipv4,
+             CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+               AS BIGINT) AS n_ssn,
+             regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t
+           FROM s2
+         ), s4 AS (
+           SELECT doc_id, n_email, n_ipv4, n_ssn,
+             CAST(len(regexp_extract_all(t,
+               '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT)
+               AS n_ccard,
+             regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b',
+               '[CARD]', 'g') AS t
+           FROM s3
+         ), s5 AS (
+           SELECT doc_id, n_email, n_ipv4, n_ssn, n_ccard,
+             CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+               AS BIGINT) AS n_phone,
+             regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+               '[PHONE]', 'g') AS t
+           FROM s4
+         )
+         SELECT doc_id, n_email, n_ipv4, n_ssn, n_ccard, n_phone,
+           n_email + n_ipv4 + n_ssn + n_ccard + n_phone AS n_pii,
+           (n_email + n_ipv4 + n_ssn + n_ccard + n_phone) > 0 AS has_pii,
+           t AS redacted
+         FROM s5 ORDER BY doc_id""",
+
     // q322: BM25-ranked leakage triage replayed end-to-end — the q110
     // planted corpus, the exact distinct-8-gram candidate join, the
     // q118 BM25 formula with k1=1.2 / b=0.75 literals, (score DESC,

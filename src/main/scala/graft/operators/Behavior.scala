@@ -661,8 +661,10 @@ object Behavior {
       .withColumn("cum_hazard",
         sum(col("n_events").cast("double") / col("n_risk")).over(upto))
       .withColumn("cum_hazard_se",
+        // n_risk^2 in double: the Long square would ANSI-throw past
+        // ~3e9 at-risk entities
         sqrt(sum(col("n_events").cast("double") /
-          (col("n_risk") * col("n_risk"))).over(upto)))
+          (col("n_risk").cast("double") * col("n_risk"))).over(upto)))
       .select("duration", "n_risk", "n_events", "n_censored", "cum_hazard",
         "cum_hazard_se")
   }

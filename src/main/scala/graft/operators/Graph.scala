@@ -253,8 +253,8 @@ object Graph {
       val w = weighting match {
         case "jaccard" =>
           col("shared") / (col("__da") + col("__db") - col("shared"))
-        case "cosine" =>
-          col("shared") / sqrt(col("__da") * col("__db"))
+        case "cosine" => // double product: deg*deg overflows Long at ~3e9-degree hubs
+          col("shared") / sqrt(col("__da").cast("double") * col("__db"))
         case "overlap" =>
           col("shared") / least(col("__da"), col("__db"))
       }

@@ -895,6 +895,71 @@ object Quality {
           .as("fk_grade"): _*)
   }
 
+  /** THE regex-tier PII contract shared by [[piiScan]] and [[piiRedact]]
+    * (and replayed literally by their oracles): `(class, pattern,
+    * placeholder)` applied IN ORDER, each step operating on the previous
+    * step's redacted text — so a span can only ever count/redact as ONE
+    * class, and scan counts equal redaction replacements by
+    * construction. Patterns stay in the Java-regex ∩ RE2 common subset
+    * (`\b`, `\d`, bounded repetition, character classes — no lookaround,
+    * no backrefs) so any engine replays them byte-identically on ASCII
+    * text. A regex tier catches FORMATTED identifiers only — the
+    * documented scope (the presidio-class recognizer set's regex layer);
+    * contextual/NER detection is a model concern, not an engine one. */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ccard", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "[CARD]"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"))
+
+  /** Per-document PII scan over the [[piiPatterns]] contract: how many
+    * formatted identifiers of each class the text carries —
+    * `(idCols…, n_email, n_ipv4, n_ssn, n_ccard, n_phone, n_pii:
+    * bigint, has_pii: boolean)`. Counts are measured on the
+    * PROGRESSIVELY REDACTED text (class k counts on the text with
+    * classes 1..k−1 already replaced), so overlapping spans resolve by
+    * the contract order and `n_pii` is exactly the number of
+    * replacements [[piiRedact]] performs.
+    *
+    * Plan: a fixed chain of codegen'd regexp counts/replaces per row —
+    * a pure map over the corpus, no shuffle, trivially 100 TB-safe. */
+  def piiScan(
+      df: DataFrame,
+      textCol: String,
+      idCols: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "idCols must name at least one column")
+    val start = df.filter(col(textCol).isNotNull)
+      .select(idCols.map(col) :+ col(textCol).as("__t0"): _*)
+    val (scanned, _) = piiPatterns.zipWithIndex.foldLeft((start, "__t0")) {
+      case ((d, tcol), ((cls, pat, rep), i)) =>
+        val next = s"__t${i + 1}"
+        (d.withColumn(s"n_$cls",
+            regexp_count(col(tcol), lit(pat)).cast("long"))
+          .withColumn(next, regexp_replace(col(tcol), pat, rep)), next)
+    }
+    val total = piiPatterns.map { case (cls, _, _) => col(s"n_$cls") }
+      .reduce(_ + _)
+    scanned.select(idCols.map(col) ++
+      piiPatterns.map { case (cls, _, _) => col(s"n_$cls") } :+
+      total.as("n_pii") :+ (total > 0).as("has_pii"): _*)
+  }
+
+  /** Redact all [[piiPatterns]] classes from `textCol` (in contract
+    * order) into typed placeholders, preserving every other column —
+    * the curation-time scrubber paired with [[piiScan]]'s counts. Same
+    * no-shuffle pure-map plan. */
+  def piiRedact(
+      df: DataFrame,
+      textCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    df.withColumn(textCol, when(col(textCol).isNotNull, redacted))
+  }
+
   /** Robust outlier report per group — median/MAD modified z-scores
     * (Iglewicz–Hoaglin `0.6745·(x − med)/MAD`), the heavy-tail-safe
     * companion to [[outlierReport]]'s Tukey fences (MAD has a 50%

@@ -810,8 +810,9 @@ object Stats {
     * Plan: the [[mannWhitneyU]] device — one partial-agg reduction to
     * the DISTINCT-VALUE grid, windows over the grid only (a 10¹⁰-row
     * sample windows over its value grid), one scalar agg. The bracket
-    * `N·M − n_a·B` stays exact BIGINT up to ~3·10⁹ rows, then squares
-    * in double. Σ of float terms is χ²-tier — round when gating.
+    * `N·M − n_a·B` multiplies in DOUBLE from the first factor (the
+    * Long products would ANSI-throw past ~3·10⁹ rows; exact while
+    * below 2⁵³). Σ of float terms is χ²-tier — round when gating.
     */
   def andersonDarling(
       df: DataFrame,
@@ -838,16 +839,17 @@ object Stats {
       coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
       coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
     val n = col("n_a") + col("n_b")
-    val bracket = (n * col("__M") - col("n_a") * col("__B")).cast("double")
+    val bracket = n.cast("double") * col("__M") -
+      col("n_a").cast("double") * col("__B")
     val termSum = st.crossJoin(broadcast(tot))
       .filter(col("__B") < n)
       .select((col("__l") * bracket * bracket /
-        (col("__B") * (n - col("__B")))).as("__term"))
+        (col("__B").cast("double") * (n - col("__B")))).as("__term"))
       .agg(coalesce(sum(col("__term")), lit(0.0)).as("__s"))
     tot.crossJoin(broadcast(termSum))
       .select(col("n_a"), col("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          col("__s") / (col("n_a") * col("n_b"))).as("a2"))
+          col("__s") / (col("n_a").cast("double") * col("n_b"))).as("a2"))
   }
 
   /** CUPED variance-reduced A/B effect (Deng, Xu, Kohavi & Walker,
@@ -1001,14 +1003,16 @@ object Stats {
     * [[mannWhitneyU]] (U says whether the groups differ; δ = P(a > b)
     * − P(a < b) says by HOW MUCH, scale-free in [−1, 1]).
     *
-    * Returns ONE row `(n_a, n_b, gt, lt, ties: bigint, delta: double)`
-    * — `gt`/`lt`/`ties` the exact cross-pair counts, `delta =
-    * (gt − lt)/(n_a·n_b)`, NULL when either group is empty.
+    * Returns ONE row `(n_a, n_b: bigint, gt, lt, ties, delta: double)`
+    * — `gt`/`lt`/`ties` the cross-pair counts (DOUBLE: pair counts
+    * reach n_a·n_b ≈ n²/4, past Long at ~6e9 rows — exact while below
+    * 2⁵³, the same honesty as [[wilcoxonSignedRank]]'s rank sums),
+    * `delta = (gt − lt)/(n_a·n_b)`, NULL when either group is empty.
     *
     * Plan: the [[mannWhitneyU]] distinct-value-grid device — one
     * partial-agg shuffle to the value grid, ONE running-count window
-    * over the grid (never the rows), exact long pair counts. A
-    * 10¹⁰-row experiment pays its distinct-value grid only.
+    * over the grid (never the rows). A 10¹⁰-row experiment pays its
+    * distinct-value grid only.
     */
   def cliffsDelta(
       df: DataFrame,
@@ -1032,12 +1036,18 @@ object Stats {
       .agg(
         coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
         coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
-        coalesce(sum(col("__ca") * col("__cumB")), lit(0L)).as("gt"),
-        coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("ties"))
-      .withColumn("lt", col("n_a") * col("n_b") - col("gt") - col("ties"))
+        // pair counts in double from the first factor: ca·cumB reaches
+        // n²/4, an ANSI Long overflow at ~6e9 rows
+        coalesce(sum(col("__ca").cast("double") * col("__cumB")), lit(0.0))
+          .as("gt"),
+        coalesce(sum(col("__ca").cast("double") * col("__cb")), lit(0.0))
+          .as("ties"))
+      .withColumn("lt",
+        col("n_a").cast("double") * col("n_b") - col("gt") - col("ties"))
       .select(col("n_a"), col("n_b"), col("gt"), col("lt"), col("ties"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          (col("gt") - col("lt")).cast("double") / (col("n_a") * col("n_b")))
+          (col("gt") - col("lt")) /
+            (col("n_a").cast("double") * col("n_b")))
           .as("delta"))
   }
 
@@ -1113,8 +1123,10 @@ object Stats {
     * the upper N div 2 + 1 in difference order; `hl_shift` averages
     * the two (equal when N is odd).
     *
-    * Returns ONE row `(n_a, n_b, n_pairs: bigint, hl_shift: double)` —
-    * NULL shift when either group is empty.
+    * Returns ONE row `(n_a, n_b: bigint, n_pairs, hl_shift: double)` —
+    * NULL shift when either group is empty. `n_pairs` (= n_a·n_b) is
+    * DOUBLE: the pair count passes Long at ~3e9 rows per group, and
+    * the weighted-median positions are exact while below 2⁵³.
     *
     * Plan: both samples reduce to their DISTINCT-VALUE grids, the
     * difference multiset is the ka×kb grid CROSS of the two (broadcast
@@ -1144,17 +1156,20 @@ object Stats {
     require(ka * kb <= maxCells,
       s"hodgesLehmann: $ka x $kb distinct-value grid exceeds " +
         s"maxCells=$maxCells — bin the value column first")
+    // pair weights in double from the first factor: ca·cb reaches
+    // n_a·n_b, an ANSI Long overflow at ~3e9 rows per group; weights,
+    // cumulative positions and the median ranks stay exact below 2⁵³
     val diffs = ga.join(broadcast(gb))
       .groupBy((col("__va") - col("__vb")).as("__d"))
-      .agg(sum(col("__ca") * col("__cb")).as("__w"))
+      .agg(sum(col("__ca").cast("double") * col("__cb")).as("__w"))
     val upto = Window.orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = diffs.withColumn("__c", sum(col("__w")).over(upto))
       .withColumn("__n", sum(col("__w")).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-    val r1 = expr("(__n + 1) div 2")
-    val r2 = expr("__n div 2 + 1")
+    val r1 = floor((col("__n") + 1) / 2)
+    val r2 = floor(col("__n") / 2) + 1
     val lower = cum.filter(col("__c") >= r1 && col("__c") - col("__w") < r1)
       .select(col("__d").as("__d1"), col("__n"))
     val upper = cum.filter(col("__c") >= r2 && col("__c") - col("__w") < r2)
@@ -1168,7 +1183,7 @@ object Stats {
             ((col("__d1") + col("__d2")) / 2).as("hl_shift")),
         lit(true), "left")
       .select(col("n_a"), col("n_b"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("hl_shift"))
+        coalesce(col("n_pairs"), lit(0.0)).as("n_pairs"), col("hl_shift"))
   }
 
   /** Bayesian A/B readout for a binary metric — Beta–Binomial
@@ -1372,20 +1387,24 @@ object Stats {
       count(lit(1)).as("n_subjects"),
       coalesce(max(col("__ni")), lit(0L)).as("__n"),
       coalesce(sum(col("__ni2")), lit(0L)).as("__sni2"))
+    // category totals reach n_subjects·n, so their squares (and the
+    // N·n products below) multiply in DOUBLE from the first factor —
+    // the Long forms ANSI-throw past ~3e9 total ratings
     val cat = cells.groupBy("__c").agg(sum(col("__n")).as("__cj"))
       .agg(count(lit(1)).as("k_categories"),
-        coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__scj2"))
+        coalesce(sum(col("__cj").cast("double") * col("__cj")), lit(0.0))
+          .as("__scj2"))
     subj.crossJoin(cat)
       .withColumn("p_bar",
         when(col("__n") >= 2,
           (col("__sni2") - col("n_subjects") * col("__n")).cast("double") /
-            (col("n_subjects") * col("__n") * (col("__n") - 1))
-              .cast("double")))
+            (col("n_subjects").cast("double") * col("__n") *
+              (col("__n") - 1))))
       .withColumn("p_e",
         when(col("n_subjects") > 0 && col("__n") > 0,
-          col("__scj2").cast("double") /
-            ((col("n_subjects") * col("__n")).cast("double") *
-              (col("n_subjects") * col("__n")).cast("double"))))
+          col("__scj2") /
+            ((col("n_subjects").cast("double") * col("__n")) *
+              (col("n_subjects").cast("double") * col("__n")))))
       .select(col("n_subjects"), col("__n").cast("int").as("n_per_subject"),
         col("k_categories"), col("p_bar"), col("p_e"),
         when(col("p_e") < 1.0,
@@ -1735,18 +1754,25 @@ object Stats {
       .agg(max(col("__x")).as("__x")) // any success in the cell counts once
     val kDf = base.agg(countDistinct(col("__t")).as("k"),
       countDistinct(col("__s")).as("n_subjects"))
+    // per-treatment success totals reach n_subjects, so their squares
+    // (and N² below) multiply in DOUBLE from the first factor — the
+    // Long forms ANSI-throw past ~3e9 subjects; per-subject counts are
+    // ≤ k, so __sl2 stays comfortably integral either way
     val gj = base.groupBy("__t").agg(sum(col("__x")).as("__g"))
       .agg(coalesce(sum(col("__g")), lit(0L)).as("__n"),
-        coalesce(sum(col("__g") * col("__g")), lit(0L)).as("__sg2"))
+        coalesce(sum(col("__g").cast("double") * col("__g")), lit(0.0))
+          .as("__sg2"))
     val li = base.groupBy("__s").agg(sum(col("__x")).as("__l"))
       .agg(coalesce(sum(col("__l")), lit(0L)).as("__sl"),
         coalesce(sum(col("__l") * col("__l")), lit(0L)).as("__sl2"))
     kDf.crossJoin(gj).crossJoin(li)
-      .withColumn("__den", col("k") * col("__sl") - col("__sl2"))
+      .withColumn("__den",
+        (col("k") * col("__sl") - col("__sl2")).cast("double"))
       .select(col("n_subjects"), col("k"), col("__n").as("n"),
         (col("k") - 1).as("df"),
         when(col("k") >= 2 && col("__den") > 0,
-          ((col("k") - 1) * (col("k") * col("__sg2") - col("__n") * col("__n")))
-            .cast("double") / col("__den")).as("q"))
+          (col("k") - 1) * (col("k") * col("__sg2") -
+            col("__n").cast("double") * col("__n")) / col("__den"))
+          .as("q"))
   }
 }

@@ -711,10 +711,13 @@ object TimeSeries {
     val cand = staged
       .filter(col("__i") >= minSegment && col("__i") <= col("__n") - minSegment)
       .withColumn("__gain",
-        (col("__s") * col("__s")).cast("double") / col("__i")
-          + ((col("__tot") - col("__s")) * (col("__tot") - col("__s")))
-            .cast("double") / (col("__n") - col("__i"))
-          - (col("__tot") * col("__tot")).cast("double") / col("__n"))
+        // squares in DOUBLE from the first factor: the Long prefix sums
+        // reach n*max*scale, and their squares ANSI-throw past ~3e9
+        // (300k rows/key at value~100, scale=100); exact below 2^53
+        col("__s").cast("double") * col("__s") / col("__i")
+          + ((col("__tot") - col("__s")).cast("double") *
+              (col("__tot") - col("__s"))) / (col("__n") - col("__i"))
+          - col("__tot").cast("double") * col("__tot") / col("__n"))
     val pick = Window.partitionBy(keys: _*)
       .orderBy(col("__gain").desc, col("__i"))
     val sc = lit(scale.toDouble)

@@ -558,4 +558,35 @@ class QualitySpec extends AnyFunSuite {
     val ug = Quality.madOutliers(df0, "v").get.collect()
     assert(ug.length == 1 && ug(0).getLong(0) == 9L)
   }
+
+  test("piiScan/piiRedact: class counts, contract-order precedence, " +
+      "idempotent redaction, null preservation") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, ip 10.0.0.1, ssn 123-45-6789, " +
+        "card 4111 1111 1111 1111, call 555-123-4567"),
+      // "v1.2.3.4" does NOT match ipv4 (no \b between 'v' and '1');
+      // a bare dotted quad does; a 3-3-4 digit run inside a longer
+      // digit string is NOT a phone (boundaries)
+      (2L, "v1.2.3.4 then bare 1.2.3.4 and 9555-123-45679 clean"),
+      (3L, "no identifiers at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val scan = Quality.piiScan(df, "text", Seq("doc_id")).get
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(scan.length == 3) // null text dropped from the scan
+    assert(scan(0) == ((1L, 2L, 1L, 1L, 1L, 1L, 6L, true)), s"${scan(0)}")
+    assert(scan(1) == ((2L, 0L, 1L, 0L, 0L, 0L, 1L, true)), s"${scan(1)}")
+    assert(scan(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+    val red = Quality.piiRedact(df, "text").get
+    val r1 = red.filter(col("doc_id") === 1).select("text").as[String].head()
+    assert(r1 == "mail [EMAIL] and [EMAIL], ip [IP], ssn [SSN], " +
+      "card [CARD], call [PHONE]", r1)
+    // idempotent: placeholders contain no digits, nothing re-matches
+    val twice = Quality.piiRedact(red, "text").get
+      .filter(col("doc_id") === 1).select("text").as[String].head()
+    assert(twice == r1)
+    // null text stays null, other columns untouched
+    assert(red.filter(col("doc_id") === 4).select("text").head().isNullAt(0))
+  }
 }

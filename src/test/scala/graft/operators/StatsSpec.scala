@@ -443,13 +443,13 @@ class StatsSpec extends AnyFunSuite {
     val bs = Seq(2.0, 3.0, 4.0)
     val df0 = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
     val r = Stats.cliffsDelta(df0, "v", "g", "a", "b").get
-      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
     val gt = (for (a <- as; b <- bs) yield ()).size // placeholder arity
     val gtN = as.flatMap(a => bs.map(b => a > b)).count(identity)
     val ltN = as.flatMap(a => bs.map(b => a < b)).count(identity)
     val tiesN = as.flatMap(a => bs.map(b => a == b)).count(identity)
     assert(gt == 12) // 4×3 pairs enumerated
-    assert(r == ((4L, 3L, gtN.toLong, ltN.toLong, tiesN.toLong,
+    assert(r == ((4L, 3L, gtN.toDouble, ltN.toDouble, tiesN.toDouble,
       (gtN - ltN).toDouble / 12)))
   }
 
@@ -502,8 +502,8 @@ class StatsSpec extends AnyFunSuite {
     val df0 = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0), ("b", 6.0))
       .toDF("g", "v")
     val r = Stats.hodgesLehmann(df0, "v", "g", "a", "b").get
-      .as[(Long, Long, Long, Double)].collect().head
-    assert(r == ((2L, 2L, 4L, -3.5)))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r == ((2L, 2L, 4.0, -3.5)))
     // odd pair count: A = [1], B = [0, 2, 7] → diffs [1,−1,−6] → −1
     val odd = Seq(("a", 1.0), ("b", 0.0), ("b", 2.0), ("b", 7.0))
       .toDF("g", "v")
@@ -513,7 +513,7 @@ class StatsSpec extends AnyFunSuite {
     // empty group → 0 pairs, NULL shift
     val re = Stats.hodgesLehmann(df0.filter($"g" === "a"), "v", "g",
       "a", "b").get.select("n_pairs", "hl_shift").collect().head
-    assert(re.getLong(0) == 0L && re.isNullAt(1))
+    assert(re.getDouble(0) == 0.0 && re.isNullAt(1))
   }
 
   test("bayesianAB: closed-form P(B>A) matches the analytic integral") {
