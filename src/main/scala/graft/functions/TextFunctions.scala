@@ -294,9 +294,13 @@ object TextFunctions {
     * prefers false positives over leaked numbers. */
   val phonePattern: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
 
-  /** Redact emails then phone numbers with `token` — the minimal PII
-    * scrub of a text corpus before training. Pure column expression
-    * (codegen'd `regexp_replace`), no UDF. */
+  /** Redact emails then phone numbers with `token` — the minimal
+    * column-level PII scrub (2 classes, one untyped token) for inline
+    * use in expressions. The OPERATOR-level audit —
+    * [[graft.operators.Quality.piiScan]]/`piiRedact` — covers 5 classes
+    * with typed placeholders and per-class counts; this stays the
+    * lightweight expression form. Pure column expression (codegen'd
+    * `regexp_replace`), no UDF. */
   def redactPII(c: Column, token: String = "[PII]"): Column =
     regexp_replace(
       regexp_replace(c, lit(emailPattern), lit(token)),

@@ -905,7 +905,11 @@ object Quality {
     * no backrefs) so any engine replays them byte-identically on ASCII
     * text. A regex tier catches FORMATTED identifiers only — the
     * documented scope (the presidio-class recognizer set's regex layer);
-    * contextual/NER detection is a model concern, not an engine one. */
+    * contextual/NER detection is a model concern, not an engine one.
+    * The column-level quick scrub (2 classes, one untyped token, for
+    * inline expression use) is
+    * [[graft.functions.TextFunctions.redactPII]]; this operator tier
+    * adds typed placeholders, per-class counts, and the audit gate. */
   private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
