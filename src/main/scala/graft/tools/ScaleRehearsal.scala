@@ -1409,6 +1409,24 @@ object ScaleRehearsal {
           rs == sz * mult && relEqD(rr, rev * mult) && relEqD(rl, ltv) },
       s"cohort LTV must scale sizes/revenue by mult with matching ltv")
 
+    // star-contraction CC on the 10x-replicated co-occurrence graph:
+    // replicas are disjoint shifted copies whose ids exceed the base
+    // range, so replica-0 nodes must keep EXACTLY their base labels
+    // (component minima are base ids), node count and component count
+    // scale by mult
+    def ccMap(g: DataFrame): Map[Long, Long] =
+      graft.operators.Graph.connectedComponentsStar(g, "src", "dst").get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var ccRepl: Map[Long, Long] = null
+    time("cc-star")({ ccRepl = ccMap(replGraph); ccRepl.size.toLong })
+    val ccBase = ccMap(bcBaseGraph)
+    check("cc_star_replication_law",
+      ccBase.nonEmpty && ccRepl.size == ccBase.size * mult &&
+        ccRepl.values.toSet.size == ccBase.values.toSet.size * mult &&
+        ccBase.forall { case (n, c) => ccRepl(n) == c },
+      s"star CC must replicate per-copy: ${ccRepl.size} vs " +
+        s"${ccBase.size} x $mult")
+
     // FULL Louvain on the 10x-replicated co-occurrence graph: modularity
     // must be NON-DECREASING as coarsening levels are added — the
     // operator's exact-numerator acceptance guarantees it by
