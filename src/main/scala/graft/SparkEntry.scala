@@ -4793,6 +4793,32 @@ object SparkEntry {
         .orderBy("doc_id", "benchmark")
     }),
 
+    "q324_url_dedup" -> ((s, dir) => {
+      // URL-canonical dedup over planted address variants (scheme/host
+      // case, :443, bare-root trailing slash, utm params, fragments —
+      // all from doc_id arithmetic). The oracle does NOT replay the
+      // regex chain: it states the canonical in CLOSED FORM from the
+      // same arithmetic and keeps min-id per canonical — an independent
+      // check of every canonicalizeUrl rule (incl. the bare-root-only
+      // slash strip: a root slash BEFORE a query survives).
+      val d = col("doc_id")
+      val url = concat(
+        when(pmod(d, lit(2)) === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(pmod(d, lit(4)) < 2, lit("EX")).otherwise(lit("ex")),
+        pmod(d, lit(40)).cast("string"),
+        when(pmod(d, lit(4)) < 2, lit(".COM")).otherwise(lit(".com")),
+        when(pmod(d, lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        when(pmod(d, lit(4)) === 0, lit("/"))
+          .otherwise(concat(lit("/p/"), pmod(d, lit(6)).cast("string"))),
+        when(pmod(d, lit(5)) === 0, lit("?utm_source=x"))
+          .when(pmod(d, lit(5)) === 1, lit("?id=7")).otherwise(lit("")),
+        when(pmod(d, lit(7)) === 0, lit("#sec")).otherwise(lit("")))
+      Dedup.urlDedup(
+          tbl(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url", "doc_id").get
+        .orderBy("doc_id")
+    }),
+
     "q323_pii" -> ((s, dir) => {
       // Regex-tier PII scan + redaction over a deterministically
       // planted corpus (the q110 device): every 5th doc gets an email,
@@ -13227,6 +13253,40 @@ object SparkEntry {
 
     // q118: full BM25 replay — same tokenization, same Lucene idf, same
     // Okapi saturation; scores match to 6 decimals, rank ties by doc id.
+    // q324: the planted URL variants + the CLOSED-FORM canonical (same
+    // arithmetic, no regex replay) + min-id keeper per canonical.
+    // Closed form per canonicalizeUrl's contract: authority lowered,
+    // :443 dropped, tracker query dropped entirely, fragment dropped,
+    // and the trailing slash strips only for a BARE root (a root slash
+    // followed by a kept query survives).
+    "q324_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                   ELSE 'https://' END)
+             || (CASE WHEN doc_id % 4 < 2 THEN 'EX' ELSE 'ex' END)
+             || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 < 2 THEN '.COM' ELSE '.com' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/'
+                   ELSE '/p/' || CAST(doc_id % 6 AS VARCHAR) END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x'
+                      WHEN doc_id % 5 = 1 THEN '?id=7' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url,
+             'https://ex' || CAST(doc_id % 40 AS VARCHAR) || '.com'
+             || (CASE WHEN doc_id % 4 = 0 THEN
+                   CASE WHEN doc_id % 5 = 1 THEN '/?id=7' ELSE '' END
+                 ELSE '/p/' || CAST(doc_id % 6 AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 1 THEN '?id=7' ELSE '' END
+                 END) AS canon
+           FROM documents
+         )
+         SELECT doc_id, url, canon AS canonical_url FROM (
+           SELECT doc_id, url, canon,
+             row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+           FROM u) WHERE rn = 1
+         ORDER BY doc_id""",
+
     // q323: the PII contract replayed literally — planting, per-class
     // counts on progressively redacted text (contract order: email,
     // ipv4, ssn, ccard, phone), and the final redaction chain.

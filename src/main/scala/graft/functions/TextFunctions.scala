@@ -333,6 +333,7 @@ object TextFunctions {
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 
+
   /** Shannon entropy (nats) of the document's unigram distribution — the
     * cheap gibberish/repetition signal: near-0 for "spam spam spam",
     * ≈ log(n_tokens) for all-distinct text. Native codegen'd single

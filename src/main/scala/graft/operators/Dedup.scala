@@ -71,6 +71,31 @@ object Dedup {
       .drop(rn)
   }
 
+  /** URL-canonical dedup — keep ONE row per canonical URL
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]]'s rule chain:
+    * fragment/default-port/tracking-param/case variants of the same
+    * page collapse), lowest `idCol` wins (rows with a NULL url are all
+    * kept — no URL is not a duplicate of no URL). The crawl-ingest
+    * companion to [[exact]]: dedup BY ADDRESS before any content pass.
+    * Adds the `canonical_url` column.
+    *
+    * Plan: one codegen'd per-row canonicalization + [[exact]]'s
+    * single rank window on the canonical key — one shuffle. */
+  def urlDedup(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String): MayFail[DataFrame] = MayFail {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val withKey = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol))
+    val dupes = withKey.filter(col("canonical_url").isNotNull)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
+    dupes.unionByName(withKey.filter(col("canonical_url").isNull))
+  }
+
   /** Normalized-text exact dedup (case/whitespace-insensitive).
     *
     * `unicodeForm` (e.g. `Some("NFC")`) additionally unicode-normalizes

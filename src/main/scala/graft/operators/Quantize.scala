@@ -540,8 +540,67 @@ object Quantize {
       nProbe: Int = 4,
       shortlistK: Int = 100,
       metric: String = "l2"
+  ): MayFail[DataFrame] =
+    ivfEncodeWith(corpus, vecCol, idCol, coarse, codebook, m, cells, metric)
+      .flatMap(lists => ivfSearchEncoded(lists, corpus, queries, vecCol,
+        idCol, coarse, codebook, m, cells, k, nProbe, shortlistK, metric))
+
+  /** The INDEX-BUILD half of [[ivfPqKnnWith]] — the production split:
+    * encode the corpus ONCE into `(id, cell: int, codes: array<int>)`
+    * inverted lists (a single narrow per-row projection), write them
+    * clustered by `cell` (`Optimise.reparBy` + partitioned parquet),
+    * and serve every later query batch from the stored lists via
+    * [[ivfSearchEncoded]] — re-encoding a 100 TB corpus per query
+    * batch is the cost this split removes. */
+  def ivfEncodeWith(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      cells: Int,
+      metric: String = "l2"
   ): MayFail[DataFrame] = MayFail {
-    import graft.functions.VectorFunctions.{codebookPqCodes, codebookPqTable, codebookProbes}
+    import graft.functions.VectorFunctions.{codebookPqCodes, codebookProbes}
+    require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
+    require(Seq("l2", "dot").contains(metric), s"metric must be l2 | dot: $metric")
+    val (coarseFlat, nCells, dim) = collectCoarse(coarse)
+    val (cbFlat, sub) = collectCodebook(codebook, m, cells)
+    require(m * sub == dim,
+      s"codebook sub-dimension $sub * m=$m != coarse dimension $dim")
+    val l2 = metric == "l2"
+    corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol),
+        element_at(codebookProbes(col(vecCol), coarseFlat, nCells, 1), 1)
+          .as("cell"),
+        codebookPqCodes(col(vecCol), cbFlat, m, cells, l2).as("codes"))
+  }
+
+  /** The SEARCH half of [[ivfPqKnnWith]] over PRE-ENCODED inverted
+    * lists ([[ivfEncodeWith]]'s output, possibly read back from
+    * cell-partitioned parquet): queries route to their `nProbe` cells,
+    * candidates ADC-score against the broadcast query tables, and the
+    * WindowGroupLimit-capped shortlist exact-reranks on the float
+    * `corpus`. The codebooks must be the ones the lists were encoded
+    * with — codes are meaningless under any other table. */
+  def ivfSearchEncoded(
+      lists: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      cells: Int,
+      k: Int = 10,
+      nProbe: Int = 4,
+      shortlistK: Int = 100,
+      metric: String = "l2"
+  ): MayFail[DataFrame] = MayFail {
+    import graft.functions.VectorFunctions.{codebookPqTable, codebookProbes}
     require(k >= 1 && shortlistK >= k,
       s"need shortlistK >= k >= 1 (got k=$k, shortlistK=$shortlistK)")
     require(m >= 1 && cells >= 2, s"need m >= 1, cells >= 2 (got m=$m, cells=$cells)")
@@ -553,20 +612,15 @@ object Quantize {
     require(m * sub == dim,
       s"codebook sub-dimension $sub * m=$m != coarse dimension $dim")
     val l2 = metric == "l2"
-
-    val lists = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("neighborId"),
-        element_at(codebookProbes(col(vecCol), coarseFlat, nCells, 1), 1)
-          .as("__cell"),
-        codebookPqCodes(col(vecCol), cbFlat, m, cells, l2).as("__codes"))
+    val listCols = lists.select(col(idCol).as("neighborId"),
+      col("cell").as("__cell"), col("codes").as("__codes"))
     val q = queries
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
         codebookPqTable(col(vecCol), cbFlat, m, cells, l2).as("__tab"),
         explode(codebookProbes(col(vecCol), coarseFlat, nCells, nProbe))
           .as("__cell"))
-    val scored = lists.join(broadcast(q), Seq("__cell"))
+    val scored = listCols.join(broadcast(q), Seq("__cell"))
       .filter(col("queryId") =!= col("neighborId"))
       .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))
     val wGlob = Window.partitionBy(col("queryId"))

@@ -921,4 +921,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // norms sorted [0, 1, 5]: p50 → ceil(1.5)=2nd → 1; p95 → 3rd → 5
     assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 5.0)
   }
+
+  test("urlDedup: address variants collapse to min-id keeper, distinct " +
+      "pages and null urls survive") {
+    val df = Seq(
+      (1L, "HTTP://A.com:80/x?utm_source=f#top"), // canon http://a.com/x
+      (2L, "http://a.com/x"),                     // same page → dropped
+      (3L, "http://a.com/x?id=1"),                // real param → distinct
+      (4L, "http://a.com/y"),                     // different path
+      (5L, null.asInstanceOf[String]),            // null url → kept
+      (6L, null.asInstanceOf[String])             // second null → kept too
+    ).toDF("doc_id", "url")
+    val kept = Dedup.urlDedup(df, "url", "doc_id").get
+      .select("doc_id", "canonical_url")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(kept.keySet == Set(1L, 3L, 4L, 5L, 6L), s"$kept")
+    assert(kept(1L) == "http://a.com/x")
+    assert(kept(3L) == "http://a.com/x?id=1")
+  }
 }

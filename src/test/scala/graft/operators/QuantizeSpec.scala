@@ -439,6 +439,26 @@ class QuantizeSpec extends AnyFunSuite {
       "shortlist rank-limit pushdown missing")
   }
 
+  test("ivfEncodeWith + ivfSearchEncoded: the stored-index round trip " +
+      "(cell-partitioned parquet) equals the one-shot operator") {
+    val (df, coarse, cb) = ivfFixture()
+    val queries = df.filter(col("id") < 10)
+    val direct = Quantize.ivfPqKnnWith(df, queries, "vec", "id",
+        coarse, cb, m = 4, cells = 8, k = 5, nProbe = 2, shortlistK = 30).get
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Quantize.ivfEncodeWith(df, "vec", "id", coarse, cb, m = 4,
+        cells = 8).get
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaIndex = Quantize.ivfSearchEncoded(stored, df, queries, "vec",
+        "id", coarse, cb, m = 4, cells = 8, k = 5, nProbe = 2,
+        shortlistK = 30).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == direct,
+      "search over the stored index must equal the one-shot result")
+  }
+
   test("ivfPqKnnWith validates codebooks and knobs") {
     val (df, coarse, cb) = ivfFixture()
     assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, cb,
