@@ -3852,6 +3852,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q326_holm" -> ((s, dir) => {
+      // Holm step-down over the q237 portable-md5 p-value device (its
+      // own seed): the prefix-max step-down replayed on the grid, the
+      // reject compared BEFORE rounding on both engines.
+      val p = tbl(s, dir, "documents").select(col("doc_id"),
+        (conv(substring(md5(concat(lit("holm§"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 1000000L / lit(1000000.0)).as("p"))
+      Stats.holmAdjust(p, "p", alpha = 0.1).get
+        .select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(col("p_adj") + lit(1e-9), 6).as("p_adj"), col("reject"))
+        .orderBy("doc_id")
+    }),
+
     "q205_chi_square" -> ((s, dir) => {
       // Pearson independence test: event_type × value-band (5×5 grid,
       // dof 16). Counts and marginals are exact; chi2 is a 25-term
@@ -3916,6 +3930,23 @@ object SparkEntry {
       val seeds = li.filter(col("l_suppkey") <= 3)
         .select((col("l_suppkey") * 2 + 1).as("node"))
       Graph.bfsDepths(edges, "src", "dst", seeds, "node", maxDepth = 4).get
+        .orderBy("node")
+    }),
+
+    "q325_harmonic" -> ((s, dir) => {
+      // Landmark harmonic centrality over the q210 graph/seeds: three
+      // per-landmark BFS min-depths (4 hops), then the EXACT-integer
+      // harmonic sum — lcm(1..4)=12, every 12/d divides evenly, one
+      // final division. Oracle: the q210 recursive CTE carrying the
+      // landmark through the recursion.
+      val li = tbl(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.filter(col("l_suppkey") <= 3)
+        .select((col("l_suppkey") * 2 + 1).as("node"))
+      Graph.harmonicCentrality(edges, "src", "dst", seeds, "node",
+          maxDepth = 4).get
         .orderBy("node")
     }),
 
@@ -11251,6 +11282,36 @@ object SparkEntry {
          FROM t JOIN q ON q.p = t.p
          ORDER BY t.doc_id""",
 
+    // q326: Holm replayed on the same grid device — first-index tie
+    // term (n - jlo + 1)·p, prefix max, clamp, pre-round reject.
+    "q326_holm" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5('holm§' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 1000000 / 1000000.0 AS p
+           FROM documents
+         ), grid AS (
+           SELECT p, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY p
+         ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid
+         ), j AS (
+           SELECT p, COALESCE(sum(c) OVER (ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+             AS jlo
+           FROM grid
+         ), a AS (
+           SELECT p,
+             least(max(CAST((SELECT n FROM nn) - jlo + 1 AS DOUBLE) * p)
+               OVER (ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+               AS p_adj
+           FROM j
+         )
+         SELECT t.doc_id, round(t.p, 6) AS p,
+           round(a.p_adj + 1e-9, 6) AS p_adj,
+           a.p_adj <= 0.1 AS reject
+         FROM t JOIN a ON a.p = t.p
+         ORDER BY t.doc_id""",
+
     "q205_chi_square" ->
       """WITH src AS (
            SELECT event_type AS r, CAST(floor(value / 100) AS INT) AS c
@@ -12030,6 +12091,32 @@ object SparkEntry {
            WHERE r.d < 4
          )
          SELECT node, CAST(min(d) AS INT) AS depth FROM r GROUP BY node
+         ORDER BY node""",
+
+    // q325: per-landmark reachability via the q210 recursive CTE with
+    // the landmark carried through; exact 12/d integer harmonic sum.
+    "q325_harmonic" ->
+      """WITH RECURSIVE f AS (
+           SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM lineitem
+         ), e AS (
+           SELECT src, dst FROM f UNION SELECT dst, src FROM f
+         ), seeds AS (
+           SELECT DISTINCT l_suppkey * 2 + 1 AS node FROM lineitem
+           WHERE l_suppkey <= 3
+         ), r AS (
+           SELECT node AS landmark, node, 0 AS d FROM seeds
+           UNION
+           SELECT r.landmark, e.dst, r.d + 1
+           FROM r JOIN e ON e.src = r.node WHERE r.d < 4
+         ), md AS (
+           SELECT landmark, node, CAST(min(d) AS BIGINT) AS d
+           FROM r GROUP BY landmark, node
+         )
+         SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS dist_sum,
+           CAST(CAST(sum(12 // d) AS BIGINT) AS DOUBLE) / 12 AS harmonic
+         FROM md WHERE d > 0 GROUP BY node
          ORDER BY node""",
 
     // q207: four exact counts → pooled-SE z replayed identically.

@@ -1143,6 +1143,86 @@ object Graph {
         maxIter, maxDriverEdges)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
 
+  /** Harmonic centrality from a LANDMARK set (Boldi & Vigna 2014's
+    * estimator restricted to pivots — the same landmark discipline as
+    * [[betweenness]]): per landmark l, a hop-bounded BFS gives
+    * d(v, l) ≤ `maxDepth`, and each node reports
+    * `harmonic = Σ_l 1/d(v, l)` over the landmarks it reaches, plus the
+    * closeness ingredients `(n_reached, dist_sum)`. Exact full-graph
+    * centralities need all-pairs distances — quadratic and pointless at
+    * 100 TB; landmark pivots are the standard estimator.
+    *
+    * DETERMINISM: `1/d` is not a dyadic (1/3 has no finite binary), so
+    * a float sum would carry partial-agg order noise. Instead the sum
+    * runs on the EXACT INTEGERS `lcm(1..maxDepth)/d` (every term
+    * divides evenly), and `harmonic` is ONE final division of exact
+    * longs — bit-deterministic at any parallelism, SQL-replayable.
+    *
+    * Returns `(node, n_reached, dist_sum: bigint, harmonic: double)`
+    * for every node within `maxDepth` of ≥ 1 landmark (landmarks
+    * themselves report their OTHER-landmark distances; d = 0 terms are
+    * excluded). `maxDepth` ≤ 20 keeps the lcm within Long.
+    *
+    * Plan per round: the [[bfsDepths]] frontier loop keyed by
+    * (landmark, node) — one semi-join + distinct + anti-join per hop,
+    * per-round checkpoint with release; total work O(edges · landmarks
+    * · maxDepth) worst case, landmark count is the caller's budget. */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      landmarks: DataFrame,
+      nodeCol: String,
+      maxDepth: Int = 6
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDepth >= 1 && maxDepth <= 20,
+      s"maxDepth must be in 1..20: $maxDepth")
+    val lcm = (1 to maxDepth).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    var depths = landmarks.select(col(nodeCol).as("landmark")).distinct()
+      .filter(col("landmark").isNotNull)
+      .select(col("landmark"), col("landmark").as("node"),
+        lit(0).as("depth"))
+      .localCheckpoint(true)
+    var frontier = depths.select("landmark", "node")
+    var frontierCk: DataFrame = null
+    var d = 0
+    var done = frontier.limit(1).count() == 0
+    while (!done && d < maxDepth) {
+      d += 1
+      val next = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("landmark"), col("dst").as("node")).distinct()
+        .join(depths, Seq("landmark", "node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      done = next.limit(1).count() == 0
+      if (!done) {
+        val prevDepths = depths
+        depths = depths.union(next).localCheckpoint(true)
+        Optimise.releaseCheckpoint(prevDepths)
+        if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
+        frontierCk = next
+        frontier = next.select("landmark", "node")
+      } else {
+        Optimise.releaseCheckpoint(next)
+      }
+    }
+    e.unpersist()
+    if (frontierCk != null) Optimise.releaseCheckpoint(frontierCk)
+    depths.filter(col("depth") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("depth").cast("long")).as("dist_sum"),
+        sum(expr(s"$lcm div depth")).as("__hnum"))
+      .select(col("node"), col("n_reached"), col("dist_sum"),
+        (col("__hnum").cast("double") / lit(lcm.toDouble)).as("harmonic"))
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii
     * 2014) — the WIDE-DIAMETER scale path: min-label propagation

@@ -791,6 +791,48 @@ object Stats {
         when(p.isNotNull, col("q_value") <= alpha))
   }
 
+  /** Holm step-down FWER adjustment — [[fdrAdjust]]'s strict sibling:
+    * controls the FAMILY-WISE error rate (any false positive at all)
+    * instead of the false-discovery rate, the right guard when a single
+    * false claim is expensive (ship/no-ship gates) rather than a rate
+    * to budget. Adds `p_adj = min(1, max_{j ≤ i} (n − j + 1)·p_(j))`
+    * over ascending p, and `reject ⇔ p_adj ≤ alpha` (equivalent to the
+    * classic sequential rule — the running max IS the step-down).
+    *
+    * Plan: the [[fdrAdjust]] grid — order statistics at DISTINCT-P
+    * granularity. Within a tie run of equal p, `(n − j + 1)·p` is
+    * maximized at the run's FIRST index, so one before-window running
+    * count and one prefix max over the p grid (never the rows) suffice;
+    * broadcast-scale join back. NULL-p rows pass through with NULLs. */
+  def holmAdjust(
+      df: DataFrame,
+      pCol: String,
+      alpha: Double = 0.05
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val p = col(pCol).cast("double")
+    val bad = df.filter(p < 0 || p > 1).limit(1).count()
+    require(bad == 0, s"$pCol must lie in [0,1]")
+    val grid = df.filter(p.isNotNull)
+      .groupBy(p.as("__p")).agg(count(lit(1)).as("__t"))
+    val before = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = grid.agg(coalesce(sum(col("__t")), lit(0L)).as("__n"))
+    val adj = grid
+      .crossJoin(broadcast(total))
+      .withColumn("__jlo",
+        coalesce(sum(col("__t")).over(before), lit(0L)) + 1)
+      .withColumn("__term",
+        (col("__n") - col("__jlo") + 1).cast("double") * col("__p"))
+      .withColumn("p_adj", least(max(col("__term")).over(upto), lit(1.0)))
+      .select(col("__p"), col("p_adj"))
+    df.join(adj, p === col("__p"), "left")
+      .drop("__p")
+      .withColumn("reject", when(p.isNotNull, col("p_adj") <= alpha))
+  }
+
   /** Two-sample Anderson–Darling test statistic (Scholz & Stephens
     * 1987, the non-midrank k=2 form at distinct-value granularity):
     *

@@ -363,6 +363,35 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvainMove(e.filter(lit(false)), "s", "d").isFailing)
   }
 
+  test("harmonicCentrality: hand-computed landmark sums, exact dyadic-free " +
+      "arithmetic, depth cap, determinism") {
+    // path 1-2-3-4, landmarks {1, 4}: d(2,·) = {1, 2} → H = 1 + 1/2;
+    // d(3,·) = {2, 1} → same; endpoints see only the OTHER landmark at 3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val sym = e.union(e.select($"d".as("s"), $"s".as("d")))
+    val lm = Seq(1L, 4L).toDF("node")
+    val got = Graph.harmonicCentrality(sym, "s", "d", lm, "node",
+        maxDepth = 3).get
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 1.0 / 3), (2L, 2L, 3L, 1.5),
+      (3L, 2L, 3L, 1.5), (4L, 1L, 3L, 1.0 / 3)), s"$got")
+    // depth cap: at maxDepth 2 the endpoints no longer reach each other
+    val capped = Graph.harmonicCentrality(sym, "s", "d", lm, "node",
+        maxDepth = 2).get
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(capped == Seq((2L, 2L, 3L, 1.5), (3L, 2L, 3L, 1.5)),
+      s"$capped")
+    val repart = Graph.harmonicCentrality(sym.repartition(7), "s", "d",
+        lm, "node", maxDepth = 3).get
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(repart == got, "must be deterministic across partitionings")
+    assert(Graph.harmonicCentrality(sym, "s", "d", lm, "node",
+      maxDepth = 0).isFailing)
+    assert(Graph.harmonicCentrality(sym, "s", "d", lm, "node",
+      maxDepth = 21).isFailing)
+  }
+
   test("connectedComponentsStar: 200-hop path converges exactly in " +
       "O(log n) rounds where min-label propagation cannot") {
     val path = (0L until 199L).map(i => (i, i + 1))

@@ -438,6 +438,32 @@ class StatsSpec extends AnyFunSuite {
       .select("tau_b").collect().head.isNullAt(0))
   }
 
+  test("holmAdjust: textbook step-down, tie runs share the first-index " +
+      "term, null passthrough, bad-p rejection") {
+    // R: p.adjust(c(.01,.04,.03,.5), "holm") = 0.04 0.09 0.09 0.50
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.5))
+      .toDF("id", "p")
+    val got = Stats.holmAdjust(df, "p", alpha = 0.05).get
+      .select("id", "p_adj", "reject")
+      .as[(String, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, math.rint(r._2 * 1e9) / 1e9, r._3)) == Seq(
+      ("a", 0.04, true), ("b", 0.09, false), ("c", 0.09, false),
+      ("d", 0.5, false)), s"$got")
+    // ties: p.adjust(c(.02,.02,.1), "holm") = 0.06 0.06 0.10
+    val ties = Seq(0.02, 0.02, 0.1).toDF("p")
+    val gt = Stats.holmAdjust(ties, "p", alpha = 0.07).get
+      .select("p", "p_adj", "reject")
+      .as[(Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(gt.map(r => (r._1, math.rint(r._2 * 1e9) / 1e9, r._3)) == Seq(
+      (0.02, 0.06, true), (0.02, 0.06, true), (0.1, 0.1, false)), s"$gt")
+    // null p rows pass through with NULL p_adj/reject
+    val withNull = Seq(Some(0.01), None).toDF("p")
+    val rows = Stats.holmAdjust(withNull, "p").get.collect()
+    assert(rows.length == 2 && rows.exists(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(Stats.holmAdjust(Seq(1.5).toDF("p"), "p").isFailing)
+    assert(Stats.holmAdjust(df, "p", alpha = 0.0).isFailing)
+  }
+
   test("cliffsDelta: exact pair counts against brute force") {
     val as = Seq(1.0, 2.0, 2.0, 5.0)
     val bs = Seq(2.0, 3.0, 4.0)
