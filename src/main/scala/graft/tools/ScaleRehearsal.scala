@@ -1409,6 +1409,24 @@ object ScaleRehearsal {
           rs == sz * mult && relEqD(rr, rev * mult) && relEqD(rl, ltv) },
       s"cohort LTV must scale sizes/revenue by mult with matching ltv")
 
+    // landmark harmonic centrality on the replicated graph: landmarks
+    // are base-copy ids, replicas are disconnected shifted copies —
+    // so the result over the replicated graph must equal the base run
+    // EXACTLY (the integer lcm/d sums make equality bitwise), with no
+    // replica node reached at all
+    def harmMap(g: DataFrame): Map[Long, (Long, Long, Double)] =
+      graft.operators.Graph.harmonicCentrality(g, "src", "dst", bcLm,
+          "node", maxDepth = 4).get
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    var harmRepl: Map[Long, (Long, Long, Double)] = null
+    time("harmonic")({ harmRepl = harmMap(replSym); harmRepl.size.toLong })
+    val harmBase = harmMap(baseSym)
+    check("harmonic_replication_law",
+      harmBase.nonEmpty && harmRepl == harmBase,
+      s"harmonic centrality from base landmarks must ignore replicas: " +
+        s"${harmRepl.size} vs ${harmBase.size}")
+
     // star-contraction CC on the 10x-replicated co-occurrence graph:
     // replicas are disjoint shifted copies whose ids exceed the base
     // range, so replica-0 nodes must keep EXACTLY their base labels
