@@ -3852,6 +3852,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q327_friedman" -> ((s, dir) => {
+      // Friedman repeated-measures rank test: per-user exact ×100 value
+      // totals across the 5 event types (complete users only), ranked
+      // WITHIN each user. Midranks are exact dyadics, rank sums exact;
+      // chi2/chi2_adj are IEEE chains rounded at 4 under the tie-shift.
+      val perCell = events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100)).as("m"))
+      val complete = perCell.groupBy("user_id")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") === 5)
+        .select("user_id")
+      Stats.friedman(perCell.join(complete, Seq("user_id")), "m",
+          "user_id", "event_type").get
+        .select(col("n_subjects"), col("k"), col("df"),
+          round(col("chi2") + lit(1e-9), 4).as("chi2"),
+          round(col("chi2_adj") + lit(1e-9), 4).as("chi2_adj"))
+    }),
+
     "q326_holm" -> ((s, dir) => {
       // Holm step-down over the q237 portable-md5 p-value device (its
       // own seed): the prefix-max step-down replayed on the grid, the
@@ -11281,6 +11301,51 @@ object SparkEntry {
            q.q_value <= 0.1 AS reject
          FROM t JOIN q ON q.p = t.p
          ORDER BY t.doc_id""",
+
+    // q327: Friedman replayed — per-user cells, within-user midranks
+    // (avg over the tie run is rank-order-free), exact rank sums, the
+    // chi2 chain with the per-row t²−1 tie-cubic trick.
+    "q327_friedman" ->
+      """WITH cells AS (
+           SELECT user_id AS s, event_type AS t,
+             sum(round(value * 100)) AS v
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY user_id, event_type
+         ), complete AS (
+           SELECT s FROM cells GROUP BY s HAVING count(*) = 5
+         ), cc AS MATERIALIZED (
+           SELECT c.s, c.t, c.v FROM cells c JOIN complete USING (s)
+         ), ranked AS (
+           SELECT s, t, v,
+             row_number() OVER (PARTITION BY s ORDER BY v, t) AS rn
+           FROM cc
+         ), mid AS (
+           SELECT s, t,
+             avg(rn) OVER (PARTITION BY s, v) AS mid,
+             count(*) OVER (PARTITION BY s, v) AS trun
+           FROM ranked
+         ), rj AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             COALESCE(sum(r2 * r2), 0) AS sr2
+           FROM (SELECT t, sum(mid) AS r2 FROM mid GROUP BY t)
+         ), tt AS (
+           SELECT CAST(count(*) // 5 AS BIGINT) AS n_subjects,
+             COALESCE(sum(CAST(trun AS DOUBLE) * trun - 1), 0) AS tc
+           FROM mid
+         )
+         SELECT n_subjects, k, k - 1 AS df,
+           round(12.0 * sr2 / (CAST(n_subjects AS DOUBLE) * k * (k + 1))
+             - 3.0 * n_subjects * (k + 1) + 1e-9, 4) AS chi2,
+           round(CASE WHEN 1.0 - tc / (CAST(n_subjects AS DOUBLE)
+                 * (k * k * k - k)) > 0
+             THEN (12.0 * sr2 / (CAST(n_subjects AS DOUBLE) * k * (k + 1))
+               - 3.0 * n_subjects * (k + 1))
+               / (1.0 - tc / (CAST(n_subjects AS DOUBLE)
+                 * (k * k * k - k)))
+             END + 1e-9, 4) AS chi2_adj
+         FROM tt, rj""",
 
     // q326: Holm replayed on the same grid device — first-index tie
     // term (n - jlo + 1)·p, prefix max, clamp, pre-round reject.

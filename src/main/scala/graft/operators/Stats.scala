@@ -791,6 +791,87 @@ object Stats {
         when(p.isNotNull, col("q_value") <= alpha))
   }
 
+  /** Friedman test — repeated-measures rank ANOVA: does an ORDINAL
+    * metric differ across k treatments applied to the SAME subjects?
+    * Completes the paired-design family: [[mcnemar]] (binary, k = 2),
+    * [[cochranQ]] (binary, k), [[wilcoxonSignedRank]] (ordinal, k = 2),
+    * this (ordinal, k); [[kruskalWallis]] is the UNPAIRED counterpart.
+    * Values rank WITHIN each subject (midranks for ties), `χ²_F =
+    * 12/(n·k·(k+1)) · ΣR_j² − 3n(k+1)` with the standard tie
+    * correction `C = 1 − Σ(t³−t)/(n·(k³−k))` (tie runs within
+    * subjects).
+    *
+    * COMPLETE-BLOCK contract (the classic design): exactly ONE
+    * observation per (subject, treatment) and every subject covers all
+    * k treatments — enforced with `require`s, like [[fleissKappa]];
+    * aggregate or filter first.
+    *
+    * Returns ONE row `(n_subjects, k: bigint, df: bigint, chi2,
+    * chi2_adj: double)` — NULL chi2_adj when every subject's ranking
+    * is fully tied (C = 0).
+    *
+    * Plan: midranks come from per-SUBJECT windows (partitions are
+    * k-row blocks — bounded by the treatment count, so sorts
+    * parallelize across subjects and no partition ever exceeds k
+    * rows), rank sums shuffle once on the treatment key, tie cubics
+    * are ≤ k³ per run. R_j reaches n·k(k+1)/2, so ΣR_j² squares in
+    * DOUBLE from the first factor (exact below 2⁵³; the Long square
+    * would ANSI-throw near ~2e9 subject-treatments). */
+  def friedman(
+      df: DataFrame,
+      valueCol: String,
+      subjectCol: String,
+      treatmentCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val v = col(valueCol).cast("double")
+    val cells = df
+      .filter(col(subjectCol).isNotNull && col(treatmentCol).isNotNull &&
+        v.isNotNull)
+      .select(col(subjectCol).as("__s"),
+        col(treatmentCol).cast("string").as("__t"), v.as("__v"))
+    val dup = cells.groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).count()
+    require(dup == 0,
+      "friedman needs exactly ONE observation per (subject, treatment) — " +
+        "aggregate first")
+    val k = cells.select(countDistinct(col("__t"))).first().getLong(0)
+    require(k >= 2, s"friedman needs k >= 2 treatments (got $k)")
+    val incomplete = cells.groupBy("__s").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") =!= k).limit(1).count()
+    require(incomplete == 0,
+      s"friedman: every subject must cover all $k treatments " +
+        "(complete block design) — filter to complete subjects first")
+    val wOrd = Window.partitionBy(col("__s")).orderBy(col("__v"), col("__t"))
+    val wTie = Window.partitionBy(col("__s"), col("__v"))
+    val ranked = cells
+      .withColumn("__rn", row_number().over(wOrd))
+      // midrank = mean of the tie run's consecutive integer positions —
+      // an exact dyadic (sum of ≤ k ints / run length)
+      .withColumn("__mid", avg(col("__rn")).over(wTie))
+      .withColumn("__trun", count(lit(1)).over(wTie))
+    val rj = ranked.groupBy("__t").agg(sum(col("__mid")).as("__rj"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("__rj") * col("__rj")), lit(0.0)).as("__sr2"))
+    // each tie RUN of length t contributes t³ − t, counted once per run
+    // (every member row carries __trun = t, so divide by t: t² − 1 each)
+    val ties = ranked.agg(
+      (count(lit(1)) / lit(k)).cast("long").as("n_subjects"),
+      coalesce(sum(col("__trun").cast("double") * col("__trun") - 1),
+        lit(0.0)).as("__tc"))
+    ties.crossJoin(broadcast(rj))
+      .withColumn("chi2",
+        lit(12.0) * col("__sr2") /
+          (col("n_subjects").cast("double") * col("k") * (col("k") + 1)) -
+          lit(3.0) * col("n_subjects") * (col("k") + 1))
+      .withColumn("__C",
+        lit(1.0) - col("__tc") /
+          (col("n_subjects").cast("double") *
+            (col("k") * col("k") * col("k") - col("k"))))
+      .select(col("n_subjects"), col("k"), (col("k") - 1).as("df"),
+        col("chi2"),
+        when(col("__C") > 0, col("chi2") / col("__C")).as("chi2_adj"))
+  }
+
   /** Holm step-down FWER adjustment — [[fdrAdjust]]'s strict sibling:
     * controls the FAMILY-WISE error rate (any false positive at all)
     * instead of the false-discovery rate, the right guard when a single

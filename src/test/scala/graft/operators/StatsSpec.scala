@@ -438,6 +438,38 @@ class StatsSpec extends AnyFunSuite {
       .select("tau_b").collect().head.isNullAt(0))
   }
 
+  test("friedman: textbook rank sums, tie correction, design guards") {
+    // 3 subjects x 3 treatments, no ties: ranks per subject
+    // s1 A<B<C, s2 A<C<B, s3 A<B<C -> R = (3, 7, 8)
+    // chi2 = 12/(3*3*4)*(9+49+64) - 3*3*4 = 122/3 - 36 = 4.666...
+    val df = Seq(
+      ("s1", "A", 1.0), ("s1", "B", 2.0), ("s1", "C", 3.0),
+      ("s2", "A", 1.0), ("s2", "B", 3.0), ("s2", "C", 2.0),
+      ("s3", "A", 1.0), ("s3", "B", 2.0), ("s3", "C", 3.0)
+    ).toDF("subj", "treat", "v")
+    val r = Stats.friedman(df, "v", "subj", "treat").get
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(r._1 == 3L && r._2 == 3L && r._3 == 2L)
+    assert(math.abs(r._4 - 122.0 / 3 + 36.0) < 1e-12, s"chi2=${r._4}")
+    assert(r._5.exists(a => math.abs(a - r._4) < 1e-12),
+      "no ties: adjusted == raw")
+    // a fully tied subject contributes t=3: C = 1 - 24/(3*24) = 2/3
+    val tied = Seq(
+      ("s1", "A", 5.0), ("s1", "B", 5.0), ("s1", "C", 5.0),
+      ("s2", "A", 1.0), ("s2", "B", 2.0), ("s2", "C", 3.0),
+      ("s3", "A", 1.0), ("s3", "B", 2.0), ("s3", "C", 3.0)
+    ).toDF("subj", "treat", "v")
+    val rt = Stats.friedman(tied, "v", "subj", "treat").get
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(rt._5.exists(a => math.abs(a - rt._4 / (2.0 / 3)) < 1e-12),
+      s"tie correction: ${rt._4} vs ${rt._5}")
+    // incomplete design and duplicate cells are rejected
+    assert(Stats.friedman(df.filter($"subj" =!= "s1" || $"treat" =!= "C"),
+      "v", "subj", "treat").isFailing)
+    assert(Stats.friedman(df.union(df.limit(1)), "v", "subj", "treat")
+      .isFailing)
+  }
+
   test("holmAdjust: textbook step-down, tie runs share the first-index " +
       "term, null passthrough, bad-p rejection") {
     // R: p.adjust(c(.01,.04,.03,.5), "holm") = 0.04 0.09 0.09 0.50
