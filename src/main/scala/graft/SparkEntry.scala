@@ -2685,6 +2685,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q328_louvain_warm" -> ((s, dir) => {
+      // WARM-START continuation as a gate: 2 cold local-move passes,
+      // then a SEEDED 1-pass run with firstPass = 3 continues the
+      // md5-parity schedule — bit-identical to an uninterrupted 3-pass
+      // run, which is exactly what the oracle unrolls. The production
+      // shape this locks: snapshot N+1 community detection resumes
+      // from snapshot N's labeling instead of re-running cold.
+      val proj = Graph.projectBipartite(tbl(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", minShared = 150L).get
+      val cold = Graph.louvainMove(proj, "src", "dst", passes = 2).get
+      Graph.louvainMove(proj, "src", "dst", passes = 1,
+        seed = Some(cold), firstPass = 3).get
+        .orderBy("node")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -8513,13 +8528,25 @@ object SparkEntry {
     // louvainFullOracleSql).
     "q318_louvain_full" -> louvainFullOracleSql(passes = 2),
 
+    // q328: the warm-start continuation — 2 cold passes + a seeded
+    // 1-pass run at firstPass = 3 ≡ an uninterrupted 3-pass run, so the
+    // oracle is simply the 3-pass unroll (parities 1, 0, 1 on both
+    // paths).
+    "q328_louvain_warm" -> louvainOracleSql(passes = 3),
+
     // q320: star-contraction components on the interleaved chains have
     // a CLOSED FORM — every node's component is its residue class
     // minimum; no round replay needed, the exact labeling IS the check.
+    // QUALIFY encodes the operator's node contract (ADVICE r10): only
+    // nodes with >= 1 edge appear, so a residue class with a single
+    // orderkey (possible under fixture changes, not at these SFs)
+    // contributes no chain edge and must not appear in the oracle.
     "q320_cc_star" ->
       """SELECT o_orderkey AS node,
            min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
-         FROM orders ORDER BY node""",
+         FROM orders
+         QUALIFY count(*) OVER (PARTITION BY o_orderkey % 8) >= 2
+         ORDER BY node""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

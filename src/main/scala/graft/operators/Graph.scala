@@ -1512,6 +1512,18 @@ object Graph {
     * Returns `(node, community: the original node-id type)` for every
     * node of the (symmetrized, deduplicated, self-loop-free) graph.
     *
+    * WARM START (snapshot N+1 over a drifted graph): `seed` takes a
+    * previous `(node, community)` labeling — seeded nodes start in
+    * their carried-over community, new nodes start singleton — so a
+    * near-converged seed needs ~1 pass instead of a cold run.
+    * `firstPass` continues the md5-parity schedule: passes run parities
+    * `firstPass % 2, (firstPass+1) % 2, …`, so
+    * `louvainMove(passes = j) |> (l => louvainMove(passes = n − j,
+    * seed = Some(l), firstPass = j + 1))` is BIT-IDENTICAL to the
+    * uninterrupted `louvainMove(passes = n)` — the q328 gate replays
+    * exactly this continuation against the n-pass oracle, and the
+    * rehearsal law asserts the identity on the synthetic graph.
+    *
     * Plan per pass: ONE label join onto the edge list feeding a single
     * partial-agg shuffle to (node, neighbor-community) link counts —
     * the node's own community rides along as a synthesized zero row, so
@@ -1526,9 +1538,12 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      passes: Int = 4
+      passes: Int = 4,
+      seed: Option[DataFrame] = None,
+      firstPass: Int = 1
   ): MayFail[DataFrame] = MayFail {
     require(passes >= 1, s"passes must be >= 1: $passes")
+    require(firstPass >= 1, s"firstPass must be >= 1: $firstPass")
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -1536,7 +1551,9 @@ object Graph {
       .distinct()
       .select(col("a"), col("b"), lit(1L).as("w"))
     louvainPasses(und, und.select(col("a").as("node"),
-      lit(0L).as("sw")).limit(0), passes)
+      lit(0L).as("sw")).limit(0), passes,
+      labIn = seed.map(_.select(col("node"), col("community").as("c"))),
+      firstPass = firstPass)
   }
 
   /** WEIGHTED local-move worker shared by [[louvainMove]] (unit weights —
@@ -1551,7 +1568,9 @@ object Graph {
       und: DataFrame,
       selfW: DataFrame,
       passes: Int,
-      degIn: Option[DataFrame] = None
+      degIn: Option[DataFrame] = None,
+      labIn: Option[DataFrame] = None,
+      firstPass: Int = 1
   ): DataFrame = {
     // pre-partitioned on dst: every pass joins the labels in on dst,
     // so the cached layout is reused and the edge list never
@@ -1583,9 +1602,16 @@ object Graph {
           (coalesce(col("__kx"), lit(0L)) +
             lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
         .persist())
-    var lab = deg.select(col("node"), col("node").as("c"))
-      .localCheckpoint(true)
-    for (pass <- 1 to passes) {
+    // seed labels (warm start) apply to the graph's OWN node set: a
+    // seeded node keeps its carried community, an unseeded one starts
+    // singleton, seed rows for vanished nodes drop in the join
+    var lab = (labIn match {
+      case Some(l0) => deg.select(col("node"))
+        .join(l0.select(col("node"), col("c")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("node")).as("c"))
+      case None => deg.select(col("node"), col("node").as("c"))
+    }).localCheckpoint(true)
+    for (pass <- firstPass until firstPass + passes) {
       val prevLab = lab
       // one (node, c, k) frame and the community degree totals
       val nodeInfo = lab.join(deg, Seq("node"))
@@ -1665,14 +1691,27 @@ object Graph {
     * Plan per level: the [[louvainPasses]] pass plan, then contraction =
     * two label equi-joins + one partial-agg shuffle for the coarse edge
     * list (node-count-sized, shrinking per level) + a label-composition
-    * join; every level frame is localCheckpoint'd and the superseded
-    * one released immediately. */
+    * join. The contraction runs BEFORE the acceptance test because its
+    * aggregates are the numerator's terms — `Σ sw'` of the contracted
+    * self-loops is exactly `e_in` and the contracted degrees are the
+    * community degrees `d_c`, so acceptance costs one scalar-agg job
+    * over community-sized frames and the edge list is label-joined ONCE
+    * per level, not twice. Every level frame is localCheckpoint'd and
+    * the superseded one released immediately; the final level's frames
+    * release on exit (only the returned labeling stays checkpointed).
+    *
+    * `seed` warm-starts level 1 from a previous snapshot's
+    * `(node, community)` labeling (new nodes start singleton); the
+    * acceptance baseline is then the SEED partition's numerator, so the
+    * result never regresses below the carried-over communities — if
+    * every level is rejected the seed labeling itself is returned. */
   def louvain(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       passes: Int = 4,
-      levels: Int = 2
+      levels: Int = 2,
+      seed: Option[DataFrame] = None
   ): MayFail[DataFrame] = MayFail {
     require(passes >= 1, s"passes must be >= 1: $passes")
     require(levels >= 1 && levels <= 10, s"levels must be in 1..10: $levels")
@@ -1697,56 +1736,103 @@ object Graph {
       .select(col("node"),
         (coalesce(col("__kx"), lit(0L)) +
           lit(2L) * coalesce(col("sw"), lit(0L))).as("k"))
-    // exact modularity numerator N = 4m·e_in − Σ_c d_c² of labeling
-    // `lab` on the current weighted graph (Q = N/4m²; every term fits
-    // a Long under the worker's m ≤ 1.358e9 bound: e_in ≤ m, d_c ≤ 2m,
-    // Σd_c² ≤ (Σd_c)² = 4m² < 2⁶³). The three scalar terms cross-join
-    // into ONE row so the acceptance test costs a single Spark job.
-    def numeratorOf(
-        u: DataFrame, sw: DataFrame, dg: DataFrame, lab: DataFrame): Long = {
-      val within = u
-        .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
-        .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
-        .filter(col("ca") === col("cb"))
-        .agg(coalesce(sum("w"), lit(0L)).as("__win"))
-      val selfIn = sw.agg(coalesce(sum("sw"), lit(0L)).as("__sin"))
-      val dsq = dg.join(lab, Seq("node"))
-        .groupBy("c").agg(sum("k").as("__d"))
-        .agg(coalesce(sum(col("__d") * col("__d")), lit(0L)).as("__dsq"))
-      val r = within.crossJoin(selfIn).crossJoin(dsq).first()
-      4L * m * (r.getLong(0) + r.getLong(1)) - r.getLong(2)
-    }
-
     var deg = degOf(und, selfW).localCheckpoint(true)
-    // singleton baseline: e_in = Σsw (0 at level 1), d_c = k per node
-    var nPrev = {
-      val r = deg.agg(coalesce(sum(col("k") * col("k")), lit(0L)).as("__dsq"))
-        .crossJoin(selfW.agg(coalesce(sum("sw"), lit(0L)).as("__sin")))
-        .first()
-      4L * m * r.getLong(1) - r.getLong(0)
+    // acceptance baseline: the SEED labeling's exact numerator when warm
+    // starting (accept a level only if it improves on the carried-over
+    // partition), else the singleton partition's
+    // N = 4m·Σsw − Σk² (e_in = Σsw, d_c = k per node). Every term fits
+    // a Long under the worker's m ≤ 1.358e9 bound: e_in ≤ m, d_c ≤ 2m,
+    // Σd_c² ≤ (Σd_c)² = 4m² < 2⁶³.
+    val seedLab = seed.map(s0 => deg.select(col("node"))
+      .join(s0.select(col("node"), col("community").as("c")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), col("node")).as("c"))
+      .localCheckpoint(true))
+    var nPrev = seedLab match {
+      case Some(l0) =>
+        // one-off direct numerator of an arbitrary labeling (the only
+        // full-edge-list numerator join left — per-level acceptance
+        // below reads its terms off the contraction instead)
+        val within = und
+          .join(l0.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+          .join(l0.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+          .filter(col("ca") === col("cb"))
+          .agg(coalesce(sum("w"), lit(0L)).as("__win"))
+        val selfIn = selfW.agg(coalesce(sum("sw"), lit(0L)).as("__sin"))
+        val dsq = deg.join(l0, Seq("node"))
+          .groupBy("c").agg(sum("k").as("__d"))
+          .agg(coalesce(sum(col("__d") * col("__d")), lit(0L)).as("__dsq"))
+        val r = within.crossJoin(selfIn).crossJoin(dsq).first()
+        4L * m * (r.getLong(0) + r.getLong(1)) - r.getLong(2)
+      case None =>
+        val r = deg.agg(coalesce(sum(col("k") * col("k")), lit(0L)).as("__dsq"))
+          .crossJoin(selfW.agg(coalesce(sum("sw"), lit(0L)).as("__sin")))
+          .first()
+        4L * m * r.getLong(1) - r.getLong(0)
     }
-    var mapping: DataFrame = null
+    // seeded fallback output carries its OWN checkpoint: seedLab is
+    // released on exit, and `out` must survive it
+    var mapping: DataFrame = seedLab
+      .map(_.select(col("node"), col("c").as("community"))
+        .localCheckpoint(true)).orNull
     var level = 1
     var stalled = false
     while (level <= levels && !stalled) {
-      val lab = louvainPasses(und, selfW, passes, degIn = Some(deg))
+      val lab = louvainPasses(und, selfW, passes, degIn = Some(deg),
+          labIn = if (level == 1) seedLab else None)
         .select(col("node"), col("community").as("c"))
         .localCheckpoint(true)
-      val nNew = numeratorOf(und, selfW, deg, lab)
+      // contract FIRST — the contraction's aggregates ARE the acceptance
+      // numerator's terms (VERDICT r10 #2: no separate full-edge-list
+      // numerator join per level): Σ sw' = within-community cross weight
+      // + member self-loops = e_in exactly, and the contracted degree
+      // k'(c) = external(c) + 2·within(c) + 2·memberSelf(c) = d_c, so
+      // N = 4m·Σsw' − Σk'² on the CONTRACTED frames equals the direct
+      // numerator by construction — one scalar-agg job over
+      // community-sized frames instead of re-joining the edge list.
+      val tagged = und
+        .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+        .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+        .persist()
+      val undNext = tagged.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("a"),
+          greatest(col("ca"), col("cb")).as("b"), col("w"))
+        .groupBy("a", "b").agg(sum("w").as("w"))
+        .localCheckpoint(true)
+      val crossSelf = tagged.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("node")).agg(sum("w").as("__sw1"))
+      val memberSelf = selfW.join(lab, Seq("node"))
+        .groupBy(col("c").as("node")).agg(sum("sw").as("__sw2"))
+      val selfWNext = crossSelf.join(memberSelf, Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("__sw1"), lit(0L)) +
+            coalesce(col("__sw2"), lit(0L))).as("sw"))
+        .localCheckpoint(true)
+      tagged.unpersist()
+      val degNext = degOf(undNext, selfWNext).localCheckpoint(true)
+      val r = selfWNext.agg(coalesce(sum("sw"), lit(0L)).as("__sin"))
+        .crossJoin(degNext
+          .agg(coalesce(sum(col("k") * col("k")), lit(0L)).as("__dsq")))
+        .first()
+      val nNew = 4L * m * r.getLong(0) - r.getLong(1)
       if (nNew <= nPrev) {
         // the level's simultaneous moves net no improvement (or
         // interfere destructively): revert and stop — modularity is
         // non-decreasing by construction
         Optimise.releaseCheckpoint(lab)
+        Optimise.releaseCheckpoint(undNext)
+        Optimise.releaseCheckpoint(selfWNext)
+        Optimise.releaseCheckpoint(degNext)
         stalled = true
       } else {
         nPrev = nNew
         // compose down to original nodes; LEFT join keeps nodes whose
         // community vanished from the coarse graph (isolated singletons
-        // have no edges and no self-weight — their label is final)
+        // have no edges and no self-weight — their label is final).
+        // Level 1's labeling covers the original nodes directly, so it
+        // REPLACES any seed mapping rather than composing with it.
         val prevMapping = mapping
         mapping =
-          (if (mapping == null)
+          (if (level == 1)
              lab.select(col("node"), col("c").as("community"))
            else mapping
              .join(lab.select(col("node").as("community"), col("c")),
@@ -1755,34 +1841,12 @@ object Graph {
                coalesce(col("c"), col("community")).as("community")))
             .localCheckpoint(true)
         if (prevMapping != null) Optimise.releaseCheckpoint(prevMapping)
-        if (level < levels) {
-          val prevUnd = und
-          val prevSelf = selfW
-          val tagged = und
-            .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
-            .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
-            .persist()
-          und = tagged.filter(col("ca") =!= col("cb"))
-            .select(least(col("ca"), col("cb")).as("a"),
-              greatest(col("ca"), col("cb")).as("b"), col("w"))
-            .groupBy("a", "b").agg(sum("w").as("w"))
-            .localCheckpoint(true)
-          val crossSelf = tagged.filter(col("ca") === col("cb"))
-            .groupBy(col("ca").as("node")).agg(sum("w").as("__sw1"))
-          val memberSelf = selfW.join(lab, Seq("node"))
-            .groupBy(col("c").as("node")).agg(sum("sw").as("__sw2"))
-          selfW = crossSelf.join(memberSelf, Seq("node"), "full")
-            .select(col("node"),
-              (coalesce(col("__sw1"), lit(0L)) +
-                coalesce(col("__sw2"), lit(0L))).as("sw"))
-            .localCheckpoint(true)
-          tagged.unpersist()
-          Optimise.releaseCheckpoint(prevUnd)
-          Optimise.releaseCheckpoint(prevSelf)
-          val prevDeg = deg
-          deg = degOf(und, selfW).localCheckpoint(true)
-          Optimise.releaseCheckpoint(prevDeg)
-        }
+        Optimise.releaseCheckpoint(und)
+        Optimise.releaseCheckpoint(selfW)
+        Optimise.releaseCheckpoint(deg)
+        und = undNext
+        selfW = selfWNext
+        deg = degNext
         Optimise.releaseCheckpoint(lab)
       }
       level += 1
@@ -1793,7 +1857,13 @@ object Graph {
         deg.select(col("node"), col("node").as("community"))
           .localCheckpoint(true)
       else mapping
+    // release every still-live level frame (ADVICE r10: the final und /
+    // selfW / deg checkpoints must not outlive the call — the returned
+    // frame is independently checkpointed)
+    Optimise.releaseCheckpoint(und)
+    Optimise.releaseCheckpoint(selfW)
     Optimise.releaseCheckpoint(deg)
+    seedLab.foreach(Optimise.releaseCheckpoint)
     out
   }
 

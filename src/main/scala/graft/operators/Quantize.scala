@@ -526,7 +526,17 @@ object Quantize {
     * itself becomes IO pruning. Recall is governed by `nProbe` (routing
     * misses) and `shortlistK` (ADC ordering misses); exhaustive settings
     * reproduce exact brute force, and the q317 gate + REHEARSAL invariant
-    * hold pruned-probe recall and scan fraction to stated floors. */
+    * hold pruned-probe recall and scan fraction to stated floors.
+    *
+    * `metric` governs ROUTING and ADC SHORTLISTING only ('l2' = argmin
+    * cell distance + L2 lookup tables; 'dot' = argmax inner product):
+    * the exact rerank — and the returned score column — is COSINE
+    * regardless, the repo-wide kNN contract shared by [[pqKnn]],
+    * [[binKnn]] and [[sqKnn]] (ADVICE r10). On unit-normalized
+    * embeddings all three orderings agree; on unnormalized vectors under
+    * metric='l2' the returned top-k are the cosine-nearest among probed
+    * candidates, NOT the L2-nearest — rerank externally on the shortlist
+    * if raw-L2 ranking is required. */
   def ivfPqKnnWith(
       corpus: DataFrame,
       queries: DataFrame,
@@ -584,7 +594,9 @@ object Quantize {
     * candidates ADC-score against the broadcast query tables, and the
     * WindowGroupLimit-capped shortlist exact-reranks on the float
     * `corpus`. The codebooks must be the ones the lists were encoded
-    * with — codes are meaningless under any other table. */
+    * with — codes are meaningless under any other table. `metric`
+    * governs routing + ADC only; the exact rerank and output column are
+    * COSINE (see [[ivfPqKnnWith]]'s contract note). */
   def ivfSearchEncoded(
       lists: DataFrame,
       corpus: DataFrame,
@@ -612,14 +624,25 @@ object Quantize {
     require(m * sub == dim,
       s"codebook sub-dimension $sub * m=$m != coarse dimension $dim")
     val l2 = metric == "l2"
-    val listCols = lists.select(col(idCol).as("neighborId"),
-      col("cell").as("__cell"), col("codes").as("__codes"))
     val q = queries
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).as("queryId"), col(vecCol).as("__qv"),
         codebookPqTable(col(vecCol), cbFlat, m, cells, l2).as("__tab"),
         explode(codebookProbes(col(vecCol), coarseFlat, nCells, nProbe))
           .as("__cell"))
+    // probed-cell set FIRST (bounded: ≤ nCells ≤ 65536 ints, computed on
+    // the query batch — the side that broadcasts), so the stored-list
+    // scan PARTITION-PRUNES: over [[ivfEncodeWith]] lists written as
+    // cell-partitioned parquet the `cell ∈ probed` filter lands in the
+    // scan's PartitionFilters and non-probed cells' FILES are never
+    // read — the broadcast join then only discards within probed cells.
+    // (QuantizeSpec locks the PartitionFilters; the rehearsal law holds
+    // the file-level scan fraction to ≈ probed/nCells.)
+    val probedCells = q.select(col("__cell")).distinct().collect().map(_.get(0))
+    val listCols = lists
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighborId"),
+        col("cell").as("__cell"), col("codes").as("__codes"))
     val scored = listCols.join(broadcast(q), Seq("__cell"))
       .filter(col("queryId") =!= col("neighborId"))
       .withColumn("__approx", pqAdcScore(col("__codes"), col("__tab")))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -263,8 +264,18 @@ object Stream {
     *
     * Dedup without state: a pair colliding in several bands would emit
     * once per band, so each candidate row keeps only its FIRST matching
-    * band — both sides carry their full key arrays and the join row
-    * checks `∀ j < band: sk[j] ≠ rk[j]`, a pure per-row predicate.
+    * band — a pure per-row predicate, no state store. The earlier-band
+    * test must consult only bands that SURVIVED the bucket cap: a raw
+    * `sk[j] == rk[j]` check would veto the pair on a band whose hot
+    * bucket [[graft.operators.Banding.capBuckets]] dropped (that band's
+    * join row never exists, so every later-band row would be filtered
+    * and the pair silently lost exactly when boilerplate buckets appear
+    * at ingest scale). Each index row therefore carries the ref doc's
+    * surviving-band set `__sb` and the predicate is
+    * `∄ j ∈ __sb, j < band: sk[j] = rk[j]` — batch parity
+    * (`minhashPairsAgainst`, which dedups over surviving bands) holds
+    * under ANY cap, not just when no bucket is hot (StreamSpec proves
+    * the capped case).
     *
     * Scale shape: the reference index builds ONCE (banded, bucket-capped
     * with the [[graft.operators.Banding]] skew guard — `maxBucket` also
@@ -299,8 +310,12 @@ object Stream {
         keyedR.select(col("id"), col("__keys"),
           posexplode(col("__keys")).as(Seq("band", "bucket"))),
         Seq("band", "bucket"), maxBucket, minOccupancy = 1)
+      // per-ref-doc surviving-band set (≤ `bands` ints/row): the
+      // first-match predicate below may only veto on bands the cap kept
+      .withColumn("__sb", sort_array(
+        collect_set(col("band")).over(Window.partitionBy(col("id")))))
       .select(col("id").as("idRef"), col("__keys").as("__rk"),
-        col("band"), col("bucket"))
+        col("band"), col("bucket"), col("__sb"))
       .localCheckpoint(true)
     val refShingles = shR.select(col("id").as("idRef"),
       col("shingles").as("__pR"))
@@ -314,11 +329,11 @@ object Stream {
       .select(col("idNew"), col("__pN"), col("__sk"),
         posexplode(col("__sk")).as(Seq("band", "bucket")))
     shS.join(broadcast(idxR), Seq("band", "bucket"))
-      // first matching band only: no earlier band index collides
+      // first matching band only: no earlier SURVIVING band collides
+      // (bands the cap dropped have no join row, so they must not veto)
       .filter(!exists(
-        zip_with(slice(col("__sk"), lit(1), col("band")),
-          slice(col("__rk"), lit(1), col("band")), (a, b) => a === b),
-        x => x))
+        filter(col("__sb"), j => j < col("band")),
+        j => element_at(col("__sk"), j + 1) === element_at(col("__rk"), j + 1)))
       .join(broadcast(refShingles), Seq("idRef"))
       .withColumn("jaccard", jaccardHashes(col("__pN"), col("__pR")))
       .filter(col("jaccard") >= threshold)
