@@ -451,6 +451,58 @@ class GraphSpec extends AnyFunSuite {
       s"stalled levels must be idempotent: $lvl3 vs $lvl1")
   }
 
+  test("louvainMove: warm-start continuation is bit-identical to the " +
+      "uninterrupted run; new nodes seed singleton") {
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val e = (k4a ++ k4b :+ ((4L, 5L))).toDF("s", "d")
+    val cold = Graph.louvainMove(e, "s", "d", passes = 6).get
+      .as[(Long, Long)].collect().toMap
+    // 4 passes, then resume for 2 with the parity schedule continued:
+    // identical labels — the snapshot-resume contract
+    val half = Graph.louvainMove(e, "s", "d", passes = 4).get
+    val resumed = Graph.louvainMove(e, "s", "d", passes = 2,
+        seed = Some(half), firstPass = 5).get
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == cold,
+      s"warm continuation diverged from the cold run: $resumed vs $cold")
+    // seed rows for vanished nodes drop; unseeded nodes start singleton
+    // (a seed naming only node 1 must not disturb the converged result)
+    val partial = Seq((1L, 1L), (99L, 7L)).toDF("node", "community")
+    val seeded = Graph.louvainMove(e, "s", "d", passes = 6,
+        seed = Some(partial)).get
+      .as[(Long, Long)].collect().toMap
+    assert(seeded.keySet == (1L to 8L).toSet,
+      s"vanished seed node leaked into the output: ${seeded.keySet}")
+    assert(Graph.louvainMove(e, "s", "d", firstPass = 0).isFailing)
+  }
+
+  test("louvain: a converged seed is returned unchanged (no regression " +
+      "below the carried-over partition); a singleton seed matches cold") {
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val e = (k4a ++ k4b :+ ((4L, 5L))).toDF("s", "d")
+    def parts(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet).toSet
+    val cold = Graph.louvain(e, "s", "d", passes = 6, levels = 2).get
+      .as[(Long, Long)].collect().toMap
+    // seed with the converged labels: every level is rejected against
+    // the seed's own numerator, so the SEED labeling itself returns
+    val warm = Graph.louvain(e, "s", "d", passes = 6, levels = 2,
+        seed = Some(Graph.louvain(e, "s", "d", passes = 6, levels = 2).get))
+      .get.as[(Long, Long)].collect().toMap
+    assert(parts(warm) == parts(cold),
+      s"warm start regressed the converged partition: $warm vs $cold")
+    // an explicit singleton seed has the singleton baseline — cold run
+    val singleton = e.select($"s".as("node")).union(e.select($"d".as("node")))
+      .distinct().select($"node", $"node".as("community"))
+    val fromSingleton = Graph.louvain(e, "s", "d", passes = 6, levels = 2,
+        seed = Some(singleton)).get
+      .as[(Long, Long)].collect().toMap
+    assert(parts(fromSingleton) == parts(cold),
+      s"singleton seed diverged from cold: $fromSingleton vs $cold")
+  }
+
   test("louvain: coarsening merges what local moves under-merge " +
       "(clique ring), modularity non-decreasing across levels") {
     // ring of 8 triangles, consecutive triangles bridged: local moves

@@ -459,6 +459,35 @@ class QuantizeSpec extends AnyFunSuite {
       "search over the stored index must equal the one-shot result")
   }
 
+  test("ivfSearchEncoded plan: stored-list scan PARTITION-PRUNES to the " +
+      "probed cells (VERDICT r10 #1 — files of non-probed cells never read)") {
+    val (df, coarse, cb) = ivfFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    Quantize.ivfEncodeWith(df, "vec", "id", coarse, cb, m = 4,
+        cells = 8).get
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val search = Quantize.ivfSearchEncoded(stored, df,
+      df.filter(col("id") < 3), "vec", "id", coarse, cb, m = 4,
+      cells = 8, k = 3, nProbe = 1, shortlistK = 20).get
+    val plan = search.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the probed-cell IN filter must land in the scan's PartitionFilters
+    // (directory-level pruning), not merely in a post-scan Filter
+    val pf = raw"PartitionFilters: \[[^\]]*cell[^\]]*\]".r.findFirstIn(plan)
+    assert(pf.isDefined,
+      s"stored-list scan has no cell PartitionFilters:\n$plan")
+    assert(pf.get.contains("IN") || pf.get.contains("INSET") ||
+      pf.get.contains("="),
+      s"PartitionFilters carry no probed-cell membership test: ${pf.get}")
+    // and the pruned search still returns the one-shot operator's answer
+    val direct = Quantize.ivfPqKnnWith(df, df.filter(col("id") < 3), "vec",
+        "id", coarse, cb, m = 4, cells = 8, k = 3, nProbe = 1,
+        shortlistK = 20).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(search.collect().map(_.toString).sorted.toSeq == direct)
+  }
+
   test("ivfPqKnnWith validates codebooks and knobs") {
     val (df, coarse, cb) = ivfFixture()
     assert(Quantize.ivfPqKnnWith(df, df, "vec", "id", coarse, cb,

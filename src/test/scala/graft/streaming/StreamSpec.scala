@@ -273,4 +273,62 @@ class StreamSpec extends AnyFunSuite {
     // a static frame on the stream side is rejected
     assert(Stream.neardupAgainst(ref, ref, "text", "doc_id").isFailing)
   }
+
+  test("neardupAgainst: pair survives when its EARLIEST colliding band " +
+      "was bucket-capped (ADVICE r10 — batch parity under a hot bucket)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Fixture found by graft.tools.NeardupCapProbe: refDup is the base
+    // text, refHot replaces words 1 and 8, the stream doc replaces word
+    // 6. At bands=16/rowsPerBand=4 the stream doc collides with refDup
+    // in bands {5, 6, 15}; refHot collides with refDup in bands
+    // {2, 3, 5} — so with maxBucket = 1 the EARLIEST stream match
+    // (band 5) sits in a capped bucket and only bands 6/15 survive. A
+    // raw earlier-band key-equality predicate vetoes the surviving rows
+    // on band 5 and silently loses the pair; the surviving-band
+    // predicate keeps it.
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu stone river cloud " +
+      "ember").split(" ").toVector
+    val refDup = base.mkString(" ")
+    val refHot = base.indices.map(i =>
+      if (i == 1) "w1x1" else if (i == 8) "w1x8" else base(i)).mkString(" ")
+    val sDoc = base.indices.map(i =>
+      if (i == 6) "q6" else base(i)).mkString(" ")
+    // precondition lock — catches fixture drift if the hash ever moves
+    val keyed = graft.operators.Dedup.minhashKeyed(
+        graft.operators.Dedup.minhashShingled(
+          Seq((0L, refDup), (1L, refHot), (2L, sDoc)).toDF("doc_id", "text"),
+          "text", "doc_id", 3), 16, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val cX = (0 until 16).filter(j => keyed(0L)(j) == keyed(1L)(j))
+    val cS = (0 until 16).filter(j => keyed(0L)(j) == keyed(2L)(j))
+    val cSH = (0 until 16).filter(j => keyed(1L)(j) == keyed(2L)(j))
+    assert(cX.nonEmpty && cS.nonEmpty && cX.contains(cS.head) &&
+      cS.exists(j => !cX.contains(j)) && cSH.forall(cX.contains),
+      s"fixture drifted: cX=$cX cS=$cS cSH=$cSH — re-run NeardupCapProbe")
+
+    val ref = Seq((0L, refDup), (1L, refHot)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Stream.neardupAgainst(input.toDF.toDF("doc_id", "text"), ref,
+      "text", "doc_id", shingleSize = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.7, maxBucket = 1).get
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cap_test").start()
+    input.addData(Seq((2L, sDoc)))
+    q.processAllAvailable()
+    q.stop()
+    val streamedRows = spark.table("neardup_cap_test")
+      .as[(Long, Long, Double)].collect()
+    val batch = graft.operators.Dedup.minhashPairsAgainst(
+        Seq((2L, sDoc)).toDF("doc_id", "text"), ref, "text", "doc_id",
+        shingleSize = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
+        maxBucket = 1).get
+      .as[(Long, Long, Double)].collect()
+    assert(streamedRows.toSet == batch.toSet,
+      s"capped stream/batch parity broken: ${streamedRows.toSet} vs ${batch.toSet}")
+    // the pair MUST emit (the old raw-key predicate lost it), exactly once
+    assert(streamedRows.map(p => (p._1, p._2)).toSeq == Seq((2L, 0L)),
+      s"expected exactly one (2, 0) hit, got: ${streamedRows.toSeq}")
+  }
 }
