@@ -2700,6 +2700,43 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q329_dd_quantiles" -> ((s, dir) => {
+      // DDSketch mergeable quantiles (per-returnflag price percentiles)
+      // vs the EXACT rank values, with the paper's α bound asserted —
+      // the q81 pattern (sketch + exact + within-bound flag) for the
+      // quantile member of the sketch family. Both engines replay the
+      // same bucket map ⌈ln v / ln γ⌉ (ln γ baked in as one shared
+      // double literal) and the same double rank arithmetic
+      // ⌊q(n−1)⌋ + 1, so the picked buckets are identical and only the
+      // midpoint pow() can wiggle an ulp — absorbed by the 1e-9-shifted
+      // round.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.01
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+      val est = Sketch.ddQuantiles(li, "v", qs, alpha,
+        keys = Seq("l_returnflag")).get
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val exact = ranked.crossJoin(broadcast(qs.toDF("q")))
+        .filter(col("rn") ===
+          floor(col("q") * (col("cnt") - 1).cast("double")).cast("long") + 1)
+        .select(col("l_returnflag"), col("q"), col("v").as("exact"))
+      est.join(exact, Seq("l_returnflag", "q"))
+        .select(col("l_returnflag"), col("q"),
+          round(col("estimate") + lit(1e-9), 4).as("estimate"),
+          col("exact"),
+          (abs(col("estimate") - col("exact")) <=
+            lit(alpha) * abs(col("exact")) + lit(1e-9)).as("within_bound"))
+        .orderBy("l_returnflag", "q")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -5423,6 +5460,76 @@ object SparkEntry {
     sb.append(
       s"\n         SELECT node, c AS core_degree FROM d$rounds WHERE c >= $k ORDER BY node")
     sb.toString
+  }
+
+  /** q329's oracle, generated: the DDSketch bucket map, cumulative pick
+    * and midpoint estimate replayed over `l_extendedprice` per return
+    * flag, joined with the exact rank-`⌊q(n−1)⌋+1` values and the α
+    * bound. γ, γ+1 and ln γ are computed ONCE here with the same
+    * double arithmetic [[graft.operators.Sketch.ddHistogram]] uses and
+    * embedded as exact round-trip literals, so the only cross-engine
+    * float surfaces are `ln(v)` (quotient-from-integer distance makes a
+    * bucket flip astronomically unlikely on decimal prices) and the
+    * midpoint `pow` (ulp noise absorbed by the 1e-9-shifted round). */
+  private def ddQuantileOracleSql(alpha: Double, qs: Seq[Double]): String = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnG = math.log(gamma)
+    def d2s(d: Double): String = java.lang.Double.toString(d)
+    val qList = qs.map(d2s).mkString(", ")
+    s"""WITH src AS (
+           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+           FROM lineitem
+         ), h AS (
+           SELECT l_returnflag,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS store,
+             CASE WHEN v > 0 THEN CAST(ceil(ln(v) / ${d2s(lnG)}) AS BIGINT)
+                  WHEN v < 0 THEN CAST(ceil(ln(-v) / ${d2s(lnG)}) AS BIGINT)
+                  ELSE 0 END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM src GROUP BY 1, 2, 3
+         ), c AS (
+           SELECT l_returnflag, store, bucket,
+             CAST(sum(n) OVER (PARTITION BY l_returnflag
+               ORDER BY store, store * bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+           FROM h
+         ), qs AS (SELECT unnest([$qList]::DOUBLE[]) AS q
+         ), pick AS (
+           SELECT l_returnflag, q, store, bucket FROM (
+             SELECT c.l_returnflag, qs.q, c.store, c.bucket,
+               row_number() OVER (PARTITION BY c.l_returnflag, qs.q
+                 ORDER BY c.store, c.store * c.bucket) AS rn
+             FROM c, qs
+             WHERE c.cum >= CAST(floor(qs.q * CAST(c.tot - 1 AS DOUBLE))
+               AS BIGINT) + 1
+           ) WHERE rn = 1
+         ), r AS (
+           SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS cnt
+           FROM src
+         ), exact AS (
+           SELECT r.l_returnflag, qs.q, r.v AS exact
+           FROM r, qs
+           WHERE r.rn = CAST(floor(qs.q * CAST(r.cnt - 1 AS DOUBLE))
+             AS BIGINT) + 1
+         ), est AS (
+           SELECT l_returnflag, q,
+             CASE store
+               WHEN 1 THEN 2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
+               WHEN -1 THEN -2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
+               ELSE 0.0 END AS e
+           FROM pick
+         )
+         SELECT est.l_returnflag, est.q AS q,
+           round(est.e + 1e-9, 4) AS estimate,
+           exact.exact AS exact,
+           abs(est.e - exact.exact) <= ${d2s(alpha)} * abs(exact.exact) + 1e-9
+             AS within_bound
+         FROM est JOIN exact
+           ON est.l_returnflag = exact.l_returnflag AND est.q = exact.q
+         ORDER BY est.l_returnflag, q"""
   }
 
   /** q232's oracle, generated: `passes` unrolled Louvain local-move
@@ -8533,6 +8640,12 @@ object SparkEntry {
     // oracle is simply the 3-pass unroll (parities 1, 0, 1 on both
     // paths).
     "q328_louvain_warm" -> louvainOracleSql(passes = 3),
+
+    // q329: full DDSketch replay — same baked-in ln γ literal, same
+    // bucket map, same cumulative pick, same double rank arithmetic —
+    // plus the exact rank values and the α bound check.
+    "q329_dd_quantiles" -> ddQuantileOracleSql(alpha = 0.01,
+      qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)),
 
     // q320: star-contraction components on the interleaved chains have
     // a CLOSED FORM — every node's component is its residue class

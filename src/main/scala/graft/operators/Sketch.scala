@@ -211,4 +211,152 @@ object Sketch {
       }
     } finally est.unpersist()
   }
+
+  // --- DDSketch mergeable quantiles -----------------------------------
+
+  /** The DDSketch bucket mapping (Masson, Rim & Lee, VLDB 2019): a
+    * value `v > 0` lands in bucket `⌈ln v / ln γ⌉` with
+    * `γ = (1+α)/(1−α)`, so every bucket spans a `(γᵇ⁻¹, γᵇ]` interval
+    * and the bucket MIDPOINT `2γᵇ/(γ+1)` is within relative error `α`
+    * of every value in it. Negatives get a mirrored store, zeros their
+    * own — the paper's three-store layout as plain columns
+    * `(store ∈ {-1,0,1}, bucket)`, totally ordered by
+    * `(store, store·bucket)`.
+    *
+    * `ln γ` is precomputed ONCE on the driver and baked in as a double
+    * literal, so engines replaying the mapping only need their `ln(v)`
+    * to agree (one shared literal fewer to drift). */
+  private def ddStoreBucket(v: Column, lnGamma: Double): (Column, Column) = (
+    when(v > 0, 1).when(v < 0, -1).otherwise(0),
+    when(v > 0, ceil(log(v) / lit(lnGamma)).cast(LongType))
+      .when(v < 0, ceil(log(-v) / lit(lnGamma)).cast(LongType))
+      .otherwise(lit(0L)))
+
+  /** MERGEABLE relative-error quantile histogram — the quantile member
+    * of the sketch family (Bloom / HLL / Count-Min cover membership,
+    * distinct counts and heavy hitters; profiles at 100 TB also need
+    * percentiles without an exact sort). Returns
+    * `(keys..., store, bucket, n)` DDSketch bucket counts; per-partition
+    * partial counts merge by ADDITION, so partial aggregation IS the
+    * sketch merge and the result is independent of partitioning, split,
+    * and merge order — build histograms per day/source/shard, then
+    * answer any quantile over any union by re-grouping with
+    * [[ddQuantilesFromHistogram]] (its groupBy-sum is the lossless
+    * merge). Exactly associative, no randomness — replayable by any
+    * engine, unlike a sampling KLL.
+    *
+    * `maxBuckets > 0` bounds per-group memory the paper's way: the
+    * LOWEST buckets collapse into the `maxBuckets`-th-from-top bucket,
+    * preserving high-quantile accuracy (the α guarantee then holds for
+    * quantiles above the collapsed mass — SketchSpec locks p99 across
+    * a collapse). NaNs and nulls are dropped. */
+  def ddHistogram(
+      df: DataFrame,
+      valueCol: String,
+      alpha: Double = 0.01,
+      keys: Seq[String] = Nil,
+      maxBuckets: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(maxBuckets >= 0, s"maxBuckets must be >= 0: $maxBuckets")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnG = math.log(gamma)
+    val v = col(valueCol).cast("double")
+    val (store, bucket) = ddStoreBucket(v, lnG)
+    val base = df
+      .filter(v.isNotNull && !isnan(v))
+      .groupBy(keys.map(col) :+ store.as("store") :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    if (maxBuckets == 0) base
+    else {
+      // collapse: rank buckets from the TOP of the order; everything
+      // deeper than maxBuckets re-labels to the boundary bucket and the
+      // counts re-aggregate — one window + one regroup
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      val wOrd = wKey.orderBy(col("store").desc,
+        (col("store") * col("bucket")).desc)
+      base
+        .withColumn("__r", row_number().over(wOrd))
+        .withColumn("__bs", max(when(col("__r") === maxBuckets,
+          col("store"))).over(wKey))
+        .withColumn("__bb", max(when(col("__r") === maxBuckets,
+          col("bucket"))).over(wKey))
+        .select(
+          (keys.map(col) :+
+            when(col("__r") <= maxBuckets || col("__bs").isNull,
+              col("store")).otherwise(col("__bs")).as("store") :+
+            when(col("__r") <= maxBuckets || col("__bs").isNull,
+              col("bucket")).otherwise(col("__bb")).as("bucket") :+
+            col("n")): _*)
+        .groupBy(keys.map(col) :+ col("store") :+ col("bucket"): _*)
+        .agg(sum("n").as("n"))
+    }
+  }
+
+  /** Quantile estimates from [[ddHistogram]] rows — `(keys..., q,
+    * estimate)`. Histogram rows from ANY number of separate builds merge
+    * first via the groupBy-sum (bucket counts add losslessly), then one
+    * per-key cumulative window walks the `(store, store·bucket)` order
+    * and each quantile `q` picks the first bucket whose cumulative count
+    * reaches rank `⌊q·(n−1)⌋ + 1`; the estimate is the bucket midpoint
+    * `±2γᵇ/(γ+1)` (0 for the zero store) — within relative error `α` of
+    * the exact q-quantile VALUE by the bucket-span argument. `alpha`
+    * must be the histogram's. The rank arithmetic is plain double
+    * `q·(n−1)` both here and in any replaying engine — IEEE-identical.
+    *
+    * Scale shape: the histogram is bucket-count-sized (≤ ~35k rows per
+    * key at α = 0.01 over the full double range, usually hundreds), so
+    * the window runs on frames MANY orders smaller than the data; the
+    * only full-data pass is the histogram build itself. */
+  def ddQuantilesFromHistogram(
+      hist: DataFrame,
+      qs: Seq[Double],
+      alpha: Double = 0.01,
+      keys: Seq[String] = Nil
+  ): MayFail[DataFrame] = MayFail {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val merged = hist
+      .groupBy(keys.map(col) :+ col("store") :+ col("bucket"): _*)
+      .agg(sum("n").as("n"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val wOrd = wKey.orderBy(col("store"), col("store") * col("bucket"))
+    val cum = merged
+      .withColumn("__cum", sum("n").over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum("n").over(wKey))
+    val qdf = qs.toDF("q")
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col) :+ col("q"): _*)
+      .orderBy(col("store"), col("store") * col("bucket"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("__cum") >=
+        floor(col("q") * (col("__tot") - 1).cast("double")).cast(LongType) + 1)
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) :+ col("q") :+
+        (when(col("store") === 1,
+            lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1))
+          .when(col("store") === -1,
+            lit(-2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1))
+          .otherwise(lit(0.0))).as("estimate"): _*)
+  }
+
+  /** One-shot [[ddHistogram]] + [[ddQuantilesFromHistogram]]. */
+  def ddQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double],
+      alpha: Double = 0.01,
+      keys: Seq[String] = Nil,
+      maxBuckets: Int = 0
+  ): MayFail[DataFrame] =
+    ddHistogram(df, valueCol, alpha, keys, maxBuckets)
+      .flatMap(h => ddQuantilesFromHistogram(h, qs, alpha, keys))
 }

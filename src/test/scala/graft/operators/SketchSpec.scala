@@ -121,4 +121,95 @@ class SketchSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("ddHistogram: three-store bucket map on hand-computed values; " +
+      "nulls and NaN drop") {
+    val alpha = 0.5 // γ = 3: buckets are (3^(b-1), 3^b]
+    val df = Seq[java.lang.Double](1.0, 3.0, 3.1, 9.0, -3.0, -10.0, 0.0,
+        null, Double.NaN)
+      .toDF("v")
+    val h = Sketch.ddHistogram(df, "v", alpha).get
+      .as[(Int, Long, Long)].collect()
+      .map { case (s, b, n) => (s, b) -> n }.toMap
+    // ln1/ln3=0 → b=0; ln3/ln3=1 → b=1; 3.1 → b=2; 9 → b=2 (ceil(2)=2);
+    // -3 → (-1,1); -10 → (-1,3); 0 → (0,0); null/NaN dropped
+    assert(h == Map((1, 0L) -> 1L, (1, 1L) -> 1L, (1, 2L) -> 2L,
+      (-1, 1L) -> 1L, (-1, 3L) -> 1L, (0, 0L) -> 1L), s"$h")
+  }
+
+  test("ddQuantiles: estimates within alpha relative error of exact " +
+      "quantiles; negatives and zero ordered correctly") {
+    val rnd = new scala.util.Random(7L)
+    val vals = Seq.tabulate(5000)(i =>
+      if (i % 50 == 0) 0.0
+      else if (i % 3 == 0) -(rnd.nextDouble() * 900 + 1)
+      else rnd.nextDouble() * 12000 + 0.5)
+    val df = vals.toDF("v")
+    val alpha = 0.02
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99)
+    val est = Sketch.ddQuantiles(df, "v", qs, alpha).get
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.floor(q * (vals.size - 1)).toInt)
+      val e = est(q)
+      assert(math.abs(e - exact) <= alpha * math.abs(exact) + 1e-9,
+        s"q=$q est=$e exact=$exact exceeds alpha=$alpha")
+    }
+  }
+
+  test("ddHistogram merge: sharded histograms re-aggregate to the " +
+      "one-shot quantiles exactly (associativity), keys respected") {
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.tabulate(3000)(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 1000 - 200))
+    val df = rows.toDF("k", "v")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val oneShot = Sketch.ddQuantiles(df, "v", qs, keys = Seq("k")).get
+      .as[(String, Double, Double)].collect().toSet
+    // three arbitrary shards, histogram each, UNION the histogram rows —
+    // ddQuantilesFromHistogram's groupBy-sum is the merge
+    val shards = Seq(
+      df.filter($"v" < -50), df.filter($"v" >= -50 && $"v" < 400),
+      df.filter($"v" >= 400))
+    val merged = shards.map(s =>
+        Sketch.ddHistogram(s, "v", keys = Seq("k")).get)
+      .reduce(_ unionByName _)
+    val viaMerge = Sketch.ddQuantilesFromHistogram(merged, qs,
+        keys = Seq("k")).get
+      .as[(String, Double, Double)].collect().toSet
+    assert(viaMerge == oneShot,
+      s"merged-shard quantiles diverged: $viaMerge vs $oneShot")
+  }
+
+  test("ddHistogram collapse: maxBuckets bounds the rows and preserves " +
+      "high quantiles") {
+    val rnd = new scala.util.Random(13L)
+    val df = Seq.tabulate(4000)(_ => rnd.nextDouble() * 50000 + 1).toDF("v")
+    val full = Sketch.ddHistogram(df, "v", alpha = 0.005).get
+    val nFull = full.count()
+    val capped = Sketch.ddHistogram(df, "v", alpha = 0.005,
+      maxBuckets = 40).get
+    assert(nFull > 40 && capped.count() == 40,
+      s"collapse must cap rows: full=$nFull capped=${capped.count()}")
+    // counts are conserved by the collapse
+    assert(capped.agg(sum("n")).head().getLong(0) ==
+      full.agg(sum("n")).head().getLong(0))
+    // the top of the order is untouched → p99 identical to uncollapsed
+    val q99Full = Sketch.ddQuantilesFromHistogram(full, Seq(0.99),
+      alpha = 0.005).get.as[(Double, Double)].collect().head._2
+    val q99Capped = Sketch.ddQuantilesFromHistogram(capped, Seq(0.99),
+      alpha = 0.005).get.as[(Double, Double)].collect().head._2
+    assert(q99Full == q99Capped,
+      s"collapse disturbed the high quantile: $q99Capped vs $q99Full")
+  }
+
+  test("ddQuantiles validates knobs") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    assert(Sketch.ddQuantiles(df, "v", Seq(0.5), alpha = 0.0).isFailing)
+    assert(Sketch.ddQuantiles(df, "v", Seq(0.5), alpha = 1.0).isFailing)
+    assert(Sketch.ddQuantiles(df, "v", Seq(1.5)).isFailing)
+    assert(Sketch.ddQuantiles(df, "v", Nil).isFailing)
+    assert(Sketch.ddHistogram(df, "v", maxBuckets = -1).isFailing)
+  }
 }
