@@ -2737,6 +2737,70 @@ object SparkEntry {
         .orderBy("l_returnflag", "q")
     }),
 
+    "q330_stream_ivf_index" -> ((s, dir) => {
+      // STREAMING IVF index maintenance: embeddings arrive in 4 REAL
+      // micro-batches and ivfIndexSink appends each batch's encoded
+      // lists as batch=<id>/cell=<c> parquet — the read-back index must
+      // be BIT-IDENTICAL to a batch ivfEncodeWith over the same rows,
+      // which is what the oracle replays (q317's data-read coarse
+      // routing + q184's quarter-rational code argmin, both exact
+      // sequential-dot arithmetic).
+      implicit val sp: SparkSession = s
+      val emb = tbl(s, dir, "embeddings")
+      val coarse = emb
+        .filter(col("vec_id") % 6 === 1 && col("vec_id") < 48)
+        .select(expr("CAST(vec_id DIV 6 AS INT)").as("cell"),
+          col("embedding").as("centroid"))
+      val cb = s.range(0, 8).select(col("id").cast("int").as("s"))
+        .crossJoin(s.range(0, 16).select(col("id").cast("int").as("cell")))
+        .withColumn("centroid", expr(
+          "transform(sequence(0, 7), i -> " +
+          "CAST(((s*31 + cell*7 + i*3) % 11 - 5) / 4.0 AS FLOAT))"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      val staged = s"$tmp/graft_stream_src330"
+      emb.repartition(4).write.mode("overwrite").parquet(staged)
+      val idxDir = s"$tmp/graft_stream_idx330"
+      val ckpt = s"$tmp/graft_stream_ckpt330_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val q = graft.streaming.Stream.ivfIndexSink(src, idxDir,
+        "embedding", "vec_id", coarse, cb, m = 8, cells = 16,
+        checkpointLocation = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).get
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(idxDir)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("vec_id"), col("cell"), col("s").cast("int").as("s"),
+          col("code").cast("int").as("code"))
+        .orderBy("vec_id", "s")
+    }),
+
+    "q331_cc_fallback" -> ((s, dir) => {
+      // duplicateClusters' automatic wide-diameter rescue: the q320
+      // interleaved chains (~n/8 hops) through the PAIR-LIST entry
+      // point with the distributed loop forced and maxIter = 10 — the
+      // min-label loop cannot converge, the star-contraction fallback
+      // takes over, and the exact closed-form labeling (residue-class
+      // minimum) comes back as a clean Ok.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), pmod(col("o_orderkey"), lit(8)).as("r"))
+      val w = Window.partitionBy(col("r")).orderBy(col("k"))
+      val e = o.withColumn("nxt", lead(col("k"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("k").as("idA"), col("nxt").as("idB"))
+      val r = Dedup.duplicateClusters(e, maxIter = 10, maxDriverEdges = 0L)
+      assert(r.isOk, "fallback must return a clean Ok")
+      r.get.select(col("id").as("node"), col("cluster").as("component"))
+        .orderBy("node")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -8647,6 +8711,51 @@ object SparkEntry {
     "q329_dd_quantiles" -> ddQuantileOracleSql(alpha = 0.01,
       qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)),
 
+    // q330: the stream-maintained IVF index replayed in full — coarse
+    // cell assignment (q317's data-read centroids, argmax 2x·c − |c|²,
+    // ties → smaller cell) joined with the per-subspace PQ code argmin
+    // (q184's quarter-rational codebook, argmax 2d − |c|²) — proving
+    // the micro-batch-built index is bit-identical to a batch encode.
+    "q330_stream_ivf_index" ->
+      """WITH coarse AS (
+           SELECT CAST(vec_id // 6 AS INTEGER) AS cell, embedding
+           FROM embeddings WHERE vec_id % 6 = 1 AND vec_id < 48
+         ), scx AS (
+           SELECT e.vec_id, c.cell,
+             2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+               - list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS sc
+           FROM embeddings e, coarse c
+         ), assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, cell) AS rn FROM scx) WHERE rn = 1
+         ), cb AS (
+           SELECT ss.s AS s, cc.cell AS cell, ii.i AS i,
+             CAST(((ss.s * 31 + cc.cell * 7 + ii.i * 3) % 11 - 5) / 4.0
+                  AS DOUBLE) AS cv
+           FROM (SELECT unnest(range(0, 8)) AS s) ss,
+                (SELECT unnest(range(0, 16)) AS cell) cc,
+                (SELECT unnest(range(0, 8)) AS i) ii
+         ), sc2 AS (
+           SELECT e.vec_id, cb.s, cb.cell,
+             sum(CAST(e.embedding[cb.s * 8 + cb.i + 1] AS DOUBLE) * cb.cv) AS d,
+             sum(cb.cv * cb.cv) AS cc2
+           FROM embeddings e, cb
+           GROUP BY e.vec_id, cb.s, cb.cell
+         ), codes AS (
+           SELECT vec_id, s, cell AS code FROM (
+             SELECT vec_id, s, cell,
+               row_number() OVER (PARTITION BY vec_id, s
+                 ORDER BY 2 * d - cc2 DESC, cell) AS rn
+             FROM sc2) WHERE rn = 1
+         )
+         SELECT a.vec_id, a.cell, CAST(c.s AS INTEGER) AS s,
+           CAST(c.code AS INTEGER) AS code
+         FROM assign a JOIN codes c USING (vec_id)
+         ORDER BY vec_id, s""",
+
     // q320: star-contraction components on the interleaved chains have
     // a CLOSED FORM — every node's component is its residue class
     // minimum; no round replay needed, the exact labeling IS the check.
@@ -8655,6 +8764,16 @@ object SparkEntry {
     // orderkey (possible under fixture changes, not at these SFs)
     // contributes no chain edge and must not appear in the oracle.
     "q320_cc_star" ->
+      """SELECT o_orderkey AS node,
+           min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
+         FROM orders
+         QUALIFY count(*) OVER (PARTITION BY o_orderkey % 8) >= 2
+         ORDER BY node""",
+
+    // q331: same closed form as q320 — the fallback must label the
+    // chains exactly even though it engaged only after the min-label
+    // budget ran out.
+    "q331_cc_fallback" ->
       """SELECT o_orderkey AS node,
            min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
          FROM orders

@@ -304,10 +304,15 @@ object Dedup {
     * Input: (idA, idB) pairs. Output: (id, cluster) — every id appearing
     * in any pair, labeled by its component's minimum id.
     *
-    * Non-convergence (a component wider than `maxIter` hops, i.e. missed
-    * duplicates downstream) returns `IgnorableFail` carrying the partial
-    * labels — programmatically observable via `isFailing`/`getError` while
-    * still composing through `flatMap` (reference forgiveness semantics).
+    * A component wider than `maxIter` hops cannot converge under
+    * min-label propagation — by default (`starFallback = true`) the
+    * SAME edge set then runs [[Graph.connectedComponentsStar]]'s
+    * O(log n)-round star contraction, which converges exactly for ANY
+    * diameter, so callers never see missed duplicates. With
+    * `starFallback = false` non-convergence instead returns
+    * `IgnorableFail` carrying the partial labels — programmatically
+    * observable via `isFailing`/`getError` while still composing through
+    * `flatMap` (reference forgiveness semantics; the probe path).
     * NB: when the edge set fits `maxDriverEdges` (and a byte bound, for
     * string keys) the labels come from a driver-side union-find instead —
     * one bounded pass, exact convergence regardless of `maxIter`, same
@@ -318,7 +323,8 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 10,
-      maxDriverEdges: Long = 1000000L
+      maxDriverEdges: Long = 1000000L,
+      starFallback: Boolean = true
   ): MayFail[DataFrame] = {
     val run = MayFail {
       // checkpoint the (possibly expensive) pair pipeline ONCE — each
@@ -361,6 +367,22 @@ object Dedup {
         converged = next.filter(col("__next") =!= col("__prev")).limit(1).count() == 0
         labels = next.select(col("id"), col("__next").as("cluster"))
         i += 1
+      }
+      if (!converged && starFallback) {
+        // WIDE-DIAMETER fallback (default): min-label propagation
+        // advances one hop per round, so a component wider than
+        // `maxIter` hops cannot converge — hand the SAME checkpointed
+        // edge set to the O(log n)-round large-star/small-star
+        // contraction ([[Graph.connectedComponentsStar]]), which labels
+        // every component by its min id EXACTLY, instead of returning
+        // IgnorableFail partials that silently miss duplicates.
+        // `starFallback = false` restores the probe semantics (observe
+        // non-convergence programmatically).
+        labels = Graph.connectedComponentsStar(
+            edges.select(col("src"), col("dst")), "src", "dst",
+            maxRounds = math.max(maxIter, 30)).get
+          .select(col("node").as("id"), col("component").as("cluster"))
+        converged = true
       }
       (labels, converged)
       }

@@ -1136,11 +1136,12 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 10,
-      maxDriverEdges: Long = 1000000L
+      maxDriverEdges: Long = 1000000L,
+      starFallback: Boolean = true
   ): MayFail[DataFrame] =
     Dedup.duplicateClusters(
         edges.select(col(srcCol).as("idA"), col(dstCol).as("idB")),
-        maxIter, maxDriverEdges)
+        maxIter, maxDriverEdges, starFallback)
       .map(_.select(col("id").as("node"), col("cluster").as("component")))
 
   /** Harmonic centrality from a LANDMARK set (Boldi & Vigna 2014's

@@ -410,6 +410,58 @@ object Stream {
         .start()
     }
 
+  /** Streaming IVF index maintenance — keep a
+    * [[graft.operators.Quantize.ivfEncodeWith]] stored index FRESH as
+    * vectors arrive, without re-encoding the corpus: the stream is
+    * encoded by the same per-row codegen kernels (cell assignment + PQ
+    * codes against the caller's frozen codebooks — a pure projection, so
+    * it rides the streaming frame directly), and each micro-batch lands
+    * as `path/batch=<id>/cell=<c>/` parquet. Readers (`spark.read
+    * .parquet(path)`) see the usual `(id, codes, batch, cell)` lists and
+    * [[graft.operators.Quantize.ivfSearchEncoded]] partition-prunes on
+    * `cell` exactly as over a batch-built index.
+    *
+    * Exactly-once WITHOUT a log: the batch id is the partition key and
+    * each batch dir is written with OVERWRITE, so a checkpoint-replayed
+    * micro-batch rewrites its own directory instead of appending
+    * duplicates — idempotent under any crash/restart (the q330 gate and
+    * StreamSpec replay bit-parity against the batch-built index).
+    *
+    * The codebooks are validated and collected ONCE at sink
+    * construction (driver-resident by the FAISS argument, bounds named
+    * in Quantize) — per batch the work is one narrow projection and one
+    * cell-partitioned write. Codebook DRIFT is the caller's contract,
+    * as in [[graft.operators.Quantize.ivfSearchEncoded]]: re-train ⇒
+    * re-encode. */
+  def ivfIndexSink(
+      stream: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      coarse: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      cells: Int,
+      checkpointLocation: String,
+      metric: String = "l2",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): MayFail[StreamingQuery] =
+    graft.operators.Quantize.ivfEncodeWith(stream, vecCol, idCol, coarse,
+      codebook, m, cells, metric).flatMap { enc =>
+      MayFail {
+        require(stream.isStreaming, "ivfIndexSink needs a streaming frame")
+        enc.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointLocation)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty)
+              batch.write.mode("overwrite").partitionBy("cell")
+                .parquet(s"$path/batch=$batchId")
+          }
+          .start()
+      }
+    }
+
   private[streaming] def applyUpsertBatch(
       batch: DataFrame,
       path: String,

@@ -220,19 +220,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("duplicateClusters signals non-convergence as IgnorableFail with partial labels") {
+  test("duplicateClusters: star fallback converges wide components the " +
+      "label loop cannot; starFallback=false keeps the probe semantics") {
     // distributed path forced (maxDriverEdges=0): path 1-2-3-4-5-6 has
-    // diameter 5; maxIter=1 cannot converge
+    // diameter 5; maxIter=1 cannot converge by min-label propagation —
+    // the DEFAULT falls back to star contraction and returns exact labels
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("idA", "idB")
-    val r = Dedup.duplicateClusters(chain, maxIter = 1, maxDriverEdges = 0L)
+    val viaFallback = Dedup.duplicateClusters(chain, maxIter = 1,
+      maxDriverEdges = 0L)
+    assert(viaFallback.isOk, "star fallback must rescue non-convergence")
+    assert(viaFallback.get.as[(Long, Long)].collect().toMap ==
+      (1L to 6L).map(_ -> 1L).toMap)
+    // probe path: starFallback=false restores IgnorableFail + partials
+    val r = Dedup.duplicateClusters(chain, maxIter = 1, maxDriverEdges = 0L,
+      starFallback = false)
     assert(r.isFailing, "expected IgnorableFail on non-convergence")
     assert(r.getError.exists(_.getMessage.contains("did not converge")))
     // partial labels still usable (every id present, labels valid ids)
     val partial = r.get.as[(Long, Long)].collect().toMap
     assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
     // and a sufficient maxIter on the same input is a clean Ok
-    assert(Dedup.duplicateClusters(chain, maxIter = 6, maxDriverEdges = 0L).isOk)
+    assert(Dedup.duplicateClusters(chain, maxIter = 6, maxDriverEdges = 0L,
+      starFallback = false).isOk)
   }
 
   test("minhashDedupTransitive keeps one representative per component") {

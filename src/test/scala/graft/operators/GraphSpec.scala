@@ -403,9 +403,14 @@ class GraphSpec extends AnyFunSuite {
     assert(lab.size == 200 && lab.values.forall(_ == 0L),
       s"every path node must label 0: ${lab.filter(_._2 != 0L)}")
     // the min-label loop at the same budget genuinely fails here (the
-    // gap this operator exists to close) — IgnorableFail partial
+    // gap this operator exists to close) — IgnorableFail partial with
+    // the fallback disabled; with the DEFAULT fallback the same call
+    // converges exactly via this operator
     assert(Graph.connectedComponents(e, "s", "d", maxIter = 12,
-      maxDriverEdges = 0L).isFailing)
+      maxDriverEdges = 0L, starFallback = false).isFailing)
+    val rescued = Graph.connectedComponents(e, "s", "d", maxIter = 12,
+      maxDriverEdges = 0L).get.as[(Long, Long)].collect().toMap
+    assert(rescued == lab, "star fallback must produce the exact labels")
   }
 
   test("connectedComponentsStar: multiple components, determinism, " +

@@ -274,6 +274,52 @@ class StreamSpec extends AnyFunSuite {
     assert(Stream.neardupAgainst(ref, ref, "text", "doc_id").isFailing)
   }
 
+  test("ivfIndexSink: stream-built index equals batch ivfEncodeWith " +
+      "bit-for-bit; a replayed run overwrites idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Quantize
+    val rnd = new scala.util.Random(5L)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 4 - 2)))
+    val df = rows.toDF("vec_id", "vec")
+    val coarse = Seq.tabulate(4)(c =>
+        (c, Seq.tabulate(8)(i => ((c * 5 + i) % 7 - 3).toFloat)))
+      .toDF("cell", "centroid")
+    val cb = (for (s <- 0 until 2; c <- 0 until 4) yield
+        (s, c, Seq.tabulate(4)(i => ((s * 3 + c * 2 + i) % 5 - 2).toFloat)))
+      .toDF("s", "cell", "centroid")
+    val batchIdx = Quantize.ivfEncodeWith(df, "vec", "vec_id", coarse, cb,
+        m = 2, cells = 4).get
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("ivfsink").toString
+    def run(ck: String): Set[(Long, Int, Seq[Int])] = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Stream.ivfIndexSink(input.toDF.toDF("vec_id", "vec"),
+        s"$tmp/idx", "vec", "vec_id", coarse, cb, m = 2, cells = 4,
+        checkpointLocation = s"$tmp/$ck",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).get
+      input.addData(rows.take(25))
+      q.processAllAvailable()
+      input.addData(rows.drop(25))
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(s"$tmp/idx")
+        .select($"vec_id", $"cell".cast("int"), $"codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    }
+    val streamed = run("ck1")
+    assert(streamed == batchIdx,
+      s"stream-built index diverged from batch encode: " +
+        s"${streamed.diff(batchIdx)} / ${batchIdx.diff(streamed)}")
+    // a second run over the same data (fresh checkpoint, same index
+    // path — the crash-replay shape) must OVERWRITE, not duplicate
+    val replayed = run("ck2")
+    assert(replayed == batchIdx, "replay duplicated or corrupted the index")
+    // static frames are rejected
+    assert(Stream.ivfIndexSink(df, s"$tmp/idx2", "vec", "vec_id", coarse,
+      cb, m = 2, cells = 4, checkpointLocation = s"$tmp/ck3").isFailing)
+  }
+
   test("neardupAgainst: pair survives when its EARLIEST colliding band " +
       "was bucket-capped (ADVICE r10 — batch parity under a hot bucket)") {
     implicit val sqlCtx = spark.sqlContext
