@@ -405,7 +405,10 @@ object Quality {
     * partial-agg shuffle to the (value, count) grid, one running-count
     * window over the GRID (never the rows), and a broadcast-scale
     * pick. A 10¹⁰-row column over a bounded value domain (lengths,
-    * scores, cents) windows over its value grid only.
+    * scores, cents) windows over its value grid only. For UNBOUNDED
+    * continuous domains (the grid ≈ the data) use [[percentilesApprox]]
+    * — the DDSketch path whose state is bucket-count-sized regardless
+    * of data size.
     *
     * Returns one row per requested percentile:
     * `(p: double, rank: bigint, value: double)` — `rank` = ⌈p·n⌉
@@ -446,6 +449,26 @@ object Quality {
       .join(hits, Seq("p"), "left")
       .select("p", "rank", "value")
   }
+
+  /** Percentiles for UNBOUNDED continuous domains — [[percentiles]]'
+    * sketch-backed sibling: the exact path windows over the
+    * distinct-value grid, which is the data size itself when values
+    * never repeat (raw floats, embeddings norms, timings), so its
+    * global grid window degenerates into a full single-partition sort.
+    * This variant answers from a [[Sketch.ddHistogram]] (≤ ~35k bucket
+    * rows at α = 0.01 over the entire double range, regardless of data
+    * size) with a stated relative-error guarantee α, deterministic and
+    * merge-exact — the same numbers any shard-built histogram would
+    * give. Returns `(p, value)` where `value` is within `α·|exact|` of
+    * the exact p-quantile value. */
+  def percentilesApprox(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      alpha: Double = 0.01
+  ): MayFail[DataFrame] =
+    Sketch.ddQuantiles(df, valueCol, ps, alpha)
+      .map(_.select(col("q").as("p"), col("estimate").as("value")))
 
   /** [[profile]] per group — the per-source / per-language quality
     * dashboard: one row per (group, column) with the same statistics.

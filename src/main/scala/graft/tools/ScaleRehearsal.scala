@@ -1498,6 +1498,136 @@ object ScaleRehearsal {
       s"mean IVF scan fraction ${ivfRepl.values.sum / ivfRepl.size} " +
         "exceeds 1.8 x nProbe/nCells — routing skew")
 
+    // round-11 invariants ---------------------------------------------
+    // louvain warm-start continuation: resuming from a 2-pass seed with
+    // the parity schedule continued must be BIT-IDENTICAL to the
+    // uninterrupted 4-pass run — the snapshot-resume contract at 10x
+    def lmMap(seed: Option[DataFrame], passes: Int, first: Int): Map[Long, Long] =
+      graft.operators.Graph.louvainMove(replGraph, "src", "dst",
+          passes = passes, seed = seed, firstPass = first).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var lmWarm: Map[Long, Long] = null
+    time("louvain-warmstart")({
+      val half = graft.operators.Graph.louvainMove(replGraph, "src", "dst",
+        passes = 2).get.localCheckpoint(true)
+      lmWarm = lmMap(Some(half), 2, 3)
+      lmWarm.size.toLong
+    })
+    val lmCold = lmMap(None, 4, 1)
+    check("louvain_warmstart_continuation_law",
+      lmCold.nonEmpty && lmWarm == lmCold,
+      s"warm continuation must equal the uninterrupted run: " +
+        s"${lmWarm.size} vs ${lmCold.size}")
+
+    // IVF stored-list FILE pruning (the q317 construction served from a
+    // cell-partitioned stored index): the search scan must carry
+    // PartitionFilters and READ fewer files than the index holds —
+    // ≈ probed/nCells of them. AQE is disabled around this one plan so
+    // the FileSourceScanExec is inspectable; numFiles is its own metric.
+    time("ivf-file-prune")({
+      val coarseB = ivfCoarse(embBase)
+      val cbB = spark.range(0, 8).select(col("id").cast("int").as("s"))
+        .crossJoin(spark.range(0, 16).select(col("id").cast("int").as("cell")))
+        .withColumn("centroid", expr(
+          "transform(sequence(0, 7), i -> " +
+          "CAST(((s*31 + cell*7 + i*3) % 11 - 5) / 4.0 AS FLOAT))"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("rehearsal_ivf_idx").toString
+      graft.operators.Quantize.ivfEncodeWith(embBase, "embedding",
+          "vec_id", coarseB, cbB, m = 8, cells = 16).get
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      val totalFiles = {
+        val d = new java.io.File(idxDir)
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles.map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(d)
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val stored = spark.read.parquet(idxDir)
+        val search = graft.operators.Quantize.ivfSearchEncoded(stored,
+          embBase, embBase.filter(col("vec_id") < 10), "embedding",
+          "vec_id", coarseB, cbB, m = 8, cells = 16, k = 5, nProbe = 3,
+          shortlistK = 600).get
+        search.collect()
+        val scans = search.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains(idxDir.split('/').last)) => f
+        }
+        val readFiles = scans.map(_.metrics("numFiles").value).sum
+        check("ivf_file_prune_law",
+          scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty) &&
+            readFiles > 0 && readFiles < totalFiles,
+          s"stored-list search must partition-prune files: read " +
+            s"$readFiles of $totalFiles with filters " +
+            scans.map(_.partitionFilters).mkString(","))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      1L
+    })
+
+    // DDSketch: (a) shard-merge associativity — histograms of three
+    // arbitrary shards of the 10x frame re-aggregate to the one-shot
+    // quantiles BIT-exactly (addition is the merge); (b) partition
+    // invariance; (c) the alpha bound holds against the exact rank
+    // values on the replicated frame
+    val ddQs = Seq(0.1, 0.5, 0.9, 0.99)
+    def ddOf(d: DataFrame): Map[Double, Double] =
+      graft.operators.Sketch.ddQuantiles(d, "l_extendedprice", ddQs,
+          alpha = 0.01).get
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    var ddRepl: Map[Double, Double] = null
+    time("dd-quantiles")({ ddRepl = ddOf(li); ddRepl.size.toLong })
+    val ddShards = Seq(
+        li.filter(col("l_orderkey") % 3 === 0),
+        li.filter(col("l_orderkey") % 3 === 1),
+        li.filter(col("l_orderkey") % 3 === 2))
+      .map(s => graft.operators.Sketch.ddHistogram(s, "l_extendedprice",
+        alpha = 0.01).get)
+      .reduce(_ unionByName _)
+    val ddMerged = graft.operators.Sketch.ddQuantilesFromHistogram(
+        ddShards, ddQs, alpha = 0.01).get
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    check("dd_quantile_merge_law", ddRepl.nonEmpty && ddMerged == ddRepl,
+      s"sharded histogram merge must equal one-shot: $ddMerged vs $ddRepl")
+    val ddShuffled = ddOf(li.repartition(97))
+    check("dd_quantile_partition_invariance", ddShuffled == ddRepl,
+      s"dd quantiles must be partitioning-invariant: $ddShuffled vs $ddRepl")
+    val ddRanked = li.select(col("l_extendedprice").cast("double").as("v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .localCheckpoint(true)
+    val ddN = ddRanked.count()
+    val ddExact = ddQs.map { q =>
+      val r = math.floor(q * (ddN - 1)).toLong + 1
+      q -> ddRanked.filter(col("rn") === r).head().getDouble(0)
+    }.toMap
+    check("dd_quantile_alpha_bound",
+      ddQs.forall(q =>
+        math.abs(ddRepl(q) - ddExact(q)) <= 0.01 * math.abs(ddExact(q)) + 1e-9),
+      s"dd estimates must stay within alpha of exact: $ddRepl vs $ddExact")
+
+    // duplicateClusters star fallback at 10x: a 1-round label budget
+    // cannot converge the co-occurrence graph — the fallback must
+    // produce EXACTLY the converged labels (driver union-find ground
+    // truth)
+    val ccPairs = replGraph.select(col("src").as("idA"), col("dst").as("idB"))
+    var fbMap: Map[Long, Long] = null
+    time("cc-fallback")({
+      fbMap = graft.operators.Dedup.duplicateClusters(ccPairs,
+          maxIter = 1, maxDriverEdges = 0L).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fbMap.size.toLong
+    })
+    val ccTruth = graft.operators.Dedup.duplicateClusters(ccPairs).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check("cc_fallback_exactness_law",
+      ccTruth.nonEmpty && fbMap == ccTruth,
+      s"star fallback must equal converged labels: " +
+        s"${fbMap.size} vs ${ccTruth.size}")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

@@ -338,6 +338,24 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.percentiles(data, "v", Seq(0.5, 0.5)).isFailing)
   }
 
+  test("percentilesApprox: within alpha of the exact path on a " +
+      "never-repeating domain; knob guards ride through") {
+    // unbounded continuous values — the case the exact grid degrades on
+    val rnd = new scala.util.Random(31L)
+    val vals = Seq.fill(4000)(math.exp(rnd.nextGaussian() * 2 + 3))
+    val data = vals.toDF("v")
+    val ps = Seq(0.05, 0.5, 0.95)
+    val approx = Quality.percentilesApprox(data, "v", ps, alpha = 0.01).get
+      .as[(Double, Double)].collect().toMap
+    val exact = Quality.percentiles(data, "v", ps).get
+      .as[(Double, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    ps.foreach { p =>
+      assert(math.abs(approx(p) - exact(p)) <= 0.011 * exact(p),
+        s"p=$p approx=${approx(p)} exact=${exact(p)} out of bound")
+    }
+    assert(Quality.percentilesApprox(data, "v", Seq(0.5), alpha = 0.0).isFailing)
+  }
+
   test("categoricalDrift: union grid, zero fill, hand-computed chi2, null bucket") {
     // ref = [a,a,a,b], cur = [a,b,b,c]: per-category homogeneity χ²
     // contributions 1 (a) + 1/3 (b) + 1 (c) = 7/3
