@@ -1547,9 +1547,13 @@ object ScaleRehearsal {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val stored = spark.read.parquet(idxDir)
+        // nProbe = 1 and a 3-query batch: the probed-cell UNION must be
+        // a strict subset of the 8 router cells, or there is nothing to
+        // prune (the r11 first-cut used 10 queries × nProbe 3, which
+        // covered every cell — a vacuous law)
         val search = graft.operators.Quantize.ivfSearchEncoded(stored,
-          embBase, embBase.filter(col("vec_id") < 10), "embedding",
-          "vec_id", coarseB, cbB, m = 8, cells = 16, k = 5, nProbe = 3,
+          embBase, embBase.filter(col("vec_id") < 3), "embedding",
+          "vec_id", coarseB, cbB, m = 8, cells = 16, k = 5, nProbe = 1,
           shortlistK = 600).get
         search.collect()
         val scans = search.queryExecution.executedPlan.collect {
