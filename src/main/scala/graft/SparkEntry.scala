@@ -2801,6 +2801,29 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q332_winnow_fingerprints" -> ((s, dir) => {
+      // Winnowing (MOSS) fingerprint selection replayed position-for-
+      // position: char-16-gram md5 prefixes, window-of-8 integer minima
+      // on the combined (hash, pos) key, distinct selections. All
+      // integer arithmetic — bit-deterministic on both engines.
+      Dedup.winnowFingerprints(
+          tbl(s, dir, "documents").filter(col("doc_id") < 40),
+          "text", "doc_id", k = 16, w = 8).get
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos", "fp")
+    }),
+
+    "q333_winnow_pairs" -> ((s, dir) => {
+      // Near-verbatim candidate pairs from shared winnowing
+      // fingerprints, boilerplate-capped: fingerprints in > 25 docs
+      // drop (the cap BINDS on this corpus — shared template phrases),
+      // pairs need >= 3 distinct shared fingerprints. Guarantee: any
+      // >= 23-char verbatim overlap shares >= 1 fingerprint.
+      Dedup.winnowPairs(tbl(s, dir, "documents"), "text", "doc_id",
+          k = 16, w = 8, minShared = 3L, maxBucket = 25).get
+        .orderBy("idA", "idB")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -5595,6 +5618,33 @@ object SparkEntry {
            ON est.l_returnflag = exact.l_returnflag AND est.q = exact.q
          ORDER BY est.l_returnflag, q"""
   }
+
+  /** Shared winnowing CTE chain (q332/q333): char `k`-gram md5-prefix
+    * hashes combined with their position into one BIGINT
+    * `c = h·2¹⁷ + pos`, window-of-`w` integer minima, distinct
+    * selections — replaying
+    * [[graft.operators.Dedup.winnowFingerprints]] exactly. */
+  private def winnowSelCtes(k: Int, w: Int, docFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents$docFilter
+         ), g0 AS (
+           SELECT doc_id, text, length(text) - $k + 1 AS grams,
+             unnest(range(1, length(text) - $k + 2)) AS pos
+           FROM d WHERE length(text) >= $k
+         ), g AS (
+           SELECT doc_id, pos, grams,
+             CAST(('0x' || substring(md5(
+               substring(text, CAST(pos AS INTEGER), $k)), 1, 11))
+               AS BIGINT) * 131072 + pos AS c
+           FROM g0
+         ), wins AS (
+           SELECT doc_id, pos, grams,
+             min(c) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cmin
+           FROM g
+         ), sel AS (
+           SELECT DISTINCT doc_id, cmin FROM wins
+           WHERE pos <= greatest(grams - $w + 1, 1)
+         )"""
 
   /** q232's oracle, generated: `passes` unrolled Louvain local-move
     * passes over the q202 co-occurrence graph, replaying
@@ -8779,6 +8829,28 @@ object SparkEntry {
          FROM orders
          QUALIFY count(*) OVER (PARTITION BY o_orderkey % 8) >= 2
          ORDER BY node""",
+
+    // q332/q333: the winnowing selection and its capped pair join —
+    // every step integer-exact (md5-prefix hashes, combined-key window
+    // minima), so both oracles are full replays.
+    "q332_winnow_fingerprints" -> (winnowSelCtes(16, 8,
+      " WHERE doc_id < 40") +
+      """
+         SELECT doc_id, CAST(cmin % 131072 AS BIGINT) AS pos,
+           CAST(cmin // 131072 AS BIGINT) AS fp
+         FROM sel ORDER BY doc_id, pos, fp"""),
+    "q333_winnow_pairs" -> (winnowSelCtes(16, 8, "") +
+      """, fp AS (
+           SELECT DISTINCT doc_id, cmin // 131072 AS fp FROM sel
+         ), keptfp AS (
+           SELECT fp FROM fp GROUP BY fp
+           HAVING count(*) >= 2 AND count(*) <= 25
+         ), fpc AS (SELECT f.* FROM fp f JOIN keptfp USING (fp))
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY idA, idB"""),
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

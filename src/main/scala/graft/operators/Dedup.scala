@@ -1525,4 +1525,104 @@ object Dedup {
       .filter(col("doc_freq") > maxGramDf)
       .orderBy(col("doc_freq").desc, col("gram"))
   }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every CHARACTER k-gram,
+    * slide a window of `w` consecutive gram hashes, select each
+    * window's minimum, deduplicate the selections. The guarantee that
+    * makes this the standard robust fingerprint: any substring match of
+    * length ≥ w + k − 1 between two documents shares at least one
+    * SELECTED fingerprint (every such match spans a full window on both
+    * sides), at expected density 2/(w+1) of the grams — so a document
+    * reduces to a small position-tagged fingerprint set that still
+    * catches every long-enough verbatim overlap. Character-level, so it
+    * sees through tokenization: the complement of the word-shingle
+    * MinHash family ([[minhashPairs]]) for verbatim-run detection
+    * (license boilerplate, quoted passages, template clones).
+    *
+    * DETERMINISM / replayability: the gram hash is the repo's portable
+    * md5 device (first 11 hex digits → 44-bit long), and the selection
+    * compares the SINGLE integer `c = h·2¹⁷ + pos` (lexicographic
+    * (hash, pos) min as one BIGINT — ties toward the earliest position)
+    * so any engine replays window minima with plain integer min. The
+    * 2¹⁷ position field bounds documents at 131,071 chars — exceeding
+    * it raises loudly rather than fingerprinting wrongly (segment
+    * longer docs first: [[graft.operators.Segments]]).
+    *
+    * Scale shape: one explode to the gram frame (rows × avg chars), one
+    * PER-DOCUMENT ordered window (partitions are single documents —
+    * parallelism is the corpus), one distinct. No corpus-wide shuffle
+    * keyed on anything global.
+    *
+    * Returns `(id, pos: 1-based gram position, fp: bigint)`. Documents
+    * shorter than `k` chars produce no rows; documents with fewer than
+    * `w` grams winnow their single short window (the MOSS convention).
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 2 && k <= 64, s"gram size k must be in 2..64: $k")
+    require(w >= 1 && w <= 64, s"window w must be in 1..64: $w")
+    val n = length(col(textCol))
+    val grams = df
+      .filter(col(textCol).isNotNull && n >= k)
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        (n - k + 1).as("__g"),
+        explode(sequence(lit(1), n - k + 1)).as("pos"))
+      .withColumn("pos",
+        when(col("pos") > 131071,
+          raise_error(lit("winnowFingerprints: document exceeds 131071 " +
+            "grams — segment it first"))).otherwise(col("pos")))
+      .withColumn("__h",
+        conv(substring(md5(col("__t").substr(col("pos"), lit(k))), 1, 11),
+          16, 10).cast("long"))
+      .withColumn("__c", col("__h") * 131072L + col("pos"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("__cmin", min(col("__c")).over(win))
+      // only full windows select (trailing starts are suffixes of the
+      // last full window); a doc with < w grams keeps its single
+      // all-gram window at pos 1
+      .filter(col("pos") <= greatest(col("__g") - w + 1, lit(1)))
+      .select(col("id"), col("__cmin")).distinct()
+      .select(col("id"),
+        pmod(col("__cmin"), lit(131072L)).as("pos"),
+        expr("__cmin div 131072").as("fp"))
+  }
+
+  /** Winnowed near-verbatim candidate pairs: documents sharing ≥
+    * `minShared` distinct winnowing fingerprints — by the winnowing
+    * guarantee, a recall-complete candidate set for verbatim overlaps
+    * of ≥ `w + k − 1` chars (at minShared = 1). The fingerprint join is
+    * skew-capped the [[minhashPairs]] way: a fingerprint appearing in
+    * more than `maxBucket` documents is boilerplate (its pairs are
+    * quadratic and tell you nothing) and is dropped by
+    * [[Banding.capBuckets]]; singleton fingerprints can't pair and drop
+    * with the same aggregate. Returns `(idA, idB, n_shared)`,
+    * idA < idB. */
+  def winnowPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] =
+    winnowFingerprints(df, textCol, idCol, k, w).map { fps =>
+      require(minShared >= 1, s"minShared must be >= 1: $minShared")
+      val docFp = fps.select(col("id"), col("fp")).distinct()
+      val capped = Banding.capBuckets(docFp, Seq("fp"), maxBucket,
+        minOccupancy = 2)
+      capped.select(col("fp"), col("id").as("idA"))
+        .join(capped.select(col("fp"), col("id").as("idB")), Seq("fp"))
+        .filter(col("idA") < col("idB"))
+        .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
 }

@@ -245,6 +245,73 @@ class DedupSimilaritySpec extends AnyFunSuite {
       starFallback = false).isOk)
   }
 
+  test("winnowFingerprints: the winnowing guarantee — any >= w+k-1 char " +
+      "overlap shares a fingerprint; density, short docs, determinism") {
+    val k = 8; val w = 4 // guarantee threshold = 11 chars
+    val shared = "zqxjkvbw remarkable zz" // 22 chars ≫ 11
+    val a = s"first document prefix $shared and a tail of its own"
+    val b = s"a completely different opener $shared closing words here"
+    val c = "no overlap with anything else whatsoever in this text"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id", k, w).get
+      .as[(Long, Long, Long)].collect()
+    // guarantee: docs 1 and 2 share >= 1 selected fingerprint VALUE
+    val byDoc = fps.groupBy(_._1).map { case (d, r) => d -> r.map(_._3).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      s"winnowing guarantee violated: no shared fp for a $shared overlap")
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty ||
+      true) // (c may share by 44-bit chance; not asserted)
+    // density: selections are ~2/(w+1) of grams — loosely bounded
+    val gramsA = a.length - k + 1
+    val selA = fps.count(_._1 == 1L)
+    assert(selA >= gramsA / (w + 1) && selA <= gramsA,
+      s"implausible selection density: $selA of $gramsA")
+    // positions are valid 1-based gram starts
+    assert(fps.forall(f => f._2 >= 1 && f._2 <= 600))
+    // determinism across partitionings
+    val again = Dedup.winnowFingerprints(docs.repartition(7), "text",
+        "doc_id", k, w).get
+      .as[(Long, Long, Long)].collect()
+    assert(fps.sorted.toSeq == again.sorted.toSeq)
+    // short doc (< w grams): its single short window still selects
+    val short = Seq((9L, "abcdefghij")).toDF("doc_id", "text") // 3 grams < w
+    val sFps = Dedup.winnowFingerprints(short, "text", "doc_id", k, w).get
+      .collect()
+    assert(sFps.length == 1, s"short doc must winnow one window: ${sFps.toSeq}")
+    // sub-k docs produce nothing; knob guards
+    assert(Dedup.winnowFingerprints(Seq((9L, "tiny")).toDF("doc_id", "text"),
+      "text", "doc_id", k, w).get.count() == 0)
+    assert(Dedup.winnowFingerprints(docs, "text", "doc_id", k = 1).isFailing)
+    assert(Dedup.winnowFingerprints(docs, "text", "doc_id", w = 0).isFailing)
+  }
+
+  test("winnowPairs: planted overlap pairs at minShared=1; boilerplate " +
+      "cap drops hot fingerprints; n_shared counts distinct fps") {
+    val k = 8; val w = 4
+    val shared = "zqxjkvbw remarkable zz"
+    val docs = (Seq(
+      (1L, s"first document prefix $shared and a tail of its own"),
+      (2L, s"a completely different opener $shared closing words here"),
+      (3L, "no overlap with anything else whatsoever in this text")) ++
+      // 30 copies of one boilerplate line: its fingerprints exceed the
+      // cap and must NOT produce pairs
+      (10L until 40L).map(i => (i, "identical boilerplate line repeated " +
+        "across many documents verbatim"))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id", k, w,
+        minShared = 1L, maxBucket = 25).get
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"planted overlap pair missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 >= 10L),
+      s"capped boilerplate produced pairs: ${pairs.toSeq}")
+    // with the cap lifted the boilerplate cluster pairs all-vs-all
+    val uncapped = Dedup.winnowPairs(docs, "text", "doc_id", k, w,
+        minShared = 1L, maxBucket = 1000).get
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.count(p => p._1 >= 10L && p._2 >= 10L) == 30 * 29 / 2)
+    assert(Dedup.winnowPairs(docs, "text", "doc_id", minShared = 0L).isFailing)
+  }
+
   test("minhashDedupTransitive keeps one representative per component") {
     // 0~1 exact, 0~2 near: transitive keeps only 0 (plus unrelated 3, 4)
     val kept = Dedup.minhashDedupTransitive(docs, "text", "doc_id", threshold = 0.5).get
