@@ -2824,6 +2824,36 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q334_stream_quantiles" -> ((s, dir) => {
+      // STREAMING percentile monitor: per-hour-window DDSketch bucket
+      // maps (bounded state) over a file stream, drained and finished
+      // with the shared quantile pick — counts are exact integers, so
+      // the drained histogram is bit-equal to batch bucketing and the
+      // oracle replays the whole chain (time_bucket windows, the q329
+      // bucket map with the same baked-in ln γ, rank picks).
+      implicit val sp: SparkSession = s
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src334"
+      events(s, dir).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_swq_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val hist = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        h <- graft.streaming.Stream.windowedQuantileHistogram(src, "ts",
+          "1 hour", "30 minutes", "value", alpha = 0.01,
+          keys = Seq("event_type"))
+        res <- graft.streaming.Stream.drainToMemory(h, name, "complete")
+      } yield res).get
+      val flat = hist.select(col("window.start").as("ws"),
+        col("event_type"), col("store"), col("bucket"), col("n"))
+      Sketch.ddQuantilesFromHistogram(flat, Seq(0.5, 0.95), alpha = 0.01,
+          keys = Seq("ws", "event_type")).get
+        .select(col("ws"), col("event_type"), col("q"),
+          round(col("estimate") + lit(1e-9), 4).as("estimate"))
+        .orderBy("ws", "event_type", "q")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -5617,6 +5647,52 @@ object SparkEntry {
          FROM est JOIN exact
            ON est.l_returnflag = exact.l_returnflag AND est.q = exact.q
          ORDER BY est.l_returnflag, q"""
+  }
+
+  /** q334's oracle, generated: the q329 DDSketch replay per hourly
+    * `time_bucket` window and event type over the events stream —
+    * identical baked-in ln γ / γ / γ+1 literals. */
+  private def ddStreamQuantileOracleSql(alpha: Double, qs: Seq[Double]): String = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val lnG = math.log(gamma)
+    def d2s(d: Double): String = java.lang.Double.toString(d)
+    val qList = qs.map(d2s).mkString(", ")
+    s"""WITH src AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         ), h AS (
+           SELECT ws, event_type,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS store,
+             CASE WHEN v > 0 THEN CAST(ceil(ln(v) / ${d2s(lnG)}) AS BIGINT)
+                  WHEN v < 0 THEN CAST(ceil(ln(-v) / ${d2s(lnG)}) AS BIGINT)
+                  ELSE 0 END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM src GROUP BY 1, 2, 3, 4
+         ), c AS (
+           SELECT ws, event_type, store, bucket,
+             CAST(sum(n) OVER (PARTITION BY ws, event_type
+               ORDER BY store, store * bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY ws, event_type) AS BIGINT) AS tot
+           FROM h
+         ), qs AS (SELECT unnest([$qList]::DOUBLE[]) AS q
+         ), pick AS (
+           SELECT ws, event_type, q, store, bucket FROM (
+             SELECT c.ws, c.event_type, qs.q, c.store, c.bucket,
+               row_number() OVER (PARTITION BY c.ws, c.event_type, qs.q
+                 ORDER BY c.store, c.store * c.bucket) AS rn
+             FROM c, qs
+             WHERE c.cum >= CAST(floor(qs.q * CAST(c.tot - 1 AS DOUBLE))
+               AS BIGINT) + 1
+           ) WHERE rn = 1
+         )
+         SELECT ws, event_type, q,
+           round(CASE store
+             WHEN 1 THEN 2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
+             WHEN -1 THEN -2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
+             ELSE 0.0 END + 1e-9, 4) AS estimate
+         FROM pick ORDER BY ws, event_type, q"""
   }
 
   /** Shared winnowing CTE chain (q332/q333): char `k`-gram md5-prefix
@@ -8851,6 +8927,12 @@ object SparkEntry {
          FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3
          ORDER BY idA, idB"""),
+
+    // q334: the streaming windowed percentile monitor — exact-integer
+    // bucket counts make the drained histogram bit-equal to batch
+    // bucketing, so the oracle is the q329 replay per hourly window.
+    "q334_stream_quantiles" -> ddStreamQuantileOracleSql(alpha = 0.01,
+      qs = Seq(0.5, 0.95)),
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

@@ -226,7 +226,7 @@ object Sketch {
     * `ln γ` is precomputed ONCE on the driver and baked in as a double
     * literal, so engines replaying the mapping only need their `ln(v)`
     * to agree (one shared literal fewer to drift). */
-  private def ddStoreBucket(v: Column, lnGamma: Double): (Column, Column) = (
+  private[graft] def ddStoreBucket(v: Column, lnGamma: Double): (Column, Column) = (
     when(v > 0, 1).when(v < 0, -1).otherwise(0),
     when(v > 0, ceil(log(v) / lit(lnGamma)).cast(LongType))
       .when(v < 0, ceil(log(-v) / lit(lnGamma)).cast(LongType))

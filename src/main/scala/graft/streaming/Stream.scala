@@ -377,6 +377,41 @@ object Stream {
       df.sparkSession.table(queryName)
     }
 
+  /** Streaming windowed QUANTILE monitor state — latency/quality
+    * percentiles over an unbounded value stream WITHOUT per-value
+    * state: each watermarked event-time window keeps a
+    * [[graft.operators.Sketch.ddHistogram]] bucket map instead of its
+    * raw values, so per-(window, keys) state is bucket-count-bounded
+    * (≤ ~35k rows at α = 0.01 over the full double range, usually
+    * hundreds) no matter how many events land in the window — the
+    * stateful-agg shape Spark can run forever. Returns the streaming
+    * `(window, keys..., store, bucket, n)` histogram; finish any drained
+    * slice with [[graft.operators.Sketch.ddQuantilesFromHistogram]]
+    * (keys = window start + keys) for the estimates, which carry the
+    * sketch's relative-error α guarantee. Counts are exact integers, so
+    * the drained histogram is BIT-equal to the batch
+    * [[graft.operators.Sketch.ddHistogram]] of the same windowed slice
+    * (the q334 parity argument). */
+  def windowedQuantileHistogram(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      valueCol: String,
+      alpha: Double = 0.01,
+      keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedQuantileHistogram needs a streaming frame")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val lnG = math.log((1 + alpha) / (1 - alpha))
+    val v = col(valueCol).cast("double")
+    val (store, bucket) = graft.operators.Sketch.ddStoreBucket(v, lnG)
+    df.filter(col(tsCol).isNotNull && v.isNotNull && !isnan(v))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col) :+
+        store.as("store") :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming CDC apply: each micro-batch is upserted into the parquet
     * table at `path`. With `seqCol`, LATEST WINS across batches too: a
     * late event whose sequence trails what the table already holds is

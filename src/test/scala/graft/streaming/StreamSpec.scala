@@ -274,6 +274,59 @@ class StreamSpec extends AnyFunSuite {
     assert(Stream.neardupAgainst(ref, ref, "text", "doc_id").isFailing)
   }
 
+  test("windowedQuantileHistogram: drained histogram equals batch " +
+      "ddHistogram per window bit-for-bit; state is bucket-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(17L)
+    val events = Seq.tabulate(600)(i =>
+      (ts(i % 50), if (i % 2 == 0) "a" else "b",
+        rnd.nextDouble() * 1000 - 100))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val h = Stream.windowedQuantileHistogram(
+      input.toDF.toDF("ts", "key", "v"), "ts", "10 minutes", "5 minutes",
+      "v", alpha = 0.1, keys = Seq("key")).get
+    val q = h.writeStream.outputMode("complete").format("memory")
+      .queryName("wqh_test").start()
+    input.addData(events.take(300))
+    q.processAllAvailable()
+    input.addData(events.drop(300))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wqh_test")
+      .select($"window.start", $"key", $"store", $"bucket", $"n")
+      .as[(Timestamp, String, Int, Long, Long)].collect().toSet
+    // batch equivalent: same window bucketing via ddHistogram over the
+    // window-start-tagged frame
+    val batch = Sketch.ddHistogram(
+        events.toDF("ts", "key", "v")
+          .withColumn("ws", window($"ts", "10 minutes")("start")),
+        "v", alpha = 0.1, keys = Seq("ws", "key")).get
+      .as[(Timestamp, String, Int, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch histogram diverged: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    // histogram state is far smaller than the event count
+    assert(streamed.size < events.size / 2)
+    // and the finished quantiles carry the alpha bound per (window, key)
+    val hist = spark.table("wqh_test").select($"window.start".as("ws"),
+      $"key", $"store", $"bucket", $"n")
+    val est = Sketch.ddQuantilesFromHistogram(hist, Seq(0.5), alpha = 0.1,
+        keys = Seq("ws", "key")).get
+      .as[(Timestamp, String, Double, Double)].collect()
+    val byWin = events.groupBy(e =>
+      (Timestamp.from(e._1.toInstant.minusSeconds(
+        e._1.toInstant.getEpochSecond % 600)), e._2))
+    est.foreach { case (ws, key, _, v) =>
+      val vals = byWin((ws, key)).map(_._3).sorted
+      val exact = vals(math.floor(0.5 * (vals.size - 1)).toInt)
+      assert(math.abs(v - exact) <= 0.1 * math.abs(exact) + 1e-9,
+        s"window $ws/$key median $v vs exact $exact out of bound")
+    }
+    // static frames are rejected
+    assert(Stream.windowedQuantileHistogram(events.toDF("ts", "key", "v"),
+      "ts", "10 minutes", "5 minutes", "v").isFailing)
+  }
+
   test("ivfIndexSink: stream-built index equals batch ivfEncodeWith " +
       "bit-for-bit; a replayed run overwrites idempotently") {
     implicit val sqlCtx = spark.sqlContext
