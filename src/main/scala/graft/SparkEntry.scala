@@ -2854,6 +2854,16 @@ object SparkEntry {
         .orderBy("ws", "event_type", "q")
     }),
 
+    "q335_jaccard_join" -> ((s, dir) => {
+      // EXACT set-similarity join: prefix filtering prunes, but the
+      // output must equal brute force bit-for-bit — the oracle IS the
+      // brute-force all-pairs token-set Jaccard, so any prefix-lemma
+      // mistake (a missed pair) hash-fails the gate.
+      Dedup.jaccardJoin(tbl(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.9).get
+        .orderBy("idA", "idB")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -8933,6 +8943,33 @@ object SparkEntry {
     // bucketing, so the oracle is the q329 replay per hourly window.
     "q334_stream_quantiles" -> ddStreamQuantileOracleSql(alpha = 0.01,
       qs = Seq(0.5, 0.95)),
+
+    // q335: brute-force token-set Jaccard over all pairs — the
+    // prefix-filtered operator must reproduce it EXACTLY (lossless
+    // pruning is the whole claim).
+    "q335_jaccard_join" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+             t -> t <> ''))) AS tok
+           FROM documents
+         ), sz AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           FROM toks GROUP BY doc_id
+         ), i AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(count(*) AS BIGINT) AS i
+           FROM toks a JOIN toks b
+             ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT idA, idB,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM i
+         JOIN sz sa ON sa.doc_id = idA
+         JOIN sz sb ON sb.doc_id = idB
+         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+         ORDER BY idA, idB""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

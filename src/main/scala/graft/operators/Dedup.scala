@@ -1595,6 +1595,79 @@ object Dedup {
         expr("__cmin div 131072").as("fp"))
   }
 
+  /** EXACT-threshold token-set similarity join via PREFIX FILTERING
+    * (Chaudhuri et al. ICDE 2006 / Bayardo et al. WWW 2007): every pair
+    * with token-set Jaccard ≥ `threshold`, with NO misses — the lossless
+    * complement of [[minhashPairs]] (LSH trades recall for speed; this
+    * trades a bounded candidate blow-up for exactness, for when the
+    * dedup decision must be auditable).
+    *
+    * The pruning and its guarantee: tokens sort by a GLOBAL
+    * (document-frequency, token) order, so each document's PREFIX —
+    * its first `|x| − ⌈t·|x|⌉ + 1` rarest tokens — must contribute at
+    * least one member of any qualifying intersection: J(x,y) ≥ t ⟹
+    * |x∩y| ≥ t·|x∪y| ≥ ⌈t·|x|⌉, and x's non-prefix suffix holds only
+    * ⌈t·|x|⌉ − 1 tokens, so some shared token sits in x's prefix
+    * (pigeonhole — no appeal to where it sits in y). Candidates are
+    * therefore prefix(x) ⋈ alltokens(y); because the order is
+    * df-ASCENDING, prefixes hold the RAREST tokens and the join fans
+    * out on small buckets by construction. The |y| ∈ [t·|x|, |x|/t]
+    * length bound prunes further (same lemma family). Candidates then
+    * verify by exact intersection counts — output equals the brute
+    * force bit-for-bit (the q335 oracle IS the brute force).
+    *
+    * Tokenization: [[graft.functions.TextFunctions.tokens]] (lowercased
+    * whitespace split), DISTINCT per doc. Plan shape: one per-doc window
+    * for (rank, size), one token equi-join for candidates, one for
+    * verification — no global sort, no cross join. Returns
+    * `(idA, idB, jaccard)`, idA < idB, jaccard rounded at 6. */
+  def jaccardJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8
+  ): MayFail[DataFrame] = MayFail {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1]: $threshold")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .localCheckpoint()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), col("tok"))
+    val sized = toks.join(dfreq, Seq("tok"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = sized
+      .filter(col("__rn") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz")).cast("long") + 1)
+      .select(col("tok"), col("id"), col("__sz"))
+    val szs = sized.select(col("id"), col("__sz")).distinct()
+    val cand = prefix
+      .select(col("tok"), col("id").as("idA"), col("__sz").as("__szA"))
+      .join(sized.select(col("tok"), col("id").as("idB"),
+        col("__sz").as("__szB")), Seq("tok"))
+      .filter(col("idA") =!= col("idB"))
+      .select(least(col("idA"), col("idB")).as("idA"),
+        greatest(col("idA"), col("idB")).as("idB"),
+        least(col("__szA"), col("__szB")).as("__szMin"),
+        greatest(col("__szA"), col("__szB")).as("__szMax"))
+      .filter(col("__szMin").cast("double") >=
+        lit(threshold) * col("__szMax").cast("double"))
+      .select("idA", "idB").distinct()
+    val tA = toks.select(col("id").as("idA"), col("tok"))
+    val tB = toks.select(col("id").as("idB"), col("tok"))
+    cand.join(tA, Seq("idA")).join(tB, Seq("idB", "tok"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("__i"))
+      .join(szs.select(col("id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+      .join(szs.select(col("id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__szA") + col("__szB") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Winnowed near-verbatim candidate pairs: documents sharing ≥
     * `minShared` distinct winnowing fingerprints — by the winnowing
     * guarantee, a recall-complete candidate set for verbatim overlaps
