@@ -2864,6 +2864,27 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q336_point_in_time" -> ((s, dir) => {
+      // SCD-2 build + its point-in-time consumer end-to-end: a per-
+      // (custkey, date) status change log becomes versioned history
+      // (q74's scd2), and every order picks the status valid AT ITS OWN
+      // DATE — one equi-key broadcast join with the validity range as
+      // the residual, replayed by the oracle as the same lead() window
+      // + range join.
+      val o = tbl(s, dir, "orders")
+      val log = o.groupBy(col("o_custkey").as("k"),
+          col("o_orderdate").as("ts"))
+        .agg(max(col("o_orderstatus")).as("status"))
+      val dim = Merge.scd2(log, Seq("k"), "ts").get.drop("ts", "is_current")
+      Merge.pointInTimeJoin(
+          o.select(col("o_orderkey"), col("o_custkey").as("k"),
+            col("o_orderdate").as("fts")),
+          dim, Seq("k"), "fts").get
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("fts").as("o_orderdate"), col("status").as("status_at"))
+        .orderBy("o_orderkey")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -8970,6 +8991,25 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = idB
          WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
          ORDER BY idA, idB""",
+
+    // q336: scd2's lead() window + the validity-range join, replayed.
+    "q336_point_in_time" ->
+      """WITH log AS (
+           SELECT o_custkey AS k, o_orderdate AS ts,
+             max(o_orderstatus) AS status
+           FROM orders GROUP BY 1, 2
+         ), dim AS (
+           SELECT k, status, ts AS vf,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts) AS vt
+           FROM log
+         )
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.status AS status_at
+         FROM orders o
+         LEFT JOIN dim d ON d.k = o.o_custkey
+           AND o.o_orderdate >= d.vf
+           AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+         ORDER BY o_orderkey""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

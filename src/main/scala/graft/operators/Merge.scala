@@ -79,6 +79,54 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** POINT-IN-TIME dimension join — [[scd2]]'s consumer: each fact row
+    * picks the dimension VERSION valid at its own timestamp
+    * (`valid_from ≤ ts < valid_to`, open-ended current version matches
+    * everything from its start). By SCD-2 construction versions
+    * partition each key's timeline, so at most one version matches —
+    * the join is 1:≤1 and fact row counts are preserved (left join;
+    * facts before a key's first version, or with no dim key, carry NULL
+    * attributes).
+    *
+    * Scale shape: an EQUI join on the dimension keys with the validity
+    * range as the join residual — broadcast by default (dimension
+    * histories are small next to facts; `broadcastDim = false` falls
+    * back to a shuffled hash/sort-merge join on the same keys for
+    * jumbo dims). Never a BroadcastNestedLoop: the range rides the
+    * hash-join residual, not the join key. The dimension side is
+    * internally prefixed before joining, so fact/dim lineage overlap
+    * (self-derived dimensions) can't trip Spark's ambiguous-attribute
+    * self-join trap; colliding NON-key output columns are rejected
+    * loudly instead of silently suffixed. */
+  def pointInTimeJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTs: String,
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to",
+      broadcastDim: Boolean = true
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "pointInTimeJoin needs at least one key column")
+    require(dim.columns.contains(fromCol) && dim.columns.contains(toCol),
+      s"dim must carry $fromCol/$toCol (scd2's output contract)")
+    val attrs = dim.columns.filterNot(c =>
+      keys.contains(c) || c == fromCol || c == toCol)
+    val clash = attrs.toSet.intersect(fact.columns.toSet)
+    require(clash.isEmpty,
+      s"dim attribute columns collide with fact columns: $clash — rename first")
+    val pre = "__pit_"
+    val dimR = dim.columns.foldLeft(dim)((d, c) => d.withColumnRenamed(c, pre + c))
+    val dj = if (broadcastDim) broadcast(dimR) else dimR
+    val cond = keys.map(k => col(k) === col(pre + k)).reduce(_ && _) &&
+      col(factTs) >= col(pre + fromCol) &&
+      (col(pre + toCol).isNull || col(factTs) < col(pre + toCol))
+    val joined = fact.join(dj, cond, "left")
+    val dropped = (keys :+ fromCol :+ toCol)
+      .foldLeft(joined)((j, c) => j.drop(col(pre + c)))
+    attrs.foldLeft(dropped)((j, c) => j.withColumnRenamed(pre + c, c))
+  }
+
   /** Corpus version diff: per id, `added` (only in `b`), `removed`
     * (only in `a`), `changed` (both sides, normalized content differs),
     * `unchanged` — the audit that answers "what did the new crawl

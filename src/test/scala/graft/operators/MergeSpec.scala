@@ -99,4 +99,49 @@ class MergeSpec extends AnyFunSuite {
       .select("k", "payload").as[(Long, String)].collect().toMap
     assert(got2 == Map(2L -> "-", 4L -> "only"))
   }
+
+  test("pointInTimeJoin: each fact picks the version valid at its ts; " +
+      "pre-history facts NULL; broadcast and shuffle paths agree") {
+    val log = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "silver"), (1L, 30L, "gold"),
+      (2L, 15L, "bronze")).toDF("k", "ts", "tier")
+    val dim = Merge.scd2(log, Seq("k"), "ts").get.drop("ts", "is_current")
+    val fact = Seq(
+      (100L, 1L, 10L), // exactly at version start → that version
+      (101L, 1L, 19L), // inside [10, 20)
+      (102L, 1L, 20L), // boundary → NEXT version (valid_to exclusive)
+      (103L, 1L, 99L), // open-ended current version
+      (104L, 1L, 5L),  // before first version → NULL
+      (105L, 2L, 16L), // other key
+      (106L, 9L, 50L)  // unknown key → NULL
+    ).toDF("fid", "k", "fts")
+    val got = Merge.pointInTimeJoin(fact, dim, Seq("k"), "fts").get
+      .select("fid", "tier").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(100L -> Some("bronze"), 101L -> Some("bronze"),
+      102L -> Some("silver"), 103L -> Some("gold"), 104L -> None,
+      105L -> Some("bronze"), 106L -> None))
+    // fact row count preserved (1:<=1 by SCD-2 construction)
+    assert(Merge.pointInTimeJoin(fact, dim, Seq("k"), "fts").get.count() ==
+      fact.count())
+    // the shuffled path returns the same rows
+    val shuffled = Merge.pointInTimeJoin(fact, dim, Seq("k"), "fts",
+        broadcastDim = false).get
+      .select("fid", "tier").as[(Long, Option[String])].collect().toMap
+    assert(shuffled == got)
+    // never a nested-loop: the keys are the hash-join keys
+    val plan = Merge.pointInTimeJoin(fact, dim, Seq("k"), "fts").get
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"range join degenerated:\n$plan")
+    // self-derived dim (shared lineage) must not trip the self-join trap
+    val selfDim = Merge.scd2(fact.select($"k", $"fts".as("ts"),
+        $"fid".as("tier")), Seq("k"), "ts").get.drop("ts", "is_current")
+    assert(Merge.pointInTimeJoin(fact, selfDim, Seq("k"), "fts").get
+      .count() == fact.count())
+    // colliding non-key columns are rejected loudly
+    assert(Merge.pointInTimeJoin(fact.withColumn("tier", lit("x")), dim,
+      Seq("k"), "fts").isFailing)
+    assert(Merge.pointInTimeJoin(fact, dim.drop("valid_to"), Seq("k"),
+      "fts").isFailing)
+  }
 }
