@@ -2885,6 +2885,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q337_edit_join" -> ((s, dir) => {
+      // EXACT edit-distance join on first-letter signatures (64 words —
+      // a word swap is one substitution, so char edits measure word
+      // edits): q-gram prefix filtering prunes, but the output must
+      // equal brute force bit-for-bit — the oracle IS the all-pairs
+      // levenshtein, so a missed pair (a broken prefix lemma) hash-fails.
+      val sig = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(transform(slice(TextFunctions.tokens(col("text")), 1, 64),
+            t => substring(t, 1, 1)), "").as("sig"))
+      Dedup.editDistanceJoin(sig, "sig", "doc_id", maxDist = 8, q = 2).get
+        .orderBy("idA", "idB")
+    }),
+
+    "q338_keyness" -> ((s, dir) => {
+      // Dunning G² keyness: which tokens characterize source src0
+      // against the rest of the corpus — exact integer counts, one
+      // vocabulary-sized grid, the G² doubles replayed term-for-term
+      // by the oracle with the same cast/multiply order.
+      graft.operators.Keywords.keyness(tbl(s, dir, "documents"),
+          "text", "source", focusValue = "src0", minCount = 5L).get
+        .orderBy("token")
+    }),
+
+    "q339_frequent_pairs" -> ((s, dir) => {
+      // Market-basket frequent pairs: parts ordered together >= 3
+      // times, with lift — Apriori item pruning before the quadratic
+      // step, basket-size guard, exact counts.
+      Behavior.frequentPairs(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 3L).get
+        .orderBy("item_a", "item_b")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -9010,6 +9043,94 @@ object SparkEntry {
            AND o.o_orderdate >= d.vf
            AND (d.vt IS NULL OR o.o_orderdate < d.vt)
          ORDER BY o_orderkey""",
+
+    // q337: brute-force all-pairs levenshtein over the first-letter
+    // signatures — the prefix-filtered operator must reproduce it
+    // EXACTLY (lossless pruning is the whole claim). The len >= 18
+    // filter is the operator's documented q·(maxDist+1) contract.
+    "q337_edit_join" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+             t -> t <> '') AS t
+           FROM documents
+         ), d AS (
+           SELECT doc_id,
+             array_to_string(list_transform(t[1:64], x -> x[1:1]), '') AS s
+           FROM toks
+         ), f AS (
+           SELECT doc_id, s FROM d WHERE len(s) >= 18
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         FROM f a JOIN f b
+           ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 8
+         WHERE levenshtein(a.s, b.s) <= 8
+         ORDER BY idA, idB""",
+
+    // q338: the G² arithmetic replayed with the operator's exact
+    // cast/multiply order — e = (CAST(c)·CAST(a+b))/CAST(c+d), term =
+    // CAST(a)·ln(CAST(a)/e), zero counts contribute 0.
+    "q338_keyness" ->
+      """WITH toks AS (
+           SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
+             unnest(list_filter(
+               string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+               t -> t <> '')) AS token
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         ), c AS (
+           SELECT token, CAST(sum(f) AS BIGINT) AS n_focus,
+             CAST(sum(1 - f) AS BIGINT) AS n_ref
+           FROM toks GROUP BY 1
+         ), t AS (
+           SELECT CAST(sum(n_focus) AS BIGINT) AS c,
+             CAST(sum(n_ref) AS BIGINT) AS d
+           FROM c
+         )
+         SELECT token, n_focus, n_ref,
+           round(2.0 * (
+             (CASE WHEN n_focus = 0 THEN 0.0 ELSE
+               CAST(n_focus AS DOUBLE) * ln(CAST(n_focus AS DOUBLE) /
+                 (CAST(t.c AS DOUBLE) * CAST(n_focus + n_ref AS DOUBLE) /
+                  CAST(t.c + t.d AS DOUBLE))) END) +
+             (CASE WHEN n_ref = 0 THEN 0.0 ELSE
+               CAST(n_ref AS DOUBLE) * ln(CAST(n_ref AS DOUBLE) /
+                 (CAST(t.d AS DOUBLE) * CAST(n_focus + n_ref AS DOUBLE) /
+                  CAST(t.c + t.d AS DOUBLE))) END)) + 1e-9, 4) AS g2,
+           CASE WHEN CAST(n_focus AS DOUBLE) * CAST(t.d AS DOUBLE) >
+             CAST(n_ref AS DOUBLE) * CAST(t.c AS DOUBLE)
+             THEN 1 ELSE -1 END AS direction
+         FROM c, t
+         WHERE n_focus + n_ref >= 5
+         ORDER BY token""",
+
+    // q339: the Apriori 2-itemset pass replayed — distinct
+    // (basket, item), pair counts by self-join, lift with the same
+    // cast order.
+    "q339_frequent_pairs" ->
+      """WITH it AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+         ), sup AS (
+           SELECT i, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1
+         ), n AS (
+           SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM it
+         ), p AS (
+           SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2
+         )
+         SELECT item_a, item_b, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) * CAST(n.n AS DOUBLE) /
+             (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) + 1e-9, 6)
+             AS lift
+         FROM p
+         JOIN sup sa ON sa.i = item_a
+         JOIN sup sb ON sb.i = item_b
+         CROSS JOIN n
+         WHERE n_pairs >= 3
+         ORDER BY item_a, item_b""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

@@ -1206,4 +1206,69 @@ object Behavior {
       p.as("rate"), (center - half).as("ci_low"),
       (center + half).as("ci_high"))
   }
+
+  /** Frequent co-occurrence pairs (market-basket mining, the Apriori
+    * 2-itemset pass): every unordered item pair appearing together in
+    * ≥ `minSupport` baskets, with its lift — "parts ordered together",
+    * "events co-firing per session", "tags co-labelled per document".
+    *
+    * Scale discipline: (1) APRIORI PRUNE — an item in < `minSupport`
+    * baskets cannot be in a frequent pair, so infrequent items drop
+    * BEFORE the quadratic step (on long-tailed item vocabularies this
+    * removes most of the join input); (2) the per-basket self-join is
+    * quadratic in basket size by nature, so a basket whose SURVIVING
+    * item count exceeds `maxBasket` fails loudly (`raise_error`) instead
+    * of silently exploding the shuffle — raise the knob consciously or
+    * pre-cap baskets. Lift = P(a,b)/(P(a)·P(b)) =
+    * n_pairs·n_baskets/(sup_a·sup_b) — > 1 means genuinely associated,
+    * every product cast to double BEFORE multiplying (corpus-scale
+    * counts overflow BIGINT).
+    *
+    * Returns `(item_a, item_b, n_pairs: bigint, lift: double ROUNDED
+    * at 6)`, item_a < item_b. */
+  def frequentPairs(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L,
+      maxBasket: Int = 1024
+  ): MayFail[DataFrame] = MayFail {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val it = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint()
+    val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
+    val pruned = it
+      .join(sup.filter(col("s") >= minSupport).select("i"), Seq("i"))
+    val sz = pruned.groupBy("b").agg(count(lit(1)).as("__sz"))
+    // guard rides the item column itself (not a dropped helper column):
+    // Catalyst prunes unused projections, which would silently skip a
+    // raise_error attached to a column nothing reads
+    val guarded = pruned.join(sz, Seq("b"))
+      .select(col("b"),
+        when(col("__sz") > maxBasket,
+          raise_error(lit(s"frequentPairs: a basket holds more than " +
+            s"$maxBasket frequent items — its pair count is quadratic; " +
+            "raise maxBasket consciously or pre-cap baskets")))
+          .otherwise(col("i")).as("i"))
+    val pairs = guarded.select(col("b"), col("i").as("item_a"))
+      .join(guarded.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minSupport)
+    val totals = it.agg(count_distinct(col("b")).as("__n"))
+    pairs
+      .join(sup.select(col("i").as("item_a"), col("s").as("__sa")),
+        Seq("item_a"))
+      .join(sup.select(col("i").as("item_b"), col("s").as("__sb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        round(col("n_pairs").cast("double") * col("__n").cast("double") /
+          (col("__sa").cast("double") * col("__sb").cast("double")) +
+          lit(1e-9), 6))
+      .select("item_a", "item_b", "n_pairs", "lift")
+  }
 }

@@ -1698,4 +1698,77 @@ object Dedup {
         .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
     }
+
+  /** EXACT-threshold edit-distance join via q-gram PREFIX FILTERING
+    * (Ed-Join family, Xiao et al. VLDB 2008): every pair of strings with
+    * Levenshtein distance ≤ `maxDist`, with NO misses — the string-edit
+    * complement of [[jaccardJoin]] (token sets) and
+    * [[simhashPairs]]/[[minhashPairs]] (approximate). Use it on bounded
+    * "signature" strings (titles, URLs, first-letter signatures, IDs);
+    * edit distance on multi-KB bodies is the wrong tool at any scale.
+    *
+    * The pruning and its guarantee: one edit destroys at most `q`
+    * positional q-grams, so ed(x,y) ≤ d leaves at most q·d of x's
+    * |x|−q+1 positional grams destroyed. x's PREFIX — its q·d+1
+    * positional grams rarest in a GLOBAL (document-frequency, gram, pos)
+    * order — therefore always keeps one gram intact in y, and an intact
+    * positional gram is a substring of y, i.e. a member of y's distinct
+    * gram set. (Positional grams on the prefix side, not distinct ones:
+    * a repetitive string can have fewer than q·d+1 DISTINCT grams, all
+    * destroyable, but destruction counts multiplicity, so q·d+1
+    * positional grams cannot all die.) Candidates are prefix(x) ⋈
+    * distinctGrams(y); because the order is df-ascending, prefixes hold
+    * the rarest grams and the join fans out on small buckets. The
+    * |len(x)−len(y)| ≤ d bound prunes further (each edit shifts length
+    * by ≤ 1). Survivors verify with the codegen'd banded-DP
+    * `levenshtein(_, _, maxDist)` — output equals brute force
+    * bit-for-bit (the q337 oracle IS the brute force).
+    *
+    * Strings shorter than q·(maxDist+1) chars have fewer than q·d+1
+    * grams and are EXCLUDED (documented contract, mirrored by the
+    * oracle): below that length the prefix lemma cannot hold — route
+    * short strings through a smaller `q` (q=1 admits length ≥
+    * maxDist+1) or an exact key join. Returns `(idA, idB, dist: int)`,
+    * idA < idB. */
+  def editDistanceJoin(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      maxDist: Int = 2,
+      q: Int = 2
+  ): MayFail[DataFrame] = MayFail {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(q >= 1, s"q must be >= 1: $q")
+    val minLen = q * (maxDist + 1)
+    val base = df
+      .filter(col(strCol).isNotNull && length(col(strCol)) >= minLen)
+      .select(col(idCol).as("id"), col(strCol).as("__s"))
+      .localCheckpoint()
+    val grams = base
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("__s")) - q + 1)).as("pos"),
+        col("__s").as("__t"))
+      .select(col("id"), col("pos"), col("__t").substr(col("pos"), lit(q)).as("gram"))
+    val distinctGrams = grams.select("id", "gram").distinct()
+    val dfreq = distinctGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), col("gram"), col("pos"))
+    val prefix = grams.join(dfreq, Seq("gram"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= q * maxDist + 1)
+      .select("gram", "id")
+    val cand = prefix.select(col("gram"), col("id").as("idA"))
+      .join(distinctGrams.select(col("gram"), col("id").as("idB")), Seq("gram"))
+      .filter(col("idA") =!= col("idB"))
+      .select(least(col("idA"), col("idB")).as("idA"),
+        greatest(col("idA"), col("idB")).as("idB"))
+      .distinct()
+    val sA = base.select(col("id").as("idA"), col("__s").as("__sA"))
+    val sB = base.select(col("id").as("idB"), col("__s").as("__sB"))
+    cand.join(sA, Seq("idA")).join(sB, Seq("idB"))
+      .filter(abs(length(col("__sA")) - length(col("__sB"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sA"), col("__sB"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("idA"), col("idB"), col("dist"))
+  }
 }

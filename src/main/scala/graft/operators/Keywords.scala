@@ -137,4 +137,64 @@ object Keywords {
     pr.orderBy(col("rank").desc, col("node")).limit(topK)
       .select(col("node").as("token"), col("rank"), col("score"))
   }
+
+  /** Dunning log-likelihood (G²) keyness (Dunning, CL 1993): which
+    * tokens CHARACTERIZE a focus subcorpus against the rest — the
+    * corpus-comparison verb behind source fingerprinting ("what does
+    * crawl source X over-produce?"), register drift checks and
+    * leakage triage. For each token with focus count `a`, reference
+    * count `b` and subcorpus token totals `c`, `d`:
+    * `G² = 2·(a·ln(a/e₁) + b·ln(b/e₂))`, `e₁ = c·(a+b)/(c+d)`,
+    * `e₂ = d·(a+b)/(c+d)` (a zero count contributes 0 — the 0·ln 0
+    * limit), with `direction` +1 when the focus over-represents the
+    * token (a·d > b·c) and −1 otherwise. G² is χ²(1)-distributed
+    * under independence, so the usual 3.84 / 6.63 cutoffs apply.
+    *
+    * Plan: one explode, one token-grid partial agg (VOCABULARY-, not
+    * corpus-sized output), totals as a 1-row scalar agg crossJoined
+    * back — no second corpus scan. Every product casts to double
+    * BEFORE multiplying (corpus-scale `c·(a+b)` overflows BIGINT).
+    * Tokenization: [[graft.functions.TextFunctions.tokens]], replayed
+    * verbatim by the oracle. Returns `(token, n_focus, n_ref: bigint,
+    * g2: double ROUNDED at 4, direction: int)`. */
+  def keyness(
+      df: DataFrame,
+      textCol: String,
+      classCol: String,
+      focusValue: String,
+      minCount: Long = 5L
+  ): MayFail[DataFrame] = MayFail {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = df
+      .filter(col(textCol).isNotNull && col(classCol).isNotNull)
+      .select(
+        when(col(classCol) === focusValue, lit(1L)).otherwise(lit(0L))
+          .as("__f"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(col("__f")).as("n_focus"),
+        sum(lit(1L) - col("__f")).as("n_ref"))
+    val totals = counts
+      .agg(sum(col("n_focus")).as("__c"), sum(col("n_ref")).as("__d"))
+    val e1 = col("__c").cast("double") *
+      (col("n_focus") + col("n_ref")).cast("double") /
+      (col("__c") + col("__d")).cast("double")
+    val e2 = col("__d").cast("double") *
+      (col("n_focus") + col("n_ref")).cast("double") /
+      (col("__c") + col("__d")).cast("double")
+    val t1 = when(col("n_focus") === 0L, lit(0.0)).otherwise(
+      col("n_focus").cast("double") * log(col("n_focus").cast("double") / e1))
+    val t2 = when(col("n_ref") === 0L, lit(0.0)).otherwise(
+      col("n_ref").cast("double") * log(col("n_ref").cast("double") / e2))
+    counts
+      .filter(col("n_focus") + col("n_ref") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("g2", round(lit(2.0) * (t1 + t2) + lit(1e-9), 4))
+      .withColumn("direction",
+        when(col("n_focus").cast("double") * col("__d").cast("double") >
+          col("n_ref").cast("double") * col("__c").cast("double"), lit(1))
+          .otherwise(lit(-1)))
+      .select("token", "n_focus", "n_ref", "g2", "direction")
+  }
 }

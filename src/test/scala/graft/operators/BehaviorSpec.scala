@@ -503,4 +503,32 @@ class BehaviorSpec extends AnyFunSuite {
       .orderBy("cohort_ts", "age")
       .select("cohort_size").as[Long].collect().toSeq == Seq(2L, 2L, 1L))
   }
+
+  test("frequentPairs: hand-computed supports and lift; Apriori prune; " +
+      "duplicate basket rows count once") {
+    // baskets: 1:{x,y,z} 2:{x,y} 3:{x,y} 4:{z,w} — w has support 1
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup (1,x) row
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "z"), (4L, "w")).toDF("b", "i")
+    val got = Behavior.frequentPairs(df, "b", "i", minSupport = 2L).get
+      .as[(String, String, Long, Double)].collect().toSet
+    // (x,y) in 3 baskets of 4; sup x=3 y=3 → lift = 3·4/9
+    val lift = math.rint((3.0 * 4.0 / (3.0 * 3.0) + 1e-9) * 1e6) / 1e6
+    assert(got == Set(("x", "y", 3L, lift)))
+    // minSupport=1 admits the singletons' pairs too
+    val all = Behavior.frequentPairs(df, "b", "i", minSupport = 1L).get
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(all == Set(("x", "y"), ("x", "z"), ("y", "z"), ("w", "z")))
+  }
+
+  test("frequentPairs: oversized basket fails loudly; guards") {
+    val big = (1 to 40).map(i => (1L, s"i$i")).toDF("b", "i")
+    val r = Behavior.frequentPairs(big, "b", "i",
+      minSupport = 1L, maxBasket = 10)
+    assert(r.map(_.count()).isFailing)
+    assert(Behavior.frequentPairs(big, "b", "i", minSupport = 0L).isFailing)
+    assert(Behavior.frequentPairs(big, "b", "i", maxBasket = 1).isFailing)
+  }
 }

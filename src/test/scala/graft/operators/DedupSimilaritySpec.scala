@@ -348,6 +348,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.jaccardJoin(docs, "text", "doc_id", 1.5).isFailing)
   }
 
+  test("editDistanceJoin: EXACT — equals brute-force all-pairs levenshtein " +
+      "on random corpora at several (maxDist, q); repetitive strings too") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(43L)
+    // small alphabet forces hot grams AND repeats (the positional-prefix
+    // lemma case); include planted repetitive strings outright
+    val strs = (Seq.tabulate(50) { i =>
+      val n = 4 + rnd.nextInt(24)
+      (i.toLong, Seq.fill(n)("abc" (rnd.nextInt(3))).mkString)
+    } ++ Seq((50L, "ab" * 10), (51L, "ab" * 9 + "bb"), (52L, "a" * 15),
+      (53L, "a" * 14 + "b"))).toDF("id", "s")
+    for (d <- Seq(1, 2, 3); q <- Seq(1, 2, 3)) {
+      val minLen = q * (d + 1)
+      val pool = strs.as[(Long, String)].collect().filter(_._2.length >= minLen)
+      val want = (for {
+        (ia, sa) <- pool; (ib, sb) <- pool if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist)).toSet
+      val got = Dedup.editDistanceJoin(strs, "s", "id", maxDist = d, q = q).get
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"d=$d q=$q: extra ${got.diff(want)} / " +
+        s"missed ${want.diff(got)}")
+    }
+  }
+
+  test("editDistanceJoin: short strings excluded per the q·(maxDist+1) " +
+      "contract; knob guards fail loudly") {
+    // identical 5-char strings, but minLen = 2·(2+1) = 6 ⇒ excluded
+    val df = Seq((0L, "abcde"), (1L, "abcde"), (2L, "abcdef"), (3L, "abcdef"))
+      .toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, "s", "id", maxDist = 2, q = 2).get
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((2L, 3L, 0)))
+    assert(Dedup.editDistanceJoin(df, "s", "id", maxDist = 0).isFailing)
+    assert(Dedup.editDistanceJoin(df, "s", "id", maxDist = 2, q = 0).isFailing)
+  }
+
   test("minhashDedupTransitive keeps one representative per component") {
     // 0~1 exact, 0~2 near: transitive keeps only 0 (plus unrelated 3, 4)
     val kept = Dedup.minhashDedupTransitive(docs, "text", "doc_id", threshold = 0.5).get

@@ -64,4 +64,34 @@ class KeywordsSpec extends AnyFunSuite {
       topK = 10).get.as[(String, Long, Double)].collect()
     assert(w3.map(_._1).toSet == Set("a", "b", "c", "d"))
   }
+
+  test("keyness: hand-computed 2x2 G² on a tiny corpus; zero counts " +
+      "contribute the 0·ln0 limit; direction signs") {
+    // focus: 3×"hot" + 1×"cold"; ref: 1×"hot" + 3×"cold"
+    val df = Seq(
+      ("A", "hot hot hot cold"),
+      ("B", "hot cold cold cold")).toDF("src", "text")
+    val got = Keywords.keyness(df, "text", "src", "A", minCount = 1L).get
+      .as[(String, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // c = d = 4; hot: a=3 b=1 e1=e2=2 → G² = 2(3 ln1.5 + 1 ln0.5)
+    val hot = 2.0 * (3.0 * math.log(3.0 / 2.0) + 1.0 * math.log(1.0 / 2.0))
+    assert(got("hot")._4 == math.rint((hot + 1e-9) * 1e4) / 1e4)
+    assert(got("hot")._5 == 1 && got("cold")._5 == -1)
+    assert(got("cold")._4 == got("hot")._4) // symmetric 2×2
+    // a focus-only token: b = 0 term vanishes, G² = 2·a·ln((c+d)/c)
+    val df2 = Seq(("A", "only only"), ("B", "other other")).toDF("s", "t")
+    val g2 = Keywords.keyness(df2, "t", "s", "A", minCount = 1L).get
+      .filter($"token" === "only").select("g2").as[Double].head()
+    assert(g2 == math.rint((2.0 * 2.0 * math.log(2.0) + 1e-9) * 1e4) / 1e4)
+  }
+
+  test("keyness: minCount floor filters rare tokens; guards fail loudly") {
+    val df = Seq(("A", "common common rare"), ("B", "common common"))
+      .toDF("s", "t")
+    val toks = Keywords.keyness(df, "t", "s", "A", minCount = 2L).get
+      .select("token").as[String].collect().toSet
+    assert(toks == Set("common"))
+    assert(Keywords.keyness(df, "t", "s", "A", minCount = 0L).isFailing)
+  }
 }
