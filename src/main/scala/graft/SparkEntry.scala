@@ -8,7 +8,7 @@ import graft.evaluation.{MAE, MPE, PearsonCorr, RMSE}
 import graft.functional.MayFail
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions._
-import graft.operators.{Behavior, Dedup, Graph, Merge, Multimodal, Quantize, Similarity, Sketch, Stats, TimeSeries}
+import graft.operators.{Behavior, Bpe, Dedup, Graph, Merge, Multimodal, Quantize, Similarity, Sketch, Stats, TimeSeries}
 import graft.physical._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2918,6 +2918,25 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    "q340_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer training: 12 merges learned from the documents
+      // corpus — pair counts, deterministic (cnt desc, l, r) argmax,
+      // greedy left-to-right fold — all replayed by the generated
+      // unrolled oracle, so a single wrong merge cascades and
+      // hash-fails.
+      Bpe.learnMerges(tbl(s, dir, "documents"), "text",
+          numMerges = BpeGateMerges).get
+        .orderBy("step")
+    }),
+
+    "q341_bpe_token_counts" -> ((s, dir) => {
+      // Honest per-document token counts under the corpus-trained
+      // 12-merge tokenizer (vocabulary-sized segmentation join).
+      Bpe.tokenCounts(tbl(s, dir, "documents"), "text", "doc_id",
+          numMerges = BpeGateMerges).get
+        .orderBy("doc_id")
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -5616,6 +5635,68 @@ object SparkEntry {
          FROM r$len ORDER BY key_a, key_b""")
     sb.toString
   }
+
+  /** Merge count for the q340/q341 BPE gates — small enough to unroll
+    * in the oracle, deep enough that a single wrong merge cascades. */
+  private val BpeGateMerges = 12
+
+  /** q340/q341 oracle CTEs, generated: the BPE merge loop unrolled —
+    * per step, pair statistics over the current word-symbol table, the
+    * (cnt DESC, l, r) argmax, and the greedy left-to-right merge fold
+    * via `list_reduce` over singleton-wrapped symbols (seeding with the
+    * first element — equivalent to Spark's empty-accumulator
+    * `aggregate`, verified in BpeSpec's in-memory reference). CTEs are
+    * MATERIALIZED: w{i-1} is referenced twice per step and DuckDB
+    * inlining would go exponential in the unroll depth. */
+  private def bpeOracleCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+             t -> t <> '')) AS word
+           FROM documents WHERE text IS NOT NULL
+         ), w0 AS MATERIALIZED (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms
+           FROM toks GROUP BY word
+         )""")
+    for (i <- 1 to numMerges) {
+      sb.append(s""", p$i AS MATERIALIZED (
+           SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             SELECT syms[j] AS l, syms[j + 1] AS r, freq FROM (
+               SELECT syms, freq,
+                 unnest(generate_series(1, len(syms) - 1)) AS j
+               FROM w${i - 1} WHERE len(syms) >= 2))
+           GROUP BY l, r
+         ), b$i AS MATERIALIZED (
+           SELECT l, r, l || r AS m, cnt FROM p$i
+           ORDER BY cnt DESC, l, r LIMIT 1
+         ), w$i AS MATERIALIZED (
+           SELECT word, freq,
+             list_reduce(list_transform(syms, s -> [s]),
+               (a, x) -> CASE WHEN a[-1] = b.l AND x[1] = b.r
+                 THEN list_append(a[1:-2], b.m)
+                 ELSE list_concat(a, x) END) AS syms
+           FROM w${i - 1}, b$i b
+         )""")
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracleSql(numMerges: Int): String =
+    bpeOracleCtes(numMerges) + "\n         SELECT * FROM (" +
+      (1 to numMerges).map { i =>
+        s"""SELECT $i AS step, l AS left_sym, r AS right_sym,
+           m AS merged, cnt AS pair_count FROM b$i"""
+      }.mkString("\n         UNION ALL ") +
+      ") ORDER BY step"
+
+  private def bpeTokenCountsOracleSql(numMerges: Int): String =
+    bpeOracleCtes(numMerges) + s"""
+         SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+         FROM toks t JOIN w$numMerges w USING (word)
+         GROUP BY t.doc_id ORDER BY doc_id"""
 
   private def kCoreOracleSql(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
@@ -9131,6 +9212,12 @@ object SparkEntry {
          CROSS JOIN n
          WHERE n_pairs >= 3
          ORDER BY item_a, item_b""",
+
+    // q340/q341: generated unrolled BPE replay (see bpeOracleCtes) —
+    // merge table and per-document token counts under the learned
+    // tokenizer.
+    "q340_bpe_merges" -> bpeMergesOracleSql(BpeGateMerges),
+    "q341_bpe_token_counts" -> bpeTokenCountsOracleSql(BpeGateMerges),
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // reference in-memory BPE (word-frequency formulation, greedy
+  // left-to-right apply, (count desc, left, right) tie-break)
+  private def refBpe(corpus: Seq[String], numMerges: Int,
+      minPair: Long): (Seq[(Int, String, String, String, Long)],
+      Map[String, (Long, Seq[String])]) = {
+    var words: Map[String, (Long, Seq[String])] = corpus
+      .flatMap(_.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (w, o) => w -> (o.size.toLong, w.split("").toSeq) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for ((_, (f, syms)) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        if (c < minPair) done = true
+        else {
+          merges += ((step, l, r, l + r, c))
+          words = words.map { case (w, (f, syms)) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == r) {
+                out.remove(out.length - 1); out += (l + r)
+              } else out += x
+            }
+            w -> (f, out.toSeq)
+          }
+          step += 1
+        }
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  test("learnMerges + segmentWords equal the in-memory reference on a " +
+      "random corpus (greedy fold, tie-break, early stop)") {
+    val rnd = new scala.util.Random(7L)
+    val vocab = Seq("low", "lower", "lowest", "newer", "new", "wider",
+      "abba", "bbb", "aaaa", "banana")
+    val corpus = Seq.tabulate(120) { _ =>
+      Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(1, 5, 12)) {
+      val (wantM, wantW) = refBpe(corpus, n, 2L)
+      val gotM = Bpe.learnMerges(df, "text", n).get
+        .as[(Int, String, String, String, Long)].collect().toSeq
+        .sortBy(_._1)
+      assert(gotM == wantM, s"merges at n=$n")
+      val gotW = Bpe.segmentWords(df, "text", n).get
+        .as[(String, Long, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val wantSeg = wantW.map { case (w, (f, s)) =>
+        w -> ((f, s.length, s.mkString(" ")))
+      }
+      assert(gotW == wantSeg, s"segmentation at n=$n")
+    }
+  }
+
+  test("doubled symbols merge left-to-right, never overlapping: " +
+      "'bbb' under (b,b) segments as [bb, b]") {
+    val df = Seq((1L, "bbb bbb bb")).toDF("id", "text")
+    val m = Bpe.learnMerges(df, "text", numMerges = 1).get
+      .as[(Int, String, String, String, Long)].head()
+    assert(m == ((1, "b", "b", "bb", 5L))) // bbb: 2 pairs ×2 docs? no: 2+2+1
+    val seg = Bpe.segmentWords(df, "text", 1).get
+      .select("word", "segmentation").as[(String, String)]
+      .collect().toMap
+    assert(seg("bbb") == "bb b" && seg("bb") == "bb")
+  }
+
+  test("early stop below minPairCount; tokenCounts sums per-occurrence; " +
+      "guards fail loudly") {
+    // every adjacent pair unique → best count 1 < minPairCount=2 → no merges
+    val df = Seq((1L, "abc xyz")).toDF("id", "text")
+    assert(Bpe.learnMerges(df, "text", 10).get.count() == 0L)
+    // "aa aa aa" learns (a,a)→aa; counts: doc1 = 3 words × 1 token
+    val df2 = Seq((1L, "aa aa aa"), (2L, "aaa a"), (3L, "")).toDF("id", "text")
+    val tc = Bpe.tokenCounts(df2, "text", "id", numMerges = 1).get
+      .as[(Long, Long)].collect().toMap
+    // aa→[aa](1), aaa→[aa,a](2), a→[a](1); doc3 has no words → absent
+    assert(tc == Map(1L -> 3L, 2L -> 3L))
+    assert(Bpe.learnMerges(df, "text", 0).isFailing)
+    assert(Bpe.learnMerges(df, "text", 5000).isFailing)
+    assert(Bpe.learnMerges(df, "text", 5, minPairCount = 0L).isFailing)
+  }
+
+  test("merge learning is partitioning-invariant (repartition(7) yields " +
+      "an identical merge table)") {
+    val df = (1 to 60).map(i => (i.toLong, s"banana band ban b${i % 3}"))
+      .toDF("id", "text")
+    val a = Bpe.learnMerges(df, "text", 8).get
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val b = Bpe.learnMerges(df.repartition(7), "text", 8).get
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(a == b)
+  }
+}
