@@ -2937,6 +2937,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q342_collocations" -> ((s, dir) => {
+      // Adjacent-bigram PMI collocations over the documents corpus —
+      // exact integer grids, the PMI division shape replayed
+      // IEEE-step-for-step by the oracle.
+      graft.operators.Keywords.collocations(tbl(s, dir, "documents"),
+          "text", minCount = 5L).get
+        .orderBy("w1", "w2")
+    }),
+
+    "q343_zipf" -> ((s, dir) => {
+      // Corpus lexical-health one-rower: Zipf OLS slope/R² over the
+      // top-200 terms + hapax and head-mass ratios.
+      graft.operators.Quality.zipfReport(tbl(s, dir, "documents"), "text")
+        .get
+    }),
+
     "q241_holt" -> ((s, dir) => {
       // Brown's double exponential smoothing (level + trend) of the
       // hourly zero-filled per-type series: two cascaded scalar EWMA
@@ -9218,6 +9234,84 @@ object SparkEntry {
     // tokenizer.
     "q340_bpe_merges" -> bpeMergesOracleSql(BpeGateMerges),
     "q341_bpe_token_counts" -> bpeTokenCountsOracleSql(BpeGateMerges),
+
+    // q342: unigram and adjacent-bigram grids replayed, PMI with the
+    // operator's exact division shape (ratio of ratios, casts first).
+    "q342_collocations" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT list_filter(
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+             t -> t <> '') AS t
+           FROM documents WHERE text IS NOT NULL
+         ), uni AS MATERIALIZED (SELECT unnest(t) AS w FROM toks),
+         uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+         bg AS MATERIALIZED (
+           SELECT t[j] AS w1, t[j + 1] AS w2 FROM (
+             SELECT t, unnest(generate_series(1, len(t) - 1)) AS j
+             FROM toks WHERE len(t) >= 2)
+         ), nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+         SELECT w1, w2, n_pair,
+           round(ln((CAST(n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE)) /
+             ((CAST(a.c AS DOUBLE) / CAST(nu.n AS DOUBLE)) *
+              (CAST(b.c AS DOUBLE) / CAST(nu.n AS DOUBLE)))) + 1e-9, 6)
+             AS pmi
+         FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+               FROM bg GROUP BY 1, 2) p
+         JOIN uc a ON a.w = p.w1
+         JOIN uc b ON b.w = p.w2, nu, nb
+         WHERE n_pair >= 5
+         ORDER BY w1, w2""",
+
+    // q343: vocabulary grid totals + closed-form OLS of ln(freq) on
+    // ln(rank) over the top-200 terms (freq DESC, term ASC), the
+    // operator's guard/round conventions.
+    "q343_zipf" ->
+      """WITH uni AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+             t -> t <> '')) AS w
+           FROM documents WHERE text IS NOT NULL
+         ), g AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1
+         ), t AS (
+           SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS hapax,
+             CAST(coalesce(max(c), 0) AS BIGINT) AS top
+           FROM g
+         ), f AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+               AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+           FROM g ORDER BY c DESC, w LIMIT 200
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS nf,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM f
+         )
+         SELECT n_tokens, n_vocab,
+           round(CASE WHEN n_vocab > 0 THEN
+             CAST(hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE) END + 1e-9, 6)
+             AS hapax_frac,
+           round(CASE WHEN n_tokens > 0 THEN
+             CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE) END + 1e-9, 6)
+             AS top1_share,
+           CAST(nf AS INT) AS n_fit,
+           round(CASE WHEN CAST(nf AS DOUBLE) * sxx - sx * sx > 0 THEN
+             (CAST(nf AS DOUBLE) * sxy - sx * sy) /
+             (CAST(nf AS DOUBLE) * sxx - sx * sx) END + 1e-9, 6)
+             AS zipf_slope,
+           round(CASE WHEN (CAST(nf AS DOUBLE) * sxx - sx * sx) *
+               (CAST(nf AS DOUBLE) * syy - sy * sy) > 0 THEN
+             (CAST(nf AS DOUBLE) * sxy - sx * sy) *
+             (CAST(nf AS DOUBLE) * sxy - sx * sy) /
+             ((CAST(nf AS DOUBLE) * sxx - sx * sx) *
+              (CAST(nf AS DOUBLE) * syy - sy * sy)) END + 1e-9, 6)
+             AS zipf_r2
+         FROM t, s""",
     "q242_label_propagation" -> labelPropagationOracleSql(rounds = 3),
 
     // q251: generated unrolled min-plus relaxation (see ssspOracleSql).

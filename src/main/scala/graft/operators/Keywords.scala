@@ -197,4 +197,51 @@ object Keywords {
           .otherwise(lit(-1)))
       .select("token", "n_focus", "n_ref", "g2", "direction")
   }
+
+  /** Adjacent-bigram PMI collocations (Church & Hanks, CL 1990):
+    * token pairs that co-occur as neighbors far more often than
+    * their unigram frequencies predict — multi-word expressions
+    * ("new york", "machine learning") for tokenizer seeding, phrase
+    * vocabularies and stop-phrase lists.
+    * `PMI = ln[ (n_ab/N_bi) / ((n_a/N_uni)·(n_b/N_uni)) ]` — that
+    * exact division shape, every count cast to double FIRST, so the
+    * oracle replays it IEEE-step-for-step. `minCount` floors the
+    * bigram count (PMI is notoriously noisy on rare pairs).
+    *
+    * Plan: two corpus scans (unigram grid, bigram grid — both
+    * vocabulary-sized after the partial agg), totals as 1-row scalar
+    * aggs crossJoined back; no cache, no join against the corpus.
+    * Bigrams are ADJACENT within a document ([[graft.functions
+    * .TextFunctions.tokens]] order); nothing crosses documents.
+    * Returns `(w1, w2, n_pair: bigint, pmi: double ROUNDED at 6)`. */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L
+  ): MayFail[DataFrame] = MayFail {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val base = df.filter(col(textCol).isNotNull)
+    val toksOf = graft.functions.TextFunctions.tokens(col(textCol))
+    val uni = base.select(explode(toksOf).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("__nu"))
+    val bg = base.select(toksOf.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nb = bg.agg(count(lit(1)).as("__nb"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c").as("__ca")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(
+        log((col("n_pair").cast("double") / col("__nb").cast("double")) /
+          ((col("__ca").cast("double") / col("__nu").cast("double")) *
+            (col("__cb").cast("double") / col("__nu").cast("double")))) +
+          lit(1e-9), 6))
+      .select("w1", "w2", "n_pair", "pmi")
+  }
 }

@@ -1220,4 +1220,74 @@ object Quality {
           (col("violating_groups") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Zipf / vocabulary-health report — the corpus-level lexical
+    * screen run before trusting a crawl source: natural text obeys
+    * Zipf's law (ln freq ≈ a + slope·ln rank with slope near −1 and
+    * a tight fit), while template spam, log dumps and boilerplate
+    * farms bend the curve (flat head = repeated templates, steep
+    * cliff + low hapax mass = tiny synthetic vocabulary).
+    *
+    * One row: `(n_tokens, n_vocab: bigint, hapax_frac, top1_share:
+    * double, n_fit: int, zipf_slope, zipf_r2: double — doubles
+    * ROUNDED at 6)`. The slope/R² are the closed-form OLS of
+    * ln(freq) on ln(rank) over the top `fitTerms` terms (rank by
+    * freq DESC, term ASC — fully deterministic; the fit frame is
+    * `fitTerms`-bounded, picked via orderBy+limit =
+    * TakeOrderedAndProject, never a global sort). `hapax_frac` is
+    * the fraction of vocabulary seen exactly once — healthy corpora
+    * sit around 0.4–0.6; near-zero means deduplicated-to-death or
+    * synthetic text.
+    *
+    * Plan: one corpus scan to the vocabulary grid, everything after
+    * is grid-sized or `fitTerms`-sized; both scalar aggs crossJoin
+    * as 1-row frames. Degenerate inputs (empty corpus, single-term
+    * vocabulary) yield NULL ratios/fit instead of NaN. */
+  def zipfReport(
+      df: DataFrame,
+      textCol: String,
+      fitTerms: Int = 200
+  ): MayFail[DataFrame] = MayFail {
+    require(fitTerms >= 2, s"fitTerms must be >= 2: $fitTerms")
+    val grid = df.filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-sized; consumed by totals AND the fit
+    val totals = grid.agg(
+      coalesce(sum("c"), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("__hapax"),
+      coalesce(max("c"), lit(0L)).as("__top"))
+    val fit = grid.orderBy(col("c").desc, col("w")).limit(fitTerms)
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .select(log(col("__r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val s = fit.agg(count(lit(1)).as("__nf"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nf = col("__nf").cast("double")
+    val sNum = nf * col("sxy") - col("sx") * col("sy")
+    val sDen = nf * col("sxx") - col("sx") * col("sx")
+    val rDen = sDen * (nf * col("syy") - col("sy") * col("sy"))
+    val out = totals.crossJoin(s).select(
+      col("n_tokens"), col("n_vocab"),
+      round(when(col("n_vocab") > 0,
+        col("__hapax").cast("double") / col("n_vocab").cast("double"))
+        + lit(1e-9), 6).as("hapax_frac"),
+      round(when(col("n_tokens") > 0,
+        col("__top").cast("double") / col("n_tokens").cast("double"))
+        + lit(1e-9), 6).as("top1_share"),
+      col("__nf").cast("int").as("n_fit"),
+      round(when(sDen > 0, sNum / sDen) + lit(1e-9), 6).as("zipf_slope"),
+      round(when(rDen > 0, sNum * sNum / rDen) + lit(1e-9), 6)
+        .as("zipf_r2"))
+    // grid's checkpoint blocks stay live: `out` is lazy and still
+    // reads them — releasing here would truncate a needed lineage
+    out
+  }
 }

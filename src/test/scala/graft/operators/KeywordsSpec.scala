@@ -86,6 +86,28 @@ class KeywordsSpec extends AnyFunSuite {
     assert(g2 == math.rint((2.0 * 2.0 * math.log(2.0) + 1e-9) * 1e4) / 1e4)
   }
 
+  test("collocations: hand-computed adjacent-bigram PMI; nothing crosses " +
+      "documents; minCount floor; guards") {
+    // doc1: a b a b, doc2: a b c → uni a:3 b:3 c:1 (N=7);
+    // bigrams (a,b):3 (b,a):1 (b,c):1 (N=5); (b,?) never pairs with doc2's 'a'
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    def pmi(nab: Long, na: Long, nb: Long): Double = {
+      val v = math.log((nab.toDouble / 5.0) /
+        ((na.toDouble / 7.0) * (nb.toDouble / 7.0)))
+      math.rint((v + 1e-9) * 1e6) / 1e6
+    }
+    val got = Keywords.collocations(df, "text", minCount = 1L).get
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "a", 1L, pmi(1, 3, 3)),
+      ("b", "c", 1L, pmi(1, 3, 1))))
+    val floored = Keywords.collocations(df, "text", minCount = 2L).get
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(floored == Seq(("a", "b")))
+    assert(Keywords.collocations(df, "text", minCount = 0L).isFailing)
+  }
+
   test("keyness: minCount floor filters rare tokens; guards fail loudly") {
     val df = Seq(("A", "common common rare"), ("B", "common common"))
       .toDF("s", "t")

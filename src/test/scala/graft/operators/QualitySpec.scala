@@ -607,4 +607,44 @@ class QualitySpec extends AnyFunSuite {
     // null text stays null, other columns untouched
     assert(red.filter(col("doc_id") === 4).select("text").head().isNullAt(0))
   }
+
+  test("zipfReport: hand-computed totals and closed-form OLS on a tiny " +
+      "vocabulary") {
+    val df = Seq((1L, "a a a a b"), (2L, "b c")).toDF("id", "text")
+    // freqs a:4 b:2 c:1 → ranks 1,2,3; hapax 1/3; top 4/7
+    val row = Quality.zipfReport(df, "text").get
+      .as[(Long, Long, Double, Double, Int, Double, Double)].head()
+    def r6(v: Double) = math.rint((v + 1e-9) * 1e6) / 1e6
+    val xs = Seq(1, 2, 3).map(r => math.log(r.toDouble))
+    val ys = Seq(4L, 2L, 1L).map(c => math.log(c.toDouble))
+    val (n, sx, sy) = (3.0, xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    assert(row == ((7L, 3L, r6(1.0 / 3.0), r6(4.0 / 7.0), 3,
+      r6(num / den), r6(num * num / (den * (n * syy - sy * sy))))))
+  }
+
+  test("zipfReport: fitTerms caps the fit; degenerate corpora yield NULL " +
+      "ratios, never NaN; guards") {
+    val df = Seq((1L, "a a a a b"), (2L, "b c")).toDF("id", "text")
+    val capped = Quality.zipfReport(df, "text", fitTerms = 2).get
+      .select("n_fit").as[Int].head()
+    assert(capped == 2)
+    // single-term vocabulary: OLS denominator 0 → NULL slope/r2
+    val single = Quality.zipfReport(
+      Seq((1L, "a a")).toDF("id", "text"), "text").get
+    val s = single.select("n_vocab", "zipf_slope", "zipf_r2").head()
+    assert(s.getLong(0) == 1L && s.isNullAt(1) && s.isNullAt(2))
+    // empty corpus: zero counts, NULL fractions
+    val empty = Quality.zipfReport(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), "text").get
+    val e = empty.select("n_tokens", "n_vocab", "hapax_frac", "top1_share")
+      .head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L &&
+      e.isNullAt(2) && e.isNullAt(3))
+    assert(Quality.zipfReport(df, "text", fitTerms = 1).isFailing)
+  }
 }
