@@ -2937,6 +2937,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q344_bpe_apply" -> ((s, dir) => {
+      // Production train/apply split: the 12-merge tokenizer learned
+      // on documents is FROZEN (collectMerges export) and applied to
+      // a corpus it never saw — part names — via the lazy fold chain;
+      // the oracle replays both the learn loop and the apply chain.
+      val m = Bpe.collectMerges(Bpe.learnMerges(
+        tbl(s, dir, "documents"), "text", numMerges = BpeGateMerges).get)
+      Bpe.tokenCountsWith(tbl(s, dir, "part"), "p_name", "p_partkey", m)
+        .get.orderBy("p_partkey")
+    }),
+
     "q342_collocations" -> ((s, dir) => {
       // Adjacent-bigram PMI collocations over the documents corpus —
       // exact integer grids, the PMI division shape replayed
@@ -5713,6 +5724,39 @@ object SparkEntry {
          SELECT t.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
          FROM toks t JOIN w$numMerges w USING (word)
          GROUP BY t.doc_id ORDER BY doc_id"""
+
+  /** q344's oracle: the learn CTEs on `documents` (b1..bN hold the
+    * frozen merge table) plus the apply chain — the SAME greedy fold
+    * replayed over `part.p_name`'s word table, one CTE per merge. */
+  private def bpeApplyOracleSql(numMerges: Int): String = {
+    val sb = new StringBuilder(bpeOracleCtes(numMerges))
+    sb.append(
+      """, ptoks AS MATERIALIZED (
+           SELECT p_partkey, unnest(list_filter(
+             string_split_regex(lower(trim(p_name)), '[ \t\n\r\f]+'),
+             t -> t <> '')) AS word
+           FROM part WHERE p_name IS NOT NULL
+         ), a0 AS MATERIALIZED (
+           SELECT word,
+             list_transform(generate_series(1, len(word)), i -> word[i:i]) AS syms
+           FROM (SELECT DISTINCT word FROM ptoks)
+         )""")
+    for (i <- 1 to numMerges) {
+      sb.append(s""", a$i AS MATERIALIZED (
+           SELECT word,
+             list_reduce(list_transform(syms, s -> [s]),
+               (a, x) -> CASE WHEN a[-1] = b.l AND x[1] = b.r
+                 THEN list_append(a[1:-2], b.m)
+                 ELSE list_concat(a, x) END) AS syms
+           FROM a${i - 1}, b$i b
+         )""")
+    }
+    sb.append(s"""
+         SELECT t.p_partkey, CAST(sum(len(a.syms)) AS BIGINT) AS n_tokens
+         FROM ptoks t JOIN a$numMerges a USING (word)
+         GROUP BY t.p_partkey ORDER BY p_partkey""")
+    sb.toString
+  }
 
   private def kCoreOracleSql(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
@@ -9234,6 +9278,7 @@ object SparkEntry {
     // tokenizer.
     "q340_bpe_merges" -> bpeMergesOracleSql(BpeGateMerges),
     "q341_bpe_token_counts" -> bpeTokenCountsOracleSql(BpeGateMerges),
+    "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
 
     // q342: unigram and adjacent-bigram grids replayed, PMI with the
     // operator's exact division shape (ratio of ratios, casts first).

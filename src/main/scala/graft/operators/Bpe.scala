@@ -144,6 +144,80 @@ object Bpe {
       array_join(col("syms"), " ").as("segmentation"))
   }
 
+  /** Bounded driver-side collect of a [[learnMerges]] table into the
+    * ordered (left, right) pair list [[applyMerges]] consumes — the
+    * tokenizer's export format (mirrors the IVF codebook collects:
+    * explicit `require` bound instead of silent OOM). */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] = {
+    val n = merges.count()
+    require(n <= 4096, s"merge table has $n rows (> 4096) — not a " +
+      "learnMerges artifact?")
+    merges.orderBy("step").select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Segment a corpus under a FROZEN merge table — the production
+    * split: [[learnMerges]] once on the training corpus, export the
+    * (ordered) pair list, tokenize every future shard with it
+    * (exactly the index/search discipline of the IVF family). Works
+    * on UNSEEN words by construction: the greedy fold only consults
+    * the word's own characters and the merge list.
+    *
+    * The folds chain LAZILY — one merge is one `functions.aggregate`
+    * wrap, so `checkpointEvery` merges become a single linear
+    * expression chain per job, with a localCheckpoint between chunks
+    * (and the superseded chunk released) to keep expression depth
+    * and lineage bounded at production merge counts.
+    *
+    * Returns `(word, freq, n_tokens, segmentation)` over the
+    * corpus's distinct words. */
+  def applyMerges(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      checkpointEvery: Int = 24
+  ): MayFail[DataFrame] = MayFail {
+    require(merges.size <= 4096,
+      s"merges must hold <= 4096 pairs: ${merges.size}")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1: $checkpointEvery")
+    val init = wordFreqs(df, textCol)
+      .withColumn("syms", split(col("word"), ""))
+    val chunks = merges.grouped(checkpointEvery).toSeq
+    var words = init
+    for ((chunk, idx) <- chunks.zipWithIndex) {
+      val chained = chunk.foldLeft(words) { case (acc, (l, r)) =>
+        acc.withColumn("syms", applyMerge(col("syms"), l, r))
+      }
+      if (idx < chunks.size - 1) {
+        val cp = chained.localCheckpoint() // eager: prior frame consumed
+        if (idx > 0) Optimise.releaseCheckpoint(words)
+        words = cp
+      } else words = chained
+    }
+    words.select(col("word"), col("freq"),
+      size(col("syms")).as("n_tokens"),
+      array_join(col("syms"), " ").as("segmentation"))
+  }
+
+  /** Per-document token counts under a FROZEN merge table — the
+    * apply-side complement of [[tokenCounts]] for corpora the
+    * tokenizer was NOT trained on. */
+  def tokenCountsWith(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]
+  ): MayFail[DataFrame] = MayFail {
+    val seg = applyMerges(df, textCol, merges).get
+      .select(col("word"), col("n_tokens").cast("long").as("__nt"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(seg, Seq("word"))
+      .groupBy(idCol).agg(sum(col("__nt")).as("n_tokens"))
+  }
+
   /** Per-document token counts under the learned tokenizer — the
     * honest replacement for heuristic budget counts
     * ([[TextFunctions.subwordCount]]) once a corpus-trained merge

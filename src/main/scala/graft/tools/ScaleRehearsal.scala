@@ -1632,6 +1632,40 @@ object ScaleRehearsal {
       s"star fallback must equal converged labels: " +
         s"${fbMap.size} vs ${ccTruth.size}")
 
+    // BPE replication law: a ×mult-replicated corpus has every adjacent
+    // pair count scaled EXACTLY ×mult, so the merge sequence is
+    // identical and each pair_count is ×mult — integer-exact at any
+    // scale (argmax ties break lexicographically on both sides)
+    val bpeBaseDocs = spark.read.parquet(s"$dir/documents.parquet")
+    var bpeRepl: Seq[(Int, String, String, String, Long)] = null
+    time("bpe-learn")({
+      bpeRepl = graft.operators.Bpe.learnMerges(docs, "text", 12).get
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+      bpeRepl.size.toLong
+    })
+    val bpeBase = graft.operators.Bpe.learnMerges(bpeBaseDocs, "text", 12)
+      .get.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    check("bpe_replication_law",
+      bpeBase.size == 12 && bpeRepl == bpeBase.map(m =>
+        m.copy(_5 = m._5 * mult)),
+      s"replicated merge table must be the base table with counts " +
+        s"x$mult: got ${bpeRepl.take(3)} vs base ${bpeBase.take(3)}")
+    // frozen-apply parity at scale: tokenizing the 10x corpus under the
+    // exported merge table equals the learn-side segmentation
+    val bpeFrozen = bpeRepl.map(m => (m._2, m._3))
+    val segApply = graft.operators.Bpe.applyMerges(docs, "text", bpeFrozen)
+      .get.select("word", "segmentation")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val segLearn = graft.operators.Bpe.segmentWords(docs, "text", 12).get
+      .select("word", "segmentation")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    check("bpe_apply_parity_law",
+      segLearn.nonEmpty && segApply == segLearn,
+      s"frozen apply must reproduce the learn-side segmentation: " +
+        s"${segApply.size} vs ${segLearn.size} words")
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

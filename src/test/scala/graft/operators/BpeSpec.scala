@@ -105,6 +105,55 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMerges(df, "text", 5, minPairCount = 0L).isFailing)
   }
 
+  test("applyMerges under the frozen learned table reproduces " +
+      "segmentWords on the training corpus; chunked-checkpoint path " +
+      "identical; unseen words segment by the fold alone") {
+    val rnd = new scala.util.Random(11L)
+    val vocab = Seq("low", "lower", "lowest", "banana", "band", "bbb")
+    val corpus = Seq.tabulate(80) { _ =>
+      Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Bpe.collectMerges(Bpe.learnMerges(df, "text", 10).get)
+    val want = Bpe.segmentWords(df, "text", 10).get
+      .select("word", "freq", "n_tokens", "segmentation")
+      .as[(String, Long, Int, String)].collect().toSet
+    val got = Bpe.applyMerges(df, "text", merges).get
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(got == want)
+    val chunked = Bpe.applyMerges(df, "text", merges, checkpointEvery = 3)
+      .get.as[(String, Long, Int, String)].collect().toSet
+    assert(chunked == want)
+    // unseen corpus: fold with the frozen merges, replayed in-memory
+    val (refM, _) = refBpe(corpus, 10, 2L)
+    assert(refM.map(m => (m._2, m._3)) == merges)
+    val unseen = Seq((1L, "blower bandana lowly")).toDF("id", "text")
+    def applyRef(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        out.toSeq
+      }
+    val gotU = Bpe.applyMerges(unseen, "text", merges).get
+      .select("word", "segmentation").as[(String, String)]
+      .collect().toMap
+    assert(gotU == Seq("blower", "bandana", "lowly")
+      .map(w => w -> applyRef(w).mkString(" ")).toMap)
+    // tokenCountsWith sums the frozen segmentation per occurrence
+    val tc = Bpe.tokenCountsWith(unseen, "text", "id", merges).get
+      .as[(Long, Long)].collect().toMap
+    assert(tc == Map(1L ->
+      Seq("blower", "bandana", "lowly").map(applyRef(_).size.toLong).sum))
+    assert(Bpe.applyMerges(df, "text", merges, checkpointEvery = 0)
+      .isFailing)
+  }
+
   test("merge learning is partitioning-invariant (repartition(7) yields " +
       "an identical merge table)") {
     val df = (1 to 60).map(i => (i.toLong, s"banana band ban b${i % 3}"))
