@@ -2937,6 +2937,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q347_waterfill_caps" -> ((s, dir) => {
+      // Water-filling crawl-budget allocation over per-part lineitem
+      // counts: exact integer level search (div, never a product),
+      // remainder to the largest keys — Σcap == budget replayed
+      // row-for-row by the oracle's window arithmetic.
+      graft.operators.Sampling.waterfillCaps(tbl(s, dir, "lineitem"),
+          "l_partkey", budget = 30000L).get
+        .withColumnRenamed("key", "l_partkey")
+        .orderBy("l_partkey")
+    }),
+
+    "q348_waterfill_sample" -> ((s, dir) => {
+      // The allocation APPLIED: per-key cap-prefix in the salted
+      // portable-hash order — the exact kept row set is the gate.
+      graft.operators.Sampling.waterfillSample(tbl(s, dir, "lineitem"),
+          "l_partkey", budget = 30000L,
+          idCols = Seq("l_orderkey", "l_linenumber"), salt = "r11").get
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q345_kn_lm" -> ((s, dir) => {
+      // Self-trained interpolated Kneser-Ney bigram quality scores —
+      // the CCNet-style LM signal with proper continuation smoothing;
+      // grids and the probability CASE shape replayed by the oracle.
+      graft.operators.LmScore.knBigramScores(
+          tbl(s, dir, "documents"), "text", "doc_id").get
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
+    "q346_kn_lm_split" -> ((s, dir) => {
+      // Production split: KN grids fitted on the src0 subcorpus only,
+      // every document scored under that frozen model — exercises the
+      // unseen-context continuation backoff and the floor on real data.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.LmScore.knBigramScores(docs, "text", "doc_id",
+          train = Some(docs.filter(col("source") === "src0"))).get
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
     "q344_bpe_apply" -> ((s, dir) => {
       // Production train/apply split: the 12-merge tokenizer learned
       // on documents is FROZEN (collectMerges export) and applied to
@@ -5662,6 +5708,55 @@ object SparkEntry {
          FROM r$len ORDER BY key_a, key_b""")
     sb.toString
   }
+
+  /** q345/q346 oracle, generated over a train-side filter: the
+    * interpolated-KN grids (bigram counts, context totals, forward and
+    * backward continuation fan-outs, distinct-bigram scalar) and the
+    * exact probability CASE shape of
+    * [[graft.operators.LmScore.knBigramScores]]. */
+  private def knOracleSql(trainWhere: String): String =
+    s"""WITH tl AS (
+           SELECT doc_id, source, list_filter(
+             string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
+             x -> x <> '') AS l
+           FROM documents
+         ), bg AS MATERIALIZED (
+           SELECT doc_id, source,
+             unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+           FROM tl WHERE len(l) >= 2
+         ), c2 AS MATERIALIZED (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+           FROM bg $trainWhere GROUP BY 1, 2
+         ), cx AS (
+           SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx,
+             CAST(count(*) AS BIGINT) AS n1f
+           FROM c2 GROUP BY 1
+         ), nb AS (
+           SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1
+         ), bt AS (SELECT CAST(count(*) AS BIGINT) AS B FROM c2),
+         p0 AS (
+           SELECT g.doc_id,
+             CASE WHEN cx.ctx IS NULL THEN
+               coalesce(CAST(nb.n1b AS DOUBLE) / CAST(bt.B AS DOUBLE),
+                 1e-10)
+             ELSE
+               (greatest(CAST(coalesce(c.c2, 0) AS DOUBLE) - 0.75, 0.0) +
+                0.75 * CAST(cx.n1f AS DOUBLE) *
+                coalesce(CAST(nb.n1b AS DOUBLE) / CAST(bt.B AS DOUBLE),
+                  0.0)) / CAST(cx.ctx AS DOUBLE)
+             END AS p
+           FROM bg g
+           LEFT JOIN c2 c ON c.w1 = g.w1 AND c.w2 = g.w2
+           LEFT JOIN cx ON cx.w1 = g.w1
+           LEFT JOIN nb ON nb.w2 = g.w2
+           CROSS JOIN bt
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CASE WHEN p > 0 THEN p ELSE 1e-10 END)), 6)
+             AS avg_logprob,
+           round(exp(-avg(ln(CASE WHEN p > 0 THEN p ELSE 1e-10 END))), 4)
+             AS perplexity
+         FROM p0 GROUP BY doc_id ORDER BY doc_id"""
 
   /** Merge count for the q340/q341 BPE gates — small enough to unroll
     * in the oracle, deep enough that a single wrong merge cascades. */
@@ -9279,6 +9374,87 @@ object SparkEntry {
     "q340_bpe_merges" -> bpeMergesOracleSql(BpeGateMerges),
     "q341_bpe_token_counts" -> bpeTokenCountsOracleSql(BpeGateMerges),
     "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
+    "q345_kn_lm" -> knOracleSql(""),
+    "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
+
+    // q347/q348: the water-filling level search replayed — feasibility
+    // via guarded integer division (never the overflow-prone product),
+    // remainder +1 to the largest (n, key); q348 adds the salted-hash
+    // cap-prefix row pick.
+    "q347_waterfill_caps" ->
+      """WITH g AS (
+           SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+         ), w AS MATERIALIZED (
+           SELECT key, n,
+             CAST(row_number() OVER (ORDER BY n, key) AS BIGINT) AS i,
+             CAST(sum(n) OVER (ORDER BY n, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
+           FROM g
+         ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM w),
+         f AS (
+           SELECT i, s FROM w, m
+           WHERE 30000 - s >= 0 AND
+             (CASE WHEN m.m > i THEN n <= (30000 - s) // (m.m - i)
+               ELSE TRUE END)
+         ), sc AS (
+           SELECT CAST(coalesce(max(i), 0) AS BIGINT) AS istar,
+             CAST(coalesce(max(s), 0) AS BIGINT) AS sstar
+           FROM f
+         )
+         SELECT w.key AS l_partkey, w.n,
+           CASE WHEN w.i <= sc.istar THEN w.n
+           ELSE (30000 - sc.sstar) // (m.m - sc.istar) +
+             CASE WHEN w.i > m.m -
+               ((30000 - sc.sstar) % (m.m - sc.istar))
+               THEN 1 ELSE 0 END
+           END AS cap
+         FROM w, m, sc ORDER BY l_partkey""",
+
+    "q348_waterfill_sample" ->
+      """WITH g AS (
+           SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+         ), w AS MATERIALIZED (
+           SELECT key, n,
+             CAST(row_number() OVER (ORDER BY n, key) AS BIGINT) AS i,
+             CAST(sum(n) OVER (ORDER BY n, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
+           FROM g
+         ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM w),
+         f AS (
+           SELECT i, s FROM w, m
+           WHERE 30000 - s >= 0 AND
+             (CASE WHEN m.m > i THEN n <= (30000 - s) // (m.m - i)
+               ELSE TRUE END)
+         ), sc AS (
+           SELECT CAST(coalesce(max(i), 0) AS BIGINT) AS istar,
+             CAST(coalesce(max(s), 0) AS BIGINT) AS sstar
+           FROM f
+         ), caps AS (
+           SELECT w.key,
+             CASE WHEN w.i <= sc.istar THEN w.n
+             ELSE (30000 - sc.sstar) // (m.m - sc.istar) +
+               CASE WHEN w.i > m.m -
+                 ((30000 - sc.sstar) % (m.m - sc.istar))
+                 THEN 1 ELSE 0 END
+             END AS cap
+           FROM w, m, sc
+         ), r AS (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY
+               CAST(('0x' || substring(md5('r11§' ||
+                 CAST(l_orderkey AS VARCHAR) || '§' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT),
+               l_orderkey, l_linenumber) AS rn
+           FROM lineitem WHERE l_partkey IS NOT NULL
+         )
+         SELECT r.l_orderkey, r.l_linenumber, r.l_partkey
+         FROM r JOIN caps ON caps.key = r.l_partkey
+         WHERE r.rn <= caps.cap
+         ORDER BY r.l_orderkey, r.l_linenumber""",
 
     // q342: unigram and adjacent-bigram grids replayed, PMI with the
     // operator's exact division shape (ratio of ratios, casts first).

@@ -80,6 +80,83 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability per document —
+    * the production upgrade of [[bigramScores]]'s add-k smoothing
+    * (Kneser & Ney, ICASSP 1995; Chen & Goodman 1998 eq. 4.28): the
+    * discounted ML estimate interpolates with the CONTINUATION
+    * distribution (how many distinct contexts a word follows), which
+    * is what CCNet-style quality filters actually rely on — rare
+    * words in productive contexts stop being punished as if unseen.
+    *
+    * `P(w2|w1) = [max(c(w1,w2)−D, 0) + D·N1+(w1,•)·Pcont(w2)] / ctx(w1)`
+    * with `ctx(w1) = Σ_w c(w1,w)`, `Pcont(w2) = N1+(•,w2) / B`,
+    * `B` = distinct bigrams. This normalizes EXACTLY to 1 over the
+    * train vocabulary (spec-asserted), unlike the plain-unigram
+    * context approximation.
+    *
+    * `train` enables the production split: fit the grids on a
+    * reference corpus, score any other (the q344/IVF train-apply
+    * discipline). Score-side cases, in order: unseen context →
+    * pure continuation `Pcont(w2)`; seen context, unseen bigram →
+    * the interpolation term alone; anything that lands on zero
+    * probability (unseen w2 everywhere) → `floorProb`. All grids are
+    * vocabulary-/bigram-vocabulary-sized; scoring is three left
+    * joins plus a 1-row broadcast — nothing corpus² anywhere.
+    *
+    * Returns `(idCol, n_bigrams, avg_logprob, perplexity)`;
+    * documents with fewer than two tokens produce no row. */
+  def knBigramScores(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      train: Option[DataFrame] = None,
+      discount: Double = 0.75,
+      floorProb: Double = 1e-10
+  ): MayFail[DataFrame] = MayFail {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1): $discount")
+    require(floorProb > 0 && floorProb < 1,
+      s"floorProb must be in (0, 1): $floorProb")
+    def bigramsOf(d: DataFrame, cols: Seq[String]) = {
+      val t = d.select(cols.map(col) :+ tokens(col(textCol)).as("__t"): _*)
+      t.filter(size(col("__t")) >= 2)
+        .select(cols.map(col) :+
+          explode(zip_with(
+            slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+        .select(cols.map(col) :+ col("__bg.w1").as("w1") :+
+          col("__bg.w2").as("w2"): _*)
+    }
+    // bigram grid: consumed by ctx totals, both continuation grids,
+    // the distinct-bigram scalar AND the score join — checkpoint once
+    val c2 = bigramsOf(train.getOrElse(df), Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val ctx = c2.groupBy("w1")
+      .agg(sum("c2").as("ctx"), count(lit(1)).as("n1f"))
+    val n1b = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val bTot = c2.agg(count(lit(1)).as("B"))
+    val pc = col("n1b").cast("double") / col("B").cast("double")
+    val interp = (greatest(
+        coalesce(col("c2"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) +
+      lit(discount) * col("n1f").cast("double") *
+        coalesce(pc, lit(0.0))) / col("ctx").cast("double")
+    val p = when(col("ctx").isNull, coalesce(pc, lit(floorProb)))
+      .otherwise(interp)
+    bigramsOf(df, Seq(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(n1b, Seq("w2"), "left")
+      .crossJoin(broadcast(bTot))
+      .withColumn("__p", when(p > 0, p).otherwise(lit(floorProb)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("__p"))).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+  }
+
   /** CCNet-style bucket assignment (Wenzek et al. 2020, arXiv:1911.00359
     * §4.3): label each row by comparing `scoreCol` against the ascending
     * `cutoffs` — `labels(i)` when the score is ≤ `cutoffs(i)`, the last

@@ -537,4 +537,87 @@ object Sampling {
         col("__z.__docs.__t").as("n_tokens") :+
         col("__z.__bins").cast("long").as("bin_id"): _*)
   }
+
+  /** Water-filling budget allocation — the crawl-frontier fairness
+    * verb: given per-key row counts `n_k` and a global `budget`, find
+    * the level `λ` such that `Σ min(n_k, λ)` exhausts the budget, so
+    * no key is starved while heavy keys (hot domains, boilerplate
+    * sources) are capped at the common level. Exact integers
+    * throughout: the largest feasible level index `i*` satisfies
+    * `S_i + (m−i)·n_i ≤ B`, tested WITHOUT the overflow-prone product
+    * as `n_i ≤ (B−S_i) div (m−i)`; then `λ = (B−S*) div (m−i*)` and
+    * the remainder `+1`s go to the `r` uncapped keys with the LARGEST
+    * (n, key) — fully deterministic, so `Σ cap == min(budget, Σ n)`
+    * EXACTLY (spec law). Returns `(key, n, cap)`.
+    *
+    * The level search sorts the KEY GRID in one global window — the
+    * exact-grid discipline of `Quality.gridMedian`: grid-sized, one
+    * task, never the corpus. (Beyond ~10⁸ keys, binary-search λ with
+    * repeated `Σ min(n, λ)` aggregate probes instead.) */
+  def waterfillCaps(
+      df: DataFrame,
+      keyCol: String,
+      budget: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val grid = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val wAsc = Window.orderBy(col("n"), col("key"))
+    val g = grid
+      .withColumn("__i", row_number().over(wAsc).cast("long"))
+      .withColumn("__s", sum(col("n")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // grid-sized; consumed by the scalar agg + output
+    val withM = g.crossJoin(broadcast(g.agg(count(lit(1)).as("__m"))))
+      .withColumn("__r", lit(budget) - col("__s"))
+      // CASE guards the div (Spark AND does not short-circuit per row;
+      // an unguarded `div` would raise /0 under ANSI on the last row)
+      .withColumn("__feas", col("__r") >= 0 &&
+        coalesce(col("n") <=
+          expr("CASE WHEN __m > __i THEN __r div (__m - __i) END"),
+          lit(true)))
+    val sc = withM.agg(
+      coalesce(max(when(col("__feas"), col("__i"))), lit(0L)).as("__istar"),
+      coalesce(max(when(col("__feas"), col("__s"))), lit(0L)).as("__sstar"),
+      max(col("__m")).as("__m"))
+    // λ and remainder only exist when uncapped keys remain (__d > 0);
+    // integral `div` keeps everything exact (never `/` on longs)
+    g.crossJoin(broadcast(sc))
+      .withColumn("__d", col("__m") - col("__istar"))
+      .withColumn("__lam",
+        expr(s"CASE WHEN __d > 0 THEN (${budget}L - __sstar) div __d END"))
+      .withColumn("__rem", when(col("__d") > 0,
+        lit(budget) - col("__sstar") - col("__lam") * col("__d")))
+      .withColumn("cap",
+        when(col("__i") <= col("__istar"), col("n"))
+          .otherwise(col("__lam") +
+            when(col("__i") > col("__m") - col("__rem"), lit(1L))
+              .otherwise(lit(0L))))
+      .select("key", "n", "cap")
+  }
+
+  /** Apply [[waterfillCaps]] deterministically: within each key, keep
+    * the first `cap` rows in the salted portable-hash order (the
+    * [[fixedPerGroupByHash]] idiom, variable quota) — rebuild-stable,
+    * engine-replayable, and `Σ kept == min(budget, |df|)` exactly. */
+  def waterfillSample(
+      df: DataFrame,
+      keyCol: String,
+      budget: Long,
+      idCols: Seq[String],
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "waterfillSample needs idCols — the hash " +
+      "of the row identity IS the deterministic sampling order")
+    val caps = waterfillCaps(df, keyCol, budget).get
+      .select(col("key").as("__wfk"), col("cap").as("__cap"))
+    val rn = s"__rn_${java.util.UUID.randomUUID.toString.take(8)}"
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashOrder(salt, idCols): _*)
+    df.filter(col(keyCol).isNotNull)
+      .join(caps, col(keyCol) === col("__wfk"))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col("__cap"))
+      .drop(rn, "__wfk", "__cap")
+  }
 }

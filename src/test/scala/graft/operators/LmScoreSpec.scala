@@ -138,4 +138,73 @@ class LmScoreSpec extends AnyFunSuite {
     // GK sketch at 1% error on 900 uniform points: tertiles within ±5%
     counts.values.foreach(n => assert(math.abs(n - 300L) <= 45L, counts))
   }
+
+  // in-memory interpolated-KN reference for a train corpus + scored doc
+  private def knRef(train: Seq[String], doc: Seq[String], d: Double,
+      floor: Double): Double = {
+    val bgs = train.flatMap(t => {
+      val w = t.split(" ").toSeq; w.zip(w.tail)
+    })
+    val c2 = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = bgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1f = c2.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1b = c2.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val b = c2.size.toDouble
+    val lps = doc.zip(doc.tail).map { case (w1, w2) =>
+      val pcOpt = n1b.get(w2).map(_.toDouble / b)
+      val p = ctx.get(w1) match {
+        case None => pcOpt.getOrElse(floor)
+        case Some(cx) =>
+          (math.max(c2.getOrElse((w1, w2), 0L).toDouble - d, 0.0) +
+            d * n1f(w1).toDouble * pcOpt.getOrElse(0.0)) / cx.toDouble
+      }
+      math.log(if (p > 0) p else floor)
+    }
+    lps.sum / lps.length
+  }
+
+  test("knBigramScores: hand-checked interpolated KN on a self-trained " +
+      "corpus; per-context probabilities normalize to exactly 1") {
+    val texts = Seq("a b a b c", "a b c a", "b c b a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = LmScore.knBigramScores(df, "text", "id").get
+      .orderBy("id").select("id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = knRef(texts, t.split(" ").toSeq, 0.75, 1e-10)
+      assert(got(i)._2 == t.split(" ").length - 1)
+      assert(math.abs(got(i)._3 - want) < eps, s"doc $i")
+    }
+    // normalization: for each seen context w1, sum P(w2|w1) over the
+    // FULL train vocab must be exactly 1 (the KN telescoping identity)
+    val vocab = texts.flatMap(_.split(" ")).distinct
+    for (w1 <- vocab) {
+      val probs = vocab.map { w2 =>
+        math.exp(knRef(texts, Seq(w1, w2), 0.75, 1e-10))
+      }
+      assert(math.abs(probs.sum - 1.0) < 1e-9, s"context $w1: ${probs.sum}")
+    }
+  }
+
+  test("knBigramScores train/score split: unseen context backs off to " +
+      "continuation, zero-everywhere floors; guards") {
+    val train = Seq("a b a b", "b c")
+    val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // doc bigrams: (z,b) unseen ctx -> Pcont(b); (b,z) seen ctx, unseen
+    // w2 -> 0 -> floor; (q,q) unseen both -> floor
+    val score = Seq((10L, "z b z q q"))
+    val got = LmScore.knBigramScores(score.toDF("id", "text"), "text",
+        "id", train = Some(trainDf)).get
+      .select("avg_logprob").as[Double].head()
+    val want = knRef(train, Seq("z", "b", "z", "q", "q"), 0.75, 1e-10)
+    assert(math.abs(got - want) < eps)
+    assert(LmScore.knBigramScores(trainDf, "text", "id", discount = 0.0)
+      .isFailing)
+    assert(LmScore.knBigramScores(trainDf, "text", "id", discount = 1.0)
+      .isFailing)
+    assert(LmScore.knBigramScores(trainDf, "text", "id", floorProb = 0.0)
+      .isFailing)
+  }
 }

@@ -420,4 +420,77 @@ class SamplingSpec extends AnyFunSuite {
       idCols = Seq("id")).get.count()
     assert(g2 == 10 + 2)                   // ceil(1.5) = 2
   }
+
+  private def rowsFor(counts: Map[String, Int]) =
+    counts.toSeq.flatMap { case (k, n) =>
+      (1 to n).map(i => (k, s"$k-$i"))
+    }.toDF("dom", "id")
+
+  test("waterfillCaps: hand-computed level, remainder to largest keys, " +
+      "exact-budget law") {
+    // {a:1, b:3, c:6}, B=7: level search keeps a, b whole; λ=3 caps c
+    val caps1 = Sampling.waterfillCaps(
+      rowsFor(Map("a" -> 1, "b" -> 3, "c" -> 6)), "dom", 7L).get
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(caps1 == Map("a" -> 1L, "b" -> 3L, "c" -> 3L))
+    // {a:5, b:5, c:5}, B=7: λ=2, remainder 1 goes to the LARGEST
+    // (n, key) — c
+    val caps2 = Sampling.waterfillCaps(
+      rowsFor(Map("a" -> 5, "b" -> 5, "c" -> 5)), "dom", 7L).get
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(caps2 == Map("a" -> 2L, "b" -> 2L, "c" -> 3L))
+    // budget >= total keeps everything; budget 0 keeps nothing
+    val all = Sampling.waterfillCaps(
+      rowsFor(Map("a" -> 2, "b" -> 4)), "dom", 100L).get
+      .as[(String, Long, Long)].collect()
+    assert(all.forall(r => r._3 == r._2))
+    val none = Sampling.waterfillCaps(
+      rowsFor(Map("a" -> 2, "b" -> 4)), "dom", 0L).get
+      .as[(String, Long, Long)].collect()
+    assert(none.forall(_._3 == 0L))
+    assert(Sampling.waterfillCaps(docs, "lang", -1L).isFailing)
+  }
+
+  test("waterfillCaps laws on random grids: Σcap == min(B, Σn), " +
+      "cap ≤ n, monotone in n") {
+    val rnd = new scala.util.Random(3L)
+    for (trial <- 1 to 5) {
+      val counts = (1 to 12).map(i => s"d$i" -> (1 + rnd.nextInt(30))).toMap
+      val total = counts.values.sum.toLong
+      val b = rnd.nextInt(2 * total.toInt).toLong
+      val caps = Sampling.waterfillCaps(rowsFor(counts), "dom", b).get
+        .as[(String, Long, Long)].collect()
+      assert(caps.map(_._3).sum == math.min(b, total), s"trial $trial b=$b")
+      assert(caps.forall(r => r._3 <= r._2 && r._3 >= 0))
+      val byN = caps.sortBy(r => (r._2, r._1)).map(_._3)
+      assert(byN.zip(byN.tail).forall { case (x, y) => x <= y },
+        s"caps must be monotone in (n, key): ${caps.toSeq}")
+    }
+  }
+
+  test("waterfillSample: per-key kept == cap, hash-order prefix, " +
+      "repartition-invariant") {
+    val df = rowsFor(Map("a" -> 8, "b" -> 3, "c" -> 5))
+    val caps = Sampling.waterfillCaps(df, "dom", 10L).get
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val kept = Sampling.waterfillSample(df, "dom", 10L,
+      idCols = Seq("id"), salt = "s1").get
+    val byKey = kept.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKey.filter(_._2 > 0) == caps.filter(_._2 > 0))
+    assert(kept.count() == 10L)
+    // the kept set per key is the cap-prefix of the SAME hash order
+    // fixedPerGroupByHash uses
+    val viaQuota = Sampling.fixedPerGroupByHash(
+        df.filter($"dom" === "a"), Seq("dom"), caps("a").toInt,
+        idCols = Seq("id"), salt = "s1").get
+      .select("id").as[String].collect().toSet
+    assert(kept.filter($"dom" === "a").select("id").as[String]
+      .collect().toSet == viaQuota)
+    val repart = Sampling.waterfillSample(df.repartition(7), "dom", 10L,
+      idCols = Seq("id"), salt = "s1").get
+      .select("id").as[String].collect().toSet
+    assert(repart == kept.select("id").as[String].collect().toSet)
+    assert(Sampling.waterfillSample(df, "dom", 10L, Seq.empty).isFailing)
+  }
 }
