@@ -2937,6 +2937,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q349_cdc_chunks" -> ((s, dir) => {
+      // Content-defined chunking over the corpus: md5-window boundary
+      // rule, greedy-min fold, max-stride split — every boundary,
+      // length and chunk hash replayed position-for-position.
+      graft.operators.Cdc.chunks(tbl(s, dir, "documents"), "text",
+          "doc_id").get
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q350_cdc_dedup" -> ((s, dir) => {
+      // Chunk-hash storage dedup: a 243-char boilerplate run planted
+      // on every 5th document (q115's augment idiom) must surface as
+      // shared content-addressed chunks; counts exact.
+      val aug = tbl(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), repeat(lit("graft boiler plate segment "), 9)))
+          .otherwise(col("text")))
+      graft.operators.Cdc.dedupReport(aug, "text", "doc_id").get
+        .orderBy("chunk_md5")
+    }),
+
     "q347_waterfill_caps" -> ((s, dir) => {
       // Water-filling crawl-budget allocation over per-part lineitem
       // counts: exact integer level search (div, never a product),
@@ -5757,6 +5778,61 @@ object SparkEntry {
            round(exp(-avg(ln(CASE WHEN p > 0 THEN p ELSE 1e-10 END))), 4)
              AS perplexity
          FROM p0 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q349/q350 oracle CTEs over a document text expression: the CDC
+    * pipeline of [[graft.operators.Cdc.chunks]] replayed at the gate
+    * knobs (bits=5 → mask 31, window 8, min 16, max 96) — candidate
+    * grid, greedy-min list_reduce fold, max-stride split, chunk md5. */
+  private def cdcOracleCtes(textExpr: String): String =
+    s"""WITH d AS (
+           SELECT doc_id, $textExpr AS s FROM documents
+           WHERE text IS NOT NULL
+         ), dd AS MATERIALIZED (
+           SELECT doc_id, s, CAST(len(s) AS BIGINT) AS l FROM d
+           WHERE len(s) >= 1
+         ), c AS (
+           SELECT doc_id, p FROM (
+             SELECT doc_id, s, unnest(generate_series(8, l - 1)) AS p
+             FROM dd WHERE l >= 8)
+           WHERE (CAST(('0x' || substring(md5(s[(p - 7):p]), 1, 15))
+             AS BIGINT) & 31) = 0
+         ), cl AS (
+           SELECT doc_id, list_sort(list(p)) AS cands FROM c GROUP BY 1
+         ), acc AS MATERIALIZED (
+           -- fold written as ONE list_concat expression: DuckDB 1.0's
+           -- list_reduce returns a corrupted accumulator when a CASE
+           -- branch yields the bare `a` over table-sourced input
+           -- (verified: literal input folds correctly, the identical
+           -- fold over a VALUES/table column drops the prefix)
+           SELECT dd.doc_id, dd.s,
+             list_append(list_reduce(
+               list_prepend([CAST(0 AS BIGINT)],
+                 list_transform(coalesce(cl.cands, CAST([] AS BIGINT[])),
+                   x -> [x])),
+               (a, x) -> list_concat(a,
+                 CASE WHEN x[1] - a[-1] >= 16 THEN [x[1]]
+                   ELSE CAST([] AS BIGINT[]) END)), dd.l) AS bounds
+           FROM dd LEFT JOIN cl USING (doc_id)
+         ), pr AS (
+           SELECT doc_id, s, bounds[i] AS lo, bounds[i + 1] AS hi
+           FROM (SELECT doc_id, s, bounds,
+                   unnest(generate_series(1, len(bounds) - 1)) AS i
+                 FROM acc)
+           WHERE bounds[i + 1] > bounds[i]
+         ), st AS (
+           SELECT doc_id, s, hi,
+             unnest(generate_series(lo, hi - 1, 96)) AS cstart
+           FROM pr
+         ), ch AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cstart)
+               AS BIGINT) AS chunk_idx,
+             cstart + 1 AS "start",
+             least(96, hi - cstart) AS chunk_len,
+             md5(s[(cstart + 1):(cstart + least(96, hi - cstart))])
+               AS chunk_md5
+           FROM st
+         )"""
 
   /** Merge count for the q340/q341 BPE gates — small enough to unroll
     * in the oracle, deep enough that a single wrong merge cascades. */
@@ -9376,6 +9452,20 @@ object SparkEntry {
     "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
+
+    "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
+         SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    "q350_cdc_dedup" -> (cdcOracleCtes(
+      "CASE WHEN doc_id % 5 = 0 THEN text || " +
+        "repeat('graft boiler plate segment ', 9) ELSE text END") + """
+         SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(max(chunk_len) AS BIGINT) AS chunk_len
+         FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_md5"""),
 
     // q347/q348: the water-filling level search replayed — feasibility
     // via guarded integer division (never the overflow-prone product),
