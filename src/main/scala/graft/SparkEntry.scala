@@ -2937,6 +2937,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q353_stream_cdc_novel" -> ((s, dir) => {
+      // STREAMING novel-chunk ingestion in 4 REAL micro-batches
+      // (q321's staging idiom): arriving docs >= 250 CDC-chunk on the
+      // stream (the kernel is a pure projection), chunks already in
+      // the frozen sub-250 corpus drop via the stream-static anti
+      // join. The q350 boilerplate plant guarantees drops; the oracle
+      // replays chunking for BOTH sides and the NOT IN.
+      implicit val sp: SparkSession = s
+      val aug = tbl(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"),
+            repeat(lit("graft boiler plate segment "), 9)))
+          .otherwise(col("text")))
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src353"
+      aug.filter(col("doc_id") >= 250).repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val novel = graft.streaming.Stream.cdcNovelChunks(src,
+        aug.filter(col("doc_id") < 250), "text", "doc_id").get
+      val name = "graft_cdcnovel_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Stream.drainToMemory(novel, name).get
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q351_dp_counts" -> ((s, dir) => {
+      // Noisy (source, lang) release counts: Laplace(1/ε) from the
+      // salted portable hash via the inverse CDF — deterministic by
+      // design, replayed term-for-term by the oracle.
+      graft.operators.Quality.dpCounts(tbl(s, dir, "documents"),
+          Seq("source", "lang"), epsilon = 1.0, salt = "r11").get
+        .orderBy("source", "lang")
+    }),
+
+    "q352_krippendorff" -> ((s, dir) => {
+      // Krippendorff's alpha with genuinely unequal rating counts:
+      // do an order's lineitems agree on return flag (1-7 lines per
+      // order; single-line orders are unpairable and drop — the
+      // missing-data contract the kappa family can't express).
+      graft.operators.Stats.krippendorffAlpha(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_returnflag").get
+        .select(col("n_units"), col("n_ratings"), col("k_categories"),
+          round(col("a_obs") + lit(1e-9), 6).as("a_obs"),
+          round(col("a_exp") + lit(1e-9), 6).as("a_exp"),
+          round(col("alpha") + lit(1e-9), 6).as("alpha"))
+    }),
+
     "q349_cdc_chunks" -> ((s, dir) => {
       // Content-defined chunking over the corpus: md5-window boundary
       // rule, greedy-min fold, max-stride split — every boundary,
@@ -9453,9 +9503,77 @@ object SparkEntry {
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
 
+    // q351: the exact inverse-CDF Laplace shape — u from the 53-bit
+    // dyadic with +0.5 centering, (-1/ε)·sign·ln(1−2|u−½|).
+    "q351_dp_counts" ->
+      """WITH c AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2
+         ), h AS (
+           SELECT source, lang, n,
+             (CAST((CAST(('0x' || substring(md5('r11§' ||
+               coalesce(CAST(source AS VARCHAR), '<null>') || '§' ||
+               coalesce(CAST(lang AS VARCHAR), '<null>')), 1, 15))
+               AS BIGINT) >> 7) AS DOUBLE) + 0.5) / 9007199254740992.0
+               AS u
+           FROM c
+         )
+         SELECT source, lang,
+           round(CAST(n AS DOUBLE) +
+             (-1.0 / 1.0) * CAST(sign(u - 0.5) AS DOUBLE) *
+             ln(1.0 - 2.0 * abs(u - 0.5)) + 1e-9, 6) AS noisy_n
+         FROM h ORDER BY source, lang""",
+
+    // q352: the coincidence-matrix identities replayed — A_o per-cell
+    // double terms (χ²-tier, rounded at 6 with the tie shift), A_e
+    // from exact integer marginals.
+    "q352_krippendorff" ->
+      """WITH cells AS (
+           SELECT l_orderkey AS u, CAST(l_returnflag AS VARCHAR) AS v,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2
+         ), mu AS (
+           SELECT u, CAST(sum(n) AS BIGINT) AS m FROM cells
+           GROUP BY 1 HAVING sum(n) >= 2
+         ), pc AS (SELECT c.u, c.v, c.n, mu.m FROM cells c JOIN mu USING (u)),
+         ao AS (
+           SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS n_ratings,
+             coalesce(sum(CAST(n AS DOUBLE) * (n - 1) /
+               CAST(m - 1 AS DOUBLE)), 0.0) AS aon
+           FROM pc
+         ), cat AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_categories,
+             coalesce(sum(CAST(nc AS DOUBLE) * (nc - 1)), 0.0) AS se
+           FROM (SELECT v, CAST(sum(n) AS BIGINT) AS nc FROM pc GROUP BY 1)
+         )
+         SELECT n_units, n_ratings, k_categories,
+           round(a_obs + 1e-9, 6) AS a_obs,
+           round(a_exp + 1e-9, 6) AS a_exp,
+           round(CASE WHEN a_exp < 1.0
+             THEN (a_obs - a_exp) / (1.0 - a_exp) END + 1e-9, 6) AS alpha
+         FROM (
+           SELECT n_units, n_ratings, k_categories,
+             CASE WHEN n_ratings > 0
+               THEN aon / CAST(n_ratings AS DOUBLE) END AS a_obs,
+             CASE WHEN n_ratings >= 2
+               THEN se / (CAST(n_ratings AS DOUBLE) *
+                 CAST(n_ratings - 1 AS DOUBLE)) END AS a_exp
+           FROM ao, cat)""",
+
     "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
          SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    "q353_stream_cdc_novel" -> (cdcOracleCtes(
+      "CASE WHEN doc_id % 5 = 0 THEN text || " +
+        "repeat('graft boiler plate segment ', 9) ELSE text END") + """
+         SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
+         FROM ch WHERE doc_id >= 250 AND chunk_md5 NOT IN
+           (SELECT chunk_md5 FROM ch WHERE doc_id < 250)
+         ORDER BY doc_id, chunk_idx"""),
 
     "q350_cdc_dedup" -> (cdcOracleCtes(
       "CASE WHEN doc_id % 5 = 0 THEN text || " +

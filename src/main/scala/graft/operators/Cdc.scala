@@ -31,17 +31,53 @@ import graft.functional.MayFail
   * normalized-gear variant folds max into the scan itself — cited
   * for lineage, not replicated bit-for-bit.)
   *
-  * Scale: one explode to `len` window positions per document (md5
-  * per position — the winnowing cost model; go native Expression if
-  * this ever dominates a profile), one vocabulary... rather
-  * boundary-sized fold per document, no shuffles beyond the final
-  * group. Documents shorter than `window` get no candidates and
-  * emit as a single chunk (split only by `maxLen`).
+  * Scale: the ENTIRE pipeline is one per-row column expression plus
+  * a posexplode — no groupBy, no window, no shuffle anywhere, so
+  * chunking runs map-side at any corpus size and the same kernel
+  * rides streaming frames. md5 per window position is the winnowing
+  * cost model; go native Expression if it ever dominates a profile.
+  * Documents shorter than `window` get no candidates and emit as a
+  * single chunk (split only by `maxLen`).
   */
 object Cdc {
 
   private def hash60(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The whole per-document chunking as ONE column expression over
+    * `(text, len)` — candidates, greedy-min fold, max-stride split —
+    * so chunking is SHUFFLE-FREE (a pure projection + one
+    * posexplode): no groupBy, no window, no checkpoint. That is both
+    * the 100 TB plan (map-side only, whole-stage codegen) and what
+    * lets the identical kernel ride a STREAMING frame
+    * ([[graft.streaming.Stream.cdcNovelChunks]]). Documents are
+    * bounded (corpus contract: segment multi-MB blobs first), so the
+    * per-row arrays stay small. */
+  private[operators] def chunkStructs(
+      s: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column,
+      bits: Int, window: Int, minLen: Int, maxLen: Int) = {
+    val mask = (1L << bits) - 1
+    // candidates: low `bits` of the window hash all zero; p < len so
+    // every boundary leaves >= 1 char. `len <= window` has no valid p
+    // (and sequence(w, w-1) would DESCEND and fabricate one).
+    val cands = when(len > window,
+      filter(sequence(lit(window.toLong), len - 1), p =>
+        hash60(s.substr((p - window + 1).cast("int"), lit(window)))
+          .bitwiseAND(lit(mask)) === 0L))
+      .otherwise(array().cast("array<bigint>"))
+    val acc = aggregate(cands, array(lit(0L)),
+      (a, x) => when(x - element_at(a, -1) >= minLen,
+        concat(a, array(x))).otherwise(a))
+    val bounds = concat(acc, array(len))
+    flatten(transform(sequence(lit(1), size(acc)), i => {
+      val lo = element_at(bounds, i)
+      val hi = element_at(bounds, i + 1)
+      transform(sequence(lo, hi - 1, lit(maxLen.toLong)), cs =>
+        struct((cs + 1).as("start"),
+          least(lit(maxLen.toLong), hi - cs).as("chunk_len")))
+    }))
+  }
 
   /** Content-defined chunks: `(idCol, chunk_idx, start, chunk_len,
     * chunk_md5)` — `start` 1-based, `chunk_md5` the md5 of the chunk
@@ -60,56 +96,18 @@ object Cdc {
     require(minLen >= 1, s"minLen must be >= 1: $minLen")
     require(maxLen >= minLen,
       s"maxLen ($maxLen) must be >= minLen ($minLen)")
-    val mask = (1L << bits) - 1
-    val base = df
-      .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("id"), col(textCol).as("__s"),
         length(col(textCol)).cast("long").as("__len"))
-      .localCheckpoint()
-    // candidate boundaries: low `bits` of the window hash all zero.
-    // A boundary after position p means "chunk ends at p" — p itself
-    // must leave >= 1 char, so p < len. Docs shorter than `window`
-    // produce no rows here (sequence would descend — filtered first).
-    val cands = base
-      .filter(col("__len") > window) // == window has no valid p, and
-      // sequence(w, w-1) would DESCEND in Spark and fabricate one
-      .select(col("id"),
-        explode(sequence(lit(window.toLong), col("__len") - 1)).as("p"),
-        col("__s"))
-      .filter(hash60(col("__s").substr((col("p") - window + 1).cast("int"),
-        lit(window))).bitwiseAND(lit(mask)) === 0L)
-      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("__cands"))
-    // greedy-min fold (accepted list seeded with 0 = document start),
-    // then append the document end and split oversized gaps at fixed
-    // maxLen strides
-    val accepted = base
-      .join(cands, Seq("id"), "left")
-      .withColumn("__acc", aggregate(
-        coalesce(col("__cands"), array().cast("array<bigint>")),
-        array(lit(0L)),
-        (acc, x) => when(x - element_at(acc, -1) >= minLen,
-          concat(acc, array(x))).otherwise(acc)))
-      .withColumn("__bounds", concat(col("__acc"), array(col("__len"))))
-    accepted
       .select(col("id"), col("__s"),
-        explode(transform(sequence(lit(1), size(col("__acc"))),
-          i => struct(element_at(col("__bounds"), i).as("lo"),
-            element_at(col("__bounds"), i + 1).as("hi")))).as("__g"))
-      .filter(col("__g.hi") > col("__g.lo")) // trailing candidate == len
-      .select(col("id"), col("__s"), col("__g.hi").as("hi"),
-        explode(sequence(col("__g.lo"), col("__g.hi") - 1,
-          lit(maxLen.toLong))).as("cstart"))
-      .withColumn("chunk_len",
-        least(lit(maxLen.toLong), col("hi") - col("cstart")))
-      .withColumn("start", col("cstart") + 1)
-      .withColumn("chunk_md5",
-        md5(col("__s").substr(col("start").cast("int"),
-          col("chunk_len").cast("int"))))
-      .withColumn("chunk_idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy("start")).cast("long"))
-      .select(col("id").as(idCol), col("chunk_idx"), col("start"),
-        col("chunk_len"), col("chunk_md5"))
+        posexplode(chunkStructs(col("__s"), col("__len"),
+          bits, window, minLen, maxLen)).as(Seq("__pos", "__c")))
+      .select(col("id").as(idCol),
+        (col("__pos") + 1).cast("long").as("chunk_idx"),
+        col("__c.start").as("start"),
+        col("__c.chunk_len").as("chunk_len"),
+        md5(col("__s").substr(col("__c.start").cast("int"),
+          col("__c.chunk_len").cast("int"))).as("chunk_md5"))
   }
 
   /** Cross-corpus chunk dedup report: every chunk content (by md5)

@@ -1221,6 +1221,42 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Differentially-private-SHAPED noisy group counts: per-group
+    * Laplace(1/ε) noise derived from the salted portable hash of the
+    * group key via the inverse CDF — `u ∈ (0,1)` from the 53-bit
+    * dyadic (q272 idiom, +0.5 centering so u is never 0 or 1), then
+    * `noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)`. Deterministic and
+    * engine-replayable BY DESIGN for auditability; true ε-DP
+    * additionally requires the salt to be secret and single-use
+    * (documented contract — with a public salt this is calibrated
+    * pseudo-noise, not a privacy guarantee).
+    *
+    * Only the noisy counts are returned (releasing the exact count
+    * alongside would defeat the construction). One partial-agg
+    * shuffle; noise is a pure column expression. */
+  def dpCounts(
+      df: DataFrame,
+      keys: Seq[String],
+      epsilon: Double,
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "dpCounts needs at least one grouping column")
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val h = graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt) +: keys.flatMap(k =>
+        Seq(lit("§"), coalesce(col(k).cast("string"), lit("<null>")))): _*))
+    val u = (shiftright(h, 7).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0)
+    val cen = u - lit(0.5)
+    val noise = lit(-1.0) / lit(epsilon) * signum(cen) *
+      log(lit(1.0) - lit(2.0) * abs(cen))
+    counts
+      .withColumn("noisy_n",
+        round(col("__n").cast("double") + noise + lit(1e-9), 6))
+      .select(keys.map(col) :+ col("noisy_n"): _*)
+  }
+
   /** Zipf / vocabulary-health report — the corpus-level lexical
     * screen run before trusting a crawl source: natural text obeys
     * Zipf's law (ln freq ≈ a + slope·ln rank with slope near −1 and

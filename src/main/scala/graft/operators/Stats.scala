@@ -1488,6 +1488,61 @@ object Stats {
     * per-subject reduction, one per-category reduction — all-integer
     * moments into one IEEE chain, gate unrounded.
     */
+  /** Krippendorff's alpha, nominal data (Krippendorff, Content
+    * Analysis 1980/2004) — the inter-rater agreement coefficient that
+    * HANDLES MISSING RATINGS, completing the kappa family:
+    * [[cohensKappa]] needs exactly two raters, [[fleissKappa]] a
+    * constant rating count per subject; alpha takes any (unit, value)
+    * multiset with `m_u >= 2` ratings on pairable units and ignores
+    * the rest (the standard contract).
+    *
+    * Coincidence-matrix form without materializing the matrix:
+    * `A_o = Σ_u Σ_c n_uc(n_uc−1)/(m_u−1) / N` (the only float sum —
+    * χ²-tier; each term's first factor casts to double BEFORE the
+    * divide), `A_e = Σ_c n_c(n_c−1) / (N(N−1))` from EXACT integer
+    * marginals (`n_c` row-sums telescope to plain value totals over
+    * pairable units), `alpha = (A_o − A_e)/(1 − A_e)`. Everything is
+    * value-grid-sized after one partial agg; no unit×unit or
+    * value×value joins.
+    *
+    * Returns one row `(n_units, n_ratings, k_categories: bigint,
+    * a_obs, a_exp, alpha: double)` — degenerate inputs (no pairable
+    * units, or `A_e = 1` i.e. a single category) yield NULL
+    * coefficients, never NaN. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val cells = df
+      .filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(unitCol).as("__u"), col(valueCol).cast("string").as("__v"))
+      .groupBy("__u", "__v").agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // grid-sized; consumed by sizes, A_o and marginals
+    val mu = cells.groupBy("__u").agg(sum(col("__n")).as("__m"))
+      .filter(col("__m") >= 2)
+    val pc = cells.join(mu, Seq("__u"))
+    val ao = pc.agg(
+      count_distinct(col("__u")).as("n_units"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_ratings"),
+      coalesce(sum(col("__n").cast("double") * (col("__n") - 1) /
+        (col("__m") - 1).cast("double")), lit(0.0)).as("__aon"))
+    val cat = pc.groupBy("__v").agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("k_categories"),
+        coalesce(sum(col("__nc").cast("double") * (col("__nc") - 1)),
+          lit(0.0)).as("__se"))
+    ao.crossJoin(cat)
+      .withColumn("a_obs", when(col("n_ratings") > 0,
+        col("__aon") / col("n_ratings").cast("double")))
+      .withColumn("a_exp", when(col("n_ratings") >= 2,
+        col("__se") / (col("n_ratings").cast("double") *
+          (col("n_ratings") - 1).cast("double"))))
+      .withColumn("alpha", when(col("a_exp") < 1.0,
+        (col("a_obs") - col("a_exp")) / (lit(1.0) - col("a_exp"))))
+      .select("n_units", "n_ratings", "k_categories", "a_obs", "a_exp",
+        "alpha")
+  }
+
   def fleissKappa(
       df: DataFrame,
       subjectCol: String,

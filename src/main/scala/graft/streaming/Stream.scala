@@ -623,6 +623,41 @@ object Stream {
         .trigger(trigger)
         .start()
     }
+
+  /** STREAMING content-defined novel-chunk filter — incremental crawl
+    * ingestion that stores each repeated span once: arriving documents
+    * are chunked by the SHUFFLE-FREE [[graft.operators.Cdc.chunks]]
+    * kernel (a pure projection + posexplode, so it rides the streaming
+    * frame unchanged), then chunks whose content address already
+    * exists in the frozen reference corpus are dropped via a
+    * stream-static LEFT ANTI join against the broadcast reference
+    * hash set. Stateless per micro-batch — bounded memory at any
+    * stream length — and bit-parity with the batch anti-join by
+    * construction (gated: q353). Emits `(idCol, chunk_idx, start,
+    * chunk_len, chunk_md5)` for novel chunks only. */
+  def cdcNovelChunks(
+      stream: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      bits: Int = 5,
+      window: Int = 8,
+      minLen: Int = 16,
+      maxLen: Int = 96
+  ): MayFail[DataFrame] = MayFail {
+    require(stream.isStreaming, "cdcNovelChunks needs a streaming frame")
+    require(!reference.isStreaming,
+      "the reference corpus must be static")
+    val refHashes = graft.operators.Cdc.chunks(reference, textCol, idCol,
+        bits, window, minLen, maxLen).get
+      .select("chunk_md5").distinct()
+      .localCheckpoint(true)
+    graft.operators.Cdc.chunks(stream, textCol, idCol,
+        bits, window, minLen, maxLen).get
+      .join(broadcast(refHashes), Seq("chunk_md5"), "left_anti")
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("chunk_md5"))
+  }
 }
 
 /** Keyed running-state record for [[Stream.runningStats]]. */

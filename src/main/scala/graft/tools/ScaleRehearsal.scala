@@ -1666,6 +1666,45 @@ object ScaleRehearsal {
       s"frozen apply must reproduce the learn-side segmentation: " +
         s"${segApply.size} vs ${segLearn.size} words")
 
+    // CDC tiling law at 10x: chunks must tile every document exactly —
+    // Σ chunk_len == Σ len(text), and per-doc chunk starts contiguous
+    // (spot-checked globally via the sum identity + count of
+    // first-chunk starts == docs)
+    var cdcRows = 0L
+    time("cdc-chunks")({
+      val ch = graft.operators.Cdc.chunks(docs, "text", "doc_id").get
+        .localCheckpoint(true)
+      val tot = ch.agg(sum(col("chunk_len")).as("s"),
+        sum(when(col("chunk_idx") === 1L && col("start") === 1L, 1L)
+          .otherwise(0L)).as("firsts")).collect()(0)
+      val want = docs.filter(col("text").isNotNull &&
+          length(col("text")) >= 1)
+        .agg(sum(length(col("text")).cast("long")),
+          count(lit(1))).collect()(0)
+      check("cdc_tiling_law",
+        tot.getLong(0) == want.getLong(0) &&
+          tot.getLong(1) == want.getLong(1),
+        s"chunks must tile: bytes ${tot.getLong(0)} vs ${want.getLong(0)}, " +
+          s"firsts ${tot.getLong(1)} vs ${want.getLong(1)}")
+      cdcRows = ch.count()
+      graft.physical.Optimise.releaseCheckpoint(ch)
+      cdcRows
+    })
+
+    // water-filling exact-budget law at 10x: Σ cap == min(B, Σ n) with
+    // budget chosen to force capping on the replicated key grid
+    time("waterfill")({
+      val wfB = 40000L * mult
+      val caps = graft.operators.Sampling.waterfillCaps(li, "l_partkey",
+        wfB).get.agg(sum(col("cap")).as("s"), sum(col("n")).as("t"))
+        .collect()(0)
+      check("waterfill_budget_law",
+        caps.getLong(0) == math.min(wfB, caps.getLong(1)),
+        s"sum(cap)=${caps.getLong(0)} must equal " +
+          s"min($wfB, ${caps.getLong(1)})")
+      caps.getLong(0)
+    })
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

@@ -608,6 +608,36 @@ class QualitySpec extends AnyFunSuite {
     assert(red.filter(col("doc_id") === 4).select("text").head().isNullAt(0))
   }
 
+  test("dpCounts: noise replays the documented inverse-CDF formula " +
+      "exactly; 1/epsilon scaling; guards") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noiseOf(key: String, salt: String, eps: Double): Double = {
+      val h = java.lang.Long.parseLong(md5hex(s"$salt§$key").take(15), 16)
+      val u = ((h >> 7).toDouble + 0.5) / 9007199254740992.0
+      val cen = u - 0.5
+      -1.0 / eps * math.signum(cen) * math.log(1.0 - 2.0 * math.abs(cen))
+    }
+    val df = (Seq.fill(7)("x") ++ Seq.fill(3)("y")).map(Tuple1(_))
+      .toDF("grp")
+    val got = Quality.dpCounts(df, Seq("grp"), epsilon = 1.0, salt = "s")
+      .get.as[(String, Double)].collect().toMap
+    def r6(v: Double) = math.rint((v + 1e-9) * 1e6) / 1e6
+    assert(got("x") == r6(7.0 + noiseOf("x", "s", 1.0)))
+    assert(got("y") == r6(3.0 + noiseOf("y", "s", 1.0)))
+    // tighter epsilon → proportionally smaller noise
+    val tight = Quality.dpCounts(df, Seq("grp"), epsilon = 4.0, salt = "s")
+      .get.as[(String, Double)].collect().toMap
+    assert(math.abs((tight("x") - 7.0) - (got("x") - 7.0) / 4.0) < 1e-5)
+    // different salt → different noise realization
+    val other = Quality.dpCounts(df, Seq("grp"), epsilon = 1.0, salt = "t")
+      .get.as[(String, Double)].collect().toMap
+    assert(other("x") != got("x"))
+    assert(Quality.dpCounts(df, Seq.empty, 1.0).isFailing)
+    assert(Quality.dpCounts(df, Seq("grp"), 0.0).isFailing)
+  }
+
   test("zipfReport: hand-computed totals and closed-form OLS on a tiny " +
       "vocabulary") {
     val df = Seq((1L, "a a a a b"), (2L, "b c")).toDF("id", "text")

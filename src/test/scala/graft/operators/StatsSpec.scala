@@ -716,6 +716,52 @@ class StatsSpec extends AnyFunSuite {
       .select("kappa").collect().head.isNullAt(0))
   }
 
+  test("krippendorffAlpha: hand-computed nominal case with missing " +
+      "ratings; unpairable units dropped; degenerate NULLs") {
+    // u1 (a,a), u2 (a,b), u3 (b,b,b), u4 (c) — u4 unpairable, dropped.
+    // N=7, A_o = (2·1/1 + 0 + 3·2/2)/7 = 5/7; marginals a=3 b=4 →
+    // A_e = (3·2 + 4·3)/(7·6) = 3/7; alpha = (2/7)/(4/7) = 1/2
+    val rows = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"),
+      (3, "b"), (3, "b"), (3, "b"), (4, "c"))
+    val r = Stats.krippendorffAlpha(rows.toDF("u", "v"), "u", "v").get
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 7L && r._3 == 2L)
+    assert(close(r._4, 5.0 / 7) && close(r._5, 3.0 / 7) && close(r._6, 0.5))
+    // perfect agreement on 2 categories → alpha = 1
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+    val p = Stats.krippendorffAlpha(perfect.toDF("u", "v"), "u", "v").get
+      .select("alpha").as[Double].head()
+    assert(close(p, 1.0))
+    // single category: A_e = 1 → NULL alpha, never NaN
+    val mono = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x"))
+    assert(Stats.krippendorffAlpha(mono.toDF("u", "v"), "u", "v").get
+      .select("alpha").collect().head.isNullAt(0))
+    // nothing pairable: zero units, NULL coefficients
+    val solo = Stats.krippendorffAlpha(
+      Seq((1, "a"), (2, "b")).toDF("u", "v"), "u", "v").get
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(solo._1 == 0L && solo._2 == 0L && solo._4.isEmpty &&
+      solo._6.isEmpty)
+    // random multiset vs in-memory reference
+    val rnd = new scala.util.Random(31L)
+    val rand = (1 to 40).flatMap { u =>
+      Seq.fill(rnd.nextInt(5))((u, "abc" (rnd.nextInt(3)).toString))
+    }
+    val byU = rand.groupBy(_._1).filter(_._2.size >= 2)
+    val nn = byU.values.map(_.size).sum.toDouble
+    val ao = byU.values.map { rs =>
+      rs.groupBy(_._2).values.map(g =>
+        g.size.toDouble * (g.size - 1) / (rs.size - 1).toDouble).sum
+    }.sum / nn
+    val ae = byU.values.flatten.groupBy(_._2).values
+      .map(g => g.size.toDouble * (g.size - 1)).sum / (nn * (nn - 1))
+    val g = Stats.krippendorffAlpha(rand.toDF("u", "v"), "u", "v").get
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(math.abs(g._4 - ao) < 1e-12 && math.abs(g._5 - ae) < 1e-12)
+    assert(math.abs(g._6 - (ao - ae) / (1 - ae)) < 1e-12)
+  }
+
   test("oneSampleTTest: hand-computed t against a target mean") {
     // [1,2,3]: mean 2, var 1, se = 1/sqrt(3); vs mu0 = 1 → t = sqrt(3)
     val df0 = Seq(1.0, 2.0, 3.0).toDF("v")

@@ -430,4 +430,47 @@ class StreamSpec extends AnyFunSuite {
     assert(streamedRows.map(p => (p._1, p._2)).toSeq == Seq((2L, 0L)),
       s"expected exactly one (2, 0) hit, got: ${streamedRows.toSeq}")
   }
+
+  test("cdcNovelChunks: stream == batch anti-join bit-for-bit across 2 " +
+      "micro-batches; shared boilerplate dropped; static frame rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41L)
+    def noise(n: Int) = Seq.fill(n)("abcdef" (rnd.nextInt(6))).mkString
+    val brnd = new scala.util.Random(77L)
+    val boiler = Seq.fill(240)("abcdef" (brnd.nextInt(6))).mkString
+    val ref = Seq((100L, noise(150) + boiler), (101L, noise(200)))
+      .toDF("doc_id", "text")
+    val arriving = Seq((1L, noise(120)), (2L, boiler + noise(60)),
+      (3L, noise(90) + boiler + noise(30)))
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val novel = Stream.cdcNovelChunks(sdf, ref, "text", "doc_id").get
+    val name = "cdc_novel_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = novel.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(arriving(0), arriving(1))
+      q.processAllAvailable()
+      input.addData(arriving(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val refHashes = graft.operators.Cdc.chunks(ref, "text", "doc_id").get
+      .select("chunk_md5").distinct()
+    val want = graft.operators.Cdc.chunks(
+        arriving.toDF("doc_id", "text"), "text", "doc_id").get
+      .join(refHashes, Seq("chunk_md5"), "left_anti")
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("chunk_md5"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == want, "stream/batch parity broken")
+    // the planted boilerplate must actually drop chunks
+    val all = graft.operators.Cdc.chunks(
+      arriving.toDF("doc_id", "text"), "text", "doc_id").get.count()
+    assert(got.size < all, s"expected drops: kept ${got.size} of $all")
+    assert(got.nonEmpty)
+    assert(Stream.cdcNovelChunks(ref, ref, "text", "doc_id").isFailing)
+  }
 }
