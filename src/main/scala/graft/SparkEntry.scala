@@ -2937,6 +2937,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q354_bpe_fertility" -> ((s, dir) => {
+      // Tokenizer-evaluation one-rower under the frozen 12-merge
+      // table: word/char/token totals and the compression ratios.
+      val m = Bpe.collectMerges(Bpe.learnMerges(
+        tbl(s, dir, "documents"), "text", numMerges = BpeGateMerges).get)
+      Bpe.fertilityReport(tbl(s, dir, "documents"), "text", m).get
+    }),
+
+    "q355_winsorize" -> ((s, dir) => {
+      // Per-flag winsorized prices at [p05, p95] — the exact
+      // grid-percentile rank convention replayed; clamped outputs are
+      // existing data values, gated unrounded.
+      graft.operators.Quality.winsorize(tbl(s, dir, "lineitem"),
+          "l_extendedprice", 0.05, 0.95, byCols = Seq("l_returnflag"))
+        .get
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q353_stream_cdc_novel" -> ((s, dir) => {
       // STREAMING novel-chunk ingestion in 4 REAL micro-batches
       // (q321's staging idiom): arriving docs >= 250 CDC-chunk on the
@@ -9566,6 +9586,49 @@ object SparkEntry {
     "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
          SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    // q354: fertility totals over the final BPE word table (frozen
+    // apply on the learn corpus == the learn-side segmentation).
+    "q354_bpe_fertility" -> (bpeOracleCtes(BpeGateMerges) + s"""
+         SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(freq * len(word)), 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(sum(freq * len(syms)), 0) AS BIGINT) AS n_tokens,
+           round(CASE WHEN sum(freq * len(syms)) > 0 THEN
+             CAST(sum(freq * len(word)) AS DOUBLE) /
+             CAST(sum(freq * len(syms)) AS DOUBLE) END + 1e-9, 6)
+             AS chars_per_token,
+           round(CASE WHEN sum(freq) > 0 THEN
+             CAST(sum(freq * len(syms)) AS DOUBLE) /
+             CAST(sum(freq) AS DOUBLE) END + 1e-9, 6) AS tokens_per_word
+         FROM w${BpeGateMerges}"""),
+
+    // q355: the percentiles rank convention (max(ceil(p*n), 1), first
+    // grid row reaching the rank) partitioned by group, then clamp.
+    "q355_winsorize" ->
+      """WITH g AS (
+           SELECT l_returnflag AS f,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(count(*) AS BIGINT) AS t
+           FROM lineitem GROUP BY 1, 2
+         ), c AS (
+           SELECT f, v,
+             sum(t) OVER (PARTITION BY f ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(t) OVER (PARTITION BY f) AS n
+           FROM g
+         ), b AS (
+           SELECT f,
+             min(CASE WHEN cum >= greatest(CAST(ceil(0.05 * n) AS BIGINT),
+               1) THEN v END) AS lo,
+             min(CASE WHEN cum >= greatest(CAST(ceil(0.95 * n) AS BIGINT),
+               1) THEN v END) AS hi
+           FROM c GROUP BY 1
+         )
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo), b.hi)
+             AS l_extendedprice_w
+         FROM lineitem l JOIN b ON b.f = l.l_returnflag
+         ORDER BY l.l_orderkey, l.l_linenumber""",
 
     "q353_stream_cdc_novel" -> (cdcOracleCtes(
       "CASE WHEN doc_id % 5 = 0 THEN text || " +

@@ -218,6 +218,35 @@ object Bpe {
       .groupBy(idCol).agg(sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Tokenizer fertility report — the evaluation one-rower every
+    * tokenizer change ships with: `(n_words, n_chars, n_tokens:
+    * bigint, chars_per_token, tokens_per_word: double ROUNDED at 6)`
+    * over word OCCURRENCES under a frozen merge table. Lower
+    * chars-per-token = worse compression; tokens-per-word near 1 =
+    * saturated vocabulary. Grid-sized aggregation over the
+    * segmentation frame. */
+  def fertilityReport(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): MayFail[DataFrame] = MayFail {
+    applyMerges(df, textCol, merges).get
+      .agg(
+        coalesce(sum(col("freq")), lit(0L)).as("n_words"),
+        coalesce(sum(col("freq") * length(col("word")).cast("long")),
+          lit(0L)).as("n_chars"),
+        coalesce(sum(col("freq") * col("n_tokens").cast("long")), lit(0L))
+          .as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(when(col("n_tokens") > 0,
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          + lit(1e-9), 6))
+      .withColumn("tokens_per_word",
+        round(when(col("n_words") > 0,
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+          + lit(1e-9), 6))
+  }
+
   /** Per-document token counts under the learned tokenizer — the
     * honest replacement for heuristic budget counts
     * ([[TextFunctions.subwordCount]]) once a corpus-trained merge

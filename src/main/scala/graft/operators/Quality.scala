@@ -1221,6 +1221,55 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group winsorization — clamp a numeric column to its group's
+    * exact `[pLo, pHi]` percentile values, the standard robust-prep
+    * transform before means/regressions on heavy-tailed signals
+    * (latencies, prices, token counts). Percentile convention is
+    * EXACTLY [[percentiles]]' (`rank = max(⌈p·n⌉, 1)`, first
+    * value-grid row whose running count reaches the rank), computed
+    * per group on the value GRID (the q291 gridMedian discipline —
+    * grid-sized windows, never a corpus sort; with no `byCols` the
+    * grid window is global and single-task, fine for bounded value
+    * domains, use the sketch path for unbounded ones). NULL values
+    * pass through unchanged; clamped outputs are existing data
+    * values, so no rounding is needed anywhere. */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+      byCols: Seq[String] = Nil,
+      outCol: Option[String] = None
+  ): MayFail[DataFrame] = MayFail {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    val out = outCol.getOrElse(s"${valueCol}_w")
+    val v = col(valueCol).cast("double")
+    val keys = if (byCols.nonEmpty) byCols else Seq.empty
+    val keyCols = keys.map(col)
+    val grid = df.filter(v.isNotNull)
+      .groupBy(keyCols :+ v.as("__v"): _*).agg(count(lit(1)).as("__t"))
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val cum = grid
+      .withColumn("__cum", sum(col("__t")).over(wCum))
+      .withColumn("__n", sum(col("__t")).over(wAll))
+    def rank(p: Double) =
+      greatest(ceil(lit(p) * col("__n")).cast("long"), lit(1L))
+    val bounds = cum.groupBy(keyCols: _*).agg(
+      min(when(col("__cum") >= rank(pLo), col("__v"))).as("__lo"),
+      min(when(col("__cum") >= rank(pHi), col("__v"))).as("__hi"))
+    val joined =
+      if (keys.nonEmpty) df.join(bounds, keys, "left")
+      else df.crossJoin(broadcast(bounds))
+    joined
+      .withColumn(out,
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Differentially-private-SHAPED noisy group counts: per-group
     * Laplace(1/ε) noise derived from the salted portable hash of the
     * group key via the inverse CDF — `u ∈ (0,1)` from the 53-bit

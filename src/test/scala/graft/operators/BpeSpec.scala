@@ -154,6 +154,19 @@ class BpeSpec extends AnyFunSuite {
       .isFailing)
   }
 
+  test("fertilityReport: hand-computed compression ratios under a " +
+      "frozen merge table") {
+    val df = Seq((1L, "aa aa aa"), (2L, "ab")).toDF("id", "text")
+    val merges = Bpe.collectMerges(Bpe.learnMerges(df, "text", 1).get)
+    assert(merges == Seq(("a", "a"))) // (a,a) count 3 beats (a,b) count 1
+    // words: aa ×3 → [aa] (1 tok), ab ×1 → [a, b] (2 toks)
+    // n_words 4, n_chars 8, n_tokens 5
+    val r = Bpe.fertilityReport(df, "text", merges).get
+      .as[(Long, Long, Long, Double, Double)].head()
+    def r6(v: Double) = math.rint((v + 1e-9) * 1e6) / 1e6
+    assert(r == ((4L, 8L, 5L, r6(8.0 / 5.0), r6(5.0 / 4.0))))
+  }
+
   test("merge learning is partitioning-invariant (repartition(7) yields " +
       "an identical merge table)") {
     val df = (1 to 60).map(i => (i.toLong, s"banana band ban b${i % 3}"))

@@ -608,6 +608,35 @@ class QualitySpec extends AnyFunSuite {
     assert(red.filter(col("doc_id") === 4).select("text").head().isNullAt(0))
   }
 
+  test("winsorize: exact grid-percentile clamp, grouped and global; " +
+      "nulls pass through; guards") {
+    // global 1..10 at (0.2, 0.8): rank lo = ceil(2) = 2 → 2.0,
+    // rank hi = ceil(8) = 8 → 8.0
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val g = Quality.winsorize(df, "v", 0.2, 0.8).get
+      .select("id", "v_w").as[(Long, Double)].collect().toMap
+    assert(g(1L) == 2.0 && g(2L) == 2.0 && g(5L) == 5.0 &&
+      g(8L) == 8.0 && g(10L) == 8.0)
+    // grouped: group a = 1..10, group b = 101..110 — separate bounds
+    val df2 = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (101 to 110).map(i => ("b", i.toDouble))).toDF("grp", "v")
+    val g2 = Quality.winsorize(df2, "v", 0.2, 0.8, byCols = Seq("grp"))
+      .get.select("grp", "v", "v_w").as[(String, Double, Double)]
+      .collect()
+    assert(g2.filter(_._1 == "a").map(_._3).min == 2.0)
+    assert(g2.filter(_._1 == "b").map(_._3).max == 108.0)
+    assert(g2.filter(r => r._1 == "b" && r._2 == 101.0).head._3 == 102.0)
+    // null values stay null, other columns untouched
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(9.0)),
+      ("a", Some(5.0))).toDF("grp", "v")
+    val n = Quality.winsorize(withNull, "v", 0.25, 0.75,
+      byCols = Seq("grp")).get
+    assert(n.filter(col("v").isNull).select("v_w").collect().head
+      .isNullAt(0))
+    assert(Quality.winsorize(df, "v", 0.9, 0.1).isFailing)
+    assert(Quality.winsorize(df, "v", -0.1, 0.5).isFailing)
+  }
+
   test("dpCounts: noise replays the documented inverse-CDF formula " +
       "exactly; 1/epsilon scaling; guards") {
     def md5hex(s: String): String =
