@@ -440,4 +440,32 @@ class PlanSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g("bnl_joins") >= 1)
   }
+
+  test("Cdc.chunks is SHUFFLE-FREE: zero exchanges, zero joins — the " +
+      "whole kernel is a per-row projection + posexplode") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 200), (2L, "b" * 50)).toDF("doc_id", "text")
+    val chunks = graft.operators.Cdc.chunks(df, "text", "doc_id").get
+    val plan = chunks.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 0,
+      s"CDC chunking must never shuffle (found $exchanges):\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") && !plan.contains("Window"),
+      "CDC chunking must not join or window")
+  }
+
+  test("q349: the gate plan's only exchange is its own ORDER BY; " +
+      "q348 waterfill sample joins the caps grid by broadcast") {
+    val plan = planOf("q349_cdc_chunks")
+    // FormattedMode prints each node in the tree AND a detail block,
+    // so ONE exchange node = 2 textual hits (the q104 precedent)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"q349 should only range-exchange for the gate sort: $exchanges")
+    val wf = planOf("q348_waterfill_sample")
+    assert(wf.contains("BroadcastHashJoin"),
+      "caps grid (key-count-sized) must broadcast, not shuffle the corpus")
+  }
 }
