@@ -2937,6 +2937,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q356_weight_ess" -> ((s, dir) => {
+      // Kish effective sample size of char-count-proportional
+      // sampling weights over the corpus — the go/no-go check before
+      // trusting any weighted estimate.
+      graft.operators.Sampling.weightDiagnostics(
+        tbl(s, dir, "documents"), "n_chars").get
+    }),
+
     "q354_bpe_fertility" -> ((s, dir) => {
       // Tokenizer-evaluation one-rower under the frozen 12-merge
       // table: word/char/token totals and the compression ratios.
@@ -9586,6 +9594,30 @@ object SparkEntry {
     "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
          SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    // q356: the Kish identities with the operator's exact guard and
+    // round conventions.
+    "q356_weight_ess" ->
+      """WITH b AS (
+           SELECT CAST(n_chars AS DOUBLE) AS w FROM documents
+           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, sum(w) AS sw,
+             sum(w * w) AS sw2, max(w) AS mx
+           FROM b
+         )
+         SELECT n,
+           round(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END + 1e-9, 6)
+             AS ess,
+           round(CASE WHEN sw2 > 0 AND n > 0
+             THEN sw * sw / sw2 / CAST(n AS DOUBLE) END + 1e-9, 6)
+             AS ess_frac,
+           round(CASE WHEN sw > 0 THEN mx / sw END + 1e-9, 6)
+             AS max_w_share,
+           round(CASE WHEN sw > 0 THEN
+             sqrt(greatest(CAST(n AS DOUBLE) * sw2 / (sw * sw) - 1.0,
+               0.0)) END + 1e-9, 6) AS cv_w
+         FROM a""",
 
     // q354: fertility totals over the final BPE word table (frozen
     // apply on the learn corpus == the learn-side segmentation).

@@ -538,6 +538,40 @@ object Sampling {
         col("__z.__bins").cast("long").as("bin_id"): _*)
   }
 
+  /** Importance-weight diagnostics — the health check run before
+    * trusting any weighted sample (DSIR weights, temperature mixes,
+    * inverse-propensity corrections): effective sample size
+    * `ESS = (Σw)²/Σw²` (Kish 1965), its fraction of n, the largest
+    * single-row weight share, and the weight coefficient of
+    * variation. ESS/n near 1 = weights are doing nothing; near 0 = a
+    * handful of rows dominate and the weighted estimate is noise.
+    * One aggregation pass; rows with NULL or non-positive weights are
+    * excluded (documented contract). Returns one row `(n: bigint,
+    * ess, ess_frac, max_w_share, cv_w: double ROUNDED at 6)`;
+    * empty input yields n=0 with NULL ratios. */
+  def weightDiagnostics(
+      df: DataFrame,
+      weightCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .agg(count(lit(1)).as("n"), sum(w).as("__sw"),
+        sum(w * w).as("__sw2"), max(w).as("__mx"))
+      .select(col("n"),
+        round(when(col("__sw2") > 0,
+          col("__sw") * col("__sw") / col("__sw2")) + lit(1e-9), 6)
+          .as("ess"),
+        round(when(col("__sw2") > 0 && col("n") > 0,
+          col("__sw") * col("__sw") / col("__sw2") /
+            col("n").cast("double")) + lit(1e-9), 6).as("ess_frac"),
+        round(when(col("__sw") > 0, col("__mx") / col("__sw"))
+          + lit(1e-9), 6).as("max_w_share"),
+        round(when(col("__sw") > 0,
+          sqrt(greatest(col("n").cast("double") * col("__sw2") /
+            (col("__sw") * col("__sw")) - lit(1.0), lit(0.0))))
+          + lit(1e-9), 6).as("cv_w"))
+  }
+
   /** Water-filling budget allocation — the crawl-frontier fairness
     * verb: given per-key row counts `n_k` and a global `budget`, find
     * the level `λ` such that `Σ min(n_k, λ)` exhausts the budget, so

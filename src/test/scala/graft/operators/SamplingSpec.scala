@@ -421,6 +421,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(g2 == 10 + 2)                   // ceil(1.5) = 2
   }
 
+  test("weightDiagnostics: hand-computed ESS; equal weights give " +
+      "ESS = n; non-positive weights excluded; empty input NULLs") {
+    def r6(v: Double) = math.rint((v + 1e-9) * 1e6) / 1e6
+    // w = [1, 1, 2]: sw=4 sw2=6 → ess=16/6, frac=16/18, share=.5,
+    // cv = sqrt(3·6/16 − 1) = sqrt(0.125)
+    val df = Seq(1.0, 1.0, 2.0, -5.0, 0.0).map(Tuple1(_)).toDF("w")
+    val r = Sampling.weightDiagnostics(df, "w").get
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r == ((3L, r6(16.0 / 6), r6(16.0 / 6 / 3), r6(0.5),
+      r6(math.sqrt(0.125)))))
+    val eq = Sampling.weightDiagnostics(
+      Seq.fill(8)(Tuple1(3.0)).toDF("w"), "w").get
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(eq._1 == 8L && eq._2 == 8.0 && eq._3 == 1.0 && eq._5 == 0.0)
+    val empty = Sampling.weightDiagnostics(
+      Seq(Tuple1(-1.0)).toDF("w"), "w").get.collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
   private def rowsFor(counts: Map[String, Int]) =
     counts.toSeq.flatMap { case (k, n) =>
       (1 to n).map(i => (k, s"$k-$i"))
