@@ -2945,6 +2945,34 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q357_kmv_distinct" -> ((s, dir) => {
+      // Per-source distinct-3-gram estimates from KMV(64) sketches
+      // built at the FINER (source, lang) keys and merged down — the
+      // bottom-k merge is lossless, so the oracle replays a DIRECT
+      // per-source build (hash, rank <= 64, (k-1)/u_k) term-for-term.
+      val sh = tbl(s, dir, "documents").select(col("source"), col("lang"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("g"))
+      val sk = graft.operators.Sketch.kmvSketches(
+        sh, Seq("source", "lang"), "g", k = 64, salt = "r11").get
+      graft.operators.Sketch.kmvMergeEstimate(sk, Seq("source"), k = 64)
+        .get.orderBy("source")
+    }),
+
+    "q358_kmv_overlap" -> ((s, dir) => {
+      // Theta-sketch pairwise source overlap: union/Jaccard/intersection
+      // estimates between every source pair from per-source KMV(64)
+      // sketches — the set-algebra question HLL cannot answer, and the
+      // sketch-budget path of q105's exact overlap report.
+      val sh = tbl(s, dir, "documents").select(col("source"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("g"))
+      val sk = graft.operators.Sketch.kmvSketches(
+        sh, Seq("source"), "g", k = 64, salt = "r11").get
+      graft.operators.Sketch.kmvOverlap(sk, "source", k = 64).get
+        .orderBy("key_a", "key_b")
+    }),
+
     "q354_bpe_fertility" -> ((s, dir) => {
       // Tokenizer-evaluation one-rower under the frozen 12-merge
       // table: word/char/token totals and the compression ratios.
@@ -5547,6 +5575,34 @@ object SparkEntry {
        SELECT queryId, neighborId, round(c_raw, 6) AS cosine,
          CAST(rank AS INTEGER) AS rank
        FROM ranked WHERE rank <= 5 ORDER BY queryId, rank"""
+
+  /** Shared q357/q358 oracle CTEs: distinct (source, portable-hash) over
+    * every word 3-gram shingle at salt "r11" — the md5 kernel of
+    * [[graft.functions.TextFunctions.portableHash60]], replayed the
+    * q34/q35 way. */
+  private val kmvShingleHashCtes: String =
+    """WITH toks AS (
+         SELECT source,
+           list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS ts
+         FROM documents
+       ), sh AS (
+         SELECT source,
+           unnest(list_transform(range(1, len(ts)-1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+         FROM toks WHERE len(ts) >= 3
+       ), hx AS (
+         SELECT DISTINCT source,
+           CAST(('0x' || substring(md5('r11§' || g), 1, 15)) AS BIGINT) AS h
+         FROM sh
+       )"""
+
+  /** `(k−1)·2⁶⁰` for k = 64 as an exact decimal literal — 63 × a power
+    * of two is exactly representable, so this is the SAME double
+    * [[graft.operators.Sketch]] computes driver-side. */
+  private val kmvNum64: String =
+    java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
+      .toBigInteger.toString + ".0"
 
   /** q202's oracle, generated: `rounds` unrolled peel rounds over the
     * thresholded supplier co-occurrence graph. Peeling is idempotent
@@ -9594,6 +9650,59 @@ object SparkEntry {
     "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
          SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    // q357: direct per-source KMV replay — the gate's (source, lang)
+    // build + merge collapses to this by the lossless bottom-k merge.
+    "q357_kmv_distinct" -> (kmvShingleHashCtes + s""", rk AS (
+           SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+           FROM hx
+         ), ag AS (
+           SELECT source, CAST(count(*) AS INTEGER) AS n_kmv, max(h) AS kth
+           FROM rk WHERE r <= 64 GROUP BY source
+         )
+         SELECT source, n_kmv,
+           round(CASE WHEN n_kmv < 64 THEN CAST(n_kmv AS DOUBLE)
+             ELSE $kmvNum64 / (CAST(kth AS DOUBLE) + 1.0) END + 1e-9, 6)
+             AS n_distinct_approx
+         FROM ag ORDER BY source"""),
+
+    // q358: theta-sketch pairwise replay — per-source bottom-64 lists,
+    // union re-truncated to 64, matches counted against BOTH sketches,
+    // the same (k-1)*2^60/(kth+1) estimator and multiply order.
+    "q358_kmv_overlap" -> (kmvShingleHashCtes + s""", rk AS (
+           SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+           FROM hx
+         ), ka AS (
+           SELECT source, list_sort(list(h)) AS kmv
+           FROM rk WHERE r <= 64 GROUP BY source
+         ), ex AS (
+           SELECT a.source AS key_a, b.source AS key_b,
+             list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))),
+               1, 64) AS u,
+             list_intersect(a.kmv, b.kmv) AS bt
+           FROM ka a JOIN ka b ON a.source < b.source
+         ), m AS (
+           SELECT key_a, key_b,
+             CAST(len(u) AS INTEGER) AS n_union_kmv,
+             CAST(len(list_intersect(u, bt)) AS BIGINT) AS matches,
+             u[len(u)] AS kth, len(u) AS nu
+           FROM ex
+         )
+         SELECT key_a, key_b, n_union_kmv, matches,
+           round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             ELSE $kmvNum64 / (CAST(kth AS DOUBLE) + 1.0) END + 1e-9, 6)
+             AS union_approx,
+           round(CASE WHEN nu > 0 THEN
+             CAST(matches AS DOUBLE) / CAST(nu AS DOUBLE) END + 1e-9, 6)
+             AS jaccard_approx,
+           round(CASE WHEN nu > 0 THEN
+             CAST(matches AS DOUBLE) / CAST(nu AS DOUBLE) *
+             (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+               ELSE $kmvNum64 / (CAST(kth AS DOUBLE) + 1.0) END)
+             END + 1e-9, 6) AS intersect_approx
+         FROM m ORDER BY key_a, key_b"""),
 
     // q356: the Kish identities with the operator's exact guard and
     // round conventions.

@@ -359,4 +359,147 @@ object Sketch {
   ): MayFail[DataFrame] =
     ddHistogram(df, valueCol, alpha, keys, maxBuckets)
       .flatMap(h => ddQuantilesFromHistogram(h, qs, alpha, keys))
+
+  // --- KMV / bottom-k theta sketch -------------------------------------
+
+  /** The KMV hash: the library's portable 60-bit md5 draw over
+    * `salt § value` — deterministic, engine-replayable, and uniform on
+    * `[0, 2⁶⁰)`, which is what the (k−1)/u₍k₎ estimator needs. */
+  private def kmvHash(valueCol: String, salt: String): Column =
+    graft.functions.TextFunctions.portableHash60(
+      concat(lit(s"$salt§"), col(valueCol).cast(StringType)))
+
+  /** Bottom-k re-truncation shared by build and merge: distinct hashes,
+    * rank-limit to the k smallest per group (WindowGroupLimit caps the
+    * shuffle map-side), collect into one ascending-sorted array ≤ k. */
+  private def kmvTruncate(
+      hashed: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val bottomK = graft.physical.Order.topKPerGroup(
+      hashed.distinct(), keys, Seq(col("__h").asc), k).get
+    bottomK.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Mergeable per-group KMV (k-minimum-values, a.k.a. bottom-k theta)
+    * distinct sketches: `(keys..., kmv)` where `kmv` is the ascending
+    * array of the k SMALLEST distinct portable hashes of `valueCol` in
+    * the group (all of them when fewer than k exist). Bauer et al.'s
+    * estimator `(k−1)/u₍k₎` gives distinct counts with relative standard
+    * error ≈ 1/√(k−2) (~6% at k = 256); unlike the HLL family the raw
+    * hash sample also supports SET ALGEBRA — [[kmvOverlap]] estimates
+    * pairwise intersection/Jaccard between groups, the one question a
+    * union-only sketch cannot answer.
+    *
+    * Mergeability is EXACT, not approximate: the k smallest of a union
+    * equals the k smallest over the per-part bottom-k's, so
+    * [[kmvMergeEstimate]] on finer-keyed sketches returns bit-identical
+    * arrays (and therefore estimates) to a direct coarse build —
+    * SketchSpec locks this, and the q357 gate builds per (source, lang)
+    * but is oracled per source.
+    *
+    * Scale shape: the heavy pass is a distinct over `(keys, hash)` whose
+    * shuffle is capped map-side by WindowGroupLimit (each task forwards
+    * at most k hashes per group it sees); everything after runs on
+    * ≤ groups × k rows. Null values carry no distinct identity and drop.
+    * The hash is the portable md5 kernel, so any engine can replay both
+    * the sketch and the estimate term-for-term. */
+  def kmvSketches(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 256,
+      salt: String = ""
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "kmvSketches needs at least one group key")
+    require(k >= 2, s"k must be >= 2 for the (k-1)/u_k estimator: $k")
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ kmvHash(valueCol, salt).as("__h"): _*)
+    kmvTruncate(hashed, keys, k)
+  }
+
+  /** The KMV estimate from a bottom-k array: exact count when the sketch
+    * holds fewer than k hashes (then it holds EVERY hash), else
+    * `(k−1)·2⁶⁰ / (h₍k₎ + 1)` — the numerator is exact in double
+    * (small-int × power of two) and the division is one IEEE op, so the
+    * estimate replays bit-for-bit from the integer `h₍k₎`. */
+  private def kmvEstimate(kmvCol: Column, k: Int): Column = {
+    val n = size(kmvCol)
+    val num = (k - 1).toDouble * math.pow(2, 60)
+    when(n < k, n.cast("double"))
+      .otherwise(lit(num) /
+        (element_at(kmvCol, n).cast("double") + lit(1.0)))
+  }
+
+  /** Merge previously built KMV sketches down to coarser keys and
+    * estimate: `(mergeKeys..., n_kmv, n_distinct_approx)`. The merge is
+    * the lossless bottom-k of the exploded hash union (identical to a
+    * direct build at the coarse keys); `n_kmv` is the surviving sketch
+    * size (= exact distinct count whenever < k). `k` must be the build
+    * k — a SMALLER k is also sound (bottom-k of bottom-k'), a larger one
+    * silently under-merges, hence the require. Empty `mergeKeys` = one
+    * global estimate. */
+  def kmvMergeEstimate(
+      sketches: DataFrame,
+      mergeKeys: Seq[String],
+      k: Int,
+      sketchCol: String = "kmv"
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 2, s"k must be >= 2: $k")
+    val all = lit("__all__")
+    val keys = if (mergeKeys.nonEmpty) mergeKeys else Seq("__g")
+    val exploded = sketches
+      .select((if (mergeKeys.nonEmpty) mergeKeys.map(col)
+               else Seq(all.as("__g"))) :+
+        explode(col(sketchCol)).as("__h"): _*)
+    val merged = kmvTruncate(exploded, keys, k)
+      .select((keys.map(col) :+ size(col("kmv")).as("n_kmv") :+
+        round(kmvEstimate(col("kmv"), k) + lit(1e-9), 6)
+          .as("n_distinct_approx")): _*)
+    if (mergeKeys.nonEmpty) merged else merged.drop("__g")
+  }
+
+  /** Pairwise set-overlap estimates between groups from their KMV
+    * sketches — the theta-sketch intersection: for each group pair
+    * (a < b by `keyCol`), re-truncate the union of the two bottom-k
+    * arrays to k (the union sketch), count its members present in BOTH
+    * sketches, and scale:
+    *
+    *   `jaccard_approx  = matches / |U|`
+    *   `union_approx    = KMV estimate of U`
+    *   `intersect_approx = jaccard_approx · union_approx`
+    *
+    * Returns `(key_a, key_b, n_union_kmv, matches, union_approx,
+    * jaccard_approx, intersect_approx)`. All arithmetic is per-pair
+    * array expressions over ≤ k-element arrays on a groups²-row frame —
+    * the corpus itself is never rescanned, which is the point: pairwise
+    * source overlap at 100 TB from a one-pass sketch build. The exact
+    * counterpart (q110's distinct-shingle Jaccard report) stays the
+    * small-scale truth; this is its sketch-budget path. */
+  def kmvOverlap(
+      sketches: DataFrame,
+      keyCol: String,
+      k: Int,
+      sketchCol: String = "kmv"
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 2, s"k must be >= 2: $k")
+    val a = sketches.select(col(keyCol).as("key_a"), col(sketchCol).as("__ka"))
+    val b = sketches.select(col(keyCol).as("key_b"), col(sketchCol).as("__kb"))
+    val u = slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k)
+    val both = array_intersect(col("__ka"), col("__kb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__u", u)
+      .withColumn("__m", size(array_intersect(col("__u"), both)))
+      .select(
+        col("key_a"), col("key_b"),
+        size(col("__u")).as("n_union_kmv"),
+        col("__m").cast(LongType).as("matches"),
+        round(kmvEstimate(col("__u"), k) + lit(1e-9), 6).as("union_approx"),
+        round(when(size(col("__u")) > 0,
+            col("__m").cast("double") / size(col("__u")).cast("double"))
+          + lit(1e-9), 6).as("jaccard_approx"),
+        round(when(size(col("__u")) > 0,
+            col("__m").cast("double") / size(col("__u")).cast("double") *
+              kmvEstimate(col("__u"), k))
+          + lit(1e-9), 6).as("intersect_approx"))
+  }
 }

@@ -212,4 +212,76 @@ class SketchSpec extends AnyFunSuite {
     assert(Sketch.ddQuantiles(df, "v", Nil).isFailing)
     assert(Sketch.ddHistogram(df, "v", maxBuckets = -1).isFailing)
   }
+
+  // --- KMV -------------------------------------------------------------
+
+  // two coarse groups ("a", "b") split over a finer sub-key, with a
+  // planted overlap: group a holds 1..6000, group b holds 3001..9000
+  private lazy val kmvData = (
+    (1 to 6000).map(v => ("a", (v % 3).toString, v.toLong)) ++
+      (3001 to 9000).map(v => ("b", (v % 3).toString, v.toLong))
+  ).toDF("g", "sub", "v").repartition(8)
+
+  test("kmv merge of finer sketches equals the direct coarse build") {
+    val fine = Sketch.kmvSketches(kmvData, Seq("g", "sub"), "v", k = 256).get
+    val direct = Sketch.kmvSketches(kmvData, Seq("g"), "v", k = 256).get
+    val merged = Sketch.kmvMergeEstimate(fine, Seq("g"), k = 256).get
+      .as[(String, Int, Double)].collect().sorted.toSeq
+    val identity = Sketch.kmvMergeEstimate(direct, Seq("g"), k = 256).get
+      .as[(String, Int, Double)].collect().sorted.toSeq
+    assert(merged == identity && merged.size == 2)
+  }
+
+  test("kmv estimate is exact below k and within 4 sigma above it") {
+    val est = Sketch.kmvMergeEstimate(
+      Sketch.kmvSketches(kmvData, Seq("g"), "v", k = 256).get,
+      Seq("g"), k = 256).get
+      .as[(String, Int, Double)].collect()
+      .map { case (g, n, e) => (g, (n, e)) }.toMap
+    val small = Seq.tabulate(100)(i => ("s", i.toLong)).toDF("g", "v")
+    val exactSmall = Sketch.kmvMergeEstimate(
+      Sketch.kmvSketches(small, Seq("g"), "v", k = 256).get,
+      Seq("g"), k = 256).get.as[(String, Int, Double)].collect().head
+    assert(exactSmall._2 == 100 && exactSmall._3 == 100.0)
+    // 6000 distinct per group, k=256: rel. std err ~ 1/sqrt(254) = 6.3%
+    val eA = est("a")._2
+    assert(math.abs(eA - 6000.0) / 6000.0 < 0.25, s"estimate drifted: $eA")
+  }
+
+  test("kmvOverlap estimates the planted Jaccard and is exact below k") {
+    val sk = Sketch.kmvSketches(kmvData, Seq("g"), "v", k = 256).get
+    val ov = Sketch.kmvOverlap(sk, "g", k = 256).get
+      .select("key_a", "key_b", "jaccard_approx", "intersect_approx")
+      .as[(String, String, Double, Double)].collect().head
+    // truth: |A ∩ B| = 3000, |A ∪ B| = 9000, J = 1/3
+    assert(ov._1 == "a" && ov._2 == "b")
+    assert(math.abs(ov._3 - 1.0 / 3.0) < 0.15, s"jaccard drifted: ${ov._3}")
+    assert(math.abs(ov._4 - 3000.0) / 3000.0 < 0.45,
+      s"intersection drifted: ${ov._4}")
+    // below k everything is exact: 40 shared of 60/60-element sets
+    val tiny = ((1 to 60).map(v => ("x", v.toLong)) ++
+      (21 to 80).map(v => ("y", v.toLong))).toDF("g", "v")
+    val tsk = Sketch.kmvSketches(tiny, Seq("g"), "v", k = 256).get
+    val tov = Sketch.kmvOverlap(tsk, "g", k = 256).get
+      .select("n_union_kmv", "matches", "union_approx", "jaccard_approx",
+        "intersect_approx")
+      .as[(Int, Long, Double, Double, Double)].collect().head
+    assert(tov == ((80, 40L, 80.0, 0.5, 40.0)))
+  }
+
+  test("kmv sketches are partitioning-invariant") {
+    val one = Sketch.kmvSketches(kmvData.repartition(1), Seq("g"), "v",
+      k = 64).get.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    val many = Sketch.kmvSketches(kmvData.repartition(13), Seq("g"), "v",
+      k = 64).get.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(one == many && one.forall(_._2.size == 64))
+  }
+
+  test("kmv validates knobs") {
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    assert(Sketch.kmvSketches(df, Nil, "v").isFailing)
+    assert(Sketch.kmvSketches(df, Seq("g"), "v", k = 1).isFailing)
+    assert(Sketch.kmvMergeEstimate(df.withColumn("kmv", array(lit(1L))),
+      Seq("g"), k = 1).isFailing)
+  }
 }
