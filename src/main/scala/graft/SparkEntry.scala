@@ -2945,6 +2945,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q359_kcenter" -> ((s, dir) => {
+      // Greedy k-center coreset selection (Gonzalez) over the
+      // embeddings: 8 rounds, min-id seed, max-min-distance picks.
+      // The left-fold squared-L2 is one IEEE op sequence, so the
+      // unrolled oracle replays the SELECTION itself bit-for-bit.
+      graft.operators.Similarity.kCenterSelect(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8).get
+        .orderBy("round")
+    }),
+
     "q357_kmv_distinct" -> ((s, dir) => {
       // Per-source distinct-3-gram estimates from KMV(64) sketches
       // built at the FINER (source, lang) keys and merged down — the
@@ -5603,6 +5613,45 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** q359's oracle, generated: `k−1` unrolled greedy k-center rounds
+    * over the embeddings (seed = min id, ties to min id), the squared-L2
+    * left fold written out term-by-term so DuckDB replays the SELECTION
+    * bit-for-bit — argmax comparisons run on unrounded doubles that are
+    * IEEE-identical to the Spark fold's. */
+  private def kCenterOracleSql(k: Int, dim: Int): String = {
+    def sq(a: String, b: String): String =
+      (1 to dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+        .mkString(" + ")
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS MATERIALIZED (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+         ), c1 AS MATERIALIZED (
+           SELECT id, v FROM e ORDER BY id LIMIT 1
+         ), d2 AS MATERIALIZED (
+           SELECT e.id, e.v, """ + sq("e.v", "c.v") + """ AS d
+           FROM e, c1 c WHERE e.id <> c.id
+         )""")
+    for (i <- 2 to k) {
+      sb.append(s""", s$i AS MATERIALIZED (
+           SELECT id, v, d FROM d$i ORDER BY d DESC, id LIMIT 1
+         )""")
+      if (i < k) sb.append(s""", d${i + 1} AS MATERIALIZED (
+           SELECT p.id, p.v, least(p.d, ${sq("p.v", "c.v")}) AS d
+           FROM d$i p, s$i c WHERE p.id <> c.id
+         )""")
+    }
+    sb.append(
+      "\n         SELECT 1 AS \"round\", id, CAST(NULL AS DOUBLE) " +
+        "AS sel_dist FROM c1")
+    for (i <- 2 to k)
+      sb.append(
+        s"""\n         UNION ALL SELECT $i, id, round(d + 1e-9, 6) FROM s$i""")
+    sb.append("\n         ORDER BY \"round\"")
+    sb.toString
+  }
 
   /** q202's oracle, generated: `rounds` unrolled peel rounds over the
     * thresholded supplier co-occurrence graph. Peeling is idempotent
@@ -9650,6 +9699,10 @@ object SparkEntry {
     "q349_cdc_chunks" -> (cdcOracleCtes("text") + """
          SELECT doc_id, chunk_idx, "start", chunk_len, chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    // q359: the greedy selection replayed with unrolled rounds — see
+    // kCenterOracleSql.
+    "q359_kcenter" -> kCenterOracleSql(k = 8, dim = 64),
 
     // q357: direct per-source KMV replay — the gate's (source, lang)
     // build + merge collapses to this by the lossless bottom-k merge.

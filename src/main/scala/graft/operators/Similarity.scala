@@ -670,4 +670,93 @@ object Similarity {
       .join(pick(0.5, "norm_p50"), lit(true), "left")
       .join(pick(0.95, "norm_p95"), lit(true), "left")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985): pick `k` points
+    * so every point is close to some pick — the classic 2-approximation
+    * of the k-center objective, and the standard "maximally diverse
+    * subset" primitive for training-data curation (cover the embedding
+    * space with a budget instead of sampling it).
+    *
+    * Deterministic contract: the seed is the MINIMUM id; each later
+    * round picks the point with the LARGEST squared-L2 distance to its
+    * nearest already-picked center, ties to the smallest id. Distances
+    * are the left-fold `Σ (aᵢ−bᵢ)²` in double — one IEEE op sequence
+    * any engine replays bit-for-bit — so the whole selection (not just
+    * its size) is a pure function of the data, and the q359 oracle
+    * replays it round-for-round with unrolled CTEs.
+    *
+    * Returns `(round, id, sel_dist)`: `sel_dist` is the picked point's
+    * min-distance at selection (the coverage radius of the previous
+    * round's center set; NULL for the seed) — its monotone decay is the
+    * budget-vs-coverage curve. Stops early when points run out.
+    *
+    * Scale shape: k rounds, each ONE map-side `least(d, ‖v−c‖²)` update
+    * against the round's broadcast center (a literal vector) plus ONE
+    * TakeOrderedAndProject(1) argmax — no shuffle of vectors, state is
+    * one double per row, localCheckpointed per round with the
+    * superseded frame released (the iterative-frame discipline). */
+  def kCenterSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val pts = df
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull)
+    def sqDistTo(center: Seq[Double]): Column =
+      aggregate(
+        zip_with(col("v"), array(center.map(lit): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+
+    val seed = pts.orderBy(col("id")).limit(1).collect()
+    val picked = scala.collection.mutable.ListBuffer.empty[(Int, Any, Any)]
+    if (seed.nonEmpty) {
+      val seedId = seed.head.get(0)
+      val seedVec = seed.head.getSeq[Double](1)
+      picked += ((1, seedId, null))
+      var cur = pts.filter(col("id") =!= lit(seedId))
+        .withColumn("d", sqDistTo(seedVec))
+        .localCheckpoint()
+      var round = 2
+      var exhausted = false
+      while (round <= k && !exhausted) {
+        val top = cur.orderBy(col("d").desc, col("id")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val bestId = top.head.get(0)
+          val bestVec = top.head.getSeq[Double](1)
+          picked += ((round, bestId, top.head.getDouble(2)))
+          if (round < k) {
+            val next = cur.filter(col("id") =!= lit(bestId))
+              .withColumn("d",
+                least(col("d"), sqDistTo(bestVec)))
+              .localCheckpoint()
+            graft.physical.Optimise.releaseCheckpoint(cur)
+            cur = next
+          }
+        }
+        round += 1
+      }
+      graft.physical.Optimise.releaseCheckpoint(cur)
+    }
+    val idField = pts.schema("id")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      idField.copy(nullable = true),
+      org.apache.spark.sql.types.StructField("sel_dist",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = picked.toSeq.map { case (r, id, d) =>
+      org.apache.spark.sql.Row(r, id, d)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("round"), col("id"),
+        round(col("sel_dist") + lit(1e-9), 6).as("sel_dist"))
+  }
 }

@@ -1098,4 +1098,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept(1L) == "http://a.com/x")
     assert(kept(3L) == "http://a.com/x?id=1")
   }
+
+  // --- kCenterSelect ---------------------------------------------------
+
+  private def kcDf(pts: Seq[(Long, Seq[Float])]) =
+    pts.toDF("vec_id", "embedding")
+
+  test("kCenterSelect matches an in-memory greedy reference") {
+    // 2-D points with an obvious spread: clusters at (0,0), (10,0), (0,10)
+    val pts = Seq(
+      1L -> Seq(0f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(10f, 0f),
+      4L -> Seq(10f, 1f), 5L -> Seq(0f, 10f), 6L -> Seq(1f, 10f))
+    val got = Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 3)
+      .get.select("round", "id", "sel_dist")
+      .as[(Int, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    // reference: seed=1 (min id); round 2 argmax of dist to {1}: ids 3/4/5/6
+    // have d 100, 101, 100, 101 -> max 101, tie ids 4,6 -> 4; round 3:
+    // min-dist to {1,4}: id5 d=min(100, (10-0)^2+(1-10)^2=181)=100,
+    // id6 d=min(101, 81+81=162)... compute in test instead
+    def sq(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    var centers = Seq(pts.minBy(_._1))
+    var want = Seq((1, 1L, Option.empty[Double]))
+    for (r <- 2 to 3) {
+      val rest = pts.filterNot(p => centers.exists(_._1 == p._1))
+      val scored = rest.map(p =>
+        (p, centers.map(c => sq(p._2, c._2)).min))
+      val best = scored.minBy { case (p, d) => (-d, p._1) }
+      centers :+= best._1
+      want :+= ((r, best._1._1,
+        Some(BigDecimal(best._2 + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("kCenterSelect coverage radius is non-increasing") {
+    val rnd = new scala.util.Random(7L)
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 10)))
+    val d = Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 10)
+      .get.orderBy("round").select("sel_dist")
+      .as[Option[Double]].collect().toSeq.flatten
+    assert(d.size == 9 && d.zip(d.tail).forall { case (a, b) => a >= b }, s"$d")
+  }
+
+  test("kCenterSelect ignores exact-duplicate points with higher ids") {
+    val rnd = new scala.util.Random(11L)
+    val pts = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat())))
+    val dup = pts ++ pts.map { case (id, v) => (id + 1000L, v) }
+    val base = Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 6)
+      .get.select("round", "id", "sel_dist")
+      .as[(Int, Long, Option[Double])].collect().toSeq.sorted
+    val withDups = Similarity.kCenterSelect(kcDf(dup), "vec_id", "embedding", 6)
+      .get.select("round", "id", "sel_dist")
+      .as[(Int, Long, Option[Double])].collect().toSeq.sorted
+    assert(base == withDups)
+  }
+
+  test("kCenterSelect stops early when points run out and validates k") {
+    val pts = Seq(1L -> Seq(0f, 0f), 2L -> Seq(3f, 4f))
+    val got = Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 5)
+      .get.select("round", "id").as[(Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 1L), (2, 2L)))
+    assert(Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 0)
+      .isFailing)
+  }
 }
