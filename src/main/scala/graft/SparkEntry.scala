@@ -2945,6 +2945,35 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q360_knn_outlier" -> ((s, dir) => {
+      // Distance-based outlier scores: cosine to the 5th nearest
+      // neighbor, per point — the k-th ORDER STATISTIC, so the score
+      // is exact and engine-replayable (same kernel contract as q38).
+      graft.operators.Similarity.knnOutlierScores(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5).get
+        .orderBy("id")
+    }),
+
+    "q361_msprt" -> ((s, dir) => {
+      // Always-valid sequential p-values (mSPRT) for the running mean
+      // discount vs theta0=0.05 per returnflag, ordered by
+      // (orderkey, linenumber) — cent-scaled, so the prefix sums are
+      // exact integers and the statistic replays term-for-term.
+      graft.operators.Stats.msprt(tbl(s, dir, "lineitem"), "l_discount",
+        theta0 = 0.05, tau2 = 0.0004,
+        orderCols = Seq("l_orderkey", "l_linenumber", "l_discount"),
+        keys = Seq("l_returnflag"), scaleDecimals = 2).get
+        .orderBy("l_returnflag", "seq")
+    }),
+
+    "q362_jackknife_ratio" -> ((s, dir) => {
+      // Delete-one-supplier jackknife SE for price-per-unit: the
+      // closed form needs no refits — one groupBy, then G-row math.
+      graft.operators.Stats.jackknifeRatio(tbl(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_suppkey",
+        numScaleDecimals = 2, denScaleDecimals = 0).get
+    }),
+
     "q359_kcenter" -> ((s, dir) => {
       // Greedy k-center coreset selection (Gonzalez) over the
       // embeddings: 8 rounds, min-id seed, max-min-distance picks.
@@ -5613,6 +5642,63 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** q361's oracle, generated: the mSPRT prefix statistics replayed per
+    * returnflag over (orderkey, linenumber) order. The scaled θ₀ and τ²
+    * literals are computed by the SAME Scala expressions the operator
+    * uses and embedded via Double.toString (exact round-trip), so the
+    * only cross-engine float surfaces are ln/sqrt/exp last-ulp noise —
+    * absorbed by the round-6 outputs. */
+  private def msprtOracleSql(
+      theta0: Double, tau2: Double, scaleDecimals: Int): String = {
+    val sc = math.pow(10, scaleDecimals)
+    val t0 = java.lang.Double.toString(theta0 * sc)
+    val t2 = java.lang.Double.toString(tau2 * sc * sc)
+    val scl = java.lang.Double.toString(sc)
+    s"""WITH b AS (
+         SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+           CAST(round(CAST(l_discount AS DOUBLE) * $scl) AS BIGINT) AS c
+         FROM lineitem WHERE l_discount IS NOT NULL
+       ), w AS (
+         SELECT f,
+           CAST(row_number() OVER (PARTITION BY f
+             ORDER BY l_orderkey, l_linenumber, c) AS BIGINT) AS i,
+           sum(c) OVER (PARTITION BY f
+             ORDER BY l_orderkey, l_linenumber, c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+           sum(c * c) OVER (PARTITION BY f
+             ORDER BY l_orderkey, l_linenumber, c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q2
+         FROM b
+       ), t AS (
+         SELECT f, i,
+           CAST(s AS DOUBLE) / CAST(i AS DOUBLE) AS xbar,
+           (CAST(q2 AS DOUBLE) * CAST(i AS DOUBLE) -
+             CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+             (CAST(i AS DOUBLE) * CAST(i AS DOUBLE)) AS v
+         FROM w
+       ), u AS (
+         SELECT f, i, xbar, v,
+           ((CAST(i AS DOUBLE) * CAST(i AS DOUBLE)) * $t2) *
+             ((xbar - $t0) * (xbar - $t0)) AS nm,
+           (2.0 * v) * (v + CAST(i AS DOUBLE) * $t2) AS dn,
+           v / (v + CAST(i AS DOUBLE) * $t2) AS rt
+         FROM t
+       ), z AS (
+         SELECT f, i, xbar,
+           CASE WHEN v > 0 THEN 0.5 * ln(rt) + nm / dn END AS llr,
+           CASE WHEN v > 0 THEN
+             least(1.0, 1.0 / (sqrt(rt) * exp(nm / dn))) END AS p
+         FROM u
+       )
+       SELECT f AS l_returnflag, i AS seq,
+         round(xbar + 1e-9, 6) AS xbar,
+         round(llr + 1e-9, 6) AS llr,
+         round(min(p) OVER (PARTITION BY f ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+           AS p_always
+       FROM z ORDER BY f, i"""
+  }
 
   /** q359's oracle, generated: `k−1` unrolled greedy k-center rounds
     * over the embeddings (seed = min id, ties to min id), the squared-L2
@@ -9703,6 +9789,73 @@ object SparkEntry {
     // q359: the greedy selection replayed with unrolled rounds — see
     // kCenterOracleSql.
     "q359_kcenter" -> kCenterOracleSql(k = 8, dim = 64),
+
+    // q360: the q38 kernel contract at rank == 5 exactly.
+    "q360_knn_outlier" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS id, c.vec_id AS nid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS c_raw
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         ), ranked AS (
+           SELECT id, c_raw,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY c_raw DESC, nid) AS r
+           FROM scored
+         )
+         SELECT id, round(c_raw, 6) AS knn_cosine,
+           round(1.0 - c_raw, 6) AS outlier_score
+         FROM ranked WHERE r = 5 ORDER BY id""",
+
+    // q361: the mSPRT recursion replayed per returnflag with the
+    // operator's scaled literals embedded — see msprtOracleSql.
+    "q361_msprt" -> msprtOracleSql(theta0 = 0.05, tau2 = 0.0004,
+      scaleDecimals = 2),
+
+    // q362: the delete-one-group closed form; exact-integer group sums,
+    // the only float sums are the G-term jackknife aggregates.
+    "q362_jackknife_ratio" ->
+      """WITH g AS (
+           SELECT l_suppkey AS gk,
+             sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+                 AS BIGINT)) AS y,
+             sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1.0)
+                 AS BIGINT)) AS x
+           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+         ), t AS (
+           SELECT sum(y) AS ty, sum(x) AS tx,
+             CAST(count(*) AS BIGINT) AS gn
+           FROM g
+         ), l AS (
+           SELECT CASE WHEN t.tx - g.x <> 0 THEN
+               CAST(t.ty - g.y AS DOUBLE) / CAST(t.tx - g.x AS DOUBLE)
+             END AS th
+           FROM g, t
+         ), a AS (
+           SELECT avg(th) AS thbar, count(*) AS cnt, count(th) AS okn
+           FROM l
+         ), sq AS (
+           SELECT sum((l.th - a.thbar) * (l.th - a.thbar)) AS ssq
+           FROM l, a
+         ), f AS (
+           SELECT t.gn, t.ty, t.tx, sq.ssq,
+             (t.gn >= 2 AND a.okn = a.cnt AND t.tx <> 0) AS ok,
+             CAST(t.ty AS DOUBLE) / CAST(t.tx AS DOUBLE) AS theta,
+             a.thbar,
+             sqrt(((CAST(t.gn AS DOUBLE) - 1.0) / CAST(t.gn AS DOUBLE))
+               * sq.ssq) AS se
+           FROM t, a, sq
+         )
+         SELECT gn AS n_groups,
+           round(CASE WHEN ok THEN theta END + 1e-9, 6) AS theta,
+           round(CASE WHEN ok THEN thbar END + 1e-9, 6)
+             AS theta_jack_mean,
+           round(CASE WHEN ok THEN se END + 1e-9, 6) AS se_jack,
+           round(CASE WHEN ok THEN theta - 1.96 * se END + 1e-9, 6)
+             AS ci_lo,
+           round(CASE WHEN ok THEN theta + 1.96 * se END + 1e-9, 6)
+             AS ci_hi
+         FROM f""",
 
     // q357: direct per-source KMV replay — the gate's (source, lang)
     // build + merge collapses to this by the lossless bottom-k merge.

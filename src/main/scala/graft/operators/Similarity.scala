@@ -671,6 +671,40 @@ object Similarity {
       .join(pick(0.95, "norm_p95"), lit(true), "left")
   }
 
+  /** kNN-distance outlier scores: for every point, the cosine to its
+    * k-th nearest neighbor (`knn_cosine`) and `outlier_score =
+    * 1 − knn_cosine` — the classic distance-based outlier definition
+    * (Ramaswamy et al., SIGMOD 2000): isolated points have distant
+    * k-th neighbors. The k-th ORDER STATISTIC (not a mean of the top
+    * k) keeps the score an exact, engine-replayable value — no float
+    * sum whose order could drift.
+    *
+    * Contract-named brute: the self-join scores all pairs, exact by
+    * construction — the curation-scale path is the same rank-at-k over
+    * an ANN shortlist (LSH q39 / IVF q317 candidates), for which this
+    * is the recall oracle, exactly the bruteForceKnn ↔ lshKnn pairing.
+    * Returns `(id, knn_cosine, outlier_score)`. Points with fewer than
+    * k neighbors drop (no k-th neighbor exists). */
+  def knnOutlierScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): MayFail[DataFrame] = MayFail {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = df.select(col(idCol).as("id"), col(vecCol).as("__av"))
+    val b = df.select(col(idCol).as("__nid"), col(vecCol).as("__bv"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__cos").desc, col("__nid"))
+    a.join(b, col("id") =!= col("__nid"))
+      .withColumn("__cos", vecCosine(col("__av"), col("__bv")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === k)
+      .select(col("id"),
+        round(col("__cos"), 6).as("knn_cosine"),
+        round(lit(1.0) - col("__cos"), 6).as("outlier_score"))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985): pick `k` points
     * so every point is close to some pick — the classic 2-approximation
     * of the k-center objective, and the standard "maximally diverse

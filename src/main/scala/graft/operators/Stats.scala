@@ -1953,4 +1953,164 @@ object Stats {
             col("__n").cast("double") * col("__n")) / col("__den"))
           .as("q"))
   }
+
+  /** Mixture sequential probability ratio test (mSPRT — Robbins 1970;
+    * Johari, Koomen, Pekelis & Walsh, KDD 2017): ALWAYS-VALID p-values
+    * for the running mean of an ordered measurement stream against
+    * `theta0`, under a N(theta0, tau2) mixture over the drift. Unlike a
+    * fixed-horizon t-test, the reported p-value is valid at EVERY
+    * prefix simultaneously — the "peeking" readout an experiment
+    * dashboard actually needs.
+    *
+    * Per prefix i (within each key group, ordered by `orderCols`):
+    * with exact-integer prefix sums S, Q of the `scaleDecimals`-scaled
+    * values (the ×100 cents convention — values are quantized at that
+    * scale by documented contract), plug-in variance
+    * `v = (Q·i − S²)/i²`, and `d = x̄ − θ₀`:
+    *
+    *   `ln Λᵢ = ½·ln(v/(v+i·τ²)) + (i²·τ²·d²) / (2v·(v+i·τ²))`
+    *   `p_always(i) = min over j ≤ i of min(1, 1/Λⱼ)`
+    *
+    * Returns `(keys..., seq, xbar, llr, p_always)` per row; prefixes
+    * with zero plug-in variance yield NULL llr (no evidence either
+    * way) and are skipped by the running min. The statistic is a pure
+    * IEEE function of exact integers, so any engine replays it
+    * term-for-term; `sqrt`/`exp`/`ln` last-ulp noise is absorbed by
+    * the round-6 outputs.
+    *
+    * Scale shape: one window pass over the ordered stream per key — no
+    * self-join, no collect; state is three running integers. Exactness
+    * bound: n·c² < 2⁶³ for the scaled values (ANSI arithmetic makes a
+    * violation a hard error, never a silent wrap).
+    *
+    * Order contract: `orderCols` must order rows totally UP TO ties in
+    * the scaled value — tied rows are interchangeable (the prefix sums,
+    * and therefore every statistic, are unchanged), so appending the
+    * value column itself is the standard tie-breaker when the natural
+    * key is not unique. */
+  def msprt(
+      df: DataFrame,
+      valueCol: String,
+      theta0: Double,
+      tau2: Double,
+      orderCols: Seq[String],
+      keys: Seq[String] = Nil,
+      scaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(tau2 > 0, s"mixture variance tau2 must be positive: $tau2")
+    require(orderCols.nonEmpty, "msprt needs a total order")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals) // exact small power of ten
+    val t0s = theta0 * sc                // scaled hypothesis mean
+    val t2s = tau2 * sc * sc             // scaled mixture variance
+    val c = round(col(valueCol).cast("double") * lit(sc)).cast("long")
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val iL = row_number().over(wOrd).cast("long")
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__c", c)
+      .withColumn("__i", iL)
+      .withColumn("__s", sum(col("__c")).over(wCum))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(wCum))
+    val id = col("__i").cast("double")
+    val sd = col("__s").cast("double")
+    val qd = col("__q").cast("double")
+    val v = (qd * id - sd * sd) / (id * id)
+    val xbar = sd / id
+    val dm = xbar - lit(t0s)
+    val iTau2 = id * lit(t2s)
+    val num = ((id * id) * lit(t2s)) * (dm * dm)
+    val den = (lit(2.0) * v) * (v + iTau2)
+    val lam = sqrt(v / (v + iTau2)) * exp(num / den)
+    val llr = lit(0.5) * log(v / (v + iTau2)) + num / den
+    val scored = base
+      .withColumn("__llr", when(v > 0, llr))
+      .withColumn("__p", when(v > 0, least(lit(1.0), lit(1.0) / lam)))
+      .withColumn("__pmin", min(col("__p")).over(wCum))
+    scored.select(keys.map(col) ++ Seq(
+      col("__i").as("seq"),
+      round(xbar + lit(1e-9), 6).as("xbar"),
+      round(col("__llr") + lit(1e-9), 6).as("llr"),
+      round(col("__pmin") + lit(1e-9), 6).as("p_always")): _*)
+  }
+
+  /** Delete-one-GROUP jackknife for a ratio-of-sums estimator
+    * `θ = Σnum / Σden` — the standard-error machinery for ratio
+    * metrics (revenue per unit, CTR, tokens per document) whose rows
+    * are dependent WITHIN groups (a user, a supplier, a document): the
+    * group, not the row, is the resampling unit.
+    *
+    * With per-group exact-integer sums (values scaled by
+    * `numScaleDecimals`/`denScaleDecimals` — the ×100 cents
+    * convention) Y_g, X_g and totals Y, X over G groups:
+    *
+    *   `θ₍₋g₎ = (Y−Y_g)/(X−X_g)`,  `θ̄ = Σθ₍₋g₎/G`
+    *   `SE² = (G−1)/G · Σ(θ₍₋g₎ − θ̄)²`
+    *
+    * Returns ONE row `(n_groups, theta, theta_jack_mean, se_jack,
+    * ci_lo, ci_hi)` with the ±1.96·SE normal interval. NULL statistics
+    * when G < 2 or any leave-one-out denominator is zero (the
+    * estimator is undefined, not zero — surfaced, never fabricated).
+    * Everything up to the G-term float sums is exact-integer; the
+    * output rounds at 6.
+    *
+    * Scale shape: one groupBy over the rows, then G-row arithmetic —
+    * the closed form needs no actual refits, so the "resampling" costs
+    * one aggregation regardless of corpus size. */
+  def jackknifeRatio(
+      df: DataFrame,
+      numCol: String,
+      denCol: String,
+      groupCol: String,
+      numScaleDecimals: Int = 0,
+      denScaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(numScaleDecimals >= 0 && numScaleDecimals <= 9 &&
+      denScaleDecimals >= 0 && denScaleDecimals <= 9,
+      "scale decimals must be in [0, 9]")
+    val ns = math.pow(10, numScaleDecimals)
+    val ds = math.pow(10, denScaleDecimals)
+    val g = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        sum(round(col(numCol).cast("double") * lit(ns)).cast("long"))
+          .as("__y"),
+        sum(round(col(denCol).cast("double") * lit(ds)).cast("long"))
+          .as("__x"))
+    val tot = g.agg(sum(col("__y")).as("__ty"), sum(col("__x")).as("__tx"),
+      count(lit(1)).as("__gn"))
+    val loo = g.crossJoin(tot)
+      .withColumn("__th",
+        when(col("__tx") - col("__x") =!= 0L,
+          (col("__ty") - col("__y")).cast("double") /
+            (col("__tx") - col("__x")).cast("double")))
+    val agg = loo.agg(
+      max(col("__gn")).as("n_groups"),
+      max(col("__ty")).as("__ty"),
+      max(col("__tx")).as("__tx"),
+      avg(col("__th")).as("__thbar"),
+      count(lit(1)).as("__cnt"),
+      count(col("__th")).as("__ok"))
+    // second pass for the centered squares (needs θ̄); the loo frame is
+    // G rows, so the extra pass is grid-sized
+    val ssq = loo.crossJoin(agg.select(col("__thbar").as("__tb")))
+      .agg(sum((col("__th") - col("__tb")) * (col("__th") - col("__tb")))
+        .as("__ssq"))
+    val gd = col("n_groups").cast("double")
+    val ok = col("n_groups") >= 2 && col("__ok") === col("__cnt") &&
+      col("__tx") =!= 0L
+    val theta = col("__ty").cast("double") / col("__tx").cast("double")
+    val se = sqrt(((gd - 1) / gd) * col("__ssq"))
+    agg.crossJoin(ssq).select(
+      col("n_groups"),
+      round(when(ok, theta) + lit(1e-9), 6).as("theta"),
+      round(when(ok, col("__thbar")) + lit(1e-9), 6).as("theta_jack_mean"),
+      round(when(ok, se) + lit(1e-9), 6).as("se_jack"),
+      round(when(ok, theta - lit(1.96) * se) + lit(1e-9), 6).as("ci_lo"),
+      round(when(ok, theta + lit(1.96) * se) + lit(1e-9), 6).as("ci_hi"))
+  }
 }

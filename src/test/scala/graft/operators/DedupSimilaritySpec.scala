@@ -1165,4 +1165,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.kCenterSelect(kcDf(pts), "vec_id", "embedding", 0)
       .isFailing)
   }
+
+  // --- knnOutlierScores --------------------------------------------------
+
+  test("knnOutlierScores ranks the isolated point highest") {
+    val pts = Seq(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f),
+      3L -> Seq(0.998f, 0.02f, 0f), 4L -> Seq(0f, 0f, 1f))
+    val got = Similarity.knnOutlierScores(pts.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2).get
+      .orderBy(col("outlier_score").desc)
+      .select("id").as[Long].collect().toSeq
+    assert(got.head == 4L && got.size == 4)
+  }
+
+  test("knnOutlierScores equals bruteForceKnn's k-th cosine") {
+    val rnd = new scala.util.Random(5L)
+    val pts = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat() - 0.5f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val viaKnn = Similarity.bruteForceKnn(df, df, "embedding", "vec_id", 3)
+      .get.filter(col("rank") === 3)
+      .select(col("queryId"), col("cosine"))
+      .as[(Long, Double)].collect().toMap
+    val got = Similarity.knnOutlierScores(df, "vec_id", "embedding", 3).get
+      .select("id", "knn_cosine").as[(Long, Double)].collect().toMap
+    assert(got == viaKnn)
+  }
+
+  test("knnOutlierScores drops short groups and validates k") {
+    val two = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.knnOutlierScores(two, "vec_id", "embedding", 2)
+      .get.count() == 0)
+    assert(Similarity.knnOutlierScores(two, "vec_id", "embedding", 1)
+      .get.count() == 2)
+    assert(Similarity.knnOutlierScores(two, "vec_id", "embedding", 0)
+      .isFailing)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -800,5 +801,130 @@ class StatsSpec extends AnyFunSuite {
       idCols = Seq("id"), rounds = 99).get
       .select("p_value").as[Double].head()
     assert(again == pShift._5)
+  }
+
+  // --- msprt -------------------------------------------------------------
+
+  test("msprt matches an in-memory reference on a hand sequence") {
+    val xs = Seq(0.0, 2.0, 4.0, 1.0, 3.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("ord", "v")
+    val got = Stats.msprt(df, "v", theta0 = 0.0, tau2 = 1.0,
+      orderCols = Seq("ord")).get
+      .orderBy("seq")
+      .select("seq", "xbar", "llr", "p_always")
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSeq
+    // reference: same arithmetic in plain Scala
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var s = 0L; var q = 0L; var pmin = Double.MaxValue
+    val want = xs.zipWithIndex.map { case (x, idx) =>
+      val i = idx + 1L; val c = math.round(x)
+      s += c; q += c * c
+      val id = i.toDouble
+      val v = (q.toDouble * id - s.toDouble * s.toDouble) / (id * id)
+      val xbar = s.toDouble / id
+      if (v > 0) {
+        val dm = xbar - 0.0
+        val nm = ((id * id) * 1.0) * (dm * dm)
+        val dn = (2.0 * v) * (v + id * 1.0)
+        val llr = 0.5 * math.log(v / (v + id * 1.0)) + nm / dn
+        val lam = math.sqrt(v / (v + id * 1.0)) * math.exp(nm / dn)
+        pmin = math.min(pmin, math.min(1.0, 1.0 / lam))
+        (i, r6(xbar), Some(r6(llr)), Some(r6(pmin)))
+      } else (i, r6(xbar), None,
+        if (pmin == Double.MaxValue) None else Some(r6(pmin)))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("msprt detects a strong drift and stays calm under the null") {
+    val drift = Seq.tabulate(400)(i => (i.toLong, 10.0)).toDF("ord", "v")
+      .withColumn("v", col("v") + (col("ord") % 2).cast("double"))
+    val pDrift = Stats.msprt(drift, "v", theta0 = 0.0, tau2 = 1.0,
+      orderCols = Seq("ord")).get
+      .orderBy(col("seq").desc).select("p_always")
+      .as[Option[Double]].head()
+    assert(pDrift.exists(_ < 1e-6), s"drift not detected: $pDrift")
+    // alternating +1/-1 around the true mean 0: no evidence
+    val nullSeq = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else -1.0)).toDF("ord", "v")
+    val pNull = Stats.msprt(nullSeq, "v", theta0 = 0.0, tau2 = 1.0,
+      orderCols = Seq("ord")).get
+      .orderBy(col("seq").desc).select("p_always")
+      .as[Option[Double]].head()
+    assert(pNull.exists(_ > 0.3), s"null rejected: $pNull")
+  }
+
+  test("msprt p_always is non-increasing and tied rows are interchangeable") {
+    val rnd = new scala.util.Random(3L)
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong % 7, i.toLong, rnd.nextInt(5).toDouble)).toDF("k", "ord", "v")
+    val ps = Stats.msprt(df, "v", theta0 = 2.0, tau2 = 0.5,
+      orderCols = Seq("ord"), keys = Seq("k")).get
+      .orderBy("k", "seq").select("k", "p_always")
+      .as[(Long, Option[Double])].collect().toSeq
+    ps.groupBy(_._1).values.foreach { g =>
+      val vals = g.flatMap(_._2)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    }
+    // ties in (ord) with equal values: shuffling tied rows changes nothing
+    val tied = Seq((1L, 3.0), (1L, 3.0), (2L, 5.0), (2L, 5.0), (3L, 1.0))
+    val a = Stats.msprt(tied.toDF("ord", "v"), "v", 0.0, 1.0,
+      Seq("ord")).get.orderBy("seq").collect().toSeq
+    val b = Stats.msprt(tied.reverse.toDF("ord", "v"), "v", 0.0, 1.0,
+      Seq("ord")).get.orderBy("seq").collect().toSeq
+    assert(a == b)
+  }
+
+  test("msprt validates knobs") {
+    val df = Seq((1L, 1.0)).toDF("ord", "v")
+    assert(Stats.msprt(df, "v", 0.0, 0.0, Seq("ord")).isFailing)
+    assert(Stats.msprt(df, "v", 0.0, 1.0, Nil).isFailing)
+    assert(Stats.msprt(df, "v", 0.0, 1.0, Seq("ord"),
+      scaleDecimals = 10).isFailing)
+  }
+
+  // --- jackknifeRatio ------------------------------------------------------
+
+  test("jackknifeRatio matches the hand-computed closed form") {
+    val df = Seq(
+      ("g1", 1.0, 1.0), ("g2", 2.0, 1.0), ("g3", 3.0, 1.0)
+    ).toDF("g", "y", "x")
+    val got = Stats.jackknifeRatio(df, "y", "x", "g").get
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].head()
+    // theta = 2, loo = (2.5, 2, 1.5), thbar = 2,
+    // SE = sqrt((2/3) * 0.5) = 0.5773502691896257
+    assert(got._1 == 3L && got._2 == Some(2.0) && got._3 == Some(2.0))
+    assert(got._4 == Some(0.57735))
+    assert(got._5 == Some(BigDecimal(2.0 - 1.96 * 0.5773502691896257 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("jackknifeRatio surfaces undefined cases as NULL") {
+    // one group: resampling impossible
+    val one = Seq(("g1", 1.0, 1.0)).toDF("g", "y", "x")
+    val r1 = Stats.jackknifeRatio(one, "y", "x", "g").get
+      .select("theta").as[Option[Double]].head()
+    assert(r1.isEmpty)
+    // a dominant group: deleting it zeroes the denominator
+    val dom = Seq(("g1", 1.0, 5.0), ("g2", 2.0, 0.0), ("g3", 1.0, 0.0))
+      .toDF("g", "y", "x")
+    val r2 = Stats.jackknifeRatio(dom, "y", "x", "g").get
+      .select("se_jack").as[Option[Double]].head()
+    assert(r2.isEmpty)
+  }
+
+  test("jackknifeRatio cent scaling keeps group sums exact") {
+    val df = Seq(
+      ("a", 0.1, 1.0), ("a", 0.2, 1.0), ("b", 0.3, 2.0), ("c", 0.1, 1.0)
+    ).toDF("g", "y", "x")
+    // scaled: y cents (10,20,30,10), x units; theta = 70/500 cents/unit...
+    val got = Stats.jackknifeRatio(df, "y", "x", "g",
+      numScaleDecimals = 2, denScaleDecimals = 2).get
+      .select("n_groups", "theta").as[(Long, Option[Double])].head()
+    // theta in scaled units: (10+20+30+10)/(100+100+200+100) = 70/500
+    assert(got._1 == 3L && got._2 == Some(0.14))
   }
 }
