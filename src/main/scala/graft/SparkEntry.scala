@@ -2945,6 +2945,24 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q363_bleu" -> ((s, dir) => {
+      // Next-doc BLEU pairs; every 5th doc scores against itself plus
+      // a suffix — one gate exercises the zero-precision path, the
+      // BP < 1 branch and high-overlap scores.
+      graft.operators.Quality.bleu(bleuGatePairs(s, dir), "text", "__ref",
+          maxN = 4).get
+        .select(col("doc_id"), col("bleu")).orderBy("doc_id")
+    }),
+
+    "q364_rouge" -> ((s, dir) => {
+      // ROUGE-2 precision/recall/F1 over the same pair construction.
+      graft.operators.Quality.rougeN(bleuGatePairs(s, dir), "text",
+          "__ref", n = 2).get
+        .select(col("doc_id"), col("rouge2_precision"),
+          col("rouge2_recall"), col("rouge2_f1"))
+        .orderBy("doc_id")
+    }),
+
     "q360_knn_outlier" -> ((s, dir) => {
       // Distance-based outlier scores: cosine to the 5th nearest
       // neighbor, per point — the k-th ORDER STATISTIC, so the score
@@ -5642,6 +5660,68 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** Shared q363/q364 pair construction: candidate = each doc, reference
+    * = the next doc by id — except every 5th doc references ITSELF plus
+    * a 4-token suffix (high overlap, brevity penalty < 1). The oracle
+    * CTEs rebuild the identical pairs. */
+  private def bleuGatePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val nxt = d.select((col("doc_id") - 1).as("__pid"),
+      col("text").as("__rtext"))
+    d.join(nxt, col("doc_id") === col("__pid"))
+      .withColumn("__ref",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" graft bleu pad tokens")))
+          .otherwise(col("__rtext")))
+  }
+
+  /** q363/q364 oracle CTEs, generated: the pair construction, per-side
+    * tokenization (the q34 idiom), n-gram lists for n = 1..`maxN` and
+    * the clipped-match counts — all integer arithmetic. */
+  private def bleuOracleCtes(maxN: Int): String = {
+    def grams(ts: String, n: Int): String =
+      if (n == 1) ts
+      else {
+        val cat = (0 until n).map(j =>
+          if (j == 0) s"$ts[i]" else s"$ts[i+$j]").mkString(" || ' ' || ")
+        s"list_transform(range(1, len($ts)-${n - 2}), i -> $cat)"
+      }
+    def clip(gc: String, gr: String): String =
+      s"""list_sum(list_transform(list_distinct($gc),
+           g -> least(len(list_filter($gc, x -> x = g)),
+                      len(list_filter($gr, x -> x = g)))))"""
+    val gramCols = (1 to maxN).flatMap(n => Seq(
+      s"${grams("cts", n)} AS gc$n", s"${grams("rts", n)} AS gr$n"))
+      .mkString(",\n             ")
+    val clipCols = (1 to maxN).map(n =>
+      s"${clip(s"gc$n", s"gr$n")} AS cl$n").mkString(",\n             ")
+    val keepG = (1 to maxN).flatMap(n => Seq(s"gc$n", s"gr$n"))
+      .mkString(", ")
+    s"""WITH d AS (
+         SELECT a.doc_id,
+           a.text AS ct,
+           CASE WHEN a.doc_id % 5 = 0
+             THEN a.text || ' graft bleu pad tokens'
+             ELSE b.text END AS rt
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       ), tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(ct), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS cts,
+           list_filter(string_split_regex(lower(rt), '[ \t\n\r\f]+'),
+                       t -> t <> '') AS rts
+         FROM d
+       ), g AS (
+         SELECT doc_id,
+             $gramCols
+         FROM tk
+       ), cl AS (
+         SELECT doc_id, $keepG,
+             $clipCols
+         FROM g
+       )"""
+  }
 
   /** q361's oracle, generated: the mSPRT prefix statistics replayed per
     * returnflag over (orderkey, linenumber) order. The scaled θ₀ and τ²
@@ -9789,6 +9869,44 @@ object SparkEntry {
     // q359: the greedy selection replayed with unrolled rounds — see
     // kCenterOracleSql.
     "q359_kcenter" -> kCenterOracleSql(k = 8, dim = 64),
+
+    // q363: BLEU replayed gram-for-gram — integer clipped counts, the
+    // ln/exp geometric mean and brevity penalty mirrored op-for-op.
+    "q363_bleu" -> (bleuOracleCtes(4) + """
+         SELECT doc_id,
+           round(CASE
+             WHEN len(gc1) = 0 OR len(gc2) = 0 OR len(gc3) = 0
+               OR len(gc4) = 0 OR len(gr1) = 0 THEN NULL
+             WHEN cl1 = 0 OR cl2 = 0 OR cl3 = 0 OR cl4 = 0 THEN 0.0
+             ELSE (CASE WHEN CAST(len(gc1) AS DOUBLE) >
+                     CAST(len(gr1) AS DOUBLE) THEN 1.0
+                   ELSE exp(1.0 - CAST(len(gr1) AS DOUBLE) /
+                     CAST(len(gc1) AS DOUBLE)) END)
+               * exp((ln(CAST(cl1 AS DOUBLE) / CAST(len(gc1) AS DOUBLE))
+                 + ln(CAST(cl2 AS DOUBLE) / CAST(len(gc2) AS DOUBLE))
+                 + ln(CAST(cl3 AS DOUBLE) / CAST(len(gc3) AS DOUBLE))
+                 + ln(CAST(cl4 AS DOUBLE) / CAST(len(gc4) AS DOUBLE)))
+                 / 4.0)
+             END + 1e-9, 6) AS bleu
+         FROM cl ORDER BY doc_id"""),
+
+    // q364: ROUGE-2 precision/recall/F1 from the same clipped counts.
+    "q364_rouge" -> (bleuOracleCtes(2) + """
+         SELECT doc_id,
+           round(CASE WHEN len(gc2) = 0 OR len(gr2) = 0 THEN NULL
+             ELSE CAST(cl2 AS DOUBLE) / CAST(len(gc2) AS DOUBLE)
+             END + 1e-9, 6) AS rouge2_precision,
+           round(CASE WHEN len(gc2) = 0 OR len(gr2) = 0 THEN NULL
+             ELSE CAST(cl2 AS DOUBLE) / CAST(len(gr2) AS DOUBLE)
+             END + 1e-9, 6) AS rouge2_recall,
+           round(CASE WHEN len(gc2) = 0 OR len(gr2) = 0 THEN NULL
+             WHEN cl2 = 0 THEN 0.0
+             ELSE ((2.0 * (CAST(cl2 AS DOUBLE) / CAST(len(gc2) AS DOUBLE)))
+                 * (CAST(cl2 AS DOUBLE) / CAST(len(gr2) AS DOUBLE)))
+               / ((CAST(cl2 AS DOUBLE) / CAST(len(gc2) AS DOUBLE))
+                 + (CAST(cl2 AS DOUBLE) / CAST(len(gr2) AS DOUBLE)))
+             END + 1e-9, 6) AS rouge2_f1
+         FROM cl ORDER BY doc_id"""),
 
     // q360: the q38 kernel contract at rank == 5 exactly.
     "q360_knn_outlier" ->

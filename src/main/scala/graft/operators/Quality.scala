@@ -1375,4 +1375,100 @@ object Quality {
     // reads them — releasing here would truncate a needed lineage
     out
   }
+
+  // --- BLEU / ROUGE n-gram overlap metrics ------------------------------
+
+  /** Clipped n-gram matches (Papineni et al., ACL 2002 §2.1): for each
+    * DISTINCT candidate gram, count it at most as often as the
+    * reference contains it. Pure integer array arithmetic per row —
+    * exact, order-free, engine-replayable. */
+  private def clippedMatches(gc: Column, gr: Column): Column =
+    aggregate(array_distinct(gc), lit(0),
+      (acc, g) => acc + least(
+        size(filter(gc, x => x === g)),
+        size(filter(gr, x => x === g))))
+
+  /** Sentence/document BLEU of `candCol` against `refCol` (Papineni et
+    * al., ACL 2002): geometric mean of clipped n-gram precisions for
+    * n = 1..`maxN` times the brevity penalty `min(1, e^(1−r/c))`.
+    * Unsmoothed by the standard definition: any zero clipped count ⇒
+    * BLEU 0 (reported as exactly 0.0, never via ln 0); NULL when the
+    * candidate has fewer than `maxN` tokens or the reference is empty
+    * (the metric is undefined, not zero). Appends `outCol`, rounded
+    * at 6 — counts are exact integers, so the only float surface is
+    * the final ln/exp.
+    *
+    * The n-gram space is the library's lowercased whitespace
+    * tokenization ([[graft.functions.TextFunctions.wordShingles]]),
+    * the q34 contract. Per-row cost is O(distinct-grams × doc-length)
+    * per n — shuffle-free, linear in the corpus. Self-BLEU (cand
+    * joined to its own corpus) is the stock diversity readout. */
+  def bleu(
+      df: DataFrame,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4,
+      outCol: String = "bleu"
+  ): MayFail[DataFrame] = MayFail {
+    require(maxN >= 1 && maxN <= 6, s"maxN must be in [1, 6]: $maxN")
+    val ts = graft.functions.TextFunctions
+    val withGrams = (1 to maxN).foldLeft(df) { (d, n) =>
+      d.withColumn(s"__gc$n", ts.wordShingles(col(candCol), n))
+        .withColumn(s"__gr$n", ts.wordShingles(col(refCol), n))
+    }
+    val withClip = (1 to maxN).foldLeft(withGrams) { (d, n) =>
+      d.withColumn(s"__cl$n",
+        clippedMatches(col(s"__gc$n"), col(s"__gr$n")))
+    }
+    val c = size(col("__gc1")).cast("double")
+    val r = size(col("__gr1")).cast("double")
+    val invalid = (1 to maxN).map(n => size(col(s"__gc$n")) === 0)
+      .reduce(_ || _) || size(col("__gr1")) === 0
+    val anyZero = (1 to maxN).map(n => col(s"__cl$n") === 0)
+      .reduce(_ || _)
+    val sumLn = (1 to maxN).map(n =>
+        log(col(s"__cl$n").cast("double") /
+          size(col(s"__gc$n")).cast("double")))
+      .reduceLeft(_ + _)
+    val bp = when(c > r, lit(1.0)).otherwise(exp(lit(1.0) - r / c))
+    val score = when(invalid, lit(null).cast("double"))
+      .when(anyZero, lit(0.0))
+      .otherwise(bp * exp(sumLn / lit(maxN.toDouble)))
+    val cleanup = (1 to maxN).flatMap(n =>
+      Seq(s"__gc$n", s"__gr$n", s"__cl$n"))
+    withClip.withColumn(outCol, round(score + lit(1e-9), 6))
+      .drop(cleanup: _*)
+  }
+
+  /** ROUGE-N of `candCol` against `refCol` (Lin, ACL 2004): clipped
+    * n-gram recall against the reference, plus the matching precision
+    * and F1. Appends `rouge{n}_recall`, `rouge{n}_precision`,
+    * `rouge{n}_f1`; NULL when either side has fewer than `n` tokens,
+    * F1 exactly 0.0 when both precisions are zero. Same tokenization,
+    * exactness and cost contract as [[bleu]]. */
+  def rougeN(
+      df: DataFrame,
+      candCol: String,
+      refCol: String,
+      n: Int = 2
+  ): MayFail[DataFrame] = MayFail {
+    require(n >= 1 && n <= 6, s"n must be in [1, 6]: $n")
+    val ts = graft.functions.TextFunctions
+    val d = df
+      .withColumn("__gc", ts.wordShingles(col(candCol), n))
+      .withColumn("__gr", ts.wordShingles(col(refCol), n))
+      .withColumn("__cl", clippedMatches(col("__gc"), col("__gr")))
+    val invalid = size(col("__gc")) === 0 || size(col("__gr")) === 0
+    val prec = col("__cl").cast("double") / size(col("__gc")).cast("double")
+    val rec = col("__cl").cast("double") / size(col("__gr")).cast("double")
+    val f1 = when(col("__cl") === 0, lit(0.0))
+      .otherwise(((lit(2.0) * prec) * rec) / (prec + rec))
+    d.withColumn(s"rouge${n}_precision",
+        round(when(!invalid, prec) + lit(1e-9), 6))
+      .withColumn(s"rouge${n}_recall",
+        round(when(!invalid, rec) + lit(1e-9), 6))
+      .withColumn(s"rouge${n}_f1",
+        round(when(!invalid, f1) + lit(1e-9), 6))
+      .drop("__gc", "__gr", "__cl")
+  }
 }

@@ -706,4 +706,56 @@ class QualitySpec extends AnyFunSuite {
       e.isNullAt(2) && e.isNullAt(3))
     assert(Quality.zipfReport(df, "text", fitTerms = 1).isFailing)
   }
+
+  // --- bleu / rougeN -----------------------------------------------------
+
+  test("bleu: identity is 1, the Papineni degenerate clips, BP penalizes") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "the the the the the the the", "the cat is on the mat"),
+      (3L, "a b", "a b c d")
+    ).toDF("id", "cand", "ref")
+    val m1 = Quality.bleu(df, "cand", "ref", maxN = 1).get
+      .select("id", "bleu").as[(Long, Option[Double])].collect().toMap
+    // identity: every precision 1, BP 1
+    assert(m1(1L) == Some(1.0))
+    // clipping: min(7 "the", 2 in ref) / 7
+    assert(m1(2L) == Some(BigDecimal(2.0 / 7.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // brevity penalty: p1 = 1 but c = 2 < r = 4 -> exp(1 - 2) = e^-1
+    assert(m1(3L) == Some(BigDecimal(math.exp(-1.0) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // unsmoothed: a zero bigram precision zeroes BLEU
+    val m2 = Quality.bleu(df, "cand", "ref", maxN = 2).get
+      .select("id", "bleu").as[(Long, Option[Double])].collect().toMap
+    assert(m2(1L) == Some(1.0) && m2(2L) == Some(0.0))
+  }
+
+  test("bleu: undefined cases are NULL, knobs validate") {
+    val df = Seq(
+      (1L, "single", "a reference with words"),
+      (2L, "a candidate with words", "")
+    ).toDF("id", "cand", "ref")
+    val m = Quality.bleu(df, "cand", "ref", maxN = 2).get
+      .select("id", "bleu").as[(Long, Option[Double])].collect().toMap
+    assert(m(1L).isEmpty && m(2L).isEmpty)
+    assert(Quality.bleu(df, "cand", "ref", maxN = 0).isFailing)
+    assert(Quality.bleu(df, "cand", "ref", maxN = 7).isFailing)
+  }
+
+  test("rougeN: hand-computed precision/recall/F1 and the zero path") {
+    val df = Seq(
+      (1L, "a b c", "a b d"),
+      (2L, "x y", "p q"),
+      (3L, "a", "a b")
+    ).toDF("id", "cand", "ref")
+    val m = Quality.rougeN(df, "cand", "ref", n = 2).get
+      .select("id", "rouge2_precision", "rouge2_recall", "rouge2_f1")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(m(1L) == ((Some(0.5), Some(0.5), Some(0.5))))
+    assert(m(2L) == ((Some(0.0), Some(0.0), Some(0.0))))
+    assert(m(3L) == ((None, None, None)))
+    assert(Quality.rougeN(df, "cand", "ref", n = 0).isFailing)
+  }
 }
