@@ -2945,6 +2945,40 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q365_temperature_mix" -> ((s, dir) => {
+      // sqrt-temperature domain mixing: alloc_i ∝ sqrt(n_i), integer
+      // largest-remainder, sum(alloc) == 300 exactly; epochs > 1 =
+      // up-sampled tail sources.
+      graft.operators.Sampling.temperatureAllocate(
+        tbl(s, dir, "documents"), "source", budget = 300L, alpha = 0.5)
+        .get.orderBy("key")
+    }),
+
+    "q366_conformal" -> ((s, dir) => {
+      // Split-conformal intervals around a FIXED unit-price model
+      // (yhat = 960·qty): odd orderkeys calibrate, even orderkeys get
+      // intervals — model-free coverage machinery, exact grid rank.
+      conformalGate(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("conformal_lo") + lit(1e-9), 6).as("conformal_lo"),
+          round(col("conformal_hi") + lit(1e-9), 6).as("conformal_hi"))
+        .orderBy("l_orderkey", "l_linenumber", "conformal_lo")
+    }),
+
+    "q367_conformal_coverage" -> ((s, dir) => {
+      // The conformal guarantee, measured: empirical coverage of the
+      // q366 intervals on the held-out even orderkeys (one row).
+      val t = conformalGate(s, dir)
+      t.agg(count(lit(1)).as("n_test"),
+        sum(when(col("l_extendedprice").cast("double")
+          >= col("conformal_lo") &&
+          col("l_extendedprice").cast("double") <= col("conformal_hi"),
+          lit(1L)).otherwise(lit(0L))).as("n_covered"))
+        .select(col("n_test"), col("n_covered"),
+          round(col("n_covered").cast("double") /
+            col("n_test").cast("double") + lit(1e-9), 6).as("coverage"))
+    }),
+
     "q363_bleu" -> ((s, dir) => {
       // Next-doc BLEU pairs; every 5th doc scores against itself plus
       // a suffix — one gate exercises the zero-precision path, the
@@ -5660,6 +5694,40 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** q366/q367 oracle CTEs: calibration residual grid over odd
+    * orderkeys, cumulative rank pick at ceil((n+1)·0.9) — q355's
+    * first-grid-row-reaching-the-rank convention. */
+  private val conformalOracleCtes: String =
+    """WITH cal AS (
+         SELECT abs(CAST(l_extendedprice AS DOUBLE) -
+           CAST(l_quantity AS DOUBLE) * 960.0) AS r
+         FROM lineitem WHERE l_orderkey % 2 = 1
+           AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       ), grid AS (
+         SELECT r, CAST(count(*) AS BIGINT) AS t FROM cal GROUP BY 1
+       ), cum AS (
+         SELECT r, t,
+           sum(t) OVER (ORDER BY r
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+           sum(t) OVER () AS n
+         FROM grid
+       ), q AS (
+         SELECT r AS qhat FROM cum
+         WHERE c >= CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT)
+           AND c - t < CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT)
+       )"""
+
+  /** Shared q366/q367 conformal frame: calibrate on odd orderkeys, test
+    * on even, around the fixed model yhat = 960·l_quantity. */
+  private def conformalGate(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .withColumn("__yhat", col("l_quantity").cast("double") * lit(960.0))
+    graft.operators.Stats.splitConformal(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      "l_extendedprice", "__yhat", alpha = 0.1).get
+  }
 
   /** Shared q363/q364 pair construction: candidate = each doc, reference
     * = the next doc by id — except every 5th doc references ITSELF plus
@@ -9869,6 +9937,63 @@ object SparkEntry {
     // q359: the greedy selection replayed with unrolled rounds — see
     // kCenterOracleSql.
     "q359_kcenter" -> kCenterOracleSql(k = 8, dim = 64),
+
+    // q365: integer largest-remainder replay; sqrt is IEEE-exact so the
+    // weights (and therefore everything) are engine-identical.
+    "q365_temperature_mix" ->
+      """WITH grid AS (
+           SELECT source AS key, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE source IS NOT NULL GROUP BY 1
+         ), w AS (
+           SELECT key, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS weight
+           FROM grid
+         ), t AS (
+           SELECT key, n, weight,
+             CAST((300 * weight) // CAST(sum(weight) OVER () AS BIGINT)
+               AS BIGINT) AS base_,
+             (300 * weight) % CAST(sum(weight) OVER () AS BIGINT) AS rem
+           FROM w
+         ), r AS (
+           SELECT key, n, weight, base_,
+             CAST(sum(base_) OVER () AS BIGINT) AS sb,
+             CAST(row_number() OVER (ORDER BY rem DESC, n DESC, key)
+               AS BIGINT) AS rk
+           FROM t
+         )
+         SELECT key, n, weight,
+           base_ + CASE WHEN rk <= 300 - sb THEN 1 ELSE 0 END AS alloc,
+           round(CAST(base_ + CASE WHEN rk <= 300 - sb THEN 1 ELSE 0 END
+               AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6) AS epochs
+         FROM r ORDER BY key""",
+
+    // q366: the exact-grid rank pick replayed; q-hat rides every row as
+    // the same literal on both sides.
+    "q366_conformal" -> (conformalOracleCtes + """
+         SELECT l_orderkey, l_linenumber,
+           round(CAST(l_quantity AS DOUBLE) * 960.0 - q.qhat + 1e-9, 6)
+             AS conformal_lo,
+           round(CAST(l_quantity AS DOUBLE) * 960.0 + q.qhat + 1e-9, 6)
+             AS conformal_hi
+         FROM lineitem, q WHERE l_orderkey % 2 = 0
+         ORDER BY l_orderkey, l_linenumber, conformal_lo"""),
+
+    // q367: the guarantee measured — exact covered counts.
+    "q367_conformal_coverage" -> (conformalOracleCtes + """
+         , c AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) >=
+                 CAST(l_quantity AS DOUBLE) * 960.0 - q.qhat
+               AND CAST(l_extendedprice AS DOUBLE) <=
+                 CAST(l_quantity AS DOUBLE) * 960.0 + q.qhat
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM lineitem, q WHERE l_orderkey % 2 = 0
+         )
+         SELECT n_test, n_covered,
+           round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+             + 1e-9, 6) AS coverage
+         FROM c"""),
 
     // q363: BLEU replayed gram-for-gram — integer clipped counts, the
     // ln/exp geometric mean and brevity penalty mirrored op-for-op.

@@ -654,4 +654,59 @@ object Sampling {
       .filter(col(rn) <= col("__cap"))
       .drop(rn, "__wfk", "__cap")
   }
+
+  /** Temperature-based source-mixing allocation (the multilingual /
+    * domain-mixing sampling rule — mBERT/XLM-R exponent smoothing,
+    * UniMax-style budgeting): per-key target counts proportional to
+    * n^α with α ∈ (0, 1] flattening head domains and up-weighting the
+    * tail. Allocations may EXCEED n (epochs > 1 — up-sampling
+    * low-resource domains is the point); compose with
+    * [[waterfillCaps]] when repeats are not allowed.
+    *
+    * Exactness: weights are the integers `round(n^α · 1000)` — at
+    * α = 0.5 the power is IEEE `sqrt` (correctly rounded, engine-
+    * exact); other α go through libm `pow` with the usual last-ulp
+    * caveat at round boundaries. Everything downstream is integer
+    * largest-remainder arithmetic: `base = (B·w) div W`, the
+    * `B − Σbase` leftover goes one-each to the largest
+    * `(B·w mod W, n, key)` — `Σ alloc == budget` EXACTLY and every
+    * comparison is integral. ANSI bound: `B·max(w) < 2⁶³` (hard error
+    * past it, never a silent wrap).
+    *
+    * Returns `(key, n, weight, alloc, epochs)`. Grid-sized global
+    * windows only — the [[waterfillCaps]] discipline (one corpus scan,
+    * then key-grid arithmetic). */
+  def temperatureAllocate(
+      df: DataFrame,
+      keyCol: String,
+      budget: Long,
+      alpha: Double = 0.5
+  ): MayFail[DataFrame] = MayFail {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val grid = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val wexp =
+      if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else pow(nD, lit(alpha))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = grid
+      .withColumn("weight", round(wexp * lit(1000.0)).cast("long"))
+      .withColumn("__W", sum(col("weight")).over(wAll))
+      .withColumn("__bw", lit(budget) * col("weight"))
+      .withColumn("__base", expr("__bw div __W"))
+      .withColumn("__rem", col("__bw") % col("__W"))
+    val wRank = Window.orderBy(col("__rem").desc, col("n").desc, col("key"))
+    g.withColumn("__sb", sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("alloc", col("__base") +
+        when(col("__rk") <= lit(budget) - col("__sb"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("key"), col("n"), col("weight"), col("alloc"),
+        round(col("alloc").cast("double") / col("n").cast("double")
+          + lit(1e-9), 6).as("epochs"))
+  }
 }

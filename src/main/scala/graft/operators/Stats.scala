@@ -2113,4 +2113,61 @@ object Stats {
       round(when(ok, theta - lit(1.96) * se) + lit(1e-9), 6).as("ci_lo"),
       round(when(ok, theta + lit(1.96) * se) + lit(1e-9), 6).as("ci_hi"))
   }
+
+  /** Split-conformal prediction intervals (Vovk et al.; Lei et al.,
+    * JASA 2018): q̂ = the calibration |y − ŷ| value at ascending rank
+    * `⌈(n_cal + 1)(1 − α)⌉` gives `[ŷ − q̂, ŷ + q̂]` with marginal
+    * coverage ≥ 1 − α for exchangeable data, MODEL-FREE — the
+    * distribution-free uncertainty wrapper around any scorer the
+    * library (or an external model) produces. Appends `conformal_lo`
+    * / `conformal_hi` to `test`.
+    *
+    * Rank convention: the house exact-grid percentile — group
+    * residuals by value, cumulative-count window over the sorted grid,
+    * first value whose count reaches the rank (q355's discipline).
+    * Residuals are raw IEEE subtractions, engine-exact. Fails loudly
+    * when α is too small for the calibration size (the rank exceeds
+    * n_cal — a +∞ interval is surfaced, never fabricated) or the
+    * calibration set is empty.
+    *
+    * Scale shape: the grid window runs on calibration-set-sized frames
+    * — split conformal HOLDS OUT a small calibration set by design, so
+    * this is grid arithmetic, not a corpus sort; q̂ collects as one
+    * scalar and rides `test` as a literal (no join at all). */
+  def splitConformal(
+      cal: DataFrame,
+      test: DataFrame,
+      yCol: String,
+      yhatCol: String,
+      alpha: Double = 0.1
+  ): MayFail[DataFrame] = MayFail {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1): $alpha")
+    val resid = abs(col(yCol).cast("double") - col(yhatCol).cast("double"))
+    val grid = cal
+      .filter(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .select(resid.as("__r"))
+      .groupBy("__r").agg(count(lit(1)).as("__t"))
+    val wOrd = Window.orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rank = ceil((col("__n") + 1).cast("double") * lit(1.0 - alpha))
+      .cast("long")
+    val qrow = grid
+      .withColumn("__c", sum(col("__t")).over(wOrd))
+      .withColumn("__n", sum(col("__t")).over(wAll))
+      .filter(col("__c") >= rank && col("__c") - col("__t") < rank)
+      .select(col("__r")).collect()
+    if (qrow.isEmpty)
+      sys.error("splitConformal: calibration rank " +
+        s"ceil((n+1)*${1.0 - alpha}) exceeds the calibration size (or " +
+        "the calibration set is empty) — q-hat is +inf, alpha too " +
+        "small for this split")
+    val qhat = qrow.head.getDouble(0)
+    test
+      .withColumn("conformal_lo",
+        col(yhatCol).cast("double") - lit(qhat))
+      .withColumn("conformal_hi",
+        col(yhatCol).cast("double") + lit(qhat))
+  }
 }

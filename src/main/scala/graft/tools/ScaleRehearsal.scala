@@ -1705,6 +1705,75 @@ object ScaleRehearsal {
       caps.getLong(0)
     })
 
+    // KMV laws at 10x: replicas repeat the SAME texts, so each source's
+    // distinct-shingle set — and therefore its bottom-k sketch — is
+    // bit-identical to the base corpus's; and the (k-1)/u_k estimate
+    // stays within a generous 4-sigma band of the exact distinct count
+    time("kmv-sketch")({
+      val baseD = spark.read.parquet(s"$dir/documents.parquet")
+      def sh(d: DataFrame) = d.select(col("source"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("g"))
+      def sk(d: DataFrame) = graft.operators.Sketch.kmvSketches(
+        sh(d), Seq("source"), "g", k = 128, salt = "rl").get
+      val a = sk(baseD).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val b = sk(docs).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      check("kmv_replication_invariant", a == b,
+        s"KMV sketches must be replication-invariant: ${a.size} vs ${b.size}")
+      val exact = sh(baseD).groupBy("source")
+        .agg(countDistinct(col("g")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val est = graft.operators.Sketch.kmvMergeEstimate(
+          sk(baseD), Seq("source"), k = 128).get.collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      check("kmv_error_bound",
+        exact.forall { case (s, n) =>
+          if (n < 128) est(s) == n.toDouble
+          else math.abs(est(s) - n) / n < 0.36 // 4/sqrt(126)
+        },
+        s"KMV estimate out of band: $est vs $exact")
+      b.size.toLong
+    })
+
+    // k-center replication law at 10x: replicas duplicate vectors under
+    // HIGHER ids, so they never beat their base twin at any argmax
+    // (equal distance, larger id) — the selected (round, id, sel_dist)
+    // sequence must be bit-identical to the base corpus's
+    time("kcenter")({
+      val baseE = spark.read.parquet(s"$dir/embeddings.parquet")
+      def sel(d: DataFrame) = graft.operators.Similarity.kCenterSelect(
+          d, "vec_id", "embedding", 8).get.collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+      val sb = sel(baseE)
+      val sr = sel(emb)
+      check("kcenter_replication_invariant", sb == sr && sb.size == 8,
+        s"k-center selection must ignore replicas: $sb vs $sr")
+      sr.size.toLong
+    })
+
+    // mSPRT extension law at 10x: the replicated stream's first |base|
+    // prefixes ARE the base stream (replica orderkeys sort after), so
+    // the final always-valid p over the longer stream can only be <=
+    // the base final p, per key
+    time("msprt")({
+      val baseL = spark.read.parquet(s"$dir/lineitem.parquet")
+      def lastP(d: DataFrame) = graft.operators.Stats.msprt(d,
+          "l_discount", theta0 = 0.05, tau2 = 0.0004,
+          orderCols = Seq("l_orderkey", "l_linenumber", "l_discount"),
+          keys = Seq("l_returnflag"), scaleDecimals = 2).get
+        .groupBy("l_returnflag").agg(min(col("p_always")).as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val pb = lastP(baseL)
+      val pr = lastP(li)
+      check("msprt_extension_law",
+        pb.forall { case (k, p) => pr(k) <= p },
+        s"longer stream must not raise the always-valid p: $pr vs $pb")
+      pr.size.toLong
+    })
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

@@ -468,4 +468,34 @@ class PlanSpec extends AnyFunSuite {
     assert(wf.contains("BroadcastHashJoin"),
       "caps grid (key-count-sized) must broadcast, not shuffle the corpus")
   }
+
+  test("q357: KMV bottom-k caps the distinct shuffle map-side " +
+      "(WindowGroupLimit), never a global sort") {
+    val plan = planOf("q357_kmv_distinct")
+    assert(plan.contains("WindowGroupLimit"),
+      "bottom-k must push a partial WindowGroupLimit below the shuffle")
+    assert(!plan.contains("GlobalLimit") || !plan.contains("Sort ["),
+      "bottom-k must never plan a global sort of hashes")
+  }
+
+  test("q360: kNN outlier self-join broadcasts one side and caps " +
+      "ranks map-side") {
+    val plan = planOf("q360_knn_outlier")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the contract-named brute self-join should broadcast a side")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-at-k must push a partial WindowGroupLimit")
+  }
+
+  test("q361: mSPRT is one window pass — a single key exchange, no joins") {
+    val plan = planOf("q361_msprt")
+    assert(!plan.contains("Join"), "mSPRT must not join")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    // one hash exchange for the key partition + the gate's range sort,
+    // each printed twice in FormattedMode (q349 precedent)
+    assert(exchanges <= 4,
+      s"mSPRT should exchange once for keys + once for the gate sort: " +
+        s"$exchanges\n$plan")
+  }
 }

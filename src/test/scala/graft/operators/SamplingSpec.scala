@@ -512,4 +512,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(repart == kept.select("id").as[String].collect().toSet)
     assert(Sampling.waterfillSample(df, "dom", 10L, Seq.empty).isFailing)
   }
+
+  // --- temperatureAllocate -----------------------------------------------
+
+  test("temperatureAllocate: sqrt weights, exact budget, tail upsampled") {
+    // counts 100 / 25 / 4 -> weights 10000 / 5000 / 2000
+    val df = (Seq.fill(100)("big") ++ Seq.fill(25)("mid") ++
+      Seq.fill(4)("tiny")).toDF("src")
+    val got = Sampling.temperatureAllocate(df, "src", budget = 100L).get
+      .select("key", "n", "weight", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big")._3 == 10000L && got("mid")._3 == 5000L &&
+      got("tiny")._3 == 2000L)
+    // exact largest-remainder: base = (100*w) div 17000 -> 58/29/11,
+    // sum 98, remainders 14000/7000/13000 -> big, tiny get +1
+    assert(got("big")._4 == 59L && got("mid")._4 == 29L &&
+      got("tiny")._4 == 12L)
+    assert(got.values.map(_._4).sum == 100L)
+    // the tail is up-sampled relative to its share: 12/4 = 3 epochs
+    // vs 59/100 for the head
+    assert(got("tiny")._4 * got("big")._2 > got("big")._4 * got("tiny")._2)
+  }
+
+  test("temperatureAllocate: alpha = 1 is proportional, budget law holds") {
+    val rnd = new scala.util.Random(17L)
+    val df = Seq.tabulate(5000)(_ => s"s${rnd.nextInt(13)}").toDF("src")
+    for (b <- Seq(0L, 1L, 777L, 5000L, 12345L)) {
+      val a = Sampling.temperatureAllocate(df, "src", b, alpha = 1.0).get
+        .agg(org.apache.spark.sql.functions.sum("alloc")).head().getLong(0)
+      assert(a == b, s"sum(alloc)=$a != budget=$b")
+    }
+    assert(Sampling.temperatureAllocate(df, "src", -1L).isFailing)
+    assert(Sampling.temperatureAllocate(df, "src", 1L, alpha = 0.0).isFailing)
+    assert(Sampling.temperatureAllocate(df, "src", 1L, alpha = 1.5).isFailing)
+  }
 }

@@ -927,4 +927,43 @@ class StatsSpec extends AnyFunSuite {
     // theta in scaled units: (10+20+30+10)/(100+100+200+100) = 70/500
     assert(got._1 == 3L && got._2 == Some(0.14))
   }
+
+  // --- splitConformal ------------------------------------------------------
+
+  test("splitConformal picks the finite-sample rank and appends intervals") {
+    // residuals |y - yhat| = 1, 2, 3 on calibration; alpha = 0.5 ->
+    // rank ceil(4 * 0.5) = 2 -> qhat = 2
+    val cal = Seq((10.0, 11.0), (10.0, 12.0), (10.0, 13.0)).toDF("y", "yh")
+    val test = Seq((0.0, 5.0), (0.0, 9.0)).toDF("y", "yh")
+    val got = Stats.splitConformal(cal, test, "y", "yh", alpha = 0.5).get
+      .select("yh", "conformal_lo", "conformal_hi")
+      .as[(Double, Double, Double)].collect().toSeq.sorted
+    assert(got == Seq((5.0, 3.0, 7.0), (9.0, 7.0, 11.0)))
+  }
+
+  test("splitConformal covers exchangeable data at the nominal rate") {
+    val rnd = new scala.util.Random(23L)
+    val rows = Seq.tabulate(4000)(i =>
+      (i, 50.0 + rnd.nextGaussian() * 5, 50.0))
+    val df = rows.toDF("id", "y", "yh")
+    val cal = df.filter(col("id") % 2 === 1)
+    val test = df.filter(col("id") % 2 === 0)
+    val iv = Stats.splitConformal(cal, test, "y", "yh", alpha = 0.1).get
+    val cov = iv.agg(
+      avg(when(col("y") >= col("conformal_lo") &&
+        col("y") <= col("conformal_hi"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(cov >= 0.87 && cov <= 0.95, s"coverage off nominal: $cov")
+  }
+
+  test("splitConformal fails loudly on undefined q-hat") {
+    val cal = Seq((1.0, 1.5)).toDF("y", "yh")
+    val test = Seq((1.0, 1.5)).toDF("y", "yh")
+    // rank ceil(2 * 0.99) = 2 > n_cal = 1
+    assert(Stats.splitConformal(cal, test, "y", "yh", alpha = 0.01)
+      .isFailing)
+    assert(Stats.splitConformal(cal.limit(0), test, "y", "yh").isFailing)
+    assert(Stats.splitConformal(cal, test, "y", "yh", alpha = 0.0)
+      .isFailing)
+  }
 }
