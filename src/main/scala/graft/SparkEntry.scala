@@ -2945,6 +2945,79 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q372_stream_psi" -> ((s, dir) => {
+      // STREAMING PSI drift monitor in 4 real micro-batches: per-day
+      // windowed bin counts over even event_ids (exact integers ⇒
+      // stream == batch bit-parity), finished per window against the
+      // frozen odd-id baseline histogram.
+      implicit val sp: SparkSession = s
+      val ev = events(s, dir)
+      val edges = Seq(15.0, 35.0, 70.0)
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src372"
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_spsi_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        h <- graft.streaming.Stream.windowedBinCounts(src, "ts",
+          "1 day", "1 hour", "value", edges)
+        res <- graft.streaming.Stream.drainToMemory(h, name, "complete")
+      } yield res).get
+      val ref = graft.operators.Stats.binCounts(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value", edges, "n_ref").get
+      graft.operators.Stats.psiFromCounts(
+          ref,
+          drained.select(col("window.start").as("ws"), col("bin"),
+            col("n")),
+          nBins = edges.size + 1, keys = Seq("ws"),
+          curCountCol = "n").get
+        .orderBy("ws", "bin")
+    }),
+
+    "q369_cmh" -> ((s, dir) => {
+      // Confounder-adjusted association: discount>=5% vs quantity>=25
+      // stratified by returnflag — K 2x2 tables, one CMH chi2 + the
+      // Mantel-Haenszel common odds ratio.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__x", col("l_discount").cast("double") >= 0.05)
+        .withColumn("__y", col("l_quantity").cast("double") >= 25.0)
+      graft.operators.Stats.cmhTest(li, "__x", "__y", "l_returnflag").get
+    }),
+
+    "q370_psi" -> ((s, dir) => {
+      // Population stability of prices, odd-vs-even orderkeys over
+      // pinned edges — per-bin contributions plus the PSI total.
+      val li = tbl(s, dir, "lineitem")
+      graft.operators.Stats.psi(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        "l_extendedprice", Seq(1000.0, 5000.0, 10000.0, 50000.0)).get
+        .orderBy("bin")
+    }),
+
+    "q371_calibration" -> ((s, dir) => {
+      // Calibration curve + ECE of a pseudo-score (10x discount in
+      // [0,1]) against quantity>=25 — scaled-integer confidence sums.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__score", col("l_discount").cast("double") * lit(10.0))
+        .withColumn("__label", col("l_quantity").cast("double") >= 25.0)
+      graft.operators.Stats.calibrationReport(li, "__score", "__label",
+        bins = 10, scoreScaleDecimals = 6).get.orderBy("bin")
+    }),
+
+    "q368_poisson_bootstrap" -> ((s, dir) => {
+      // The 100 TB bootstrap: 40 deterministic Poisson(1) reweightings
+      // in ONE pass — mean-discount CI; every draw, scaled sum and
+      // replicate mean replays engine-identically.
+      graft.operators.Stats.poissonBootstrap(tbl(s, dir, "lineitem"),
+        "l_discount", idCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        nBoot = 40, alpha = 0.1, scaleDecimals = 2, salt = "r11").get
+    }),
+
     "q365_temperature_mix" -> ((s, dir) => {
       // sqrt-temperature domain mixing: alloc_i ∝ sqrt(n_i), integer
       // largest-remainder, sum(alloc) == 300 exactly; epochs > 1 =
@@ -5694,6 +5767,70 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** q368's oracle, generated: the Poisson-bootstrap replay — the salted
+    * 52-bit dyadic draw against the SAME [[graft.operators.Stats.poissonCdf1]]
+    * ladder literals, exact scaled sums per replicate, grid-rank CI. */
+  private def poissonBootstrapOracleSql(
+      nBoot: Int, alpha: Double, salt: String): String = {
+    val ladder = graft.operators.Stats.poissonCdf1.zipWithIndex
+      .map { case (c, k) =>
+        s"WHEN u < ${java.lang.Double.toString(c)} THEN ${k}" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+    val pLo = java.lang.Double.toString(alpha / 2)
+    val pHi = java.lang.Double.toString(1.0 - alpha / 2)
+    s"""WITH base AS (
+         SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT) AS c
+         FROM lineitem WHERE l_discount IS NOT NULL
+       ), drawn AS (
+         SELECT bb.b AS b, base.c,
+           ((CAST(('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
+               || CAST(l_partkey AS VARCHAR) || '§$salt§'
+               || CAST(bb.b AS VARCHAR)), 1, 15)) AS BIGINT)
+             & 4503599627370495) + 0.5) / 4503599627370496.0 AS u
+         FROM base, (SELECT unnest(range(0, $nBoot)) AS b) bb
+       ), reps AS (
+         SELECT b,
+           CAST(sum(($ladder) * c) AS BIGINT) AS sy,
+           CAST(sum($ladder) AS BIGINT) AS sw
+         FROM drawn GROUP BY b
+       ), ests AS (
+         SELECT (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)) / 100.0 AS est
+         FROM reps WHERE sw > 0
+       ), grid AS (
+         SELECT est, CAST(count(*) AS BIGINT) AS t FROM ests GROUP BY 1
+       ), cum AS (
+         SELECT est, t,
+           sum(t) OVER (ORDER BY est
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+           sum(t) OVER () AS nb
+         FROM grid
+       ), lo AS (
+         SELECT est AS ci_lo, nb FROM cum
+         WHERE cc >= greatest(1, CAST(ceil($pLo * CAST(nb AS DOUBLE))
+             AS BIGINT))
+           AND cc - t < greatest(1, CAST(ceil($pLo * CAST(nb AS DOUBLE))
+             AS BIGINT))
+       ), hi AS (
+         SELECT est AS ci_hi FROM cum
+         WHERE cc >= greatest(1, CAST(ceil($pHi * CAST(nb AS DOUBLE))
+             AS BIGINT))
+           AND cc - t < greatest(1, CAST(ceil($pHi * CAST(nb AS DOUBLE))
+             AS BIGINT))
+       ), st AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0
+             AS theta
+         FROM base
+       )
+       SELECT st.n, round(st.theta + 1e-9, 6) AS theta,
+         CAST(lo.nb AS BIGINT) AS n_boot,
+         round(lo.ci_lo + 1e-9, 6) AS ci_lo,
+         round(hi.ci_hi + 1e-9, 6) AS ci_hi
+       FROM st, lo, hi"""
+  }
 
   /** q366/q367 oracle CTEs: calibration residual grid over odd
     * orderkeys, cumulative rank pick at ceil((n+1)·0.9) — q355's
@@ -9937,6 +10074,195 @@ object SparkEntry {
     // q359: the greedy selection replayed with unrolled rounds — see
     // kCenterOracleSql.
     "q359_kcenter" -> kCenterOracleSql(k = 8, dim = 64),
+
+    // q368: the one-pass bootstrap replayed draw-for-draw.
+    "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
+      nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q372: streaming PSI replay — exact integer bin counts per day
+    // bucket (stream == batch), the q370 arithmetic PER WINDOW.
+    "q372_stream_psi" ->
+      """WITH binned AS (
+           SELECT event_id, ts,
+             (CASE WHEN CAST(value AS DOUBLE) >= 15.0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(value AS DOUBLE) >= 35.0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(value AS DOUBLE) >= 70.0 THEN 1 ELSE 0 END)
+               AS bin
+           FROM events WHERE value IS NOT NULL
+         ), cur AS (
+           SELECT time_bucket(INTERVAL '1 day', ts) AS ws, bin,
+             CAST(count(*) AS BIGINT) AS n_cur
+           FROM binned WHERE event_id % 2 = 0 AND ts IS NOT NULL
+           GROUP BY 1, 2
+         ), ref AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+           FROM binned WHERE event_id % 2 = 1 GROUP BY 1
+         ), wgrid AS (SELECT DISTINCT ws FROM cur
+         ), bins AS (
+           SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS bin
+         ), j AS (
+           SELECT w.ws, b.bin, coalesce(r.n_ref, 0) AS n_ref,
+             coalesce(c.n_cur, 0) AS n_cur
+           FROM wgrid w CROSS JOIN bins b
+           LEFT JOIN ref r ON r.bin = b.bin
+           LEFT JOIN cur c ON c.ws = w.ws AND c.bin = b.bin
+         ), t AS (
+           SELECT ws, bin, n_ref, n_cur,
+             CAST(n_ref AS DOUBLE) /
+               CAST(CAST(sum(n_ref) OVER (PARTITION BY ws) AS BIGINT)
+                 AS DOUBLE) AS pr,
+             CAST(n_cur AS DOUBLE) /
+               CAST(CAST(sum(n_cur) OVER (PARTITION BY ws) AS BIGINT)
+                 AS DOUBLE) AS pc
+           FROM j
+         ), m AS (
+           SELECT ws, bin, n_ref, n_cur, pr, pc,
+             CASE WHEN n_ref > 0 AND n_cur > 0
+               THEN (pc - pr) * ln(pc / pr) END AS contrib_
+           FROM t
+         )
+         SELECT ws, bin, n_ref, n_cur,
+           round(pr + 1e-9, 6) AS p_ref, round(pc + 1e-9, 6) AS p_cur,
+           round(contrib_ + 1e-9, 6) AS contrib,
+           round(CASE WHEN count(contrib_) OVER (PARTITION BY ws) =
+               count(*) OVER (PARTITION BY ws)
+             THEN sum(contrib_) OVER (PARTITION BY ws) END + 1e-9, 6)
+             AS psi_total
+         FROM m ORDER BY ws, bin""",
+
+    // q369: exact 2x2xK cells; quadratic moments multiply in double
+    // from the first factor on both sides (the ANSI convention).
+    "q369_cmh" ->
+      """WITH marked AS (
+           SELECT l_returnflag AS s,
+             CAST(l_discount AS DOUBLE) >= 0.05 AS x,
+             CAST(l_quantity AS DOUBLE) >= 25.0 AS y
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_returnflag IS NOT NULL
+         ), cells AS (
+           SELECT s,
+             CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM marked GROUP BY 1
+         ), f AS (
+           SELECT *, a + b + c + d AS N FROM cells
+           WHERE a + b + c + d >= 2
+         ), terms AS (
+           SELECT N, CAST(a AS DOUBLE) AS ad,
+             CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) /
+               CAST(N AS DOUBLE) AS e,
+             ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)) *
+               CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) /
+               ((CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) *
+                 (CAST(N AS DOUBLE) - 1.0)) AS v,
+             (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) / CAST(N AS DOUBLE)
+               AS orn,
+             (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(N AS DOUBLE)
+               AS ord_
+           FROM f
+         )
+         SELECT CAST(count(*) AS BIGINT) AS k_strata,
+           CAST(sum(N) AS BIGINT) AS n,
+           round(CASE WHEN sum(v) > 0 THEN
+             ((sum(ad) - sum(e)) * (sum(ad) - sum(e))) / sum(v)
+             END + 1e-9, 6) AS cmh_chi2,
+           round(CASE WHEN sum(ord_) > 0 THEN sum(orn) / sum(ord_)
+             END + 1e-9, 6) AS or_mh
+         FROM terms""",
+
+    // q370: pinned-edge bin replay; empty-on-either-side bins surface
+    // NULL contribution AND total on both sides.
+    "q370_psi" ->
+      """WITH rbin AS (
+           SELECT (CASE WHEN CAST(l_extendedprice AS DOUBLE) >= 1000.0
+               THEN 1 ELSE 0 END
+             + CASE WHEN CAST(l_extendedprice AS DOUBLE) >= 5000.0
+               THEN 1 ELSE 0 END
+             + CASE WHEN CAST(l_extendedprice AS DOUBLE) >= 10000.0
+               THEN 1 ELSE 0 END
+             + CASE WHEN CAST(l_extendedprice AS DOUBLE) >= 50000.0
+               THEN 1 ELSE 0 END) AS bin,
+             l_orderkey % 2 = 1 AS isref
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+         ), rc AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rbin
+           WHERE isref GROUP BY 1
+         ), cc AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM rbin
+           WHERE NOT isref GROUP BY 1
+         ), bins AS (
+           SELECT CAST(unnest(range(0, 5)) AS INTEGER) AS bin
+         ), j AS (
+           SELECT bins.bin, coalesce(rc.n_ref, 0) AS n_ref,
+             coalesce(cc.n_cur, 0) AS n_cur
+           FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+         ), t AS (
+           SELECT bin, n_ref, n_cur,
+             CAST(n_ref AS DOUBLE) /
+               CAST(CAST(sum(n_ref) OVER () AS BIGINT) AS DOUBLE) AS pr,
+             CAST(n_cur AS DOUBLE) /
+               CAST(CAST(sum(n_cur) OVER () AS BIGINT) AS DOUBLE) AS pc
+           FROM j
+         ), m AS (
+           SELECT bin, n_ref, n_cur, pr, pc,
+             CASE WHEN n_ref > 0 AND n_cur > 0
+               THEN (pc - pr) * ln(pc / pr) END AS contrib_
+           FROM t
+         )
+         SELECT bin, n_ref, n_cur,
+           round(pr + 1e-9, 6) AS p_ref, round(pc + 1e-9, 6) AS p_cur,
+           round(contrib_ + 1e-9, 6) AS contrib,
+           round(CASE WHEN count(contrib_) OVER () = count(*) OVER ()
+             THEN sum(contrib_) OVER () END + 1e-9, 6) AS psi_total
+         FROM m ORDER BY bin""",
+
+    // q371: exact bin counts + scaled-integer confidence sums; ECE is
+    // the only cross-bin float sum.
+    "q371_calibration" ->
+      """WITH scored AS (
+           SELECT CAST(l_discount AS DOUBLE) * 10.0 AS s,
+             CAST(l_quantity AS DOUBLE) >= 25.0 AS yb
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+         ), b AS (
+           SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
+             CAST(round(s * 1000000.0) AS BIGINT) AS c,
+             CASE WHEN yb THEN 1 ELSE 0 END AS y
+           FROM scored WHERE s >= 0.0 AND s <= 1.0
+         ), g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(c) AS BIGINT) AS sc2
+           FROM b GROUP BY 1
+         ), t AS (
+           SELECT bin, n, n_pos, sc2,
+             CAST(sum(n) OVER () AS BIGINT) AS tn
+           FROM g
+         ), k AS (
+           SELECT bin, n, n_pos,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc_,
+             (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+               AS conf_,
+             abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+               (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0)
+               AS gap_,
+             (CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)) *
+               abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+                 (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0)
+               AS w_
+           FROM t
+         )
+         SELECT bin, n, n_pos,
+           round(acc_ + 1e-9, 6) AS acc, round(conf_ + 1e-9, 6) AS conf,
+           round(gap_ + 1e-9, 6) AS gap,
+           round(sum(w_) OVER () + 1e-9, 6) AS ece_total
+         FROM k ORDER BY bin""",
 
     // q365: integer largest-remainder replay; sqrt is IEEE-exact so the
     // weights (and therefore everything) are engine-identical.

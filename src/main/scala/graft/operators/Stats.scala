@@ -2170,4 +2170,303 @@ object Stats {
       .withColumn("conformal_hi",
         col(yhatCol).cast("double") + lit(qhat))
   }
+
+  /** The Poisson(1) CDF ladder for the bootstrap draw, cumulative to
+    * k = 8 (P(k > 8) < 1.2e-6; the tail clamps to 9). Computed ONCE
+    * here and baked into any replaying SQL via Double.toString. */
+  private[graft] val poissonCdf1: Seq[Double] = {
+    val p0 = math.exp(-1.0)
+    val pmf = Iterator.iterate((p0, 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(9).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean (Hanley &
+    * MacGibbon 2006; Chamandy et al., Google 2012): replicate `b`
+    * reweights every row by a Poisson(1) count — at corpus scale
+    * indistinguishable from the multinomial bootstrap, and computed in
+    * ONE distributed pass with `nBoot` counters per task instead of
+    * `nBoot` resampled datasets (THE bootstrap that works at 100 TB).
+    *
+    * Determinism: the draw is the inverse-CDF of the salted 52-bit
+    * dyadic of (idCols..., replicate) — the q272/DSIR idiom — against
+    * the shared [[poissonCdf1]] ladder, so every weight, every exact
+    * scaled sum (the ×10^s contract) and every replicate mean replays
+    * engine-identically. Rows with equal idCols share draws — idCols
+    * must identify rows for independent reweighting (the caller's
+    * contract, same as [[graft.operators.Sampling]] hash orders).
+    *
+    * Returns ONE row `(n, theta, n_boot, ci_lo, ci_hi)`: `theta` the
+    * full-sample mean, the CI the percentile interval of the replicate
+    * means at the house exact-grid rank convention (`max(⌈p·B⌉, 1)`).
+    * Replicates with zero total weight (vanishing probability beyond
+    * toy inputs) drop and `n_boot` reports the survivors. ANSI bound:
+    * 9·Σ|c| < 2⁶³ for the scaled values. */
+  def poissonBootstrap(
+      df: DataFrame,
+      valueCol: String,
+      idCols: Seq[String],
+      nBoot: Int = 40,
+      alpha: Double = 0.1,
+      scaleDecimals: Int = 0,
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(idCols.nonEmpty, "poissonBootstrap needs idCols — the hash " +
+      "of the row identity IS the deterministic draw")
+    require(nBoot >= 4 && nBoot <= 1000,
+      s"nBoot must be in [4, 1000]: $nBoot")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1): $alpha")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((idCols.map(col) :+
+        round(col(valueCol).cast("double") * lit(sc)).cast("long")
+          .as("__c")): _*)
+    val withB = base.withColumn("__b",
+      explode(array((0 until nBoot).map(i => lit(i)): _*)))
+    val u = (graft.functions.TextFunctions.portableHash60(
+        concat(idCols.map(c => col(c).cast("string")) ++
+          Seq(lit("§" + salt + "§"), col("__b").cast("string")): _*))
+      .bitwiseAND(lit((1L << 52) - 1))
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
+    val w = poissonCdf1.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
+        case (acc, (cdf, k)) => acc.when(u < lit(cdf), lit(k.toLong))
+      }.otherwise(lit(9L))
+    val reps = withB
+      .groupBy(col("__b"))
+      .agg(sum(w * col("__c")).as("__sy"), sum(w).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(((col("__sy").cast("double") / col("__sw").cast("double"))
+        / lit(sc)).as("__est"))
+    // grid percentile picks over the B (tiny) replicate means
+    val grid = reps.groupBy(col("__est")).agg(count(lit(1)).as("__t"))
+    val wOrd = Window.orderBy(col("__est"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("__cc", sum(col("__t")).over(wOrd))
+      .withColumn("__nb", sum(col("__t")).over(wAll))
+    def pick(p: Double, out: String) = {
+      val r = greatest(lit(1L),
+        ceil(lit(p) * col("__nb").cast("double")).cast("long"))
+      cum.filter(col("__cc") >= r && col("__cc") - col("__t") < r)
+        .select(col("__est").as(out), col("__nb"))
+    }
+    val stats = base.agg(count(lit(1)).as("n"),
+      ((sum(col("__c")).cast("double") / count(lit(1)).cast("double"))
+        / lit(sc)).as("__theta"))
+    stats
+      .join(pick(alpha / 2, "__lo").select(col("__lo"), col("__nb")),
+        lit(true), "left")
+      .join(pick(1.0 - alpha / 2, "__hi").drop("__nb"), lit(true), "left")
+      .select(col("n"),
+        round(col("__theta") + lit(1e-9), 6).as("theta"),
+        coalesce(col("__nb"), lit(0L)).as("n_boot"),
+        round(col("__lo") + lit(1e-9), 6).as("ci_lo"),
+        round(col("__hi") + lit(1e-9), 6).as("ci_hi"))
+  }
+
+  /** Cochran–Mantel–Haenszel test (1959) of exposure×outcome
+    * association ACROSS strata — the confounder-adjusted member of the
+    * contingency family: K 2×2 tables share one alternative, so
+    * Simpson-style reversals that fool a pooled χ² are controlled.
+    * `exposureCol`/`outcomeCol` must be boolean; null rows drop;
+    * strata with N ≤ 1 carry no variance and drop (documented).
+    *
+    * ONE row `(k_strata, n, cmh_chi2, or_mh)`: the CMH statistic
+    * (df = 1, no continuity correction) and the Mantel–Haenszel common
+    * odds ratio `Σ(a·d/N) / Σ(b·c/N)` (NULL when the denominator is
+    * 0). Per-stratum cells are exact integers; the quadratic+ moments
+    * multiply in DOUBLE from the first factor (the ANSI-overflow
+    * convention — per-stratum N⁴ would wrap long past ~55k rows).
+    * Plan: one partial-agg shuffle to (stratum, cells), then K-row
+    * arithmetic. */
+  def cmhTest(
+      df: DataFrame,
+      exposureCol: String,
+      outcomeCol: String,
+      strataCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val x = col(exposureCol)
+    val y = col(outcomeCol)
+    val cells = df
+      .filter(x.isNotNull && y.isNotNull && col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__s"))
+      .agg(
+        sum(when(x && y, 1L).otherwise(0L)).as("__a"),
+        sum(when(x && !y, 1L).otherwise(0L)).as("__b"),
+        sum(when(!x && y, 1L).otherwise(0L)).as("__c"),
+        sum(when(!x && !y, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__N", col("__a") + col("__b") + col("__c") + col("__d"))
+      .filter(col("__N") >= 2)
+    val nD = col("__N").cast("double")
+    val e = (col("__a") + col("__b")).cast("double") *
+      (col("__a") + col("__c")).cast("double") / nD
+    val v = (((col("__a") + col("__b")).cast("double") *
+      (col("__c") + col("__d")).cast("double")) *
+      (col("__a") + col("__c")).cast("double") *
+      (col("__b") + col("__d")).cast("double")) /
+      ((nD * nD) * (nD - lit(1.0)))
+    val orNum = (col("__a").cast("double") * col("__d").cast("double")) / nD
+    val orDen = (col("__b").cast("double") * col("__c").cast("double")) / nD
+    cells.agg(
+      count(lit(1)).as("k_strata"),
+      sum(col("__N")).as("n"),
+      sum(col("__a").cast("double")).as("__sa"),
+      sum(e).as("__se"),
+      sum(v).as("__sv"),
+      sum(orNum).as("__son"),
+      sum(orDen).as("__sod"))
+      .select(col("k_strata"), col("n"),
+        round(when(col("__sv") > 0,
+          ((col("__sa") - col("__se")) * (col("__sa") - col("__se"))) /
+            col("__sv")) + lit(1e-9), 6).as("cmh_chi2"),
+        round(when(col("__sod") > 0, col("__son") / col("__sod"))
+          + lit(1e-9), 6).as("or_mh"))
+  }
+
+  /** Population stability index between a reference and a current
+    * corpus over CALLER-PINNED bin edges (the CCNet pinned-cutoff
+    * discipline — edges must come from a frozen baseline, never
+    * refitted per run): `PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)`,
+    * the standard drift alarm (< 0.1 stable / 0.1–0.25 moderate /
+    * > 0.25 shifted). Returns one row per bin `(bin, n_ref, n_cur,
+    * p_ref, p_cur, contrib, psi_total)` — a bin empty on either side
+    * yields NULL contribution AND NULL total (surfaced, not fudged
+    * with an epsilon; repin the edges). Bin id = #edges ≤ v; counts
+    * are exact; one aggregation per side, grid-sized joins after. */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      edges: Seq[Double]
+  ): MayFail[DataFrame] = MayFail {
+    require(edges.nonEmpty, "psi needs pinned bin edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"edges must be sorted and distinct: $edges")
+    psiFromCounts(
+      binCounts(ref, valueCol, edges, "n_ref").get,
+      binCounts(cur, valueCol, edges, "n_cur").get,
+      nBins = edges.size + 1, keys = Nil).get
+  }
+
+  /** The pinned-edge bin id: #edges ≤ v (0..#edges). */
+  private[graft] def binExpr(valueCol: String, edges: Seq[Double]) =
+    edges.map(e => when(col(valueCol).cast("double") >= lit(e), 1)
+      .otherwise(0)).reduce(_ + _)
+
+  /** Exact per-bin counts over pinned edges — the build half of [[psi]],
+    * public so streams ([[graft.streaming.Stream.windowedBinCounts]])
+    * and stored baselines share the identical binning. */
+  def binCounts(
+      df: DataFrame,
+      valueCol: String,
+      edges: Seq[Double],
+      outCol: String = "n"
+  ): MayFail[DataFrame] = MayFail {
+    require(edges.nonEmpty, "binCounts needs pinned bin edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"edges must be sorted and distinct: $edges")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(binExpr(valueCol, edges).as("bin"))
+      .agg(count(lit(1)).as(outCol))
+  }
+
+  /** The finish half of [[psi]], over PRE-AGGREGATED counts: `ref` is
+    * `(bin, n_ref)` (the frozen baseline histogram), `cur` is
+    * `(keys..., bin, n_cur)` — e.g. one histogram per streaming window
+    * — and every `keys` group gets its own per-bin contributions and
+    * `psi_total` against the shared reference. Missing bins count 0;
+    * the NULL-on-empty contract is per group. Grid-sized frames only. */
+  def psiFromCounts(
+      ref: DataFrame,
+      cur: DataFrame,
+      nBins: Int,
+      keys: Seq[String],
+      curCountCol: String = "n_cur"
+  ): MayFail[DataFrame] = MayFail {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val bins = (0 until nBins).toDF("bin")
+    val grid =
+      if (keys.isEmpty) bins
+      else cur.select(keys.map(col): _*).distinct().crossJoin(bins)
+    val joined = grid
+      .join(ref.select(col("bin"), col("n_ref")), Seq("bin"), "left")
+      .join(cur.withColumnRenamed(curCountCol, "n_cur"),
+        keys :+ "bin", "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wAll = Window.partitionBy(keys.map(col): _*).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pr = col("n_ref").cast("double") / sum(col("n_ref")).over(wAll)
+      .cast("double")
+    val pc = col("n_cur").cast("double") / sum(col("n_cur")).over(wAll)
+      .cast("double")
+    val contrib = when(col("n_ref") > 0 && col("n_cur") > 0,
+      (pc - pr) * log(pc / pr))
+    joined
+      .withColumn("p_ref", round(pr + lit(1e-9), 6))
+      .withColumn("p_cur", round(pc + lit(1e-9), 6))
+      .withColumn("__contrib", contrib)
+      .withColumn("contrib", round(contrib + lit(1e-9), 6))
+      .withColumn("psi_total",
+        round(when(count(col("__contrib")).over(wAll) ===
+            count(lit(1)).over(wAll),
+          sum(col("__contrib")).over(wAll)) + lit(1e-9), 6))
+      .select(keys.map(col) ++ Seq(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("contrib"), col("psi_total")): _*)
+  }
+
+  /** Calibration report + expected calibration error (Naeini et al.
+    * AAAI 2015; Guo et al. ICML 2017): equal-width bins over a [0, 1]
+    * score, per-bin accuracy vs mean confidence, `ECE =
+    * Σ (n_b/N)·|acc_b − conf_b|`. Returns one row per non-empty bin
+    * `(bin, n, n_pos, acc, conf, gap, ece_total)`. Confidence sums use
+    * the ×10^s exact-integer contract (`scoreScaleDecimals`); rows with
+    * score outside [0, 1] or null label drop by documented contract. */
+  def calibrationReport(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      scoreScaleDecimals: Int = 6
+  ): MayFail[DataFrame] = MayFail {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
+    require(scoreScaleDecimals >= 0 && scoreScaleDecimals <= 9,
+      s"scoreScaleDecimals must be in [0, 9]: $scoreScaleDecimals")
+    val sc = math.pow(10, scoreScaleDecimals)
+    val s = col(scoreCol).cast("double")
+    val base = df
+      .filter(s.isNotNull && col(labelCol).isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(
+        least(floor(s * lit(bins.toDouble)).cast("long"),
+          lit((bins - 1).toLong)).as("bin"),
+        round(s * lit(sc)).cast("long").as("__c"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+    val g = base.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"),
+      sum(col("__c")).as("__sc"))
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    val conf = (col("__sc").cast("double") / col("n").cast("double")) /
+      lit(sc)
+    val gap = abs(acc - conf)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("__N", sum(col("n")).over(wAll))
+      .withColumn("__w",
+        (col("n").cast("double") / col("__N").cast("double")) * gap)
+      .withColumn("acc", round(acc + lit(1e-9), 6))
+      .withColumn("conf", round(conf + lit(1e-9), 6))
+      .withColumn("gap", round(gap + lit(1e-9), 6))
+      .withColumn("ece_total",
+        round(sum(col("__w")).over(wAll) + lit(1e-9), 6))
+      .select("bin", "n", "n_pos", "acc", "conf", "gap", "ece_total")
+  }
 }

@@ -635,6 +635,30 @@ object Stream {
     * stream length — and bit-parity with the batch anti-join by
     * construction (gated: q353). Emits `(idCol, chunk_idx, start,
     * chunk_len, chunk_md5)` for novel chunks only. */
+  /** STREAMING drift histogram: exact per-(event window, pinned bin)
+    * counts — the build half of a streaming PSI monitor. State is
+    * bounded by windows × bins regardless of event volume, and the
+    * integer counts make the drained histogram BIT-equal to batch
+    * binning (the q334 discipline); finish against a frozen baseline
+    * with [[graft.operators.Stats.psiFromCounts]] keyed by window. */
+  def windowedBinCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      valueCol: String,
+      edges: Seq[Double]): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedBinCounts needs a streaming frame")
+    require(edges.nonEmpty && edges == edges.sorted &&
+      edges.distinct == edges,
+      s"edges must be non-empty, sorted, distinct: $edges")
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration),
+        graft.operators.Stats.binExpr(valueCol, edges).as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def cdcNovelChunks(
       stream: DataFrame,
       reference: DataFrame,

@@ -966,4 +966,116 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.splitConformal(cal, test, "y", "yh", alpha = 0.0)
       .isFailing)
   }
+
+  // --- poissonBootstrap ----------------------------------------------------
+
+  test("poissonBootstrap brackets the mean, deterministically") {
+    val rnd = new scala.util.Random(31L)
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, 10.0 + rnd.nextGaussian())).toDF("id", "v")
+      .withColumn("v", round(col("v") * 100) / 100)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrap(d, "v", Seq("id"), nBoot = 60,
+        alpha = 0.1, scaleDecimals = 2, salt = "s").get
+        .as[(Long, Double, Long, Double, Double)].head()
+    val r = run(df)
+    assert(r._1 == 2000L && r._3 == 60L)
+    assert(r._4 <= r._2 && r._2 <= r._5, s"CI must bracket theta: $r")
+    assert(r._4 > 9.8 && r._5 < 10.2, s"CI implausibly wide: $r")
+    // bit-deterministic across reruns and partitionings
+    assert(run(df.repartition(17)) == r)
+    // a different salt is a fresh draw (bounds move, theta does not)
+    val r2 = Stats.poissonBootstrap(df, "v", Seq("id"), nBoot = 60,
+      alpha = 0.1, scaleDecimals = 2, salt = "t").get
+      .as[(Long, Double, Long, Double, Double)].head()
+    assert(r2._2 == r._2 && (r2._4 != r._4 || r2._5 != r._5))
+    assert(Stats.poissonBootstrap(df, "v", Nil).isFailing)
+    assert(Stats.poissonBootstrap(df, "v", Seq("id"), nBoot = 2).isFailing)
+  }
+
+  // --- cmhTest ---------------------------------------------------------------
+
+  test("cmhTest matches the hand-computed statistic on 2x2x2 tables") {
+    def rows(s: String, x: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((s, x, y))
+    val df = (rows("s1", true, true, 10) ++ rows("s1", true, false, 5) ++
+      rows("s1", false, true, 3) ++ rows("s1", false, false, 12) ++
+      rows("s2", true, true, 4) ++ rows("s2", true, false, 6) ++
+      rows("s2", false, true, 8) ++ rows("s2", false, false, 2))
+      .toDF("s", "x", "y")
+    val got = Stats.cmhTest(df, "x", "y", "s").get
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    // reference with the operator's own op order
+    def term(a: Double, b: Double, c: Double, d: Double) = {
+      val n = a + b + c + d
+      (a, (a + b) * (a + c) / n,
+        (((a + b) * (c + d)) * (a + c) * (b + d)) / ((n * n) * (n - 1.0)),
+        a * d / n, b * c / n)
+    }
+    val ts = Seq(term(10, 5, 3, 12), term(4, 6, 8, 2))
+    val (sa, se, sv, son, sod) = (ts.map(_._1).sum, ts.map(_._2).sum,
+      ts.map(_._3).sum, ts.map(_._4).sum, ts.map(_._5).sum)
+    def r6(x: Double) = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 2L && got._2 == 50L)
+    assert(got._3 == Some(r6(((sa - se) * (sa - se)) / sv)))
+    assert(got._4 == Some(r6(son / sod)))
+  }
+
+  // --- psi -------------------------------------------------------------------
+
+  test("psi is 0 for identical distributions and NULL on empty bins") {
+    val a = (Seq.fill(50)(1.0) ++ Seq.fill(50)(10.0)).toDF("v")
+    val same = Stats.psi(a, a, "v", Seq(5.0)).get
+      .select("psi_total").as[Option[Double]].collect().toSeq
+    assert(same.forall(_ == Some(0.0)))
+    val b = Seq.fill(100)(1.0).toDF("v") // bin 1 empty on cur side
+    val mixed = Stats.psi(a, b, "v", Seq(5.0)).get
+      .orderBy("bin")
+      .select("n_cur", "contrib", "psi_total")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(mixed.map(_._1) == Seq(100L, 0L))
+    assert(mixed.forall(_._3.isEmpty) && mixed(1)._2.isEmpty)
+    assert(Stats.psi(a, b, "v", Nil).isFailing)
+    assert(Stats.psi(a, b, "v", Seq(2.0, 1.0)).isFailing)
+  }
+
+  test("psi detects a planted shift with the textbook magnitude") {
+    // ref 80/20, cur 60/40 across one edge:
+    // psi = (0.6-0.8)ln(0.75) + (0.4-0.2)ln(2) = 0.196166
+    val ref = (Seq.fill(80)(1.0) ++ Seq.fill(20)(10.0)).toDF("v")
+    val cur = (Seq.fill(60)(1.0) ++ Seq.fill(40)(10.0)).toDF("v")
+    val got = Stats.psi(ref, cur, "v", Seq(5.0)).get
+      .select("psi_total").as[Option[Double]].head()
+    val want = (0.6 - 0.8) * math.log(0.6 / 0.8) +
+      (0.4 - 0.2) * math.log(0.4 / 0.2)
+    assert(got == Some(BigDecimal(want + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  // --- calibrationReport ------------------------------------------------------
+
+  test("calibrationReport: hand bins, perfect calibration has tiny ECE") {
+    // scores 0.25 (40% pos) and 0.75 (80% pos): gaps 0.15 and 0.05
+    val df = (Seq.fill(4)((0.25, true)) ++ Seq.fill(6)((0.25, false)) ++
+      Seq.fill(8)((0.75, true)) ++ Seq.fill(2)((0.75, false)))
+      .toDF("s", "y")
+    val got = Stats.calibrationReport(df, "s", "y", bins = 4).get
+      .orderBy("bin")
+      .select("bin", "n", "acc", "conf", "gap", "ece_total")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L))
+    assert(got.map(_._3) == Seq(0.4, 0.8))
+    assert(got.map(_._4) == Seq(0.25, 0.75))
+    assert(got.map(_._5) == Seq(0.15, 0.05))
+    // ece = 0.5*0.15 + 0.5*0.05 = 0.1
+    assert(got.forall(_._6 == 0.1))
+    // perfectly calibrated scores
+    val cal = (Seq.fill(7)((0.7, true)) ++ Seq.fill(3)((0.7, false)))
+      .toDF("s", "y")
+    val ece = Stats.calibrationReport(cal, "s", "y", bins = 10).get
+      .select("ece_total").as[Double].head()
+    assert(ece == 0.0)
+    assert(Stats.calibrationReport(df, "s", "y", bins = 1).isFailing)
+  }
 }

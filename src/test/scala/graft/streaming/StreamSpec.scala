@@ -473,4 +473,55 @@ class StreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(Stream.cdcNovelChunks(ref, ref, "text", "doc_id").isFailing)
   }
+
+  test("windowedBinCounts: drained counts equal batch binning " +
+      "bit-for-bit across 2 batches; PSI finisher flags the shift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(29L)
+    val events = Seq.tabulate(400)(i =>
+      (ts(i % 40), rnd.nextDouble() * 100))
+    val edges = Seq(25.0, 50.0, 75.0)
+    val input = MemoryStream[(Timestamp, Double)]
+    val h = Stream.windowedBinCounts(input.toDF.toDF("ts", "v"), "ts",
+      "10 minutes", "5 minutes", "v", edges).get
+    val q = h.writeStream.outputMode("complete").format("memory")
+      .queryName("wbc_test").start()
+    input.addData(events.take(200))
+    q.processAllAvailable()
+    input.addData(events.drop(200))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wbc_test")
+      .select($"window.start", $"bin", $"n")
+      .as[(Timestamp, Int, Long)].collect().toSet
+    val batch = events.toDF("ts", "v")
+      .withColumn("ws", window($"ts", "10 minutes")("start"))
+      .groupBy($"ws", Stats.binExpr("v", edges).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, Int, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch bins diverged: ${streamed.diff(batch)}")
+    // finish per window vs a shifted reference: totals are defined and
+    // positive wherever every bin is populated on both sides
+    val ref = Stats.binCounts(
+      Seq.fill(100)(10.0).toDF("v")
+        .union(Seq.fill(100)(40.0).toDF("v"))
+        .union(Seq.fill(100)(60.0).toDF("v"))
+        .union(Seq.fill(100)(90.0).toDF("v")),
+      "v", edges, "n_ref").get
+    val fin = Stats.psiFromCounts(ref,
+      spark.table("wbc_test")
+        .select($"window.start".as("ws"), $"bin", $"n"),
+      nBins = 4, keys = Seq("ws"), curCountCol = "n").get
+    val tot = fin.groupBy("ws")
+      .agg(max("psi_total")).as[(Timestamp, Option[Double])].collect()
+    assert(tot.nonEmpty && tot.forall { case (_, t) =>
+      t.forall(_ >= 0.0) })
+    // static frames are rejected; bad edges too
+    assert(Stream.windowedBinCounts(events.toDF("ts", "v"), "ts",
+      "10 minutes", "5 minutes", "v", edges).isFailing)
+    assert(Stream.windowedBinCounts(input.toDF.toDF("ts", "v"), "ts",
+      "10 minutes", "5 minutes", "v", Seq(2.0, 1.0)).isFailing)
+  }
 }
