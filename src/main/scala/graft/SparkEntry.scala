@@ -2945,6 +2945,27 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q373_brier" -> ((s, dir) => {
+      // Brier score + Murphy-style binned decomposition over the q371
+      // pseudo-score setup — one row, scaled-integer row terms.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__score", col("l_discount").cast("double") * lit(10.0))
+        .withColumn("__label", col("l_quantity").cast("double") >= 25.0)
+      graft.operators.Stats.brierDecomposition(li, "__score", "__label",
+        bins = 10, scoreScaleDecimals = 6).get
+    }),
+
+    "q374_isotonic" -> ((s, dir) => {
+      // Isotonic calibration grid (MLlib PAV) of P(quantity >= 25)
+      // against discount — the oracle replays the EXACT minimax
+      // closed form max_{j<=i} min_{k>=i} avg(y[j..k]) over the
+      // 11-point weighted grid.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__label", col("l_quantity").cast("double") >= 25.0)
+      graft.model.Calibrate.isotonicGrid(li, "l_discount", "__label").get
+        .orderBy("x")
+    }),
+
     "q372_stream_psi" -> ((s, dir) => {
       // STREAMING PSI drift monitor in 4 real micro-batches: per-day
       // windowed bin counts over even event_ids (exact integers ⇒
@@ -10078,6 +10099,86 @@ object SparkEntry {
     // q368: the one-pass bootstrap replayed draw-for-draw.
     "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
       nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q373: the q371 bins plus exact per-row squared-error terms; the
+    // Murphy terms mirror op-for-op.
+    "q373_brier" ->
+      """WITH scored AS (
+           SELECT CAST(l_discount AS DOUBLE) * 10.0 AS s,
+             CAST(l_quantity AS DOUBLE) >= 25.0 AS yb
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+         ), b AS (
+           SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
+             CAST(round(s * 1000000.0) AS BIGINT) AS c,
+             CASE WHEN yb THEN 1 ELSE 0 END AS y
+           FROM scored WHERE s >= 0.0 AND s <= 1.0
+         ), g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np,
+             CAST(sum(c) AS BIGINT) AS sc2,
+             sum(CAST(c - y * 1000000 AS DOUBLE) *
+                 CAST(c - y * 1000000 AS DOUBLE)) AS se2
+           FROM b GROUP BY 1
+         ), t AS (
+           SELECT bin, n, np, sc2, se2,
+             CAST(sum(n) OVER () AS BIGINT) AS tn,
+             CAST(sum(np) OVER () AS BIGINT) AS tp,
+             sum(se2) OVER () AS tse
+           FROM g
+         ), k AS (
+           SELECT n, np, sc2, tn, tp, tse,
+             CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS acc_,
+             (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+               AS conf_,
+             CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS ybar,
+             CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS share
+           FROM t
+         )
+         SELECT max(tn) AS n,
+           round(max((tse / CAST(tn AS DOUBLE)) / 1000000000000.0)
+             + 1e-9, 6) AS brier,
+           round(sum(share * ((conf_ - acc_) * (conf_ - acc_)))
+             + 1e-9, 6) AS reliability,
+           round(sum(share * ((acc_ - ybar) * (acc_ - ybar)))
+             + 1e-9, 6) AS resolution,
+           round(max(ybar * (1.0 - ybar)) + 1e-9, 6) AS uncertainty
+         FROM k""",
+
+    // q374: the exact PAV minimax over the weighted score grid — 11³
+    // triples, all-integer range sums.
+    "q374_isotonic" ->
+      """WITH g AS (
+           SELECT CAST(l_discount AS DOUBLE) AS x,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CASE WHEN CAST(l_quantity AS DOUBLE) >= 25.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS sy
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1
+         ), o AS (
+           SELECT x, w, sy,
+             CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+             CAST(sum(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cw,
+             CAST(sum(sy) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cy
+           FROM g
+         ), t3 AS (
+           SELECT ji.i AS j, ii.i AS i,
+             CAST(ki.cy - coalesce(jp.cy, 0) AS DOUBLE) /
+               CAST(ki.cw - coalesce(jp.cw, 0) AS DOUBLE) AS a
+           FROM o ii
+           JOIN o ji ON ji.i <= ii.i
+           JOIN o ki ON ki.i >= ii.i
+           LEFT JOIN o jp ON jp.i = ji.i - 1
+         ), mn AS (
+           SELECT j, i, min(a) AS v FROM t3 GROUP BY 1, 2
+         ), iso AS (
+           SELECT i, max(v) AS iso FROM mn GROUP BY 1
+         )
+         SELECT o.x, round(iso.iso + 1e-9, 6) AS calibrated
+         FROM o JOIN iso ON iso.i = o.i ORDER BY o.x""",
 
     // q372: streaming PSI replay — exact integer bin counts per day
     // bucket (stream == batch), the q370 arithmetic PER WINDOW.

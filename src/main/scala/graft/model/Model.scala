@@ -115,6 +115,50 @@ object Pipe {
   * (Preset.scala:65-76); LinearSVC is the supported equivalent and kills
   * the mllib round-trip. `randomForest` is a stub (`NotImplementedError`)
   * upstream (Preset.scala:54-63); implemented here as parity+. */
+object Calibrate {
+
+  /** Isotonic score calibration grid (pool-adjacent-violators):
+    * fit `IsotonicRegression` on `(scoreCol, labelCol ∈ {0,1})` and
+    * return one row per DISTINCT score `(x, calibrated)` — the
+    * monotone non-decreasing map closest in L2 to the empirical label
+    * rates, the standard post-hoc calibrator a
+    * [[graft.operators.Stats.calibrationReport]] gap motivates.
+    *
+    * Determinism: MLlib aggregates duplicate features (exact integer
+    * label sums at unit weight) and runs exact parallel PAV, so the
+    * fitted pool means equal the closed-form minimax
+    * `max_{j≤i} min_{k≥i} avg(y[j..k])` over the weighted score grid
+    * up to last-ulp division noise — the q374 oracle replays that
+    * closed form and rounds at 6. Apply the returned grid to new
+    * scores with a range join (or `model.transform` directly for the
+    * in-JVM path).
+    *
+    * Scale: MLlib isotonic shuffles the (score, label) PAIRS — but
+    * the label is binary and duplicate scores pool, so pass the
+    * pre-aggregated grid when scores are discrete; both paths fit in
+    * grid memory per partition. */
+  def isotonicGrid(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String
+  ): MayFail[DataFrame] = MayFail {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("x"),
+        when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("y"))
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("x").setLabelCol("y").setPredictionCol("calibrated")
+      .fit(base)
+    val grid = base.select(col("x")).distinct()
+    model.transform(grid)
+      .select(col("x"), round(col("calibrated") + lit(1e-9), 6)
+        .as("calibrated"))
+  }
+}
+
 object Preset {
 
   def linearReg(

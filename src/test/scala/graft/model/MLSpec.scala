@@ -278,4 +278,35 @@ class MLSpec extends AnyFunSuite {
     assert(combos.size == 6)
     assert(combos.forall(c => c.size >= 1 && c.size <= 2))
   }
+
+  test("Calibrate.isotonicGrid equals hand PAV on a violating sequence") {
+    import org.apache.spark.sql.functions._
+    // x: 1,2,3 with empirical rates 0.8, 0.2, 0.5 -> PAV pools all
+    // three for x=1,2? minimax: iso(1) = min over k>=1 of avg(1..k) =
+    // min(0.8, 0.5, 0.5) = 0.5; iso(2) = max(avg(2..2)=0.2, avg(2..3)
+    // =0.35 -> min over k first...) compute: iso_i = max_j min_k avg
+    val rows =
+      Seq.fill(8)((1.0, true)) ++ Seq.fill(2)((1.0, false)) ++
+      Seq.fill(2)((2.0, true)) ++ Seq.fill(8)((2.0, false)) ++
+      Seq.fill(5)((3.0, true)) ++ Seq.fill(5)((3.0, false))
+    val df = rows.toDF("x", "y")
+    val got = Calibrate.isotonicGrid(df, "x", "y").get
+      .orderBy("x").as[(Double, Double)].collect().toSeq
+    // hand minimax over the weighted grid (w = 10 each):
+    // avg(1,1)=.8 avg(1,2)=.5 avg(1,3)=.5 avg(2,2)=.2 avg(2,3)=.35
+    // avg(3,3)=.5
+    // iso(1)=max(min(.8,.5,.5))=.5
+    // iso(2)=max(min(.5,.5), min(.2,.35)) = .5? min over k>=2 of
+    //   avg(1,k)=min(.5,.5)=.5; avg(2,k)=min(.2,.35)=.2 -> max=.5
+    // iso(3)=max(avg(1,3)=.5, avg(2,3)=.35, avg(3,3)=.5)=.5
+    assert(got == Seq((1.0, 0.5), (2.0, 0.5), (3.0, 0.5)))
+    // a monotone-increasing empirical rate is untouched
+    val mono =
+      Seq.fill(2)((1.0, true)) ++ Seq.fill(8)((1.0, false)) ++
+      Seq.fill(5)((2.0, true)) ++ Seq.fill(5)((2.0, false)) ++
+      Seq.fill(9)((3.0, true)) ++ Seq.fill(1)((3.0, false))
+    val g2 = Calibrate.isotonicGrid(mono.toDF("x", "y"), "x", "y").get
+      .orderBy("x").as[(Double, Double)].collect().toSeq
+    assert(g2 == Seq((1.0, 0.2), (2.0, 0.5), (3.0, 0.9)))
+  }
 }

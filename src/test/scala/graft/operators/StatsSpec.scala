@@ -1078,4 +1078,26 @@ class StatsSpec extends AnyFunSuite {
     assert(ece == 0.0)
     assert(Stats.calibrationReport(df, "s", "y", bins = 1).isFailing)
   }
+
+  // --- brierDecomposition ------------------------------------------------
+
+  test("brierDecomposition: hand case satisfies the grid Murphy identity") {
+    // constant-within-bin scores: brier == rel - res + unc exactly
+    val df = (Seq.fill(4)((0.25, true)) ++ Seq.fill(6)((0.25, false)) ++
+      Seq.fill(8)((0.75, true)) ++ Seq.fill(2)((0.75, false)))
+      .toDF("s", "y")
+    val got = Stats.brierDecomposition(df, "s", "y", bins = 4).get
+      .as[(Long, Double, Double, Double, Double)].head()
+    val (n, brier, rel, res, unc) = got
+    assert(n == 20L)
+    // hand: ybar = 0.6; unc = 0.24
+    // bin .25: conf .25 acc .4 -> rel term .5*(.15)^2 = .01125
+    // bin .75: conf .75 acc .8 -> .5*(.05)^2 = .00125 -> rel .0125
+    // res: .5*(.4-.6)^2 + .5*(.8-.6)^2 = .04
+    // brier: mean((s-y)^2): bin1: 4*(.75)^2+6*(.25)^2; bin2:
+    //   8*(.25)^2+2*(.75)^2 -> (2.25+.375+.5+1.125)/20 = 0.2125
+    assert(brier == 0.2125 && rel == 0.0125 && res == 0.04 && unc == 0.24)
+    assert(math.abs(brier - (rel - res + unc)) < 1e-9)
+    assert(Stats.brierDecomposition(df, "s", "y", bins = 1).isFailing)
+  }
 }
