@@ -2945,6 +2945,69 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q380_conformal_by" -> ((s, dir) => {
+      // Mondrian conformal: per-returnflag calibration quantiles on
+      // the q366 setup — group-conditional coverage.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__yhat", col("l_quantity").cast("double") * lit(960.0))
+      graft.operators.Stats.splitConformalBy(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          "l_extendedprice", "__yhat", keys = Seq("l_returnflag"),
+          alpha = 0.1).get
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("conformal_lo") + lit(1e-9), 6).as("conformal_lo"),
+          round(col("conformal_hi") + lit(1e-9), 6).as("conformal_hi"))
+        .orderBy("l_orderkey", "l_linenumber", "conformal_lo")
+    }),
+
+    "q379_bootstrap_by" -> ((s, dir) => {
+      // Segment-level bootstrap CIs in the SAME single pass: per
+      // returnflag, same draws as q368 (weights independent of keys).
+      graft.operators.Stats.poissonBootstrapBy(tbl(s, dir, "lineitem"),
+        "l_discount",
+        idCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        keys = Seq("l_returnflag"),
+        nBoot = 40, alpha = 0.1, scaleDecimals = 2, salt = "r11").get
+        .orderBy("l_returnflag")
+    }),
+
+    "q377_k_anonymity" -> ((s, dir) => {
+      // Re-identification risk of (source, lang) as quasi-identifiers
+      // at k = 20: per-class counts, violations, suppression budget.
+      graft.operators.Quality.kAnonymityReport(
+        tbl(s, dir, "documents"), Seq("source", "lang"), k = 20).get
+        .orderBy("source", "lang")
+    }),
+
+    "q378_l_diversity" -> ((s, dir) => {
+      // l-diversity of the nation key inside (mktsegment) classes —
+      // a class can be k-anonymous and still constant-sensitive.
+      graft.operators.Quality.lDiversityReport(
+        tbl(s, dir, "customer"), Seq("c_mktsegment"), "c_nationkey",
+        l = 5).get
+        .orderBy("c_mktsegment")
+    }),
+
+    "q375_random_project" -> ((s, dir) => {
+      // Deterministic JL projection 64 -> 8 dims over the md5 sign
+      // matrix (the q37 formula) — exploded so every projection value
+      // gates individually.
+      graft.operators.Quantize.randomProject(
+        tbl(s, dir, "embeddings"), "embedding", outDim = 8).get
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").as("dim_j"),
+          round(col("col") + lit(1e-9), 6).as("proj"))
+        .orderBy("vec_id", "dim_j")
+    }),
+
+    "q376_median_ci" -> ((s, dir) => {
+      // Distribution-free median CI from binomial order statistics —
+      // exact grid-rank picks, shared z literal.
+      graft.operators.Stats.medianCI(
+        tbl(s, dir, "lineitem"), "l_extendedprice").get
+    }),
+
     "q373_brier" -> ((s, dir) => {
       // Brier score + Murphy-style binned decomposition over the q371
       // pseudo-score setup — one row, scaled-integer row terms.
@@ -5793,19 +5856,31 @@ object SparkEntry {
     * 52-bit dyadic draw against the SAME [[graft.operators.Stats.poissonCdf1]]
     * ladder literals, exact scaled sums per replicate, grid-rank CI. */
   private def poissonBootstrapOracleSql(
-      nBoot: Int, alpha: Double, salt: String): String = {
+      nBoot: Int, alpha: Double, salt: String,
+      byFlag: Boolean = false): String = {
     val ladder = graft.operators.Stats.poissonCdf1.zipWithIndex
       .map { case (c, k) =>
         s"WHEN u < ${java.lang.Double.toString(c)} THEN ${k}" }
       .mkString("CASE ", " ", " ELSE 9 END")
     val pLo = java.lang.Double.toString(alpha / 2)
     val pHi = java.lang.Double.toString(1.0 - alpha / 2)
+    val kSel = if (byFlag) "l_returnflag, " else ""
+    val kGrp = if (byFlag) "GROUP BY l_returnflag, b" else "GROUP BY b"
+    val kGrp1 = if (byFlag) "GROUP BY l_returnflag, est" else "GROUP BY est"
+    val kPart = if (byFlag) "PARTITION BY l_returnflag " else ""
+    val kStGrp = if (byFlag) "GROUP BY l_returnflag" else ""
+    val kJoinLo = if (byFlag) "ON lo.l_returnflag = st.l_returnflag"
+      else "ON TRUE"
+    val kJoinHi = if (byFlag) "ON hi.l_returnflag = st.l_returnflag"
+      else "ON TRUE"
+    val kOut = if (byFlag) "st.l_returnflag, " else ""
+    val kOrd = if (byFlag) "ORDER BY st.l_returnflag" else ""
     s"""WITH base AS (
-         SELECT l_orderkey, l_linenumber, l_partkey,
+         SELECT ${kSel}l_orderkey, l_linenumber, l_partkey,
            CAST(round(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT) AS c
          FROM lineitem WHERE l_discount IS NOT NULL
        ), drawn AS (
-         SELECT bb.b AS b, base.c,
+         SELECT ${kSel}bb.b AS b, base.c,
            ((CAST(('0x' || substring(md5(
                CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
                || CAST(l_partkey AS VARCHAR) || '§$salt§'
@@ -5813,44 +5888,46 @@ object SparkEntry {
              & 4503599627370495) + 0.5) / 4503599627370496.0 AS u
          FROM base, (SELECT unnest(range(0, $nBoot)) AS b) bb
        ), reps AS (
-         SELECT b,
+         SELECT ${kSel}b,
            CAST(sum(($ladder) * c) AS BIGINT) AS sy,
            CAST(sum($ladder) AS BIGINT) AS sw
-         FROM drawn GROUP BY b
+         FROM drawn $kGrp
        ), ests AS (
-         SELECT (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)) / 100.0 AS est
+         SELECT $kSel(CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE)) / 100.0
+           AS est
          FROM reps WHERE sw > 0
        ), grid AS (
-         SELECT est, CAST(count(*) AS BIGINT) AS t FROM ests GROUP BY 1
+         SELECT ${kSel}est, CAST(count(*) AS BIGINT) AS t FROM ests
+         $kGrp1
        ), cum AS (
-         SELECT est, t,
-           sum(t) OVER (ORDER BY est
+         SELECT ${kSel}est, t,
+           sum(t) OVER (${kPart}ORDER BY est
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
-           sum(t) OVER () AS nb
+           sum(t) OVER ($kPart) AS nb
          FROM grid
        ), lo AS (
-         SELECT est AS ci_lo, nb FROM cum
+         SELECT ${kSel}est AS ci_lo, nb FROM cum
          WHERE cc >= greatest(1, CAST(ceil($pLo * CAST(nb AS DOUBLE))
              AS BIGINT))
            AND cc - t < greatest(1, CAST(ceil($pLo * CAST(nb AS DOUBLE))
              AS BIGINT))
        ), hi AS (
-         SELECT est AS ci_hi FROM cum
+         SELECT ${kSel}est AS ci_hi FROM cum
          WHERE cc >= greatest(1, CAST(ceil($pHi * CAST(nb AS DOUBLE))
              AS BIGINT))
            AND cc - t < greatest(1, CAST(ceil($pHi * CAST(nb AS DOUBLE))
              AS BIGINT))
        ), st AS (
-         SELECT CAST(count(*) AS BIGINT) AS n,
+         SELECT ${kSel}CAST(count(*) AS BIGINT) AS n,
            (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0
              AS theta
-         FROM base
+         FROM base $kStGrp
        )
-       SELECT st.n, round(st.theta + 1e-9, 6) AS theta,
+       SELECT ${kOut}st.n, round(st.theta + 1e-9, 6) AS theta,
          CAST(lo.nb AS BIGINT) AS n_boot,
          round(lo.ci_lo + 1e-9, 6) AS ci_lo,
          round(hi.ci_hi + 1e-9, 6) AS ci_hi
-       FROM st, lo, hi"""
+       FROM st JOIN lo $kJoinLo JOIN hi $kJoinHi $kOrd"""
   }
 
   /** q366/q367 oracle CTEs: calibration residual grid over odd
@@ -10099,6 +10176,132 @@ object SparkEntry {
     // q368: the one-pass bootstrap replayed draw-for-draw.
     "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
       nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q380: the q366 grid-rank pick PER FLAG, left-joined onto test.
+    "q380_conformal_by" ->
+      """WITH cal AS (
+           SELECT l_returnflag AS f,
+             abs(CAST(l_extendedprice AS DOUBLE) -
+               CAST(l_quantity AS DOUBLE) * 960.0) AS r
+           FROM lineitem WHERE l_orderkey % 2 = 1
+             AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_returnflag IS NOT NULL
+         ), grid AS (
+           SELECT f, r, CAST(count(*) AS BIGINT) AS t FROM cal
+           GROUP BY 1, 2
+         ), cum AS (
+           SELECT f, r, t,
+             sum(t) OVER (PARTITION BY f ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(t) OVER (PARTITION BY f) AS n
+           FROM grid
+         ), q AS (
+           SELECT f, r AS qhat FROM cum
+           WHERE c >= CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT)
+             AND c - t < CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9)
+               AS BIGINT)
+         )
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(CAST(l_quantity AS DOUBLE) * 960.0 - q.qhat + 1e-9, 6)
+             AS conformal_lo,
+           round(CAST(l_quantity AS DOUBLE) * 960.0 + q.qhat + 1e-9, 6)
+             AS conformal_hi
+         FROM lineitem LEFT JOIN q ON q.f = lineitem.l_returnflag
+         WHERE l_orderkey % 2 = 0
+         ORDER BY l_orderkey, l_linenumber, conformal_lo""",
+
+    // q379: the q368 replay grouped by returnflag.
+    "q379_bootstrap_by" -> poissonBootstrapOracleSql(
+      nBoot = 40, alpha = 0.1, salt = "r11", byFlag = true),
+
+    // q377: exact class counts; the row-share is the only division.
+    "q377_k_anonymity" ->
+      """WITH g AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2
+         )
+         SELECT source, lang, n, n < 20 AS violates,
+           round(CAST(CAST(sum(CASE WHEN n < 20 THEN n ELSE 0 END)
+               OVER () AS BIGINT) AS DOUBLE) /
+             CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE) + 1e-9, 6)
+             AS violation_row_share
+         FROM g ORDER BY source, lang""",
+
+    // q378: exact cell counts; per-class entropy is the χ²-tier float.
+    "q378_l_diversity" ->
+      """WITH cells AS (
+           SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS m
+           FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1, 2
+         ), t AS (
+           SELECT c_mktsegment, m,
+             CAST(m AS DOUBLE) /
+               CAST(CAST(sum(m) OVER (PARTITION BY c_mktsegment)
+                 AS BIGINT) AS DOUBLE) AS p
+           FROM cells
+         )
+         SELECT c_mktsegment,
+           CAST(sum(m) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_sensitive,
+           round(sum(-1.0 * (p * ln(p))) + 1e-9, 6) AS entropy,
+           count(*) < 5 AS violates
+         FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // q375: the q37 sign-matrix replay, raw projections instead of
+    // sign bits; group-sum ulp noise absorbed by round-6.
+    "q375_random_project" ->
+      """WITH signs AS (
+           SELECT jj.j AS j, ii.i AS i,
+             CASE WHEN (CAST(('0x' || substring(
+                    md5(CAST(jj.j AS VARCHAR) || '_' ||
+                        CAST(ii.i AS VARCHAR)),
+                    1, 15)) AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END AS s
+           FROM (SELECT unnest(range(0, 8)) AS j) jj,
+                (SELECT unnest(range(0, 64)) AS i) ii
+         ), proj AS (
+           SELECT e.vec_id, sg.j,
+             sum(CAST(e.embedding[sg.i + 1] AS DOUBLE) * sg.s) AS p
+           FROM embeddings e, signs sg
+           GROUP BY e.vec_id, sg.j
+         )
+         SELECT vec_id, CAST(j AS INTEGER) AS dim_j,
+           round(p + 1e-9, 6) AS proj
+         FROM proj ORDER BY vec_id, dim_j""",
+
+    // q376: the rank formulas replayed — floor((n − z√n)/2) with the
+    // shared z literal, grid picks at l, u and the median rank.
+    "q376_median_ci" ->
+      """WITH grid AS (
+           SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(count(*) AS BIGINT) AS t
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+         ), cum AS (
+           SELECT v, t,
+             sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(t) OVER () AS n
+           FROM grid
+         ), rk AS (
+           SELECT v, t, c, n,
+             greatest(1, CAST(floor((CAST(n AS DOUBLE) -
+               1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+               AS BIGINT)) AS lr,
+             greatest(1, CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT))
+               AS mr
+           FROM cum
+         ), m AS (
+           SELECT CAST(n AS BIGINT) AS n, v AS median FROM rk
+           WHERE c >= mr AND c - t < mr
+         ), lo AS (
+           SELECT v AS cl FROM rk WHERE c >= lr AND c - t < lr
+         ), hi AS (
+           SELECT v AS ch FROM rk
+           WHERE c >= n + 1 - lr AND c - t < n + 1 - lr
+         )
+         SELECT m.n, round(m.median + 1e-9, 6) AS median,
+           round(CASE WHEN m.n >= 2 THEN lo.cl END + 1e-9, 6) AS ci_lo,
+           round(CASE WHEN m.n >= 2 THEN hi.ch END + 1e-9, 6) AS ci_hi
+         FROM m, lo, hi""",
 
     // q373: the q371 bins plus exact per-row squared-error terms; the
     // Murphy terms mirror op-for-op.

@@ -1471,4 +1471,64 @@ object Quality {
         round(when(!invalid, f1) + lit(1e-9), 6))
       .drop("__gc", "__gr", "__cl")
   }
+
+  // --- privacy / re-identification risk reports -------------------------
+
+  /** k-anonymity report over quasi-identifier columns (Sweeney 2002):
+    * one row per equivalence class `(quasiCols..., n, violates)` plus
+    * the corpus-level `violation_row_share` (share of ROWS living in
+    * classes smaller than k — the suppression budget a release would
+    * need) repeated on every row. NULL quasi values form their own
+    * classes (they are identifying in combination too). One hash
+    * aggregation + a grid-sized window. */
+  def kAnonymityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(quasiCols.nonEmpty, "kAnonymityReport needs quasi columns")
+    require(k >= 2, s"k must be >= 2: $k")
+    val g = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("violates", col("n") < k)
+      .withColumn("violation_row_share",
+        round(sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .over(wAll).cast("double") /
+          sum(col("n")).over(wAll).cast("double") + lit(1e-9), 6))
+  }
+
+  /** l-diversity report (Machanavajjhala et al. 2007): per quasi-
+    * identifier class, the distinct count AND entropy of the sensitive
+    * attribute — a class can be k-anonymous yet expose everyone when
+    * the sensitive value is constant. Returns `(quasiCols..., n,
+    * n_sensitive, entropy, violates)` with `violates = n_sensitive <
+    * l`; `entropy` is the class's sensitive-value Shannon entropy in
+    * nats (counts exact; the per-class entropy sum is χ²-tier float,
+    * rounded at 6). Rows with a NULL sensitive value drop — they
+    * disclose nothing. Two hash aggregations, class-grid frames. */
+  def lDiversityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long
+  ): MayFail[DataFrame] = MayFail {
+    require(quasiCols.nonEmpty, "lDiversityReport needs quasi columns")
+    require(l >= 2, s"l must be >= 2: $l")
+    val cells = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCls = Window.partitionBy(quasiCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("__m").cast("double") / sum(col("__m")).over(wCls)
+      .cast("double")
+    cells
+      .withColumn("__term", lit(-1.0) * (p * log(p)))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__m")).as("n"),
+        count(lit(1)).as("n_sensitive"),
+        round(sum(col("__term")) + lit(1e-9), 6).as("entropy"))
+      .withColumn("violates", col("n_sensitive") < l)
+  }
 }

@@ -737,4 +737,44 @@ object Quantize {
         greatest(col("n_candidates") - lit(shortlistK.toLong), lit(0L))
           .as("n_truncated"))
   }
+
+  /** Deterministic Johnson–Lindenstrauss random projection: `outCol` =
+    * the `outDim`-vector of md5-sign projections `p_j = Σ_i v_i·s(j,i)`
+    * over the [[PortableLsh]] ±1 matrix — dimensionality reduction with
+    * the JL distance-preservation guarantee (±1 matrices: Achlioptas,
+    * JCSS 2003), engine-replayable because the sign matrix is the same
+    * public md5 formula as the q37/q39 signatures. With
+    * `normalize = true` projections scale by 1/√outDim so squared
+    * distances are unbiased estimates of the originals.
+    *
+    * The cheap pre-filter in front of exact rerank: 64 → 8 dims is an
+    * 8× scan-cost cut on the shortlist stage, and unlike PQ needs no
+    * codebook. One map-side expression — no shuffle, no state; the
+    * input dimension is probed once from the first row (Fail on an
+    * empty frame). */
+  def randomProject(
+      df: DataFrame,
+      vecCol: String,
+      outDim: Int,
+      normalize: Boolean = false,
+      outCol: String = "proj"
+  ): MayFail[DataFrame] = MayFail {
+    require(outDim >= 1 && outDim <= 256,
+      s"outDim must be in [1, 256]: $outDim")
+    val probe = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty, "randomProject needs at least one vector " +
+      "to fix the input dimension")
+    val dim = probe.head.getInt(0)
+    require(dim >= outDim, s"outDim $outDim exceeds input dim $dim")
+    val m = PortableLsh.signMatrix(outDim, dim)
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val proj = array((0 until outDim).map { j =>
+      val sArr = array(m(j).map(s => lit(s.toDouble)): _*)
+      val p = aggregate(zip_with(vd, sArr, (x, sg) => x * sg),
+        lit(0.0), (acc, t) => acc + t)
+      if (normalize) p / lit(math.sqrt(outDim.toDouble)) else p
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
 }

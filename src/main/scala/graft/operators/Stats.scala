@@ -2211,6 +2211,45 @@ object Stats {
       alpha: Double = 0.1,
       scaleDecimals: Int = 0,
       salt: String = "0"
+  ): MayFail[DataFrame] =
+    bootstrapImpl(df, valueCol, idCols, Nil, nBoot, alpha, scaleDecimals,
+      salt)
+
+  /** [[poissonBootstrap]] per key group — one pass still: the replicate
+    * counters simply key by `(keys..., b)`, so segment-level CIs (per
+    * source, per language, per cohort) cost the same single scan as
+    * the global one. Returns one row per key
+    * `(keys..., n, theta, n_boot, ci_lo, ci_hi)`. Draws depend only on
+    * (idCols, salt, replicate) — NOT on the keys — so a row keeps its
+    * weights across regroupings (the segment CIs are consistent slices
+    * of one resampling universe, Chamandy et al.'s streaming-bucket
+    * property). */
+  def poissonBootstrapBy(
+      df: DataFrame,
+      valueCol: String,
+      idCols: Seq[String],
+      keys: Seq[String],
+      nBoot: Int = 40,
+      alpha: Double = 0.1,
+      scaleDecimals: Int = 0,
+      salt: String = "0"
+  ): MayFail[DataFrame] =
+    if (keys.isEmpty)
+      graft.functional.Fail(new IllegalArgumentException(
+        "poissonBootstrapBy needs keys — use poissonBootstrap for the " +
+          "global CI"))
+    else bootstrapImpl(df, valueCol, idCols, keys, nBoot, alpha,
+      scaleDecimals, salt)
+
+  private def bootstrapImpl(
+      df: DataFrame,
+      valueCol: String,
+      idCols: Seq[String],
+      keys: Seq[String],
+      nBoot: Int,
+      alpha: Double,
+      scaleDecimals: Int,
+      salt: String
   ): MayFail[DataFrame] = MayFail {
     require(idCols.nonEmpty, "poissonBootstrap needs idCols — the hash " +
       "of the row identity IS the deterministic draw")
@@ -2220,8 +2259,9 @@ object Stats {
     require(scaleDecimals >= 0 && scaleDecimals <= 9,
       s"scaleDecimals must be in [0, 9]: $scaleDecimals")
     val sc = math.pow(10, scaleDecimals)
-    val base = df.filter(col(valueCol).isNotNull)
-      .select((idCols.map(col) :+
+    val base = df.filter(col(valueCol).isNotNull &&
+        keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select((keys.map(col) ++ idCols.map(col) :+
         round(col(valueCol).cast("double") * lit(sc)).cast("long")
           .as("__c")): _*)
     val withB = base.withColumn("__b",
@@ -2236,16 +2276,19 @@ object Stats {
         case (acc, (cdf, k)) => acc.when(u < lit(cdf), lit(k.toLong))
       }.otherwise(lit(9L))
     val reps = withB
-      .groupBy(col("__b"))
+      .groupBy((keys.map(col) :+ col("__b")): _*)
       .agg(sum(w * col("__c")).as("__sy"), sum(w).as("__sw"))
       .filter(col("__sw") > 0)
-      .select(((col("__sy").cast("double") / col("__sw").cast("double"))
-        / lit(sc)).as("__est"))
-    // grid percentile picks over the B (tiny) replicate means
-    val grid = reps.groupBy(col("__est")).agg(count(lit(1)).as("__t"))
-    val wOrd = Window.orderBy(col("__est"))
+      .select(keys.map(col) :+
+        ((col("__sy").cast("double") / col("__sw").cast("double"))
+          / lit(sc)).as("__est"): _*)
+    // grid percentile picks over the per-key B (tiny) replicate means
+    val grid = reps.groupBy((keys.map(col) :+ col("__est")): _*)
+      .agg(count(lit(1)).as("__t"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wOrd = wKey.orderBy(col("__est"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.rowsBetween(
+    val wAll = wKey.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = grid
       .withColumn("__cc", sum(col("__t")).over(wOrd))
@@ -2254,20 +2297,27 @@ object Stats {
       val r = greatest(lit(1L),
         ceil(lit(p) * col("__nb").cast("double")).cast("long"))
       cum.filter(col("__cc") >= r && col("__cc") - col("__t") < r)
-        .select(col("__est").as(out), col("__nb"))
+        .select(keys.map(col) :+ col("__est").as(out) :+ col("__nb"): _*)
     }
-    val stats = base.agg(count(lit(1)).as("n"),
-      ((sum(col("__c")).cast("double") / count(lit(1)).cast("double"))
-        / lit(sc)).as("__theta"))
-    stats
-      .join(pick(alpha / 2, "__lo").select(col("__lo"), col("__nb")),
-        lit(true), "left")
-      .join(pick(1.0 - alpha / 2, "__hi").drop("__nb"), lit(true), "left")
-      .select(col("n"),
-        round(col("__theta") + lit(1e-9), 6).as("theta"),
-        coalesce(col("__nb"), lit(0L)).as("n_boot"),
-        round(col("__lo") + lit(1e-9), 6).as("ci_lo"),
-        round(col("__hi") + lit(1e-9), 6).as("ci_hi"))
+    val stats = (if (keys.isEmpty) base.groupBy()
+      else base.groupBy(keys.map(col): _*))
+      .agg(count(lit(1)).as("n"),
+        ((sum(col("__c")).cast("double") / count(lit(1)).cast("double"))
+          / lit(sc)).as("__theta"))
+    val joinLo =
+      if (keys.isEmpty) stats.join(pick(alpha / 2, "__lo"), lit(true), "left")
+      else stats.join(pick(alpha / 2, "__lo"), keys, "left")
+    val joinHi =
+      if (keys.isEmpty)
+        joinLo.join(pick(1.0 - alpha / 2, "__hi").drop("__nb"),
+          lit(true), "left")
+      else joinLo.join(pick(1.0 - alpha / 2, "__hi").drop("__nb"),
+        keys, "left")
+    joinHi.select(keys.map(col) ++ Seq(col("n"),
+      round(col("__theta") + lit(1e-9), 6).as("theta"),
+      coalesce(col("__nb"), lit(0L)).as("n_boot"),
+      round(col("__lo") + lit(1e-9), 6).as("ci_lo"),
+      round(col("__hi") + lit(1e-9), 6).as("ci_hi")): _*)
   }
 
   /** Cochran–Mantel–Haenszel test (1959) of exposure×outcome
@@ -2539,4 +2589,100 @@ object Stats {
       round(col("__res") + lit(1e-9), 6).as("resolution"),
       round(col("__unc") + lit(1e-9), 6).as("uncertainty"))
   }
+
+  /** Distribution-free confidence interval for the MEDIAN from binomial
+    * order statistics (the classic sign-test inversion, normal-
+    * approximation ranks): `l = max(1, ⌊(n − z·√n)/2⌋)`,
+    * `u = n + 1 − l`, interval = the l-th and u-th order statistics —
+    * no distributional assumption, exact grid-rank picks (the q355
+    * convention), `z` baked for 95%. Returns ONE row
+    * `(n, median, ci_lo, ci_hi)`; NULL interval when n < 2 or the
+    * ranks degenerate. Plan: one partial agg to the value grid, then
+    * grid-sized windows. */
+  def medianCI(
+      df: DataFrame,
+      valueCol: String
+  ): MayFail[DataFrame] = MayFail {
+    val z = 1.959963984540054 // qnorm(0.975), shared literal
+    val grid = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val wOrd = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("__c", sum(col("__t")).over(wOrd))
+      .withColumn("__n", sum(col("__t")).over(wAll))
+    val nD = col("__n").cast("double")
+    val lRank = greatest(lit(1L),
+      floor((nD - lit(z) * sqrt(nD)) / lit(2.0)).cast("long"))
+    val uRank = col("__n") + 1 - lRank
+    val mRank = greatest(lit(1L),
+      ceil(lit(0.5) * nD).cast("long"))
+    def pick(rank: org.apache.spark.sql.Column, out: String) =
+      cum.filter(col("__c") >= rank && col("__c") - col("__t") < rank)
+        .select(col("__v").as(out), col("__n"))
+    val n1 = pick(mRank, "median")
+    n1.select(col("__n").as("n"), col("median"))
+      .join(pick(lRank, "__lo").select(col("__lo")), lit(true), "left")
+      .join(pick(uRank, "__hi").select(col("__hi")), lit(true), "left")
+      .select(col("n"),
+        round(col("median") + lit(1e-9), 6).as("median"),
+        round(when(col("n") >= 2, col("__lo")) + lit(1e-9), 6)
+          .as("ci_lo"),
+        round(when(col("n") >= 2, col("__hi")) + lit(1e-9), 6)
+          .as("ci_hi"))
+  }
+
+  /** Mondrian (group-conditional) split conformal (Vovk 2012): a
+    * separate calibration quantile per `keys` group, giving coverage
+    * ≥ 1 − α WITHIN every group — the fix when residual scales differ
+    * across segments and the marginal interval over- and under-covers
+    * by segment. Same rank convention as [[splitConformal]]; groups
+    * whose calibration is too small for the rank (or unseen in
+    * calibration) get NULL intervals — surfaced per group, never a
+    * global Fail (the grouped contract differs deliberately: one thin
+    * segment must not sink the release). The per-group q̂ grid is
+    * groups-sized and broadcasts onto `test`. */
+  def splitConformalBy(
+      cal: DataFrame,
+      test: DataFrame,
+      yCol: String,
+      yhatCol: String,
+      keys: Seq[String],
+      alpha: Double = 0.1
+  ): MayFail[DataFrame] =
+    if (keys.isEmpty)
+      graft.functional.Fail(new IllegalArgumentException(
+        "splitConformalBy needs keys — use splitConformal for the " +
+          "marginal interval"))
+    else MayFail {
+      require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1): $alpha")
+      val resid = abs(col(yCol).cast("double") -
+        col(yhatCol).cast("double"))
+      val grid = cal
+        .filter(col(yCol).isNotNull && col(yhatCol).isNotNull &&
+          keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col) :+ resid.as("__r"): _*)
+        .agg(count(lit(1)).as("__t"))
+      val wKey = Window.partitionBy(keys.map(col): _*)
+      val wOrd = wKey.orderBy(col("__r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = wKey.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rank = ceil((col("__n") + 1).cast("double") * lit(1.0 - alpha))
+        .cast("long")
+      val qg = grid
+        .withColumn("__c", sum(col("__t")).over(wOrd))
+        .withColumn("__n", sum(col("__t")).over(wAll))
+        .filter(col("__c") >= rank && col("__c") - col("__t") < rank)
+        .select(keys.map(col) :+ col("__r").as("__qhat"): _*)
+      test.join(broadcast(qg), keys, "left")
+        .withColumn("conformal_lo",
+          col(yhatCol).cast("double") - col("__qhat"))
+        .withColumn("conformal_hi",
+          col(yhatCol).cast("double") + col("__qhat"))
+        .drop("__qhat")
+    }
 }

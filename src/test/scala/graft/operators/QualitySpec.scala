@@ -758,4 +758,34 @@ class QualitySpec extends AnyFunSuite {
     assert(m(3L) == ((None, None, None)))
     assert(Quality.rougeN(df, "cand", "ref", n = 0).isFailing)
   }
+
+  // --- privacy reports -----------------------------------------------------
+
+  test("kAnonymityReport flags small classes and sizes the suppression") {
+    val df = (Seq.fill(10)(("US", "en")) ++ Seq.fill(3)(("US", "fr")) ++
+      Seq.fill(7)(("DE", "de"))).toDF("country", "lang")
+    val got = Quality.kAnonymityReport(df, Seq("country", "lang"), k = 5)
+      .get.orderBy("country", "lang")
+      .select("country", "lang", "n", "violates", "violation_row_share")
+      .as[(String, String, Long, Boolean, Double)].collect().toSeq
+    assert(got == Seq(("DE", "de", 7L, false, 0.15),
+      ("US", "en", 10L, false, 0.15), ("US", "fr", 3L, true, 0.15)))
+    assert(Quality.kAnonymityReport(df, Nil, 5).isFailing)
+    assert(Quality.kAnonymityReport(df, Seq("country"), 1).isFailing)
+  }
+
+  test("lDiversityReport: constant-sensitive classes violate, entropy " +
+      "matches hand values") {
+    val df = (Seq.fill(6)(("seg1", "x")) ++
+      Seq.fill(3)(("seg2", "x")) ++ Seq.fill(3)(("seg2", "y")))
+      .toDF("seg", "s")
+    val got = Quality.lDiversityReport(df, Seq("seg"), "s", l = 2).get
+      .orderBy("seg")
+      .select("seg", "n", "n_sensitive", "entropy", "violates")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    val ln2 = BigDecimal(math.log(2.0) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("seg1", 6L, 1L, 0.0, true),
+      ("seg2", 6L, 2L, ln2, false)))
+  }
 }

@@ -513,4 +513,37 @@ class QuantizeSpec extends AnyFunSuite {
     assert(Quantize.pqKnn(df, df, "vec", "id", k = 1, cells = 1).isFailing)
     assert(Quantize.pqEncode(df, "vec", "id", m = 0).isFailing)
   }
+
+  // --- randomProject -------------------------------------------------------
+
+  test("randomProject preserves pairwise distances in the JL sense") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41L)
+    val pts = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val proj = Quantize.randomProject(df, "embedding", outDim = 16,
+        normalize = true).get
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = pts.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- pts.indices; j <- (i + 1) until pts.size
+      a = pts(i)._1; b = pts(j)._1
+    } yield d2(proj(a), proj(b)) / d2(orig(a), orig(b))
+    // unbiased on average, bounded spread at outDim = 16
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL ratio mean off: $mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.2) > ratios.size * 95 / 100,
+      "too many badly-distorted pairs")
+    // deterministic across runs and partitionings
+    val again = Quantize.randomProject(df.repartition(7), "embedding",
+        outDim = 16, normalize = true).get
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    assert(again == proj)
+    assert(Quantize.randomProject(df, "embedding", 0).isFailing)
+    assert(Quantize.randomProject(df, "embedding", 65).isFailing)
+    assert(Quantize.randomProject(df.limit(0), "embedding", 8).isFailing)
+  }
 }

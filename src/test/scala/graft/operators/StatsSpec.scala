@@ -1100,4 +1100,82 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(brier - (rel - res + unc)) < 1e-9)
     assert(Stats.brierDecomposition(df, "s", "y", bins = 1).isFailing)
   }
+
+  // --- medianCI -------------------------------------------------------------
+
+  test("medianCI picks the hand order statistics and brackets the median") {
+    // n = 25 of 1..25: z sqrt(25) = 9.8 -> l = floor(15.2/2) = 7,
+    // u = 26 - 7 = 19, median rank ceil(12.5) = 13
+    val df = (1 to 25).map(_.toDouble).toDF("v")
+    val got = Stats.medianCI(df, "v").get
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(got == ((25L, 13.0, Some(7.0), Some(19.0))))
+    // tiny n: interval collapses to defined picks, never crashes
+    val two = Seq(1.0, 2.0).toDF("v")
+    val r2 = Stats.medianCI(two, "v").get
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(r2._1 == 2L && r2._2 == 1.0 && r2._3.isDefined)
+    // duplicate-heavy grid still picks by cumulative rank
+    val dup = (Seq.fill(10)(5.0) ++ Seq.fill(10)(7.0)).toDF("v")
+    val r3 = Stats.medianCI(dup, "v").get
+      .as[(Long, Double, Option[Double], Option[Double])].head()
+    assert(r3 == ((20L, 5.0, Some(5.0), Some(7.0))))
+  }
+
+  test("poissonBootstrapBy slices the same resampling universe per key") {
+    val rnd = new scala.util.Random(37L)
+    val df = Seq.tabulate(1500)(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        (if (i % 3 == 0) 5.0 else 9.0) + rnd.nextGaussian() * 0.5))
+      .toDF("id", "k", "v")
+      .withColumn("v", round(col("v") * 100) / 100)
+    val by = Stats.poissonBootstrapBy(df, "v", Seq("id"), Seq("k"),
+      nBoot = 50, scaleDecimals = 2, salt = "z").get
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(by("a")._5 <= by("a")._3 && by("a")._3 <= by("a")._6)
+    assert(by("b")._5 <= by("b")._3 && by("b")._3 <= by("b")._6)
+    assert(by("a")._6 < by("b")._5, "segment CIs must separate the means")
+    // draws are key-independent: the per-key CI equals the global CI
+    // of the key's own rows (same ids, same salt)
+    val onlyA = Stats.poissonBootstrap(df.filter(col("k") === "a"), "v",
+      Seq("id"), nBoot = 50, scaleDecimals = 2, salt = "z").get
+      .as[(Long, Double, Long, Double, Double)].head()
+    assert((by("a")._2, by("a")._3, by("a")._4, by("a")._5, by("a")._6)
+      == onlyA)
+    assert(Stats.poissonBootstrapBy(df, "v", Seq("id"), Nil).isFailing)
+  }
+
+  test("splitConformalBy covers per group and NULLs thin/unseen groups") {
+    val rnd = new scala.util.Random(43L)
+    // group a: tight residuals; group b: 10x wider
+    val rows = Seq.tabulate(3000)(i => {
+      val g = if (i % 2 == 0) "a" else "b"
+      val scale = if (g == "a") 1.0 else 10.0
+      (i, g, 100.0 + rnd.nextGaussian() * scale, 100.0)
+    })
+    val df = rows.toDF("id", "g", "y", "yh")
+    val cal = df.filter(col("id") % 4 < 2)
+    val test = df.filter(col("id") % 4 >= 2)
+    val iv = Stats.splitConformalBy(cal, test, "y", "yh", Seq("g")).get
+    val width = iv.groupBy("g")
+      .agg(max(col("conformal_hi") - col("conformal_lo")))
+      .as[(String, Double)].collect().toMap
+    assert(width("b") > width("a") * 4,
+      s"group widths must reflect group scales: $width")
+    val cov = iv.groupBy("g").agg(
+      avg(when(col("y") >= col("conformal_lo") &&
+        col("y") <= col("conformal_hi"), 1.0).otherwise(0.0)))
+      .as[(String, Double)].collect().toMap
+    assert(cov.values.forall(c => c >= 0.85 && c <= 0.97),
+      s"per-group coverage off: $cov")
+    // a group unseen in calibration gets NULL intervals, not a Fail
+    val testX = test.withColumn("g",
+      when(col("id") % 100 === 98, "zz").otherwise(col("g")))
+    val nulls = Stats.splitConformalBy(cal, testX, "y", "yh", Seq("g"))
+      .get.filter(col("g") === "zz")
+      .select("conformal_lo").as[Option[Double]].collect()
+    assert(nulls.nonEmpty && nulls.forall(_.isEmpty))
+    assert(Stats.splitConformalBy(cal, test, "y", "yh", Nil).isFailing)
+  }
 }
