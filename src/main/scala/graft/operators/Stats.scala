@@ -2183,7 +2183,7 @@ object Stats {
   }
 
   /** Poisson-bootstrap confidence interval for the mean (Hanley &
-    * MacGibbon 2006; Chamandy et al., Google 2012): replicate `b`
+    * MacGibbon 2006; Chamandy, Muralidharan, Najmi & Naidu 2012): replicate `b`
     * reweights every row by a Poisson(1) count — at corpus scale
     * indistinguishable from the multinomial bootstrap, and computed in
     * ONE distributed pass with `nBoot` counters per task instead of
