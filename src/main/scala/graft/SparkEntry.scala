@@ -2945,6 +2945,54 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q381_trimmed_mean" -> ((s, dir) => {
+      // 10%-trimmed mean price — exact integer band overlap on the
+      // cent-scaled value grid.
+      graft.operators.Stats.trimmedMean(tbl(s, dir, "lineitem"),
+        "l_extendedprice", trim = 0.1, scaleDecimals = 2).get
+    }),
+
+    "q382_mmd" -> ((s, dir) => {
+      // Linear-time RBF MMD between even- and odd-id embeddings —
+      // same distribution, so z should sit near 0; the oracle replays
+      // the deterministic pairing and all four kernels.
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.Stats.mmdLinear(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", "vec_id", gamma = 0.02, nBuckets = 8,
+        salt = "r11").get
+    }),
+
+    "q383_stream_hll" -> ((s, dir) => {
+      // STREAMING per-day distinct-user sketches in 4 real
+      // micro-batches; the gate merges the drained sketches per
+      // event_type and asserts the estimate within 5% of exact (the
+      // q81 device — sparse-mode sketches are value-exact here).
+      implicit val sp: SparkSession = s
+      val ev = events(s, dir)
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src383"
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_shll_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        h <- graft.streaming.Stream.windowedHllSketches(src, "ts",
+          "1 day", "1 hour", "user_id", keys = Seq("event_type"))
+        res <- graft.streaming.Stream.drainToMemory(h, name, "complete")
+      } yield res).get
+      val est = Sketch.hllMergeEstimate(drained, Seq("event_type")).get
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     "q380_conformal_by" -> ((s, dir) => {
       // Mondrian conformal: per-returnflag calibration quantiles on
       // the q366 setup — group-conditional coverage.
@@ -5928,6 +5976,65 @@ object SparkEntry {
          round(lo.ci_lo + 1e-9, 6) AS ci_lo,
          round(hi.ci_hi + 1e-9, 6) AS ci_hi
        FROM st JOIN lo $kJoinLo JOIN hi $kJoinHi $kOrd"""
+  }
+
+  /** q382's oracle, generated: the linear MMD pairing (salted-hash
+    * buckets, rank alignment, consecutive pair-of-pairs) and all four
+    * RBF kernels with the unrolled left-fold squared-L2 — op-for-op
+    * the [[graft.operators.Stats.mmdLinear]] plan. */
+  private def mmdOracleSql(
+      gamma: Double, nBuckets: Int, salt: String, dim: Int): String = {
+    def sq(a: String, b: String): String =
+      (1 to dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+        .mkString(" + ")
+    def k(a: String, b: String): String =
+      s"exp(${java.lang.Double.toString(-gamma)} * (${sq(a, b)}))"
+    def sideCte(name: String, parity: Int): String =
+      s"""$name AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS v,
+             CAST(('0x' || substring(md5('$salt§' ||
+               CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+             vec_id
+           FROM embeddings
+           WHERE vec_id % 2 = $parity AND embedding IS NOT NULL
+             AND vec_id IS NOT NULL
+         ), r$name AS (
+           SELECT v, h % $nBuckets AS bk,
+             CAST(row_number() OVER (PARTITION BY h % $nBuckets
+               ORDER BY h, vec_id) AS BIGINT) AS r
+           FROM $name
+         )"""
+    s"""WITH ${sideCte("ea", 0)}, ${sideCte("eb", 1)}, j AS (
+           SELECT rea.bk, rea.r, rea.v AS x, reb.v AS y,
+             (rea.r + 1) // 2 AS p
+           FROM rea JOIN reb ON rea.bk = reb.bk AND rea.r = reb.r
+         ), z1 AS (
+           SELECT bk, p, x AS x1, y AS y1 FROM j WHERE r % 2 = 1
+         ), z2 AS (
+           SELECT bk, p, x AS x2, y AS y2 FROM j WHERE r % 2 = 0
+         ), hs AS (
+           SELECT ((${k("x1", "x2")} + ${k("y1", "y2")}
+             - ${k("x1", "y2")}) - ${k("x2", "y1")}) AS hv
+           FROM z1 JOIN z2 ON z1.bk = z2.bk AND z1.p = z2.p
+         ), ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS np, sum(hv) AS sh,
+             sum(hv * hv) AS sh2
+           FROM hs
+         )
+         SELECT np AS n_pairs,
+           round(CASE WHEN np > 0 THEN sh / CAST(np AS DOUBLE) END
+             + 1e-9, 6) AS mmd2,
+           round(CASE WHEN np >= 2 THEN
+             sqrt(((sh2 - (sh * sh) / CAST(np AS DOUBLE)) /
+               (CAST(np AS DOUBLE) - 1.0)) / CAST(np AS DOUBLE))
+             END + 1e-9, 6) AS se,
+           round(CASE WHEN np >= 2 AND
+               (sh2 - (sh * sh) / CAST(np AS DOUBLE)) > 0 THEN
+             (sh / CAST(np AS DOUBLE)) /
+               sqrt(((sh2 - (sh * sh) / CAST(np AS DOUBLE)) /
+                 (CAST(np AS DOUBLE) - 1.0)) / CAST(np AS DOUBLE))
+             END + 1e-9, 6) AS z
+         FROM ag"""
   }
 
   /** q366/q367 oracle CTEs: calibration residual grid over odd
@@ -10176,6 +10283,47 @@ object SparkEntry {
     // q368: the one-pass bootstrap replayed draw-for-draw.
     "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
       nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q381: the band-overlap arithmetic on the cent grid.
+    "q381_trimmed_mean" ->
+      """WITH grid AS (
+           SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0)
+             AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS t
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+         ), cum AS (
+           SELECT v, t,
+             sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             sum(t) OVER () AS n
+           FROM grid
+         ), k AS (
+           SELECT v, t, c, n,
+             CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT) AS g
+           FROM cum
+         ), o AS (
+           SELECT n, v,
+             greatest(0, least(c, n - g) - greatest(c - t, g)) AS kept
+           FROM k
+         )
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(CASE WHEN sum(kept) > 0 THEN
+             (CAST(sum(kept * v) AS DOUBLE) /
+              CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE)) / 100.0
+             END + 1e-9, 6) AS trimmed_mean
+         FROM o""",
+
+    // q382: pairing + all four RBF kernels replayed — see
+    // mmdOracleSql.
+    "q382_mmd" -> mmdOracleSql(gamma = 0.02, nBuckets = 8,
+      salt = "r11", dim = 64),
+
+    // q383: the q81 device per the streaming build — exact distincts,
+    // bound asserted gate-side.
+    "q383_stream_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         true AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // q380: the q366 grid-rank pick PER FLAG, left-joined onto test.
     "q380_conformal_by" ->

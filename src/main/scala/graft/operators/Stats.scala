@@ -2685,4 +2685,129 @@ object Stats {
           col(yhatCol).cast("double") + col("__qhat"))
         .drop("__qhat")
     }
+
+  /** Symmetrically trimmed mean — the estimator companion of
+    * [[graft.operators.Quality.winsorize]]: drop the lowest and
+    * highest `⌊trim·n⌋` observations by rank and average the rest.
+    * Exact under the ×10^s contract: the value grid carries counts,
+    * each grid row contributes `max(0, min(c, n−g) − max(c−g₀, g))`
+    * kept rows (pure integer overlap of its cumulative range with the
+    * kept band), and the kept-weighted sum is integer. ONE row
+    * `(n, n_kept, trimmed_mean)`; NULL mean when the band is empty.
+    * One partial agg to the grid + grid-sized windows. */
+  def trimmedMean(
+      df: DataFrame,
+      valueCol: String,
+      trim: Double,
+      scaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5): $trim")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val grid = df.filter(col(valueCol).isNotNull)
+      .groupBy(round(col(valueCol).cast("double") * lit(sc)).cast("long")
+        .as("__v"))
+      .agg(count(lit(1)).as("__t"))
+    val wOrd = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("__c", sum(col("__t")).over(wOrd))
+      .withColumn("__n", sum(col("__t")).over(wAll))
+    val g = floor(lit(trim) * col("__n").cast("double")).cast("long")
+    val kept = greatest(lit(0L),
+      least(col("__c"), col("__n") - g) -
+        greatest(col("__c") - col("__t"), g))
+    cum.withColumn("__k", kept)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__k")).as("n_kept"),
+        sum(col("__k") * col("__v")).as("__s"))
+      .select(col("n"), col("n_kept"),
+        round(when(col("n_kept") > 0,
+          (col("__s").cast("double") / col("n_kept").cast("double"))
+            / lit(sc)) + lit(1e-9), 6).as("trimmed_mean"))
+  }
+
+  /** Linear-time MMD two-sample test for EMBEDDINGS (Gretton et al.,
+    * JMLR 2012 §6 — the streaming estimator): pair the two samples
+    * deterministically (salted-hash buckets, rank-aligned inside each
+    * bucket — any fixed pairing is unbiased), then average
+    * `h(z₁,z₂) = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁)` over
+    * consecutive pair-of-pairs with the RBF kernel
+    * `k(u,v) = exp(−γ‖u−v‖²)`. Representation-space drift detection —
+    * "did the embedding DISTRIBUTION move", the question per-dimension
+    * PSI can't ask. Returns ONE row `(n_pairs, mmd2, se, z)`: the
+    * estimator, its normal-approximation standard error and z-score
+    * (NULL when variance degenerates). Distances are the engine-exact
+    * left fold; `exp` and the cross-pair sums are χ²-tier (round-6
+    * outputs).
+    *
+    * Scale shape: no quadratic kernel matrix — one hash bucketing per
+    * side, rank windows WITHIN buckets (never a global single
+    * partition), one join on (bucket, rank), one aggregation. */
+  def mmdLinear(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String,
+      idCol: String,
+      gamma: Double,
+      nBuckets: Int = 64,
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(gamma > 0, s"gamma must be positive: $gamma")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536]: $nBuckets")
+    def side(df: DataFrame, vOut: String): DataFrame = {
+      val h = graft.functions.TextFunctions.portableHash60(
+        concat(lit(s"$salt§"), col(idCol).cast("string")))
+      val w = Window.partitionBy(col("__bk")).orderBy(col("__h"), col(idCol))
+      df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol),
+          transform(col(vecCol), x => x.cast("double")).as(vOut),
+          h.as("__h"))
+        .withColumn("__bk", pmod(col("__h"), lit(nBuckets.toLong)))
+        .withColumn("__r", row_number().over(w).cast("long"))
+        .select(col("__bk"), col("__r"), col(vOut))
+    }
+    val joined = side(a, "__x").join(side(b, "__y"), Seq("__bk", "__r"))
+      .withColumn("__p", ((col("__r") + 1) / lit(2L)).cast("long"))
+    import org.apache.spark.sql.Column
+    def sq(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    def k(u: Column, v: Column): Column =
+      exp(lit(-gamma) * sq(u, v))
+    val z1 = joined.filter(pmod(col("__r"), lit(2L)) === 1)
+      .select(col("__bk"), col("__p"),
+        col("__x").as("__x1"), col("__y").as("__y1"))
+    val z2 = joined.filter(pmod(col("__r"), lit(2L)) === 0)
+      .select(col("__bk"), col("__p"),
+        col("__x").as("__x2"), col("__y").as("__y2"))
+    val hTerm = (k(col("__x1"), col("__x2")) + k(col("__y1"), col("__y2"))
+      - k(col("__x1"), col("__y2"))) - k(col("__x2"), col("__y1"))
+    val pairs = z1.join(z2, Seq("__bk", "__p"))
+      .select(hTerm.as("__hv"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("__hv")).as("__sh"),
+        sum(col("__hv") * col("__hv")).as("__sh2"))
+      .select(col("n_pairs"),
+        round(when(col("n_pairs") > 0,
+          col("__sh") / col("n_pairs").cast("double")) + lit(1e-9), 6)
+          .as("mmd2"),
+        round(when(col("n_pairs") >= 2,
+          sqrt(((col("__sh2") - (col("__sh") * col("__sh")) /
+            col("n_pairs").cast("double")) /
+            (col("n_pairs").cast("double") - lit(1.0))) /
+            col("n_pairs").cast("double"))) + lit(1e-9), 6).as("se"),
+        round(when(col("n_pairs") >= 2 &&
+            (col("__sh2") - (col("__sh") * col("__sh")) /
+              col("n_pairs").cast("double")) > 0,
+          (col("__sh") / col("n_pairs").cast("double")) /
+            sqrt(((col("__sh2") - (col("__sh") * col("__sh")) /
+              col("n_pairs").cast("double")) /
+              (col("n_pairs").cast("double") - lit(1.0))) /
+              col("n_pairs").cast("double"))) + lit(1e-9), 6).as("z"))
+  }
 }

@@ -659,6 +659,28 @@ object Stream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** STREAMING per-window HLL distinct sketches: `(window, keys...,
+    * sketch)` — state is ONE ~2 KB sketch per (window, key) regardless
+    * of event volume or value cardinality, and the sketches stay
+    * MERGEABLE downstream ([[graft.operators.Sketch.hllMergeEstimate]]
+    * answers "distinct users over any window union" without replay).
+    * The bounded-state member the exact windowed counts can't be when
+    * the value domain explodes. */
+  def windowedHllSketches(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      lgConfigK: Int = 12): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedHllSketches needs a streaming frame")
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+  }
+
   def cdcNovelChunks(
       stream: DataFrame,
       reference: DataFrame,

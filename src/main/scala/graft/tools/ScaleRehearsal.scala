@@ -1774,6 +1774,50 @@ object ScaleRehearsal {
       pr.size.toLong
     })
 
+    // PSI replication exactness at 10x: counts scale by mult, so every
+    // p = (n·m)/(N·m) is the SAME real quotient — bin shares, contribs
+    // and totals must be bit-identical to the base comparison
+    time("psi")({
+      val baseL = spark.read.parquet(s"$dir/lineitem.parquet")
+      def run(d: DataFrame) = graft.operators.Stats.psi(
+          d.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+          d.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+          "l_extendedprice", Seq(1000.0, 5000.0, 10000.0, 50000.0)).get
+        .orderBy("bin")
+        .select("bin", "p_ref", "p_cur", "contrib", "psi_total")
+        .collect().toSeq
+      val pb = run(baseL)
+      val pr = run(li)
+      check("psi_replication_invariant", pb == pr,
+        s"PSI must be replication-invariant: $pb vs $pr")
+      pr.size.toLong
+    })
+
+    // Poisson-bootstrap laws at 10x: theta is the SAME real quotient
+    // ((Σc·m)/(n·m)) — bit-equal; and 10x data must not WIDEN the CI
+    // (draws differ per id, so the law is width shrink, not equality)
+    time("bootstrap")({
+      val baseL = spark.read.parquet(s"$dir/lineitem.parquet")
+      def run(d: DataFrame) = graft.operators.Stats.poissonBootstrap(
+          d, "l_discount",
+          idCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+          nBoot = 40, alpha = 0.1, scaleDecimals = 2, salt = "rl").get
+        .collect().head
+      val rb = run(baseL)
+      val rr = run(li)
+      check("bootstrap_theta_replication_invariant",
+        rb.getDouble(1) == rr.getDouble(1),
+        s"theta must be replication-invariant: ${rb.getDouble(1)} vs " +
+          s"${rr.getDouble(1)}")
+      check("bootstrap_ci_shrink_law",
+        (rr.getDouble(4) - rr.getDouble(3)) <
+          (rb.getDouble(4) - rb.getDouble(3)),
+        s"10x data must narrow the CI: " +
+          s"[${rr.getDouble(3)}, ${rr.getDouble(4)}] vs " +
+          s"[${rb.getDouble(3)}, ${rb.getDouble(4)}]")
+      rr.getLong(0)
+    })
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +

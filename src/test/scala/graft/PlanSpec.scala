@@ -498,4 +498,26 @@ class PlanSpec extends AnyFunSuite {
       s"mSPRT should exchange once for keys + once for the gate sort: " +
         s"$exchanges\n$plan")
   }
+
+  test("q368: the bootstrap is explode + ONE aggregation — no join of " +
+      "the corpus") {
+    val plan = planOf("q368_poisson_bootstrap")
+    // the only joins are the 1-row CI picks onto the 1-row stats —
+    // those plan as broadcast loop joins over SCALAR frames; what must
+    // never appear is a shuffled join of the replicated corpus
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("ShuffledHashJoin"),
+      "replicate counters must not shuffle-join the corpus")
+    assert(plan.contains("Generate"),
+      "the nBoot replicates must ride a map-side explode")
+  }
+
+  test("q382: MMD pairs via equi-joins on (bucket, rank) — never a " +
+      "kernel matrix") {
+    val plan = planOf("q382_mmd")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "linear MMD must never plan an all-pairs kernel matrix")
+  }
 }

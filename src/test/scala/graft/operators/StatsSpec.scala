@@ -1178,4 +1178,50 @@ class StatsSpec extends AnyFunSuite {
     assert(nulls.nonEmpty && nulls.forall(_.isEmpty))
     assert(Stats.splitConformalBy(cal, test, "y", "yh", Nil).isFailing)
   }
+
+  test("trimmedMean: hand band overlap, trim 0 equals the mean") {
+    // 1..10, trim .2 -> g = 2, keep 3..8, mean 5.5
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Stats.trimmedMean(df, "v", trim = 0.2).get
+      .as[(Long, Long, Option[Double])].head()
+    assert(got == ((10L, 6L, Some(5.5))))
+    val plain = Stats.trimmedMean(df, "v", trim = 0.0).get
+      .as[(Long, Long, Option[Double])].head()
+    assert(plain == ((10L, 10L, Some(5.5))))
+    // duplicates straddling the cut: 5x1, 5x2 with trim .3 -> g = 3,
+    // keep ranks 4..7 = two 1s and two 2s -> 1.5
+    val dup = (Seq.fill(5)(1.0) ++ Seq.fill(5)(2.0)).toDF("v")
+    val d = Stats.trimmedMean(dup, "v", trim = 0.3).get
+      .as[(Long, Long, Option[Double])].head()
+    assert(d == ((10L, 4L, Some(1.5))))
+    assert(Stats.trimmedMean(df, "v", trim = 0.5).isFailing)
+    assert(Stats.trimmedMean(df, "v", -0.1).isFailing)
+  }
+
+  test("mmdLinear: calm on same distribution, fires on a shifted one, " +
+      "deterministic") {
+    val rnd = new scala.util.Random(47L)
+    def mk(n: Int, shift: Float, ids: Int => Long) =
+      Seq.tabulate(n)(i =>
+        (ids(i), Seq.fill(16)(rnd.nextFloat() + shift)))
+        .toDF("vec_id", "embedding")
+    val a = mk(400, 0f, i => i.toLong * 2)
+    val b = mk(400, 0f, i => i.toLong * 2 + 1)
+    val calm = Stats.mmdLinear(a, b, "embedding", "vec_id",
+      gamma = 0.5, nBuckets = 8).get
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(calm._1 > 150 && calm._4.exists(z => math.abs(z) < 3.0),
+      s"same-dist z too large: $calm")
+    val c = mk(400, 1.5f, i => i.toLong * 2 + 1)
+    val hot = Stats.mmdLinear(a, c, "embedding", "vec_id",
+      gamma = 0.5, nBuckets = 8).get
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(hot._4.exists(_ > 5.0), s"shifted dist not detected: $hot")
+    // bit-deterministic across partitionings
+    val again = Stats.mmdLinear(a.repartition(13), c.repartition(5),
+      "embedding", "vec_id", gamma = 0.5, nBuckets = 8).get
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(again == hot)
+    assert(Stats.mmdLinear(a, b, "embedding", "vec_id", 0.0).isFailing)
+  }
 }

@@ -524,4 +524,28 @@ class StreamSpec extends AnyFunSuite {
     assert(Stream.windowedBinCounts(input.toDF.toDF("ts", "v"), "ts",
       "10 minutes", "5 minutes", "v", Seq(2.0, 1.0)).isFailing)
   }
+
+  test("windowedHllSketches: merged streamed sketches estimate exactly " +
+      "in sparse mode; static frames rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketch
+    val events = Seq.tabulate(500)(i =>
+      (ts(i % 30), s"u${i % 97}"))
+    val input = MemoryStream[(Timestamp, String)]
+    val h = Stream.windowedHllSketches(input.toDF.toDF("ts", "u"), "ts",
+      "10 minutes", "5 minutes", "u").get
+    val q = h.writeStream.outputMode("complete").format("memory")
+      .queryName("whll_test").start()
+    input.addData(events.take(250))
+    q.processAllAvailable()
+    input.addData(events.drop(250))
+    q.processAllAvailable()
+    q.stop()
+    val est = Sketch.hllMergeEstimate(
+      spark.table("whll_test"), Nil).get
+      .as[Double].head()
+    assert(math.round(est) == 97L, s"sparse-mode estimate off: $est")
+    assert(Stream.windowedHllSketches(events.toDF("ts", "u"), "ts",
+      "10 minutes", "5 minutes", "u").isFailing)
+  }
 }
