@@ -2945,6 +2945,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q384_wilson_ci" -> ((s, dir) => {
+      // Per-source Wilson intervals for the long-document rate —
+      // closed form of two exact counts, shared z literal.
+      graft.operators.Stats.proportionCIBy(
+        tbl(s, dir, "documents")
+          .withColumn("__long", col("n_chars") >= 500),
+        "__long", keys = Seq("source")).get
+        .orderBy("source")
+    }),
+
     "q381_trimmed_mean" -> ((s, dir) => {
       // 10%-trimmed mean price — exact integer band overlap on the
       // cent-scaled value grid.
@@ -5976,6 +5986,36 @@ object SparkEntry {
          round(lo.ci_lo + 1e-9, 6) AS ci_lo,
          round(hi.ci_hi + 1e-9, 6) AS ci_hi
        FROM st JOIN lo $kJoinLo JOIN hi $kJoinHi $kOrd"""
+  }
+
+  /** q384's oracle, generated: the Wilson closed form with z and z²
+    * embedded as the operator's own driver-computed literals. */
+  private def wilsonOracleSql: String = {
+    val z = 1.959963984540054
+    val zs = java.lang.Double.toString(z)
+    val z2s = java.lang.Double.toString(z * z)
+    s"""WITH g AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos
+         FROM documents
+         WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1
+       ), t AS (
+         SELECT source, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+           1.0 + $z2s / CAST(n AS DOUBLE) AS den,
+           CAST(n AS DOUBLE) AS nd
+         FROM g
+       )
+       SELECT source, n, n_pos,
+         round(ph + 1e-9, 6) AS p,
+         round(((ph + $z2s / (2.0 * nd)) / den -
+           ($zs * sqrt(ph * (1.0 - ph) / nd + $z2s / ((4.0 * nd) * nd)))
+             / den) + 1e-9, 6) AS wilson_lo,
+         round(((ph + $z2s / (2.0 * nd)) / den +
+           ($zs * sqrt(ph * (1.0 - ph) / nd + $z2s / ((4.0 * nd) * nd)))
+             / den) + 1e-9, 6) AS wilson_hi
+       FROM t ORDER BY source"""
   }
 
   /** q382's oracle, generated: the linear MMD pairing (salted-hash
@@ -10283,6 +10323,10 @@ object SparkEntry {
     // q368: the one-pass bootstrap replayed draw-for-draw.
     "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
       nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q384: the Wilson closed form mirrored op-for-op (z and z² as
+    // the same driver-computed literals).
+    "q384_wilson_ci" -> wilsonOracleSql,
 
     // q381: the band-overlap arithmetic on the cent grid.
     "q381_trimmed_mean" ->

@@ -2810,4 +2810,37 @@ object Stats {
               (col("n_pairs").cast("double") - lit(1.0))) /
               col("n_pairs").cast("double"))) + lit(1e-9), 6).as("z"))
   }
+
+  /** Per-group Wilson score intervals for a boolean rate (Wilson 1927
+    * — the interval that behaves at small n and extreme p where the
+    * Wald ±z√(p(1−p)/n) collapses): one row per key
+    * `(keys..., n, n_pos, p, wilson_lo, wilson_hi)` at 95% (shared z
+    * literal). Pure IEEE closed form of two exact counts — one
+    * aggregation, engine-replayable op-for-op. Groups with n = 0
+    * cannot occur (they have no rows); p is exact-count division. */
+  def proportionCIBy(
+      df: DataFrame,
+      successCol: String,
+      keys: Seq[String]
+  ): MayFail[DataFrame] = MayFail {
+    require(keys.nonEmpty, "proportionCIBy needs group keys")
+    val z = 1.959963984540054 // qnorm(0.975), shared literal
+    val succ = col(successCol).cast("boolean")
+    val g = df.filter(succ.isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(succ, 1L).otherwise(0L)).as("n_pos"))
+    val nD = col("n").cast("double")
+    val ph = col("n_pos").cast("double") / nD
+    val z2 = z * z // exact driver-side product, shared with the oracle
+    val den = lit(1.0) + lit(z2) / nD
+    val center = (ph + lit(z2) / (lit(2.0) * nD)) / den
+    val half = (lit(z) * sqrt(ph * (lit(1.0) - ph) / nD +
+      lit(z2) / ((lit(4.0) * nD) * nD))) / den
+    g.select(keys.map(col) ++ Seq(col("n"), col("n_pos"),
+      round(ph + lit(1e-9), 6).as("p"),
+      round((center - half) + lit(1e-9), 6).as("wilson_lo"),
+      round((center + half) + lit(1e-9), 6).as("wilson_hi")): _*)
+  }
 }

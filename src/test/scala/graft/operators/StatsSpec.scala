@@ -1224,4 +1224,30 @@ class StatsSpec extends AnyFunSuite {
     assert(again == hot)
     assert(Stats.mmdLinear(a, b, "embedding", "vec_id", 0.0).isFailing)
   }
+
+  test("proportionCIBy: Wilson brackets, sane at extremes, hand value") {
+    val df = (Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(5)(("b", false))).toDF("g", "y")
+    val got = Stats.proportionCIBy(df, "y", Seq("g")).get
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val z = 1.959963984540054
+    def wilson(s: Long, n: Long) = {
+      val ph = s.toDouble / n; val nd = n.toDouble; val z2 = z * z
+      val den = 1.0 + z2 / nd
+      val c = (ph + z2 / (2.0 * nd)) / den
+      val h = (z * math.sqrt(ph * (1.0 - ph) / nd +
+        z2 / ((4.0 * nd) * nd))) / den
+      def r6(x: Double) = BigDecimal(x + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(c - h), r6(c + h))
+    }
+    val (lo, hi) = wilson(8, 10)
+    assert(got("a") == (("a", 10L, 8L, 0.8, lo, hi)))
+    // all-failure group: lo = 0-ish but hi stays meaningfully above 0
+    // (the Wald interval would collapse to [0, 0])
+    assert(got("b")._4 == 0.0 && got("b")._6 > 0.3)
+    assert(got("b")._5 >= 0.0 && got("b")._6 <= 1.0)
+    assert(Stats.proportionCIBy(df, "y", Nil).isFailing)
+  }
 }
