@@ -2945,6 +2945,26 @@ object SparkEntry {
         tbl(s, dir, "documents"), "n_chars").get
     }),
 
+    "q385_cochran_armitage" -> ((s, dir) => {
+      // Dose-response: does P(price >= 30000) trend with quantity —
+      // integer score grid, one partial agg, closed form.
+      graft.operators.Stats.cochranArmitage(
+        tbl(s, dir, "lineitem")
+          .withColumn("__succ",
+            col("l_extendedprice").cast("double") >= 30000.0),
+        "__succ", "l_quantity").get
+    }),
+
+    "q386_runs_test" -> ((s, dir) => {
+      // Serial randomness of the discount>=5% flag in a TOTAL order
+      // (value appended to break the duplicate-key ties).
+      graft.operators.Stats.runsTest(
+        tbl(s, dir, "lineitem")
+          .withColumn("__flag", col("l_discount").cast("double") >= 0.05),
+        "__flag",
+        orderCols = Seq("l_orderkey", "l_linenumber", "l_discount")).get
+    }),
+
     "q384_wilson_ci" -> ((s, dir) => {
       // Per-source Wilson intervals for the long-document rate —
       // closed form of two exact counts, shared z literal.
@@ -10323,6 +10343,75 @@ object SparkEntry {
     // q368: the one-pass bootstrap replayed draw-for-draw.
     "q368_poisson_bootstrap" -> poissonBootstrapOracleSql(
       nBoot = 40, alpha = 0.1, salt = "r11"),
+
+    // q385: exact score-grid cells; the s²n moment is
+    // double-from-first on both sides.
+    "q385_cochran_armitage" ->
+      """WITH g AS (
+           SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1.0)
+               AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE)
+               >= 30000.0 THEN 1 ELSE 0 END) AS BIGINT) AS r
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_levels,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS n_pos,
+             CAST(sum(s * r) AS BIGINT) AS aa,
+             CAST(sum(s * n) AS BIGINT) AS bb,
+             sum(CAST(s AS DOUBLE) * s * n) AS cc
+           FROM g
+         ), f AS (
+           SELECT k_levels, n, n_pos,
+             CAST(aa AS DOUBLE) -
+               (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+               CAST(bb AS DOUBLE) AS t,
+             ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))) *
+               (cc - (CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE)) /
+                 CAST(n AS DOUBLE)) AS v
+           FROM a
+         )
+         SELECT k_levels, n, n_pos,
+           round(t / 1.0 + 1e-9, 6) AS t,
+           round(CASE WHEN v > 0 THEN t / sqrt(v) END + 1e-9, 6) AS z
+         FROM f""",
+
+    // q386: the lag-window run count and the exact-count normal form.
+    "q386_runs_test" ->
+      """WITH b AS (
+           SELECT CAST(l_discount AS DOUBLE) >= 0.05 AS x,
+             l_orderkey, l_linenumber, l_discount
+           FROM lineitem WHERE l_discount IS NOT NULL
+         ), m AS (
+           SELECT x,
+             CASE WHEN lag(x) OVER (ORDER BY l_orderkey, l_linenumber,
+                 l_discount) IS NULL THEN 1
+               WHEN lag(x) OVER (ORDER BY l_orderkey, l_linenumber,
+                 l_discount) <> x THEN 1 ELSE 0 END AS chg
+           FROM b
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+             CAST(sum(chg) AS BIGINT) AS n_runs
+           FROM m
+         ), f AS (
+           SELECT n, n_true, n_runs,
+             2.0 * CAST(n_true AS DOUBLE) *
+               (CAST(n AS DOUBLE) - CAST(n_true AS DOUBLE)) AS two,
+             CAST(n AS DOUBLE) AS nd
+           FROM a
+         )
+         SELECT n, n_true, n_runs,
+           round(CASE WHEN n_true >= 2 AND n - n_true >= 2 AND
+               (two * (two - nd)) / ((nd * nd) * (nd - 1.0)) > 0 THEN
+             (CAST(n_runs AS DOUBLE) - (1.0 + two / nd)) /
+               sqrt((two * (two - nd)) / ((nd * nd) * (nd - 1.0)))
+             END + 1e-9, 6) AS z
+         FROM f""",
 
     // q384: the Wilson closed form mirrored op-for-op (z and z² as
     // the same driver-computed literals).

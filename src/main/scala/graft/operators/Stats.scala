@@ -2843,4 +2843,94 @@ object Stats {
       round((center - half) + lit(1e-9), 6).as("wilson_lo"),
       round((center + half) + lit(1e-9), 6).as("wilson_hi")): _*)
   }
+
+  /** Cochran–Armitage trend test (1954/1955): is a binary rate
+    * MONOTONE in an ordered exposure score — the dose-response member
+    * of the contingency family (χ² sees association, this sees
+    * direction). Scores must be integral-valued (`scaleDecimals`
+    * rescales decimals the ×10^s way); per-score cells are exact
+    * integers, `T = Σsᵢrᵢ − p̄·Σsᵢnᵢ` and
+    * `Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N)` follow the
+    * double-from-first-factor convention for the quadratic moment.
+    * ONE row `(k_levels, n, n_pos, t, z)`; NULL z when the variance
+    * degenerates (constant score or constant outcome). One partial-agg
+    * shuffle to the score grid. */
+  def cochranArmitage(
+      df: DataFrame,
+      successCol: String,
+      scoreCol: String,
+      scaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val succ = col(successCol).cast("boolean")
+    val s = round(col(scoreCol).cast("double") * lit(sc)).cast("long")
+    val g = df.filter(succ.isNotNull && col(scoreCol).isNotNull)
+      .groupBy(s.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(succ, 1L).otherwise(0L)).as("__r"))
+    val agg = g.agg(
+      count(lit(1)).as("k_levels"),
+      sum(col("__n")).as("n"),
+      sum(col("__r")).as("n_pos"),
+      sum(col("__s") * col("__r")).as("__a"),
+      sum(col("__s") * col("__n")).as("__b"),
+      // s²·n in double from the first factor (ANSI-safe past 2³¹ scores)
+      sum(col("__s").cast("double") * col("__s") * col("__n")).as("__c"))
+    val nD = col("n").cast("double")
+    val pbar = col("n_pos").cast("double") / nD
+    val t = col("__a").cast("double") - pbar * col("__b").cast("double")
+    val v = (pbar * (lit(1.0) - pbar)) *
+      (col("__c") - (col("__b").cast("double") *
+        col("__b").cast("double")) / nD)
+    agg.select(col("k_levels"), col("n"), col("n_pos"),
+      round(t / lit(sc) + lit(1e-9), 6).as("t"),
+      round(when(v > 0, t / sqrt(v)) + lit(1e-9), 6).as("z"))
+  }
+
+  /** Wald–Wolfowitz runs test of sequence randomness: are the TRUE/
+    * FALSE values of `flagCol`, in `orderCols` order, free of serial
+    * clustering? `R = 1 + Σ[xᵢ ≠ xᵢ₋₁]` against the exact-count normal
+    * approximation `μ = 1 + 2n₁n₀/n`,
+    * `σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1))` (quadratics double-from-first).
+    * ONE row `(n, n_true, n_runs, z)`; NULL z below n = 2 per class.
+    * Order contract: `orderCols` must be a TOTAL order — unlike
+    * [[msprt]], runs are NOT invariant under tied-row swaps, so append
+    * enough columns to break every tie. One window pass (lag) + one
+    * aggregation. */
+  def runsTest(
+      df: DataFrame,
+      flagCol: String,
+      orderCols: Seq[String],
+      keys: Seq[String] = Nil
+  ): MayFail[DataFrame] = MayFail {
+    require(orderCols.nonEmpty, "runsTest needs a total order")
+    val x = col(flagCol).cast("boolean")
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val marked = df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__chg",
+        when(lag(col("__x"), 1).over(wOrd).isNull, 1L)
+          .when(lag(col("__x"), 1).over(wOrd) =!= col("__x"), 1L)
+          .otherwise(0L))
+    val agg = (if (keys.isEmpty) marked.groupBy()
+      else marked.groupBy(keys.map(col): _*))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("n_true"),
+        sum(col("__chg")).as("n_runs"))
+    val nD = col("n").cast("double")
+    val n1 = col("n_true").cast("double")
+    val n0 = nD - n1
+    val two = lit(2.0) * n1 * n0
+    val mu = lit(1.0) + two / nD
+    val v = (two * (two - nD)) / ((nD * nD) * (nD - lit(1.0)))
+    val ok = col("n_true") >= 2 && (col("n") - col("n_true")) >= 2 && v > 0
+    agg.select(keys.map(col) ++ Seq(col("n"), col("n_true"),
+      col("n_runs"),
+      round(when(ok,
+        (col("n_runs").cast("double") - mu) / sqrt(v)) + lit(1e-9), 6)
+        .as("z")): _*)
+  }
 }

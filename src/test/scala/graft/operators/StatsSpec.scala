@@ -1250,4 +1250,46 @@ class StatsSpec extends AnyFunSuite {
     assert(got("b")._5 >= 0.0 && got("b")._6 <= 1.0)
     assert(Stats.proportionCIBy(df, "y", Nil).isFailing)
   }
+
+  test("cochranArmitage detects a planted dose-response trend") {
+    // rates 10% / 50% / 90% at scores 1, 2, 3
+    def rows(s: Int, k: Int, pos: Int) =
+      Seq.tabulate(k)(i => (s.toDouble, i < pos))
+    val up = (rows(1, 100, 10) ++ rows(2, 100, 50) ++ rows(3, 100, 90))
+      .toDF("score", "y")
+    val got = Stats.cochranArmitage(up, "y", "score").get
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(got._1 == 3L && got._2 == 300L && got._3 == 150L)
+    // hand: A = 10 + 100 + 270 = 380; B = 600; T = 380 - 0.5*600 = 80
+    assert(got._4 == 80.0)
+    assert(got._5.exists(_ > 10.0), s"trend not detected: $got")
+    // flat rates: z near 0; constant outcome: NULL
+    val flat = (rows(1, 100, 50) ++ rows(2, 100, 50) ++ rows(3, 100, 50))
+      .toDF("score", "y")
+    val zf = Stats.cochranArmitage(flat, "y", "score").get
+      .select("z").as[Option[Double]].head()
+    assert(zf.exists(z => math.abs(z) < 1e-6))
+    val const = rows(1, 50, 50).toDF("score", "y")
+    assert(Stats.cochranArmitage(const, "y", "score").get
+      .select("z").as[Option[Double]].head().isEmpty)
+  }
+
+  test("runsTest: hand run counts, clustered vs alternating extremes") {
+    // perfectly alternating: R = n -> large positive z
+    val alt = Seq.tabulate(100)(i => (i.toLong, i % 2 == 0))
+      .toDF("ord", "x")
+    val ra = Stats.runsTest(alt, "x", Seq("ord")).get
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(ra == ((100L, 50L, 100L, ra._4)) && ra._4.exists(_ > 9.0))
+    // perfectly clustered: R = 2 -> large negative z
+    val clu = Seq.tabulate(100)(i => (i.toLong, i < 50)).toDF("ord", "x")
+    val rc = Stats.runsTest(clu, "x", Seq("ord")).get
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(rc._3 == 2L && rc._4.exists(_ < -9.0))
+    // one-sided degenerate: NULL z
+    val one = Seq.tabulate(10)(i => (i.toLong, true)).toDF("ord", "x")
+    assert(Stats.runsTest(one, "x", Seq("ord")).get
+      .select("z").as[Option[Double]].head().isEmpty)
+    assert(Stats.runsTest(one, "x", Nil).isFailing)
+  }
 }
