@@ -5960,7 +5960,8 @@ object SparkEntry {
        ), drawn AS (
          SELECT ${kSel}bb.b AS b, base.c,
            ((CAST(('0x' || substring(md5(
-               CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)
+               CAST(l_orderkey AS VARCHAR) || '§'
+               || CAST(l_linenumber AS VARCHAR) || '§'
                || CAST(l_partkey AS VARCHAR) || '§$salt§'
                || CAST(bb.b AS VARCHAR)), 1, 15)) AS BIGINT)
              & 4503599627370495) + 0.5) / 4503599627370496.0 AS u
@@ -6242,7 +6243,7 @@ object SparkEntry {
          FROM u
        )
        SELECT f AS l_returnflag, i AS seq,
-         round(xbar + 1e-9, 6) AS xbar,
+         round(xbar / $scl + 1e-9, 6) AS xbar,
          round(llr + 1e-9, 6) AS llr,
          round(min(p) OVER (PARTITION BY f ORDER BY i
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
@@ -10983,6 +10984,7 @@ object SparkEntry {
          ), l AS (
            SELECT CASE WHEN t.tx - g.x <> 0 THEN
                CAST(t.ty - g.y AS DOUBLE) / CAST(t.tx - g.x AS DOUBLE)
+                 / 100.0
              END AS th
            FROM g, t
          ), a AS (
@@ -10994,7 +10996,7 @@ object SparkEntry {
          ), f AS (
            SELECT t.gn, t.ty, t.tx, sq.ssq,
              (t.gn >= 2 AND a.okn = a.cnt AND t.tx <> 0) AS ok,
-             CAST(t.ty AS DOUBLE) / CAST(t.tx AS DOUBLE) AS theta,
+             CAST(t.ty AS DOUBLE) / CAST(t.tx AS DOUBLE) / 100.0 AS theta,
              a.thbar,
              sqrt(((CAST(t.gn AS DOUBLE) - 1.0) / CAST(t.gn AS DOUBLE))
                * sq.ssq) AS se

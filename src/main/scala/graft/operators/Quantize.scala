@@ -751,7 +751,9 @@ object Quantize {
     * 8× scan-cost cut on the shortlist stage, and unlike PQ needs no
     * codebook. One map-side expression — no shuffle, no state; the
     * input dimension is probed once from the first row (Fail on an
-    * empty frame). */
+    * empty frame), and every row is GUARDED against it: a ragged
+    * vector raises a per-row error (never a silent NULL-padded or
+    * truncated projection); a NULL vector projects to NULL. */
   def randomProject(
       df: DataFrame,
       vecCol: String,
@@ -775,6 +777,15 @@ object Quantize {
         lit(0.0), (acc, t) => acc + t)
       if (normalize) p / lit(math.sqrt(outDim.toDouble)) else p
     }: _*)
-    df.withColumn(outCol, proj)
+    // per-row dimension guard, still one map-side expression: zip_with
+    // NULL-pads ragged vectors, so an unguarded projection would go
+    // silently NULL (or drop trailing components) instead of failing
+    val guarded = when(col(vecCol).isNull,
+        lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === lit(dim), proj)
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: ragged vector — probed dim $dim, got "),
+        size(col(vecCol)).cast("string"))))
+    df.withColumn(outCol, guarded)
   }
 }

@@ -1971,7 +1971,10 @@ object Stats {
     *   `ln Λᵢ = ½·ln(v/(v+i·τ²)) + (i²·τ²·d²) / (2v·(v+i·τ²))`
     *   `p_always(i) = min over j ≤ i of min(1, 1/Λⱼ)`
     *
-    * Returns `(keys..., seq, xbar, llr, p_always)` per row; prefixes
+    * Returns `(keys..., seq, xbar, llr, p_always)` per row — `xbar`
+    * is reported in ORIGINAL units (the scaled running mean divided
+    * back by 10^scaleDecimals), so it compares directly against the
+    * `theta0` the caller passed; prefixes
     * with zero plug-in variance yield NULL llr (no evidence either
     * way) and are skipped by the running min. The statistic is a pure
     * IEEE function of exact integers, so any engine replays it
@@ -2030,9 +2033,13 @@ object Stats {
       .withColumn("__llr", when(v > 0, llr))
       .withColumn("__p", when(v > 0, least(lit(1.0), lit(1.0) / lam)))
       .withColumn("__pmin", min(col("__p")).over(wCum))
+    // descale the reported running mean back to original units (the
+    // llr/p arithmetic stays in scaled units against t0s/t2s — only
+    // the READOUT descales, so xbar is comparable to theta0)
+    val xbarOut = if (scaleDecimals == 0) xbar else xbar / lit(sc)
     scored.select(keys.map(col) ++ Seq(
       col("__i").as("seq"),
-      round(xbar + lit(1e-9), 6).as("xbar"),
+      round(xbarOut + lit(1e-9), 6).as("xbar"),
       round(col("__llr") + lit(1e-9), 6).as("llr"),
       round(col("__pmin") + lit(1e-9), 6).as("p_always")): _*)
   }
@@ -2051,7 +2058,11 @@ object Stats {
     *   `SE² = (G−1)/G · Σ(θ₍₋g₎ − θ̄)²`
     *
     * Returns ONE row `(n_groups, theta, theta_jack_mean, se_jack,
-    * ci_lo, ci_hi)` with the ±1.96·SE normal interval. NULL statistics
+    * ci_lo, ci_hi)` with the ±1.96·SE normal interval. All outputs are
+    * in ORIGINAL units (num-units per den-unit): each scaled ratio is
+    * multiplied back by 10^(den−num) — an exact power-of-ten literal,
+    * one IEEE op — BEFORE the jackknife averages, so θ, θ̄, SE and the
+    * CI are directly comparable across scale choices. NULL statistics
     * when G < 2 or any leave-one-out denominator is zero (the
     * estimator is undefined, not zero — surfaced, never fabricated).
     * Everything up to the G-term float sums is exact-integer; the
@@ -2073,6 +2084,15 @@ object Stats {
       "scale decimals must be in [0, 9]")
     val ns = math.pow(10, numScaleDecimals)
     val ds = math.pow(10, denScaleDecimals)
+    // descale a scaled-num/scaled-den ratio back to original units:
+    // θ_scaled = (Σnum·10^n)/(Σden·10^d) = θ · 10^(n−d), so divide by
+    // 10^(n−d) (or multiply by 10^(d−n)) — an exact power-of-ten
+    // double literal, one IEEE rounding, engine-replayable
+    val scaleGap = math.pow(10, (numScaleDecimals - denScaleDecimals).abs)
+    def descale(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (numScaleDecimals == denScaleDecimals) e
+      else if (numScaleDecimals > denScaleDecimals) e / lit(scaleGap)
+      else e * lit(scaleGap)
     val g = df
       .filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("__g"))
@@ -2086,8 +2106,8 @@ object Stats {
     val loo = g.crossJoin(tot)
       .withColumn("__th",
         when(col("__tx") - col("__x") =!= 0L,
-          (col("__ty") - col("__y")).cast("double") /
-            (col("__tx") - col("__x")).cast("double")))
+          descale((col("__ty") - col("__y")).cast("double") /
+            (col("__tx") - col("__x")).cast("double"))))
     val agg = loo.agg(
       max(col("__gn")).as("n_groups"),
       max(col("__ty")).as("__ty"),
@@ -2103,7 +2123,8 @@ object Stats {
     val gd = col("n_groups").cast("double")
     val ok = col("n_groups") >= 2 && col("__ok") === col("__cnt") &&
       col("__tx") =!= 0L
-    val theta = col("__ty").cast("double") / col("__tx").cast("double")
+    val theta =
+      descale(col("__ty").cast("double") / col("__tx").cast("double"))
     val se = sqrt(((gd - 1) / gd) * col("__ssq"))
     agg.crossJoin(ssq).select(
       col("n_groups"),
@@ -2266,9 +2287,14 @@ object Stats {
           .as("__c")): _*)
     val withB = base.withColumn("__b",
       explode(array((0 until nBoot).map(i => lit(i)): _*)))
+    // '§'-interleave the id columns (the Sampling.shuffleKey idiom) so
+    // distinct id tuples like (1, 23) and (12, 3) never share a hash
+    // input — un-separated concat would give them correlated draws
+    // across every replicate
     val u = (graft.functions.TextFunctions.portableHash60(
-        concat(idCols.map(c => col(c).cast("string")) ++
-          Seq(lit("§" + salt + "§"), col("__b").cast("string")): _*))
+        concat(idCols.flatMap(c =>
+            Seq(col(c).cast("string"), lit("§"))) ++
+          Seq(lit(salt + "§"), col("__b").cast("string")): _*))
       .bitwiseAND(lit((1L << 52) - 1))
       .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
     val w = poissonCdf1.zipWithIndex
@@ -2596,7 +2622,9 @@ object Stats {
     * `u = n + 1 − l`, interval = the l-th and u-th order statistics —
     * no distributional assumption, exact grid-rank picks (the q355
     * convention), `z` baked for 95%. Returns ONE row
-    * `(n, median, ci_lo, ci_hi)`; NULL interval when n < 2 or the
+    * `(n, median, ci_lo, ci_hi)` — ALWAYS one row, `(0, NULL, NULL,
+    * NULL)` on an empty input (the sibling one-row contract of
+    * trimmedMean/jackknifeRatio); NULL interval when n < 2 or the
     * ranks degenerate. Plan: one partial agg to the value grid, then
     * grid-sized windows. */
   def medianCI(
@@ -2623,8 +2651,13 @@ object Stats {
     def pick(rank: org.apache.spark.sql.Column, out: String) =
       cum.filter(col("__c") >= rank && col("__c") - col("__t") < rank)
         .select(col("__v").as(out), col("__n"))
-    val n1 = pick(mRank, "median")
-    n1.select(col("__n").as("n"), col("median"))
+    // anchor on a one-row global aggregate (grid-sized, no extra
+    // corpus pass) so an EMPTY input still yields the documented ONE
+    // row — (0, NULL, NULL, NULL) — instead of vanishing; the rank
+    // picks left-join onto it
+    val anchor = grid.agg(coalesce(sum(col("__t")), lit(0L)).as("n"))
+    anchor
+      .join(pick(mRank, "median").select(col("median")), lit(true), "left")
       .join(pick(lRank, "__lo").select(col("__lo")), lit(true), "left")
       .join(pick(uRank, "__hi").select(col("__hi")), lit(true), "left")
       .select(col("n"),

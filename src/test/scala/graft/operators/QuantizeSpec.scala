@@ -546,4 +546,31 @@ class QuantizeSpec extends AnyFunSuite {
     assert(Quantize.randomProject(df, "embedding", 65).isFailing)
     assert(Quantize.randomProject(df.limit(0), "embedding", 8).isFailing)
   }
+
+  test("randomProject fails loudly on ragged vectors, NULL stays NULL") {
+    // zip_with would silently NULL-pad a short vector (or drop the
+    // tail of a long one) — the per-row guard must raise instead
+    val ragged = Seq(
+      (1L, Option(Seq.fill(8)(1.0f))),
+      (2L, Option(Seq.fill(5)(1.0f)))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Quantize.randomProject(ragged, "embedding", outDim = 4).get
+        .select("proj").collect()
+    }
+    assert(exceptionChain(ex).exists(_.getMessage != null) &&
+      exceptionChain(ex).exists(m => m.getMessage != null &&
+        m.getMessage.contains("ragged")),
+      s"expected a ragged-vector error, got: $ex")
+    // a NULL vector projects to NULL, not an array of NULLs
+    val withNull = Seq(
+      (1L, Option(Seq.fill(8)(0.5f))),
+      (2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val got = Quantize.randomProject(withNull, "embedding", outDim = 4).get
+      .orderBy("vec_id").select("proj")
+      .as[Option[Seq[Double]]].collect().toSeq
+    assert(got.size == 2 && got.head.isDefined && got(1).isEmpty, s"$got")
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: exceptionChain(t.getCause)
 }

@@ -877,6 +877,17 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("msprt reports xbar in original units under scaling") {
+    // cents-scaled values: the llr/p machinery runs on exact scaled
+    // integers, but the REPORTED running mean must compare to theta0
+    // in the caller's units — 0.05-ish discounts, not 5-cent means
+    val df = Seq((1L, 0.04), (2L, 0.06), (3L, 0.05)).toDF("ord", "v")
+    val xbars = Stats.msprt(df, "v", theta0 = 0.05, tau2 = 0.0004,
+      orderCols = Seq("ord"), scaleDecimals = 2).get
+      .orderBy("seq").select("xbar").as[Double].collect().toSeq
+    assert(xbars == Seq(0.04, 0.05, 0.05), s"xbar not descaled: $xbars")
+  }
+
   test("msprt validates knobs") {
     val df = Seq((1L, 1.0)).toDF("ord", "v")
     assert(Stats.msprt(df, "v", 0.0, 0.0, Seq("ord")).isFailing)
@@ -926,6 +937,29 @@ class StatsSpec extends AnyFunSuite {
       .select("n_groups", "theta").as[(Long, Option[Double])].head()
     // theta in scaled units: (10+20+30+10)/(100+100+200+100) = 70/500
     assert(got._1 == 3L && got._2 == Some(0.14))
+  }
+
+  test("jackknifeRatio reports original units when scales differ") {
+    // cents numerator over unit denominator: θ must come back in
+    // num-units per den-unit (0.14), not cents-per-unit (14) — and the
+    // SE/CI must descale WITH it, so the interval brackets θ
+    val df = Seq(
+      ("a", 0.1, 1.0), ("a", 0.2, 1.0), ("b", 0.3, 2.0), ("c", 0.1, 1.0)
+    ).toDF("g", "y", "x")
+    val got = Stats.jackknifeRatio(df, "y", "x", "g",
+      numScaleDecimals = 2, denScaleDecimals = 0).get
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].head()
+    assert(got._2 == Some(0.14), s"theta not descaled: $got")
+    assert(got._5.get <= 0.14 && 0.14 <= got._6.get,
+      s"CI must bracket theta in the SAME units: $got")
+    // and the mirrored case: unit numerator over cents denominator
+    val got2 = Stats.jackknifeRatio(df, "x", "y", "g",
+      numScaleDecimals = 0, denScaleDecimals = 2).get
+      .select("theta").as[Option[Double]].head()
+    assert(got2 == Some(BigDecimal(500.0 / 70.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      s"theta not upscaled: $got2")
   }
 
   // --- splitConformal ------------------------------------------------------
@@ -991,6 +1025,21 @@ class StatsSpec extends AnyFunSuite {
     assert(r2._2 == r._2 && (r2._4 != r._4 || r2._5 != r._5))
     assert(Stats.poissonBootstrap(df, "v", Nil).isFailing)
     assert(Stats.poissonBootstrap(df, "v", Seq("id"), nBoot = 2).isFailing)
+  }
+
+  test("poissonBootstrap separates adjacent id tuples (no concat collision)") {
+    // un-separated concat would hash ("1","23") and ("12","3") to the
+    // SAME input — the two rows would share every Poisson draw and
+    // every replicate mean would collapse to the plain mean, so the CI
+    // would have zero width. The '§'-interleaved hash keeps the draws
+    // independent: some replicate must weight the rows unequally.
+    val df = Seq(("1", "23", 0.0), ("12", "3", 100.0))
+      .toDF("a", "b", "v")
+    val r = Stats.poissonBootstrap(df, "v", Seq("a", "b"), nBoot = 200,
+      alpha = 0.1, salt = "sep").get
+      .as[(Long, Double, Long, Double, Double)].head()
+    assert(r._2 == 50.0)
+    assert(r._4 < r._5, s"CI has zero width — id tuples collided: $r")
   }
 
   // --- cmhTest ---------------------------------------------------------------
@@ -1120,6 +1169,21 @@ class StatsSpec extends AnyFunSuite {
     val r3 = Stats.medianCI(dup, "v").get
       .as[(Long, Double, Option[Double], Option[Double])].head()
     assert(r3 == ((20L, 5.0, Some(5.0), Some(7.0))))
+  }
+
+  test("medianCI returns ONE row of NULLs on an empty input") {
+    val empty = Seq(1.0).toDF("v").limit(0)
+    val got = Stats.medianCI(empty, "v").get
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq((0L, None, None, None)),
+      s"one-row contract violated on empty input: $got")
+    // all-null values are an empty sample too
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    val g2 = Stats.medianCI(nulls, "v").get
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(g2 == Seq((0L, None, None, None)))
   }
 
   test("poissonBootstrapBy slices the same resampling universe per key") {
