@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val headline: Seq[String] = Seq(
+  private[graft] val headline: Seq[String] = Seq(
     "q01_agg",
     "q12_join_inner",
     "q15_join_broadcast",
@@ -131,7 +131,7 @@ object Bench {
     * before reading them as regressions. RocksDBStateStoreProvider was
     * A/B'd and is ~1.7× WORSE here (higher per-commit checkpoint cost
     * at tiny state), so the default provider stands. */
-  private def benchStreaming(spark: SparkSession, nEvents: Int, batches: Int): Double = {
+  private[graft] def benchStreaming(spark: SparkSession, nEvents: Int, batches: Int): Double = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
