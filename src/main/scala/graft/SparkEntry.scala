@@ -2840,7 +2840,7 @@ object SparkEntry {
         java.util.UUID.randomUUID.toString.replace("-", "")
       val hist = (for {
         src <- Read.fileStream(staged, "parquet", schema)
-        h <- graft.streaming.Stream.windowedQuantileHistogram(src, "ts",
+        h <- graft.streaming.Stream.windowedDdSketches(src, "ts",
           "1 hour", "30 minutes", "value", alpha = 0.01,
           keys = Seq("event_type"))
         res <- graft.streaming.Stream.drainToMemory(h, name, "complete")
@@ -2852,6 +2852,39 @@ object SparkEntry {
         .select(col("ws"), col("event_type"), col("q"),
           round(col("estimate") + lit(1e-9), 4).as("estimate"))
         .orderBy("ws", "event_type", "q")
+    }),
+
+    "q387_stream_dd_merge" -> ((s, dir) => {
+      // The DDSketch MERGE LAW, streamed (r11 ask #3): per-hour-window
+      // sketches drained from 4 real micro-batches are merged ACROSS
+      // windows (bucket counts add losslessly) and finished per
+      // event_type — the oracle computes the batch sketch over ALL
+      // events directly, so equality proves drained streaming sketches
+      // compose downstream exactly like batch ones (the 100 TB
+      // profile-algebra path: sketch per window/shard, merge at read).
+      implicit val sp: SparkSession = s
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src387"
+      events(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_sddm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val hist = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        h <- graft.streaming.Stream.windowedDdSketches(src, "ts",
+          "1 hour", "30 minutes", "value", alpha = 0.01,
+          keys = Seq("event_type"))
+        res <- graft.streaming.Stream.drainToMemory(h, name, "complete")
+      } yield res).get
+      // the merge: DROP the window key — ddQuantilesFromHistogram's
+      // groupBy-sum re-aggregates bucket counts over all windows
+      val flat = hist.select(col("event_type"), col("store"),
+        col("bucket"), col("n"))
+      Sketch.ddQuantilesFromHistogram(flat, Seq(0.5, 0.95), alpha = 0.01,
+          keys = Seq("event_type")).get
+        .select(col("event_type"), col("q"),
+          round(col("estimate") + lit(1e-9), 4).as("estimate"))
+        .orderBy("event_type", "q")
     }),
 
     "q335_jaccard_join" -> ((s, dir) => {
@@ -6848,47 +6881,59 @@ object SparkEntry {
   /** q334's oracle, generated: the q329 DDSketch replay per hourly
     * `time_bucket` window and event type over the events stream —
     * identical baked-in ln γ / γ / γ+1 literals. */
-  private def ddStreamQuantileOracleSql(alpha: Double, qs: Seq[Double]): String = {
+  /** q334/q387's oracle, generated: the DDSketch chain (bucket map with
+    * the same baked-in ln γ, cumulative rank picks, midpoint estimate)
+    * replayed per (window, event_type) — or, with `windowed = false`,
+    * per event_type ONLY while the gate query merges DRAINED per-window
+    * sketches, so equality proves the cross-window merge is lossless
+    * (the q387 merge law). */
+  private def ddStreamQuantileOracleSql(
+      alpha: Double, qs: Seq[Double], windowed: Boolean = true): String = {
     val gamma = (1 + alpha) / (1 - alpha)
     val lnG = math.log(gamma)
     def d2s(d: Double): String = java.lang.Double.toString(d)
     val qList = qs.map(d2s).mkString(", ")
+    val wsSel = if (windowed) "ws, " else ""
+    val wsOut = if (windowed) "ws, " else ""
+    val wsGrp = if (windowed) "1, 2, 3, 4" else "1, 2, 3"
+    val wsPart = if (windowed) "ws, event_type" else "event_type"
+    val wsOrd = if (windowed) "ws, event_type, q" else "event_type, q"
     s"""WITH src AS (
            SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
              CAST(value AS DOUBLE) AS v
            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
          ), h AS (
-           SELECT ws, event_type,
+           SELECT ${wsSel}event_type,
              CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS store,
              CASE WHEN v > 0 THEN CAST(ceil(ln(v) / ${d2s(lnG)}) AS BIGINT)
                   WHEN v < 0 THEN CAST(ceil(ln(-v) / ${d2s(lnG)}) AS BIGINT)
                   ELSE 0 END AS bucket,
              CAST(count(*) AS BIGINT) AS n
-           FROM src GROUP BY 1, 2, 3, 4
+           FROM src GROUP BY $wsGrp
          ), c AS (
-           SELECT ws, event_type, store, bucket,
-             CAST(sum(n) OVER (PARTITION BY ws, event_type
+           SELECT ${wsSel}event_type, store, bucket,
+             CAST(sum(n) OVER (PARTITION BY $wsPart
                ORDER BY store, store * bucket
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-             CAST(sum(n) OVER (PARTITION BY ws, event_type) AS BIGINT) AS tot
+             CAST(sum(n) OVER (PARTITION BY $wsPart) AS BIGINT) AS tot
            FROM h
          ), qs AS (SELECT unnest([$qList]::DOUBLE[]) AS q
          ), pick AS (
-           SELECT ws, event_type, q, store, bucket FROM (
-             SELECT c.ws, c.event_type, qs.q, c.store, c.bucket,
-               row_number() OVER (PARTITION BY c.ws, c.event_type, qs.q
+           SELECT ${wsSel}event_type, q, store, bucket FROM (
+             SELECT c.*, qs.q,
+               row_number() OVER (PARTITION BY $wsPart, qs.q
                  ORDER BY c.store, c.store * c.bucket) AS rn
              FROM c, qs
              WHERE c.cum >= CAST(floor(qs.q * CAST(c.tot - 1 AS DOUBLE))
                AS BIGINT) + 1
            ) WHERE rn = 1
          )
-         SELECT ws, event_type, q,
+         SELECT ${wsOut}event_type, q,
            round(CASE store
              WHEN 1 THEN 2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
              WHEN -1 THEN -2 * power(${d2s(gamma)}, bucket) / ${d2s(gamma + 1)}
              ELSE 0.0 END + 1e-9, 4) AS estimate
-         FROM pick ORDER BY ws, event_type, q"""
+         FROM pick ORDER BY $wsOrd"""
   }
 
   /** Shared winnowing CTE chain (q332/q333): char `k`-gram md5-prefix
@@ -10129,6 +10174,11 @@ object SparkEntry {
     // bucketing, so the oracle is the q329 replay per hourly window.
     "q334_stream_quantiles" -> ddStreamQuantileOracleSql(alpha = 0.01,
       qs = Seq(0.5, 0.95)),
+
+    // q387: the gate merges DRAINED per-window sketches; the oracle
+    // sketches all events in one pass — equality IS the merge law.
+    "q387_stream_dd_merge" -> ddStreamQuantileOracleSql(alpha = 0.01,
+      qs = Seq(0.5, 0.95), windowed = false),
 
     // q335: brute-force token-set Jaccard over all pairs — the
     // prefix-filtered operator must reproduce it EXACTLY (lossless

@@ -377,9 +377,11 @@ object Stream {
       df.sparkSession.table(queryName)
     }
 
-  /** Streaming windowed QUANTILE monitor state — latency/quality
-    * percentiles over an unbounded value stream WITHOUT per-value
-    * state: each watermarked event-time window keeps a
+  /** STREAMING per-window DDSketch quantile sketches — the
+    * unbounded-domain mergeable-quantile member of the windowed-sketch
+    * family, mirroring [[windowedHllSketches]] (distinct counts) and
+    * [[windowedBinCounts]] (fixed caller edges; THIS operator needs
+    * none): each watermarked event-time window keeps a
     * [[graft.operators.Sketch.ddHistogram]] bucket map instead of its
     * raw values, so per-(window, keys) state is bucket-count-bounded
     * (≤ ~35k rows at α = 0.01 over the full double range, usually
@@ -391,8 +393,11 @@ object Stream {
     * sketch's relative-error α guarantee. Counts are exact integers, so
     * the drained histogram is BIT-equal to the batch
     * [[graft.operators.Sketch.ddHistogram]] of the same windowed slice
-    * (the q334 parity argument). */
-  def windowedQuantileHistogram(
+    * (the q334 parity argument), and drained sketches stay MERGEABLE
+    * downstream: bucket counts add losslessly, so re-grouping drained
+    * windows answers any quantile over any window union (the q387
+    * merge-law gate: cross-window merge == batch over all events). */
+  def windowedDdSketches(
       df: DataFrame,
       tsCol: String,
       windowDuration: String,
@@ -400,7 +405,7 @@ object Stream {
       valueCol: String,
       alpha: Double = 0.01,
       keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
-    require(df.isStreaming, "windowedQuantileHistogram needs a streaming frame")
+    require(df.isStreaming, "windowedDdSketches needs a streaming frame")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     val lnG = math.log((1 + alpha) / (1 - alpha))
     val v = col(valueCol).cast("double")
@@ -411,6 +416,20 @@ object Stream {
         store.as("store") :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Pre-r12 name of [[windowedDdSketches]], kept for source
+    * compatibility — same operator, the family naming landed with the
+    * KMV/DDSketch batch members. */
+  def windowedQuantileHistogram(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      valueCol: String,
+      alpha: Double = 0.01,
+      keys: Seq[String] = Nil): MayFail[DataFrame] =
+    windowedDdSketches(df, tsCol, windowDuration, watermark, valueCol,
+      alpha, keys)
 
   /** Streaming CDC apply: each micro-batch is upserted into the parquet
     * table at `path`. With `seqCol`, LATEST WINS across batches too: a

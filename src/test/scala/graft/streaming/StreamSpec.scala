@@ -327,6 +327,42 @@ class StreamSpec extends AnyFunSuite {
       "ts", "10 minutes", "5 minutes", "v").isFailing)
   }
 
+  test("windowedDdSketches merge law: drained windows re-merged equal " +
+      "the one-shot batch sketch over all events") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(29L)
+    val events = Seq.tabulate(500)(i =>
+      (ts(i % 40), if (i % 3 == 0) "x" else "y",
+        rnd.nextDouble() * 500 - 50))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val h = Stream.windowedDdSketches(
+      input.toDF.toDF("ts", "key", "v"), "ts", "10 minutes", "5 minutes",
+      "v", alpha = 0.05, keys = Seq("key")).get
+    val q = h.writeStream.outputMode("complete").format("memory")
+      .queryName("wdd_merge_test").start()
+    input.addData(events.take(250))
+    q.processAllAvailable()
+    input.addData(events.drop(250))
+    q.processAllAvailable()
+    q.stop()
+    // MERGE: drop the window key — the groupBy-sum inside
+    // ddQuantilesFromHistogram adds bucket counts across windows
+    val merged = Sketch.ddQuantilesFromHistogram(
+        spark.table("wdd_merge_test")
+          .select($"key", $"store", $"bucket", $"n"),
+        Seq(0.25, 0.5, 0.95), alpha = 0.05, keys = Seq("key")).get
+      .as[(String, Double, Double)].collect().toSet
+    val oneShot = Sketch.ddQuantiles(events.toDF("ts", "key", "v"), "v",
+        Seq(0.25, 0.5, 0.95), alpha = 0.05, keys = Seq("key")).get
+      .as[(String, Double, Double)].collect().toSet
+    assert(merged == oneShot,
+      s"cross-window merge diverged from one-shot batch: " +
+        s"${merged.diff(oneShot)} / ${oneShot.diff(merged)}")
+    assert(Stream.windowedDdSketches(events.toDF("ts", "key", "v"),
+      "ts", "10 minutes", "5 minutes", "v").isFailing)
+  }
+
   test("ivfIndexSink: stream-built index equals batch ivfEncodeWith " +
       "bit-for-bit; a replayed run overwrites idempotently") {
     implicit val sqlCtx = spark.sqlContext
