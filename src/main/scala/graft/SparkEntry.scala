@@ -2887,6 +2887,79 @@ object SparkEntry {
         .orderBy("event_type", "q")
     }),
 
+    "q388_kmv_roundtrip" -> ((s, dir) => {
+      // Sketch PERSISTENCE round trip (r11 ask #6): the q357 build —
+      // per-(source, lang) KMV(64) sketches — lands in parquet, a FRESH
+      // session reads it back, and the merge runs on the loaded rows.
+      // The oracle replays the DIRECT build, so matching it proves
+      // store → load → merge is bit-lossless: the 100 TB profile
+      // algebra (sketch per shard/snapshot, merge at read) holds
+      // ACROSS sessions, not just in-session.
+      val sh = tbl(s, dir, "documents").select(col("source"), col("lang"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("g"))
+      val sk = graft.operators.Sketch.kmvSketches(
+        sh, Seq("source", "lang"), "g", k = 64, salt = "r11").get
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sketch_store388"
+      sk.write.mode("overwrite").parquet(store)
+      val fresh = s.newSession()
+      graft.operators.Sketch.kmvMergeEstimate(
+        fresh.read.parquet(store), Seq("source"), k = 64)
+        .get.orderBy("source")
+    }),
+
+    "q389_dd_roundtrip" -> ((s, dir) => {
+      // DDSketch persistence: per-(event_type, shard) bucket histograms
+      // → parquet → fresh-session load → cross-shard merge + quantile
+      // finish. Integer bucket counts survive parquet bit-exactly, so
+      // the one-pass oracle (the q387 SQL) must match.
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+        .withColumn("__shard", pmod(col("event_id"), lit(4)))
+      val hist = Sketch.ddHistogram(ev, "value", alpha = 0.01,
+        keys = Seq("event_type", "__shard")).get
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sketch_store389"
+      hist.write.mode("overwrite").parquet(store)
+      val fresh = s.newSession()
+      Sketch.ddQuantilesFromHistogram(
+          fresh.read.parquet(store).drop("__shard"),
+          Seq(0.5, 0.95), alpha = 0.01, keys = Seq("event_type")).get
+        .select(col("event_type"), col("q"),
+          round(col("estimate") + lit(1e-9), 4).as("estimate"))
+        .orderBy("event_type", "q")
+    }),
+
+    "q390_hll_roundtrip" -> ((s, dir) => {
+      // HLL BINARY persistence: per-(event_type, day) sketches →
+      // parquet → read back → union per event_type. The gate computes
+      // the equality itself — persisted-path estimate must EQUAL the
+      // never-persisted union (binary state is exact through parquet)
+      // and stay within 5% of exact distinct (sparse-mode sketches are
+      // value-exact at this scale, the q383 device).
+      val ev = events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("__day", to_date(col("ts")))
+      val sk = Sketch.hllSketches(ev, Seq("event_type", "__day"),
+        "user_id").get
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sketch_store390"
+      sk.write.mode("overwrite").parquet(store)
+      val persisted = Sketch.hllMergeEstimate(
+          s.read.parquet(store), Seq("event_type")).get
+        .withColumnRenamed("n_distinct_approx", "__p")
+      val direct = Sketch.hllMergeEstimate(sk, Seq("event_type")).get
+        .withColumnRenamed("n_distinct_approx", "__d")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      persisted.join(direct, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("__p") === col("__d")).as("bit_equal"),
+          (abs(col("__p") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     "q335_jaccard_join" -> ((s, dir) => {
       // EXACT set-similarity join: prefix filtering prunes, but the
       // output must equal brute force bit-for-bit — the oracle IS the
@@ -5962,6 +6035,24 @@ object SparkEntry {
   private val kmvNum64: String =
     java.math.BigDecimal.valueOf(63.0 * math.pow(2, 60))
       .toBigInteger.toString + ".0"
+
+  /** q357 AND q388's oracle: the direct per-source KMV(64) replay —
+    * q357's (source, lang) build + merge collapses to this by the
+    * lossless bottom-k merge; q388's parquet round trip must too. */
+  private lazy val kmvPerSourceOracleSql: String =
+    kmvShingleHashCtes + s""", rk AS (
+           SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+           FROM hx
+         ), ag AS (
+           SELECT source, CAST(count(*) AS INTEGER) AS n_kmv, max(h) AS kth
+           FROM rk WHERE r <= 64 GROUP BY source
+         )
+         SELECT source, n_kmv,
+           round(CASE WHEN n_kmv < 64 THEN CAST(n_kmv AS DOUBLE)
+             ELSE $kmvNum64 / (CAST(kth AS DOUBLE) + 1.0) END + 1e-9, 6)
+             AS n_distinct_approx
+         FROM ag ORDER BY source"""
 
   /** q368's oracle, generated: the Poisson-bootstrap replay — the salted
     * 52-bit dyadic draw against the SAME [[graft.operators.Stats.poissonCdf1]]
@@ -10180,6 +10271,22 @@ object SparkEntry {
     "q387_stream_dd_merge" -> ddStreamQuantileOracleSql(alpha = 0.01,
       qs = Seq(0.5, 0.95), windowed = false),
 
+    // q389: same one-pass oracle — the gate's per-shard histograms take
+    // a parquet round trip before the cross-shard merge, so equality
+    // proves the persisted integer bucket state is bit-lossless.
+    "q389_dd_roundtrip" -> ddStreamQuantileOracleSql(alpha = 0.01,
+      qs = Seq(0.5, 0.95), windowed = false),
+
+    // q390: exact distinct replay; the equality booleans are computed
+    // IN the gate (persisted-path estimate vs never-persisted vs exact)
+    // and must come out true — binary HLL state survives parquet.
+    "q390_hll_roundtrip" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS bit_equal, true AS within_5pct
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
     // q335: brute-force token-set Jaccard over all pairs — the
     // prefix-filtered operator must reproduce it EXACTLY (lossless
     // pruning is the whole claim).
@@ -11065,19 +11172,12 @@ object SparkEntry {
 
     // q357: direct per-source KMV replay — the gate's (source, lang)
     // build + merge collapses to this by the lossless bottom-k merge.
-    "q357_kmv_distinct" -> (kmvShingleHashCtes + s""", rk AS (
-           SELECT source, h,
-             row_number() OVER (PARTITION BY source ORDER BY h) AS r
-           FROM hx
-         ), ag AS (
-           SELECT source, CAST(count(*) AS INTEGER) AS n_kmv, max(h) AS kth
-           FROM rk WHERE r <= 64 GROUP BY source
-         )
-         SELECT source, n_kmv,
-           round(CASE WHEN n_kmv < 64 THEN CAST(n_kmv AS DOUBLE)
-             ELSE $kmvNum64 / (CAST(kth AS DOUBLE) + 1.0) END + 1e-9, 6)
-             AS n_distinct_approx
-         FROM ag ORDER BY source"""),
+    "q357_kmv_distinct" -> kmvPerSourceOracleSql,
+
+    // q388: SAME oracle as q357 deliberately — the gate pipeline adds a
+    // parquet store → fresh-session load between build and merge, so
+    // matching the direct-build replay proves persistence is lossless.
+    "q388_kmv_roundtrip" -> kmvPerSourceOracleSql,
 
     // q358: theta-sketch pairwise replay — per-source bottom-64 lists,
     // union re-truncated to 64, matches counted against BOTH sketches,

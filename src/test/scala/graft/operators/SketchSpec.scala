@@ -284,4 +284,60 @@ class SketchSpec extends AnyFunSuite {
     assert(Sketch.kmvMergeEstimate(df.withColumn("kmv", array(lit(1L))),
       Seq("g"), k = 1).isFailing)
   }
+
+  // --- persistence round trips (VERDICT r11 ask #6) -----------------------
+  // the 100 TB profile algebra stores sketches per shard/snapshot and
+  // re-merges across sessions: write to parquet, read back in a FRESH
+  // session, merge — must equal the never-persisted path exactly.
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame, tag: String) = {
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_rt_$tag").toString
+    df.write.mode("overwrite").parquet(path)
+    spark.newSession().read.parquet(path)
+  }
+
+  test("kmv sketches survive a parquet round trip in a fresh session " +
+      "bit-for-bit") {
+    val rows = Seq.tabulate(3000)(i => (s"g${i % 3}", s"sub${i % 7}",
+      (i % 531).toLong)).toDF("g", "sub", "v")
+    val sk = Sketch.kmvSketches(rows, Seq("g", "sub"), "v", k = 32).get
+    val direct = Sketch.kmvMergeEstimate(sk, Seq("g"), k = 32).get
+      .as[(String, Int, Double)].collect().toSet
+    val loaded = Sketch.kmvMergeEstimate(roundTrip(sk, "kmv"),
+        Seq("g"), k = 32).get
+      .as[(String, Int, Double)].collect().toSet
+    assert(loaded == direct, s"persisted KMV diverged: $loaded vs $direct")
+  }
+
+  test("ddHistogram bucket counts survive a parquet round trip in a " +
+      "fresh session bit-for-bit") {
+    val rnd = new scala.util.Random(43L)
+    val rows = Seq.tabulate(2000)(i =>
+      (s"k${i % 4}", i % 5, rnd.nextDouble() * 800 - 80))
+      .toDF("k", "shard", "v")
+    val hist = Sketch.ddHistogram(rows, "v", alpha = 0.05,
+      keys = Seq("k", "shard")).get
+    val direct = Sketch.ddQuantilesFromHistogram(hist.drop("shard"),
+        Seq(0.1, 0.5, 0.99), alpha = 0.05, keys = Seq("k")).get
+      .as[(String, Double, Double)].collect().toSet
+    val loaded = Sketch.ddQuantilesFromHistogram(
+        roundTrip(hist, "dd").drop("shard"),
+        Seq(0.1, 0.5, 0.99), alpha = 0.05, keys = Seq("k")).get
+      .as[(String, Double, Double)].collect().toSet
+    assert(loaded == direct, s"persisted DD diverged: $loaded vs $direct")
+  }
+
+  test("hll binary sketches survive a parquet round trip in a fresh " +
+      "session with identical estimates") {
+    val rows = Seq.tabulate(5000)(i => (s"t${i % 3}", i % 11,
+      s"user${i % 997}")).toDF("t", "day", "u")
+    val sk = Sketch.hllSketches(rows, Seq("t", "day"), "u").get
+    val direct = Sketch.hllMergeEstimate(sk, Seq("t")).get
+      .as[(String, Double)].collect().toSet
+    val loaded = Sketch.hllMergeEstimate(roundTrip(sk, "hll"),
+        Seq("t")).get
+      .as[(String, Double)].collect().toSet
+    assert(loaded == direct, s"persisted HLL diverged: $loaded vs $direct")
+  }
 }
