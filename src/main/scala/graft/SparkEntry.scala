@@ -2671,6 +2671,32 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q391_cc_warmstart" -> ((s, dir) => {
+      // WARM-START star CC (r11 ask #5): the q320 chains re-run
+      // incrementally — the first-half snapshot's labels seed the full
+      // run (each prior component joins as a one-hop star around its
+      // min member), and the seeded labeling must STILL equal the
+      // closed form the oracle states (seeded == cold; GraphSpec
+      // additionally asserts the contraction-round drop).
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), pmod(col("o_orderkey"), lit(8)).as("r"))
+      val w = Window.partitionBy(col("r")).orderBy(col("k"))
+      def chain(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("nxt", lead(col("k"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("k").as("src"), col("nxt").as("dst"))
+      // snapshot N = keys in the lower half: within each residue class
+      // a key-threshold cut is a PREFIX of the sorted chain, so its
+      // consecutive pairs are a subset of the full chain's — the
+      // growing-snapshot contract the seed requires
+      val t = o.agg(max(col("k"))).head().getLong(0) / 2
+      val seedLabels = Graph.connectedComponentsStar(
+        chain(o.filter(col("k") <= t)), "src", "dst", maxRounds = 25).get
+      Graph.connectedComponentsStar(chain(o), "src", "dst",
+          maxRounds = 25, seed = Some(seedLabels)).get
+        .orderBy("node")
+    }),
+
     "q318_louvain_full" -> ((s, dir) => {
       // FULL Louvain — both phases: 2 local-move passes, contraction of
       // communities to weighted super-nodes (cross weights sum,
@@ -10232,6 +10258,15 @@ object SparkEntry {
     // chains exactly even though it engaged only after the min-label
     // budget ran out.
     "q331_cc_fallback" ->
+      """SELECT o_orderkey AS node,
+           min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
+         FROM orders
+         QUALIFY count(*) OVER (PARTITION BY o_orderkey % 8) >= 2
+         ORDER BY node""",
+
+    // q391: same closed form again — warm-starting from the half-
+    // snapshot labels must not change the answer, only the rounds.
+    "q391_cc_warmstart" ->
       """SELECT o_orderkey AS node,
            min(o_orderkey) OVER (PARTITION BY o_orderkey % 8) AS component
          FROM orders

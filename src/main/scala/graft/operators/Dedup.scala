@@ -319,20 +319,37 @@ object Dedup {
     * min-label result. Set `maxDriverEdges = 0` to force the distributed
     * loop (and with it the `maxIter`/IgnorableFail probe semantics).
     * Edges touching a null id are dropped up front on both paths (a null
-    * key never joins, so it can never participate in a component). */
+    * key never joins, so it can never participate in a component).
+    *
+    * WARM START (`seed`): a previous snapshot's `(id, cluster)` output
+    * joins the edge set as extra `(id, cluster)` edges — each prior
+    * cluster is a one-hop star around its min member, so the min label
+    * propagates everywhere in ~1 round instead of diameter rounds
+    * (incremental crawl dedup re-runs warm). CONTRACT: the seed must
+    * label a subgraph of the CURRENT pair set's connectivity (crawl
+    * snapshots only grow); seed rows are treated as edges, so an
+    * inconsistent seed ADDS connectivity. Ids present only in the seed
+    * keep (re-minimized) labels. */
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 10,
       maxDriverEdges: Long = 1000000L,
-      starFallback: Boolean = true
+      starFallback: Boolean = true,
+      seed: Option[DataFrame] = None
   ): MayFail[DataFrame] = {
     val run = MayFail {
       // checkpoint the (possibly expensive) pair pipeline ONCE — each
       // iteration reads edges twice, and without this the whole upstream
       // LSH pipeline would re-execute every round
-      val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      val seedEdges = seed.map(_
+        .select(col("id").as("idA"), col("cluster").as("idB"))
+        .filter(col("idA") =!= col("idB")))
+      val allPairs = seedEdges
+        .fold(pairs.select(col("idA"), col("idB")))(
+          pairs.select(col("idA"), col("idB")).unionByName(_))
+      val edges = allPairs.select(col("idA").as("src"), col("idB").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
-        .union(pairs.select(col("idB").as("src"), col("idA").as("dst"))
+        .union(allPairs.select(col("idB").as("src"), col("idA").as("dst"))
           .filter(col("src").isNotNull && col("dst").isNotNull))
         .distinct()
         .localCheckpoint()

@@ -1249,6 +1249,18 @@ object Graph {
     * Returns `(node, component)` — `component` = the component's
     * MINIMUM node id, for every node with ≥ 1 edge.
     *
+    * WARM START (`seed`, mirroring [[louvain]]'s): a `(node, component)`
+    * labeling of a PREVIOUS snapshot — this operator's own output —
+    * joins the pair set as extra `(node, component)` edges. Each prior
+    * component arrives as a one-hop STAR around its min member, so
+    * incremental crawl dedup converges in ~1 contraction round instead
+    * of O(log n) cold (GraphSpec asserts the round count drops; the
+    * q391 gate proves seeded == cold labels). CONTRACT: the seed must
+    * be a valid labeling of a subgraph of the CURRENT edge set's
+    * connectivity (snapshots only GROW) — seed rows are treated as
+    * edges, so an inconsistent seed ADDS connectivity and changes the
+    * answer. Nodes present only in the seed keep (re-minimized) labels.
+    *
     * Plan per round: two groupBy-min shuffles (one per star phase) +
     * one distinct — all over frames that never exceed the input pair
     * count + node count; per-round `localCheckpoint` with release. */
@@ -1256,13 +1268,54 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxRounds: Int = 25
-  ): MayFail[DataFrame] = {
+      maxRounds: Int = 25,
+      seed: Option[DataFrame] = None
+  ): MayFail[DataFrame] =
+    ccStarRun(edges, srcCol, dstCol, maxRounds, seed).flatMap {
+      case (labels, converged, _) =>
+        if (converged) graft.functional.Ok(labels)
+        else {
+          val err = new IllegalStateException(
+            s"connectedComponentsStar: star contraction did not reach a " +
+              s"fixed point within $maxRounds rounds — raise maxRounds " +
+              "(O(log n) suffices for any diameter)")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
+          graft.functional.IgnorableFail(err, labels)
+        }
+    }
+
+  /** [[connectedComponentsStar]] with the contraction-round count
+    * surfaced — the warm-start speedup is asserted on it in specs. */
+  private[graft] def connectedComponentsStarRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 25,
+      seed: Option[DataFrame] = None
+  ): MayFail[(DataFrame, Int)] =
+    ccStarRun(edges, srcCol, dstCol, maxRounds, seed).map {
+      case (labels, _, rounds) => (labels, rounds)
+    }
+
+  private def ccStarRun(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int,
+      seed: Option[DataFrame]
+  ): MayFail[(DataFrame, Boolean, Int)] = {
     val run = MayFail {
       require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
-      var p = edges
+      val basePairs = edges
         .select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
+      // the seed labeling rides in as (min(node, component),
+      // max(node, component)) pairs — each prior component is already
+      // a star around its min member
+      val seedPairs = seed.map(_.select(
+        least(col("node"), col("component")).as("a"),
+        greatest(col("node"), col("component")).as("b")))
+      var p = seedPairs.fold(basePairs)(basePairs.unionByName(_))
         .filter(col("a").isNotNull && col("b").isNotNull &&
           col("a") =!= col("b"))
         .distinct()
@@ -1306,19 +1359,9 @@ object Graph {
       val labels = p.select(col("b").as("node"), col("a").as("component"))
         .unionByName(p.select(col("a").as("node"), col("a").as("component")))
         .distinct()
-      (labels, converged)
+      (labels, converged, round)
     }
-    run.flatMap { case (labels, converged) =>
-      if (converged) graft.functional.Ok(labels)
-      else {
-        val err = new IllegalStateException(
-          s"connectedComponentsStar: star contraction did not reach a " +
-            s"fixed point within $maxRounds rounds — raise maxRounds " +
-            "(O(log n) suffices for any diameter)")
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(err.getMessage)
-        graft.functional.IgnorableFail(err, labels)
-      }
-    }
+    run
   }
 
   /** Semi-supervised label propagation: spread FIXED seed labels

@@ -436,6 +436,55 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.connectedComponentsStar(e, "s", "d", maxRounds = 0).isFailing)
   }
 
+  test("connectedComponentsStar warm start: seeded == cold labels, " +
+      "in strictly fewer rounds") {
+    // snapshot N = a 300-hop chain; snapshot N+1 grows it by 100 hops.
+    // Seeding N+1 with N's labels must not change the answer (the seed
+    // is a star around node 0) and must cut the contraction rounds.
+    val oldEdges = (0L until 300L).map(i => (i, i + 1)).toDF("s", "d")
+    val newEdges = (0L until 400L).map(i => (i, i + 1)).toDF("s", "d")
+    val (seedLab, _) = Graph.connectedComponentsStarRounds(
+      oldEdges, "s", "d").get
+    val (cold, coldRounds) = Graph.connectedComponentsStarRounds(
+      newEdges, "s", "d").get
+    val (warm, warmRounds) = Graph.connectedComponentsStarRounds(
+      newEdges, "s", "d", seed = Some(seedLab)).get
+    val coldMap = cold.as[(Long, Long)].collect().toMap
+    val warmMap = warm.as[(Long, Long)].collect().toMap
+    assert(warmMap == coldMap,
+      s"seeded labels diverged: ${warmMap.toSet.diff(coldMap.toSet)}")
+    assert(coldMap.size == 401 && coldMap.values.forall(_ == 0L))
+    assert(warmRounds < coldRounds,
+      s"warm start must cut rounds: warm=$warmRounds cold=$coldRounds")
+    // a warm re-run on an UNCHANGED snapshot is ~immediate
+    val (_, rerunRounds) = Graph.connectedComponentsStarRounds(
+      newEdges, "s", "d", seed = Some(warm)).get
+    assert(rerunRounds <= 2, s"unchanged-snapshot re-run: $rerunRounds")
+  }
+
+  test("duplicateClusters warm start: seeded min-label converges where " +
+      "cold cannot, with identical labels") {
+    // 62-hop chain through the PAIR entry point with the distributed
+    // loop forced and a 4-round budget: cold min-label CANNOT converge
+    // (IgnorableFail with the fallback off); seeded with the previous
+    // 60-hop snapshot's labels, the prior min rides the seed star to
+    // every old node in round 1 and only the 2-hop GROWTH tail needs
+    // propagation — the SAME budget suffices.
+    import graft.operators.Dedup
+    val oldPairs = (0L until 60L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val newPairs = (0L until 62L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val seedLab = Dedup.duplicateClusters(oldPairs).get
+    val cold = Dedup.duplicateClusters(newPairs, maxIter = 4,
+      maxDriverEdges = 0L, starFallback = false)
+    assert(cold.isFailing, "cold 4-round min-label must not converge")
+    val warm = Dedup.duplicateClusters(newPairs, maxIter = 4,
+      maxDriverEdges = 0L, starFallback = false, seed = Some(seedLab))
+    assert(!warm.isFailing, "seeded min-label must converge in budget")
+    val warmMap = warm.get.as[(Long, Long)].collect().toMap
+    assert(warmMap.size == 63 && warmMap.values.forall(_ == 0L),
+      s"seeded labels wrong: ${warmMap.filter(_._2 != 0L)}")
+  }
+
   test("louvain: levels=1 equals louvainMove; extra levels are idempotent " +
       "once converged") {
     val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
