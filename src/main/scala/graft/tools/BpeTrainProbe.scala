@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Wall-clock rehearsal for BPE training (VERDICT r11 ask #4): time a
+  * large-merge-count `learnMerges` run on the documents table. Run
+  * before/after the incremental pair-count change to record the A/B.
+  * Usage: sbt "runMain graft.tools.BpeTrainProbe [numMerges] [sfDir]" */
+object BpeTrainProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000)
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    // the synthetic documents draw from a 31-word list, so plain-word
+    // BPE saturates after ~89 merges — rehearse on word-TRIGRAM tokens
+    // ('_'-joined) from the same table: tens of thousands of distinct
+    // ~20-char "words", deep enough for a 1k-merge train
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
+      .select(regexp_replace(col("g"), " ", "_").as("text"))
+    val t0 = System.nanoTime()
+    val m = graft.operators.Bpe.learnMerges(docs, "text", numMerges = n,
+      minPairCount = 1L).get
+    val rows = m.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[bpeprobe] merges=$rows%d requested=$n%d wall=$sec%.1f s")
+    spark.stop()
+  }
+}

@@ -177,4 +177,31 @@ class BpeSpec extends AnyFunSuite {
       .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(a == b)
   }
+
+  test("bounded-driver and distributed-incremental tiers learn the SAME " +
+      "merge table and segmentation") {
+    // a messy fixture: repeats, ties, multi-char merges, singletons —
+    // the driver loop (default) and the distributed incremental loop
+    // (maxDriverWords = 0 forces it) must agree row-for-row, including
+    // the (cnt DESC, l, r) tie-breaks and pair counts
+    val rnd = new scala.util.Random(61L)
+    val voc = Seq("banana", "bandana", "band", "ban", "anna", "nab",
+      "abba", "cabbage", "baggage", "zz")
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(4)(voc(rnd.nextInt(voc.size))).mkString(" ")))
+      .toDF("id", "text")
+    val driver = Bpe.learnMerges(df, "text", 20, minPairCount = 2L).get
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val dist = Bpe.learnMerges(df, "text", 20, minPairCount = 2L,
+        maxDriverWords = 0L).get
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(driver == dist,
+      s"tier divergence:\n driver=$driver\n dist  =$dist")
+    val segDriver = Bpe.segmentWords(df, "text", 20).get
+      .as[(String, Long, Int, String)].collect().toSet
+    val segDist = Bpe.segmentWords(df, "text", 20,
+        maxDriverWords = 0L).get
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(segDriver == segDist)
+  }
 }
