@@ -3373,6 +3373,37 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q392_did" -> ((s, dir) => {
+      // Difference-in-differences on the 2x2 (returnflag R vs A) x
+      // (ship year 1997 vs 1995) cells over quantities — exact integer
+      // cell sums, one conditional scalar aggregate.
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("__yr", year(col("l_shipdate")).cast("string"))
+      graft.operators.Stats.didEstimator(li, "l_returnflag", "R", "A",
+        "__yr", "1997", "1995", "l_quantity", scaleDecimals = 0).get
+    }),
+
+    "q393_srm" -> ((s, dir) => {
+      // Sample-ratio-mismatch: orderkey mod 3 as the "arm" against a
+      // 1:1:1 design — chi-square GOF with exact counts; TPC-H
+      // orderkeys are NOT uniform mod 3 (sparse key pattern), so the
+      // check fires with a real chi2, which is the point.
+      graft.operators.Stats.srmCheck(
+          tbl(s, dir, "orders")
+            .withColumn("__arm", pmod(col("o_orderkey"), lit(3)).cast("string")),
+          "__arm", Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)).get
+        .orderBy("arm")
+    }),
+
+    "q394_post_strat" -> ((s, dir) => {
+      // Post-stratified mean price re-weighted to target returnflag
+      // shares (0.3/0.5/0.2) — the eval-set debiasing estimator;
+      // dollar-rounded exact sums per stratum.
+      graft.operators.Stats.postStratifiedMean(tbl(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag",
+        Map("A" -> 0.3, "N" -> 0.5, "R" -> 0.2), scaleDecimals = 0).get
+    }),
+
     "q361_msprt" -> ((s, dir) => {
       // Always-valid sequential p-values (mSPRT) for the running mean
       // discount vs theta0=0.05 per returnflag, ordered by
@@ -6998,6 +7029,94 @@ object SparkEntry {
   /** q334's oracle, generated: the q329 DDSketch replay per hourly
     * `time_bucket` window and event type over the events stream —
     * identical baked-in ln γ / γ / γ+1 literals. */
+  /** q393's oracle, generated: the SRM χ² GOF with the NORMALIZED
+    * design ratios baked as the operator's own driver-computed double
+    * literals (w / Σw — the division must replay bit-for-bit). */
+  private def srmOracleSql(expected: Map[String, Double]): String = {
+    val wSum = expected.values.sum
+    val rows = expected.toSeq.sortBy(_._1)
+    val arms = rows.map(r => s"'${r._1}'").mkString(", ")
+    val ws = rows.map(r => java.lang.Double.toString(r._2 / wSum))
+      .mkString(", ")
+    s"""WITH counts AS (
+         SELECT CAST(o_orderkey % 3 AS VARCHAR) AS arm,
+           CAST(count(*) AS BIGINT) AS n_obs
+         FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+       ), design AS (
+         SELECT unnest([$arms]) AS arm,
+           unnest([$ws]::DOUBLE[]) AS ratio_expected
+       ), j AS (
+         SELECT coalesce(design.arm, counts.arm) AS arm,
+           coalesce(counts.n_obs, 0) AS n_obs,
+           coalesce(design.ratio_expected, 0.0) AS ratio_expected
+         FROM design FULL OUTER JOIN counts ON design.arm = counts.arm
+       ), t AS (
+         SELECT CAST(sum(n_obs) AS BIGINT) AS nn,
+           CAST(count(*) AS BIGINT) AS k FROM j
+       ), terms AS (
+         SELECT j.arm, j.n_obs, j.ratio_expected,
+           j.ratio_expected * CAST(t.nn AS DOUBLE) AS e,
+           CASE WHEN j.ratio_expected * CAST(t.nn AS DOUBLE) > 0 THEN
+             (CAST(j.n_obs AS DOUBLE) - j.ratio_expected * CAST(t.nn AS DOUBLE))
+             * (CAST(j.n_obs AS DOUBLE) - j.ratio_expected * CAST(t.nn AS DOUBLE))
+             / (j.ratio_expected * CAST(t.nn AS DOUBLE))
+             ELSE 0.0 END AS term,
+           t.k
+         FROM j, t
+       )
+       SELECT arm, CAST(n_obs AS BIGINT) AS n_obs,
+         round(ratio_expected + 1e-9, 6) AS ratio_expected,
+         round(e + 1e-9, 6) AS n_expected,
+         round(term + 1e-9, 6) AS chi2_term,
+         round(sum(term) OVER () + 1e-9, 6) AS chi2_total,
+         CAST(k - 1 AS BIGINT) AS df
+       FROM terms ORDER BY arm"""
+  }
+
+  /** q394's oracle, generated: post-stratified mean with the
+    * normalized target weights baked as driver doubles; per-stratum
+    * exact sums, the design LEFT JOIN, the observed==design guard. */
+  private def postStratOracleSql(weights: Map[String, Double]): String = {
+    val wSum = weights.values.sum
+    val rows = weights.toSeq.sortBy(_._1)
+    val hs = rows.map(r => s"'${r._1}'").mkString(", ")
+    val ws = rows.map(r => java.lang.Double.toString(r._2 / wSum))
+      .mkString(", ")
+    s"""WITH g AS (
+         SELECT CAST(l_returnflag AS VARCHAR) AS h,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1.0)
+             AS BIGINT)) AS s,
+           sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 1.0)
+               AS BIGINT) *
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 1.0)
+               AS BIGINT)) AS q
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+         GROUP BY 1
+       ), design AS (
+         SELECT unnest([$hs]) AS h, unnest([$ws]::DOUBLE[]) AS w
+       ), grid AS (
+         SELECT design.h, design.w, g.n, g.s, g.q
+         FROM design LEFT JOIN g ON design.h = g.h
+       )
+       SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_strata_design,
+         CAST(count(n) AS BIGINT) AS n_strata_observed,
+         round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 1.0
+           + 1e-9, 6) AS mean_raw,
+         round(CASE WHEN count(n) = count(*) THEN
+           sum(w * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0)) END
+           + 1e-9, 6) AS mean_post,
+         round(CASE WHEN count(n) = count(*) AND min(n) >= 2 THEN
+           sqrt(sum((w * w) *
+             ((((CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1.0)
+              / CAST(n AS DOUBLE)))) END + 1e-9, 6) AS se_post
+       FROM grid"""
+  }
+
   /** q334/q387's oracle, generated: the DDSketch chain (bucket map with
     * the same baked-in ln γ, cumulative rank picks, midpoint estimate)
     * replayed per (window, event_type) — or, with `windowed = false`,
@@ -11158,6 +11277,98 @@ object SparkEntry {
     // operator's scaled literals embedded — see msprtOracleSql.
     "q361_msprt" -> msprtOracleSql(theta0 = 0.05, tau2 = 0.0004,
       scaleDecimals = 2),
+
+    // q392: the 2x2 DiD replay — exact integer cell sums (S, Q),
+    // means/variances/SE in the operator's own term order.
+    "q392_did" ->
+      """WITH base AS (
+           SELECT (l_returnflag = 'R') AS t,
+             (CAST(year(l_shipdate) AS VARCHAR) = '1997') AS post,
+             CAST(round(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'A')
+             AND CAST(year(l_shipdate) AS VARCHAR) IN ('1997', '1995')
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN t AND NOT post THEN 1 END) AS BIGINT)
+               AS n_tpre,
+             CAST(sum(CASE WHEN t AND NOT post THEN c END) AS BIGINT)
+               AS s_tpre,
+             CAST(sum(CASE WHEN t AND NOT post THEN c * c END) AS BIGINT)
+               AS q_tpre,
+             CAST(count(CASE WHEN t AND post THEN 1 END) AS BIGINT)
+               AS n_tpost,
+             CAST(sum(CASE WHEN t AND post THEN c END) AS BIGINT)
+               AS s_tpost,
+             CAST(sum(CASE WHEN t AND post THEN c * c END) AS BIGINT)
+               AS q_tpost,
+             CAST(count(CASE WHEN NOT t AND NOT post THEN 1 END) AS BIGINT)
+               AS n_cpre,
+             CAST(sum(CASE WHEN NOT t AND NOT post THEN c END) AS BIGINT)
+               AS s_cpre,
+             CAST(sum(CASE WHEN NOT t AND NOT post THEN c * c END)
+               AS BIGINT) AS q_cpre,
+             CAST(count(CASE WHEN NOT t AND post THEN 1 END) AS BIGINT)
+               AS n_cpost,
+             CAST(sum(CASE WHEN NOT t AND post THEN c END) AS BIGINT)
+               AS s_cpost,
+             CAST(sum(CASE WHEN NOT t AND post THEN c * c END) AS BIGINT)
+               AS q_cpost
+           FROM base
+         ), m AS (
+           SELECT *,
+             (CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)) / 1.0
+               AS m_tpre,
+             (CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE)) / 1.0
+               AS m_tpost,
+             (CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)) / 1.0
+               AS m_cpre,
+             (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE)) / 1.0
+               AS m_cpost,
+             ((CAST(q_tpre AS DOUBLE) * CAST(n_tpre AS DOUBLE)
+               - CAST(s_tpre AS DOUBLE) * CAST(s_tpre AS DOUBLE))
+               / (CAST(n_tpre AS DOUBLE) * (CAST(n_tpre AS DOUBLE) - 1.0)))
+               / 1.0 AS v_tpre,
+             ((CAST(q_tpost AS DOUBLE) * CAST(n_tpost AS DOUBLE)
+               - CAST(s_tpost AS DOUBLE) * CAST(s_tpost AS DOUBLE))
+               / (CAST(n_tpost AS DOUBLE) * (CAST(n_tpost AS DOUBLE) - 1.0)))
+               / 1.0 AS v_tpost,
+             ((CAST(q_cpre AS DOUBLE) * CAST(n_cpre AS DOUBLE)
+               - CAST(s_cpre AS DOUBLE) * CAST(s_cpre AS DOUBLE))
+               / (CAST(n_cpre AS DOUBLE) * (CAST(n_cpre AS DOUBLE) - 1.0)))
+               / 1.0 AS v_cpre,
+             ((CAST(q_cpost AS DOUBLE) * CAST(n_cpost AS DOUBLE)
+               - CAST(s_cpost AS DOUBLE) * CAST(s_cpost AS DOUBLE))
+               / (CAST(n_cpost AS DOUBLE) * (CAST(n_cpost AS DOUBLE) - 1.0)))
+               / 1.0 AS v_cpost
+           FROM a
+         ), d AS (
+           SELECT *,
+             (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did,
+             sqrt(((v_tpre / CAST(n_tpre AS DOUBLE)
+               + v_tpost / CAST(n_tpost AS DOUBLE))
+               + v_cpre / CAST(n_cpre AS DOUBLE))
+               + v_cpost / CAST(n_cpost AS DOUBLE)) AS se
+           FROM m
+         )
+         SELECT n, n_tpre, n_tpost, n_cpre, n_cpost,
+           round(m_tpre + 1e-9, 6) AS mean_tpre,
+           round(m_tpost + 1e-9, 6) AS mean_tpost,
+           round(m_cpre + 1e-9, 6) AS mean_cpre,
+           round(m_cpost + 1e-9, 6) AS mean_cpost,
+           round(did + 1e-9, 6) AS did,
+           round(CASE WHEN n_tpre >= 2 AND n_tpost >= 2 AND n_cpre >= 2
+             AND n_cpost >= 2 THEN se END + 1e-9, 6) AS se_did,
+           round(CASE WHEN n_tpre >= 2 AND n_tpost >= 2 AND n_cpre >= 2
+             AND n_cpost >= 2 THEN did - 1.96 * se END + 1e-9, 6) AS ci_lo,
+           round(CASE WHEN n_tpre >= 2 AND n_tpost >= 2 AND n_cpre >= 2
+             AND n_cpost >= 2 THEN did + 1.96 * se END + 1e-9, 6) AS ci_hi
+         FROM d""",
+
+    "q393_srm" -> srmOracleSql(Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)),
+
+    "q394_post_strat" ->
+      postStratOracleSql(Map("A" -> 0.3, "N" -> 0.5, "R" -> 0.2)),
 
     // q362: the delete-one-group closed form; exact-integer group sums,
     // the only float sums are the G-term jackknife aggregates.

@@ -2966,4 +2966,222 @@ object Stats {
         (col("n_runs").cast("double") - mu) / sqrt(v)) + lit(1e-9), 6)
         .as("z")): _*)
   }
+
+  /** Difference-in-differences estimator (Card & Krueger 1994's
+    * canonical 2×2): with unit-level observations in four cells —
+    * (treat, control) × (pre, post) —
+    *
+    *   `DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)`
+    *
+    * the causal readout when randomization is impossible but a
+    * parallel-trends control exists (a rollout by region, a policy by
+    * cohort). Rows outside the four NAMED cells, or with a null value,
+    * drop — the [[cuped]] convention.
+    *
+    * Returns ONE row `(n, n_tpre, n_tpost, n_cpre, n_cpost: bigint,
+    * mean_tpre, mean_tpost, mean_cpre, mean_cpost, did, se_did, ci_lo,
+    * ci_hi: double ROUNDED at 6)`: unequal-variance SE
+    * `√(Σ_cells s²/n)` over the four cell sample variances, ±1.96
+    * normal CI; NULL SE/CI when any cell has n < 2 (surfaced, never
+    * fabricated).
+    *
+    * Exactness: cell sums S, Q run on `scaleDecimals`-scaled exact
+    * longs (the ×100 cents convention), means and sample variances
+    * `(Q·n − S²)/(n·(n−1))` are IEEE functions of exact integers
+    * descaled at the readout — any engine replays them term-for-term.
+    * Plan: ONE conditional scalar aggregate — no shuffle wider than
+    * the partial aggs, no join. */
+  def didEstimator(
+      df: DataFrame,
+      groupCol: String,
+      treatValue: String,
+      controlValue: String,
+      periodCol: String,
+      postValue: String,
+      preValue: String,
+      valueCol: String,
+      scaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(treatValue != controlValue,
+      "treatValue and controlValue must differ")
+    require(postValue != preValue, "postValue and preValue must differ")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val g = col(groupCol).cast("string")
+    val p = col(periodCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull &&
+        (g === treatValue || g === controlValue) &&
+        (p === postValue || p === preValue))
+      .select((g === treatValue).as("__t"), (p === postValue).as("__post"),
+        round(v * lit(sc)).cast("long").as("__c"))
+    def cell(t: Boolean, post: Boolean) =
+      col("__t") === t && col("__post") === post
+    def aggsFor(t: Boolean, post: Boolean, tag: String) = Seq(
+      count(when(cell(t, post), lit(1))).as(s"__n_$tag"),
+      sum(when(cell(t, post), col("__c"))).as(s"__s_$tag"),
+      sum(when(cell(t, post), col("__c") * col("__c"))).as(s"__q_$tag"))
+    val cells = Seq(("tpre", true, false), ("tpost", true, true),
+      ("cpre", false, false), ("cpost", false, true))
+    val agg = base.agg(count(lit(1)).as("n"),
+      cells.flatMap { case (tag, t, post) => aggsFor(t, post, tag) }: _*)
+    def nD(tag: String) = col(s"__n_$tag").cast("double")
+    def mean(tag: String) =
+      (col(s"__s_$tag").cast("double") / nD(tag)) / lit(sc)
+    // sample variance of the SCALED values, descaled by sc²
+    def svar(tag: String) =
+      ((col(s"__q_$tag").cast("double") * nD(tag) -
+        col(s"__s_$tag").cast("double") * col(s"__s_$tag").cast("double")) /
+        (nD(tag) * (nD(tag) - lit(1.0)))) / lit(sc * sc)
+    val did = (mean("tpost") - mean("tpre")) -
+      (mean("cpost") - mean("cpre"))
+    val se = sqrt(cells.map { case (tag, _, _) => svar(tag) / nD(tag) }
+      .reduce(_ + _))
+    val ok = cells.map { case (tag, _, _) => col(s"__n_$tag") >= 2 }
+      .reduce(_ && _)
+    agg.select(col("n"),
+      col("__n_tpre").as("n_tpre"), col("__n_tpost").as("n_tpost"),
+      col("__n_cpre").as("n_cpre"), col("__n_cpost").as("n_cpost"),
+      round(mean("tpre") + lit(1e-9), 6).as("mean_tpre"),
+      round(mean("tpost") + lit(1e-9), 6).as("mean_tpost"),
+      round(mean("cpre") + lit(1e-9), 6).as("mean_cpre"),
+      round(mean("cpost") + lit(1e-9), 6).as("mean_cpost"),
+      round(did + lit(1e-9), 6).as("did"),
+      round(when(ok, se) + lit(1e-9), 6).as("se_did"),
+      round(when(ok, did - lit(1.96) * se) + lit(1e-9), 6).as("ci_lo"),
+      round(when(ok, did + lit(1.96) * se) + lit(1e-9), 6).as("ci_hi"))
+  }
+
+  /** Sample-ratio-mismatch check (Fabijan et al., ICSE-SEIP 2019: the
+    * single most common experiment-invalidation bug) — a χ²
+    * goodness-of-fit of observed assignment counts against the DESIGN
+    * ratios: a 50/50 split landing 50.5/49.5 at scale means broken
+    * randomization, bot filtering, or logging loss, and every readout
+    * downstream is suspect. Run it BEFORE believing any effect.
+    *
+    * `expected` maps arm → design weight (normalized internally, so
+    * 1:1 or 50:50 both work); arms observed but not in the design, or
+    * designed but absent, surface as rows (absent arms with
+    * `n_obs = 0`), both contributing their full χ² term. Null arms
+    * drop.
+    *
+    * Returns one row PER ARM `(arm, n_obs: bigint, ratio_expected,
+    * n_expected, chi2_term, chi2_total: double ROUNDED at 6, df:
+    * bigint)` — `chi2_total`/`df = k−1` repeated on each row for
+    * one-frame consumption. Counts are exact longs; the χ² terms are
+    * IEEE functions of them against driver-baked weight literals.
+    * Plan: one partial-agg shuffle to arm counts (k rows), then
+    * arm-grid arithmetic with a broadcast 1-row total. */
+  def srmCheck(
+      df: DataFrame,
+      armCol: String,
+      expected: Map[String, Double]
+  ): MayFail[DataFrame] = MayFail {
+    require(expected.nonEmpty, "srmCheck needs the design ratios")
+    require(expected.values.forall(_ > 0),
+      s"design weights must be positive: $expected")
+    val wSum = expected.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = expected.toSeq.sortBy(_._1)
+      .map { case (a, w) => (a, w / wSum) }
+      .toDF("arm", "ratio_expected")
+    val counts = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    val joined = design.join(counts, Seq("arm"), "full_outer")
+      .select(col("arm"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("ratio_expected"), lit(0.0)).as("ratio_expected"))
+    val tot = joined.agg(sum(col("n_obs")).as("__N"),
+      count(lit(1)).as("__k"))
+    val exp = col("ratio_expected") * col("__N").cast("double")
+    // an observed-but-undesigned arm has expectation 0: any presence
+    // is an infinite-χ² violation — surface a huge finite term instead
+    // of NaN so the total stays orderable
+    val term = when(exp > 0,
+        (col("n_obs").cast("double") - exp) * (col("n_obs").cast("double") - exp) / exp)
+      .otherwise(when(col("n_obs") > 0, lit(Double.MaxValue))
+        .otherwise(lit(0.0)))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__term", term)
+      .select(col("arm"), col("n_obs"),
+        round(col("ratio_expected") + lit(1e-9), 6).as("ratio_expected"),
+        round(exp + lit(1e-9), 6).as("n_expected"),
+        round(col("__term") + lit(1e-9), 6).as("chi2_term"),
+        round(sum(col("__term")).over(wAll) + lit(1e-9), 6)
+          .as("chi2_total"),
+        (col("__k") - 1).as("df"))
+  }
+
+  /** Post-stratified mean: re-weight per-stratum sample means to TARGET
+    * population weights — the estimator that fixes a sampled eval set
+    * whose strata (language, source, length bucket) drifted from the
+    * population they must represent:
+    *
+    *   `ȳ_post = Σ_h W_h · ȳ_h`,  `SE² = Σ_h W_h² · s²_h / n_h`
+    *
+    * `weights` maps stratum → target weight (normalized internally).
+    * Rows with null value/stratum, or in strata OUTSIDE the target
+    * design, drop (they have zero target weight by definition);
+    * designed strata ABSENT from the sample make the estimator
+    * undefined — surfaced as NULL estimate with the missing count.
+    *
+    * Returns ONE row `(n, n_strata_design, n_strata_observed: bigint,
+    * mean_raw, mean_post, se_post: double ROUNDED at 6)`. Exactness:
+    * per-stratum S, Q on `scaleDecimals`-scaled exact longs, weight
+    * literals driver-baked, one strata-grid reduction after a single
+    * partial-agg shuffle. */
+  def postStratifiedMean(
+      df: DataFrame,
+      valueCol: String,
+      strataCol: String,
+      weights: Map[String, Double],
+      scaleDecimals: Int = 0
+  ): MayFail[DataFrame] = MayFail {
+    require(weights.nonEmpty, "postStratifiedMean needs target weights")
+    require(weights.values.forall(_ > 0),
+      s"target weights must be positive: $weights")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val wSum = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = weights.toSeq.sortBy(_._1)
+      .map { case (h, w) => (h, w / wSum) }
+      .toDF("__h", "__w")
+    val v = col(valueCol).cast("double")
+    val g = df.filter(v.isNotNull && col(strataCol).isNotNull)
+      .select(col(strataCol).cast("string").as("__h"),
+        round(v * lit(sc)).cast("long").as("__c"))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+    val grid = design.join(g, Seq("__h"), "left")
+    val nD = col("__n").cast("double")
+    val meanH = (col("__s").cast("double") / nD) / lit(sc)
+    val svarH = ((col("__q").cast("double") * nD -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (nD * (nD - lit(1.0)))) / lit(sc * sc)
+    grid.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_strata_design"),
+        count(col("__n")).as("n_strata_observed"),
+        (sum(col("__s")).cast("double") /
+          sum(col("__n")).cast("double") / lit(sc)).as("__mraw"),
+        sum(col("__w") * meanH).as("__mpost"),
+        sum((col("__w") * col("__w")) * (svarH / nD)).as("__vpost"),
+        min(col("__n")).as("__minN"))
+      .select(col("n"), col("n_strata_design"), col("n_strata_observed"),
+        round(col("__mraw") + lit(1e-9), 6).as("mean_raw"),
+        round(when(col("n_strata_observed") === col("n_strata_design"),
+          col("__mpost")) + lit(1e-9), 6).as("mean_post"),
+        round(when(col("n_strata_observed") === col("n_strata_design") &&
+            col("__minN") >= 2,
+          sqrt(col("__vpost"))) + lit(1e-9), 6).as("se_post"))
+  }
 }

@@ -1042,6 +1042,95 @@ class StatsSpec extends AnyFunSuite {
     assert(r._4 < r._5, s"CI has zero width — id tuples collided: $r")
   }
 
+  // --- didEstimator --------------------------------------------------------
+
+  test("didEstimator matches the hand-computed 2x2 closed form") {
+    val df = Seq(
+      ("t", "pre", 1.0), ("t", "pre", 3.0),
+      ("t", "post", 5.0), ("t", "post", 7.0),
+      ("c", "pre", 1.0), ("c", "pre", 3.0),
+      ("c", "post", 3.0), ("c", "post", 5.0),
+      ("x", "post", 99.0), ("t", "mid", 99.0) // outside cells: dropped
+    ).toDF("g", "p", "v")
+    val got = Stats.didEstimator(df, "g", "t", "c", "p", "post", "pre",
+      "v").get
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double,
+        Double, Option[Double], Option[Double], Option[Double])].head()
+    // means 2/6/2/4, all cell vars = 2 with n = 2:
+    // did = (6-2)-(4-2) = 2, se = sqrt(4*(2/2)/... ) = sqrt(4) = 2
+    assert(got._1 == 8L && got._2 == 2L && got._5 == 2L)
+    assert((got._6, got._7, got._8, got._9) == ((2.0, 6.0, 2.0, 4.0)))
+    assert(got._10 == 2.0 && got._11 == Some(2.0))
+    assert(got._12 == Some(BigDecimal(2.0 - 1.96 * 2.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("didEstimator surfaces thin cells as NULL SE, validates knobs") {
+    val thin = Seq(("t", "pre", 1.0), ("t", "post", 2.0),
+      ("c", "pre", 1.0), ("c", "pre", 2.0), ("c", "post", 3.0),
+      ("c", "post", 4.0)).toDF("g", "p", "v")
+    val r = Stats.didEstimator(thin, "g", "t", "c", "p", "post", "pre",
+      "v").get.select("se_did").as[Option[Double]].head()
+    assert(r.isEmpty, "single-row cells must yield NULL SE")
+    assert(Stats.didEstimator(thin, "g", "t", "t", "p", "post", "pre",
+      "v").isFailing)
+    assert(Stats.didEstimator(thin, "g", "t", "c", "p", "post", "post",
+      "v").isFailing)
+  }
+
+  // --- srmCheck --------------------------------------------------------------
+
+  test("srmCheck: hand chi-square, absent and undesigned arms surface") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("arm")
+    val got = Stats.srmCheck(df, "arm", Map("a" -> 1.0, "b" -> 1.0)).get
+      .orderBy("arm")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    // N = 100, e = 50 each: terms 100/50 = 2, chi2 = 4, df = 1
+    assert(got.map(_._2) == Seq(60L, 40L))
+    assert(got.forall(r => r._3 == 0.5 && r._4 == 50.0 && r._5 == 2.0 &&
+      r._6 == 4.0 && r._7 == 1L), s"$got")
+    // a designed arm with zero observations contributes its full term
+    val absent = Stats.srmCheck(df, "arm",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)).get
+      .filter(col("arm") === "c")
+      .as[(String, Long, Double, Double, Double, Double, Long)].head()
+    assert(absent._2 == 0L && absent._4 == 50.0 && absent._5 == 50.0)
+    // an observed-but-undesigned arm blows the total up, never NaN
+    val rogue = Stats.srmCheck(
+      df.union(Seq("z").toDF("arm")), "arm",
+      Map("a" -> 1.0, "b" -> 1.0)).get
+      .agg(max(col("chi2_total"))).head().getDouble(0)
+    assert(rogue > 1e300 && !rogue.isNaN)
+    assert(Stats.srmCheck(df, "arm", Map.empty).isFailing)
+    assert(Stats.srmCheck(df, "arm", Map("a" -> 0.0)).isFailing)
+  }
+
+  // --- postStratifiedMean ----------------------------------------------------
+
+  test("postStratifiedMean matches the hand closed form; missing " +
+      "designed strata surface as NULL") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0),
+      ("zz", 100.0)).toDF("h", "v") // zz: outside the design, dropped
+    val got = Stats.postStratifiedMean(df, "v", "h",
+      Map("a" -> 0.75, "b" -> 0.25)).get
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .head()
+    // mean_post = .75*2 + .25*6 = 3; se = sqrt(.75^2*1 + .25^2*1)
+    assert(got._1 == 4L && got._2 == 2L && got._3 == 2L)
+    assert(got._4 == 4.0 && got._5 == Some(3.0))
+    assert(got._6 == Some(BigDecimal(math.sqrt(0.625) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // a designed stratum absent from the sample: estimator undefined
+    val missing = Stats.postStratifiedMean(df, "v", "h",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).get
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])]
+      .head()
+    assert(missing._2 == 3L && missing._3 == 2L && missing._5.isEmpty &&
+      missing._6.isEmpty)
+    assert(Stats.postStratifiedMean(df, "v", "h", Map.empty).isFailing)
+  }
+
   // --- cmhTest ---------------------------------------------------------------
 
   test("cmhTest matches the hand-computed statistic on 2x2x2 tables") {
