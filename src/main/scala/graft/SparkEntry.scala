@@ -7051,8 +7051,8 @@ object SparkEntry {
            coalesce(design.ratio_expected, 0.0) AS ratio_expected
          FROM design FULL OUTER JOIN counts ON design.arm = counts.arm
        ), t AS (
-         SELECT CAST(sum(n_obs) AS BIGINT) AS nn,
-           CAST(count(*) AS BIGINT) AS k FROM j
+         SELECT (SELECT CAST(sum(n_obs) AS BIGINT) FROM j) AS nn,
+           (SELECT CAST(count(*) AS BIGINT) FROM design) AS k
        ), terms AS (
          SELECT j.arm, j.n_obs, j.ratio_expected,
            j.ratio_expected * CAST(t.nn AS DOUBLE) AS e,
@@ -7068,7 +7068,8 @@ object SparkEntry {
          round(ratio_expected + 1e-9, 6) AS ratio_expected,
          round(e + 1e-9, 6) AS n_expected,
          round(term + 1e-9, 6) AS chi2_term,
-         round(sum(term) OVER () + 1e-9, 6) AS chi2_total,
+         round(least(sum(term) OVER (), 1.7976931348623157e308) + 1e-9, 6)
+           AS chi2_total,
          CAST(k - 1 AS BIGINT) AS df
        FROM terms ORDER BY arm"""
   }

@@ -135,10 +135,8 @@ object Bpe {
         if (sign > 0) occ.getOrElseUpdate(key, mutable.Set.empty) += i
         p += 1
       }
-      if (sign < 0) {
-        // rebuild membership lazily: stale entries are filtered at use
-        ()
-      }
+      // negative passes leave occ entries stale on purpose — the merge
+      // loop re-checks adjacency (`has`) before rewriting a hit
     }
     rows.indices.foreach(addPairs(_, 1L))
     val merges = mutable.ArrayBuffer
@@ -230,7 +228,9 @@ object Bpe {
     val (nWords, nChars) = (st.getLong(0), st.getLong(1))
     // byte bound against a 400 MB driver budget: syms arrays ~one boxed
     // string per char + map/index overhead per word
-    if (nWords <= maxDriverWords &&
+    // maxDriverWords = 0 must FORCE the distributed tier even on an
+    // empty vocabulary (0 <= 0 would otherwise take the driver branch)
+    if (maxDriverWords > 0 && nWords <= maxDriverWords &&
       nChars * 64 + nWords * 200 < (400L << 20)) {
       val rows = base.orderBy("word").collect()
         .map(r => (r.getString(0), r.getLong(1)))

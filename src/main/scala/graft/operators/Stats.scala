@@ -3068,8 +3068,11 @@ object Stats {
     *
     * Returns one row PER ARM `(arm, n_obs: bigint, ratio_expected,
     * n_expected, chi2_term, chi2_total: double ROUNDED at 6, df:
-    * bigint)` — `chi2_total`/`df = k−1` repeated on each row for
-    * one-frame consumption. Counts are exact longs; the χ² terms are
+    * bigint)` — `chi2_total` and `df = k_design − 1` (DESIGN cells
+    * only; rogue arms flag, they don't add degrees of freedom)
+    * repeated on each row for one-frame consumption. `chi2_total` is
+    * capped at Double.MaxValue so multiple rogue-arm sentinels can
+    * never overflow it to +Infinity. Counts are exact longs; the χ² terms are
     * IEEE functions of them against driver-baked weight literals.
     * Plan: one partial-agg shuffle to arm counts (k rows), then
     * arm-grid arithmetic with a broadcast 1-row total. */
@@ -3094,15 +3097,20 @@ object Stats {
       .select(col("arm"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         coalesce(col("ratio_expected"), lit(0.0)).as("ratio_expected"))
-    val tot = joined.agg(sum(col("n_obs")).as("__N"),
-      count(lit(1)).as("__k"))
+    // df counts DESIGN cells only (k_design − 1): an observed-but-
+    // undesigned arm is a violation FLAG, not an extra cell of the
+    // reference distribution
+    val tot = joined.agg(sum(col("n_obs")).as("__N"))
+      .crossJoin(broadcast(design.agg(count(lit(1)).as("__k"))))
     val exp = col("ratio_expected") * col("__N").cast("double")
     // an observed-but-undesigned arm has expectation 0: any presence
-    // is an infinite-χ² violation — surface a huge finite term instead
-    // of NaN so the total stays orderable
+    // is an infinite-χ² violation — surface a huge finite sentinel
+    // (MaxValue >> 16) instead of NaN, and CAP the total at MaxValue so
+    // several rogue arms can never overflow it to +Infinity
+    val rogue = Double.MaxValue / 65536
     val term = when(exp > 0,
         (col("n_obs").cast("double") - exp) * (col("n_obs").cast("double") - exp) / exp)
-      .otherwise(when(col("n_obs") > 0, lit(Double.MaxValue))
+      .otherwise(when(col("n_obs") > 0, lit(rogue))
         .otherwise(lit(0.0)))
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -3112,8 +3120,8 @@ object Stats {
         round(col("ratio_expected") + lit(1e-9), 6).as("ratio_expected"),
         round(exp + lit(1e-9), 6).as("n_expected"),
         round(col("__term") + lit(1e-9), 6).as("chi2_term"),
-        round(sum(col("__term")).over(wAll) + lit(1e-9), 6)
-          .as("chi2_total"),
+        round(least(sum(col("__term")).over(wAll), lit(Double.MaxValue))
+          + lit(1e-9), 6).as("chi2_total"),
         (col("__k") - 1).as("df"))
   }
 

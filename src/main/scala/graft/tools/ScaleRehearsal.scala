@@ -1818,6 +1818,57 @@ object ScaleRehearsal {
       rr.getLong(0)
     })
 
+    // round-12 estimator laws at 10x: cell/stratum MEANS are the same
+    // real quotient under m-fold replication ((Σc·m)/(n·m)) — bit-equal
+    // at round-6 — while the SEs must SHRINK (more rows, same spread);
+    // SRM chi2 scales by m up to one extra rounding per term.
+    time("experiment_stats")({
+      val baseL = spark.read.parquet(s"$dir/lineitem.parquet")
+      def did(d: DataFrame) = graft.operators.Stats.didEstimator(
+          d.withColumn("__yr", year(col("l_shipdate")).cast("string")),
+          "l_returnflag", "R", "A", "__yr", "1997", "1995",
+          "l_quantity").get.collect().head
+      val db = did(baseL); val dr = did(li)
+      check("did_replication_invariant",
+        dr.getDouble(9) == db.getDouble(9) &&
+          dr.getDouble(5) == db.getDouble(5) &&
+          dr.getDouble(8) == db.getDouble(8),
+        s"DiD means/effect must be replication-invariant: " +
+          s"${dr.getDouble(9)} vs ${db.getDouble(9)}")
+      check("did_se_shrink_law", dr.getDouble(10) < db.getDouble(10),
+        s"10x data must shrink the DiD SE: ${dr.getDouble(10)} vs " +
+          s"${db.getDouble(10)}")
+      def srm(d: DataFrame) = graft.operators.Stats.srmCheck(
+          d.withColumn("__arm",
+            pmod(col("o_orderkey"), lit(3)).cast("string")),
+          "__arm", Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)).get
+        .agg(max(col("chi2_total"))).head().getDouble(0)
+      val ob = spark.read.parquet(s"$dir/orders.parquet")
+      val sb = srm(ob)
+      // plain m-fold union (NO key shift — a shift would rotate arms
+      // mod 3 and mix the ratios): counts scale exactly xm, so chi2
+      // scales m-fold up to one rounding per term
+      val sr = srm((0 until mult).map(_ => ob).reduce(_ union _))
+      check("srm_chi2_scaling_law",
+        math.abs(sr - mult * sb) <= 1e-6 * math.max(1.0, mult * sb),
+        s"SRM chi2 must scale ~${mult}x under replication: $sr vs " +
+          s"${mult * sb}")
+      def ps(d: DataFrame) = graft.operators.Stats.postStratifiedMean(
+          d, "l_extendedprice", "l_returnflag",
+          Map("A" -> 0.3, "N" -> 0.5, "R" -> 0.2)).get.collect().head
+      val pb = ps(baseL); val pr = ps(li)
+      check("post_strat_replication_invariant",
+        pr.getDouble(4) == pb.getDouble(4) &&
+          pr.getDouble(3) == pb.getDouble(3),
+        s"post-stratified mean must be replication-invariant: " +
+          s"${pr.getDouble(4)} vs ${pb.getDouble(4)}")
+      check("post_strat_se_shrink_law",
+        pr.getDouble(5) < pb.getDouble(5),
+        s"10x data must shrink the post-strat SE: ${pr.getDouble(5)} " +
+          s"vs ${pb.getDouble(5)}")
+      dr.getLong(0)
+    })
+
     println("[rehearsal] invariants OK (exact-first pair volume, CMS==exact top-k, " +
       "segment keep-first, boilerplate stability, span-dedup replication law, " +
       "semantic-dedup replication law, image/audio/video planted recall, " +
