@@ -3373,6 +3373,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q395_stream_srm" -> ((s, dir) => {
+      // STREAMING SRM monitor in 4 real micro-batches: per-day exact
+      // (window, arm = event_id mod 3) counts — bounded state, drained
+      // counts bit-equal to batch — finished per window against the
+      // frozen 1:1:1 design. The oracle replays the whole chain.
+      implicit val sp: SparkSession = s
+      val ev = events(s, dir)
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src395"
+      ev.withColumn("__arm", pmod(col("event_id"), lit(3)).cast("string"))
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_ssrm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        c <- graft.streaming.Stream.windowedArmCounts(src, "ts",
+          "1 day", "1 hour", "__arm")
+        res <- graft.streaming.Stream.drainToMemory(c, name, "complete")
+      } yield res).get
+      graft.operators.Stats.srmFromCounts(
+          drained.select(col("window.start").as("ws"), col("arm"),
+            col("n_obs")),
+          Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0), keys = Seq("ws")).get
+        .orderBy("ws", "arm")
+    }),
+
     "q392_did" -> ((s, dir) => {
       // Difference-in-differences on the 2x2 (returnflag R vs A) x
       // (ship year 1997 vs 1995) cells over quantities — exact integer
@@ -7072,6 +7099,55 @@ object SparkEntry {
            AS chi2_total,
          CAST(k - 1 AS BIGINT) AS df
        FROM terms ORDER BY arm"""
+  }
+
+  /** q395's oracle, generated: the streaming SRM chain replayed —
+    * per-day exact (window, arm) counts, the key-grid × design join,
+    * per-window χ² terms and capped totals, the design df. */
+  private def streamSrmOracleSql(expected: Map[String, Double]): String = {
+    val wSum = expected.values.sum
+    val rows = expected.toSeq.sortBy(_._1)
+    val arms = rows.map(r => s"'${r._1}'").mkString(", ")
+    val ws = rows.map(r => java.lang.Double.toString(r._2 / wSum))
+      .mkString(", ")
+    val rogue = java.lang.Double.toString(Double.MaxValue / 65536)
+    s"""WITH obs AS (
+         SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+           CAST(event_id % 3 AS VARCHAR) AS arm,
+           CAST(count(*) AS BIGINT) AS n_obs
+         FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         GROUP BY 1, 2
+       ), design AS (
+         SELECT unnest([$arms]) AS arm,
+           unnest([$ws]::DOUBLE[]) AS ratio_expected
+       ), grid AS (
+         SELECT k.ws, d.arm, d.ratio_expected
+         FROM (SELECT DISTINCT ws FROM obs) k, design d
+       ), j AS (
+         SELECT coalesce(grid.ws, obs.ws) AS ws,
+           coalesce(grid.arm, obs.arm) AS arm,
+           coalesce(obs.n_obs, 0) AS n_obs,
+           coalesce(grid.ratio_expected, 0.0) AS ratio_expected
+         FROM grid FULL OUTER JOIN obs
+           ON grid.ws = obs.ws AND grid.arm = obs.arm
+       ), t AS (
+         SELECT *, ratio_expected *
+           CAST(sum(n_obs) OVER (PARTITION BY ws) AS DOUBLE) AS e
+         FROM j
+       ), terms AS (
+         SELECT *, CASE WHEN e > 0 THEN
+             (CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e
+           ELSE CASE WHEN n_obs > 0 THEN $rogue ELSE 0.0 END END AS term
+         FROM t
+       )
+       SELECT ws, arm, CAST(n_obs AS BIGINT) AS n_obs,
+         round(ratio_expected + 1e-9, 6) AS ratio_expected,
+         round(e + 1e-9, 6) AS n_expected,
+         round(term + 1e-9, 6) AS chi2_term,
+         round(least(sum(term) OVER (PARTITION BY ws),
+           1.7976931348623157e308) + 1e-9, 6) AS chi2_total,
+         CAST(${expected.size - 1} AS BIGINT) AS df
+       FROM terms ORDER BY ws, arm"""
   }
 
   /** q394's oracle, generated: post-stratified mean with the
@@ -11367,6 +11443,9 @@ object SparkEntry {
          FROM d""",
 
     "q393_srm" -> srmOracleSql(Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)),
+
+    "q395_stream_srm" ->
+      streamSrmOracleSql(Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)),
 
     "q394_post_strat" ->
       postStratOracleSql(Map("A" -> 0.3, "N" -> 0.5, "R" -> 0.2)),

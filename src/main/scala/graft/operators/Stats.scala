@@ -3080,29 +3080,60 @@ object Stats {
       df: DataFrame,
       armCol: String,
       expected: Map[String, Double]
+  ): MayFail[DataFrame] =
+    MayFail {
+      df.filter(col(armCol).isNotNull)
+        .groupBy(col(armCol).cast("string").as("arm"))
+        .agg(count(lit(1)).as("n_obs"))
+    }.flatMap(srmFromCounts(_, expected))
+
+  /** [[srmCheck]]'s finisher over PRE-AGGREGATED `(keys..., arm,
+    * n_obs)` counts — the χ² runs independently WITHIN each `keys`
+    * group (a day window, an experiment id), which is how the
+    * streaming monitor consumes it: build exact per-window arm counts
+    * with [[graft.streaming.Stream.windowedArmCounts]] (bounded
+    * state), drain, finish per window against the frozen design —
+    * the [[psiFromCounts]] discipline. Designed arms absent from a
+    * group surface with `n_obs = 0`; observed undesigned arms carry
+    * the capped rogue sentinel. Same row shape as [[srmCheck]] plus
+    * the leading `keys`. */
+  def srmFromCounts(
+      counts: DataFrame,
+      expected: Map[String, Double],
+      keys: Seq[String] = Nil,
+      armCol: String = "arm",
+      countCol: String = "n_obs"
   ): MayFail[DataFrame] = MayFail {
-    require(expected.nonEmpty, "srmCheck needs the design ratios")
+    require(expected.nonEmpty, "srmFromCounts needs the design ratios")
     require(expected.values.forall(_ > 0),
       s"design weights must be positive: $expected")
     val wSum = expected.values.sum
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val design = expected.toSeq.sortBy(_._1)
       .map { case (a, w) => (a, w / wSum) }
       .toDF("arm", "ratio_expected")
-    val counts = df.filter(col(armCol).isNotNull)
-      .groupBy(col(armCol).cast("string").as("arm"))
-      .agg(count(lit(1)).as("n_obs"))
-    val joined = design.join(counts, Seq("arm"), "full_outer")
-      .select(col("arm"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        coalesce(col("ratio_expected"), lit(0.0)).as("ratio_expected"))
+    val kDesign = expected.size
+    val obs = counts.select(keys.map(col) :+
+      col(armCol).cast("string").as("arm") :+
+      col(countCol).cast("long").as("n_obs"): _*)
+    // every design arm must appear in every observed key group (an
+    // absent arm is a full-term violation): key-grid × design, then
+    // left-join the observations back
+    val grid =
+      if (keys.isEmpty) design
+      else obs.select(keys.map(col): _*).distinct()
+        .crossJoin(broadcast(design))
+    val joined = grid.join(obs, keys :+ "arm", "full_outer")
+      .select(keys.map(col) :+ col("arm") :+
+        coalesce(col("n_obs"), lit(0L)).as("n_obs") :+
+        coalesce(col("ratio_expected"), lit(0.0)).as("ratio_expected"): _*)
+    val wKey = Window.partitionBy(keys.map(col): _*)
     // df counts DESIGN cells only (k_design − 1): an observed-but-
     // undesigned arm is a violation FLAG, not an extra cell of the
     // reference distribution
-    val tot = joined.agg(sum(col("n_obs")).as("__N"))
-      .crossJoin(broadcast(design.agg(count(lit(1)).as("__k"))))
-    val exp = col("ratio_expected") * col("__N").cast("double")
+    val nTot = sum(col("n_obs")).over(wKey)
+    val exp = col("ratio_expected") * nTot.cast("double")
     // an observed-but-undesigned arm has expectation 0: any presence
     // is an infinite-χ² violation — surface a huge finite sentinel
     // (MaxValue >> 16) instead of NaN, and CAP the total at MaxValue so
@@ -3112,17 +3143,16 @@ object Stats {
         (col("n_obs").cast("double") - exp) * (col("n_obs").cast("double") - exp) / exp)
       .otherwise(when(col("n_obs") > 0, lit(rogue))
         .otherwise(lit(0.0)))
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    joined.crossJoin(broadcast(tot))
+    joined
+      .withColumn("__e", exp)
       .withColumn("__term", term)
-      .select(col("arm"), col("n_obs"),
+      .select(keys.map(col) ++ Seq(col("arm"), col("n_obs"),
         round(col("ratio_expected") + lit(1e-9), 6).as("ratio_expected"),
-        round(exp + lit(1e-9), 6).as("n_expected"),
+        round(col("__e") + lit(1e-9), 6).as("n_expected"),
         round(col("__term") + lit(1e-9), 6).as("chi2_term"),
-        round(least(sum(col("__term")).over(wAll), lit(Double.MaxValue))
+        round(least(sum(col("__term")).over(wKey), lit(Double.MaxValue))
           + lit(1e-9), 6).as("chi2_total"),
-        (col("__k") - 1).as("df"))
+        lit(kDesign - 1).cast("long").as("df")): _*)
   }
 
   /** Post-stratified mean: re-weight per-stratum sample means to TARGET

@@ -678,6 +678,28 @@ object Stream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** STREAMING assignment-count monitor — the build half of a
+    * streaming SAMPLE-RATIO-MISMATCH check (the most common
+    * experiment-invalidation bug caught in production, not in the
+    * readout): exact per-(event window, arm) counts, state bounded by
+    * windows × arms regardless of event volume, drained counts
+    * BIT-equal to batch counting (the q334/q372 discipline). Finish
+    * each drained window against the frozen design with
+    * [[graft.operators.Stats.srmFromCounts]] keyed by window start. */
+  def windowedArmCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermark: String,
+      armCol: String): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedArmCounts needs a streaming frame")
+    df.filter(col(tsCol).isNotNull && col(armCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration),
+        col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+  }
+
   /** STREAMING per-window HLL distinct sketches: `(window, keys...,
     * sketch)` — state is ONE ~2 KB sketch per (window, key) regardless
     * of event volume or value cardinality, and the sketches stay

@@ -363,6 +363,45 @@ class StreamSpec extends AnyFunSuite {
       "ts", "10 minutes", "5 minutes", "v").isFailing)
   }
 
+  test("windowedArmCounts: drained counts equal batch bit-for-bit; " +
+      "per-window SRM finish flags the broken window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    // window 1: a clean 50/50 split; window 2: 75/25 — broken
+    val events = Seq.tabulate(200)(i =>
+      (ts(i % 5), if (i % 2 == 0) "a" else "b")) ++
+      Seq.tabulate(200)(i =>
+        (ts(60 + i % 5), if (i % 4 == 0) "b" else "a"))
+    val input = MemoryStream[(Timestamp, String)]
+    val c = Stream.windowedArmCounts(
+      input.toDF.toDF("ts", "arm"), "ts", "10 minutes", "5 minutes",
+      "arm").get
+    val q = c.writeStream.outputMode("complete").format("memory")
+      .queryName("wac_test").start()
+    input.addData(events.take(200))
+    q.processAllAvailable()
+    input.addData(events.drop(200))
+    q.processAllAvailable()
+    q.stop()
+    val drained = spark.table("wac_test")
+      .select($"window.start".as("ws"), $"arm", $"n_obs")
+    val streamed = drained.as[(Timestamp, String, Long)].collect().toSet
+    val batch = events.toDF("ts", "arm")
+      .withColumn("ws", window($"ts", "10 minutes")("start"))
+      .groupBy("ws", "arm").agg(count(lit(1)).as("n_obs"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch, "stream/batch arm counts diverged")
+    val fin = Stats.srmFromCounts(drained,
+        Map("a" -> 1.0, "b" -> 1.0), keys = Seq("ws")).get
+      .select("ws", "chi2_total").distinct()
+      .as[(Timestamp, Double)].collect().toMap
+    assert(fin.size == 2)
+    // clean 100/100 split: chi2 = 0; broken 150/50: chi2 = 50²/100·2
+    assert(fin.values.toSeq.sorted == Seq(0.0, 50.0), s"$fin")
+    assert(Stream.windowedArmCounts(events.toDF("ts", "arm"),
+      "ts", "10 minutes", "5 minutes", "arm").isFailing)
+  }
+
   test("ivfIndexSink: stream-built index equals batch ivfEncodeWith " +
       "bit-for-bit; a replayed run overwrites idempotently") {
     implicit val sqlCtx = spark.sqlContext
