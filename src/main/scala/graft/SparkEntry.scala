@@ -3400,6 +3400,17 @@ object SparkEntry {
         .orderBy("ws", "arm")
     }),
 
+    "q396_quantile_effect" -> ((s, dir) => {
+      // Distributional effect readout: the p75 quantity difference
+      // (returnflag R vs A) with a deterministic Poisson-bootstrap CI
+      // — every pick an exact-integer grid rank, the whole chain
+      // replayed by the oracle.
+      graft.operators.Stats.quantileEffect(tbl(s, dir, "lineitem"),
+        "l_returnflag", "R", "A", "l_quantity",
+        idCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        p = 0.75, nBoot = 24, alpha = 0.1, salt = "q396").get
+    }),
+
     "q392_did" -> ((s, dir) => {
       // Difference-in-differences on the 2x2 (returnflag R vs A) x
       // (ship year 1997 vs 1995) cells over quantities — exact integer
@@ -7099,6 +7110,92 @@ object SparkEntry {
            AS chi2_total,
          CAST(k - 1 AS BIGINT) AS df
        FROM terms ORDER BY arm"""
+  }
+
+  /** q396's oracle, generated: the quantile-treatment-effect chain —
+    * exact grid-rank group quantiles, the shared salted Poisson draw
+    * (ladder literals baked), weighted replicate quantiles, and the
+    * grid-rank CI picks over the replicate diffs. */
+  private def quantileEffectOracleSql(
+      p: Double, nBoot: Int, alpha: Double, salt: String): String = {
+    val ladder = graft.operators.Stats.poissonCdf1.zipWithIndex
+      .map { case (c, k) =>
+        s"WHEN u < ${java.lang.Double.toString(c)} THEN ${k}" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+    val ps = java.lang.Double.toString(p)
+    val pLo = java.lang.Double.toString(alpha / 2)
+    val pHi = java.lang.Double.toString(1.0 - alpha / 2)
+    def rank(pp: String, w: String) =
+      s"greatest(1, CAST(ceil($pp * CAST($w AS DOUBLE)) AS BIGINT))"
+    s"""WITH base AS (
+         SELECT (l_returnflag = 'R') AS t, l_orderkey, l_linenumber,
+           l_partkey,
+           CAST(round(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS c
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'A')
+       ), g0 AS (
+         SELECT t, c, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+       ), p0 AS (
+         SELECT t, c AS q FROM (
+           SELECT t, c, n,
+             sum(n) OVER (PARTITION BY t ORDER BY c
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY t) AS W
+           FROM g0)
+         WHERE cum >= ${rank(ps, "W")} AND cum - n < ${rank(ps, "W")}
+       ), drawn AS (
+         SELECT t, bb.b AS b, c,
+           ((CAST(('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '§'
+               || CAST(l_linenumber AS VARCHAR) || '§'
+               || CAST(l_partkey AS VARCHAR) || '§$salt§'
+               || CAST(bb.b AS VARCHAR)), 1, 15)) AS BIGINT)
+             & 4503599627370495) + 0.5) / 4503599627370496.0 AS u
+         FROM base, (SELECT unnest(range(0, $nBoot)) AS b) bb
+       ), gb AS (
+         SELECT t, b, c, CAST(sum($ladder) AS BIGINT) AS wt
+         FROM drawn GROUP BY 1, 2, 3
+       ), qb AS (
+         SELECT t, b, c AS q FROM (
+           SELECT t, b, c, wt,
+             sum(wt) OVER (PARTITION BY t, b ORDER BY c
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wt) OVER (PARTITION BY t, b) AS W
+           FROM gb)
+         WHERE cum >= ${rank(ps, "W")} AND cum - wt < ${rank(ps, "W")}
+       ), dd AS (
+         SELECT a.q - o.q AS d FROM qb a
+         JOIN qb o ON a.b = o.b AND a.t AND NOT o.t
+       ), dgrid AS (
+         SELECT d, CAST(count(*) AS BIGINT) AS tt FROM dd GROUP BY 1
+       ), dcum AS (
+         SELECT d, tt,
+           sum(tt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cc,
+           sum(tt) OVER () AS nb
+         FROM dgrid
+       ), lo AS (
+         SELECT d AS vlo, nb FROM dcum
+         WHERE cc >= ${rank(pLo, "nb")} AND cc - tt < ${rank(pLo, "nb")}
+       ), hi AS (
+         SELECT d AS vhi FROM dcum
+         WHERE cc >= ${rank(pHi, "nb")} AND cc - tt < ${rank(pHi, "nb")}
+       ), nr AS (
+         SELECT CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treat,
+           CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ctrl
+         FROM base
+       ), pq AS (
+         SELECT max(CASE WHEN t THEN q END) AS qt,
+           max(CASE WHEN NOT t THEN q END) AS qc
+         FROM p0
+       )
+       SELECT nr.n_treat, nr.n_ctrl, CAST($ps AS DOUBLE) AS q,
+         round(CAST(pq.qt - pq.qc AS DOUBLE) / 1.0 + 1e-9, 6) AS qte,
+         CAST(lo.nb AS BIGINT) AS n_boot,
+         round(CAST(lo.vlo AS DOUBLE) / 1.0 + 1e-9, 6) AS ci_lo,
+         round(CAST(hi.vhi AS DOUBLE) / 1.0 + 1e-9, 6) AS ci_hi
+       FROM nr, pq, lo, hi"""
   }
 
   /** q395's oracle, generated: the streaming SRM chain replayed —
@@ -11446,6 +11543,9 @@ object SparkEntry {
 
     "q395_stream_srm" ->
       streamSrmOracleSql(Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0)),
+
+    "q396_quantile_effect" -> quantileEffectOracleSql(p = 0.75,
+      nBoot = 24, alpha = 0.1, salt = "q396"),
 
     "q394_post_strat" ->
       postStratOracleSql(Map("A" -> 0.3, "N" -> 0.5, "R" -> 0.2)),

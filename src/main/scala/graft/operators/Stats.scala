@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2262,6 +2262,26 @@ object Stats {
     else bootstrapImpl(df, valueCol, idCols, keys, nBoot, alpha,
       scaleDecimals, salt)
 
+  /** The shared deterministic Poisson(1) draw: inverse-CDF of the
+    * salted 52-bit dyadic of ('§'-interleaved idCols..., salt,
+    * replicate `__b`) against the [[poissonCdf1]] ladder — the
+    * '§'-interleave (the Sampling.shuffleKey idiom) keeps distinct id
+    * tuples like (1, 23) and (12, 3) from sharing a hash input, which
+    * would give them correlated draws across every replicate. Expects
+    * the replicate index in column `__b`. */
+  private def poissonWeight(idCols: Seq[String], salt: String): Column = {
+    val u = (graft.functions.TextFunctions.portableHash60(
+        concat(idCols.flatMap(c =>
+            Seq(col(c).cast("string"), lit("§"))) ++
+          Seq(lit(salt + "§"), col("__b").cast("string")): _*))
+      .bitwiseAND(lit((1L << 52) - 1))
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
+    poissonCdf1.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
+        case (acc, (cdf, k)) => acc.when(u < lit(cdf), lit(k.toLong))
+      }.otherwise(lit(9L))
+  }
+
   private def bootstrapImpl(
       df: DataFrame,
       valueCol: String,
@@ -2287,20 +2307,7 @@ object Stats {
           .as("__c")): _*)
     val withB = base.withColumn("__b",
       explode(array((0 until nBoot).map(i => lit(i)): _*)))
-    // '§'-interleave the id columns (the Sampling.shuffleKey idiom) so
-    // distinct id tuples like (1, 23) and (12, 3) never share a hash
-    // input — un-separated concat would give them correlated draws
-    // across every replicate
-    val u = (graft.functions.TextFunctions.portableHash60(
-        concat(idCols.flatMap(c =>
-            Seq(col(c).cast("string"), lit("§"))) ++
-          Seq(lit(salt + "§"), col("__b").cast("string")): _*))
-      .bitwiseAND(lit((1L << 52) - 1))
-      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
-    val w = poissonCdf1.zipWithIndex
-      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(0L))) {
-        case (acc, (cdf, k)) => acc.when(u < lit(cdf), lit(k.toLong))
-      }.otherwise(lit(9L))
+    val w = poissonWeight(idCols, salt)
     val reps = withB
       .groupBy((keys.map(col) :+ col("__b")): _*)
       .agg(sum(w * col("__c")).as("__sy"), sum(w).as("__sw"))
@@ -3221,5 +3228,126 @@ object Stats {
         round(when(col("n_strata_observed") === col("n_strata_design") &&
             col("__minN") >= 2,
           sqrt(col("__vpost"))) + lit(1e-9), 6).as("se_post"))
+  }
+
+  /** Quantile treatment effect — the DISTRIBUTIONAL readout the mean
+    * effect hides (a p90-latency regression, a median-tokens shift
+    * under an unchanged mean): the difference of the two groups'
+    * exact `p`-quantiles, with a deterministic Poisson-bootstrap CI
+    * over the SAME per-row draws as [[poissonBootstrap]] (Chamandy et
+    * al. 2012 — one distributed pass, `nBoot` weight counters per row,
+    * never `nBoot` resampled datasets).
+    *
+    * Point estimate: the house exact grid-rank quantile per group
+    * (rank `max(1, ⌈p·n⌉)` over the `scaleDecimals`-scaled integer
+    * value grid — the q355 convention), differenced and descaled.
+    * CI: per replicate b, each group's WEIGHTED grid quantile (Poisson
+    * weights as exact-integer cumulative counts; replicates where a
+    * group draws total weight 0 are dropped — both picks must exist),
+    * then grid-rank percentiles of the `qte_b` multiset at
+    * `α/2`/`1−α/2`. Every pick is an exact-integer rank decision, so
+    * any engine replays the whole chain bit-for-bit.
+    *
+    * Returns ONE row `(n_treat, n_ctrl: bigint, q: double, qte,
+    * ci_lo, ci_hi: double ROUNDED at 6, n_boot: bigint)`; NULL
+    * qte/CI when a group is empty (left-join surfacing).
+    *
+    * Scale shape: the corpus passes are ONE raw grid aggregation and
+    * ONE nBoot-exploded grid aggregation (the poissonBootstrap cost);
+    * all windows run on (group × replicate)-partitioned VALUE GRIDS —
+    * distinct-value-sized, so a near-continuous metric should pick a
+    * coarse `scaleDecimals` (the grid IS the state, the documented
+    * [[TimeSeries.theilSen]]-style contract). */
+  def quantileEffect(
+      df: DataFrame,
+      groupCol: String,
+      treatGroup: String,
+      controlGroup: String,
+      valueCol: String,
+      idCols: Seq[String],
+      p: Double = 0.5,
+      nBoot: Int = 40,
+      alpha: Double = 0.1,
+      scaleDecimals: Int = 0,
+      salt: String = "0"
+  ): MayFail[DataFrame] = MayFail {
+    require(treatGroup != controlGroup,
+      "treatGroup and controlGroup must differ")
+    require(idCols.nonEmpty, "quantileEffect needs idCols — the hash " +
+      "of the row identity IS the deterministic draw")
+    require(p > 0 && p < 1, s"p must be in (0, 1): $p")
+    require(nBoot >= 4 && nBoot <= 1000,
+      s"nBoot must be in [4, 1000]: $nBoot")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1): $alpha")
+    require(scaleDecimals >= 0 && scaleDecimals <= 9,
+      s"scaleDecimals must be in [0, 9]: $scaleDecimals")
+    val sc = math.pow(10, scaleDecimals)
+    val g = col(groupCol).cast("string")
+    val base = df.filter(col(valueCol).isNotNull &&
+        (g === treatGroup || g === controlGroup))
+      .select(idCols.map(col) :+ (g === treatGroup).as("__t") :+
+        round(col(valueCol).cast("double") * lit(sc)).cast("long")
+          .as("__c"): _*)
+    // grid-rank quantile pick: first value whose cumulative weight
+    // reaches max(1, ceil(p * W)) — zero-weight grid rows can never
+    // satisfy cum >= r && cum - w < r, so they need no special casing
+    def pickQ(grid: DataFrame, part: Seq[String], wcol: String,
+        out: String): DataFrame = {
+      val wKey = Window.partitionBy(part.map(col): _*)
+      val wOrd = wKey.orderBy(col("__c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = greatest(lit(1L),
+        ceil(lit(p) * col("__W").cast("double")).cast("long"))
+      grid.withColumn("__cum", sum(col(wcol)).over(wOrd))
+        .withColumn("__W", sum(col(wcol)).over(wKey))
+        .filter(col("__cum") >= r && col("__cum") - col(wcol) < r)
+        .select(part.map(col) :+ col("__c").as(out): _*)
+    }
+    val grid0 = base.groupBy(col("__t"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val pt = pickQ(grid0, Seq("__t"), "__n", "__q")
+    val nRow = base.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"))
+    val withB = base.withColumn("__b",
+      explode(array((0 until nBoot).map(i => lit(i)): _*)))
+    val gridB = withB
+      .groupBy(col("__t"), col("__b"), col("__c"))
+      .agg(sum(poissonWeight(idCols, salt)).as("__wt"))
+    val qB = pickQ(gridB, Seq("__t", "__b"), "__wt", "__q")
+    val diffs = qB.filter(col("__t"))
+      .select(col("__b"), col("__q").as("__qa"))
+      .join(qB.filter(!col("__t"))
+        .select(col("__b"), col("__q").as("__qo")), Seq("__b"))
+      .select((col("__qa") - col("__qo")).as("__d"))
+    val dg = diffs.groupBy(col("__d")).agg(count(lit(1)).as("__tt"))
+    val wOrd = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = dg
+      .withColumn("__cc", sum(col("__tt")).over(wOrd))
+      .withColumn("__nb", sum(col("__tt")).over(wAll))
+    def pickD(pp: Double, out: String) = {
+      val r = greatest(lit(1L),
+        ceil(lit(pp) * col("__nb").cast("double")).cast("long"))
+      cum.filter(col("__cc") >= r && col("__cc") - col("__tt") < r)
+        .select(col("__d").as(out), col("__nb"))
+    }
+    nRow
+      .join(pt.filter(col("__t")).select(col("__q").as("__qt")),
+        lit(true), "left")
+      .join(pt.filter(!col("__t")).select(col("__q").as("__qc")),
+        lit(true), "left")
+      .join(pickD(alpha / 2, "__lo"), lit(true), "left")
+      .join(pickD(1.0 - alpha / 2, "__hi").drop("__nb"), lit(true), "left")
+      .select(col("n_treat"), col("n_ctrl"), lit(p).as("q"),
+        round((col("__qt") - col("__qc")).cast("double") / lit(sc)
+          + lit(1e-9), 6).as("qte"),
+        coalesce(col("__nb"), lit(0L)).as("n_boot"),
+        round(col("__lo").cast("double") / lit(sc) + lit(1e-9), 6)
+          .as("ci_lo"),
+        round(col("__hi").cast("double") / lit(sc) + lit(1e-9), 6)
+          .as("ci_hi"))
   }
 }

@@ -1131,6 +1131,35 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.postStratifiedMean(df, "v", "h", Map.empty).isFailing)
   }
 
+  // --- quantileEffect --------------------------------------------------------
+
+  test("quantileEffect recovers a planted median shift with a " +
+      "bracketing deterministic CI") {
+    val rows = (1 to 400).map(i => (i.toLong, "c", i % 100 + 1.0)) ++
+      (1 to 400).map(i => (1000L + i, "t", i % 100 + 6.0))
+    val df = rows.toDF("id", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.quantileEffect(d, "g", "t", "c", "v", Seq("id"),
+        p = 0.5, nBoot = 60, alpha = 0.1, salt = "qe").get
+        .as[(Long, Long, Double, Double, Long, Double, Double)].head()
+    val r = run(df)
+    assert(r._1 == 400L && r._2 == 400L && r._3 == 0.5)
+    assert(r._4 == 5.0, s"planted +5 shift must be exact at p50: $r")
+    assert(r._5 == 60L)
+    assert(r._6 <= 5.0 && 5.0 <= r._7, s"CI must bracket the shift: $r")
+    assert(r._7 - r._6 < 20.0, s"CI implausibly wide: $r")
+    // bit-deterministic across partitionings
+    assert(run(df.repartition(13)) == r)
+    // knobs
+    assert(Stats.quantileEffect(df, "g", "t", "t", "v", Seq("id"))
+      .isFailing)
+    assert(Stats.quantileEffect(df, "g", "t", "c", "v", Nil).isFailing)
+    assert(Stats.quantileEffect(df, "g", "t", "c", "v", Seq("id"),
+      p = 0.0).isFailing)
+    assert(Stats.quantileEffect(df, "g", "t", "c", "v", Seq("id"),
+      nBoot = 2).isFailing)
+  }
+
   // --- cmhTest ---------------------------------------------------------------
 
   test("cmhTest matches the hand-computed statistic on 2x2x2 tables") {
