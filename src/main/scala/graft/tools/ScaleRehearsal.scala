@@ -1866,6 +1866,18 @@ object ScaleRehearsal {
         pr.getDouble(5) < pb.getDouble(5),
         s"10x data must shrink the post-strat SE: ${pr.getDouble(5)} " +
           s"vs ${pb.getDouble(5)}")
+      // QTE point estimate: the m-fold replicated grid carries counts
+      // xm, so rank ceil(p*mn) picks the SAME grid value — bit-equal
+      // (the CI differs by design: replicas are new ids, new draws)
+      def qte(d: DataFrame) = graft.operators.Stats.quantileEffect(
+          d, "l_returnflag", "R", "A", "l_quantity",
+          idCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+          p = 0.75, nBoot = 8, salt = "rl").get.collect().head
+      val qb2 = qte(baseL); val qr2 = qte(li)
+      check("qte_replication_invariant",
+        qr2.getDouble(3) == qb2.getDouble(3),
+        s"QTE point estimate must be replication-invariant: " +
+          s"${qr2.getDouble(3)} vs ${qb2.getDouble(3)}")
       dr.getLong(0)
     })
 
