@@ -1479,3 +1479,61 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
     copy(left = l, right = r)
   override def prettyName: String = "dtw"
 }
+
+/** One-pass BPE apply over a word's symbol array: the ORDERED merge
+  * table runs as `merges` sequential in-place greedy left-to-right
+  * folds inside a single JVM method — semantics identical to chaining
+  * one `functions.aggregate` fold per merge (a freshly merged token is
+  * a new string, so it never re-merges as the left partner within its
+  * own pass), but a 4096-merge tokenizer is ONE expression instead of
+  * a 4096-deep fold chain with 170 checkpoint materializations
+  * (cf. [[graft.operators.Bpe.applyMerges]]'s pre-r12 chunking). */
+object BpeApplyImpl {
+  /** `table` is the flattened (left, right) pair list in merge order. */
+  def apply(syms: ArrayData, table: Array[String]): ArrayData = {
+    val n = syms.numElements()
+    val cur = new Array[String](n)
+    var i = 0
+    while (i < n) { cur(i) = syms.getUTF8String(i).toString; i += 1 }
+    var len = n
+    var m = 0
+    while (m < table.length && len > 1) {
+      val l = table(m); val r = table(m + 1)
+      var j = 0 // write pointer — j <= read pointer, in-place is safe
+      i = 0
+      while (i < len) {
+        val x = cur(i)
+        if (j > 0 && cur(j - 1) == l && x == r) cur(j - 1) = l + r
+        else { cur(j) = x; j += 1 }
+        i += 1
+      }
+      len = j
+      m += 2
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `bpe_apply(array<string>, merge table)` → array<string>: the whole
+  * frozen tokenizer as one codegen'd expression; the merge table ships
+  * to executors as a plan reference object. */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val flatTable: Array[String] =
+    merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    BpeApplyImpl.apply(input.asInstanceOf[ArrayData], flatTable)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("bpeMergeTable", flatTable,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeApplyImpl.apply($c, $tab)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_apply"
+}

@@ -339,11 +339,15 @@ object Bpe {
     * on UNSEEN words by construction: the greedy fold only consults
     * the word's own characters and the merge list.
     *
-    * The folds chain LAZILY — one merge is one `functions.aggregate`
-    * wrap, so `checkpointEvery` merges become a single linear
-    * expression chain per job, with a localCheckpoint between chunks
-    * (and the superseded chunk released) to keep expression depth
-    * and lineage bounded at production merge counts.
+    * The whole merge table runs as ONE codegen'd Catalyst expression
+    * ([[graft.functions.BpeApplyMerges]] — `merges` sequential
+    * in-place greedy folds inside a single JVM method, the table
+    * shipped as a plan reference object): a 4096-merge tokenizer is
+    * one map-side pass with NO expression-depth or lineage growth.
+    * `checkpointEvery` is retained for source compatibility only —
+    * the pre-r12 chained-fold path needed it; the single-expression
+    * path does not (BpeSpec locks expression == in-memory fold
+    * reference).
     *
     * Returns `(word, freq, n_tokens, segmentation)` over the
     * corpus's distinct words. */
@@ -357,23 +361,15 @@ object Bpe {
       s"merges must hold <= 4096 pairs: ${merges.size}")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1: $checkpointEvery")
-    val init = wordFreqs(df, textCol)
-      .withColumn("syms", split(col("word"), ""))
-    val chunks = merges.grouped(checkpointEvery).toSeq
-    var words = init
-    for ((chunk, idx) <- chunks.zipWithIndex) {
-      val chained = chunk.foldLeft(words) { case (acc, (l, r)) =>
-        acc.withColumn("syms", applyMerge(col("syms"), l, r))
-      }
-      if (idx < chunks.size - 1) {
-        val cp = chained.localCheckpoint() // eager: prior frame consumed
-        if (idx > 0) Optimise.releaseCheckpoint(words)
-        words = cp
-      } else words = chained
-    }
-    words.select(col("word"), col("freq"),
-      size(col("syms")).as("n_tokens"),
-      array_join(col("syms"), " ").as("segmentation"))
+    wordFreqs(df, textCol)
+      .withColumn("syms", graft.functions.FunctionBridge.column(
+        graft.functions.BpeApplyMerges(
+          graft.functions.FunctionBridge.expression(
+            split(col("word"), "")),
+          merges)))
+      .select(col("word"), col("freq"),
+        size(col("syms")).as("n_tokens"),
+        array_join(col("syms"), " ").as("segmentation"))
   }
 
   /** Per-document token counts under a FROZEN merge table — the

@@ -154,6 +154,20 @@ class BpeSpec extends AnyFunSuite {
       .isFailing)
   }
 
+  test("applyMerges plans as ONE codegen'd bpe_apply expression — no " +
+      "fold chain, no chunk checkpoints") {
+    val df = Seq((1L, "banana band")).toDF("id", "text")
+    val merges = Seq.tabulate(64)(i => (s"x$i", s"y$i")) // depth probe
+    val plan = Bpe.applyMerges(df, "text", merges).get
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("bpe_apply"), "expression missing from plan")
+    assert(!plan.contains("ExistingRDD"),
+      "expression path must not materialize chunk checkpoints")
+    assert(!plan.contains("aggregate(lambdafunction"),
+      "the chained higher-order fold must be gone")
+  }
+
   test("fertilityReport: hand-computed compression ratios under a " +
       "frozen merge table") {
     val df = Seq((1L, "aa aa aa"), (2L, "ab")).toDF("id", "text")
