@@ -3069,6 +3069,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q397_bpe_token_counts_direct" -> ((s, dir) => {
+      // The JOIN-FREE token counter: every word occurrence runs the
+      // one-expression tokenizer directly (map-side explode + one
+      // partial-agg shuffle, stateless ⇒ stream-composable) under the
+      // SAME frozen 12-merge table as q341 — identical counts, same
+      // oracle replay.
+      val merges = Bpe.collectMerges(Bpe.learnMerges(
+        tbl(s, dir, "documents"), "text", numMerges = BpeGateMerges).get)
+      Bpe.tokenCountsDirect(tbl(s, dir, "documents"), "text", "doc_id",
+          merges).get
+        .orderBy("doc_id")
+    }),
+
     "q356_weight_ess" -> ((s, dir) => {
       // Kish effective sample size of char-count-proportional
       // sampling weights over the corpus — the go/no-go check before
@@ -10754,6 +10767,11 @@ object SparkEntry {
     // tokenizer.
     "q340_bpe_merges" -> bpeMergesOracleSql(BpeGateMerges),
     "q341_bpe_token_counts" -> bpeTokenCountsOracleSql(BpeGateMerges),
+
+    // q397: the join-free direct path must produce IDENTICAL counts —
+    // same oracle as q341 deliberately.
+    "q397_bpe_token_counts_direct" ->
+      bpeTokenCountsOracleSql(BpeGateMerges),
     "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),

@@ -390,6 +390,37 @@ object Bpe {
       .groupBy(idCol).agg(sum(col("__nt")).as("n_tokens"))
   }
 
+  /** Per-document token counts under a FROZEN merge table with NO
+    * vocabulary join — every word occurrence runs the one-expression
+    * tokenizer ([[graft.functions.BpeApplyMerges]]) directly, so the
+    * whole plan is a map-side explode + one partial-agg shuffle to
+    * document counts. STATELESS, which is the point: it composes onto
+    * an unbounded STREAMING frame (where [[tokenCountsWith]]'s
+    * distinct-word segmentation join cannot — the vocab of an
+    * unbounded stream is unbounded state). On batch corpora with
+    * heavy word repetition [[tokenCountsWith]] amortizes the fold per
+    * DISTINCT word and usually wins; this is the streaming/one-shot
+    * path. Counts are identical by construction (same expression —
+    * BpeSpec locks it, the q397 gate oracles it). */
+  def tokenCountsDirect(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]
+  ): MayFail[DataFrame] = MayFail {
+    require(merges.size <= 4096,
+      s"merges must hold <= 4096 pairs: ${merges.size}")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(col(idCol), size(graft.functions.FunctionBridge.column(
+        graft.functions.BpeApplyMerges(
+          graft.functions.FunctionBridge.expression(
+            split(col("word"), "")),
+          merges))).cast("long").as("__nt"))
+      .groupBy(idCol).agg(sum(col("__nt")).as("n_tokens"))
+  }
+
   /** Tokenizer fertility report — the evaluation one-rower every
     * tokenizer change ships with: `(n_words, n_chars, n_tokens:
     * bigint, chars_per_token, tokens_per_word: double ROUNDED at 6)`

@@ -168,6 +168,39 @@ class BpeSpec extends AnyFunSuite {
       "the chained higher-order fold must be gone")
   }
 
+  test("tokenCountsDirect equals the vocabulary-join path and composes " +
+      "onto a streaming frame") {
+    val rnd = new scala.util.Random(19L)
+    val vocab = Seq("low", "lower", "lowest", "banana", "band", "bbb")
+    val corpus = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(5))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("id", "text")
+    val merges = Bpe.collectMerges(Bpe.learnMerges(df, "text", 10).get)
+    val joined = Bpe.tokenCountsWith(df, "text", "id", merges).get
+      .as[(Long, Long)].collect().toMap
+    val direct = Bpe.tokenCountsDirect(df, "text", "id", merges).get
+      .as[(Long, Long)].collect().toMap
+    assert(direct == joined, "join-free path diverged from the join path")
+    // stateless ⇒ valid on an unbounded stream (complete-mode agg)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Bpe.tokenCountsDirect(input.toDF.toDF("id", "text"),
+        "text", "id", merges).get
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("bpe_direct_stream").start()
+    input.addData(corpus.take(30))
+    q.processAllAvailable()
+    input.addData(corpus.drop(30))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe_direct_stream")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == joined, "streamed counts diverged from batch")
+  }
+
   test("fertilityReport: hand-computed compression ratios under a " +
       "frozen merge table") {
     val df = Seq((1L, "aa aa aa"), (2L, "ab")).toDF("id", "text")
