@@ -108,19 +108,24 @@ class PlanFingerprintSpec extends AnyFunSuite {
         "run graft.tools.FingerprintProbe and add the rows")
   }
 
-  test("q55_tpch5: AQE FINAL plan at sf0.1 keeps all four dimension " +
-    "broadcasts (r11 watch closed)") {
-    // the one failure mode a static fingerprint can't see: an AQE
-    // runtime re-plan flipping a broadcast into an exchange at the
-    // bench scale. Execute at sf0.1 and fingerprint the final plan —
-    // r12 evidence run: identical to the static skeleton (4 BHJ,
-    // 2 exchanges, 0 SMJ), so r11's 0.826→1.181 s was bench variance.
-    val df = SparkEntry.queries("q55_tpch5")(spark, "/root/testdata/sf0.1")
-    df.count() // materialize so AQE commits its final plan
-    val got = PlanFingerprint.of(df)
-    assert(got == committed("q55_tpch5"),
-      s"\nq55 FINAL adaptive plan drifted from the static skeleton\n" +
-        s"  committed: ${committed("q55_tpch5")}\n  current:   $got")
+  // the one failure mode a static fingerprint can't see: an AQE
+  // runtime re-plan flipping a broadcast into an exchange at the bench
+  // scale. Execute the join-strategy-sensitive TPC-H headliners at
+  // sf0.1 and fingerprint the FINAL adaptive plans — the r12 evidence
+  // runs show each is identical to its static sf0.001 skeleton (all
+  // dimension joins stay broadcast; r11's q55 0.826→1.181 s was bench
+  // variance, not a plan flip), so the static table doubles as the
+  // executed-plan lock.
+  Seq("q54_tpch3", "q55_tpch5", "q86_tpch10", "q171_tpch9",
+    "q173_tpch21").foreach { q =>
+    test(s"AQE FINAL plan at sf0.1 matches the static skeleton: $q") {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      df.count() // materialize so AQE commits its final plan
+      val got = PlanFingerprint.of(df)
+      assert(got == committed(q),
+        s"\n$q FINAL adaptive plan drifted from the static skeleton\n" +
+          s"  committed: ${committed(q)}\n  current:   $got")
+    }
   }
 
   // one test per headliner so a drift names the query in the report
