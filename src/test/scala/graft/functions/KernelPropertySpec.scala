@@ -175,4 +175,42 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(rawSeq == rawExpect)
     }
   }
+
+  test("BpeApplyImpl equals the per-merge greedy-fold reference on " +
+      "random words and random merge tables") {
+    // the naive reference: one left-to-right fold per merge, in order —
+    // exactly the pre-r12 chained functions.aggregate semantics
+    def applyRef(word: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        out.toSeq
+      }
+    val alphabet = "abcd"
+    samples(400) {
+      val word = List.fill(1 + rnd.nextInt(24))(
+        alphabet(rnd.nextInt(alphabet.length)).toString)
+      // random merge table over random (possibly multi-char) symbols —
+      // include merges of previously-merged tokens, repeats, doubles
+      val merges = List.fill(rnd.nextInt(20)) {
+        def sym() = List.fill(1 + rnd.nextInt(2))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        (sym(), sym())
+      }
+      val in = new GenericArrayData(
+        word.map(UTF8String.fromString).toArray[Any])
+      val table = merges.flatMap(p => Seq(p._1, p._2)).toArray
+      val got = {
+        val out = BpeApplyImpl.apply(in, table)
+        (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      }
+      val want = applyRef(word, merges)
+      assert(got == want,
+        s"word=$word merges=$merges got=$got want=$want")
+    }
+  }
 }
