@@ -7090,7 +7090,7 @@ object SparkEntry {
     val ws = rows.map(r => java.lang.Double.toString(r._2 / wSum))
       .mkString(", ")
     s"""WITH counts AS (
-         SELECT CAST(o_orderkey % 3 AS VARCHAR) AS arm,
+         SELECT CAST(((o_orderkey % 3) + 3) % 3 AS VARCHAR) AS arm,
            CAST(count(*) AS BIGINT) AS n_obs
          FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
        ), design AS (
@@ -7205,10 +7205,11 @@ object SparkEntry {
        )
        SELECT nr.n_treat, nr.n_ctrl, CAST($ps AS DOUBLE) AS q,
          round(CAST(pq.qt - pq.qc AS DOUBLE) / 1.0 + 1e-9, 6) AS qte,
-         CAST(lo.nb AS BIGINT) AS n_boot,
+         CAST(coalesce(lo.nb, 0) AS BIGINT) AS n_boot,
          round(CAST(lo.vlo AS DOUBLE) / 1.0 + 1e-9, 6) AS ci_lo,
          round(CAST(hi.vhi AS DOUBLE) / 1.0 + 1e-9, 6) AS ci_hi
-       FROM nr, pq, lo, hi"""
+       FROM nr CROSS JOIN pq
+       LEFT JOIN lo ON TRUE LEFT JOIN hi ON TRUE"""
   }
 
   /** q395's oracle, generated: the streaming SRM chain replayed —
@@ -7223,7 +7224,7 @@ object SparkEntry {
     val rogue = java.lang.Double.toString(Double.MaxValue / 65536)
     s"""WITH obs AS (
          SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
-           CAST(event_id % 3 AS VARCHAR) AS arm,
+           CAST(((event_id % 3) + 3) % 3 AS VARCHAR) AS arm,
            CAST(count(*) AS BIGINT) AS n_obs
          FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
          GROUP BY 1, 2

@@ -1489,12 +1489,19 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
   * a 4096-deep fold chain with 170 checkpoint materializations
   * (cf. [[graft.operators.Bpe.applyMerges]]'s pre-r12 chunking). */
 object BpeApplyImpl {
-  /** `table` is the flattened (left, right) pair list in merge order. */
+  /** `table` is the flattened (left, right) pair list in merge order.
+    * NULL elements pass through unmerged and block merges across them
+    * — exactly what the replaced fold chain did (`x === lit(r)` is
+    * NULL-valued, so nulls always took the append branch). */
   def apply(syms: ArrayData, table: Array[String]): ArrayData = {
     val n = syms.numElements()
     val cur = new Array[String](n)
     var i = 0
-    while (i < n) { cur(i) = syms.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      val u = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      cur(i) = if (u == null) null else u.toString
+      i += 1
+    }
     var len = n
     var m = 0
     while (m < table.length && len > 1) {
@@ -1524,7 +1531,15 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
   @transient private lazy val flatTable: Array[String] =
     merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // analysis-time input validation (the PortablePqCodes idiom) + null
+  // tolerance derived from the child: nulls pass through unmerged
+  private lazy val childNullable: Boolean = child.dataType match {
+    case ArrayType(StringType, n) => n
+    case other => throw new IllegalArgumentException(
+      s"bpe_apply needs array<string>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = childNullable)
   override def nullSafeEval(input: Any): Any =
     BpeApplyImpl.apply(input.asInstanceOf[ArrayData], flatTable)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

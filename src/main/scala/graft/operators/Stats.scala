@@ -3102,7 +3102,10 @@ object Stats {
     * state), drain, finish per window against the frozen design —
     * the [[psiFromCounts]] discipline. Designed arms absent from a
     * group surface with `n_obs = 0`; observed undesigned arms carry
-    * the capped rogue sentinel. Same row shape as [[srmCheck]] plus
+    * the capped rogue sentinel. Duplicate `(keys, arm)` input rows
+    * (a union of drained snapshots, update-mode micro-batches) are
+    * summed before the design join — counts add, they never
+    * double-match the grid. Same row shape as [[srmCheck]] plus
     * the leading `keys`. */
   def srmFromCounts(
       counts: DataFrame,
@@ -3121,9 +3124,15 @@ object Stats {
       .map { case (a, w) => (a, w / wSum) }
       .toDF("arm", "ratio_expected")
     val kDesign = expected.size
+    // re-aggregate defensively: a union of drained snapshots (or
+    // update-mode micro-batch output) may carry duplicate (keys, arm)
+    // rows — without this the full_outer join would duplicate grid
+    // matches and inflate every expectation in the window
     val obs = counts.select(keys.map(col) :+
-      col(armCol).cast("string").as("arm") :+
-      col(countCol).cast("long").as("n_obs"): _*)
+        col(armCol).cast("string").as("arm") :+
+        col(countCol).cast("long").as("n_obs"): _*)
+      .groupBy(keys.map(col) :+ col("arm"): _*)
+      .agg(sum(col("n_obs")).as("n_obs"))
     // every design arm must appear in every observed key group (an
     // absent arm is a full-term violation): key-grid × design, then
     // left-join the observations back
