@@ -294,7 +294,11 @@ object Bench {
     // runs is the standard way to report the plan's cost, not the noise
     val runs = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
-    val results = headline.map { name =>
+    // keep EVERY sweep's time, not only the min (r12 verdict ask #2):
+    // a transient host event shows up as a contiguous elevated block
+    // across adjacent queries within ONE sweep, which a min-only
+    // artifact hides and a per-run artifact makes self-diagnosing
+    val perRun = headline.map { name =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -306,6 +310,9 @@ object Bench {
         // fast run, and don't pollute the total
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      name -> times
+    }
+    val results = perRun.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // streaming throughput line, warmup then MIN-OF-2 measured runs (the
@@ -315,16 +322,17 @@ object Bench {
     // total stays a min-of-N batch-query sum, comparable round-over-round
     // without a different-workload-class term mixed in.
     val streamRuns = 2
-    val streamSec = {
+    val streamTimes: Seq[Double] = {
       try benchStreaming(spark, nEvents = 10000, batches = 2) // warmup
       catch { case _: Throwable => () }
       try (0 until streamRuns)
-        .map(_ => benchStreaming(spark, nEvents = 200000, batches = 4)).min
+        .map(_ => benchStreaming(spark, nEvents = 200000, batches = 4))
       catch { case e: Throwable =>
         System.err.println(s"[bench] qS1_stream_window FAILED: ${e.getMessage}")
-        -1.0
+        Seq(-1.0)
       }
     }
+    val streamSec = streamTimes.min
     // host-state calibration (fixed work, never changes round-over-round):
     // normalize cross-round query deltas by the calibration ratio before
     // reading them as plan regressions
@@ -335,14 +343,23 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // per-sweep arrays in sweep order: entry i of every query is the
+    // same chronological sweep, so a host event during sweep i reads as
+    // a contiguous elevated block down column i
+    val qruns = perRun
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // qS1 normalized by the fsync calibration IN the artifact, so
     // cross-round readers compare the host-independent number directly
     // (the raw seconds swing 4x with host disk latency alone)
     val qS1PerFsync =
       if (streamSec >= 0 && calDisk > 0) streamSec / calDisk else -1.0
+    val streamRunsJson =
+      streamTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"qS1_per_fsync":${f"$qS1PerFsync%.1f"},"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"spark_sched_sec":${f"$calSched%.3f"},"note":"fixed work; divide cross-round query deltas by the MATCHING calibration ratio before reading them as regressions: sub-second queries are scheduler-bound (spark_sched_sec), multi-second compute plans kernel-bound (cpu_kernel_sec), qS1 fsync-bound (qS1_per_fsync is pre-normalized)"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs_detail":$qruns,"runs_note":"per-sweep seconds in sweep order; a contiguous elevated block across ADJACENT queries within one sweep column is a transient host event, not a regression (r12 adjudication rule)","streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"qS1_per_fsync":${f"$qS1PerFsync%.1f"},"qS1_runs":$streamRunsJson,"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"spark_sched_sec":${f"$calSched%.3f"},"note":"fixed work; divide cross-round query deltas by the MATCHING calibration ratio before reading them as regressions: sub-second queries are scheduler-bound (spark_sched_sec), multi-second compute plans kernel-bound (cpu_kernel_sec), qS1 fsync-bound (qS1_per_fsync is pre-normalized)"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()
   }
 }

@@ -3082,6 +3082,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q398_stream_token_counts" -> ((s, dir) => {
+      // STREAMING frozen-tokenizer gate (r12 ask #4): documents arrive
+      // as 4 real micro-batches with a synthetic event time (doc_id
+      // minutes past a fixed epoch); per-hour windows sum exact BPE
+      // token counts under the SAME corpus-trained 12-merge table as
+      // q341/q397 (join-free one-expression tokenize — the only
+      // stream-composable formulation). Drained per-window sums equal
+      // the batch replay: the oracle recomputes them straight off the
+      // unrolled-merge CTEs, so a single wrong token anywhere in any
+      // window hash-fails.
+      implicit val sp: SparkSession = s
+      val merges = Bpe.collectMerges(Bpe.learnMerges(
+        tbl(s, dir, "documents"), "text", numMerges = BpeGateMerges).get)
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src398"
+      tbl(s, dir, "documents")
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+        .select("ts", "text")
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_stc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      (for {
+        src <- Read.fileStream(staged, "parquet", schema)
+        counts <- graft.streaming.Stream.windowedTokenCounts(src, "ts",
+          "text", "30 minutes", "1 hour", merges)
+        res <- graft.streaming.Stream.drainToMemory(counts, name, "complete")
+      } yield res).get
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("n_tokens"))
+        .orderBy("window_start")
+    }),
+
+    "q399_dedup_index_incremental" -> ((s, dir) => {
+      // Persisted-band-index incremental dedup (r12 ask #5) — the
+      // 100 TB crawl loop's storage half: docs < 250 are "yesterday";
+      // their band index lands in PARQUET, a FRESH session loads it,
+      // and today's shard (docs >= 250) joins it banded — new×old and
+      // new×new pairs WITHOUT re-shingling history. Yesterday's own
+      // pair set ∪ the incremental output must equal the one-shot q34
+      // pair set of the grown corpus (the q101 incremental contract,
+      // now THROUGH storage) — the oracle IS q34's brute-force exact
+      // cross-Jaccard, so any divergence hash-fails.
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_band_index399"
+      Dedup.minhashBandIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") < 250),
+          "text", "doc_id", shingleSize = 3, bands = 16, rowsPerBand = 4)
+        .get.write.mode("overwrite").parquet(store)
+      val fresh = s.newSession()
+      val docs = tbl(fresh, dir, "documents")
+      val oldPairs = Dedup.minhashPairs(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", shingleSize = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5).get
+      val inc = Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") >= 250), "text", "doc_id",
+        fresh.read.parquet(store), shingleSize = 3, bands = 16,
+        rowsPerBand = 4, threshold = 0.5).get
+      oldPairs.unionByName(inc).orderBy("idA", "idB")
+    }),
+
     "q356_weight_ess" -> ((s, dir) => {
       // Kish effective sample size of char-count-proportional
       // sampling weights over the corpus — the go/no-go check before
@@ -10773,6 +10835,44 @@ object SparkEntry {
     // same oracle as q341 deliberately.
     "q397_bpe_token_counts_direct" ->
       bpeTokenCountsOracleSql(BpeGateMerges),
+
+    // q398: the streaming windowed token counter — same unrolled-merge
+    // CTEs as q341/q397, re-grouped by the synthetic event-time hour
+    // window (ts = epoch 1704067200 + doc_id minutes; 1-hour tumbling
+    // windows are epoch-aligned, so window_start is pure integer
+    // arithmetic on doc_id).
+    "q398_stream_token_counts" ->
+      (bpeOracleCtes(BpeGateMerges) + s"""
+         SELECT CAST(1704067200 + CAST(floor(t.doc_id / 60.0) AS BIGINT)
+             * 3600 AS BIGINT) AS window_start,
+           CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+         FROM toks t JOIN w${BpeGateMerges} w USING (word)
+         GROUP BY 1 ORDER BY window_start"""),
+
+    // q399: the persisted-index incremental pair set must equal the
+    // one-shot brute-force cross-Jaccard of the grown corpus — q34's
+    // oracle verbatim (the storage round trip and the yesterday∪today
+    // union happen on the Spark side; the oracle only knows the law's
+    // right-hand side).
+    "q399_dedup_index_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         )
+         SELECT idA, idB, round(j, 6) AS jaccard FROM pairs
+         WHERE j >= 0.5 ORDER BY idA, idB""",
     "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),

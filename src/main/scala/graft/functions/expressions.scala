@@ -1480,20 +1480,126 @@ case class DtwDistance(left: Expression, right: Expression, band: Int)
   override def prettyName: String = "dtw"
 }
 
-/** One-pass BPE apply over a word's symbol array: the ORDERED merge
-  * table runs as `merges` sequential in-place greedy left-to-right
-  * folds inside a single JVM method — semantics identical to chaining
-  * one `functions.aggregate` fold per merge (a freshly merged token is
-  * a new string, so it never re-merges as the left partner within its
-  * own pass), but a 4096-merge tokenizer is ONE expression instead of
-  * a 4096-deep fold chain with 170 checkpoint materializations
-  * (cf. [[graft.operators.Bpe.applyMerges]]'s pre-r12 chunking). */
+/** Rank index of an ordered BPE merge table: (left, right) → the
+  * ASCENDING list of 0-based ranks at which that pair appears in the
+  * table (a duplicated pair is a distinct pass per occurrence). Built
+  * ONCE on the driver by [[BpeApplyMerges]], shipped to executors as a
+  * plan reference object. Two-level map (left → right → ranks) so the
+  * per-adjacency lookup in the apply kernel never allocates a
+  * composite key. */
+final class BpeRankIndex(merges: Seq[(String, String)]) extends Serializable {
+  private val map =
+    new java.util.HashMap[String, java.util.HashMap[String, Array[Int]]]()
+  locally {
+    var i = 0
+    merges.foreach { case (l, r) =>
+      require(l != null && r != null,
+        s"bpe_apply: merge table entry $i has a null component")
+      val inner = map.computeIfAbsent(l,
+        _ => new java.util.HashMap[String, Array[Int]]())
+      val prev = inner.get(r)
+      // ranks arrive in table order, so each per-pair list is ascending
+      inner.put(r, if (prev == null) Array(i) else prev :+ i)
+      i += 1
+    }
+  }
+
+  /** Smallest rank of pair (`l`,`r`) that is `>= floor`, or
+    * `Int.MaxValue` when the pair has none. Per-pair rank lists are
+    * almost always length 1, so a linear scan beats binary search. */
+  def rankAtLeast(l: String, r: String, floor: Int): Int = {
+    val inner = map.get(l)
+    if (inner == null) return Int.MaxValue
+    val a = inner.get(r)
+    if (a == null) return Int.MaxValue
+    var i = 0
+    while (i < a.length) { if (a(i) >= floor) return a(i); i += 1 }
+    Int.MaxValue
+  }
+}
+
+/** BPE apply over a word's symbol array — one JVM kernel per word, two
+  * formulations with IDENTICAL semantics:
+  *
+  *   - [[apply]] (the production kernel, r12 verdict ask #1): the
+  *     RANK-MAP apply — repeatedly merge the lowest-rank adjacent pair
+  *     at its leftmost occurrence, never reconsidering ranks below the
+  *     last-merged one (`floor`). O(len²) hash probes per word,
+  *     INDEPENDENT of the merge-table size, so a real 32k–64k-merge
+  *     tokenizer costs the same per word as a 12-merge one.
+  *   - [[applySequential]] (the reference kernel): the ordered merge
+  *     table as `merges` sequential in-place greedy left-to-right
+  *     folds — O(merges × len) per word; retained verbatim as the
+  *     executable spec of the fold semantics (KernelPropertySpec's
+  *     law, BpeApplyProbe's A/B baseline).
+  *
+  * The two are equivalent for ARBITRARY tables, not only prefix-closed
+  * ones: the sequential pass-by-pass execution always performs, next,
+  * the lowest-rank pair ≥ the current pass at its leftmost occurrence
+  * — passes below the floor are complete and never revisited; a new
+  * adjacency created mid-run is merged by the sequential semantics iff
+  * its (smallest eligible) rank is ≥ the pass that created it, which
+  * is exactly the floor rule; merging (l,r)→l+r can create no new
+  * (l,r) occurrence (l+r ≠ l and l+r ≠ r, so neither side of the new
+  * token re-forms the pair); a duplicated table pair is two distinct
+  * passes, which the per-pair ascending rank list replays. Greedy
+  * left-to-right within a pass ≡ repeated leftmost-occurrence merge
+  * for the same no-self-recreation reason. KernelPropertySpec locks
+  * the equivalence on random words × random (unconstrained) tables
+  * and on ≥32k-entry deep tables. */
 object BpeApplyImpl {
-  /** `table` is the flattened (left, right) pair list in merge order.
-    * NULL elements pass through unmerged and block merges across them
-    * — exactly what the replaced fold chain did (`x === lit(r)` is
-    * NULL-valued, so nulls always took the append branch). */
-  def apply(syms: ArrayData, table: Array[String]): ArrayData = {
+  /** Rank-map apply (see the object doc for the equivalence argument).
+    * NULL symbols pass through unmerged and block merges across them —
+    * the rank lookup is skipped when either side is null, exactly the
+    * fold chain's NULL-comparison behavior. */
+  def apply(syms: ArrayData, idx: BpeRankIndex): ArrayData = {
+    val n = syms.numElements()
+    val cur = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      cur(i) = if (u == null) null else u.toString
+      i += 1
+    }
+    var len = n
+    var floor = 0
+    var go = len > 1
+    while (go) {
+      var best = Int.MaxValue
+      var bestPos = -1
+      i = 0
+      while (i + 1 < len) {
+        val l = cur(i)
+        val r = cur(i + 1)
+        if (l != null && r != null) {
+          val rk = idx.rankAtLeast(l, r, floor)
+          if (rk < best) { best = rk; bestPos = i }
+        }
+        i += 1
+      }
+      if (bestPos < 0) go = false
+      else {
+        cur(bestPos) = cur(bestPos) + cur(bestPos + 1)
+        var j = bestPos + 1
+        while (j + 1 < len) { cur(j) = cur(j + 1); j += 1 }
+        len -= 1
+        floor = best
+        if (len < 2) go = false
+      }
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The pre-r13 sequential-fold kernel, kept as the executable
+    * reference (NOT on any production path). `table` is the flattened
+    * (left, right) pair list in merge order. NULL elements pass
+    * through unmerged and block merges across them — exactly what the
+    * replaced fold chain did (`x === lit(r)` is NULL-valued, so nulls
+    * always took the append branch). */
+  def applySequential(syms: ArrayData, table: Array[String]): ArrayData = {
     val n = syms.numElements()
     val cur = new Array[String](n)
     var i = 0
@@ -1526,11 +1632,13 @@ object BpeApplyImpl {
 
 /** `bpe_apply(array<string>, merge table)` → array<string>: the whole
   * frozen tokenizer as one codegen'd expression; the merge table ships
-  * to executors as a plan reference object. */
+  * to executors as a [[BpeRankIndex]] plan reference object, and the
+  * per-word cost is table-size-independent ([[BpeApplyImpl]]) — a
+  * production 32k–64k-merge tokenizer is in contract. */
 case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
-  @transient private lazy val flatTable: Array[String] =
-    merges.iterator.flatMap(p => Iterator(p._1, p._2)).toArray
+  @transient private lazy val rankIndex: BpeRankIndex =
+    new BpeRankIndex(merges)
   // analysis-time input validation (the PortablePqCodes idiom) + null
   // tolerance derived from the child: nulls pass through unmerged
   private lazy val childNullable: Boolean = child.dataType match {
@@ -1541,12 +1649,12 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType =
     ArrayType(StringType, containsNull = childNullable)
   override def nullSafeEval(input: Any): Any =
-    BpeApplyImpl.apply(input.asInstanceOf[ArrayData], flatTable)
+    BpeApplyImpl.apply(input.asInstanceOf[ArrayData], rankIndex)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tab = ctx.addReferenceObj("bpeMergeTable", flatTable,
-      "java.lang.String[]")
+    val idx = ctx.addReferenceObj("bpeRankIndex", rankIndex,
+      "graft.functions.BpeRankIndex")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeApplyImpl.apply($c, $tab)")
+      c => s"graft.functions.BpeApplyImpl.apply($c, $idx)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
     copy(child = newChild)

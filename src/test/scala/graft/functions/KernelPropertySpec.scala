@@ -176,26 +176,38 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("BpeApplyImpl equals the per-merge greedy-fold reference on " +
-      "random words and random merge tables") {
-    // the naive reference: one left-to-right fold per merge, in order —
-    // exactly the pre-r12 chained functions.aggregate semantics
-    def applyRef(word: Seq[String], merges: Seq[(String, String)]): Seq[String] =
-      merges.foldLeft(word) { case (syms, (l, r)) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == l && x == r) {
-            out.remove(out.length - 1); out += (l + r)
-          } else out += x
-        }
-        out.toSeq
+  // the naive reference: one left-to-right fold per merge, in order —
+  // exactly the pre-r12 chained functions.aggregate semantics
+  private def bpeApplyRef(
+      word: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word) { case (syms, (l, r)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) {
+          out.remove(out.length - 1); out += (l + r)
+        } else out += x
       }
+      out.toSeq
+    }
+
+  private def bpeRanked(
+      word: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    val in = new GenericArrayData(
+      word.map(UTF8String.fromString).toArray[Any])
+    val out = BpeApplyImpl.apply(in, new BpeRankIndex(merges))
+    (0 until out.numElements()).map(out.getUTF8String(_).toString)
+  }
+
+  test("BPE rank-map AND sequential kernels equal the per-merge " +
+      "greedy-fold reference on random words and random merge tables") {
     val alphabet = "abcd"
     samples(400) {
       val word = List.fill(1 + rnd.nextInt(24))(
         alphabet(rnd.nextInt(alphabet.length)).toString)
       // random merge table over random (possibly multi-char) symbols —
-      // include merges of previously-merged tokens, repeats, doubles
+      // include merges of previously-merged tokens, repeats, doubles,
+      // and NON-prefix-closed entries (tokens no earlier merge builds):
+      // the rank-map floor rule must match the fold on ALL of them
       val merges = List.fill(rnd.nextInt(20)) {
         def sym() = List.fill(1 + rnd.nextInt(2))(
           alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -204,13 +216,50 @@ class KernelPropertySpec extends AnyFunSuite {
       val in = new GenericArrayData(
         word.map(UTF8String.fromString).toArray[Any])
       val table = merges.flatMap(p => Seq(p._1, p._2)).toArray
-      val got = {
-        val out = BpeApplyImpl.apply(in, table)
+      val seqGot = {
+        val out = BpeApplyImpl.applySequential(in, table)
         (0 until out.numElements()).map(out.getUTF8String(_).toString)
       }
-      val want = applyRef(word, merges)
-      assert(got == want,
-        s"word=$word merges=$merges got=$got want=$want")
+      val want = bpeApplyRef(word, merges)
+      assert(seqGot == want,
+        s"sequential: word=$word merges=$merges got=$seqGot want=$want")
+      val rankGot = bpeRanked(word, merges)
+      assert(rankGot == want,
+        s"rank-map: word=$word merges=$merges got=$rankGot want=$want")
     }
+  }
+
+  test("BPE rank-map kernel equals the greedy-fold reference under " +
+      "DEEP merge tables (>= 32k entries — the production-vocab path " +
+      "the sequential kernel could not afford)") {
+    // a 64-deep prefix-closed run chain (a^i + a -> a^{i+1}) so long
+    // merges actually FIRE, padded to 32768 entries with bounded
+    // dormant pairs (tokens a real vocabulary's size — run-shaped
+    // padding would make the table itself ~1 GiB of strings); the
+    // table SIZE is the r12-ask regression target (the old kernel
+    // swept 32k times per word)
+    val chain = Seq.tabulate(64)(i => ("a" * (i + 1), "a"))
+    // a tail of pairs over 'b'/'c' so multi-symbol interleavings merge
+    // under ranks far apart in the table
+    val tail = Seq(("b", "c"), ("bc", "bc"), ("c", "b"), ("a", "bc"))
+    val pad = Seq.tabulate(32768 - chain.size - tail.size)(
+      i => ("x" + i, "y" + i))
+    val table = chain ++ pad ++ tail
+    val alphabet = "abc"
+    samples(60) {
+      val word = List.fill(1 + rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length)).toString)
+      val want = bpeApplyRef(word, table)
+      val got = bpeRanked(word, table)
+      assert(got == want, s"word=$word got=$got want=$want")
+    }
+    // and a targeted long-run word: 200 a's — pass 0 pairs them into
+    // 100 "aa" tokens and no (aa, a) adjacency survives, so the deep
+    // chain is a 32k-entry table where ONE rank fires; the rank-map
+    // kernel must pay nothing for the 32767 dormant entries
+    val runWord = List.fill(200)("a")
+    val runWant = bpeApplyRef(runWord, table)
+    assert(bpeRanked(runWord, table) == runWant)
+    assert(runWant == Seq.fill(100)("aa"))
   }
 }

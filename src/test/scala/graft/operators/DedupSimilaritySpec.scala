@@ -131,6 +131,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lifted.getAs[Long]("n_dropped_buckets") == 0)
   }
 
+  test("minhashBandIndex + minhashPairsIncremental: two persisted-index " +
+      "epochs union to EXACTLY the one-shot pair set of the grown corpus") {
+    // three crawl snapshots with near-dups WITHIN and ACROSS epochs
+    def doc(i: Long, words: Seq[String]) = (i, words.mkString(" "))
+    val base = (1 to 40).map(i => s"w$i")
+    val e0 = Seq(doc(0L, base), doc(1L, base.updated(3, "x")),
+      doc(2L, (1 to 40).map(i => s"zzz$i")))
+    val e1 = Seq(doc(10L, base.updated(7, "y")), // near-dups 0 and 1
+      doc(11L, (1 to 40).map(i => s"qqq$i")))
+    val e2 = Seq(doc(20L, base), // exact dup of 0, near-dup of 1/10
+      doc(21L, (1 to 40).map(i => s"zzz$i").updated(5, "k"))) // near-dups 2
+    val (d0, d1, d2) = (e0.toDF("doc_id", "text"), e1.toDF("doc_id", "text"),
+      e2.toDF("doc_id", "text"))
+    val th = 0.5
+    // epoch 0: one-shot within, persist the index through PARQUET
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bandindex").toString
+    val pairs0 = Dedup.minhashPairs(d0, "text", "doc_id", threshold = th).get
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.minhashBandIndex(d0, "text", "doc_id").get
+      .write.mode("overwrite").parquet(s"$store/idx0")
+    // epoch 1: incremental against the loaded index, then extend it
+    val idx0 = spark.read.parquet(s"$store/idx0")
+    val inc1 = Dedup.minhashPairsIncremental(d1, "text", "doc_id", idx0,
+      threshold = th).get.as[(Long, Long, Double)].collect().toSet
+    idx0.unionByName(Dedup.minhashBandIndex(d1, "text", "doc_id").get)
+      .write.mode("overwrite").parquet(s"$store/idx1")
+    // epoch 2 against the extended index
+    val inc2 = Dedup.minhashPairsIncremental(d2, "text", "doc_id",
+      spark.read.parquet(s"$store/idx1"), threshold = th).get
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.minhashPairs(d0.union(d1).union(d2),
+      "text", "doc_id", threshold = th).get.as[(Long, Long, Double)].collect().toSet
+    assert((pairs0 ++ inc1 ++ inc2) == oneShot,
+      s"incremental union diverged: missing=" +
+        s"${oneShot.diff(pairs0 ++ inc1 ++ inc2)} " +
+        s"extra=${(pairs0 ++ inc1 ++ inc2).diff(oneShot)}")
+    // the epochs saw real cross-epoch pairs, not just replays
+    assert(inc1.exists { case (a, b, _) => a < 10 && b >= 10 })
+    assert(inc2.exists { case (a, b, _) => a < 20 && b >= 20 })
+    assert(inc2.contains((0L, 20L, 1.0)), "exact re-crawl must score 1.0")
+  }
+
   test("minhashPairsAuto: lshPlan-chosen banding finds the same near-dups") {
     // 0.5 / 64 hashes resolves to the hand-tuned default (16×4), so the
     // auto mode must reproduce minhashPairs' exact result here…

@@ -485,6 +485,24 @@ class GraphSpec extends AnyFunSuite {
       s"seeded labels wrong: ${warmMap.filter(_._2 != 0L)}")
   }
 
+  test("duplicateClusters warm start keeps SELF-LABELED singleton seed " +
+      "rows (r12 ADVICE): untouched ones stay, connected ones re-label") {
+    import graft.operators.Dedup
+    // seed: cluster {5,6} labeled 5, plus singletons (9,9) and (2,2);
+    // today's pairs connect 1-2 (so 2's singleton label re-minimizes to
+    // 1) and leave 9 untouched (it must still appear as (9, 9))
+    val seed = Seq((5L, 5L), (6L, 5L), (9L, 9L), (2L, 2L)).toDF("id", "cluster")
+    val pairs = Seq((1L, 2L)).toDF("idA", "idB")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+    val viaDriver = Dedup.duplicateClusters(pairs, seed = Some(seed)).get
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expected, s"driver path: $viaDriver")
+    val viaLoop = Dedup.duplicateClusters(pairs, maxDriverEdges = 0L,
+        seed = Some(seed)).get
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == expected, s"distributed path: $viaLoop")
+  }
+
   test("louvain: levels=1 equals louvainMove; extra levels are idempotent " +
       "once converged") {
     val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)

@@ -116,4 +116,38 @@ class StatsPropertySpec extends AnyFunSuite {
       else assert(got.isNullAt(got.fieldIndex("r")))
     }
   }
+
+  test("srmFromCounts is invariant under random split-and-union of the " +
+      "count rows (r12 verdict ask #6: the duplicate-row re-aggregation " +
+      "law behind q393/q395)") {
+    // a union of drained snapshots carries the SAME (keys, arm) cell as
+    // multiple partial rows; srmFromCounts must see only their sum
+    (0 until 12).foreach { round =>
+      val keys = Seq("w1", "w2").take(1 + rnd.nextInt(2))
+      val arms = Seq("control", "treat", "rogue").take(2 + rnd.nextInt(2))
+      val cells = for (k <- keys; a <- arms if rnd.nextInt(4) > 0)
+        yield (k, a, (1 + rnd.nextInt(400)).toLong)
+      if (cells.nonEmpty) {
+        val whole = cells.toDF("win", "arm", "n_obs")
+        // split every cell's count into 1..4 random positive shards and
+        // union them in shuffled order — the drained-snapshot shape
+        val shards = rnd.shuffle(cells.flatMap { case (k, a, n) =>
+          val cuts = (Seq(0L, n) ++
+            Seq.fill(rnd.nextInt(3))(1L + rnd.nextLong(n))).distinct.sorted
+          cuts.zip(cuts.tail).map { case (lo, hi) => (k, a, hi - lo) }
+        })
+        val split = shards.toDF("win", "arm", "n_obs")
+        val design = Map("control" -> 1.0, "treat" -> 1.0)
+        def run(df0: org.apache.spark.sql.DataFrame) =
+          Stats.srmFromCounts(df0, design, keys = Seq("win")).get
+            .collect().map(r => (r.getAs[String]("win"),
+              r.getAs[String]("arm"), r.getAs[Long]("n_obs"),
+              r.getAs[Double]("n_expected"), r.getAs[Double]("chi2_term"),
+              r.getAs[Double]("chi2_total"))).toSet
+        assert(run(split) == run(whole),
+          s"round $round: split-and-union diverged — cells=$cells " +
+            s"shards=$shards")
+      }
+    }
+  }
 }

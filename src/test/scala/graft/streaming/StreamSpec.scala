@@ -363,6 +363,47 @@ class StreamSpec extends AnyFunSuite {
       "ts", "10 minutes", "5 minutes", "v").isFailing)
   }
 
+  test("windowedTokenCounts: drained per-window sums under a frozen " +
+      "merge table equal the batch replay bit-for-bit across " +
+      "micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val rnd = new scala.util.Random(31L)
+    val vocab = Seq("low", "lower", "lowest", "banana", "band", "bbb")
+    val events = Seq.tabulate(90) { i =>
+      (i.toLong, ts(i % 50), Seq.fill(1 + rnd.nextInt(4))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batchDf = events.map { case (_, t, x) => (t, x) }.toDF("ts", "text")
+    val idDf = events.toDF("id", "ts", "text")
+    val merges = Bpe.collectMerges(Bpe.learnMerges(batchDf, "text", 10).get)
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Stream.windowedTokenCounts(input.toDF.toDF("ts", "text"),
+      "ts", "text", "5 minutes", "10 minutes", merges).get
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("wtc_test").start()
+    input.addData(events.take(30).map { case (_, t, x) => (t, x) })
+    q.processAllAvailable()
+    input.addData(events.drop(30).map { case (_, t, x) => (t, x) })
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wtc_test")
+      .select($"window.start", $"n_tokens")
+      .as[(Timestamp, Long)].collect().toSet
+    // batch replay: per-doc direct counts re-grouped by the same window
+    val batch = Bpe.tokenCountsDirect(idDf, "text", "id", merges).get
+      .join(idDf, "id")
+      .groupBy(window($"ts", "10 minutes")("start").as("ws"))
+      .agg(sum($"n_tokens").as("n"))
+      .as[(Timestamp, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch token sums diverged: ${streamed.diff(batch)} / " +
+        s"${batch.diff(streamed)}")
+    // static frames are rejected
+    assert(Stream.windowedTokenCounts(batchDf, "ts", "text",
+      "5 minutes", "10 minutes", merges).isFailing)
+  }
+
   test("windowedArmCounts: drained counts equal batch bit-for-bit; " +
       "per-window SRM finish flags the broken window only") {
     implicit val sqlCtx = spark.sqlContext
