@@ -3144,6 +3144,49 @@ object SparkEntry {
       oldPairs.unionByName(inc).orderBy("idA", "idB")
     }),
 
+    "q401_vocab_segment" -> ((s, dir) => {
+      // Greedy longest-match segmentation (the WordPiece-style apply,
+      // whole-word UNK, no ## continuation — documented deviation) of
+      // every corpus word under the corpus-derived vocabulary of the
+      // q340 12-merge table (alphabet ∪ merged tokens). A DIFFERENT
+      // algorithm from BPE-order apply (BpeSpec proves the divergence);
+      // the oracle replays the greedy loop unrolled, one piece per
+      // step, so a single wrong longest-match anywhere hash-fails.
+      val docs = tbl(s, dir, "documents")
+      val merges = Bpe.collectMerges(Bpe.learnMerges(docs, "text",
+        numMerges = BpeGateMerges).get)
+      Bpe.vocabSegmentWords(docs, "text",
+          Bpe.vocabFromCorpus(docs, "text", merges)).get
+        .orderBy("word")
+    }),
+
+    "q400_embedding_index_incremental" -> ((s, dir) => {
+      // The q399 persisted-index law on the VECTOR side: vec_id < 250
+      // is "yesterday", its portable-signature band index rides
+      // through parquet into a fresh session, today's shard joins it
+      // banded, and yesterday's pairs ∪ the incremental output must
+      // equal the one-shot q37 pair set of the grown corpus — oracle =
+      // q37's signature-replay + brute-force cosine verbatim.
+      // Uncapped buckets + threshold 0.25 for the same reasons as q37.
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_emb_index400"
+      Dedup.embeddingBandIndex(
+          tbl(s, dir, "embeddings").filter(col("vec_id") < 250),
+          "embedding", "vec_id", bandBits = 10, nBands = 6)
+        .get.write.mode("overwrite").parquet(store)
+      val fresh = s.newSession()
+      val emb = tbl(fresh, dir, "embeddings")
+      val oldPairs = Dedup.embeddingNearDupPairsPortable(
+        emb.filter(col("vec_id") < 250), "embedding", "vec_id",
+        threshold = 0.25, bandBits = 10, nBands = 6,
+        maxBucket = Int.MaxValue).get
+      val inc = Dedup.embeddingPairsIncremental(
+        emb.filter(col("vec_id") >= 250), "embedding", "vec_id",
+        fresh.read.parquet(store), threshold = 0.25, bandBits = 10,
+        nBands = 6, maxBucket = Int.MaxValue).get
+      oldPairs.unionByName(inc).orderBy("idA", "idB")
+    }),
+
     "q356_weight_ess" -> ((s, dir) => {
       // Kish effective sample size of char-count-proportional
       // sampling weights over the corpus — the go/no-go check before
@@ -7043,6 +7086,61 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q401's oracle: the corpus-derived vocabulary (alphabet ∪ the
+    * 12-merge table's merged tokens, from the same learn CTEs as
+    * q340) driven through the greedy longest-match segmentation,
+    * unrolled to `steps` one-piece-per-step CTEs (each step consumes
+    * ≥ 1 character, so any word of ≤ `steps` chars is fully
+    * segmented; the synthetic corpus tops out at 8). The longest
+    * matching prefix per word is a `max_by(tok, len(tok))` over the
+    * vocab prefix join — unique per position, so deterministic. */
+  private def vocabSegmentOracleSql(numMerges: Int, steps: Int): String = {
+    val sb = new StringBuilder(bpeOracleCtes(numMerges))
+    sb.append(
+      """, vocab AS MATERIALIZED (
+           SELECT DISTINCT tok FROM (
+             SELECT unnest(list_transform(generate_series(1, len(word)),
+               i -> word[i:i])) AS tok FROM w0""")
+    for (i <- 1 to numMerges)
+      sb.append(s"\n             UNION ALL SELECT m AS tok FROM b$i")
+    sb.append(
+      """)
+         ), s0 AS MATERIALIZED (
+           SELECT word, freq, word AS rest, '' AS seg, 0 AS np,
+             false AS failed
+           FROM w0
+         )""")
+    for (i <- 1 to steps) {
+      sb.append(s""", s$i AS MATERIALIZED (
+           SELECT g.word, g.freq,
+             CASE WHEN g.rest = '' OR g.failed THEN g.rest
+                  WHEN b.tok IS NULL THEN ''
+                  ELSE g.rest[len(b.tok)+1:] END AS rest,
+             CASE WHEN g.rest = '' OR g.failed OR b.tok IS NULL THEN g.seg
+                  WHEN g.seg = '' THEN b.tok
+                  ELSE g.seg || ' ' || b.tok END AS seg,
+             CASE WHEN g.rest = '' OR g.failed OR b.tok IS NULL THEN g.np
+                  ELSE g.np + 1 END AS np,
+             CASE WHEN g.failed THEN true
+                  WHEN g.rest = '' THEN false
+                  WHEN b.tok IS NULL THEN true ELSE false END AS failed
+           FROM s${i - 1} g LEFT JOIN (
+             SELECT s.word AS w, max_by(v.tok, len(v.tok)) AS tok
+             FROM s${i - 1} s JOIN vocab v
+               ON s.rest <> '' AND s.rest[1:len(v.tok)] = v.tok
+             GROUP BY s.word
+           ) b ON b.w = g.word
+         )""")
+    }
+    sb.append(s"""
+         SELECT word, freq,
+           CAST(CASE WHEN failed THEN 1 ELSE np END AS INTEGER)
+             AS n_pieces,
+           CASE WHEN failed THEN '<unk>' ELSE seg END AS segmentation
+         FROM s$steps ORDER BY word""")
+    sb.toString
+  }
+
   private def kCoreOracleSql(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -10873,7 +10971,32 @@ object SparkEntry {
          )
          SELECT idA, idB, round(j, 6) AS jaccard FROM pairs
          WHERE j >= 0.5 ORDER BY idA, idB""",
+
+    // q400: the q399 persisted-index law on the vector side — oracle =
+    // q37's portable-signature replay + brute-force cosine verbatim
+    // (the storage round trip and the yesterday∪today union are
+    // Spark-side; the oracle only knows the law's right-hand side).
+    "q400_embedding_index_incremental" -> (portableSigCtes +
+      """, cand AS (
+           SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+           FROM sh a, sh b, (SELECT unnest(range(0, 6)) AS b) bb
+           WHERE a.vec_id < b.vec_id
+             AND ((a.sh >> (bb.b * 10)) & 1023) = ((b.sh >> (bb.b * 10)) & 1023)
+         ), cos AS (
+           SELECT p.idA, p.idB,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS c
+           FROM cand p
+           JOIN embeddings ea ON ea.vec_id = p.idA
+           JOIN embeddings eb ON eb.vec_id = p.idB
+         )
+         SELECT idA, idB, round(c, 6) AS cosine FROM cos
+         WHERE c >= 0.25 ORDER BY idA, idB"""),
+
     "q344_bpe_apply" -> bpeApplyOracleSql(BpeGateMerges),
+    // q401: greedy longest-match under the corpus vocabulary, unrolled
+    // (20 steps covers any word to 20 chars; the corpus tops out at 8).
+    "q401_vocab_segment" -> vocabSegmentOracleSql(BpeGateMerges, 20),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
 

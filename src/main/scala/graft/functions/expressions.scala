@@ -1660,3 +1660,89 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
   override def prettyName: String = "bpe_apply"
 }
+
+/** Frozen VOCABULARY index for greedy longest-match segmentation —
+  * the WordPiece/SentencePiece-style APPLY that consumes a finished
+  * token vocabulary instead of an ordered merge table: at each
+  * position take the LONGEST vocabulary entry that prefixes the
+  * remaining characters; if no entry (not even one character) matches,
+  * the WHOLE word becomes the `unk` token (WordPiece's whole-word-UNK
+  * rule). Deviation from WordPiece proper, documented: one vocabulary
+  * for every position — no `##` continuation-prefix distinction (the
+  * `##` marking exists for detokenization, which segmentation and
+  * token counting never need). Ships to executors as a plan reference
+  * object; per-word cost is O(len × maxEntryLen) probes, independent
+  * of the vocabulary SIZE (the same independence contract as
+  * [[BpeRankIndex]]). */
+final class VocabIndex(vocab: Seq[String], val unk: String)
+    extends Serializable {
+  require(unk != null && unk.nonEmpty, "unk token must be non-empty")
+  private val set = new java.util.HashSet[String]()
+  val maxLen: Int = {
+    var m = 0
+    vocab.foreach { t =>
+      require(t != null && t.nonEmpty,
+        "vocabulary entries must be non-empty strings")
+      set.add(t)
+      if (t.length > m) m = t.length
+    }
+    require(m > 0, "vocabulary must be non-empty")
+    m
+  }
+  def contains(tok: String): Boolean = set.contains(tok)
+}
+
+/** Greedy longest-match segmentation kernel (see [[VocabIndex]] for
+  * semantics). Works in UTF-16 code units like the BPE char split —
+  * supplementary-plane text should be normalized first (the library's
+  * documented tokenization convention). */
+object VocabSegmentImpl {
+  def apply(word: UTF8String, idx: VocabIndex): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var p = 0
+    var failed = n == 0
+    while (p < n && !failed) {
+      var l = math.min(idx.maxLen, n - p)
+      var hit = -1
+      while (l >= 1 && hit < 0) {
+        if (idx.contains(s.substring(p, p + l))) hit = l
+        l -= 1
+      }
+      if (hit < 0) failed = true
+      else { out += UTF8String.fromString(s.substring(p, p + hit)); p += hit }
+    }
+    if (failed) new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](UTF8String.fromString(idx.unk)))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `vocab_segment(word string)` → array<string>: greedy longest-match
+  * segmentation under a frozen vocabulary, whole-word UNK on failure.
+  * The vocabulary ships as a [[VocabIndex]] plan reference object. */
+case class VocabSegment(child: Expression, vocab: Seq[String], unk: String)
+    extends UnaryExpression {
+  @transient private lazy val index: VocabIndex = new VocabIndex(vocab, unk)
+  private lazy val childOk: Boolean = child.dataType match {
+    case StringType => true
+    case other => throw new IllegalArgumentException(
+      s"vocab_segment needs a string input, got $other")
+  }
+  override def dataType: DataType = {
+    require(childOk)
+    ArrayType(StringType, containsNull = false)
+  }
+  override def nullSafeEval(input: Any): Any =
+    VocabSegmentImpl.apply(input.asInstanceOf[UTF8String], index)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("vocabIndex", index,
+      "graft.functions.VocabIndex")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VocabSegmentImpl.apply($c, $idx)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VocabSegment =
+    copy(child = newChild)
+  override def prettyName: String = "vocab_segment"
+}

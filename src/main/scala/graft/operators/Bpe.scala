@@ -423,6 +423,87 @@ object Bpe {
       .groupBy(idCol).agg(sum(col("__nt")).as("n_tokens"))
   }
 
+  /** The corpus-derived VOCABULARY of a learned merge table: every
+    * distinct single character of the corpus's words plus every merged
+    * token, sorted (binary order) — the finished-token artifact the
+    * greedy longest-match apply ([[vocabSegmentWords]]) consumes,
+    * exactly how a WordPiece/SentencePiece vocab is the closure of its
+    * training. Driver-side and vocab-bounded (the [[collectMerges]]
+    * discipline). */
+  def vocabFromCorpus(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): Seq[String] = {
+    val chars = wordFreqs(df, textCol)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+    val n = chars.count()
+    require(n <= 100000L,
+      s"corpus alphabet has $n symbols (> 1e5) — not character data?")
+    (chars.collect().map(_.getString(0)) ++ merges.map(p => p._1 + p._2))
+      .distinct.sorted.toSeq
+  }
+
+  /** GREEDY LONGEST-MATCH segmentation of every corpus word under a
+    * frozen VOCABULARY — the WordPiece-style apply (one codegen'd
+    * expression, [[graft.functions.VocabSegment]]): at each position
+    * take the longest vocabulary entry prefixing the remaining
+    * characters; a word with an un-coverable position becomes ONE
+    * `unk` token (WordPiece's whole-word-UNK rule; no `##`
+    * continuation distinction — documented deviation, the marking only
+    * matters for detokenization). Complements [[applyMerges]]: BPE
+    * apply replays the TRAINING's merge order; greedy longest-match
+    * consumes only the finished vocabulary — production tokenizers ship
+    * both formulations, and they genuinely differ ("banana" under a
+    * vocab holding both "ban" and "banana" is one piece here, but
+    * follows the merge path under BPE).
+    *
+    * Returns `(word, freq, n_pieces, segmentation)` over the corpus's
+    * distinct words. Map-side only ahead of the word-frequency
+    * aggregate; vocab ships as one plan reference object, per-word
+    * cost independent of vocabulary size. */
+  def vocabSegmentWords(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      unk: String = "<unk>"
+  ): MayFail[DataFrame] = MayFail {
+    // construct eagerly: the expression's index is lazy (eval-time), so
+    // an invalid vocab/unk must be rejected HERE for MayFail semantics
+    new graft.functions.VocabIndex(vocab, unk)
+    wordFreqs(df, textCol)
+      .withColumn("pieces", graft.functions.FunctionBridge.column(
+        graft.functions.VocabSegment(
+          graft.functions.FunctionBridge.expression(col("word")),
+          vocab, unk)))
+      .select(col("word"), col("freq"),
+        size(col("pieces")).as("n_pieces"),
+        array_join(col("pieces"), " ").as("segmentation"))
+  }
+
+  /** Per-document piece counts under a frozen vocabulary — the greedy
+    * longest-match counterpart of [[tokenCountsDirect]], with the same
+    * stateless join-free plan (map-side explode + one partial-agg
+    * shuffle), so it composes onto unbounded streams identically. */
+  def vocabTokenCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: Seq[String],
+      unk: String = "<unk>"
+  ): MayFail[DataFrame] = MayFail {
+    new graft.functions.VocabIndex(vocab, unk) // eager validation
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .select(col(idCol), size(graft.functions.FunctionBridge.column(
+        graft.functions.VocabSegment(
+          graft.functions.FunctionBridge.expression(col("word")),
+          vocab, unk))).cast("long").as("__np"))
+      .groupBy(idCol).agg(sum(col("__np")).as("n_pieces"))
+  }
+
   /** Tokenizer fertility report — the evaluation one-rower every
     * tokenizer change ships with: `(n_words, n_chars, n_tokens:
     * bigint, chars_per_token, tokens_per_word: double ROUNDED at 6)`

@@ -1063,6 +1063,73 @@ object Dedup {
       "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
 
+  /** Persistable EMBEDDING band index (the [[minhashBandIndex]]
+    * discipline on the vector side) — one row per vector: `(id, vec,
+    * band_keys)` under the PORTABLE md5-sign hyperplane signature, so
+    * the stored index is a pure function of the data (re-buildable,
+    * auditable by external SQL). Write after each ingest; dedup
+    * tomorrow's embedding shard against it with
+    * [[embeddingPairsIncremental]] without re-hashing history. One
+    * `(bandBits, nBands)` choice must hold index-wide. */
+  def embeddingBandIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      bandBits: Int = 10,
+      nBands: Int = 6
+  ): MayFail[DataFrame] = MayFail {
+    require(bandBits > 0 && nBands > 0 && bandBits * nBands <= 60,
+      s"bandBits*nBands must be in (0, 60]: ${bandBits}*${nBands}")
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      bandKeysFromSimhash(
+        PortableLsh.vecSimhashCol(col(vecCol), bandBits * nBands),
+        bandBits, nBands).as("band_keys"))
+  }
+
+  /** Incremental embedding near-dup pairs against a persisted
+    * [[embeddingBandIndex]]: canonical `(idA, idB, cosine)` with at
+    * least one side from `batch` — the [[minhashPairsIncremental]] law
+    * on the vector side: band keys are a pure function of the vector,
+    * so `priorPairs ∪ this == one-shot
+    * [[embeddingNearDupPairsPortable]](grown corpus)` EXACTLY (same
+    * per-run `maxBucket` caveat). Gate q400 locks it through a parquet
+    * round trip against q37's brute-force oracle. */
+  def embeddingPairsIncremental(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      index: DataFrame,
+      threshold: Double = 0.95,
+      bandBits: Int = 10,
+      nBands: Int = 6,
+      maxBucket: Int = 2000
+  ): MayFail[DataFrame] = MayFail {
+    val newIdx = embeddingBandIndex(batch, vecCol, idCol, bandBits, nBands)
+      .get.withColumn("__new", lit(true))
+    val all = index.select(col("id"), col("vec"), col("band_keys"))
+      .withColumn("__new", lit(false))
+      .unionByName(newIdx)
+    val banded = Banding.capBuckets(
+      all.select(col("id"), col("__new"),
+        posexplode(col("band_keys")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket, minOccupancy = 2)
+    val cand = banded
+      .select(col("band"), col("bucket"), col("id").as("idA"),
+        col("__new").as("__nA"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idB"),
+        col("__new").as("__nB")), Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .filter(col("__nA") || col("__nB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    cand
+      .join(all.select(col("id").as("idA"), col("vec").as("__pA")), "idA")
+      .join(all.select(col("id").as("idB"), col("vec").as("__pB")), "idB")
+      .withColumn("cosine", vecCosine(col("__pA"), col("__pB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** `(id, __keys)` portable md5-sign band keys — ONE definition so
     * [[embeddingNearDupPairsPortable]] and [[embeddingCapReportPortable]]
     * band identically. */

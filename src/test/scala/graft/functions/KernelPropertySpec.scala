@@ -262,4 +262,39 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bpeRanked(runWord, table) == runWant)
     assert(runWant == Seq.fill(100)("aa"))
   }
+
+  test("VocabSegmentImpl equals the greedy longest-match reference on " +
+      "random words and vocabularies; non-UNK pieces tile the word") {
+    // independent reference: filter ALL vocab entries prefixing the
+    // remaining characters, take the longest, whole-word UNK on a gap
+    def ref(word: String, vocab: Set[String], unk: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var rest = word
+      while (rest.nonEmpty) {
+        val hits = vocab.filter(rest.startsWith)
+        if (hits.isEmpty) return Seq(unk)
+        val tok = hits.maxBy(_.length)
+        out += tok
+        rest = rest.substring(tok.length)
+      }
+      out.toSeq
+    }
+    val alphabet = "abc"
+    samples(400) {
+      val word = List.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random vocab of 1-3 char entries — single chars NOT guaranteed,
+      // so the UNK path genuinely fires
+      val vocab = List.fill(1 + rnd.nextInt(6))(
+        List.fill(1 + rnd.nextInt(3))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString).toSet
+      val idx = new VocabIndex(vocab.toSeq, "<unk>")
+      val out = VocabSegmentImpl.apply(UTF8String.fromString(word), idx)
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val want = ref(word, vocab, "<unk>")
+      assert(got == want, s"word=$word vocab=$vocab got=$got want=$want")
+      if (got != Seq("<unk>"))
+        assert(got.mkString("") == word, "pieces must tile the word")
+    }
+  }
 }

@@ -249,4 +249,44 @@ class BpeSpec extends AnyFunSuite {
       .as[(String, Long, Int, String)].collect().toSet
     assert(segDriver == segDist)
   }
+
+  test("vocabSegmentWords: greedy longest-match under the corpus vocab — " +
+      "hand cases, UNK on uncovered chars, counts match, and it " +
+      "genuinely differs from BPE-order apply") {
+    val df = Seq((1L, "banana ban bxn"), (2L, "ban banana")).toDF("id", "text")
+    // hand vocabulary: 'x' is NOT covered, so "bxn" must whole-word-UNK
+    val vocab = Seq("a", "b", "n", "ban", "banana", "na")
+    val got = Bpe.vocabSegmentWords(df, "text", vocab).get
+      .select("word", "freq", "n_pieces", "segmentation")
+      .as[(String, Long, Int, String)].collect().toSet
+    assert(got == Set(
+      ("banana", 2L, 1, "banana"),   // longest match wins over ban+a+na
+      ("ban", 2L, 1, "ban"),
+      ("bxn", 1L, 1, "<unk>")))
+    // per-doc piece counts sum word occurrences (doc 1: 1+1+1, doc 2: 1+1)
+    val counts = Bpe.vocabTokenCounts(df, "text", "id", vocab).get
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 2L))
+    // greedy longest-match vs BPE merge-order apply: under merges
+    // (a,n)->an, (b,an)->ban the BPE path segments "banana" as
+    // [ban,an,a] (merge order never builds "banana"), while a vocab
+    // holding the full word takes it in ONE piece — the two applies are
+    // different algorithms, not two spellings of one
+    val merges = Seq(("a", "n"), ("b", "an"))
+    val viaBpe = Bpe.applyMerges(df, "text", merges).get
+      .filter($"word" === "banana")
+      .select("segmentation").as[String].head()
+    assert(viaBpe == "ban an a")
+    val viaVocab = Bpe.vocabSegmentWords(df, "text",
+        Bpe.vocabFromCorpus(df, "text", merges) :+ "banana").get
+      .filter($"word" === "banana")
+      .select("segmentation").as[String].head()
+    assert(viaVocab == "banana")
+    // vocabFromCorpus = corpus alphabet + merged tokens, sorted
+    assert(Bpe.vocabFromCorpus(df, "text", merges) ==
+      Seq("a", "an", "b", "ban", "n", "x"))
+    // guards
+    assert(Bpe.vocabSegmentWords(df, "text", Seq.empty).isFailing)
+    assert(Bpe.vocabSegmentWords(df, "text", vocab, unk = "").isFailing)
+  }
 }

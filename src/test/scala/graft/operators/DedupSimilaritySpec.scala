@@ -154,8 +154,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$store/idx0")
     // epoch 1: incremental against the loaded index, then extend it
     val idx0 = spark.read.parquet(s"$store/idx0")
-    val inc1 = Dedup.minhashPairsIncremental(d1, "text", "doc_id", idx0,
-      threshold = th).get.as[(Long, Long, Double)].collect().toSet
+    val inc1Df = Dedup.minhashPairsIncremental(d1, "text", "doc_id", idx0,
+      threshold = th).get
+    // plan lock: the incremental join is bucket-keyed, never all-pairs
+    val fp1 = graft.tools.PlanFingerprint.of(inc1Df)
+    assert(fp1.contains("cart=0") && fp1.contains("bnl=0"),
+      s"incremental pair plan grew a cross join: $fp1")
+    val inc1 = inc1Df.as[(Long, Long, Double)].collect().toSet
     idx0.unionByName(Dedup.minhashBandIndex(d1, "text", "doc_id").get)
       .write.mode("overwrite").parquet(s"$store/idx1")
     // epoch 2 against the extended index
@@ -172,6 +177,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inc1.exists { case (a, b, _) => a < 10 && b >= 10 })
     assert(inc2.exists { case (a, b, _) => a < 20 && b >= 20 })
     assert(inc2.contains((0L, 20L, 1.0)), "exact re-crawl must score 1.0")
+  }
+
+  test("embeddingBandIndex + embeddingPairsIncremental: persisted-index " +
+      "epochs union to the one-shot portable pair set") {
+    // clusters of near-identical vectors split across two epochs, plus
+    // orthogonal singletons — cross-epoch near-dups must surface
+    val rnd = new scala.util.Random(47L)
+    def jitter(base: Array[Float]) =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val a = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.0f)
+    val b = Array.tabulate(16)(i => if (i >= 8) 1.0f else 0.0f)
+    val e0 = Seq((0L, jitter(a)), (1L, jitter(a)), (2L, jitter(b)))
+    val e1 = Seq((10L, jitter(a)), (11L, jitter(b)),
+      (12L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    val (d0, d1) = (e0.toDF("vec_id", "embedding"), e1.toDF("vec_id", "embedding"))
+    val th = 0.9
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_embindex").toString
+    val pairs0 = Dedup.embeddingNearDupPairsPortable(d0, "embedding",
+        "vec_id", threshold = th).get
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.embeddingBandIndex(d0, "embedding", "vec_id").get
+      .write.mode("overwrite").parquet(s"$store/idx0")
+    val incDf = Dedup.embeddingPairsIncremental(d1, "embedding", "vec_id",
+      spark.read.parquet(s"$store/idx0"), threshold = th).get
+    val fpE = graft.tools.PlanFingerprint.of(incDf)
+    assert(fpE.contains("cart=0") && fpE.contains("bnl=0"),
+      s"incremental embedding plan grew a cross join: $fpE")
+    val inc = incDf.as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.embeddingNearDupPairsPortable(d0.union(d1),
+        "embedding", "vec_id", threshold = th).get
+      .as[(Long, Long, Double)].collect().toSet
+    assert((pairs0 ++ inc) == oneShot,
+      s"missing=${oneShot.diff(pairs0 ++ inc)} " +
+        s"extra=${(pairs0 ++ inc).diff(oneShot)}")
+    // real cross-epoch content: the a-cluster spans the epochs
+    assert(inc.exists { case (x, y, _) => x < 10 && y >= 10 })
+    assert(!oneShot.exists { case (x, y, _) => x == 12L || y == 12L },
+      "the orthogonal singleton must pair with nothing")
   }
 
   test("minhashPairsAuto: lshPlan-chosen banding finds the same near-dups") {
