@@ -3105,8 +3105,13 @@ object SparkEntry {
       val schema = s.read.parquet(staged).schema
       val name = "graft_stc_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
+      // REAL micro-batches (maxFilesPerTrigger=1 over 4 staged files,
+      // the q321 discipline): a bare fileStream would swallow all four
+      // files in ONE trigger and never exercise cross-batch window
+      // state (r13 review finding)
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
       (for {
-        src <- Read.fileStream(staged, "parquet", schema)
         counts <- graft.streaming.Stream.windowedTokenCounts(src, "ts",
           "text", "30 minutes", "1 hour", merges)
         res <- graft.streaming.Stream.drainToMemory(counts, name, "complete")

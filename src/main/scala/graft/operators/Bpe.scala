@@ -365,6 +365,11 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]
   ): MayFail[DataFrame] = MayFail {
+    // construct eagerly: the expression's rank index is lazy (codegen/
+    // eval time), so a corrupt table (null components) must be rejected
+    // HERE for MayFail semantics. Fail-fast is a deliberate r13 change:
+    // the pre-r13 fold chain silently passed null entries through.
+    new graft.functions.BpeRankIndex(merges)
     wordFreqs(df, textCol)
       .withColumn("syms", graft.functions.FunctionBridge.column(
         graft.functions.BpeApplyMerges(
@@ -412,6 +417,7 @@ object Bpe {
       idCol: String,
       merges: Seq[(String, String)]
   ): MayFail[DataFrame] = MayFail {
+    new graft.functions.BpeRankIndex(merges) // eager table validation
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
@@ -435,14 +441,16 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]
   ): Seq[String] = {
+    // ONE action: limit(cap+1)+collect both fetches the alphabet and
+    // enforces the bound — a separate count() would re-run the whole
+    // corpus scan + distinct (r13 review finding)
     val chars = wordFreqs(df, textCol)
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "").distinct()
-    val n = chars.count()
-    require(n <= 100000L,
-      s"corpus alphabet has $n symbols (> 1e5) — not character data?")
-    (chars.collect().map(_.getString(0)) ++ merges.map(p => p._1 + p._2))
-      .distinct.sorted.toSeq
+      .limit(100001).collect().map(_.getString(0))
+    require(chars.length <= 100000,
+      s"corpus alphabet exceeds 1e5 symbols — not character data?")
+    (chars ++ merges.map(p => p._1 + p._2)).distinct.sorted.toSeq
   }
 
   /** GREEDY LONGEST-MATCH segmentation of every corpus word under a

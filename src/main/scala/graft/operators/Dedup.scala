@@ -214,23 +214,62 @@ object Dedup {
       .select("idA", "idB")
       .dropDuplicates("idA", "idB")
 
-  /** Join each candidate pair back to its payload (`keyed`: (id, __p)),
-    * score, filter, optionally round — the shared verification tail of
-    * every LSH dedup variant. */
-  private def verifiedPairs(
-      banded: DataFrame,
+  /** Join candidate `(idA, idB)` pairs back to their payloads
+    * (`keyed`: (id, __p)), score, filter, optionally round — the ONE
+    * verification tail every LSH pair generator (one-shot AND
+    * incremental) shares, so a change to the rounding/canonicalization
+    * rule can never diverge between the paths the q399/q400
+    * incremental laws compare. */
+  private def scoredPairs(
+      cand: DataFrame,
       keyed: DataFrame,
       scoreName: String,
       score: (Column, Column) => Column,
       keep: Column => Column,
       roundDigits: Option[Int]): DataFrame = {
-    val scored = bandedPairs(banded)
+    val scored = cand
       .join(keyed.select(col("id").as("idA"), col("__p").as("__pA")), "idA")
       .join(keyed.select(col("id").as("idB"), col("__p").as("__pB")), "idB")
       .withColumn(scoreName, score(col("__pA"), col("__pB")))
       .filter(keep(col(scoreName)))
     val out = roundDigits.fold(col(scoreName))(d => round(col(scoreName), d))
     scored.select(col("idA"), col("idB"), out.as(scoreName))
+  }
+
+  /** [[scoredPairs]] over the within-corpus banded candidates. */
+  private def verifiedPairs(
+      banded: DataFrame,
+      keyed: DataFrame,
+      scoreName: String,
+      score: (Column, Column) => Column,
+      keep: Column => Column,
+      roundDigits: Option[Int]): DataFrame =
+    scoredPairs(bandedPairs(banded), keyed, scoreName, score, keep,
+      roundDigits)
+
+  /** Candidate `(idA < idB)` pairs of an index∪batch union frame
+    * `(id, __new, band_keys)` where at least ONE side is new — the
+    * shared banding core of [[minhashPairsIncremental]] and
+    * [[embeddingPairsIncremental]]: same `capBuckets` semantics as the
+    * one-shot generators (minOccupancy 2), `__new` filtered AFTER the
+    * bucket join so the cap sees the union exactly as a one-shot run
+    * of the grown corpus would. */
+  private def incrementalCandidates(
+      all: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val banded = Banding.capBuckets(
+      all.select(col("id"), col("__new"),
+        posexplode(col("band_keys")).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket, minOccupancy = 2)
+    banded
+      .select(col("band"), col("bucket"), col("id").as("idA"),
+        col("__new").as("__nA"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idB"),
+        col("__new").as("__nB")), Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .filter(col("__nA") || col("__nB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
   }
 
   /** [[minhashPairs]] with the banding CHOSEN by [[lshPlan]] instead of
@@ -759,34 +798,15 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 1000
   ): MayFail[DataFrame] = MayFail {
-    val newIdx = minhashShingled(batch, textCol, idCol, shingleSize)
-      .select(col("id"), col("shingles"),
-        minhashBandKeysFromHashes(col("shingles"), bands, rowsPerBand)
-          .as("band_keys"))
-      .withColumn("__new", lit(true))
+    val newIdx =
+      minhashBandIndex(batch, textCol, idCol, shingleSize, bands,
+        rowsPerBand).get.withColumn("__new", lit(true))
     val all = index.select(col("id"), col("shingles"), col("band_keys"))
       .withColumn("__new", lit(false))
       .unionByName(newIdx)
-    val banded = all.select(col("id"), col("__new"),
-      posexplode(col("band_keys")).as(Seq("band", "bucket")))
-    val capped =
-      Banding.capBuckets(banded, Seq("band", "bucket"), maxBucket,
-        minOccupancy = 2)
-    val cand = capped
-      .select(col("band"), col("bucket"), col("id").as("idA"),
-        col("__new").as("__nA"))
-      .join(capped.select(col("band"), col("bucket"), col("id").as("idB"),
-        col("__new").as("__nB")), Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .filter(col("__nA") || col("__nB"))
-      .select("idA", "idB")
-      .dropDuplicates("idA", "idB")
-    cand
-      .join(all.select(col("id").as("idA"), col("shingles").as("__pA")), "idA")
-      .join(all.select(col("id").as("idB"), col("shingles").as("__pB")), "idB")
-      .withColumn("jaccard", jaccardHashes(col("__pA"), col("__pB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    scoredPairs(incrementalCandidates(all, maxBucket),
+      all.select(col("id"), col("shingles").as("__p")),
+      "jaccard", jaccardHashes, _ >= threshold, roundDigits = Some(6))
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash, banded so the
@@ -1109,25 +1129,9 @@ object Dedup {
     val all = index.select(col("id"), col("vec"), col("band_keys"))
       .withColumn("__new", lit(false))
       .unionByName(newIdx)
-    val banded = Banding.capBuckets(
-      all.select(col("id"), col("__new"),
-        posexplode(col("band_keys")).as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), maxBucket, minOccupancy = 2)
-    val cand = banded
-      .select(col("band"), col("bucket"), col("id").as("idA"),
-        col("__new").as("__nA"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("idB"),
-        col("__new").as("__nB")), Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .filter(col("__nA") || col("__nB"))
-      .select("idA", "idB")
-      .dropDuplicates("idA", "idB")
-    cand
-      .join(all.select(col("id").as("idA"), col("vec").as("__pA")), "idA")
-      .join(all.select(col("id").as("idB"), col("vec").as("__pB")), "idB")
-      .withColumn("cosine", vecCosine(col("__pA"), col("__pB")))
-      .filter(col("cosine") >= threshold)
-      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    scoredPairs(incrementalCandidates(all, maxBucket),
+      all.select(col("id"), col("vec").as("__p")),
+      "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
   }
 
   /** `(id, __keys)` portable md5-sign band keys — ONE definition so

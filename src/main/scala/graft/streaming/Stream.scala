@@ -459,6 +459,9 @@ object Stream {
       keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
     require(df.isStreaming, "windowedTokenCounts needs a streaming frame")
     import graft.functions.{BpeApplyMerges, FunctionBridge, TextFunctions}
+    // eager table validation — a corrupt table must Fail here, not kill
+    // the running streaming query from inside the lazy rank index
+    new graft.functions.BpeRankIndex(merges)
     df.filter(col(tsCol).isNotNull && col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(tsCol) +: keys.map(col) :+

@@ -29,28 +29,41 @@ object PlanFingerprint {
     val plan = df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     // An EXECUTED AdaptiveSparkPlan explains BOTH trees — "== Final
-    // Plan ==" (ids 1..k, reusing the scan ids) then "== Initial Plan
-    // ==" (fresh ids) — with one detail header per id across both.
+    // Plan ==" (reusing the leaf/scan ids) then "== Initial Plan =="
+    // (fresh ids for everything above the reused leaves) — with one
+    // detail header per id across both; subquery sections repeat the
+    // same Final/Initial structure per hosted AdaptiveSparkPlan.
     // Counting all headers would double every node (the r12 ADVICE
-    // vacuous-lock fix exposed this), so when a Final Plan section
-    // exists the fingerprint restricts to ITS node ids: the executed
-    // plan is the one the lock is about. Scan details (PushedFilters /
-    // PartitionFilters) are shared by id between the trees, so the
-    // pushdown counts need no restriction.
-    val finStart = plan.indexOf("== Final Plan ==")
-    val allowed: Option[Set[String]] =
-      if (finStart < 0) None
-      else {
-        val initStart = plan.indexOf("== Initial Plan ==", finStart)
-        val finEnd = if (initStart < 0) plan.length else initStart
-        Some("""\((\d+)\)""".r
-          .findAllMatchIn(plan.substring(finStart, finEnd))
-          .map(_.group(1)).toSet)
+    // vacuous-lock fix exposed this), so the fingerprint EXCLUDES the
+    // ids that appear only in Initial Plan tree sections: the executed
+    // plan is the one the lock is about. The banned set is built by a
+    // line scan over the TREE sections (mode flips at the Final/
+    // Initial markers and resets at any column-0 root/header line or
+    // at the first detail header), so non-adaptive subquery trees and
+    // unexecuted plans are untouched — their banned set is empty.
+    // Scan details (PushedFilters / PartitionFilters) are shared by id
+    // between the trees, so the pushdown counts need no restriction.
+    val banned: Set[String] = {
+      val idRe = """\((\d+)\)""".r
+      val fin = scala.collection.mutable.Set.empty[String]
+      val ini = scala.collection.mutable.Set.empty[String]
+      var mode = 0 // 0 = outside, 1 = Final tree, 2 = Initial tree
+      plan.linesIterator.foreach { line =>
+        if (line.contains("== Final Plan ==")) mode = 1
+        else if (line.contains("== Initial Plan ==")) mode = 2
+        else if (line.matches("""^[A-Za-z=].*""") ||
+          line.matches("""^\s*\(\d+\).*""")) mode = 0
+        else if (mode == 1)
+          idRe.findAllMatchIn(line).foreach(m => fin += m.group(1))
+        else if (mode == 2)
+          idRe.findAllMatchIn(line).foreach(m => ini += m.group(1))
       }
+      (ini -- fin).toSet
+    }
     // one detail header per node: "(7) Exchange [codegen id : 2]" — the
     // tree section draws nodes with +- / : prefixes, never at ^\(
     val nodes = nodeHeader.findAllMatchIn(plan)
-      .filter(m => allowed.forall(_.contains(m.group(1))))
+      .filter(m => !banned.contains(m.group(1)))
       .map(_.group(2)).toSeq
     def c(n: String) = nodes.count(_ == n)
     val pushed = """PushedFilters: \[[^\]]""".r.findAllIn(plan).size

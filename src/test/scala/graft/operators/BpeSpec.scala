@@ -150,6 +150,11 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(tc == Map(1L ->
       Seq("blower", "bandana", "lowly").map(applyRef(_).size.toLong).sum))
+    // a corrupt merge table (null component) Fails at construction —
+    // MayFail semantics, not a mid-job executor throw (r13 review)
+    assert(Bpe.applyMerges(df, "text", Seq(("a", null))).isFailing)
+    assert(Bpe.tokenCountsDirect(df, "text", "id", Seq((null, "a")))
+      .isFailing)
   }
 
   test("applyMerges plans as ONE codegen'd bpe_apply expression — no " +
