@@ -3165,6 +3165,26 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "q402_apply_compare" -> ((s, dir) => {
+      // Tokenizer apply-comparison one-rower: BPE merge-order apply vs
+      // greedy longest-match over the SAME corpus-derived token
+      // inventory — exact occurrence totals per algorithm plus the
+      // identical-segmentation agreement share. The vocabulary is the
+      // merge closure EXTENDED with the top-5 corpus words by
+      // (freq DESC, word ASC) — what production vocabularies do, and
+      // what makes the two applies genuinely disagree: greedy takes a
+      // whole common word in one piece where the merge order cannot.
+      // Both sides replayed unrolled in the oracle.
+      val docs = tbl(s, dir, "documents")
+      val merges = Bpe.collectMerges(Bpe.learnMerges(docs, "text",
+        numMerges = BpeGateMerges).get)
+      val top5 = Bpe.wordFreqs(docs, "text")
+        .orderBy(col("freq").desc, col("word")).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      Bpe.applyCompareReport(docs, "text", merges,
+        (Bpe.vocabFromCorpus(docs, "text", merges) ++ top5).distinct).get
+    }),
+
     "q400_embedding_index_incremental" -> ((s, dir) => {
       // The q399 persisted-index law on the VECTOR side: vec_id < 250
       // is "yesterday", its portable-signature band index rides
@@ -7099,8 +7119,21 @@ object SparkEntry {
     * segmented; the synthetic corpus tops out at 8). The longest
     * matching prefix per word is a `max_by(tok, len(tok))` over the
     * vocab prefix join — unique per position, so deterministic. */
-  private def vocabSegmentOracleSql(numMerges: Int, steps: Int): String = {
-    val sb = new StringBuilder(bpeOracleCtes(numMerges))
+  private def vocabSegmentOracleSql(numMerges: Int, steps: Int): String =
+    bpeOracleCtes(numMerges) + vocabGreedyCtes(numMerges, steps) + s"""
+         SELECT word, freq,
+           CAST(CASE WHEN failed THEN 1 ELSE np END AS INTEGER)
+             AS n_pieces,
+           CASE WHEN failed THEN '<unk>' ELSE seg END AS segmentation
+         FROM s$steps ORDER BY word"""
+
+  /** The greedy-segmentation CTE block shared by q401/q402: the
+    * corpus vocabulary (w0 alphabet ∪ b1..bN merged tokens ∪ the
+    * caller's extra UNION arms) and the unrolled longest-match steps
+    * s0..s`steps` over w0's words. */
+  private def vocabGreedyCtes(numMerges: Int, steps: Int,
+      extraVocabSql: String = ""): String = {
+    val sb = new StringBuilder
     sb.append(
       """, vocab AS MATERIALIZED (
            SELECT DISTINCT tok FROM (
@@ -7108,6 +7141,7 @@ object SparkEntry {
                i -> word[i:i])) AS tok FROM w0""")
     for (i <- 1 to numMerges)
       sb.append(s"\n             UNION ALL SELECT m AS tok FROM b$i")
+    sb.append(extraVocabSql)
     sb.append(
       """)
          ), s0 AS MATERIALIZED (
@@ -7137,14 +7171,37 @@ object SparkEntry {
            ) b ON b.w = g.word
          )""")
     }
-    sb.append(s"""
-         SELECT word, freq,
-           CAST(CASE WHEN failed THEN 1 ELSE np END AS INTEGER)
-             AS n_pieces,
-           CASE WHEN failed THEN '<unk>' ELSE seg END AS segmentation
-         FROM s$steps ORDER BY word""")
     sb.toString
   }
+
+  /** q402's oracle: both unrolled applies joined on the shared word
+    * table — exact occurrence-weighted token totals per algorithm and
+    * the identical-segmentation agreement share. */
+  private def applyCompareOracleSql(numMerges: Int, steps: Int): String =
+    bpeOracleCtes(numMerges) + vocabGreedyCtes(numMerges, steps,
+      extraVocabSql = """
+             UNION ALL SELECT word AS tok FROM (
+               SELECT word FROM w0 ORDER BY freq DESC, word LIMIT 5)""") + s"""
+         SELECT n_words, n_tokens_bpe, n_tokens_greedy,
+           round(CASE WHEN n_words > 0 THEN
+             CAST(n_tokens_bpe AS DOUBLE) / n_words END + 1e-9, 6)
+             AS tokens_per_word_bpe,
+           round(CASE WHEN n_words > 0 THEN
+             CAST(n_tokens_greedy AS DOUBLE) / n_words END + 1e-9, 6)
+             AS tokens_per_word_greedy,
+           round(CASE WHEN n_words > 0 THEN
+             CAST(agree AS DOUBLE) / n_words END + 1e-9, 6)
+             AS agreement_rate
+         FROM (
+           SELECT CAST(sum(w.freq) AS BIGINT) AS n_words,
+             CAST(sum(w.freq * len(w.syms)) AS BIGINT) AS n_tokens_bpe,
+             CAST(sum(w.freq *
+               (CASE WHEN s.failed THEN 1 ELSE s.np END)) AS BIGINT)
+               AS n_tokens_greedy,
+             CAST(sum(CASE WHEN array_to_string(w.syms, ' ') =
+                 (CASE WHEN s.failed THEN '<unk>' ELSE s.seg END)
+               THEN w.freq ELSE 0 END) AS BIGINT) AS agree
+           FROM w$numMerges w JOIN s$steps s USING (word))"""
 
   private def kCoreOracleSql(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
@@ -11002,6 +11059,9 @@ object SparkEntry {
     // q401: greedy longest-match under the corpus vocabulary, unrolled
     // (20 steps covers any word to 20 chars; the corpus tops out at 8).
     "q401_vocab_segment" -> vocabSegmentOracleSql(BpeGateMerges, 20),
+    // q402: both applies joined on the shared word table — totals and
+    // the agreement share, all occurrence-exact.
+    "q402_apply_compare" -> applyCompareOracleSql(BpeGateMerges, 20),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
 

@@ -512,6 +512,54 @@ object Bpe {
       .groupBy(idCol).agg(sum(col("__np")).as("n_pieces"))
   }
 
+  /** Tokenizer APPLY-COMPARISON report — the one-rower for the
+    * "which apply do I ship" decision between the two formulations of
+    * the same token inventory: BPE merge-order apply
+    * ([[applyMerges]]) vs greedy longest-match over the finished
+    * vocabulary ([[vocabSegmentWords]]). Returns ONE row
+    * `(n_words, n_tokens_bpe, n_tokens_greedy: bigint,
+    * tokens_per_word_bpe, tokens_per_word_greedy, agreement_rate:
+    * double ROUNDED at 6)` over word OCCURRENCES; `agreement_rate` is
+    * the occurrence share whose two segmentations are IDENTICAL —
+    * the divergence the algorithms genuinely have (BpeSpec's
+    * "banana" case). Exact integer totals; one vocabulary-sized join
+    * of the two segmentation frames, each a single map-side pass. */
+  def applyCompareReport(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      vocab: Seq[String],
+      unk: String = "<unk>"
+  ): MayFail[DataFrame] = MayFail {
+    val bpe = applyMerges(df, textCol, merges).get
+      .select(col("word"), col("freq"),
+        col("n_tokens").cast("long").as("__tb"),
+        col("segmentation").as("__sb"))
+    val greedy = vocabSegmentWords(df, textCol, vocab, unk).get
+      .select(col("word"), col("n_pieces").cast("long").as("__tg"),
+        col("segmentation").as("__sg"))
+    bpe.join(greedy, Seq("word"))
+      .agg(
+        coalesce(sum(col("freq")), lit(0L)).as("n_words"),
+        coalesce(sum(col("freq") * col("__tb")), lit(0L))
+          .as("n_tokens_bpe"),
+        coalesce(sum(col("freq") * col("__tg")), lit(0L))
+          .as("n_tokens_greedy"),
+        coalesce(sum(when(col("__sb") === col("__sg"), col("freq"))
+          .otherwise(lit(0L))), lit(0L)).as("__agree"))
+      .select(col("n_words"), col("n_tokens_bpe"), col("n_tokens_greedy"),
+        round(when(col("n_words") > 0, col("n_tokens_bpe").cast("double") /
+          col("n_words").cast("double")) + lit(1e-9), 6)
+          .as("tokens_per_word_bpe"),
+        round(when(col("n_words") > 0,
+          col("n_tokens_greedy").cast("double") /
+            col("n_words").cast("double")) + lit(1e-9), 6)
+          .as("tokens_per_word_greedy"),
+        round(when(col("n_words") > 0, col("__agree").cast("double") /
+          col("n_words").cast("double")) + lit(1e-9), 6)
+          .as("agreement_rate"))
+  }
+
   /** Tokenizer fertility report — the evaluation one-rower every
     * tokenizer change ships with: `(n_words, n_chars, n_tokens:
     * bigint, chars_per_token, tokens_per_word: double ROUNDED at 6)`

@@ -294,4 +294,21 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.vocabSegmentWords(df, "text", Seq.empty).isFailing)
     assert(Bpe.vocabSegmentWords(df, "text", vocab, unk = "").isFailing)
   }
+
+  test("applyCompareReport: hand-computed totals and agreement for the " +
+      "two applies over one token inventory") {
+    val df = Seq((1L, "banana ban bxn"), (2L, "ban banana")).toDF("id", "text")
+    val merges = Seq(("a", "n"), ("b", "an"))
+    val vocab = Bpe.vocabFromCorpus(df, "text", merges) :+ "banana"
+    // BPE: banana→[ban,an,a](3), ban→[ban](1), bxn→[b,x,n](3) ⇒ 11
+    // greedy: banana→[banana](1), ban→[ban](1), bxn→[b,x,n](3) ⇒ 7
+    // agreement: ban (2 occ) + bxn (1 occ) = 3 of 5 occurrences
+    val r = Bpe.applyCompareReport(df, "text", merges, vocab).get.head()
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_tokens_bpe") == 11L)
+    assert(r.getAs[Long]("n_tokens_greedy") == 7L)
+    assert(r.getAs[Double]("tokens_per_word_bpe") == 2.2)
+    assert(r.getAs[Double]("tokens_per_word_greedy") == 1.4)
+    assert(r.getAs[Double]("agreement_rate") == 0.6)
+  }
 }
