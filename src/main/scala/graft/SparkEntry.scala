@@ -7193,14 +7193,15 @@ object SparkEntry {
              CAST(agree AS DOUBLE) / n_words END + 1e-9, 6)
              AS agreement_rate
          FROM (
-           SELECT CAST(sum(w.freq) AS BIGINT) AS n_words,
-             CAST(sum(w.freq * len(w.syms)) AS BIGINT) AS n_tokens_bpe,
-             CAST(sum(w.freq *
-               (CASE WHEN s.failed THEN 1 ELSE s.np END)) AS BIGINT)
+           SELECT CAST(coalesce(sum(w.freq), 0) AS BIGINT) AS n_words,
+             CAST(coalesce(sum(w.freq * len(w.syms)), 0) AS BIGINT)
+               AS n_tokens_bpe,
+             CAST(coalesce(sum(w.freq *
+               (CASE WHEN s.failed THEN 1 ELSE s.np END)), 0) AS BIGINT)
                AS n_tokens_greedy,
-             CAST(sum(CASE WHEN array_to_string(w.syms, ' ') =
+             CAST(coalesce(sum(CASE WHEN array_to_string(w.syms, ' ') =
                  (CASE WHEN s.failed THEN '<unk>' ELSE s.seg END)
-               THEN w.freq ELSE 0 END) AS BIGINT) AS agree
+               THEN w.freq ELSE 0 END), 0) AS BIGINT) AS agree
            FROM w$numMerges w JOIN s$steps s USING (word))"""
 
   private def kCoreOracleSql(k: Long, rounds: Int): String = {

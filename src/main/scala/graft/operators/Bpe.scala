@@ -531,20 +531,29 @@ object Bpe {
       vocab: Seq[String],
       unk: String = "<unk>"
   ): MayFail[DataFrame] = MayFail {
-    val bpe = applyMerges(df, textCol, merges).get
-      .select(col("word"), col("freq"),
-        col("n_tokens").cast("long").as("__tb"),
-        col("segmentation").as("__sb"))
-    val greedy = vocabSegmentWords(df, textCol, vocab, unk).get
-      .select(col("word"), col("n_pieces").cast("long").as("__tg"),
-        col("segmentation").as("__sg"))
-    bpe.join(greedy, Seq("word"))
-      .agg(
+    // eager index validation (MayFail semantics — both indexes are
+    // lazy inside their expressions)
+    new graft.functions.BpeRankIndex(merges)
+    new graft.functions.VocabIndex(vocab, unk)
+    // ONE vocabulary-sized frame with BOTH segmentations as expression
+    // columns — both applies are pure per-word functions, so a join of
+    // two separate aggregation pipelines would cost a second corpus
+    // scan + shuffle for nothing (r13 review)
+    val seg = wordFreqs(df, textCol)
+      .withColumn("__sb", graft.functions.FunctionBridge.column(
+        graft.functions.BpeApplyMerges(
+          graft.functions.FunctionBridge.expression(
+            split(col("word"), "")), merges)))
+      .withColumn("__sg", graft.functions.FunctionBridge.column(
+        graft.functions.VocabSegment(
+          graft.functions.FunctionBridge.expression(col("word")),
+          vocab, unk)))
+    seg.agg(
         coalesce(sum(col("freq")), lit(0L)).as("n_words"),
-        coalesce(sum(col("freq") * col("__tb")), lit(0L))
-          .as("n_tokens_bpe"),
-        coalesce(sum(col("freq") * col("__tg")), lit(0L))
-          .as("n_tokens_greedy"),
+        coalesce(sum(col("freq") * size(col("__sb")).cast("long")),
+          lit(0L)).as("n_tokens_bpe"),
+        coalesce(sum(col("freq") * size(col("__sg")).cast("long")),
+          lit(0L)).as("n_tokens_greedy"),
         coalesce(sum(when(col("__sb") === col("__sg"), col("freq"))
           .otherwise(lit(0L))), lit(0L)).as("__agree"))
       .select(col("n_words"), col("n_tokens_bpe"), col("n_tokens_greedy"),
