@@ -294,11 +294,18 @@ object Bench {
     // runs is the standard way to report the plan's cost, not the noise
     val runs = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
-    // keep EVERY sweep's time, not only the min (r12 verdict ask #2):
-    // a transient host event shows up as a contiguous elevated block
-    // across adjacent queries within ONE sweep, which a min-only
-    // artifact hides and a per-run artifact makes self-diagnosing
-    val perRun = headline.map { name =>
+    // keep EVERY run's time, not only the min (r12 verdict ask #2).
+    // Execution stays QUERY-MAJOR (each query's N runs back-to-back):
+    // the r14 A/B of the r13-ADVICE sweep-major alternative measured a
+    // +20-50% per-query inflation under sweep-major on an idle host
+    // (q195 6.1 s vs 3.9 s query-major, q54 0.96 vs 0.74, q76 5.2 vs
+    // 4.0 — PLANS.md r14) — cycling all 39 queries between a query's
+    // runs accumulates localCheckpoint blocks / shuffle state that
+    // degrades every later measurement, so sweep-major trades
+    // measurement fidelity for a column-readable host-event signature.
+    // The runs_note below describes the ACTUAL query-major chronology
+    // (the ADVICE's other accepted fix).
+    val perRun: Seq[(String, Seq[Double])] = headline.map { name =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -310,7 +317,7 @@ object Bench {
         // fast run, and don't pollute the total
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times
+      name -> (times: Seq[Double])
     }
     val results = perRun.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
@@ -343,9 +350,7 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // per-sweep arrays in sweep order: entry i of every query is the
-    // same chronological sweep, so a host event during sweep i reads as
-    // a contiguous elevated block down column i
+    // per-run arrays in QUERY-MAJOR chronology (see the loop comment)
     val qruns = perRun
       .map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
@@ -358,8 +363,29 @@ object Bench {
       if (streamSec >= 0 && calDisk > 0) streamSec / calDisk else -1.0
     val streamRunsJson =
       streamTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val streamingJson =
+      s""""streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"qS1_per_fsync":${f"$qS1PerFsync%.1f"},"qS1_runs":$streamRunsJson,"events":200000,"runs":$streamRuns}"""
+    val calibrationJson =
+      s""""calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"spark_sched_sec":${f"$calSched%.3f"},"note":"fixed work; divide cross-round query deltas by the MATCHING calibration ratio before reading them as regressions: sub-second queries are scheduler-bound (spark_sched_sec), multi-second compute plans kernel-bound (cpu_kernel_sec), qS1 fsync-bound (qS1_per_fsync is pre-normalized)"}"""
+    // FULL artifact (with per-sweep arrays) goes to a FILE — in r13 the
+    // single JSON line outgrew the driver's 2000-char tail capture and
+    // truncated the first 9 queries + the total out of the record (r13
+    // verdict ask #2). The file holds everything; stdout gets the full
+    // line FIRST (for humans scrolling) and the parse-critical compact
+    // line LAST, sized to always fit the capture window whole.
+    val fullJson =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs_detail":$qruns,"runs_note":"QUERY-MAJOR chronology: each query's runs execute back-to-back, queries in listed order — a transient host event elevates a contiguous time span, i.e. the TAIL runs of one query and the HEAD runs of the next (mixed indices), never one index across queries; all-runs-elevated with a same-speed calibration is the regression signature (sweep-major was A/B'd and rejected: +20-50% per-query inflation from cross-query state accumulation, PLANS.md r14)","""+
+      s"""$streamingJson,$calibrationJson,"sf":"$sfDir","runs":$runs,"timing":"min"}"""
+    val outFile = new java.io.File("bench_out.json").getAbsoluteFile
+    try {
+      java.nio.file.Files.writeString(outFile.toPath, fullJson + "\n")
+      System.err.println(s"[bench] full artifact written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(fullJson)
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs_detail":$qruns,"runs_note":"per-sweep seconds in sweep order; a contiguous elevated block across ADJACENT queries within one sweep column is a transient host event, not a regression (r12 adjudication rule)","streaming":{"qS1_stream_window":${f"$streamSec%.3f"},"qS1_per_fsync":${f"$qS1PerFsync%.1f"},"qS1_runs":$streamRunsJson,"events":200000,"runs":$streamRuns},"calibration":{"cpu_kernel_sec":${f"$calCpu%.3f"},"spark_range_sec":${f"$calSpark%.3f"},"disk_fsync_sec":${f"$calDisk%.3f"},"spark_sched_sec":${f"$calSched%.3f"},"note":"fixed work; divide cross-round query deltas by the MATCHING calibration ratio before reading them as regressions: sub-second queries are scheduler-bound (spark_sched_sec), multi-second compute plans kernel-bound (cpu_kernel_sec), qS1 fsync-bound (qS1_per_fsync is pre-normalized)"},"sf":"$sfDir","runs":$runs,"timing":"min"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs_detail_file":"bench_out.json",$streamingJson,$calibrationJson,"sf":"$sfDir","runs":$runs,"timing":"min"}""")
     spark.stop()
   }
 }

@@ -3212,6 +3212,84 @@ object SparkEntry {
       oldPairs.unionByName(inc).orderBy("idA", "idB")
     }),
 
+    "q403_dedup_epoch" -> ((s, dir) => {
+      // The incremental crawl-dedup EPOCH operator (r13 verdict ask
+      // #1) — the composition of the persisted band index (q399), the
+      // pair ledger, and warm-start clustering (q391) into ONE
+      // operator: the corpus arrives in THREE shards, each epoch in a
+      // FRESH session off the previous epoch's parquet state (load
+      // index → band the shard uncapped → verify → extend ledger →
+      // seed the clustering → forward index/pairs/labels/kept/
+      // retractions). CHAINED LAW: epoch 3's labels == one-shot
+      // duplicateClusters(minhashPairs(grown corpus)) at CLUSTER
+      // level — the oracle replays brute-force cross-Jaccard pairs
+      // plus min-label connected components (recursive reachability),
+      // so a single wrong pair OR wrong label anywhere hash-fails.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_epoch403"
+      var sess = s
+      var prior: Option[Dedup.EpochState] = None
+      for ((lo, hi, i) <- Seq((0L, 167L, 1), (167L, 334L, 2),
+          (334L, Long.MaxValue, 3))) {
+        val shard = tbl(sess, dir, "documents")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val st = Dedup.dedupEpoch(shard, "text", "doc_id", prior,
+          shingleSize = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5).get
+        st.write(s"$base/e$i")
+        sess = sess.newSession()
+        prior = Some(Dedup.EpochState.load(sess, s"$base/e$i"))
+      }
+      prior.get.labels.orderBy("id")
+    }),
+
+    "q404_vocab_segment_marked" -> ((s, dir) => {
+      // WordPiece-proper segmentation (r13 verdict ask #3): the q401
+      // vocabulary in BOTH forms (word-initial + ##-continuation),
+      // continuation pieces emitted WITH the marker, and the
+      // detokenization law detok(segment(w)) == w evaluated in-plan
+      // as the round_trip column (NULL for UNK — no claim to invert).
+      // The oracle replays the greedy loop unrolled and reconstructs
+      // the word from the marked segmentation itself.
+      val docs = tbl(s, dir, "documents")
+      val merges = Bpe.collectMerges(Bpe.learnMerges(docs, "text",
+        numMerges = BpeGateMerges).get)
+      Bpe.vocabSegmentWordsMarked(docs, "text",
+          Bpe.markedVocabFromCorpus(docs, "text", merges)).get
+        .orderBy("word")
+    }),
+
+    "q405_stream_vocab_counts" -> ((s, dir) => {
+      // q398's greedy-vocabulary twin (r13 verdict ask #7): windowed
+      // PIECE counts under the frozen corpus vocabulary through REAL
+      // micro-batches (maxFilesPerTrigger=1 over 4 staged files — the
+      // q321 discipline), drained == the batch replay the oracle
+      // unrolls per hourly window.
+      val docs0 = tbl(s, dir, "documents")
+      val merges = Bpe.collectMerges(Bpe.learnMerges(docs0, "text",
+        numMerges = BpeGateMerges).get)
+      val vocab = Bpe.vocabFromCorpus(docs0, "text", merges)
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stage405"
+      docs0.withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+        .select("ts", "text")
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val name = "graft_svc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      (for {
+        counts <- graft.streaming.Stream.windowedVocabTokenCounts(src,
+          "ts", "text", "30 minutes", "1 hour", vocab)
+        res <- graft.streaming.Stream.drainToMemory(counts, name,
+          "complete")
+      } yield res).get
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("n_pieces"))
+        .orderBy("window_start")
+    }),
+
     "q356_weight_ess" -> ((s, dir) => {
       // Kish effective sample size of char-count-proportional
       // sampling weights over the corpus — the go/no-go check before
@@ -11063,6 +11141,72 @@ object SparkEntry {
     // q402: both applies joined on the shared word table — totals and
     // the agreement share, all occurrence-exact.
     "q402_apply_compare" -> applyCompareOracleSql(BpeGateMerges, 20),
+
+    // q403: the chained epoch law's right-hand side — brute-force
+    // cross-Jaccard pairs of the FULL corpus (q34's oracle) driven
+    // through min-label connected components via recursive
+    // reachability (reachable sets are tiny: near-dup cliques). The
+    // three-epoch parquet round trip and the warm-started clustering
+    // are Spark-side; the oracle only knows the one-shot answer.
+    "q403_dedup_epoch" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), p AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+         ), e AS (
+           SELECT idA AS s, idB AS d FROM p
+           UNION SELECT idB, idA FROM p
+         ), r AS (
+           SELECT s AS n, d AS m FROM e
+           UNION
+           SELECT r.n, e.d FROM r JOIN e ON e.s = r.m
+         )
+         SELECT n AS id, least(n, min(m)) AS cluster
+         FROM r GROUP BY n ORDER BY id""",
+
+    // q404: the q401 greedy CTEs with the continuation marking applied
+    // to the finished segmentation — valid because the marked
+    // vocabulary carries BOTH forms of every token, so the marked
+    // greedy matches the same pieces at every position (the
+    // asymmetric-vocab case is BpeSpec's property law). round_trip is
+    // an honest detok replay: strip the ' ##' joints out of the
+    // marked segmentation and compare with the word.
+    "q404_vocab_segment_marked" ->
+      (bpeOracleCtes(BpeGateMerges) + vocabGreedyCtes(BpeGateMerges, 20) +
+        s"""
+         SELECT word, freq,
+           CAST(CASE WHEN failed THEN 1 ELSE np END AS INTEGER)
+             AS n_pieces,
+           CASE WHEN failed THEN '<unk>'
+                ELSE replace(seg, ' ', ' ##') END AS segmentation,
+           CASE WHEN failed THEN NULL
+                ELSE (replace(replace(seg, ' ', ' ##'), ' ##', '') = word)
+           END AS round_trip
+         FROM s20 ORDER BY word"""),
+
+    // q405: the q398 window regroup over the GREEDY segmentation's
+    // piece counts (s20 = the unrolled longest-match steps) instead of
+    // the merge-fold's token counts.
+    "q405_stream_vocab_counts" ->
+      (bpeOracleCtes(BpeGateMerges) + vocabGreedyCtes(BpeGateMerges, 20) +
+        s"""
+         SELECT CAST(1704067200 + CAST(floor(t.doc_id / 60.0) AS BIGINT)
+             * 3600 AS BIGINT) AS window_start,
+           CAST(sum(CASE WHEN s.failed THEN 1 ELSE s.np END) AS BIGINT)
+             AS n_pieces
+         FROM toks t JOIN s20 s USING (word)
+         GROUP BY 1 ORDER BY window_start"""),
     "q345_kn_lm" -> knOracleSql(""),
     "q346_kn_lm_split" -> knOracleSql("WHERE source = 'src0'"),
 

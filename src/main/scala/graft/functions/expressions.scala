@@ -1746,3 +1746,117 @@ case class VocabSegment(child: Expression, vocab: Seq[String], unk: String)
     copy(child = newChild)
   override def prettyName: String = "vocab_segment"
 }
+
+/** Continuation-marked vocabulary index — WordPiece proper (r13
+  * verdict ask #3), where [[VocabIndex]] was the documented
+  * no-marking deviation: the vocabulary distinguishes WORD-INITIAL
+  * entries (plain) from CONTINUATION entries (prefixed with `marker`,
+  * canonically `##`), and the greedy longest-match consults the
+  * initial set at position 0 and the continuation set everywhere
+  * else. Emitted continuation pieces KEEP the marker, which is what
+  * makes segmentation invertible: detokenization is "strip the
+  * marker off non-initial pieces and concatenate" and round-trips
+  * every non-UNK word exactly (the q404 law). The two sets may
+  * differ — a real WordPiece vocab drops rare continuations — and
+  * the kernel honors the asymmetry (BpeSpec pins it against an
+  * in-memory reference). Same reference-object shipping and
+  * size-independence contract as [[VocabIndex]]. */
+final class MarkedVocabIndex(vocab: Seq[String], val unk: String,
+    val marker: String) extends Serializable {
+  require(unk != null && unk.nonEmpty, "unk token must be non-empty")
+  require(marker != null && marker.nonEmpty,
+    "continuation marker must be non-empty")
+  private val initial = new java.util.HashSet[String]()
+  private val cont = new java.util.HashSet[String]()
+  val (maxLenInitial, maxLenCont): (Int, Int) = {
+    var mi = 0
+    var mc = 0
+    vocab.foreach { t =>
+      require(t != null && t.nonEmpty,
+        "vocabulary entries must be non-empty strings")
+      if (t.startsWith(marker)) {
+        val body = t.substring(marker.length)
+        require(body.nonEmpty,
+          s"continuation entry '$t' is only the marker")
+        cont.add(body)
+        if (body.length > mc) mc = body.length
+      } else {
+        initial.add(t)
+        if (t.length > mi) mi = t.length
+      }
+    }
+    require(mi > 0,
+      "vocabulary must hold at least one word-initial entry")
+    (mi, mc)
+  }
+  def containsInitial(tok: String): Boolean = initial.contains(tok)
+  def containsCont(tok: String): Boolean = cont.contains(tok)
+}
+
+/** Greedy longest-match kernel under a [[MarkedVocabIndex]]:
+  * position 0 probes the initial set and emits the piece plain;
+  * every later position probes the continuation set and emits
+  * `marker + piece`. Whole-word UNK when any position is
+  * uncoverable. UTF-16 code units, like every tokenizer kernel in
+  * the library. */
+object VocabSegmentMarkedImpl {
+  def apply(word: UTF8String, idx: MarkedVocabIndex): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var p = 0
+    var failed = n == 0
+    while (p < n && !failed) {
+      val first = p == 0
+      var l = math.min(if (first) idx.maxLenInitial else idx.maxLenCont,
+        n - p)
+      var hit = -1
+      while (l >= 1 && hit < 0) {
+        val cand = s.substring(p, p + l)
+        val ok = if (first) idx.containsInitial(cand)
+                 else idx.containsCont(cand)
+        if (ok) hit = l
+        l -= 1
+      }
+      if (hit < 0) failed = true
+      else {
+        val piece = s.substring(p, p + hit)
+        out += UTF8String.fromString(
+          if (first) piece else idx.marker + piece)
+        p += hit
+      }
+    }
+    if (failed) new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](UTF8String.fromString(idx.unk)))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `vocab_segment_marked(word string)` → array<string>: WordPiece
+  * greedy longest-match with `##`-style continuation marking, under a
+  * frozen [[MarkedVocabIndex]] plan reference object. */
+case class VocabSegmentMarked(child: Expression, vocab: Seq[String],
+    unk: String, marker: String) extends UnaryExpression {
+  @transient private lazy val index: MarkedVocabIndex =
+    new MarkedVocabIndex(vocab, unk, marker)
+  private lazy val childOk: Boolean = child.dataType match {
+    case StringType => true
+    case other => throw new IllegalArgumentException(
+      s"vocab_segment_marked needs a string input, got $other")
+  }
+  override def dataType: DataType = {
+    require(childOk)
+    ArrayType(StringType, containsNull = false)
+  }
+  override def nullSafeEval(input: Any): Any =
+    VocabSegmentMarkedImpl.apply(input.asInstanceOf[UTF8String], index)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("markedVocabIndex", index,
+      "graft.functions.MarkedVocabIndex")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VocabSegmentMarkedImpl.apply($c, $idx)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): VocabSegmentMarked = copy(child = newChild)
+  override def prettyName: String = "vocab_segment_marked"
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functional.MayFail
@@ -122,20 +122,69 @@ object Bpe {
       Seq[(String, Long, Seq[String])]) = {
     import org.apache.spark.unsafe.types.UTF8String
     import scala.collection.mutable
-    def sLess(a: String, b: String): Boolean =
-      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
     val syms: Array[mutable.ArrayBuffer[String]] =
       rows.map(r => mutable.ArrayBuffer(r._1.split(""): _*))
     val freq = rows.map(_._2)
     val cnt = mutable.HashMap.empty[(String, String), Long]
     val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered pair index: the argmax (cnt DESC, then (l, r) ASC in
+    // UTF8String binary order — Spark's ORDER BY) is `first()` in
+    // O(log P) instead of a full O(P) map scan per merge. The r14
+    // 32k-merge rehearsal law exposed the scan as the driver tier's
+    // real bottleneck (~30 min at 32k merges × ~10⁵ live pairs); with
+    // the tree the same training runs in seconds. Selection rule is
+    // IDENTICAL — BpeSpec's reference-equality and tier-equality laws
+    // pin it.
+    // allocation-free code-point compare == UTF8String binary order
+    // (UTF-8 byte order IS Unicode code-point order; Java compareTo
+    // differs on supplementary characters, which is why the original
+    // scan went through UTF8String) — the comparator runs ~17× per
+    // tree op, so per-compare encode allocations would dominate
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    // the case the code-point loop exists for: U+1F600 (supplementary,
+    // surrogate pair 0xD83D 0xDE00) must sort AFTER U+FFFF — Java
+    // String.compareTo gets this backwards, UTF8String and cpCompare
+    // agree. Checked once per train as a tripwire.
+    require(cpCompare("😀", "￿") > 0 &&
+      UTF8String.fromString("😀")
+        .compareTo(UTF8String.fromString("￿")) > 0,
+      "code-point compare diverged from UTF8String binary order")
+    val tree = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // cnt DESC
+          if (c != 0) c
+          else {
+            val lc = cpCompare(a._2, b._2)
+            if (lc != 0) lc else cpCompare(a._3, b._3)
+          }
+        }
+      })
+    def changeCount(key: (String, String), delta: Long): Unit = {
+      val old = cnt.getOrElse(key, 0L)
+      if (old != 0L) tree.remove((old, key._1, key._2))
+      val nc = old + delta
+      if (nc == 0L) cnt.remove(key)
+      else { cnt.update(key, nc); tree.add((nc, key._1, key._2)) }
+    }
     def addPairs(i: Int, sign: Long): Unit = {
       val s = syms(i)
       var p = 0
       while (p < s.length - 1) {
         val key = (s(p), s(p + 1))
-        val c = cnt.getOrElse(key, 0L) + sign * freq(i)
-        if (c == 0L) cnt.remove(key) else cnt.update(key, c)
+        changeCount(key, sign * freq(i))
         if (sign > 0) occ.getOrElseUpdate(key, mutable.Set.empty) += i
         p += 1
       }
@@ -148,16 +197,10 @@ object Bpe {
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      // argmax: cnt DESC, then (l, r) ASC in binary string order
-      var best: ((String, String), Long) = null
-      cnt.foreach { case e @ (k, c) =>
-        if (best == null || c > best._2 ||
-          (c == best._2 && (sLess(k._1, best._1._1) ||
-            (k._1 == best._1._1 && sLess(k._2, best._1._2))))) best = e
-      }
-      if (best == null || best._2 < minPairCount) done = true
+      val best = if (tree.isEmpty) null else tree.first()
+      if (best == null || best._1 < minPairCount) done = true
       else {
-        val ((l, r), c) = best
+        val (c, l, r) = best
         merges += ((step, l, r, l + r, c))
         val hits = occ.getOrElse((l, r), mutable.Set.empty).toArray
         occ.remove((l, r))
@@ -488,6 +531,85 @@ object Bpe {
       .select(col("word"), col("freq"),
         size(col("pieces")).as("n_pieces"),
         array_join(col("pieces"), " ").as("segmentation"))
+  }
+
+  /** [[vocabFromCorpus]] in BOTH WordPiece forms: every token as a
+    * word-initial entry AND as a `marker`-prefixed continuation entry
+    * — the symmetric vocabulary a BPE merge closure induces (BPE does
+    * not distinguish positions; a curated WordPiece vocab that drops
+    * rare continuations is expressed by removing entries from the
+    * returned list). Consumed by [[vocabSegmentWordsMarked]]. */
+  def markedVocabFromCorpus(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      marker: String = "##"
+  ): Seq[String] = {
+    val plain = vocabFromCorpus(df, textCol, merges)
+    plain ++ plain.map(marker + _)
+  }
+
+  /** Strip the continuation marker off non-initial pieces and
+    * concatenate — the inverse of [[vocabSegmentWordsMarked]]'s
+    * segmentation (pure codegen'd column: transform + array_join).
+    * Exact for every non-UNK segmentation because marked pieces are
+    * substrings of the original word with only the marker prepended;
+    * the q404 gate and BpeSpec carry the law
+    * `detokenize(segment(w)) == w`. */
+  def detokenizePieces(pieces: Column, marker: String = "##"): Column = {
+    val m = marker.length
+    concat_ws("",
+      transform(pieces, (x, i) =>
+        when(i > 0 && x.startsWith(marker), x.substr(lit(m + 1), length(x)))
+          .otherwise(x)))
+  }
+
+  /** Dataframe form of [[detokenizePieces]]: append `outCol` — the
+    * reconstructed word — to a frame holding a marked-pieces array
+    * column. */
+  def detokenize(
+      df: DataFrame,
+      piecesCol: String,
+      outCol: String = "word_detok",
+      marker: String = "##"
+  ): MayFail[DataFrame] = MayFail {
+    require(marker.nonEmpty, "marker must be non-empty")
+    df.withColumn(outCol, detokenizePieces(col(piecesCol), marker))
+  }
+
+  /** Continuation-marked greedy segmentation — [[vocabSegmentWords]]'s
+    * WordPiece-proper sibling (r13 verdict ask #3): position 0 matches
+    * word-initial vocabulary entries, later positions match
+    * `marker`-prefixed continuation entries, and emitted continuation
+    * pieces keep the marker, so segmentation is INVERTIBLE
+    * ([[detokenizePieces]]). Whole-word UNK as before. Returns
+    * `(word, freq, n_pieces, segmentation, round_trip)` where
+    * `round_trip` is the detokenization law evaluated in-plan —
+    * `detokenize(pieces) == word` for segmented words, NULL for UNK
+    * (no claim to invert). One codegen'd expression
+    * ([[graft.functions.VocabSegmentMarked]]); same map-side plan and
+    * vocab-size independence as the unmarked form. */
+  def vocabSegmentWordsMarked(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      unk: String = "<unk>",
+      marker: String = "##"
+  ): MayFail[DataFrame] = MayFail {
+    // eager index construction: invalid vocab/unk/marker must Fail
+    // here, not at eval time (MayFail semantics)
+    new graft.functions.MarkedVocabIndex(vocab, unk, marker)
+    wordFreqs(df, textCol)
+      .withColumn("pieces", graft.functions.FunctionBridge.column(
+        graft.functions.VocabSegmentMarked(
+          graft.functions.FunctionBridge.expression(col("word")),
+          vocab, unk, marker)))
+      .select(col("word"), col("freq"),
+        size(col("pieces")).as("n_pieces"),
+        array_join(col("pieces"), " ").as("segmentation"),
+        when(col("pieces") === array(lit(unk)), lit(null).cast("boolean"))
+          .otherwise(detokenizePieces(col("pieces"), marker) === col("word"))
+          .as("round_trip"))
   }
 
   /** Per-document piece counts under a frozen vocabulary — the greedy

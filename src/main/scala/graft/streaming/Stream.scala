@@ -474,6 +474,43 @@ object Stream {
       .agg(sum(col("__nt")).as("n_tokens"))
   }
 
+  /** [[windowedTokenCounts]]' greedy-vocabulary twin (r13 verdict ask
+    * #7): per-window PIECE counts under a FROZEN vocabulary via the
+    * one codegen'd longest-match expression
+    * ([[graft.functions.VocabSegment]] — the same kernel as
+    * [[graft.operators.Bpe.vocabTokenCounts]], stateless and
+    * join-free by construction, so it composes onto an unbounded
+    * stream with only the windowed partial sum as state). Drained
+    * per-window sums are exact integers == the batch replay of the
+    * same slice (StreamSpec law; gate q405's DuckDB oracle replays
+    * the greedy loop unrolled per window). Returns
+    * `(window, keys..., n_pieces)`. */
+  def windowedVocabTokenCounts(
+      df: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String,
+      windowDuration: String,
+      vocab: Seq[String],
+      unk: String = "<unk>",
+      keys: Seq[String] = Nil): MayFail[DataFrame] = MayFail {
+    require(df.isStreaming, "windowedVocabTokenCounts needs a streaming frame")
+    import graft.functions.{FunctionBridge, TextFunctions, VocabSegment}
+    // eager index validation — an invalid vocab must Fail here, not
+    // kill the running query from inside the lazy expression index
+    new graft.functions.VocabIndex(vocab, unk)
+    df.filter(col(tsCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol) +: keys.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("__word"): _*)
+      .select(col(tsCol) +: keys.map(col) :+
+        size(FunctionBridge.column(VocabSegment(
+          FunctionBridge.expression(col("__word")), vocab, unk)))
+          .cast("long").as("__np"): _*)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(sum(col("__np")).as("n_pieces"))
+  }
+
   /** Streaming CDC apply: each micro-batch is upserted into the parquet
     * table at `path`. With `seqCol`, LATEST WINS across batches too: a
     * late event whose sequence trails what the table already holds is

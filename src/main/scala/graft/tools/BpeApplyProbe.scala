@@ -46,8 +46,15 @@ object BpeApplyProbe {
     // (run-shaped `"ÿ"*i` padding would make the TABLE itself
     // quadratic, ~1 GiB of strings, and measure serialization instead
     // of the kernel)
+    // max(0, …): invoked with numMerges > 32768 the pad is empty and
+    // the "32k" row would silently measure the larger trained table
+    // under a misleading label (r13 ADVICE) — keep the row honest by
+    // labeling it with the actual entry count below
     val deep = merges ++
-      Seq.tabulate(32768 - merges.size)(i => ("ÿ" + i, "þ" + i))
+      Seq.tabulate(math.max(0, 32768 - merges.size))(i => ("ÿ" + i, "þ" + i))
+    if (merges.size > 32768)
+      println(s"[bpeapply] WARNING: trained table (${merges.size}) exceeds " +
+        "32768 — the '32k' rows measure the trained table itself")
     def tokenTotal(out: Seq[org.apache.spark.sql.catalyst.util.ArrayData]) =
       out.iterator.map(_.numElements().toLong).sum
     for ((label, table) <- Seq(("trained", merges), ("32k", deep))) {

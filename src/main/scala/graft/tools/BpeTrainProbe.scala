@@ -15,7 +15,20 @@ object BpeTrainProbe {
     // BPE saturates after ~89 merges — rehearse on word-TRIGRAM tokens
     // ('_'-joined) from the same table: tens of thousands of distinct
     // ~20-char "words", deep enough for a 1k-merge train
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // mode "hex" (3rd arg, with a replication multiplier 4th arg)
+    // replicates the r14 rehearsal's bpe_train_32k corpus exactly:
+    // ×mult documents augmented with two md5-derived hex words per doc
+    val docs = if (args.lift(2).contains("hex")) {
+      val mult = args.lift(3).map(_.toInt).getOrElse(10)
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      val repl = (0 until mult).map(i =>
+        base.withColumn("doc_id", col("doc_id") + i.toLong * 100000000L))
+        .reduce(_ union _)
+      repl.select(concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string")),
+        md5(concat(col("doc_id").cast("string"), lit("§bpe32k"))))
+        .as("text"))
+    } else spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(
         graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
       .select(regexp_replace(col("g"), " ", "_").as("text"))

@@ -108,6 +108,59 @@ object ScaleRehearsal {
       check("bandindex_incremental_law", diff == 0,
         s"persisted-index incremental diverged from one-shot: $diff rows")
     }
+    // r14: the COMPOSED epoch operator's chained law at 10x (r13
+    // verdict ask #1) — three dedupEpoch runs through parquet, split
+    // by doc_id mod 3 so every replica clique spans all three epochs
+    // (cross-epoch bridges + retractions everywhere), must equal the
+    // one-shot pairs+clustering of the grown corpus at CLUSTER level
+    locally {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_rehearsal_epoch").toString
+      var labelDiff = -1L
+      var cumKeptDiff = -1L
+      time("dedup-epoch-chain")({
+        var prior: Option[graft.operators.Dedup.EpochState] = None
+        for (i <- 0 to 2) {
+          val st = graft.operators.Dedup.dedupEpoch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            "text", "doc_id", prior, threshold = 0.5).get
+          st.write(s"$store/e$i")
+          prior = Some(graft.operators.Dedup.EpochState.load(
+            spark, s"$store/e$i"))
+        }
+        val fin = prior.get
+        val labels = fin.labels.localCheckpoint(true)
+        val oneShot = graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.minhashPairs(docs, "text", "doc_id",
+            threshold = 0.5, maxBucket = Int.MaxValue).get).get
+          .localCheckpoint(true)
+        labelDiff = labels.exceptAll(oneShot).count() +
+          oneShot.exceptAll(labels).count()
+        // cumulative corpus law: (∪ kept) ∖ (∪ retractions) == the
+        // one-shot representative set of the grown corpus
+        val kept = (0 to 2).map(i => spark.read
+          .parquet(s"$store/e$i/kept").select(col("doc_id")))
+          .reduce(_ union _)
+        val retr = (0 to 2).map(i => spark.read
+          .parquet(s"$store/e$i/retractions")).reduce(_ union _)
+        val cumKept = kept.join(retr.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        val oneShotReps = docs.select(col("doc_id"))
+          .join(oneShot.filter(col("cluster") =!= col("id"))
+            .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        cumKeptDiff = cumKept.exceptAll(oneShotReps).count() +
+          oneShotReps.exceptAll(cumKept).count()
+        val n = labels.count()
+        graft.physical.Optimise.releaseCheckpoint(labels)
+        graft.physical.Optimise.releaseCheckpoint(oneShot)
+        n
+      })
+      check("dedup_epoch_chain_law", labelDiff == 0,
+        s"3-epoch chained labels diverged from one-shot: $labelDiff rows")
+      check("dedup_epoch_kept_law", cumKeptDiff == 0,
+        s"cumulative kept ∖ retractions diverged from one-shot " +
+          s"representatives: $cumKeptDiff rows")
+    }
     // nBits sizes buckets to the corpus: 20k vectors / 2^8 buckets ≈ 78
     // per bucket — deliberately coarser than the auto-sizer's ~16 target
     // so the hand-tuned-too-wide cost stays visible as a datapoint
@@ -1710,8 +1763,12 @@ object ScaleRehearsal {
       .head().getLong(0)
     var bpeDeepTotal = -1L
     time("bpe-apply-32k")({
-      val deep = bpeFrozen ++ Seq.tabulate(32768 - bpeFrozen.size)(
-        i => ("ÿ" + i, "þ" + i))
+      // max(0, …): a trained table larger than 32768 would otherwise
+      // silently skip the pad and mislabel the row (r13 ADVICE); the
+      // 12-merge gate table can never hit this, the guard is for
+      // future retuning
+      val deep = bpeFrozen ++ Seq.tabulate(
+        math.max(0, 32768 - bpeFrozen.size))(i => ("ÿ" + i, "þ" + i))
       bpeDeepTotal = graft.operators.Bpe
         .applyMerges(docs, "text", deep).get
         .agg(coalesce(sum(col("freq") * col("n_tokens")), lit(0L)))
@@ -1722,6 +1779,49 @@ object ScaleRehearsal {
       bpeTrainedTotal > 0 && bpeDeepTotal == bpeTrainedTotal,
       s"32k-padded table diverged from the trained table: " +
         s"$bpeDeepTotal vs $bpeTrainedTotal tokens")
+    // r14: TRAIN at production vocab size (r13 verdict ask #4) — every
+    // gate trains 12 merges; this law exercises the driver-tier
+    // training loop to a genuinely LEARNED >= 32k-entry table. The
+    // base corpus's word pool saturates far below 32k distinct
+    // mergeable pairs, so the corpus is augmented with two
+    // md5-derived 32-char hex words per doc (pair-rich, fully
+    // deterministic, derived from testdata ids — at 10x that is ~10k
+    // distinct hex words whose 2/3/4-gram space supports > 32k merges
+    // with pair count >= 2). Round trip: the trained table applied by
+    // the rank-map kernel must reproduce tokenCountsDirect's totals
+    // exactly, and a collectMerges→applyMerges export round trip is
+    // part of the path by construction.
+    locally {
+      val rich = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          md5(col("doc_id").cast("string")),
+          md5(concat(col("doc_id").cast("string"), lit("§bpe32k"))))
+          .as("text"))
+      var trained: Seq[(String, String)] = Seq.empty
+      time("bpe-train-32k")({
+        trained = graft.operators.Bpe.collectMerges(
+          graft.operators.Bpe.learnMerges(rich, "text",
+            numMerges = 32768, minPairCount = 2L).get)
+        trained.size.toLong
+      })
+      check("bpe_train_32k_size", trained.size == 32768,
+        s"augmented corpus saturated below 32k merges: ${trained.size}")
+      var applyTotal = -1L
+      var directTotal = -2L
+      time("bpe-train-32k-apply")({
+        applyTotal = graft.operators.Bpe.applyMerges(rich, "text", trained)
+          .get.agg(coalesce(sum(col("freq") * col("n_tokens")), lit(0L)))
+          .head().getLong(0)
+        directTotal = graft.operators.Bpe.tokenCountsDirect(
+            rich, "text", "doc_id", trained).get
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+        applyTotal
+      })
+      check("bpe_train_32k_roundtrip",
+        applyTotal > 0 && applyTotal == directTotal,
+        s"32k trained-table apply diverged: word-frame total " +
+          s"$applyTotal vs per-doc total $directTotal")
+    }
 
     // CDC tiling law at 10x: chunks must tile every document exactly —
     // Σ chunk_len == Σ len(text), and per-doc chunk starts contiguous

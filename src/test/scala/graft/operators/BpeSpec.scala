@@ -295,6 +295,112 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.vocabSegmentWords(df, "text", vocab, unk = "").isFailing)
   }
 
+  test("vocabSegmentWordsMarked: continuation marking, asymmetric " +
+      "initial/continuation sets, and the detokenization round trip — " +
+      "against an in-memory reference on random words") {
+    // in-memory reference: greedy longest-match, position 0 over the
+    // initial set, later positions over the continuation set
+    def refMarked(word: String, initial: Set[String], cont: Set[String],
+        marker: String, unk: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      var failed = word.isEmpty
+      while (p < word.length && !failed) {
+        val set = if (p == 0) initial else cont
+        val hit = (math.min(word.length - p,
+          if (set.isEmpty) 0 else set.map(_.length).max) to 1 by -1)
+          .find(l => set.contains(word.substring(p, p + l)))
+        hit match {
+          case None => failed = true
+          case Some(l) =>
+            out += (if (p == 0) word.substring(p, p + l)
+                    else marker + word.substring(p, p + l))
+            p += l
+        }
+      }
+      if (failed) Seq(unk) else out.toSeq
+    }
+    // hand case first: asymmetric vocab — "ana" exists ONLY as a
+    // continuation, so "banana" segments but "ana" itself is UNK
+    val hand = Seq((1L, "banana ana ban")).toDF("id", "text")
+    val handGot = Bpe.vocabSegmentWordsMarked(hand, "text",
+        Seq("ban", "##ana", "##n", "a")).get
+      .select("word", "segmentation", "round_trip")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_ == true)))).toMap
+    assert(handGot("banana") == (("ban ##ana", Some(true))))
+    assert(handGot("ana") == (("<unk>", None)), "initial 'ana' unknown")
+    assert(handGot("ban") == (("ban", Some(true))))
+    // property law: random words under a random asymmetric vocabulary
+    val rnd = new scala.util.Random(53L)
+    val alphabet = "abc"
+    def randTok(): String = Seq.fill(1 + rnd.nextInt(3))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 20) {
+      val initial = (Set("a", "b", "c").filter(_ => rnd.nextBoolean()) ++
+        Seq.fill(5)(randTok())).filter(_.nonEmpty) + randTok()
+      val cont = (Set("a", "b", "c").filter(_ => rnd.nextBoolean()) ++
+        Seq.fill(5)(randTok())).filter(_.nonEmpty)
+      val vocab = (initial ++ cont.map("##" + _)).toSeq.sorted
+      val wordsSeq = Seq.tabulate(30)(_ => Seq.fill(1 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      val df = Seq((1L, wordsSeq.mkString(" "))).toDF("id", "text")
+      val got = Bpe.vocabSegmentWordsMarked(df, "text", vocab).get
+        .select("word", "n_pieces", "segmentation", "round_trip")
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(1), r.getString(2), Option(r.get(3))))).toMap
+      wordsSeq.foreach { w =>
+        val want = refMarked(w, initial, cont, "##", "<unk>")
+        val (np, seg, rt) = got(w)
+        assert(seg == want.mkString(" ") && np == want.size,
+          s"round $round word '$w': got '$seg', want " +
+            s"'${want.mkString(" ")}' (initial=$initial cont=$cont)")
+        // the q404 law: every non-UNK segmentation round-trips
+        if (want != Seq("<unk>")) assert(rt == Some(true),
+          s"round $round word '$w' must round-trip")
+        else assert(rt.isEmpty, "UNK makes no round-trip claim")
+      }
+    }
+  }
+
+  test("markedVocabFromCorpus + symmetric vocab: marked segmentation is " +
+      "the unmarked one with ## on non-initial pieces; detokenize " +
+      "inverts it") {
+    val df = Seq((1L, "banana ban bxn"), (2L, "ban banana")).toDF("id", "text")
+    val merges = Seq(("a", "n"), ("b", "an"))
+    val marked = Bpe.markedVocabFromCorpus(df, "text", merges)
+    // both forms of every token, plain ∪ ##-prefixed
+    val plain = Bpe.vocabFromCorpus(df, "text", merges)
+    assert(marked == plain ++ plain.map("##" + _))
+    val got = Bpe.vocabSegmentWordsMarked(df, "text", marked).get
+      .select("word", "segmentation").as[(String, String)]
+      .collect().toMap
+    val unmarked = Bpe.vocabSegmentWords(df, "text", plain).get
+      .select("word", "segmentation").as[(String, String)]
+      .collect().toMap
+    // symmetric vocab ⇒ same pieces, marker on non-initial ones (the
+    // q404 oracle's marking-transform argument)
+    unmarked.foreach { case (w, seg) =>
+      val expect =
+        if (seg == "<unk>") "<unk>"
+        else seg.split(" ").zipWithIndex
+          .map { case (p, i) => if (i == 0) p else "##" + p }.mkString(" ")
+      assert(got(w) == expect, s"word $w")
+    }
+    // detokenize: dataframe form strips markers and concatenates
+    val pieces = Seq((1L, Seq("ban", "##an", "##a")), (2L, Seq("<unk>")))
+      .toDF("id", "pieces")
+    val detok = Bpe.detokenize(pieces, "pieces").get
+      .select("id", "word_detok").as[(Long, String)].collect().toMap
+    assert(detok == Map(1L -> "banana", 2L -> "<unk>"))
+    // guards: no initial entry / marker-only entry / empty marker Fail
+    assert(Bpe.vocabSegmentWordsMarked(df, "text", Seq("##a")).isFailing)
+    assert(Bpe.vocabSegmentWordsMarked(df, "text", Seq("a", "##")).isFailing)
+    assert(Bpe.vocabSegmentWordsMarked(df, "text", Seq("a"),
+      marker = "").isFailing)
+    assert(Bpe.detokenize(pieces, "pieces", marker = "").isFailing)
+  }
+
   test("applyCompareReport: hand-computed totals and agreement for the " +
       "two applies over one token inventory") {
     val df = Seq((1L, "banana ban bxn"), (2L, "ban banana")).toDF("id", "text")

@@ -218,6 +218,157 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "the orthogonal singleton must pair with nothing")
   }
 
+  test("dedupEpoch: 3 chained epochs through parquet equal the one-shot " +
+      "clustering; kept/retraction ledger tracks representative churn") {
+    // contiguous-range texts so word-shingle Jaccard is controllable:
+    // A = w1..w40, B = w21..w60 (A~B = 0.31, separate clusters), and
+    // the BRIDGE w11..w50 is ~0.58 to BOTH — epoch 2 merges yesterday's
+    // two clusters, demoting B's representative (a retraction)
+    def rangeText(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    val e1 = Seq((0L, rangeText(1, 40)), (1L, rangeText(1, 40)),
+      (5L, rangeText(21, 60))).toDF("doc_id", "text")
+    val e2 = Seq((10L, rangeText(11, 50)),
+      (11L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val e3 = Seq((20L, rangeText(1, 40)), // exact re-crawl of 0
+      (21L, (1 to 40).map(i => s"fresh$i").mkString(" "))).toDF("doc_id", "text")
+    val th = 0.5
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_epoch").toString
+    // 16 bands x 2 rows: the bridge pairs sit at jaccard ~0.58, where
+    // the default 16x4 banding's candidate recall is only ~0.85 — the
+    // law holds under ANY banding (both sides band identically), but
+    // the retraction scenario needs the bridge candidates found
+    val st1 = Dedup.dedupEpoch(e1, "text", "doc_id", None,
+      rowsPerBand = 2, threshold = th).get
+    st1.write(s"$store/e1")
+    val st2 = Dedup.dedupEpoch(e2, "text", "doc_id",
+      Some(Dedup.EpochState.load(spark, s"$store/e1")),
+      rowsPerBand = 2, threshold = th).get
+    st2.write(s"$store/e2")
+    val st3 = Dedup.dedupEpoch(e3, "text", "doc_id",
+      Some(Dedup.EpochState.load(spark, s"$store/e2")),
+      rowsPerBand = 2, threshold = th).get
+    st3.write(s"$store/e3")
+    val fin = Dedup.EpochState.load(spark, s"$store/e3")
+    // THE CHAINED LAW: final labels == cold one-shot clustering of the
+    // grown corpus (pairs from the q399 law, labels from seeded==cold)
+    val grown = e1.union(e2).union(e3)
+    val oneShotPairs = Dedup.minhashPairs(grown, "text", "doc_id",
+      rowsPerBand = 2, threshold = th, maxBucket = Int.MaxValue).get
+    val oneShotLabels = Dedup.duplicateClusters(oneShotPairs).get
+      .as[(Long, Long)].collect().toSet
+    assert(fin.labels.as[(Long, Long)].collect().toSet == oneShotLabels,
+      "epoch-chained labels diverged from the one-shot clustering")
+    // pair-ledger equality too (the q399 law through three hops)
+    assert(fin.pairs.as[(Long, Long, Double)].collect().toSet ==
+      oneShotPairs.as[(Long, Long, Double)].collect().toSet)
+    // representative churn: epoch 1 keeps 0 (cluster min) and 5
+    // (own cluster); epoch 2's bridge merges the clusters → 5 is
+    // RETRACTED, neither new doc is kept except the unrelated 11;
+    // epoch 3's re-crawl 20 is dropped, fresh 21 kept
+    assert(st1.kept.select("doc_id").as[Long].collect().toSet == Set(0L, 5L))
+    assert(st1.retractions.as[Long].collect().isEmpty)
+    assert(st2.kept.select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(st2.retractions.as[Long].collect().toSet == Set(5L))
+    assert(st3.kept.select("doc_id").as[Long].collect().toSet == Set(21L))
+    assert(st3.retractions.as[Long].collect().isEmpty)
+    // cumulative invariant at the final snapshot: (∪ kept) ∖
+    // (∪ retractions) == the one-shot representative set
+    val cumKept = (st1.kept.select("doc_id").as[Long].collect() ++
+      st2.kept.select("doc_id").as[Long].collect() ++
+      st3.kept.select("doc_id").as[Long].collect()).toSet --
+      (st1.retractions.as[Long].collect() ++
+        st2.retractions.as[Long].collect() ++
+        st3.retractions.as[Long].collect())
+    val nonRep = oneShotLabels.collect { case (id, c) if c != id => id }
+    val oneShotReps = grown.select("doc_id").as[Long].collect().toSet -- nonRep
+    assert(cumKept == oneShotReps,
+      s"cumulative kept ∖ retractions = $cumKept, one-shot reps = $oneShotReps")
+    // unique-id contract: re-ingesting an existing id must Fail loudly
+    assert(Dedup.dedupEpoch(e1.limit(1), "text", "doc_id",
+      Some(fin), threshold = th).isFailing)
+  }
+
+  test("incremental pair generators: capped run is a SUBSET of the " +
+      "uncapped law's pair set (the guarantee that survives a cap)") {
+    // a 30-clone boilerplate clique (one hot bucket per band) plus one
+    // real near-dup pair; maxBucket = 10 drops the clique's buckets
+    val boiler = (0L until 30L).map(i =>
+      (i, (1 to 30).map(w => s"b$w").mkString(" ")))
+    val real = Seq(
+      (100L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (101L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val old = (boiler.take(15) ++ real.take(1)).toDF("doc_id", "text")
+    val batch = (boiler.drop(15) ++ real.drop(1)).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_capidx").toString
+    Dedup.minhashBandIndex(old, "text", "doc_id").get
+      .write.mode("overwrite").parquet(s"$store/idx")
+    val idx = spark.read.parquet(s"$store/idx")
+    val capped = Dedup.minhashPairsIncremental(batch, "text", "doc_id",
+        idx, threshold = 0.5, maxBucket = 10).get
+      .as[(Long, Long, Double)].collect().toSet
+    val uncappedOneShot = Dedup.minhashPairs(old.union(batch), "text",
+        "doc_id", threshold = 0.5, maxBucket = Int.MaxValue).get
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.subsetOf(uncappedOneShot),
+      s"capped incremental emitted pairs outside the uncapped law: " +
+        s"${capped.diff(uncappedOneShot)}")
+    // the cap genuinely bound (clique pairs dropped) — which is WHY
+    // dedupEpoch requires uncapped mode for the exactness law
+    assert(capped.contains((100L, 101L, 1.0)),
+      "the un-capped real pair must survive")
+    assert(!capped.exists { case (a, b, _) => a < 30 && b < 30 },
+      "the hot clique's buckets must have been dropped by the cap")
+    assert(uncappedOneShot.exists { case (a, b, _) => a < 30 && b < 30 })
+  }
+
+  test("band indexes are self-describing: parameter mismatch, mixed " +
+      "parameters, and partial stripping all Fail; legacy passes") {
+    val d = Seq((0L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val idx16 = Dedup.minhashBandIndex(d, "text", "doc_id",
+      shingleSize = 3, bands = 16, rowsPerBand = 4).get
+    assert(idx16.columns.toSeq.takeRight(3) ==
+      Seq("shingle_size", "bands", "rows_per_band"))
+    // matching call: fine
+    assert(Dedup.minhashPairsIncremental(d, "text", "doc_id", idx16,
+      bands = 16, rowsPerBand = 4, threshold = 0.5).isOk)
+    // mismatched banding: MayFail, names the offending parameter
+    val bad = Dedup.minhashPairsIncremental(d, "text", "doc_id", idx16,
+      bands = 8, rowsPerBand = 8, threshold = 0.5)
+    assert(bad.isFailing &&
+      bad.getError.get.getMessage.contains("bands=16"))
+    // mixed-parameter index (careless union of two epochs' indexes
+    // built differently): Fail
+    val idx8 = Dedup.minhashBandIndex(d, "text", "doc_id",
+      shingleSize = 3, bands = 8, rowsPerBand = 8).get
+    val mixed = idx16.unionByName(idx8)
+    assert(Dedup.minhashPairsIncremental(d, "text", "doc_id", mixed,
+      bands = 16, rowsPerBand = 4, threshold = 0.5).isFailing)
+    // partially stripped parameter columns: Fail (not silently legacy)
+    assert(Dedup.minhashPairsIncremental(d, "text", "doc_id",
+      idx16.drop("bands"), bands = 16, rowsPerBand = 4,
+      threshold = 0.5).isFailing)
+    // legacy index (written before the parameter columns existed):
+    // passes unchecked, documented
+    assert(Dedup.minhashPairsIncremental(d, "text", "doc_id",
+      idx16.drop("shingle_size", "bands", "rows_per_band"),
+      bands = 16, rowsPerBand = 4, threshold = 0.5).isOk)
+    // embedding side: same contract on (band_bits, n_bands)
+    val vecs = Seq((0L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val eIdx = Dedup.embeddingBandIndex(vecs, "embedding", "vec_id",
+      bandBits = 10, nBands = 6).get
+    assert(Dedup.embeddingPairsIncremental(vecs, "embedding", "vec_id",
+      eIdx, bandBits = 10, nBands = 6).isOk)
+    val eBad = Dedup.embeddingPairsIncremental(vecs, "embedding",
+      "vec_id", eIdx, bandBits = 6, nBands = 10)
+    assert(eBad.isFailing &&
+      eBad.getError.get.getMessage.contains("band_bits=10"))
+  }
+
   test("minhashPairsAuto: lshPlan-chosen banding finds the same near-dups") {
     // 0.5 / 64 hashes resolves to the hand-tuned default (16×4), so the
     // auto mode must reproduce minhashPairs' exact result here…

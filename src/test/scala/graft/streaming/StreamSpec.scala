@@ -404,6 +404,54 @@ class StreamSpec extends AnyFunSuite {
       "5 minutes", "10 minutes", merges).isFailing)
   }
 
+  test("windowedVocabTokenCounts: drained greedy-piece sums under a " +
+      "frozen vocabulary equal the batch replay across micro-batch " +
+      "splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val rnd = new scala.util.Random(37L)
+    // 'bxn' stays uncoverable under the learned vocab → whole-word UNK
+    // counts as ONE piece in both paths
+    val words = Seq("low", "lower", "lowest", "banana", "band", "bxn")
+    val events = Seq.tabulate(90) { i =>
+      (i.toLong, ts(i % 50), Seq.fill(1 + rnd.nextInt(4))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val batchDf = events.map { case (_, t, x) => (t, x) }.toDF("ts", "text")
+    val idDf = events.toDF("id", "ts", "text")
+    val merges = Bpe.collectMerges(Bpe.learnMerges(batchDf, "text", 6).get)
+    val vocab = Bpe.vocabFromCorpus(batchDf, "text", merges)
+      .filterNot(_ == "x") // force bxn to UNK
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Stream.windowedVocabTokenCounts(
+      input.toDF.toDF("ts", "text"), "ts", "text", "5 minutes",
+      "10 minutes", vocab).get
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("wvc_test").start()
+    input.addData(events.take(30).map { case (_, t, x) => (t, x) })
+    q.processAllAvailable()
+    input.addData(events.drop(30).map { case (_, t, x) => (t, x) })
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wvc_test")
+      .select($"window.start", $"n_pieces")
+      .as[(Timestamp, Long)].collect().toSet
+    // batch replay: per-doc greedy counts re-grouped by the same window
+    val batch = Bpe.vocabTokenCounts(idDf, "text", "id", vocab).get
+      .join(idDf, "id")
+      .groupBy(window($"ts", "10 minutes")("start").as("ws"))
+      .agg(sum($"n_pieces").as("n"))
+      .as[(Timestamp, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch piece sums diverged: ${streamed.diff(batch)} / " +
+        s"${batch.diff(streamed)}")
+    // static frames and empty vocabularies are rejected eagerly
+    assert(Stream.windowedVocabTokenCounts(batchDf, "ts", "text",
+      "5 minutes", "10 minutes", vocab).isFailing)
+    assert(Stream.windowedVocabTokenCounts(input.toDF.toDF("ts", "text"),
+      "ts", "text", "5 minutes", "10 minutes", Seq.empty).isFailing)
+  }
+
   test("windowedArmCounts: drained counts equal batch bit-for-bit; " +
       "per-window SRM finish flags the broken window only") {
     implicit val sqlCtx = spark.sqlContext
