@@ -3242,6 +3242,73 @@ object SparkEntry {
       prior.get.labels.orderBy("id")
     }),
 
+    "q408_stream_epoch" -> ((s, dir) => {
+      // The STREAMING crawl-dedup loop end-to-end: documents arrive
+      // as 3 real micro-batches (maxFilesPerTrigger=1), each driving
+      // one dedupEpoch inside foreachBatch with epoch=<batchId>
+      // parquet state; the head state's labels must equal the q403
+      // one-shot answer — the chained law is split-agnostic, so the
+      // arbitrary repartition(3) file split is immaterial. Fresh
+      // UUID state/checkpoint dirs per run (a stale checkpoint would
+      // silently skip every batch).
+      val run = java.util.UUID.randomUUID.toString.replace("-", "")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val staged = s"$tmp/graft_stage408"
+      tbl(s, dir, "documents").select("doc_id", "text")
+        .repartition(3).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val state = s"$tmp/graft_epoch408_$run"
+      val q = graft.streaming.Stream.dedupEpochSink(src, "text",
+        "doc_id", state, s"$tmp/graft_ckpt408_$run",
+        threshold = 0.5).get
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Stream.latestEpochBefore(s, state).get
+        .labels.orderBy("id")
+    }),
+
+    "q406_embedding_epoch" -> ((s, dir) => {
+      // The q403 epoch law on the VECTOR side: three embedding shards
+      // through embeddingDedupEpoch in fresh sessions off parquet
+      // state; final labels == one-shot portable-signature pairs +
+      // clustering of the grown corpus. Oracle = q400's signature
+      // replay + brute cosine + recursive-reachability CC.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_epoch406"
+      var sess = s
+      var prior: Option[Dedup.EpochState] = None
+      for ((lo, hi, i) <- Seq((0L, 167L, 1), (167L, 334L, 2),
+          (334L, Long.MaxValue, 3))) {
+        val shard = tbl(sess, dir, "embeddings")
+          .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        val st = Dedup.embeddingDedupEpoch(shard, "embedding", "vec_id",
+          prior, threshold = 0.25, bandBits = 10, nBands = 6).get
+        st.write(s"$base/e$i")
+        sess = sess.newSession()
+        prior = Some(Dedup.EpochState.load(sess, s"$base/e$i"))
+      }
+      prior.get.labels.orderBy("id")
+    }),
+
+    "q407_epoch_report" -> ((s, dir) => {
+      // Epoch observability one-rower over the q403 chain's LAST
+      // transition: index/ledger/label sizes, the epoch's new pairs
+      // and labels, kept and retraction counts — all exact counts the
+      // oracle recomputes from scratch, including the retraction
+      // count, which needs the PREFIX corpus's connected components
+      // too (rep-then ∧ ¬rep-now).
+      val docs = tbl(s, dir, "documents")
+      def shard(lo: Long, hi: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val st1 = Dedup.dedupEpoch(shard(0L, 167L), "text", "doc_id",
+        None, threshold = 0.5).get
+      val st2 = Dedup.dedupEpoch(shard(167L, 334L), "text", "doc_id",
+        Some(st1), threshold = 0.5).get
+      val st3 = Dedup.dedupEpoch(shard(334L, Long.MaxValue), "text",
+        "doc_id", Some(st2), threshold = 0.5).get
+      Dedup.epochReport(st3, Some(st2)).get
+    }),
+
     "q404_vocab_segment_marked" -> ((s, dir) => {
       // WordPiece-proper segmentation (r13 verdict ask #3): the q401
       // vocabulary in BOTH forms (word-initial + ##-continuation),
@@ -11174,6 +11241,125 @@ object SparkEntry {
          )
          SELECT n AS id, least(n, min(m)) AS cluster
          FROM r GROUP BY n ORDER BY id""",
+
+    // q408: the streaming epoch loop answers to the SAME one-shot
+    // truth as q403 — brute-force cross-Jaccard + recursive-CC of the
+    // full corpus; the micro-batching and the epoch=<batchId> state
+    // forwarding are Spark-side mechanics the law is blind to.
+    "q408_stream_epoch" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), p AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+         ), e AS (
+           SELECT idA AS s, idB AS d FROM p
+           UNION SELECT idB, idA FROM p
+         ), r AS (
+           SELECT s AS n, d AS m FROM e
+           UNION
+           SELECT r.n, e.d FROM r JOIN e ON e.s = r.m
+         )
+         SELECT n AS id, least(n, min(m)) AS cluster
+         FROM r GROUP BY n ORDER BY id""",
+
+    // q406: the chained epoch law's right-hand side on vectors — the
+    // q400 signature replay + band-collision candidates + brute
+    // cosine, driven through the same recursive-reachability CC as
+    // q403 (WITH RECURSIVE spliced onto the shared signature CTEs).
+    "q406_embedding_epoch" ->
+      (portableSigCtes.replaceFirst("WITH", "WITH RECURSIVE") +
+        """, cand AS (
+           SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+           FROM sh a, sh b, (SELECT unnest(range(0, 6)) AS b) bb
+           WHERE a.vec_id < b.vec_id
+             AND ((a.sh >> (bb.b * 10)) & 1023) = ((b.sh >> (bb.b * 10)) & 1023)
+         ), p AS (
+           SELECT c.idA, c.idB
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.idA
+           JOIN embeddings eb ON eb.vec_id = c.idB
+           WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])) >= 0.25
+         ), e AS (
+           SELECT idA AS s, idB AS d FROM p
+           UNION SELECT idB, idA FROM p
+         ), r AS (
+           SELECT s AS n, d AS m FROM e
+           UNION
+           SELECT r.n, e.d FROM r JOIN e ON e.s = r.m
+         )
+         SELECT n AS id, least(n, min(m)) AS cluster
+         FROM r GROUP BY n ORDER BY id"""),
+
+    // q407: every count recomputed from scratch — the pair ledger and
+    // labels from the FULL corpus's brute pairs + CC, the new-pair/
+    // new-label deltas and the retraction count against the PREFIX
+    // corpus (< 334) replayed with a second recursive CC.
+    "q407_epoch_report" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                         t -> t <> '') AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2])) AS shingles
+           FROM toks WHERE len(ts) >= 3
+         ), p AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+         ), e AS (
+           SELECT idA AS s, idB AS d FROM p
+           UNION SELECT idB, idA FROM p
+         ), r AS (
+           SELECT s AS n, d AS m FROM e
+           UNION
+           SELECT r.n, e.d FROM r JOIN e ON e.s = r.m
+         ), lab AS (
+           SELECT n AS id, least(n, min(m)) AS cluster FROM r GROUP BY n
+         ), pp AS (
+           SELECT idA, idB FROM p WHERE idA < 334 AND idB < 334
+         ), ep AS (
+           SELECT idA AS s, idB AS d FROM pp
+           UNION SELECT idB, idA FROM pp
+         ), rp AS (
+           SELECT s AS n, d AS m FROM ep
+           UNION
+           SELECT rp.n, ep.d FROM rp JOIN ep ON ep.s = rp.m
+         ), labp AS (
+           SELECT n AS id, least(n, min(m)) AS cluster FROM rp GROUP BY n
+         )
+         SELECT
+           (SELECT count(*) FROM sh) AS n_index,
+           (SELECT count(*) FROM p) AS n_pairs,
+           (SELECT count(*) FROM p WHERE idA >= 334 OR idB >= 334)
+             AS n_new_pairs,
+           (SELECT count(*) FROM lab) AS n_labels,
+           (SELECT count(*) FROM lab) - (SELECT count(*) FROM labp)
+             AS n_new_labels,
+           (SELECT count(*) FROM documents d WHERE d.doc_id >= 334
+              AND NOT EXISTS (SELECT 1 FROM lab l
+                WHERE l.id = d.doc_id AND l.cluster <> d.doc_id))
+             AS n_kept,
+           (SELECT count(*) FROM lab l WHERE l.cluster <> l.id
+              AND l.id < 334
+              AND NOT EXISTS (SELECT 1 FROM labp lp
+                WHERE lp.id = l.id AND lp.cluster <> lp.id))
+             AS n_retractions""",
 
     // q404: the q401 greedy CTEs with the continuation marking applied
     // to the finished segmentation — valid because the marked

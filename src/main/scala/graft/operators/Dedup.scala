@@ -963,24 +963,13 @@ object Dedup {
       threshold: Double = 0.7,
       maxIter: Int = 10,
       maxDriverEdges: Long = 1000000L
-  ): MayFail[EpochState] = {
-    val run = MayFail {
-      val batchIdx = minhashBandIndex(batch, textCol, idCol,
-        shingleSize, bands, rowsPerBand).get
-      prior.foreach { p =>
-        // the unique-id contract, checked where it breaks the law: a
-        // re-ingested id would collapse the ≥1-new-side discipline
-        val dup = batchIdx.select(col("id"))
-          .join(p.index.select(col("id")), Seq("id"), "left_semi")
-          .limit(1).count()
-        require(dup == 0L,
-          "dedupEpoch: batch re-uses ids already in the index — ids " +
-            "must be unique across the corpus history (exact-dedup " +
-            "re-ingests first)")
-      }
+  ): MayFail[EpochState] = MayFail {
+    epochCore(batch, idCol, "dedupEpoch",
+      minhashBandIndex(batch, textCol, idCol,
+        shingleSize, bands, rowsPerBand).get,
       // UNCAPPED by contract (scaladoc): the chained law needs every
       // bucket's pairs, and a cap would bind per-epoch occupancy
-      val incPairs = prior match {
+      incPairs = prior match {
         case None =>
           minhashPairs(batch, textCol, idCol, shingleSize, bands,
             rowsPerBand, threshold, maxBucket = Int.MaxValue).get
@@ -988,40 +977,126 @@ object Dedup {
           minhashPairsIncremental(batch, textCol, idCol, p.index,
             shingleSize, bands, rowsPerBand, threshold,
             maxBucket = Int.MaxValue).get
-      }
-      // the ≥1-new-side discipline makes incremental pairs disjoint
-      // from the carried ledger under unique ids — plain union, and
-      // checkpoint ONCE: the clustering below reads the ledger every
-      // round and must not re-run the LSH pipeline per round
-      val pairs = prior.fold(incPairs)(_.pairs.unionByName(incPairs))
-        .localCheckpoint()
-      val labels = duplicateClusters(pairs, maxIter, maxDriverEdges,
-        starFallback = true, seed = prior.map(_.labels)).get
-        .localCheckpoint()
-      val index = prior.fold(batchIdx)(_.index.unionByName(batchIdx))
-      // kept = batch docs that are representatives NOW: never paired,
-      // or the min id of their cluster
-      val lbl = labels.select(col("id").as("__lid"), col("cluster"))
-      val kept = batch
-        .join(lbl, batch(idCol) === col("__lid"), "left")
-        .filter(col("cluster").isNull || col("cluster") === col("__lid"))
-        .drop("__lid", "cluster")
-      // retractions = OLD docs that were representatives yesterday but
-      // are not today (a new doc bridged their cluster to a lower id)
-      val batchIds = batch.select(col(idCol).as("id"))
-      val retractions = prior match {
-        case None => labels.select(col("id")).limit(0)
-        case Some(p) =>
-          val nowNonRep = labels.filter(col("cluster") =!= col("id"))
-            .select(col("id"))
-            .join(batchIds, Seq("id"), "left_anti") // old docs only
-          val prevNonRep = p.labels
-            .filter(col("cluster") =!= col("id")).select(col("id"))
-          nowNonRep.join(prevNonRep, Seq("id"), "left_anti")
-      }
-      EpochState(index, pairs, labels, kept, retractions)
+      },
+      prior, maxIter, maxDriverEdges)
+  }
+
+  /** The modality-independent half of an epoch ([[dedupEpoch]] /
+    * [[embeddingDedupEpoch]]): unique-id check, pair-ledger union +
+    * checkpoint, warm-start clustering, kept/retraction emission and
+    * state forwarding. `batchIdx` and `incPairs` are the caller's
+    * modality-specific banding and (uncapped) pair generation. */
+  private def epochCore(
+      batch: DataFrame,
+      idCol: String,
+      what: String,
+      batchIdx: DataFrame,
+      incPairs: DataFrame,
+      prior: Option[EpochState],
+      maxIter: Int,
+      maxDriverEdges: Long
+  ): EpochState = {
+    prior.foreach { p =>
+      // the unique-id contract, checked where it breaks the law: a
+      // re-ingested id would collapse the ≥1-new-side discipline
+      val dup = batchIdx.select(col("id"))
+        .join(p.index.select(col("id")), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"$what: batch re-uses ids already in the index — ids " +
+          "must be unique across the corpus history (exact-dedup " +
+          "re-ingests first)")
     }
-    run
+    // the ≥1-new-side discipline makes incremental pairs disjoint
+    // from the carried ledger under unique ids — plain union, and
+    // checkpoint ONCE: the clustering below reads the ledger every
+    // round and must not re-run the LSH pipeline per round
+    val pairs = prior.fold(incPairs)(_.pairs.unionByName(incPairs))
+      .localCheckpoint()
+    val labels = duplicateClusters(pairs, maxIter, maxDriverEdges,
+      starFallback = true, seed = prior.map(_.labels)).get
+      .localCheckpoint()
+    val index = prior.fold(batchIdx)(_.index.unionByName(batchIdx))
+    // kept = batch docs that are representatives NOW: never paired,
+    // or the min id of their cluster
+    val lbl = labels.select(col("id").as("__lid"), col("cluster"))
+    val kept = batch
+      .join(lbl, batch(idCol) === col("__lid"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("__lid"))
+      .drop("__lid", "cluster")
+    // retractions = OLD docs that were representatives yesterday but
+    // are not today (a new doc bridged their cluster to a lower id)
+    val batchIds = batch.select(col(idCol).as("id"))
+    val retractions = prior match {
+      case None => labels.select(col("id")).limit(0)
+      case Some(p) =>
+        val nowNonRep = labels.filter(col("cluster") =!= col("id"))
+          .select(col("id"))
+          .join(batchIds, Seq("id"), "left_anti") // old docs only
+        val prevNonRep = p.labels
+          .filter(col("cluster") =!= col("id")).select(col("id"))
+        nowNonRep.join(prevNonRep, Seq("id"), "left_anti")
+    }
+    EpochState(index, pairs, labels, kept, retractions)
+  }
+
+  /** [[dedupEpoch]] on the VECTOR side — the same composed epoch over
+    * [[embeddingBandIndex]] + [[embeddingPairsIncremental]] (portable
+    * md5-sign signatures, exact-cosine verification at `threshold`).
+    * Same chained law (gate q406: 3 epochs through parquet in fresh
+    * sessions == one-shot [[embeddingNearDupPairsPortable]] +
+    * clustering of the grown corpus), same uncapped-index contract,
+    * same kept/retraction emission. Embedding crawl loops dedup
+    * REPRESENTATIONS (semantic re-crawls, near-identical renders)
+    * where the text loop dedups surface forms — production pipelines
+    * run both, which is why the state and laws are deliberately
+    * identical in shape. */
+  def embeddingDedupEpoch(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      prior: Option[EpochState] = None,
+      threshold: Double = 0.95,
+      bandBits: Int = 10,
+      nBands: Int = 6,
+      maxIter: Int = 10,
+      maxDriverEdges: Long = 1000000L
+  ): MayFail[EpochState] = MayFail {
+    epochCore(batch, idCol, "embeddingDedupEpoch",
+      embeddingBandIndex(batch, vecCol, idCol, bandBits, nBands).get,
+      incPairs = prior match {
+        case None =>
+          embeddingNearDupPairsPortable(batch, vecCol, idCol, threshold,
+            bandBits, nBands, maxBucket = Int.MaxValue).get
+        case Some(p) =>
+          embeddingPairsIncremental(batch, vecCol, idCol, p.index,
+            threshold, bandBits, nBands, maxBucket = Int.MaxValue).get
+      },
+      prior, maxIter, maxDriverEdges)
+  }
+
+  /** One-row observability report of an epoch transition — the
+    * cap-report discipline for the epoch loop (what moved, before
+    * anyone trusts the emission): index/ledger/label sizes after the
+    * epoch, the NEW pairs and labels this epoch contributed, kept and
+    * retraction counts. All exact counts over the state frames; the
+    * corpus is never rescanned. */
+  def epochReport(
+      state: EpochState,
+      prior: Option[EpochState] = None): MayFail[DataFrame] = MayFail {
+    val nIndex = state.index.count()
+    val nPairs = state.pairs.count()
+    val nLabels = state.labels.count()
+    val priorPairs = prior.map(_.pairs.count()).getOrElse(0L)
+    val priorLabels = prior.map(_.labels.count()).getOrElse(0L)
+    val nKept = state.kept.count()
+    val nRetract = state.retractions.count()
+    val spark = state.index.sparkSession
+    import spark.implicits._
+    Seq((nIndex, nPairs, nPairs - priorPairs, nLabels,
+      nLabels - priorLabels, nKept, nRetract))
+      .toDF("n_index", "n_pairs", "n_new_pairs", "n_labels",
+        "n_new_labels", "n_kept", "n_retractions")
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash, banded so the

@@ -161,6 +161,38 @@ object ScaleRehearsal {
         s"cumulative kept ∖ retractions diverged from one-shot " +
           s"representatives: $cumKeptDiff rows")
     }
+    // the vector-side epoch (embeddingDedupEpoch) under the same
+    // 3-way chained law — replica cliques of identical vectors span
+    // the epochs, the heaviest bridge regime
+    locally {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_rehearsal_embepoch").toString
+      var labelDiff = -1L
+      time("embedding-epoch-chain")({
+        var prior: Option[graft.operators.Dedup.EpochState] = None
+        for (i <- 0 to 2) {
+          val st = graft.operators.Dedup.embeddingDedupEpoch(
+            emb.filter(pmod(col("vec_id"), lit(3)) === i),
+            "embedding", "vec_id", prior, threshold = 0.25).get
+          st.write(s"$store/e$i")
+          prior = Some(graft.operators.Dedup.EpochState.load(
+            spark, s"$store/e$i"))
+        }
+        val labels = prior.get.labels.localCheckpoint(true)
+        val oneShot = graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.embeddingNearDupPairsPortable(emb,
+            "embedding", "vec_id", threshold = 0.25,
+            maxBucket = Int.MaxValue).get).get.localCheckpoint(true)
+        labelDiff = labels.exceptAll(oneShot).count() +
+          oneShot.exceptAll(labels).count()
+        val n = labels.count()
+        graft.physical.Optimise.releaseCheckpoint(labels)
+        graft.physical.Optimise.releaseCheckpoint(oneShot)
+        n
+      })
+      check("embedding_epoch_chain_law", labelDiff == 0,
+        s"3-epoch embedding labels diverged from one-shot: $labelDiff rows")
+    }
     // nBits sizes buckets to the corpus: 20k vectors / 2^8 buckets ≈ 78
     // per bucket — deliberately coarser than the auto-sizer's ~16 target
     // so the hand-tuned-too-wide cost stays visible as a datapoint

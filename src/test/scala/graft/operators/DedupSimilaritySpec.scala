@@ -289,6 +289,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Some(fin), threshold = th).isFailing)
   }
 
+  test("embeddingDedupEpoch: chained epochs through parquet equal the " +
+      "one-shot portable clustering; epochReport counts the transition") {
+    // two clusters of near-identical vectors spread across epochs plus
+    // a bridge-free orthogonal singleton — the vector-side q403 law
+    val rnd = new scala.util.Random(71L)
+    def jitter(base: Array[Float]) =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val a = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.0f)
+    val b = Array.tabulate(16)(i => if (i >= 8) 1.0f else 0.0f)
+    val e1 = Seq((0L, jitter(a)), (1L, jitter(a)), (2L, jitter(b)))
+      .toDF("vec_id", "embedding")
+    val e2 = Seq((10L, jitter(a)), (11L, jitter(b)),
+      (12L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val th = 0.9
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_embepoch").toString
+    val st1 = Dedup.embeddingDedupEpoch(e1, "embedding", "vec_id",
+      None, threshold = th).get
+    st1.write(s"$store/e1")
+    val st2 = Dedup.embeddingDedupEpoch(e2, "embedding", "vec_id",
+      Some(Dedup.EpochState.load(spark, s"$store/e1")),
+      threshold = th).get
+    val oneShotPairs = Dedup.embeddingNearDupPairsPortable(
+      e1.union(e2), "embedding", "vec_id", threshold = th,
+      maxBucket = Int.MaxValue).get
+    val oneShotLabels = Dedup.duplicateClusters(oneShotPairs).get
+      .as[(Long, Long)].collect().toSet
+    assert(st2.labels.as[(Long, Long)].collect().toSet == oneShotLabels)
+    assert(st2.pairs.as[(Long, Long, Double)].collect().toSet ==
+      oneShotPairs.as[(Long, Long, Double)].collect().toSet)
+    // the orthogonal singleton is kept (never paired); the a-cluster's
+    // epoch-2 member is dropped
+    val kept2 = st2.kept.select("vec_id").as[Long].collect().toSet
+    assert(kept2.contains(12L) && !kept2.contains(10L))
+    // epochReport: exact counts of the transition
+    val rep = Dedup.epochReport(st2, Some(st1)).get.head()
+    assert(rep.getAs[Long]("n_index") == 6L)
+    assert(rep.getAs[Long]("n_pairs") ==
+      oneShotPairs.count())
+    assert(rep.getAs[Long]("n_new_pairs") ==
+      oneShotPairs.count() - st1.pairs.count())
+    assert(rep.getAs[Long]("n_kept") == kept2.size.toLong)
+    assert(rep.getAs[Long]("n_retractions") ==
+      st2.retractions.count())
+    // first-epoch report: prior-less deltas equal the totals
+    val rep1 = Dedup.epochReport(st1, None).get.head()
+    assert(rep1.getAs[Long]("n_pairs") == rep1.getAs[Long]("n_new_pairs"))
+    assert(rep1.getAs[Long]("n_labels") == rep1.getAs[Long]("n_new_labels"))
+  }
+
   test("incremental pair generators: capped run is a SUBSET of the " +
       "uncapped law's pair set (the guarantee that survives a cap)") {
     // a 30-clone boilerplate clique (one hot bucket per band) plus one

@@ -404,6 +404,54 @@ class StreamSpec extends AnyFunSuite {
       "5 minutes", "10 minutes", merges).isFailing)
   }
 
+  test("dedupEpochSink: micro-batched epochs equal the one-shot " +
+      "clustering; state is committed atomically per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    def rangeText(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    // batch 1: a dup pair + a singleton cluster; batch 2: a bridge —
+    // the q403 retraction fixture as a stream
+    val b1 = Seq((0L, rangeText(1, 40)), (1L, rangeText(1, 40)),
+      (5L, rangeText(21, 60)))
+    val b2 = Seq((10L, rangeText(11, 50)),
+      (11L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_epochsink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Stream.dedupEpochSink(input.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/state", s"$tmp/ckpt",
+      rowsPerBand = 2, threshold = 0.5).get
+    input.addData(b1)
+    q.processAllAvailable()
+    // mid-stream: epoch 0 committed, readable, and prior-correct
+    val mid = Stream.latestEpochBefore(spark, s"$tmp/state").get
+    assert(mid.kept.select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 5L))
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = Stream.latestEpochBefore(spark, s"$tmp/state").get
+    val oneShot = Dedup.duplicateClusters(
+      Dedup.minhashPairs((b1 ++ b2).toDF("doc_id", "text"), "text",
+        "doc_id", rowsPerBand = 2, threshold = 0.5,
+        maxBucket = Int.MaxValue).get).get
+      .as[(Long, Long)].collect().toSet
+    assert(fin.labels.as[(Long, Long)].collect().toSet == oneShot)
+    // the bridge demoted 5 (the q403 retraction semantics through
+    // the stream)
+    assert(fin.retractions.as[Long].collect().toSet == Set(5L))
+    // beforeId semantics: batch 1's prior view excludes its own epoch
+    assert(Stream.latestEpochBefore(spark, s"$tmp/state", 1L).get
+      .kept.select("doc_id").as[Long].collect().toSet == Set(0L, 5L))
+    assert(Stream.latestEpochBefore(spark, s"$tmp/state", 0L).isEmpty)
+    // no tmp debris after commits; both epoch dirs present
+    val names = new java.io.File(s"$tmp/state").list().toSet
+    assert(names == Set("epoch=0", "epoch=1"), names.toString)
+    // static frames rejected
+    assert(Stream.dedupEpochSink(b1.toDF("doc_id", "text"), "text",
+      "doc_id", s"$tmp/state2", s"$tmp/ckpt2").isFailing)
+  }
+
   test("windowedVocabTokenCounts: drained greedy-piece sums under a " +
       "frozen vocabulary equal the batch replay across micro-batch " +
       "splits") {
