@@ -546,6 +546,19 @@ object Bpe {
       marker: String = "##"
   ): Seq[String] = {
     val plain = vocabFromCorpus(df, textCol, merges)
+    // marker collision guard (r14 review): a PLAIN corpus token that
+    // itself starts with the marker would be filed as a continuation
+    // entry by MarkedVocabIndex (or rejected outright when it equals
+    // the marker), silently losing its word-initial form and breaking
+    // the symmetric-closure argument the q404 oracle rests on — the
+    // marker must be chosen absent from the corpus's token space,
+    // checked here instead of assumed
+    val clash = plain.filter(_.startsWith(marker))
+    require(clash.isEmpty,
+      s"markedVocabFromCorpus: corpus tokens collide with the " +
+        s"continuation marker '$marker' (${clash.take(3).mkString(", ")}" +
+        s"${if (clash.size > 3) ", …" else ""}) — pick a marker absent " +
+        "from the corpus")
     plain ++ plain.map(marker + _)
   }
 

@@ -883,21 +883,31 @@ object Dedup {
     *    maintaining a cumulative corpus apply these as deletes; the
     *    invariant (∪ kept) ∖ (∪ retractions) == one-shot kept set at
     *    every snapshot is spec'd in DedupSimilaritySpec.
+    *  - `ids`: EVERY id ingested so far — including sub-shingle-size
+    *    documents the index cannot carry, so the unique-id contract is
+    *    enforceable for exactly the docs the epoch promises are
+    *    "always kept" (r14 review finding).
     */
   final case class EpochState(
       index: DataFrame,
       pairs: DataFrame,
       labels: DataFrame,
       kept: DataFrame,
-      retractions: DataFrame) {
+      retractions: DataFrame,
+      ids: DataFrame) {
     /** Persist every frame under `dir/{index,pairs,labels,kept,
-      * retractions}` (overwrite) — the storage half of the epoch loop. */
+      * retractions,ids}` (overwrite) — the storage half of the epoch
+      * loop. NB: a FULL snapshot; the streaming loop
+      * ([[graft.streaming.Stream.dedupEpochSink]]) stores per-epoch
+      * DELTAS instead, so its per-epoch I/O stays proportional to the
+      * batch rather than the corpus. */
     def write(dir: String): Unit = {
       index.write.mode("overwrite").parquet(s"$dir/index")
       pairs.write.mode("overwrite").parquet(s"$dir/pairs")
       labels.write.mode("overwrite").parquet(s"$dir/labels")
       kept.write.mode("overwrite").parquet(s"$dir/kept")
       retractions.write.mode("overwrite").parquet(s"$dir/retractions")
+      ids.write.mode("overwrite").parquet(s"$dir/ids")
     }
   }
 
@@ -910,8 +920,18 @@ object Dedup {
         spark.read.parquet(s"$dir/pairs"),
         spark.read.parquet(s"$dir/labels"),
         spark.read.parquet(s"$dir/kept"),
-        spark.read.parquet(s"$dir/retractions"))
+        spark.read.parquet(s"$dir/retractions"),
+        spark.read.parquet(s"$dir/ids"))
   }
+
+  /** [[epochCore]]'s full result: the forwarded state plus this
+    * epoch's DELTAS (the batch's index rows, the new pairs, the batch
+    * ids) — what an append-style store persists per epoch. */
+  private[graft] final case class EpochResult(
+      state: EpochState,
+      indexDelta: DataFrame,
+      pairsDelta: DataFrame,
+      idsDelta: DataFrame)
 
   /** ONE epoch of the incremental crawl-dedup loop (r13 verdict ask
     * #1) — the composition of the proven pieces into the product the
@@ -964,49 +984,94 @@ object Dedup {
       maxIter: Int = 10,
       maxDriverEdges: Long = 1000000L
   ): MayFail[EpochState] = MayFail {
+    dedupEpochDelta(batch, textCol, idCol, prior, shingleSize, bands,
+      rowsPerBand, threshold, maxIter, maxDriverEdges).state
+  }
+
+  /** [[dedupEpoch]] exposing this epoch's deltas — the append-style
+    * storage API ([[graft.streaming.Stream.dedupEpochSink]]). */
+  private[graft] def dedupEpochDelta(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      prior: Option[EpochState],
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxIter: Int = 10,
+      maxDriverEdges: Long = 1000000L
+  ): EpochResult = {
+    prior.foreach(p => requireIndexParams(p.index, "dedupEpoch",
+      Seq("shingle_size" -> shingleSize, "bands" -> bands,
+        "rows_per_band" -> rowsPerBand)))
     epochCore(batch, idCol, "dedupEpoch",
       minhashBandIndex(batch, textCol, idCol,
         shingleSize, bands, rowsPerBand).get,
       // UNCAPPED by contract (scaladoc): the chained law needs every
-      // bucket's pairs, and a cap would bind per-epoch occupancy
-      incPairs = prior match {
-        case None =>
-          minhashPairs(batch, textCol, idCol, shingleSize, bands,
-            rowsPerBand, threshold, maxBucket = Int.MaxValue).get
-        case Some(p) =>
-          minhashPairsIncremental(batch, textCol, idCol, p.index,
-            shingleSize, bands, rowsPerBand, threshold,
-            maxBucket = Int.MaxValue).get
+      // bucket's pairs, and a cap would bind per-epoch occupancy.
+      // The generator consumes the ALREADY-CHECKPOINTED batch index —
+      // the epoch's one banding of the batch (r14 review: the old
+      // composition re-shingled the batch per consumer, ~5x)
+      bIdx => {
+        val newPart = bIdx
+          .select(col("id"), col("shingles"), col("band_keys"))
+          .withColumn("__new", lit(true))
+        val all = prior match {
+          case Some(p) => p.index
+            .select(col("id"), col("shingles"), col("band_keys"))
+            .withColumn("__new", lit(false))
+            .unionByName(newPart)
+          // no history: every row is new, so the ≥1-new-side filter
+          // passes all pairs and this IS the one-shot [[minhashPairs]]
+          // of the batch (same cap, same candidate core, same shared
+          // scoring tail)
+          case None => newPart
+        }
+        scoredPairs(incrementalCandidates(all, Int.MaxValue),
+          all.select(col("id"), col("shingles").as("__p")),
+          "jaccard", jaccardHashes, _ >= threshold,
+          roundDigits = Some(6))
       },
       prior, maxIter, maxDriverEdges)
   }
 
   /** The modality-independent half of an epoch ([[dedupEpoch]] /
     * [[embeddingDedupEpoch]]): unique-id check, pair-ledger union +
-    * checkpoint, warm-start clustering, kept/retraction emission and
-    * state forwarding. `batchIdx` and `incPairs` are the caller's
-    * modality-specific banding and (uncapped) pair generation. */
+    * checkpoint, warm-start clustering, kept/retraction emission,
+    * state forwarding and the epoch deltas. `batchIdx` is the caller's
+    * modality-specific banding; it is checkpointed HERE, once, and the
+    * caller's `incPairsFrom` must generate the epoch's (uncapped)
+    * pairs from that checkpointed frame — the batch's payload is
+    * banded exactly once per epoch (its id column is read a second
+    * time for the ids ledger, a pruned-column scan). */
   private def epochCore(
       batch: DataFrame,
       idCol: String,
       what: String,
       batchIdx: DataFrame,
-      incPairs: DataFrame,
+      incPairsFrom: DataFrame => DataFrame,
       prior: Option[EpochState],
       maxIter: Int,
       maxDriverEdges: Long
-  ): EpochState = {
+  ): EpochResult = {
+    val bIdx = batchIdx.localCheckpoint()
+    val batchIds = batch.select(col(idCol).as("id")).localCheckpoint()
     prior.foreach { p =>
       // the unique-id contract, checked where it breaks the law: a
-      // re-ingested id would collapse the ≥1-new-side discipline
-      val dup = batchIdx.select(col("id"))
-        .join(p.index.select(col("id")), Seq("id"), "left_semi")
+      // re-ingested id would collapse the ≥1-new-side discipline.
+      // Checked against the FULL ids ledger, not the index — a
+      // sub-shingle doc is absent from the index but was still kept
+      // by its first epoch (r14 review finding)
+      val dup = batchIds
+        .join(p.ids.select(col("id")), Seq("id"), "left_semi")
         .limit(1).count()
       require(dup == 0L,
-        s"$what: batch re-uses ids already in the index — ids " +
-          "must be unique across the corpus history (exact-dedup " +
-          "re-ingests first)")
+        s"$what: batch re-uses ids already ingested — ids must be " +
+          "unique across the corpus history (exact-dedup re-ingests " +
+          "first)")
     }
+    val incPairs = incPairsFrom(bIdx)
     // the ≥1-new-side discipline makes incremental pairs disjoint
     // from the carried ledger under unique ids — plain union, and
     // checkpoint ONCE: the clustering below reads the ledger every
@@ -1016,7 +1081,8 @@ object Dedup {
     val labels = duplicateClusters(pairs, maxIter, maxDriverEdges,
       starFallback = true, seed = prior.map(_.labels)).get
       .localCheckpoint()
-    val index = prior.fold(batchIdx)(_.index.unionByName(batchIdx))
+    val index = prior.fold(bIdx)(_.index.unionByName(bIdx))
+    val ids = prior.fold(batchIds)(_.ids.unionByName(batchIds))
     // kept = batch docs that are representatives NOW: never paired,
     // or the min id of their cluster
     val lbl = labels.select(col("id").as("__lid"), col("cluster"))
@@ -1026,7 +1092,6 @@ object Dedup {
       .drop("__lid", "cluster")
     // retractions = OLD docs that were representatives yesterday but
     // are not today (a new doc bridged their cluster to a lower id)
-    val batchIds = batch.select(col(idCol).as("id"))
     val retractions = prior match {
       case None => labels.select(col("id")).limit(0)
       case Some(p) =>
@@ -1037,7 +1102,9 @@ object Dedup {
           .filter(col("cluster") =!= col("id")).select(col("id"))
         nowNonRep.join(prevNonRep, Seq("id"), "left_anti")
     }
-    EpochState(index, pairs, labels, kept, retractions)
+    EpochResult(
+      EpochState(index, pairs, labels, kept, retractions, ids),
+      indexDelta = bIdx, pairsDelta = incPairs, idsDelta = batchIds)
   }
 
   /** [[dedupEpoch]] on the VECTOR side — the same composed epoch over
@@ -1062,15 +1129,40 @@ object Dedup {
       maxIter: Int = 10,
       maxDriverEdges: Long = 1000000L
   ): MayFail[EpochState] = MayFail {
+    embeddingDedupEpochDelta(batch, vecCol, idCol, prior, threshold,
+      bandBits, nBands, maxIter, maxDriverEdges).state
+  }
+
+  /** [[embeddingDedupEpoch]] exposing this epoch's deltas — see
+    * [[dedupEpochDelta]]. */
+  private[graft] def embeddingDedupEpochDelta(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      prior: Option[EpochState],
+      threshold: Double = 0.95,
+      bandBits: Int = 10,
+      nBands: Int = 6,
+      maxIter: Int = 10,
+      maxDriverEdges: Long = 1000000L
+  ): EpochResult = {
+    prior.foreach(p => requireIndexParams(p.index, "embeddingDedupEpoch",
+      Seq("band_bits" -> bandBits, "n_bands" -> nBands)))
     epochCore(batch, idCol, "embeddingDedupEpoch",
       embeddingBandIndex(batch, vecCol, idCol, bandBits, nBands).get,
-      incPairs = prior match {
-        case None =>
-          embeddingNearDupPairsPortable(batch, vecCol, idCol, threshold,
-            bandBits, nBands, maxBucket = Int.MaxValue).get
-        case Some(p) =>
-          embeddingPairsIncremental(batch, vecCol, idCol, p.index,
-            threshold, bandBits, nBands, maxBucket = Int.MaxValue).get
+      bIdx => {
+        val newPart = bIdx.select(col("id"), col("vec"), col("band_keys"))
+          .withColumn("__new", lit(true))
+        val all = prior match {
+          case Some(p) => p.index
+            .select(col("id"), col("vec"), col("band_keys"))
+            .withColumn("__new", lit(false))
+            .unionByName(newPart)
+          case None => newPart // all-new == one-shot portable pairs
+        }
+        scoredPairs(incrementalCandidates(all, Int.MaxValue),
+          all.select(col("id"), col("vec").as("__p")),
+          "cosine", vecCosine, _ >= threshold, roundDigits = Some(6))
       },
       prior, maxIter, maxDriverEdges)
   }

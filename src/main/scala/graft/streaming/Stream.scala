@@ -525,93 +525,6 @@ object Stream {
     * no live table is restored, leftover tmp/bak dirs are dropped. A
     * crash at any point leaves either the old or the new table
     * addressable, never a partial one. */
-  /** The STREAMING crawl-dedup loop — [[graft.operators.Dedup
-    * .dedupEpoch]] driven by the stream itself: every micro-batch is
-    * one epoch (load the latest prior state → band the batch against
-    * the stored index → verify → warm-start cluster → emit), with the
-    * forwarded [[graft.operators.Dedup.EpochState]] landing under
-    * `stateDir/epoch=<batchId>/`.
-    *
-    * REPLAY IDEMPOTENCY comes from the directory layout, not from
-    * filtering: batch `N`'s prior is always the state at the LARGEST
-    * `epoch=<id>` with `id < N`, which never contains batch `N`'s own
-    * ids — so a crash-replayed batch recomputes `epoch=N` from the
-    * same inputs to the same state (overwrite), and the unique-id
-    * contract holds without special-casing. Downstream consumers read
-    * the max-id epoch dir; its `labels` equal the one-shot clustering
-    * of everything ingested so far (the q403 chained law — the split
-    * into micro-batches is immaterial to it, so file arrival order
-    * doesn't matter either). Gate q408 locks the whole loop against
-    * the same brute-force + recursive-CC oracle as q403.
-    *
-    * Uncapped banding per the epoch contract; ids must be unique
-    * across the stream's lifetime (exact-dedup upstream). */
-  def dedupEpochSink(
-      stream: DataFrame,
-      textCol: String,
-      idCol: String,
-      stateDir: String,
-      checkpointLocation: String,
-      shingleSize: Int = 3,
-      bands: Int = 16,
-      rowsPerBand: Int = 4,
-      threshold: Double = 0.7,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): MayFail[StreamingQuery] =
-    MayFail {
-      require(stream.isStreaming, "dedupEpochSink needs a streaming frame")
-      stream.writeStream
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", checkpointLocation)
-        .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val spark = batch.sparkSession
-          val prior = latestEpochBefore(spark, stateDir, batchId)
-          val st = graft.operators.Dedup.dedupEpoch(batch, textCol,
-            idCol, prior, shingleSize, bands, rowsPerBand, threshold).get
-          // atomic commit: build under a tmp name, then rename (the
-          // upsertSink swap discipline, Hadoop FS so any store works)
-          // — a reader at the stream's head must never see a torn
-          // epoch (five sub-frames land sequentially). Crash
-          // anywhere: either a complete epoch=N or none is visible,
-          // and the replayed batch recomputes the same state from the
-          // same < N prior, clearing debris first.
-          val dst = new org.apache.hadoop.fs.Path(
-            s"$stateDir/epoch=$batchId")
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$stateDir/__epoch_tmp_$batchId")
-          val fs = dst.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          st.write(tmp.toString)
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(tmp, dst),
-            s"dedupEpochSink: could not commit $tmp -> $dst")
-        }
-        .start()
-    }
-
-  /** The latest persisted epoch state with id strictly below
-    * `beforeId` (`Long.MaxValue` = the stream's current head) — what
-    * [[dedupEpochSink]] loads as each batch's prior and what readers
-    * use to consume the loop's output. None when no epoch has
-    * committed yet. */
-  def latestEpochBefore(
-      spark: SparkSession,
-      stateDir: String,
-      beforeId: Long = Long.MaxValue): Option[graft.operators.Dedup.EpochState] = {
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids =
-      if (!fs.exists(dir)) Array.empty[Long]
-      else fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("epoch="))
-        .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
-        .filter(_ < beforeId)
-    if (ids.isEmpty) None
-    else Some(graft.operators.Dedup.EpochState.load(spark,
-      s"$stateDir/epoch=${ids.max}"))
-  }
-
   def upsertSink(
       stream: DataFrame,
       path: String,
@@ -761,6 +674,123 @@ object Stream {
     // whose batch the checkpoint will replay anyway
     swapDirs().foreach(st => fs.delete(st.getPath, true))
   }
+
+  /** The STREAMING crawl-dedup loop — [[graft.operators.Dedup
+    * .dedupEpoch]] driven by the stream itself: every micro-batch is
+    * one epoch (load the prior state → band the batch against the
+    * stored index → verify → warm-start cluster → emit), with state
+    * landing under `stateDir/epoch=<batchId>/`.
+    *
+    * STORAGE IS APPEND-STYLE (r14 review): each epoch dir holds this
+    * epoch's DELTAS — the batch's index rows, the epoch's new pairs,
+    * the batch ids — plus the FULL labels/kept/retractions (labels
+    * grow with PAIRED docs only, tiny next to the corpus). Per-epoch
+    * I/O is therefore proportional to the BATCH; a full-snapshot-per-
+    * micro-batch loop would re-serialize the whole corpus history
+    * every trigger (quadratic in stream length).
+    * [[latestEpochBefore]] reconstructs the full
+    * [[graft.operators.Dedup.EpochState]] by unioning the deltas —
+    * one scan node per epoch dir, so a long-running loop should
+    * periodically COMPACT (write the reconstructed state's
+    * `EpochState.write` full snapshot into a fresh stateDir and
+    * continue there).
+    *
+    * REPLAY IDEMPOTENCY comes from the layout: batch `N`'s prior is
+    * the union of epochs `< N`, which never contains batch `N`'s own
+    * ids; and a replayed batch whose `epoch=N` dir ALREADY EXISTS is
+    * skipped outright — the dir is the complete result of this same
+    * deterministic batch, only the checkpoint offset had not
+    * committed. A committed epoch is thus never deleted or
+    * republished, so a head reader can never observe a torn or
+    * regressing state. Commits go through tmp+rename (atomic on
+    * HDFS-like stores; object-store renames are copies — keep the
+    * state dir on a rename-atomic filesystem).
+    *
+    * Uncapped banding per the epoch contract; ids must be unique
+    * across the stream's lifetime (exact-dedup upstream — enforced
+    * per batch against the ids ledger). Gate q408 locks the loop
+    * against the same brute-force + recursive-CC oracle as q403. */
+  def dedupEpochSink(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      stateDir: String,
+      checkpointLocation: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): MayFail[StreamingQuery] =
+    MayFail {
+      require(stream.isStreaming, "dedupEpochSink needs a streaming frame")
+      stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val spark = batch.sparkSession
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$stateDir/epoch=$batchId")
+          val fs = dst.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          // skip-if-committed: a replayed batch's dir is already the
+          // complete result of this same batch (file-source batches
+          // are deterministic per id) — recomputing would only open
+          // a delete/republish window for head readers
+          if (!fs.exists(dst)) {
+            val prior = latestEpochBefore(spark, stateDir, batchId)
+            val res = graft.operators.Dedup.dedupEpochDelta(batch,
+              textCol, idCol, prior, shingleSize, bands, rowsPerBand,
+              threshold)
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$stateDir/__epoch_tmp_$batchId")
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            res.indexDelta.write.parquet(s"$tmp/index")
+            res.pairsDelta.write.parquet(s"$tmp/pairs")
+            res.state.labels.write.parquet(s"$tmp/labels")
+            res.state.kept.write.parquet(s"$tmp/kept")
+            res.state.retractions.write.parquet(s"$tmp/retractions")
+            res.idsDelta.write.parquet(s"$tmp/ids")
+            require(fs.rename(tmp, dst),
+              s"dedupEpochSink: could not commit $tmp -> $dst")
+          }
+        }
+        .start()
+    }
+
+  /** Reconstruct the epoch state with id strictly below `beforeId`
+    * (`Long.MaxValue` = the stream's current head) from a
+    * [[dedupEpochSink]] state dir: index/pairs/ids are the UNION of
+    * every committed epoch's deltas, labels/kept/retractions come
+    * from the latest epoch (labels are always full; kept/retractions
+    * are per-epoch emissions). None when no epoch has committed. */
+  def latestEpochBefore(
+      spark: SparkSession,
+      stateDir: String,
+      beforeId: Long = Long.MaxValue): Option[graft.operators.Dedup.EpochState] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("epoch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
+        .filter(_ < beforeId)
+    if (ids.isEmpty) None
+    else {
+      def unionAll(sub: String): DataFrame = ids.sorted
+        .map(i => spark.read.parquet(s"$stateDir/epoch=$i/$sub"))
+        .reduce(_.unionByName(_))
+      val head = s"$stateDir/epoch=${ids.max}"
+      Some(graft.operators.Dedup.EpochState(
+        unionAll("index"), unionAll("pairs"),
+        spark.read.parquet(s"$head/labels"),
+        spark.read.parquet(s"$head/kept"),
+        spark.read.parquet(s"$head/retractions"),
+        unionAll("ids")))
+    }
+  }
+
 
   /** Latest-wins merge: base rows survive unless the delta carries a
     * strictly newer sequence for their key; delta rows land when their

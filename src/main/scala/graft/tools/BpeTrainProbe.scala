@@ -32,9 +32,14 @@ object BpeTrainProbe {
       .select(explode(
         graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
       .select(regexp_replace(col("g"), " ", "_").as("text"))
+    // hex mode mirrors the rehearsal's bpe_train_32k run, which trains
+    // with minPairCount = 2 — a probe at 1 would keep merging count-1
+    // pairs the rehearsal stops at and silently measure a different
+    // run (r14 review); the trigram mode keeps its historical 1
+    val minPair = if (args.lift(2).contains("hex")) 2L else 1L
     val t0 = System.nanoTime()
     val m = graft.operators.Bpe.learnMerges(docs, "text", numMerges = n,
-      minPairCount = 1L).get
+      minPairCount = minPair).get
     val rows = m.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[bpeprobe] merges=$rows%d requested=$n%d wall=$sec%.1f s")

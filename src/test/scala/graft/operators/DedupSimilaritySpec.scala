@@ -225,8 +225,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the BRIDGE w11..w50 is ~0.58 to BOTH — epoch 2 merges yesterday's
     // two clusters, demoting B's representative (a retraction)
     def rangeText(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    // 99 is SUB-SHINGLE (2 tokens < 3): absent from the index, always
+    // kept — and its re-ingest must STILL fail (the ids ledger, not
+    // the index, carries the unique-id contract; r14 review)
     val e1 = Seq((0L, rangeText(1, 40)), (1L, rangeText(1, 40)),
-      (5L, rangeText(21, 60))).toDF("doc_id", "text")
+      (5L, rangeText(21, 60)), (99L, "tiny doc")).toDF("doc_id", "text")
     val e2 = Seq((10L, rangeText(11, 50)),
       (11L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
     val e3 = Seq((20L, rangeText(1, 40)), // exact re-crawl of 0
@@ -266,8 +269,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // (own cluster); epoch 2's bridge merges the clusters → 5 is
     // RETRACTED, neither new doc is kept except the unrelated 11;
     // epoch 3's re-crawl 20 is dropped, fresh 21 kept
-    assert(st1.kept.select("doc_id").as[Long].collect().toSet == Set(0L, 5L))
+    assert(st1.kept.select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 5L, 99L))
     assert(st1.retractions.as[Long].collect().isEmpty)
+    // the ids ledger carries sub-shingle docs the index cannot
+    assert(!st1.index.select("id").as[Long].collect().contains(99L))
+    assert(st1.ids.as[Long].collect().toSet == Set(0L, 1L, 5L, 99L))
     assert(st2.kept.select("doc_id").as[Long].collect().toSet == Set(11L))
     assert(st2.retractions.as[Long].collect().toSet == Set(5L))
     assert(st3.kept.select("doc_id").as[Long].collect().toSet == Set(21L))
@@ -287,6 +294,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // unique-id contract: re-ingesting an existing id must Fail loudly
     assert(Dedup.dedupEpoch(e1.limit(1), "text", "doc_id",
       Some(fin), threshold = th).isFailing)
+    // …including a SUB-SHINGLE id the index never saw (ids ledger)
+    assert(Dedup.dedupEpoch(
+      Seq((99L, "another tiny")).toDF("doc_id", "text"), "text",
+      "doc_id", Some(fin), threshold = th).isFailing)
+    // …and an index loaded with different banding parameters Fails
+    // before any work (the requireIndexParams contract on the epoch)
+    assert(Dedup.dedupEpoch(
+      Seq((500L, rangeText(61, 100))).toDF("doc_id", "text"), "text",
+      "doc_id", Some(fin), rowsPerBand = 4, threshold = th).isFailing)
   }
 
   test("embeddingDedupEpoch: chained epochs through parquet equal the " +

@@ -447,6 +447,18 @@ class StreamSpec extends AnyFunSuite {
     // no tmp debris after commits; both epoch dirs present
     val names = new java.io.File(s"$tmp/state").list().toSet
     assert(names == Set("epoch=0", "epoch=1"), names.toString)
+    // APPEND-STYLE storage (r14 review): each epoch dir holds only
+    // the BATCH's index/ids deltas, not the accumulated corpus —
+    // per-epoch I/O stays proportional to the batch
+    assert(spark.read.parquet(s"$tmp/state/epoch=1/index").count() == 2L)
+    assert(spark.read.parquet(s"$tmp/state/epoch=1/ids")
+      .as[Long].collect().toSet == Set(10L, 11L))
+    assert(spark.read.parquet(s"$tmp/state/epoch=0/ids")
+      .as[Long].collect().toSet == Set(0L, 1L, 5L))
+    // …while the reconstructed head unions them back to the full state
+    assert(fin.ids.as[Long].collect().toSet == Set(0L, 1L, 5L, 10L, 11L))
+    assert(fin.index.count() ==
+      spark.read.parquet(s"$tmp/state/epoch=0/index").count() + 2L)
     // static frames rejected
     assert(Stream.dedupEpochSink(b1.toDF("doc_id", "text"), "text",
       "doc_id", s"$tmp/state2", s"$tmp/ckpt2").isFailing)
