@@ -1020,16 +1020,10 @@ object Behavior {
     * one partial-agg shuffle on the edge; the removal-replicated edge
     * frame is `localCheckpoint`ed ONCE (size ≤ (C+1)·E for C channels
     * and E ≤ (C+2)² edges — channel cardinality, never rows) and each
-    * step joins and aggregates on the composite key. The probability
-    * vector is consumed exactly ONCE per step, so the step chain is a
-    * LINEAR plan — unlike [[Graph.pageRank]]'s thrice-consumed rank
-    * frame it does not need a materialization barrier every step;
-    * checkpointing every 6th step (and always the last) bounds plan
-    * depth while cutting the per-step job/materialization overhead
-    * ~6× (r14 optimization — these frames are channel-cardinality
-    * tiny, so the old one-job-per-step loop was pure scheduler
-    * overhead). Counts and probabilities exact rationals; the
-    * fixed-point sums are χ²-tier floats.
+    * step joins and aggregates on the composite key with the
+    * checkpoint-release discipline of [[Graph.pageRank]]. Counts and
+    * probabilities exact rationals; the fixed-point sums are χ²-tier
+    * floats.
     */
   def markovAttribution(
       df: DataFrame,
@@ -1081,13 +1075,7 @@ object Behavior {
       .distinct()
       .withColumn("p", lit(0.0))
       .localCheckpoint(true)
-    // p is consumed once per step, so steps chain lazily into one
-    // linear plan; materialize only every checkpointEvery-th step (and
-    // the last) — each localCheckpoint is a full job over tiny frames,
-    // so per-step barriers were pure scheduler overhead
-    val checkpointEvery = 6
-    var lastCp = p
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val next = redges.alias("e")
         .join(p.alias("pk"),
           col("e.removed") === col("pk.removed") &&
@@ -1097,12 +1085,9 @@ object Behavior {
             .when(col("e.to") === "(null)", lit(0.0))
             .otherwise(coalesce(col("pk.p"), lit(0.0)))).as("__t"))
         .groupBy("removed", "state").agg(sum(col("__t")).as("p"))
-      p = if (i % checkpointEvery == 0 || i == iterations) {
-        val cp = next.localCheckpoint(true)
-        graft.physical.Optimise.releaseCheckpoint(lastCp)
-        lastCp = cp
-        cp
-      } else next
+        .localCheckpoint(true)
+      graft.physical.Optimise.releaseCheckpoint(p)
+      p = next
     }
     graft.physical.Optimise.releaseCheckpoint(redges)
     val baseP = p.filter(col("removed") === "(none)" &&

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,13 +48,10 @@ object Graph {
     * rank normalized by total initial mass (`n * scale`), so scores sum
     * to ≈ 1 (minus the documented floor leakage).
     *
-    * Plan per iteration: ranks ⋈ edges on the source — the out-weights
-    * are rank-independent, so they are folded into the persisted edge
-    * frame ONCE (not re-joined per round) and that frame is laid out by
-    * the join key `src`, so the edge side of every iteration reuses the
-    * cached partitioning with no exchange — then ONE partial-agg
-    * shuffle summing in-mass per dst, and a left join back onto the
-    * node set. The dangling term is a 1-row
+    * Plan per iteration: ranks ⋈ edges on the source (both sides hash
+    * on the same key; the slim persisted edge/degree frames are reused
+    * every round), ONE partial-agg shuffle summing in-mass per dst, and
+    * a left join back onto the node set. The dangling term is a 1-row
     * aggregate per iteration — the standard driver-side scalar every
     * distributed PageRank (including GraphX's) pays. The rank frame is
     * MATERIALIZED (`localCheckpoint`) every iteration: it is consumed
@@ -103,7 +100,7 @@ object Graph {
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
 
-    val e0 = (weightCol match {
+    val e = (weightCol match {
       case Some(w) =>
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(w).cast("long").as("w"))
@@ -115,22 +112,12 @@ object Graph {
           .distinct()
           .withColumn("w", lit(1L))
     }).persist()
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val outw = e0.groupBy(col("src").as("node"))
+    val outw = e.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("outw"))
-      .persist()
-    // out-weights are RANK-INDEPENDENT: join them into the edge frame
-    // ONCE instead of once per iteration, and lay the result out by the
-    // per-iteration join key (src) so the cached partitioning satisfies
-    // the contribution join's distribution requirement — the edge side
-    // of every iteration then runs with NO exchange (r14 optimization,
-    // guide §2.4: two operations keyed the same way share one exchange)
-    val e = e0.join(outw, e0("src") === outw("node"))
-      .select(e0("src"), e0("dst"), e0("w"), outw("outw"))
-      .repartition(col("src"))
       .persist()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
@@ -165,6 +152,7 @@ object Graph {
         .agg(coalesce(sum(expr(s"(rank * $dampNum) div $dampDen")), lit(0L)))
         .first().getLong(0)
       val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(outw, e("src") === outw("node"))
         .select(e("dst").as("node"),
           expr(s"(rank * $dampNum * w) div (${dampDen}L * outw)").as("c"))
       val in = contrib.groupBy("node").agg(sum("c").as("in_mass"))
@@ -192,7 +180,7 @@ object Graph {
     val result = ranks.withColumn("score",
       col("rank").cast("double") / lit((n * scale).toDouble))
       .localCheckpoint(true)
-    e.unpersist(); e0.unpersist(); nodes.unpersist(); outw.unpersist()
+    e.unpersist(); nodes.unpersist(); outw.unpersist()
     Optimise.releaseCheckpoint(ranks)
     seeds.foreach(Optimise.releaseCheckpoint)
     Optimise.releaseCheckpoint(danglingNodes)
@@ -675,19 +663,12 @@ object Graph {
     *
     * Plan: parallel edges reduce to their min weight ONCE (shortest
     * paths never use a heavier parallel edge) and the edge frame is
-    * persisted across rounds, laid out by the join key `src` so the
-    * edge side of every round reuses the cached partitioning with no
-    * exchange; each round is one join on the FRONTIER (delta
-    * relaxation: only nodes whose distance improved last round — a
-    * node whose distance is unchanged already offered exactly these
-    * candidates the round after it last improved, and min-merge makes
-    * re-offering a no-op, so the per-round distance frames are
-    * BIT-IDENTICAL to full relaxation while the join input shrinks to
-    * the still-active fringe) + a partial-agg min per destination + a
-    * full-outer min-merge, with the per-round `localCheckpoint` +
-    * release discipline of [[pageRank]]. Convergence is detected
-    * structurally (empty frontier) — one `limit(1).count()` probe per
-    * round, never a collect of the frame.
+    * persisted across rounds; each round is one join on the frontier
+    * key + a partial-agg min per destination + a full-outer min-merge,
+    * with the per-round `localCheckpoint` + release discipline of
+    * [[pageRank]]. Convergence is detected structurally (no candidate
+    * improves any distance) — one `limit(1).count()` probe per round,
+    * never a collect of the frame.
     */
   def ssspWeighted(
       edges: DataFrame,
@@ -704,22 +685,17 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
-      .repartition(col("src"))
       .persist()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .filter(col("node").isNotNull)
       .withColumn("dist", lit(0.0))
       .localCheckpoint(true)
-    // delta relaxation: only the frontier (nodes improved last round)
-    // relaxes — every distance frame is bit-identical to relaxing the
-    // full dist set (see the plan note above)
-    var frontier = dist
     var r = 0
     var done = dist.limit(1).count() == 0
     while (!done && r < maxRounds) {
       r += 1
       val cand = e
-        .join(frontier.select(col("node").as("src"), col("dist").as("__pd")),
+        .join(dist.select(col("node").as("src"), col("dist").as("__pd")),
           Seq("src"))
         .select(col("dst").as("node"), (col("__pd") + col("w")).as("__nd"))
         .groupBy("node").agg(min(col("__nd")).as("__nd"))
@@ -734,8 +710,7 @@ object Graph {
             (col("__nd").isNotNull && col("__nd") < col("dist")))
             .as("__chg"))
         .localCheckpoint(true)
-      frontier = merged.filter(col("__chg")).select("node", "dist")
-      done = frontier.limit(1).count() == 0
+      done = merged.filter(col("__chg")).limit(1).count() == 0
       if (!done) {
         Optimise.releaseCheckpoint(dist)
         dist = merged.select("node", "dist")
@@ -1593,18 +1568,15 @@ object Graph {
     * exactly this continuation against the n-pass oracle, and the
     * rehearsal law asserts the identity on the synthetic graph.
     *
-    * Plan per pass: ONE label join onto the edge list — pre-filtered
-    * to the pass's md5-parity class, since only that class can move
-    * and the other class's rows would ride dead through the whole
-    * pipeline — feeding a single partial-agg shuffle to (node,
-    * neighbor-community) link counts; the node's own community rides
-    * along as a synthesized zero row, so the own-community link count
-    * AND total are read by the same hash-partitioned per-node window
-    * that runs the argmax (never single-partition, no second links
-    * pass) — one community-total join, one node-info join, and a label
-    * update join. The label frame is checkpointed per pass and the
-    * superseded one released immediately — the [[pageRank]] storage
-    * discipline.
+    * Plan per pass: ONE label join onto the edge list feeding a single
+    * partial-agg shuffle to (node, neighbor-community) link counts —
+    * the node's own community rides along as a synthesized zero row, so
+    * the own-community link count AND total are read by the same
+    * hash-partitioned per-node window that runs the argmax (never
+    * single-partition, no second links pass) — one community-total
+    * join, one node-info join, and a label update join. The label
+    * frame is checkpointed per pass and the superseded one released
+    * immediately — the [[pageRank]] storage discipline.
     */
   def louvainMove(
       edges: DataFrame,
@@ -1646,21 +1618,9 @@ object Graph {
   ): DataFrame = {
     // pre-partitioned on dst: every pass joins the labels in on dst,
     // so the cached layout is reused and the edge list never
-    // re-shuffles across passes. The md5-parity of the SOURCE node is
-    // precomputed into the cached frame (one md5 per directed edge per
-    // level, not per pass): a pass only ever moves nodes of its parity
-    // class, so every link row of the other class is dead weight
-    // through the links aggregate, two joins and two windows — filtering
-    // e on `__psrc` BEFORE the label join halves the per-pass shuffle
-    // and window work while leaving the surviving rows (and hence the
-    // argmax and the moves) bit-identical (r14 optimization, guide
-    // §2.3: shuffle fewer bytes / don't compute what you throw away)
-    def parityOf(c: Column): Column = pmod(
-      conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
-        .cast("long"), lit(2L))
+    // re-shuffles across passes
     val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .withColumn("__psrc", parityOf(col("src")))
       .repartition(col("dst"))
       .persist()
     val mCross = und.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
@@ -1706,12 +1666,10 @@ object Graph {
       // own-community link weight and the own-community total — no
       // second links computation, no (node, c) equi-join back
       val linksRaw = e
-        .filter(col("__psrc") === lit(pass % 2))
         .join(lab.withColumnRenamed("node", "dst")
           .withColumnRenamed("c", "cn"), Seq("dst"))
         .select(col("src").as("node"), col("cn"), col("w").as("__one"))
       val ownZero = nodeInfo
-        .filter(parityOf(col("node")) === lit(pass % 2))
         .select(col("node"), col("c").as("cn"), lit(0L).as("__one"))
       val links = linksRaw.unionByName(ownZero)
         .groupBy("node", "cn").agg(sum("__one").as("e_ic"))
@@ -1730,11 +1688,11 @@ object Graph {
           lit(2L * m) * (col("e_ic") - col("e_own")) -
             col("k") * (col("tot_cn") - col("tot_own") + col("k")))
       val w = wNode.orderBy(col("g").desc, col("cn"))
-      // the parity class was already selected at the links input —
-      // every surviving row is this pass's class, so only the gain
-      // gate remains
+      val parity = pmod(
+        conv(substring(md5(col("node").cast("string")), 1, 1), 16, 10)
+          .cast("long"), lit(2L))
       val moves = gains
-        .filter(col("g") > 0)
+        .filter(col("g") > 0 && parity === lit(pass % 2))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node"), col("cn"))
